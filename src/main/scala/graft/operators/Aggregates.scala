@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables => T}
+
+/** Aggregation operators.
+  *
+  * Reference semantics: A1 quantile sketch (`Gddp.scala:230-232` — GeoTrellis
+  * StreamingHistogram → quantile breaks), A2 min/max (`Gddp.scala:127-129`),
+  * G1 per-group dataflow (`Gddp.scala:164-239` — one task per variable),
+  * R1 color binning (`Gddp.scala:232-236`), E1 whole-extent aggregate
+  * (README.md:67-94). Rollup/cube/multi-agg are §2B generalizations.
+  *
+  * Scale notes: all aggregates are partial+final (map-side combine) hash
+  * aggregates chosen by Catalyst; quantile uses the exact `percentile` for the
+  * oracle twin and `percentile_approx` (a mergeable sketch, the direct analog
+  * of the reference's StreamingHistogram) for the scale path.
+  */
+object Aggregates extends QueryModule {
+
+  /** Flagship (Phase 0): TPC-H-Q1-shaped pruned scan + range filter + per-group
+    * aggregate + stable sort — the reference's composed query (§2A end) on
+    * `lineitem`. Exercises S1, F2, P1, A2, G1 and sort in one plan.
+    */
+  def q1Pricing(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2: min/max over groups. */
+  private def qMinmax(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        min("l_shipdate").as("mn_date"), max("l_shipdate").as("mx_date"),
+        round(min("l_extendedprice"), 2).as("mn_price"),
+        round(max("l_extendedprice"), 2).as("mx_price"))
+      .orderBy("l_returnflag")
+
+  /** G1: per-group pipeline (one group per event_type, like one task per
+    * variable in `Gddp.scala:164`).
+    */
+  private def qPergroup(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+
+  /** Multi-aggregate hash aggregation incl. distinct count (§2B). */
+  private def qAggHash(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        countDistinct(col("l_partkey")).as("dparts"),
+        round(sum("l_quantity"), 2).as("sq"),
+        round(avg("l_discount"), 6).as("ad"),
+        round(min("l_quantity"), 2).as("mnq"),
+        round(max("l_quantity"), 2).as("mxq"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Rollup with NULL-safe sentinel labels (grouping nulls → 'ALL' on both
+    * engines, sidestepping NULL-ordering dialect differences).
+    */
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_extendedprice"), 2).as("total"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("total"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** Cube over the same keys. */
+  private def qCube(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_extendedprice"), 2).as("total"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("total"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** A1 (exact twin): per-group quartiles via exact `percentile` — linear
+    * interpolation matches DuckDB `quantile_cont`.
+    */
+  private def qQuantile(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+      .orderBy("l_returnflag")
+
+  /** A1 (scale path, no oracle): mergeable quantile sketch — the Spark analog
+    * of `StreamingHistogram.quantileBreaks` (`Gddp.scala:230-232`).
+    */
+  private def qQuantileApprox(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("breaks"))
+      .orderBy("l_returnflag")
+
+  /** R1: value→bin color mapping with fixed breaks (`Gddp.scala:232-236`),
+    * as integer binning: bin = clamp(floor((v - lo) / step), 0, nbins-1).
+    */
+  private def qColorbin(s: SparkSession, d: String): DataFrame = {
+    val lo = 900.0d; val step = 10410.0d // (105000 - 900) / 10 bins
+    T.lineitem(s, d)
+      .select(least(greatest(floor((col("l_extendedprice") - lo) / step), lit(0L)), lit(9L))
+        .cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1Pricing,
+    "q_minmax" -> qMinmax,
+    "q_pergroup" -> qPergroup,
+    "q_agg_hash" -> qAggHash,
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_quantile" -> qQuantile,
+    "q_quantile_approx" -> qQuantileApprox,
+    "q_colorbin" -> qColorbin
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_minmax" ->
+      """SELECT l_returnflag, min(l_shipdate) AS mn_date, max(l_shipdate) AS mx_date,
+        |  round(min(l_extendedprice), 2) AS mn_price, round(max(l_extendedprice), 2) AS mx_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pergroup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(DISTINCT l_partkey) AS dparts,
+        |  round(sum(l_quantity), 2) AS sq,
+        |  round(avg(l_discount), 6) AS ad,
+        |  round(min(l_quantity), 2) AS mnq,
+        |  round(max(l_quantity), 2) AS mxq
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_extendedprice), 2) AS total, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_extendedprice), 2) AS total, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_colorbin" ->
+      """SELECT CAST(least(greatest(floor((l_extendedprice - 900.0) / 10410.0), 0), 9) AS INT) AS bin,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
+  )
+}

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables => T}
+
+/** Scan / projection / filter / pruning / sort / set-op / join operators.
+  *
+  * Reference semantics (SURVEY.md §2A): S1 directory scan (`Gddp.scala:61-68`),
+  * P1 variable projection (`Gddp.scala:114-115,134-137`), F1 file pruning by
+  * time-interval overlap (`Gddp.scala:132-138`), F2 temporal range filter
+  * (`Gddp.scala:213-221`), F3 spatial bbox hyperslab (`Gddp.scala:73-94,224-226`),
+  * L1 nearest-neighbor argmin (`Gddp.scala:25-38`). Joins / set ops / top-k are
+  * §2B generalizations the reference lacks. All plans are declarative DataFrames
+  * so Catalyst pushes filters and prunes columns at the parquet scan; dimension
+  * sides of joins are explicitly broadcast (they are bounded catalog-sized
+  * tables, like the reference's coord arrays §1.4).
+  */
+object Relational extends QueryModule {
+
+  /** S1: full scan with stable total order. */
+  private def qScan(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P1: projection — Catalyst column pruning reaches the scan (ReadSchema). */
+  private def qProject(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d).select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+  /** F1+S3: catalog build (per-"file" min/max time) + interval-overlap pruning.
+    * The relational form of `Gddp.scala:118-139`: month-bucketed "files" with
+    * `[ts_min, ts_max]` metadata; keep files overlapping the query interval.
+    */
+  private def qPrune(s: SparkSession, d: String): DataFrame = {
+    val cat = T.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("file"))
+      .agg(min("o_orderdate").as("ts_min"), max("o_orderdate").as("ts_max"))
+    cat
+      .filter(col("ts_max") >= lit("1995-03-15").cast("timestamp") &&
+        col("ts_min") <= lit("1995-06-15").cast("timestamp"))
+      .orderBy("file")
+  }
+
+  /** F2: inclusive date-range filter (start-of-day .. end-of-day, `Gddp.scala:213-221`). */
+  private def qTimeFilter(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01 00:00:00").cast("timestamp"),
+        lit("1996-03-31 23:59:59").cast("timestamp")))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F3: conjunctive 2-D range predicate (the bbox hyperslab, `Gddp.scala:206-210`).
+    * On parquet both ranges push down to row-group min/max skipping.
+    */
+  private def qBbox(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .filter(col("l_quantity").between(10, 20) &&
+        col("l_extendedprice").between(20000, 40000))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** L1: nearest-neighbor argmin with the reference's first-index tie-break
+    * (`Gddp.scala:31-34` → ORDER BY dist, key LIMIT 1). Spark plans this as
+    * TakeOrderedAndProject — no global sort materialization.
+    */
+  private def qNearest(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .select(col("c_custkey"), col("c_name"),
+        round(pow(col("c_acctbal") - 5000.0d, 2), 4).as("dist2"))
+      .orderBy(pow(col("c_acctbal") - 5000.0d, 2), col("c_custkey"))
+      .limit(1)
+
+  /** Top-k: TakeOrderedAndProject (per-partition top-k + merge, no full sort). */
+  private def qTopk(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** Distinct: hash-aggregate dedup on a key triple. */
+  private def qDistinct(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus", "l_shipdate")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus", "l_shipdate")
+
+  // ---- set ops ----
+
+  private def qUnion(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d).select(col("c_custkey").as("k"), lit("cust").as("src"))
+      .unionAll(T.supplier(s, d).select(col("s_suppkey").as("k"), lit("supp").as("src")))
+      .orderBy("k", "src")
+
+  private def qIntersect(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d).select("l_orderkey")
+      .intersect(T.orders(s, d).filter(col("o_totalprice") > 50000)
+        .select(col("o_orderkey").as("l_orderkey")))
+      .orderBy("l_orderkey")
+
+  private def qExcept(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d).select("o_orderkey")
+      .except(T.lineitem(s, d).filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("o_orderkey")))
+      .orderBy("o_orderkey")
+
+  // ---- joins (§2B) ----
+
+  /** Equi inner join chain; nation/region broadcast (bounded dims — at 100 TB
+    * they stay dim-sized, like the reference's coord tables §1.4).
+    */
+  private def qJoinInner(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d); val c = T.customer(s, d)
+    val n = T.nation(s, d); val r = T.region(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name", "r_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("n_name", "r_name")
+  }
+
+  /** Left outer join preserving customers without orders. */
+  private def qJoinLeft(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d); val o = T.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0d)), 2).as("spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-semi join (EXISTS). */
+  private def qJoinSemi(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d)
+    val big = T.orders(s, d).filter(col("o_totalprice") > 100000).select("o_custkey")
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  private def qJoinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d)
+    val big = T.orders(s, d).filter(col("o_totalprice") > 100000).select("o_custkey")
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Non-equi band (range) join — broadcast nested-loop with the small side
+    * broadcast; the generalization of the bbox predicate to two tables.
+    */
+  private def qJoinRange(s: SparkSession, d: String): DataFrame = {
+    val p = T.part(s, d); val sup = T.supplier(s, d)
+    p.join(broadcast(sup),
+        p("p_retailprice").between(sup("s_acctbal") - 100, sup("s_acctbal") + 100))
+      .select("p_partkey", "s_suppkey")
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan" -> qScan,
+    "q_project" -> qProject,
+    "q_prune" -> qPrune,
+    "q_time_filter" -> qTimeFilter,
+    "q_bbox" -> qBbox,
+    "q_nearest" -> qNearest,
+    "q_topk" -> qTopk,
+    "q_distinct" -> qDistinct,
+    "q_union" -> qUnion,
+    "q_intersect" -> qIntersect,
+    "q_except" -> qExcept,
+    "q_join_inner" -> qJoinInner,
+    "q_join_left" -> qJoinLeft,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_range" -> qJoinRange
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_project" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
+    "q_prune" ->
+      """SELECT file, ts_min, ts_max FROM (
+        |  SELECT date_trunc('month', o_orderdate) AS file,
+        |         min(o_orderdate) AS ts_min, max(o_orderdate) AS ts_max
+        |  FROM orders GROUP BY 1)
+        |WHERE ts_max >= TIMESTAMP '1995-03-15 00:00:00'
+        |  AND ts_min <= TIMESTAMP '1995-06-15 00:00:00'
+        |ORDER BY file""".stripMargin,
+    "q_time_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-03-31 23:59:59'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_bbox" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_extendedprice BETWEEN 20000 AND 40000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_nearest" ->
+      """SELECT c_custkey, c_name, round(pow(c_acctbal - 5000.0, 2), 4) AS dist2
+        |FROM customer ORDER BY pow(c_acctbal - 5000.0, 2), c_custkey LIMIT 1""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+    "q_union" ->
+      """SELECT c_custkey AS k, 'cust' AS src FROM customer
+        |UNION ALL SELECT s_suppkey AS k, 'supp' AS src FROM supplier
+        |ORDER BY k, src""".stripMargin,
+    "q_intersect" ->
+      """SELECT l_orderkey FROM lineitem
+        |INTERSECT SELECT o_orderkey AS l_orderkey FROM orders WHERE o_totalprice > 50000
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_orderkey FROM orders
+        |EXCEPT SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_quantity > 45
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_inner" ->
+      """SELECT n_name, r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name ORDER BY n_name, r_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0), 2) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT p_partkey, s_suppkey FROM part JOIN supplier
+        |ON p_retailprice BETWEEN s_acctbal - 100 AND s_acctbal + 100
+        |ORDER BY p_partkey, s_suppkey""".stripMargin
+  )
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables => T}
+
+/** Scalar-function surface: date (X1, `Gddp.scala:108-112,125-129`), string
+  * (X2, `Gddp.scala:108,114`), math (X3, `Gddp.scala:30`), JSON (request
+  * parsing, `main.py:21-24`) and array functions (coord arrays §1.4). All are
+  * codegen'd builtins — no UDFs — so they stay inside WholeStageCodegen.
+  */
+object Scalars extends QueryModule {
+
+  /** X1: parse/extract/format/arithmetic on dates. */
+  private def qDatefuncs(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_trunc("month", col("o_orderdate")).as("mstart"),
+        datediff(lit("1996-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_1996"))
+      .orderBy("o_orderkey")
+
+  /** X2: string manipulation. */
+  private def qStrfuncs(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).as("name_len"),
+        concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")).as("tag"),
+        substring(col("c_name"), 1, 8).as("pfx"),
+        lower(col("c_mktsegment")).as("seg"))
+      .orderBy("c_custkey")
+
+  /** X3: math scalar functions (the squared-distance family of `Gddp.scala:30`). */
+  private def qMathfuncs(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .select(col("c_custkey"),
+        round(pow(col("c_acctbal"), 2), 4).as("sq"),
+        round(abs(col("c_acctbal")), 2).as("ab"),
+        round(sqrt(abs(col("c_acctbal"))), 4).as("rt"),
+        round(abs(col("c_acctbal")) % 97.0d, 4).as("md"))
+      .orderBy("c_custkey")
+
+  /** JSON extraction from `events.props` (the engine-side form of the
+    * reference's request-JSON parsing, `main.py:21-24`).
+    */
+  private def qJson(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  private def dsum(c: Column): Column =
+    aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double"))
+
+  /** Array functions over `embeddings.embedding` (float elements are cast to
+    * double before summation so the fold matches the oracle bit-for-bit).
+    */
+  private def qArray(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(dsum(col("embedding")), 4).as("vsum"),
+        round(array_max(col("embedding")).cast("double"), 4).as("vmax"),
+        round(array_min(col("embedding")).cast("double"), 4).as("vmin"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_datefuncs" -> qDatefuncs,
+    "q_strfuncs" -> qStrfuncs,
+    "q_mathfuncs" -> qMathfuncs,
+    "q_json" -> qJson,
+    "q_array" -> qArray
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_datefuncs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dy,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  date_trunc('month', o_orderdate) AS mstart,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS INT) AS days_to_1996
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_strfuncs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS uname,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS tag,
+        |  substr(c_name, 1, 8) AS pfx,
+        |  lower(c_mktsegment) AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_mathfuncs" ->
+      """SELECT c_custkey,
+        |  round(pow(c_acctbal, 2), 4) AS sq,
+        |  round(abs(c_acctbal), 2) AS ab,
+        |  round(sqrt(abs(c_acctbal)), 4) AS rt,
+        |  round(fmod(abs(c_acctbal), 97.0), 4) AS md
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vsum,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}

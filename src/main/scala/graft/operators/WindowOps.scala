@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables => T}
+
+/** Window-function operators (§2B — absent in the reference; the closest
+  * reference shape is the L1 argmin `Gddp.scala:25-38`, generalized here to
+  * ranked/as-of forms).
+  *
+  * Scale notes: each window shuffles once on its partition key and sorts
+  * within partitions; partition keys (customer, user) are high-cardinality so
+  * partitions stay small and AQE handles skew. No windows over an empty
+  * `partitionBy` (a single-partition global sort) are declared.
+  */
+object WindowOps extends QueryModule {
+
+  /** Ranking family over a per-customer frame with deterministic tie-break. */
+  private def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Moving-frame aggregates (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). */
+  private def qWindowFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    T.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("mov3"),
+        round(avg(col("o_totalprice")).over(w), 4).as("mavg3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** As-of lookup: for each purchase event, the latest strictly-prior event of
+    * the same user — the reference's nearest-lookup (L1) generalized to the
+    * time axis. One shuffle on user_id; `lag` avoids the O(n²) self-join.
+    * prior_ts is second-truncated: the source is nanosecond parquet and Spark
+    * (µs) vs DuckDB must agree on the emitted value.
+    */
+  private def qAsof(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        lag(col("event_id"), 1).over(w).as("prior_id"),
+        date_trunc("second", lag(col("ts"), 1).over(w)).as("prior_ts"))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "prior_id", "prior_ts")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank" -> qWindowRank,
+    "q_window_frame" -> qWindowFrame,
+    "q_asof" -> qAsof
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER w, 2) AS mov3,
+        |  round(avg(o_totalprice) OVER w, 4) AS mavg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_asof" ->
+      """SELECT event_id, prior_id, prior_ts FROM (
+        |  SELECT event_id, event_type,
+        |    lag(event_id, 1) OVER w AS prior_id,
+        |    date_trunc('second', lag(ts, 1) OVER w) AS prior_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
+  )
+}
