@@ -13,7 +13,10 @@ object SparkEntry {
     operators.Relational,
     operators.Aggregates,
     operators.WindowOps,
-    operators.Scalars
+    operators.Scalars,
+    text.TextAnalysis,
+    dedup.Dedup,
+    similarity.Similarity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

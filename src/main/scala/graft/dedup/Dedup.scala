@@ -1,0 +1,163 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables => T}
+
+/** Deduplication operators for a training-data pipeline (north-star ops; no
+  * reference implementation — SURVEY.md §2B "Distinct / dedup").
+  *
+  * Scale design: every near-dup path is LSH-style — shingle/bit signatures are
+  * computed per-document with shuffle-free array expressions (no window, no
+  * explode-then-window), candidates come from banded bucket equi-joins (shuffle
+  * on band hash, O(candidates) not O(n²)), and only candidate pairs pay the
+  * exact-verification join. This is the MinHash/SimHash banding construction
+  * from Broder '97 / Charikar '02 as used by every large-scale dedup pipeline.
+  */
+object Dedup extends QueryModule {
+
+  val NumPerms = 32    // minhash permutations
+  val BandRows = 4     // rows per band → 8 bands; candidate if any band matches
+
+  /** Distinct shingle hashes (k consecutive tokens) as a per-doc array —
+    * computed with `transform(sequence(...))` so no shuffle and no explode.
+    * Docs shorter than k tokens fall back to a whole-text hash.
+    */
+  def shingleHashes(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    val hashes = transform(
+      sequence(lit(0), size(toks) - k),
+      i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(size(toks) >= k, hashes).otherwise(array(xxhash64(text))))
+  }
+
+  /** MinHash signature: sig_i = min over shingles of hash_i(shingle), with
+    * hash_i(x) = xxhash64(i, x) as the i-th permutation family.
+    */
+  def minhashSignature(shingles: Column, n: Int = NumPerms): Column =
+    array((0 until n).map(i =>
+      array_min(transform(shingles, sh => xxhash64(lit(i), sh)))): _*)
+
+  /** LSH band hashes: one hash per band of `rows` signature components. */
+  def bandHashes(sig: Column, rows: Int = BandRows, n: Int = NumPerms): Column =
+    array((0 until n / rows).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*).as("bh"))
+    }: _*)
+
+  /** doc_id → (shingles, minhash signature) for a document table. */
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleHashes(col("text")).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles")))
+
+  /** Candidate pairs from LSH banding + exact/estimated Jaccard verification.
+    * Returns (doc1, doc2, est_jaccard, jaccard) for pairs with Jaccard ≥ minJ.
+    */
+  def minhashPairs(docs: DataFrame, minJ: Double = 0.5): DataFrame = {
+    val sigs = signatures(docs)
+    val buckets = sigs.select(col("doc_id"), col("sig"),
+        explode(bandHashes(col("sig"))).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val l = buckets.select(col("band"), col("bh"), col("doc_id").as("doc1"), col("sig").as("sig1"))
+    val r = buckets.select(col("band"), col("bh"), col("doc_id").as("doc2"), col("sig").as("sig2"))
+    val cand = l.join(r, Seq("band", "bh")).filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), col("sig1"), col("sig2")).distinct()
+    // exact Jaccard on shingle sets, only for candidates; estimated Jaccard
+    // (fraction of matching signature components) rides along for free
+    val sh = sigs.select(col("doc_id"), col("shingles"))
+    cand
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / NumPerms, 4))
+      .drop("sig1", "sig2")
+      .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2")), "doc2")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 4))
+      .filter(col("jaccard") >= minJ)
+      .select("doc1", "doc2", "est_jaccard", "jaccard")
+  }
+
+  /** 64-bit SimHash from token hashes (Charikar): bit k of the fingerprint is
+    * the sign of Σ_tokens (±1 by token-hash bit k).
+    */
+  def simhash(text: Column): Column = {
+    val toksH = transform(split(text, " "), t => xxhash64(t))
+    val n = size(toksH)
+    val terms = (0 until 64).map { k =>
+      val cnt = aggregate(toksH, lit(0L), (acc, h) => acc + shiftright(h, k).bitwiseAND(lit(1L)))
+      when(cnt * 2 > n, lit(1L
+        << k)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Hamming-distance candidates via the pigeonhole principle: split the
+    * 64-bit fingerprint into 4 16-bit chunks; any pair within distance ≤ 3
+    * shares at least one exact chunk → equi-join per chunk, verify with
+    * bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val chunks = fp.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"), shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
+      .select(col("doc_id"), col("fp"), col("ch.c").as("c"), col("ch.cv").as("cv"))
+    val l = chunks.select(col("c"), col("cv"), col("doc_id").as("doc1"), col("fp").as("fp1"))
+    val r = chunks.select(col("c"), col("cv"), col("doc_id").as("doc2"), col("fp").as("fp2"))
+    l.join(r, Seq("c", "cv")).filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        bit_count(col("fp1").bitwiseXOR(col("fp2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- declared queries ----
+
+  /** Exact dedup: content-hash groupBy keeping the smallest doc_id — the
+    * canonical "keep one copy" pass.
+    */
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashPairs(T.documents(s, d)).orderBy("doc1", "doc2")
+
+  private def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(T.documents(s, d)).orderBy("doc1", "doc2")
+
+  /** Character n-gram Jaccard on a bounded sample of within-source pairs
+    * (the exact-verification stage of an n-gram dedup; candidate generation
+    * at scale is the minhash banding above).
+    */
+  private def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val grams = expr(
+      "array_distinct(transform(sequence(0, greatest(length(text) - 4, 0)), i -> substr(text, i + 1, 4)))")
+    val sample = T.documents(s, d).filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("source"), grams.as("grams"))
+    val l = sample.select(col("source"), col("doc_id").as("doc1"), col("grams").as("g1"))
+    val r = sample.select(col("source"), col("doc_id").as("doc2"), col("grams").as("g2"))
+    l.join(r, "source").filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        round(size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2"))), 4).as("jaccard"))
+      .orderBy("doc1", "doc2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_ngram_jaccard" -> qNgramJaccard
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+  )
+}
