@@ -16,7 +16,9 @@ object SparkEntry {
     operators.Scalars,
     text.TextAnalysis,
     dedup.Dedup,
-    similarity.Similarity
+    similarity.Similarity,
+    streaming.Streaming,
+    domain.GridQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,239 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.functions.GeoFunctions.point_in_polygon
+
+/** The NetCDF raster domain layer (SURVEY.md §1.4 / Phase 2): the reference's
+  * data model — dense `[time, y, x]` float cubes with lat/lon coordinate
+  * arrays and `_FillValue` NODATA (`Gddp.scala:121-191`) — re-expressed as a
+  * tall relational cell table `(file, variable, ts, y, x, lat, lon, value)`
+  * with NODATA as SQL NULL. Every reference operation then becomes a §2A
+  * relational operator, and partitioning by (file, ts) scales the model to
+  * arbitrarily many files.
+  *
+  * The deterministic synthetic grid below stands in for NetCDF ingest (no
+  * NetCDF-Java in this environment): 2 variables × 8 days × 20×30 cells over
+  * the reference's Five-Lakes-area extent, values closed-form in (t,y,x) so
+  * the DuckDB oracle regenerates the identical table with `range()` — giving
+  * the domain layer full oracle coverage, not just rows-only checks.
+  */
+object GridData {
+  val T = 8; val Y = 20; val X = 30
+  val PerVar: Int = T * Y * X // 4800
+  val N: Int = 2 * PerVar
+
+  /** The reference's checked-in query polygon (`geojson.json:1`, Kawartha
+    * Lakes rectangle), as (lon, lat) pairs.
+    */
+  val kawarthaRing: Seq[(Double, Double)] = Seq(
+    (-79.317877, 44.292647), (-79.317877, 44.489801),
+    (-78.987601, 44.489801), (-78.987601, 44.292647), (-79.317877, 44.292647))
+
+  /** Synthetic cells: a single `spark.range` projection — no shuffle, fully
+    * codegen'd, and partition-parallel like a real multi-file scan.
+    */
+  def cells(s: SparkSession): DataFrame =
+    s.range(N).select(
+      expr(s"id DIV $PerVar").as("v"),
+      expr(s"(id % $PerVar) DIV ${Y * X}").as("t"),
+      expr(s"((id % $PerVar) % ${Y * X}) DIV $X").as("y"),
+      expr(s"id % $X").as("x"))
+      .select(
+        concat(lit("f"), col("v").cast("string"), lit("_"),
+          expr("CAST(t DIV 4 AS STRING)")).as("file"),
+        when(col("v") === 0, "tasmax").otherwise("tasmin").as("variable"),
+        expr("timestampadd(HOUR, CAST(t * 24 AS INT), TIMESTAMP '1990-01-01 00:00:00')")
+          .as("ts"),
+        col("y").cast("int").as("y"), col("x").cast("int").as("x"),
+        (lit(44.0d) + col("y") * 0.05d).as("lat"),
+        (lit(-80.0d) + col("x") * 0.05d).as("lon"),
+        when((col("t") + col("y") + col("x")) % 17 === 0, lit(null))
+          .otherwise(((col("t") * 31 + col("y") * 7 + col("x") * 13 + col("v") * 5) % 100)
+            .cast("double") / 2.0d - 10.0d).as("value"))
+
+  /** DuckDB twin of `cells` for oracle SQL (prefix every domain oracle). */
+  val oracleCells: String =
+    s"""WITH raw AS (
+       |  SELECT CAST(range AS BIGINT) AS id,
+       |         range // $PerVar AS v,
+       |         (range % $PerVar) // ${Y * X} AS t,
+       |         ((range % $PerVar) % ${Y * X}) // $X AS y,
+       |         range % $X AS x
+       |  FROM range($N)),
+       |cells AS (
+       |  SELECT concat('f', v, '_', t // 4) AS file,
+       |         CASE WHEN v = 0 THEN 'tasmax' ELSE 'tasmin' END AS variable,
+       |         TIMESTAMP '1990-01-01 00:00:00' + t * 24 * INTERVAL '1 hour' AS ts,
+       |         CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+       |         44.0 + y * 0.05 AS lat,
+       |         -80.0 + x * 0.05 AS lon,
+       |         CASE WHEN (t + y + x) % 17 = 0 THEN NULL
+       |              ELSE CAST((t * 31 + y * 7 + x * 13 + v * 5) % 100 AS DOUBLE) / 2.0 - 10.0
+       |         END AS value
+       |  FROM raw)
+       |""".stripMargin
+}
+
+/** The reference's end-to-end query surface (`main.py:99-110` →
+  * `Gddp.scala:102-239`): select variables, a date range, and a polygon;
+  * prune files, slice time and space, mask the polygon, and derive quantile
+  * color breaks + per-timestep bin counts for rendering.
+  */
+final case class QueryRequest(
+  variables: Seq[String],
+  start: String, end: String, // inclusive dates, yyyy-MM-dd
+  polygon: Seq[(Double, Double)])
+
+object GridQuery {
+  import GridData._
+
+  /** F1: file-catalog pruning by time-interval overlap (`Gddp.scala:132-138`).
+    * The catalog is metadata-sized (one row per file) — at 100 TB it is the
+    * only full enumeration; cells of pruned files are never scanned.
+    */
+  def catalog(cellsDf: DataFrame): DataFrame =
+    cellsDf.groupBy("file", "variable")
+      .agg(min("ts").as("ts_min"), max("ts").as("ts_max"))
+
+  private def tsStart(req: QueryRequest): Column =
+    lit(req.start + " 00:00:00").cast("timestamp")
+  private def tsEnd(req: QueryRequest): Column =
+    lit(req.end + " 23:59:59").cast("timestamp")
+
+  /** The composed reference query: F1 → P1 → F2 → F3 → F4 (SURVEY.md §2A
+    * "Query-level composition"). The bbox (polygon envelope) predicate goes
+    * first so it can push down to the scan; the exact polygon mask runs as a
+    * codegen'd expression on the survivors.
+    */
+  def select(cellsDf: DataFrame, req: QueryRequest): DataFrame = {
+    val lons = req.polygon.map(_._1); val lats = req.polygon.map(_._2)
+    val keep = catalog(cellsDf)
+      .filter(col("variable").isin(req.variables: _*) &&
+        col("ts_max") >= tsStart(req) && col("ts_min") <= tsEnd(req))
+      .select("file", "variable")
+    cellsDf
+      .join(broadcast(keep), Seq("file", "variable")) // prune: catalog is dim-sized
+      .filter(col("ts").between(tsStart(req), tsEnd(req)))
+      .filter(col("lat").between(lats.min, lats.max) &&
+        col("lon").between(lons.min, lons.max))
+      .filter(point_in_polygon(col("lat"), col("lon"), req.polygon))
+  }
+
+  /** A1: per-variable quantile breaks over the selection (exact form; the
+    * sketch form is percentile_approx — see Aggregates.qQuantileApprox).
+    */
+  def quantileBreaks(sel: DataFrame, probs: Seq[Double]): DataFrame = {
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      round(expr(s"percentile(value, $p)"), 4).as(s"b$i")
+    }
+    sel.groupBy("variable").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** R1: color binning with fixed breaks (value → bin index). */
+  def colorBin(value: Column, lo: Double, step: Double, nbins: Int): Column =
+    least(greatest(floor((value - lo) / step), lit(0L)), lit(nbins - 1L)).cast("int")
+
+  /** Per-timestep bin histogram — the relational form of "render one PNG per
+    * time step" (`Gddp.scala:232-236`): everything up to the pixel write.
+    */
+  def renderPlan(sel: DataFrame, lo: Double, step: Double, nbins: Int): DataFrame =
+    sel.filter(col("value").isNotNull)
+      .groupBy(col("variable"), col("ts"), colorBin(col("value"), lo, step, nbins).as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** L1: nearest grid cell to a (lat, lon) point — argmin of squared
+    * Euclidean distance with the reference's first-index tie-break
+    * (`Gddp.scala:25-38`). Runs on the distinct coord table (dim-sized).
+    */
+  def nearest(cellsDf: DataFrame, lat: Double, lon: Double): DataFrame = {
+    val d2 = pow(col("lat") - lat, 2) + pow(col("lon") - lon, 2)
+    cellsDf.select("y", "x", "lat", "lon").distinct()
+      .select(col("y"), col("x"), col("lat"), col("lon"), round(d2, 6).as("dist2"))
+      .orderBy(d2, col("y"), col("x"))
+      .limit(1)
+  }
+}
+
+/** Declared domain queries with full DuckDB oracles (the generator is
+  * closed-form, so the oracle regenerates the identical grid).
+  */
+object GridQueries extends QueryModule {
+  import GridData._
+
+  private val req = QueryRequest(Seq("tasmax"), "1990-01-03", "1990-01-06", kawarthaRing)
+
+  private def qGridSelect(s: SparkSession, d: String): DataFrame =
+    GridQuery.select(cells(s), req)
+      .select("ts", "y", "x", "lat", "lon", "value")
+      .orderBy("ts", "y", "x")
+
+  private def qGridCatalog(s: SparkSession, d: String): DataFrame =
+    GridQuery.catalog(cells(s))
+      .filter(col("ts_max") >= lit("1990-01-05 00:00:00").cast("timestamp"))
+      .orderBy("file", "variable")
+
+  private def qGridQuantile(s: SparkSession, d: String): DataFrame =
+    GridQuery.quantileBreaks(cells(s), Seq(0.1, 0.5, 0.9)).orderBy("variable")
+
+  private def qGridRender(s: SparkSession, d: String): DataFrame =
+    GridQuery.renderPlan(GridQuery.select(cells(s), req), lo = -10.0, step = 5.0, nbins = 10)
+      .orderBy("variable", "ts", "bin")
+
+  private def qGridNearest(s: SparkSession, d: String): DataFrame =
+    GridQuery.nearest(cells(s), lat = 44.2931, lon = -79.0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grid_select" -> qGridSelect,
+    "q_grid_catalog" -> qGridCatalog,
+    "q_grid_quantile" -> qGridQuantile,
+    "q_grid_render" -> qGridRender,
+    "q_grid_nearest" -> qGridNearest
+  )
+
+  // The polygon is the reference's axis-aligned rectangle, so the mask oracle
+  // is the equivalent bbox predicate (strict interior on the west/south edges
+  // that the ring's even-odd parity excludes is not hit: grid lines fall
+  // strictly inside).
+  private val maskSql =
+    """value IS NOT NULL AND variable = 'tasmax'
+      |  AND ts BETWEEN TIMESTAMP '1990-01-03 00:00:00' AND TIMESTAMP '1990-01-06 23:59:59'
+      |  AND lat > 44.292647 AND lat < 44.489801
+      |  AND lon > -79.317877 AND lon < -78.987601""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_grid_select" -> (oracleCells +
+      """SELECT ts, y, x, lat, lon, value FROM cells
+        |WHERE variable = 'tasmax'
+        |  AND ts BETWEEN TIMESTAMP '1990-01-03 00:00:00' AND TIMESTAMP '1990-01-06 23:59:59'
+        |  AND lat > 44.292647 AND lat < 44.489801
+        |  AND lon > -79.317877 AND lon < -78.987601
+        |ORDER BY ts, y, x""".stripMargin),
+    "q_grid_catalog" -> (oracleCells +
+      """SELECT file, variable, min(ts) AS ts_min, max(ts) AS ts_max
+        |FROM cells GROUP BY file, variable
+        |HAVING max(ts) >= TIMESTAMP '1990-01-05 00:00:00'
+        |ORDER BY file, variable""".stripMargin),
+    "q_grid_quantile" -> (oracleCells +
+      """SELECT variable,
+        |  round(quantile_cont(value, 0.1), 4) AS b0,
+        |  round(quantile_cont(value, 0.5), 4) AS b1,
+        |  round(quantile_cont(value, 0.9), 4) AS b2
+        |FROM cells GROUP BY variable ORDER BY variable""".stripMargin),
+    "q_grid_render" -> (oracleCells +
+      s"""SELECT variable, ts,
+         |  CAST(least(greatest(floor((value + 10.0) / 5.0), 0), 9) AS INT) AS bin,
+         |  count(*) AS n
+         |FROM cells
+         |WHERE $maskSql
+         |GROUP BY variable, ts, bin
+         |ORDER BY variable, ts, bin""".stripMargin),
+    "q_grid_nearest" -> (oracleCells +
+      """SELECT y, x, lat, lon,
+        |  round(pow(lat - 44.2931, 2) + pow(lon - (-79.0), 2), 6) AS dist2
+        |FROM (SELECT DISTINCT y, x, lat, lon FROM cells)
+        |ORDER BY pow(lat - 44.2931, 2) + pow(lon - (-79.0), 2), y, x
+        |LIMIT 1""".stripMargin)
+  )
+}

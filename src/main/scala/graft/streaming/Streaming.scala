@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables => T}
+
+/** Streaming windows (§2B — the reference is strictly batch-per-HTTP-request,
+  * `main.py:106-110`; it has no stream processing at all).
+  *
+  * The declared queries are the batch twins — `window()` / `session_window()`
+  * evaluate identically in batch and streaming, which is what makes them
+  * oracle-checkable — and `eventsStream`/`sessionize` provide the true
+  * Structured Streaming path (file source → watermark → windowed agg /
+  * flatMapGroupsWithState), exercised by ScalaTest.
+  *
+  * Scale notes: tumbling/sliding aggregation is a single shuffle on
+  * (window, key); session windows and the stateful sessionizer shuffle on the
+  * user key; the watermark bounds state so a 100 TB/day stream retains only
+  * the open-window tail per key.
+  */
+object Streaming extends QueryModule {
+
+  /** Tumbling 1-hour windows per event type. */
+  private def qTumble(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2 windows). */
+  private def qSlide(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("n"), col("total"))
+      .orderBy("window_start")
+
+  /** Session windows with a 30-minute gap per user. Timestamps in the output
+    * are second-truncated (ns-source parity, see Tables.events). Boundary
+    * semantics: a gap of exactly 30 minutes starts a new session (Spark merges
+    * only on strict overlap) — the oracle's islands formulation uses `>` to
+    * match, and the synthetic ns-precision data cannot produce exact-boundary
+    * gaps.
+    */
+  private def qSession(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        date_trunc("second", col("w.start")).as("session_start"),
+        date_trunc("second", col("w.end")).as("session_end"),
+        col("n"))
+      .orderBy("user_id", "session_start")
+
+  // ---- true Structured Streaming surface ----
+
+  /** events as a file-source stream (same ns→µs conversion as Tables.events). */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.readStream.schema(schema).parquet(s"$d/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Streaming tumbling aggregation with a 10-minute watermark: late events
+    * beyond the watermark are dropped; state for closed windows is evicted.
+    */
+  def windowedCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * hand-rolled twin of `session_window` demonstrating arbitrary per-key
+    * state (gap timeout = 30 min, emits a session when a new event breaks it).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st == null) st = SessionState(t, t, 1)
+            else if (t - st.last > gapMs) {
+              out += UserSession(userId, new java.sql.Timestamp(st.start),
+                new java.sql.Timestamp(st.last + gapMs), st.n.toLong)
+              st = SessionState(t, t, 1)
+            } else st = SessionState(st.start, t, st.n + 1)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumble" -> qTumble,
+    "q_slide" -> qSlide,
+    "q_session" -> qSession
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tumble" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // each event belongs to exactly 2 hour-long windows sliding by 30 min:
+    // time_bucket(30 min) and the one 30 min earlier (origins align: both
+    // Spark's epoch and DuckDB's 2000-01-03 are multiples of 30 min)
+    "q_slide" ->
+      """SELECT ws AS window_start, count(*) AS n, round(sum(value), 2) AS total
+        |FROM (SELECT value,
+        |        unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+        |      FROM events)
+        |GROUP BY ws ORDER BY window_start""".stripMargin,
+    // gaps-and-islands twin of session_window(gap = 30 min)
+    "q_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  date_trunc('second', min(ts)) AS session_start,
+        |  date_trunc('second', max(ts) + INTERVAL '30 minutes') AS session_end,
+        |  count(*) AS n
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}
