@@ -18,7 +18,8 @@ object SparkEntry {
     dedup.Dedup,
     similarity.Similarity,
     streaming.Streaming,
-    domain.GridQueries
+    domain.GridQueries,
+    multimodal.Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
