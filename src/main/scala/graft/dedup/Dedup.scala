@@ -17,7 +17,10 @@ import graft.{QueryModule, Tables => T}
 object Dedup extends QueryModule {
 
   val NumPerms = 32    // minhash permutations
-  val BandRows = 4     // rows per band → 8 bands; candidate if any band matches
+  // 2 rows × 16 bands: candidate threshold (1/16)^(1/2) = 0.25 — pairs with
+  // Jaccard ≥ 0.5 are caught with ≥ 99.8% probability (1-(1-j²)^16); the
+  // extra candidates are cheap because verification joins only candidates
+  val BandRows = 2
 
   /** Distinct shingle hashes (k consecutive tokens) as a per-doc array —
     * computed with `transform(sequence(...))` so no shuffle and no explode.

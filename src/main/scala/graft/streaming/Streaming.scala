@@ -64,7 +64,8 @@ object Streaming extends QueryModule {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    s.readStream.schema(schema).parquet(s"$d/events.parquet")
+    // file-stream sources take a directory; select the events file by glob
+    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  // near-dup: one word changed; distinct: different text entirely
+  private val nearDup = "the quick brown fox jumps over the lazy cat and runs far away today"
+  private val other = "completely different content with no overlap whatsoever in any token here at all"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, other), (4L, base)
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds the near-duplicate pair and skips the unrelated doc") {
+    val pairs = Dedup.minhashPairs(docs, minJ = 0.4)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair missed")
+    assert(pairs.contains((1L, 4L)), "exact-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc flagged")
+  }
+
+  test("minhash exact jaccard is 1.0 for identical docs") {
+    val j = Dedup.minhashPairs(docs, minJ = 0.4)
+      .filter(col("doc1") === 1L && col("doc2") === 4L)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash hamming distance: identical 0, near-dup small, unrelated large") {
+    val fps = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(4L))
+    val near = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    val far = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(near < far, s"near=$near far=$far")
+    val pairs = Dedup.simhashPairs(docs, maxDist = 8)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("shingle hashes are set-semantic (duplicates collapse)") {
+    val n = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+      .select(size(Dedup.shingleHashes(col("text"))).as("n")).as[Int].head()
+    // shingles of 'a b c' repeated: only 3 distinct 3-token shingles exist
+    assert(n == 3)
+  }
+
+  test("short documents fall back to whole-text hash") {
+    val n = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(size(Dedup.shingleHashes(col("text"))).as("n")).as[Int].head()
+    assert(n == 1)
+  }
+
+  test("signature length and band count are as configured") {
+    val sig = Dedup.signatures(docs).select("sig").head().getSeq[Long](0)
+    assert(sig.length == Dedup.NumPerms)
+  }
+}

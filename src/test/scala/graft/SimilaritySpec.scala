@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("brute-force top-k is ordered by similarity desc") {
+    val top = Similarity.cosineTopK(Tables.embeddings(spark, TestSpark.sf), 1L, 10)
+      .select("sim").as[Double].collect()
+    assert(top.length == 10)
+    assert(top.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("LSH top-k hits are a subset of a deep exact ranking with decent recall") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val exactTop = Similarity.cosineTopK(emb, 1L, 50)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.cosineTopKLsh(emb, 1L, 10)
+      .select("vec_id").as[Long].collect()
+    assert(lsh.nonEmpty, "LSH probe found no candidates")
+    // every LSH hit must be a genuinely similar vector (graded vs exact top-50)
+    val recall = lsh.count(exactTop.contains).toDouble / lsh.length
+    assert(recall >= 0.2, s"recall $recall too low for hamming-1 multiprobe")
+  }
+
+  test("a planted near-duplicate is found by the bucketed near-dup join") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val v = emb.head._2.toArray
+    val dup = v.clone(); dup(0) = dup(0) + 1e-4f // near-identical
+    val planted = (emb.toSeq :+ (9999L, dup.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(planted, minCos = 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((emb.head._1, 9999L)))
+  }
+
+  test("LSH bucket is stable and within range") {
+    val b = Tables.embeddings(spark, TestSpark.sf)
+      .select(Similarity.lshBucket(col("embedding")).as("b")).as[Int].collect()
+    assert(b.forall(x => x >= 0 && x < (1 << Similarity.NumPlanes)))
+  }
+}

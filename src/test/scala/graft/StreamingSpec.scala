@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streaming
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming windowed counts equal the batch twin (file source, availableNow)") {
+    val stream = Streaming.eventsStream(spark, TestSpark.sf)
+    assert(stream.isStreaming)
+    val q = Streaming.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // append mode only emits windows the watermark has passed; compare those
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed.subsetOf(batch), "streamed windows disagree with batch twin")
+    assert(streamed.nonEmpty, "watermark emitted no closed windows")
+  }
+
+  test("late events beyond the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("k"), col("n"))
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    mem.addData((t("2024-01-01 10:00:00"), "a"), (t("2024-01-01 10:05:00"), "a"))
+    q.processAllAvailable()
+    // advance event time far ahead -> watermark passes the first window
+    mem.addData((t("2024-01-01 11:00:00"), "b"))
+    q.processAllAvailable()
+    // this event is an hour behind the watermark: must be dropped
+    mem.addData((t("2024-01-01 10:01:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_out").as[(java.sql.Timestamp, String, Long)].collect()
+    val firstWindow = out.filter(r => r._1 == t("2024-01-01 10:00:00") && r._2 == "a")
+    assert(firstWindow.map(_._3).sum == 2, s"late event leaked into closed window: ${out.mkString(",")}")
+  }
+
+  test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
+    val events = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "ts", "user_id").as[Streaming.Event]
+    // compare at second precision: the sessionizer keeps ms timestamps while
+    // session_window keeps µs (grouping is unaffected — the gap is 30 min)
+    val custom = Streaming.sessionize(events)
+      .select(col("user_id"), date_trunc("second", col("session_start")).as("s"),
+        col("n_events"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val builtin = Tables.events(spark, TestSpark.sf)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), date_trunc("second", col("w.start")).as("s"), col("n"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    // the custom sessionizer holds the final (still-open) session per user in
+    // state, so its output is the closed sessions — a strict subset
+    assert(custom.subsetOf(builtin), "custom sessions disagree with session_window")
+    assert(custom.nonEmpty)
+  }
+}
