@@ -24,18 +24,28 @@ object Dedup extends QueryModule {
 
   /** Distinct shingle hashes (k consecutive tokens) as a per-doc array —
     * computed with `transform(sequence(...))` so no shuffle and no explode.
-    * Docs shorter than k tokens fall back to a whole-text hash.
+    * Docs shorter than k tokens fall back to a whole-token-list hash.
+    *
+    * IMPORTANT: `toks` must be a bound column (projected beforehand), not an
+    * inline `split(...)` — expressions captured inside a lambda are
+    * re-evaluated per element, so an inline split would re-tokenize the whole
+    * document for every shingle (O(len²) per doc; measured 5× slower at sf0.1).
     */
-  def shingleHashes(text: Column, k: Int = 3): Column = {
-    val toks = split(text, " ")
+  def shingleHashesOfTokens(toks: Column, k: Int = 3): Column = {
     val hashes = transform(
       sequence(lit(0), size(toks) - k),
       i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*))
-    array_distinct(when(size(toks) >= k, hashes).otherwise(array(xxhash64(text))))
+    array_distinct(when(size(toks) >= k, hashes).otherwise(array(xxhash64(toks))))
   }
 
-  /** MinHash signature: sig_i = min over shingles of hash_i(shingle), with
-    * hash_i(x) = xxhash64(i, x) as the i-th permutation family.
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    shingleHashesOfTokens(split(text, " "), k)
+
+  /** MinHash signature as a Column (reference form): sig_i = min over
+    * shingles of hash_i(shingle), hash_i(x) = xxhash64(i, x). The batch path
+    * uses `signatures` below — explode + one hash aggregate — because n
+    * array-traversal lambdas over an unmaterialized shingle column re-derive
+    * the shingles n times.
     */
   def minhashSignature(shingles: Column, n: Int = NumPerms): Column =
     array((0 until n).map(i =>
@@ -48,33 +58,51 @@ object Dedup extends QueryModule {
         xxhash64((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*).as("bh"))
     }: _*)
 
-  /** doc_id → (shingles, minhash signature) for a document table. */
-  def signatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingleHashes(col("text")).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles")))
+  /** doc_id → (shingles, minhash signature): explode shingles once, then a
+    * single hash aggregate computes all NumPerms mins (map-side partial
+    * combine — the shuffle carries one row per doc, not per shingle) plus the
+    * shingle set for exact verification. One pass over the data total.
+    */
+  def signatures(docs: DataFrame): DataFrame = {
+    // two-step projection: tokens land in a bound column so the shingle
+    // lambda does O(1) element_at lookups (CollapseProject keeps the split
+    // un-inlined because it is non-cheap and multiply-referenced)
+    val exploded = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(shingleHashesOfTokens(col("toks"))).as("sh"))
+    val minAggs = (0 until NumPerms).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    exploded.groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("shingles"), minAggs: _*)
+      .select(col("doc_id"), col("shingles"),
+        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** Candidate pairs from LSH banding + exact/estimated Jaccard verification.
     * Returns (doc1, doc2, est_jaccard, jaccard) for pairs with Jaccard ≥ minJ.
     */
   def minhashPairs(docs: DataFrame, minJ: Double = 0.5): DataFrame = {
+    // the signature table is consumed three times (two bucket sides + the
+    // verification join) — persist it once: it is doc-count-sized (one row
+    // per doc), not corpus-sized, the same cache decision as the reference's
+    // result persist (`Gddp.scala:240`)
     val sigs = signatures(docs)
-    val buckets = sigs.select(col("doc_id"), col("sig"),
-        explode(bandHashes(col("sig"))).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val l = buckets.select(col("band"), col("bh"), col("doc_id").as("doc1"), col("sig").as("sig1"))
-    val r = buckets.select(col("band"), col("bh"), col("doc_id").as("doc2"), col("sig").as("sig2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sigs.select(col("doc_id"), explode(bandHashes(col("sig"))).as("b"))
+      .select(col("b.band").as("band"), col("b.bh").as("bh"), col("doc_id"))
+    val l = buckets.select(col("band"), col("bh"), col("doc_id").as("doc1"))
+    val r = buckets.select(col("band"), col("bh"), col("doc_id").as("doc2"))
     val cand = l.join(r, Seq("band", "bh")).filter(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"), col("sig1"), col("sig2")).distinct()
-    // exact Jaccard on shingle sets, only for candidates; estimated Jaccard
-    // (fraction of matching signature components) rides along for free
-    val sh = sigs.select(col("doc_id"), col("shingles"))
+      .select("doc1", "doc2").distinct()
     cand
+      .join(sigs.select(col("doc_id").as("doc1"), col("shingles").as("sh1"),
+        col("sig").as("sig1")), "doc1")
+      .join(sigs.select(col("doc_id").as("doc2"), col("shingles").as("sh2"),
+        col("sig").as("sig2")), "doc2")
+      // estimated Jaccard = fraction of matching signature components
       .withColumn("est_jaccard", round(
         aggregate(zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / NumPerms, 4))
-      .drop("sig1", "sig2")
-      .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2")), "doc2")
+      // exact Jaccard on shingle sets, only for candidates
       .withColumn("jaccard", round(
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))), 4))
@@ -101,8 +129,22 @@ object Dedup extends QueryModule {
     * shares at least one exact chunk → equi-join per chunk, verify with
     * bit_count(xor).
     */
+  /** Batch SimHash: explode tokens once, one hash aggregate computes all 64
+    * bit-counters (vs 64 re-tokenizing array folds for the Column form).
+    */
+  def simhashTable(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val cntAggs = (0 until 64).map(k =>
+      sum(shiftright(col("h"), k).bitwiseAND(lit(1L))).as(s"c$k"))
+    val counts = tok.groupBy("doc_id").agg(count(lit(1)).as("n"), cntAggs: _*)
+    val fp = (0 until 64).map(k =>
+      when(col(s"c$k") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+    counts.select(col("doc_id"), fp.as("fp"))
+  }
+
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val fp = simhashTable(docs)
     val chunks = fp.select(col("doc_id"), col("fp"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("c"), shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
