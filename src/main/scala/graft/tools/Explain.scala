@@ -1,0 +1,19 @@
+package graft.tools
+/** Dev tool: dump formatted plans for plan-quality review (pushdown,
+  * broadcast choice, codegen spans). Not part of the driver contract.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4").config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q1_pricing", "q_join_inner", "q_bbox", "q_cosine_topk", "q_topk")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      println(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
