@@ -126,8 +126,21 @@ object Aggregates extends QueryModule {
       .orderBy("bin")
   }
 
+  /** A1 (faithful sketch): the reference's exact break computation —
+    * Ben-Haim/Tom-Yossef streaming histogram (`Gddp.scala:230-232`) as a
+    * typed Aggregator/UDAF. No oracle (sketch output is approximation-
+    * specific); accuracy vs exact percentile is asserted in ScalaTest.
+    */
+  private def qHistSketch(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(graft.functions.StreamingHistogram
+        .quantile_breaks(col("l_quantity"), numBreaks = 4).as("breaks"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing,
+    "q_hist_sketch" -> qHistSketch,
     "q_minmax" -> qMinmax,
     "q_pergroup" -> qPergroup,
     "q_agg_hash" -> qAggHash,

@@ -103,8 +103,26 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** tf·idf: term frequency per (doc, token) × ln(N / doc-frequency). Two
+    * aggregations (both map-side combined) + a broadcast of the token→df dim
+    * and the scalar N — no O(docs × vocab) blowup.
+    */
+  private def qTfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tokens" -> qTokens,
+    "q_tfidf" -> qTfidf,
     "q_text_quality" -> qTextQuality,
     "q_token_count" -> qTokenCount,
     "q_token_count_bpe" -> qTokenCountBpe,
@@ -113,6 +131,16 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.token,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |FROM tf JOIN df ON tf.token = df.token, n
+        |ORDER BY tfidf DESC, tf.doc_id, tf.token LIMIT 200""".stripMargin,
     "q_tokens" ->
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.functions.StreamingHistogram
+import graft.functions.StreamingHistogram.Hist
+
+class HistogramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("histogram with enough bins reproduces exact quantiles on small data") {
+    val h = (1 to 50).map(_.toDouble)
+      .foldLeft(Hist(Vector.empty, 64))(_.add(_))
+    assert(h.bins.length == 50) // no compression below cap
+    assert(math.abs(h.quantile(0.5) - 25.5) <= 1.0)
+  }
+
+  test("compression keeps bin cap and total count") {
+    val vals = Gen.listOfN(500, Gen.choose(0.0, 100.0)).sample.get
+    val h = vals.foldLeft(Hist(Vector.empty, 32))(_.add(_))
+    assert(h.bins.length <= 32)
+    assert(h.totalCount == 500)
+  }
+
+  test("merge is count-preserving and order-insensitive in total") {
+    val (a, b) = (1 to 200).map(_.toDouble).splitAt(120)
+    val ha = a.foldLeft(Hist(Vector.empty, 32))(_.add(_))
+    val hb = b.foldLeft(Hist(Vector.empty, 32))(_.add(_))
+    val m1 = ha.merge(hb); val m2 = hb.merge(ha)
+    assert(m1.totalCount == 200 && m2.totalCount == 200)
+    assert(math.abs(m1.quantile(0.5) - m2.quantile(0.5)) < 5.0)
+  }
+
+  test("sketch breaks track exact percentiles on lineitem quantity") {
+    val rows = graft.operators.Aggregates.queries("q_hist_sketch")(spark, TestSpark.sf)
+      .select("l_returnflag", "breaks").as[(String, Seq[Double])].collect()
+    val exact = Tables.lineitem(spark, TestSpark.sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, breaks) =>
+      assert(breaks.length == 3)
+      val (p25, p50, p75) = exact(flag)
+      // quantities span 1..50; sketch with 64 bins should land within ~2 units
+      assert(math.abs(breaks(0) - p25) <= 2.5, s"$flag p25 ${breaks(0)} vs $p25")
+      assert(math.abs(breaks(1) - p50) <= 2.5, s"$flag p50 ${breaks(1)} vs $p50")
+      assert(math.abs(breaks(2) - p75) <= 2.5, s"$flag p75 ${breaks(2)} vs $p75")
+    }
+  }
+}
