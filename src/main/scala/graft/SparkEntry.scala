@@ -19,7 +19,8 @@ object SparkEntry {
     similarity.Similarity,
     streaming.Streaming,
     domain.GridQueries,
-    multimodal.Multimodal
+    multimodal.Multimodal,
+    sources.SourceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

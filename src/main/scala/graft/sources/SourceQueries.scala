@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.domain.GridData
+
+/** Declared queries over the DSv2 grid connector. The oracle regenerates the
+  * same closed-form grid, so these verify that pushdown/pruning do not change
+  * results — the section read must be invisible to semantics.
+  */
+object SourceQueries extends QueryModule {
+
+  def gridTable(s: SparkSession): DataFrame =
+    s.read.format(classOf[GridSource].getName).load()
+
+  /** Hyperslab via pushdown: variable + time + index-range predicates all land
+    * in the source's Section; Spark plans only the 4 surviving partitions.
+    */
+  private def qDsv2Select(s: SparkSession, d: String): DataFrame =
+    gridTable(s)
+      .filter(col("variable") === "tasmax" &&
+        col("ts").between(lit("1990-01-03 00:00:00").cast("timestamp"),
+          lit("1990-01-06 23:59:59").cast("timestamp")) &&
+        col("y").between(5, 15) && col("x").between(10, 25))
+      .select("ts", "y", "x", "lat", "lon", "value")
+      .orderBy("ts", "y", "x")
+
+  /** Aggregate over the pushed-down slice (only the slice is generated). */
+  private def qDsv2Agg(s: SparkSession, d: String): DataFrame =
+    gridTable(s)
+      .filter(col("variable") === "tasmin" && col("y") < 10)
+      .groupBy("ts")
+      .agg(count(col("value")).as("n_obs"), round(avg("value"), 4).as("mean_v"))
+      .orderBy("ts")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsv2_select" -> qDsv2Select,
+    "q_dsv2_agg" -> qDsv2Agg
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dsv2_select" -> (GridData.oracleCells +
+      """SELECT ts, y, x, lat, lon, value FROM cells
+        |WHERE variable = 'tasmax'
+        |  AND ts BETWEEN TIMESTAMP '1990-01-03 00:00:00' AND TIMESTAMP '1990-01-06 23:59:59'
+        |  AND y BETWEEN 5 AND 15 AND x BETWEEN 10 AND 25
+        |ORDER BY ts, y, x""".stripMargin),
+    "q_dsv2_agg" -> (GridData.oracleCells +
+      """SELECT ts, count(value) AS n_obs, round(avg(value), 4) AS mean_v
+        |FROM cells WHERE variable = 'tasmin' AND y < 10
+        |GROUP BY ts ORDER BY ts""".stripMargin)
+  )
+}
