@@ -1,0 +1,61 @@
+package graft.render
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.domain.GridQuery
+
+/** Raster render sink: bin cell values with fixed breaks and write one PNG
+  * per (variable, timestep) — the reference's output contract
+  * (`gddp<variable><dates>.png`, `Gddp.scala:236`, `main.py:114-127`).
+  *
+  * Scale shape: cells are repartitioned by (variable, ts) and the PNGs are
+  * written from `foreachPartition` on the executors (the reference also wrote
+  * from the task, `Gddp.scala:234-236`) — the driver never materializes pixel
+  * data. One image's cells always land in one partition; images are bounded
+  * (one raster tile), tasks scale with the number of timesteps.
+  */
+object RenderSink {
+
+  /** Blue→red ramp, nbins entries (the reference's `ColorRamps.BlueToRed`). */
+  def blueToRed(nbins: Int): Array[Int] =
+    Array.tabulate(nbins) { i =>
+      val f = if (nbins == 1) 0.0 else i.toDouble / (nbins - 1)
+      val r = (255 * f).toInt
+      val b = (255 * (1 - f)).toInt
+      val g = (96 * (1 - math.abs(2 * f - 1))).toInt
+      (r << 16) | (g << 8) | b
+    }
+
+  val Nodata: Int = 0x202020 // dark gray for NULL cells
+
+  /** Writes `<outDir>/grid_<variable>_<yyyy-MM-dd>.png` per timestep.
+    * `sel` needs columns (variable, ts, y, x, value); grid dims are taken
+    * from the y/x extent of each image's own cells.
+    */
+  def writePngs(sel: DataFrame, outDir: String, lo: Double, step: Double, nbins: Int): Unit = {
+    new java.io.File(outDir).mkdirs()
+    val ramp = blueToRed(nbins)
+    sel
+      .select(col("variable"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("y"), col("x"),
+        when(col("value").isNull, lit(-1))
+          .otherwise(GridQuery.colorBin(col("value"), lo, step, nbins)).as("bin"))
+      .repartition(col("variable"), col("day"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        rows.toSeq.groupBy(r => (r.getString(0), r.getString(1))).foreach {
+          case ((variable, day), cells) =>
+            val ys = cells.map(_.getInt(2)); val xs = cells.map(_.getInt(3))
+            val (y0, y1) = (ys.min, ys.max); val (x0, x1) = (xs.min, xs.max)
+            val w = x1 - x0 + 1; val h = y1 - y0 + 1
+            val px = Array.fill(w * h)(Nodata)
+            cells.foreach { r =>
+              val bin = r.getInt(4)
+              // row 0 at the top = northmost latitude (flip y)
+              px((y1 - r.getInt(2)) * w + (r.getInt(3) - x0)) =
+                if (bin < 0) Nodata else ramp(bin)
+            }
+            Png.write(s"$outDir/grid_${variable}_$day.png", w, h, px)
+        }
+      }
+  }
+}
