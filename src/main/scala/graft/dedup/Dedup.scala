@@ -196,6 +196,8 @@ object Dedup extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
+    // SURVEY §2B's declared name for near-dup dedup — the MinHash pipeline
+    "q_dedup_near" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_ngram_jaccard" -> qNgramJaccard
   )

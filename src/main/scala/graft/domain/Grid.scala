@@ -184,7 +184,25 @@ object GridQueries extends QueryModule {
   private def qGridNearest(s: SparkSession, d: String): DataFrame =
     GridQuery.nearest(cells(s), lat = 44.2931, lon = -79.0)
 
+  /** F4 proper: a genuinely non-convex polygon mask (L-shaped cut of the
+    * grid extent) through the ray-casting expression — not reducible to a
+    * bbox, so declared without oracle (correctness vs brute force is in
+    * GeoSpec); the rectangle-equivalent oracle check is q_grid_select.
+    */
+  private val lRing: Seq[(Double, Double)] = Seq(
+    (-80.0, 44.0), (-78.8, 44.0), (-78.8, 44.5), (-79.4, 44.5),
+    (-79.4, 44.95), (-80.0, 44.95), (-80.0, 44.0))
+
+  private def qPolygon(s: SparkSession, d: String): DataFrame =
+    cells(s)
+      .filter(col("variable") === "tasmax" &&
+        graft.functions.GeoFunctions.point_in_polygon(col("lat"), col("lon"), lRing))
+      .groupBy("ts")
+      .agg(count(lit(1)).as("n_cells"), round(avg("value"), 4).as("mean_v"))
+      .orderBy("ts")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_polygon" -> qPolygon,
     "q_grid_select" -> qGridSelect,
     "q_grid_catalog" -> qGridCatalog,
     "q_grid_quantile" -> qGridQuantile,
