@@ -138,9 +138,21 @@ object Aggregates extends QueryModule {
         .quantile_breaks(col("l_quantity"), numBreaks = 4).as("breaks"))
       .orderBy("l_returnflag")
 
+  /** HLL approximate distinct count — the scale path for count_distinct at
+    * extreme cardinality (mergeable sketch, no exact-distinct shuffle).
+    * No oracle: sketch estimates are implementation-specific.
+    */
+  private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing,
     "q_hist_sketch" -> qHistSketch,
+    "q_approx_distinct" -> qApproxDistinct,
     "q_minmax" -> qMinmax,
     "q_pergroup" -> qPergroup,
     "q_agg_hash" -> qAggHash,

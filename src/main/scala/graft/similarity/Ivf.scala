@@ -1,0 +1,71 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosine_sim
+
+/** IVF (inverted-file) ANN: Lloyd's k-means coarse quantizer + probe the
+  * nearest `nprobe` cells — the second scale path next to sign-LSH
+  * (Similarity). The centroid set is metadata-sized, so training iterations
+  * collect only k×dim doubles to the driver (like the reference's coord
+  * arrays, never cell data); assignment/search are single codegen'd scans.
+  */
+object Ivf {
+
+  private def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+
+  /** struct(dist, cid) argmin over the centroid list via `least`. */
+  private def nearestCentroid(v: Column, cents: Seq[Array[Double]]): Column =
+    least(cents.zipWithIndex.map { case (c, i) =>
+      struct((lit(1.0d) - cosine_sim(v, centroidLit(c))).as("d"), lit(i).as("cid"))
+    }: _*).getField("cid")
+
+  /** Deterministic k-means: init = first k vectors by vec_id, `iters` Lloyd
+    * rounds; each round is one distributed assignment + one aggregation
+    * (posexplode → per-(cid, dim) mean), collecting only the k centroids.
+    */
+  def train(emb: DataFrame, k: Int, iters: Int): Seq[Array[Double]] = {
+    var cents: Seq[Array[Double]] = emb.orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = emb.select(col("embedding"),
+        nearestCentroid(col("embedding"), cents).as("cid"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim").agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("cid").agg(map_from_arrays(collect_list("dim"), collect_list("m")).as("dims"))
+        .collect()
+      val dim = cents.head.length
+      val updated = means.map { r =>
+        val m = r.getMap[Int, Double](1)
+        r.getInt(0) -> Array.tabulate(dim)(d => m.getOrElse(d, 0.0))
+      }.toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Search: find the query's `nprobe` closest centroids, scan only vectors
+    * assigned to those cells (|data|·nprobe/k of the corpus), exact cosine on
+    * the survivors.
+    */
+  def topK(emb: DataFrame, cents: Seq[Array[Double]], queryId: Long, k: Int,
+      nprobe: Int): DataFrame = {
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      nearestCentroid(col("embedding"), cents).as("cid"))
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe")).head().getSeq[Float](0)
+    val probeCids = cents.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(q).map { case (a, b) => a * b.toDouble }.sum
+      val sim = dot / (math.sqrt(c.map(x => x * x).sum) * math.sqrt(q.map(x => x.toDouble * x).sum))
+      (1.0 - sim, i)
+    }.sorted.take(nprobe).map(_._2)
+    assigned
+      .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(cosine_sim(col("embedding"), lit(q.toArray)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

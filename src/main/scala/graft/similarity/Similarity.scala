@@ -91,9 +91,17 @@ object Similarity extends QueryModule {
     embeddingNearDups(T.embeddings(s, d), minCos = 0.0)
       .orderBy(col("cos").desc, col("id1"), col("id2")).limit(50)
 
+  /** IVF path (no oracle — approximate): k-means coarse cells, probe 2. */
+  private def qCosineIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val cents = Ivf.train(emb, k = 16, iters = 2)
+    Ivf.topK(emb, cents, queryId = 1L, k = 20, nprobe = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_lsh" -> qCosineLsh,
+    "q_cosine_ivf" -> qCosineIvf,
     "q_embed_neardup" -> qEmbedNearDup
   )
 
