@@ -92,6 +92,21 @@ object Aggregates extends QueryModule {
         col("total"), col("n"))
       .orderBy("rf", "ls")
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): totals by (rf, ls), by rf
+    * alone, and grand total — Spark 4's Dataset.groupingSets API.
+    */
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_extendedprice"), 2).as("total"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("total"), col("n"))
+      .orderBy("rf", "ls")
+
   /** A1 (exact twin): per-group quartiles via exact `percentile` — linear
     * interpolation matches DuckDB `quantile_cont`.
     */
@@ -158,6 +173,7 @@ object Aggregates extends QueryModule {
     "q_agg_hash" -> qAggHash,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
     "q_quantile" -> qQuantile,
     "q_quantile_approx" -> qQuantileApprox,
     "q_colorbin" -> qColorbin
@@ -202,6 +218,12 @@ object Aggregates extends QueryModule {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |  round(sum(l_extendedprice), 2) AS total, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_extendedprice), 2) AS total, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY rf, ls""".stripMargin,
     "q_quantile" ->
       """SELECT l_returnflag,

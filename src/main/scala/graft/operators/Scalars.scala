@@ -69,7 +69,16 @@ object Scalars extends QueryModule {
         round(array_min(col("embedding")).cast("double"), 4).as("vmin"))
       .orderBy("vec_id")
 
+  /** array_contains as a predicate over tokenized text. */
+  private def qArrayContains(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .groupBy("source")
+      .agg(sum(when(array_contains(split(col("text"), " "), "spark"), 1).otherwise(0))
+        .as("docs_with_spark"), count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_contains" -> qArrayContains,
     "q_datefuncs" -> qDatefuncs,
     "q_strfuncs" -> qStrfuncs,
     "q_mathfuncs" -> qMathfuncs,
@@ -78,6 +87,12 @@ object Scalars extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_array_contains" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_spark,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_datefuncs" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INT) AS yr,
