@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §5.3 property-based checks. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("window-frame moving sums equal a naive recompute") {
+    val rows = Tables.orders(spark, TestSpark.sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .as[(Long, Long, Double)].collect()
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderkey")).rowsBetween(-2, Window.currentRow)
+    val got = Tables.orders(spark, TestSpark.sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice")).over(w).as("mov3"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rows.groupBy(_._1).foreach { case (_, orders) =>
+      val sorted = orders.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((ck, ok, _), i) =>
+        val naive = sorted.slice(math.max(0, i - 2), i + 1).map(_._3).sum
+        assert(math.abs(got((ck, ok)) - naive) < 1e-6, s"cust $ck order $ok")
+      }
+    }
+  }
+
+  test("filtered scans are contained in the unfiltered scan") {
+    val bounds = Gen.listOfN(8, for {
+      lo <- Gen.choose(1.0, 40.0); w <- Gen.choose(1.0, 15.0)
+    } yield (lo, lo + w)).sample.get
+    val all = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .as[(Long, Int, Double)].collect().toSet
+    bounds.foreach { case (lo, hi) =>
+      val sub = Tables.lineitem(spark, TestSpark.sf)
+        .filter(col("l_quantity").between(lo, hi))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .as[(Long, Int, Double)].collect().toSet
+      assert(sub.subsetOf(all))
+      assert(sub.forall { case (_, _, q) => q >= lo && q <= hi })
+      // complement check: nothing in range was dropped
+      assert(all.count { case (_, _, q) => q >= lo && q <= hi } == sub.size)
+    }
+  }
+
+  test("set-op algebra: (A intersect B) + (A except B) partitions distinct A") {
+    val a = Tables.orders(spark, TestSpark.sf).select(col("o_orderkey"))
+    val b = Tables.lineitem(spark, TestSpark.sf).filter(col("l_quantity") > 25)
+      .select(col("l_orderkey").as("o_orderkey"))
+    val inter = a.intersect(b).count()
+    val exc = a.except(b).count()
+    assert(inter + exc == a.distinct().count())
+  }
+
+  test("rollup counts are consistent: grand total equals sum of leaves") {
+    val rows = SparkEntry.queries("q_rollup")(spark, TestSpark.sf)
+      .as[(String, String, Double, Long)].collect()
+    val leaves = rows.filter(r => r._1 != "ALL" && r._2 != "ALL").map(_._4).sum
+    val grand = rows.find(r => r._1 == "ALL" && r._2 == "ALL").get._4
+    assert(leaves == grand)
+  }
+}
