@@ -111,37 +111,25 @@ object Dedup extends QueryModule {
   }
 
   /** 64-bit SimHash from token hashes (Charikar): bit k of the fingerprint is
-    * the sign of Σ_tokens (±1 by token-hash bit k).
+    * the sign of Σ_tokens (±1 by token-hash bit k). One codegen'd single-pass
+    * expression (`SimHash64`) — a pure scalar map, so the fingerprint stage is
+    * shuffle-free. (Round 1 computed this as a 65-column hash aggregate over
+    * exploded tokens: 14.7 s of the sf0.1 bench; the expression form is a
+    * plain scan.)
     */
-  def simhash(text: Column): Column = {
-    val toksH = transform(split(text, " "), t => xxhash64(t))
-    val n = size(toksH)
-    val terms = (0 until 64).map { k =>
-      val cnt = aggregate(toksH, lit(0L), (acc, h) => acc + shiftright(h, k).bitwiseAND(lit(1L)))
-      when(cnt * 2 > n, lit(1L
-        << k)).otherwise(lit(0L))
-    }
-    terms.reduce(_ + _)
-  }
+  def simhash(text: Column): Column =
+    graft.functions.SimHashFunctions.simhash64(
+      transform(split(text, " "), t => xxhash64(t)))
+
+  /** doc_id → fingerprint; no explode, no aggregation, no shuffle. */
+  def simhashTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash(col("text")).as("fp"))
 
   /** Hamming-distance candidates via the pigeonhole principle: split the
     * 64-bit fingerprint into 4 16-bit chunks; any pair within distance ≤ 3
     * shares at least one exact chunk → equi-join per chunk, verify with
     * bit_count(xor).
     */
-  /** Batch SimHash: explode tokens once, one hash aggregate computes all 64
-    * bit-counters (vs 64 re-tokenizing array folds for the Column form).
-    */
-  def simhashTable(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val cntAggs = (0 until 64).map(k =>
-      sum(shiftright(col("h"), k).bitwiseAND(lit(1L))).as(s"c$k"))
-    val counts = tok.groupBy("doc_id").agg(count(lit(1)).as("n"), cntAggs: _*)
-    val fp = (0 until 64).map(k =>
-      when(col(s"c$k") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
-    counts.select(col("doc_id"), fp.as("fp"))
-  }
 
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val fp = simhashTable(docs)

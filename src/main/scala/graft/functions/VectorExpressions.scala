@@ -74,8 +74,13 @@ case class DotProduct(left: Expression, right: Expression) extends ArrayPairFold
   override def prettyName: String = "dot_product"
 }
 
-/** cosine(a, b) = dot(a,b) / (‖a‖·‖b‖), one fused pass over both arrays. */
+/** cosine(a, b) = dot(a,b) / (‖a‖·‖b‖), one fused pass over both arrays.
+  * A zero-norm operand (all-zero vector) has no defined angle → NULL, not NaN
+  * (NaN would poison downstream top-k ordering; NULLs sort out cleanly).
+  */
 case class CosineSimilarity(left: Expression, right: Expression) extends ArrayPairFoldExpression {
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val (et1, et2) = (elementType(left), elementType(right))
@@ -85,7 +90,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends ArrayPa
       val xi = getD(x, i, et1); val yi = getD(y, i, et2)
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -101,7 +107,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends ArrayPa
          |  double $yi = ${getterSrc(b, i, elementType(right))};
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -120,13 +120,16 @@ object Aggregates extends QueryModule {
       .orderBy("l_returnflag")
 
   /** A1 (scale path, no oracle): mergeable quantile sketch — the Spark analog
-    * of `StreamingHistogram.quantileBreaks` (`Gddp.scala:230-232`).
+    * of `StreamingHistogram.quantileBreaks` (`Gddp.scala:230-232`). Breaks are
+    * exploded to `(group, break_idx, break_value)` rows: the driver's
+    * rows-check hashes scalar columns only (array cells are unhashable there).
     */
   private def qQuantileApprox(s: SparkSession, d: String): DataFrame =
     T.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("breaks"))
-      .orderBy("l_returnflag")
+      .select(col("l_returnflag"), posexplode(col("breaks")).as(Seq("break_idx", "break_value")))
+      .orderBy("l_returnflag", "break_idx")
 
   /** R1: value→bin color mapping with fixed breaks (`Gddp.scala:232-236`),
     * as integer binning: bin = clamp(floor((v - lo) / step), 0, nbins-1).
@@ -151,7 +154,10 @@ object Aggregates extends QueryModule {
       .groupBy("l_returnflag")
       .agg(graft.functions.StreamingHistogram
         .quantile_breaks(col("l_quantity"), numBreaks = 4).as("breaks"))
-      .orderBy("l_returnflag")
+      .select(col("l_returnflag"),
+        posexplode(col("breaks")).as(Seq("break_idx", "break_value")))
+      .select(col("l_returnflag"), col("break_idx"), round(col("break_value"), 4).as("break_value"))
+      .orderBy("l_returnflag", "break_idx")
 
   /** HLL approximate distinct count — the scale path for count_distinct at
     * extreme cardinality (mergeable sketch, no exact-distinct shuffle).

@@ -43,6 +43,20 @@ class VectorExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-norm operand yields null, not NaN (both codegen and interpreted)") {
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0)), (Seq(1.0, 2.0), Seq(0.0, 0.0)))
+      .toDF("a", "b")
+    assert(df.select(cosine_sim(col("a"), col("b"))).collect().forall(_.isNullAt(0)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try
+      assert(df.select(cosine_sim(col("a"), col("b"))).collect().forall(_.isNullAt(0)))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("null input yields null, not a crash") {
     val df = Seq((Option(a), Option.empty[Seq[Float]])).toDF("a", "b")
     val got = df.select(dot_product(col("a"), col("b"))).collect()
