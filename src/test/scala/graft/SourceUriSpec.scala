@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** S2 — location-agnostic scans: the parquet read works through an explicit
+  * Hadoop-FS URI, and the FileSystem is resolved from the URI scheme (the
+  * same mechanism that makes `s3a://`/`hdfs://` work on a cluster with the
+  * corresponding FS jars on the classpath; the reference's headline feature
+  * is reading NetCDF from S3, README.md:8-20).
+  */
+class SourceUriSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val uriStr =
+    "file://" + new java.io.File(TestSpark.sf).getAbsolutePath + "/nation.parquet"
+
+  test("FileSystem resolves from the URI scheme") {
+    val uri = new java.net.URI(uriStr)
+    val fs = FileSystem.get(uri, spark.sparkContext.hadoopConfiguration)
+    assert(fs.getScheme == "file")
+    assert(fs.exists(new Path(uri)))
+  }
+
+  test("scan through an explicit file:// URI equals the bare-path scan") {
+    val viaUri = spark.read.parquet(uriStr)
+    val barePath = spark.read.parquet(TestSpark.sf + "/nation.parquet")
+    assert(viaUri.schema == barePath.schema)
+    assert(viaUri.count() == barePath.count())
+    assert(viaUri.exceptAll(barePath).isEmpty && barePath.exceptAll(viaUri).isEmpty)
+  }
+
+  test("declared q_scan_uri returns the nation table in key order") {
+    val rows = sources.SourceQueries
+      .queries("q_scan_uri")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(_.getAs[Number](0).longValue)
+    assert(keys.sameElements(keys.sorted))
+  }
+}
