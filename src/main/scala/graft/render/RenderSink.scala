@@ -28,6 +28,28 @@ object RenderSink {
 
   val Nodata: Int = 0x202020 // dark gray for NULL cells
 
+  /** R2 archive sink: zip the rendered PNGs into one archive — the response
+    * payload of the reference's `/fetchResult` (`main.py:114-127` zips
+    * `gddp<variable><dates>.png` files into `result.zip`). Deflate-compressed,
+    * entries in name order for a deterministic archive. Returns entry names.
+    *
+    * Driver-side by design: the PNGs are written distributed (one task per
+    * image, below); the zip is response assembly over a bounded file list —
+    * the same boundary the reference draws.
+    */
+  def zipPngs(dir: String, zipPath: String): Seq[String] = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".png")).sortBy(_.getName).toSeq
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(zipPath))
+    try files.map { f =>
+      zos.putNextEntry(new ZipEntry(f.getName))
+      java.nio.file.Files.copy(f.toPath, zos)
+      zos.closeEntry()
+      f.getName
+    } finally zos.close()
+  }
+
   /** Writes `<outDir>/grid_<variable>_<yyyy-MM-dd>.png` per timestep.
     * `sel` needs columns (variable, ts, y, x, value); grid dims are taken
     * from the y/x extent of each image's own cells.

@@ -1,0 +1,124 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.domain.{GridData, GridQuery, QueryRequest}
+import graft.render.RenderSink
+
+/** The reference's serving surface (`main.py:93-127`), Spark-resident:
+  *
+  *   - `GET /getBoundary` → `[[latMin, lonMin], [latMax, lonMax]]` of the data
+  *     extent (`main.py:93-96`; the reference hardcodes its dataset's corners —
+  *     here the extent is computed from the grid catalog, metadata-sized).
+  *   - `POST /fetchResult` → request `{selectDate: "start,end", variables:
+  *     "v1,v2", geoJson: {coordinates: [[[lon, lat], …]]}}` (the shape
+  *     `main.py:21-50` parses) → runs select → render → returns a zip of one
+  *     PNG per (variable, day) (`main.py:114-127`).
+  *
+  * The key architectural difference from the reference: `main.py:106-110` pays
+  * a full `spark-submit` JVM start per request; here ONE resident SparkSession
+  * serves every request, so per-request latency is the query, not the JVM.
+  * JSON via Spark's bundled json4s — no added dependencies.
+  */
+class ApiServer(spark: SparkSession, port: Int = 0) {
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** Serve `/getBoundary`: extent of the (dim-sized) distinct coord table. */
+  private def boundary(): String = {
+    val Array(latMin, latMax, lonMin, lonMax) =
+      GridData.cells(spark)
+        .agg(min("lat"), max("lat"), min("lon"), max("lon"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    s"[[$latMin, $lonMin], [$latMax, $lonMax]]"
+  }
+
+  /** Parse the reference's request JSON into the engine's QueryRequest. */
+  private[server] def parseRequest(body: String): QueryRequest = {
+    val j = JsonMethods.parse(body)
+    val JString(dates) = (j \ "selectDate"): @unchecked
+    val JString(vars) = (j \ "variables"): @unchecked
+    val ring = (j \ "geoJson" \ "coordinates") match {
+      case JArray(List(JArray(points))) => points.map {
+        case JArray(List(lon, lat)) =>
+          (lon.values.toString.toDouble, lat.values.toString.toDouble)
+        case other => throw new IllegalArgumentException(s"bad point: $other")
+      }
+      case other => throw new IllegalArgumentException(s"bad coordinates: $other")
+    }
+    val Array(start, end) = dates.split(",").map(_.trim)
+    QueryRequest(vars.split(",").map(_.trim).toSeq, start, end, ring)
+  }
+
+  /** select → color breaks → distributed PNG render → zip. */
+  private[server] def fetchResult(req: QueryRequest): Array[Byte] = {
+    val sel = GridQuery.select(GridData.cells(spark), req)
+      .select("variable", "ts", "y", "x", "value")
+    val nbins = 10
+    // reference derives the color map from the selection's value range
+    // (Gddp.scala:230-236, StreamingHistogram breaks); min/max over the
+    // selection is one metadata-sized aggregate
+    val stats = sel.agg(min("value"), max("value")).collect()(0)
+    val (lo, hi) =
+      if (stats.isNullAt(0)) (0.0, 1.0)
+      else (stats.getDouble(0), stats.getDouble(1))
+    val step = math.max((hi - lo) / nbins, 1e-9)
+    val tmp = Files.createTempDirectory("graft-render").toFile
+    try {
+      RenderSink.writePngs(sel, tmp.getAbsolutePath, lo, step, nbins)
+      val zipPath = new java.io.File(tmp, "result.zip").getAbsolutePath
+      RenderSink.zipPngs(tmp.getAbsolutePath, zipPath)
+      Files.readAllBytes(java.nio.file.Paths.get(zipPath))
+    } finally {
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      tmp.delete()
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, contentType: String,
+      body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, body.length.toLong)
+    try ex.getResponseBody.write(body) finally ex.close()
+  }
+
+  def start(): Int = {
+    server.createContext("/getBoundary", (ex: HttpExchange) =>
+      respond(ex, 200, "application/json", boundary().getBytes("UTF-8")))
+    server.createContext("/fetchResult", (ex: HttpExchange) =>
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        respond(ex, 200, "application/zip", fetchResult(parseRequest(body)))
+      } catch {
+        case e: Exception =>
+          respond(ex, 400, "application/json",
+            s"""{"message": "Server Error: ${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
+      })
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+}
+
+object ApiServer {
+  /** Standalone entry: `runMain graft.server.ApiServer [port]`. */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-api")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val port = new ApiServer(spark, args.headOption.map(_.toInt).getOrElse(8080)).start()
+    println(s"graft API listening on http://127.0.0.1:$port")
+    Thread.currentThread().join()
+  }
+}

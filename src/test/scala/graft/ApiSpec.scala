@@ -1,0 +1,84 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.net.{HttpURLConnection, URI}
+import java.util.zip.ZipInputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.server.ApiServer
+
+/** End-to-end test of the HTTP serving surface: the reference contract is
+  * POST /fetchResult (request JSON → zip of per-variable-per-day PNGs) and
+  * GET /getBoundary (data extent), `main.py:93-127`.
+  */
+class ApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def withServer[A](f: Int => A): A = {
+    val srv = new ApiServer(spark, port = 0)
+    val port = srv.start()
+    try f(port) finally srv.stop()
+  }
+
+  private def get(url: String): (Int, Array[Byte]) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      val code = conn.getResponseCode
+      val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+      (code, is.readAllBytes())
+    } finally conn.disconnect()
+  }
+
+  private def post(url: String, body: String): (Int, Array[Byte]) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    try {
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      val code = conn.getResponseCode
+      val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+      (code, is.readAllBytes())
+    } finally conn.disconnect()
+  }
+
+  private val request =
+    """{"selectDate": "1990-01-03,1990-01-06",
+      | "variables": "tasmax",
+      | "geoJson": {"type": "Polygon", "coordinates": [[
+      |   [-79.317877, 44.292647], [-79.317877, 44.489801],
+      |   [-78.987601, 44.489801], [-78.987601, 44.292647],
+      |   [-79.317877, 44.292647]]]}}""".stripMargin
+
+  test("getBoundary returns the grid extent") {
+    withServer { port =>
+      val (code, body) = get(s"http://127.0.0.1:$port/getBoundary")
+      assert(code == 200)
+      val nums = """-?\d+\.\d+""".r.findAllIn(new String(body, "UTF-8")).map(_.toDouble).toSeq
+      assert(nums == Seq(44.0, -80.0, 44.95, -78.55))
+    }
+  }
+
+  test("fetchResult returns a zip with one PNG per requested day") {
+    withServer { port =>
+      val (code, body) = post(s"http://127.0.0.1:$port/fetchResult", request)
+      assert(code == 200, new String(body.take(200), "UTF-8"))
+      val zis = new ZipInputStream(new ByteArrayInputStream(body))
+      val entries = Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
+        .map { e =>
+          val data = zis.readAllBytes()
+          // PNG magic: \x89PNG
+          assert(data.length > 8 && (data(0) & 0xFF) == 0x89 && data(1) == 'P', e.getName)
+          e.getName
+        }.toSeq
+      assert(entries == (3 to 6).map(day => f"grid_tasmax_1990-01-0$day.png"))
+    }
+  }
+
+  test("malformed request yields a 400, not a hung connection") {
+    withServer { port =>
+      val (code, _) = post(s"http://127.0.0.1:$port/fetchResult", """{"nope": 1}""")
+      assert(code == 400)
+    }
+  }
+}
