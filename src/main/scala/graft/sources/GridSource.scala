@@ -33,8 +33,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GridSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = GridSource.schema
+  /** `option("path", dir)` → file-backed table over `*.grf` codec files (one
+    * per variable, real byte-offset section reads); no path → the closed-form
+    * generator table (full oracle coverage).
+    */
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = new GridTable
+      properties: util.Map[String, String]): Table =
+    Option(properties.get("path")) match {
+      case Some(dir) => new FileGridTable(dir)
+      case None => new GridTable
+    }
 }
 
 object GridSource {
@@ -53,12 +61,16 @@ object GridSource {
 
   def tsMicros(t: Int): Long = epochMicros + t.toLong * 24 * 3600 * 1000000L
 
-  /** Inclusive index bounds per dimension, narrowed by pushed filters. */
+  /** Inclusive index bounds per dimension, narrowed by pushed filters.
+    * `epochMicros`/`stepMicros` map ts predicates to t indices; the defaults
+    * are the generator grid's, the file-backed path passes its header's.
+    */
   case class Section(
     vars: Set[Int] = Set(0, 1),
     t0: Int = 0, t1: Int = T - 1,
     y0: Int = 0, y1: Int = Y - 1,
-    x0: Int = 0, x1: Int = X - 1) {
+    x0: Int = 0, x1: Int = X - 1,
+    epoch: Long = epochMicros, step: Long = 24L * 3600 * 1000000L) {
 
     def narrow(f: Filter): Option[Section] = f match {
       case EqualTo("variable", v: String) =>
@@ -87,9 +99,9 @@ object GridSource {
       */
     private def tsToT(v: Any): Option[Int] = v match {
       case t: java.sql.Timestamp =>
-        Some(math.floor((t.getTime * 1000L - epochMicros) / (24.0 * 3600 * 1000000L)).toInt)
+        Some(math.floor((t.getTime * 1000L - epoch) / step.toDouble).toInt)
       case i: java.time.Instant =>
-        Some(math.floor((i.toEpochMilli * 1000L - epochMicros) / (24.0 * 3600 * 1000000L)).toInt)
+        Some(math.floor((i.toEpochMilli * 1000L - epoch) / step.toDouble).toInt)
       case _ => None
     }
   }
@@ -186,4 +198,142 @@ class GridReader(p: GridPartition, required: StructType) extends PartitionReader
     InternalRow.fromSeq(fieldGen.toSeq.map(g => g(y, x)))
 
   override def close(): Unit = ()
+}
+
+// ---- file-backed path: the same scan over the GridFile binary codec ----
+
+/** Table over a directory of `*.grf` files (one variable per file). Listing
+  * the directory and reading headers is the metadata open — driver-side,
+  * catalog-sized, exactly the reference's file-catalog step
+  * (`Gddp.scala:61-68,118-131`). Cell data is only touched by executors, and
+  * only the requested sections of it.
+  */
+class FileGridTable(dir: String) extends Table with SupportsRead {
+  private[sources] val files: Seq[(String, GridFile.Header)] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".grf")).sortBy(_.getName)
+      .map(f => f.getAbsolutePath -> GridFile.readHeader(f.getAbsolutePath)).toSeq
+
+  require(files.nonEmpty, s"no .grf files in $dir")
+
+  override def name(): String = s"graft_grid_files($dir)"
+  override def schema(): StructType = GridSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FileGridScanBuilder(files)
+}
+
+/** Same pushdown contract as the generator path: variable equality/IN prunes
+  * whole files, ts/y/x ranges narrow the Section each partition reads.
+  */
+class FileGridScanBuilder(files: Seq[(String, GridFile.Header)]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private val dims = files.head._2
+  private var section = GridSource.Section(
+    t1 = dims.t - 1, y1 = dims.y - 1, x1 = dims.x - 1,
+    epoch = dims.epochMicros, step = dims.stepMicros)
+  private var varNames: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GridSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, rest) = filters.partition {
+      case EqualTo("variable", v: String) =>
+        varNames = Some(varNames.getOrElse(files.map(_._2.variable).toSet).intersect(Set(v)))
+        true
+      case In("variable", vs) =>
+        val names = vs.collect { case s: String => s }.toSet
+        varNames = Some(varNames.getOrElse(files.map(_._2.variable).toSet).intersect(names))
+        true
+      case f => section.narrow(f) match {
+        case Some(s) => section = s; true
+        case None => false
+      }
+    }
+    pushed = handled
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = {
+    val keep = files.filter { case (_, h) => varNames.forall(_.contains(h.variable)) }
+    new FileGridScan(keep, section, required, pushed)
+  }
+}
+
+class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Section,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FileGridScan files=${files.map(_._1).mkString(",")} section=$section " +
+      s"pushed=[${pushed.mkString(", ")}]"
+
+  /** One partition per (file, t) slice in the section — a real file-backed
+    * source opens one file region per task.
+    */
+  override def planInputPartitions(): Array[InputPartition] =
+    (for {
+      (path, header) <- files
+      t <- section.t0 to math.min(section.t1, header.t - 1)
+      if t >= 0
+    } yield FileGridPartition(path, header, t, section): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FileGridReaderFactory(required)
+}
+
+case class FileGridPartition(path: String, header: GridFile.Header, t: Int,
+  section: GridSource.Section) extends InputPartition
+
+class FileGridReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new FileGridReader(p.asInstanceOf[FileGridPartition], required)
+}
+
+/** Seeks and reads exactly the `[t, y0..y1, x0..x1]` section of its file —
+  * one positioned read per y row (`Gddp.scala:224-226`); fill → SQL NULL.
+  */
+class FileGridReader(p: FileGridPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val s = p.section
+  private val h = p.header
+  private val rdr = new GridFile.SectionReader(p.path, h)
+  private var y = s.y0 - 1
+  private var x = s.x1 // forces a row load on first next()
+  private var row: Array[Double] = _
+
+  private val fieldGen: Array[(Int, Int) => Any] = required.fields.map { f =>
+    f.name match {
+      case "variable" => (_: Int, _: Int) => UTF8String.fromString(h.variable)
+      case "ts" => (_: Int, _: Int) => h.epochMicros + p.t.toLong * h.stepMicros
+      case "y" => (yy: Int, _: Int) => yy
+      case "x" => (_: Int, xx: Int) => xx
+      case "lat" => (yy: Int, _: Int) => h.lat0 + yy * h.dlat
+      case "lon" => (_: Int, xx: Int) => h.lon0 + xx * h.dlon
+      case "value" => (_: Int, xx: Int) =>
+        val v = row(xx - s.x0)
+        if (h.isFill(v)) null else v
+    }
+  }
+
+  override def next(): Boolean = {
+    if (s.x0 > s.x1) return false // empty x-section: nothing to read
+    x += 1
+    if (x > s.x1) {
+      y += 1
+      if (y > s.y1) return false
+      row = rdr.readRow(p.t, y, s.x0, s.x1)
+      x = s.x0
+    }
+    y <= s.y1
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(fieldGen.toSeq.map(g => g(y, x)))
+
+  override def close(): Unit = rdr.close()
 }

@@ -49,10 +49,41 @@ object SourceQueries extends QueryModule {
       .orderBy("n_nationkey")
   }
 
+  /** Writes the two variables' cubes to `.grf` files once per JVM — the same
+    * closed form as the generator, so the file-backed scan stays fully
+    * oracle-checkable.
+    */
+  lazy val grfDir: String = {
+    import GridData.{T => TD, X => XD, Y => YD}
+    val dir = java.nio.file.Files.createTempDirectory("graft-grf").toFile.getAbsolutePath
+    for ((v, vid) <- Seq("tasmax" -> 0, "tasmin" -> 1))
+      GridFile.write(s"$dir/$v.grf", v, TD, YD, XD,
+        GridSource.epochMicros, 24L * 3600 * 1000000L,
+        lat0 = 44.0, dlat = 0.05, lon0 = -80.0, dlon = 0.05) { (t, y, x) =>
+        if ((t + y + x) % 17 == 0) None
+        else Some(((t * 31 + y * 7 + x * 13 + vid * 5) % 100).toDouble / 2.0 - 10.0)
+      }
+    dir
+  }
+
+  /** The hyperslab read against REAL file bytes: variable pruning drops one
+    * file entirely; the ts/y/x section bounds become seek offsets in the
+    * survivor (`GridFile.SectionReader.readRow`).
+    */
+  private def qGridFile(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", grfDir).load()
+      .filter(col("variable") === "tasmin" &&
+        col("ts").between(lit("1990-01-02 00:00:00").cast("timestamp"),
+          lit("1990-01-05 23:59:59").cast("timestamp")) &&
+        col("y") >= 2 && col("x").between(3, 27))
+      .select("ts", "y", "x", "lat", "lon", "value")
+      .orderBy("ts", "y", "x")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsv2_select" -> qDsv2Select,
     "q_dsv2_agg" -> qDsv2Agg,
-    "q_scan_uri" -> qScanUri
+    "q_scan_uri" -> qScanUri,
+    "q_grid_file" -> qGridFile
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -67,6 +98,12 @@ object SourceQueries extends QueryModule {
         |FROM cells WHERE variable = 'tasmin' AND y < 10
         |GROUP BY ts ORDER BY ts""".stripMargin),
     "q_scan_uri" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_grid_file" -> (GridData.oracleCells +
+      """SELECT ts, y, x, lat, lon, value FROM cells
+        |WHERE variable = 'tasmin'
+        |  AND ts BETWEEN TIMESTAMP '1990-01-02 00:00:00' AND TIMESTAMP '1990-01-05 23:59:59'
+        |  AND y >= 2 AND x BETWEEN 3 AND 27
+        |ORDER BY ts, y, x""".stripMargin)
   )
 }
