@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, ExpressionInfo, GreaterThanOrEqual, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import graft.functions.{CosineSimilarity, DotProduct, PointInPolygon, SimHash64}
+
+/** Session extension (`spark.sql.extensions=graft.GraftExtensions`) wiring the
+  * library's native expressions into SQL and the optimizer:
+  *
+  *   - SQL functions: `dot_product(a, b)`, `cosine_sim(a, b)`,
+  *     `simhash64(arr)`, `point_in_polygon(lat, lon, ring)` with `ring` a
+  *     constant `array(lon0, lat0, lon1, lat1, …)` — so a SQL-only user of
+  *     the reference's query surface needs no Scala.
+  *   - `PolygonEnvelopeRule`: rewrites every `point_in_polygon` predicate to
+  *     `bbox(ring) AND point_in_polygon` (ray-cast ⊆ envelope, so this is an
+  *     equivalence). The derived bbox is a plain conjunction of range
+  *     predicates, which Catalyst's existing machinery then pushes into the
+  *     scan (`PushedFilters` on parquet, a Section on the grid source) — the
+  *     automated form of the manual envelope in `GridQuery.select`
+  *     (reference: bbox-then-mask, `Gddp.scala:206-235`). At 100 TB this is
+  *     the difference between masking every cell and reading only the
+  *     envelope's row groups.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((FunctionIdentifier("point_in_polygon"), info("point_in_polygon"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "point_in_polygon(lat, lon, ring)")
+        require(args(2).foldable, "ring must be a constant array")
+        val ring = args(2).eval().asInstanceOf[ArrayData].toDoubleArray()
+        // SQL literals/arithmetic may arrive as DECIMAL; the expression (and
+        // the envelope rule) require double children. Builders run before
+        // analysis completes, so insert the casts explicitly.
+        def dbl(e: Expression): Expression =
+          if (e.dataType == org.apache.spark.sql.types.DoubleType) e
+          else Cast(e, org.apache.spark.sql.types.DoubleType)
+        PointInPolygon(dbl(args(0)), dbl(args(1)), ring)
+      }))
+    ext.injectOptimizerRule(_ => PolygonEnvelopeRule)
+  }
+}
+
+object PolygonEnvelopeRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // double children only: optimizer rules run after analysis, so any
+    // comparison this rule emits must already be type-correct (no implicit
+    // cast insertion will happen)
+    case p @ PointInPolygon(lat, lon, ring, true)
+        if ring.length >= 6 && lat.dataType == org.apache.spark.sql.types.DoubleType &&
+          lon.dataType == org.apache.spark.sql.types.DoubleType =>
+      val lons = ring.indices.collect { case i if i % 2 == 0 => ring(i) }
+      val lats = ring.indices.collect { case i if i % 2 == 1 => ring(i) }
+      val bbox = And(
+        And(GreaterThanOrEqual(lat, Literal(lats.min)), LessThanOrEqual(lat, Literal(lats.max))),
+        And(GreaterThanOrEqual(lon, Literal(lons.min)), LessThanOrEqual(lon, Literal(lons.max))))
+      And(bbox, p.copy(needsEnvelope = false))
+  }
+}

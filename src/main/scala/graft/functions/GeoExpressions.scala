@@ -38,7 +38,15 @@ object GeoUtil {
   }
 }
 
-case class PointInPolygon(left: Expression, right: Expression, ring: Array[Double])
+/** `needsEnvelope` marks nodes the PolygonEnvelopeRule has not yet expanded:
+  * the rule rewrites `pip(lat, lon, ring)` to `bbox(ring) AND
+  * pip(lat, lon, ring, needsEnvelope = false)` — the conjunct derived from
+  * the ring's envelope is a plain range predicate Catalyst can push to the
+  * scan, while the flagged copy guards rule idempotency. Semantics are
+  * unchanged in any context (ray-cast ⊆ envelope).
+  */
+case class PointInPolygon(left: Expression, right: Expression, ring: Array[Double],
+    needsEnvelope: Boolean = true)
     extends BinaryExpression {
   override def dataType: DataType = BooleanType
 

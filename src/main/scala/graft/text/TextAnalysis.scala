@@ -120,7 +120,77 @@ object TextAnalysis extends QueryModule {
       .limit(200)
   }
 
+  /** C4-style composed quality filter: per-source kept/total after the
+    * standard length / avg-token-length / lexical-diversity gates. The gates
+    * are one codegen'd projection; the only shuffle is the per-source rollup.
+    */
+  private def qQualityFilter(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    T.documents(s, d)
+      .select(col("source"),
+        size(t).as("n_tokens"),
+        (length(col("text")).cast("double") / size(t)).as("atl"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("div"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens").between(20, 80) &&
+          col("atl").between(2.0, 10.0) && col("div") >= 0.45, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Gopher-style repetition signal: fraction of a document's bigrams taken
+    * by its single most frequent bigram. Two partial-aggregated shuffles on
+    * (doc, bigram) then (doc) — both keyed finer than or equal to doc, so
+    * state is bounded by the corpus' distinct bigrams per doc.
+    */
+  private def qTopBigram(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    docs
+      .select(col("doc_id"), size(col("t")).as("n"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("bg"))
+      .groupBy("doc_id", "n", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n").agg(max("c").as("top"))
+      .select(col("doc_id"),
+        round(col("top").cast("double") / (col("n") - 1), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-class composition ratios (alpha/digit/space) — the usual
+    * symbol-soup quality gates; single projection, shuffle-free.
+    */
+  private def qCharRatios(s: SparkSession, d: String): DataFrame = {
+    def ratio(keep: String): Column =
+      round(length(regexp_replace(col("text"), keep, "")).cast("double") /
+        length(col("text")), 4)
+    T.documents(s, d)
+      .select(col("doc_id"),
+        ratio("[^a-z]").as("alpha_ratio"),
+        ratio("[^0-9]").as("digit_ratio"),
+        ratio("[^ ]").as("space_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword ratio against the English profile — low values flag non-prose
+    * (logs, tables, boilerplate); the profile is a constant-folded array.
+    */
+  private def qStopwordRatio(s: SparkSession, d: String): DataFrame = {
+    val sw = array(langProfiles("en").map(lit): _*)
+    val t = tokens(col("text"))
+    T.documents(s, d)
+      .select(col("doc_id"),
+        round(size(filter(t, tok => array_contains(sw, tok))).cast("double") /
+          size(t), 4).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_filter" -> qQualityFilter,
+    "q_top_bigram" -> qTopBigram,
+    "q_char_ratios" -> qCharRatios,
+    "q_stopword_ratio" -> qStopwordRatio,
     "q_tokens" -> qTokens,
     "q_tfidf" -> qTfidf,
     "q_text_quality" -> qTextQuality,
@@ -131,6 +201,45 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_quality_filter" ->
+      """WITH q AS (
+        |  SELECT source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS atl,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS div
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_tokens BETWEEN 20 AND 80
+        |                 AND atl BETWEEN 2.0 AND 10.0
+        |                 AND div >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "q_top_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, len(t) AS n,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, n, bg, count(*) AS c FROM bg GROUP BY doc_id, n, bg)
+        |SELECT doc_id, round(CAST(max(c) AS DOUBLE) / (n - 1), 4) AS top_bigram_frac
+        |FROM cnt GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    "q_char_ratios" ->
+      """SELECT doc_id,
+        |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |        / length(text), 4) AS alpha_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |        / length(text), 4) AS digit_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+        |        / length(text), 4) AS space_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stopword_ratio" ->
+      """SELECT doc_id,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))
+        |        AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

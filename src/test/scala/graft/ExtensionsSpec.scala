@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** GraftExtensions: SQL-registered native functions + the polygon-envelope
+  * optimizer rule (bbox conjunct derived from the ring becomes a pushable
+  * range predicate).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  /** A second session on the shared SparkContext, built WITH the extension.
+    * `spark.sql.extensions` is a STATIC conf — ignored once the context
+    * exists — so this goes through `builder.withExtensions` (the programmatic
+    * path); Bench/Verify/ApiServer create their own contexts and use the
+    * config form. The suite session stays default for the other specs.
+    */
+  private lazy val ext: SparkSession = {
+    TestSpark.spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(TestSpark.spark)
+    SparkSession.setActiveSession(TestSpark.spark)
+    s
+  }
+
+  test("SQL cosine_sim / dot_product / simhash64 resolve and compute") {
+    val row = ext.sql(
+      """SELECT round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS c,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       simhash64(array(0L)) AS s""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getLong(2) == 0L)
+  }
+
+  test("SQL point_in_polygon matches the Scala ray-cast") {
+    val ring = Seq((-79.5, 44.1), (-79.0, 44.1), (-79.0, 44.4), (-79.5, 44.4), (-79.5, 44.1))
+    val sqlHits = ext.sql(
+      """SELECT y, x FROM (SELECT id DIV 10 AS y, id % 10 AS x,
+        |  44.0 + (id DIV 10) * 0.05 AS lat, -79.6 + (id % 10) * 0.1 AS lon
+        |  FROM range(100))
+        |WHERE point_in_polygon(lat, lon,
+        |  array(-79.5D, 44.1D, -79.0D, 44.1D, -79.0D, 44.4D, -79.5D, 44.4D, -79.5D, 44.1D))
+        |ORDER BY y, x""".stripMargin).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scalaHits = (0 until 100).map(id => (id / 10, id % 10)).filter { case (y, x) =>
+      functions.GeoUtil.rayCast(44.0 + y * 0.05, -79.6 + x * 0.1,
+        ring.flatMap { case (lo, la) => Seq(lo, la) }.toArray)
+    }.map { case (y, x) => (y.toLong, x.toLong) }
+    assert(sqlHits.nonEmpty && sqlHits.toSeq == scalaHits)
+  }
+
+  test("envelope rule turns the polygon mask into pushed parquet range filters") {
+    import ext.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-env").toFile.getAbsolutePath
+    (0 until 400).map(i => (44.0 + (i / 20) * 0.05, -80.0 + (i % 20) * 0.05, i))
+      .toDF("lat", "lon", "v").write.mode("overwrite").parquet(s"$dir/pts")
+    val ring = Seq((-79.5, 44.1), (-79.0, 44.1), (-79.0, 44.4), (-79.5, 44.4), (-79.5, 44.1))
+    val df = ext.read.parquet(s"$dir/pts")
+      .filter(functions.GeoFunctions.point_in_polygon(col("lat"), col("lon"), ring))
+    val plan = df.queryExecution.executedPlan.toString
+    // the derived bbox reached the scan as pushable range predicates
+    // (FileScan's toString truncates the filter list, so assert on the lat
+    // bound and the conjuncts in the residual Filter)
+    assert(plan.contains("GreaterThanOrEqual(lat,44.1)"), plan)
+    assert(plan.contains(">= -79.5)") && plan.contains("<= -79.0)"), plan)
+    // and semantics are unchanged vs the extension-less session
+    val plain = TestSpark.spark.read.parquet(s"$dir/pts")
+      .filter(functions.GeoFunctions.point_in_polygon(col("lat"), col("lon"), ring))
+    assert(df.collect().map(_.getInt(2)).sorted
+      .sameElements(plain.collect().map(_.getInt(2)).sorted))
+  }
+
+  test("rule is idempotent: one envelope per mask, no repeated conjuncts") {
+    val ring = Seq((-79.5, 44.1), (-79.0, 44.1), (-79.0, 44.4), (-79.5, 44.4), (-79.5, 44.1))
+    val df = ext.range(10)
+      .selectExpr("44.0 + id * 0.05 AS lat", "-79.4 AS lon")
+      .filter(functions.GeoFunctions.point_in_polygon(col("lat"), col("lon"), ring))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("point_in_polygon".r.findAllIn(optimized).size == 1, optimized)
+  }
+}

@@ -34,8 +34,13 @@ class HistogramSpec extends AnyFunSuite {
   }
 
   test("sketch breaks track exact percentiles on lineitem quantity") {
+    // query output is exploded to (group, break_idx, break_value) rows;
+    // reassemble per-group break arrays
     val rows = graft.operators.Aggregates.queries("q_hist_sketch")(spark, TestSpark.sf)
-      .select("l_returnflag", "breaks").as[(String, Seq[Double])].collect()
+      .select("l_returnflag", "break_idx", "break_value")
+      .as[(String, Int, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toSeq
     val exact = Tables.lineitem(spark, TestSpark.sf)
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
