@@ -170,7 +170,18 @@ object Aggregates extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Skew-proof two-stage aggregation (`Scale.saltedSumCount`): stage 1 on
+    * (key, salt) spreads a pathological hot key over 16 reducers, stage 2
+    * combines partials. Same result as the direct aggregate — which is what
+    * the oracle checks.
+    */
+  private def qAggSalted(s: SparkSession, d: String): DataFrame =
+    Scale.saltedSumCount(T.lineitem(s, d), col("l_returnflag"), col("l_quantity"), 16)
+      .select(col("k"), round(col("total"), 2).as("total"), col("n"))
+      .orderBy("k")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_salted" -> qAggSalted,
     "q1_pricing" -> q1Pricing,
     "q_hist_sketch" -> qHistSketch,
     "q_approx_distinct" -> qApproxDistinct,
@@ -186,6 +197,9 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_salted" ->
+      """SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS total, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
