@@ -193,6 +193,20 @@ object Dedup extends QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // exact 4-gram Jaccard over the same 1/50 within-source sample — pure set
+    // arithmetic, so the verification stage carries a full oracle (candidate
+    // generation at scale remains the minhash banding, xxhash64-specific)
+    "q_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 2),
+        |      i -> substr(text, i, 4))) AS grams
+        |  FROM documents WHERE doc_id % 50 = 0)
+        |SELECT l.doc_id AS doc1, r.doc_id AS doc2,
+        |  round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(l.grams, r.grams))), 4) AS jaccard
+        |FROM g l JOIN g r ON l.source = r.source AND l.doc_id < r.doc_id
+        |ORDER BY doc1, doc2""".stripMargin
   )
 }

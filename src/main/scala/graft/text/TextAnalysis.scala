@@ -50,9 +50,9 @@ object TextAnalysis extends QueryModule {
         count(lit(1)).as("n_docs"))
       .orderBy("source")
 
-  /** BPE-ish token estimate: word-pieces via regex (letters / digits /
-    * punctuation runs, long words counted as ceil(len/4) pieces — the common
-    * "~4 chars per token" heuristic). No oracle (regex dialects differ).
+  /** BPE-ish token estimate: whitespace word-pieces counted as ceil(len/4)
+    * pieces — the common "~4 chars per token" heuristic. Pure array
+    * arithmetic, so it carries a full DuckDB oracle.
     */
   private def qTokenCountBpe(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -62,11 +62,12 @@ object TextAnalysis extends QueryModule {
           lit(0L), (acc, x) => acc + x).as("bpe_tokens"))
       .orderBy("doc_id")
 
-  /** Stopword-profile language ID (n-gram/stopword heuristic, no oracle —
-    * accuracy is asserted in ScalaTest on crafted multilingual fixtures).
-    * Scores each language by overlap between the document's token set and a
-    * tiny per-language profile; profiles ride along as array literals
-    * (broadcast-sized, like dimension tables).
+  /** Stopword-profile language ID: scores each language by overlap between
+    * the document's token set and a tiny per-language profile; profiles ride
+    * along as array literals (broadcast-sized, like dimension tables). The
+    * argmax is deterministic ((score, lang) struct max, tie-break on code),
+    * so it carries a full DuckDB oracle; accuracy on crafted multilingual
+    * fixtures is additionally asserted in ScalaTest.
     */
   private val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
@@ -266,6 +267,26 @@ object TextAnalysis extends QueryModule {
       """SELECT source,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  count(*) AS n_docs
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_token_count_bpe" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same (score, lang) struct-max argmax as the Spark greatest(struct…)
+    "q_lang_id" -> {
+      val structs = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+        s"{'score': len(list_intersect(toks, [${words.map("'" + _ + "'").mkString(",")}])), " +
+          s"'lang': '$lang'}"
+      }.mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    list_distinct(string_split(text, ' ')) AS toks FROM documents),
+         |s AS (SELECT doc_id, labeled_lang,
+         |        list_aggregate([$structs], 'max') AS best FROM t)
+         |SELECT doc_id, labeled_lang,
+         |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    }
   )
 }
