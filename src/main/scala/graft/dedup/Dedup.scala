@@ -41,11 +41,10 @@ object Dedup extends QueryModule {
   def shingleHashes(text: Column, k: Int = 3): Column =
     shingleHashesOfTokens(split(text, " "), k)
 
-  /** MinHash signature as a Column (reference form): sig_i = min over
-    * shingles of hash_i(shingle), hash_i(x) = xxhash64(i, x). The batch path
-    * uses `signatures` below — explode + one hash aggregate — because n
-    * array-traversal lambdas over an unmaterialized shingle column re-derive
-    * the shingles n times.
+  /** MinHash signature (compositional reference form, kept for the parity
+    * test): sig_i = min over shingles of hash_i(shingle), hash_i(x) =
+    * xxhash64(i, x). The pipeline uses the single-pass `MinHashSignature`
+    * expression, which is bit-identical (DedupSpec asserts it).
     */
   def minhashSignature(shingles: Column, n: Int = NumPerms): Column =
     array((0 until n).map(i =>
@@ -58,24 +57,23 @@ object Dedup extends QueryModule {
         xxhash64((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*).as("bh"))
     }: _*)
 
-  /** doc_id → (shingles, minhash signature): explode shingles once, then a
-    * single hash aggregate computes all NumPerms mins (map-side partial
-    * combine — the shuffle carries one row per doc, not per shingle) plus the
-    * shingle set for exact verification. One pass over the data total.
+  /** doc_id → (shingles, minhash signature) with NO shuffle: the shingle set
+    * is a per-row array expression and the signature is the single-pass
+    * `MinHashSignature` expression over it. (Round 1 exploded shingles into a
+    * 33-column hash aggregate — correct shape, but a per-shingle explode and
+    * a per-doc shuffle that this pure scan avoids entirely.)
+    *
+    * Two-step projection: tokens and shingles land in bound columns so each
+    * downstream lambda does O(1) lookups instead of re-deriving its input
+    * (CollapseProject keeps non-cheap multiply-referenced projections
+    * un-inlined).
     */
-  def signatures(docs: DataFrame): DataFrame = {
-    // two-step projection: tokens land in a bound column so the shingle
-    // lambda does O(1) element_at lookups (CollapseProject keeps the split
-    // un-inlined because it is non-cheap and multiply-referenced)
-    val exploded = docs
+  def signatures(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(shingleHashesOfTokens(col("toks"))).as("sh"))
-    val minAggs = (0 until NumPerms).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
-    exploded.groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("shingles"), minAggs: _*)
+      .select(col("doc_id"), shingleHashesOfTokens(col("toks")).as("shingles"))
       .select(col("doc_id"), col("shingles"),
-        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
-  }
+        graft.functions.MinHashFunctions.minhash_signature(col("shingles"), NumPerms).as("sig"))
 
   /** Candidate pairs from LSH banding + exact/estimated Jaccard verification.
     * Returns (doc1, doc2, est_jaccard, jaccard) for pairs with Jaccard ≥ minJ.

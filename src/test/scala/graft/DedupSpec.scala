@@ -61,4 +61,14 @@ class DedupSpec extends AnyFunSuite {
     val sig = Dedup.signatures(docs).select("sig").head().getSeq[Long](0)
     assert(sig.length == Dedup.NumPerms)
   }
+
+  test("single-pass MinHashSignature expression is bit-identical to the compositional form") {
+    val withShingles = docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
+    val rows = withShingles.select(col("doc_id"),
+      graft.functions.MinHashFunctions.minhash_signature(col("sh"), Dedup.NumPerms).as("fast"),
+      Dedup.minhashSignature(col("sh")).as("ref"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, fast, ref) => assert(fast == ref, s"doc $id") }
+  }
 }
