@@ -180,7 +180,30 @@ object Aggregates extends QueryModule {
       .select(col("k"), round(col("total"), 2).as("total"), col("n"))
       .orderBy("k")
 
+  /** Pivot: wide per-returnflag quantity totals — `groupBy().pivot()` with an
+    * explicit value list (never let pivot scan for distinct values at scale).
+    */
+  private def qPivot(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2))
+      .orderBy("l_linestatus")
+
+  /** Statistical aggregate family: stddev/variance/correlation/covariance. */
+  private def qStats(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> qPivot,
+    "q_stats" -> qStats,
     "q_agg_salted" -> qAggSalted,
     "q1_pricing" -> q1Pricing,
     "q_hist_sketch" -> qHistSketch,
@@ -197,6 +220,19 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS total, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin,

@@ -149,6 +149,30 @@ object Relational extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** Full outer join: high-balance customers vs high-spend order rollups —
+    * either side can be unmatched. Both inputs are unique on the key, so the
+    * coalesced key is a deterministic total order for the oracle.
+    */
+  private def qJoinFull(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+    val o = T.orders(s, d).groupBy(col("o_custkey"))
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+      .filter(col("spend") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "full")
+      .select(coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+        col("acctbal"), col("spend"))
+      .orderBy("custkey")
+  }
+
+  /** Cartesian product of the two bounded dims (25 × 5 rows) — the one join
+    * type where "small by construction" is the only acceptable plan.
+    */
+  private def qJoinCross(s: SparkSession, d: String): DataFrame =
+    T.nation(s, d).crossJoin(T.region(s, d))
+      .select("n_nationkey", "r_regionkey")
+      .orderBy("n_nationkey", "r_regionkey")
+
   /** Non-equi band (range) join — broadcast nested-loop with the small side
     * broadcast; the generalization of the bbox predicate to two tables.
     */
@@ -202,6 +226,8 @@ object Relational extends QueryModule {
     "q_join_left" -> qJoinLeft,
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
+    "q_join_full" -> qJoinFull,
+    "q_join_cross" -> qJoinCross,
     "q_join_range" -> qJoinRange
   )
 
@@ -272,6 +298,18 @@ object Relational extends QueryModule {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, acctbal, spend
+        |FROM (SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |      FROM customer WHERE c_acctbal > 5000) c
+        |FULL JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        |           FROM orders GROUP BY o_custkey
+        |           HAVING round(sum(o_totalprice), 2) > 300000) o
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT n_nationkey, r_regionkey FROM nation CROSS JOIN region
+        |ORDER BY n_nationkey, r_regionkey""".stripMargin,
     "q_join_range" ->
       """SELECT p_partkey, s_suppkey FROM part JOIN supplier
         |ON p_retailprice BETWEEN s_acctbal - 100 AND s_acctbal + 100

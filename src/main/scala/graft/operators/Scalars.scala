@@ -54,6 +54,16 @@ object Scalars extends QueryModule {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** Regex extraction (group 1 digits out of the props JSON string) — kept to
+    * POSIX-compatible pattern syntax so Java and RE2-family engines agree.
+    */
+  private def qRegexp(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("props"), "[0-9]", "#").as("masked"))
+      .orderBy("event_id")
+
   private def dsum(c: Column): Column =
     aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double"))
 
@@ -83,6 +93,7 @@ object Scalars extends QueryModule {
     "q_strfuncs" -> qStrfuncs,
     "q_mathfuncs" -> qMathfuncs,
     "q_json" -> qJson,
+    "q_regexp" -> qRegexp,
     "q_array" -> qArray
   )
 
@@ -119,6 +130,11 @@ object Scalars extends QueryModule {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_regexp" ->
+      """SELECT event_id,
+        |  regexp_extract(props, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(props, '[0-9]', '#', 'g') AS masked
         |FROM events ORDER BY event_id""".stripMargin,
     "q_array" ->
       """SELECT vec_id,

@@ -58,9 +58,23 @@ object WindowOps extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Distribution family: ntile / percent_rank / cume_dist / lead. */
+  private def qWindowDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    T.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        lead(col("o_orderkey"), 1).over(w).as("next_id"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rank" -> qWindowRank,
     "q_window_frame" -> qWindowFrame,
+    "q_window_dist" -> qWindowDist,
     "q_asof" -> qAsof
   )
 
@@ -81,6 +95,15 @@ object WindowOps extends QueryModule {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  lead(o_orderkey, 1) OVER w AS next_id
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_asof" ->
       """SELECT event_id, prior_id, prior_ts FROM (
