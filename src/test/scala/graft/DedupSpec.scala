@@ -62,6 +62,38 @@ class DedupSpec extends AnyFunSuite {
     assert(sig.length == Dedup.NumPerms)
   }
 
+  test("SimHash64 expression matches a plain Scala majority-bit reference") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val rows = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val hs = text.split(" ").map(t =>
+        XXH64.hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L))
+      var expect = 0L
+      for (k <- 0 until 64)
+        if (2L * hs.count(h => ((h >>> k) & 1L) == 1L) > hs.length) expect |= 1L << k
+      assert(rows(id) == expect, s"doc $id")
+    }
+  }
+
+  test("hash expressions: interpreted eval agrees with codegen") {
+    def run(): (Map[Long, Long], Map[Long, Seq[Long]]) = {
+      val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+        .as[(Long, Long)].collect().toMap
+      val sig = Dedup.signatures(docs).select("doc_id", "sig")
+        .as[(Long, Seq[Long])].collect().toMap
+      (fp, sig)
+    }
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == gen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("single-pass MinHashSignature expression is bit-identical to the compositional form") {
     val withShingles = docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
     val rows = withShingles.select(col("doc_id"),
