@@ -99,6 +99,22 @@ object Streaming extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Stream-static enrichment join: the static dim side is re-read per
+    * micro-batch and broadcast — the streaming form of the bounded-dimension
+    * join used across the relational set (no state, no stream shuffle).
+    */
+  def enriched(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream.join(broadcast(dim), "user_id")
+
+  /** Streaming exact dedup: drops duplicate event_ids arriving within the
+    * watermark. The watermark bounds the dedup state — the streaming twin of
+    * `q_dedup_exact`'s keep-one-copy semantics, with eviction instead of an
+    * unbounded seen-set (the 100 TB/day requirement).
+    */
+  def dedupedStream(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,

@@ -52,6 +52,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(firstWindow.map(_._3).sum == 2, s"late event leaked into closed window: ${out.mkString(",")}")
   }
 
+  test("stream-static join enriches every event, matching the batch join") {
+    val dim = spark.range(1000).select(col("id").as("user_id"), (col("id") % 3).as("segment"))
+    val q = Streaming.enriched(Streaming.eventsStream(spark, TestSpark.sf), dim)
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("enrich_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enrich_out").as[(Long, Long)].collect().toMap
+    val batch = Streaming.enriched(Tables.events(spark, TestSpark.sf), dim)
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch && streamed.values.sum > 0)
+  }
+
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streaming.dedupedStream(mem.toDF().toDF("event_id", "ts"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    mem.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:01:00")),
+      (1L, t("2024-01-01 10:02:00"))) // duplicate id within the watermark
+    q.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 10:03:00")), (3L, t("2024-01-01 10:04:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
     val events = Tables.events(spark, TestSpark.sf)
       .select("event_id", "ts", "user_id").as[Streaming.Event]
