@@ -58,6 +58,48 @@ class PropertySpec extends AnyFunSuite {
     assert(inter + exc == a.distinct().count())
   }
 
+  test("pivot cells partition the group totals (pivot vs plain groupBy)") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val pivoted = li.groupBy("l_linestatus").pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum("l_quantity"))
+      .as[(String, Option[Double], Option[Double], Option[Double])].collect()
+    val grouped = li.groupBy("l_linestatus").agg(sum("l_quantity"))
+      .as[(String, Double)].collect().toMap
+    assert(pivoted.nonEmpty)
+    pivoted.foreach { case (ls, a, n, r) =>
+      val rowSum = Seq(a, n, r).flatten.sum
+      assert(math.abs(rowSum - grouped(ls)) < 1e-6, s"linestatus $ls")
+    }
+  }
+
+  test("full outer join algebra: |full| = |left-only| + |right-only| + |inner|") {
+    val c = Tables.customer(spark, TestSpark.sf)
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    val o = Tables.orders(spark, TestSpark.sf)
+      .filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k")).distinct()
+    val full = c.join(o, c("k") === o("k"), "full").count()
+    val inner = c.join(o, c("k") === o("k")).count()
+    val leftOnly = c.join(o, c("k") === o("k"), "left_anti").count()
+    val rightOnly = o.join(c, o("k") === c("k"), "left_anti").count()
+    assert(full == leftOnly + rightOnly + inner)
+    assert(inner > 0 && leftOnly + rightOnly > 0, "degenerate fixture")
+  }
+
+  test("window distribution invariants: cume_dist bounds, ntile partition sizes") {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    val rows = Tables.orders(spark, TestSpark.sf)
+      .select(col("o_custkey"),
+        ntile(4).over(w).as("q"), cume_dist().over(w).as("cd"))
+      .as[(Long, Int, Double)].collect()
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 4))
+    assert(rows.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+    // ntile bucket sizes within a partition differ by at most 1
+    rows.groupBy(_._1).foreach { case (ck, part) =>
+      val sizes = part.groupBy(_._2).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"cust $ck ntile sizes $sizes")
+    }
+  }
+
   test("rollup counts are consistent: grand total equals sum of leaves") {
     val rows = SparkEntry.queries("q_rollup")(spark, TestSpark.sf)
       .as[(String, String, Double, Long)].collect()
