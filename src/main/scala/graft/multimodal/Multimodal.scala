@@ -77,7 +77,8 @@ object Multimodal extends QueryModule {
 
   /** Frame sampling for "video" payloads: every 4th 64-byte frame, located by
     * pure expressions (offset arithmetic + substr on binary) — no decode, no
-    * shuffle, prunes 75% of frames before any decoder runs.
+    * shuffle, prunes 75% of frames before any decoder runs. Frame fingerprint
+    * is md5 (dialect-portable), which makes the whole sampler oracle-checkable.
     */
   def sampleFrames(assetsDf: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
     assetsDf.select(col("asset_id"), col("payload"),
@@ -85,7 +86,7 @@ object Multimodal extends QueryModule {
           s"sequence(0, greatest((length(payload) - 1) DIV ${frameBytes * stride}, 0))")).as("k"))
       .select(col("asset_id"),
         (col("k") * stride).as("frame_id"),
-        xxhash64(expr(s"substr(payload, k * $stride * $frameBytes + 1, $frameBytes)"))
+        md5(expr(s"substr(payload, k * $stride * $frameBytes + 1, $frameBytes)"))
           .as("frame_hash"))
       .filter(col("frame_id") * frameBytes < length(col("payload")))
 
@@ -123,6 +124,18 @@ object Multimodal extends QueryModule {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         |  source AS origin,
         |  md5(text) AS content_hash
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // payloads are the docs' ASCII bytes, so byte offsets == char offsets and
+    // the oracle can sample the same frames with substr on text
+    "q_mm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id, text,
+        |    unnest(range(0, greatest((length(text) - 1) // 256, 0) + 1)) AS k
+        |  FROM documents)
+        |SELECT asset_id, CAST(k * 4 AS INT) AS frame_id,
+        |  md5(substr(text, CAST(k * 256 + 1 AS INT), 64)) AS frame_hash
+        |FROM f
+        |WHERE k * 256 < length(text)
+        |ORDER BY asset_id, frame_id""".stripMargin
   )
 }
