@@ -83,6 +83,17 @@ object Similarity extends QueryModule {
   private def qCosineLsh(s: SparkSession, d: String): DataFrame =
     cosineTopKLsh(T.embeddings(s, d), queryId = 1L, k = 20)
 
+  /** DuckDB twin of `lshBucket` over a double-list column `e`, generated from
+    * the SAME seed-42 plane constants (Double.toString round-trips exactly, and
+    * both engines fold list_dot_product/DotProduct sequentially in double) —
+    * the buckets, and therefore the LSH candidate sets, are deterministic and
+    * oracle-checkable, not just "approximate".
+    */
+  private def bucketSql(col: String): String =
+    planes().zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($col, [${p.mkString(", ")}]) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** Declared as "top in-bucket candidate pairs" (threshold 0 + limit) so the
     * result is non-empty on the synthetic corpus, which has no true near-dups
     * at any sane threshold; the thresholded form is what a pipeline would run.
@@ -117,6 +128,30 @@ object Similarity extends QueryModule {
         |        / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |      FROM embeddings WHERE vec_id <> 1), q
-        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q_cosine_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, e, ${bucketSql("e")} AS bucket
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |        FROM embeddings)),
+         |q AS (SELECT e AS qe, bucket AS qbucket FROM b WHERE vec_id = 1)
+         |SELECT vec_id,
+         |  round(list_dot_product(e, qe)
+         |        / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
+         |FROM b, q
+         |WHERE bit_count(CAST(xor(bucket, qbucket) AS INTEGER)) <= 1 AND vec_id <> 1
+         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, e, ${bucketSql("e")} AS bucket
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |        FROM embeddings))
+         |SELECT l.vec_id AS id1, r.vec_id AS id2,
+         |  round(list_dot_product(l.e, r.e)
+         |        / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))), 4) AS cos
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |WHERE round(list_dot_product(l.e, r.e)
+         |        / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))), 4) >= 0.0
+         |ORDER BY cos DESC, id1, id2 LIMIT 50""".stripMargin
   )
 }
