@@ -79,10 +79,36 @@ object SourceQueries extends QueryModule {
       .select("ts", "y", "x", "lat", "lon", "value")
       .orderBy("ts", "y", "x")
 
+  /** Date-partitioned parquet layout of `events`, written once per JVM — the
+    * physical form of F1 file pruning: the day predicate is satisfied by
+    * DIRECTORY pruning (`PartitionFilters` in the scan), so files outside the
+    * day are never opened. At 100 TB this layout choice, not any operator, is
+    * what bounds a time-ranged query's I/O.
+    */
+  private val partitionedFor = scala.collection.mutable.Map[String, String]()
+  private def partitionedEventsDir(s: SparkSession, d: String): String =
+    partitionedFor.synchronized {
+      partitionedFor.getOrElseUpdate(d, {
+        val dir = java.nio.file.Files.createTempDirectory("graft-part").toFile.getAbsolutePath
+        graft.Tables.events(s, d)
+          .withColumn("day", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("day").parquet(dir)
+        dir
+      })
+    }
+
+  private def qScanPartitioned(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(partitionedEventsDir(s, d))
+      .filter(col("day") === lit("2024-01-15").cast("date"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsv2_select" -> qDsv2Select,
     "q_dsv2_agg" -> qDsv2Agg,
     "q_scan_uri" -> qScanUri,
+    "q_scan_partitioned" -> qScanPartitioned,
     "q_grid_file" -> qGridFile
   )
 
@@ -99,6 +125,10 @@ object SourceQueries extends QueryModule {
         |GROUP BY ts ORDER BY ts""".stripMargin),
     "q_scan_uri" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_scan_partitioned" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE date_trunc('day', ts) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_grid_file" -> (GridData.oracleCells +
       """SELECT ts, y, x, lat, lon, value FROM cells
         |WHERE variable = 'tasmin'

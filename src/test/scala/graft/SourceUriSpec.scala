@@ -30,6 +30,18 @@ class SourceUriSpec extends AnyFunSuite {
     assert(viaUri.exceptAll(barePath).isEmpty && barePath.exceptAll(viaUri).isEmpty)
   }
 
+  test("date-partitioned layout prunes at the directory level") {
+    val df = sources.SourceQueries.queries("q_scan_partitioned")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-15"), plan)
+    val total = df.select(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val expect = Tables.events(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")) === "2024-01-15")
+      .count()
+    assert(total == expect && total > 0)
+  }
+
   test("declared q_scan_uri returns the nation table in key order") {
     val rows = sources.SourceQueries
       .queries("q_scan_uri")(spark, TestSpark.sf).collect()
