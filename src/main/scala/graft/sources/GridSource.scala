@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -117,10 +118,12 @@ class GridTable extends Table with SupportsRead {
 }
 
 class GridScanBuilder extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var section = GridSource.Section()
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GridSource.schema
+  private var aggPlan: Option[Seq[GridAgg]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, rest) = filters.partition { f =>
@@ -137,8 +140,106 @@ class GridScanBuilder extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GridScan(section, required, pushed)
+  /** COUNT(*) / MIN / MAX over the index and coordinate columns are pure
+    * metadata: the section bounds answer them without generating (or, in the
+    * file path, reading) a single cell — the DSv2 form of "the catalog
+    * answers it" (the reference reads ranges from attributes/coord arrays,
+    * `Gddp.scala:121-130`, never the cube). Spark only offers complete
+    * pushdown when every filter was already pushed, so the section is exact.
+    * `value` aggregates are refused — NODATA nulls require scanning.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    GridAgg.translate(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    GridAgg.translate(agg) match {
+      case some @ Some(_) => aggPlan = some; true
+      case None => false
+    }
+
+  override def build(): Scan = aggPlan match {
+    case Some(plan) => new GridAggScan(section, plan)
+    case None => new GridScan(section, required, pushed)
+  }
 }
+
+/** One pushed aggregate column over the grid's metadata dimensions. */
+sealed trait GridAgg
+object GridAgg {
+  case object CountAll extends GridAgg
+  final case class MinOf(field: String) extends GridAgg
+  final case class MaxOf(field: String) extends GridAgg
+
+  private val metaCols = Set("ts", "y", "x", "lat", "lon")
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+
+  def translate(agg: Aggregation): Option[Seq[GridAgg]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val out = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CountAll)
+      case m: Min => colName(m.column).filter(metaCols).map(MinOf)
+      case m: Max => colName(m.column).filter(metaCols).map(MaxOf)
+      case _ => None
+    }
+    if (out.forall(_.isDefined)) Some(out.flatten) else None
+  }
+
+  def fieldType(f: String): DataType = f match {
+    case "ts" => TimestampType
+    case "y" | "x" => IntegerType
+    case _ => DoubleType
+  }
+
+  /** Evaluate one aggregate from the (exactly-filtered) section bounds. */
+  def eval(a: GridAgg, s: GridSource.Section): Any = {
+    val count = s.vars.size.toLong *
+      math.max(s.t1 - s.t0 + 1, 0) * math.max(s.y1 - s.y0 + 1, 0) * math.max(s.x1 - s.x0 + 1, 0)
+    def bound(f: String, lo: Boolean): Any = f match {
+      case "ts" => s.epoch + (if (lo) s.t0 else s.t1).toLong * s.step
+      case "y" => if (lo) s.y0 else s.y1
+      case "x" => if (lo) s.x0 else s.x1
+      case "lat" => 44.0 + (if (lo) s.y0 else s.y1) * 0.05
+      case "lon" => -80.0 + (if (lo) s.x0 else s.x1) * 0.05
+    }
+    a match {
+      case CountAll => count
+      case MinOf(f) => if (count == 0) null else bound(f, lo = true)
+      case MaxOf(f) => if (count == 0) null else bound(f, lo = false)
+    }
+  }
+}
+
+/** Completely-pushed aggregate: one partition, one row, zero cells read. */
+class GridAggScan(section: GridSource.Section, plan: Seq[GridAgg]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(plan.zipWithIndex.map {
+    case (GridAgg.CountAll, i) => StructField(s"agg$i", LongType, nullable = false)
+    case (GridAgg.MinOf(f), i) => StructField(s"agg$i", GridAgg.fieldType(f), nullable = true)
+    case (GridAgg.MaxOf(f), i) => StructField(s"agg$i", GridAgg.fieldType(f), nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GridAggScan section=$section pushedAggregates=[${plan.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GridAggPartition(section, plan))
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val part = p.asInstanceOf[GridAggPartition]
+        private var emitted = false
+        override def next(): Boolean = if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow =
+          InternalRow.fromSeq(part.plan.map(a => GridAgg.eval(a, part.section)))
+        override def close(): Unit = ()
+      }
+  }
+}
+
+case class GridAggPartition(section: GridSource.Section, plan: Seq[GridAgg])
+  extends InputPartition
 
 class GridScan(section: GridSource.Section, required: StructType, pushed: Array[Filter])
     extends Scan with Batch {

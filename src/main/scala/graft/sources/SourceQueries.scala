@@ -26,6 +26,17 @@ object SourceQueries extends QueryModule {
       .select("ts", "y", "x", "lat", "lon", "value")
       .orderBy("ts", "y", "x")
 
+  /** Completely-pushed metadata aggregate: COUNT/MIN/MAX over index and
+    * coordinate columns are answered from the section bounds — the scan emits
+    * ONE row and generates zero cells (`GridAggScan`). The reference answers
+    * the same questions from file attributes/coord arrays (`Gddp.scala:121-130`).
+    */
+  private def qDsv2Count(s: SparkSession, d: String): DataFrame =
+    gridTable(s)
+      .filter(col("variable") === "tasmax" && col("y").between(3, 12) && col("x") < 20)
+      .agg(count(lit(1)).as("n_cells"), min("ts").as("ts_min"),
+        max("x").as("x_max"), min("lat").as("lat_min"))
+
   /** Aggregate over the pushed-down slice (only the slice is generated). */
   private def qDsv2Agg(s: SparkSession, d: String): DataFrame =
     gridTable(s)
@@ -107,6 +118,7 @@ object SourceQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsv2_select" -> qDsv2Select,
     "q_dsv2_agg" -> qDsv2Agg,
+    "q_dsv2_count" -> qDsv2Count,
     "q_scan_uri" -> qScanUri,
     "q_scan_partitioned" -> qScanPartitioned,
     "q_grid_file" -> qGridFile
@@ -123,6 +135,11 @@ object SourceQueries extends QueryModule {
       """SELECT ts, count(value) AS n_obs, round(avg(value), 4) AS mean_v
         |FROM cells WHERE variable = 'tasmin' AND y < 10
         |GROUP BY ts ORDER BY ts""".stripMargin),
+    "q_dsv2_count" -> (GridData.oracleCells +
+      """SELECT count(*) AS n_cells, min(ts) AS ts_min,
+        |  CAST(max(x) AS INT) AS x_max, min(lat) AS lat_min
+        |FROM cells
+        |WHERE variable = 'tasmax' AND y BETWEEN 3 AND 12 AND x < 20""".stripMargin),
     "q_scan_uri" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_scan_partitioned" ->

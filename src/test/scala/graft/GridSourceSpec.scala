@@ -19,6 +19,31 @@ class GridSourceSpec extends AnyFunSuite {
     assert(fromRange.except(fromSource).count() == 0)
   }
 
+  test("metadata aggregates push completely: one row, zero cells generated") {
+    val df = SourceQueries.gridTable(spark)
+      .filter(col("variable") === "tasmin" && col("y") >= 5 && col("x").between(2, 9))
+      .agg(count(lit(1)).as("n"), min("y").as("y_min"), max("lon").as("lon_max"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GridAggScan"), plan)
+    val row = df.collect()(0)
+    val expect = GridData.cells(spark)
+      .filter(col("variable") === "tasmin" && col("y") >= 5 && col("x").between(2, 9))
+      .agg(count(lit(1)), min("y"), max("lon")).collect()(0)
+    assert(row == expect, s"pushed $row vs computed $expect")
+  }
+
+  test("aggregates the section cannot answer (value, groupBy) do NOT push") {
+    val grouped = SourceQueries.gridTable(spark)
+      .groupBy("variable").agg(count(lit(1)))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("GridAggScan"))
+    val onValue = SourceQueries.gridTable(spark).agg(min("value"))
+    assert(!onValue.queryExecution.executedPlan.toString.contains("GridAggScan"))
+    // and the value aggregate still computes correctly through the scan
+    val got = onValue.collect()(0).getDouble(0)
+    val expect = GridData.cells(spark).agg(min("value")).collect()(0).getDouble(0)
+    assert(got == expect)
+  }
+
   test("variable + time predicates prune partitions at planning time") {
     val full = SourceQueries.gridTable(spark)
     assert(full.rdd.getNumPartitions == 2 * GridData.T)
