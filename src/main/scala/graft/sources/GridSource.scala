@@ -329,7 +329,8 @@ class FileGridTable(dir: String) extends Table with SupportsRead {
   * whole files, ts/y/x ranges narrow the Section each partition reads.
   */
 class FileGridScanBuilder(files: Seq[(String, GridFile.Header)]) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private val dims = files.head._2
   private var section = GridSource.Section(
     t1 = dims.t - 1, y1 = dims.y - 1, x1 = dims.x - 1,
@@ -337,6 +338,7 @@ class FileGridScanBuilder(files: Seq[(String, GridFile.Header)]) extends ScanBui
   private var varNames: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GridSource.schema
+  private var aggPlan: Option[Seq[GridAgg]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, rest) = filters.partition {
@@ -359,11 +361,95 @@ class FileGridScanBuilder(files: Seq[(String, GridFile.Header)]) extends ScanBui
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = {
-    val keep = files.filter { case (_, h) => varNames.forall(_.contains(h.variable)) }
-    new FileGridScan(keep, section, required, pushed)
+  /** Same metadata-aggregate contract as the generator path, answered from
+    * the file HEADERS (dims + coord affine) — the literal "metadata read"
+    * (`Gddp.scala:121-130`): no data bytes are touched.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    GridAgg.translate(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    GridAgg.translate(agg) match {
+      case some @ Some(_) => aggPlan = some; true
+      case None => false
+    }
+
+  private def kept: Seq[(String, GridFile.Header)] =
+    files.filter { case (_, h) => varNames.forall(_.contains(h.variable)) }
+
+  override def build(): Scan = aggPlan match {
+    case Some(plan) => new FileGridAggScan(kept.map(_._2), section, plan)
+    case None => new FileGridScan(kept, section, required, pushed)
   }
 }
+
+/** Header-answered aggregate over the file-backed table: per-file section
+  * clamp → closed-form count / bounds, combined across surviving files.
+  */
+class FileGridAggScan(headers: Seq[GridFile.Header], section: GridSource.Section,
+    plan: Seq[GridAgg]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(plan.zipWithIndex.map {
+    case (GridAgg.CountAll, i) => StructField(s"agg$i", LongType, nullable = false)
+    case (GridAgg.MinOf(f), i) => StructField(s"agg$i", GridAgg.fieldType(f), nullable = true)
+    case (GridAgg.MaxOf(f), i) => StructField(s"agg$i", GridAgg.fieldType(f), nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FileGridAggScan files=${headers.map(_.variable).mkString(",")} section=$section " +
+      s"pushedAggregates=[${plan.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FileGridAggPartition(headers, section, plan))
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val part = p.asInstanceOf[FileGridAggPartition]
+        private var emitted = false
+        override def next(): Boolean = if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow = {
+          val s = part.section
+          val perFile = part.headers.map { h =>
+            val clamped = s.copy(t1 = math.min(s.t1, h.t - 1),
+              y1 = math.min(s.y1, h.y - 1), x1 = math.min(s.x1, h.x - 1))
+            (h, clamped, 1L * math.max(clamped.t1 - clamped.t0 + 1, 0) *
+              math.max(clamped.y1 - clamped.y0 + 1, 0) *
+              math.max(clamped.x1 - clamped.x0 + 1, 0))
+          }.filter(_._3 > 0)
+          def bound(h: GridFile.Header, c: GridSource.Section, f: String, lo: Boolean): Any =
+            f match {
+              case "ts" => h.epochMicros + (if (lo) c.t0 else c.t1).toLong * h.stepMicros
+              case "y" => if (lo) c.y0 else c.y1
+              case "x" => if (lo) c.x0 else c.x1
+              case "lat" => h.lat0 + (if (lo) c.y0 else c.y1) * h.dlat
+              case "lon" => h.lon0 + (if (lo) c.x0 else c.x1) * h.dlon
+            }
+          def combine(f: String, lo: Boolean): Any =
+            if (perFile.isEmpty) null
+            else {
+              val vs = perFile.map { case (h, c, _) => bound(h, c, f, lo) }
+              f match {
+                case "y" | "x" =>
+                  val is = vs.map(_.asInstanceOf[Int]); if (lo) is.min else is.max
+                case "ts" =>
+                  val ls = vs.map(_.asInstanceOf[Long]); if (lo) ls.min else ls.max
+                case _ =>
+                  val ds = vs.map(_.asInstanceOf[Double]); if (lo) ds.min else ds.max
+              }
+            }
+          InternalRow.fromSeq(part.plan.map {
+            case GridAgg.CountAll => perFile.map(_._3).sum
+            case GridAgg.MinOf(f) => combine(f, lo = true)
+            case GridAgg.MaxOf(f) => combine(f, lo = false)
+          })
+        }
+        override def close(): Unit = ()
+      }
+  }
+}
+
+case class FileGridAggPartition(headers: Seq[GridFile.Header],
+  section: GridSource.Section, plan: Seq[GridAgg]) extends InputPartition
 
 class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Section,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch {

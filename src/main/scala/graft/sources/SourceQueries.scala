@@ -97,7 +97,7 @@ object SourceQueries extends QueryModule {
     * what bounds a time-ranged query's I/O.
     */
   private val partitionedFor = scala.collection.mutable.Map[String, String]()
-  private def partitionedEventsDir(s: SparkSession, d: String): String =
+  def partitionedEventsDir(s: SparkSession, d: String): String =
     partitionedFor.synchronized {
       partitionedFor.getOrElseUpdate(d, {
         val dir = java.nio.file.Files.createTempDirectory("graft-part").toFile.getAbsolutePath

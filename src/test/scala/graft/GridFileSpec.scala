@@ -72,4 +72,22 @@ class GridFileSpec extends AnyFunSuite {
   test("empty section (contradictory range) yields zero rows, no crash") {
     assert(fileTable.filter(col("x") > 100).count() == 0)
   }
+
+  test("metadata aggregates are answered from headers without reading data bytes") {
+    val df = fileTable
+      .filter(col("variable") === "tasmax" && col("ts") >= lit("1990-01-04 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("n"), min("ts").as("ts_min"),
+        max("lat").as("lat_max"), min("x").as("x_min"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FileGridAggScan"), plan)
+    val got = df.collect()(0)
+    val expect = GridData.cells(spark)
+      .filter(col("variable") === "tasmax" && col("ts") >= lit("1990-01-04 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)), min("ts"), max("lat"), min("x")).collect()(0)
+    assert(got == expect, s"pushed $got vs computed $expect")
+    // and a value aggregate refuses pushdown but still reads correctly
+    val v = fileTable.agg(round(avg("value"), 4)).collect()(0).getDouble(0)
+    val ev = GridData.cells(spark).agg(round(avg("value"), 4)).collect()(0).getDouble(0)
+    assert(v == ev)
+  }
 }
