@@ -32,6 +32,15 @@ class GridSourceSpec extends AnyFunSuite {
     assert(row == expect, s"pushed $row vs computed $expect")
   }
 
+  test("pushed aggregate over an empty section: count 0, min/max NULL") {
+    val df = SourceQueries.gridTable(spark)
+      .filter(col("x") > 100) // contradicts the grid extent
+      .agg(count(lit(1)).as("n"), min("ts").as("ts_min"), max("y").as("y_max"))
+    assert(df.queryExecution.executedPlan.toString.contains("GridAggScan"))
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 0L && row.isNullAt(1) && row.isNullAt(2), row.toString)
+  }
+
   test("aggregates the section cannot answer (value, groupBy) do NOT push") {
     val grouped = SourceQueries.gridTable(spark)
       .groupBy("variable").agg(count(lit(1)))
