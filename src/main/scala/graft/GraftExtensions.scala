@@ -31,18 +31,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
+  // Builders run BEFORE analysis finishes, so no implicit casts will be
+  // inserted around what they return — every argument type the expressions
+  // don't natively read (SQL numeric literals arrive as DECIMAL arrays) must
+  // be cast here explicitly.
+  private def numArray(e: Expression): Expression = {
+    import org.apache.spark.sql.types._
+    e.dataType match {
+      case ArrayType(DoubleType | FloatType | IntegerType | LongType, _) => e
+      case ArrayType(_, n) => Cast(e, ArrayType(DoubleType, n))
+      case _ => e // non-array: let analysis raise its own type error
+    }
+  }
+  private def longArray(e: Expression): Expression = {
+    import org.apache.spark.sql.types._
+    e.dataType match {
+      case ArrayType(LongType, _) => e
+      case ArrayType(_, n) => Cast(e, ArrayType(LongType, n))
+      case _ => e
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(numArray(args(0)), numArray(args(1)))))
     ext.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(numArray(args(0)), numArray(args(1)))))
     ext.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      (args: Seq[Expression]) => SimHash64(longArray(args(0)))))
     ext.injectFunction((FunctionIdentifier("point_in_polygon"), info("point_in_polygon"),
       (args: Seq[Expression]) => {
         require(args.length == 3, "point_in_polygon(lat, lon, ring)")
         require(args(2).foldable, "ring must be a constant array")
-        val ring = args(2).eval().asInstanceOf[ArrayData].toDoubleArray()
+        // toDoubleArray needs exactly double elements — cast any other
+        // numeric element type (decimal literals, floats) first
+        val ringExpr = args(2).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _) => args(2)
+          case _ => Cast(args(2), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))
+        }
+        val ring = ringExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
         // SQL literals/arithmetic may arrive as DECIMAL; the expression (and
         // the envelope rule) require double children. Builders run before
         // analysis completes, so insert the casts explicitly.

@@ -24,6 +24,13 @@ object GridData {
   val PerVar: Int = T * Y * X // 4800
   val N: Int = 2 * PerVar
 
+  /** The grid's coordinate affine — THE single definition; the generator, the
+    * DSv2 readers, and the pushed-aggregate bounds all reference these (the
+    * DuckDB oracle string interpolates them), so they cannot drift apart.
+    */
+  val Lat0 = 44.0; val DLat = 0.05
+  val Lon0 = -80.0; val DLon = 0.05
+
   /** The reference's checked-in query polygon (`geojson.json:1`, Kawartha
     * Lakes rectangle), as (lon, lat) pairs.
     */
@@ -47,8 +54,8 @@ object GridData {
         expr("timestampadd(HOUR, CAST(t * 24 AS INT), TIMESTAMP '1990-01-01 00:00:00')")
           .as("ts"),
         col("y").cast("int").as("y"), col("x").cast("int").as("x"),
-        (lit(44.0d) + col("y") * 0.05d).as("lat"),
-        (lit(-80.0d) + col("x") * 0.05d).as("lon"),
+        (lit(Lat0) + col("y") * DLat).as("lat"),
+        (lit(Lon0) + col("x") * DLon).as("lon"),
         when((col("t") + col("y") + col("x")) % 17 === 0, lit(null))
           .otherwise(((col("t") * 31 + col("y") * 7 + col("x") * 13 + col("v") * 5) % 100)
             .cast("double") / 2.0d - 10.0d).as("value"))

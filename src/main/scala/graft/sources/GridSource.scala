@@ -88,21 +88,33 @@ object GridSource {
       case GreaterThan("x", v: Int) => Some(copy(x0 = math.max(x0, v + 1)))
       case LessThanOrEqual("x", v: Int) => Some(copy(x1 = math.min(x1, v)))
       case LessThan("x", v: Int) => Some(copy(x1 = math.min(x1, v - 1)))
-      case GreaterThanOrEqual("ts", ts) => tsToT(ts).map(t => copy(t0 = math.max(t0, t)))
-      case LessThanOrEqual("ts", ts) => tsToT(ts).map(t => copy(t1 = math.min(t1, t)))
-      case GreaterThan("ts", ts) => tsToT(ts).map(t => copy(t0 = math.max(t0, t + 1)))
-      case LessThan("ts", ts) => tsToT(ts).map(t => copy(t1 = math.min(t1, t - 1)))
+      // cells exist ONLY at exact step multiples, so the index range below is
+      // EXACT for any bound (sub-day bounds included): lower bounds take the
+      // ceiling slice (strict: the next slice when the bound sits on one),
+      // upper bounds the floor slice (strict: the previous one). This matters
+      // because pushFilters claims these filters fully handled — a merely
+      // day-floored mapping would emit day-start rows that violate a mid-day
+      // lower bound, and the pushed aggregates trust the same exactness.
+      case GreaterThanOrEqual("ts", ts) =>
+        tsMicrosOf(ts).map(m => copy(t0 = math.max(t0, ceilDiv(m - epoch, step))))
+      case LessThanOrEqual("ts", ts) =>
+        tsMicrosOf(ts).map(m => copy(t1 = math.min(t1, floorDiv(m - epoch, step))))
+      case GreaterThan("ts", ts) =>
+        tsMicrosOf(ts).map(m => copy(t0 = math.max(t0, floorDiv(m - epoch, step) + 1)))
+      case LessThan("ts", ts) =>
+        tsMicrosOf(ts).map(m => copy(t1 = math.min(t1, ceilDiv(m - epoch, step) - 1)))
       case _ => None
     }
 
-    /** day index containing the timestamp bound (conservative: callers clamp
-      * with ceil/floor via the +1/-1 in narrow's strict cases).
-      */
-    private def tsToT(v: Any): Option[Int] = v match {
+    private def floorDiv(a: Long, b: Long): Int = math.floorDiv(a, b).toInt
+    private def ceilDiv(a: Long, b: Long): Int = (-math.floorDiv(-a, b)).toInt
+
+    // full microsecond precision (Timestamp.getTime alone drops sub-ms)
+    private def tsMicrosOf(v: Any): Option[Long] = v match {
       case t: java.sql.Timestamp =>
-        Some(math.floor((t.getTime * 1000L - epoch) / step.toDouble).toInt)
+        Some(math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
       case i: java.time.Instant =>
-        Some(math.floor((i.toEpochMilli * 1000L - epoch) / step.toDouble).toInt)
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
       case _ => None
     }
   }
@@ -194,16 +206,25 @@ object GridAgg {
     case _ => DoubleType
   }
 
+  /** min/max of an affine `c0 + i*d` over `[i0, i1]` — endpoint-safe for
+    * either sign of `d` (descending north-up rasters have `dlat < 0`).
+    */
+  def affineBound(c0: Double, d: Double, i0: Int, i1: Int, lo: Boolean): Double = {
+    val (a, b) = (c0 + i0 * d, c0 + i1 * d)
+    if (lo) math.min(a, b) else math.max(a, b)
+  }
+
   /** Evaluate one aggregate from the (exactly-filtered) section bounds. */
   def eval(a: GridAgg, s: GridSource.Section): Any = {
+    import graft.domain.GridData.{DLat, DLon, Lat0, Lon0}
     val count = s.vars.size.toLong *
       math.max(s.t1 - s.t0 + 1, 0) * math.max(s.y1 - s.y0 + 1, 0) * math.max(s.x1 - s.x0 + 1, 0)
     def bound(f: String, lo: Boolean): Any = f match {
       case "ts" => s.epoch + (if (lo) s.t0 else s.t1).toLong * s.step
       case "y" => if (lo) s.y0 else s.y1
       case "x" => if (lo) s.x0 else s.x1
-      case "lat" => 44.0 + (if (lo) s.y0 else s.y1) * 0.05
-      case "lon" => -80.0 + (if (lo) s.x0 else s.x1) * 0.05
+      case "lat" => affineBound(Lat0, DLat, s.y0, s.y1, lo)
+      case "lon" => affineBound(Lon0, DLon, s.x0, s.x1, lo)
     }
     a match {
       case CountAll => count
@@ -281,8 +302,8 @@ class GridReader(p: GridPartition, required: StructType) extends PartitionReader
       case "ts" => (_: Int, _: Int) => GridSource.tsMicros(p.t)
       case "y" => (yy: Int, _: Int) => yy
       case "x" => (_: Int, xx: Int) => xx
-      case "lat" => (yy: Int, _: Int) => 44.0 + yy * 0.05
-      case "lon" => (_: Int, xx: Int) => -80.0 + xx * 0.05
+      case "lat" => (yy: Int, _: Int) => graft.domain.GridData.Lat0 + yy * graft.domain.GridData.DLat
+      case "lon" => (_: Int, xx: Int) => graft.domain.GridData.Lon0 + xx * graft.domain.GridData.DLon
       case "value" => (yy: Int, xx: Int) =>
         if ((p.t + yy + xx) % 17 == 0) null
         else ((p.t * 31 + yy * 7 + xx * 13 + p.v * 5) % 100).toDouble / 2.0 - 10.0
@@ -316,6 +337,20 @@ class FileGridTable(dir: String) extends Table with SupportsRead {
       .map(f => f.getAbsolutePath -> GridFile.readHeader(f.getAbsolutePath)).toSeq
 
   require(files.nonEmpty, s"no .grf files in $dir")
+  // one table = one grid layout: the scan narrows ONE Section (dims, time
+  // base, coord affine taken from the first header), so every file must share
+  // them — a mismatched file would otherwise be read at wrong byte offsets.
+  // Reject loudly at metadata-open time instead.
+  locally {
+    val h0 = files.head._2
+    files.foreach { case (p, h) =>
+      require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&
+        h.epochMicros == h0.epochMicros && h.stepMicros == h0.stepMicros &&
+        h.lat0 == h0.lat0 && h.dlat == h0.dlat && h.lon0 == h0.lon0 && h.dlon == h0.dlon,
+        s"$p: heterogeneous grid layout — dims/time-base/coord-affine must match ${files.head._1}")
+    }
+    require(h0.stepMicros > 0, s"${files.head._1}: non-positive time step")
+  }
 
   override def name(): String = s"graft_grid_files($dir)"
   override def schema(): StructType = GridSource.schema
@@ -421,8 +456,8 @@ class FileGridAggScan(headers: Seq[GridFile.Header], section: GridSource.Section
               case "ts" => h.epochMicros + (if (lo) c.t0 else c.t1).toLong * h.stepMicros
               case "y" => if (lo) c.y0 else c.y1
               case "x" => if (lo) c.x0 else c.x1
-              case "lat" => h.lat0 + (if (lo) c.y0 else c.y1) * h.dlat
-              case "lon" => h.lon0 + (if (lo) c.x0 else c.x1) * h.dlon
+              case "lat" => GridAgg.affineBound(h.lat0, h.dlat, c.y0, c.y1, lo)
+              case "lon" => GridAgg.affineBound(h.lon0, h.dlon, c.x0, c.x1, lo)
             }
           def combine(f: String, lo: Boolean): Any =
             if (perFile.isEmpty) null

@@ -41,6 +41,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(2) == 0L)
   }
 
+  test("SQL numeric-literal arrays (decimal/int) are cast, not crashed on") {
+    val row = ext.sql(
+      """SELECT dot_product(array(1.0, 2.0), array(3.0, 4.0)) AS d,
+        |       round(cosine_sim(array(1.0, 0.0), array(1.0, 0.0)), 6) AS c,
+        |       simhash64(array(1, 2, 3)) AS s1,
+        |       simhash64(array(1L, 2L, 3L)) AS s2""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getDouble(1) == 1.0)
+    assert(row.getLong(2) == row.getLong(3)) // int array widens to the long-array result
+  }
+
   test("SQL point_in_polygon matches the Scala ray-cast") {
     val ring = Seq((-79.5, 44.1), (-79.0, 44.1), (-79.0, 44.4), (-79.5, 44.4), (-79.5, 44.1))
     val sqlHits = ext.sql(

@@ -73,6 +73,32 @@ class GridFileSpec extends AnyFunSuite {
     assert(fileTable.filter(col("x") > 100).count() == 0)
   }
 
+  test("heterogeneous .grf layouts are rejected at metadata-open, not read at wrong offsets") {
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-grf-bad").toFile.getAbsolutePath
+    GridFile.write(s"$dir2/a.grf", "a", 2, 4, 4, 0L, 1000000L, 0.0, 1.0, 0.0, 1.0) {
+      (_, _, _) => Some(1.0) }
+    GridFile.write(s"$dir2/b.grf", "b", 2, 8, 8, 0L, 1000000L, 0.0, 1.0, 0.0, 1.0) {
+      (_, _, _) => Some(2.0) }
+    val e = intercept[Exception] {
+      spark.read.format(classOf[GridSource].getName).option("path", dir2).load().count()
+    }
+    assert(e.getMessage.contains("heterogeneous"), e.getMessage)
+  }
+
+  test("descending-latitude rasters: pushed min/max(lat) keep orientation-correct bounds") {
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-grf-desc").toFile.getAbsolutePath
+    // north-up raster: row 0 at lat 50.0, stepping south
+    GridFile.write(s"$dir2/v.grf", "v", 2, 5, 3, 0L, 86400000000L, 50.0, -0.5, 10.0, 0.5) {
+      (t, y, x) => Some((t * 100 + y * 10 + x).toDouble) }
+    val tbl = spark.read.format(classOf[GridSource].getName).option("path", dir2).load()
+    val pushed = tbl.agg(org.apache.spark.sql.functions.min("lat"),
+      org.apache.spark.sql.functions.max("lat")).collect()(0)
+    assert(pushed.getDouble(0) == 48.0 && pushed.getDouble(1) == 50.0, pushed.toString)
+    // matches the row-scan answer
+    val scan = tbl.select("lat").distinct().collect().map(_.getDouble(0))
+    assert(scan.min == 48.0 && scan.max == 50.0)
+  }
+
   test("metadata aggregates are answered from headers without reading data bytes") {
     val df = fileTable
       .filter(col("variable") === "tasmax" && col("ts") >= lit("1990-01-04 00:00:00").cast("timestamp"))

@@ -32,6 +32,23 @@ class GridSourceSpec extends AnyFunSuite {
     assert(row == expect, s"pushed $row vs computed $expect")
   }
 
+  test("sub-day ts bounds narrow exactly (no day-floor leakage through claimed-handled filters)") {
+    // cells sit at day starts; a mid-day lower bound must exclude that day
+    for ((cond, tag) <- Seq(
+      (col("ts") >= lit("1990-01-02 12:00:00").cast("timestamp"), "gte-mid"),
+      (col("ts") > lit("1990-01-02 00:00:00").cast("timestamp"), "gt-exact"),
+      (col("ts") < lit("1990-01-02 12:00:00").cast("timestamp"), "lt-mid"),
+      (col("ts") <= lit("1990-01-02 00:00:00").cast("timestamp"), "lte-exact"))) {
+      val pushed = SourceQueries.gridTable(spark).filter(cond)
+      val expect = GridData.cells(spark).filter(cond)
+      assert(pushed.count() == expect.count(), tag)
+      // the pushed COUNT(*) aggregate trusts the same section
+      val aggN = SourceQueries.gridTable(spark).filter(cond)
+        .agg(count(lit(1))).collect()(0).getLong(0)
+      assert(aggN == expect.count(), s"$tag (agg)")
+    }
+  }
+
   test("pushed aggregate over an empty section: count 0, min/max NULL") {
     val df = SourceQueries.gridTable(spark)
       .filter(col("x") > 100) // contradicts the grid extent
