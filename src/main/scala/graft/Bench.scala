@@ -34,6 +34,7 @@ object Bench {
       // timed queries then measure the query, not the layout write
       operators.Relational.prepareBucketedLayout(spark, sfDir)
       sources.SourceQueries.partitionedEventsDir(spark, sfDir)
+      similarity.Similarity.prepareIvfIndex(spark, sfDir)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

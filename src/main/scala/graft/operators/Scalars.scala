@@ -64,6 +64,24 @@ object Scalars extends QueryModule {
         regexp_replace(col("props"), "[0-9]", "#").as("masked"))
       .orderBy("event_id")
 
+  /** Map functions (§2B array/map row): build a map per event, then read it
+    * back through element_at / size / map_keys / transform_values. Outputs
+    * are scalars (the driver's hash compare cannot digest map cells), and the
+    * oracle states the expected values independently — checking the map ops'
+    * semantics, not echoing them.
+    */
+  private def qMapFuncs(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(col("event_id"),
+        map(lit("type"), col("event_type"),
+          lit("uid"), col("user_id").cast("string")).as("m"))
+      .select(col("event_id"),
+        element_at(col("m"), "type").as("etype"),
+        size(col("m")).as("msize"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
+        element_at(transform_values(col("m"), (_, v) => upper(v)), "type").as("etype_up"))
+      .orderBy("event_id")
+
   private def dsum(c: Column): Column =
     aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double"))
 
@@ -94,6 +112,7 @@ object Scalars extends QueryModule {
     "q_mathfuncs" -> qMathfuncs,
     "q_json" -> qJson,
     "q_regexp" -> qRegexp,
+    "q_map_funcs" -> qMapFuncs,
     "q_array" -> qArray
   )
 
@@ -135,6 +154,14 @@ object Scalars extends QueryModule {
       """SELECT event_id,
         |  regexp_extract(props, '([0-9]+)', 1) AS digits,
         |  regexp_replace(props, '[0-9]', '#', 'g') AS masked
+        |FROM events ORDER BY event_id""".stripMargin,
+    // independent statement of what the map round-trip must produce
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  event_type AS etype,
+        |  2 AS msize,
+        |  'type,uid' AS keys,
+        |  upper(event_type) AS etype_up
         |FROM events ORDER BY event_id""".stripMargin,
     "q_array" ->
       """SELECT vec_id,

