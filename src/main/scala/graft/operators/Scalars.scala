@@ -54,6 +54,18 @@ object Scalars extends QueryModule {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** String-distance and transformation scalars (fuzzy matching is a staple
+    * of entity-resolution / dedup pipelines).
+    */
+  private def qStrDistance(s: SparkSession, d: String): DataFrame =
+    T.nation(s, d)
+      .select(col("n_nationkey"),
+        levenshtein(col("n_name"), lit("CANADA")).as("lev"),
+        lpad(col("n_nationkey").cast("string"), 4, "0").as("padded"),
+        reverse(col("n_name")).as("rev"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("tr"))
+      .orderBy("n_nationkey")
+
   /** Regex extraction (group 1 digits out of the props JSON string) — kept to
     * POSIX-compatible pattern syntax so Java and RE2-family engines agree.
     */
@@ -112,6 +124,7 @@ object Scalars extends QueryModule {
     "q_mathfuncs" -> qMathfuncs,
     "q_json" -> qJson,
     "q_regexp" -> qRegexp,
+    "q_str_distance" -> qStrDistance,
     "q_map_funcs" -> qMapFuncs,
     "q_array" -> qArray
   )
@@ -155,6 +168,13 @@ object Scalars extends QueryModule {
         |  regexp_extract(props, '([0-9]+)', 1) AS digits,
         |  regexp_replace(props, '[0-9]', '#', 'g') AS masked
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_str_distance" ->
+      """SELECT n_nationkey,
+        |  CAST(levenshtein(n_name, 'CANADA') AS INT) AS lev,
+        |  lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+        |  reverse(n_name) AS rev,
+        |  translate(n_name, 'AEIOU', 'aeiou') AS tr
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     // independent statement of what the map round-trip must produce
     "q_map_funcs" ->
       """SELECT event_id,

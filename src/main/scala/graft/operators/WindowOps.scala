@@ -71,10 +71,27 @@ object WindowOps extends QueryModule {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Value-navigation family: first/last/nth over the full partition frame
+    * (last_value needs the unbounded-following frame or it degenerates to the
+    * current row — the classic window-function trap, made explicit here).
+    */
+  private def qWindowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_id"),
+        last(col("o_orderkey")).over(w).as("last_id"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_id"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rank" -> qWindowRank,
     "q_window_frame" -> qWindowFrame,
     "q_window_dist" -> qWindowDist,
+    "q_window_firstlast" -> qWindowFirstLast,
     "q_asof" -> qAsof
   )
 
@@ -104,6 +121,15 @@ object WindowOps extends QueryModule {
         |  lead(o_orderkey, 1) OVER w AS next_id
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_id,
+        |  last_value(o_orderkey) OVER w AS last_id,
+        |  nth_value(o_orderkey, 2) OVER w AS second_id
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_asof" ->
       """SELECT event_id, prior_id, prior_ts FROM (
