@@ -22,13 +22,17 @@ object Ivf {
 
   /** Index build is ingest-time layout work (like bucketing): train once per
     * (dataset, k, iters) per JVM and reuse — queries then measure probe cost,
-    * not training. Training itself is deterministic, so the cache is safe.
+    * not training. Per-key memoization (computeIfAbsent) so a cache hit — or
+    * training a different dataset — never blocks behind another key's
+    * multi-second training job. Assumes the input files are immutable for the
+    * JVM's lifetime (the same assumption every layout step here makes);
+    * re-ingesting a path in a resident session requires a new session or an
+    * explicit retrain.
     */
   private val centroidCache =
-    scala.collection.mutable.Map[(String, Int, Int), Seq[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[Array[Double]]]()
   def trainCached(emb: DataFrame, key: String, k: Int, iters: Int): Seq[Array[Double]] =
-    centroidCache.synchronized(
-      centroidCache.getOrElseUpdate((key, k, iters), train(emb, k, iters)))
+    centroidCache.computeIfAbsent((key, k, iters), _ => train(emb, k, iters))
 
   /** Deterministic k-means: init = first k vectors by vec_id, `iters` Lloyd
     * rounds; each round is one distributed assignment + one aggregation

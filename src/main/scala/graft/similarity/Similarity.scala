@@ -104,16 +104,17 @@ object Similarity extends QueryModule {
 
   /** IVF path (no oracle — approximate): k-means coarse cells, probe 2.
     * The quantizer comes from the per-JVM index cache (`Ivf.trainCached`) —
-    * Bench warms it so the query measures the probe, not index build.
+    * Bench warms it so the query measures the probe, not index build. The
+    * query and the warm-up share ONE train call (same constants), so tuning
+    * one cannot silently defeat the other.
     */
-  def prepareIvfIndex(s: SparkSession, d: String): Unit =
-    Ivf.trainCached(T.embeddings(s, d), d, k = 16, iters = 2)
+  val IvfK = 16; val IvfIters = 2
 
-  private def qCosineIvf(s: SparkSession, d: String): DataFrame = {
-    val emb = T.embeddings(s, d)
-    val cents = Ivf.trainCached(emb, d, k = 16, iters = 2)
-    Ivf.topK(emb, cents, queryId = 1L, k = 20, nprobe = 2)
-  }
+  def prepareIvfIndex(s: SparkSession, d: String): Seq[Array[Double]] =
+    Ivf.trainCached(T.embeddings(s, d), d, IvfK, IvfIters)
+
+  private def qCosineIvf(s: SparkSession, d: String): DataFrame =
+    Ivf.topK(T.embeddings(s, d), prepareIvfIndex(s, d), queryId = 1L, k = 20, nprobe = 2)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
