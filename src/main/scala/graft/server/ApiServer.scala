@@ -27,13 +27,19 @@ import graft.render.RenderSink
   * serves every request, so per-request latency is the query, not the JVM.
   * JSON via Spark's bundled json4s — no added dependencies.
   */
-class ApiServer(spark: SparkSession, port: Int = 0) {
+class ApiServer(spark: SparkSession, port: Int = 0,
+    grid: SparkSession => org.apache.spark.sql.DataFrame = GridData.cells) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
-  /** Serve `/getBoundary`: extent of the (dim-sized) distinct coord table. */
+  /** Serve `/getBoundary`: extent of the (dim-sized) distinct coord table.
+    * With the default generator grid this is a closed-form scan; with a
+    * file-backed grid (`grid = _.read.format(...).option("path", …).load()`)
+    * the min/max push down to the headers (`FileGridAggScan`) — the boundary
+    * request never reads a data byte, like the reference's hardcoded corners.
+    */
   private def boundary(): String = {
     val Array(latMin, latMax, lonMin, lonMax) =
-      GridData.cells(spark)
+      grid(spark)
         .agg(min("lat"), max("lat"), min("lon"), max("lon"))
         .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
     s"[[$latMin, $lonMin], [$latMax, $lonMax]]"
@@ -56,9 +62,16 @@ class ApiServer(spark: SparkSession, port: Int = 0) {
     QueryRequest(vars.split(",").map(_.trim).toSeq, start, end, ring)
   }
 
+  /** `GridQuery.select` prunes on a (file, variable) catalog; DSv2-backed
+    * grids carry no `file` column (the .grf layout is one file per variable),
+    * so synthesize it from the variable.
+    */
+  private def withFileColumn(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.columns.contains("file")) df else df.withColumn("file", col("variable"))
+
   /** select → color breaks → distributed PNG render → zip. */
   private[server] def fetchResult(req: QueryRequest): Array[Byte] = {
-    val sel = GridQuery.select(GridData.cells(spark), req)
+    val sel = GridQuery.select(withFileColumn(grid(spark)), req)
       .select("variable", "ts", "y", "x", "value")
     val nbins = 10
     // reference derives the color map from the selection's value range

@@ -75,6 +75,25 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("fetchResult over the FILE-backed grid serves the same PNG set from real bytes") {
+    val fileGrid = (s: org.apache.spark.sql.SparkSession) =>
+      s.read.format(classOf[graft.sources.GridSource].getName)
+        .option("path", graft.sources.SourceQueries.grfDir).load()
+    val srv = new ApiServer(spark, port = 0, grid = fileGrid)
+    val port = srv.start()
+    try {
+      val (bcode, bbody) = get(s"http://127.0.0.1:$port/getBoundary")
+      assert(bcode == 200)
+      val nums = """-?\d+\.\d+""".r.findAllIn(new String(bbody, "UTF-8")).map(_.toDouble).toSeq
+      assert(nums == Seq(44.0, -80.0, 44.95, -78.55))
+      val (code, body) = post(s"http://127.0.0.1:$port/fetchResult", request)
+      assert(code == 200, new String(body.take(200), "UTF-8"))
+      val zis = new ZipInputStream(new ByteArrayInputStream(body))
+      val entries = Iterator.continually(zis.getNextEntry).takeWhile(_ != null).map(_.getName).toSeq
+      assert(entries == (3 to 6).map(day => f"grid_tasmax_1990-01-0$day.png"))
+    } finally srv.stop()
+  }
+
   test("malformed request yields a 400, not a hung connection") {
     withServer { port =>
       val (code, _) = post(s"http://127.0.0.1:$port/fetchResult", """{"nope": 1}""")
