@@ -62,6 +62,13 @@ object GridSource {
 
   def tsMicros(t: Int): Long = epochMicros + t.toLong * 24 * 3600 * 1000000L
 
+  /** Estimated on-heap row width for statistics (7 columns, strings short). */
+  val RowWidthBytes = 64L
+
+  def sectionRows(s: Section): Long =
+    s.vars.size.toLong * math.max(s.t1 - s.t0 + 1, 0) *
+      math.max(s.y1 - s.y0 + 1, 0) * math.max(s.x1 - s.x0 + 1, 0)
+
   /** Inclusive index bounds per dimension, narrowed by pushed filters.
     * `epochMicros`/`stepMicros` map ts predicates to t indices; the defaults
     * are the generator grid's, the file-backed path passes its header's.
@@ -217,8 +224,7 @@ object GridAgg {
   /** Evaluate one aggregate from the (exactly-filtered) section bounds. */
   def eval(a: GridAgg, s: GridSource.Section): Any = {
     import graft.domain.GridData.{DLat, DLon, Lat0, Lon0}
-    val count = s.vars.size.toLong *
-      math.max(s.t1 - s.t0 + 1, 0) * math.max(s.y1 - s.y0 + 1, 0) * math.max(s.x1 - s.x0 + 1, 0)
+    val count = GridSource.sectionRows(s)
     def bound(f: String, lo: Boolean): Any = f match {
       case "ts" => s.epoch + (if (lo) s.t0 else s.t1).toLong * s.step
       case "y" => if (lo) s.y0 else s.y1
@@ -263,11 +269,22 @@ case class GridAggPartition(section: GridSource.Section, plan: Seq[GridAgg])
   extends InputPartition
 
 class GridScan(section: GridSource.Section, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GridScan section=$section pushed=[${pushed.mkString(", ")}]"
+
+  /** Exact statistics from the section (the closed form knows its own
+    * cardinality) — a narrowed slice reports a small size, so Catalyst can
+    * broadcast it in joins instead of defaulting to a conservative estimate.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = GridSource.sectionRows(section)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * GridSource.RowWidthBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
 
   /** One partition per (variable, t) slice inside the section — excluded
     * slices are never planned (partition pruning).
@@ -487,12 +504,28 @@ case class FileGridAggPartition(headers: Seq[GridFile.Header],
   section: GridSource.Section, plan: Seq[GridAgg]) extends InputPartition
 
 class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Section,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"FileGridScan files=${files.map(_._1).mkString(",")} section=$section " +
       s"pushed=[${pushed.mkString(", ")}]"
+
+  /** Exact cardinality from headers + section (homogeneous layout enforced
+    * at open, so one per-file clamp covers all files).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = files.headOption.map { case (_, h) =>
+      files.size.toLong *
+        math.max(math.min(section.t1, h.t - 1) - section.t0 + 1, 0) *
+        math.max(math.min(section.y1, h.y - 1) - section.y0 + 1, 0) *
+        math.max(math.min(section.x1, h.x - 1) - section.x0 + 1, 0)
+    }.getOrElse(0L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * GridSource.RowWidthBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
 
   /** One partition per (file, t) slice in the section — a real file-backed
     * source opens one file region per task.

@@ -32,6 +32,20 @@ class GridSourceSpec extends AnyFunSuite {
     assert(row == expect, s"pushed $row vs computed $expect")
   }
 
+  test("reported statistics are exact for the pushed section") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val narrow = SourceQueries.gridTable(spark)
+      .filter(col("variable") === "tasmax" && col("y") < 2 && col("x") < 3 &&
+        col("ts") <= lit("1990-01-01 23:59:59").cast("timestamp"))
+    val rel = narrow.queryExecution.optimizedPlan
+      .collectFirst { case r: DataSourceV2ScanRelation => r }.get
+    // 1 var x 1 day x 2 ys x 3 xs = 6 rows x 64 B
+    assert(rel.stats.sizeInBytes == BigInt(6 * 64), rel.stats)
+    val full = SourceQueries.gridTable(spark).queryExecution.optimizedPlan
+      .collectFirst { case r: DataSourceV2ScanRelation => r }.get
+    assert(full.stats.sizeInBytes == BigInt(GridData.N) * 64)
+  }
+
   test("sub-day ts bounds narrow exactly (no day-floor leakage through claimed-handled filters)") {
     // cells sit at day starts; a mid-day lower bound must exclude that day
     for ((cond, tag) <- Seq(
