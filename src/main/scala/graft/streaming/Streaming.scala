@@ -75,6 +75,17 @@ object Streaming extends QueryModule {
       .orderBy("user_id", "session_start")
   }
 
+  /** Batch twin of `purchaseAttribution` (interval joins evaluate identically
+    * in batch, which is what makes the streaming semantics oracle-checkable).
+    */
+  private def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d)
+    purchaseAttribution(
+      e.filter(col("event_type") === "purchase"),
+      e.filter(col("event_type") === "click"))
+      .orderBy("p_id", "c_id")
+  }
+
   // ---- true Structured Streaming surface ----
 
   /** events as a file-source stream (same ns→µs conversion as Tables.events). */
@@ -115,6 +126,22 @@ object Streaming extends QueryModule {
     stream.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks in the preceding 30 minutes. Both sides are watermarked and the
+    * join condition bounds event time on both sides, so each side's buffered
+    * state is evicted once the other's watermark passes the interval — the
+    * only join shape that runs stream-to-stream with bounded state.
+    */
+  def purchaseAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, expr(
+      "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts < p_ts"))
+      .select("p_id", "c_id", "p_user")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
@@ -152,7 +179,8 @@ object Streaming extends QueryModule {
     "q_tumble" -> qTumble,
     "q_slide" -> qSlide,
     "q_session" -> qSession,
-    "q_session_late" -> qSessionLate
+    "q_session_late" -> qSessionLate,
+    "q_attribution" -> qAttribution
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -207,6 +235,13 @@ object Streaming extends QueryModule {
         |  date_trunc('second', max(ts) + INTERVAL '30 minutes') AS session_end,
         |  count(*) AS n
         |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_attribution" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
+        |ORDER BY p_id, c_id""".stripMargin
   )
 }

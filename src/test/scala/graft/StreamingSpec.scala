@@ -81,6 +81,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = Streaming.purchaseAttribution(
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      clicks.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    clicks.addData((100L, 7L, t("2024-01-01 10:00:00")), // within 30 min of purchase
+      (101L, 7L, t("2024-01-01 09:00:00")), // too old
+      (102L, 8L, t("2024-01-01 10:10:00"))) // other user
+    purchases.addData((1L, 7L, t("2024-01-01 10:15:00")))
+    q.processAllAvailable()
+    // advance both watermarks so the joined result is emitted
+    clicks.addData((103L, 9L, t("2024-01-01 12:00:00")))
+    purchases.addData((2L, 9L, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attr_out").select("p_id", "c_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L)), s"got $out")
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
     val events = Tables.events(spark, TestSpark.sf)
       .select("event_id", "ts", "user_id").as[Streaming.Event]
