@@ -22,9 +22,10 @@ object Ivf {
 
   /** Index build is ingest-time layout work (like bucketing): train once per
     * (dataset, k, iters) per JVM and reuse — queries then measure probe cost,
-    * not training. Per-key memoization (computeIfAbsent) so a cache hit — or
-    * training a different dataset — never blocks behind another key's
-    * multi-second training job. Assumes the input files are immutable for the
+    * not training. Per-key memoization (computeIfAbsent) instead of a global
+    * lock — note computeIfAbsent still bin-locks, so two keys that collide
+    * into one bin can serialize; acceptable for a handful of datasets per
+    * JVM. Assumes the input files are immutable for the
     * JVM's lifetime (the same assumption every layout step here makes);
     * re-ingesting a path in a resident session requires a new session or an
     * explicit retrain.

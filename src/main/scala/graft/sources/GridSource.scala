@@ -65,9 +65,19 @@ object GridSource {
   /** Estimated on-heap row width for statistics (7 columns, strings short). */
   val RowWidthBytes = 64L
 
-  def sectionRows(s: Section): Long =
-    s.vars.size.toLong * math.max(s.t1 - s.t0 + 1, 0) *
+  /** Cells in the section per variable/file. */
+  def sectionDims(s: Section): Long =
+    math.max(s.t1 - s.t0 + 1, 0).toLong *
       math.max(s.y1 - s.y0 + 1, 0) * math.max(s.x1 - s.x0 + 1, 0)
+
+  def sectionRows(s: Section): Long = s.vars.size.toLong * sectionDims(s)
+
+  /** THE per-file clamp — agg pushdown, statistics, and partition planning
+    * all derive their bounds from this one definition.
+    */
+  def clampTo(s: Section, t: Int, y: Int, x: Int): Section =
+    s.copy(t1 = math.min(s.t1, t - 1), y1 = math.min(s.y1, y - 1),
+      x1 = math.min(s.x1, x - 1))
 
   /** Inclusive index bounds per dimension, narrowed by pushed filters.
     * `epochMicros`/`stepMicros` map ts predicates to t indices; the defaults
@@ -462,11 +472,8 @@ class FileGridAggScan(headers: Seq[GridFile.Header], section: GridSource.Section
         override def get(): InternalRow = {
           val s = part.section
           val perFile = part.headers.map { h =>
-            val clamped = s.copy(t1 = math.min(s.t1, h.t - 1),
-              y1 = math.min(s.y1, h.y - 1), x1 = math.min(s.x1, h.x - 1))
-            (h, clamped, 1L * math.max(clamped.t1 - clamped.t0 + 1, 0) *
-              math.max(clamped.y1 - clamped.y0 + 1, 0) *
-              math.max(clamped.x1 - clamped.x0 + 1, 0))
+            val clamped = GridSource.clampTo(s, h.t, h.y, h.x)
+            (h, clamped, GridSource.sectionDims(clamped))
           }.filter(_._3 > 0)
           def bound(h: GridFile.Header, c: GridSource.Section, f: String, lo: Boolean): Any =
             f match {
@@ -517,10 +524,7 @@ class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Se
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = files.headOption.map { case (_, h) =>
-      files.size.toLong *
-        math.max(math.min(section.t1, h.t - 1) - section.t0 + 1, 0) *
-        math.max(math.min(section.y1, h.y - 1) - section.y0 + 1, 0) *
-        math.max(math.min(section.x1, h.x - 1) - section.x0 + 1, 0)
+      files.size * GridSource.sectionDims(GridSource.clampTo(section, h.t, h.y, h.x))
     }.getOrElse(0L)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(rows * GridSource.RowWidthBytes)

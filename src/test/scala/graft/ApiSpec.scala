@@ -75,7 +75,13 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
-  test("fetchResult over the FILE-backed grid serves the same PNG set from real bytes") {
+  private def zipContents(body: Array[Byte]): Map[String, Seq[Byte]] = {
+    val zis = new ZipInputStream(new ByteArrayInputStream(body))
+    Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
+      .map(e => e.getName -> zis.readAllBytes().toSeq).toMap
+  }
+
+  test("fetchResult over the FILE-backed grid serves byte-identical PNGs to the generator") {
     val fileGrid = (s: org.apache.spark.sql.SparkSession) =>
       s.read.format(classOf[graft.sources.GridSource].getName)
         .option("path", graft.sources.SourceQueries.grfDir).load()
@@ -88,9 +94,17 @@ class ApiSpec extends AnyFunSuite {
       assert(nums == Seq(44.0, -80.0, 44.95, -78.55))
       val (code, body) = post(s"http://127.0.0.1:$port/fetchResult", request)
       assert(code == 200, new String(body.take(200), "UTF-8"))
-      val zis = new ZipInputStream(new ByteArrayInputStream(body))
-      val entries = Iterator.continually(zis.getNextEntry).takeWhile(_ != null).map(_.getName).toSeq
-      assert(entries == (3 to 6).map(day => f"grid_tasmax_1990-01-0$day.png"))
+      val fromFiles = zipContents(body)
+      assert(fromFiles.keySet == (3 to 6).map(day => f"grid_tasmax_1990-01-0$day.png").toSet)
+      fromFiles.values.foreach { data =>
+        assert(data.length > 8 && (data(0) & 0xFF) == 0x89 && data(1) == 'P')
+      }
+      // the .grf cubes hold the same closed-form grid, so the rendered PNGs
+      // must be byte-identical to the generator-backed server's
+      val fromGen = withServer { genPort =>
+        zipContents(post(s"http://127.0.0.1:$genPort/fetchResult", request)._2)
+      }
+      assert(fromFiles == fromGen, "file-backed render differs from generator-backed render")
     } finally srv.stop()
   }
 
