@@ -173,6 +173,30 @@ object Relational extends QueryModule {
       .select("n_nationkey", "r_regionkey")
       .orderBy("n_nationkey", "r_regionkey")
 
+  /** Uncorrelated scalar subquery (global average as a broadcast scalar),
+    * through the `spark.sql` entry over a registered view — the SQL-string
+    * surface users of the reference's HTTP API would reach for.
+    */
+  private def qSubqueryScalar(s: SparkSession, d: String): DataFrame = {
+    T.customer(s, d).createOrReplaceTempView("graft_customer_v")
+    s.sql(
+      """SELECT c_custkey,
+        |  round(c_acctbal - (SELECT avg(c_acctbal) FROM graft_customer_v), 2) AS delta
+        |FROM graft_customer_v ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into an aggregate
+    * + join, so it runs as two shuffles, not a per-row re-query.
+    */
+  private def qSubqueryCorr(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("graft_orders_v")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM graft_orders_v o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM graft_orders_v o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Non-equi band (range) join — broadcast nested-loop with the small side
     * broadcast; the generalization of the bbox predicate to two tables.
     */
@@ -236,7 +260,9 @@ object Relational extends QueryModule {
     "q_join_anti" -> qJoinAnti,
     "q_join_full" -> qJoinFull,
     "q_join_cross" -> qJoinCross,
-    "q_join_range" -> qJoinRange
+    "q_join_range" -> qJoinRange,
+    "q_subquery_scalar" -> qSubqueryScalar,
+    "q_subquery_corr" -> qSubqueryCorr
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -321,6 +347,15 @@ object Relational extends QueryModule {
     "q_join_range" ->
       """SELECT p_partkey, s_suppkey FROM part JOIN supplier
         |ON p_retailprice BETWEEN s_acctbal - 100 AND s_acctbal + 100
-        |ORDER BY p_partkey, s_suppkey""".stripMargin
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q_subquery_scalar" ->
+      """SELECT c_custkey,
+        |  round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 2) AS delta
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_subquery_corr" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
