@@ -43,7 +43,9 @@ object RenderSink {
       .filter(_.getName.endsWith(".png")).sortBy(_.getName).toSeq
     val zos = new ZipOutputStream(new java.io.FileOutputStream(zipPath))
     try files.map { f =>
-      zos.putNextEntry(new ZipEntry(f.getName))
+      val e = new ZipEntry(f.getName)
+      e.setTime(0L) // fixed mtime: same content => byte-identical archive
+      zos.putNextEntry(e)
       java.nio.file.Files.copy(f.toPath, zos)
       zos.closeEntry()
       f.getName

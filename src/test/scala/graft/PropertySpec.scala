@@ -100,6 +100,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("correlated subquery equals the window-function formulation") {
+    val viaSubquery = operators.Relational.queries("q_subquery_corr")(spark, TestSpark.sf)
+      .as[(Long, Double)].collect().toSet
+    val w = Window.partitionBy(col("o_custkey"))
+    val viaWindow = Tables.orders(spark, TestSpark.sf)
+      .withColumn("cavg", avg(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") > col("cavg"))
+      .select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].collect().toSet
+    assert(viaSubquery == viaWindow && viaSubquery.nonEmpty)
+  }
+
+  test("attribution interval join equals a naive per-pair recompute") {
+    val got = streaming.Streaming.queries("q_attribution")(spark, TestSpark.sf)
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    val events = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "user_id", "ts", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+    val purchases = events.filter(_._4 == "purchase")
+    val clicks = events.filter(_._4 == "click")
+    val naive = (for {
+      p <- purchases; c <- clicks
+      if c._2 == p._2 && c._3.getTime >= p._3.getTime - 30 * 60 * 1000 && c._3.getTime < p._3.getTime
+    } yield (p._1, c._1)).toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("rollup counts are consistent: grand total equals sum of leaves") {
     val rows = SparkEntry.queries("q_rollup")(spark, TestSpark.sf)
       .as[(String, String, Double, Long)].collect()
