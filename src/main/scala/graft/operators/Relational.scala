@@ -215,26 +215,31 @@ object Relational extends QueryModule {
     * exchange-free but wouldn't demonstrate the layout); ScaleSpec asserts the
     * exchange-free plan property directly.
     */
-  private val bucketedDirs = scala.collection.mutable.Set[String]()
+  private val bucketedTables = scala.collection.mutable.Map[String, (String, String)]()
 
   /** One-time bucketed-table layout (the ETL step a real deployment pays at
-    * ingest, not per query). Idempotent per (JVM, dir); Bench warms it so the
-    * measured query time is the exchange-free join, not the layout write.
+    * ingest, not per query). Table names are keyed by the dataset dir — a
+    * second dataset in the same JVM gets its OWN tables instead of silently
+    * poisoning a shared name. Bench warms this so the measured query time is
+    * the exchange-free join, not the layout write.
     */
-  def prepareBucketedLayout(s: SparkSession, d: String): Unit =
-    bucketedDirs.synchronized {
-      if (!bucketedDirs.contains(d)) {
+  def prepareBucketedLayout(s: SparkSession, d: String): (String, String) =
+    bucketedTables.synchronized {
+      bucketedTables.getOrElseUpdate(d, {
+        val suffix = java.lang.Long.toHexString(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d).hashCode().toLong & 0xffffffffL)
+        val (to, tc) = (s"graft_orders_b_$suffix", s"graft_customer_b_$suffix")
         Scale.writeBucketed(T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
-          "graft_orders_b", "o_custkey", 8)
+          to, "o_custkey", 8)
         Scale.writeBucketed(T.customer(s, d).select("c_custkey", "c_mktsegment"),
-          "graft_customer_b", "c_custkey", 8)
-        bucketedDirs += d
-      }
+          tc, "c_custkey", 8)
+        (to, tc)
+      })
     }
 
   private def qJoinBucketed(s: SparkSession, d: String): DataFrame = {
-    prepareBucketedLayout(s, d)
-    val o = s.table("graft_orders_b"); val c = s.table("graft_customer_b")
+    val (to, tc) = prepareBucketedLayout(s, d)
+    val o = s.table(to); val c = s.table(tc)
     o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))

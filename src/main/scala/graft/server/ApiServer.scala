@@ -38,10 +38,13 @@ class ApiServer(spark: SparkSession, port: Int = 0,
     * request never reads a data byte, like the reference's hardcoded corners.
     */
   private def boundary(): String = {
-    val Array(latMin, latMax, lonMin, lonMax) =
-      grid(spark)
-        .agg(min("lat"), max("lat"), min("lon"), max("lon"))
-        .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    val row = grid(spark)
+      .agg(min("lat"), max("lat"), min("lon"), max("lon"))
+      .collect()(0)
+    // NULL aggregates mean an empty grid — fail loudly rather than unboxing
+    // null to 0.0 and serving a fake [[0,0],[0,0]] extent
+    require((0 to 3).forall(!row.isNullAt(_)), "grid has no cells — no boundary")
+    val Seq(latMin, latMax, lonMin, lonMax) = row.toSeq.map(_.asInstanceOf[Double])
     s"[[$latMin, $lonMin], [$latMax, $lonMax]]"
   }
 
@@ -103,7 +106,12 @@ class ApiServer(spark: SparkSession, port: Int = 0,
 
   def start(): Int = {
     server.createContext("/getBoundary", (ex: HttpExchange) =>
-      respond(ex, 200, "application/json", boundary().getBytes("UTF-8")))
+      try respond(ex, 200, "application/json", boundary().getBytes("UTF-8"))
+      catch {
+        case e: Exception =>
+          respond(ex, 500, "application/json",
+            s"""{"message": "Server Error: ${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
+      })
     server.createContext("/fetchResult", (ex: HttpExchange) =>
       try {
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")

@@ -250,33 +250,45 @@ object GridAgg {
   }
 }
 
-/** Completely-pushed aggregate: one partition, one row, zero cells read. */
-class GridAggScan(section: GridSource.Section, plan: Seq[GridAgg]) extends Scan with Batch {
+/** Shared scaffolding for completely-pushed aggregates: the agg-typed read
+  * schema and a one-partition, one-row scan. The row is computed driver-side
+  * at planning time (it is pure section/header metadata) and shipped in the
+  * partition.
+  */
+abstract class SingleRowAggScan(plan: Seq[GridAgg]) extends Scan with Batch {
   override def readSchema(): StructType = StructType(plan.zipWithIndex.map {
     case (GridAgg.CountAll, i) => StructField(s"agg$i", LongType, nullable = false)
     case (GridAgg.MinOf(f), i) => StructField(s"agg$i", GridAgg.fieldType(f), nullable = true)
     case (GridAgg.MaxOf(f), i) => StructField(s"agg$i", GridAgg.fieldType(f), nullable = true)
   })
   override def toBatch: Batch = this
-  override def description(): String =
-    s"GridAggScan section=$section pushedAggregates=[${plan.mkString(", ")}]"
+  /** The single result row (Catalyst internal values: long/int/double/null). */
+  protected def resultRow(): Seq[Any]
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GridAggPartition(section, plan))
-  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
-    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-      new PartitionReader[InternalRow] {
-        private val part = p.asInstanceOf[GridAggPartition]
-        private var emitted = false
-        override def next(): Boolean = if (emitted) false else { emitted = true; true }
-        override def get(): InternalRow =
-          InternalRow.fromSeq(part.plan.map(a => GridAgg.eval(a, part.section)))
-        override def close(): Unit = ()
-      }
-  }
+    Array(SingleRowPartition(resultRow()))
+  override def createReaderFactory(): PartitionReaderFactory = SingleRowReaderFactory
 }
 
-case class GridAggPartition(section: GridSource.Section, plan: Seq[GridAgg])
-  extends InputPartition
+case class SingleRowPartition(values: Seq[Any]) extends InputPartition
+
+object SingleRowReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(p.asInstanceOf[SingleRowPartition].values)
+      override def close(): Unit = ()
+    }
+}
+
+/** Completely-pushed aggregate: one partition, one row, zero cells read. */
+class GridAggScan(section: GridSource.Section, plan: Seq[GridAgg])
+    extends SingleRowAggScan(plan) {
+  override def description(): String =
+    s"GridAggScan section=$section pushedAggregates=[${plan.mkString(", ")}]"
+  override protected def resultRow(): Seq[Any] = plan.map(a => GridAgg.eval(a, section))
+}
 
 class GridScan(section: GridSource.Section, required: StructType, pushed: Array[Filter])
     extends Scan with Batch with SupportsReportStatistics {
@@ -448,67 +460,45 @@ class FileGridScanBuilder(files: Seq[(String, GridFile.Header)]) extends ScanBui
   * clamp → closed-form count / bounds, combined across surviving files.
   */
 class FileGridAggScan(headers: Seq[GridFile.Header], section: GridSource.Section,
-    plan: Seq[GridAgg]) extends Scan with Batch {
+    plan: Seq[GridAgg]) extends SingleRowAggScan(plan) {
 
-  override def readSchema(): StructType = StructType(plan.zipWithIndex.map {
-    case (GridAgg.CountAll, i) => StructField(s"agg$i", LongType, nullable = false)
-    case (GridAgg.MinOf(f), i) => StructField(s"agg$i", GridAgg.fieldType(f), nullable = true)
-    case (GridAgg.MaxOf(f), i) => StructField(s"agg$i", GridAgg.fieldType(f), nullable = true)
-  })
-  override def toBatch: Batch = this
   override def description(): String =
     s"FileGridAggScan files=${headers.map(_.variable).mkString(",")} section=$section " +
       s"pushedAggregates=[${plan.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(FileGridAggPartition(headers, section, plan))
-
-  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
-    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-      new PartitionReader[InternalRow] {
-        private val part = p.asInstanceOf[FileGridAggPartition]
-        private var emitted = false
-        override def next(): Boolean = if (emitted) false else { emitted = true; true }
-        override def get(): InternalRow = {
-          val s = part.section
-          val perFile = part.headers.map { h =>
-            val clamped = GridSource.clampTo(s, h.t, h.y, h.x)
-            (h, clamped, GridSource.sectionDims(clamped))
-          }.filter(_._3 > 0)
-          def bound(h: GridFile.Header, c: GridSource.Section, f: String, lo: Boolean): Any =
-            f match {
-              case "ts" => h.epochMicros + (if (lo) c.t0 else c.t1).toLong * h.stepMicros
-              case "y" => if (lo) c.y0 else c.y1
-              case "x" => if (lo) c.x0 else c.x1
-              case "lat" => GridAgg.affineBound(h.lat0, h.dlat, c.y0, c.y1, lo)
-              case "lon" => GridAgg.affineBound(h.lon0, h.dlon, c.x0, c.x1, lo)
-            }
-          def combine(f: String, lo: Boolean): Any =
-            if (perFile.isEmpty) null
-            else {
-              val vs = perFile.map { case (h, c, _) => bound(h, c, f, lo) }
-              f match {
-                case "y" | "x" =>
-                  val is = vs.map(_.asInstanceOf[Int]); if (lo) is.min else is.max
-                case "ts" =>
-                  val ls = vs.map(_.asInstanceOf[Long]); if (lo) ls.min else ls.max
-                case _ =>
-                  val ds = vs.map(_.asInstanceOf[Double]); if (lo) ds.min else ds.max
-              }
-            }
-          InternalRow.fromSeq(part.plan.map {
-            case GridAgg.CountAll => perFile.map(_._3).sum
-            case GridAgg.MinOf(f) => combine(f, lo = true)
-            case GridAgg.MaxOf(f) => combine(f, lo = false)
-          })
-        }
-        override def close(): Unit = ()
+  override protected def resultRow(): Seq[Any] = {
+    val perFile = headers.map { h =>
+      val clamped = GridSource.clampTo(section, h.t, h.y, h.x)
+      (h, clamped, GridSource.sectionDims(clamped))
+    }.filter(_._3 > 0)
+    def bound(h: GridFile.Header, c: GridSource.Section, f: String, lo: Boolean): Any =
+      f match {
+        case "ts" => h.epochMicros + (if (lo) c.t0 else c.t1).toLong * h.stepMicros
+        case "y" => if (lo) c.y0 else c.y1
+        case "x" => if (lo) c.x0 else c.x1
+        case "lat" => GridAgg.affineBound(h.lat0, h.dlat, c.y0, c.y1, lo)
+        case "lon" => GridAgg.affineBound(h.lon0, h.dlon, c.x0, c.x1, lo)
       }
+    def combine(f: String, lo: Boolean): Any =
+      if (perFile.isEmpty) null
+      else {
+        val vs = perFile.map { case (h, c, _) => bound(h, c, f, lo) }
+        f match {
+          case "y" | "x" =>
+            val is = vs.map(_.asInstanceOf[Int]); if (lo) is.min else is.max
+          case "ts" =>
+            val ls = vs.map(_.asInstanceOf[Long]); if (lo) ls.min else ls.max
+          case _ =>
+            val ds = vs.map(_.asInstanceOf[Double]); if (lo) ds.min else ds.max
+        }
+      }
+    plan.map {
+      case GridAgg.CountAll => perFile.map(_._3).sum
+      case GridAgg.MinOf(f) => combine(f, lo = true)
+      case GridAgg.MaxOf(f) => combine(f, lo = false)
+    }
   }
 }
-
-case class FileGridAggPartition(headers: Seq[GridFile.Header],
-  section: GridSource.Section, plan: Seq[GridAgg]) extends InputPartition
 
 class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Section,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch
