@@ -108,6 +108,18 @@ class ApiSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("getBoundary failure yields a 500 JSON response, not a dropped connection") {
+    val broken = (_: org.apache.spark.sql.SparkSession) =>
+      throw new RuntimeException("grid unavailable")
+    val srv = new ApiServer(spark, port = 0, grid = broken)
+    val port = srv.start()
+    try {
+      val (code, body) = get(s"http://127.0.0.1:$port/getBoundary")
+      assert(code == 500)
+      assert(new String(body, "UTF-8").contains("Server Error"))
+    } finally srv.stop()
+  }
+
   test("malformed request yields a 400, not a hung connection") {
     withServer { port =>
       val (code, _) = post(s"http://127.0.0.1:$port/fetchResult", """{"nope": 1}""")
