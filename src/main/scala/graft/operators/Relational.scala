@@ -93,6 +93,19 @@ object Relational extends QueryModule {
       .unionAll(T.supplier(s, d).select(col("s_suppkey").as("k"), lit("supp").as("src")))
       .orderBy("k", "src")
 
+  /** Schema-evolution union: columns matched BY NAME with a column missing on
+    * one side filled as NULL (`unionByName(allowMissingColumns)`) — how a
+    * pipeline appends batches whose schema gained a column.
+    */
+  private def qUnionByName(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .unionByName(
+        T.supplier(s, d).select(col("s_suppkey").as("k"), col("s_name").as("name")),
+        allowMissingColumns = true)
+      .orderBy("k", "name")
+
   private def qIntersect(s: SparkSession, d: String): DataFrame =
     T.lineitem(s, d).select("l_orderkey")
       .intersect(T.orders(s, d).filter(col("o_totalprice") > 50000)
@@ -257,6 +270,7 @@ object Relational extends QueryModule {
     "q_topk" -> qTopk,
     "q_distinct" -> qDistinct,
     "q_union" -> qUnion,
+    "q_union_by_name" -> qUnionByName,
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept,
     "q_join_inner" -> qJoinInner,
@@ -309,6 +323,11 @@ object Relational extends QueryModule {
       """SELECT c_custkey AS k, 'cust' AS src FROM customer
         |UNION ALL SELECT s_suppkey AS k, 'supp' AS src FROM supplier
         |ORDER BY k, src""".stripMargin,
+    "q_union_by_name" ->
+      """SELECT c_custkey AS k, c_name AS name, round(c_acctbal, 2) AS bal FROM customer
+        |UNION ALL BY NAME
+        |SELECT s_suppkey AS k, s_name AS name FROM supplier
+        |ORDER BY k, name""".stripMargin,
     "q_intersect" ->
       """SELECT l_orderkey FROM lineitem
         |INTERSECT SELECT o_orderkey AS l_orderkey FROM orders WHERE o_totalprice > 50000

@@ -87,7 +87,21 @@ object WindowOps extends QueryModule {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** RANGE frame over event time (interval-bounded, unlike the ROWS frames
+    * above): events in the preceding hour per user — the time-series rolling
+    * count. Through spark.sql: interval RANGE bounds are SQL-only surface.
+    */
+  private def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    T.events(s, d).createOrReplaceTempView("graft_events_v")
+    s.sql(
+      """SELECT event_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+        |FROM graft_events_v ORDER BY event_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_range" -> qWindowRange,
     "q_window_rank" -> qWindowRank,
     "q_window_frame" -> qWindowFrame,
     "q_window_dist" -> qWindowDist,
@@ -122,6 +136,11 @@ object WindowOps extends QueryModule {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_window_firstlast" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_id,
