@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, ExpressionInfo, GreaterThanOrEqual, LessThanOrEqual, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 
@@ -16,9 +16,12 @@ import graft.functions.{CosineSimilarity, DotProduct, PointInPolygon, SimHash64}
   *     `simhash64(arr)`, `point_in_polygon(lat, lon, ring)` with `ring` a
   *     constant `array(lon0, lat0, lon1, lat1, …)` — so a SQL-only user of
   *     the reference's query surface needs no Scala.
-  *   - `PolygonEnvelopeRule`: rewrites every `point_in_polygon` predicate to
-  *     `bbox(ring) AND point_in_polygon` (ray-cast ⊆ envelope, so this is an
-  *     equivalence). The derived bbox is a plain conjunction of range
+  *   - `PolygonEnvelopeRule`: rewrites `point_in_polygon` predicates inside
+  *     `Filter` conditions to `bbox(ring) AND point_in_polygon` (under filter
+  *     semantics NULL and FALSE both drop the row, so this is an equivalence;
+  *     in a projection the rewrite could turn NULL into FALSE for a NULL
+  *     coordinate, which is why it applies to filters only). The derived bbox
+  *     is a plain conjunction of range
   *     predicates, which Catalyst's existing machinery then pushes into the
   *     scan (`PushedFilters` on parquet, a Section on the grid source) — the
   *     automated form of the manual envelope in `GridQuery.select`
@@ -85,18 +88,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object PolygonEnvelopeRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    // double children only: optimizer rules run after analysis, so any
-    // comparison this rule emits must already be type-correct (no implicit
-    // cast insertion will happen)
-    case p @ PointInPolygon(lat, lon, ring, true)
-        if ring.length >= 6 && lat.dataType == org.apache.spark.sql.types.DoubleType &&
-          lon.dataType == org.apache.spark.sql.types.DoubleType =>
-      val lons = ring.indices.collect { case i if i % 2 == 0 => ring(i) }
-      val lats = ring.indices.collect { case i if i % 2 == 1 => ring(i) }
-      val bbox = And(
-        And(GreaterThanOrEqual(lat, Literal(lats.min)), LessThanOrEqual(lat, Literal(lats.max))),
-        And(GreaterThanOrEqual(lon, Literal(lons.min)), LessThanOrEqual(lon, Literal(lons.max))))
-      And(bbox, p.copy(needsEnvelope = false))
+  // Filter conditions ONLY: there NULL and FALSE are both "drop the row", so
+  // `bbox AND pip` ≡ `pip`. In any other context (projection, join output
+  // column) a NULL coordinate outside the envelope would flip NULL → FALSE.
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      val rewritten = cond.transform {
+        // double children only: optimizer rules run after analysis, so any
+        // comparison this rule emits must already be type-correct (no implicit
+        // cast insertion will happen)
+        case p @ PointInPolygon(lat, lon, ring, true)
+            if ring.length >= 6 && lat.dataType == org.apache.spark.sql.types.DoubleType &&
+              lon.dataType == org.apache.spark.sql.types.DoubleType =>
+          val lons = ring.indices.collect { case i if i % 2 == 0 => ring(i) }
+          val lats = ring.indices.collect { case i if i % 2 == 1 => ring(i) }
+          val bbox = And(
+            And(GreaterThanOrEqual(lat, Literal(lats.min)), LessThanOrEqual(lat, Literal(lats.max))),
+            And(GreaterThanOrEqual(lon, Literal(lons.min)), LessThanOrEqual(lon, Literal(lons.max))))
+          And(bbox, p.copy(needsEnvelope = false))
+      }
+      if (rewritten fastEquals cond) f else f.copy(condition = rewritten)
   }
 }

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, TypeBridge}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** All `numPerms` MinHash signature components in ONE pass over the shingle
@@ -21,8 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * dedup pipeline's only shuffles are the LSH band join and the
   * candidate verification. (North-star op; no reference counterpart.)
   */
-case class MinHashSignature(child: Expression, numPerms: Int) extends UnaryExpression {
+case class MinHashSignature(child: Expression, numPerms: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // analysis-time type check (+ widening cast for narrower integral arrays):
+  // without it a mistyped child fails at runtime inside getLong
+  override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(ArrayType(LongType))
 
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(numPerms)(i => XXH64.hashInt(i, 42L))

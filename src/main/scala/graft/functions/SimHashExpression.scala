@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, TypeBridge}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** 64-bit SimHash (Charikar '02) of a token-hash array, as one codegen'd
   * expression: a single pass over the array maintains all 64 bit-counters in a
@@ -19,8 +19,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * shuffle at all — at 100 TB the fingerprint stage is a pure scan.
   * (North-star dedup op; no reference counterpart — SURVEY.md §2B.)
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
+  // analysis-time type check (+ widening cast for narrower integral arrays):
+  // without it a mistyped child fails at runtime inside getLong
+  override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(ArrayType(LongType))
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]

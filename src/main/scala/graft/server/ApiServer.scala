@@ -30,6 +30,11 @@ import graft.render.RenderSink
 class ApiServer(spark: SparkSession, port: Int = 0,
     grid: SparkSession => org.apache.spark.sql.DataFrame = GridData.cells) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // JDK HttpServer's default executor is the dispatch thread — requests would
+  // serialize behind one slow render. A small pool gives concurrent requests;
+  // SparkSession is thread-safe, each request runs its own jobs.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
 
   /** Serve `/getBoundary`: extent of the (dim-sized) distinct coord table.
     * With the default generator grid this is a closed-form scan; with a
@@ -115,17 +120,26 @@ class ApiServer(spark: SparkSession, port: Int = 0,
     server.createContext("/fetchResult", (ex: HttpExchange) =>
       try {
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-        respond(ex, 200, "application/zip", fetchResult(parseRequest(body)))
+        // malformed request JSON is the client's fault (400); a failure while
+        // executing a well-formed request is the server's (500)
+        val req = try parseRequest(body) catch {
+          case e: Exception =>
+            respond(ex, 400, "application/json",
+              s"""{"message": "Bad Request: ${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
+            null
+        }
+        if (req != null)
+          respond(ex, 200, "application/zip", fetchResult(req))
       } catch {
         case e: Exception =>
-          respond(ex, 400, "application/json",
+          respond(ex, 500, "application/json",
             s"""{"message": "Server Error: ${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
       })
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 object ApiServer {

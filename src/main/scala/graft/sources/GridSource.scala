@@ -123,8 +123,17 @@ object GridSource {
       case _ => None
     }
 
-    private def floorDiv(a: Long, b: Long): Int = math.floorDiv(a, b).toInt
-    private def ceilDiv(a: Long, b: Long): Int = (-math.floorDiv(-a, b)).toInt
+    // Clamp the Long slice index into Int range BEFORE truncating: a tiny
+    // step with a far-out ts bound must not wrap toInt and corrupt a section
+    // that pushFilters claimed fully handled. [-2, MaxValue-1] keeps the ±1
+    // adjustments at the call sites overflow-free while preserving semantics:
+    // a clamped lower bound (MaxValue-1) still empties the section, a clamped
+    // upper bound (-2) still empties it, and the conservative directions
+    // (lower clamped up from below Int range, upper clamped down) only widen.
+    private def clampIdx(q: Long): Int =
+      math.max(-2L, math.min(q, Int.MaxValue - 1L)).toInt
+    private def floorDiv(a: Long, b: Long): Int = clampIdx(math.floorDiv(a, b))
+    private def ceilDiv(a: Long, b: Long): Int = clampIdx(-math.floorDiv(-a, b))
 
     // full microsecond precision (Timestamp.getTime alone drops sub-ms)
     private def tsMicrosOf(v: Any): Option[Long] = v match {

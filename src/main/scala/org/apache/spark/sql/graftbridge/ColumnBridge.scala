@@ -13,3 +13,11 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `AbstractDataType` (the type of `ExpectsInputTypes.inputTypes` elements) is
+  * `private[sql]`; this alias lets graft expressions declare analysis-time
+  * input types without living inside Spark's package.
+  */
+object TypeBridge {
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+}

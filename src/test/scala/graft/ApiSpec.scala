@@ -126,4 +126,49 @@ class ApiSpec extends AnyFunSuite {
       assert(code == 400)
     }
   }
+
+  test("well-formed request whose execution fails yields 500, not 400") {
+    val broken = (_: org.apache.spark.sql.SparkSession) =>
+      throw new RuntimeException("grid unavailable")
+    val srv = new ApiServer(spark, port = 0, grid = broken)
+    val port = srv.start()
+    try {
+      val (code, body) = post(s"http://127.0.0.1:$port/fetchResult", request)
+      assert(code == 500, new String(body, "UTF-8"))
+      assert(new String(body, "UTF-8").contains("Server Error"))
+    } finally srv.stop()
+  }
+
+  private val request2 = // different polygon + different dates than `request`
+    """{"selectDate": "1990-01-07,1990-01-08",
+      | "variables": "tasmax",
+      | "geoJson": {"type": "Polygon", "coordinates": [[
+      |   [-79.8, 44.05], [-79.8, 44.2],
+      |   [-79.5, 44.2], [-79.5, 44.05],
+      |   [-79.8, 44.05]]]}}""".stripMargin
+
+  test("concurrent fetchResult requests are isolated and byte-correct") {
+    withServer { port =>
+      val url = s"http://127.0.0.1:$port/fetchResult"
+      // serial ground truth for each request
+      val expect1 = zipContents(post(url, request)._2)
+      val expect2 = zipContents(post(url, request2)._2)
+      assert(expect1.keySet != expect2.keySet)
+      // now issue both in parallel, several times over, on client threads
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futures = (0 until 3).flatMap { _ =>
+        Seq(
+          Future(("r1", post(url, request))),
+          Future(("r2", post(url, request2))))
+      }
+      Await.result(Future.sequence(futures), 120.seconds).foreach {
+        case (tag, (code, body)) =>
+          assert(code == 200, s"$tag -> $code")
+          val expected = if (tag == "r1") expect1 else expect2
+          assert(zipContents(body) == expected, s"$tag zip differs under concurrency")
+      }
+    }
+  }
 }

@@ -89,6 +89,30 @@ class ExtensionsSpec extends AnyFunSuite {
       .sameElements(plain.collect().map(_.getInt(2)).sorted))
   }
 
+  test("rule leaves projections untouched: NULL coordinate stays NULL") {
+    // lon=5.0 is OUTSIDE the envelope: a filter-style rewrite (bbox AND pip)
+    // would evaluate to FALSE here, but the projected value must stay NULL
+    val row = ext.sql(
+      """SELECT point_in_polygon(CAST(NULL AS DOUBLE), 5.0D,
+        |  array(-1.0D, -1.0D, 1.0D, -1.0D, 1.0D, 1.0D, -1.0D, 1.0D, -1.0D, -1.0D)) AS p
+        |""".stripMargin).collect()(0)
+    assert(row.isNullAt(0), "projected point_in_polygon must stay NULL for NULL input")
+  }
+
+  test("minhash/simhash reject non-integral-array children at analysis time") {
+    import org.apache.spark.sql.AnalysisException
+    val df = TestSpark.spark.range(1).selectExpr("CAST(id AS STRING) AS s")
+    intercept[AnalysisException] {
+      df.select(functions.SimHashFunctions.simhash64(col("s"))).collect()
+    }
+    intercept[AnalysisException] {
+      df.select(functions.MinHashFunctions.minhash_signature(col("s"), 4)).collect()
+    }
+    // narrower integral arrays widen instead of failing
+    val ok = TestSpark.spark.sql("SELECT array(1, 2, 3) AS a")
+    assert(ok.select(functions.SimHashFunctions.simhash64(col("a"))).collect().length == 1)
+  }
+
   test("rule is idempotent: one envelope per mask, no repeated conjuncts") {
     val ring = Seq((-79.5, 44.1), (-79.0, 44.1), (-79.0, 44.4), (-79.5, 44.4), (-79.5, 44.1))
     val df = ext.range(10)

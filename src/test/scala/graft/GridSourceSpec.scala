@@ -63,6 +63,30 @@ class GridSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("far-out ts bounds with a tiny step clamp instead of wrapping toInt") {
+    // step = 1 µs: a year-3000 bound puts the slice index at ~3.2e16, far past
+    // Int range. The old truncation wrapped (possibly negative) and corrupted
+    // the section silently; the clamp must keep the semantics exact.
+    val s = graft.sources.GridSource.Section(step = 1L)
+    val far = java.time.Instant.parse("3000-01-01T00:00:00Z")
+    val before = java.time.Instant.parse("1970-01-01T00:00:00Z") // pre-epoch
+    import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    // lower bound far in the future -> section must be EMPTY, not wrapped
+    val hi1 = s.narrow(GreaterThanOrEqual("ts", far)).get
+    val hi2 = s.narrow(GreaterThan("ts", far)).get
+    assert(hi1.t0 > hi1.t1 && hi2.t0 > hi2.t1, s"$hi1 / $hi2 should be empty")
+    // upper bound far in the future -> full section (conservative, correct)
+    val full = s.narrow(LessThanOrEqual("ts", far)).get
+    assert(full.t0 == s.t0 && full.t1 == s.t1, full.toString)
+    // upper bound before the epoch -> EMPTY, not clamped up to slice 0
+    val lo1 = s.narrow(LessThanOrEqual("ts", before)).get
+    val lo2 = s.narrow(LessThan("ts", before)).get
+    assert(lo1.t0 > lo1.t1 && lo2.t0 > lo2.t1, s"$lo1 / $lo2 should be empty")
+    // lower bound before the epoch -> full section
+    val full2 = s.narrow(GreaterThanOrEqual("ts", before)).get
+    assert(full2.t0 == s.t0 && full2.t1 == s.t1, full2.toString)
+  }
+
   test("pushed aggregate over an empty section: count 0, min/max NULL") {
     val df = SourceQueries.gridTable(spark)
       .filter(col("x") > 100) // contradicts the grid extent
