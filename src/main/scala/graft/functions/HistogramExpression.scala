@@ -1,0 +1,141 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.TypeBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Mutable Ben-Haim/Tom-Yossef histogram buffer: sorted parallel arrays of
+  * (centroid, count), at most `cap` bins after each insert. Same algorithm as
+  * the immutable [[StreamingHistogram.Hist]] (insert, then merge the two
+  * closest adjacent centroids while over cap) but with in-place arraycopy
+  * updates — no per-row allocation.
+  */
+final class MutableHist(val cap: Int) extends Serializable {
+  var size: Int = 0
+  // one slot of headroom: insert may briefly hold cap+1 bins before compress
+  val centroid = new Array[Double](cap + 1)
+  val count = new Array[Long](cap + 1)
+
+  def add(v: Double, n: Long): Unit = {
+    var lo = 0; var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (centroid(mid) < v) lo = mid + 1 else hi = mid
+    }
+    if (lo < size && centroid(lo) == v) { count(lo) += n; return }
+    System.arraycopy(centroid, lo, centroid, lo + 1, size - lo)
+    System.arraycopy(count, lo, count, lo + 1, size - lo)
+    centroid(lo) = v; count(lo) = n; size += 1
+    if (size > cap) compressOnce()
+  }
+
+  /** Merge the two closest adjacent centroids (the paper's update step). */
+  private def compressOnce(): Unit = {
+    var bestI = 0; var bestGap = Double.MaxValue
+    var i = 0
+    while (i < size - 1) {
+      val gap = centroid(i + 1) - centroid(i)
+      if (gap < bestGap) { bestGap = gap; bestI = i }
+      i += 1
+    }
+    val n1 = count(bestI); val n2 = count(bestI + 1)
+    centroid(bestI) = (centroid(bestI) * n1 + centroid(bestI + 1) * n2) / (n1 + n2)
+    count(bestI) = n1 + n2
+    System.arraycopy(centroid, bestI + 2, centroid, bestI + 1, size - bestI - 2)
+    System.arraycopy(count, bestI + 2, count, bestI + 1, size - bestI - 2)
+    size -= 1
+  }
+
+  def merge(o: MutableHist): Unit = {
+    var i = 0
+    while (i < o.size) { add(o.centroid(i), o.count(i)); i += 1 }
+  }
+
+  /** View as the immutable Hist for the (once-per-group) quantile math. */
+  def toHist: StreamingHistogram.Hist =
+    StreamingHistogram.Hist(
+      Vector.tabulate(size)(i => (centroid(i), count(i))), cap)
+}
+
+/** The reference's break computation (`Gddp.scala:230-232`) as a
+  * `TypedImperativeAggregate`: the buffer is a live [[MutableHist]] object,
+  * serialized ONLY at partial-output/shuffle boundaries — unlike the typed
+  * `Aggregator` surface, which round-trips the buffer through its encoder on
+  * every update/merge (the round-2 q_hist_sketch cost). Partial+final
+  * mergeable like any built-in aggregate.
+  */
+case class HistogramBreaks(
+    child: Expression,
+    numBreaks: Int,
+    maxBins: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MutableHist] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(DoubleType)
+
+  override def createAggregationBuffer(): MutableHist = new MutableHist(maxBins)
+
+  override def update(buffer: MutableHist, input: InternalRow): MutableHist = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double], 1L)
+    buffer
+  }
+
+  override def merge(buffer: MutableHist, other: MutableHist): MutableHist = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: MutableHist): Any =
+    new GenericArrayData(buffer.toHist.quantileBreaks(numBreaks).toArray)
+
+  override def serialize(buffer: MutableHist): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.size * 16)
+    bb.putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) { bb.putDouble(buffer.centroid(i)); i += 1 }
+    i = 0
+    while (i < buffer.size) { bb.putLong(buffer.count(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MutableHist = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val h = new MutableHist(maxBins)
+    h.size = n
+    var i = 0
+    while (i < n) { h.centroid(i) = bb.getDouble; i += 1 }
+    i = 0
+    while (i < n) { h.count(i) = bb.getLong; i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistogramBreaks =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistogramBreaks =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HistogramBreaks =
+    copy(child = newChild)
+  override def prettyName: String = "histogram_breaks"
+}
+
+object HistogramFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column form of [[HistogramBreaks]], usable in `groupBy().agg(...)`. */
+  def histogram_breaks(c: Column, numBreaks: Int, maxBins: Int = 64): Column =
+    ColumnBridge.column(
+      HistogramBreaks(ColumnBridge.expression(c), numBreaks, maxBins)
+        .toAggregateExpression())
+}

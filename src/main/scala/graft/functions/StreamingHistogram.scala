@@ -82,14 +82,19 @@ object StreamingHistogram {
       (1 until n).map(i => quantile(i.toDouble / n))
   }
 
-  /** Typed Aggregator: Double in, Hist buffer, break array out. */
+  /** Typed Aggregator: Double in, Hist buffer, break array out. Kept as the
+    * declared typed-`Aggregator` API surface; the production query path is
+    * [[graft.functions.HistogramBreaks]] (TypedImperativeAggregate), because
+    * `udaf()` round-trips the buffer through its encoder on every update.
+    * The flat product encoder here is still far cheaper than Kryo was.
+    */
   class QuantileBreaksAgg(numBreaks: Int, maxBins: Int = 64)
       extends Aggregator[Double, Hist, Seq[Double]] {
     override def zero: Hist = Hist(Vector.empty, maxBins)
     override def reduce(h: Hist, v: Double): Hist = h.add(v)
     override def merge(a: Hist, b: Hist): Hist = a.merge(b)
     override def finish(h: Hist): Seq[Double] = h.quantileBreaks(numBreaks)
-    override def bufferEncoder: Encoder[Hist] = Encoders.kryo[Hist]
+    override def bufferEncoder: Encoder[Hist] = Encoders.product[Hist]
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }

@@ -146,14 +146,16 @@ object Aggregates extends QueryModule {
 
   /** A1 (faithful sketch): the reference's exact break computation —
     * Ben-Haim/Tom-Yossef streaming histogram (`Gddp.scala:230-232`) as a
-    * typed Aggregator/UDAF. No oracle (sketch output is approximation-
-    * specific); accuracy vs exact percentile is asserted in ScalaTest.
+    * `TypedImperativeAggregate` (live object buffer, serialized only at
+    * shuffle — the typed-Aggregator form paid an encoder round-trip per row).
+    * No oracle (sketch output is approximation-specific); accuracy vs exact
+    * percentile is asserted in ScalaTest.
     */
   private def qHistSketch(s: SparkSession, d: String): DataFrame =
     T.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(graft.functions.StreamingHistogram
-        .quantile_breaks(col("l_quantity"), numBreaks = 4).as("breaks"))
+      .agg(graft.functions.HistogramFunctions
+        .histogram_breaks(col("l_quantity"), numBreaks = 4).as("breaks"))
       .select(col("l_returnflag"),
         posexplode(col("breaks")).as(Seq("break_idx", "break_value")))
       .select(col("l_returnflag"), col("break_idx"), round(col("break_value"), 4).as("break_value"))

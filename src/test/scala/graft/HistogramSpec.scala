@@ -33,6 +33,28 @@ class HistogramSpec extends AnyFunSuite {
     assert(math.abs(m1.quantile(0.5) - m2.quantile(0.5)) < 5.0)
   }
 
+  test("MutableHist matches the immutable Hist bin-for-bin on sequential adds") {
+    val vals = Gen.listOfN(400, Gen.choose(0.0, 100.0)).sample.get
+    val immutable = vals.foldLeft(Hist(Vector.empty, 32))(_.add(_))
+    val mutable = new graft.functions.MutableHist(32)
+    vals.foreach(mutable.add(_, 1L))
+    assert(mutable.toHist.bins == immutable.bins)
+  }
+
+  test("HistogramBreaks serialize/deserialize roundtrips the buffer") {
+    val agg = graft.functions.HistogramBreaks(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0), 4, 32)
+    val h = agg.createAggregationBuffer()
+    (1 to 100).foreach(i => h.add(i.toDouble, 1L))
+    val back = agg.deserialize(agg.serialize(h))
+    assert(back.toHist.bins == h.toHist.bins)
+    // merge with a disjoint histogram is count-preserving
+    val h2 = agg.createAggregationBuffer()
+    (101 to 150).foreach(i => h2.add(i.toDouble, 1L))
+    val m = agg.merge(h, h2)
+    assert(m.toHist.totalCount == 150)
+  }
+
   test("sketch breaks track exact percentiles on lineitem quantity") {
     // query output is exploded to (group, break_idx, break_value) rows;
     // reassemble per-group break arrays
