@@ -35,6 +35,8 @@ object Bench {
       operators.Relational.prepareBucketedLayout(spark, sfDir)
       sources.SourceQueries.partitionedEventsDir(spark, sfDir)
       sources.SourceQueries.grfDir // writes the .grf cubes q_grid_file reads
+      sources.SourceQueries.ncDir // writes the .nc files q_grid_nc reads
+      sources.SourceQueries.ncCurvDir // curvilinear .nc fixture
       similarity.Similarity.prepareIvfIndex(spark, sfDir)
       // grid catalog = ingest-time metadata (one row per file); build the
       // cached dim-sized table here like the other layouts

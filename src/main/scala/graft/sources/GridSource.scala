@@ -34,14 +34,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GridSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = GridSource.schema
-  /** `option("path", dir)` → file-backed table over `*.grf` codec files (one
-    * per variable, real byte-offset section reads); no path → the closed-form
-    * generator table (full oracle coverage).
+  /** `option("path", dir)` → file-backed table: `*.nc` (NetCDF-3 classic,
+    * real format) or `*.grf` (the library's own codec), both with byte-offset
+    * section reads; no path → the closed-form generator table (full oracle
+    * coverage).
     */
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     Option(properties.get("path")) match {
-      case Some(dir) => new FileGridTable(dir)
+      case Some(dir) =>
+        val hasNc = Option(new java.io.File(dir).listFiles())
+          .exists(_.exists(_.getName.endsWith(".nc")))
+        if (hasNc) new NcGridTable(dir) else new FileGridTable(dir)
       case None => new GridTable
     }
 }
@@ -135,14 +139,16 @@ object GridSource {
     private def floorDiv(a: Long, b: Long): Int = clampIdx(math.floorDiv(a, b))
     private def ceilDiv(a: Long, b: Long): Int = clampIdx(-math.floorDiv(-a, b))
 
-    // full microsecond precision (Timestamp.getTime alone drops sub-ms)
-    private def tsMicrosOf(v: Any): Option[Long] = v match {
-      case t: java.sql.Timestamp =>
-        Some(math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
-      case i: java.time.Instant =>
-        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-      case _ => None
-    }
+    private def tsMicrosOf(v: Any): Option[Long] = GridSource.tsMicrosOf(v)
+  }
+
+  // full microsecond precision (Timestamp.getTime alone drops sub-ms)
+  def tsMicrosOf(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
   }
 }
 

@@ -1,0 +1,394 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Metadata-open result for ONE data variable in one `.nc` file: everything
+  * the scan needs, extracted driver-side from the header + coordinate
+  * variables only (`Gddp.scala:118-131` reads exactly this much before any
+  * data access). Coordinate VALUES for the data rows are read executor-side
+  * from the file itself — the partition ships names and offsets, not arrays,
+  * so a 100 TB deployment's coord matrices never travel through the driver
+  * per task.
+  *
+  * `timesMicros` (dim-sized) stays driver-side for exact ts pushdown: the
+  * time coordinate is an explicit array, so time predicates narrow to index
+  * bounds by BINARY SEARCH — no uniform-step assumption, which makes
+  * irregular calendars exact. Lat/lon carry no affine assumption either:
+  * 1-D coord arrays or full 2-D curvilinear matrices (`geopy.py:52-61`) are
+  * both surfaced as stored.
+  */
+final case class NcCube(
+    path: String, varName: String, longName: String,
+    t: Int, y: Int, x: Int,
+    timesMicros: Array[Long],
+    fill: Option[Double], scale: Double, offset: Double,
+    curvilinear: Boolean,
+    latVar: String, lonVar: String)
+
+object NcGrid {
+  import NetCdf3._
+
+  /** Parse a CF-style time unit string: `<unit> since <date>[ <time>]`. */
+  private[graft] def timeUnit(units: String): (Long, Long) = {
+    val parts = units.trim.split("\\s+since\\s+")
+    require(parts.length == 2, s"unsupported time units: $units")
+    val per = parts(0).toLowerCase match {
+      case "days" | "day" => 86400000000L
+      case "hours" | "hour" => 3600000000L
+      case "minutes" | "minute" => 60000000L
+      case "seconds" | "second" => 1000000L
+      case u => throw new IllegalArgumentException(s"unsupported time unit: $u")
+    }
+    val dt = parts(1).trim
+    val iso = if (dt.contains(" ")) dt.replace(" ", "T") else dt + "T00:00:00"
+    val epoch = java.time.LocalDateTime.parse(iso)
+      .toInstant(java.time.ZoneOffset.UTC)
+    (epoch.getEpochSecond * 1000000L + epoch.getNano / 1000L, per)
+  }
+
+  /** Open one file and extract a cube per 3-D data variable. */
+  def openCubes(path: String): Seq[NcCube] = {
+    val h = NetCdf3.open(path)
+    val dataVars = h.vars.filter(v => v.dimIds.length == 3)
+    require(dataVars.nonEmpty, s"$path: no 3-D variable found")
+    dataVars.map { dv =>
+      val Seq(tDim, yDim, xDim) = h.dimsOf(dv)
+      val tSize = if (tDim.isRecord) h.numRecs else tDim.size
+      // time coordinate: the 1-D variable named after the time dimension
+      val timeVar = h.variable(tDim.name).getOrElse(
+        throw new IllegalArgumentException(s"$path: no time coordinate '${tDim.name}'"))
+      val units = timeVar.attr("units").map(_.valueString).getOrElse(
+        throw new IllegalArgumentException(s"$path: time '${tDim.name}' has no units"))
+      val (epoch, per) = timeUnit(units)
+      val raw = NetCdf3.readAll(h, timeVar)
+      val times = raw.map(d => epoch + math.round(d * per))
+      require(times.length == tSize, s"$path: time coord length ${times.length} != $tSize")
+      require(times.zip(times.drop(1)).forall { case (a, b) => a < b },
+        s"$path: time coordinate must be strictly increasing")
+      // spatial coords: 1-D vars named after the dims, or 2-D curvilinear
+      // lat/lon matrices over (yDim, xDim) — the Five Lakes shape
+      def coord1d(d: Dim): Option[Variable] =
+        h.variable(d.name).filter(v => v.dimIds == Seq(h.dims.indexOf(d)))
+      val (curv, latV, lonV) = (coord1d(yDim), coord1d(xDim)) match {
+        case (Some(la), Some(lo)) => (false, la, lo)
+        case _ =>
+          def coord2d(names: Seq[String]): Option[Variable] =
+            h.vars.find(v => names.contains(v.name.toLowerCase) &&
+              v.dimIds.length == 2 && h.dimsOf(v) == Seq(yDim, xDim))
+          val la = coord2d(Seq("lat", "latitude")).getOrElse(throw new IllegalArgumentException(
+            s"$path: no 1-D '${yDim.name}' or 2-D lat coordinate"))
+          val lo = coord2d(Seq("lon", "longitude")).getOrElse(throw new IllegalArgumentException(
+            s"$path: no 1-D '${xDim.name}' or 2-D lon coordinate"))
+          (true, la, lo)
+      }
+      NcCube(path, dv.name,
+        dv.attr("long_name").map(_.valueString).getOrElse(dv.name),
+        tSize, yDim.size, xDim.size, times,
+        fill = dv.attr("_FillValue").flatMap(_.firstNum),
+        scale = dv.attr("scale_factor").flatMap(_.firstNum).getOrElse(1.0),
+        offset = dv.attr("add_offset").flatMap(_.firstNum).getOrElse(0.0),
+        curvilinear = curv, latVar = latV.name, lonVar = lonV.name)
+    }
+  }
+
+  /** First index with `a(i) >= key` (array strictly increasing). */
+  def lowerBound(a: Array[Long], key: Long): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) { val mid = (lo + hi) >>> 1; if (a(mid) < key) lo = mid + 1 else hi = mid }
+    lo
+  }
+  /** First index with `a(i) > key`. */
+  def upperBound(a: Array[Long], key: Long): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) { val mid = (lo + hi) >>> 1; if (a(mid) <= key) lo = mid + 1 else hi = mid }
+    lo
+  }
+}
+
+/** Attribute catalog over a `.nc` directory: one row per (file, variable,
+  * attribute), including global attributes under variable `""` — the
+  * schema-on-read surface the reference uses to FIND variables by their
+  * `long_name` instead of hardcoding names (`geopy.py:51-55`). Header-only
+  * driver reads; catalog-sized.
+  */
+object NcCatalog {
+  def attrs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val rows = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".nc")).sortBy(_.getName).toSeq
+      .flatMap { f =>
+        val h = NetCdf3.open(f.getAbsolutePath)
+        h.gatts.map(a => (f.getName, "", a.name, a.valueString)) ++
+          h.vars.flatMap(v => v.attrs.map(a => (f.getName, v.name, a.name, a.valueString)))
+      }
+    import s.implicits._
+    rows.toDF("file", "variable", "attr_name", "attr_value")
+  }
+
+  /** Driver-side variable discovery by `long_name` predicate — the
+    * reference's attribute-based lookup. Returns matching data-variable names.
+    */
+  def discoverByLongName(dir: String, p: String => Boolean): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".nc")).sortBy(_.getName).toSeq
+      .flatMap(f => NcGrid.openCubes(f.getAbsolutePath))
+      .collect { case c if p(c.longName) => c.varName }
+}
+
+/** Table over a directory of NetCDF-3 classic files — the reference's native
+  * container (`Gddp.scala:121-131`), read without NetCDF-Java. Header +
+  * coordinate reads happen here (driver, metadata-sized); cell data is only
+  * touched by executors, and only the pushed-down sections of it.
+  */
+class NcGridTable(dir: String) extends Table with SupportsRead {
+  private[sources] val cubes: Seq[NcCube] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".nc")).sortBy(_.getName)
+      .flatMap(f => NcGrid.openCubes(f.getAbsolutePath)).toSeq
+
+  require(cubes.nonEmpty, s"no .nc files in $dir")
+  // one table = one grid: every cube must share dims and the time axis, so a
+  // single Section narrows all of them (same contract as FileGridTable)
+  locally {
+    val c0 = cubes.head
+    cubes.foreach { c =>
+      require(c.t == c0.t && c.y == c0.y && c.x == c0.x &&
+        java.util.Arrays.equals(c.timesMicros, c0.timesMicros),
+        s"${c.path}#${c.varName}: heterogeneous grid layout vs ${c0.path}#${c0.varName}")
+    }
+    require(cubes.map(_.varName).distinct.size == cubes.size,
+      s"$dir: duplicate variable names across files")
+  }
+
+  override def name(): String = s"graft_grid_nc($dir)"
+  override def schema(): StructType = GridSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NcGridScanBuilder(cubes)
+}
+
+/** Same pushdown contract as the other grid paths — variable equality/IN
+  * prunes whole cubes, y/x ranges narrow the Section — plus EXACT ts
+  * narrowing by binary search on the stored time coordinate (works for any
+  * strictly-increasing axis, not just uniform steps).
+  */
+class NcGridScanBuilder(cubes: Seq[NcCube]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  private val dims = cubes.head
+  private val times = dims.timesMicros
+  private var section = GridSource.Section(
+    t1 = dims.t - 1, y1 = dims.y - 1, x1 = dims.x - 1)
+  private var varNames: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GridSource.schema
+  private var aggPlan: Option[Seq[GridAgg]] = None
+
+  private def narrowTs(f: Filter): Boolean = {
+    def m(v: Any): Option[Long] = GridSource.tsMicrosOf(v)
+    f match {
+      case GreaterThanOrEqual("ts", v) => m(v).exists { k =>
+        section = section.copy(t0 = math.max(section.t0, NcGrid.lowerBound(times, k))); true }
+      case GreaterThan("ts", v) => m(v).exists { k =>
+        section = section.copy(t0 = math.max(section.t0, NcGrid.upperBound(times, k))); true }
+      case LessThanOrEqual("ts", v) => m(v).exists { k =>
+        section = section.copy(t1 = math.min(section.t1, NcGrid.upperBound(times, k) - 1)); true }
+      case LessThan("ts", v) => m(v).exists { k =>
+        section = section.copy(t1 = math.min(section.t1, NcGrid.lowerBound(times, k) - 1)); true }
+      case _ => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, rest) = filters.partition {
+      case EqualTo("variable", v: String) =>
+        varNames = Some(varNames.getOrElse(cubes.map(_.varName).toSet).intersect(Set(v)))
+        true
+      case In("variable", vs) =>
+        val names = vs.collect { case s: String => s }.toSet
+        varNames = Some(varNames.getOrElse(cubes.map(_.varName).toSet).intersect(names))
+        true
+      case f if narrowTs(f) => true
+      // ts is handled ONLY by narrowTs above: Section.narrow's epoch/step
+      // mapping assumes a uniform axis, which the nc coord array need not be
+      case f if f.references.contains("ts") => false
+      case f => section.narrow(f) match {
+        case Some(s) => section = s; true
+        case None => false
+      }
+    }
+    pushed = handled
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    GridAgg.translate(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    GridAgg.translate(agg) match {
+      case some @ Some(_) => aggPlan = some; true
+      case None => false
+    }
+
+  private def kept: Seq[NcCube] =
+    cubes.filter(c => varNames.forall(_.contains(c.varName)))
+
+  override def build(): Scan = aggPlan match {
+    case Some(plan) => new NcGridAggScan(kept, section, plan)
+    case None => new NcGridScan(kept, section, required, pushed)
+  }
+}
+
+/** Metadata-answered aggregate: count from section bounds; ts bounds from the
+  * time coordinate; lat/lon bounds from the stored coordinate arrays (the
+  * section's slice of them) — all dim-sized driver reads, zero data cells.
+  */
+class NcGridAggScan(cubes: Seq[NcCube], section: GridSource.Section,
+    plan: Seq[GridAgg]) extends SingleRowAggScan(plan) {
+
+  override def description(): String =
+    s"NcGridAggScan vars=${cubes.map(_.varName).mkString(",")} section=$section " +
+      s"pushedAggregates=[${plan.mkString(", ")}]"
+
+  override protected def resultRow(): Seq[Any] = {
+    val clamped = cubes.headOption
+      .map(c => GridSource.clampTo(section, c.t, c.y, c.x))
+      .getOrElse(section)
+    val n = cubes.size.toLong * GridSource.sectionDims(clamped)
+    def bound(f: String, lo: Boolean): Any =
+      if (n == 0) null
+      else f match {
+        case "ts" => cubes.head.timesMicros(if (lo) clamped.t0 else clamped.t1)
+        case "y" => if (lo) clamped.y0 else clamped.y1
+        case "x" => if (lo) clamped.x0 else clamped.x1
+        case "lat" | "lon" =>
+          val vals = cubes.map { c =>
+            val h = NetCdf3.open(c.path)
+            val v = h.variable(if (f == "lat") c.latVar else c.lonVar).get
+            val a = NetCdf3.readAll(h, v)
+            val slice: Seq[Double] =
+              if (c.curvilinear)
+                for (yy <- clamped.y0 to clamped.y1; xx <- clamped.x0 to clamped.x1)
+                  yield a(yy * c.x + xx)
+              else if (f == "lat") (clamped.y0 to clamped.y1).map(a(_))
+              else (clamped.x0 to clamped.x1).map(a(_))
+            if (lo) slice.min else slice.max
+          }
+          if (lo) vals.min else vals.max
+      }
+    plan.map {
+      case GridAgg.CountAll => n
+      case GridAgg.MinOf(f) => bound(f, lo = true)
+      case GridAgg.MaxOf(f) => bound(f, lo = false)
+    }
+  }
+}
+
+class NcGridScan(cubes: Seq[NcCube], section: GridSource.Section,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"NcGridScan vars=${cubes.map(_.varName).mkString(",")} section=$section " +
+      s"pushed=[${pushed.mkString(", ")}]"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = cubes.headOption.map { c =>
+      cubes.size * GridSource.sectionDims(GridSource.clampTo(section, c.t, c.y, c.x))
+    }.getOrElse(0L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * GridSource.RowWidthBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
+
+  /** One partition per (cube, t) slice in the section. */
+  override def planInputPartitions(): Array[InputPartition] =
+    (for {
+      c <- cubes
+      t <- section.t0 to math.min(section.t1, c.t - 1)
+      if t >= 0
+    } yield NcGridPartition(c, t, section): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NcGridReaderFactory(required)
+}
+
+case class NcGridPartition(cube: NcCube, t: Int, section: GridSource.Section)
+  extends InputPartition
+
+class NcGridReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new NcGridReader(p.asInstanceOf[NcGridPartition], required)
+}
+
+/** Executor-side section read of real NetCDF bytes: re-opens the header
+  * (small), reads only the section's coordinate slices, then one positioned
+  * read per `[t, y, x0..x1]` row of the data variable
+  * (`Gddp.scala:224-226`); `_FillValue` → SQL NULL,
+  * `scale_factor`/`add_offset` applied.
+  */
+class NcGridReader(p: NcGridPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val s = p.section
+  private val c = p.cube
+  private val header = NetCdf3.open(c.path)
+  private val dataVar = header.variable(c.varName).get
+  private val rdr = new NetCdf3.SectionReader(header, dataVar)
+  // coord values for the section only (executor-local read, never shipped)
+  private val needLat = required.fieldNames.contains("lat")
+  private val needLon = required.fieldNames.contains("lon")
+  private val lats: Array[Double] =
+    if (needLat) NetCdf3.readAll(header, header.variable(c.latVar).get) else null
+  private val lons: Array[Double] =
+    if (needLon) NetCdf3.readAll(header, header.variable(c.lonVar).get) else null
+
+  private var y = s.y0 - 1
+  private var x = s.x1 // forces a row load on first next()
+  private var row: Array[Double] = _
+
+  private val fieldGen: Array[(Int, Int) => Any] = required.fields.map { f =>
+    f.name match {
+      case "variable" => (_: Int, _: Int) => UTF8String.fromString(c.varName)
+      case "ts" => (_: Int, _: Int) => c.timesMicros(p.t)
+      case "y" => (yy: Int, _: Int) => yy
+      case "x" => (_: Int, xx: Int) => xx
+      case "lat" => (yy: Int, xx: Int) =>
+        if (c.curvilinear) lats(yy * c.x + xx) else lats(yy)
+      case "lon" => (yy: Int, xx: Int) =>
+        if (c.curvilinear) lons(yy * c.x + xx) else lons(xx)
+      case "value" => (_: Int, xx: Int) =>
+        val v = row(xx - s.x0)
+        val isFill = c.fill.exists(fv => if (fv.isNaN) v.isNaN else v == fv)
+        if (isFill) null else v * c.scale + c.offset
+    }
+  }
+
+  override def next(): Boolean = {
+    if (s.x0 > s.x1) return false
+    x += 1
+    if (x > s.x1) {
+      y += 1
+      if (y > s.y1) return false
+      row = rdr.readRow(p.t, y, s.x0, s.x1)
+      x = s.x0
+    }
+    y <= s.y1
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(fieldGen.toSeq.map(g => g(y, x)))
+
+  override def close(): Unit = rdr.close()
+}

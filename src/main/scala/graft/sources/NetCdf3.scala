@@ -1,0 +1,365 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, FileInputStream, FileOutputStream, RandomAccessFile}
+import java.nio.ByteBuffer
+
+/** Pure-JVM reader/writer for the NetCDF-3 "classic" container (CDF-1 magic
+  * `CDF\x01`, CDF-2 `CDF\x02` with 64-bit offsets) — the publicly documented
+  * format behind the reference's data files. The reference reads these through
+  * NetCDF-Java (`Gddp.scala:121-131` metadata open, `Gddp.scala:224-226`
+  * hyperslab section read); no NetCDF-Java exists in this environment, so this
+  * implements the format itself from the specification: big-endian header
+  * (dim list, attribute lists, variable list with data offsets) followed by
+  * fixed-size variables at absolute offsets and record variables interleaved
+  * per record. Offset-addressable by construction — a `[t, y, x0..x1]` slice
+  * is one seek + one contiguous read, never a whole-file stream.
+  *
+  * Supported: classic + 64-bit-offset versions, all six nc_types, fixed AND
+  * record (unlimited-dimension) variable layouts, variable/global attributes,
+  * `_FillValue` / `scale_factor` / `add_offset` conventions.
+  * Not supported (fail loudly): HDF5-based NetCDF-4 (different magic).
+  */
+object NetCdf3 {
+  val NcByte = 1; val NcChar = 2; val NcShort = 3
+  val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+
+  private val TagDimension = 0x0A
+  private val TagVariable = 0x0B
+  private val TagAttribute = 0x0C
+
+  def sizeOf(ncType: Int): Int = ncType match {
+    case NcByte | NcChar => 1
+    case NcShort => 2
+    case NcInt | NcFloat => 4
+    case NcDouble => 8
+    case t => throw new IllegalArgumentException(s"unknown nc_type $t")
+  }
+
+  final case class Dim(name: String, size: Int) {
+    def isRecord: Boolean = size == 0
+  }
+
+  final case class Attr(name: String, ncType: Int, text: String, nums: Seq[Double]) {
+    /** Attribute as a display string (char attrs verbatim, numeric joined). */
+    def valueString: String =
+      if (ncType == NcChar) text else nums.mkString(",")
+    def firstNum: Option[Double] = nums.headOption
+  }
+
+  final case class Variable(
+      name: String, dimIds: Seq[Int], attrs: Seq[Attr],
+      ncType: Int, vsize: Long, begin: Long) {
+    def attr(n: String): Option[Attr] = attrs.find(_.name == n)
+  }
+
+  /** Parsed header: everything the reference's "metadata open" yields. */
+  final case class Header(
+      path: String, version: Int, numRecs: Int,
+      dims: Seq[Dim], gatts: Seq[Attr], vars: Seq[Variable]) {
+
+    def dimsOf(v: Variable): Seq[Dim] = v.dimIds.map(dims)
+    def isRecordVar(v: Variable): Boolean = dimsOf(v).headOption.exists(_.isRecord)
+    /** Per-variable element count of ONE record (record vars) or of the whole
+      * variable (fixed vars) — the product of non-record dimension sizes.
+      */
+    def sliceElems(v: Variable): Long =
+      dimsOf(v).filterNot(_.isRecord).map(_.size.toLong).product
+    def variable(n: String): Option[Variable] = vars.find(_.name == n)
+
+    /** Byte stride between consecutive records. Spec special case: with
+      * exactly one record variable there is no per-record padding.
+      */
+    val recSize: Long = {
+      val recVars = vars.filter(isRecordVar)
+      if (recVars.isEmpty) 0L
+      else if (recVars.length == 1) {
+        val v = recVars.head
+        sliceElems(v) * sizeOf(v.ncType)
+      } else recVars.map(_.vsize).sum
+    }
+
+    /** Record count of a variable: numRecs for record vars, leading fixed dim
+      * size otherwise (callers treat dim 0 as the iteration axis).
+      */
+    def recordsOf(v: Variable): Int =
+      if (isRecordVar(v)) numRecs else dimsOf(v).headOption.map(_.size).getOrElse(1)
+  }
+
+  // ------------------------------------------------------------------ parse
+
+  def open(path: String): Header = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(path)))
+    try {
+      val m0 = in.read(); val m1 = in.read(); val m2 = in.read()
+      require(m0 == 'C' && m1 == 'D' && m2 == 'F',
+        s"$path: not a NetCDF classic file (bad magic; NetCDF-4/HDF5 is unsupported)")
+      val version = in.read()
+      require(version == 1 || version == 2,
+        s"$path: unsupported CDF version $version (only classic CDF-1/CDF-2)")
+      val numRecs = in.readInt() // 0xFFFFFFFF = "streaming"; treated as unknown
+      val dims = readDimList(in, path)
+      val gatts = readAttrList(in, path)
+      val vars = readVarList(in, path, version)
+      Header(path, version, numRecs, dims, gatts, vars)
+    } finally in.close()
+  }
+
+  private def readName(in: DataInputStream): String = {
+    val n = in.readInt()
+    val bytes = new Array[Byte](n)
+    in.readFully(bytes)
+    skipPad(in, n)
+    new String(bytes, "UTF-8")
+  }
+
+  private def skipPad(in: DataInputStream, n: Int): Unit = {
+    val pad = (4 - n % 4) % 4
+    if (pad > 0) in.skipBytes(pad)
+  }
+
+  private def readTagged(in: DataInputStream, path: String, expected: Int): Int = {
+    val tag = in.readInt()
+    val nelems = in.readInt()
+    require(tag == expected || (tag == 0 && nelems == 0),
+      s"$path: malformed header (tag $tag, expected $expected or ABSENT)")
+    nelems
+  }
+
+  private def readDimList(in: DataInputStream, path: String): Seq[Dim] =
+    (0 until readTagged(in, path, TagDimension)).map { _ =>
+      Dim(readName(in), in.readInt())
+    }
+
+  private def readAttrList(in: DataInputStream, path: String): Seq[Attr] =
+    (0 until readTagged(in, path, TagAttribute)).map { _ =>
+      val name = readName(in)
+      val ncType = in.readInt()
+      val nelems = in.readInt()
+      if (ncType == NcChar) {
+        val bytes = new Array[Byte](nelems)
+        in.readFully(bytes)
+        skipPad(in, nelems)
+        Attr(name, ncType, new String(bytes, "UTF-8"), Nil)
+      } else {
+        val nums = (0 until nelems).map(_ => readNum(in, ncType))
+        skipPad(in, nelems * sizeOf(ncType))
+        Attr(name, ncType, null, nums)
+      }
+    }
+
+  private def readNum(in: DataInputStream, ncType: Int): Double = ncType match {
+    case NcByte => in.readByte().toDouble
+    case NcShort => in.readShort().toDouble
+    case NcInt => in.readInt().toDouble
+    case NcFloat => in.readFloat().toDouble
+    case NcDouble => in.readDouble()
+    case t => throw new IllegalArgumentException(s"unknown nc_type $t")
+  }
+
+  private def readVarList(in: DataInputStream, path: String, version: Int): Seq[Variable] =
+    (0 until readTagged(in, path, TagVariable)).map { _ =>
+      val name = readName(in)
+      val ndims = in.readInt()
+      val dimIds = (0 until ndims).map(_ => in.readInt())
+      val attrs = readAttrList(in, path)
+      val ncType = in.readInt()
+      val vsize = in.readInt().toLong & 0xFFFFFFFFL
+      val begin = if (version == 2) in.readLong() else in.readInt().toLong & 0xFFFFFFFFL
+      Variable(name, dimIds, attrs, ncType, vsize, begin)
+    }
+
+  // ------------------------------------------------------------------- read
+
+  /** Whole-variable read (coordinate arrays — dim-sized by definition).
+    * Handles fixed vars (contiguous at begin) and record vars (one slice per
+    * record at `begin + r*recSize`). Values widened to double.
+    */
+  def readAll(h: Header, v: Variable): Array[Double] = {
+    val slice = h.sliceElems(v).toInt
+    val records = if (h.isRecordVar(v)) h.numRecs else 1
+    val esz = sizeOf(v.ncType)
+    val out = new Array[Double](slice * records)
+    val raf = new RandomAccessFile(h.path, "r")
+    try {
+      val buf = new Array[Byte](slice * esz)
+      for (r <- 0 until records) {
+        raf.seek(v.begin + (if (h.isRecordVar(v)) r * h.recSize else 0L))
+        raf.readFully(buf)
+        decode(buf, v.ncType, out, r * slice, slice)
+      }
+      out
+    } finally raf.close()
+  }
+
+  private def decode(buf: Array[Byte], ncType: Int, out: Array[Double],
+      at: Int, n: Int): Unit = {
+    val bb = ByteBuffer.wrap(buf)
+    ncType match {
+      case NcByte | NcChar => var i = 0; while (i < n) { out(at + i) = bb.get(i).toDouble; i += 1 }
+      case NcShort => val sb = bb.asShortBuffer(); var i = 0; while (i < n) { out(at + i) = sb.get(i).toDouble; i += 1 }
+      case NcInt => val ib = bb.asIntBuffer(); var i = 0; while (i < n) { out(at + i) = ib.get(i).toDouble; i += 1 }
+      case NcFloat => val fb = bb.asFloatBuffer(); var i = 0; while (i < n) { out(at + i) = fb.get(i).toDouble; i += 1 }
+      case NcDouble => bb.asDoubleBuffer().get(out, at, n)
+      case t => throw new IllegalArgumentException(s"unknown nc_type $t")
+    }
+  }
+
+  /** Random-access hyperslab reader for a `[t, y, x]` 3-D variable — the
+    * byte-level equivalent of the reference's section read
+    * (`Gddp.scala:224-226`): one seek + one contiguous read per
+    * `[t, y, x0..x1]` row.
+    */
+  final class SectionReader(h: Header, v: Variable) extends AutoCloseable {
+    private val dims = h.dimsOf(v)
+    require(dims.length == 3, s"${v.name}: section reader expects a 3-D variable")
+    private val ySize = dims(1).size
+    private val xSize = dims(2).size
+    private val esz = sizeOf(v.ncType)
+    private val record = h.isRecordVar(v)
+    private val raf = new RandomAccessFile(h.path, "r")
+
+    def readRow(t: Int, y: Int, x0: Int, x1: Int): Array[Double] = {
+      val n = x1 - x0 + 1
+      val off =
+        if (record) v.begin + t.toLong * h.recSize + (y.toLong * xSize + x0) * esz
+        else v.begin + ((t.toLong * ySize + y) * xSize + x0) * esz
+      raf.seek(off)
+      val buf = new Array[Byte](n * esz)
+      raf.readFully(buf)
+      val out = new Array[Double](n)
+      decode(buf, v.ncType, out, 0, n)
+      out
+    }
+
+    override def close(): Unit = raf.close()
+  }
+
+  // ------------------------------------------------------------------ write
+
+  /** Fixture writer (also the reusable sink for exporting grids): emits a
+    * spec-conformant classic file. `recordDim` marks one dimension unlimited
+    * (size written 0, data interleaved per record).
+    */
+  final case class WAttr(name: String, ncType: Int, text: String = null,
+      nums: Seq[Double] = Nil)
+
+  /** `data` is row-major doubles, converted to `ncType` on write. */
+  final case class WVar(name: String, ncType: Int, dims: Seq[String],
+      attrs: Seq[WAttr], data: Array[Double])
+
+  def write(path: String, dims: Seq[(String, Int)], recordDim: Option[String],
+      gatts: Seq[WAttr], vars: Seq[WVar], version: Int = 1): Unit = {
+    val dimIndex = dims.map(_._1).zipWithIndex.toMap
+    recordDim.foreach(rd => require(dimIndex.contains(rd), s"unknown record dim $rd"))
+    val dimSize = dims.toMap
+    def isRecVar(v: WVar) = recordDim.exists(rd => v.dims.headOption.contains(rd))
+    val recVars = vars.filter(isRecVar)
+    def sliceElems(v: WVar): Long =
+      v.dims.filterNot(d => recordDim.contains(d)).map(dimSize(_).toLong).product
+    def pad4(n: Long): Long = (n + 3) / 4 * 4
+    // vsize: one record's bytes (record vars) or whole var (fixed), padded
+    def vsizeOf(v: WVar): Long = pad4(sliceElems(v) * sizeOf(v.ncType))
+    val recSize: Long =
+      if (recVars.length == 1) sliceElems(recVars.head) * sizeOf(recVars.head.ncType)
+      else recVars.map(vsizeOf).sum
+    val numRecs = recordDim.map(dimSize(_)).getOrElse(0)
+
+    // ---- serialize the header to know data begins
+    val bo = new java.io.ByteArrayOutputStream()
+    val out = new DataOutputStream(bo)
+    def writeName(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b)
+      (0 until ((4 - b.length % 4) % 4)).foreach(_ => out.writeByte(0))
+    }
+    def writeAttrs(attrs: Seq[WAttr]): Unit = {
+      if (attrs.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else {
+        out.writeInt(TagAttribute); out.writeInt(attrs.length)
+        attrs.foreach { a =>
+          writeName(a.name)
+          out.writeInt(a.ncType)
+          if (a.ncType == NcChar) {
+            val b = a.text.getBytes("UTF-8")
+            out.writeInt(b.length); out.write(b)
+            (0 until ((4 - b.length % 4) % 4)).foreach(_ => out.writeByte(0))
+          } else {
+            out.writeInt(a.nums.length)
+            a.nums.foreach(writeNum(out, a.ncType, _))
+            val raw = a.nums.length * sizeOf(a.ncType)
+            (0 until ((4 - raw % 4) % 4).toInt).foreach(_ => out.writeByte(0))
+          }
+        }
+      }
+    }
+    out.write('C'); out.write('D'); out.write('F'); out.write(version)
+    out.writeInt(numRecs)
+    out.writeInt(TagDimension); out.writeInt(dims.length)
+    dims.foreach { case (n, sz) =>
+      writeName(n)
+      out.writeInt(if (recordDim.contains(n)) 0 else sz)
+    }
+    writeAttrs(gatts)
+    // variable list needs begins, which depend on header length — write the
+    // var list once with zero begins to measure, then with real offsets
+    def writeVarList(begins: Seq[Long]): Unit = {
+      out.writeInt(TagVariable); out.writeInt(vars.length)
+      vars.zip(begins).foreach { case (v, begin) =>
+        writeName(v.name)
+        out.writeInt(v.dims.length)
+        v.dims.foreach(d => out.writeInt(dimIndex(d)))
+        writeAttrs(v.attrs)
+        out.writeInt(v.ncType)
+        out.writeInt(vsizeOf(v).toInt)
+        if (version == 2) out.writeLong(begin) else out.writeInt(begin.toInt)
+      }
+    }
+    val mark = bo.size()
+    writeVarList(vars.map(_ => 0L))
+    val headerLen = bo.size().toLong
+    // assign begins: fixed vars first (contiguous, in declaration order),
+    // then record vars (interleaved region after all fixed data)
+    var off = headerLen
+    val beginOf = scala.collection.mutable.Map[String, Long]()
+    vars.filterNot(isRecVar).foreach { v => beginOf(v.name) = off; off += vsizeOf(v) }
+    val recBase = off
+    var recOff = recBase
+    recVars.foreach { v => beginOf(v.name) = recOff; recOff += (if (recVars.length == 1) recSize else vsizeOf(v)) }
+    // rewrite the var list with real begins
+    val headBytes = bo.toByteArray.take(mark)
+    bo.reset(); bo.write(headBytes, 0, headBytes.length)
+    writeVarList(vars.map(v => beginOf(v.name)))
+    require(bo.size().toLong == headerLen, "header length changed on rewrite")
+
+    val f = new DataOutputStream(new java.io.BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      f.write(bo.toByteArray)
+      // fixed-var data
+      vars.filterNot(isRecVar).foreach { v =>
+        val elems = sliceElems(v)
+        v.data.take(elems.toInt).foreach(writeNum(f, v.ncType, _))
+        padTo4(f, elems * sizeOf(v.ncType))
+      }
+      // record data, interleaved
+      for (r <- 0 until numRecs) {
+        recVars.foreach { v =>
+          val slice = sliceElems(v).toInt
+          (0 until slice).foreach(i => writeNum(f, v.ncType, v.data(r * slice + i)))
+          if (recVars.length > 1) padTo4(f, slice.toLong * sizeOf(v.ncType))
+        }
+      }
+    } finally f.close()
+  }
+
+  private def padTo4(out: DataOutputStream, raw: Long): Unit =
+    (0 until ((4 - raw % 4) % 4).toInt).foreach(_ => out.writeByte(0))
+
+  private def writeNum(out: DataOutputStream, ncType: Int, v: Double): Unit = ncType match {
+    case NcByte | NcChar => out.writeByte(v.toByte)
+    case NcShort => out.writeShort(v.toShort)
+    case NcInt => out.writeInt(v.toInt)
+    case NcFloat => out.writeFloat(v.toFloat)
+    case NcDouble => out.writeDouble(v)
+    case t => throw new IllegalArgumentException(s"unknown nc_type $t")
+  }
+}

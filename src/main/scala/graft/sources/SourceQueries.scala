@@ -90,6 +90,132 @@ object SourceQueries extends QueryModule {
       .select("ts", "y", "x", "lat", "lon", "value")
       .orderBy("ts", "y", "x")
 
+  /** Writes the grid as REAL NetCDF-3 classic files once per JVM — the
+    * reference's native container, same closed form as the generator so the
+    * `.nc` read stays fully oracle-checkable. Deliberately heterogeneous in
+    * every way the format allows while keeping one grid layout:
+    * tasmax = record (unlimited) time dim + int day values, CDF-1;
+    * tasmin = fixed time dim + double day values, CDF-2 (64-bit offsets).
+    */
+  lazy val ncDir: String = {
+    import GridData.{T => TD, X => XD, Y => YD}
+    import NetCdf3._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc").toFile.getAbsolutePath
+    val lat = Array.tabulate(YD)(y => 44.0 + y * 0.05)
+    val lon = Array.tabulate(XD)(x => -80.0 + x * 0.05)
+    for ((v, vid) <- Seq("tasmax" -> 0, "tasmin" -> 1)) {
+      val data = Array.tabulate(TD * YD * XD) { i =>
+        val t = i / (YD * XD); val y = (i / XD) % YD; val x = i % XD
+        if ((t + y + x) % 17 == 0) -999.0
+        else ((t * 31 + y * 7 + x * 13 + vid * 5) % 100).toDouble / 2.0 - 10.0
+      }
+      NetCdf3.write(s"$dir/$v.nc",
+        dims = Seq("time" -> TD, "lat" -> YD, "lon" -> XD),
+        recordDim = if (vid == 0) Some("time") else None,
+        gatts = Seq(WAttr("title", NcChar, text = "graft synthetic grid")),
+        vars = Seq(
+          WVar("time", if (vid == 0) NcInt else NcDouble, Seq("time"),
+            Seq(WAttr("units", NcChar, text = "days since 1990-01-01")),
+            Array.tabulate(TD)(_.toDouble)),
+          WVar("lat", NcDouble, Seq("lat"),
+            Seq(WAttr("long_name", NcChar, text = "latitude")), lat),
+          WVar("lon", NcDouble, Seq("lon"),
+            Seq(WAttr("long_name", NcChar, text = "longitude")), lon),
+          WVar(v, NcFloat, Seq("time", "lat", "lon"),
+            Seq(WAttr("_FillValue", NcFloat, nums = Seq(-999.0)),
+              WAttr("long_name", NcChar, text =
+                if (vid == 0) "Daily Maximum Near-Surface Air Temperature"
+                else "Daily Minimum Near-Surface Air Temperature")),
+            data)),
+        version = if (vid == 0) 1 else 2)
+    }
+    dir
+  }
+
+  /** A curvilinear grid (2-D lat/lon coordinate matrices, `geopy.py:52-61`)
+    * as a `.nc` fixture — no affine structure anywhere; coordinates come only
+    * from the stored arrays. Closed-form so the oracle regenerates it.
+    */
+  lazy val ncCurvDir: String = {
+    import NetCdf3._
+    val (tD, yD, xD) = (4, 10, 12)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-curv").toFile.getAbsolutePath
+    val lat2 = Array.tabulate(yD * xD)(i => 44.0 + (i / xD) * 0.05 + (i % xD) * 0.001)
+    val lon2 = Array.tabulate(yD * xD)(i => -80.0 + (i % xD) * 0.05 + (i / xD) * 0.002)
+    val data = Array.tabulate(tD * yD * xD) { i =>
+      val t = i / (yD * xD); val y = (i / xD) % yD; val x = i % xD
+      if ((t + 2 * y + x) % 13 == 0) -999.0
+      else ((t * 13 + y * 5 + x * 11) % 90).toDouble / 2.0 - 20.0
+    }
+    NetCdf3.write(s"$dir/fivelakes.nc",
+      dims = Seq("time" -> tD, "yc" -> yD, "xc" -> xD),
+      recordDim = Some("time"),
+      gatts = Nil,
+      vars = Seq(
+        WVar("time", NcDouble, Seq("time"),
+          Seq(WAttr("units", NcChar, text = "days since 2000-01-01")),
+          Array.tabulate(tD)(_.toDouble)),
+        WVar("lat", NcDouble, Seq("yc", "xc"),
+          Seq(WAttr("long_name", NcChar, text = "latitude")), lat2),
+        WVar("lon", NcDouble, Seq("yc", "xc"),
+          Seq(WAttr("long_name", NcChar, text = "longitude")), lon2),
+        WVar("temp", NcFloat, Seq("time", "yc", "xc"),
+          Seq(WAttr("_FillValue", NcFloat, nums = Seq(-999.0)),
+            WAttr("long_name", NcChar, text = "water temperature")),
+          data)))
+    dir
+  }
+
+  def ncTable(s: SparkSession): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", ncDir).load()
+
+  /** The hyperslab read against REAL NetCDF bytes: variable pruning drops one
+    * file, the ts bounds narrow by binary search on the stored time coord,
+    * y/x bounds become seek offsets; `_FillValue` → NULL.
+    */
+  private def qGridNc(s: SparkSession, d: String): DataFrame =
+    ncTable(s)
+      .filter(col("variable") === "tasmax" &&
+        col("ts").between(lit("1990-01-02 00:00:00").cast("timestamp"),
+          lit("1990-01-07 23:59:59").cast("timestamp")) &&
+        col("y").between(4, 17) && col("x").between(2, 28))
+      .select("ts", "y", "x", "lat", "lon", "value")
+      .orderBy("ts", "y", "x")
+
+  /** Curvilinear section read: coordinates surface from the 2-D matrices;
+    * a lat bound evaluates post-scan (no affine index mapping exists), while
+    * ts/y/x still push down.
+    */
+  private def qGridNcCurv(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", ncCurvDir).load()
+      .filter(col("ts") >= lit("2000-01-02 00:00:00").cast("timestamp") &&
+        col("y").between(2, 7) && col("x") < 9 && col("lat") > 44.15)
+      .select("ts", "y", "x", "lat", "lon", "value")
+      .orderBy("ts", "y", "x")
+
+  /** The attribute catalog itself (schema-on-read, `geopy.py:51-55`). */
+  private def qCatalogAttrs(s: SparkSession, d: String): DataFrame =
+    NcCatalog.attrs(s, ncDir)
+      .filter(col("attr_name") === "long_name")
+      .select("file", "variable", "attr_value")
+      .orderBy("file", "variable")
+
+  /** Variable DISCOVERED by attribute, then queried — the reference's
+    * schema-on-read flow end to end: find the variable whose `long_name`
+    * says "Daily Maximum", then aggregate its cells. The discovery is a
+    * driver-side metadata read; the literal it yields pushes down as
+    * variable pruning.
+    */
+  private def qNcDiscover(s: SparkSession, d: String): DataFrame = {
+    val found = NcCatalog.discoverByLongName(ncDir, _.startsWith("Daily Maximum"))
+    require(found == Seq("tasmax"), s"discovery found $found")
+    ncTable(s)
+      .filter(col("variable") === found.head && col("y") < 10)
+      .groupBy("ts")
+      .agg(count(col("value")).as("n_obs"), round(avg("value"), 4).as("mean_v"))
+      .orderBy("ts")
+  }
+
   /** Date-partitioned parquet layout of `events`, written once per JVM — the
     * physical form of F1 file pruning: the day predicate is satisfied by
     * DIRECTORY pruning (`PartitionFilters` in the scan), so files outside the
@@ -121,8 +247,31 @@ object SourceQueries extends QueryModule {
     "q_dsv2_count" -> qDsv2Count,
     "q_scan_uri" -> qScanUri,
     "q_scan_partitioned" -> qScanPartitioned,
-    "q_grid_file" -> qGridFile
+    "q_grid_file" -> qGridFile,
+    "q_grid_nc" -> qGridNc,
+    "q_grid_nc_curv" -> qGridNcCurv,
+    "q_catalog_attrs" -> qCatalogAttrs,
+    "q_nc_discover" -> qNcDiscover
   )
+
+  /** DuckDB twin of the curvilinear fixture (closed-form regeneration). */
+  private val oracleCurvCells: String =
+    """WITH raw AS (
+      |  SELECT CAST(range AS BIGINT) AS id,
+      |         range // 120 AS t, (range % 120) // 12 AS y, range % 12 AS x
+      |  FROM range(480)),
+      |curv AS (
+      |  SELECT TIMESTAMP '2000-01-01 00:00:00' + t * 24 * INTERVAL '1 hour' AS ts,
+      |         CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+      |         -- DOUBLE casts force IEEE arithmetic (DuckDB decimal literals
+      |         -- would otherwise compute 44.151 exactly where doubles round)
+      |         CAST(44.0 AS DOUBLE) + y * CAST(0.05 AS DOUBLE) + x * CAST(0.001 AS DOUBLE) AS lat,
+      |         CAST(-80.0 AS DOUBLE) + x * CAST(0.05 AS DOUBLE) + y * CAST(0.002 AS DOUBLE) AS lon,
+      |         CASE WHEN (t + 2 * y + x) % 13 = 0 THEN NULL
+      |              ELSE CAST((t * 13 + y * 5 + x * 11) % 90 AS DOUBLE) / 2.0 - 20.0
+      |         END AS value
+      |  FROM raw)
+      |""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_dsv2_select" -> (GridData.oracleCells +
@@ -151,6 +300,31 @@ object SourceQueries extends QueryModule {
         |WHERE variable = 'tasmin'
         |  AND ts BETWEEN TIMESTAMP '1990-01-02 00:00:00' AND TIMESTAMP '1990-01-05 23:59:59'
         |  AND y >= 2 AND x BETWEEN 3 AND 27
-        |ORDER BY ts, y, x""".stripMargin)
+        |ORDER BY ts, y, x""".stripMargin),
+    "q_grid_nc" -> (GridData.oracleCells +
+      """SELECT ts, y, x, lat, lon, value FROM cells
+        |WHERE variable = 'tasmax'
+        |  AND ts BETWEEN TIMESTAMP '1990-01-02 00:00:00' AND TIMESTAMP '1990-01-07 23:59:59'
+        |  AND y BETWEEN 4 AND 17 AND x BETWEEN 2 AND 28
+        |ORDER BY ts, y, x""".stripMargin),
+    "q_grid_nc_curv" -> (oracleCurvCells +
+      """SELECT ts, y, x, lat, lon, value FROM curv
+        |WHERE ts >= TIMESTAMP '2000-01-02 00:00:00'
+        |  AND y BETWEEN 2 AND 7 AND x < 9 AND lat > 44.15
+        |ORDER BY ts, y, x""".stripMargin),
+    "q_catalog_attrs" ->
+      """SELECT * FROM (VALUES
+        |  ('tasmax.nc', 'lat', 'latitude'),
+        |  ('tasmax.nc', 'lon', 'longitude'),
+        |  ('tasmax.nc', 'tasmax', 'Daily Maximum Near-Surface Air Temperature'),
+        |  ('tasmin.nc', 'lat', 'latitude'),
+        |  ('tasmin.nc', 'lon', 'longitude'),
+        |  ('tasmin.nc', 'tasmin', 'Daily Minimum Near-Surface Air Temperature')
+        |) AS t(file, variable, attr_value)
+        |ORDER BY file, variable""".stripMargin,
+    "q_nc_discover" -> (GridData.oracleCells +
+      """SELECT ts, count(value) AS n_obs, round(avg(value), 4) AS mean_v
+        |FROM cells WHERE variable = 'tasmax' AND y < 10
+        |GROUP BY ts ORDER BY ts""".stripMargin)
   )
 }

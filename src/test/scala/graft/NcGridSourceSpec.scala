@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.domain.GridData
+import graft.sources.{GridSource, NcCatalog, NcGrid, SourceQueries}
+
+/** The DSv2 scan over real NetCDF-3 bytes: results must be identical to the
+  * closed-form generator, pushdown must prune partitions/sections, and the
+  * metadata aggregate must be answered without reading cells.
+  */
+class NcGridSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def nc = SourceQueries.ncTable(spark)
+
+  test("nc scan reproduces the generator grid exactly (both variables, both layouts)") {
+    // tasmax is a record-layout CDF-1 file, tasmin fixed-layout CDF-2; both
+    // must surface the identical cell table (file column aside)
+    val got = nc.select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x").collect()
+    val expect = GridData.cells(spark)
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x").collect()
+    assert(got.length == expect.length && got.sameElements(expect))
+  }
+
+  test("variable + ts + y/x filters prune partitions and sections") {
+    val df = nc.filter(col("variable") === "tasmax" &&
+      col("ts").between(lit("1990-01-03 00:00:00").cast("timestamp"),
+        lit("1990-01-05 23:59:59").cast("timestamp")) &&
+      col("y") < 5 && col("x") >= 25)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("NcGridScan"), plan)
+    assert(plan.contains("vars=tasmax"), plan)
+    // 3 days * 5 ys * 5 xs
+    assert(df.count() == 75)
+    // partition count = surviving (cube, t) slices = 1 var * 3 days
+    assert(df.rdd.getNumPartitions == 3)
+  }
+
+  test("sub-day ts bounds narrow exactly via the time-coordinate search") {
+    for ((cond, tag) <- Seq(
+      (col("ts") >= lit("1990-01-02 12:00:00").cast("timestamp"), "gte-mid"),
+      (col("ts") > lit("1990-01-02 00:00:00").cast("timestamp"), "gt-exact"),
+      (col("ts") < lit("1990-01-02 12:00:00").cast("timestamp"), "lt-mid"),
+      (col("ts") <= lit("1990-01-02 00:00:00").cast("timestamp"), "lte-exact"))) {
+      val got = nc.filter(cond).count()
+      val expect = GridData.cells(spark).filter(cond).count()
+      assert(got == expect, tag)
+    }
+  }
+
+  test("metadata aggregate is answered from headers/coords: one row, zero cells") {
+    val df = nc.filter(col("variable") === "tasmin" && col("y").between(3, 12))
+      .agg(count(lit(1)).as("n"), min("ts").as("ts_min"), max("lat").as("lat_max"))
+    assert(df.queryExecution.executedPlan.toString.contains("NcGridAggScan"))
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 8L * 10 * 30)
+    assert(row.getTimestamp(1).toInstant == java.time.Instant.parse("1990-01-01T00:00:00Z"))
+    assert(row.getDouble(2) == 44.0 + 12 * 0.05)
+  }
+
+  test("curvilinear grid: coordinates come from the 2-D matrices") {
+    val df = spark.read.format(classOf[GridSource].getName)
+      .option("path", SourceQueries.ncCurvDir).load()
+    val rows = df.filter(col("y") === 3 && col("x") === 5 && col("variable") === "temp")
+      .select("lat", "lon").distinct().collect()
+    assert(rows.length == 1)
+    assert(rows(0).getDouble(0) == 44.0 + 3 * 0.05 + 5 * 0.001)
+    assert(rows(0).getDouble(1) == -80.0 + 5 * 0.05 + 3 * 0.002)
+    // nearest() needs no affine: it runs on the coord table as stored
+    val nearest = graft.domain.GridQuery.nearest(
+      df.withColumn("file", col("variable")), lat = 44.16, lon = -79.74).collect()(0)
+    assert((nearest.getInt(0), nearest.getInt(1)) == (3, 5),
+      s"nearest was (${nearest.getInt(0)}, ${nearest.getInt(1)})")
+  }
+
+  test("attribute catalog surfaces per-variable and global attributes") {
+    val attrs = NcCatalog.attrs(spark, SourceQueries.ncDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(attrs.contains(("tasmax.nc", "", "title", "graft synthetic grid")))
+    assert(attrs.contains(("tasmax.nc", "tasmax", "long_name",
+      "Daily Maximum Near-Surface Air Temperature")))
+    assert(attrs.contains(("tasmin.nc", "time", "units", "days since 1990-01-01")))
+    assert(NcCatalog.discoverByLongName(SourceQueries.ncDir,
+      _.contains("Minimum")) == Seq("tasmin"))
+  }
+
+  test("heterogeneous .nc layouts are rejected at open") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-het").toFile.getAbsolutePath
+    for (p <- Seq(SourceQueries.ncDir + "/tasmax.nc", SourceQueries.ncCurvDir + "/fivelakes.nc"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(p),
+        java.nio.file.Paths.get(dir, new java.io.File(p).getName))
+    val e = intercept[Exception] {
+      spark.read.format(classOf[GridSource].getName).option("path", dir).load().count()
+    }
+    assert(e.getMessage.contains("heterogeneous"), e.getMessage)
+  }
+
+  test("CF time-unit strings parse to (epoch, scale)") {
+    assert(NcGrid.timeUnit("days since 1990-01-01") ==
+      (631152000000000L, 86400000000L))
+    assert(NcGrid.timeUnit("hours since 2000-06-15 12:00:00")._2 == 3600000000L)
+    intercept[IllegalArgumentException](NcGrid.timeUnit("fortnights since 1990-01-01"))
+  }
+}
