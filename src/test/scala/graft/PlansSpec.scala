@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI locks on the headline physical-plan properties PLANS.md/PERF.md cite —
+  * pushdown and pruning claims must not silently drift as code changes.
+  * (The bucketed-join no-Exchange property is asserted in ScaleSpec; DSv2
+  * section/agg pushdown details in GridSourceSpec/NcGridSourceSpec.)
+  */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def planOf(name: String): String = {
+    // default metadata truncation (100 chars) can cut the PushedFilters list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    SparkEntry.queries(name)(spark, TestSpark.sf).queryExecution.executedPlan.toString
+  }
+
+  test("q1_pricing: shipdate filter reaches the parquet scan, columns pruned") {
+    val plan = planOf("q1_pricing")
+    assert(plan.contains("PushedFilters:"), plan)
+    // the shipdate bound is pushed, not just a post-scan Filter
+    assert(plan.split("PushedFilters:").exists(s =>
+      s.takeWhile(_ != '\n').contains("l_shipdate")), plan)
+    // projection pruning: the 16-column lineitem scan reads no comment/address
+    assert(!plan.contains("l_comment"), plan)
+    // partial + final aggregation (map-side combine before the shuffle)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_bbox: both range predicates are pushed to the scan") {
+    val plan = planOf("q_bbox")
+    val pushed = plan.split("PushedFilters:").drop(1).map(_.takeWhile(_ != '\n')).mkString
+    assert(pushed.contains("l_quantity") && pushed.contains("l_extendedprice"), plan)
+  }
+
+  test("q_dsv2_count: completely-pushed aggregate emits one row, zero cells") {
+    val df = SparkEntry.queries("q_dsv2_count")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GridAggScan"), plan)
+    assert(plan.contains("pushedAggregates="), plan)
+    // the scan itself is the single-row source: no partial/final agg pair over cells
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 1)
+  }
+
+  // the declared queries end in orderBy (oracle determinism), which coalesces
+  // the final RDD — partition pruning is asserted on the scan+filter stage
+  // (identical predicates, same ScanBuilder path)
+
+  test("q_grid_file: section pushdown plans only the surviving partitions") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format(classOf[sources.GridSource].getName)
+      .option("path", sources.SourceQueries.grfDir).load()
+      .filter(col("variable") === "tasmin" &&
+        col("ts").between(lit("1990-01-02 00:00:00").cast("timestamp"),
+          lit("1990-01-05 23:59:59").cast("timestamp")) &&
+        col("y") >= 2 && col("x").between(3, 27))
+    assert(df.queryExecution.executedPlan.toString.contains("FileGridScan"))
+    // tasmin only (variable pruning dropped the tasmax file), days 1..4 of 8
+    assert(df.rdd.getNumPartitions == 4, s"partitions=${df.rdd.getNumPartitions}")
+  }
+
+  test("q_grid_nc: ts/y/x pushdown plans only the surviving partitions") {
+    import org.apache.spark.sql.functions._
+    val df = sources.SourceQueries.ncTable(spark)
+      .filter(col("variable") === "tasmax" &&
+        col("ts").between(lit("1990-01-02 00:00:00").cast("timestamp"),
+          lit("1990-01-07 23:59:59").cast("timestamp")) &&
+        col("y").between(4, 17) && col("x").between(2, 28))
+    assert(df.queryExecution.executedPlan.toString.contains("NcGridScan"))
+    // tasmax only, days 1..6 of 8
+    assert(df.rdd.getNumPartitions == 6, s"partitions=${df.rdd.getNumPartitions}")
+  }
+
+  test("q_scan_partitioned: the day predicate prunes directories, not rows") {
+    val plan = planOf("q_scan_partitioned")
+    assert(plan.contains("PartitionFilters:"), plan)
+    assert(plan.split("PartitionFilters:").exists(s =>
+      s.takeWhile(_ != '\n').contains("day")), plan)
+  }
+}
