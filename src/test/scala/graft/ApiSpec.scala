@@ -108,6 +108,23 @@ class ApiSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("fetchResult over the NetCDF-backed grid serves byte-identical PNGs to the generator") {
+    val ncGrid = (s: org.apache.spark.sql.SparkSession) =>
+      s.read.format(classOf[graft.sources.GridSource].getName)
+        .option("path", graft.sources.SourceQueries.ncDir).load()
+    val srv = new ApiServer(spark, port = 0, grid = ncGrid)
+    val port = srv.start()
+    try {
+      val (code, body) = post(s"http://127.0.0.1:$port/fetchResult", request)
+      assert(code == 200, new String(body.take(200), "UTF-8"))
+      val fromNc = zipContents(body)
+      val fromGen = withServer { genPort =>
+        zipContents(post(s"http://127.0.0.1:$genPort/fetchResult", request)._2)
+      }
+      assert(fromNc == fromGen, "nc-backed render differs from generator-backed render")
+    } finally srv.stop()
+  }
+
   test("getBoundary failure yields a 500 JSON response, not a dropped connection") {
     val broken = (_: org.apache.spark.sql.SparkSession) =>
       throw new RuntimeException("grid unavailable")
