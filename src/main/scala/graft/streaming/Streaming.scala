@@ -175,7 +175,23 @@ object Streaming extends QueryModule {
       }
   }
 
+  /** Batch twin of `dedupedStream` (dropDuplicatesWithinWatermark): the
+    * events stream unioned with a 5-minute-delayed replay of itself — every
+    * event_id arrives twice within the watermark — must collapse back to one
+    * copy each, keeping the earliest. The true watermarked streaming path is
+    * driven in StreamingSpec; this row oracle-checks the keep-first
+    * semantics.
+    */
+  private def qDedupStream(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d).select("event_id", "ts")
+    val replayed = e.union(e.withColumn("ts", col("ts") + expr("INTERVAL 5 MINUTES")))
+    replayed.groupBy("event_id")
+      .agg(min("ts").as("first_ts"), count(lit(1)).as("n_copies"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_stream" -> qDedupStream,
     "q_tumble" -> qTumble,
     "q_slide" -> qSlide,
     "q_session" -> qSession,
@@ -184,6 +200,12 @@ object Streaming extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_stream" ->
+      """SELECT event_id, min(ts) AS first_ts, count(*) AS n_copies
+        |FROM (SELECT event_id, ts FROM events
+        |      UNION ALL
+        |      SELECT event_id, ts + INTERVAL 5 MINUTE FROM events)
+        |GROUP BY event_id ORDER BY event_id""".stripMargin,
     "q_tumble" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total

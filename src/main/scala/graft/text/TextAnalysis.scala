@@ -187,7 +187,31 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Exact corpus-wide top tokens — the full-shuffle baseline. */
+  private def qTopTokens(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(10)
+
+  /** The same question through the Misra-Gries sketch (ApproxTopK): a
+    * bounded-state mergeable aggregate instead of a full-cardinality
+    * groupBy shuffle — the 100 TB path. The fixture vocabulary (31 tokens)
+    * is far under the sketch capacity, so counts here are provably exact
+    * and the query keeps a full oracle; compression behavior under
+    * capacity pressure is asserted in ApproxTopKSpec.
+    */
+  private def qTopTokensApprox(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(graft.functions.ApproxTopKFunctions
+        .approx_top_k(col("token"), k = 10, capacity = 512).as("top"))
+      .select(posexplode(col("top")).as(Seq("rank", "entry")))
+      .select(col("rank"), col("entry.item").as("token"), col("entry.est_n").as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_tokens" -> qTopTokens,
+    "q_top_tokens_approx" -> qTopTokensApprox,
     "q_quality_filter" -> qQualityFilter,
     "q_top_bigram" -> qTopBigram,
     "q_char_ratios" -> qCharRatios,
@@ -202,6 +226,17 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
+    "q_top_tokens_approx" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS INT) AS rank,
+        |       token, n
+        |FROM (SELECT token, count(*) AS n
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY token)
+        |ORDER BY n DESC, token LIMIT 10""".stripMargin,
     "q_quality_filter" ->
       """WITH q AS (
         |  SELECT source,
