@@ -144,6 +144,46 @@ object Dedup extends QueryModule {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components by min-label propagation over an undirected edge
+    * set — the clustering step that turns near-dup PAIRS into dedup GROUPS
+    * (keep one document per component, not per pair). Each iteration is one
+    * distributed join + min-aggregate; the driver touches only a convergence
+    * scalar. Converges in O(component diameter) rounds, and near-dup
+    * clusters are shallow by construction (every member is similar to a
+    * shared template), so 3–5 rounds cover real corpora at any scale.
+    * Returns (id, component) for every node that appears in an edge;
+    * singleton handling is the caller's (left-join + coalesce).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val bidir = edges
+      .select(col("doc1").cast("long").as("src"), col("doc2").cast("long").as("dst"))
+      .union(edges
+        .select(col("doc2").cast("long").as("src"), col("doc1").cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val msgs = bidir.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.withColumnRenamed("component", "next_c")
+        .join(labels, "id")
+        .filter(col("next_c") =!= col("component")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    bidir.unpersist()
+    labels
+  }
+
   // ---- declared queries ----
 
   /** Exact dedup: content-hash groupBy keeping the smallest doc_id — the
@@ -179,7 +219,34 @@ object Dedup extends QueryModule {
       .orderBy("doc1", "doc2")
   }
 
+  /** Near-dup pairs → dedup clusters: the sampled 4-gram Jaccard pairs
+    * (threshold 0.3) become edges; connected components assign every sampled
+    * doc its cluster (= smallest member id; unclustered docs are their own).
+    * Fully oracle-checkable — DuckDB computes the same components with a
+    * recursive CTE over the identical edge set.
+    */
+  private def qDedupCluster(s: SparkSession, d: String): DataFrame = {
+    val grams = expr(
+      "array_distinct(transform(sequence(0, greatest(length(text) - 4, 0)), i -> substr(text, i + 1, 4)))")
+    val sample = T.documents(s, d).filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("source"), grams.as("grams"))
+    val l = sample.select(col("source"), col("doc_id").as("doc1"), col("grams").as("g1"))
+    val r = sample.select(col("source"), col("doc_id").as("doc2"), col("grams").as("g2"))
+    val edges = l.join(r, "source").filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        round(size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .select("doc1", "doc2")
+    val comps = connectedComponents(edges)
+    sample.select(col("doc_id"))
+      .join(comps, sample("doc_id") === comps("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_cluster" -> qDedupCluster,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     // SURVEY §2B's declared name for near-dup dedup — the MinHash pipeline
@@ -189,6 +256,27 @@ object Dedup extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // recursive-CTE twin: min reachable id over the same thresholded edge set
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 2),
+        |      i -> substr(text, i, 4))) AS grams
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |pairs AS (
+        |  SELECT l.doc_id AS doc1, r.doc_id AS doc2
+        |  FROM g l JOIN g r ON l.source = r.source AND l.doc_id < r.doc_id
+        |  WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(l.grams, r.grams))), 4) >= 0.3),
+        |edges AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM pairs
+        |  UNION ALL SELECT doc2, doc1 FROM pairs),
+        |cc AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM g
+        |  UNION
+        |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id)
+        |SELECT id AS doc_id, min(comp) AS component
+        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

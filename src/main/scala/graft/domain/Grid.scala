@@ -225,13 +225,68 @@ object GridQueries extends QueryModule {
       .agg(count(lit(1)).as("n_cells"), round(avg("value"), 4).as("mean_v"))
       .orderBy("ts")
 
+  /** Zonal statistics — N polygon zones aggregated in ONE scan (the
+    * reference answers one polygon per request; zonal stats is the
+    * generalization every raster OLAP needs). Zone assignment is a CASE over
+    * the ray-cast masks; the filter's pip predicates get envelope conjuncts
+    * from PolygonEnvelopeRule, so the scan is bounded by the union bbox.
+    * Zones here are rectilinear at half-cell offsets (same construction as
+    * `lRing`) so the oracle can state them as bboxes.
+    */
+  private val zoneA: Seq[(Double, Double)] = Seq( // west block
+    (-79.975, 44.025), (-79.425, 44.025), (-79.425, 44.925),
+    (-79.975, 44.925), (-79.975, 44.025))
+  private val zoneB: Seq[(Double, Double)] = Seq( // east block, disjoint
+    (-79.375, 44.025), (-78.825, 44.025), (-78.825, 44.475),
+    (-79.375, 44.475), (-79.375, 44.025))
+
+  private def qZonalStats(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GeoFunctions.point_in_polygon
+    val inA = point_in_polygon(col("lat"), col("lon"), zoneA)
+    val inB = point_in_polygon(col("lat"), col("lon"), zoneB)
+    cells(s)
+      .filter(col("variable") === "tasmax" && (inA || inB))
+      .select(col("ts"), when(inA, "west").otherwise("east").as("zone"), col("value"))
+      .groupBy("ts", "zone")
+      .agg(count(col("value")).as("n_obs"), round(avg("value"), 4).as("mean_v"))
+      .orderBy("ts", "zone")
+  }
+
+  /** Regrid to a coarser resolution: 2×2 cell blocks aggregate to one output
+    * cell (mean + sample count) — the downsampling step of any raster
+    * pyramid. Pure partial+final aggregation; no shuffle beyond |groups|.
+    */
+  private def qRegrid(s: SparkSession, d: String): DataFrame =
+    cells(s)
+      .filter(col("variable") === "tasmax")
+      .groupBy(col("ts"), floor(col("y") / 2).cast("int").as("yc"),
+        floor(col("x") / 2).cast("int").as("xc"))
+      .agg(count(col("value")).as("n_obs"), round(avg("value"), 4).as("mean_v"))
+      .orderBy("ts", "yc", "xc")
+
+  /** Anomaly vs per-cell climatology: value minus that cell's own mean over
+    * the time axis — the standard climate-analysis transform. One window
+    * partitioned by (variable, y, x): shuffle carries cell keys once.
+    */
+  private def qAnomaly(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("variable", "y", "x")
+    cells(s)
+      .filter(col("variable") === "tasmin" && col("y") < 4 && col("x") < 8)
+      .select(col("ts"), col("y"), col("x"),
+        round(col("value") - avg("value").over(w), 4).as("anomaly"))
+      .orderBy("ts", "y", "x")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_polygon" -> qPolygon,
     "q_grid_select" -> qGridSelect,
     "q_grid_catalog" -> qGridCatalog,
     "q_grid_quantile" -> qGridQuantile,
     "q_grid_render" -> qGridRender,
-    "q_grid_nearest" -> qGridNearest
+    "q_grid_nearest" -> qGridNearest,
+    "q_zonal_stats" -> qZonalStats,
+    "q_regrid" -> qRegrid,
+    "q_anomaly" -> qAnomaly
   )
 
   // The polygon is the reference's axis-aligned rectangle, so the mask oracle
@@ -283,6 +338,29 @@ object GridQueries extends QueryModule {
         |  round(pow(lat - 44.2931, 2) + pow(lon - (-79.0), 2), 6) AS dist2
         |FROM (SELECT DISTINCT y, x, lat, lon FROM cells)
         |ORDER BY pow(lat - 44.2931, 2) + pow(lon - (-79.0), 2), y, x
-        |LIMIT 1""".stripMargin)
+        |LIMIT 1""".stripMargin),
+    // zones are rectilinear rings at half-cell offsets, so strict-interior
+    // bboxes state the masks exactly (no grid point lies on an edge)
+    "q_zonal_stats" -> (oracleCells +
+      """SELECT ts,
+        |  CASE WHEN lon > -79.975 AND lon < -79.425
+        |        AND lat > 44.025 AND lat < 44.925 THEN 'west'
+        |       ELSE 'east' END AS zone,
+        |  count(value) AS n_obs, round(avg(value), 4) AS mean_v
+        |FROM cells
+        |WHERE variable = 'tasmax' AND (
+        |  (lon > -79.975 AND lon < -79.425 AND lat > 44.025 AND lat < 44.925) OR
+        |  (lon > -79.375 AND lon < -78.825 AND lat > 44.025 AND lat < 44.475))
+        |GROUP BY ts, zone ORDER BY ts, zone""".stripMargin),
+    "q_regrid" -> (oracleCells +
+      """SELECT ts, CAST(y // 2 AS INT) AS yc, CAST(x // 2 AS INT) AS xc,
+        |  count(value) AS n_obs, round(avg(value), 4) AS mean_v
+        |FROM cells WHERE variable = 'tasmax'
+        |GROUP BY ts, yc, xc ORDER BY ts, yc, xc""".stripMargin),
+    "q_anomaly" -> (oracleCells +
+      """SELECT ts, y, x,
+        |  round(value - avg(value) OVER (PARTITION BY variable, y, x), 4) AS anomaly
+        |FROM cells WHERE variable = 'tasmin' AND y < 4 AND x < 8
+        |ORDER BY ts, y, x""".stripMargin)
   )
 }

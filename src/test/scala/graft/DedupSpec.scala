@@ -94,6 +94,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chains propagate, components stay separate") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 round), pair {10,11}, and an
+    // isolated edge endpoint set {20,21}; 99 never appears (caller's job)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("doc1", "doc2")
+    val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("single-pass MinHashSignature expression is bit-identical to the compositional form") {
     val withShingles = docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
     val rows = withShingles.select(col("doc_id"),
