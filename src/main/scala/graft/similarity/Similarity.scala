@@ -77,6 +77,33 @@ object Similarity extends QueryModule {
       .filter(col("cos") >= minCos)
   }
 
+  /** Batch kNN JOIN: every query vector gets its k nearest corpus neighbors
+    * in ONE corpus scan — the cross-dataset shape (dedup a new shard against
+    * the corpus, retrieval evaluation). The query set broadcasts; scoring is
+    * a codegen'd scan; and the per-query ranking is the bounded
+    * [[graft.functions.TopKByScore]] aggregate, so the shuffle carries k rows
+    * per query — NOT the |queries|×|corpus| scored pairs a window-rank
+    * formulation would move.
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), struct(
+        round(cosine_sim(col("embedding"), col("qe")), 4).as("sim"),
+        col("vec_id").as("id")).as("cand"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions.top_k_by_score(col("cand"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rank", "entry")))
+      .select(col("q_id"), col("rank"), col("entry.id").as("vec_id"),
+        col("entry.sim").as("sim"))
+  }
+
+  private def qEmbedKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    knnJoin(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      .orderBy("q_id", "rank")
+  }
+
   private def qCosineTopk(s: SparkSession, d: String): DataFrame =
     cosineTopK(T.embeddings(s, d), queryId = 1L, k = 20)
 
@@ -120,10 +147,28 @@ object Similarity extends QueryModule {
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_lsh" -> qCosineLsh,
     "q_cosine_ivf" -> qCosineIvf,
-    "q_embed_neardup" -> qEmbedNearDup
+    "q_embed_neardup" -> qEmbedNearDup,
+    "q_embed_knn" -> qEmbedKnn
   )
 
   val oracleSql: Map[String, String] = Map(
+    // window-rank twin of the bounded top-k aggregate (identical results:
+    // both order by sim DESC then id ASC)
+    "q_embed_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, ev AS qe FROM e WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    round(list_dot_product(e.ev, q.qe)
+        |          / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qe, q.qe))), 4) AS sim
+        |  FROM e, q WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, CAST(rnk AS INT) AS rank, vec_id, sim FROM (
+        |  SELECT q_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) - 1 AS rnk
+        |  FROM scored)
+        |WHERE rnk < 5 ORDER BY q_id, rank""".stripMargin,
     // mirrors CosineSimilarity exactly: per-element double widening, sequential
     // folds, dot/(sqrt(na)*sqrt(nb))
     "q_cosine_topk" ->

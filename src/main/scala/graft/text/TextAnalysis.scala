@@ -209,7 +209,22 @@ object TextAnalysis extends QueryModule {
       .select(posexplode(col("top")).as(Seq("rank", "entry")))
       .select(col("rank"), col("entry.item").as("token"), col("entry.est_n").as("n"))
 
+  /** Text normalization — the standard pre-tokenization cleanup pass of a
+    * training-data pipeline (lowercase, strip non-alphanumerics, collapse
+    * runs of spaces, trim). Pure codegen'd string expressions; no UDFs.
+    */
+  private def qNormalize(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        size(split(col("norm_text"), " ")).as("n_tokens"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_normalize" -> qNormalize,
     "q_top_tokens" -> qTopTokens,
     "q_top_tokens_approx" -> qTopTokensApprox,
     "q_quality_filter" -> qQualityFilter,
@@ -226,6 +241,15 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text,
+        |  CAST(len(string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')), ' ')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_top_tokens" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
