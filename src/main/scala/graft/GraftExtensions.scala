@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 
-import graft.functions.{CosineSimilarity, DotProduct, PointInPolygon, SimHash64}
+import graft.functions.{ApproxTopK, CosineSimilarity, DotProduct, HistogramBreaks, MinHashSignature, PointInPolygon, SimHash64, TopKByScore}
 
 /** Session extension (`spark.sql.extensions=graft.GraftExtensions`) wiring the
   * library's native expressions into SQL and the optimizer:
@@ -82,6 +82,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (e.dataType == org.apache.spark.sql.types.DoubleType) e
           else Cast(e, org.apache.spark.sql.types.DoubleType)
         PointInPolygon(dbl(args(0)), dbl(args(1)), ring)
+      }))
+    // aggregate sketches: the analyzer wraps a bare AggregateFunction from a
+    // builder in an AggregateExpression, so SQL users get the partial+final
+    // bounded-state paths too. Size parameters must be literal ints.
+    def litInt(e: Expression, what: String): Int = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case d: java.math.BigDecimal => d.intValueExact()
+        case dec: org.apache.spark.sql.types.Decimal => dec.toInt
+        case other => throw new IllegalArgumentException(s"$what: not an int ($other)")
+      }
+    }
+    ext.injectFunction((FunctionIdentifier("approx_top_k"), info("approx_top_k"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "approx_top_k(col, k, capacity)")
+        ApproxTopK(args(0), litInt(args(1), "k"), litInt(args(2), "capacity"))
+      }))
+    ext.injectFunction((FunctionIdentifier("histogram_breaks"), info("histogram_breaks"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "histogram_breaks(col, numBreaks, maxBins)")
+        HistogramBreaks(args(0), litInt(args(1), "numBreaks"), litInt(args(2), "maxBins"))
+      }))
+    ext.injectFunction((FunctionIdentifier("top_k_by_score"), info("top_k_by_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "top_k_by_score(struct(sim, id), k)")
+        TopKByScore(args(0), litInt(args(1), "k"))
+      }))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"), info("minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_signature(arr, numPerms)")
+        MinHashSignature(longArray(args(0)), litInt(args(1), "numPerms"))
       }))
     ext.injectOptimizerRule(_ => PolygonEnvelopeRule)
   }

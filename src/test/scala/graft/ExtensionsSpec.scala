@@ -113,6 +113,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ok.select(functions.SimHashFunctions.simhash64(col("a"))).collect().length == 1)
   }
 
+  test("SQL aggregate sketches resolve and run partial+final") {
+    val top = ext.sql(
+      """SELECT approx_top_k(t, 2, 16) AS top FROM (
+        |  SELECT CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS t FROM range(90))
+        |""".stripMargin).collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r => (r.getString(0), r.getLong(1))) == Seq(("b", 60L), ("a", 30L)))
+    val breaks = ext.sql(
+      """SELECT histogram_breaks(CAST(id AS DOUBLE), 4, 64) AS b FROM range(101)
+        |""".stripMargin).collect()(0).getSeq[Double](0)
+    assert(breaks.length == 3 && math.abs(breaks(1) - 50.0) <= 1.0, breaks)
+    val knn = ext.sql(
+      """SELECT top_k_by_score(struct(CAST(id % 7 AS DOUBLE), id), 3) AS t
+        |FROM range(100)""".stripMargin).collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(knn.map(_.getLong(0)) == Seq(6L, 13L, 20L)) // sim 6.0 ties, id asc
+    val mh = ext.sql("SELECT minhash_signature(array(1L, 2L, 3L), 8) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(mh.length == 8)
+  }
+
   test("rule is idempotent: one envelope per mask, no repeated conjuncts") {
     val ring = Seq((-79.5, 44.1), (-79.0, 44.1), (-79.0, 44.4), (-79.5, 44.4), (-79.5, 44.1))
     val df = ext.range(10)
