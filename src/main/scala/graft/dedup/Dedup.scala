@@ -155,32 +155,45 @@ object Dedup extends QueryModule {
     * singleton handling is the caller's (left-join + coalesce).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+    // localCheckpoint (eager) BOTH caches and TRUNCATES lineage: without it
+    // round k's logical plan nests all k-1 predecessors and driver planning
+    // cost grows quadratically — the classic iterative-algorithm trap
     val bidir = edges
       .select(col("doc1").cast("long").as("src"), col("doc2").cast("long").as("dst"))
       .union(edges
         .select(col("doc2").cast("long").as("src"), col("doc1").cast("long").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = bidir.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    // labels are monotonically non-increasing, so the label SUM strictly
+    // decreases until the fixpoint — convergence is one tiny aggregate on the
+    // (already-materialized) checkpoint instead of a join per round
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("component")).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
+      // neighbor propagation (1 hop) + pointer jumping (adopt the label of
+      // the current component head) — together they contract long chains in
+      // O(log diameter) rounds instead of O(diameter)
       val msgs = bidir.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("component"))
-      val next = labels.union(msgs)
+      val jump = labels.withColumnRenamed("id", "jid")
+        .withColumnRenamed("component", "head")
+        .join(labels.withColumnRenamed("id", "hid")
+          .withColumnRenamed("component", "hc"), col("head") === col("hid"))
+        .select(col("jid").as("id"), col("hc").as("component"))
+      val next = labels.union(msgs).union(jump)
         .groupBy("id").agg(min("component").as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.withColumnRenamed("component", "next_c")
-        .join(labels, "id")
-        .filter(col("next_c") =!= col("component")).count()
-      labels.unpersist()
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
       labels = next
-      done = changed == 0
+      done = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
-    bidir.unpersist()
     labels
   }
 

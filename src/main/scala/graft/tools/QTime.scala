@@ -1,0 +1,26 @@
+package graft.tools
+
+/** Time one or more declared queries at the driver bench config:
+  * `runMain graft.tools.QTime <query> [query…]` (sf dir via
+  * SPARK_GRAFT_SF_DIR, cpus via SPARK_GRAFT_CPUS). Each query runs twice —
+  * cold then warm — because layout/fixture writes belong to the first run.
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- args; round <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+      println(f"[qtime] $q round=$round rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
