@@ -171,9 +171,9 @@ class NcGridTable(dir: String) extends Table with SupportsRead {
   override def name(): String = s"graft_grid_nc($dir)"
   override def schema(): StructType = GridSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NcGridScanBuilder(cubes)
+    new NcGridScanBuilder(cubes, dir)
 }
 
 /** Same pushdown contract as the other grid paths — variable equality/IN
@@ -181,7 +181,7 @@ class NcGridTable(dir: String) extends Table with SupportsRead {
   * narrowing by binary search on the stored time coordinate (works for any
   * strictly-increasing axis, not just uniform steps).
   */
-class NcGridScanBuilder(cubes: Seq[NcCube]) extends ScanBuilder
+class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private val dims = cubes.head
@@ -246,7 +246,7 @@ class NcGridScanBuilder(cubes: Seq[NcCube]) extends ScanBuilder
 
   override def build(): Scan = aggPlan match {
     case Some(plan) => new NcGridAggScan(kept, section, plan)
-    case None => new NcGridScan(kept, section, required, pushed)
+    case None => new NcGridScan(kept, section, required, pushed, dir, varNames)
   }
 }
 
@@ -296,10 +296,19 @@ class NcGridAggScan(cubes: Seq[NcCube], section: GridSource.Section,
 }
 
 class NcGridScan(cubes: Seq[NcCube], section: GridSource.Section,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    required: StructType, pushed: Array[Filter],
+    dir: String = null, varNames: Option[Set[String]] = None) extends Scan with Batch
     with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming read: every NEW `.nc` file that lands in the directory becomes
+    * (part of) a micro-batch — continuous ingest of raster drops. The same
+    * pushed section/variable pruning applies to the streamed cubes.
+    */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new NcGridMicroBatchStream(dir, section, varNames, required, cubes.headOption)
   override def description(): String =
     s"NcGridScan vars=${cubes.map(_.varName).mkString(",")} section=$section " +
       s"pushed=[${pushed.mkString(", ")}]"
@@ -327,6 +336,65 @@ class NcGridScan(cubes: Seq[NcCube], section: GridSource.Section,
 
 case class NcGridPartition(cube: NcCube, t: Int, section: GridSource.Section)
   extends InputPartition
+
+/** Micro-batch streaming over a `.nc` directory: an offset is the SET of
+  * file names already ingested (serialized sorted, so offsets are stable
+  * regardless of arrival order or lexicographic position of new names); a
+  * batch is the cubes of `end − start`. Every streamed file must match the
+  * reference cube's grid layout (dims + time axis) — same contract the
+  * batch open enforces, checked here as each new file arrives.
+  */
+class NcGridMicroBatchStream(dir: String, section: GridSource.Section,
+    varNames: Option[Set[String]], required: StructType,
+    reference: Option[NcCube])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FilesOffset(files: Set[String]) extends Offset {
+    override def json(): String =
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.JsonDSL.seq2jvalue(files.toSeq.sorted.map(
+          org.json4s.JString(_): org.json4s.JValue)))
+  }
+
+  private def listNc(): Set[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".nc")).map(_.getName).toSet
+
+  override def initialOffset(): Offset = FilesOffset(Set.empty)
+
+  override def latestOffset(): Offset = FilesOffset(listNc())
+
+  override def deserializeOffset(json: String): Offset = {
+    import org.json4s._
+    FilesOffset(jackson.JsonMethods.parse(json)
+      .asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s).toSet)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val newFiles = (end.asInstanceOf[FilesOffset].files --
+      start.asInstanceOf[FilesOffset].files).toSeq.sorted
+    val cubes = newFiles.flatMap(f => NcGrid.openCubes(s"$dir/$f"))
+    reference.foreach { r =>
+      cubes.foreach(c => require(
+        c.t == r.t && c.y == r.y && c.x == r.x &&
+          java.util.Arrays.equals(c.timesMicros, r.timesMicros),
+        s"${c.path}#${c.varName}: heterogeneous grid layout vs ${r.path}#${r.varName}"))
+    }
+    (for {
+      c <- cubes.filter(c => varNames.forall(_.contains(c.varName)))
+      clamped = GridSource.clampTo(section, c.t, c.y, c.x)
+      t <- clamped.t0 to clamped.t1
+      if t >= 0
+    } yield NcGridPartition(c, t, clamped): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NcGridReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class NcGridReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =

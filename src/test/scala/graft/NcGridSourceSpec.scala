@@ -98,6 +98,31 @@ class NcGridSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("heterogeneous"), e.getMessage)
   }
 
+  test("micro-batch streaming ingests each new .nc drop exactly once") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-nc-stream").toFile.getAbsolutePath
+    // seed with one file (the table needs at least one at open)
+    Files.copy(Paths.get(SourceQueries.ncDir, "tasmax.nc"), Paths.get(dir, "tasmax.nc"))
+    val stream = spark.readStream.format(classOf[GridSource].getName)
+      .option("path", dir).load()
+      .filter(col("y") < 5) // pushdown applies to streamed cubes too
+      .groupBy("variable").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory")
+      .queryName("nc_stream").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("nc_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(after1 == Map("tasmax" -> 8L * 5 * 30))
+      // a new raster drop arrives
+      Files.copy(Paths.get(SourceQueries.ncDir, "tasmin.nc"), Paths.get(dir, "tasmin.nc"))
+      q.processAllAvailable()
+      val after2 = spark.table("nc_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(after2 == Map("tasmax" -> 8L * 5 * 30, "tasmin" -> 8L * 5 * 30))
+    } finally q.stop()
+  }
+
   test("CF time-unit strings parse to (epoch, scale)") {
     assert(NcGrid.timeUnit("days since 1990-01-01") ==
       (631152000000000L, 86400000000L))

@@ -39,6 +39,17 @@ class NcSinkSpec extends AnyFunSuite {
     assert(lat0.map(_.getDouble(0)).toSeq == Seq(44.0 + 5 * 0.05))
   }
 
+  test("format interop: a .grf grid converts to .nc and reads back identically") {
+    val out = java.nio.file.Files.createTempDirectory("graft-grf2nc").toFile.getAbsolutePath
+    val grf = readNc(SourceQueries.grfDir) // GridSource dispatches on extension
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+    NcSink.export(grf, out)
+    val back = readNc(out)
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x").collect()
+    assert(back.sameElements(grf.orderBy("variable", "ts", "y", "x").collect()))
+  }
+
   test("curvilinear grids export 2-D coord matrices and round-trip") {
     val out = java.nio.file.Files.createTempDirectory("graft-nc-curv-out").toFile.getAbsolutePath
     val orig = readNc(SourceQueries.ncCurvDir)
