@@ -169,8 +169,10 @@ object Dedup extends QueryModule {
     // labels are monotonically non-increasing, so the label SUM strictly
     // decreases until the fixpoint — convergence is one tiny aggregate on the
     // (already-materialized) checkpoint instead of a join per round
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("component")).collect()(0).getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum("component")).collect()(0)
+      if (row.isNullAt(0)) 0L else row.getLong(0) // sum over zero rows is NULL
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var done = false

@@ -109,7 +109,20 @@ object GridQuery {
   private val catalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Drop every cached catalog (unpersisting the backing blocks). Call after
+    * appending files to a cataloged source — the cache assumes sources are
+    * immutable between invalidations, the same contract a real catalog
+    * service's refresh carries.
+    */
+  def invalidateCatalogCache(): Unit = {
+    catalogCache.values().forEach(df => df.unpersist())
+    catalogCache.clear()
+  }
+
   def catalog(cellsDf: DataFrame): DataFrame = {
+    // bounded: rebuilding a dim-sized catalog is cheap, pinned blocks for a
+    // JVM lifetime of distinct plans are not
+    if (catalogCache.size > 64) invalidateCatalogCache()
     val key = System.identityHashCode(cellsDf.sparkSession) + ":" +
       cellsDf.queryExecution.analyzed.semanticHash()
     catalogCache.computeIfAbsent(key, _ =>

@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * updates — no per-row allocation.
   */
 final class MutableHist(val cap: Int) extends Serializable {
+  require(cap >= 1, s"histogram needs at least one bin (got $cap)")
   var size: Int = 0
   // one slot of headroom: insert may briefly hold cap+1 bins before compress
   val centroid = new Array[Double](cap + 1)
@@ -79,6 +80,9 @@ case class HistogramBreaks(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MutableHist] with UnaryLike[Expression]
   with ImplicitCastInputTypes {
+
+  require(numBreaks >= 1 && maxBins >= 1,
+    s"need numBreaks ($numBreaks) >= 1 and maxBins ($maxBins) >= 1")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = false

@@ -101,14 +101,18 @@ object GridSource {
       case In("variable", vs) =>
         val ids = vs.collect { case "tasmax" => 0; case "tasmin" => 1 }.toSet
         Some(copy(vars = vars.intersect(ids)))
+      // strict bounds saturate instead of wrapping: y > Int.MaxValue must
+      // empty the section (y0 = MaxValue > any real y1), not wrap to
+      // MinValue and silently pass every row through a claimed-handled
+      // filter (same overflow class as the ts clamp below)
       case GreaterThanOrEqual("y", v: Int) => Some(copy(y0 = math.max(y0, v)))
-      case GreaterThan("y", v: Int) => Some(copy(y0 = math.max(y0, v + 1)))
+      case GreaterThan("y", v: Int) => Some(copy(y0 = math.max(y0, satInc(v))))
       case LessThanOrEqual("y", v: Int) => Some(copy(y1 = math.min(y1, v)))
-      case LessThan("y", v: Int) => Some(copy(y1 = math.min(y1, v - 1)))
+      case LessThan("y", v: Int) => Some(copy(y1 = math.min(y1, satDec(v))))
       case GreaterThanOrEqual("x", v: Int) => Some(copy(x0 = math.max(x0, v)))
-      case GreaterThan("x", v: Int) => Some(copy(x0 = math.max(x0, v + 1)))
+      case GreaterThan("x", v: Int) => Some(copy(x0 = math.max(x0, satInc(v))))
       case LessThanOrEqual("x", v: Int) => Some(copy(x1 = math.min(x1, v)))
-      case LessThan("x", v: Int) => Some(copy(x1 = math.min(x1, v - 1)))
+      case LessThan("x", v: Int) => Some(copy(x1 = math.min(x1, satDec(v))))
       // cells exist ONLY at exact step multiples, so the index range below is
       // EXACT for any bound (sub-day bounds included): lower bounds take the
       // ceiling slice (strict: the next slice when the bound sits on one),
@@ -136,6 +140,8 @@ object GridSource {
     // (lower clamped up from below Int range, upper clamped down) only widen.
     private def clampIdx(q: Long): Int =
       math.max(-2L, math.min(q, Int.MaxValue - 1L)).toInt
+    private def satInc(v: Int): Int = if (v == Int.MaxValue) v else v + 1
+    private def satDec(v: Int): Int = if (v == Int.MinValue) v else v - 1
     private def floorDiv(a: Long, b: Long): Int = clampIdx(math.floorDiv(a, b))
     private def ceilDiv(a: Long, b: Long): Int = clampIdx(-math.floorDiv(-a, b))
 

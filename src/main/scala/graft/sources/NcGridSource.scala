@@ -266,6 +266,16 @@ class NcGridAggScan(cubes: Seq[NcCube], section: GridSource.Section,
       .map(c => GridSource.clampTo(section, c.t, c.y, c.x))
       .getOrElse(section)
     val n = cubes.size.toLong * GridSource.sectionDims(clamped)
+    // one header parse per file and one read per (file, coord var) across
+    // ALL aggregate elements — min(lat)+max(lat)+min(lon)+max(lon) must not
+    // cost 4 opens per cube
+    val headerCache = scala.collection.mutable.Map[String, NetCdf3.Header]()
+    val coordCache = scala.collection.mutable.Map[(String, String), Array[Double]]()
+    def coordsOf(c: NcCube, varName: String): Array[Double] =
+      coordCache.getOrElseUpdate((c.path, varName), {
+        val h = headerCache.getOrElseUpdate(c.path, NetCdf3.open(c.path))
+        NetCdf3.readAll(h, h.variable(varName).get)
+      })
     def bound(f: String, lo: Boolean): Any =
       if (n == 0) null
       else f match {
@@ -274,9 +284,7 @@ class NcGridAggScan(cubes: Seq[NcCube], section: GridSource.Section,
         case "x" => if (lo) clamped.x0 else clamped.x1
         case "lat" | "lon" =>
           val vals = cubes.map { c =>
-            val h = NetCdf3.open(c.path)
-            val v = h.variable(if (f == "lat") c.latVar else c.lonVar).get
-            val a = NetCdf3.readAll(h, v)
+            val a = coordsOf(c, if (f == "lat") c.latVar else c.lonVar)
             val slice: Seq[Double] =
               if (c.curvilinear)
                 for (yy <- clamped.y0 to clamped.y1; xx <- clamped.x0 to clamped.x1)

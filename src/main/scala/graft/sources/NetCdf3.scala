@@ -96,7 +96,11 @@ object NetCdf3 {
       val version = in.read()
       require(version == 1 || version == 2,
         s"$path: unsupported CDF version $version (only classic CDF-1/CDF-2)")
-      val numRecs = in.readInt() // 0xFFFFFFFF = "streaming"; treated as unknown
+      val numRecs = in.readInt()
+      // 0xFFFFFFFF is the spec's "streaming" sentinel (record count unknown
+      // until EOF) — reject loudly rather than crash downstream on -1 sizes
+      require(numRecs >= 0,
+        s"$path: streaming numrecs (0xFFFFFFFF) is not supported by this reader")
       val dims = readDimList(in, path)
       val gatts = readAttrList(in, path)
       val vars = readVarList(in, path, version)
@@ -252,6 +256,13 @@ object NetCdf3 {
     val dimIndex = dims.map(_._1).zipWithIndex.toMap
     recordDim.foreach(rd => require(dimIndex.contains(rd), s"unknown record dim $rd"))
     val dimSize = dims.toMap
+    // a short/long data array would silently shift every later variable's
+    // begin offset — corrupt bytes with no writer-side symptom; fail here
+    vars.foreach { v =>
+      val expect = v.dims.map(dimSize(_).toLong).product
+      require(v.data.length == expect,
+        s"${v.name}: data length ${v.data.length} != dims product $expect")
+    }
     def isRecVar(v: WVar) = recordDim.exists(rd => v.dims.headOption.contains(rd))
     val recVars = vars.filter(isRecVar)
     def sliceElems(v: WVar): Long =

@@ -208,6 +208,7 @@ object TextAnalysis extends QueryModule {
         .approx_top_k(col("token"), k = 10, capacity = 512).as("top"))
       .select(posexplode(col("top")).as(Seq("rank", "entry")))
       .select(col("rank"), col("entry.item").as("token"), col("entry.est_n").as("n"))
+      .orderBy("rank")
 
   /** Text normalization — the standard pre-tokenization cleanup pass of a
     * training-data pipeline (lowercase, strip non-alphanumerics, collapse
