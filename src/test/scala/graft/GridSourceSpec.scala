@@ -87,6 +87,17 @@ class GridSourceSpec extends AnyFunSuite {
     assert(full2.t0 == s.t0 && full2.t1 == s.t1, full2.toString)
   }
 
+  test("strict y/x bounds at Int extremes saturate instead of wrapping") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    val s = graft.sources.GridSource.Section()
+    val gt = s.narrow(GreaterThan("y", Int.MaxValue)).get
+    assert(gt.y0 > gt.y1, s"y > MaxValue must empty the section: $gt")
+    val lt = s.narrow(LessThan("x", Int.MinValue)).get
+    assert(lt.x0 > lt.x1, s"x < MinValue must empty the section: $lt")
+    // and the scan agrees end to end (claimed-handled filter is enforced)
+    assert(SourceQueries.gridTable(spark).filter(col("y") > Int.MaxValue).count() == 0)
+  }
+
   test("pushed aggregate over an empty section: count 0, min/max NULL") {
     val df = SourceQueries.gridTable(spark)
       .filter(col("x") > 100) // contradicts the grid extent

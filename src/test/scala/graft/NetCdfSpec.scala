@@ -104,6 +104,48 @@ class NetCdfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("magic"))
   }
 
+  test("property: random dims/types/layouts round-trip bit-exactly") {
+    import org.scalacheck.Gen
+    val genCase = for {
+      t <- Gen.choose(1, 5); y <- Gen.choose(1, 7); x <- Gen.choose(1, 9)
+      record <- Gen.oneOf(true, false)
+      version <- Gen.oneOf(1, 2)
+      ncType <- Gen.oneOf(NcByte, NcShort, NcInt, NcFloat, NcDouble)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (t, y, x, record, version, ncType, seed)
+    (1 to 25).foreach { i =>
+      val (t, y, x, record, version, ncType, seed) = genCase.sample.get
+      val rnd = new scala.util.Random(seed)
+      // values within every type's exact range (byte: ±127)
+      val data = Array.fill(t * y * x)(rnd.nextInt(200) - 100.0)
+      val p = tmp(s"prop$i.nc")
+      NetCdf3.write(p,
+        dims = Seq("time" -> t, "yy" -> y, "xx" -> x),
+        recordDim = if (record) Some("time") else None,
+        gatts = Nil,
+        vars = Seq(
+          WVar("time", NcInt, Seq("time"),
+            Seq(WAttr("units", NcChar, text = "days since 2001-01-01")),
+            Array.tabulate(t)(_.toDouble)),
+          WVar("v", ncType, Seq("time", "yy", "xx"), Nil, data)),
+        version = version)
+      val h = NetCdf3.open(p)
+      val v = h.variable("v").get
+      assert(NetCdf3.readAll(h, v).toSeq == data.toSeq,
+        s"case $i: t=$t y=$y x=$x record=$record v$version type=$ncType seed=$seed")
+      // a random section row agrees with the whole read
+      val rdr = new NetCdf3.SectionReader(h, v)
+      try {
+        val (st, sy) = (rnd.nextInt(t), rnd.nextInt(y))
+        val (x0, x1) = { val a = rnd.nextInt(x); val b = rnd.nextInt(x)
+          (math.min(a, b), math.max(a, b)) }
+        val row = rdr.readRow(st, sy, x0, x1)
+        assert(row.toSeq == (x0 to x1).map(xx => data((st * y + sy) * x + xx)),
+          s"case $i section t=$st y=$sy x=[$x0,$x1]")
+      } finally rdr.close()
+    }
+  }
+
   test("short/byte attribute values respect 4-byte padding") {
     val p = tmp("pad.nc")
     NetCdf3.write(p,
