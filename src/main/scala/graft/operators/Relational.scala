@@ -259,7 +259,39 @@ object Relational extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  /** Consistent (hash-based) sampling — the production sampling pattern for
+    * training-data pipelines: membership is a pure function of the key, so
+    * the same 10% sample falls out on every run, any cluster size, any
+    * partitioning (unlike Bernoulli `sample()`, whose draw depends on the
+    * partition-local RNG stream). Plain arithmetic so the oracle reproduces
+    * it exactly; products stay far under Long range (ANSI mode would reject
+    * a genuine overflow loudly).
+    */
+  private def qSampleHash(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter((col("doc_id") * 1103515245L + 12345L) % 100 < 10)
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+
+  /** Stratified sampling with EXACT per-group quotas: rank rows inside each
+    * stratum by a deterministic pseudorandom key and keep the first N — the
+    * balanced-subset op (per-language caps, per-source caps). One window
+    * shuffle on the stratum key; quotas exact by construction, not in
+    * expectation.
+    */
+  private def qSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy((col("doc_id") * 48271L % 2147483647L).asc, col("doc_id").asc)
+    T.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_hash" -> qSampleHash,
+    "q_sample_stratified" -> qSampleStratified,
     "q_join_bucketed" -> qJoinBucketed,
     "q_scan" -> qScan,
     "q_project" -> qProject,
@@ -285,6 +317,17 @@ object Relational extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE (doc_id * 1103515245 + 12345) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY doc_id * 48271 % 2147483647, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
     "q_join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
