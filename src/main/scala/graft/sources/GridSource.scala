@@ -148,6 +148,43 @@ object GridSource {
     private def tsMicrosOf(v: Any): Option[Long] = GridSource.tsMicrosOf(v)
   }
 
+  /** Conservative bbox → index narrowing for an affine coordinate axis
+    * `c(i) = c0 + i·d` (either sign of d) — the reference's F3 envelope →
+    * hyperslab mapping (`Gddp.scala:73-94`). The computed bound is WIDENED
+    * one cell and the caller keeps the filter UNHANDLED (Spark re-evaluates
+    * it), so floating-point boundary rounding can never change results —
+    * only how many cells are generated/read. Returns the section unchanged
+    * for filters this cannot narrow.
+    */
+  def narrowCoordConservative(s: Section, f: Filter,
+      lat0: Double, dlat: Double, lon0: Double, dlon: Double): Section = {
+    def clampI(r: Double): Int =
+      math.max(-2L, math.min(r.toLong, Int.MaxValue - 1L)).toInt
+    def narrowed(field: String, v: Double, keepGE: Boolean): Section = {
+      val (c0, d) = if (field == "lat") (lat0, dlat) else (lon0, dlon)
+      val q = (v - c0) / d
+      if (d == 0 || !java.lang.Double.isFinite(q)) return s
+      val keepsHigherIdx = keepGE == (d > 0)
+      (field, keepsHigherIdx) match {
+        case ("lat", true) => s.copy(y0 = math.max(s.y0, clampI(math.floor(q) - 1)))
+        case ("lat", false) => s.copy(y1 = math.min(s.y1, clampI(math.ceil(q) + 1)))
+        case (_, true) => s.copy(x0 = math.max(s.x0, clampI(math.floor(q) - 1)))
+        case (_, false) => s.copy(x1 = math.min(s.x1, clampI(math.ceil(q) + 1)))
+      }
+    }
+    f match {
+      case GreaterThanOrEqual(c, v: Double) if c == "lat" || c == "lon" =>
+        narrowed(c, v, keepGE = true)
+      case GreaterThan(c, v: Double) if c == "lat" || c == "lon" =>
+        narrowed(c, v, keepGE = true)
+      case LessThanOrEqual(c, v: Double) if c == "lat" || c == "lon" =>
+        narrowed(c, v, keepGE = false)
+      case LessThan(c, v: Double) if c == "lat" || c == "lon" =>
+        narrowed(c, v, keepGE = false)
+      case _ => s
+    }
+  }
+
   // full microsecond precision (Timestamp.getTime alone drops sub-ms)
   def tsMicrosOf(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp =>
@@ -181,6 +218,12 @@ class GridScanBuilder extends ScanBuilder
         case Some(s) => section = s; true
         case None => false
       }
+    }
+    // bbox (lat/lon) ranges narrow the section CONSERVATIVELY but stay in
+    // `rest` (Spark re-evaluates them): pruning without owning exactness
+    rest.foreach { f =>
+      import graft.domain.GridData.{DLat, DLon, Lat0, Lon0}
+      section = GridSource.narrowCoordConservative(section, f, Lat0, DLat, Lon0, DLon)
     }
     pushed = handled
     rest // Spark re-evaluates these; handled ones are fully enforced here
@@ -448,6 +491,12 @@ class FileGridScanBuilder(files: Seq[(String, GridFile.Header)]) extends ScanBui
         case Some(s) => section = s; true
         case None => false
       }
+    }
+    // conservative bbox narrowing from the header's coord affine; filters
+    // stay unhandled (exactness is Spark's, the seeks get smaller)
+    rest.foreach { f =>
+      section = GridSource.narrowCoordConservative(section, f,
+        dims.lat0, dims.dlat, dims.lon0, dims.dlon)
     }
     pushed = handled
     rest

@@ -208,6 +208,63 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
     }
   }
 
+  // 1-D coordinate arrays for conservative bbox narrowing: a dim-sized
+  // driver read, done lazily on the first lat/lon range filter (the
+  // reference's metadata open reads exactly these, `geopy.py:52-61`).
+  // None for curvilinear grids (no per-axis coordinate exists).
+  private lazy val coord1d: Option[(Array[Double], Array[Double])] =
+    if (dims.curvilinear) None
+    else {
+      val h = NetCdf3.open(dims.path)
+      Some((NetCdf3.readAll(h, h.variable(dims.latVar).get),
+        NetCdf3.readAll(h, h.variable(dims.lonVar).get)))
+    }
+
+  /** Conservative index range of `a` (monotonic either way) that could
+    * satisfy `>= v` (keepGE) or `<= v`: widened one cell; exactness stays
+    * with Spark's re-evaluation of the (unhandled) filter.
+    */
+  private def coordRange(a: Array[Double], v: Double, keepGE: Boolean): (Int, Int) = {
+    // STRICT one-direction monotonicity required: on anything else the
+    // binary search could prune rows Spark's filter would have kept
+    val dirs = a.zip(a.drop(1)).map { case (p, q) => java.lang.Double.compare(q, p) }
+    if (a.length < 2 || dirs.contains(0) ||
+        !(dirs.forall(_ > 0) || dirs.forall(_ < 0)))
+      return (0, a.length - 1) // no narrowing
+    val asc = a(0) < a(a.length - 1)
+    // first index (in ascending orientation) with value >= v
+    def firstGE(arr: IndexedSeq[Double]): Int = {
+      var lo = 0; var hi = arr.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (arr(m) < v) lo = m + 1 else hi = m }
+      lo
+    }
+    val view: IndexedSeq[Double] = if (asc) a.toIndexedSeq else a.reverse.toIndexedSeq
+    val cut = firstGE(view)
+    val (lo, hi) = if (keepGE) (cut - 1, a.length - 1) else (0, cut) // ±1 slack
+    if (asc) (lo, hi) else (a.length - 1 - hi, a.length - 1 - lo)
+  }
+
+  private def narrowCoord(f: Filter): Unit = {
+    val (field, v, keepGE) = f match {
+      case GreaterThanOrEqual(c, x: Double) if c == "lat" || c == "lon" => (c, x, true)
+      case GreaterThan(c, x: Double) if c == "lat" || c == "lon" => (c, x, true)
+      case LessThanOrEqual(c, x: Double) if c == "lat" || c == "lon" => (c, x, false)
+      case LessThan(c, x: Double) if c == "lat" || c == "lon" => (c, x, false)
+      case _ => return
+    }
+    coord1d.foreach { case (lats, lons) =>
+      if (field == "lat") {
+        val (lo, hi) = coordRange(lats, v, keepGE)
+        section = section.copy(y0 = math.max(section.y0, lo),
+          y1 = math.min(section.y1, hi))
+      } else {
+        val (lo, hi) = coordRange(lons, v, keepGE)
+        section = section.copy(x0 = math.max(section.x0, lo),
+          x1 = math.min(section.x1, hi))
+      }
+    }
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, rest) = filters.partition {
       case EqualTo("variable", v: String) =>
@@ -226,6 +283,9 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
         case None => false
       }
     }
+    // bbox ranges narrow conservatively from the stored coordinate arrays
+    // but stay unhandled (Spark re-evaluates) — pruned seeks, exact results
+    rest.foreach(narrowCoord)
     pushed = handled
     rest
   }

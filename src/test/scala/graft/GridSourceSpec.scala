@@ -87,6 +87,24 @@ class GridSourceSpec extends AnyFunSuite {
     assert(full2.t0 == s.t0 && full2.t1 == s.t1, full2.toString)
   }
 
+  test("lat/lon bbox narrows the section conservatively; results stay exact") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val bbox = col("lat").between(44.29, 44.49) && col("lon").between(-79.32, -78.99)
+    val df = SourceQueries.gridTable(spark).filter(bbox)
+    val rel = df.queryExecution.optimizedPlan
+      .collectFirst { case r: DataSourceV2ScanRelation => r }.get
+    val full = BigInt(GridData.N) * 64
+    // the scan's own cardinality shrank (bbox reached the section) …
+    assert(rel.stats.sizeInBytes < full / 4, s"${rel.stats.sizeInBytes} vs $full")
+    // … and the results are identical to the unpruned evaluation
+    val expect = GridData.cells(spark).filter(bbox).count()
+    assert(df.count() == expect && expect > 0)
+    // same through the file-backed path (real seeks)
+    val fdf = spark.read.format(classOf[graft.sources.GridSource].getName)
+      .option("path", SourceQueries.grfDir).load().filter(bbox)
+    assert(fdf.count() == expect)
+  }
+
   test("strict y/x bounds at Int extremes saturate instead of wrapping") {
     import org.apache.spark.sql.sources.{GreaterThan, LessThan}
     val s = graft.sources.GridSource.Section()

@@ -98,6 +98,22 @@ class NcGridSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("heterogeneous"), e.getMessage)
   }
 
+  test("bbox filters narrow the nc section from the coordinate arrays; results exact") {
+    val bbox = col("lat").between(44.29, 44.49) && col("lon").between(-79.32, -78.99)
+    val df = nc.filter(bbox)
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val rel = df.queryExecution.optimizedPlan
+      .collectFirst { case r: DataSourceV2ScanRelation => r }.get
+    val fullRows = BigInt(2L * 8 * 20 * 30) * 64
+    assert(rel.stats.sizeInBytes < fullRows / 4, s"${rel.stats.sizeInBytes} vs $fullRows")
+    assert(df.count() == GridData.cells(spark).filter(bbox).count())
+    // curvilinear grids have no per-axis coord: no narrowing, still correct
+    val curv = spark.read.format(classOf[GridSource].getName)
+      .option("path", SourceQueries.ncCurvDir).load()
+    assert(curv.filter(col("lat") > 44.3).count() ==
+      curv.collect().count(r => r.getDouble(4) > 44.3))
+  }
+
   test("micro-batch streaming ingests each new .nc drop exactly once") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-nc-stream").toFile.getAbsolutePath
