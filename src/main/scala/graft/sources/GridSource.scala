@@ -138,8 +138,7 @@ object GridSource {
     // a clamped lower bound (MaxValue-1) still empties the section, a clamped
     // upper bound (-2) still empties it, and the conservative directions
     // (lower clamped up from below Int range, upper clamped down) only widen.
-    private def clampIdx(q: Long): Int =
-      math.max(-2L, math.min(q, Int.MaxValue - 1L)).toInt
+    private def clampIdx(q: Long): Int = GridSource.clampSlackIdx(q)
     private def satInc(v: Int): Int = if (v == Int.MaxValue) v else v + 1
     private def satDec(v: Int): Int = if (v == Int.MinValue) v else v - 1
     private def floorDiv(a: Long, b: Long): Int = clampIdx(math.floorDiv(a, b))
@@ -156,10 +155,15 @@ object GridSource {
     * only how many cells are generated/read. Returns the section unchanged
     * for filters this cannot narrow.
     */
+  /** THE saturating Long→Int slice-index clamp: [-2, MaxValue-1] keeps ±1
+    * adjustments at call sites overflow-free (see Section.narrow's comment).
+    */
+  private[sources] def clampSlackIdx(q: Long): Int =
+    math.max(-2L, math.min(q, Int.MaxValue - 1L)).toInt
+
   def narrowCoordConservative(s: Section, f: Filter,
       lat0: Double, dlat: Double, lon0: Double, dlon: Double): Section = {
-    def clampI(r: Double): Int =
-      math.max(-2L, math.min(r.toLong, Int.MaxValue - 1L)).toInt
+    def clampI(r: Double): Int = clampSlackIdx(r.toLong)
     def narrowed(field: String, v: Double, keepGE: Boolean): Section = {
       val (c0, d) = if (field == "lat") (lat0, dlat) else (lon0, dlon)
       val q = (v - c0) / d

@@ -100,6 +100,29 @@ object NcGrid {
     }
   }
 
+  /** Read a cube's coordinate arrays (lat, lon) — dim-sized driver read. */
+  def coordArrays(c: NcCube): (Array[Double], Array[Double]) = {
+    val h = NetCdf3.open(c.path)
+    (NetCdf3.readAll(h, h.variable(c.latVar).get),
+      NetCdf3.readAll(h, h.variable(c.lonVar).get))
+  }
+
+  /** Every cube must carry the SAME coordinate arrays (and curvilinear
+    * shape) as the first: section narrowing derived from one cube's coords
+    * is applied to all of them, and a divergent axis would silently prune
+    * rows the filter keeps.
+    */
+  def requireSameCoords(cubes: Seq[NcCube]): Unit = cubes.headOption.foreach { c0 =>
+    val (lat0, lon0) = coordArrays(c0)
+    cubes.drop(1).foreach { c =>
+      require(c.curvilinear == c0.curvilinear,
+        s"${c.path}#${c.varName}: curvilinear/1-D coord shape differs from ${c0.path}")
+      val (la, lo) = coordArrays(c)
+      require(java.util.Arrays.equals(la, lat0) && java.util.Arrays.equals(lo, lon0),
+        s"${c.path}#${c.varName}: coordinate arrays differ from ${c0.path}")
+    }
+  }
+
   /** First index with `a(i) >= key` (array strictly increasing). */
   def lowerBound(a: Array[Long], key: Long): Int = {
     var lo = 0; var hi = a.length
@@ -155,8 +178,11 @@ class NcGridTable(dir: String) extends Table with SupportsRead {
       .flatMap(f => NcGrid.openCubes(f.getAbsolutePath)).toSeq
 
   require(cubes.nonEmpty, s"no .nc files in $dir")
-  // one table = one grid: every cube must share dims and the time axis, so a
-  // single Section narrows all of them (same contract as FileGridTable)
+  // one table = one grid: every cube must share dims, the time axis, AND the
+  // coordinate arrays, so a single Section (including the conservative bbox
+  // narrowing derived from the FIRST cube's coords) is valid for all of
+  // them (same contract as FileGridTable). Coord comparison is a dim-sized
+  // driver read — the metadata open reads these anyway.
   locally {
     val c0 = cubes.head
     cubes.foreach { c =>
@@ -166,6 +192,7 @@ class NcGridTable(dir: String) extends Table with SupportsRead {
     }
     require(cubes.map(_.varName).distinct.size == cubes.size,
       s"$dir: duplicate variable names across files")
+    NcGrid.requireSameCoords(cubes)
   }
 
   override def name(): String = s"graft_grid_nc($dir)"
@@ -208,40 +235,43 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
     }
   }
 
-  // 1-D coordinate arrays for conservative bbox narrowing: a dim-sized
-  // driver read, done lazily on the first lat/lon range filter (the
-  // reference's metadata open reads exactly these, `geopy.py:52-61`).
-  // None for curvilinear grids (no per-axis coordinate exists).
-  private lazy val coord1d: Option[(Array[Double], Array[Double])] =
-    if (dims.curvilinear) None
+  // 1-D coordinate arrays for conservative bbox narrowing, each with its
+  // orientation — ascending view precomputed ONCE (the direction scan and
+  // any reversal must not rerun per filter). A dim-sized driver read, done
+  // lazily on the first lat/lon range filter (the reference's metadata open
+  // reads exactly these, `geopy.py:52-61`). Axis dropped (None) when
+  // curvilinear, not strictly monotonic, or containing NaN — anything the
+  // binary search can't be trusted on.
+  private case class Axis(ascending: Array[Double], wasDescending: Boolean)
+  private lazy val coordAxes: (Option[Axis], Option[Axis]) =
+    if (dims.curvilinear) (None, None)
     else {
-      val h = NetCdf3.open(dims.path)
-      Some((NetCdf3.readAll(h, h.variable(dims.latVar).get),
-        NetCdf3.readAll(h, h.variable(dims.lonVar).get)))
+      val (lats, lons) = NcGrid.coordArrays(dims)
+      def axis(a: Array[Double]): Option[Axis] = {
+        // STRICT one-direction monotonicity, no NaN: on anything else the
+        // binary search could prune rows Spark's filter would have kept
+        // (Double.compare sorts NaN above everything — it must not pass)
+        if (a.length < 2 || a.exists(_.isNaN)) return None
+        val dirs = a.zip(a.drop(1)).map { case (p, q) => java.lang.Double.compare(q, p) }
+        if (dirs.forall(_ > 0)) Some(Axis(a, wasDescending = false))
+        else if (dirs.forall(_ < 0)) Some(Axis(a.reverse, wasDescending = true))
+        else None
+      }
+      (axis(lats), axis(lons))
     }
 
-  /** Conservative index range of `a` (monotonic either way) that could
+  /** Conservative index range (in the ORIGINAL orientation) that could
     * satisfy `>= v` (keepGE) or `<= v`: widened one cell; exactness stays
     * with Spark's re-evaluation of the (unhandled) filter.
     */
-  private def coordRange(a: Array[Double], v: Double, keepGE: Boolean): (Int, Int) = {
-    // STRICT one-direction monotonicity required: on anything else the
-    // binary search could prune rows Spark's filter would have kept
-    val dirs = a.zip(a.drop(1)).map { case (p, q) => java.lang.Double.compare(q, p) }
-    if (a.length < 2 || dirs.contains(0) ||
-        !(dirs.forall(_ > 0) || dirs.forall(_ < 0)))
-      return (0, a.length - 1) // no narrowing
-    val asc = a(0) < a(a.length - 1)
-    // first index (in ascending orientation) with value >= v
-    def firstGE(arr: IndexedSeq[Double]): Int = {
-      var lo = 0; var hi = arr.length
-      while (lo < hi) { val m = (lo + hi) >>> 1; if (arr(m) < v) lo = m + 1 else hi = m }
-      lo
-    }
-    val view: IndexedSeq[Double] = if (asc) a.toIndexedSeq else a.reverse.toIndexedSeq
-    val cut = firstGE(view)
-    val (lo, hi) = if (keepGE) (cut - 1, a.length - 1) else (0, cut) // ±1 slack
-    if (asc) (lo, hi) else (a.length - 1 - hi, a.length - 1 - lo)
+  private def coordRange(ax: Axis, v: Double, keepGE: Boolean): (Int, Int) = {
+    val a = ax.ascending
+    // first index with value >= v
+    var lo = 0; var hi = a.length
+    while (lo < hi) { val m = (lo + hi) >>> 1; if (a(m) < v) lo = m + 1 else hi = m }
+    val cut = lo
+    val (i0, i1) = if (keepGE) (cut - 1, a.length - 1) else (0, cut) // ±1 slack
+    if (ax.wasDescending) (a.length - 1 - i1, a.length - 1 - i0) else (i0, i1)
   }
 
   private def narrowCoord(f: Filter): Unit = {
@@ -252,16 +282,15 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
       case LessThan(c, x: Double) if c == "lat" || c == "lon" => (c, x, false)
       case _ => return
     }
-    coord1d.foreach { case (lats, lons) =>
-      if (field == "lat") {
-        val (lo, hi) = coordRange(lats, v, keepGE)
-        section = section.copy(y0 = math.max(section.y0, lo),
-          y1 = math.min(section.y1, hi))
-      } else {
-        val (lo, hi) = coordRange(lons, v, keepGE)
-        section = section.copy(x0 = math.max(section.x0, lo),
-          x1 = math.min(section.x1, hi))
-      }
+    if (field == "lat") coordAxes._1.foreach { ax =>
+      val (lo, hi) = coordRange(ax, v, keepGE)
+      section = section.copy(y0 = math.max(section.y0, lo),
+        y1 = math.min(section.y1, hi))
+    }
+    else coordAxes._2.foreach { ax =>
+      val (lo, hi) = coordRange(ax, v, keepGE)
+      section = section.copy(x0 = math.max(section.x0, lo),
+        x1 = math.min(section.x1, hi))
     }
   }
 
@@ -448,6 +477,9 @@ class NcGridMicroBatchStream(dir: String, section: GridSource.Section,
         c.t == r.t && c.y == r.y && c.x == r.x &&
           java.util.Arrays.equals(c.timesMicros, r.timesMicros),
         s"${c.path}#${c.varName}: heterogeneous grid layout vs ${r.path}#${r.varName}"))
+      // coords too: the pushed section was narrowed from the reference
+      // cube's coordinate arrays (see NcGrid.requireSameCoords)
+      NcGrid.requireSameCoords(r +: cubes)
     }
     (for {
       c <- cubes.filter(c => varNames.forall(_.contains(c.varName)))

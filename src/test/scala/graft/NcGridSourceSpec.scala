@@ -114,6 +114,63 @@ class NcGridSourceSpec extends AnyFunSuite {
       curv.collect().count(r => r.getDouble(4) > 44.3))
   }
 
+  test("divergent coordinate arrays are rejected even when dims/times match") {
+    import graft.sources.NetCdf3, NetCdf3._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-badcoord").toFile.getAbsolutePath
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SourceQueries.ncDir, "tasmax.nc"),
+      java.nio.file.Paths.get(dir, "tasmax.nc"))
+    // same 8x20x30 dims + identical time axis, but DESCENDING latitudes:
+    // a shared section narrowed from tasmax's ascending lats would silently
+    // prune this cube's satisfying rows — must be rejected at open
+    NetCdf3.write(s"$dir/other.nc",
+      dims = Seq("time" -> 8, "lat" -> 20, "lon" -> 30), recordDim = None,
+      gatts = Nil,
+      vars = Seq(
+        WVar("time", NcInt, Seq("time"),
+          Seq(WAttr("units", NcChar, text = "days since 1990-01-01")),
+          Array.tabulate(8)(_.toDouble)),
+        WVar("lat", NcDouble, Seq("lat"), Nil,
+          Array.tabulate(20)(y => 44.95 - y * 0.05)),
+        WVar("lon", NcDouble, Seq("lon"), Nil,
+          Array.tabulate(30)(x => -80.0 + x * 0.05)),
+        WVar("other", NcFloat, Seq("time", "lat", "lon"), Nil,
+          Array.fill(8 * 20 * 30)(1.0))))
+    val e = intercept[Exception] {
+      spark.read.format(classOf[GridSource].getName).option("path", dir).load().count()
+    }
+    assert(e.getMessage.contains("coordinate arrays differ"), e.getMessage)
+  }
+
+  test("descending coordinate axes narrow correctly (orientation-mapped)") {
+    import graft.sources.NetCdf3, NetCdf3._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-desc").toFile.getAbsolutePath
+    // north-up raster: latitudes stored descending (the common real layout)
+    NetCdf3.write(s"$dir/desc.nc",
+      dims = Seq("time" -> 4, "lat" -> 10, "lon" -> 12), recordDim = None,
+      gatts = Nil,
+      vars = Seq(
+        WVar("time", NcInt, Seq("time"),
+          Seq(WAttr("units", NcChar, text = "days since 1990-01-01")),
+          Array.tabulate(4)(_.toDouble)),
+        WVar("lat", NcDouble, Seq("lat"), Nil,
+          Array.tabulate(10)(y => 44.45 - y * 0.05)),
+        WVar("lon", NcDouble, Seq("lon"), Nil,
+          Array.tabulate(12)(x => -80.0 + x * 0.05)),
+        WVar("temp", NcFloat, Seq("time", "lat", "lon"), Nil,
+          Array.tabulate(4 * 10 * 12)(i => (i % 50).toDouble))))
+    val df = spark.read.format(classOf[GridSource].getName).option("path", dir).load()
+    val filtered = df.filter(col("lat") >= 44.2 && col("lon") < -79.7)
+    // full evaluation agrees (narrowing never changed semantics) …
+    val expect = df.collect().count(r => r.getDouble(4) >= 44.2 && r.getDouble(5) < -79.7)
+    assert(filtered.count() == expect && expect > 0)
+    // … and the section genuinely shrank (stats reflect the narrowed range)
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val rel = filtered.queryExecution.optimizedPlan
+      .collectFirst { case r: DataSourceV2ScanRelation => r }.get
+    assert(rel.stats.sizeInBytes < BigInt(4L * 10 * 12) * 64 / 2, rel.stats.sizeInBytes)
+  }
+
   test("micro-batch streaming ingests each new .nc drop exactly once") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-nc-stream").toFile.getAbsolutePath
