@@ -132,6 +132,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(mh.length == 8)
   }
 
+  test("polygon mask → envelope → grid section: the full pipeline composes") {
+    // the reference's whole query path (polygon → bbox → hyperslab,
+    // Gddp.scala:73-94,206-226), fully automatic: PolygonEnvelopeRule
+    // derives the bbox conjuncts, V2 pushdown hands them to the grid scan,
+    // and the builder narrows the section conservatively from the affine
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val ring = Seq((-79.3, 44.3), (-79.0, 44.3), (-79.0, 44.5), (-79.3, 44.5), (-79.3, 44.3))
+    val df = sources.SourceQueries.gridTable(ext)
+      .filter(functions.GeoFunctions.point_in_polygon(col("lat"), col("lon"), ring))
+    val rel = df.queryExecution.optimizedPlan
+      .collectFirst { case r: DataSourceV2ScanRelation => r }.get
+    val full = BigInt(domain.GridData.N) * 64
+    assert(rel.stats.sizeInBytes < full / 4,
+      s"section did not shrink: ${rel.stats.sizeInBytes} vs $full")
+    // and the mask semantics are exactly the extension-less evaluation
+    val plain = domain.GridData.cells(TestSpark.spark)
+      .filter(functions.GeoFunctions.point_in_polygon(col("lat"), col("lon"), ring))
+    assert(df.count() == plain.count() && plain.count() > 0)
+  }
+
   test("rule is idempotent: one envelope per mask, no repeated conjuncts") {
     val ring = Seq((-79.5, 44.1), (-79.0, 44.1), (-79.0, 44.4), (-79.5, 44.4), (-79.5, 44.1))
     val df = ext.range(10)
