@@ -157,14 +157,33 @@ object Dedup extends QueryModule {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (eager) BOTH caches and TRUNCATES lineage: without it
     // round k's logical plan nests all k-1 predecessors and driver planning
-    // cost grows quadratically — the classic iterative-algorithm trap
-    val bidir = edges
+    // cost grows quadratically — the classic iterative-algorithm trap.
+    // Checkpoint the DIRECTED edges before mirroring them, so an expensive
+    // upstream plan (the banded-LSH candidate pipeline) executes once, not
+    // once per union branch.
+    val e0 = edges
       .select(col("doc1").cast("long").as("src"), col("doc2").cast("long").as("dst"))
-      .union(edges
-        .select(col("doc2").cast("long").as("src"), col("doc1").cast("long").as("dst")))
       .localCheckpoint(true)
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
+    // Size the loop's parallelism from the materialized edge count (~1M
+    // edges per task, capped at the session's shuffle parallelism) — the
+    // same runtime decision AQE makes for one-shot plans, applied across
+    // the iteration. Hash-partitioning bidir by src once means no round
+    // ever re-shuffles the edge table: EnsureRequirements shuffles only the
+    // (much smaller) label side to match.
+    val maxPar = e0.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(maxPar.toLong, e0.count() / 1000000L + 1)).toInt
+    val bidir = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("src"))
+      .localCheckpoint(true)
+    // Seed each node with min(own id, min neighbor id) — the first
+    // propagation round folded into the seeding aggregate. bidir is already
+    // hash-partitioned by src, so this aggregate runs exchange-free, and
+    // star/pair components (the common near-dup shape) start at their
+    // fixpoint: the loop then only has to confirm convergence.
+    var labels = bidir.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("component"))
+      .select(col("src").as("id"), col("component"))
       .localCheckpoint(true)
     // labels are monotonically non-increasing, so the label SUM strictly
     // decreases until the fixpoint — convergence is one tiny aggregate on the
@@ -197,6 +216,22 @@ object Dedup extends QueryModule {
       iter += 1
     }
     labels
+  }
+
+  /** Production dedup clustering — the 100 TB path: edges come from the
+    * banded MinHash candidate join (`minhashPairs`: O(candidates), not
+    * O(n²)), exact-Jaccard-verified at `minJ`, then contracted into
+    * components. Every doc gets a cluster id (= smallest member doc_id;
+    * non-duplicated docs are their own cluster). The sampled all-pairs form
+    * (`qDedupCluster`) survives only as the sf-bounded oracle twin for the
+    * CC loop itself.
+    */
+  def dedupClusters(docs: DataFrame, minJ: Double = 0.5): DataFrame = {
+    val edges = minhashPairs(docs, minJ).select("doc1", "doc2")
+    val comps = connectedComponents(edges)
+    docs.select(col("doc_id"))
+      .join(comps, docs("doc_id") === comps("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
   }
 
   // ---- declared queries ----
@@ -260,8 +295,19 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The production clustering path over the full table: banded-LSH edges →
+    * connected components. Oracle-checkable because the banded candidates are
+    * verified with EXACT shingle Jaccard before becoming edges — DuckDB
+    * recomputes the identical ≥ 0.5 edge set from string 3-gram shingles
+    * (tuple-hash identity = joined-string identity; tokens cannot contain
+    * the separator) and runs the same CC as a recursive CTE.
+    */
+  private def qDedupClusterLsh(s: SparkSession, d: String): DataFrame =
+    dedupClusters(T.documents(s, d)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cluster" -> qDedupCluster,
+    "q_dedup_cluster_lsh" -> qDedupClusterLsh,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     // SURVEY §2B's declared name for near-dup dedup — the MinHash pipeline
@@ -288,6 +334,36 @@ object Dedup extends QueryModule {
         |  UNION ALL SELECT doc2, doc1 FROM pairs),
         |cc AS (
         |  SELECT doc_id AS id, doc_id AS comp FROM g
+        |  UNION
+        |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id)
+        |SELECT id AS doc_id, min(comp) AS component
+        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+    // full-table twin of the production LSH clustering: DuckDB rebuilds the
+    // exact word-3-gram shingle sets (fallback: whole token list for short
+    // docs, mirroring shingleHashesOfTokens), takes ALL pairs with exact
+    // Jaccard ≥ 0.5, and contracts them with a recursive CTE. Matches the
+    // Spark result because every banded candidate is verified with the same
+    // exact Jaccard and banding recall is total at j ≥ 0.5 on this corpus.
+    "q_dedup_cluster_lsh" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [array_to_string(toks, ' ')] END AS grams
+        |  FROM t),
+        |pairs AS (
+        |  SELECT l.doc_id AS doc1, r.doc_id AS doc2
+        |  FROM g l JOIN g r ON l.doc_id < r.doc_id
+        |  WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(l.grams, r.grams))), 4) >= 0.5),
+        |edges AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM pairs
+        |  UNION ALL SELECT doc2, doc1 FROM pairs),
+        |cc AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM t
         |  UNION
         |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id)
         |SELECT id AS doc_id, min(comp) AS component

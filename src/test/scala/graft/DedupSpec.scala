@@ -105,6 +105,36 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dedupClusters from banded edges matches CC over exact all-pairs edges") {
+    // corpus with known near-dup structure: cluster {1,2,4} (template + one
+    // word changed + exact copy), cluster {5,6} (another template pair),
+    // singletons 3 and 7
+    val tpl = "large scale training data pipelines need careful deduplication of web documents"
+    val corpus = Seq(
+      (1L, base), (2L, nearDup), (3L, other), (4L, base),
+      (5L, tpl), (6L, tpl + " indeed"),
+      (7L, "yet another entirely unrelated snippet about cooking pasta with garlic butter")
+    ).toDF("doc_id", "text")
+    // exact all-pairs edge set at the same threshold (the oracle form)
+    val sigs = Dedup.signatures(corpus)
+    val l = sigs.select(col("doc_id").as("doc1"), col("shingles").as("g1"))
+    val r = sigs.select(col("doc_id").as("doc2"), col("shingles").as("g2"))
+    val exactEdges = l.crossJoin(r).filter(col("doc1") < col("doc2"))
+      .filter(round(size(array_intersect(col("g1"), col("g2"))).cast("double") /
+        size(array_union(col("g1"), col("g2"))), 4) >= 0.5)
+      .select("doc1", "doc2")
+    val exactCc = Dedup.connectedComponents(exactEdges)
+    val exact = corpus.select(col("doc_id")).join(exactCc, corpus("doc_id") === exactCc("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .as[(Long, Long)].collect().toMap
+    val banded = Dedup.dedupClusters(corpus)
+      .as[(Long, Long)].collect().toMap
+    assert(banded == exact, s"banded=$banded exact=$exact")
+    assert(banded(1L) == 1L && banded(2L) == 1L && banded(4L) == 1L)
+    assert(banded(5L) == banded(6L))
+    assert(banded(3L) == 3L && banded(7L) == 7L)
+  }
+
   test("single-pass MinHashSignature expression is bit-identical to the compositional form") {
     val withShingles = docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
     val rows = withShingles.select(col("doc_id"),
