@@ -19,17 +19,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * so a 100 TB deployment's coord matrices never travel through the driver
   * per task.
   *
-  * `timesMicros` (dim-sized) stays driver-side for exact ts pushdown: the
-  * time coordinate is an explicit array, so time predicates narrow to index
-  * bounds by BINARY SEARCH — no uniform-step assumption, which makes
-  * irregular calendars exact. Lat/lon carry no affine assumption either:
-  * 1-D coord arrays or full 2-D curvilinear matrices (`geopy.py:52-61`) are
-  * both surfaced as stored.
+  * The cube holds only (tMin, tMax, t) of the time axis — O(1) per file, so
+  * a million-file catalog costs the driver megabytes, not the ~29 GB that
+  * retaining every file's full time array would. Exact ts pushdown still
+  * binary-searches the STORED coordinate (no uniform-step assumption, so
+  * irregular calendars stay exact): the scan re-reads ONE dim-sized array
+  * per table, lazily (`NcGrid.timesOf`), and each planned partition is
+  * stamped with its single ts value — executors never re-derive time.
+  * Lat/lon carry no affine assumption either: 1-D coord arrays or full 2-D
+  * curvilinear matrices (`geopy.py:52-61`) are both surfaced as stored.
   */
 final case class NcCube(
     path: String, varName: String, longName: String,
     t: Int, y: Int, x: Int,
-    timesMicros: Array[Long],
+    tMin: Long, tMax: Long,
     fill: Option[Double], scale: Double, offset: Double,
     curvilinear: Boolean,
     latVar: String, lonVar: String)
@@ -55,25 +58,37 @@ object NcGrid {
     (epoch.getEpochSecond * 1000000L + epoch.getNano / 1000L, per)
   }
 
-  /** Open one file and extract a cube per 3-D data variable. */
-  def openCubes(path: String): Seq[NcCube] = {
+  /** Convert a file's time coordinate for one time dim to epoch micros —
+    * a dim-sized read, used TRANSIENTLY (validation, narrowing, partition
+    * stamping); never retained per file.
+    */
+  private def readTimes(path: String, h: NetCdf3.Header, tDim: Dim): Array[Long] = {
+    val tSize = if (tDim.isRecord) h.numRecs else tDim.size
+    // time coordinate: the 1-D variable named after the time dimension
+    val timeVar = h.variable(tDim.name).getOrElse(
+      throw new IllegalArgumentException(s"$path: no time coordinate '${tDim.name}'"))
+    val units = timeVar.attr("units").map(_.valueString).getOrElse(
+      throw new IllegalArgumentException(s"$path: time '${tDim.name}' has no units"))
+    val (epoch, per) = timeUnit(units)
+    val raw = NetCdf3.readAll(h, timeVar)
+    val times = raw.map(d => epoch + math.round(d * per))
+    require(times.length == tSize, s"$path: time coord length ${times.length} != $tSize")
+    require(times.zip(times.drop(1)).forall { case (a, b) => a < b },
+      s"$path: time coordinate must be strictly increasing")
+    times
+  }
+
+  /** Open one file: a cube per 3-D data variable, paired with its (transient)
+    * time axis so callers can validate/narrow without the cube retaining it.
+    */
+  def openCubesT(path: String): Seq[(NcCube, Array[Long])] = {
     val h = NetCdf3.open(path)
     val dataVars = h.vars.filter(v => v.dimIds.length == 3)
     require(dataVars.nonEmpty, s"$path: no 3-D variable found")
     dataVars.map { dv =>
       val Seq(tDim, yDim, xDim) = h.dimsOf(dv)
       val tSize = if (tDim.isRecord) h.numRecs else tDim.size
-      // time coordinate: the 1-D variable named after the time dimension
-      val timeVar = h.variable(tDim.name).getOrElse(
-        throw new IllegalArgumentException(s"$path: no time coordinate '${tDim.name}'"))
-      val units = timeVar.attr("units").map(_.valueString).getOrElse(
-        throw new IllegalArgumentException(s"$path: time '${tDim.name}' has no units"))
-      val (epoch, per) = timeUnit(units)
-      val raw = NetCdf3.readAll(h, timeVar)
-      val times = raw.map(d => epoch + math.round(d * per))
-      require(times.length == tSize, s"$path: time coord length ${times.length} != $tSize")
-      require(times.zip(times.drop(1)).forall { case (a, b) => a < b },
-        s"$path: time coordinate must be strictly increasing")
+      val times = readTimes(path, h, tDim)
       // spatial coords: 1-D vars named after the dims, or 2-D curvilinear
       // lat/lon matrices over (yDim, xDim) — the Five Lakes shape
       def coord1d(d: Dim): Option[Variable] =
@@ -90,14 +105,29 @@ object NcGrid {
             s"$path: no 1-D '${xDim.name}' or 2-D lon coordinate"))
           (true, la, lo)
       }
-      NcCube(path, dv.name,
+      (NcCube(path, dv.name,
         dv.attr("long_name").map(_.valueString).getOrElse(dv.name),
-        tSize, yDim.size, xDim.size, times,
+        tSize, yDim.size, xDim.size,
+        tMin = if (times.isEmpty) Long.MaxValue else times.head,
+        tMax = if (times.isEmpty) Long.MinValue else times.last,
         fill = dv.attr("_FillValue").flatMap(_.firstNum),
         scale = dv.attr("scale_factor").flatMap(_.firstNum).getOrElse(1.0),
         offset = dv.attr("add_offset").flatMap(_.firstNum).getOrElse(0.0),
-        curvilinear = curv, latVar = latV.name, lonVar = lonV.name)
+        curvilinear = curv, latVar = latV.name, lonVar = lonV.name), times)
     }
+  }
+
+  /** Open one file and extract a cube per 3-D data variable. */
+  def openCubes(path: String): Seq[NcCube] = openCubesT(path).map(_._1)
+
+  /** Re-read a cube's time axis (epoch micros) — ONE dim-sized driver read
+    * per table/scan, the trade for not retaining the array on every cube.
+    */
+  def timesOf(c: NcCube): Array[Long] = {
+    val h = NetCdf3.open(c.path)
+    val dv = h.variable(c.varName).getOrElse(
+      throw new IllegalArgumentException(s"${c.path}: variable '${c.varName}' missing"))
+    readTimes(c.path, h, h.dimsOf(dv).head)
   }
 
   /** Read a cube's coordinate arrays (lat, lon) — dim-sized driver read. */
@@ -172,27 +202,37 @@ object NcCatalog {
   * touched by executors, and only the pushed-down sections of it.
   */
 class NcGridTable(dir: String) extends Table with SupportsRead {
-  private[sources] val cubes: Seq[NcCube] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".nc")).sortBy(_.getName)
-      .flatMap(f => NcGrid.openCubes(f.getAbsolutePath)).toSeq
-
-  require(cubes.nonEmpty, s"no .nc files in $dir")
   // one table = one grid: every cube must share dims, the time axis, AND the
   // coordinate arrays, so a single Section (including the conservative bbox
   // narrowing derived from the FIRST cube's coords) is valid for all of
-  // them (same contract as FileGridTable). Coord comparison is a dim-sized
-  // driver read — the metadata open reads these anyway.
-  locally {
-    val c0 = cubes.head
-    cubes.foreach { c =>
-      require(c.t == c0.t && c.y == c0.y && c.x == c0.x &&
-        java.util.Arrays.equals(c.timesMicros, c0.timesMicros),
+  // them (same contract as FileGridTable). Time-axis equality is checked
+  // EXACTLY but file-by-file against the first file's (transient) array —
+  // at no point does the driver hold more than two time arrays, and the
+  // retained cubes carry only (tMin, tMax, t).
+  private[sources] val cubes: Seq[NcCube] = {
+    var refTimes: Array[Long] = null
+    var refPath: String = null
+    val opened = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".nc")).sortBy(_.getName).iterator
+      .flatMap { f =>
+        val ct = NcGrid.openCubesT(f.getAbsolutePath)
+        ct.map { case (c, times) =>
+          if (refTimes == null) { refTimes = times; refPath = c.path }
+          else require(java.util.Arrays.equals(times, refTimes),
+            s"${c.path}#${c.varName}: heterogeneous time axis vs $refPath")
+          c
+        }
+      }.toList
+    require(opened.nonEmpty, s"no .nc files in $dir")
+    val c0 = opened.head
+    opened.foreach { c =>
+      require(c.t == c0.t && c.y == c0.y && c.x == c0.x,
         s"${c.path}#${c.varName}: heterogeneous grid layout vs ${c0.path}#${c0.varName}")
     }
-    require(cubes.map(_.varName).distinct.size == cubes.size,
+    require(opened.map(_.varName).distinct.size == opened.size,
       s"$dir: duplicate variable names across files")
-    NcGrid.requireSameCoords(cubes)
+    NcGrid.requireSameCoords(opened)
+    opened
   }
 
   override def name(): String = s"graft_grid_nc($dir)"
@@ -212,7 +252,11 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private val dims = cubes.head
-  private val times = dims.timesMicros
+  // ONE dim-sized read per scan, lazily: queries with no ts predicate and no
+  // planned partitions never pay it, and the builder — not every cube —
+  // holds the array, keeping driver state O(1) per file
+  private lazy val times = NcGrid.timesOf(dims)
+  private val timesFn: () => Array[Long] = () => times
   private var section = GridSource.Section(
     t1 = dims.t - 1, y1 = dims.y - 1, x1 = dims.x - 1)
   private var varNames: Option[Set[String]] = None
@@ -334,8 +378,8 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
     cubes.filter(c => varNames.forall(_.contains(c.varName)))
 
   override def build(): Scan = aggPlan match {
-    case Some(plan) => new NcGridAggScan(kept, section, plan)
-    case None => new NcGridScan(kept, section, required, pushed, dir, varNames)
+    case Some(plan) => new NcGridAggScan(kept, section, plan, timesFn)
+    case None => new NcGridScan(kept, section, required, pushed, dir, varNames, timesFn)
   }
 }
 
@@ -344,7 +388,7 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
   * section's slice of them) — all dim-sized driver reads, zero data cells.
   */
 class NcGridAggScan(cubes: Seq[NcCube], section: GridSource.Section,
-    plan: Seq[GridAgg]) extends SingleRowAggScan(plan) {
+    plan: Seq[GridAgg], timesFn: () => Array[Long]) extends SingleRowAggScan(plan) {
 
   override def description(): String =
     s"NcGridAggScan vars=${cubes.map(_.varName).mkString(",")} section=$section " +
@@ -368,7 +412,7 @@ class NcGridAggScan(cubes: Seq[NcCube], section: GridSource.Section,
     def bound(f: String, lo: Boolean): Any =
       if (n == 0) null
       else f match {
-        case "ts" => cubes.head.timesMicros(if (lo) clamped.t0 else clamped.t1)
+        case "ts" => timesFn()(if (lo) clamped.t0 else clamped.t1)
         case "y" => if (lo) clamped.y0 else clamped.y1
         case "x" => if (lo) clamped.x0 else clamped.x1
         case "lat" | "lon" =>
@@ -394,7 +438,8 @@ class NcGridAggScan(cubes: Seq[NcCube], section: GridSource.Section,
 
 class NcGridScan(cubes: Seq[NcCube], section: GridSource.Section,
     required: StructType, pushed: Array[Filter],
-    dir: String = null, varNames: Option[Set[String]] = None) extends Scan with Batch
+    dir: String = null, varNames: Option[Set[String]] = None,
+    timesFn: () => Array[Long] = () => Array.empty) extends Scan with Batch
     with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -405,7 +450,7 @@ class NcGridScan(cubes: Seq[NcCube], section: GridSource.Section,
     */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new NcGridMicroBatchStream(dir, section, varNames, required, cubes.headOption)
+    new NcGridMicroBatchStream(dir, section, varNames, required, cubes.headOption, timesFn)
   override def description(): String =
     s"NcGridScan vars=${cubes.map(_.varName).mkString(",")} section=$section " +
       s"pushed=[${pushed.mkString(", ")}]"
@@ -419,19 +464,24 @@ class NcGridScan(cubes: Seq[NcCube], section: GridSource.Section,
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
   }
 
-  /** One partition per (cube, t) slice in the section. */
-  override def planInputPartitions(): Array[InputPartition] =
+  /** One partition per (cube, t) slice in the section, each stamped with its
+    * single ts value at planning — executors never re-derive the time axis.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val times = if (cubes.isEmpty) Array.empty[Long] else timesFn()
     (for {
       c <- cubes
       t <- section.t0 to math.min(section.t1, c.t - 1)
       if t >= 0
-    } yield NcGridPartition(c, t, section): InputPartition).toArray
+    } yield NcGridPartition(c, t, times(t), section): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NcGridReaderFactory(required)
 }
 
-case class NcGridPartition(cube: NcCube, t: Int, section: GridSource.Section)
+case class NcGridPartition(cube: NcCube, t: Int, tsMicros: Long,
+    section: GridSource.Section)
   extends InputPartition
 
 /** Micro-batch streaming over a `.nc` directory: an offset is the SET of
@@ -443,7 +493,7 @@ case class NcGridPartition(cube: NcCube, t: Int, section: GridSource.Section)
   */
 class NcGridMicroBatchStream(dir: String, section: GridSource.Section,
     varNames: Option[Set[String]], required: StructType,
-    reference: Option[NcCube])
+    reference: Option[NcCube], timesFn: () => Array[Long])
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -471,22 +521,27 @@ class NcGridMicroBatchStream(dir: String, section: GridSource.Section,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val newFiles = (end.asInstanceOf[FilesOffset].files --
       start.asInstanceOf[FilesOffset].files).toSeq.sorted
-    val cubes = newFiles.flatMap(f => NcGrid.openCubes(s"$dir/$f"))
+    val opened = newFiles.flatMap(f => NcGrid.openCubesT(s"$dir/$f"))
     reference.foreach { r =>
-      cubes.foreach(c => require(
+      // the reference time axis is re-read once per micro-batch (dim-sized)
+      // and each new file's axis compared EXACTLY — the pushed section's ts
+      // narrowing was derived from it
+      val refTimes = timesFn()
+      opened.foreach { case (c, times) => require(
         c.t == r.t && c.y == r.y && c.x == r.x &&
-          java.util.Arrays.equals(c.timesMicros, r.timesMicros),
-        s"${c.path}#${c.varName}: heterogeneous grid layout vs ${r.path}#${r.varName}"))
+          java.util.Arrays.equals(times, refTimes),
+        s"${c.path}#${c.varName}: heterogeneous grid layout vs ${r.path}#${r.varName}") }
       // coords too: the pushed section was narrowed from the reference
       // cube's coordinate arrays (see NcGrid.requireSameCoords)
-      NcGrid.requireSameCoords(r +: cubes)
+      NcGrid.requireSameCoords(r +: opened.map(_._1))
     }
     (for {
-      c <- cubes.filter(c => varNames.forall(_.contains(c.varName)))
+      (c, times) <- opened
+      if varNames.forall(_.contains(c.varName))
       clamped = GridSource.clampTo(section, c.t, c.y, c.x)
       t <- clamped.t0 to clamped.t1
       if t >= 0
-    } yield NcGridPartition(c, t, clamped): InputPartition).toArray
+    } yield NcGridPartition(c, t, times(t), clamped): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -529,7 +584,7 @@ class NcGridReader(p: NcGridPartition, required: StructType)
   private val fieldGen: Array[(Int, Int) => Any] = required.fields.map { f =>
     f.name match {
       case "variable" => (_: Int, _: Int) => UTF8String.fromString(c.varName)
-      case "ts" => (_: Int, _: Int) => c.timesMicros(p.t)
+      case "ts" => (_: Int, _: Int) => p.tsMicros
       case "y" => (yy: Int, _: Int) => yy
       case "x" => (_: Int, xx: Int) => xx
       case "lat" => (yy: Int, xx: Int) =>

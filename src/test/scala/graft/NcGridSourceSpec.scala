@@ -196,6 +196,18 @@ class NcGridSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("NcCube holds O(1) time metadata, never the per-file time array") {
+    // the driver retains one NcCube per (file, variable); at 100 TB that is
+    // millions of cubes, so dim-sized arrays must not live on them — exact
+    // ts narrowing re-reads ONE array per scan via NcGrid.timesOf instead
+    assert(!classOf[graft.sources.NcCube].getDeclaredFields
+      .exists(_.getType.isArray), "NcCube must not retain array-typed state")
+    val cubes = graft.sources.NcGrid.openCubes(SourceQueries.ncDir + "/tasmax.nc")
+    val times = graft.sources.NcGrid.timesOf(cubes.head)
+    assert(cubes.head.tMin == times.head && cubes.head.tMax == times.last)
+    assert(times.length == cubes.head.t)
+  }
+
   test("CF time-unit strings parse to (epoch, scale)") {
     assert(NcGrid.timeUnit("days since 1990-01-01") ==
       (631152000000000L, 86400000000L))
