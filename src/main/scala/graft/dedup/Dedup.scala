@@ -68,24 +68,31 @@ object Dedup extends QueryModule {
     * (CollapseProject keeps non-cheap multiply-referenced projections
     * un-inlined).
     */
-  def signatures(docs: DataFrame): DataFrame =
+  def signatures(docs: DataFrame, numPerms: Int = NumPerms): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shingleHashesOfTokens(col("toks")).as("shingles"))
       .select(col("doc_id"), col("shingles"),
-        graft.functions.MinHashFunctions.minhash_signature(col("shingles"), NumPerms).as("sig"))
+        graft.functions.MinHashFunctions.minhash_signature(col("shingles"), numPerms).as("sig"))
 
   /** Candidate pairs from LSH banding + exact/estimated Jaccard verification.
     * Returns (doc1, doc2, est_jaccard, jaccard) for pairs with Jaccard ≥ minJ.
+    * The banding trade-off is tunable: candidate threshold is
+    * (1/bands)^(1/bandRows) with bands = numPerms / bandRows, so more
+    * permutations with the same row count adds bands (recall), while larger
+    * bandRows tightens buckets (precision / fewer candidates) — raise both
+    * with corpus size the way `Similarity.planesFor` scales plane count.
     */
-  def minhashPairs(docs: DataFrame, minJ: Double = 0.5): DataFrame = {
+  def minhashPairs(docs: DataFrame, minJ: Double = 0.5,
+      numPerms: Int = NumPerms, bandRows: Int = BandRows): DataFrame = {
     // the signature table is consumed three times (two bucket sides + the
     // verification join) — persist it once: it is doc-count-sized (one row
     // per doc), not corpus-sized, the same cache decision as the reference's
     // result persist (`Gddp.scala:240`)
-    val sigs = signatures(docs)
+    val sigs = signatures(docs, numPerms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = sigs.select(col("doc_id"), explode(bandHashes(col("sig"))).as("b"))
+    val buckets = sigs.select(col("doc_id"),
+        explode(bandHashes(col("sig"), bandRows, numPerms)).as("b"))
       .select(col("b.band").as("band"), col("b.bh").as("bh"), col("doc_id"))
     val l = buckets.select(col("band"), col("bh"), col("doc_id").as("doc1"))
     val r = buckets.select(col("band"), col("bh"), col("doc_id").as("doc2"))
@@ -99,7 +106,7 @@ object Dedup extends QueryModule {
       // estimated Jaccard = fraction of matching signature components
       .withColumn("est_jaccard", round(
         aggregate(zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / NumPerms, 4))
+          lit(0), (acc, x) => acc + x).cast("double") / numPerms, 4))
       // exact Jaccard on shingle sets, only for candidates
       .withColumn("jaccard", round(
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /

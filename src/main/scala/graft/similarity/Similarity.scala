@@ -18,24 +18,62 @@ import graft.functions.VectorFunctions.{cosine_sim, dot_product}
   */
 object Similarity extends QueryModule {
 
-  // 8 planes → 256 buckets: granular enough to cut candidate volume ~256×,
-  // coarse enough that buckets stay populated. At 100 TB you would raise this
-  // (and multi-probe more aggressively) to keep per-bucket scan size bounded.
+  // 8 planes → 256 buckets: the floor (and the pinned constant the
+  // oracle-checked queries use so their DuckDB twins can regenerate the
+  // exact plane constants). Production candidate generation derives the
+  // plane count from corpus size via `planesFor` — see `embeddingNearDups`.
   val NumPlanes = 8
 
-  /** Deterministic pseudo-random Gaussian hyperplanes (seed 42), dim 64. */
-  private[similarity] def planes(dim: Int = 64, n: Int = NumPlanes): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
+  /** Plane count for a corpus of n vectors: enough buckets that expected
+    * occupancy stays ≤ targetPerBucket, so the in-bucket pair join generates
+    * O(n · targetPerBucket) candidates — LINEAR in n — instead of the
+    * O(n²/2^planes) a fixed plane count degrades to. Capped at 30 so bucket
+    * ids pack into an int.
+    */
+  def planesFor(n: Long, targetPerBucket: Long = 64L): Int = {
+    val buckets = math.max(1L, n / math.max(1L, targetPerBucket))
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
+    math.min(30, math.max(NumPlanes, bits))
+  }
+
+  /** Deterministic pseudo-random Gaussian hyperplanes, dim 64. Each OR-table
+    * draws from its own seed (42 + table) so tables are independent.
+    */
+  private[similarity] def planes(dim: Int = 64, n: Int = NumPlanes,
+      seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
 
   /** Sign-LSH bucket id: bit i = sign(dot(v, plane_i)), packed into an int. */
-  def lshBucket(v: Column, dim: Int = 64): Column =
-    planes(dim).zipWithIndex.map { case (p, i) =>
+  def lshBucket(v: Column, dim: Int = 64, numPlanes: Int = NumPlanes,
+      seed: Long = 42L): Column = {
+    require(numPlanes <= 30, s"numPlanes $numPlanes exceeds int bucket width")
+    planes(dim, numPlanes, seed).zipWithIndex.map { case (p, i) =>
       when(dot_product(v, planeLit(p)) > 0d, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
+
+  /** AND-OR amplified candidate pairs: `numTables` independent sign-LSH
+    * tables (OR — a pair is a candidate if it collides in ANY table), each
+    * ANDing `numPlanes` sign bits. Raising planes keeps candidate volume
+    * linear in n; raising tables restores the recall that stricter buckets
+    * cost. One shuffle on (table, bucket); the pair set is distinct so
+    * verification pays each candidate once.
+    */
+  def lshCandidates(emb: DataFrame, numPlanes: Int, numTables: Int): DataFrame = {
+    val tables = (0 until numTables).map(t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col("embedding"), 64, numPlanes, 42L + t).as("bucket")))
+    val b = emb.select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
+    val l = b.select(col("tbl"), col("bucket"), col("vec_id").as("id1"))
+    val r = b.select(col("tbl"), col("bucket"), col("vec_id").as("id2"))
+    l.join(r, Seq("tbl", "bucket")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
 
   /** Brute-force cosine top-k against the query vector (vec_id = queryId). */
   def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
@@ -64,15 +102,20 @@ object Similarity extends QueryModule {
       .limit(k)
   }
 
-  /** Embedding near-duplicate detection: LSH bucket equi-join (candidates
-    * share all sign bits) + exact cosine verification — the embedding twin of
-    * MinHash banding.
+  /** Embedding near-duplicate detection: AND-OR LSH candidates + exact
+    * cosine verification — the embedding twin of MinHash banding.
+    * `numPlanes = None` (the production default) derives the plane count
+    * from the corpus size so candidate volume stays linear in n; the
+    * oracle-checked query pins `Some(NumPlanes)`/1 table, which reproduces
+    * the deterministic single-table form DuckDB can regenerate.
     */
-  def embeddingNearDups(emb: DataFrame, minCos: Double): DataFrame = {
-    val b = emb.select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
-    val r = b.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
-    l.join(r, "bucket").filter(col("id1") < col("id2"))
+  def embeddingNearDups(emb: DataFrame, minCos: Double,
+      numPlanes: Option[Int] = None, numTables: Int = 2): DataFrame = {
+    val p = numPlanes.getOrElse(planesFor(emb.count()))
+    val cand = lshCandidates(emb, p, numTables)
+    cand
+      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
       .select(col("id1"), col("id2"), round(cosine_sim(col("e1"), col("e2")), 4).as("cos"))
       .filter(col("cos") >= minCos)
   }
@@ -126,7 +169,8 @@ object Similarity extends QueryModule {
     * at any sane threshold; the thresholded form is what a pipeline would run.
     */
   private def qEmbedNearDup(s: SparkSession, d: String): DataFrame =
-    embeddingNearDups(T.embeddings(s, d), minCos = 0.0)
+    embeddingNearDups(T.embeddings(s, d), minCos = 0.0,
+        numPlanes = Some(NumPlanes), numTables = 1)
       .orderBy(col("cos").desc, col("id1"), col("id2")).limit(50)
 
   /** IVF path (no oracle — approximate): k-means coarse cells, probe 2.

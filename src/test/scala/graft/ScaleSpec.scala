@@ -47,6 +47,53 @@ class ScaleSpec extends AnyFunSuite {
     assert(overlap >= 0.2, s"IVF overlap with exact top-50 too low: $overlap")
   }
 
+  /** Deterministic synthetic corpus of n unit-ish vectors (hash-derived, no
+    * RNG state shared with the planes), with a planted near-dup pair (1, 2).
+    */
+  private def synthEmb(n: Int) = {
+    val base = spark.range(0, n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (pmod(xxhash64(col("id"), d), lit(1000)) / 500.0 - 1.0)).as("embedding"))
+    // plant vec 2 := vec 1 with a tiny perturbation on one component
+    val dup = base.filter(col("vec_id") === 1)
+      .select(lit(2L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + 0.01).otherwise(x)).as("embedding"))
+    base.filter(col("vec_id") =!= 2).unionByName(dup)
+  }
+
+  test("LSH candidate volume grows ~linearly in n with corpus-derived planes") {
+    // fixed planes would square the per-bucket pair count as n doubles;
+    // planesFor adds a plane per doubling, holding occupancy ~constant
+    val sizes = Seq(4096, 8192, 16384)
+    val counts = sizes.map { n =>
+      val p = Similarity.planesFor(n, targetPerBucket = 8)
+      (n, p, Similarity.lshCandidates(synthEmb(n), p, numTables = 1).count())
+    }
+    val perRow = counts.map { case (n, _, c) => c.toDouble / n }
+    assert(counts.map(_._2).distinct.size > 1,
+      s"planesFor must raise planes across $sizes: $counts")
+    // candidates per row must stay bounded as n doubles (linear growth),
+    // with generous slack for bucket-occupancy noise
+    assert(perRow.max <= perRow.min * 3.0 + 2.0,
+      s"candidate growth superlinear: ${counts.mkString(", ")}")
+  }
+
+  test("AND-OR amplification: more tables recover recall that stricter buckets cost") {
+    val emb = synthEmb(4096)
+    val p = Similarity.planesFor(4096, targetPerBucket = 8)
+    def hasPair(tables: Int): Boolean =
+      Similarity.lshCandidates(emb, p, tables)
+        .filter(col("id1") === 1 && col("id2") === 2).count() == 1
+    // the planted pair is near-identical: with enough OR-tables it MUST be
+    // caught; table sets are nested (seed 42+t), so recall is monotonic
+    assert(hasPair(4), "planted near-dup pair missed even with 4 OR-tables")
+    val nd = Similarity.embeddingNearDups(emb, minCos = 0.99,
+      numPlanes = Some(p), numTables = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(nd.exists(r => r._1 == 1 && r._2 == 2), s"verified pair missing: ${nd.take(5).toSeq}")
+  }
+
   test("NODATA nulls never leak into aggregates (grid)") {
     val cells = GridData.cells(spark)
     val (nAll, nVal) = cells.agg(count(lit(1)), count(col("value")))
