@@ -90,9 +90,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(e.foldable, s"$what must be a literal")
       e.eval() match {
         case i: Int => i
-        case l: Long => l.toInt
+        // exact conversions only: a wrapped Long/Decimal would silently
+        // change the requested size parameter
+        case l: Long => Math.toIntExact(l)
         case d: java.math.BigDecimal => d.intValueExact()
-        case dec: org.apache.spark.sql.types.Decimal => dec.toInt
+        case dec: org.apache.spark.sql.types.Decimal =>
+          Math.toIntExact(dec.toJavaBigDecimal.longValueExact())
         case other => throw new IllegalArgumentException(s"$what: not an int ($other)")
       }
     }

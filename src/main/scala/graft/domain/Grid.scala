@@ -123,8 +123,11 @@ object GridQuery {
     // bounded: rebuilding a dim-sized catalog is cheap, pinned blocks for a
     // JVM lifetime of distinct plans are not
     if (catalogCache.size > 64) invalidateCatalogCache()
+    // FULL canonicalized plan text, not a 32-bit hash: two distinct source
+    // plans colliding would silently serve the wrong catalog. Catalog
+    // sources are scans, so the canonical string is short and stable.
     val key = System.identityHashCode(cellsDf.sparkSession) + ":" +
-      cellsDf.queryExecution.analyzed.semanticHash()
+      cellsDf.queryExecution.analyzed.canonicalized.toString
     catalogCache.computeIfAbsent(key, _ =>
       cellsDf.groupBy("file", "variable")
         .agg(min("ts").as("ts_min"), max("ts").as("ts_max"))

@@ -65,20 +65,33 @@ object RenderSink {
         when(col("value").isNull, lit(-1))
           .otherwise(GridQuery.colorBin(col("value"), lo, step, nbins)).as("bin"))
       .repartition(col("variable"), col("day"))
+      .sortWithinPartitions("variable", "day")
       .foreachPartition { (rows: Iterator[Row]) =>
-        rows.toSeq.groupBy(r => (r.getString(0), r.getString(1))).foreach {
-          case ((variable, day), cells) =>
-            val ys = cells.map(_.getInt(2)); val xs = cells.map(_.getInt(3))
-            val (y0, y1) = (ys.min, ys.max); val (x0, x1) = (xs.min, xs.max)
-            val w = x1 - x0 + 1; val h = y1 - y0 + 1
-            val px = Array.fill(w * h)(Nodata)
-            cells.foreach { r =>
-              val bin = r.getInt(4)
-              // row 0 at the top = northmost latitude (flip y)
-              px((y1 - r.getInt(2)) * w + (r.getInt(3) - x0)) =
-                if (bin < 0) Nodata else ramp(bin)
-            }
-            Png.write(s"$outDir/grid_${variable}_$day.png", w, h, px)
+        // images are sorted within the partition, so a single streaming pass
+        // buffers ONE image's cells at a time (bounded: a raster tile) —
+        // never the whole partition, however many images hash into it
+        val it = rows.buffered
+        while (it.hasNext) {
+          val variable = it.head.getString(0); val day = it.head.getString(1)
+          val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+          while (it.hasNext && it.head.getString(0) == variable &&
+              it.head.getString(1) == day) {
+            val r = it.next()
+            cells += ((r.getInt(2), r.getInt(3), r.getInt(4)))
+          }
+          var y0 = Int.MaxValue; var y1 = Int.MinValue
+          var x0 = Int.MaxValue; var x1 = Int.MinValue
+          cells.foreach { case (y, x, _) =>
+            y0 = math.min(y0, y); y1 = math.max(y1, y)
+            x0 = math.min(x0, x); x1 = math.max(x1, x)
+          }
+          val w = x1 - x0 + 1; val h = y1 - y0 + 1
+          val px = Array.fill(w * h)(Nodata)
+          cells.foreach { case (y, x, bin) =>
+            // row 0 at the top = northmost latitude (flip y)
+            px((y1 - y) * w + (x - x0)) = if (bin < 0) Nodata else ramp(bin)
+          }
+          Png.write(s"$outDir/grid_${variable}_$day.png", w, h, px)
         }
       }
   }

@@ -43,8 +43,13 @@ class GridSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     Option(properties.get("path")) match {
       case Some(dir) =>
-        val hasNc = Option(new java.io.File(dir).listFiles())
-          .exists(_.exists(_.getName.endsWith(".nc")))
+        val names = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty).map(_.getName)
+        val hasNc = names.exists(_.endsWith(".nc"))
+        // a mixed directory must fail loudly: picking one format would
+        // silently drop the other's files from every query
+        require(!(hasNc && names.exists(_.endsWith(".grf"))),
+          s"$dir mixes .nc and .grf files; split them into separate directories")
         if (hasNc) new NcGridTable(dir) else new FileGridTable(dir)
       case None => new GridTable
     }

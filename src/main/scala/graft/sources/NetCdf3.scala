@@ -117,8 +117,17 @@ object NetCdf3 {
   }
 
   private def skipPad(in: DataInputStream, n: Int): Unit = {
-    val pad = (4 - n % 4) % 4
-    if (pad > 0) in.skipBytes(pad)
+    // skipBytes may skip FEWER bytes than asked (stream semantics); a short
+    // skip would silently desync every field that follows — loop and fail
+    // loudly on EOF instead
+    var pad = (4 - n % 4) % 4
+    while (pad > 0) {
+      val skipped = in.skipBytes(pad)
+      if (skipped <= 0) {
+        if (in.read() < 0) throw new java.io.EOFException("EOF inside header padding")
+        pad -= 1
+      } else pad -= skipped
+    }
   }
 
   private def readTagged(in: DataInputStream, path: String, expected: Int): Int = {
@@ -321,8 +330,18 @@ object NetCdf3 {
         v.dims.foreach(d => out.writeInt(dimIndex(d)))
         writeAttrs(v.attrs)
         out.writeInt(v.ncType)
+        // the vsize field is 4 bytes in BOTH classic variants, and CDF-1
+        // begins are 4 bytes — overflow must fail loudly, not truncate into
+        // a silently corrupt header
+        require(vsizeOf(v) <= Int.MaxValue,
+          s"${v.name}: vsize ${vsizeOf(v)} exceeds the classic format's 32-bit field")
         out.writeInt(vsizeOf(v).toInt)
-        if (version == 2) out.writeLong(begin) else out.writeInt(begin.toInt)
+        if (version == 2) out.writeLong(begin)
+        else {
+          require(begin <= Int.MaxValue,
+            s"${v.name}: begin $begin needs CDF-2 (64-bit offsets); write with version = 2")
+          out.writeInt(begin.toInt)
+        }
       }
     }
     val mark = bo.size()
