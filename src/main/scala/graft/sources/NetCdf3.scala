@@ -14,25 +14,41 @@ import java.nio.ByteBuffer
   * per record. Offset-addressable by construction — a `[t, y, x0..x1]` slice
   * is one seek + one contiguous read, never a whole-file stream.
   *
-  * Supported: classic + 64-bit-offset versions, all six nc_types, fixed AND
-  * record (unlimited-dimension) variable layouts, variable/global attributes,
-  * `_FillValue` / `scale_factor` / `add_offset` conventions.
+  * Supported: classic (CDF-1), 64-bit-offset (CDF-2) and 64-bit-data (CDF-5,
+  * magic `CDF\x05`: every NON_NEG header field widened to INT64 plus five
+  * unsigned/64-bit integer nc_types), fixed AND record (unlimited-dimension)
+  * variable layouts, variable/global attributes, `_FillValue` /
+  * `scale_factor` / `add_offset` conventions.
   * Not supported (fail loudly): HDF5-based NetCDF-4 (different magic).
   */
 object NetCdf3 {
   val NcByte = 1; val NcChar = 2; val NcShort = 3
   val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+  // CDF-5 ("64-bit data") additions
+  val NcUByte = 7; val NcUShort = 8; val NcUInt = 9
+  val NcInt64 = 10; val NcUInt64 = 11
 
   private val TagDimension = 0x0A
   private val TagVariable = 0x0B
   private val TagAttribute = 0x0C
 
   def sizeOf(ncType: Int): Int = ncType match {
-    case NcByte | NcChar => 1
-    case NcShort => 2
-    case NcInt | NcFloat => 4
-    case NcDouble => 8
+    case NcByte | NcChar | NcUByte => 1
+    case NcShort | NcUShort => 2
+    case NcInt | NcFloat | NcUInt => 4
+    case NcDouble | NcInt64 | NcUInt64 => 8
     case t => throw new IllegalArgumentException(s"unknown nc_type $t")
+  }
+
+  /** CDF-5 widens every NON_NEG header field (counts, name lengths, dim
+    * sizes, numrecs, vsize) to INT64; tags and nc_type stay 4-byte.
+    */
+  private def readNonNeg(in: DataInputStream, version: Int): Long =
+    if (version == 5) in.readLong() else in.readInt().toLong
+
+  private def intSized(n: Long, what: String, path: String): Int = {
+    require(n >= 0 && n <= Int.MaxValue, s"$path: $what $n out of supported range")
+    n.toInt
   }
 
   final case class Dim(name: String, size: Int) {
@@ -94,22 +110,20 @@ object NetCdf3 {
       require(m0 == 'C' && m1 == 'D' && m2 == 'F',
         s"$path: not a NetCDF classic file (bad magic; NetCDF-4/HDF5 is unsupported)")
       val version = in.read()
-      require(version == 1 || version == 2,
-        s"$path: unsupported CDF version $version (only classic CDF-1/CDF-2)")
-      val numRecs = in.readInt()
-      // 0xFFFFFFFF is the spec's "streaming" sentinel (record count unknown
-      // until EOF) — reject loudly rather than crash downstream on -1 sizes
-      require(numRecs >= 0,
-        s"$path: streaming numrecs (0xFFFFFFFF) is not supported by this reader")
-      val dims = readDimList(in, path)
-      val gatts = readAttrList(in, path)
+      require(version == 1 || version == 2 || version == 5,
+        s"$path: unsupported CDF version $version (classic CDF-1/CDF-2/CDF-5 only)")
+      // -1 is the spec's "streaming" sentinel (record count unknown until
+      // EOF) — reject loudly rather than crash downstream on -1 sizes
+      val numRecs = intSized(readNonNeg(in, version), "numrecs", path)
+      val dims = readDimList(in, path, version)
+      val gatts = readAttrList(in, path, version)
       val vars = readVarList(in, path, version)
       Header(path, version, numRecs, dims, gatts, vars)
     } finally in.close()
   }
 
-  private def readName(in: DataInputStream): String = {
-    val n = in.readInt()
+  private def readName(in: DataInputStream, version: Int): String = {
+    val n = intSized(readNonNeg(in, version), "name length", "<header>")
     val bytes = new Array[Byte](n)
     in.readFully(bytes)
     skipPad(in, n)
@@ -130,24 +144,26 @@ object NetCdf3 {
     }
   }
 
-  private def readTagged(in: DataInputStream, path: String, expected: Int): Int = {
+  private def readTagged(in: DataInputStream, path: String, version: Int,
+      expected: Int): Int = {
     val tag = in.readInt()
-    val nelems = in.readInt()
+    val nelems = intSized(readNonNeg(in, version), "list length", path)
     require(tag == expected || (tag == 0 && nelems == 0),
       s"$path: malformed header (tag $tag, expected $expected or ABSENT)")
     nelems
   }
 
-  private def readDimList(in: DataInputStream, path: String): Seq[Dim] =
-    (0 until readTagged(in, path, TagDimension)).map { _ =>
-      Dim(readName(in), in.readInt())
+  private def readDimList(in: DataInputStream, path: String, version: Int): Seq[Dim] =
+    (0 until readTagged(in, path, version, TagDimension)).map { _ =>
+      val name = readName(in, version)
+      Dim(name, intSized(readNonNeg(in, version), s"dim $name size", path))
     }
 
-  private def readAttrList(in: DataInputStream, path: String): Seq[Attr] =
-    (0 until readTagged(in, path, TagAttribute)).map { _ =>
-      val name = readName(in)
+  private def readAttrList(in: DataInputStream, path: String, version: Int): Seq[Attr] =
+    (0 until readTagged(in, path, version, TagAttribute)).map { _ =>
+      val name = readName(in, version)
       val ncType = in.readInt()
-      val nelems = in.readInt()
+      val nelems = intSized(readNonNeg(in, version), s"attr $name nelems", path)
       if (ncType == NcChar) {
         val bytes = new Array[Byte](nelems)
         in.readFully(bytes)
@@ -160,24 +176,36 @@ object NetCdf3 {
       }
     }
 
+  /** IEEE widening of an unsigned 64-bit pattern (2^64 + v for negative v). */
+  private def u64ToDouble(v: Long): Double =
+    if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
+
   private def readNum(in: DataInputStream, ncType: Int): Double = ncType match {
     case NcByte => in.readByte().toDouble
     case NcShort => in.readShort().toDouble
     case NcInt => in.readInt().toDouble
     case NcFloat => in.readFloat().toDouble
     case NcDouble => in.readDouble()
+    case NcUByte => (in.readByte() & 0xFF).toDouble
+    case NcUShort => (in.readShort() & 0xFFFF).toDouble
+    case NcUInt => (in.readInt().toLong & 0xFFFFFFFFL).toDouble
+    case NcInt64 => in.readLong().toDouble
+    case NcUInt64 => u64ToDouble(in.readLong())
     case t => throw new IllegalArgumentException(s"unknown nc_type $t")
   }
 
   private def readVarList(in: DataInputStream, path: String, version: Int): Seq[Variable] =
-    (0 until readTagged(in, path, TagVariable)).map { _ =>
-      val name = readName(in)
-      val ndims = in.readInt()
-      val dimIds = (0 until ndims).map(_ => in.readInt())
-      val attrs = readAttrList(in, path)
+    (0 until readTagged(in, path, version, TagVariable)).map { _ =>
+      val name = readName(in, version)
+      val ndims = intSized(readNonNeg(in, version), s"var $name ndims", path)
+      val dimIds = (0 until ndims).map(_ =>
+        intSized(readNonNeg(in, version), s"var $name dimid", path))
+      val attrs = readAttrList(in, path, version)
       val ncType = in.readInt()
-      val vsize = in.readInt().toLong & 0xFFFFFFFFL
-      val begin = if (version == 2) in.readLong() else in.readInt().toLong & 0xFFFFFFFFL
+      // vsize: NON_NEG (8 B in CDF-5, unsigned 4 B classic); begin: OFFSET
+      // (8 B in CDF-2/CDF-5, unsigned 4 B in CDF-1)
+      val vsize = if (version == 5) in.readLong() else in.readInt().toLong & 0xFFFFFFFFL
+      val begin = if (version == 1) in.readInt().toLong & 0xFFFFFFFFL else in.readLong()
       Variable(name, dimIds, attrs, ncType, vsize, begin)
     }
 
@@ -213,6 +241,11 @@ object NetCdf3 {
       case NcInt => val ib = bb.asIntBuffer(); var i = 0; while (i < n) { out(at + i) = ib.get(i).toDouble; i += 1 }
       case NcFloat => val fb = bb.asFloatBuffer(); var i = 0; while (i < n) { out(at + i) = fb.get(i).toDouble; i += 1 }
       case NcDouble => bb.asDoubleBuffer().get(out, at, n)
+      case NcUByte => var i = 0; while (i < n) { out(at + i) = (bb.get(i) & 0xFF).toDouble; i += 1 }
+      case NcUShort => val sb = bb.asShortBuffer(); var i = 0; while (i < n) { out(at + i) = (sb.get(i) & 0xFFFF).toDouble; i += 1 }
+      case NcUInt => val ib = bb.asIntBuffer(); var i = 0; while (i < n) { out(at + i) = (ib.get(i).toLong & 0xFFFFFFFFL).toDouble; i += 1 }
+      case NcInt64 => val lb = bb.asLongBuffer(); var i = 0; while (i < n) { out(at + i) = lb.get(i).toDouble; i += 1 }
+      case NcUInt64 => val lb = bb.asLongBuffer(); var i = 0; while (i < n) { out(at + i) = u64ToDouble(lb.get(i)); i += 1 }
       case t => throw new IllegalArgumentException(s"unknown nc_type $t")
     }
   }
@@ -285,26 +318,32 @@ object NetCdf3 {
     val numRecs = recordDim.map(dimSize(_)).getOrElse(0)
 
     // ---- serialize the header to know data begins
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported write version $version (1, 2 or 5)")
     val bo = new java.io.ByteArrayOutputStream()
     val out = new DataOutputStream(bo)
+    // every NON_NEG header field widens to INT64 under CDF-5; tags and
+    // nc_type stay 4 bytes in all versions
+    def writeNonNeg(n: Long): Unit =
+      if (version == 5) out.writeLong(n) else out.writeInt(Math.toIntExact(n))
     def writeName(s: String): Unit = {
       val b = s.getBytes("UTF-8")
-      out.writeInt(b.length); out.write(b)
+      writeNonNeg(b.length); out.write(b)
       (0 until ((4 - b.length % 4) % 4)).foreach(_ => out.writeByte(0))
     }
     def writeAttrs(attrs: Seq[WAttr]): Unit = {
-      if (attrs.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      if (attrs.isEmpty) { out.writeInt(0); writeNonNeg(0) }
       else {
-        out.writeInt(TagAttribute); out.writeInt(attrs.length)
+        out.writeInt(TagAttribute); writeNonNeg(attrs.length)
         attrs.foreach { a =>
           writeName(a.name)
           out.writeInt(a.ncType)
           if (a.ncType == NcChar) {
             val b = a.text.getBytes("UTF-8")
-            out.writeInt(b.length); out.write(b)
+            writeNonNeg(b.length); out.write(b)
             (0 until ((4 - b.length % 4) % 4)).foreach(_ => out.writeByte(0))
           } else {
-            out.writeInt(a.nums.length)
+            writeNonNeg(a.nums.length)
             a.nums.foreach(writeNum(out, a.ncType, _))
             val raw = a.nums.length * sizeOf(a.ncType)
             (0 until ((4 - raw % 4) % 4).toInt).foreach(_ => out.writeByte(0))
@@ -313,35 +352,34 @@ object NetCdf3 {
       }
     }
     out.write('C'); out.write('D'); out.write('F'); out.write(version)
-    out.writeInt(numRecs)
-    out.writeInt(TagDimension); out.writeInt(dims.length)
+    writeNonNeg(numRecs)
+    out.writeInt(TagDimension); writeNonNeg(dims.length)
     dims.foreach { case (n, sz) =>
       writeName(n)
-      out.writeInt(if (recordDim.contains(n)) 0 else sz)
+      writeNonNeg(if (recordDim.contains(n)) 0 else sz)
     }
     writeAttrs(gatts)
     // variable list needs begins, which depend on header length — write the
     // var list once with zero begins to measure, then with real offsets
     def writeVarList(begins: Seq[Long]): Unit = {
-      out.writeInt(TagVariable); out.writeInt(vars.length)
+      out.writeInt(TagVariable); writeNonNeg(vars.length)
       vars.zip(begins).foreach { case (v, begin) =>
         writeName(v.name)
-        out.writeInt(v.dims.length)
-        v.dims.foreach(d => out.writeInt(dimIndex(d)))
+        writeNonNeg(v.dims.length)
+        v.dims.foreach(d => writeNonNeg(dimIndex(d)))
         writeAttrs(v.attrs)
         out.writeInt(v.ncType)
-        // the vsize field is 4 bytes in BOTH classic variants, and CDF-1
+        // the vsize field is 4 bytes in both CLASSIC variants, and CDF-1
         // begins are 4 bytes — overflow must fail loudly, not truncate into
-        // a silently corrupt header
-        require(vsizeOf(v) <= Int.MaxValue,
-          s"${v.name}: vsize ${vsizeOf(v)} exceeds the classic format's 32-bit field")
-        out.writeInt(vsizeOf(v).toInt)
-        if (version == 2) out.writeLong(begin)
-        else {
+        // a silently corrupt header; CDF-5 widens both to 8 bytes
+        require(version == 5 || vsizeOf(v) <= Int.MaxValue,
+          s"${v.name}: vsize ${vsizeOf(v)} exceeds the classic format's 32-bit field; write with version = 5")
+        writeNonNeg(vsizeOf(v))
+        if (version == 1) {
           require(begin <= Int.MaxValue,
-            s"${v.name}: begin $begin needs CDF-2 (64-bit offsets); write with version = 2")
+            s"${v.name}: begin $begin needs 64-bit offsets; write with version = 2 or 5")
           out.writeInt(begin.toInt)
-        }
+        } else out.writeLong(begin)
       }
     }
     val mark = bo.size()
@@ -390,6 +428,16 @@ object NetCdf3 {
     case NcInt => out.writeInt(v.toInt)
     case NcFloat => out.writeFloat(v.toFloat)
     case NcDouble => out.writeDouble(v)
+    case NcUByte => out.writeByte((v.toLong & 0xFFL).toInt)
+    case NcUShort => out.writeShort((v.toLong & 0xFFFFL).toInt)
+    case NcUInt => out.writeInt((v.toLong & 0xFFFFFFFFL).toInt)
+    case NcInt64 => out.writeLong(v.toLong)
+    case NcUInt64 =>
+      // Double.toLong SATURATES at 2^63-1 — values in [2^63, 2^64) must wrap
+      // to the negative bit pattern explicitly
+      out.writeLong(
+        if (v >= 9.223372036854776E18) (v - 1.8446744073709552E19).toLong
+        else v.toLong)
     case t => throw new IllegalArgumentException(s"unknown nc_type $t")
   }
 }

@@ -60,6 +60,21 @@ object SourceQueries extends QueryModule {
       .orderBy("n_nationkey")
   }
 
+  /** S2 through a CUSTOM FileSystem: the same scan routed through the
+    * `mock://` scheme — resolved from `fs.mock.impl` exactly the way a
+    * cluster resolves `s3a://` to the S3AFileSystem jar — with range reads
+    * served by [[MockFs]]. Proves the whole remote-object seam this sandbox
+    * can honestly prove without credentials: custom scheme → FS class →
+    * status/list → seek/positioned reads.
+    */
+  private def qScanUriMock(s: SparkSession, d: String): DataFrame = {
+    MockFs.register(s)
+    val uri = "mock://" + new java.io.File(d).getAbsolutePath + "/nation.parquet"
+    s.read.parquet(uri)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   /** Writes the two variables' cubes to `.grf` files once per JVM — the same
     * closed form as the generator, so the file-backed scan stays fully
     * oracle-checkable.
@@ -246,6 +261,7 @@ object SourceQueries extends QueryModule {
     "q_dsv2_agg" -> qDsv2Agg,
     "q_dsv2_count" -> qDsv2Count,
     "q_scan_uri" -> qScanUri,
+    "q_scan_uri_mock" -> qScanUriMock,
     "q_scan_partitioned" -> qScanPartitioned,
     "q_grid_file" -> qGridFile,
     "q_grid_nc" -> qGridNc,
@@ -290,6 +306,8 @@ object SourceQueries extends QueryModule {
         |FROM cells
         |WHERE variable = 'tasmax' AND y BETWEEN 3 AND 12 AND x < 20""".stripMargin),
     "q_scan_uri" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_scan_uri_mock" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_scan_partitioned" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total

@@ -40,7 +40,7 @@ class NetCdfSpec extends AnyFunSuite {
       version = version)
   }
 
-  for (record <- Seq(false, true); version <- Seq(1, 2)) {
+  for (record <- Seq(false, true); version <- Seq(1, 2, 5)) {
     val tag = s"${if (record) "record" else "fixed"} layout, CDF-$version"
     test(s"roundtrip: $tag") {
       val p = tmp(s"grid.nc")
@@ -109,15 +109,18 @@ class NetCdfSpec extends AnyFunSuite {
     val genCase = for {
       t <- Gen.choose(1, 5); y <- Gen.choose(1, 7); x <- Gen.choose(1, 9)
       record <- Gen.oneOf(true, false)
-      version <- Gen.oneOf(1, 2)
-      ncType <- Gen.oneOf(NcByte, NcShort, NcInt, NcFloat, NcDouble)
+      version <- Gen.oneOf(1, 2, 5)
+      ncType <- Gen.oneOf(NcByte, NcShort, NcInt, NcFloat, NcDouble,
+        NcUByte, NcUShort, NcUInt, NcInt64, NcUInt64)
       seed <- Gen.choose(0L, 1000000L)
     } yield (t, y, x, record, version, ncType, seed)
     (1 to 25).foreach { i =>
       val (t, y, x, record, version, ncType, seed) = genCase.sample.get
       val rnd = new scala.util.Random(seed)
-      // values within every type's exact range (byte: ±127)
-      val data = Array.fill(t * y * x)(rnd.nextInt(200) - 100.0)
+      val unsigned = Set(NcUByte, NcUShort, NcUInt, NcUInt64).contains(ncType)
+      // values within every type's exact range (byte: ±127; unsigned: >= 0)
+      val data = Array.fill(t * y * x)(
+        if (unsigned) rnd.nextInt(200).toDouble else rnd.nextInt(200) - 100.0)
       val p = tmp(s"prop$i.nc")
       NetCdf3.write(p,
         dims = Seq("time" -> t, "yy" -> y, "xx" -> x),
@@ -144,6 +147,40 @@ class NetCdfSpec extends AnyFunSuite {
           s"case $i section t=$st y=$sy x=[$x0,$x1]")
       } finally rdr.close()
     }
+  }
+
+  test("CDF-5 round-trips unsigned/64-bit extremes exactly") {
+    val p = tmp("cdf5.nc")
+    // every value here is exactly representable as an IEEE double, so the
+    // widen-to-double read path must return it bit-exactly
+    val cases = Seq(
+      ("ub", NcUByte, Array(0.0, 127.0, 255.0)),
+      ("us", NcUShort, Array(0.0, 32767.0, 65535.0)),
+      ("ui", NcUInt, Array(0.0, 2147483647.0, 4294967295.0)),
+      ("i8", NcInt64, Array(-9007199254740992.0, -1.0, 9007199254740992.0)),
+      // 2^63 and 10^19 exercise the above-Long.MaxValue unsigned half
+      ("u8", NcUInt64, Array(0.0, 9.223372036854776E18, 1.0E19)))
+    NetCdf3.write(p,
+      dims = Seq("d" -> 3), recordDim = None,
+      gatts = Seq(WAttr("big", NcInt64, nums = Seq(1.2345678901234E13))),
+      vars = cases.map { case (n, t, d) => WVar(n, t, Seq("d"), Nil, d) },
+      version = 5)
+    val h = NetCdf3.open(p)
+    assert(h.version == 5)
+    assert(h.gatts.find(_.name == "big").get.nums == Seq(1.2345678901234E13))
+    cases.foreach { case (n, _, d) =>
+      assert(NetCdf3.readAll(h, h.variable(n).get).toSeq == d.toSeq, n)
+    }
+  }
+
+  test("classic versions reject CDF-5-only field widths loudly") {
+    // a vsize past 32 bits must fail in CDF-1/2 and succeed as CDF-5 layout
+    val e = intercept[IllegalArgumentException] {
+      NetCdf3.write(tmp("wide.nc"),
+        dims = Seq("d" -> 1), recordDim = None, gatts = Nil,
+        vars = Seq(WVar("v", NcInt, Seq("d"), Nil, Array(1.0))), version = 3)
+    }
+    assert(e.getMessage.contains("unsupported write version"))
   }
 
   test("short/byte attribute values respect 4-byte padding") {

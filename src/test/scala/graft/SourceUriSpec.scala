@@ -30,6 +30,32 @@ class SourceUriSpec extends AnyFunSuite {
     assert(viaUri.exceptAll(barePath).isEmpty && barePath.exceptAll(viaUri).isEmpty)
   }
 
+  test("custom mock:// FileSystem serves the scan via the FS API with range reads") {
+    sources.MockFs.register(spark)
+    val mockUri = "mock://" + new java.io.File(TestSpark.sf).getAbsolutePath + "/nation.parquet"
+    // scheme resolution instantiates OUR class — the same mechanism that
+    // resolves s3a:// to the S3AFileSystem on a credentialed cluster
+    val fs = FileSystem.get(new java.net.URI(mockUri),
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.isInstanceOf[sources.MockFs])
+    assert(fs.exists(new Path(mockUri)))
+    val opens0 = sources.MockFs.opens.get(); val seeks0 = sources.MockFs.seeks.get()
+    val viaMock = spark.read.parquet(mockUri)
+    val barePath = spark.read.parquet(TestSpark.sf + "/nation.parquet")
+    assert(viaMock.schema == barePath.schema)
+    assert(viaMock.exceptAll(barePath).isEmpty && barePath.exceptAll(viaMock).isEmpty)
+    // the parquet reader must have gone THROUGH the FS: opened files and
+    // performed ranged (seek) reads — footer then row groups
+    assert(sources.MockFs.opens.get() > opens0, "scan bypassed the mock FileSystem")
+    assert(sources.MockFs.seeks.get() > seeks0, "no range reads reached the FileSystem")
+  }
+
+  test("declared q_scan_uri_mock equals the file:// twin") {
+    val viaMock = sources.SourceQueries.queries("q_scan_uri_mock")(spark, TestSpark.sf)
+    val viaFile = sources.SourceQueries.queries("q_scan_uri")(spark, TestSpark.sf)
+    assert(viaMock.collect().toSeq == viaFile.collect().toSeq)
+  }
+
   test("date-partitioned layout prunes at the directory level") {
     val df = sources.SourceQueries.queries("q_scan_partitioned")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString
