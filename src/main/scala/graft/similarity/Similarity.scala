@@ -120,30 +120,96 @@ object Similarity extends QueryModule {
       .filter(col("cos") >= minCos)
   }
 
-  /** Batch kNN JOIN: every query vector gets its k nearest corpus neighbors
-    * in ONE corpus scan — the cross-dataset shape (dedup a new shard against
-    * the corpus, retrieval evaluation). The query set broadcasts; scoring is
-    * a codegen'd scan; and the per-query ranking is the bounded
+  /** Shared tail of both kNN join paths: per-query ranking via the bounded
     * [[graft.functions.TopKByScore]] aggregate, so the shuffle carries k rows
     * per query — NOT the |queries|×|corpus| scored pairs a window-rank
-    * formulation would move.
+    * formulation would move. Input: (q_id, cand struct(sim, id)).
     */
-  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), struct(
-        round(cosine_sim(col("embedding"), col("qe")), 4).as("sim"),
-        col("vec_id").as("id")).as("cand"))
-      .groupBy("q_id")
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("q_id")
       .agg(graft.functions.TopKFunctions.top_k_by_score(col("cand"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("rank", "entry")))
       .select(col("q_id"), col("rank"), col("entry.id").as("vec_id"),
         col("entry.sim").as("sim"))
+
+  private def scoredCand(qe: Column): Column = struct(
+    round(cosine_sim(col("embedding"), qe), 4).as("sim"),
+    col("vec_id").as("id"))
+
+  /** Batch kNN JOIN, broadcast form: every query vector gets its k nearest
+    * corpus neighbors in ONE corpus scan — the cross-dataset shape (dedup a
+    * new shard against the corpus, retrieval evaluation). Exact; requires the
+    * query set to fit in a broadcast table.
+    */
+  def knnJoinBroadcast(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    rankTopK(
+      corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), scoredCand(col("qe")).as("cand")), k)
+  }
+
+  /** Batch kNN JOIN, shuffle form for query sets too large to broadcast:
+    * bucket BOTH sides by sign-LSH cell, replicate each query to the cells
+    * within Hamming distance `probeHamming` of its own (multiprobe), and
+    * equi-join within cell — a plain shuffle join keyed on the cell id, so
+    * neither side ever materializes whole on any node. Each (query, corpus)
+    * pair meets in at most one probed cell, so nothing is scored twice.
+    *
+    * With `probeHamming < numPlanes` this is ANN (recall asserted in
+    * ScaleSpec); `probeHamming = numPlanes` probes every cell — the exact
+    * replicated-fragment join (query side replicated 2^planes ×), which
+    * ScaleSpec uses to check the path against the broadcast form bit-for-bit.
+    */
+  def knnJoinShuffled(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = NumPlanes, probeHamming: Int = 1): DataFrame = {
+    require(numPlanes <= 12, s"numPlanes $numPlanes: probe-mask enumeration is 2^planes")
+    val masks = (0 until (1 << numPlanes))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val cb = corpus.withColumn("cell", lshBucket(col("embedding"), 64, numPlanes))
+    val qb = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        lshBucket(col("embedding"), 64, numPlanes).as("qcell"))
+      .withColumn("cell", explode(array(masks.map(m =>
+        col("qcell").bitwiseXOR(lit(m))): _*)))
+    rankTopK(
+      cb.join(qb.hint("merge"), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), scoredCand(col("qe")).as("cand")), k)
+  }
+
+  /** In-memory bytes a broadcast of the query side would take (64-dim vector
+    * widened to double + row overhead) — compared against the session's
+    * `autoBroadcastJoinThreshold` to pick a path.
+    */
+  private def estQueryBytes(n: Long): Long = n * (64L * 8 + 64)
+
+  /** Batch kNN JOIN: auto-selects the broadcast form while the query side
+    * fits the session broadcast threshold, else the shuffled LSH-cell form
+    * (approximate — multiprobe; see [[knnJoinShuffled]]). One count job on
+    * the (smaller) query side decides.
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    if (threshold >= 0 && estQueryBytes(queries.count()) <= threshold)
+      knnJoinBroadcast(corpus, queries, k)
+    else knnJoinShuffled(corpus, queries, k)
   }
 
   private def qEmbedKnn(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
     knnJoin(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** The shuffle-form kNN join in its exact configuration (full multiprobe
+    * over 3 planes = every cell probed) — same results as the broadcast form,
+    * so it shares `q_embed_knn`'s window-rank oracle while exercising the
+    * cell-bucketed shuffle join end-to-end.
+    */
+  private def qEmbedKnnShuffle(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    knnJoinShuffled(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
+        numPlanes = 3, probeHamming = 3)
       .orderBy("q_id", "rank")
   }
 
@@ -192,14 +258,15 @@ object Similarity extends QueryModule {
     "q_cosine_lsh" -> qCosineLsh,
     "q_cosine_ivf" -> qCosineIvf,
     "q_embed_neardup" -> qEmbedNearDup,
-    "q_embed_knn" -> qEmbedKnn
+    "q_embed_knn" -> qEmbedKnn,
+    "q_embed_knn_shuffle" -> qEmbedKnnShuffle
   )
 
-  val oracleSql: Map[String, String] = Map(
-    // window-rank twin of the bounded top-k aggregate (identical results:
-    // both order by sim DESC then id ASC)
-    "q_embed_knn" ->
-      """WITH e AS (
+  // window-rank twin of the bounded top-k aggregate (identical results:
+  // both order by sim DESC then id ASC); the full-probe shuffle form is
+  // exact, so it shares this oracle verbatim
+  private val knnOracleSql: String =
+    """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
         |  FROM embeddings),
         |q AS (SELECT vec_id AS q_id, ev AS qe FROM e WHERE vec_id % 100 = 0),
@@ -212,7 +279,11 @@ object Similarity extends QueryModule {
         |  SELECT q_id, vec_id, sim,
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) - 1 AS rnk
         |  FROM scored)
-        |WHERE rnk < 5 ORDER BY q_id, rank""".stripMargin,
+        |WHERE rnk < 5 ORDER BY q_id, rank""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_embed_knn" -> knnOracleSql,
+    "q_embed_knn_shuffle" -> knnOracleSql,
     // mirrors CosineSimilarity exactly: per-element double widening, sequential
     // folds, dot/(sqrt(na)*sqrt(nb))
     "q_cosine_topk" ->

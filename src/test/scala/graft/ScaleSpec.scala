@@ -94,6 +94,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(nd.exists(r => r._1 == 1 && r._2 == 2), s"verified pair missing: ${nd.take(5).toSeq}")
   }
 
+  test("knnJoin switches from broadcast to the shuffled LSH-cell path past the threshold") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val small = Similarity.knnJoin(emb, queries, 3)
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastNestedLoopJoin"),
+      s"small query set should broadcast:\n$smallPlan")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val big = Similarity.knnJoin(emb, queries, 3)
+      val bigPlan = big.queryExecution.executedPlan.toString
+      assert(!bigPlan.contains("BroadcastNestedLoopJoin") &&
+        !bigPlan.contains("BroadcastHashJoin"),
+        s"over-threshold query set must not broadcast:\n$bigPlan")
+      assert(bigPlan.contains("SortMergeJoin") || bigPlan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join on the LSH cell:\n$bigPlan")
+      assert(big.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("full-probe shuffled kNN join equals the broadcast path exactly") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    val exact = rows(Similarity.knnJoinBroadcast(emb, queries, 5))
+    // probeHamming = numPlanes probes every cell: exact replicated join
+    val viaCells = rows(Similarity.knnJoinShuffled(emb, queries, 5,
+      numPlanes = 3, probeHamming = 3))
+    assert(viaCells == exact)
+    // the realistic multiprobe config (Hamming <= 1) keeps useful recall
+    val ann = rows(Similarity.knnJoinShuffled(emb, queries, 5,
+      numPlanes = 3, probeHamming = 1)).map(r => (r._1, r._3)).toSet
+    val overlap = exact.map(r => (r._1, r._3)).count(ann.contains).toDouble / exact.size
+    assert(overlap >= 0.5, s"multiprobe recall too low: $overlap")
+  }
+
   test("NODATA nulls never leak into aggregates (grid)") {
     val cells = GridData.cells(spark)
     val (nAll, nVal) = cells.agg(count(lit(1)), count(col("value")))
