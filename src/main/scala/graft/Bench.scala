@@ -50,7 +50,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // archive the exact stdout line to a dated file under bench/ so rounds
+    // diff machine-readable artifacts instead of truncated stdout tails
+    val stamp = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"))
+    val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench"))
+    dir.mkdirs()
+    val archived = new java.io.File(dir, s"BENCH_$stamp.json")
+    java.nio.file.Files.write(archived.toPath, (line + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] archived ${archived.getPath}")
     spark.stop()
   }
 }
