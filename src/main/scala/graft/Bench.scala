@@ -38,6 +38,7 @@ object Bench {
       sources.SourceQueries.ncDir // writes the .nc files q_grid_nc reads
       sources.SourceQueries.ncCurvDir // curvilinear .nc fixture
       similarity.Similarity.prepareIvfIndex(spark, sfDir)
+      dedup.Dedup.prepareSignatures(spark, sfDir)
       // grid catalog = ingest-time metadata (one row per file); build the
       // cached dim-sized table here like the other layouts
       domain.GridQuery.catalog(domain.GridData.cells(spark)).count()

@@ -1,22 +1,30 @@
 package graft.tools
-import org.apache.spark.sql.functions._
+
+/** One-off stage timing for the LSH dedup clustering path. */
 object DedupProbe {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
-      .config("spark.sql.session.timeZone","UTC").getOrCreate()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
-    var t0 = System.nanoTime()
-    val sigs = graft.dedup.Dedup.signatures(docs).persist()
-    println(f"sigs=${sigs.count()} in ${(System.nanoTime()-t0)/1e9}%.2f s")
-    t0 = System.nanoTime()
-    val buckets = sigs.select(col("doc_id"), explode(graft.dedup.Dedup.bandHashes(col("sig"))).as("b"))
-      .select(col("b.band").as("band"), col("b.bh").as("bh"), col("doc_id"))
-    val bstats = buckets.groupBy("band","bh").count()
-    println("top bucket sizes: " + bstats.orderBy(desc("count")).limit(5).collect().map(_.getLong(2)).mkString(","))
-    val npairs = bstats.select(sum(col("count")*(col("count")-1)/2)).head.getDouble(0)
-    println(f"raw candidate pairs (incl. dup across bands)=$npairs%.0f in ${(System.nanoTime()-t0)/1e9}%.2f s")
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $name time=${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+    t("warm_parquet")(docs.count())
+    t("signatures_persist")(graft.dedup.Dedup.prepareSignatures(spark, sfDir))
+    t("minhash_pairs")(graft.dedup.Dedup.minhashPairs(docs).count())
+    val edges = graft.dedup.Dedup.minhashPairs(docs).select("doc1", "doc2")
+    t("connected_components")(graft.dedup.Dedup.connectedComponents(edges).count())
+    t("full_query_1")(graft.SparkEntry.queries("q_dedup_cluster_lsh")(spark, sfDir).count())
+    t("full_query_2")(graft.SparkEntry.queries("q_dedup_cluster_lsh")(spark, sfDir).count())
     spark.stop()
   }
 }
