@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Hdf5
+import graft.sources.Hdf5._
+
+/** Byte-level tests for the scoped HDF5 subset codec: superblock/group/
+  * object-header round-trip, contiguous + chunked layouts, attribute typing
+  * incl. vlen object references (NetCDF-4's DIMENSION_LIST shape), section
+  * reads vs whole reads, loud rejection outside the subset.
+  */
+class Hdf5Spec extends AnyFunSuite {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("graft-h5").resolve(name).toString
+
+  private val T = 3; private val Y = 4; private val X = 5
+
+  private def cube(f: (Int, Int, Int) => Double): Array[Double] =
+    Array.tabulate(T * Y * X)(i => f(i / (Y * X), (i / X) % Y, i % X))
+
+  /** A NetCDF-4-shaped file: three dimension-scale coords + one 3-D var. */
+  private def writeGrid(path: String, chunked: Boolean): Unit = {
+    val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
+    Hdf5.write(path, Seq(
+      WDataset("time", I32, Seq(T), Array.tabulate(T)(_.toDouble),
+        strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time",
+          "units" -> "days since 1990-01-01")),
+      WDataset("lat", F64, Seq(Y), Array.tabulate(Y)(44.0 + _ * 0.05),
+        strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "lat")),
+      WDataset("lon", F64, Seq(X), Array.tabulate(X)(-80.0 + _ * 0.05),
+        strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "lon")),
+      WDataset("temp", F32, Seq(T, Y, X), data,
+        strAttrs = Seq("long_name" -> "air temperature"),
+        numAttrs = Seq(("_FillValue", F32, Seq(-999.0))),
+        refAttrs = Seq("DIMENSION_LIST" -> Seq(Seq("time"), Seq("lat"), Seq("lon"))),
+        chunkDims = if (chunked) Some(Seq(2, 3, 3)) else None)))
+  }
+
+  for (chunked <- Seq(false, true)) {
+    val tag = if (chunked) "chunked (v1 btree)" else "contiguous"
+    test(s"round-trip: $tag layout") {
+      val p = tmp("grid.h5")
+      writeGrid(p, chunked)
+      assert(Hdf5.isHdf5(p))
+      val h = Hdf5.open(p)
+      assert(h.datasets.map(_.name).sorted == Seq("lat", "lon", "temp", "time"))
+      val temp = h.dataset("temp").get
+      assert(temp.dims == Seq(T, Y, X))
+      assert(temp.dtype == F32)
+      assert(temp.attr("long_name").map(_.value).contains(StrAttr("air temperature")))
+      assert(temp.attr("_FillValue").map(_.value).contains(NumAttr(Seq(-999.0))))
+      assert(temp.attr("DIMENSION_LIST").map(_.value)
+        .contains(RefListAttr(Seq(Seq("time"), Seq("lat"), Seq("lon")))))
+      val time = h.dataset("time").get
+      assert(time.attr("CLASS").map(_.value).contains(StrAttr("DIMENSION_SCALE")))
+      assert(Hdf5.readAll(p, time).toSeq == Seq(0.0, 1.0, 2.0))
+      assert(Hdf5.readAll(p, h.dataset("lat").get).toSeq ==
+        Seq.tabulate(Y)(44.0 + _ * 0.05))
+      val expect = cube((t, y, x) => t * 100.0 + y * 10 + x)
+      assert(Hdf5.readAll(p, temp).toSeq == expect.toSeq)
+    }
+
+    test(s"section rows match whole read: $tag layout") {
+      val p = tmp("grid.h5")
+      writeGrid(p, chunked)
+      val h = Hdf5.open(p)
+      val temp = h.dataset("temp").get
+      val all = Hdf5.readAll(p, temp)
+      val rdr = new Hdf5.SectionReader(p, temp)
+      try {
+        for (t <- 0 until T; y <- 0 until Y) {
+          val row = rdr.readRow(t, y, 1, X - 2)
+          val expect = (1 to X - 2).map(x => all((t * Y + y) * X + x))
+          assert(row.toSeq == expect, s"t=$t y=$y")
+        }
+      } finally rdr.close()
+    }
+  }
+
+  test("classic NetCDF magic is rejected by the HDF5 reader and vice versa") {
+    val p = tmp("classic.nc")
+    graft.sources.NetCdf3.write(p, dims = Seq("d" -> 2), recordDim = None,
+      gatts = Nil, vars = Seq(graft.sources.NetCdf3.WVar("v",
+        graft.sources.NetCdf3.NcInt, Seq("d"), Nil, Array(1.0, 2.0))))
+    assert(!Hdf5.isHdf5(p))
+    val e = intercept[IllegalArgumentException](Hdf5.open(p))
+    assert(e.getMessage.contains("signature"))
+    // and the HDF5 magic is what NetCdf3 rejects loudly
+    val p2 = tmp("grid.h5")
+    writeGrid(p2, chunked = false)
+    val e2 = intercept[IllegalArgumentException](graft.sources.NetCdf3.open(p2))
+    assert(e2.getMessage.contains("magic"))
+  }
+
+  test("property: random dims/types/layouts round-trip") {
+    import org.scalacheck.Gen
+    val genCase = for {
+      t <- Gen.choose(1, 4); y <- Gen.choose(1, 6); x <- Gen.choose(1, 8)
+      dtype <- Gen.oneOf(F32, F64, I8, I16, I32, I64)
+      chunked <- Gen.oneOf(true, false)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (t, y, x, dtype, chunked, seed)
+    (1 to 20).foreach { i =>
+      val (t, y, x, dtype, chunked, seed) = genCase.sample.get
+      val rnd = new scala.util.Random(seed)
+      val data = Array.fill(t * y * x)(rnd.nextInt(200) - 100.0)
+      val p = tmp(s"prop$i.h5")
+      Hdf5.write(p, Seq(
+        WDataset("v", dtype, Seq(t, y, x), data,
+          chunkDims = if (chunked) Some(Seq(
+            rnd.nextInt(t) + 1, rnd.nextInt(y) + 1, rnd.nextInt(x) + 1)) else None)))
+      val h = Hdf5.open(p)
+      val v = h.dataset("v").get
+      assert(Hdf5.readAll(p, v).toSeq == data.toSeq,
+        s"case $i: t=$t y=$y x=$x type=$dtype chunked=$chunked seed=$seed")
+      val rdr = new Hdf5.SectionReader(p, v)
+      try {
+        val (st, sy) = (rnd.nextInt(t), rnd.nextInt(y))
+        val (x0, x1) = { val a = rnd.nextInt(x); val b = rnd.nextInt(x)
+          (math.min(a, b), math.max(a, b)) }
+        assert(rdr.readRow(st, sy, x0, x1).toSeq ==
+          (x0 to x1).map(xx => data((st * y + sy) * x + xx)),
+          s"case $i section t=$st y=$sy x=[$x0,$x1]")
+      } finally rdr.close()
+    }
+  }
+}
