@@ -36,6 +36,7 @@ object Bench {
       sources.SourceQueries.partitionedEventsDir(spark, sfDir)
       sources.SourceQueries.grfDir // writes the .grf cubes q_grid_file reads
       sources.SourceQueries.ncDir // writes the .nc files q_grid_nc reads
+      sources.SourceQueries.nc4Dir // the NetCDF-4 twin q_grid_nc4 reads
       sources.SourceQueries.ncCurvDir // curvilinear .nc fixture
       similarity.Similarity.prepareIvfIndex(spark, sfDir)
       dedup.Dedup.prepareSignatures(spark, sfDir)

@@ -34,10 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GridSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = GridSource.schema
-  /** `option("path", dir)` → file-backed table: `*.nc` (NetCDF-3 classic,
-    * real format) or `*.grf` (the library's own codec), both with byte-offset
-    * section reads; no path → the closed-form generator table (full oracle
-    * coverage).
+  /** `option("path", dir)` → file-backed table: `*.nc`/`*.nc4`/`*.h5` (real
+    * NetCDF — classic or NetCDF-4, container sniffed per file) or `*.grf`
+    * (the library's own codec), both with byte-offset section reads; no
+    * path → the closed-form generator table (full oracle coverage).
     */
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -45,11 +45,11 @@ class GridSource extends TableProvider {
       case Some(dir) =>
         val names = Option(new java.io.File(dir).listFiles())
           .getOrElse(Array.empty).map(_.getName)
-        val hasNc = names.exists(_.endsWith(".nc"))
+        val hasNc = names.exists(NcGrid.isNcName)
         // a mixed directory must fail loudly: picking one format would
         // silently drop the other's files from every query
         require(!(hasNc && names.exists(_.endsWith(".grf"))),
-          s"$dir mixes .nc and .grf files; split them into separate directories")
+          s"$dir mixes NetCDF and .grf files; split them into separate directories")
         if (hasNc) new NcGridTable(dir) else new FileGridTable(dir)
       case None => new GridTable
     }

@@ -77,7 +77,8 @@ object Hdf5 {
     def elems: Long = if (dims.isEmpty) 1L else dims.product
   }
 
-  final case class H5File(path: String, datasets: Seq[H5Dataset]) {
+  final case class H5File(path: String, datasets: Seq[H5Dataset],
+      rootAttrs: Seq[H5Attr] = Nil) {
     def dataset(n: String): Option[H5Dataset] = datasets.find(_.name == n)
   }
 
@@ -130,7 +131,10 @@ object Hdf5 {
       val datasets = entries.map { case (name, addr) =>
         readDataset(r, name, addr, addrToName, path)
       }
-      H5File(path, datasets)
+      // attributes on the root group = NetCDF-4 global attributes
+      val rootAttrs = rootMsgs.collect { case AttrMsg(a) =>
+        resolveAttr(r, a, addrToName, path) }
+      H5File(path, datasets, rootAttrs)
     } finally raf.close()
   }
 

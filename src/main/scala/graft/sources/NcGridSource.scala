@@ -38,7 +38,13 @@ final case class NcCube(
     latVar: String, lonVar: String)
 
 object NcGrid {
-  import NetCdf3._
+  import NcIo._
+
+  /** Files this source serves; the CONTAINER is sniffed per file from the
+    * magic (classic vs NetCDF-4/HDF5), not from the extension.
+    */
+  private[sources] def isNcName(n: String): Boolean =
+    n.endsWith(".nc") || n.endsWith(".nc4") || n.endsWith(".h5")
 
   /** Parse a CF-style time unit string: `<unit> since <date>[ <time>]`. */
   private[graft] def timeUnit(units: String): (Long, Long) = {
@@ -62,52 +68,53 @@ object NcGrid {
     * a dim-sized read, used TRANSIENTLY (validation, narrowing, partition
     * stamping); never retained per file.
     */
-  private def readTimes(path: String, h: NetCdf3.Header, tDim: Dim): Array[Long] = {
-    val tSize = if (tDim.isRecord) h.numRecs else tDim.size
+  private def readTimes(h: NcHandle, tName: String, tSize: Int): Array[Long] = {
     // time coordinate: the 1-D variable named after the time dimension
-    val timeVar = h.variable(tDim.name).getOrElse(
-      throw new IllegalArgumentException(s"$path: no time coordinate '${tDim.name}'"))
+    val timeVar = h.variable(tName).getOrElse(
+      throw new IllegalArgumentException(s"${h.path}: no time coordinate '$tName'"))
     val units = timeVar.attr("units").map(_.valueString).getOrElse(
-      throw new IllegalArgumentException(s"$path: time '${tDim.name}' has no units"))
+      throw new IllegalArgumentException(s"${h.path}: time '$tName' has no units"))
     val (epoch, per) = timeUnit(units)
-    val raw = NetCdf3.readAll(h, timeVar)
+    val raw = h.readAll(timeVar)
     val times = raw.map(d => epoch + math.round(d * per))
-    require(times.length == tSize, s"$path: time coord length ${times.length} != $tSize")
+    require(times.length == tSize, s"${h.path}: time coord length ${times.length} != $tSize")
     require(times.zip(times.drop(1)).forall { case (a, b) => a < b },
-      s"$path: time coordinate must be strictly increasing")
+      s"${h.path}: time coordinate must be strictly increasing")
     times
   }
 
   /** Open one file: a cube per 3-D data variable, paired with its (transient)
     * time axis so callers can validate/narrow without the cube retaining it.
+    * Container-neutral: the classic and NetCDF-4 paths are the same code
+    * from here up.
     */
   def openCubesT(path: String): Seq[(NcCube, Array[Long])] = {
-    val h = NetCdf3.open(path)
-    val dataVars = h.vars.filter(v => v.dimIds.length == 3)
+    val h = NcIo.open(path)
+    val dataVars = h.vars.filter(_.dimNames.length == 3)
     require(dataVars.nonEmpty, s"$path: no 3-D variable found")
     dataVars.map { dv =>
-      val Seq(tDim, yDim, xDim) = h.dimsOf(dv)
-      val tSize = if (tDim.isRecord) h.numRecs else tDim.size
-      val times = readTimes(path, h, tDim)
+      val Seq(tName, yName, xName) = dv.dimNames
+      val Seq(tSize, ySize, xSize) = dv.dimSizes
+      val times = readTimes(h, tName, tSize)
       // spatial coords: 1-D vars named after the dims, or 2-D curvilinear
-      // lat/lon matrices over (yDim, xDim) — the Five Lakes shape
-      def coord1d(d: Dim): Option[Variable] =
-        h.variable(d.name).filter(v => v.dimIds == Seq(h.dims.indexOf(d)))
-      val (curv, latV, lonV) = (coord1d(yDim), coord1d(xDim)) match {
+      // lat/lon matrices over (yName, xName) — the Five Lakes shape
+      def coord1d(d: String): Option[NcVar] =
+        h.variable(d).filter(_.dimNames == Seq(d))
+      val (curv, latV, lonV) = (coord1d(yName), coord1d(xName)) match {
         case (Some(la), Some(lo)) => (false, la, lo)
         case _ =>
-          def coord2d(names: Seq[String]): Option[Variable] =
+          def coord2d(names: Seq[String]): Option[NcVar] =
             h.vars.find(v => names.contains(v.name.toLowerCase) &&
-              v.dimIds.length == 2 && h.dimsOf(v) == Seq(yDim, xDim))
+              v.dimNames == Seq(yName, xName))
           val la = coord2d(Seq("lat", "latitude")).getOrElse(throw new IllegalArgumentException(
-            s"$path: no 1-D '${yDim.name}' or 2-D lat coordinate"))
+            s"$path: no 1-D '$yName' or 2-D lat coordinate"))
           val lo = coord2d(Seq("lon", "longitude")).getOrElse(throw new IllegalArgumentException(
-            s"$path: no 1-D '${xDim.name}' or 2-D lon coordinate"))
+            s"$path: no 1-D '$xName' or 2-D lon coordinate"))
           (true, la, lo)
       }
       (NcCube(path, dv.name,
         dv.attr("long_name").map(_.valueString).getOrElse(dv.name),
-        tSize, yDim.size, xDim.size,
+        tSize, ySize, xSize,
         tMin = if (times.isEmpty) Long.MaxValue else times.head,
         tMax = if (times.isEmpty) Long.MinValue else times.last,
         fill = dv.attr("_FillValue").flatMap(_.firstNum),
@@ -124,17 +131,16 @@ object NcGrid {
     * per table/scan, the trade for not retaining the array on every cube.
     */
   def timesOf(c: NcCube): Array[Long] = {
-    val h = NetCdf3.open(c.path)
+    val h = NcIo.open(c.path)
     val dv = h.variable(c.varName).getOrElse(
       throw new IllegalArgumentException(s"${c.path}: variable '${c.varName}' missing"))
-    readTimes(c.path, h, h.dimsOf(dv).head)
+    readTimes(h, dv.dimNames.head, dv.dimSizes.head)
   }
 
   /** Read a cube's coordinate arrays (lat, lon) — dim-sized driver read. */
   def coordArrays(c: NcCube): (Array[Double], Array[Double]) = {
-    val h = NetCdf3.open(c.path)
-    (NetCdf3.readAll(h, h.variable(c.latVar).get),
-      NetCdf3.readAll(h, h.variable(c.lonVar).get))
+    val h = NcIo.open(c.path)
+    (h.readAll(h.variable(c.latVar).get), h.readAll(h.variable(c.lonVar).get))
   }
 
   /** Every cube must carry the SAME coordinate arrays (and curvilinear
@@ -176,9 +182,9 @@ object NcGrid {
 object NcCatalog {
   def attrs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val rows = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".nc")).sortBy(_.getName).toSeq
+      .filter(f => NcGrid.isNcName(f.getName)).sortBy(_.getName).toSeq
       .flatMap { f =>
-        val h = NetCdf3.open(f.getAbsolutePath)
+        val h = NcIo.open(f.getAbsolutePath)
         h.gatts.map(a => (f.getName, "", a.name, a.valueString)) ++
           h.vars.flatMap(v => v.attrs.map(a => (f.getName, v.name, a.name, a.valueString)))
       }
@@ -191,7 +197,7 @@ object NcCatalog {
     */
   def discoverByLongName(dir: String, p: String => Boolean): Seq[String] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".nc")).sortBy(_.getName).toSeq
+      .filter(f => NcGrid.isNcName(f.getName)).sortBy(_.getName).toSeq
       .flatMap(f => NcGrid.openCubes(f.getAbsolutePath))
       .collect { case c if p(c.longName) => c.varName }
 }
@@ -213,7 +219,7 @@ class NcGridTable(dir: String) extends Table with SupportsRead {
     var refTimes: Array[Long] = null
     var refPath: String = null
     val opened = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".nc")).sortBy(_.getName).iterator
+      .filter(f => NcGrid.isNcName(f.getName)).sortBy(_.getName).iterator
       .flatMap { f =>
         val ct = NcGrid.openCubesT(f.getAbsolutePath)
         ct.map { case (c, times) =>
@@ -223,7 +229,7 @@ class NcGridTable(dir: String) extends Table with SupportsRead {
           c
         }
       }.toList
-    require(opened.nonEmpty, s"no .nc files in $dir")
+    require(opened.nonEmpty, s"no .nc/.nc4/.h5 files in $dir")
     val c0 = opened.head
     opened.foreach { c =>
       require(c.t == c0.t && c.y == c0.y && c.x == c0.x,
@@ -402,12 +408,12 @@ class NcGridAggScan(cubes: Seq[NcCube], section: GridSource.Section,
     // one header parse per file and one read per (file, coord var) across
     // ALL aggregate elements — min(lat)+max(lat)+min(lon)+max(lon) must not
     // cost 4 opens per cube
-    val headerCache = scala.collection.mutable.Map[String, NetCdf3.Header]()
+    val headerCache = scala.collection.mutable.Map[String, NcIo.NcHandle]()
     val coordCache = scala.collection.mutable.Map[(String, String), Array[Double]]()
     def coordsOf(c: NcCube, varName: String): Array[Double] =
       coordCache.getOrElseUpdate((c.path, varName), {
-        val h = headerCache.getOrElseUpdate(c.path, NetCdf3.open(c.path))
-        NetCdf3.readAll(h, h.variable(varName).get)
+        val h = headerCache.getOrElseUpdate(c.path, NcIo.open(c.path))
+        h.readAll(h.variable(varName).get)
       })
     def bound(f: String, lo: Boolean): Any =
       if (n == 0) null
@@ -506,7 +512,7 @@ class NcGridMicroBatchStream(dir: String, section: GridSource.Section,
 
   private def listNc(): Set[String] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".nc")).map(_.getName).toSet
+      .filter(f => NcGrid.isNcName(f.getName)).map(_.getName).toSet
 
   override def initialOffset(): Offset = FilesOffset(Set.empty)
 
@@ -556,9 +562,9 @@ class NcGridReaderFactory(required: StructType) extends PartitionReaderFactory {
     new NcGridReader(p.asInstanceOf[NcGridPartition], required)
 }
 
-/** Executor-side section read of real NetCDF bytes: re-opens the header
-  * (small), reads only the section's coordinate slices, then one positioned
-  * read per `[t, y, x0..x1]` row of the data variable
+/** Executor-side section read of real NetCDF bytes (either container):
+  * re-opens the header (small), reads only the section's coordinate slices,
+  * then one positioned read per `[t, y, x0..x1]` row of the data variable
   * (`Gddp.scala:224-226`); `_FillValue` → SQL NULL,
   * `scale_factor`/`add_offset` applied.
   */
@@ -566,16 +572,16 @@ class NcGridReader(p: NcGridPartition, required: StructType)
     extends PartitionReader[InternalRow] {
   private val s = p.section
   private val c = p.cube
-  private val header = NetCdf3.open(c.path)
+  private val header = NcIo.open(c.path)
   private val dataVar = header.variable(c.varName).get
-  private val rdr = new NetCdf3.SectionReader(header, dataVar)
+  private val rdr = header.rowReader(dataVar)
   // coord values for the section only (executor-local read, never shipped)
   private val needLat = required.fieldNames.contains("lat")
   private val needLon = required.fieldNames.contains("lon")
   private val lats: Array[Double] =
-    if (needLat) NetCdf3.readAll(header, header.variable(c.latVar).get) else null
+    if (needLat) header.readAll(header.variable(c.latVar).get) else null
   private val lons: Array[Double] =
-    if (needLon) NetCdf3.readAll(header, header.variable(c.lonVar).get) else null
+    if (needLon) header.readAll(header.variable(c.lonVar).get) else null
 
   private var y = s.y0 - 1
   private var x = s.x1 // forces a row load on first next()

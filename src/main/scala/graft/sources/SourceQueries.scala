@@ -181,6 +181,47 @@ object SourceQueries extends QueryModule {
     dir
   }
 
+  /** The SAME synthetic grid as `ncDir`, written as NetCDF-4 — the HDF5
+    * container with dimension-scale coordinates and DIMENSION_LIST object
+    * references (tasmax chunked, tasmin contiguous). The reference reads
+    * this container transparently through NetCDF-Java; here the grid layer
+    * is container-neutral ([[NcIo]] sniffs the magic per file), so the same
+    * DSv2 pushdown surface serves both byte formats.
+    */
+  lazy val nc4Dir: String = {
+    import GridData.{T => TD, X => XD, Y => YD}
+    import Hdf5._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc4").toFile.getAbsolutePath
+    val lat = Array.tabulate(YD)(y => 44.0 + y * 0.05)
+    val lon = Array.tabulate(XD)(x => -80.0 + x * 0.05)
+    for ((v, vid) <- Seq("tasmax" -> 0, "tasmin" -> 1)) {
+      val data = Array.tabulate(TD * YD * XD) { i =>
+        val t = i / (YD * XD); val y = (i / XD) % YD; val x = i % XD
+        if ((t + y + x) % 17 == 0) -999.0
+        else ((t * 31 + y * 7 + x * 13 + vid * 5) % 100).toDouble / 2.0 - 10.0
+      }
+      Hdf5.write(s"$dir/$v.nc4", Seq(
+        WDataset("time", I32, Seq(TD), Array.tabulate(TD)(_.toDouble),
+          strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time",
+            "units" -> "days since 1990-01-01")),
+        WDataset("lat", F64, Seq(YD), lat,
+          strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "lat",
+            "long_name" -> "latitude")),
+        WDataset("lon", F64, Seq(XD), lon,
+          strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "lon",
+            "long_name" -> "longitude")),
+        WDataset(v, F32, Seq(TD, YD, XD), data,
+          strAttrs = Seq("long_name" -> (if (vid == 0)
+            "Daily Maximum Near-Surface Air Temperature"
+          else "Daily Minimum Near-Surface Air Temperature")),
+          numAttrs = Seq(("_FillValue", F32, Seq(-999.0))),
+          refAttrs = Seq("DIMENSION_LIST" ->
+            Seq(Seq("time"), Seq("lat"), Seq("lon"))),
+          chunkDims = if (vid == 0) Some(Seq(3, 8, 16)) else None)))
+    }
+    dir
+  }
+
   def ncTable(s: SparkSession): DataFrame =
     s.read.format(classOf[GridSource].getName).option("path", ncDir).load()
 
@@ -194,6 +235,19 @@ object SourceQueries extends QueryModule {
         col("ts").between(lit("1990-01-02 00:00:00").cast("timestamp"),
           lit("1990-01-07 23:59:59").cast("timestamp")) &&
         col("y").between(4, 17) && col("x").between(2, 28))
+      .select("ts", "y", "x", "lat", "lon", "value")
+      .orderBy("ts", "y", "x")
+
+  /** The hyperslab read against the HDF5 container: same pushdown contract
+    * as `q_grid_nc`, but the bytes decode through the from-spec HDF5 subset
+    * reader — tasmax is chunked, so the pushed section is served from v1
+    * B-tree chunk lookups instead of one contiguous stride.
+    */
+  private def qGridNc4(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", nc4Dir).load()
+      .filter(col("variable") === "tasmax" &&
+        col("ts") >= lit("1990-01-03 00:00:00").cast("timestamp") &&
+        col("y") <= 12 && col("x").between(5, 20))
       .select("ts", "y", "x", "lat", "lon", "value")
       .orderBy("ts", "y", "x")
 
@@ -265,6 +319,7 @@ object SourceQueries extends QueryModule {
     "q_scan_partitioned" -> qScanPartitioned,
     "q_grid_file" -> qGridFile,
     "q_grid_nc" -> qGridNc,
+    "q_grid_nc4" -> qGridNc4,
     "q_grid_nc_curv" -> qGridNcCurv,
     "q_catalog_attrs" -> qCatalogAttrs,
     "q_nc_discover" -> qNcDiscover
@@ -324,6 +379,12 @@ object SourceQueries extends QueryModule {
         |WHERE variable = 'tasmax'
         |  AND ts BETWEEN TIMESTAMP '1990-01-02 00:00:00' AND TIMESTAMP '1990-01-07 23:59:59'
         |  AND y BETWEEN 4 AND 17 AND x BETWEEN 2 AND 28
+        |ORDER BY ts, y, x""".stripMargin),
+    "q_grid_nc4" -> (GridData.oracleCells +
+      """SELECT ts, y, x, lat, lon, value FROM cells
+        |WHERE variable = 'tasmax'
+        |  AND ts >= TIMESTAMP '1990-01-03 00:00:00'
+        |  AND y <= 12 AND x BETWEEN 5 AND 20
         |ORDER BY ts, y, x""".stripMargin),
     "q_grid_nc_curv" -> (oracleCurvCells +
       """SELECT ts, y, x, lat, lon, value FROM curv

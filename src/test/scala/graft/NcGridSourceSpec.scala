@@ -208,6 +208,48 @@ class NcGridSourceSpec extends AnyFunSuite {
     assert(times.length == cubes.head.t)
   }
 
+  test("NetCDF-4 (HDF5) table reproduces the generator grid exactly") {
+    // tasmax chunked, tasmin contiguous — both through the HDF5 subset codec
+    val nc4 = spark.read.format(classOf[GridSource].getName)
+      .option("path", SourceQueries.nc4Dir).load()
+    val got = nc4.select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x").collect()
+    val expect = GridData.cells(spark)
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x").collect()
+    assert(got.length == expect.length && got.sameElements(expect))
+  }
+
+  test("a mixed classic + NetCDF-4 directory forms ONE table (magic-sniffed)") {
+    // a format-migrated archive: tasmax as classic bytes, tasmin as HDF5
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-mixed")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SourceQueries.ncDir, "tasmax.nc"),
+      dir.resolve("tasmax.nc"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SourceQueries.nc4Dir, "tasmin.nc4"),
+      dir.resolve("tasmin.nc4"))
+    val mixed = spark.read.format(classOf[GridSource].getName)
+      .option("path", dir.toString).load()
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x").collect()
+    val homogeneous = nc
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x").collect()
+    assert(mixed.sameElements(homogeneous))
+  }
+
+  test("NetCDF-4 attribute catalog surfaces user attrs, hides dim machinery") {
+    val attrs = NcCatalog.attrs(spark, SourceQueries.nc4Dir)
+    val names = attrs.select("attr_name").distinct().collect().map(_.getString(0)).toSet
+    assert(names.contains("long_name") && names.contains("units"))
+    assert(!names.exists(Set("CLASS", "NAME", "DIMENSION_LIST")),
+      s"dimension-scale machinery leaked into the catalog: $names")
+    val found = NcCatalog.discoverByLongName(SourceQueries.nc4Dir,
+      _.startsWith("Daily Maximum"))
+    assert(found == Seq("tasmax"))
+  }
+
   test("CF time-unit strings parse to (epoch, scale)") {
     assert(NcGrid.timeUnit("days since 1990-01-01") ==
       (631152000000000L, 86400000000L))
