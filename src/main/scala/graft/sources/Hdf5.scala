@@ -16,9 +16,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - version-1 object headers (with continuation blocks)
   *  - messages: NIL, dataspace (v1), datatype (fixed/float/string/reference/
   *    vlen), fill value (skipped), data layout v3 (contiguous + chunked),
-  *    filter pipeline (REJECTED loudly if any filter present), attribute
-  *    (v1), object header continuation, symbol table
-  *  - chunked data via v1 chunk B-trees, uncompressed only
+  *    filter pipeline (v1/v2), attribute (v1), object header continuation,
+  *    symbol table
+  *  - chunked data via v1 chunk B-trees, raw or filtered with the three
+  *    filters netcdf-c/h5py emit by default: deflate (id 1), shuffle (id 2),
+  *    fletcher32 (id 3) — any other filter id fails loudly
   *  - global heap collections for vlen data — enough for NetCDF-4's
   *    DIMENSION_LIST attributes (vlen of object references)
   * Everything else (v2/v3 superblocks, fractal-heap "new" groups, v2 object
@@ -70,9 +72,20 @@ object Hdf5 {
   /** chunkDims excludes the trailing element-size entry of the disk form. */
   final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends Layout
 
+  /** A chunk filter, in PIPELINE (write) order; reads apply the inverses in
+    * reverse order. The ids are the format's registered values.
+    */
+  sealed trait H5Filter
+  /** zlib/deflate, id 1; `level` is advisory metadata on read. */
+  final case class Deflate(level: Int) extends H5Filter
+  /** byte-transpose by element size, id 2. */
+  final case class Shuffle(elemSize: Int) extends H5Filter
+  /** trailing 4-byte Fletcher-32 checksum, id 3 — verified, then stripped. */
+  case object Fletcher32 extends H5Filter
+
   final case class H5Dataset(
       name: String, ohAddr: Long, dims: Seq[Long], dtype: DType,
-      layout: Layout, attrs: Seq[H5Attr]) {
+      layout: Layout, attrs: Seq[H5Attr], filters: Seq[H5Filter] = Nil) {
     def attr(n: String): Option[H5Attr] = attrs.find(_.name == n)
     def elems: Long = if (dims.isEmpty) 1L else dims.product
   }
@@ -196,6 +209,7 @@ object Hdf5 {
   private final case class DatatypeMsg(dtype: DType) extends Msg
   private final case class LayoutMsg(layout: Layout) extends Msg
   private final case class AttrMsg(attr: RawAttr) extends Msg
+  private final case class FilterMsg(filters: Seq[H5Filter]) extends Msg
   private final case class SymbolTableMsg(btreeAddr: Long, heapAddr: Long) extends Msg
   private final case class RawAttr(name: String, dtype: DType, dims: Seq[Long],
       data: Array[Byte])
@@ -230,9 +244,7 @@ object Hdf5 {
           case 0x0003 => msgs += DatatypeMsg(parseDatatype(body, path))
           case 0x0005 => // fill value — subset treats data as fully written
           case 0x0008 => msgs += parseLayout(body, path)
-          case 0x000B =>
-            val v = body.get(); val nf = body.get()
-            require(nf == 0, s"$path: compression filters unsupported (pipeline v$v, $nf filters)")
+          case 0x000B => msgs += FilterMsg(parseFilters(body, path))
           case 0x000C => msgs += AttrMsg(parseAttr(body, path))
           case 0x0010 =>
             val off = body.getLong(); val len = body.getLong()
@@ -314,6 +326,152 @@ object Hdf5 {
 
   final case class CompactData(bytes: Array[Byte]) extends Layout
 
+  /** Filter pipeline message. v1 pads names to 8 and odd client-value lists
+    * to 8; v2 drops the reserved bytes and omits the name field entirely for
+    * registered (id < 256) filters.
+    */
+  private def parseFilters(b: ByteBuffer, path: String): Seq[H5Filter] = {
+    val version = b.get() & 0xFF
+    require(version == 1 || version == 2,
+      s"$path: filter pipeline version $version unsupported")
+    val nf = b.get() & 0xFF
+    if (version == 1) { b.getShort(); b.getInt() } // reserved
+    (0 until nf).map { _ =>
+      val id = b.getShort() & 0xFFFF
+      val nameLen =
+        if (version == 2 && id < 256) 0 else b.getShort() & 0xFFFF
+      b.getShort() // flags (bit 0 = optional) — irrelevant once written
+      val ncv = b.getShort() & 0xFFFF
+      if (nameLen > 0) {
+        // v1 name lengths are stored already padded to 8; v2 are exact
+        val padded = if (version == 1) nameLen else nameLen
+        b.position(b.position() + padded)
+      }
+      val cvals = (0 until ncv).map(_ => b.getInt().toLong & 0xFFFFFFFFL)
+      if (version == 1 && ncv % 2 == 1) b.getInt() // pad to 8
+      id match {
+        case 1 => Deflate(cvals.headOption.getOrElse(6L).toInt)
+        case 2 => Shuffle(cvals.headOption.getOrElse(0L).toInt)
+        case 3 => Fletcher32
+        case o => throw new IllegalArgumentException(
+          s"$path: filter id $o unsupported (deflate=1, shuffle=2, fletcher32=3)")
+      }
+    }
+  }
+
+  // ---- filter transforms (forward used by the writer, inverse by reads)
+
+  private[sources] def deflateBytes(src: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(src); d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(src.length / 4, 64))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private[sources] def inflateBytes(src: Array[Byte], sizeHint: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(src)
+    val out = new java.io.ByteArrayOutputStream(math.max(sizeHint, 64))
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput())
+        throw new java.io.EOFException("truncated deflate chunk")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Byte-transpose: element j's byte k moves to plane k, slot j. */
+  private[sources] def shuffleBytes(src: Array[Byte], esz: Int): Array[Byte] = {
+    if (esz <= 1) return src
+    val n = src.length / esz
+    val out = new Array[Byte](src.length)
+    var k = 0
+    while (k < esz) {
+      var j = 0
+      while (j < n) { out(k * n + j) = src(j * esz + k); j += 1 }
+      k += 1
+    }
+    var r = n * esz // leftover bytes (len not divisible by esz) pass through
+    while (r < src.length) { out(r) = src(r); r += 1 }
+    out
+  }
+
+  private[sources] def unshuffleBytes(src: Array[Byte], esz: Int): Array[Byte] = {
+    if (esz <= 1) return src
+    val n = src.length / esz
+    val out = new Array[Byte](src.length)
+    var k = 0
+    while (k < esz) {
+      var j = 0
+      while (j < n) { out(j * esz + k) = src(k * n + j); j += 1 }
+      k += 1
+    }
+    var r = n * esz
+    while (r < src.length) { out(r) = src(r); r += 1 }
+    out
+  }
+
+  /** The format's Fletcher-32: 16-bit big-endian words, 360-word blocks,
+    * one's-complement folds (public HDF5 H5checksum algorithm).
+    */
+  private[sources] def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L; var sum2 = 0L
+    var i = 0
+    val words = len / 2
+    var remaining = words
+    while (remaining > 0) {
+      var tlen = math.min(remaining, 360)
+      remaining -= tlen
+      while (tlen > 0) {
+        sum1 += ((data(i) & 0xFFL) << 8) | (data(i + 1) & 0xFFL)
+        sum2 += sum1
+        i += 2; tlen -= 1
+      }
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(len - 1) & 0xFFL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    (sum2 << 16) | sum1
+  }
+
+  /** Undo the pipeline for one stored chunk. `mask` bit i set means filter i
+    * was skipped when this chunk was written.
+    */
+  private def defilterChunk(raw: Array[Byte], mask: Int, filters: Seq[H5Filter],
+      expected: Int, path: String): Array[Byte] = {
+    var bytes = raw
+    filters.zipWithIndex.reverse.foreach { case (f, i) =>
+      if ((mask & (1 << i)) == 0) bytes = f match {
+        case Deflate(_) => inflateBytes(bytes, expected)
+        case Shuffle(esz) => unshuffleBytes(bytes, esz)
+        case Fletcher32 =>
+          require(bytes.length >= 4, s"$path: fletcher32 chunk shorter than its checksum")
+          val stored = ByteBuffer.wrap(bytes, bytes.length - 4, 4)
+            .order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+          val computed = fletcher32(bytes, bytes.length - 4)
+          require(stored == computed,
+            f"$path: fletcher32 mismatch (stored 0x$stored%08x, computed 0x$computed%08x)")
+          java.util.Arrays.copyOf(bytes, bytes.length - 4)
+      }
+    }
+    require(bytes.length == expected,
+      s"$path: chunk defiltered to ${bytes.length} bytes, expected $expected")
+    bytes
+  }
+
   private def parseAttr(b: ByteBuffer, path: String): RawAttr = {
     val version = b.get()
     require(version == 1, s"$path: attribute message version $version unsupported")
@@ -344,7 +502,10 @@ object Hdf5 {
     val layout = msgs.collectFirst { case LayoutMsg(l) => l }
       .getOrElse(throw new IllegalArgumentException(s"$path: $name has no layout"))
     val attrs = msgs.collect { case AttrMsg(a) => resolveAttr(r, a, addrToName, path) }
-    H5Dataset(name, addr, dims, dtype, layout, attrs)
+    val filters = msgs.collectFirst { case FilterMsg(f) => f }.getOrElse(Nil)
+    require(filters.isEmpty || layout.isInstanceOf[Chunked],
+      s"$path: $name has filters on a non-chunked layout")
+    H5Dataset(name, addr, dims, dtype, layout, attrs, filters)
   }
 
   private def resolveAttr(r: Reader, a: RawAttr, addrToName: Map[Long, String],
@@ -420,12 +581,14 @@ object Hdf5 {
           decode(bytes, ds.dtype, out, 0, out.length, path)
         case Chunked(btree, cdims) =>
           val chunks = readChunkIndex(new Reader(raf), btree, cdims.length, path)
-          val buf = new Array[Byte](cdims.product * ds.dtype.size)
+          val expected = cdims.product * ds.dtype.size
           val cvals = new Array[Double](cdims.product)
-          chunks.foreach { case (offsets, addr, size) =>
+          chunks.foreach { case (offsets, addr, size, mask) =>
+            val raw = new Array[Byte](size.toInt)
             raf.seek(addr)
-            raf.readFully(buf, 0, size.toInt)
-            decode(buf, ds.dtype, cvals, 0, cdims.product, path)
+            raf.readFully(raw)
+            val bytes = defilterChunk(raw, mask, ds.filters, expected, path)
+            decode(bytes, ds.dtype, cvals, 0, cdims.product, path)
             scatterChunk(cvals, offsets, cdims, ds.dims, out)
           }
         case l => throw new IllegalArgumentException(s"$path: layout $l unsupported")
@@ -434,9 +597,11 @@ object Hdf5 {
     } finally raf.close()
   }
 
-  /** v1 chunk B-tree → Seq(chunk offsets, file address, stored size). */
+  /** v1 chunk B-tree → Seq(chunk offsets, file address, stored size, filter
+    * mask). The stored size is the POST-filter byte count.
+    */
   private def readChunkIndex(r: Reader, addr: Long, rank: Int,
-      path: String): Seq[(Seq[Long], Long, Long)] = {
+      path: String): Seq[(Seq[Long], Long, Long, Int)] = {
     val head = r.at(addr, 24)
     val sig = new Array[Byte](4); head.get(sig)
     require(sig.sameElements("TREE".getBytes), s"$path: bad chunk btree signature")
@@ -450,11 +615,10 @@ object Hdf5 {
     (0 until used).flatMap { _ =>
       val csize = body.getInt().toLong & 0xFFFFFFFFL
       val mask = body.getInt()
-      require(mask == 0, s"$path: filtered chunks unsupported")
       val offsets = (0 until rank).map(_ => body.getLong())
       body.getLong() // trailing element-size offset (always 0)
       val child = body.getLong()
-      if (level == 0) Seq((offsets, child, csize))
+      if (level == 0) Seq((offsets, child, csize, mask))
       else readChunkIndex(r, child, rank, path)
     }
   }
@@ -513,14 +677,33 @@ object Hdf5 {
     private val Seq(tSize, ySize, xSize) = ds.dims.map(_.toInt): @unchecked
     private val esz = ds.dtype.size
     private val raf = new RandomAccessFile(path, "r")
-    private lazy val chunkIndex: Map[(Long, Long, Long), (Long, Long)] =
+    private lazy val chunkIndex: Map[(Long, Long, Long), (Long, Long, Int)] =
       ds.layout match {
         case Chunked(btree, cdims) =>
           readChunkIndex(new Reader(raf), btree, cdims.length, path)
-            .map { case (off, addr, size) => (off(0), off(1), off(2)) -> (addr, size) }
+            .map { case (off, addr, size, mask) =>
+              (off(0), off(1), off(2)) -> (addr, size, mask) }
             .toMap
         case _ => Map.empty
       }
+    // one-entry decoded-chunk cache: section reads walk rows in order, so
+    // consecutive reads hit the same chunk — without this, a deflated chunk
+    // would re-inflate once per row it serves
+    private var cachedKey: (Long, Long, Long) = null
+    private var cachedVals: Array[Double] = null
+
+    private def chunkVals(key: (Long, Long, Long), cdims: Seq[Int]): Option[Array[Double]] = {
+      if (key == cachedKey) return Some(cachedVals)
+      chunkIndex.get(key).map { case (addr, size, mask) =>
+        val raw = new Array[Byte](size.toInt)
+        raf.seek(addr); raf.readFully(raw)
+        val bytes = defilterChunk(raw, mask, ds.filters, cdims.product * esz, path)
+        val cvals = new Array[Double](cdims.product)
+        decode(bytes, ds.dtype, cvals, 0, cdims.product, path)
+        cachedKey = key; cachedVals = cvals
+        cvals
+      }
+    }
 
     def readRow(t: Int, y: Int, x0: Int, x1: Int): Array[Double] = {
       val n = x1 - x0 + 1
@@ -537,12 +720,8 @@ object Hdf5 {
           while (x <= x1) {
             val key = ((t / ct).toLong * ct, (y / cy).toLong * cy, (x / cx).toLong * cx)
             val hi = math.min(x1, key._3.toInt + cx - 1) // last x in this chunk
-            chunkIndex.get(key) match {
-              case Some((addr, size)) =>
-                val buf = new Array[Byte](cdims.product * esz)
-                raf.seek(addr); raf.readFully(buf, 0, size.toInt)
-                val cvals = new Array[Double](cdims.product)
-                decode(buf, ds.dtype, cvals, 0, cdims.product, path)
+            chunkVals(key, cdims) match {
+              case Some(cvals) =>
                 var xi = x
                 while (xi <= hi) {
                   val ci = ((t - key._1.toInt) * cy + (y - key._2.toInt)) * cx + (xi - key._3.toInt)
@@ -573,7 +752,8 @@ object Hdf5 {
       strAttrs: Seq[(String, String)] = Nil,
       numAttrs: Seq[(String, DType, Seq[Double])] = Nil,
       refAttrs: Seq[(String, Seq[Seq[String]])] = Nil,
-      chunkDims: Option[Seq[Int]] = None)
+      chunkDims: Option[Seq[Int]] = None,
+      filters: Seq[H5Filter] = Nil)
 
   private final class LeBuf {
     private val bo = new java.io.ByteArrayOutputStream()
@@ -652,6 +832,8 @@ object Hdf5 {
         s"${d.name}: data length ${d.data.length} != dims product ${d.dims.product}")
       d.chunkDims.foreach(cd => require(cd.length == 3 && d.dims.length == 3,
         s"${d.name}: chunked write supports 3-D only"))
+      require(d.filters.isEmpty || d.chunkDims.isDefined,
+        s"${d.name}: filters apply to chunked layouts only")
     }
     val names = datasets.map(_.name)
     require(names.distinct == names, "duplicate dataset names")
@@ -782,6 +964,22 @@ object Hdf5 {
         }
         msgs += 0x0008 -> l.bytes
       }
+      if (d.filters.nonEmpty) {
+        // v1 pipeline, zero-length names, odd client-value lists padded
+        val f = new LeBuf
+        f.u8(1).u8(d.filters.length).u16(0).u32(0)
+        d.filters.foreach { flt =>
+          val (id, cvals) = flt match {
+            case Deflate(level) => (1, Seq(level.toLong))
+            case Shuffle(esz) => (2, Seq(esz.toLong))
+            case Fletcher32 => (3, Nil)
+          }
+          f.u16(id).u16(0).u16(0).u16(cvals.length)
+          cvals.foreach(f.u32)
+          if (cvals.length % 2 == 1) f.u32(0)
+        }
+        msgs += 0x000B -> f.bytes
+      }
       d.strAttrs.foreach { case (an, s) =>
         val sb = s.getBytes("UTF-8") :+ 0.toByte
         msgs += 0x000C -> attrBytes(an, Str(sb.length), Nil, sb)
@@ -820,7 +1018,24 @@ object Hdf5 {
       b.bytes
     }
 
-    /** Chunk the row-major data of a 3-D dataset; returns (offsets, bytes). */
+    /** Apply the pipeline in declaration order (reads undo it in reverse). */
+    def applyFilters(filters: Seq[H5Filter], bytes: Array[Byte]): Array[Byte] =
+      filters.foldLeft(bytes) {
+        case (b, Shuffle(esz)) => shuffleBytes(b, esz)
+        case (b, Deflate(level)) => deflateBytes(b, level)
+        case (b, Fletcher32) =>
+          val sum = fletcher32(b, b.length)
+          val out = java.util.Arrays.copyOf(b, b.length + 4)
+          out(b.length) = (sum & 0xFF).toByte
+          out(b.length + 1) = ((sum >> 8) & 0xFF).toByte
+          out(b.length + 2) = ((sum >> 16) & 0xFF).toByte
+          out(b.length + 3) = ((sum >> 24) & 0xFF).toByte
+          out
+      }
+
+    /** Chunk the row-major data of a 3-D dataset; returns (offsets, stored
+      * bytes) — stored = filtered when the dataset declares a pipeline.
+      */
     def chunksOf(d: WDataset): Seq[(Seq[Long], Array[Byte])] = {
       val Seq(tN, yN, xN) = d.dims.map(_.toInt): @unchecked
       val Seq(ct, cy, cx) = d.chunkDims.get: @unchecked
@@ -833,7 +1048,8 @@ object Hdf5 {
           if (gt < tN && gy < yN && gx < xN)
             vals((t * cy + y) * cx + x) = d.data((gt * yN + gy) * xN + gx)
         }
-        (Seq(t0.toLong, y0.toLong, x0.toLong), encodeData(d.dtype, vals))
+        (Seq(t0.toLong, y0.toLong, x0.toLong),
+          applyFilters(d.filters, encodeData(d.dtype, vals)))
       }
     }
 

@@ -183,10 +183,12 @@ object SourceQueries extends QueryModule {
 
   /** The SAME synthetic grid as `ncDir`, written as NetCDF-4 — the HDF5
     * container with dimension-scale coordinates and DIMENSION_LIST object
-    * references (tasmax chunked, tasmin contiguous). The reference reads
-    * this container transparently through NetCDF-Java; here the grid layer
-    * is container-neutral ([[NcIo]] sniffs the magic per file), so the same
-    * DSv2 pushdown surface serves both byte formats.
+    * references (tasmax chunked with the netcdf-c default shuffle+deflate
+    * filter pipeline, tasmin contiguous). The reference reads this container
+    * transparently through NetCDF-Java; here the grid layer is
+    * container-neutral ([[NcIo]] sniffs the magic per file), so the same
+    * DSv2 pushdown surface serves both byte formats — including compressed
+    * chunk decode, which is how real NetCDF-4 archives ship.
     */
   lazy val nc4Dir: String = {
     import GridData.{T => TD, X => XD, Y => YD}
@@ -217,7 +219,8 @@ object SourceQueries extends QueryModule {
           numAttrs = Seq(("_FillValue", F32, Seq(-999.0))),
           refAttrs = Seq("DIMENSION_LIST" ->
             Seq(Seq("time"), Seq("lat"), Seq("lon"))),
-          chunkDims = if (vid == 0) Some(Seq(3, 8, 16)) else None)))
+          chunkDims = if (vid == 0) Some(Seq(3, 8, 16)) else None,
+          filters = if (vid == 0) Seq(Shuffle(F32.size), Deflate(4)) else Nil)))
     }
     dir
   }

@@ -78,6 +78,48 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("filtered chunks: shuffle+deflate+fletcher32 round-trip, metadata surfaced") {
+    val p = tmp("filtered.h5")
+    // repetitive data so deflate actually shrinks the stored bytes
+    val data = cube((t, y, x) => (x % 3).toDouble)
+    val pipeline = Seq(Shuffle(4), Deflate(6), Fletcher32)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(T, Y, X), data,
+        chunkDims = Some(Seq(2, 3, 3)), filters = pipeline)))
+    val h = Hdf5.open(p)
+    val temp = h.dataset("temp").get
+    assert(temp.filters == pipeline)
+    assert(Hdf5.readAll(p, temp).toSeq == data.toSeq)
+    val rdr = new Hdf5.SectionReader(p, temp)
+    try {
+      for (t <- 0 until T; y <- 0 until Y)
+        assert(rdr.readRow(t, y, 0, X - 1).toSeq ==
+          (0 until X).map(x => data((t * Y + y) * X + x)), s"t=$t y=$y")
+    } finally rdr.close()
+    // deflate engaged: stored file smaller than the same data unfiltered
+    val praw = tmp("unfiltered.h5")
+    Hdf5.write(praw, Seq(
+      WDataset("temp", F32, Seq(T, Y, X), data, chunkDims = Some(Seq(2, 3, 3)))))
+    assert(new java.io.File(p).length() < new java.io.File(praw).length())
+  }
+
+  test("fletcher32 detects chunk corruption") {
+    val p = tmp("sum.h5")
+    val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(T, Y, X), data,
+        chunkDims = Some(Seq(T, Y, X)), filters = Seq(Fletcher32))))
+    // chunk data is the last block in the file; flip a byte inside it
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try {
+      raf.seek(raf.length() - 10)
+      val b = raf.read(); raf.seek(raf.length() - 10); raf.write(b ^ 0xFF)
+    } finally raf.close()
+    val h = Hdf5.open(p)
+    val e = intercept[IllegalArgumentException](Hdf5.readAll(p, h.dataset("temp").get))
+    assert(e.getMessage.contains("fletcher32 mismatch"))
+  }
+
   test("classic NetCDF magic is rejected by the HDF5 reader and vice versa") {
     val p = tmp("classic.nc")
     graft.sources.NetCdf3.write(p, dims = Seq("d" -> 2), recordDim = None,
@@ -99,17 +141,22 @@ class Hdf5Spec extends AnyFunSuite {
       t <- Gen.choose(1, 4); y <- Gen.choose(1, 6); x <- Gen.choose(1, 8)
       dtype <- Gen.oneOf(F32, F64, I8, I16, I32, I64)
       chunked <- Gen.oneOf(true, false)
+      filtered <- Gen.oneOf(0, 1, 2, 3) // none / shuffle / shuffle+deflate / all
       seed <- Gen.choose(0L, 1000000L)
-    } yield (t, y, x, dtype, chunked, seed)
+    } yield (t, y, x, dtype, chunked, filtered, seed)
     (1 to 20).foreach { i =>
-      val (t, y, x, dtype, chunked, seed) = genCase.sample.get
+      val (t, y, x, dtype, chunked, filtered, seed) = genCase.sample.get
       val rnd = new scala.util.Random(seed)
       val data = Array.fill(t * y * x)(rnd.nextInt(200) - 100.0)
       val p = tmp(s"prop$i.h5")
+      val filters =
+        if (!chunked) Nil
+        else Seq(Shuffle(dtype.size), Deflate(6), Fletcher32).take(filtered)
       Hdf5.write(p, Seq(
         WDataset("v", dtype, Seq(t, y, x), data,
           chunkDims = if (chunked) Some(Seq(
-            rnd.nextInt(t) + 1, rnd.nextInt(y) + 1, rnd.nextInt(x) + 1)) else None)))
+            rnd.nextInt(t) + 1, rnd.nextInt(y) + 1, rnd.nextInt(x) + 1)) else None,
+          filters = filters)))
       val h = Hdf5.open(p)
       val v = h.dataset("v").get
       assert(Hdf5.readAll(p, v).toSeq == data.toSeq,
