@@ -250,6 +250,51 @@ object Relational extends QueryModule {
       })
     }
 
+  /** Hive-style partitioned fact layout (dir per `l_returnflag`) — the other
+    * half of the ingest-time story next to the bucketed layout: bucketing
+    * pre-pays the join shuffle, partitioning makes partition PRUNING possible
+    * at plan or run time.
+    */
+  private val partitionedFacts = scala.collection.mutable.Map[String, (String, String)]()
+
+  /** Returns (fact dir, dim dir). The dim must be a SCANNED relation — a
+    * driver-local `Seq(...).toDF` never triggers DPP (no scan to estimate),
+    * which is itself the realistic shape: dims live in storage.
+    */
+  def preparePartitionedFact(s: SparkSession, d: String): (String, String) =
+    partitionedFacts.synchronized {
+      partitionedFacts.getOrElseUpdate(d, {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toFile.getAbsolutePath
+        T.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(s"$dir/fact")
+        Seq(("A", "closed"), ("N", "open"), ("R", "closed")).toDF("flag", "status")
+          .write.mode("overwrite").parquet(s"$dir/dim")
+        (s"$dir/fact", s"$dir/dim")
+      })
+    }
+
+  /** Dynamic partition pruning: the fact is partitioned on the join key, the
+    * selective predicate lives on the DIMENSION side only — so no static
+    * filter reaches the fact scan, and Catalyst instead installs a runtime
+    * `dynamicpruning` subquery (reusing the dim broadcast) that skips whole
+    * fact partitions before any fact bytes are read. At 100 TB this is the
+    * difference between scanning every date/flag directory and scanning the
+    * two the dim selects. PlansSpec asserts the dynamicpruning expression is
+    * present in the fact scan's PartitionFilters.
+    */
+  private def qDpp(s: SparkSession, d: String): DataFrame = {
+    val (factDir, dimDir) = preparePartitionedFact(s, d)
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir)
+    fact.join(broadcast(dim), fact("l_returnflag") === dim("flag"))
+      .filter(col("status") === "closed")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("l_returnflag")
+  }
+
   private def qJoinBucketed(s: SparkSession, d: String): DataFrame = {
     val (to, tc) = prepareBucketedLayout(s, d)
     val o = s.table(to); val c = s.table(tc)
@@ -293,6 +338,7 @@ object Relational extends QueryModule {
     "q_sample_hash" -> qSampleHash,
     "q_sample_stratified" -> qSampleStratified,
     "q_join_bucketed" -> qJoinBucketed,
+    "q_dpp" -> qDpp,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -332,6 +378,11 @@ object Relational extends QueryModule {
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the dim literal ('A','R' closed / 'N' open) folded into the IN list
+    "q_dpp" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

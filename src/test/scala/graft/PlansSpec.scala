@@ -79,4 +79,38 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.split("PartitionFilters:").exists(s =>
       s.takeWhile(_ != '\n').contains("day")), plan)
   }
+
+  test("q_dpp: runtime dynamicpruning subquery reaches the fact scan") {
+    val plan = planOf("q_dpp")
+    // the selective predicate lives on the dim only, so the fact's
+    // PartitionFilters must carry a DPP subquery, not a static literal
+    assert(plan.contains("dynamicpruningexpression"), plan)
+    assert(plan.split("PartitionFilters:").exists(s =>
+      s.takeWhile(_ != '\n').contains("dynamicpruning")), plan)
+  }
+
+  test("runtime bloom filter: shuffle join gets a might_contain probe on the big side") {
+    import org.apache.spark.sql.functions._
+    // thresholds sized for test data; at production scale the defaults
+    // (10 MB creation side / 10 GB application side) gate the same rewrite
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = Tables.lineitem(spark, TestSpark.sf)
+      val small = Tables.orders(spark, TestSpark.sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = big.join(small, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
