@@ -126,6 +126,35 @@ object Dedup extends QueryModule {
       .select("doc1", "doc2", "est_jaccard", "jaccard")
   }
 
+  /** Incremental (cross-shard) dedup: admit from `newDocs` only the docs
+    * with no verified near-duplicate in `corpus` — the nightly-ingest
+    * pattern at 100 TB: the corpus side's signature/bucket table is
+    * ingest-time state (persisted here, maintained incrementally in a real
+    * deployment), so each new shard pays one scan of ITSELF plus a banded
+    * equi-join against corpus buckets — never an all-pairs pass and never a
+    * full corpus rescan. Exact-Jaccard verification touches candidates only;
+    * survivors come back via anti-join (doc order/columns untouched).
+    */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+      minJ: Double = 0.5): DataFrame = {
+    val ns = signatures(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = signatures(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def buckets(sigs: DataFrame, id: String) =
+      sigs.select(col("doc_id").as(id), explode(bandHashes(col("sig"))).as("b"))
+        .select(col("b.band").as("band"), col("b.bh").as("bh"), col(id))
+    val cand = buckets(ns, "new_id").join(buckets(cs, "corp_id"), Seq("band", "bh"))
+      .select("new_id", "corp_id").distinct()
+    val dup = cand
+      .join(ns.select(col("doc_id").as("new_id"), col("shingles").as("sh1")), "new_id")
+      .join(cs.select(col("doc_id").as("corp_id"), col("shingles").as("sh2")), "corp_id")
+      .filter(round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))), 4) >= minJ)
+      .select(col("new_id").as("doc_id")).distinct()
+    newDocs.join(dup, Seq("doc_id"), "left_anti")
+  }
+
   /** 64-bit SimHash from token hashes (Charikar): bit k of the fingerprint is
     * the sign of Σ_tokens (±1 by token-hash bit k). One codegen'd single-pass
     * expression (`SimHash64`) — a pure scalar map, so the fingerprint stage is
@@ -333,6 +362,21 @@ object Dedup extends QueryModule {
   private def qDedupClusterLsh(s: SparkSession, d: String): DataFrame =
     dedupClusters(T.documents(s, d)).orderBy("doc_id")
 
+  /** A 10% "new shard" admitted against the other 90% as corpus. The banded
+    * candidates verify with EXACT Jaccard, so DuckDB reproduces the admitted
+    * set from all cross-split pairs (recall of the banding at J ≥ 0.5 is 1
+    * on this corpus — the same contract q_dedup_cluster_lsh's oracle rests
+    * on).
+    */
+  private def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    incrementalDedup(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cluster" -> qDedupCluster,
     "q_dedup_cluster_lsh" -> qDedupClusterLsh,
@@ -341,6 +385,7 @@ object Dedup extends QueryModule {
     // SURVEY §2B's declared name for near-dup dedup — the MinHash pipeline
     "q_dedup_near" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_ngram_jaccard" -> qNgramJaccard
   )
 
@@ -399,6 +444,26 @@ object Dedup extends QueryModule {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // all cross-split pairs, exact word-trigram Jaccard (identical sets ⇔
+    // identical xxhash64 shingle sets — the separator argument above)
+    "q_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [array_to_string(toks, ' ')] END AS grams
+        |  FROM t),
+        |n AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+        |c AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+        |dup AS (
+        |  SELECT DISTINCT n.doc_id FROM n JOIN c
+        |  ON round(CAST(len(list_intersect(n.grams, c.grams)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(n.grams, c.grams))), 4) >= 0.5)
+        |SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
     // exact 4-gram Jaccard over the same 1/50 within-source sample — pure set
     // arithmetic, so the verification stage carries a full oracle (candidate
     // generation at scale remains the minhash banding, xxhash64-specific)

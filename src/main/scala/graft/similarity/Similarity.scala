@@ -239,6 +239,35 @@ object Similarity extends QueryModule {
         numPlanes = Some(NumPlanes), numTables = 1)
       .orderBy(col("cos").desc, col("id1"), col("id2")).limit(50)
 
+  /** Semantic clustering: assign every vector to its nearest of k fixed
+    * centroids — the corpus-scale ASSIGN step of seeded k-means (the
+    * centroid refine loop is k×dim-sized, metadata next to the corpus).
+    * The centroid table collapses to ONE broadcast row holding a sorted
+    * array of (c_id, vector) structs, and the argmax runs as an in-row
+    * `aggregate` fold — a pure scan: no join, no groupBy, zero shuffle at
+    * any corpus size. Strict `>` keeps the first (lowest c_id) on ties.
+    */
+  def centroidAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("c_id"), col("embedding").as("ce")))).as("cents"))
+    val init = struct(lit(-2.0).as("sim"), lit(-1L).as("cid"))
+    val best = aggregate(col("cents"), init, (acc, c) => {
+      val s = cosine_sim(col("embedding"), c.getField("ce"))
+      when(s > acc.getField("sim"),
+        struct(s.as("sim"), c.getField("c_id").as("cid"))).otherwise(acc)
+    })
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), best.as("best"))
+      .select(col("vec_id"), col("best.cid").as("cluster"),
+        round(col("best.sim"), 4).as("sim"))
+  }
+
+  private def qEmbedCentroid(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    centroidAssign(emb, emb.filter(col("vec_id") < 8)).orderBy("vec_id")
+  }
+
   /** IVF path (no oracle — approximate): k-means coarse cells, probe 2.
     * The quantizer comes from the per-JVM index cache (`Ivf.trainCached`) —
     * Bench warms it so the query measures the probe, not index build. The
@@ -259,7 +288,8 @@ object Similarity extends QueryModule {
     "q_cosine_ivf" -> qCosineIvf,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_embed_knn" -> qEmbedKnn,
-    "q_embed_knn_shuffle" -> qEmbedKnnShuffle
+    "q_embed_knn_shuffle" -> qEmbedKnnShuffle,
+    "q_embed_centroid" -> qEmbedCentroid
   )
 
   // window-rank twin of the bounded top-k aggregate (identical results:
@@ -282,6 +312,24 @@ object Similarity extends QueryModule {
         |WHERE rnk < 5 ORDER BY q_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // argmax twin: row_number ties (equal sim) fall to the lowest c_id,
+    // matching the fold's strict-> first-wins over the c_id-sorted array
+    "q_embed_centroid" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, ev AS ce FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_dot_product(e.ev, c.ce)
+        |      / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(c.ce, c.ce))) AS s
+        |  FROM e CROSS JOIN c),
+        |best AS (
+        |  SELECT vec_id, c_id, s,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+        |  FROM scored)
+        |SELECT vec_id, c_id AS cluster, round(s, 4) AS sim
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_embed_knn" -> knnOracleSql,
     "q_embed_knn_shuffle" -> knnOracleSql,
     // mirrors CosineSimilarity exactly: per-element double widening, sequential

@@ -225,6 +225,32 @@ object SourceQueries extends QueryModule {
     dir
   }
 
+  /** A format-migrated archive: tasmax as classic CDF bytes, tasmin as
+    * HDF5 (chunked) — one directory, one table, container sniffed per file.
+    */
+  lazy val mixedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-mixed").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(ncDir, "tasmax.nc"),
+      java.nio.file.Paths.get(dir, "tasmax.nc"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(nc4Dir, "tasmin.nc4"),
+      java.nio.file.Paths.get(dir, "tasmin.nc4"))
+    dir
+  }
+
+  /** Federated per-variable statistics spanning BOTH container formats in
+    * one scan — the post-migration archive query: the classic and HDF5
+    * decoders feed the same partition schema, so the aggregate neither
+    * knows nor cares which bytes each file used.
+    */
+  private def qGridFederated(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", mixedDir).load()
+      .groupBy("variable")
+      .agg(count("value").as("n_obs"),
+        round(avg("value"), 4).as("avg_val"),
+        round(min("value"), 2).as("min_val"),
+        round(max("value"), 2).as("max_val"))
+      .orderBy("variable")
+
   def ncTable(s: SparkSession): DataFrame =
     s.read.format(classOf[GridSource].getName).option("path", ncDir).load()
 
@@ -323,6 +349,7 @@ object SourceQueries extends QueryModule {
     "q_grid_file" -> qGridFile,
     "q_grid_nc" -> qGridNc,
     "q_grid_nc4" -> qGridNc4,
+    "q_grid_federated" -> qGridFederated,
     "q_grid_nc_curv" -> qGridNcCurv,
     "q_catalog_attrs" -> qCatalogAttrs,
     "q_nc_discover" -> qNcDiscover
@@ -389,6 +416,12 @@ object SourceQueries extends QueryModule {
         |  AND ts >= TIMESTAMP '1990-01-03 00:00:00'
         |  AND y <= 12 AND x BETWEEN 5 AND 20
         |ORDER BY ts, y, x""".stripMargin),
+    "q_grid_federated" -> (GridData.oracleCells +
+      """SELECT variable, count(value) AS n_obs,
+        |  round(avg(value), 4) AS avg_val,
+        |  round(min(value), 2) AS min_val,
+        |  round(max(value), 2) AS max_val
+        |FROM cells GROUP BY variable ORDER BY variable""".stripMargin),
     "q_grid_nc_curv" -> (oracleCurvCells +
       """SELECT ts, y, x, lat, lon, value FROM curv
         |WHERE ts >= TIMESTAMP '2000-01-02 00:00:00'

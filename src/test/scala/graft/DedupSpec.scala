@@ -94,6 +94,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: new docs with a corpus near-dup are dropped, others admitted") {
+    val corpus = Seq((10L, base), (11L, other)).toDF("doc_id", "text")
+    val fresh = Seq(
+      (20L, base),     // exact dup of corpus 10 → dropped
+      (21L, nearDup),  // near-dup of corpus 10 → dropped
+      (22L, "entirely novel sentence about glaciers and thermoclines in the lake basin today")
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalDedup(fresh, corpus, minJ = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(22L), s"admitted=$admitted")
+    // admitting against an EMPTY corpus keeps everything
+    val all = Dedup.incrementalDedup(fresh, corpus.limit(0), minJ = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(20L, 21L, 22L))
+  }
+
   test("connected components: chains propagate, components stay separate") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 round), pair {10,11}, and an

@@ -132,6 +132,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(overlap >= 0.5, s"multiprobe recall too low: $overlap")
   }
 
+  test("centroid assign: matches per-row brute-force argmax and plans with no shuffle") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L).map(i => (i, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 4)
+    val got = Similarity.centroidAssign(emb, cents)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    // brute-force reference on the driver
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vecs.foreach { case (id, v) =>
+      val best = (0L until 4L).minBy(c => (-cos(v, vecs(c)), c))
+      assert(got(id) == best, s"vec $id: got ${got(id)}, expected $best")
+    }
+    // the assign stage is a pure scan: broadcast join only, no Exchange
+    val plan = Similarity.centroidAssign(emb, cents).queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("NODATA nulls never leak into aggregates (grid)") {
     val cells = GridData.cells(spark)
     val (nAll, nVal) = cells.agg(count(lit(1)), count(col("value")))
