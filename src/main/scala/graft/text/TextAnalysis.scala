@@ -224,7 +224,32 @@ object TextAnalysis extends QueryModule {
         size(split(col("norm_text"), " ")).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Repetition ratios (the Gopher-class quality signal): fraction of
+    * duplicate word bigrams/trigrams per document — high values flag
+    * boilerplate and degenerate generations. Pure per-row array math on the
+    * already-split token column: a scan, no explode, no shuffle.
+    */
+  private def qRepetition(s: SparkSession, d: String): DataFrame = {
+    def grams(toks: Column, k: Int): Column =
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array())
+    def dupRatio(g: Column): Column =
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4))
+        .otherwise(lit(0.0))
+    T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), grams(col("toks"), 2).as("g2"), grams(col("toks"), 3).as("g3"))
+      .select(col("doc_id"),
+        dupRatio(col("g2")).as("dup_bigram_ratio"),
+        dupRatio(col("g3")).as("dup_trigram_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition" -> qRepetition,
     "q_normalize" -> qNormalize,
     "q_top_tokens" -> qTopTokens,
     "q_top_tokens_approx" -> qTopTokensApprox,
@@ -242,6 +267,26 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE [] END AS g2,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(g2) > 0
+        |    THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+        |    ELSE 0.0 END AS dup_bigram_ratio,
+        |  CASE WHEN len(g3) > 0
+        |    THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+        |    ELSE 0.0 END AS dup_trigram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

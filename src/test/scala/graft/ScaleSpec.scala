@@ -155,6 +155,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("AQE splits a skewed join partition (skew=true in the replanned SMJ)") {
+    // thresholds scaled to test data; production keeps the defaults (256 MB
+    // skew threshold, factor 5) — the REWRITE is what this locks in CI:
+    // a hot key no longer pins one straggler task, AQE splits its partition
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 20000)
+        .select(when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 200).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right.hint("merge"), "k")
+      // key 0: 19801 left rows × 1 right row; key 100 adds one more match.
+      // collect() (not count(), which builds its own plan) so THIS
+      // DataFrame's adaptive plan is the one that executed and replanned
+      assert(j.collect().length == 19802)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("NODATA nulls never leak into aggregates (grid)") {
     val cells = GridData.cells(spark)
     val (nAll, nVal) = cells.agg(count(lit(1)), count(col("value")))
