@@ -268,6 +268,26 @@ object Similarity extends QueryModule {
     centroidAssign(emb, emb.filter(col("vec_id") < 8)).orderBy("vec_id")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage/
+    * bandwidth step before ANN serving (4× smaller vectors, dot products in
+    * integer). Per-vector scale = max|x| / 127; pure per-row array math
+    * (`aggregate` fold for the max, `transform` for the quantized codes),
+    * so the whole op is a shuffle-free scan. round() before the int cast
+    * keeps Spark (truncating cast) and DuckDB (rounding cast) identical.
+    */
+  private def qEmbedQuantize(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .select(col("vec_id"), col("e"),
+        greatest(aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))),
+          lit(1e-12)).as("maxabs"))
+      .select(col("vec_id"),
+        round(col("maxabs") / 127.0, 6).as("scale"),
+        transform(col("e"),
+          x => round(x * lit(127.0) / col("maxabs"), 0).cast("int")).as("q"))
+      .orderBy("vec_id")
+
   /** IVF path (no oracle — approximate): k-means coarse cells, probe 2.
     * The quantizer comes from the per-JVM index cache (`Ivf.trainCached`) —
     * Bench warms it so the query measures the probe, not index build. The
@@ -289,7 +309,8 @@ object Similarity extends QueryModule {
     "q_embed_neardup" -> qEmbedNearDup,
     "q_embed_knn" -> qEmbedKnn,
     "q_embed_knn_shuffle" -> qEmbedKnnShuffle,
-    "q_embed_centroid" -> qEmbedCentroid
+    "q_embed_centroid" -> qEmbedCentroid,
+    "q_embed_quantize" -> qEmbedQuantize
   )
 
   // window-rank twin of the bounded top-k aggregate (identical results:
@@ -332,6 +353,18 @@ object Similarity extends QueryModule {
         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_embed_knn" -> knnOracleSql,
     "q_embed_knn_shuffle" -> knnOracleSql,
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, ev,
+        |    greatest(list_aggregate(list_transform(ev, x -> abs(x)), 'max'),
+        |      1e-12) AS maxabs
+        |  FROM e)
+        |SELECT vec_id, round(maxabs / 127.0, 6) AS scale,
+        |  list_transform(ev, x -> CAST(round(x * 127.0 / maxabs) AS INT)) AS q
+        |FROM m ORDER BY vec_id""".stripMargin,
     // mirrors CosineSimilarity exactly: per-element double widening, sequential
     // folds, dot/(sqrt(na)*sqrt(nb))
     "q_cosine_topk" ->

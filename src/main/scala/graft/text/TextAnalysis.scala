@@ -248,7 +248,32 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Context packing, concat-and-chunk form (the GPT-style pipeline: docs
+    * are concatenated in a stable order and split into fixed-token training
+    * contexts): each doc's sequence id is the budget-chunk its START offset
+    * falls in, from one window cumsum per source partition. seq_fill is the
+    * cumulative fill through the doc's end relative to its chunk (> 1.0 ⇒
+    * the doc straddles into the next chunk) — the packing-efficiency /
+    * boundary-split signal.
+    */
+  private def qPackContexts(s: SparkSession, d: String): DataFrame = {
+    val budget = 512
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .withColumn("seq_fill",
+        round((col("cum") - col("seq_id") * budget) / lit(budget.toDouble), 4))
+      .select("doc_id", "source", "n_tokens", "seq_id", "seq_fill")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_contexts" -> qPackContexts,
     "q_repetition" -> qRepetition,
     "q_normalize" -> qNormalize,
     "q_top_tokens" -> qTopTokens,
@@ -267,6 +292,20 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pack_contexts" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  round((cum - ((cum - n_tokens) // 512) * 512) / 512.0, 4) AS seq_fill
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (
