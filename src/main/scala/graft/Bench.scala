@@ -33,7 +33,9 @@ object Bench {
       // paid at ingest in a real deployment, so they belong to warm-up — the
       // timed queries then measure the query, not the layout write
       operators.Relational.prepareBucketedLayout(spark, sfDir)
+      operators.Relational.preparePartitionedFact(spark, sfDir) // q_dpp layout
       sources.SourceQueries.partitionedEventsDir(spark, sfDir)
+      sources.SourceQueries.mixedDir // classic + HDF5 dir q_grid_federated reads
       sources.SourceQueries.grfDir // writes the .grf cubes q_grid_file reads
       sources.SourceQueries.ncDir // writes the .nc files q_grid_nc reads
       sources.SourceQueries.nc4Dir // the NetCDF-4 twin q_grid_nc4 reads
