@@ -24,8 +24,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - global heap collections for vlen data — enough for NetCDF-4's
   *    DIMENSION_LIST attributes (vlen of object references)
   * Everything else (v2/v3 superblocks, fractal-heap "new" groups, v2 object
-  * headers, compression filters) fails with an explicit message, never a
-  * misparse.
+  * headers, filters outside the trio) fails with an explicit message, never
+  * a misparse.
   */
 object Hdf5 {
 
@@ -361,7 +361,7 @@ object Hdf5 {
 
   // ---- filter transforms (forward used by the writer, inverse by reads)
 
-  private[sources] def deflateBytes(src: Array[Byte], level: Int): Array[Byte] = {
+  private[graft] def deflateBytes(src: Array[Byte], level: Int): Array[Byte] = {
     val d = new java.util.zip.Deflater(level)
     d.setInput(src); d.finish()
     val out = new java.io.ByteArrayOutputStream(math.max(src.length / 4, 64))
@@ -371,23 +371,24 @@ object Hdf5 {
     out.toByteArray
   }
 
-  private[sources] def inflateBytes(src: Array[Byte], sizeHint: Int): Array[Byte] = {
+  private[graft] def inflateBytes(src: Array[Byte], sizeHint: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
-    inf.setInput(src)
-    val out = new java.io.ByteArrayOutputStream(math.max(sizeHint, 64))
-    val buf = new Array[Byte](8192)
-    while (!inf.finished()) {
-      val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput())
-        throw new java.io.EOFException("truncated deflate chunk")
-      out.write(buf, 0, n)
-    }
-    inf.end()
-    out.toByteArray
+    try {
+      inf.setInput(src)
+      val out = new java.io.ByteArrayOutputStream(math.max(sizeHint, 64))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput())
+          throw new java.io.EOFException("truncated deflate chunk")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end() // native memory — release on the error path too
   }
 
   /** Byte-transpose: element j's byte k moves to plane k, slot j. */
-  private[sources] def shuffleBytes(src: Array[Byte], esz: Int): Array[Byte] = {
+  private[graft] def shuffleBytes(src: Array[Byte], esz: Int): Array[Byte] = {
     if (esz <= 1) return src
     val n = src.length / esz
     val out = new Array[Byte](src.length)
@@ -402,7 +403,7 @@ object Hdf5 {
     out
   }
 
-  private[sources] def unshuffleBytes(src: Array[Byte], esz: Int): Array[Byte] = {
+  private[graft] def unshuffleBytes(src: Array[Byte], esz: Int): Array[Byte] = {
     if (esz <= 1) return src
     val n = src.length / esz
     val out = new Array[Byte](src.length)
@@ -420,7 +421,7 @@ object Hdf5 {
   /** The format's Fletcher-32: 16-bit big-endian words, 360-word blocks,
     * one's-complement folds (public HDF5 H5checksum algorithm).
     */
-  private[sources] def fletcher32(data: Array[Byte], len: Int): Long = {
+  private[graft] def fletcher32(data: Array[Byte], len: Int): Long = {
     var sum1 = 0L; var sum2 = 0L
     var i = 0
     val words = len / 2
@@ -444,7 +445,10 @@ object Hdf5 {
     }
     sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
     sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
-    (sum2 << 16) | sum1
+    // the reference computes in uint32: one fold can leave sums ≥ 0x10000,
+    // and the C shift/or simply wraps — mask or the stored 4-byte form
+    // would spuriously mismatch a correctly-written checksum
+    ((sum2 << 16) | sum1) & 0xFFFFFFFFL
   }
 
   /** Undo the pipeline for one stored chunk. `mask` bit i set means filter i

@@ -103,6 +103,25 @@ class Hdf5Spec extends AnyFunSuite {
     assert(new java.io.File(p).length() < new java.io.File(praw).length())
   }
 
+  test("filter transforms: shuffle/unshuffle inverse (incl. leftovers), deflate round-trip, fletcher32 width") {
+    val rnd = new scala.util.Random(3)
+    for (len <- Seq(1, 7, 16, 1023, 8192); esz <- Seq(1, 2, 4, 8)) {
+      val b = Array.fill(len)(rnd.nextInt(256).toByte)
+      assert(Hdf5.unshuffleBytes(Hdf5.shuffleBytes(b, esz), esz).toSeq == b.toSeq,
+        s"len=$len esz=$esz")
+      assert(Hdf5.inflateBytes(Hdf5.deflateBytes(b, 6), len).toSeq == b.toSeq,
+        s"deflate len=$len")
+      // uint32 semantics: the C reference wraps, so the value must fit the
+      // stored 4-byte field for every input
+      val sum = Hdf5.fletcher32(b, len)
+      assert(sum >= 0 && sum <= 0xFFFFFFFFL, s"fletcher width len=$len: $sum")
+    }
+    // saturated input drives the biggest intermediate sums
+    val ff = Array.fill(100000)(0xFF.toByte)
+    val s = Hdf5.fletcher32(ff, ff.length)
+    assert(s >= 0 && s <= 0xFFFFFFFFL, s"fletcher width saturated: $s")
+  }
+
   test("fletcher32 detects chunk corruption") {
     val p = tmp("sum.h5")
     val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
