@@ -293,7 +293,25 @@ object GridQueries extends QueryModule {
       .orderBy("ts", "y", "x")
   }
 
+  /** Gap filling by forward-fill: NODATA cells take the last observed value
+    * of their own (variable, y, x) series — the standard sensor-dropout
+    * repair before downstream stats. One window shuffle on the cell key;
+    * the running `last(ignoreNulls)` is computed incrementally per
+    * partition, never materializing the series.
+    */
+  private def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("variable", "y", "x").orderBy("ts")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells(s)
+      .filter(col("variable") === "tasmax" && col("y") < 4 && col("x") < 8)
+      .select(col("ts"), col("y"), col("x"), col("value"),
+        last("value", ignoreNulls = true).over(w).as("filled"))
+      .orderBy("ts", "y", "x")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> qGapFill,
     "q_polygon" -> qPolygon,
     "q_grid_select" -> qGridSelect,
     "q_grid_catalog" -> qGridCatalog,
@@ -316,6 +334,14 @@ object GridQueries extends QueryModule {
       |  AND lon > -79.317877 AND lon < -78.987601""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_gap_fill" -> (oracleCells +
+      """SELECT ts, y, x, value,
+        |  last_value(value IGNORE NULLS) OVER (
+        |    PARTITION BY variable, y, x ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS filled
+        |FROM cells
+        |WHERE variable = 'tasmax' AND y < 4 AND x < 8
+        |ORDER BY ts, y, x""".stripMargin),
     "q_polygon" -> (oracleCells +
       """SELECT ts, count(*) AS n_cells, round(avg(value), 4) AS mean_v
         |FROM cells

@@ -304,6 +304,38 @@ object Relational extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  /** Unpivot (melt): wide metric columns → long (metric, value) rows via
+    * `stack` — the Generate is a per-row expansion, no shuffle before the
+    * oracle's ORDER BY.
+    */
+  private def qUnpivot(s: SparkSession, d: String): DataFrame =
+    T.part(s, d)
+      .select(col("p_partkey"),
+        expr("stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE))")
+          .as(Seq("metric", "value")))
+      .orderBy("p_partkey", "metric")
+
+  /** Snapshot merge (the batch MERGE/upsert): a full outer join of the
+    * current dimension with a change set — updates overwrite, inserts
+    * append, unchanged rows pass through (coalesce per column). The
+    * dimension-sized shuffle happens once per merge; at 100 TB the change
+    * set is the small side and the join key pre-bucketed.
+    */
+  private def qScdMerge(s: SparkSession, d: String): DataFrame = {
+    val dim = T.customer(s, d).select("c_custkey", "c_mktsegment", "c_acctbal")
+    val updates = dim.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), lit("UPDATED").as("u_seg"),
+        round(col("c_acctbal") + 100.0, 2).as("u_bal"))
+      .unionByName(dim.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          lit("INSERTED").as("u_seg"), round(col("c_acctbal"), 2).as("u_bal")))
+    dim.join(updates, Seq("c_custkey"), "full")
+      .select(col("c_custkey"),
+        coalesce(col("u_seg"), col("c_mktsegment")).as("segment"),
+        round(coalesce(col("u_bal"), col("c_acctbal")), 2).as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
   /** Consistent (hash-based) sampling — the production sampling pattern for
     * training-data pipelines: membership is a pure function of the key, so
     * the same 10% sample falls out on every run, any cluster size, any
@@ -339,6 +371,8 @@ object Relational extends QueryModule {
     "q_sample_stratified" -> qSampleStratified,
     "q_join_bucketed" -> qJoinBucketed,
     "q_dpp" -> qDpp,
+    "q_unpivot" -> qUnpivot,
+    "q_scd_merge" -> qScdMerge,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -383,6 +417,26 @@ object Relational extends QueryModule {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem WHERE l_returnflag IN ('A', 'R')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "q_scd_merge" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |updates AS (
+        |  SELECT c_custkey, 'UPDATED' AS u_seg,
+        |    round(c_acctbal + 100.0, 2) AS u_bal
+        |  FROM dim WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'INSERTED', round(c_acctbal, 2)
+        |  FROM dim WHERE c_custkey % 13 = 0)
+        |SELECT coalesce(d.c_custkey, u.c_custkey) AS c_custkey,
+        |  coalesce(u.u_seg, d.c_mktsegment) AS segment,
+        |  round(coalesce(u.u_bal, d.c_acctbal), 2) AS acctbal
+        |FROM dim d FULL JOIN updates u ON d.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
