@@ -221,6 +221,28 @@ object Relational extends QueryModule {
       .orderBy("p_partkey", "s_suppkey")
   }
 
+  /** The SCALE form of the range join: bin both sides at the interval width
+    * (every interval spans ≤ 2 bins, every point exactly 1), equi-join on
+    * the bin, then filter exact. The plan becomes a hash/merge join keyed on
+    * `b` — both sides shuffle-partition by bin at any size — instead of the
+    * broadcast nested-loop of `q_join_range`, which requires one side to fit
+    * in memory. Identical results (shares the oracle verbatim); each
+    * matching pair meets in exactly one bin, so no distinct is needed.
+    */
+  private def qJoinRangeBinned(s: SparkSession, d: String): DataFrame = {
+    val bin = 200
+    val p = T.part(s, d).select(col("p_partkey"), col("p_retailprice"),
+      floor(col("p_retailprice") / bin).cast("long").as("b"))
+    val sup = T.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"),
+      explode(sequence(floor((col("s_acctbal") - 100) / bin).cast("long"),
+        floor((col("s_acctbal") + 100) / bin).cast("long"))).as("b"))
+    p.join(sup, "b")
+      .filter(col("p_retailprice")
+        .between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+      .select("p_partkey", "s_suppkey")
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
   /** Co-located fact-fact join over bucketed+sorted tables: both sides were
     * laid out bucketed by the join key (`Scale.writeBucketed`), so the
     * sort-merge join plans with NO shuffle exchange — the shuffle was paid
@@ -392,6 +414,7 @@ object Relational extends QueryModule {
     "q_join_full" -> qJoinFull,
     "q_join_cross" -> qJoinCross,
     "q_join_range" -> qJoinRange,
+    "q_join_range_binned" -> qJoinRangeBinned,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_subquery_corr" -> qSubqueryCorr
   )
@@ -517,6 +540,11 @@ object Relational extends QueryModule {
       """SELECT n_nationkey, r_regionkey FROM nation CROSS JOIN region
         |ORDER BY n_nationkey, r_regionkey""".stripMargin,
     "q_join_range" ->
+      """SELECT p_partkey, s_suppkey FROM part JOIN supplier
+        |ON p_retailprice BETWEEN s_acctbal - 100 AND s_acctbal + 100
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    // the binned form computes the identical pair set
+    "q_join_range_binned" ->
       """SELECT p_partkey, s_suppkey FROM part JOIN supplier
         |ON p_retailprice BETWEEN s_acctbal - 100 AND s_acctbal + 100
         |ORDER BY p_partkey, s_suppkey""".stripMargin,

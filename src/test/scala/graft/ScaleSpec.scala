@@ -155,6 +155,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("binned range join plans as an equi-join, not a nested loop") {
+    val q = SparkEntry.queries("q_join_range_binned")(spark, TestSpark.sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    // and the pair set equals the nested-loop form's
+    val bnlj = SparkEntry.queries("q_join_range")(spark, TestSpark.sf).collect()
+    assert(q.collect().sameElements(bnlj))
+  }
+
   test("AQE splits a skewed join partition (skew=true in the replanned SMJ)") {
     // thresholds scaled to test data; production keeps the defaults (256 MB
     // skew threshold, factor 5) — the REWRITE is what this locks in CI:
