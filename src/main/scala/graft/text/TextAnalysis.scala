@@ -210,6 +210,30 @@ object TextAnalysis extends QueryModule {
       .select(col("rank"), col("entry.item").as("token"), col("entry.est_n").as("n"))
       .orderBy("rank")
 
+  /** Per-source token frequencies through a count-min sketch: the mergeable
+    * fixed-state path for "how often does token X appear per shard" at
+    * corpus scale. The sketch aggregate (Spark's built-in
+    * `count_min_sketch`, partial+final with map-side combine) carries
+    * depth×width counters per source through the shuffle — NOT the token
+    * cardinality — and the probe ([[graft.functions.CmsEstimate]]) runs on
+    * the 20 aggregated group rows only. The fixture vocabulary (~31 tokens)
+    * is far below the 2/eps=2000-bucket width, so estimates here are exact
+    * and the query keeps a full oracle; overcount behavior under width
+    * pressure is asserted in CmsSpec.
+    */
+  private def qTokenCms(s: SparkSession, d: String): DataFrame = {
+    val probes = Seq("join", "hash", "scan", "filter", "merge")
+    val sketches = T.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source")
+      .agg(count_min_sketch(col("token"), lit(0.001d), lit(0.99d), lit(42)).as("cms"))
+    sketches
+      .select(col("source"), explode(array(probes.map(lit): _*)).as("token"), col("cms"))
+      .select(col("source"), col("token"),
+        graft.functions.CmsFunctions.cms_estimate(col("cms"), col("token")).as("est_n"))
+      .orderBy("source", "token")
+  }
+
   /** Text normalization — the standard pre-tokenization cleanup pass of a
     * training-data pipeline (lowercase, strip non-alphanumerics, collapse
     * runs of spaces, trim). Pure codegen'd string expressions; no UDFs.
@@ -275,6 +299,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_contexts" -> qPackContexts,
     "q_repetition" -> qRepetition,
+    "q_token_cms" -> qTokenCms,
     "q_normalize" -> qNormalize,
     "q_top_tokens" -> qTopTokens,
     "q_top_tokens_approx" -> qTopTokensApprox,
@@ -326,6 +351,14 @@ object TextAnalysis extends QueryModule {
         |    THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
         |    ELSE 0.0 END AS dup_trigram_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    // exact per-source counts: the sketch width (2000) dwarfs the fixture
+    // vocabulary (~31), so the CMS estimates equal the true counts
+    "q_token_cms" ->
+      """SELECT source, token, count(*) AS est_n
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |WHERE token IN ('join', 'hash', 'scan', 'filter', 'merge')
+        |GROUP BY source, token ORDER BY source, token""".stripMargin,
     "q_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

@@ -130,6 +130,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val mh = ext.sql("SELECT minhash_signature(array(1L, 2L, 3L), 8) AS s")
       .collect()(0).getSeq[Long](0)
     assert(mh.length == 8)
+    val cms = ext.sql(
+      """SELECT cms_estimate(
+        |  count_min_sketch(t, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42),
+        |  'a') AS n
+        |FROM (SELECT CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS t
+        |      FROM range(90))""".stripMargin).collect()(0).getLong(0)
+    assert(cms == 30L)
   }
 
   test("polygon mask → envelope → grid section: the full pipeline composes") {
