@@ -211,6 +211,39 @@ object Dedup extends QueryModule {
     val e0 = edges
       .select(col("doc1").cast("long").as("src"), col("doc2").cast("long").as("dst"))
       .localCheckpoint(true)
+    // Small-edge fast path — the same runtime size cutover as a broadcast
+    // join: near-dup edge sets are FAR smaller than the corpus (they are
+    // verified candidate pairs, not rows), so when the materialized count
+    // fits comfortably on the driver (default 500k pairs ≈ 8 MB, tunable
+    // via graft.cc.localEdgeThreshold), path-compressed union-find answers
+    // in one collect instead of 4+ blocking distributed jobs. Above the
+    // threshold the distributed propagation loop below runs unchanged —
+    // that is the 100 TB path; this is the don't-schedule-a-cluster-for-
+    // 256-edges path.
+    val spark = e0.sparkSession
+    val localThreshold =
+      spark.conf.getOption("graft.cc.localEdgeThreshold").map(_.toLong).getOrElse(500000L)
+    val edgeCount = e0.count()
+    if (edgeCount <= localThreshold) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      e0.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.forEach((k, _) => out += ((k, find(k))))
+      import spark.implicits._
+      return out.toSeq.toDF("id", "component")
+    }
     // Size the loop's parallelism from the materialized edge count (~1M
     // edges per task, capped at the session's shuffle parallelism) — the
     // same runtime decision AQE makes for one-shot plans, applied across
@@ -218,7 +251,7 @@ object Dedup extends QueryModule {
     // ever re-shuffles the edge table: EnsureRequirements shuffles only the
     // (much smaller) label side to match.
     val maxPar = e0.sparkSession.sessionState.conf.numShufflePartitions
-    val parts = math.max(1L, math.min(maxPar.toLong, e0.count() / 1000000L + 1)).toInt
+    val parts = math.max(1L, math.min(maxPar.toLong, edgeCount / 1000000L + 1)).toInt
     val bidir = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("src"))

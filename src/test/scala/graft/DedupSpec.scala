@@ -121,6 +121,27 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("CC local union-find path equals the distributed propagation loop") {
+    import spark.implicits._
+    // random-ish graph with chains, a star, and singleton-free pairs; run
+    // once on the small-edge fast path and once with the threshold forced
+    // to 0 (distributed loop), and require identical labelings
+    val rnd = new scala.util.Random(7)
+    val edges = (Seq.tabulate(60)(i => (i.toLong, (i + 1).toLong)) ++ // chain
+      Seq.tabulate(20)(i => (1000L, 1000L + i + 1)) ++                // star
+      Seq.fill(40)((2000L + rnd.nextInt(50), 2000L + rnd.nextInt(50)))
+        .filter(p => p._1 != p._2))
+      .toDF("doc1", "doc2")
+    val local = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    spark.conf.set("graft.cc.localEdgeThreshold", "0")
+    try {
+      val dist = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      assert(local == dist)
+    } finally spark.conf.unset("graft.cc.localEdgeThreshold")
+    // chain head label propagated to the tail (min-id labeling)
+    assert(local(60L) == 0L && local(1020L) == 1000L)
+  }
+
   test("dedupClusters from banded edges matches CC over exact all-pairs edges") {
     // corpus with known near-dup structure: cluster {1,2,4} (template + one
     // word changed + exact copy), cluster {5,6} (another template pair),
