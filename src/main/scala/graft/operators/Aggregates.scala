@@ -172,6 +172,23 @@ object Aggregates extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Sketch rollup: per-lang HLL sketches of `source`, union-aggregated to
+    * the global distinct count WITHOUT rescanning the data — the pattern
+    * that makes cardinality dashboards free at 100 TB (persist per-shard
+    * sketch bytes once, `hll_union_agg` answers any shard combination
+    * later). Both levels are Spark built-ins (datasketches HLL), mergeable
+    * partial+final. At the fixture cardinality (20 sources) the sketch is
+    * still in its exact sparse mode, so the estimate equals the true
+    * distinct count and the query keeps a full oracle; estimation error at
+    * real cardinality is approx_count_distinct-class (~1.6% at lgK=12).
+    */
+  private def qHllUnion(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .groupBy("lang")
+      .agg(hll_sketch_agg(col("source")).as("sk"))
+      .agg(hll_union_agg(col("sk")).as("u"))
+      .select(hll_sketch_estimate(col("u")).as("distinct_sources"))
+
   /** Skew-proof two-stage aggregation (`Scale.saltedSumCount`): stage 1 on
     * (key, salt) spreads a pathological hot key over 16 reducers, stage 2
     * combines partials. Same result as the direct aggregate — which is what
@@ -210,6 +227,7 @@ object Aggregates extends QueryModule {
     "q1_pricing" -> q1Pricing,
     "q_hist_sketch" -> qHistSketch,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_hll_union" -> qHllUnion,
     "q_minmax" -> qMinmax,
     "q_pergroup" -> qPergroup,
     "q_agg_hash" -> qAggHash,
@@ -222,6 +240,9 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the HLL union is in exact sparse mode at this cardinality
+    "q_hll_union" ->
+      "SELECT count(DISTINCT source) AS distinct_sources FROM documents",
     "q_pivot" ->
       """SELECT l_linestatus,
         |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
