@@ -34,6 +34,7 @@ object Bench {
       // timed queries then measure the query, not the layout write
       operators.Relational.prepareBucketedLayout(spark, sfDir)
       operators.Relational.preparePartitionedFact(spark, sfDir) // q_dpp layout
+      operators.Relational.prepareZOrderedLayout(spark, sfDir) // q_bbox_zorder
       sources.SourceQueries.partitionedEventsDir(spark, sfDir)
       sources.SourceQueries.mixedDir // classic + HDF5 dir q_grid_federated reads
       sources.SourceQueries.grfDir // writes the .grf cubes q_grid_file reads

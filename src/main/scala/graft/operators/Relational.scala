@@ -61,6 +61,42 @@ object Relational extends QueryModule {
         col("l_extendedprice").between(20000, 40000))
       .orderBy("l_orderkey", "l_linenumber")
 
+  private val zorderedLayouts = scala.collection.mutable.Map[String, String]()
+
+  /** One-time Z-order-clustered lineitem layout over the q_bbox filter
+    * dimensions (quantity × extendedprice, quantized to ints). Like the
+    * bucketed and hive-partitioned layouts, this is the ingest-time ETL
+    * step; Bench warms it so the measured query is the pruned scan.
+    */
+  def prepareZOrderedLayout(s: SparkSession, d: String): String =
+    zorderedLayouts.synchronized {
+      zorderedLayouts.getOrElseUpdate(d, {
+        val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
+          .toFile.getAbsolutePath
+        Scale.writeZOrdered(
+          T.lineitem(s, d)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+          floor(col("l_quantity")).cast("int"),
+          floor(col("l_extendedprice") / 1000).cast("int"),
+          dir, files = 16)
+        dir
+      })
+    }
+
+  /** The q_bbox 2-D range filter over the Z-ordered layout: identical rows
+    * (shares q_bbox's oracle verbatim), but matches concentrate in the few
+    * files whose min/max stats overlap the box — ScaleSpec asserts the
+    * clustering beats an unclustered layout on files touched.
+    */
+  private def qBboxZorder(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(prepareZOrderedLayout(s, d))
+      .filter(col("l_quantity").between(10, 20) &&
+        col("l_extendedprice").between(20000, 40000))
+      // (orderkey, linenumber) is NOT unique in the synthetic lineitem and
+      // the clustered layout permutes row order, so the sort must be total
+      // for the oracle compare
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+
   /** L1: nearest-neighbor argmin with the reference's first-index tie-break
     * (`Gddp.scala:31-34` → ORDER BY dist, key LIMIT 1). Spark plans this as
     * TakeOrderedAndProject — no global sort materialization.
@@ -400,6 +436,7 @@ object Relational extends QueryModule {
     "q_prune" -> qPrune,
     "q_time_filter" -> qTimeFilter,
     "q_bbox" -> qBbox,
+    "q_bbox_zorder" -> qBboxZorder,
     "q_nearest" -> qNearest,
     "q_topk" -> qTopk,
     "q_distinct" -> qDistinct,
@@ -481,6 +518,12 @@ object Relational extends QueryModule {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
         |WHERE l_quantity BETWEEN 10 AND 20 AND l_extendedprice BETWEEN 20000 AND 40000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the z-ordered layout holds the same rows as lineitem — same result
+    // set as q_bbox, with a TOTAL sort since the layout permutes row order
+    "q_bbox_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_extendedprice BETWEEN 20000 AND 40000
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin,
     "q_nearest" ->
       """SELECT c_custkey, c_name, round(pow(c_acctbal - 5000.0, 2), 4) AS dist2
         |FROM customer ORDER BY pow(c_acctbal - 5000.0, 2), c_custkey LIMIT 1""".stripMargin,

@@ -44,4 +44,19 @@ object Scale {
     }
     df.write.bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
+
+  /** Z-order-clustered parquet layout: range-partition and sort by the
+    * Morton key of two quantized dimensions, so rows near in BOTH dims land
+    * in the same files and a conjunctive 2-D range filter prunes by column
+    * min/max stats instead of matching a sliver of every file. Like
+    * [[writeBucketed]], this is the ingest-time layout cost a deployment
+    * pays once; the z column itself is dropped (derivable, and the filter
+    * columns' own stats do the pruning).
+    */
+  def writeZOrdered(df: DataFrame, x: Column, y: Column, path: String, files: Int): Unit =
+    df.withColumn("__z", graft.functions.ZOrderFunctions.zorder64(x, y))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

@@ -155,6 +155,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("z-order layout concentrates a 2-D range filter into fewer files") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val bbox = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("l_quantity").between(10, 20) &&
+        col("l_extendedprice").between(20000, 40000))
+    def filesTouched(dir: String): Long =
+      bbox(spark.read.parquet(dir)).select(input_file_name()).distinct().count()
+
+    val zdir = java.nio.file.Files.createTempDirectory("zorder-t").toFile.getAbsolutePath
+    graft.operators.Scale.writeZOrdered(li,
+      floor(col("l_quantity")).cast("int"),
+      floor(col("l_extendedprice") / 1000).cast("int"), zdir, files = 16)
+    val rdir = java.nio.file.Files.createTempDirectory("zorder-r").toFile.getAbsolutePath
+    li.repartition(16).write.mode("overwrite").parquet(rdir) // unclustered twin
+    // identical result set either way…
+    assert(bbox(spark.read.parquet(zdir)).count() == bbox(li).count())
+    // …but the clustered layout concentrates matches; the random layout
+    // smears them over every file
+    val (zf, rf) = (filesTouched(zdir), filesTouched(rdir))
+    assert(rf == 16L, s"random layout should touch all files, got $rf")
+    assert(zf <= rf / 2, s"z-order touched $zf of 16 files, random $rf")
+  }
+
+  test("zorder64 interleave: bits land in even/odd positions, order is locality-preserving") {
+    import graft.functions.ZOrder64.interleave
+    assert(interleave(0, 0) == 0L)
+    assert(interleave(1, 0) == 1L)      // x → even bits
+    assert(interleave(0, 1) == 2L)      // y → odd bits
+    assert(interleave(3, 3) == 15L)
+    assert(interleave(0xffffffff, 0xffffffff) == -1L) // full 32+32 → 64 bits
+    // quadrant property: all cells of the low quadrant sort before any cell
+    // of the high quadrant
+    val low = for (x <- 0 to 3; y <- 0 to 3) yield interleave(x, y)
+    val high = for (x <- 4 to 7; y <- 4 to 7) yield interleave(x, y)
+    assert(low.max < high.min)
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     val q = SparkEntry.queries("q_join_range_binned")(spark, TestSpark.sf)
     val plan = q.queryExecution.executedPlan.toString
