@@ -30,6 +30,25 @@ object Streaming extends QueryModule {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
       .orderBy("window_start", "event_type")
 
+  /** Per-window heavy hitters: tumbling 1-hour windows × the Misra-Gries
+    * top-k aggregate ([[graft.functions.ApproxTopK]]) — the streaming-shaped
+    * "trending items per window" question with bounded sketch state per
+    * window through the shuffle, not the full (window × item) cardinality.
+    * The same composition runs under `readStream` (the aggregate is
+    * mergeable partial+final); the fixture's 5 event types sit far under
+    * capacity 64, so counts are exact and the query keeps a full oracle.
+    */
+  private def qTumbleTopk(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.ApproxTopKFunctions
+        .approx_top_k(col("event_type"), k = 3, capacity = 64).as("top"))
+      .select(col("w.start").as("window_start"),
+        posexplode(col("top")).as(Seq("rank", "entry")))
+      .select(col("window_start"), col("rank"),
+        col("entry.item").as("event_type"), col("entry.est_n").as("n"))
+      .orderBy("window_start", "rank")
+
   /** Sliding 1-hour windows every 30 minutes (each event lands in 2 windows). */
   private def qSlide(s: SparkSession, d: String): DataFrame =
     T.events(s, d)
@@ -193,6 +212,7 @@ object Streaming extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_stream" -> qDedupStream,
     "q_tumble" -> qTumble,
+    "q_tumble_topk" -> qTumbleTopk,
     "q_slide" -> qSlide,
     "q_session" -> qSession,
     "q_session_late" -> qSessionLate,
@@ -210,6 +230,15 @@ object Streaming extends QueryModule {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // ApproxTopK orders (count desc, item asc); exact at 5 types vs cap 64
+    "q_tumble_topk" ->
+      """SELECT window_start, rank, event_type, n FROM (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    count(*) AS n,
+        |    CAST(row_number() OVER (PARTITION BY date_trunc('hour', ts)
+        |      ORDER BY count(*) DESC, event_type) - 1 AS INT) AS rank
+        |  FROM events GROUP BY 1, 2)
+        |WHERE rank < 3 ORDER BY window_start, rank""".stripMargin,
     // each event belongs to exactly 2 hour-long windows sliding by 30 min:
     // time_bucket(30 min) and the one 30 min earlier (origins align: both
     // Spark's epoch and DuckDB's 2000-01-03 are multiples of 30 min)

@@ -52,6 +52,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(firstWindow.map(_._3).sum == 2, s"late event leaked into closed window: ${out.mkString(",")}")
   }
 
+  test("ApproxTopK heavy hitters run under readStream (mergeable sketch state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.ApproxTopKFunctions.approx_top_k(col("k"), 2, 16).as("top"))
+      .select(col("window.start").as("ws"), col("top"))
+      .writeStream.format("memory").queryName("topk_out").outputMode("complete").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    mem.addData((t("2024-01-01 10:00:00"), "a"), (t("2024-01-01 10:01:00"), "b"),
+      (t("2024-01-01 10:02:00"), "a"), (t("2024-01-01 10:03:00"), "c"),
+      (t("2024-01-01 10:04:00"), "a"), (t("2024-01-01 10:05:00"), "b"))
+    q.processAllAvailable()
+    q.stop()
+    val top = spark.table("topk_out").collect()
+      .head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top == Seq(("a", 3L), ("b", 2L)), top)
+  }
+
   test("stream-static join enriches every event, matching the batch join") {
     val dim = spark.range(1000).select(col("id").as("user_id"), (col("id") % 3).as("segment"))
     val q = Streaming.enriched(Streaming.eventsStream(spark, TestSpark.sf), dim)
