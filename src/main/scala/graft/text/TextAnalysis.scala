@@ -296,7 +296,28 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window document chunking with overlap — the other half of the
+    * context-prep story next to [[qPackContexts]]: long documents split
+    * into fixed-size token windows (size 64, stride 48 → 16-token overlap)
+    * so no training context straddles a hard cut. Pure per-row array math
+    * (`sequence` over starts + `slice`), explode fan-out only — no shuffle
+    * before the oracle sort, embarrassingly parallel at any corpus size.
+    */
+  private def qChunkDocs(s: SparkSession, d: String): DataFrame = {
+    val (size_, stride) = (64, 48)
+    T.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), posexplode(
+        sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(stride)))
+        .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("t"), col("start") + 1, lit(size_))).as("chunk_text"),
+        least(size(col("t")) - col("start"), lit(size_)).as("chunk_len"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs" -> qChunkDocs,
     "q_pack_contexts" -> qPackContexts,
     "q_repetition" -> qRepetition,
     "q_token_cms" -> qTokenCms,
@@ -351,6 +372,15 @@ object TextAnalysis extends QueryModule {
         |    THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
         |    ELSE 0.0 END AS dup_trigram_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    // starts = 0, 48, 96, … < n_tokens; 1-based list slicing in DuckDB
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(s.i // 48 AS INT) AS chunk_id,
+        |  array_to_string(toks[s.i + 1 : s.i + 64], ' ') AS chunk_text,
+        |  CAST(least(len(toks) - s.i, 64) AS INT) AS chunk_len
+        |FROM t, LATERAL (SELECT unnest(range(0, greatest(len(toks), 1), 48)) AS i) s
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // exact per-source counts: the sketch width (2000) dwarfs the fixture
     // vocabulary (~31), so the CMS estimates equal the true counts
     "q_token_cms" ->
