@@ -121,6 +121,15 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("CC on zero edges returns an empty labeling (both paths)") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc1", "doc2")
+    assert(Dedup.connectedComponents(none).count() == 0L)
+    spark.conf.set("graft.cc.localEdgeThreshold", "-1") // force distributed
+    try assert(Dedup.connectedComponents(none).count() == 0L)
+    finally spark.conf.unset("graft.cc.localEdgeThreshold")
+  }
+
   test("CC local union-find path equals the distributed propagation loop") {
     import spark.implicits._
     // random-ish graph with chains, a star, and singleton-free pairs; run
