@@ -194,6 +194,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(low.max < high.min)
   }
 
+  test("zorder64 codegen compiles (CODEGEN_ONLY) and agrees with the Scala reference") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{ZOrder64, ZOrderFunctions}
+    // CODEGEN_ONLY turns a silent interpreted fallback into a hard failure
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = spark.range(64)
+        .select(col("id").cast("int").as("x"), (col("id") * 7 % 64).cast("int").as("y"))
+        .select(col("x"), col("y"), ZOrderFunctions.zorder64(col("x"), col("y")).as("z"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getLong(2) == ZOrder64.interleave(r.getInt(0), r.getInt(1)))
+      }
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     val q = SparkEntry.queries("q_join_range_binned")(spark, TestSpark.sf)
     val plan = q.queryExecution.executedPlan.toString
