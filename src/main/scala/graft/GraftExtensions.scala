@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 
-import graft.functions.{ApproxTopK, CmsEstimate, CosineSimilarity, DotProduct, HistogramBreaks, MinHashSignature, PointInPolygon, SimHash64, TopKByScore}
+import graft.functions.{ApproxTopK, CmsEstimate, CosineSimilarity, DotProduct, HistogramBreaks, MinHashSignature, PointInPolygon, SimHash64, TopKByScore, ZOrder64}
 
 /** Session extension (`spark.sql.extensions=graft.GraftExtensions`) wiring the
   * library's native expressions into SQL and the optimizer:
@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => DotProduct(numArray(args(0)), numArray(args(1)))))
     ext.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarity(numArray(args(0)), numArray(args(1)))))
+    ext.injectFunction((FunctionIdentifier("zorder64"), info("zorder64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "zorder64(x, y)")
+        ZOrder64(args(0), args(1))
+      }))
     ext.injectFunction((FunctionIdentifier("cms_estimate"), info("cms_estimate"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "cms_estimate(sketch, item)")

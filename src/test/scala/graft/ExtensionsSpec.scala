@@ -130,6 +130,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val mh = ext.sql("SELECT minhash_signature(array(1L, 2L, 3L), 8) AS s")
       .collect()(0).getSeq[Long](0)
     assert(mh.length == 8)
+    val z = ext.sql("SELECT zorder64(3, 3) AS z").collect()(0).getLong(0)
+    assert(z == 15L)
     val cms = ext.sql(
       """SELECT cms_estimate(
         |  count_min_sketch(t, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42),
