@@ -274,6 +274,10 @@ object Similarity extends QueryModule {
     * (`aggregate` fold for the max, `transform` for the quantized codes),
     * so the whole op is a shuffle-free scan. round() before the int cast
     * keeps Spark (truncating cast) and DuckDB (rounding cast) identical.
+    * The codes come out as one comma-joined string column (not a raw
+    * array<int>): the driver's comparator sorts output columns in pandas,
+    * which cannot hash numpy arrays — scalar columns keep the row hashable
+    * while preserving every code byte-for-byte.
     */
   private def qEmbedQuantize(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d)
@@ -284,8 +288,9 @@ object Similarity extends QueryModule {
           lit(1e-12)).as("maxabs"))
       .select(col("vec_id"),
         round(col("maxabs") / 127.0, 6).as("scale"),
-        transform(col("e"),
-          x => round(x * lit(127.0) / col("maxabs"), 0).cast("int")).as("q"))
+        array_join(transform(col("e"),
+          x => round(x * lit(127.0) / col("maxabs"), 0).cast("int").cast("string")),
+          ",").as("q"))
       .orderBy("vec_id")
 
   /** IVF path (no oracle — approximate): k-means coarse cells, probe 2.
@@ -363,7 +368,8 @@ object Similarity extends QueryModule {
         |      1e-12) AS maxabs
         |  FROM e)
         |SELECT vec_id, round(maxabs / 127.0, 6) AS scale,
-        |  list_transform(ev, x -> CAST(round(x * 127.0 / maxabs) AS INT)) AS q
+        |  array_to_string(list_transform(ev,
+        |    x -> CAST(CAST(round(x * 127.0 / maxabs) AS INT) AS VARCHAR)), ',') AS q
         |FROM m ORDER BY vec_id""".stripMargin,
     // mirrors CosineSimilarity exactly: per-element double widening, sequential
     // folds, dot/(sqrt(na)*sqrt(nb))
