@@ -152,6 +152,11 @@ object Dedup extends QueryModule {
       .filter(round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
         size(array_union(col("sh1"), col("sh2"))), 4) >= minJ)
       .select(col("new_id").as("doc_id")).distinct()
+      // materialize the (small) duplicate-id set eagerly so the signature
+      // caches can be released NOW — without this, every call in a session
+      // leaks two MEMORY_AND_DISK tables for the session lifetime
+      .localCheckpoint(true)
+    ns.unpersist(); cs.unpersist()
     newDocs.join(dup, Seq("doc_id"), "left_anti")
   }
 

@@ -343,8 +343,10 @@ object Hdf5 {
       b.getShort() // flags (bit 0 = optional) — irrelevant once written
       val ncv = b.getShort() & 0xFFFF
       if (nameLen > 0) {
-        // v1 name lengths are stored already padded to 8; v2 are exact
-        val padded = if (version == 1) nameLen else nameLen
+        // v1 name fields occupy a multiple of 8 bytes: modern libs store the
+        // padded length, but HDF5 < 1.6.5 stored the unpadded one — round up
+        // so both parse. v2 name lengths are exact, no padding.
+        val padded = if (version == 1) ((nameLen + 7) / 8) * 8 else nameLen
         b.position(b.position() + padded)
       }
       val cvals = (0 until ncv).map(_ => b.getInt().toLong & 0xFFFFFFFFL)

@@ -383,12 +383,24 @@ object TextAnalysis extends QueryModule {
         |ORDER BY doc_id, chunk_id""".stripMargin,
     // exact per-source counts: the sketch width (2000) dwarfs the fixture
     // vocabulary (~31), so the CMS estimates equal the true counts
+    // full source × probe grid with COALESCE(0): the Spark side emits a row
+    // for every probe (est_n = 0 when absent), so the oracle must too —
+    // a GROUP BY that drops absent tokens only matches while the fixture
+    // happens to contain all probes in all sources
     "q_token_cms" ->
-      """SELECT source, token, count(*) AS est_n
-        |FROM (SELECT source, unnest(string_split(text, ' ')) AS token
-        |      FROM documents)
-        |WHERE token IN ('join', 'hash', 'scan', 'filter', 'merge')
-        |GROUP BY source, token ORDER BY source, token""".stripMargin,
+      """WITH counts AS (
+        |  SELECT source, token, count(*) AS n
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token IN ('join', 'hash', 'scan', 'filter', 'merge')
+        |  GROUP BY source, token),
+        |grid AS (SELECT DISTINCT source FROM documents),
+        |probes AS (
+        |  SELECT unnest(['join', 'hash', 'scan', 'filter', 'merge']) AS token)
+        |SELECT g.source, p.token, CAST(COALESCE(c.n, 0) AS BIGINT) AS est_n
+        |FROM grid g CROSS JOIN probes p
+        |LEFT JOIN counts c ON c.source = g.source AND c.token = p.token
+        |ORDER BY g.source, p.token""".stripMargin,
     "q_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(
