@@ -175,26 +175,46 @@ object Dedup extends QueryModule {
   def simhashTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simhash(col("text")).as("fp"))
 
-  /** Hamming-distance candidates via the pigeonhole principle: split the
-    * 64-bit fingerprint into 4 16-bit chunks; any pair within distance ≤ 3
-    * shares at least one exact chunk → equi-join per chunk, verify with
-    * bit_count(xor).
+  /** Hamming-distance candidates via the generalized pigeonhole construction
+    * (Manku/Jain/Das Sarma, WWW'07 §3): split the 64-bit fingerprint into
+    * `maxDist + 3` blocks; a pair within distance ≤ maxDist differs in at
+    * most maxDist blocks, so at least 3 blocks match exactly → equi-join on
+    * every 3-block COMBINATION key. At the production default (maxDist=3,
+    * 6 blocks, C(6,3)=20 combos) each key carries ~32 bits of entropy, so
+    * expected in-bucket pairs are O(n²/2³²) — vs O(n²/2¹⁶) for the naive
+    * single-chunk split, whose 16-bit buckets turn into a skewed-shuffle +
+    * quadratic-verify bomb at corpus scale. Recall is exact (guaranteed, not
+    * probabilistic) for hamming ≤ maxDist; the bit_count(xor) filter then
+    * removes false candidates, so results equal brute-force all-pairs
+    * (property-checked in DedupSpec).
     */
-
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val fp = simhashTable(docs)
-    val chunks = fp.select(col("doc_id"), col("fp"),
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("c"), shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
-      .select(col("doc_id"), col("fp"), col("ch.c").as("c"), col("ch.cv").as("cv"))
-    val l = chunks.select(col("c"), col("cv"), col("doc_id").as("doc1"), col("fp").as("fp1"))
-    val r = chunks.select(col("c"), col("cv"), col("doc_id").as("doc2"), col("fp").as("fp2"))
-    l.join(r, Seq("c", "cv")).filter(col("doc1") < col("doc2"))
+  def simhashCandidates(fpTable: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 12, s"maxDist $maxDist out of range")
+    val b = maxDist + 3
+    val widths = (0 until b).map(i => 64 / b + (if (i < 64 % b) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    // arithmetic shiftright sign-extends the top block; the width mask strips it
+    def block(i: Int): Column =
+      shiftright(col("fp"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val keys = array((0 until b).combinations(3).toSeq.zipWithIndex.map {
+      case (c, gi) =>
+        struct(lit(gi).as("g"),
+          c.foldLeft(lit(0L): Column) { (acc, bi) =>
+            shiftleft(acc, widths(bi)).bitwiseOR(block(bi)) }.as("k"))
+    }: _*)
+    val keyed = fpTable.select(col("doc_id"), col("fp"), explode(keys).as("gk"))
+      .select(col("gk.g").as("g"), col("gk.k").as("k"), col("doc_id"), col("fp"))
+    val l = keyed.select(col("g"), col("k"), col("doc_id").as("doc1"), col("fp").as("fp1"))
+    val r = keyed.select(col("g"), col("k"), col("doc_id").as("doc2"), col("fp").as("fp2"))
+    l.join(r, Seq("g", "k")).filter(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"),
         bit_count(col("fp1").bitwiseXOR(col("fp2"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxDist)
   }
+
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashCandidates(simhashTable(docs), maxDist)
+      .filter(col("hamming") <= maxDist)
 
   /** Connected components by min-label propagation over an undirected edge
     * set — the clustering step that turns near-dup PAIRS into dedup GROUPS

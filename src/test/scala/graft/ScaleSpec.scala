@@ -79,6 +79,22 @@ class ScaleSpec extends AnyFunSuite {
       s"candidate growth superlinear: ${counts.mkString(", ")}")
   }
 
+  test("simhash candidate volume stays ~linear in n (block-combination keys)") {
+    // uniform random 64-bit fingerprints: the naive 4×16-bit chunk join
+    // yields ~4·n/2¹⁷ candidates PER ROW (2.0/row at n=65536 — quadratic
+    // total); the 3-of-6 combination keys carry ~32 bits of entropy, so
+    // per-row candidates must stay near zero as n grows
+    val counts = Seq(16384, 65536).map { n =>
+      val fp = spark.range(0, n)
+        .select(col("id").as("doc_id"), xxhash64(col("id")).as("fp"))
+      n -> graft.dedup.Dedup.simhashCandidates(fp, maxDist = 3).count()
+    }
+    counts.foreach { case (n, c) =>
+      assert(c.toDouble / n < 0.05,
+        s"superlinear simhash candidates: $c pairs for $n docs")
+    }
+  }
+
   test("AND-OR amplification: more tables recover recall that stricter buckets cost") {
     val emb = synthEmb(4096)
     val p = Similarity.planesFor(4096, targetPerBucket = 8)
