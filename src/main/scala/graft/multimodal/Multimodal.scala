@@ -1,8 +1,12 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables => T}
+import graft.render.Png
 
 /** Multimodal columns for a training-data pipeline (north-star op; no
   * reference implementation). Media ride through the engine as opaque
@@ -10,12 +14,14 @@ import graft.{QueryModule, Tables => T}
   * interpreted by relational operators, so filters/joins/dedup prune on
   * metadata and only the surviving rows pay decode cost.
   *
-  * The decode step is a STUB (this environment has no image/audio codecs):
-  * `FakeDecoder.decode` derives deterministic pseudo-dimensions and an
-  * 8-float feature vector from the bytes. Everything around it — the schema,
-  * the `mapPartitions` batch shape (one decoder instance per partition, rows
-  * streamed through it), partition parallelism, and the declared queries — is
-  * the real plumbing a codec-backed decoder would drop into.
+  * Images decode for real: payloads are PNGs (written by the repo's own
+  * from-spec encoder, `graft.render.Png`) and `ImageDecoder` reads them back
+  * through the JDK's `javax.imageio` codec — an independent implementation,
+  * so the round-trip cross-checks both. Non-image media types fall back to
+  * `FakeDecoder`, a deterministic stub standing in for codecs this
+  * environment lacks (audio/video). Either way the `mapPartitions` batch
+  * shape — one decoder instance per partition, rows streamed through it — is
+  * the real plumbing; scales linearly with partitions, no shuffle.
   */
 object Multimodal extends QueryModule {
 
@@ -44,6 +50,86 @@ object Multimodal extends QueryModule {
       DecodedAsset(assetId, mediaType, n.toLong, width,
         if (width == 0) 0 else n / width, feats)
     }
+  }
+
+  /** Real image decode output: dimensions plus the decoded grayscale raster
+    * as a comma-joined string (row-major), which downstream queries md5 —
+    * dialect-portable, so the DuckDB oracle can verify every pixel.
+    */
+  case class DecodedImage(asset_id: Long, width: Int, height: Int, pixel_csv: String)
+
+  /** Real decoder: JDK `javax.imageio` (PNG/JPEG ship with the JDK — no new
+    * dependency). Independent of `graft.render.Png`, so encoding with ours
+    * and decoding with the JDK's cross-validates both implementations.
+    */
+  object ImageDecoder {
+    def decode(assetId: Long, bytes: Array[Byte]): DecodedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, s"asset $assetId: payload is not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      val sb = new java.lang.StringBuilder(w * h * 4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (y > 0 || x > 0) sb.append(',')
+          sb.append(img.getRGB(x, y) & 0xff) // gray: R==G==B, take blue
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(assetId, w, h, sb.toString)
+    }
+  }
+
+  /** PNG asset table: one real PNG per document, pixels a pure function of
+    * `doc_id` (width `8 + id%9`, height `8 + (id*7)%9`, gray value
+    * `(id*31 + i*7) % 251` at raster index i) — the same closed form the
+    * DuckDB oracle evaluates, so decoded output is fully verifiable without
+    * the oracle ever parsing PNG.
+    */
+  def pngAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id * 7) % 9).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val v = ((id * 31 + i.toLong * 7) % 251).toInt
+            (v << 16) | (v << 8) | v
+          }
+          (id, Png.encode(w, h, px))
+        }
+      }
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload"),
+        struct(
+          lit("image/png").as("media_type"),
+          length(col("payload")).as("n_bytes"),
+          lit("synthetic").as("origin")).as("meta"))
+  }
+
+  /** Decode via mapPartitions: one decoder per partition, rows streamed.
+    * Dispatches on media type — real `ImageIO` for images, the deterministic
+    * stub for media this environment has no codec for.
+    */
+  def decodeImages(assetsDf: DataFrame): DataFrame = {
+    val s = assetsDf.sparkSession
+    import s.implicits._
+    assetsDf
+      .select(col("asset_id"), col("payload"), col("meta.media_type").as("media_type"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map {
+          case (id, bytes, mt) if mt.startsWith("image/") && mt != "image/fake" =>
+            ImageDecoder.decode(id, bytes)
+          case (id, bytes, mt) =>
+            val f = FakeDecoder.decode(id, mt, bytes)
+            DecodedImage(id, f.width, f.height, "")
+        }
+      }
+      .toDF()
   }
 
   /** Asset table: binary payload + typed metadata. Payloads here are the
@@ -103,10 +189,14 @@ object Multimodal extends QueryModule {
       md5(col("payload")).as("content_hash"))
       .orderBy("asset_id")
 
+  /** Full decode round-trip, oracle-checked per pixel: our PNG encoder →
+    * JDK ImageIO decoder → md5 of the decoded raster, vs DuckDB evaluating
+    * the generating formula directly.
+    */
   private def qMmDecode(s: SparkSession, d: String): DataFrame =
-    decodeFeatures(assets(s, d))
-      .select(col("asset_id"), col("n_bytes"), col("width"), col("height"),
-        round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
+    decodeImages(pngAssets(s, d))
+      .select(col("asset_id"), col("width"), col("height"),
+        md5(col("pixel_csv")).as("pixel_md5"))
       .orderBy("asset_id")
 
   private def qMmFrames(s: SparkSession, d: String): DataFrame =
@@ -119,6 +209,19 @@ object Multimodal extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle never parses PNG: it evaluates the same closed-form pixel
+    // function the generator used, so a hash match proves encoder+decoder
+    // round-tripped every pixel of every asset
+    "q_mm_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 7) % 9) AS h
+        |  FROM documents),
+        |vals AS (
+        |  SELECT doc_id, w, h, i, (doc_id * 31 + i * 7) % 251 AS v
+        |  FROM dims, unnest(range(0, w * h)) AS t(i))
+        |SELECT doc_id AS asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS pixel_md5
+        |FROM vals GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id AS asset_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

@@ -64,6 +64,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(fp(1L) == fp(3L) && fp(1L) != fp(2L))
   }
 
+  test("multimodal PNG round-trip: our encoder -> JDK ImageIO decoder, per-pixel") {
+    val decoded = graft.multimodal.Multimodal
+      .decodeImages(graft.multimodal.Multimodal.pngAssets(spark, TestSpark.sf))
+      .as[graft.multimodal.Multimodal.DecodedImage].collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      val id = r.asset_id
+      assert(r.width == (8 + id % 9).toInt && r.height == (8 + (id * 7) % 9).toInt)
+      val expected = (0 until r.width * r.height)
+        .map(i => ((id * 31 + i.toLong * 7) % 251).toInt).mkString(",")
+      assert(r.pixel_csv == expected, s"pixel mismatch for asset $id")
+    }
+  }
+
   test("multimodal stub decode is deterministic and shaped") {
     val a = graft.multimodal.Multimodal.assets(spark, TestSpark.sf)
     val d1 = graft.multimodal.Multimodal.decodeFeatures(a)
