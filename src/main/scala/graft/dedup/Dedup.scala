@@ -94,14 +94,27 @@ object Dedup extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .count()
 
+  /** Near-dup pairs above `minJ`. NOTE: runs eagerly (the candidate-sized
+    * result is materialized via `localCheckpoint` at call time) so the
+    * signature cache this call creates can be released before returning —
+    * otherwise every cold call leaks a MEMORY_AND_DISK table for the session
+    * lifetime. A cache pre-warmed by [[prepareSignatures]] is left alone.
+    */
   def minhashPairs(docs: DataFrame, minJ: Double = 0.5,
       numPerms: Int = NumPerms, bandRows: Int = BandRows): DataFrame = {
     // the signature table is consumed three times (two bucket sides + the
     // verification join) — persist it once: it is doc-count-sized (one row
     // per doc), not corpus-sized, the same cache decision as the reference's
     // result persist (`Gddp.scala:240`)
-    val sigs = signatures(docs, numPerms)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigsPlan = signatures(docs, numPerms)
+    // canonical-plan cache lookup: non-NONE means prepareSignatures (or a
+    // concurrent caller) already owns this cache entry — don't double-persist,
+    // and don't unpersist what we didn't create
+    val ownsCache =
+      sigsPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val sigs =
+      if (ownsCache) sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigsPlan
     val buckets = sigs.select(col("doc_id"),
         explode(bandHashes(col("sig"), bandRows, numPerms)).as("b"))
       .select(col("b.band").as("band"), col("b.bh").as("bh"), col("doc_id"))
@@ -109,7 +122,7 @@ object Dedup extends QueryModule {
     val r = buckets.select(col("band"), col("bh"), col("doc_id").as("doc2"))
     val cand = l.join(r, Seq("band", "bh")).filter(col("doc1") < col("doc2"))
       .select("doc1", "doc2").distinct()
-    cand
+    val out = cand
       .join(sigs.select(col("doc_id").as("doc1"), col("shingles").as("sh1"),
         col("sig").as("sig1")), "doc1")
       .join(sigs.select(col("doc_id").as("doc2"), col("shingles").as("sh2"),
@@ -124,6 +137,11 @@ object Dedup extends QueryModule {
           size(array_union(col("sh1"), col("sh2"))), 4))
       .filter(col("jaccard") >= minJ)
       .select("doc1", "doc2", "est_jaccard", "jaccard")
+      // materialize the (candidate-sized) pair set eagerly so the signature
+      // cache can be released now instead of leaking until session end
+      .localCheckpoint(true)
+    if (ownsCache) sigs.unpersist()
+    out
   }
 
   /** Incremental (cross-shard) dedup: admit from `newDocs` only the docs
@@ -134,6 +152,15 @@ object Dedup extends QueryModule {
     * equi-join against corpus buckets — never an all-pairs pass and never a
     * full corpus rescan. Exact-Jaccard verification touches candidates only;
     * survivors come back via anti-join (doc order/columns untouched).
+    *
+    * NOTE: runs eagerly — the eager `localCheckpoint` below executes a Spark
+    * job at call time (even if the result is never consumed) and stores the
+    * duplicate-id set in executor-local storage with truncated lineage. On a
+    * real cluster that set is unrecoverable if an executor is lost; the
+    * trade is deliberate (the set is candidate-sized, and re-running the
+    * call is cheap relative to leaking two signature caches per shard).
+    * Deployments with a configured checkpoint dir can swap in reliable
+    * `checkpoint` for fault tolerance.
     */
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
       minJ: Double = 0.5): DataFrame = {
@@ -186,7 +213,8 @@ object Dedup extends QueryModule {
     * quadratic-verify bomb at corpus scale. Recall is exact (guaranteed, not
     * probabilistic) for hamming ≤ maxDist; the bit_count(xor) filter then
     * removes false candidates, so results equal brute-force all-pairs
-    * (property-checked in DedupSpec).
+    * (property-checked in PropertySpec against driver-side
+    * `bit_count(xor)` over random + mutated fingerprints, maxDist 1/3/8).
     */
   def simhashCandidates(fpTable: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 12, s"maxDist $maxDist out of range")

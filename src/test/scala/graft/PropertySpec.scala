@@ -49,6 +49,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash candidates equal brute-force all-pairs for maxDist 1/3/8") {
+    val rnd = new scala.util.Random(42)
+    val base = Seq.fill(40)(rnd.nextLong())
+    // near-duplicates at controlled distances 0..10 so every maxDist tier
+    // has true pairs to find (and misses to reject)
+    val mutated = base.zipWithIndex.map { case (fp, i) =>
+      (0 until (i % 11)).foldLeft(fp)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+    }
+    val fps = (base ++ mutated).zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+    val fpTable = fps.toDF("doc_id", "fp")
+    for (maxDist <- Seq(1, 3, 8)) {
+      val got = graft.dedup.Dedup.simhashCandidates(fpTable, maxDist)
+        .filter(col("hamming") <= maxDist)
+        .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (id1, f1) <- fps; (id2, f2) <- fps
+        if id1 < id2 && java.lang.Long.bitCount(f1 ^ f2) <= maxDist
+      } yield (id1, id2)).toSet
+      assert(want.nonEmpty, s"maxDist=$maxDist: degenerate fixture, no true pairs")
+      assert(got == want, s"maxDist=$maxDist: got ${got.size} pairs, want ${want.size}")
+    }
+  }
+
   test("set-op algebra: (A intersect B) + (A except B) partitions distinct A") {
     val a = Tables.orders(spark, TestSpark.sf).select(col("o_orderkey"))
     val b = Tables.lineitem(spark, TestSpark.sf).filter(col("l_quantity") > 25)

@@ -95,6 +95,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash candidates on a clustered corpus stay intra-cluster (~K·M²)") {
+    // real near-dup corpora are CLUSTERED by construction (K templates ×
+    // M near-identical members), not uniform — the hot-bucket failure mode
+    // the uniform test above can't see. Member j of cluster c flips one
+    // distinct bit of the cluster base, so intra-cluster hamming = 2 ≤
+    // maxDist → every intra pair MUST be a candidate (pigeonhole recall is
+    // exact), while cross-cluster candidates must stay negligible.
+    val k = 256; val m = 16
+    val fp = spark.range(0, k.toLong * m).select(
+      col("id").as("doc_id"),
+      xxhash64(expr(s"id DIV $m")).bitwiseXOR(
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(id % $m AS INT))")).as("fp"))
+    val got = graft.dedup.Dedup.simhashCandidates(fp, maxDist = 3).count()
+    val intra = k.toLong * m * (m - 1) / 2
+    assert(got >= intra, s"missed intra-cluster pairs: $got < $intra")
+    assert(got <= intra + k * m,
+      s"cross-cluster candidate blow-up: $got vs intra $intra (n=${k * m})")
+  }
+
   test("AND-OR amplification: more tables recover recall that stricter buckets cost") {
     val emb = synthEmb(4096)
     val p = Similarity.planesFor(4096, targetPerBucket = 8)
