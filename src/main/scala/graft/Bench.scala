@@ -47,15 +47,33 @@ object Bench {
       // cached dim-sized table here like the other layouts
       domain.GridQuery.catalog(domain.GridData.cells(spark)).count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Median-of-N (default 3): single runs on identical code swing ±30%
+    // under local[32] (GC pauses, OS scheduling), which made round-over-round
+    // totals unreadable. Full PASSES over the query set (not back-to-back
+    // reps of one query) so a transient stall hits one pass of many queries,
+    // and per-query medians damp it; "queries" carries the medians, "runs"
+    // archives every sample for later inspection.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq
+    val samples: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r4(d: Double) = math.rint(d * 1e4) / 1e4
+    val medians = names.map { n =>
+      val xs = samples.map(_(n)).sorted
+      n -> r4(xs(xs.length / 2))
+    }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val runsJson = names.map { n =>
+      s"\"" + n + "\":[" + samples.map(s => r4(s(n))).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = r4(medians.map(_._2).sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"runs":$runsJson}"""
     println(line)
     // archive the exact stdout line to a dated file under bench/ so rounds
     // diff machine-readable artifacts instead of truncated stdout tails
