@@ -10,22 +10,34 @@ import java.nio.{ByteBuffer, ByteOrder}
   * library exists here, so this implements the subset from the public HDF5
   * File Format Specification (III: "Disk Format Level 0-2").
   *
-  * Supported subset (= what h5py/netcdf-c emit WITHOUT latest-format flags):
-  *  - superblock version 0, 8-byte offsets/lengths
-  *  - old-style groups: v1 B-tree + SNOD symbol nodes + local heap
-  *  - version-1 object headers (with continuation blocks)
-  *  - messages: NIL, dataspace (v1), datatype (fixed/float/string/reference/
-  *    vlen), fill value (skipped), data layout v3 (contiguous + chunked),
-  *    filter pipeline (v1/v2), attribute (v1), object header continuation,
-  *    symbol table
-  *  - chunked data via v1 chunk B-trees, raw or filtered with the three
-  *    filters netcdf-c/h5py emit by default: deflate (id 1), shuffle (id 2),
-  *    fletcher32 (id 3) — any other filter id fails loudly
+  * Supported subset:
+  *  - default-format files (what h5py/netcdf-c emit WITHOUT latest-format
+  *    flags): superblock version 0, old-style groups (v1 B-tree + SNOD
+  *    symbol nodes + local heap), version-1 object headers (with
+  *    continuation blocks)
+  *  - latest-format files (`H5F_LIBVER_LATEST` / h5py `libver='latest'`),
+  *    for compact groups: superblock version 2/3 (Jenkins-lookup3
+  *    checksummed), version-2 object headers (`OHDR`/`OCHK`, checksummed,
+  *    incl. tracked attribute creation order and stored times), new-style
+  *    groups via compact link messages, dataspace v2, attribute messages
+  *    v2/v3, data layout v4 with Single Chunk and Fixed Array (`FAHD`/
+  *    `FADB`, filtered and unfiltered clients) chunk indexes
+  *  - messages: NIL, dataspace (v1/v2), datatype (fixed/float/string/
+  *    reference/vlen), fill value (skipped), data layout v3 (contiguous +
+  *    chunked) and v4 (contiguous + chunked single-chunk/fixed-array),
+  *    filter pipeline (v1/v2), attribute (v1/v2/v3), object header
+  *    continuation, symbol table, link info, link, group info,
+  *    attribute info
+  *  - chunked data via v1 chunk B-trees or the v4 indexes above, raw or
+  *    filtered with the three filters netcdf-c/h5py emit by default:
+  *    deflate (id 1), shuffle (id 2), fletcher32 (id 3) — any other filter
+  *    id fails loudly
   *  - global heap collections for vlen data — enough for NetCDF-4's
   *    DIMENSION_LIST attributes (vlen of object references)
-  * Everything else (v2/v3 superblocks, fractal-heap "new" groups, v2 object
-  * headers, filters outside the trio) fails with an explicit message, never
-  * a misparse.
+  * Everything else (superblock v1, fractal-heap DENSE groups/attributes,
+  * soft/external links, implicit/extensible-array/v2-btree chunk indexes,
+  * paged fixed arrays, filters outside the trio) fails with an explicit
+  * message, never a misparse.
   */
 object Hdf5 {
 
@@ -67,10 +79,25 @@ object Hdf5 {
 
   final case class H5Attr(name: String, value: AttrValue)
 
+  /** The format's "undefined address" sentinel (all-ones). */
+  private val Undef: Long = -1L
+
   sealed trait Layout
   final case class Contiguous(addr: Long, size: Long) extends Layout
+  /** Common shape of the two chunked layout encodings (v3 btree / v4 index). */
+  sealed trait ChunkedLayout extends Layout { def chunkDims: Seq[Int] }
   /** chunkDims excludes the trailing element-size entry of the disk form. */
-  final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends Layout
+  final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends ChunkedLayout
+  /** Layout message v4 (latest-format): chunk location comes from one of the
+    * spec's chunk indexes instead of a v1 B-tree.
+    */
+  final case class ChunkedV4(chunkDims: Seq[Int], index: ChunkIndex) extends ChunkedLayout
+
+  sealed trait ChunkIndex
+  /** Index type 1: the dataset is one chunk; `filtered` = (stored size, mask). */
+  final case class SingleChunk(addr: Long, filtered: Option[(Long, Int)]) extends ChunkIndex
+  /** Index type 3: Fixed Array (`FAHD` header + `FADB` data block). */
+  final case class FixedArrayIndex(addr: Long, pageBits: Int) extends ChunkIndex
 
   /** A chunk filter, in PIPELINE (write) order; reads apply the inverses in
     * reverse order. The ids are the format's registered values.
