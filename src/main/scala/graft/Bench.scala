@@ -40,6 +40,7 @@ object Bench {
       sources.SourceQueries.grfDir // writes the .grf cubes q_grid_file reads
       sources.SourceQueries.ncDir // writes the .nc files q_grid_nc reads
       sources.SourceQueries.nc4Dir // the NetCDF-4 twin q_grid_nc4 reads
+      sources.SourceQueries.nc4LatestDir // latest-format twin (q_grid_nc4_latest)
       sources.SourceQueries.ncCurvDir // curvilinear .nc fixture
       similarity.Similarity.prepareIvfIndex(spark, sfDir)
       dedup.Dedup.prepareSignatures(spark, sfDir)
@@ -65,7 +66,8 @@ object Bench {
     def r4(d: Double) = math.rint(d * 1e4) / 1e4
     val medians = names.map { n =>
       val xs = samples.map(_(n)).sorted
-      n -> r4(xs(xs.length / 2))
+      n -> r4(if (xs.length % 2 == 1) xs(xs.length / 2)
+        else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2)
     }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -73,16 +75,19 @@ object Bench {
       s"\"" + n + "\":[" + samples.map(s => r4(s(n))).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = r4(medians.map(_._2).sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"runs":$runsJson}"""
+    // stdout gets the compact line (medians only): the driver keeps a bounded
+    // tail of stdout, and the per-sample runs array pushed the line past it —
+    // every BENCH_r*.json came back "parsed": null. The full line, runs
+    // included, goes to the dated archive under bench/ instead.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    val archiveLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"runs":$runsJson}"""
     println(line)
-    // archive the exact stdout line to a dated file under bench/ so rounds
-    // diff machine-readable artifacts instead of truncated stdout tails
     val stamp = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"))
     val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench"))
     dir.mkdirs()
     val archived = new java.io.File(dir, s"BENCH_$stamp.json")
-    java.nio.file.Files.write(archived.toPath, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(archived.toPath, (archiveLine + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] archived ${archived.getPath}")
     spark.stop()
   }

@@ -125,12 +125,61 @@ object Hdf5 {
   // ------------------------------------------------------------------ read
 
   private final class Reader(raf: RandomAccessFile) {
-    def at(pos: Long, n: Int): ByteBuffer = {
+    def bytes(pos: Long, n: Int): Array[Byte] = {
       val b = new Array[Byte](n)
       raf.seek(pos)
       raf.readFully(b)
-      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      b
     }
+    def at(pos: Long, n: Int): ByteBuffer =
+      ByteBuffer.wrap(bytes(pos, n)).order(ByteOrder.LITTLE_ENDIAN)
+  }
+
+  /** Jenkins lookup3 `hashlittle` — the format's metadata checksum
+    * (H5_checksum_lookup3): superblock v2/3, v2 object headers, and
+    * fixed-array blocks all end in one. Public algorithm (Bob Jenkins,
+    * lookup3.c, 2006); verified against its published test vectors in
+    * Hdf5Spec.
+    */
+  private[graft] def lookup3(data: Array[Byte], init: Int = 0): Int = {
+    @inline def rot(x: Int, k: Int): Int = Integer.rotateLeft(x, k)
+    var a = 0xDEADBEEF + data.length + init
+    var b = a; var c = a
+    var i = 0; var len = data.length
+    @inline def k(j: Int): Int = data(i + j) & 0xFF
+    while (len > 12) {
+      a += k(0) | (k(1) << 8) | (k(2) << 16) | (k(3) << 24)
+      b += k(4) | (k(5) << 8) | (k(6) << 16) | (k(7) << 24)
+      c += k(8) | (k(9) << 8) | (k(10) << 16) | (k(11) << 24)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; len -= 12
+    }
+    if (len == 0) return c // zero trailing bytes: no final mix
+    if (len >= 12) c += k(11) << 24
+    if (len >= 11) c += k(10) << 16
+    if (len >= 10) c += k(9) << 8
+    if (len >= 9) c += k(8)
+    if (len >= 8) b += k(7) << 24
+    if (len >= 7) b += k(6) << 16
+    if (len >= 6) b += k(5) << 8
+    if (len >= 5) b += k(4)
+    if (len >= 4) a += k(3) << 24
+    if (len >= 3) a += k(2) << 16
+    if (len >= 2) a += k(1) << 8
+    a += k(0)
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
   }
 
   def open(path: String): H5File = {
@@ -141,31 +190,62 @@ object Hdf5 {
         val m = new Array[Byte](8); raf.seek(0); raf.readFully(m)
         m.sameElements(Magic)
       }, s"$path: not an HDF5 file (bad signature)")
-      val sb = r.at(0, 96)
-      sb.position(8)
-      val sbVersion = sb.get()
-      require(sbVersion == 0,
-        s"$path: superblock version $sbVersion unsupported (subset reads version 0)")
-      sb.get(); sb.get(); sb.get(); sb.get() // freespace/root-group/reserved/shared versions
-      val offSize = sb.get(); val lenSize = sb.get()
-      require(offSize == 8 && lenSize == 8,
-        s"$path: only 8-byte offsets/lengths supported (got $offSize/$lenSize)")
-      sb.get() // reserved
-      sb.getShort(); sb.getShort() // group leaf/internal k
-      sb.getInt() // file consistency flags
-      val baseAddr = sb.getLong()
-      require(baseAddr == 0, s"$path: nonzero base address $baseAddr unsupported")
-      sb.getLong(); sb.getLong(); sb.getLong() // freespace, EOF, driver info
-      // root group symbol table entry
-      sb.getLong() // link name offset
-      val rootOh = sb.getLong()
-      // scratch btree/heap addresses are a cache; read the authoritative
-      // symbol table message from the root object header instead
+      val sbVersion = r.at(8, 1).get()
+      val rootOh: Long = sbVersion match {
+        case 0 =>
+          val sb = r.at(0, 96)
+          sb.position(9)
+          sb.get(); sb.get(); sb.get(); sb.get() // freespace/root-group/reserved/shared versions
+          val offSize = sb.get(); val lenSize = sb.get()
+          require(offSize == 8 && lenSize == 8,
+            s"$path: only 8-byte offsets/lengths supported (got $offSize/$lenSize)")
+          sb.get() // reserved
+          sb.getShort(); sb.getShort() // group leaf/internal k
+          sb.getInt() // file consistency flags
+          val baseAddr = sb.getLong()
+          require(baseAddr == 0, s"$path: nonzero base address $baseAddr unsupported")
+          sb.getLong(); sb.getLong(); sb.getLong() // freespace, EOF, driver info
+          // root group symbol table entry
+          sb.getLong() // link name offset
+          sb.getLong()
+        case 2 | 3 =>
+          // the 48-byte latest-format superblock, Jenkins-lookup3 checksummed
+          val raw = r.bytes(0, 48)
+          val sb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          sb.position(9)
+          val offSize = sb.get(); val lenSize = sb.get()
+          require(offSize == 8 && lenSize == 8,
+            s"$path: only 8-byte offsets/lengths supported (got $offSize/$lenSize)")
+          sb.get() // file consistency flags
+          val baseAddr = sb.getLong()
+          require(baseAddr == 0, s"$path: nonzero base address $baseAddr unsupported")
+          sb.getLong() // superblock extension (SOHM etc.) — not consulted
+          sb.getLong() // EOF
+          val oh = sb.getLong()
+          val stored = sb.getInt()
+          val computed = lookup3(java.util.Arrays.copyOf(raw, 44))
+          require(stored == computed,
+            f"$path: superblock checksum mismatch (stored 0x$stored%08x, computed 0x$computed%08x)")
+          oh
+        case v => throw new IllegalArgumentException(
+          s"$path: superblock version $v unsupported (subset reads 0, 2, 3)")
+      }
+      // scratch btree/heap addresses in the v0 superblock are a cache; read
+      // the authoritative group shape from the root object header instead —
+      // a symbol table message (old-style) or compact link messages (latest)
       val (rootMsgs, _) = readObjectHeader(r, rootOh, path)
-      val st = rootMsgs.collectFirst { case m: SymbolTableMsg => m }
-        .getOrElse(throw new IllegalArgumentException(
-          s"$path: root group has no symbol table message (new-style groups unsupported)"))
-      val entries = readGroupEntries(r, st.btreeAddr, st.heapAddr, path)
+      val entries: Seq[(String, Long)] =
+        rootMsgs.collectFirst { case m: SymbolTableMsg => m } match {
+          case Some(st) => readGroupEntries(r, st.btreeAddr, st.heapAddr, path)
+          case None =>
+            rootMsgs.collectFirst { case LinkInfoMsg(fh) if fh != Undef => fh }
+              .foreach { _ => throw new IllegalArgumentException(
+                s"$path: dense (fractal-heap) groups unsupported (compact links only)") }
+            val links = rootMsgs.collect { case LinkMsg(n, a) => (n, a) }
+            require(links.nonEmpty,
+              s"$path: root group has neither a symbol table nor link messages")
+            links.sortBy(_._1)
+        }
       // two passes: names first (so object references resolve), then bodies
       val addrToName = entries.map { case (n, a) => a -> n }.toMap
       val datasets = entries.map { case (name, addr) =>
@@ -238,16 +318,54 @@ object Hdf5 {
   private final case class AttrMsg(attr: RawAttr) extends Msg
   private final case class FilterMsg(filters: Seq[H5Filter]) extends Msg
   private final case class SymbolTableMsg(btreeAddr: Long, heapAddr: Long) extends Msg
+  private final case class LinkInfoMsg(fractalHeapAddr: Long) extends Msg
+  private final case class LinkMsg(name: String, ohAddr: Long) extends Msg
   private final case class RawAttr(name: String, dtype: DType, dims: Seq[Long],
       data: Array[Byte])
 
-  /** Parse a v1 object header incl. continuations; (messages, headerAddr). */
+  /** Decode one header message into the model; a continuation message
+    * (0x0010) returns its (offset, length) for the caller's block list —
+    * v1 blocks are raw message bytes, v2 blocks are `OCHK`-framed.
+    */
+  private def dispatchMsg(mtype: Int, body: ByteBuffer,
+      msgs: scala.collection.mutable.ArrayBuffer[Msg],
+      path: String): Option[(Long, Long)] = {
+    mtype match {
+      case 0x0000 => None // NIL
+      case 0x0001 => msgs += parseDataspace(body, path); None
+      case 0x0002 => msgs += parseLinkInfo(body, path); None
+      case 0x0003 => msgs += DatatypeMsg(parseDatatype(body, path)); None
+      case 0x0005 => None // fill value — subset treats data as fully written
+      case 0x0006 => msgs += parseLink(body, path); None
+      case 0x0008 => msgs += parseLayout(body, path); None
+      case 0x000A => None // group info — advisory size estimates only
+      case 0x000B => msgs += FilterMsg(parseFilters(body, path)); None
+      case 0x000C => msgs += AttrMsg(parseAttr(body, path)); None
+      case 0x0010 => Some((body.getLong(), body.getLong()))
+      case 0x0011 => msgs += SymbolTableMsg(body.getLong(), body.getLong()); None
+      case 0x0012 => None // object modification time
+      case 0x0015 => parseAttrInfo(body, path); None // rejects dense attrs
+      case t =>
+        throw new IllegalArgumentException(
+          f"$path: object header message type 0x$t%04X unsupported")
+    }
+  }
+
+  /** Parse an object header (v1 or v2 `OHDR`); (messages, headerAddr). */
   private def readObjectHeader(r: Reader, addr: Long,
+      path: String): (Seq[Msg], Long) = {
+    val sig = r.bytes(addr, 4)
+    if (sig.sameElements("OHDR".getBytes)) readObjectHeaderV2(r, addr, path)
+    else readObjectHeaderV1(r, addr, path)
+  }
+
+  /** v1 object header incl. continuation blocks (raw message bytes). */
+  private def readObjectHeaderV1(r: Reader, addr: Long,
       path: String): (Seq[Msg], Long) = {
     val pre = r.at(addr, 16)
     val version = pre.get()
     require(version == 1,
-      s"$path: object header version $version unsupported (subset reads v1)")
+      s"$path: object header version $version unsupported (subset reads v1 and v2 OHDR)")
     pre.get()
     val nmsgs = pre.getShort()
     pre.getInt() // refcount
@@ -265,24 +383,7 @@ object Hdf5 {
         val msize = mh.getShort() & 0xFFFF
         mh.get(); mh.get(); mh.get(); mh.get() // flags + reserved
         val body = r.at(pos + 8, msize)
-        mtype match {
-          case 0x0000 => // NIL
-          case 0x0001 => msgs += parseDataspace(body, path)
-          case 0x0003 => msgs += DatatypeMsg(parseDatatype(body, path))
-          case 0x0005 => // fill value — subset treats data as fully written
-          case 0x0008 => msgs += parseLayout(body, path)
-          case 0x000B => msgs += FilterMsg(parseFilters(body, path))
-          case 0x000C => msgs += AttrMsg(parseAttr(body, path))
-          case 0x0010 =>
-            val off = body.getLong(); val len = body.getLong()
-            blocks = (off, len) :: blocks
-          case 0x0011 => msgs += SymbolTableMsg(body.getLong(), body.getLong())
-          case 0x000A | 0x0002 => // group info / link info — ignorable for old groups
-          case 0x0012 => // object modification time
-          case t =>
-            throw new IllegalArgumentException(
-              f"$path: object header message type 0x$t%04X unsupported")
-        }
+        dispatchMsg(mtype, body, msgs, path).foreach { c => blocks = c :: blocks }
         read += 1
         pos += 8 + msize
         remaining -= 8 + msize
@@ -291,14 +392,126 @@ object Hdf5 {
     (msgs.toSeq, addr)
   }
 
+  /** v2 (`OHDR`) object header incl. `OCHK` continuation blocks. Both carry
+    * a trailing Jenkins-lookup3 checksum, verified here. Unlike v1 there is
+    * no stored message count: messages fill each block; a sub-header-sized
+    * gap at a block's end simply terminates its scan.
+    */
+  private def readObjectHeaderV2(r: Reader, addr: Long,
+      path: String): (Seq[Msg], Long) = {
+    val pre = r.at(addr + 4, 2) // past the "OHDR" signature
+    val version = pre.get()
+    require(version == 2, s"$path: OHDR version $version unsupported")
+    val flags = pre.get() & 0xFF
+    var prefix = 6
+    if ((flags & 0x20) != 0) prefix += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) prefix += 4 // attr storage phase-change bounds
+    val szBytes = 1 << (flags & 0x03)
+    val chunk0 = uintVar(r.at(addr + prefix, szBytes), szBytes)
+    prefix += szBytes
+    val hdr = if ((flags & 0x04) != 0) 6 else 4 // +2 tracked creation order
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[Msg]
+    // (message bytes start, message bytes length, checksum span start+length)
+    var blocks = List((addr + prefix, chunk0, addr, prefix + chunk0))
+    while (blocks.nonEmpty) {
+      val (pos0, len, ckStart, ckLen) = blocks.head
+      blocks = blocks.tail
+      val stored = r.at(ckStart + ckLen, 4).getInt()
+      val computed = lookup3(r.bytes(ckStart, ckLen.toInt))
+      require(stored == computed,
+        f"$path: object header checksum mismatch at $ckStart (stored 0x$stored%08x, computed 0x$computed%08x)")
+      var pos = pos0
+      var remaining = len
+      while (remaining >= hdr) {
+        val mh = r.at(pos, hdr)
+        val mtype = mh.get() & 0xFF
+        val msize = mh.getShort() & 0xFFFF
+        mh.get() // flags
+        if (hdr == 6) mh.getShort() // creation order
+        val body = r.at(pos + hdr, msize)
+        dispatchMsg(mtype, body, msgs, path).foreach { case (off, blen) =>
+          val osig = r.bytes(off, 4)
+          require(osig.sameElements("OCHK".getBytes), s"$path: bad OCHK signature")
+          blocks = (off + 4, blen - 8, off, blen - 4) :: blocks
+        }
+        pos += hdr + msize
+        remaining -= hdr + msize
+      }
+    }
+    (msgs.toSeq, addr)
+  }
+
+  /** Variable-width little-endian unsigned read (1/2/4/8 bytes). */
+  private def uintVar(b: ByteBuffer, n: Int): Long = n match {
+    case 1 => b.get().toLong & 0xFF
+    case 2 => b.getShort().toLong & 0xFFFF
+    case 4 => b.getInt().toLong & 0xFFFFFFFFL
+    case 8 => b.getLong()
+    case o => throw new IllegalArgumentException(s"unsupported field width $o")
+  }
+
+  /** Link Info (0x0002): only needed to detect dense (fractal-heap) groups,
+    * which the subset rejects; compact groups keep the address undefined.
+    */
+  private def parseLinkInfo(b: ByteBuffer, path: String): LinkInfoMsg = {
+    val version = b.get()
+    require(version == 0, s"$path: link info version $version unsupported")
+    val flags = b.get() & 0xFF
+    if ((flags & 1) != 0) b.getLong() // max creation index
+    val fheap = b.getLong()
+    b.getLong() // name-index b-tree
+    LinkInfoMsg(fheap)
+  }
+
+  /** Link (0x0006): hard links only — the shape compact latest-format
+    * groups store one message per member in.
+    */
+  private def parseLink(b: ByteBuffer, path: String): LinkMsg = {
+    val version = b.get()
+    require(version == 1, s"$path: link message version $version unsupported")
+    val flags = b.get() & 0xFF
+    val linkType = if ((flags & 0x08) != 0) b.get() & 0xFF else 0
+    require(linkType == 0,
+      s"$path: link type $linkType unsupported (hard links only)")
+    if ((flags & 0x04) != 0) b.getLong() // creation order
+    if ((flags & 0x10) != 0) b.get() // link name character set
+    val nameLen = uintVar(b, 1 << (flags & 0x03))
+    val nb = new Array[Byte](nameLen.toInt); b.get(nb)
+    LinkMsg(new String(nb, "UTF-8"), b.getLong())
+  }
+
+  /** Attribute Info (0x0015): attributes stay in the header (compact) as
+    * long as the fractal heap address is undefined; dense storage is out of
+    * the subset and must fail loudly, not parse as "no attributes".
+    */
+  private def parseAttrInfo(b: ByteBuffer, path: String): Unit = {
+    val version = b.get()
+    require(version == 0, s"$path: attribute info version $version unsupported")
+    val flags = b.get() & 0xFF
+    if ((flags & 1) != 0) b.getShort() // max creation index
+    val fheap = b.getLong()
+    require(fheap == Undef,
+      s"$path: dense (fractal-heap) attribute storage unsupported")
+  }
+
   private def parseDataspace(b: ByteBuffer, path: String): DataspaceMsg = {
     val version = b.get()
-    require(version == 1, s"$path: dataspace version $version unsupported")
-    val rank = b.get()
-    val flags = b.get()
-    b.get(); b.getInt() // reserved
-    val dims = (0 until rank).map(_ => b.getLong())
-    DataspaceMsg(dims) // maxdims (flags bit 0) ignored
+    version match {
+      case 1 =>
+        val rank = b.get()
+        b.get() // flags — maxdims (bit 0) follow the dims, never read
+        b.get(); b.getInt() // reserved
+        DataspaceMsg((0 until rank).map(_ => b.getLong()))
+      case 2 =>
+        val rank = b.get()
+        b.get() // flags
+        val stype = b.get() // 0 scalar, 1 simple, 2 null
+        require(stype == 0 || stype == 1,
+          s"$path: dataspace type $stype unsupported")
+        DataspaceMsg((0 until rank).map(_ => b.getLong()))
+      case v =>
+        throw new IllegalArgumentException(s"$path: dataspace version $v unsupported")
+    }
   }
 
   private def parseDatatype(b: ByteBuffer, path: String): DType = {
@@ -333,15 +546,34 @@ object Hdf5 {
 
   private def parseLayout(b: ByteBuffer, path: String): LayoutMsg = {
     val version = b.get()
-    require(version == 3, s"$path: data layout version $version unsupported (subset reads v3)")
+    require(version == 3 || version == 4,
+      s"$path: data layout version $version unsupported (subset reads v3/v4)")
     b.get() & 0xFF match {
-      case 1 => LayoutMsg(Contiguous(b.getLong(), b.getLong()))
-      case 2 =>
+      case 1 => LayoutMsg(Contiguous(b.getLong(), b.getLong())) // same v3/v4
+      case 2 if version == 3 =>
         val ndims = b.get() & 0xFF // rank + 1 (element size entry)
         val btree = b.getLong()
         val cdims = (0 until ndims - 1).map(_ => b.getInt())
         b.getInt() // element size
         LayoutMsg(Chunked(btree, cdims))
+      case 2 => // v4: chunk location comes from one of the spec's indexes
+        val flags = b.get() & 0xFF // bit 1 = single chunk stores size+mask
+        val ndims = b.get() & 0xFF // rank + 1, like v3 (element size entry)
+        val encLen = b.get() & 0xFF
+        val cdims = (0 until ndims - 1).map(_ => uintVar(b, encLen).toInt)
+        uintVar(b, encLen) // element size
+        val index = (b.get() & 0xFF) match {
+          case 1 =>
+            val filtered =
+              if ((flags & 0x02) != 0) Some((b.getLong(), b.getInt())) else None
+            SingleChunk(b.getLong(), filtered)
+          case 3 =>
+            val pageBits = b.get() & 0xFF
+            FixedArrayIndex(b.getLong(), pageBits)
+          case t => throw new IllegalArgumentException(
+            s"$path: chunk index type $t unsupported (single-chunk=1, fixed-array=3)")
+        }
+        LayoutMsg(ChunkedV4(cdims, index))
       case 0 =>
         // compact: data inline in the message
         val size = b.getShort() & 0xFFFF
@@ -505,22 +737,32 @@ object Hdf5 {
     bytes
   }
 
+  /** Attribute message, v1 (8-padded fields), v2, or v3 (exact-length
+    * fields; v3 adds a name-charset byte). v2/v3 shared datatypes/dataspaces
+    * (flag bits 0/1) are out of the subset.
+    */
   private def parseAttr(b: ByteBuffer, path: String): RawAttr = {
     val version = b.get()
-    require(version == 1, s"$path: attribute message version $version unsupported")
-    b.get()
+    require(version >= 1 && version <= 3,
+      s"$path: attribute message version $version unsupported")
+    val flags = b.get() & 0xFF
+    require(version == 1 || (flags & 0x03) == 0,
+      s"$path: shared attribute datatype/dataspace unsupported")
     val nameSize = b.getShort() & 0xFFFF
     val dtSize = b.getShort() & 0xFFFF
     val dsSize = b.getShort() & 0xFFFF
+    if (version == 3) b.get() // name character set
     def pad8(n: Int) = (n + 7) / 8 * 8
-    val nameBytes = new Array[Byte](pad8(nameSize)); b.get(nameBytes)
-    val name = new String(nameBytes.takeWhile(_ != 0), "UTF-8")
-    val dtBytes = new Array[Byte](pad8(dtSize)); b.get(dtBytes)
+    def field(n: Int): Array[Byte] = {
+      val stored = if (version == 1) pad8(n) else n
+      val raw = new Array[Byte](stored); b.get(raw)
+      raw
+    }
+    val name = new String(field(nameSize).takeWhile(_ != 0), "UTF-8")
     val dtype = parseDatatype(
-      ByteBuffer.wrap(dtBytes).order(ByteOrder.LITTLE_ENDIAN), path)
-    val dsBytes = new Array[Byte](pad8(dsSize)); b.get(dsBytes)
+      ByteBuffer.wrap(field(dtSize)).order(ByteOrder.LITTLE_ENDIAN), path)
     val dims = parseDataspace(
-      ByteBuffer.wrap(dsBytes).order(ByteOrder.LITTLE_ENDIAN), path).dims
+      ByteBuffer.wrap(field(dsSize)).order(ByteOrder.LITTLE_ENDIAN), path).dims
     val data = new Array[Byte](b.remaining()); b.get(data)
     RawAttr(name, dtype, dims, data)
   }
@@ -536,7 +778,7 @@ object Hdf5 {
       .getOrElse(throw new IllegalArgumentException(s"$path: $name has no layout"))
     val attrs = msgs.collect { case AttrMsg(a) => resolveAttr(r, a, addrToName, path) }
     val filters = msgs.collectFirst { case FilterMsg(f) => f }.getOrElse(Nil)
-    require(filters.isEmpty || layout.isInstanceOf[Chunked],
+    require(filters.isEmpty || layout.isInstanceOf[ChunkedLayout],
       s"$path: $name has filters on a non-chunked layout")
     H5Dataset(name, addr, dims, dtype, layout, attrs, filters)
   }
@@ -612,8 +854,9 @@ object Hdf5 {
           decode(buf, ds.dtype, out, 0, out.length, path)
         case CompactData(bytes) =>
           decode(bytes, ds.dtype, out, 0, out.length, path)
-        case Chunked(btree, cdims) =>
-          val chunks = readChunkIndex(new Reader(raf), btree, cdims.length, path)
+        case cl: ChunkedLayout =>
+          val cdims = cl.chunkDims
+          val chunks = chunkLocations(new Reader(raf), ds, path)
           val expected = cdims.product * ds.dtype.size
           val cvals = new Array[Double](cdims.product)
           chunks.foreach { case (offsets, addr, size, mask) =>
@@ -628,6 +871,90 @@ object Hdf5 {
       }
       out
     } finally raf.close()
+  }
+
+  /** Chunk locations for either chunked encoding: v1 B-tree (layout v3) or
+    * a v4 chunk index. One shape serves whole reads and section reads.
+    */
+  private def chunkLocations(r: Reader, ds: H5Dataset,
+      path: String): Seq[(Seq[Long], Long, Long, Int)] = ds.layout match {
+    case Chunked(btree, cdims) => readChunkIndex(r, btree, cdims.length, path)
+    case ChunkedV4(cdims, index) =>
+      val chunkBytes = cdims.product.toLong * ds.dtype.size
+      index match {
+        case SingleChunk(addr, filtered) =>
+          if (addr == Undef) Nil // never allocated: all fill
+          else {
+            val (size, mask) = filtered.getOrElse((chunkBytes, 0))
+            Seq((Seq.fill(cdims.length)(0L), addr, size, mask))
+          }
+        case fa: FixedArrayIndex =>
+          fixedArrayChunks(r, fa, cdims, ds.dims, chunkBytes, path)
+      }
+    case l => throw new IllegalArgumentException(s"$path: layout $l is not chunked")
+  }
+
+  /** Enumerate chunks from a Fixed Array index (`FAHD` header + `FADB` data
+    * block): entries sit in row-major chunk-grid order; client 0 stores bare
+    * addresses (unfiltered), client 1 adds the stored size + filter mask.
+    * Both blocks end in a verified Jenkins-lookup3 checksum. Paged arrays
+    * (more elements than one 2^pageBits data-block page) are out of subset.
+    */
+  private def fixedArrayChunks(r: Reader, fa: FixedArrayIndex, cdims: Seq[Int],
+      dims: Seq[Long], chunkBytes: Long,
+      path: String): Seq[(Seq[Long], Long, Long, Int)] = {
+    if (fa.addr == Undef) return Nil
+    val hdrLen = 4 + 1 + 1 + 1 + 1 + 8 + 8
+    val raw = r.bytes(fa.addr, hdrLen + 4)
+    val h = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); h.get(sig)
+    require(sig.sameElements("FAHD".getBytes),
+      s"$path: bad fixed-array header signature")
+    require(h.get() == 0, s"$path: fixed-array header version unsupported")
+    val client = h.get() & 0xFF
+    require(client == 0 || client == 1,
+      s"$path: fixed-array client $client unsupported (chunk clients only)")
+    val entrySize = h.get() & 0xFF
+    val pageBits = h.get() & 0xFF
+    val nelmts = h.getLong()
+    val dbAddr = h.getLong()
+    val hck = h.getInt()
+    require(hck == lookup3(java.util.Arrays.copyOf(raw, hdrLen)),
+      s"$path: fixed-array header checksum mismatch")
+    require(nelmts <= (1L << pageBits),
+      s"$path: paged fixed array unsupported ($nelmts entries > 2^$pageBits page)")
+    val grid = dims.zip(cdims).map { case (d, c) => ((d + c - 1) / c).toInt }
+    require(grid.product.toLong == nelmts,
+      s"$path: fixed array has $nelmts entries, chunk grid needs ${grid.product}")
+    val dbPrefix = 4 + 1 + 1 + 8
+    val dbLen = dbPrefix + nelmts.toInt * entrySize + 4
+    val db = r.bytes(dbAddr, dbLen)
+    val d = ByteBuffer.wrap(db).order(ByteOrder.LITTLE_ENDIAN)
+    val dsig = new Array[Byte](4); d.get(dsig)
+    require(dsig.sameElements("FADB".getBytes),
+      s"$path: bad fixed-array data block signature")
+    require(d.get() == 0, s"$path: fixed-array data block version unsupported")
+    require((d.get() & 0xFF) == client, s"$path: fixed-array client mismatch")
+    require(d.getLong() == fa.addr, s"$path: fixed-array data block points elsewhere")
+    val dck = ByteBuffer.wrap(db, dbLen - 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(dck == lookup3(java.util.Arrays.copyOf(db, dbLen - 4)),
+      s"$path: fixed-array data block checksum mismatch")
+    (0 until nelmts.toInt).flatMap { i =>
+      val addr = d.getLong()
+      val (size, mask) =
+        if (client == 1) (uintVar(d, entrySize - 12), d.getInt())
+        else (chunkBytes, 0)
+      if (addr == Undef) None // unallocated chunk: fill
+      else {
+        var rem = i // unflatten over the row-major chunk grid
+        val off = new Array[Long](cdims.length)
+        var k = cdims.length - 1
+        while (k >= 0) {
+          off(k) = (rem % grid(k)).toLong * cdims(k); rem /= grid(k); k -= 1
+        }
+        Some((off.toSeq, addr, size, mask))
+      }
+    }
   }
 
   /** v1 chunk B-tree → Seq(chunk offsets, file address, stored size, filter
@@ -712,8 +1039,8 @@ object Hdf5 {
     private val raf = new RandomAccessFile(path, "r")
     private lazy val chunkIndex: Map[(Long, Long, Long), (Long, Long, Int)] =
       ds.layout match {
-        case Chunked(btree, cdims) =>
-          readChunkIndex(new Reader(raf), btree, cdims.length, path)
+        case _: ChunkedLayout =>
+          chunkLocations(new Reader(raf), ds, path)
             .map { case (off, addr, size, mask) =>
               (off(0), off(1), off(2)) -> (addr, size, mask) }
             .toMap
@@ -747,7 +1074,8 @@ object Hdf5 {
           val buf = new Array[Byte](n * esz)
           raf.seek(off); raf.readFully(buf)
           decode(buf, ds.dtype, out, 0, n, path)
-        case Chunked(_, cdims) =>
+        case cl: ChunkedLayout =>
+          val cdims = cl.chunkDims
           val Seq(ct, cy, cx) = cdims: @unchecked
           var x = x0
           while (x <= x1) {
@@ -859,7 +1187,18 @@ object Hdf5 {
     b.array()
   }
 
-  def write(path: String, datasets: Seq[WDataset]): Unit = {
+  def write(path: String, datasets: Seq[WDataset]): Unit =
+    write(path, datasets, latest = false)
+
+  /** `latest = true` emits the format's latest-version encodings — the
+    * 48-byte checksummed superblock v3, v2 (`OHDR`) object headers, compact
+    * link-message groups, dataspace v2, attribute v3, filter pipeline v2,
+    * and data layout v4 (contiguous, or chunked with a Single Chunk or
+    * Fixed Array index) — i.e. what `H5F_LIBVER_LATEST` produces for this
+    * subset. `latest = false` keeps the default-format encodings
+    * (superblock v0, v1 headers, symbol-table groups, layout v3).
+    */
+  def write(path: String, datasets: Seq[WDataset], latest: Boolean): Unit = {
     datasets.foreach { d =>
       require(d.data.length == d.dims.product,
         s"${d.name}: data length ${d.data.length} != dims product ${d.dims.product}")
@@ -1102,29 +1441,215 @@ object Hdf5 {
       b.bytes
     }
 
+    // ---- latest-format builders (superblock v3 / OHDR v2 / layout v4)
+
+    def u32ck(b: LeBuf): Array[Byte] = { // append the block's lookup3 checksum
+      b.u32(lookup3(b.bytes).toLong & 0xFFFFFFFFL)
+      b.bytes
+    }
+
+    def superblockV3(res: Resolve): Array[Byte] = {
+      val b = new LeBuf
+      b.raw(Magic)
+      b.u8(3).u8(8).u8(8).u8(0) // version, offset size, length size, flags
+      b.u64(0) // base address
+      b.u64(-1L) // superblock extension (none)
+      b.u64(res("eof"))
+      b.u64(res("oh:/"))
+      u32ck(b)
+    }
+
+    def objectHeaderV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      val body = new LeBuf
+      msgs.foreach { case (t, m) =>
+        body.u8(t).u16(m.length).u8(0) // type, size, flags — no padding in v2
+        body.raw(m)
+      }
+      val b = new LeBuf
+      b.raw("OHDR".getBytes).u8(2).u8(0x02) // version 2, 4-byte chunk-0 size
+      b.u32(body.size)
+      b.raw(body.bytes)
+      u32ck(b)
+    }
+
+    def rootOhV2(res: Resolve): Array[Byte] = {
+      val linkInfo = new LeBuf
+      linkInfo.u8(0).u8(0) // version, flags (no creation-order tracking)
+      linkInfo.u64(-1L).u64(-1L) // fractal heap + name b-tree: compact links
+      val groupInfo = new LeBuf
+      groupInfo.u8(0).u8(0) // version, flags (default phase-change bounds)
+      val links = names.sorted.map { n =>
+        val nb = n.getBytes("UTF-8")
+        require(nb.length <= 255, s"link name too long: $n")
+        val l = new LeBuf
+        l.u8(1).u8(0) // version, flags: hard link, 1-byte name length
+        l.u8(nb.length).raw(nb)
+        l.u64(res(s"oh:$n"))
+        0x0006 -> l.bytes
+      }
+      objectHeaderV2(
+        Seq(0x0002 -> linkInfo.bytes, 0x000A -> groupInfo.bytes) ++ links)
+    }
+
+    def dataspaceBytesV2(dims: Seq[Long]): Array[Byte] = {
+      val b = new LeBuf
+      b.u8(2).u8(dims.length).u8(0) // version, rank, flags
+      b.u8(if (dims.isEmpty) 0 else 1) // type: scalar / simple
+      dims.foreach(b.u64)
+      b.bytes
+    }
+
+    def attrBytesV3(name: String, dtype: DType, dims: Seq[Long],
+        data: Array[Byte]): Array[Byte] = {
+      val nameB = name.getBytes("UTF-8") :+ 0.toByte
+      val dtB = dtypeBytes(dtype)
+      val dsB = dataspaceBytesV2(dims)
+      val b = new LeBuf
+      b.u8(3).u8(0) // version, flags (nothing shared)
+      b.u16(nameB.length).u16(dtB.length).u16(dsB.length)
+      b.u8(0) // name character set: ASCII
+      b.raw(nameB).raw(dtB).raw(dsB).raw(data) // exact lengths, no padding
+      b.bytes
+    }
+
+    // fixtures stay far below 2^10 chunks, so data blocks never page
+    val fixedArrayPageBits = 10
+
+    def datasetOhV2(d: WDataset, res: Resolve): Array[Byte] = {
+      val msgs = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+      msgs += 0x0001 -> dataspaceBytesV2(d.dims)
+      msgs += 0x0003 -> dtypeBytes(d.dtype)
+      locally { // fill value v2, undefined
+        val f = new LeBuf; f.u8(2).u8(1).u8(0).u8(0)
+        msgs += 0x0005 -> f.bytes
+      }
+      locally {
+        val l = new LeBuf
+        d.chunkDims match {
+          case None =>
+            l.u8(4).u8(1) // v4 contiguous — body identical to v3
+            l.u64(res(s"data:${d.name}"))
+            l.u64(d.data.length.toLong * d.dtype.size)
+          case Some(cd) =>
+            val cs = chunksOf(d)
+            val single = cs.length == 1
+            l.u8(4).u8(2) // v4 chunked
+            l.u8(if (single && d.filters.nonEmpty) 0x02 else 0x00) // flags
+            l.u8(cd.length + 1).u8(8) // dims incl. element-size entry, 8-byte enc
+            cd.foreach(c => l.u64(c))
+            l.u64(d.dtype.size)
+            if (single) {
+              l.u8(1) // Single Chunk index
+              if (d.filters.nonEmpty) { l.u64(cs.head._2.length); l.u32(0) }
+              l.u64(res(s"chunk:${d.name}:0"))
+            } else {
+              l.u8(3).u8(fixedArrayPageBits) // Fixed Array index
+              l.u64(res(s"fahd:${d.name}"))
+            }
+        }
+        msgs += 0x0008 -> l.bytes
+      }
+      if (d.filters.nonEmpty) {
+        // v2 pipeline: registered ids carry no name, nothing is padded
+        val f = new LeBuf
+        f.u8(2).u8(d.filters.length)
+        d.filters.foreach { flt =>
+          val (id, cvals) = flt match {
+            case Deflate(level) => (1, Seq(level.toLong))
+            case Shuffle(esz) => (2, Seq(esz.toLong))
+            case Fletcher32 => (3, Nil)
+          }
+          f.u16(id).u16(0).u16(cvals.length)
+          cvals.foreach(f.u32)
+        }
+        msgs += 0x000B -> f.bytes
+      }
+      d.strAttrs.foreach { case (an, s) =>
+        val sb = s.getBytes("UTF-8") :+ 0.toByte
+        msgs += 0x000C -> attrBytesV3(an, Str(sb.length), Nil, sb)
+      }
+      d.numAttrs.foreach { case (an, t, nums) =>
+        msgs += 0x000C -> attrBytesV3(an, t, Seq(nums.length.toLong),
+          encodeData(t, nums.toArray))
+      }
+      d.refAttrs.foreach { case (an, lists) =>
+        val data = new LeBuf
+        lists.zipWithIndex.foreach { case (refs, i) =>
+          data.u32(refs.length)
+          data.u64(res("gcol"))
+          data.u32(gcolIndex((d.name, an, i)))
+        }
+        msgs += 0x000C -> attrBytesV3(an, Vlen(ObjRef), Seq(lists.length.toLong),
+          data.bytes)
+      }
+      objectHeaderV2(msgs.toSeq)
+    }
+
+    def fahdBlock(d: WDataset, res: Resolve): Array[Byte] = {
+      val client = if (d.filters.nonEmpty) 1 else 0
+      val entrySize = if (client == 1) 20 else 8 // addr [+ size(8) + mask(4)]
+      val b = new LeBuf
+      b.raw("FAHD".getBytes).u8(0).u8(client)
+      b.u8(entrySize).u8(fixedArrayPageBits)
+      b.u64(chunksOf(d).length)
+      b.u64(res(s"fadb:${d.name}"))
+      u32ck(b)
+    }
+
+    def fadbBlock(d: WDataset, res: Resolve): Array[Byte] = {
+      val client = if (d.filters.nonEmpty) 1 else 0
+      val b = new LeBuf
+      b.raw("FADB".getBytes).u8(0).u8(client)
+      b.u64(res(s"fahd:${d.name}"))
+      chunksOf(d).zipWithIndex.foreach { case ((_, bytes), i) =>
+        b.u64(res(s"chunk:${d.name}:$i"))
+        if (client == 1) { b.u64(bytes.length); b.u32(0) } // stored size + mask
+      }
+      u32ck(b)
+    }
+
     // ---- assemble: block order fixes every address
     val blockNames: Seq[String] =
-      Seq("oh:/", "heap", "heapdata", "btree", "snod") ++
-        datasets.map(d => s"oh:${d.name}") ++
-        (if (gcolEntries.nonEmpty) Seq("gcol") else Nil) ++
-        datasets.flatMap { d =>
-          if (d.chunkDims.isDefined)
-            Seq(s"chunkbt:${d.name}") ++
-              chunksOf(d).indices.map(i => s"chunk:${d.name}:$i")
-          else Seq(s"data:${d.name}")
-        }
+      if (latest)
+        Seq("oh:/") ++
+          datasets.map(d => s"oh:${d.name}") ++
+          (if (gcolEntries.nonEmpty) Seq("gcol") else Nil) ++
+          datasets.flatMap { d =>
+            d.chunkDims match {
+              case None => Seq(s"data:${d.name}")
+              case Some(_) =>
+                val cs = chunksOf(d).indices.map(i => s"chunk:${d.name}:$i")
+                if (cs.length == 1) cs
+                else Seq(s"fahd:${d.name}", s"fadb:${d.name}") ++ cs
+            }
+          }
+      else
+        Seq("oh:/", "heap", "heapdata", "btree", "snod") ++
+          datasets.map(d => s"oh:${d.name}") ++
+          (if (gcolEntries.nonEmpty) Seq("gcol") else Nil) ++
+          datasets.flatMap { d =>
+            if (d.chunkDims.isDefined)
+              Seq(s"chunkbt:${d.name}") ++
+                chunksOf(d).indices.map(i => s"chunk:${d.name}:$i")
+            else Seq(s"data:${d.name}")
+          }
 
     def buildBlock(name: String, res: Resolve): Array[Byte] = name match {
-      case "oh:/" => rootOh(res)
+      case "oh:/" => if (latest) rootOhV2(res) else rootOh(res)
       case "heap" => heapBlock(res)
       case "heapdata" => heapData.bytes
       case "btree" => btreeBlock(res)
       case "snod" => snodBlock(res)
       case "gcol" => gcolBlock(res)
       case n if n.startsWith("oh:") =>
-        datasetOh(datasets.find(_.name == n.drop(3)).get, res)
+        val d = datasets.find(_.name == n.drop(3)).get
+        if (latest) datasetOhV2(d, res) else datasetOh(d, res)
       case n if n.startsWith("chunkbt:") =>
         chunkBtree(datasets.find(_.name == n.drop(8)).get, res)
+      case n if n.startsWith("fahd:") =>
+        fahdBlock(datasets.find(_.name == n.drop(5)).get, res)
+      case n if n.startsWith("fadb:") =>
+        fadbBlock(datasets.find(_.name == n.drop(5)).get, res)
       case n if n.startsWith("chunk:") =>
         val Array(_, dn, i) = n.split(":")
         chunksOf(datasets.find(_.name == dn).get)(i.toInt)._2
@@ -1135,8 +1660,9 @@ object Hdf5 {
     }
 
     // pass 1: sizes with zero addresses → offsets; pass 2: real bytes
+    // (checksums change between passes, their 4-byte width does not)
     val zero: Resolve = _ => 0L
-    var off = 96L
+    var off = if (latest) 48L else 96L
     val offsets = scala.collection.mutable.Map[String, Long]()
     blockNames.foreach { n =>
       offsets(n) = off
@@ -1150,7 +1676,7 @@ object Hdf5 {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path)))
     try {
-      out.write(superblock(res))
+      out.write(if (latest) superblockV3(res) else superblock(res))
       blockNames.foreach { n =>
         val b = buildBlock(n, res)
         require(b.length == (buildBlock(n, zero)).length,

@@ -190,10 +190,23 @@ object SourceQueries extends QueryModule {
     * DSv2 pushdown surface serves both byte formats — including compressed
     * chunk decode, which is how real NetCDF-4 archives ship.
     */
-  lazy val nc4Dir: String = {
+  lazy val nc4Dir: String = writeNc4Dir(latest = false)
+
+  /** The SAME grid again in the format's LATEST encodings (what
+    * `H5F_LIBVER_LATEST` / h5py `libver='latest'` archives use): superblock
+    * v3, v2 object headers, compact link groups, dataspace v2, attribute v3,
+    * data layout v4 — tasmax multi-chunk behind a filtered Fixed Array index,
+    * tasmin a single whole-extent chunk behind a Single Chunk index with a
+    * fletcher32 checksum. Same values, different bytes: the oracle is still
+    * the closed-form cube.
+    */
+  lazy val nc4LatestDir: String = writeNc4Dir(latest = true)
+
+  private def writeNc4Dir(latest: Boolean): String = {
     import GridData.{T => TD, X => XD, Y => YD}
     import Hdf5._
-    val dir = java.nio.file.Files.createTempDirectory("graft-nc4").toFile.getAbsolutePath
+    val dir = java.nio.file.Files.createTempDirectory(
+      if (latest) "graft-nc4l" else "graft-nc4").toFile.getAbsolutePath
     val lat = Array.tabulate(YD)(y => 44.0 + y * 0.05)
     val lon = Array.tabulate(XD)(x => -80.0 + x * 0.05)
     for ((v, vid) <- Seq("tasmax" -> 0, "tasmin" -> 1)) {
@@ -202,6 +215,12 @@ object SourceQueries extends QueryModule {
         if ((t + y + x) % 17 == 0) -999.0
         else ((t * 31 + y * 7 + x * 13 + vid * 5) % 100).toDouble / 2.0 - 10.0
       }
+      // the non-chunked twin exercises contiguous v3 in the default file and
+      // a filtered Single Chunk index in the latest one
+      val (chunks, filters) =
+        if (vid == 0) (Some(Seq(3, 8, 16)), Seq(Shuffle(F32.size), Deflate(4)))
+        else if (latest) (Some(Seq(TD, YD, XD)), Seq(Fletcher32))
+        else (None, Nil)
       Hdf5.write(s"$dir/$v.nc4", Seq(
         WDataset("time", I32, Seq(TD), Array.tabulate(TD)(_.toDouble),
           strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time",
@@ -219,8 +238,8 @@ object SourceQueries extends QueryModule {
           numAttrs = Seq(("_FillValue", F32, Seq(-999.0))),
           refAttrs = Seq("DIMENSION_LIST" ->
             Seq(Seq("time"), Seq("lat"), Seq("lon"))),
-          chunkDims = if (vid == 0) Some(Seq(3, 8, 16)) else None,
-          filters = if (vid == 0) Seq(Shuffle(F32.size), Deflate(4)) else Nil)))
+          chunkDims = chunks,
+          filters = filters)), latest)
     }
     dir
   }
@@ -279,6 +298,18 @@ object SourceQueries extends QueryModule {
         col("y") <= 12 && col("x").between(5, 20))
       .select("ts", "y", "x", "lat", "lon", "value")
       .orderBy("ts", "y", "x")
+
+  /** The hyperslab read against LATEST-format HDF5 bytes (superblock v3,
+    * v2 object headers, layout v4): no variable filter, so one file decodes
+    * through the filtered Fixed Array chunk index and the other through the
+    * Single Chunk index — both under the same DSv2 pushdown contract.
+    */
+  private def qGridNc4Latest(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", nc4LatestDir).load()
+      .filter(col("ts") >= lit("1990-01-05 00:00:00").cast("timestamp") &&
+        col("y") <= 8 && col("x") < 12)
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x")
 
   /** Curvilinear section read: coordinates surface from the 2-D matrices;
     * a lat bound evaluates post-scan (no affine index mapping exists), while
@@ -349,6 +380,7 @@ object SourceQueries extends QueryModule {
     "q_grid_file" -> qGridFile,
     "q_grid_nc" -> qGridNc,
     "q_grid_nc4" -> qGridNc4,
+    "q_grid_nc4_latest" -> qGridNc4Latest,
     "q_grid_federated" -> qGridFederated,
     "q_grid_nc_curv" -> qGridNcCurv,
     "q_catalog_attrs" -> qCatalogAttrs,
@@ -416,6 +448,11 @@ object SourceQueries extends QueryModule {
         |  AND ts >= TIMESTAMP '1990-01-03 00:00:00'
         |  AND y <= 12 AND x BETWEEN 5 AND 20
         |ORDER BY ts, y, x""".stripMargin),
+    "q_grid_nc4_latest" -> (GridData.oracleCells +
+      """SELECT variable, ts, y, x, lat, lon, value FROM cells
+        |WHERE ts >= TIMESTAMP '1990-01-05 00:00:00'
+        |  AND y <= 8 AND x < 12
+        |ORDER BY variable, ts, y, x""".stripMargin),
     "q_grid_federated" -> (GridData.oracleCells +
       """SELECT variable, count(value) AS n_obs,
         |  round(avg(value), 4) AS avg_val,

@@ -20,7 +20,8 @@ class Hdf5Spec extends AnyFunSuite {
     Array.tabulate(T * Y * X)(i => f(i / (Y * X), (i / X) % Y, i % X))
 
   /** A NetCDF-4-shaped file: three dimension-scale coords + one 3-D var. */
-  private def writeGrid(path: String, chunked: Boolean): Unit = {
+  private def writeGrid(path: String, chunked: Boolean,
+      latest: Boolean = false): Unit = {
     val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
     Hdf5.write(path, Seq(
       WDataset("time", I32, Seq(T), Array.tabulate(T)(_.toDouble),
@@ -34,14 +35,16 @@ class Hdf5Spec extends AnyFunSuite {
         strAttrs = Seq("long_name" -> "air temperature"),
         numAttrs = Seq(("_FillValue", F32, Seq(-999.0))),
         refAttrs = Seq("DIMENSION_LIST" -> Seq(Seq("time"), Seq("lat"), Seq("lon"))),
-        chunkDims = if (chunked) Some(Seq(2, 3, 3)) else None)))
+        chunkDims = if (chunked) Some(Seq(2, 3, 3)) else None)), latest)
   }
 
-  for (chunked <- Seq(false, true)) {
-    val tag = if (chunked) "chunked (v1 btree)" else "contiguous"
+  for (latest <- Seq(false, true); chunked <- Seq(false, true)) {
+    val tag = (if (latest) "latest format, " else "") + (if (chunked)
+      (if (latest) "chunked (v4 fixed array)" else "chunked (v1 btree)")
+    else "contiguous")
     test(s"round-trip: $tag layout") {
       val p = tmp("grid.h5")
-      writeGrid(p, chunked)
+      writeGrid(p, chunked, latest)
       assert(Hdf5.isHdf5(p))
       val h = Hdf5.open(p)
       assert(h.datasets.map(_.name).sorted == Seq("lat", "lon", "temp", "time"))
@@ -63,7 +66,7 @@ class Hdf5Spec extends AnyFunSuite {
 
     test(s"section rows match whole read: $tag layout") {
       val p = tmp("grid.h5")
-      writeGrid(p, chunked)
+      writeGrid(p, chunked, latest)
       val h = Hdf5.open(p)
       val temp = h.dataset("temp").get
       val all = Hdf5.readAll(p, temp)
@@ -122,6 +125,64 @@ class Hdf5Spec extends AnyFunSuite {
     assert(s >= 0 && s <= 0xFFFFFFFFL, s"fletcher width saturated: $s")
   }
 
+  test("lookup3 matches the published hashlittle test vectors") {
+    // vectors from the public lookup3.c self-test (Bob Jenkins, 2006)
+    val q = "Four score and seven years ago".getBytes("US-ASCII")
+    assert(Hdf5.lookup3(q, 0) == 0x17770551)
+    assert(Hdf5.lookup3(q, 1) == 0xCD628161.toInt)
+    assert(Hdf5.lookup3(Array.empty[Byte], 0) == 0xDEADBEEF.toInt)
+  }
+
+  test("latest format: filtered multi-chunk dataset via fixed array (client 1)") {
+    val p = tmp("latest-filtered.h5")
+    val data = cube((t, y, x) => (x % 3).toDouble)
+    val pipeline = Seq(Shuffle(4), Deflate(6), Fletcher32)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(T, Y, X), data,
+        chunkDims = Some(Seq(2, 3, 3)), filters = pipeline)), latest = true)
+    val h = Hdf5.open(p)
+    val temp = h.dataset("temp").get
+    assert(temp.filters == pipeline)
+    assert(Hdf5.readAll(p, temp).toSeq == data.toSeq)
+    val rdr = new Hdf5.SectionReader(p, temp)
+    try {
+      for (t <- 0 until T; y <- 0 until Y)
+        assert(rdr.readRow(t, y, 0, X - 1).toSeq ==
+          (0 until X).map(x => data((t * Y + y) * X + x)), s"t=$t y=$y")
+    } finally rdr.close()
+  }
+
+  for (filtered <- Seq(false, true)) {
+    test(s"latest format: single-chunk index (filtered=$filtered)") {
+      val p = tmp("latest-single.h5")
+      val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
+      Hdf5.write(p, Seq(
+        WDataset("temp", F64, Seq(T, Y, X), data,
+          chunkDims = Some(Seq(T, Y, X)), // whole extent = exactly one chunk
+          filters = if (filtered) Seq(Fletcher32) else Nil)), latest = true)
+      val h = Hdf5.open(p)
+      val temp = h.dataset("temp").get
+      assert(Hdf5.readAll(p, temp).toSeq == data.toSeq)
+      val rdr = new Hdf5.SectionReader(p, temp)
+      try assert(rdr.readRow(1, 2, 1, X - 2).toSeq ==
+        (1 to X - 2).map(x => data((1 * Y + 2) * X + x)))
+      finally rdr.close()
+    }
+  }
+
+  test("latest format: corrupted metadata fails the lookup3 checksum loudly") {
+    val p = tmp("latest-corrupt.h5")
+    writeGrid(p, chunked = false, latest = true)
+    // flip a byte inside the superblock's root-OH address field
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try {
+      raf.seek(36)
+      val b = raf.read(); raf.seek(36); raf.write(b ^ 0xFF)
+    } finally raf.close()
+    val e = intercept[IllegalArgumentException](Hdf5.open(p))
+    assert(e.getMessage.contains("checksum mismatch"))
+  }
+
   test("fletcher32 detects chunk corruption") {
     val p = tmp("sum.h5")
     val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
@@ -160,11 +221,12 @@ class Hdf5Spec extends AnyFunSuite {
       t <- Gen.choose(1, 4); y <- Gen.choose(1, 6); x <- Gen.choose(1, 8)
       dtype <- Gen.oneOf(F32, F64, I8, I16, I32, I64)
       chunked <- Gen.oneOf(true, false)
+      latest <- Gen.oneOf(true, false)
       filtered <- Gen.oneOf(0, 1, 2, 3) // none / shuffle / shuffle+deflate / all
       seed <- Gen.choose(0L, 1000000L)
-    } yield (t, y, x, dtype, chunked, filtered, seed)
-    (1 to 20).foreach { i =>
-      val (t, y, x, dtype, chunked, filtered, seed) = genCase.sample.get
+    } yield (t, y, x, dtype, chunked, latest, filtered, seed)
+    (1 to 30).foreach { i =>
+      val (t, y, x, dtype, chunked, latest, filtered, seed) = genCase.sample.get
       val rnd = new scala.util.Random(seed)
       val data = Array.fill(t * y * x)(rnd.nextInt(200) - 100.0)
       val p = tmp(s"prop$i.h5")
@@ -175,11 +237,11 @@ class Hdf5Spec extends AnyFunSuite {
         WDataset("v", dtype, Seq(t, y, x), data,
           chunkDims = if (chunked) Some(Seq(
             rnd.nextInt(t) + 1, rnd.nextInt(y) + 1, rnd.nextInt(x) + 1)) else None,
-          filters = filters)))
+          filters = filters)), latest)
       val h = Hdf5.open(p)
       val v = h.dataset("v").get
       assert(Hdf5.readAll(p, v).toSeq == data.toSeq,
-        s"case $i: t=$t y=$y x=$x type=$dtype chunked=$chunked seed=$seed")
+        s"case $i: t=$t y=$y x=$x type=$dtype chunked=$chunked latest=$latest seed=$seed")
       val rdr = new Hdf5.SectionReader(p, v)
       try {
         val (st, sy) = (rnd.nextInt(t), rnd.nextInt(y))

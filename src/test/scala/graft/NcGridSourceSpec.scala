@@ -220,6 +220,19 @@ class NcGridSourceSpec extends AnyFunSuite {
     assert(got.length == expect.length && got.sameElements(expect))
   }
 
+  test("latest-format HDF5 (superblock v3, OHDR, layout v4) reproduces the grid exactly") {
+    // tasmax decodes through a filtered Fixed Array chunk index, tasmin
+    // through a fletcher32 Single Chunk index — same DSv2 contract as nc4Dir
+    val nc4l = spark.read.format(classOf[GridSource].getName)
+      .option("path", SourceQueries.nc4LatestDir).load()
+    val got = nc4l.select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x").collect()
+    val expect = GridData.cells(spark)
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x").collect()
+    assert(got.length == expect.length && got.sameElements(expect))
+  }
+
   test("a mixed classic + NetCDF-4 directory forms ONE table (magic-sniffed)") {
     // a format-migrated archive: tasmax as classic bytes, tasmin as HDF5
     val dir = java.nio.file.Files.createTempDirectory("graft-nc-mixed")
