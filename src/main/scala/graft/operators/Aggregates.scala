@@ -161,6 +161,27 @@ object Aggregates extends QueryModule {
       .select(col("l_returnflag"), col("break_idx"), round(col("break_value"), 4).as("break_value"))
       .orderBy("l_returnflag", "break_idx")
 
+  /** A1 (shard rollup): the quantile twin of `q_hll_union` — stage 1 builds
+    * one histogram sketch (bytes) per shard, stage 2 merges the sketches to
+    * GLOBAL quantiles without rescanning rows. At 100 TB the stage-1 bytes
+    * persist at ingest (one ~1 KB blob per shard) and any shard
+    * combination's quantiles come from merging blobs, not data. l_quantity
+    * has 50 distinct values < 64 bins, so every sketch is in its exact
+    * regime and the result equals DuckDB `quantile_cont` — a full oracle;
+    * exactness degrades gracefully past the bin budget (asserted with error
+    * bounds in HistogramSpec, associativity in PropertySpec).
+    */
+  private def qQuantileRollup(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(pmod(col("l_orderkey"), lit(8)).as("shard"))
+      .agg(graft.functions.HistogramFunctions
+        .histogram_sketch(col("l_quantity")).as("sk"))
+      .agg(graft.functions.HistogramFunctions
+        .histogram_merge_quantiles(col("sk"), Seq(0.25, 0.5, 0.75)).as("qs"))
+      .select(posexplode(col("qs")).as(Seq("q_idx", "q_value")))
+      .select(col("q_idx"), round(col("q_value"), 4).as("q_value"))
+      .orderBy("q_idx")
+
   /** HLL approximate distinct count — the scale path for count_distinct at
     * extreme cardinality (mergeable sketch, no exact-distinct shuffle).
     * No oracle: sketch estimates are implementation-specific.
@@ -236,6 +257,7 @@ object Aggregates extends QueryModule {
     "q_grouping_sets" -> qGroupingSets,
     "q_quantile" -> qQuantile,
     "q_quantile_approx" -> qQuantileApprox,
+    "q_quantile_rollup" -> qQuantileRollup,
     "q_colorbin" -> qColorbin
   )
 
@@ -243,6 +265,15 @@ object Aggregates extends QueryModule {
     // the HLL union is in exact sparse mode at this cardinality
     "q_hll_union" ->
       "SELECT count(DISTINCT source) AS distinct_sources FROM documents",
+    // 50 distinct l_quantity values < 64 bins: the sketch rollup is exact
+    "q_quantile_rollup" ->
+      """SELECT q_idx, round(q_value, 4) AS q_value FROM (
+        |  SELECT 0 AS q_idx, quantile_cont(l_quantity, 0.25) AS q_value FROM lineitem
+        |  UNION ALL
+        |  SELECT 1, quantile_cont(l_quantity, 0.5) FROM lineitem
+        |  UNION ALL
+        |  SELECT 2, quantile_cont(l_quantity, 0.75) FROM lineitem
+        |) ORDER BY q_idx""".stripMargin,
     "q_pivot" ->
       """SELECT l_linestatus,
         |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",

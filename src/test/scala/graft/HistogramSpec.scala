@@ -55,6 +55,37 @@ class HistogramSpec extends AnyFunSuite {
     assert(m.toHist.totalCount == 150)
   }
 
+  test("quantile rollup equals the exact global percentile (exact regime)") {
+    // stage-1 sketches per shard, stage-2 merge — vs one flat percentile()
+    val got = graft.operators.Aggregates.queries("q_quantile_rollup")(spark, TestSpark.sf)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    val exact = Tables.lineitem(spark, TestSpark.sf)
+      .agg(expr("percentile(l_quantity, 0.25)"),
+        expr("percentile(l_quantity, 0.5)"),
+        expr("percentile(l_quantity, 0.75)"))
+      .as[(Double, Double, Double)].collect()(0)
+    assert(got.toSeq == Seq(exact._1, exact._2, exact._3)
+      .map(v => math.rint(v * 1e4) / 1e4))
+  }
+
+  test("quantile rollup degrades within sketch error past the bin budget") {
+    // 5000 distinct values >> 16 bins: compression engages; the merged
+    // estimate must stay within a few percent of the exact quantile
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(5000)(rnd.nextDouble() * 1000.0)
+    val df = vals.zipWithIndex.toDF("v", "i")
+    import graft.functions.HistogramFunctions._
+    val approx = df.groupBy(pmod(col("i"), lit(8)).as("shard"))
+      .agg(histogram_sketch(col("v"), maxBins = 16).as("sk"))
+      .agg(histogram_merge_quantiles(col("sk"), Seq(0.25, 0.5, 0.75), 16).as("qs"))
+      .select(explode(col("qs")).as("q")).as[Double].collect()
+    val exact = df.agg(expr("percentile(v, array(0.25, 0.5, 0.75))"))
+      .as[Seq[Double]].collect()(0)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= 50.0, s"sketch $a vs exact $e") // 5% of range
+    }
+  }
+
   test("sketch breaks track exact percentiles on lineitem quantity") {
     // query output is exploded to (group, break_idx, break_value) rows;
     // reassemble per-group break arrays

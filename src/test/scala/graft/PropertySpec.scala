@@ -72,6 +72,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("histogram sketch merge is associative and grouping-invariant (exact regime)") {
+    // any shard partitioning and any merge ORDER must produce the same
+    // quantiles while values stay within the bin budget — the property that
+    // makes per-shard sketch blobs reusable across arbitrary rollups
+    import graft.functions.MutableHist
+    val rnd = new scala.util.Random(11)
+    (1 to 10).foreach { trial =>
+      val distinct = rnd.nextInt(40) + 5 // ≤ 45 values < 64 bins: exact
+      val vals = Seq.fill(500)((rnd.nextInt(distinct) + 1).toDouble)
+      def sketch(vs: Seq[Double]): MutableHist = {
+        val h = new MutableHist(64); vs.foreach(h.add(_, 1L)); h
+      }
+      def mergeAll(parts: Seq[Seq[Double]]): Seq[Double] = {
+        val acc = new MutableHist(64)
+        parts.foreach { p =>
+          // round-trip through bytes like the shuffle boundary does
+          acc.merge(MutableHist.fromBytes(MutableHist.toBytes(sketch(p)), 64))
+        }
+        Seq(0.25, 0.5, 0.75).map(acc.quantileCont)
+      }
+      val flat = mergeAll(Seq(vals))
+      val bySplits = mergeAll(vals.grouped(7).toSeq)
+      val byShards = mergeAll(vals.zipWithIndex.groupBy(_._2 % 5).toSeq
+        .sortBy(-_._1).map(_._2.map(_._1))) // reversed shard order
+      assert(flat == bySplits, s"trial $trial: split grouping diverged")
+      assert(flat == byShards, s"trial $trial: shard order diverged")
+      // and the exact-regime result equals the sorted-order type-7 quantile
+      val sorted = vals.sorted
+      def q7(p: Double): Double = {
+        val h = (sorted.length - 1) * p
+        val lo = h.toInt
+        if (lo + 1 >= sorted.length) sorted(lo)
+        else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+      }
+      Seq(0.25, 0.5, 0.75).zip(flat).foreach { case (p, got) =>
+        assert(math.abs(got - q7(p)) < 1e-9, s"trial $trial p=$p")
+      }
+    }
+  }
+
   test("set-op algebra: (A intersect B) + (A except B) partitions distinct A") {
     val a = Tables.orders(spark, TestSpark.sf).select(col("o_orderkey"))
     val b = Tables.lineitem(spark, TestSpark.sf).filter(col("l_quantity") > 25)
