@@ -38,6 +38,7 @@ object Bench {
       sources.SourceQueries.partitionedEventsDir(spark, sfDir)
       sources.SourceQueries.mixedDir // classic + HDF5 dir q_grid_federated reads
       sources.SourceQueries.grfDir // writes the .grf cubes q_grid_file reads
+      sources.SourceQueries.grfTiledDir(spark) // z-order GRF2 (q_grid_tiled)
       sources.SourceQueries.ncDir // writes the .nc files q_grid_nc reads
       sources.SourceQueries.nc4Dir // the NetCDF-4 twin q_grid_nc4 reads
       sources.SourceQueries.nc4LatestDir // latest-format twin (q_grid_nc4_latest)

@@ -59,4 +59,69 @@ object Scale {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** The same Morton clustering for the DOMAIN container ([[graft.sources
+    * .GridFile]] GRF2): split the global grid into (tileY × tileX) spatial
+    * tiles, order tiles by the Morton code of their tile coordinates, and
+    * pack `tilesPerFile` CONSECUTIVE tiles into each container file — so a
+    * file's spatial footprint stays square-ish and a pushed 2-D range
+    * prunes whole files from the tile directories at planning time
+    * (`TiledGridScan.planInputPartitions`). `morton = false` packs in
+    * row-major tile order instead: the strawman layout whose files are
+    * long thin stripes, kept for the ScaleSpec files-touched comparison.
+    *
+    * Scale shape mirrors [[graft.sources.NcSink]]: rows route to their
+    * (variable, file-group) by shuffle, each container file is written by
+    * one executor task, and the driver only computes the tile→group map
+    * (tile-grid-sized, catalog-scale).
+    */
+  def writeZOrderedGrid(cells: DataFrame, dir: String,
+      tDim: Int, yDim: Int, xDim: Int, epochMicros: Long, stepMicros: Long,
+      lat0: Double, dlat: Double, lon0: Double, dlon: Double,
+      tileY: Int, tileX: Int, tilesPerFile: Int,
+      morton: Boolean = true): Unit = {
+    new java.io.File(dir).mkdirs()
+    val tilesX = (xDim + tileX - 1) / tileX
+    val tilesY = (yDim + tileY - 1) / tileY
+    val order = (for (ty <- 0 until tilesY; tx <- 0 until tilesX) yield (ty, tx))
+      .sortBy { case (ty, tx) =>
+        if (morton) graft.functions.ZOrder64.interleave(tx, ty)
+        else ty.toLong * tilesX + tx
+      }
+    val groupOf: Map[(Int, Int), Int] =
+      order.zipWithIndex.map { case (t, i) => t -> i / tilesPerFile }.toMap
+    val tilesOfGroup: Map[Int, Seq[(Int, Int)]] =
+      order.grouped(tilesPerFile).zipWithIndex.map(_.swap).toMap
+    val grp = udf((y: Int, x: Int) => groupOf((y / tileY, x / tileX)))
+    cells
+      .select(col("variable"), col("ts").cast("double").as("secs"),
+        col("y"), col("x"), col("value"))
+      .withColumn("grp", grp(col("y"), col("x")))
+      .repartition(col("variable"), col("grp"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.toSeq.groupBy(r => (r.getString(0), r.getInt(5))).foreach {
+          case ((variable, group), cellRows) =>
+            val tiles = tilesOfGroup(group).map { case (ty, tx) =>
+              val cy = math.min(yDim, (ty + 1) * tileY) - ty * tileY
+              val cx = math.min(xDim, (tx + 1) * tileX) - tx * tileX
+              (ty, tx, cy, cx, Array.fill(tDim * cy * cx)(Double.NaN))
+            }
+            val byTile = tiles.map { case (ty, tx, cy, cx, arr) =>
+              (ty, tx) -> (cy, cx, arr) }.toMap
+            cellRows.foreach { r =>
+              val t = ((r.getDouble(1) * 1e6 - epochMicros) / stepMicros).round.toInt
+              val (y, x) = (r.getInt(2), r.getInt(3))
+              val (ty, tx) = (y / tileY, x / tileX)
+              val (cy, cx, arr) = byTile((ty, tx))
+              arr((t * cy + (y - ty * tileY)) * cx + (x - tx * tileX)) =
+                if (r.isNullAt(4)) Double.NaN else r.getDouble(4)
+            }
+            graft.sources.GridFile.writeTiled(
+              s"$dir/$variable-g$group.grf", variable,
+              tDim, yDim, xDim, tileY, tileX, epochMicros, stepMicros,
+              lat0, dlat, lon0, dlon,
+              tiles.map { case (ty, tx, _, _, arr) => (ty, tx, arr) })
+        }
+      }
+  }
 }

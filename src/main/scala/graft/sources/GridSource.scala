@@ -50,7 +50,18 @@ class GridSource extends TableProvider {
         // silently drop the other's files from every query
         require(!(hasNc && names.exists(_.endsWith(".grf"))),
           s"$dir mixes NetCDF and .grf files; split them into separate directories")
-        if (hasNc) new NcGridTable(dir) else new FileGridTable(dir)
+        if (hasNc) new NcGridTable(dir)
+        else {
+          // sniff GRF1 (one cube per file) vs GRF2 (tiled container) on the
+          // first file; each table's homogeneity check rejects a mixed dir
+          val first = Option(new java.io.File(dir).listFiles())
+            .getOrElse(Array.empty).filter(_.getName.endsWith(".grf"))
+            .sortBy(_.getName).headOption
+            .getOrElse(throw new IllegalArgumentException(s"no .grf files in $dir"))
+          if (GridFile.readMagic(first.getAbsolutePath) == GridFile.MagicTiled)
+            new TiledGridTable(dir)
+          else new FileGridTable(dir)
+        }
       case None => new GridTable
     }
 }
@@ -655,6 +666,185 @@ class FileGridReader(p: FileGridPartition, required: StructType)
       y += 1
       if (y > s.y1) return false
       row = rdr.readRow(p.t, y, s.x0, s.x1)
+      x = s.x0
+    }
+    y <= s.y1
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(fieldGen.toSeq.map(g => g(y, x)))
+
+  override def close(): Unit = rdr.close()
+}
+
+// ---- tiled path: GRF2 containers with per-file spatial footprints ----
+
+/** Table over a directory of GRF2 containers ([[GridFile.TiledHeader]]):
+  * each file packs several spatial tiles of one variable's global cube, so
+  * unlike [[FileGridTable]] a file covers a SUBSET of the y/x plane and a
+  * pushed 2-D range can skip whole files — the layout
+  * [[graft.operators.Scale.writeZOrderedGrid]] produces by packing
+  * Morton-consecutive tiles together.
+  */
+class TiledGridTable(dir: String) extends Table with SupportsRead {
+  private[sources] val files: Seq[(String, GridFile.TiledHeader)] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".grf")).sortBy(_.getName)
+      .map(f => f.getAbsolutePath -> GridFile.readTiledHeader(f.getAbsolutePath)).toSeq
+
+  require(files.nonEmpty, s"no .grf files in $dir")
+  locally { // one table = one GLOBAL grid layout; tiles differ, the grid not
+    val h0 = files.head._2
+    files.foreach { case (p, h) =>
+      require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&
+        h.tileY == h0.tileY && h.tileX == h0.tileX &&
+        h.epochMicros == h0.epochMicros && h.stepMicros == h0.stepMicros &&
+        h.lat0 == h0.lat0 && h.dlat == h0.dlat && h.lon0 == h0.lon0 && h.dlon == h0.dlon,
+        s"$p: heterogeneous grid layout — dims/tiling/time-base/coord-affine must match ${files.head._1}")
+    }
+    require(h0.stepMicros > 0, s"${files.head._1}: non-positive time step")
+  }
+
+  override def name(): String = s"graft_grid_tiled($dir)"
+  override def schema(): StructType = GridSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TiledGridScanBuilder(files)
+}
+
+/** Same pushdown contract as the one-cube-per-file path; the payoff lands at
+  * planning time, where per-file tile directories turn the section into a
+  * file-skip decision.
+  */
+class TiledGridScanBuilder(files: Seq[(String, GridFile.TiledHeader)])
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private val dims = files.head._2
+  private var section = GridSource.Section(
+    t1 = dims.t - 1, y1 = dims.y - 1, x1 = dims.x - 1,
+    epoch = dims.epochMicros, step = dims.stepMicros)
+  private var varNames: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GridSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, rest) = filters.partition {
+      case EqualTo("variable", v: String) =>
+        varNames = Some(varNames.getOrElse(files.map(_._2.variable).toSet).intersect(Set(v)))
+        true
+      case In("variable", vs) =>
+        val names = vs.collect { case s: String => s }.toSet
+        varNames = Some(varNames.getOrElse(files.map(_._2.variable).toSet).intersect(names))
+        true
+      case f => section.narrow(f) match {
+        case Some(s) => section = s; true
+        case None => false
+      }
+    }
+    rest.foreach { f =>
+      section = GridSource.narrowCoordConservative(section, f,
+        dims.lat0, dims.dlat, dims.lon0, dims.dlon)
+    }
+    pushed = handled
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new TiledGridScan(
+    files.filter { case (_, h) => varNames.forall(_.contains(h.variable)) },
+    section, required, pushed)
+}
+
+class TiledGridScan(files: Seq[(String, GridFile.TiledHeader)],
+    section: GridSource.Section, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"TiledGridScan files=${files.map(_._1).mkString(",")} section=$section " +
+      s"pushed=[${pushed.mkString(", ")}]"
+
+  /** Section clamped to one tile's global bounds; None when disjoint. */
+  private def clampTile(h: GridFile.TiledHeader,
+      e: GridFile.TileEntry): Option[GridSource.Section] = {
+    val (ty0, ty1, tx0, tx1) = h.tileBounds(e)
+    val c = section.copy(
+      t0 = math.max(section.t0, 0), t1 = math.min(section.t1, h.t - 1),
+      y0 = math.max(section.y0, ty0), y1 = math.min(section.y1, ty1),
+      x0 = math.max(section.x0, tx0), x1 = math.min(section.x1, tx1))
+    if (c.t0 > c.t1 || c.y0 > c.y1 || c.x0 > c.x1) None else Some(c)
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = (for {
+      (_, h) <- files; e <- h.tiles; c <- clampTile(h, e)
+    } yield (c.t1 - c.t0 + 1).toLong * (c.y1 - c.y0 + 1) * (c.x1 - c.x0 + 1)).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * GridSource.RowWidthBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
+
+  /** One partition per (file, tile, t) the section touches. A file none of
+    * whose tiles intersect contributes NOTHING — the file skip that the
+    * Morton packing makes frequent for 2-D ranges.
+    */
+  override def planInputPartitions(): Array[InputPartition] =
+    (for {
+      (path, h) <- files
+      e <- h.tiles
+      c <- clampTile(h, e).toSeq
+      t <- c.t0 to c.t1
+    } yield TiledGridPartition(path, h, e, t, c): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TiledGridReaderFactory(required)
+}
+
+case class TiledGridPartition(path: String, header: GridFile.TiledHeader,
+    tile: GridFile.TileEntry, t: Int, section: GridSource.Section)
+  extends InputPartition
+
+class TiledGridReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new TiledGridReader(p.asInstanceOf[TiledGridPartition], required)
+}
+
+/** Reads its tile's slice of the section — global indices in, tile-local
+  * offsets at the byte layer ([[GridFile.TiledSectionReader]]).
+  */
+class TiledGridReader(p: TiledGridPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val s = p.section
+  private val h = p.header
+  private val rdr = new GridFile.TiledSectionReader(p.path, h)
+  private var y = s.y0 - 1
+  private var x = s.x1 // forces a row load on first next()
+  private var row: Array[Double] = _
+
+  private val fieldGen: Array[(Int, Int) => Any] = required.fields.map { f =>
+    f.name match {
+      case "variable" => (_: Int, _: Int) => UTF8String.fromString(h.variable)
+      case "ts" => (_: Int, _: Int) => h.epochMicros + p.t.toLong * h.stepMicros
+      case "y" => (yy: Int, _: Int) => yy
+      case "x" => (_: Int, xx: Int) => xx
+      case "lat" => (yy: Int, _: Int) => h.lat0 + yy * h.dlat
+      case "lon" => (_: Int, xx: Int) => h.lon0 + xx * h.dlon
+      case "value" => (_: Int, xx: Int) =>
+        val v = row(xx - s.x0)
+        if (h.isFill(v)) null else v
+    }
+  }
+
+  override def next(): Boolean = {
+    if (s.x0 > s.x1) return false
+    x += 1
+    if (x > s.x1) {
+      y += 1
+      if (y > s.y1) return false
+      row = rdr.readRow(p.tile, p.t, y, s.x0, s.x1)
       x = s.x0
     }
     y <= s.y1

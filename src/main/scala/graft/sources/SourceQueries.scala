@@ -311,6 +311,39 @@ object SourceQueries extends QueryModule {
       .select("variable", "ts", "y", "x", "lat", "lon", "value")
       .orderBy("variable", "ts", "y", "x")
 
+  /** Z-order-tiled GRF2 fixture: the generator cells packed into container
+    * files of 4 Morton-consecutive 5×5 tiles each (6 files per variable) by
+    * [[graft.operators.Scale.writeZOrderedGrid]] — the domain-source twin of
+    * the parquet z-order layout behind `q_bbox_zorder`.
+    */
+  private val tiledGrfFor = scala.collection.mutable.Map[String, String]()
+  def grfTiledDir(s: SparkSession): String =
+    tiledGrfFor.synchronized {
+      tiledGrfFor.getOrElseUpdate("dir", {
+        val dir = java.nio.file.Files.createTempDirectory("graft-grf2").toFile.getAbsolutePath
+        graft.operators.Scale.writeZOrderedGrid(
+          GridData.cells(s).select("variable", "ts", "y", "x", "lat", "lon", "value"),
+          dir, tDim = GridData.T, yDim = GridData.Y, xDim = GridData.X,
+          epochMicros = GridSource.epochMicros,
+          stepMicros = 24L * 3600 * 1000000L,
+          lat0 = 44.0, dlat = 0.05, lon0 = -80.0, dlon = 0.05,
+          tileY = 5, tileX = 5, tilesPerFile = 4)
+        dir
+      })
+    }
+
+  /** Bbox read over the tiled layout: the y/x ranges prune whole container
+    * files from the driver-side tile directories before any byte is read
+    * (4 of 12 files survive: 2 Morton groups × 2 variables), then seek only
+    * the intersecting tile sections.
+    */
+  private def qGridTiled(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", grfTiledDir(s)).load()
+      .filter(col("y") < 10 && col("x") < 10 &&
+        col("ts") >= lit("1990-01-03 00:00:00").cast("timestamp"))
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x")
+
   /** Curvilinear section read: coordinates surface from the 2-D matrices;
     * a lat bound evaluates post-scan (no affine index mapping exists), while
     * ts/y/x still push down.
@@ -378,6 +411,7 @@ object SourceQueries extends QueryModule {
     "q_scan_uri_mock" -> qScanUriMock,
     "q_scan_partitioned" -> qScanPartitioned,
     "q_grid_file" -> qGridFile,
+    "q_grid_tiled" -> qGridTiled,
     "q_grid_nc" -> qGridNc,
     "q_grid_nc4" -> qGridNc4,
     "q_grid_nc4_latest" -> qGridNc4Latest,
@@ -436,6 +470,11 @@ object SourceQueries extends QueryModule {
         |  AND ts BETWEEN TIMESTAMP '1990-01-02 00:00:00' AND TIMESTAMP '1990-01-05 23:59:59'
         |  AND y >= 2 AND x BETWEEN 3 AND 27
         |ORDER BY ts, y, x""".stripMargin),
+    "q_grid_tiled" -> (GridData.oracleCells +
+      """SELECT variable, ts, y, x, lat, lon, value FROM cells
+        |WHERE y < 10 AND x < 10
+        |  AND ts >= TIMESTAMP '1990-01-03 00:00:00'
+        |ORDER BY variable, ts, y, x""".stripMargin),
     "q_grid_nc" -> (GridData.oracleCells +
       """SELECT ts, y, x, lat, lon, value FROM cells
         |WHERE variable = 'tasmax'

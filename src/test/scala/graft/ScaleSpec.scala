@@ -215,6 +215,54 @@ class ScaleSpec extends AnyFunSuite {
     assert(zf <= rf / 2, s"z-order touched $zf of 16 files, random $rf")
   }
 
+  test("z-order tiled .grf ingest: bbox skips whole container files") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    import graft.domain.GridData
+    import graft.sources.{GridSource, TiledGridPartition}
+    val cells = GridData.cells(spark)
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+    def writeDir(morton: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        if (morton) "grf2-z" else "grf2-rm").toFile.getAbsolutePath
+      graft.operators.Scale.writeZOrderedGrid(cells, dir,
+        tDim = GridData.T, yDim = GridData.Y, xDim = GridData.X,
+        epochMicros = GridSource.epochMicros,
+        stepMicros = 24L * 3600 * 1000000L,
+        lat0 = 44.0, dlat = 0.05, lon0 = -80.0, dlon = 0.05,
+        tileY = 5, tileX = 5, tilesPerFile = 4, morton = morton)
+      dir
+    }
+    val (zdir, rdir) = (writeDir(morton = true), writeDir(morton = false))
+    def table(dir: String) =
+      spark.read.format(classOf[GridSource].getName).option("path", dir).load()
+    // 24 tiles / 4 per file = 6 containers per variable, 12 per dir
+    assert(new java.io.File(zdir).listFiles().count(_.getName.endsWith(".grf")) == 12)
+    // 1) either packing reproduces the generator grid cell-for-cell
+    val got = table(zdir).select("variable", "ts", "y", "x", "lat", "lon", "value")
+    assert(got.count() == GridData.N)
+    assert(got.except(cells).count() == 0 && cells.except(got).count() == 0)
+    // 2) a tall bbox (x strip) prunes files from the tile directories: the
+    // Morton packing keeps file footprints square-ish (2 of 6 touched), the
+    // row-major strawman smears the strip across long thin files (4 of 6)
+    def filesTouched(dir: String): Int = {
+      val df = table(dir).filter(col("variable") === "tasmax" && col("x") <= 4)
+      val rel = df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r
+      }.getOrElse(fail("no DSv2 scan in plan"))
+      rel.scan.toBatch.planInputPartitions()
+        .map(_.asInstanceOf[TiledGridPartition].path).distinct.length
+    }
+    val (zf, rf) = (filesTouched(zdir), filesTouched(rdir))
+    assert(zf <= rf / 2, s"z-order touched $zf files, row-major $rf")
+    assert(zf <= 3, s"z-order touched $zf of 6 tasmax containers")
+    // and the pruned plan still answers exactly
+    val strip = table(zdir).filter(col("variable") === "tasmax" && col("x") <= 4)
+    val stripOracle = cells.filter(col("variable") === "tasmax" && col("x") <= 4)
+    assert(strip.count() == stripOracle.count() &&
+      strip.except(stripOracle).count() == 0)
+  }
+
   test("zorder64 interleave: bits land in even/odd positions, order is locality-preserving") {
     import graft.functions.ZOrder64.interleave
     assert(interleave(0, 0) == 0L)
