@@ -41,6 +41,18 @@ object Dedup extends QueryModule {
   def shingleHashes(text: Column, k: Int = 3): Column =
     shingleHashesOfTokens(split(text, " "), k)
 
+  /** Eager materialization with lineage truncation, used wherever a small
+    * derived set (candidate pairs, duplicate ids, CC labels) must outlive
+    * the caches that produced it. Executor-local `localCheckpoint` by
+    * default — fast, but lost with an executor; when the session has a
+    * checkpoint directory configured (`sc.setCheckpointDir`), the RELIABLE
+    * `checkpoint` is used instead, so on a real cluster fault tolerance is
+    * a one-line configuration, not a code change.
+    */
+  private def eagerCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
+
   /** MinHash signature (compositional reference form, kept for the parity
     * test): sig_i = min over shingles of hash_i(shingle), hash_i(x) =
     * xxhash64(i, x). The pipeline uses the single-pass `MinHashSignature`
@@ -95,7 +107,7 @@ object Dedup extends QueryModule {
       .count()
 
   /** Near-dup pairs above `minJ`. NOTE: runs eagerly (the candidate-sized
-    * result is materialized via `localCheckpoint` at call time) so the
+    * result is materialized via [[eagerCheckpoint]] at call time) so the
     * signature cache this call creates can be released before returning —
     * otherwise every cold call leaks a MEMORY_AND_DISK table for the session
     * lifetime. A cache pre-warmed by [[prepareSignatures]] is left alone.
@@ -139,7 +151,7 @@ object Dedup extends QueryModule {
       .select("doc1", "doc2", "est_jaccard", "jaccard")
       // materialize the (candidate-sized) pair set eagerly so the signature
       // cache can be released now instead of leaking until session end
-      .localCheckpoint(true)
+      .transform(eagerCheckpoint)
     if (ownsCache) sigs.unpersist()
     out
   }
@@ -153,14 +165,14 @@ object Dedup extends QueryModule {
     * full corpus rescan. Exact-Jaccard verification touches candidates only;
     * survivors come back via anti-join (doc order/columns untouched).
     *
-    * NOTE: runs eagerly — the eager `localCheckpoint` below executes a Spark
-    * job at call time (even if the result is never consumed) and stores the
-    * duplicate-id set in executor-local storage with truncated lineage. On a
-    * real cluster that set is unrecoverable if an executor is lost; the
-    * trade is deliberate (the set is candidate-sized, and re-running the
-    * call is cheap relative to leaking two signature caches per shard).
-    * Deployments with a configured checkpoint dir can swap in reliable
-    * `checkpoint` for fault tolerance.
+    * NOTE: runs eagerly — [[eagerCheckpoint]] below executes a Spark job at
+    * call time (even if the result is never consumed) with truncated
+    * lineage. Without a configured checkpoint dir the duplicate-id set is
+    * executor-local and unrecoverable if an executor is lost; the trade is
+    * deliberate (the set is candidate-sized, and re-running the call is
+    * cheap relative to leaking two signature caches per shard). With
+    * `sc.setCheckpointDir` the set lands in reliable storage instead —
+    * fault tolerance by configuration (DedupSpec asserts both paths).
     */
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
       minJ: Double = 0.5): DataFrame = {
@@ -182,7 +194,7 @@ object Dedup extends QueryModule {
       // materialize the (small) duplicate-id set eagerly so the signature
       // caches can be released NOW — without this, every call in a session
       // leaks two MEMORY_AND_DISK tables for the session lifetime
-      .localCheckpoint(true)
+      .transform(eagerCheckpoint)
     ns.unpersist(); cs.unpersist()
     newDocs.join(dup, Seq("doc_id"), "left_anti")
   }
@@ -255,7 +267,7 @@ object Dedup extends QueryModule {
     * singleton handling is the caller's (left-join + coalesce).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (eager) BOTH caches and TRUNCATES lineage: without it
+    // eagerCheckpoint BOTH caches and TRUNCATES lineage: without it
     // round k's logical plan nests all k-1 predecessors and driver planning
     // cost grows quadratically — the classic iterative-algorithm trap.
     // Checkpoint the DIRECTED edges before mirroring them, so an expensive
@@ -263,7 +275,7 @@ object Dedup extends QueryModule {
     // once per union branch.
     val e0 = edges
       .select(col("doc1").cast("long").as("src"), col("doc2").cast("long").as("dst"))
-      .localCheckpoint(true)
+      .transform(eagerCheckpoint)
     // Small-edge fast path — the same runtime size cutover as a broadcast
     // join: near-dup edge sets are FAR smaller than the corpus (they are
     // verified candidate pairs, not rows), so when the materialized count
@@ -308,7 +320,7 @@ object Dedup extends QueryModule {
     val bidir = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("src"))
-      .localCheckpoint(true)
+      .transform(eagerCheckpoint)
     // Seed each node with min(own id, min neighbor id) — the first
     // propagation round folded into the seeding aggregate. bidir is already
     // hash-partitioned by src, so this aggregate runs exchange-free, and
@@ -317,7 +329,7 @@ object Dedup extends QueryModule {
     var labels = bidir.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("component"))
       .select(col("src").as("id"), col("component"))
-      .localCheckpoint(true)
+      .transform(eagerCheckpoint)
     // Near-dup components are usually cliques or stars, and for those the
     // seed IS the fixpoint (every member sees the minimum directly). One
     // edge-consistency probe — does any edge join two labels? — then skips
@@ -351,7 +363,7 @@ object Dedup extends QueryModule {
         .select(col("jid").as("id"), col("hc").as("component"))
       val next = labels.union(msgs).union(jump)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true)
+        .transform(eagerCheckpoint)
       val nextSum = labelSum(next)
       labels = next
       done = nextSum == prevSum

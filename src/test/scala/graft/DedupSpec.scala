@@ -110,6 +110,41 @@ class DedupSpec extends AnyFunSuite {
     assert(all == Set(20L, 21L, 22L))
   }
 
+  test("configured checkpoint dir switches dedup to RELIABLE checkpoints, results unchanged") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "test assumes no pre-set checkpoint dir")
+    val baseline = Dedup.minhashPairs(docs, minJ = 0.4)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toFile.getAbsolutePath
+    sc.setCheckpointDir(ckDir)
+    try {
+      val pairs = Dedup.minhashPairs(docs, minJ = 0.4)
+      val got = pairs.select("doc1", "doc2").as[(Long, Long)].collect().toSet
+      assert(got == baseline, s"reliable path diverged: $got vs $baseline")
+      // the reliable path actually engaged: RDD checkpoint files landed
+      // under the configured dir (localCheckpoint writes nothing there)
+      def ckFiles: Int = {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        try walk.filter(java.nio.file.Files.isRegularFile(_)).count().toInt
+        finally walk.close()
+      }
+      assert(ckFiles > 0, "no checkpoint files written under the configured dir")
+      // incremental dedup + CC take the same switch
+      val corpus = Seq((10L, base)).toDF("doc_id", "text")
+      val fresh = Seq((20L, base), (21L, other)).toDF("doc_id", "text")
+      val admitted = Dedup.incrementalDedup(fresh, corpus, minJ = 0.4)
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(21L))
+      val cc = Dedup.connectedComponents(
+          Seq((2L, 1L), (2L, 3L)).toDF("doc1", "doc2"))
+        .as[(Long, Long)].collect().toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally {
+      sc.setCheckpointDir(null) // restore executor-local behavior for other suites
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("connected components: chains propagate, components stay separate") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 round), pair {10,11}, and an
