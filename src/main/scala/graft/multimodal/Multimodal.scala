@@ -125,8 +125,12 @@ object Multimodal extends QueryModule {
           case (id, bytes, mt) if mt.startsWith("image/") && mt != "image/fake" =>
             ImageDecoder.decode(id, bytes)
           case (id, bytes, mt) =>
+            // no codec for this media type in this environment: surface the
+            // stub's feature vector instead of a raster. NOT "" — identical
+            // empties would collide under md5 across every fallback row of a
+            // mixed-media table; the features stay content-distinguishable
             val f = FakeDecoder.decode(id, mt, bytes)
-            DecodedImage(id, f.width, f.height, "")
+            DecodedImage(id, f.width, f.height, f.features.mkString(","))
         }
       }
       .toDF()

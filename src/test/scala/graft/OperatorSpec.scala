@@ -64,6 +64,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(fp(1L) == fp(3L) && fp(1L) != fp(2L))
   }
 
+  test("no-oracle approx queries stay within published error of their exact twins") {
+    // q_quantile_approx: percentile_approx(accuracy=10000) guarantees rank
+    // error ≤ N/accuracy; translate to value error via the exact quantiles
+    val approxQ = graft.operators.Aggregates.queries("q_quantile_approx")(spark, TestSpark.sf)
+      .as[(String, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val exactQ = Tables.lineitem(spark, TestSpark.sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"))
+      .as[(String, Seq[Double])].collect().toMap
+    approxQ.foreach { case (flag, got) =>
+      got.zip(exactQ(flag)).foreach { case (a, e) =>
+        // quantities are integers 1..50: rank slack of N/10000 can move the
+        // estimate at most one value step at this fixture size
+        assert(math.abs(a - e) <= 1.0, s"$flag: approx $a vs exact $e")
+      }
+    }
+    // q_approx_distinct: HLL with rsd=0.02 — assert within 3 sigma (6%)
+    val approxD = graft.operators.Aggregates.queries("q_approx_distinct")(spark, TestSpark.sf)
+      .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
+    val exactD = Tables.lineitem(spark, TestSpark.sf)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    approxD.foreach { case (flag, a) =>
+      val e = exactD(flag)
+      assert(math.abs(a - e).toDouble / e <= 0.06,
+        s"$flag: approx distinct $a vs exact $e exceeds 3×rsd")
+    }
+  }
+
   test("multimodal PNG round-trip: our encoder -> JDK ImageIO decoder, per-pixel") {
     val decoded = graft.multimodal.Multimodal
       .decodeImages(graft.multimodal.Multimodal.pngAssets(spark, TestSpark.sf))
@@ -75,6 +105,73 @@ class OperatorSpec extends AnyFunSuite {
       val expected = (0 until r.width * r.height)
         .map(i => ((id * 31 + i.toLong * 7) % 251).toInt).mkString(",")
       assert(r.pixel_csv == expected, s"pixel mismatch for asset $id")
+    }
+  }
+
+  test("mixed-media decode: fallback rows stay distinguishable (no empty-raster collision)") {
+    import graft.multimodal.Multimodal
+    // one real PNG, two DIFFERENT no-codec assets: the fallback must not
+    // emit identical output for different payloads (md5 downstream)
+    val png = Multimodal.pngAssets(spark, TestSpark.sf).limit(1)
+    val fake = Seq(
+      (9001L, "first audio payload".getBytes("UTF-8"), "audio/wav"),
+      (9002L, "second audio payload".getBytes("UTF-8"), "audio/wav")
+    ).toDF("asset_id", "payload", "media_type")
+      .select(col("asset_id"), col("payload"),
+        struct(col("media_type"), length(col("payload")).as("n_bytes"),
+          lit("synthetic").as("origin")).as("meta"))
+    val mixed = png.unionByName(fake)
+    val out = Multimodal.decodeImages(mixed)
+      .as[Multimodal.DecodedImage].collect().sortBy(_.asset_id)
+    assert(out.length == 3)
+    out.foreach(r => assert(r.pixel_csv.nonEmpty, s"asset ${r.asset_id}: empty output"))
+    val Array(_, a1, a2) = out
+    assert(a1.pixel_csv != a2.pixel_csv,
+      "different fallback payloads produced identical output (md5 collision)")
+  }
+
+  test("JPEG decodes through the same real-decoder path (lossy tolerance)") {
+    import graft.multimodal.Multimodal
+    // encode a JPEG with the JDK (the second-most-common media type in real
+    // asset tables); decode through ImageDecoder and bound the lossy error
+    val jpegs = Seq(5001L, 5002L).toDF("asset_id")
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16; val h = 12
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // smooth per-id gradient: no hard edges, so the lossy error is the
+          // codec's quantization (small), not ringing at a sawtooth wrap
+          for (y <- 0 until h; x <- 0 until w) {
+            val v = (20 + (id % 3) * 10 + x * 10 + y * 5).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload"),
+        struct(lit("image/jpeg").as("media_type"),
+          length(col("payload")).as("n_bytes"),
+          lit("synthetic").as("origin")).as("meta"))
+    val out = Multimodal.decodeImages(jpegs)
+      .as[Multimodal.DecodedImage].collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.width == 16 && r.height == 12)
+      val got = r.pixel_csv.split(",").map(_.toInt)
+      val expect = (0 until 16 * 12).map { i =>
+        val (x, y) = (i % 16, i / 16)
+        (20 + (r.asset_id % 3) * 10 + x * 10 + y * 5).toInt
+      }
+      assert(got.length == expect.length)
+      // JPEG is lossy: bound per-pixel error rather than demanding equality
+      got.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(math.abs(g - e) <= 12, s"asset ${r.asset_id} px $i: $g vs $e")
+      }
     }
   }
 

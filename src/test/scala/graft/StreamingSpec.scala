@@ -126,6 +126,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set((1L, 100L)), s"got $out")
   }
 
+  test("session_window under readStream: late data dropped, closed sessions equal the batch twin") {
+    // the true-streaming form of q_session_late's semantics: watermarked
+    // session windows in append mode emit each session once it can no longer
+    // merge; an event behind the watermark must not reopen or extend it
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"))
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    // two users' sessions, then an event far ahead to advance the watermark
+    mem.addData((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:10:00"), 1L),
+      (t("2024-01-01 10:20:00"), 1L), (t("2024-01-01 10:05:00"), 2L))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 12:00:00"), 9L)) // watermark → 11:50
+    q.processAllAvailable()
+    // 10:40 is 70 min behind the watermark: if it leaked it would surface as
+    // a spurious session (user 1's 10:00–10:50 session already emitted)
+    mem.addData((t("2024-01-01 10:40:00"), 1L))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 14:00:00"), 9L)) // close user 9's 12:00 session
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("session_out")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    // batch twin: same composition over the ON-TIME events, keeping sessions
+    // the final watermark (13:50) has closed — q_session_late's tail cut
+    val onTime = Seq(
+      (t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:10:00"), 1L),
+      (t("2024-01-01 10:20:00"), 1L), (t("2024-01-01 10:05:00"), 2L),
+      (t("2024-01-01 12:00:00"), 9L), (t("2024-01-01 14:00:00"), 9L)
+    ).toDF("ts", "user_id")
+    val twin = onTime
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"))
+      .filter(col("session_end") <= t("2024-01-01 13:50:00"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed == twin,
+      s"streamed $streamed vs batch twin $twin")
+    assert(streamed.exists(_._1 == 1L) && streamed.size == 3)
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
     val events = Tables.events(spark, TestSpark.sf)
       .select("event_id", "ts", "user_id").as[Streaming.Event]
