@@ -719,7 +719,8 @@ class TiledGridTable(dir: String) extends Table with SupportsRead {
   */
 class TiledGridScanBuilder(files: Seq[(String, GridFile.TiledHeader)])
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private val dims = files.head._2
   private var section = GridSource.Section(
     t1 = dims.t - 1, y1 = dims.y - 1, x1 = dims.x - 1,
@@ -753,9 +754,79 @@ class TiledGridScanBuilder(files: Seq[(String, GridFile.TiledHeader)])
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new TiledGridScan(
-    files.filter { case (_, h) => varNames.forall(_.contains(h.variable)) },
-    section, required, pushed)
+  /** Same metadata-aggregate contract as the other grid tables, answered
+    * from the tile DIRECTORIES: count/min/max come from per-tile section
+    * clamps — no tile bytes are read.
+    */
+  private var aggPlan: Option[Seq[GridAgg]] = None
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    GridAgg.translate(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    GridAgg.translate(agg) match {
+      case some @ Some(_) => aggPlan = some; true
+      case None => false
+    }
+
+  private def kept: Seq[(String, GridFile.TiledHeader)] =
+    files.filter { case (_, h) => varNames.forall(_.contains(h.variable)) }
+
+  override def build(): Scan = aggPlan match {
+    case Some(plan) => new TiledGridAggScan(kept.map(_._2), section, plan)
+    case None => new TiledGridScan(kept, section, required, pushed)
+  }
+}
+
+/** Directory-answered aggregate over the tiled table: clamp the section to
+  * every surviving tile, combine closed-form counts/bounds — zero data
+  * bytes, like [[FileGridAggScan]] but per tile instead of per file.
+  */
+class TiledGridAggScan(headers: Seq[GridFile.TiledHeader],
+    section: GridSource.Section, plan: Seq[GridAgg])
+    extends SingleRowAggScan(plan) {
+
+  override def description(): String =
+    s"TiledGridAggScan vars=${headers.map(_.variable).mkString(",")} section=$section " +
+      s"pushedAggregates=[${plan.mkString(", ")}]"
+
+  override protected def resultRow(): Seq[Any] = {
+    val perTile = for {
+      h <- headers
+      e <- h.tiles
+      (ty0, ty1, tx0, tx1) = h.tileBounds(e)
+      c = section.copy(
+        t0 = math.max(section.t0, 0), t1 = math.min(section.t1, h.t - 1),
+        y0 = math.max(section.y0, ty0), y1 = math.min(section.y1, ty1),
+        x0 = math.max(section.x0, tx0), x1 = math.min(section.x1, tx1))
+      if c.t0 <= c.t1 && c.y0 <= c.y1 && c.x0 <= c.x1
+    } yield (h, c)
+    def bound(h: GridFile.TiledHeader, c: GridSource.Section, f: String,
+        lo: Boolean): Any = f match {
+      case "ts" => h.epochMicros + (if (lo) c.t0 else c.t1).toLong * h.stepMicros
+      case "y" => if (lo) c.y0 else c.y1
+      case "x" => if (lo) c.x0 else c.x1
+      case "lat" => GridAgg.affineBound(h.lat0, h.dlat, c.y0, c.y1, lo)
+      case "lon" => GridAgg.affineBound(h.lon0, h.dlon, c.x0, c.x1, lo)
+    }
+    def combine(f: String, lo: Boolean): Any =
+      if (perTile.isEmpty) null
+      else {
+        val vs = perTile.map { case (h, c) => bound(h, c, f, lo) }
+        f match {
+          case "y" | "x" =>
+            val is = vs.map(_.asInstanceOf[Int]); if (lo) is.min else is.max
+          case "ts" =>
+            val ls = vs.map(_.asInstanceOf[Long]); if (lo) ls.min else ls.max
+          case _ =>
+            val ds = vs.map(_.asInstanceOf[Double]); if (lo) ds.min else ds.max
+        }
+      }
+    plan.map {
+      case GridAgg.CountAll => perTile.map { case (_, c) =>
+        (c.t1 - c.t0 + 1).toLong * (c.y1 - c.y0 + 1) * (c.x1 - c.x0 + 1) }.sum
+      case GridAgg.MinOf(f) => combine(f, lo = true)
+      case GridAgg.MaxOf(f) => combine(f, lo = false)
+    }
+  }
 }
 
 class TiledGridScan(files: Seq[(String, GridFile.TiledHeader)],

@@ -20,13 +20,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    checksummed), version-2 object headers (`OHDR`/`OCHK`, checksummed,
   *    incl. tracked attribute creation order and stored times), new-style
   *    groups via compact link messages, dataspace v2, attribute messages
-  *    v2/v3, data layout v4 with Single Chunk and Fixed Array (`FAHD`/
-  *    `FADB`, filtered and unfiltered clients) chunk indexes
+  *    v2/v3, data layout v4 with Single Chunk, Implicit (back-to-back
+  *    unfiltered chunks) and Fixed Array (`FAHD`/`FADB`, filtered and
+  *    unfiltered clients) chunk indexes
   *  - messages: NIL, dataspace (v1/v2), datatype (fixed/float/string/
   *    reference/vlen), fill value (skipped), data layout v3 (contiguous +
-  *    chunked) and v4 (contiguous + chunked single-chunk/fixed-array),
-  *    filter pipeline (v1/v2), attribute (v1/v2/v3), object header
-  *    continuation, symbol table, link info, link, group info,
+  *    chunked) and v4 (contiguous + chunked single-chunk/implicit/
+  *    fixed-array), filter pipeline (v1/v2), attribute (v1/v2/v3), object
+  *    header continuation, symbol table, link info, link, group info,
   *    attribute info
   *  - chunked data via v1 chunk B-trees or the v4 indexes above, raw or
   *    filtered with the three filters netcdf-c/h5py emit by default:
@@ -35,9 +36,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - global heap collections for vlen data — enough for NetCDF-4's
   *    DIMENSION_LIST attributes (vlen of object references)
   * Everything else (superblock v1, fractal-heap DENSE groups/attributes,
-  * soft/external links, implicit/extensible-array/v2-btree chunk indexes,
-  * paged fixed arrays, filters outside the trio) fails with an explicit
-  * message, never a misparse.
+  * soft/external links, extensible-array/v2-btree chunk indexes, paged
+  * fixed arrays, filters outside the trio) fails with an explicit message,
+  * never a misparse.
   */
 object Hdf5 {
 
@@ -96,6 +97,11 @@ object Hdf5 {
   sealed trait ChunkIndex
   /** Index type 1: the dataset is one chunk; `filtered` = (stored size, mask). */
   final case class SingleChunk(addr: Long, filtered: Option[(Long, Int)]) extends ChunkIndex
+  /** Index type 2: unfiltered chunks stored back-to-back in row-major
+    * chunk-grid order from `addr` — no directory at all (what early-allocated
+    * unfiltered latest-format datasets use).
+    */
+  final case class ImplicitIndex(addr: Long) extends ChunkIndex
   /** Index type 3: Fixed Array (`FAHD` header + `FADB` data block). */
   final case class FixedArrayIndex(addr: Long, pageBits: Int) extends ChunkIndex
 
@@ -567,11 +573,12 @@ object Hdf5 {
             val filtered =
               if ((flags & 0x02) != 0) Some((b.getLong(), b.getInt())) else None
             SingleChunk(b.getLong(), filtered)
+          case 2 => ImplicitIndex(b.getLong())
           case 3 =>
             val pageBits = b.get() & 0xFF
             FixedArrayIndex(b.getLong(), pageBits)
           case t => throw new IllegalArgumentException(
-            s"$path: chunk index type $t unsupported (single-chunk=1, fixed-array=3)")
+            s"$path: chunk index type $t unsupported (single-chunk=1, implicit=2, fixed-array=3)")
         }
         LayoutMsg(ChunkedV4(cdims, index))
       case 0 =>
@@ -888,6 +895,22 @@ object Hdf5 {
             val (size, mask) = filtered.getOrElse((chunkBytes, 0))
             Seq((Seq.fill(cdims.length)(0L), addr, size, mask))
           }
+        case ImplicitIndex(addr) =>
+          require(ds.filters.isEmpty,
+            s"$path: implicit chunk index cannot carry filtered chunks")
+          if (addr == Undef) Nil
+          else {
+            val grid = ds.dims.zip(cdims).map { case (d, c) => ((d + c - 1) / c).toInt }
+            (0 until grid.product).map { i =>
+              var rem = i // row-major chunk-grid order, back-to-back storage
+              val off = new Array[Long](cdims.length)
+              var k = cdims.length - 1
+              while (k >= 0) {
+                off(k) = (rem % grid(k)).toLong * cdims(k); rem /= grid(k); k -= 1
+              }
+              (off.toSeq, addr + i.toLong * chunkBytes, chunkBytes, 0)
+            }
+          }
         case fa: FixedArrayIndex =>
           fixedArrayChunks(r, fa, cdims, ds.dims, chunkBytes, path)
       }
@@ -1106,7 +1129,10 @@ object Hdf5 {
   /** Fixture writer input. `refAttrs` become vlen-of-object-reference
     * attributes (the shape of NetCDF-4's DIMENSION_LIST); names must refer
     * to sibling datasets in the same `write` call. `chunkDims` switches the
-    * layout to a v1-btree chunked one (3-D only).
+    * layout to a chunked one (3-D only): v1 B-tree in default format, v4
+    * chunk indexes in latest format — Single Chunk when the chunk covers
+    * the extent, otherwise Fixed Array, or Implicit (back-to-back unfiltered
+    * chunks, no directory) when `implicitIndex` is set.
     */
   final case class WDataset(
       name: String, dtype: DType, dims: Seq[Long], data: Array[Double],
@@ -1114,7 +1140,8 @@ object Hdf5 {
       numAttrs: Seq[(String, DType, Seq[Double])] = Nil,
       refAttrs: Seq[(String, Seq[Seq[String]])] = Nil,
       chunkDims: Option[Seq[Int]] = None,
-      filters: Seq[H5Filter] = Nil)
+      filters: Seq[H5Filter] = Nil,
+      implicitIndex: Boolean = false)
 
   private final class LeBuf {
     private val bo = new java.io.ByteArrayOutputStream()
@@ -1206,6 +1233,8 @@ object Hdf5 {
         s"${d.name}: chunked write supports 3-D only"))
       require(d.filters.isEmpty || d.chunkDims.isDefined,
         s"${d.name}: filters apply to chunked layouts only")
+      require(!d.implicitIndex || d.filters.isEmpty,
+        s"${d.name}: an implicit chunk index cannot carry filtered chunks")
     }
     val names = datasets.map(_.name)
     require(names.distinct == names, "duplicate dataset names")
@@ -1542,6 +1571,9 @@ object Hdf5 {
               l.u8(1) // Single Chunk index
               if (d.filters.nonEmpty) { l.u64(cs.head._2.length); l.u32(0) }
               l.u64(res(s"chunk:${d.name}:0"))
+            } else if (d.implicitIndex) {
+              l.u8(2) // Implicit index: chunk blocks are written back-to-back
+              l.u64(res(s"chunk:${d.name}:0"))
             } else {
               l.u8(3).u8(fixedArrayPageBits) // Fixed Array index
               l.u64(res(s"fahd:${d.name}"))
@@ -1619,7 +1651,7 @@ object Hdf5 {
               case None => Seq(s"data:${d.name}")
               case Some(_) =>
                 val cs = chunksOf(d).indices.map(i => s"chunk:${d.name}:$i")
-                if (cs.length == 1) cs
+                if (cs.length == 1 || d.implicitIndex) cs
                 else Seq(s"fahd:${d.name}", s"fadb:${d.name}") ++ cs
             }
           }

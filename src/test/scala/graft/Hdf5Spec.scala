@@ -170,6 +170,30 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("latest format: implicit chunk index (back-to-back unfiltered chunks)") {
+    val p = tmp("latest-implicit.h5")
+    val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(T, Y, X), data,
+        chunkDims = Some(Seq(2, 3, 3)), implicitIndex = true)), latest = true)
+    val h = Hdf5.open(p)
+    val temp = h.dataset("temp").get
+    assert(temp.layout.asInstanceOf[ChunkedV4].index.isInstanceOf[ImplicitIndex])
+    assert(Hdf5.readAll(p, temp).toSeq == data.toSeq)
+    val rdr = new Hdf5.SectionReader(p, temp)
+    try {
+      for (t <- 0 until T; y <- 0 until Y)
+        assert(rdr.readRow(t, y, 1, X - 2).toSeq ==
+          (1 to X - 2).map(x => data((t * Y + y) * X + x)), s"t=$t y=$y")
+    } finally rdr.close()
+    // filters + implicit is rejected at write time (the index has no
+    // per-chunk sizes to store)
+    val e = intercept[IllegalArgumentException](Hdf5.write(tmp("bad.h5"), Seq(
+      WDataset("v", F32, Seq(T, Y, X), data, chunkDims = Some(Seq(2, 3, 3)),
+        filters = Seq(Fletcher32), implicitIndex = true)), latest = true))
+    assert(e.getMessage.contains("implicit"))
+  }
+
   test("latest format: corrupted metadata fails the lookup3 checksum loudly") {
     val p = tmp("latest-corrupt.h5")
     writeGrid(p, chunked = false, latest = true)
@@ -237,7 +261,11 @@ class Hdf5Spec extends AnyFunSuite {
         WDataset("v", dtype, Seq(t, y, x), data,
           chunkDims = if (chunked) Some(Seq(
             rnd.nextInt(t) + 1, rnd.nextInt(y) + 1, rnd.nextInt(x) + 1)) else None,
-          filters = filters)), latest)
+          filters = filters,
+          // unfiltered latest chunked cases split between fixed-array and
+          // implicit indexes
+          implicitIndex = latest && chunked && filters.isEmpty && rnd.nextBoolean())),
+        latest)
       val h = Hdf5.open(p)
       val v = h.dataset("v").get
       assert(Hdf5.readAll(p, v).toSeq == data.toSeq,

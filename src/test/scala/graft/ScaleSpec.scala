@@ -261,6 +261,16 @@ class ScaleSpec extends AnyFunSuite {
     val stripOracle = cells.filter(col("variable") === "tasmax" && col("x") <= 4)
     assert(strip.count() == stripOracle.count() &&
       strip.except(stripOracle).count() == 0)
+    // 3) metadata aggregates answer from the tile DIRECTORIES (no tile bytes)
+    val agg = table(zdir)
+      .filter(col("variable") === "tasmin" && col("y") >= 12 && col("x").between(7, 22))
+      .agg(count(lit(1)).as("n"), min("lat").as("lat_min"), max("x").as("x_max"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("TiledGridAggScan"), aggPlan)
+    val expect = cells
+      .filter(col("variable") === "tasmin" && col("y") >= 12 && col("x").between(7, 22))
+      .agg(count(lit(1)), min("lat"), max("x")).collect()(0)
+    assert(agg.collect()(0) == expect)
   }
 
   test("zorder64 interleave: bits land in even/odd positions, order is locality-preserving") {
