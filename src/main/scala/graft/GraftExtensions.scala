@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 
-import graft.functions.{ApproxTopK, CmsEstimate, CosineSimilarity, DotProduct, HistogramBreaks, MinHashSignature, PointInPolygon, SimHash64, TopKByScore, ZOrder64}
+import graft.functions.{ApproxTopK, CmsEstimate, CosineSimilarity, DotProduct, HistogramBreaks, HistogramMergeQuantiles, HistogramSketch, MinHashSignature, PointInPolygon, SimHash64, TopKByScore, ZOrder64}
 
 /** Session extension (`spark.sql.extensions=graft.GraftExtensions`) wiring the
   * library's native expressions into SQL and the optimizer:
@@ -109,6 +109,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(s"$what: not an int ($other)")
       }
     }
+    def litDouble(e: Expression, what: String): Double = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval() match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case d: java.math.BigDecimal => d.doubleValue()
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case other => throw new IllegalArgumentException(s"$what: not numeric ($other)")
+      }
+    }
     ext.injectFunction((FunctionIdentifier("approx_top_k"), info("approx_top_k"),
       (args: Seq[Expression]) => {
         require(args.length == 3, "approx_top_k(col, k, capacity)")
@@ -118,6 +130,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3, "histogram_breaks(col, numBreaks, maxBins)")
         HistogramBreaks(args(0), litInt(args(1), "numBreaks"), litInt(args(2), "maxBins"))
+      }))
+    ext.injectFunction((FunctionIdentifier("histogram_sketch"), info("histogram_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "histogram_sketch(col, maxBins)")
+        HistogramSketch(args(0), litInt(args(1), "maxBins"))
+      }))
+    ext.injectFunction((FunctionIdentifier("histogram_merge_quantiles"),
+      info("histogram_merge_quantiles"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3, "histogram_merge_quantiles(sketch, maxBins, p1, p2, ...)")
+        HistogramMergeQuantiles(args(0),
+          args.drop(2).map(litDouble(_, "probability")),
+          litInt(args(1), "maxBins"))
       }))
     ext.injectFunction((FunctionIdentifier("top_k_by_score"), info("top_k_by_score"),
       (args: Seq[Expression]) => {

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * lon of x alone) and as 2-D curvilinear matrices otherwise — whichever the
   * input grid actually is. Missing cells and SQL NULLs become `_FillValue`
   * (NaN).
+  *
+  * Deliberately NOT spatially tiled: the `.nc` table contract is one grid
+  * layout per directory ([[NcGridTable]] reads every file at the same byte
+  * offsets), so per-file spatial footprints would be a silent misparse
+  * waiting to happen. The Morton-packed, file-skipping ingest layout lives
+  * in the library's own container instead —
+  * [[graft.operators.Scale.writeZOrderedGrid]] → GRF2
+  * ([[GridFile.writeTiled]]), where the tile directory is part of the
+  * format.
   */
 object NcSink {
 

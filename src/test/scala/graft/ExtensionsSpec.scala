@@ -123,6 +123,17 @@ class ExtensionsSpec extends AnyFunSuite {
       """SELECT histogram_breaks(CAST(id AS DOUBLE), 4, 64) AS b FROM range(101)
         |""".stripMargin).collect()(0).getSeq[Double](0)
     assert(breaks.length == 3 && math.abs(breaks(1) - 50.0) <= 1.0, breaks)
+    // two-stage quantile rollup from SQL alone: per-shard sketch bytes
+    // merged to global type-7 quantiles — exact below the bin budget
+    val rollup = ext.sql(
+      """SELECT histogram_merge_quantiles(sk, 64, 0.25, 0.5, 0.75) AS qs FROM (
+        |  SELECT id % 4 AS shard, histogram_sketch(CAST(id % 50 AS DOUBLE), 64) AS sk
+        |  FROM range(1000) GROUP BY id % 4)
+        |""".stripMargin).collect()(0).getSeq[Double](0)
+    val exactRollup = ext.sql(
+      """SELECT percentile(CAST(id % 50 AS DOUBLE), array(0.25, 0.5, 0.75))
+        |FROM range(1000)""".stripMargin).collect()(0).getSeq[Double](0)
+    assert(rollup == exactRollup, s"$rollup vs $exactRollup")
     val knn = ext.sql(
       """SELECT top_k_by_score(struct(CAST(id % 7 AS DOUBLE), id), 3) AS t
         |FROM range(100)""".stripMargin).collect()(0).getSeq[org.apache.spark.sql.Row](0)

@@ -73,6 +73,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(top == Seq(("a", 3L), ("b", 2L)), top)
   }
 
+  test("histogram quantile sketch aggregates under readStream (mergeable state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(graft.functions.HistogramFunctions
+        .histogram_breaks(col("v"), numBreaks = 4).as("breaks"))
+      .select(col("window.start").as("ws"), col("breaks"))
+      .writeStream.format("memory").queryName("hist_out")
+      .outputMode("append").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    // 1..100 split over two micro-batches: the state-store merge path runs
+    mem.addData((1 to 50).map(i => (t("2024-01-01 10:00:00"), i.toDouble)): _*)
+    q.processAllAvailable()
+    mem.addData((51 to 100).map(i => (t("2024-01-01 10:05:00"), i.toDouble)): _*)
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 11:00:00"), 0.0)) // advance watermark, close window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hist_out")
+      .as[(java.sql.Timestamp, Seq[Double])].collect()
+      .filter(_._1 == t("2024-01-01 10:00:00"))
+    assert(rows.length == 1)
+    val breaks = rows.head._2
+    assert(breaks.length == 3)
+    // 100 distinct values > 64 bins: sketch regime — bound, don't equate
+    Seq(25.0, 50.0, 75.0).zip(breaks).foreach { case (e, b) =>
+      assert(math.abs(b - e) <= 5.0, s"break $b vs quartile $e")
+    }
+  }
+
   test("stream-static join enriches every event, matching the batch join") {
     val dim = spark.range(1000).select(col("id").as("user_id"), (col("id") % 3).as("segment"))
     val q = Streaming.enriched(Streaming.eventsStream(spark, TestSpark.sf), dim)
