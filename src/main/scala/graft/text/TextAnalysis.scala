@@ -109,12 +109,18 @@ object TextAnalysis extends QueryModule {
     * and the scalar N — no O(docs × vocab) blowup.
     */
   private def qTfidf(s: SparkSession, d: String): DataFrame = {
-    val toks = T.documents(s, d)
+    val tf = T.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // tf holds exactly one row per (doc, token), so a count over the token
+    // partition IS the document frequency — one corpus explode instead of
+    // two, and no vocabulary-sized broadcast join (vocabularies don't fit
+    // in a broadcast at corpus scale; a token-partitioned window shuffles
+    // the same rows the join would and nothing else)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("token")
     val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+    tf.withColumn("df", count(lit(1)).over(w))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
       .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
