@@ -14,7 +14,11 @@ import graft.functions.{ApproxTopK, CmsEstimate, CosineSimilarity, DotProduct, H
   *
   *   - SQL functions: `dot_product(a, b)`, `cosine_sim(a, b)`,
   *     `simhash64(arr)`, `point_in_polygon(lat, lon, ring)` with `ring` a
-  *     constant `array(lon0, lat0, lon1, lat1, …)` — so a SQL-only user of
+  *     constant `array(lon0, lat0, lon1, lat1, …)`, `zorder64(x, y)`,
+  *     `cms_estimate(sketch, item)`, and the aggregate sketches
+  *     `approx_top_k`, `histogram_breaks`, `histogram_sketch` +
+  *     `histogram_merge_quantiles` (two-stage quantile rollup),
+  *     `minhash_signature`, `top_k_by_score` — so a SQL-only user of
   *     the reference's query surface needs no Scala.
   *   - `PolygonEnvelopeRule`: rewrites `point_in_polygon` predicates inside
   *     `Filter` conditions to `bbox(ring) AND point_in_polygon` (under filter

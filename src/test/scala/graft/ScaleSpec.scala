@@ -261,7 +261,26 @@ class ScaleSpec extends AnyFunSuite {
     val stripOracle = cells.filter(col("variable") === "tasmax" && col("x") <= 4)
     assert(strip.count() == stripOracle.count() &&
       strip.except(stripOracle).count() == 0)
-    // 3) metadata aggregates answer from the tile DIRECTORIES (no tile bytes)
+    // 3) edge-clipped tiles: 7×9 tiles over a 20×30 grid leave ragged edges
+    // (grid 3×4, last row height 6, last column width 3) — the clip math in
+    // writer AND reader must agree cell-for-cell
+    val cdir = java.nio.file.Files.createTempDirectory("grf2-clip").toFile.getAbsolutePath
+    graft.operators.Scale.writeZOrderedGrid(cells, cdir,
+      tDim = GridData.T, yDim = GridData.Y, xDim = GridData.X,
+      epochMicros = GridSource.epochMicros,
+      stepMicros = 24L * 3600 * 1000000L,
+      lat0 = 44.0, dlat = 0.05, lon0 = -80.0, dlon = 0.05,
+      tileY = 7, tileX = 9, tilesPerFile = 3)
+    val clipped = table(cdir).select("variable", "ts", "y", "x", "lat", "lon", "value")
+    assert(clipped.count() == GridData.N)
+    assert(clipped.except(cells).count() == 0 && cells.except(clipped).count() == 0)
+    // a mixed GRF1 + GRF2 directory fails loudly, never misparses
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sources.SourceQueries.grfDir, "tasmax.grf"),
+      java.nio.file.Paths.get(cdir, "a-classic.grf"))
+    val e = intercept[Exception](table(cdir).count())
+    assert(e.getMessage.contains("GRF"), e.getMessage)
+    // 4) metadata aggregates answer from the tile DIRECTORIES (no tile bytes)
     val agg = table(zdir)
       .filter(col("variable") === "tasmin" && col("y") >= 12 && col("x").between(7, 22))
       .agg(count(lit(1)).as("n"), min("lat").as("lat_min"), max("x").as("x_max"))
