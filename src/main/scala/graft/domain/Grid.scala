@@ -126,7 +126,7 @@ object GridQuery {
     // FULL canonicalized plan text, not a 32-bit hash: two distinct source
     // plans colliding would silently serve the wrong catalog. Catalog
     // sources are scans, so the canonical string is short and stable.
-    val key = System.identityHashCode(cellsDf.sparkSession) + ":" +
+    val key = s"${System.identityHashCode(cellsDf.sparkSession)}:" +
       cellsDf.queryExecution.analyzed.canonicalized.toString
     catalogCache.computeIfAbsent(key, _ =>
       cellsDf.groupBy("file", "variable")

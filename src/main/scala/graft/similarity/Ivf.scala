@@ -12,7 +12,8 @@ import graft.functions.VectorFunctions.cosine_sim
   */
 object Ivf {
 
-  private def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+  private def centroidLit(c: Array[Double]): Column =
+    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)
 
   /** struct(dist, cid) argmin over the centroid list via `least`. */
   private def nearestCentroid(v: Column, cents: Seq[Array[Double]]): Column =

@@ -45,7 +45,8 @@ object Similarity extends QueryModule {
     Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
+  private def planeLit(p: Array[Double]): Column =
+    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
 
   /** Sign-LSH bucket id: bit i = sign(dot(v, plane_i)), packed into an int. */
   def lshBucket(v: Column, dim: Int = 64, numPlanes: Int = NumPlanes,
