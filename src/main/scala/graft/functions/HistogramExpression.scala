@@ -72,7 +72,7 @@ final class MutableHist(val cap: Int) extends Serializable {
     * approximations and so is this.
     */
   def quantileCont(p: Double): Double = {
-    require(size > 0, "empty histogram")
+    if (size == 0) return Double.NaN // same empty-input posture as Hist.quantile
     var total = 0L
     var i = 0
     while (i < size) { total += count(i); i += 1 }

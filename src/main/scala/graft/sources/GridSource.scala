@@ -99,6 +99,20 @@ object GridSource {
     s.copy(t1 = math.min(s.t1, t - 1), y1 = math.min(s.y1, y - 1),
       x1 = math.min(s.x1, x - 1))
 
+  /** Section clamped to one GRF2 tile's global bounds; None when disjoint.
+    * The tiled row scan and agg scan BOTH derive their per-tile extents
+    * here — a divergence would make count() disagree with the rows read.
+    */
+  def clampToTile(s: Section, h: GridFile.TiledHeader,
+      e: GridFile.TileEntry): Option[Section] = {
+    val (ty0, ty1, tx0, tx1) = h.tileBounds(e)
+    val c = s.copy(
+      t0 = math.max(s.t0, 0), t1 = math.min(s.t1, h.t - 1),
+      y0 = math.max(s.y0, ty0), y1 = math.min(s.y1, ty1),
+      x0 = math.max(s.x0, tx0), x1 = math.min(s.x1, tx1))
+    if (c.t0 > c.t1 || c.y0 > c.y1 || c.x0 > c.x1) None else Some(c)
+  }
+
   /** Inclusive index bounds per dimension, narrowed by pushed filters.
     * `epochMicros`/`stepMicros` map ts predicates to t indices; the defaults
     * are the generator grid's, the file-backed path passes its header's.
@@ -792,12 +806,7 @@ class TiledGridAggScan(headers: Seq[GridFile.TiledHeader],
     val perTile = for {
       h <- headers
       e <- h.tiles
-      (ty0, ty1, tx0, tx1) = h.tileBounds(e)
-      c = section.copy(
-        t0 = math.max(section.t0, 0), t1 = math.min(section.t1, h.t - 1),
-        y0 = math.max(section.y0, ty0), y1 = math.min(section.y1, ty1),
-        x0 = math.max(section.x0, tx0), x1 = math.min(section.x1, tx1))
-      if c.t0 <= c.t1 && c.y0 <= c.y1 && c.x0 <= c.x1
+      c <- GridSource.clampToTile(section, h, e)
     } yield (h, c)
     def bound(h: GridFile.TiledHeader, c: GridSource.Section, f: String,
         lo: Boolean): Any = f match {
@@ -838,20 +847,10 @@ class TiledGridScan(files: Seq[(String, GridFile.TiledHeader)],
     s"TiledGridScan files=${files.map(_._1).mkString(",")} section=$section " +
       s"pushed=[${pushed.mkString(", ")}]"
 
-  /** Section clamped to one tile's global bounds; None when disjoint. */
-  private def clampTile(h: GridFile.TiledHeader,
-      e: GridFile.TileEntry): Option[GridSource.Section] = {
-    val (ty0, ty1, tx0, tx1) = h.tileBounds(e)
-    val c = section.copy(
-      t0 = math.max(section.t0, 0), t1 = math.min(section.t1, h.t - 1),
-      y0 = math.max(section.y0, ty0), y1 = math.min(section.y1, ty1),
-      x0 = math.max(section.x0, tx0), x1 = math.min(section.x1, tx1))
-    if (c.t0 > c.t1 || c.y0 > c.y1 || c.x0 > c.x1) None else Some(c)
-  }
-
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = (for {
-      (_, h) <- files; e <- h.tiles; c <- clampTile(h, e)
+      (_, h) <- files; e <- h.tiles
+      c <- GridSource.clampToTile(section, h, e)
     } yield (c.t1 - c.t0 + 1).toLong * (c.y1 - c.y0 + 1) * (c.x1 - c.x0 + 1)).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(rows * GridSource.RowWidthBytes)
@@ -866,7 +865,7 @@ class TiledGridScan(files: Seq[(String, GridFile.TiledHeader)],
     (for {
       (path, h) <- files
       e <- h.tiles
-      c <- clampTile(h, e).toSeq
+      c <- GridSource.clampToTile(section, h, e).toSeq
       t <- c.t0 to c.t1
     } yield TiledGridPartition(path, h, e, t, c): InputPartition).toArray
 

@@ -900,21 +900,34 @@ object Hdf5 {
             s"$path: implicit chunk index cannot carry filtered chunks")
           if (addr == Undef) Nil
           else {
-            val grid = ds.dims.zip(cdims).map { case (d, c) => ((d + c - 1) / c).toInt }
+            val grid = chunkGrid(ds.dims, cdims)
             (0 until grid.product).map { i =>
-              var rem = i // row-major chunk-grid order, back-to-back storage
-              val off = new Array[Long](cdims.length)
-              var k = cdims.length - 1
-              while (k >= 0) {
-                off(k) = (rem % grid(k)).toLong * cdims(k); rem /= grid(k); k -= 1
-              }
-              (off.toSeq, addr + i.toLong * chunkBytes, chunkBytes, 0)
+              // row-major chunk-grid order, back-to-back storage
+              (chunkOrigin(i, grid, cdims), addr + i.toLong * chunkBytes, chunkBytes, 0)
             }
           }
         case fa: FixedArrayIndex =>
           fixedArrayChunks(r, fa, cdims, ds.dims, chunkBytes, path)
       }
     case l => throw new IllegalArgumentException(s"$path: layout $l is not chunked")
+  }
+
+  /** Chunks per dimension (edge chunks count). */
+  private def chunkGrid(dims: Seq[Long], cdims: Seq[Int]): Seq[Int] =
+    dims.zip(cdims).map { case (d, c) => ((d + c - 1) / c).toInt }
+
+  /** Element offsets of chunk `i` in row-major chunk-grid order — the one
+    * ordering the writer (`chunksOf`), the implicit index, and the fixed
+    * array all share; keep them in lockstep through this helper.
+    */
+  private def chunkOrigin(i: Int, grid: Seq[Int], cdims: Seq[Int]): Seq[Long] = {
+    var rem = i
+    val off = new Array[Long](cdims.length)
+    var k = cdims.length - 1
+    while (k >= 0) {
+      off(k) = (rem % grid(k)).toLong * cdims(k); rem /= grid(k); k -= 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(off)
   }
 
   /** Enumerate chunks from a Fixed Array index (`FAHD` header + `FADB` data
@@ -944,9 +957,14 @@ object Hdf5 {
     val hck = h.getInt()
     require(hck == lookup3(java.util.Arrays.copyOf(raw, hdrLen)),
       s"$path: fixed-array header checksum mismatch")
+    // bound pageBits BEFORE shifting: 1L << 63 goes negative and 1L << 64
+    // wraps to 1 (mod-64 shift), turning a corrupt header into a misparse
+    // instead of this explicit failure
+    require(pageBits >= 1 && pageBits < 63 && nelmts >= 0,
+      s"$path: implausible fixed-array geometry (pageBits=$pageBits, n=$nelmts)")
     require(nelmts <= (1L << pageBits),
       s"$path: paged fixed array unsupported ($nelmts entries > 2^$pageBits page)")
-    val grid = dims.zip(cdims).map { case (d, c) => ((d + c - 1) / c).toInt }
+    val grid = chunkGrid(dims, cdims)
     require(grid.product.toLong == nelmts,
       s"$path: fixed array has $nelmts entries, chunk grid needs ${grid.product}")
     val dbPrefix = 4 + 1 + 1 + 8
@@ -968,15 +986,7 @@ object Hdf5 {
         if (client == 1) (uintVar(d, entrySize - 12), d.getInt())
         else (chunkBytes, 0)
       if (addr == Undef) None // unallocated chunk: fill
-      else {
-        var rem = i // unflatten over the row-major chunk grid
-        val off = new Array[Long](cdims.length)
-        var k = cdims.length - 1
-        while (k >= 0) {
-          off(k) = (rem % grid(k)).toLong * cdims(k); rem /= grid(k); k -= 1
-        }
-        Some((off.toSeq, addr, size, mask))
-      }
+      else Some((chunkOrigin(i, grid, cdims), addr, size, mask))
     }
   }
 

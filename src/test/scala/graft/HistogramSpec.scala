@@ -68,6 +68,24 @@ class HistogramSpec extends AnyFunSuite {
       .map(v => math.rint(v * 1e4) / 1e4))
   }
 
+  test("quantile rollup over empty input yields NaN, not a crash") {
+    import graft.functions.HistogramFunctions._
+    val empty = Seq.empty[(Double, Int)].toDF("v", "i")
+    val qs = empty.groupBy(col("i"))
+      .agg(histogram_sketch(col("v")).as("sk"))
+      .agg(histogram_merge_quantiles(col("sk"), Seq(0.5)).as("qs"))
+      .select(explode(col("qs"))).as[Double].collect()
+    assert(qs.length == 1 && qs.head.isNaN)
+    // all-NULL input sketches merge to an empty histogram the same way
+    val nulls = Seq((null.asInstanceOf[java.lang.Double], 1),
+        (null.asInstanceOf[java.lang.Double], 2)).toDF("v", "i")
+    val qs2 = nulls.groupBy(col("i"))
+      .agg(histogram_sketch(col("v").cast("double")).as("sk"))
+      .agg(histogram_merge_quantiles(col("sk"), Seq(0.5)).as("qs"))
+      .select(explode(col("qs"))).as[Double].collect()
+    assert(qs2.length == 1 && qs2.head.isNaN)
+  }
+
   test("quantile rollup degrades within sketch error past the bin budget") {
     // 5000 distinct values >> 16 bins: compression engages; the merged
     // estimate must stay within a few percent of the exact quantile
