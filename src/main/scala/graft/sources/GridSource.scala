@@ -329,6 +329,44 @@ object GridAgg {
     if (lo) math.min(a, b) else math.max(a, b)
   }
 
+  /** Coord/time metadata of one aggregation unit (a file or a tile). */
+  final case class UnitMeta(epochMicros: Long, stepMicros: Long,
+      lat0: Double, dlat: Double, lon0: Double, dlon: Double)
+
+  /** Combine closed-form aggregates over per-unit section clamps — the one
+    * definition FileGridAggScan and TiledGridAggScan both answer from
+    * (units with empty clamps must be filtered out by the caller).
+    */
+  def combineUnits(units: Seq[(UnitMeta, GridSource.Section)],
+      plan: Seq[GridAgg]): Seq[Any] = {
+    def bound(m: UnitMeta, c: GridSource.Section, f: String, lo: Boolean): Any =
+      f match {
+        case "ts" => m.epochMicros + (if (lo) c.t0 else c.t1).toLong * m.stepMicros
+        case "y" => if (lo) c.y0 else c.y1
+        case "x" => if (lo) c.x0 else c.x1
+        case "lat" => affineBound(m.lat0, m.dlat, c.y0, c.y1, lo)
+        case "lon" => affineBound(m.lon0, m.dlon, c.x0, c.x1, lo)
+      }
+    def combine(f: String, lo: Boolean): Any =
+      if (units.isEmpty) null
+      else {
+        val vs = units.map { case (m, c) => bound(m, c, f, lo) }
+        f match {
+          case "y" | "x" =>
+            val is = vs.map(_.asInstanceOf[Int]); if (lo) is.min else is.max
+          case "ts" =>
+            val ls = vs.map(_.asInstanceOf[Long]); if (lo) ls.min else ls.max
+          case _ =>
+            val ds = vs.map(_.asInstanceOf[Double]); if (lo) ds.min else ds.max
+        }
+      }
+    plan.map {
+      case CountAll => units.map { case (_, c) => GridSource.sectionDims(c) }.sum
+      case MinOf(f) => combine(f, lo = true)
+      case MaxOf(f) => combine(f, lo = false)
+    }
+  }
+
   /** Evaluate one aggregate from the (exactly-filtered) section bounds. */
   def eval(a: GridAgg, s: GridSource.Section): Any = {
     import graft.domain.GridData.{DLat, DLon, Lat0, Lon0}
@@ -570,38 +608,14 @@ class FileGridAggScan(headers: Seq[GridFile.Header], section: GridSource.Section
     s"FileGridAggScan files=${headers.map(_.variable).mkString(",")} section=$section " +
       s"pushedAggregates=[${plan.mkString(", ")}]"
 
-  override protected def resultRow(): Seq[Any] = {
-    val perFile = headers.map { h =>
-      val clamped = GridSource.clampTo(section, h.t, h.y, h.x)
-      (h, clamped, GridSource.sectionDims(clamped))
-    }.filter(_._3 > 0)
-    def bound(h: GridFile.Header, c: GridSource.Section, f: String, lo: Boolean): Any =
-      f match {
-        case "ts" => h.epochMicros + (if (lo) c.t0 else c.t1).toLong * h.stepMicros
-        case "y" => if (lo) c.y0 else c.y1
-        case "x" => if (lo) c.x0 else c.x1
-        case "lat" => GridAgg.affineBound(h.lat0, h.dlat, c.y0, c.y1, lo)
-        case "lon" => GridAgg.affineBound(h.lon0, h.dlon, c.x0, c.x1, lo)
-      }
-    def combine(f: String, lo: Boolean): Any =
-      if (perFile.isEmpty) null
-      else {
-        val vs = perFile.map { case (h, c, _) => bound(h, c, f, lo) }
-        f match {
-          case "y" | "x" =>
-            val is = vs.map(_.asInstanceOf[Int]); if (lo) is.min else is.max
-          case "ts" =>
-            val ls = vs.map(_.asInstanceOf[Long]); if (lo) ls.min else ls.max
-          case _ =>
-            val ds = vs.map(_.asInstanceOf[Double]); if (lo) ds.min else ds.max
-        }
-      }
-    plan.map {
-      case GridAgg.CountAll => perFile.map(_._3).sum
-      case GridAgg.MinOf(f) => combine(f, lo = true)
-      case GridAgg.MaxOf(f) => combine(f, lo = false)
-    }
-  }
+  override protected def resultRow(): Seq[Any] =
+    GridAgg.combineUnits(
+      headers.map { h =>
+        (GridAgg.UnitMeta(h.epochMicros, h.stepMicros,
+          h.lat0, h.dlat, h.lon0, h.dlon),
+          GridSource.clampTo(section, h.t, h.y, h.x))
+      }.filter { case (_, c) => GridSource.sectionDims(c) > 0 },
+      plan)
 }
 
 class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Section,
@@ -802,40 +816,15 @@ class TiledGridAggScan(headers: Seq[GridFile.TiledHeader],
     s"TiledGridAggScan vars=${headers.map(_.variable).mkString(",")} section=$section " +
       s"pushedAggregates=[${plan.mkString(", ")}]"
 
-  override protected def resultRow(): Seq[Any] = {
-    val perTile = for {
-      h <- headers
-      e <- h.tiles
-      c <- GridSource.clampToTile(section, h, e)
-    } yield (h, c)
-    def bound(h: GridFile.TiledHeader, c: GridSource.Section, f: String,
-        lo: Boolean): Any = f match {
-      case "ts" => h.epochMicros + (if (lo) c.t0 else c.t1).toLong * h.stepMicros
-      case "y" => if (lo) c.y0 else c.y1
-      case "x" => if (lo) c.x0 else c.x1
-      case "lat" => GridAgg.affineBound(h.lat0, h.dlat, c.y0, c.y1, lo)
-      case "lon" => GridAgg.affineBound(h.lon0, h.dlon, c.x0, c.x1, lo)
-    }
-    def combine(f: String, lo: Boolean): Any =
-      if (perTile.isEmpty) null
-      else {
-        val vs = perTile.map { case (h, c) => bound(h, c, f, lo) }
-        f match {
-          case "y" | "x" =>
-            val is = vs.map(_.asInstanceOf[Int]); if (lo) is.min else is.max
-          case "ts" =>
-            val ls = vs.map(_.asInstanceOf[Long]); if (lo) ls.min else ls.max
-          case _ =>
-            val ds = vs.map(_.asInstanceOf[Double]); if (lo) ds.min else ds.max
-        }
-      }
-    plan.map {
-      case GridAgg.CountAll => perTile.map { case (_, c) =>
-        (c.t1 - c.t0 + 1).toLong * (c.y1 - c.y0 + 1) * (c.x1 - c.x0 + 1) }.sum
-      case GridAgg.MinOf(f) => combine(f, lo = true)
-      case GridAgg.MaxOf(f) => combine(f, lo = false)
-    }
-  }
+  override protected def resultRow(): Seq[Any] =
+    GridAgg.combineUnits(
+      for {
+        h <- headers
+        e <- h.tiles
+        c <- GridSource.clampToTile(section, h, e)
+      } yield (GridAgg.UnitMeta(h.epochMicros, h.stepMicros,
+        h.lat0, h.dlat, h.lon0, h.dlon), c),
+      plan)
 }
 
 class TiledGridScan(files: Seq[(String, GridFile.TiledHeader)],
