@@ -661,29 +661,34 @@ class FileGridReaderFactory(required: StructType) extends PartitionReaderFactory
     new FileGridReader(p.asInstanceOf[FileGridPartition], required)
 }
 
-/** Seeks and reads exactly the `[t, y0..y1, x0..x1]` section of its file —
-  * one positioned read per y row (`Gddp.scala:224-226`); fill → SQL NULL.
+/** Shared row-walk of a clamped section over an affine-coordinate file
+  * grid: the projection (variable/ts constants, global y/x indices, affine
+  * lat/lon, fill→NULL) and the y/x odometer exist ONCE; subclasses supply
+  * the positioned byte read for one `[t, y, x0..x1]` row.
   */
-class FileGridReader(p: FileGridPartition, required: StructType)
-    extends PartitionReader[InternalRow] {
-  private val s = p.section
-  private val h = p.header
-  private val rdr = new GridFile.SectionReader(p.path, h)
+abstract class SectionRowReader(s: GridSource.Section, required: StructType,
+    variable: String, tsMicros: Long,
+    lat0: Double, dlat: Double, lon0: Double, dlon: Double,
+    isFill: Double => Boolean) extends PartitionReader[InternalRow] {
+
+  /** Read row `y` of the partition's timestep over `[s.x0, s.x1]`. */
+  protected def fetchRow(y: Int): Array[Double]
+
   private var y = s.y0 - 1
   private var x = s.x1 // forces a row load on first next()
   private var row: Array[Double] = _
 
   private val fieldGen: Array[(Int, Int) => Any] = required.fields.map { f =>
     f.name match {
-      case "variable" => (_: Int, _: Int) => UTF8String.fromString(h.variable)
-      case "ts" => (_: Int, _: Int) => h.epochMicros + p.t.toLong * h.stepMicros
+      case "variable" => (_: Int, _: Int) => UTF8String.fromString(variable)
+      case "ts" => (_: Int, _: Int) => tsMicros
       case "y" => (yy: Int, _: Int) => yy
       case "x" => (_: Int, xx: Int) => xx
-      case "lat" => (yy: Int, _: Int) => h.lat0 + yy * h.dlat
-      case "lon" => (_: Int, xx: Int) => h.lon0 + xx * h.dlon
+      case "lat" => (yy: Int, _: Int) => lat0 + yy * dlat
+      case "lon" => (_: Int, xx: Int) => lon0 + xx * dlon
       case "value" => (_: Int, xx: Int) =>
         val v = row(xx - s.x0)
-        if (h.isFill(v)) null else v
+        if (isFill(v)) null else v
     }
   }
 
@@ -693,7 +698,7 @@ class FileGridReader(p: FileGridPartition, required: StructType)
     if (x > s.x1) {
       y += 1
       if (y > s.y1) return false
-      row = rdr.readRow(p.t, y, s.x0, s.x1)
+      row = fetchRow(y)
       x = s.x0
     }
     y <= s.y1
@@ -701,7 +706,19 @@ class FileGridReader(p: FileGridPartition, required: StructType)
 
   override def get(): InternalRow =
     InternalRow.fromSeq(fieldGen.toSeq.map(g => g(y, x)))
+}
 
+/** Seeks and reads exactly the `[t, y0..y1, x0..x1]` section of its file —
+  * one positioned read per y row (`Gddp.scala:224-226`); fill → SQL NULL.
+  */
+class FileGridReader(p: FileGridPartition, required: StructType)
+    extends SectionRowReader(p.section, required, p.header.variable,
+      p.header.epochMicros + p.t.toLong * p.header.stepMicros,
+      p.header.lat0, p.header.dlat, p.header.lon0, p.header.dlon,
+      p.header.isFill) {
+  private val rdr = new GridFile.SectionReader(p.path, p.header)
+  override protected def fetchRow(y: Int): Array[Double] =
+    rdr.readRow(p.t, y, p.section.x0, p.section.x1)
   override def close(): Unit = rdr.close()
 }
 
@@ -875,42 +892,12 @@ class TiledGridReaderFactory(required: StructType) extends PartitionReaderFactor
   * offsets at the byte layer ([[GridFile.TiledSectionReader]]).
   */
 class TiledGridReader(p: TiledGridPartition, required: StructType)
-    extends PartitionReader[InternalRow] {
-  private val s = p.section
-  private val h = p.header
-  private val rdr = new GridFile.TiledSectionReader(p.path, h)
-  private var y = s.y0 - 1
-  private var x = s.x1 // forces a row load on first next()
-  private var row: Array[Double] = _
-
-  private val fieldGen: Array[(Int, Int) => Any] = required.fields.map { f =>
-    f.name match {
-      case "variable" => (_: Int, _: Int) => UTF8String.fromString(h.variable)
-      case "ts" => (_: Int, _: Int) => h.epochMicros + p.t.toLong * h.stepMicros
-      case "y" => (yy: Int, _: Int) => yy
-      case "x" => (_: Int, xx: Int) => xx
-      case "lat" => (yy: Int, _: Int) => h.lat0 + yy * h.dlat
-      case "lon" => (_: Int, xx: Int) => h.lon0 + xx * h.dlon
-      case "value" => (_: Int, xx: Int) =>
-        val v = row(xx - s.x0)
-        if (h.isFill(v)) null else v
-    }
-  }
-
-  override def next(): Boolean = {
-    if (s.x0 > s.x1) return false
-    x += 1
-    if (x > s.x1) {
-      y += 1
-      if (y > s.y1) return false
-      row = rdr.readRow(p.tile, p.t, y, s.x0, s.x1)
-      x = s.x0
-    }
-    y <= s.y1
-  }
-
-  override def get(): InternalRow =
-    InternalRow.fromSeq(fieldGen.toSeq.map(g => g(y, x)))
-
+    extends SectionRowReader(p.section, required, p.header.variable,
+      p.header.epochMicros + p.t.toLong * p.header.stepMicros,
+      p.header.lat0, p.header.dlat, p.header.lon0, p.header.dlon,
+      p.header.isFill) {
+  private val rdr = new GridFile.TiledSectionReader(p.path, p.header)
+  override protected def fetchRow(y: Int): Array[Double] =
+    rdr.readRow(p.tile, p.t, y, p.section.x0, p.section.x1)
   override def close(): Unit = rdr.close()
 }
