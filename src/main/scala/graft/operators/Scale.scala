@@ -88,15 +88,23 @@ object Scale {
         if (morton) graft.functions.ZOrder64.interleave(tx, ty)
         else ty.toLong * tilesX + tx
       }
-    val groupOf: Map[(Int, Int), Int] =
-      order.zipWithIndex.map { case (t, i) => t -> i / tilesPerFile }.toMap
     val tilesOfGroup: Map[Int, Seq[(Int, Int)]] =
       order.grouped(tilesPerFile).zipWithIndex.map(_.swap).toMap
-    val grp = udf((y: Int, x: Int) => groupOf((y / tileY, x / tileX)))
+    // tile → file-group routing as a broadcast equi-join against the
+    // (tile-grid-sized) assignment table — no UDF, the row side stays one
+    // codegen'd projection at any corpus size
+    val groups = cells.sparkSession
+      .createDataFrame(order.zipWithIndex.map { case ((ty, tx), i) =>
+        (ty, tx, i / tilesPerFile) })
+      .toDF("ty", "tx", "grp")
     cells
       .select(col("variable"), col("ts").cast("double").as("secs"),
-        col("y"), col("x"), col("value"))
-      .withColumn("grp", grp(col("y"), col("x")))
+        col("y"), col("x"), col("value"),
+        (col("y") / tileY).cast("int").as("ty"),
+        (col("x") / tileX).cast("int").as("tx"))
+      .join(broadcast(groups), Seq("ty", "tx"))
+      .select(col("variable"), col("secs"), col("y"), col("x"), col("value"),
+        col("grp"))
       .repartition(col("variable"), col("grp"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.toSeq.groupBy(r => (r.getString(0), r.getInt(5))).foreach {
