@@ -69,6 +69,47 @@ class GridFileSpec extends AnyFunSuite {
     assert(df.collect().map(_.toString).sorted.sameElements(gen))
   }
 
+  test("property: GRF2 tiled codec round-trips random dims/tiles/packings") {
+    val rnd = new scala.util.Random(19)
+    (1 to 12).foreach { trial =>
+      val (tD, yD, xD) = (rnd.nextInt(4) + 1, rnd.nextInt(11) + 2, rnd.nextInt(13) + 2)
+      val (tileY, tileX) = (rnd.nextInt(yD) + 1, rnd.nextInt(xD) + 1)
+      val data = Array.tabulate(tD * yD * xD)(i => (i * 31 % 97).toDouble)
+      val gridY = (yD + tileY - 1) / tileY
+      val gridX = (xD + tileX - 1) / tileX
+      // random tile ORDER in the container (packing must not matter)
+      val tiles = rnd.shuffle(
+        (for (ty <- 0 until gridY; tx <- 0 until gridX) yield (ty, tx)).toList)
+        .map { case (ty, tx) =>
+          val cy = math.min(yD, (ty + 1) * tileY) - ty * tileY
+          val cx = math.min(xD, (tx + 1) * tileX) - tx * tileX
+          val cube = Array.tabulate(tD * cy * cx) { j =>
+            val t = j / (cy * cx); val ly = (j / cx) % cy; val lx = j % cx
+            data((t * yD + (ty * tileY + ly)) * xD + (tx * tileX + lx))
+          }
+          (ty, tx, cube)
+        }
+      val p = java.nio.file.Files.createTempDirectory("grf2-prop")
+        .resolve("v.grf").toString
+      GridFile.writeTiled(p, "v", tD, yD, xD, tileY, tileX,
+        0L, 1000000L, 0.0, 1.0, 0.0, 1.0, tiles)
+      val h = GridFile.readTiledHeader(p)
+      assert(h.tiles.length == gridY * gridX, s"trial $trial")
+      val rdr = new GridFile.TiledSectionReader(p, h)
+      try {
+        h.tiles.foreach { e =>
+          val (y0, y1, x0, x1) = h.tileBounds(e)
+          for (t <- 0 until tD; y <- y0 to y1) {
+            val got = rdr.readRow(e, t, y, x0, x1).toSeq
+            val want = (x0 to x1).map(x => data((t * yD + y) * xD + x))
+            assert(got == want,
+              s"trial $trial tile(${e.ty},${e.tx}) t=$t y=$y: dims=($tD,$yD,$xD) tile=($tileY,$tileX)")
+          }
+        }
+      } finally rdr.close()
+    }
+  }
+
   test("empty section (contradictory range) yields zero rows, no crash") {
     assert(fileTable.filter(col("x") > 100).count() == 0)
   }
