@@ -37,8 +37,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    DIMENSION_LIST attributes (vlen of object references)
   * Everything else (superblock v1, fractal-heap DENSE groups/attributes,
   * soft/external links, extensible-array/v2-btree chunk indexes, paged
-  * fixed arrays, filters outside the trio) fails with an explicit message,
-  * never a misparse.
+  * fixed arrays, SOHM shared header messages, filters outside the trio)
+  * fails with an explicit message, never a misparse.
   */
 object Hdf5 {
 
@@ -333,9 +333,14 @@ object Hdf5 {
     * (0x0010) returns its (offset, length) for the caller's block list —
     * v1 blocks are raw message bytes, v2 blocks are `OCHK`-framed.
     */
-  private def dispatchMsg(mtype: Int, body: ByteBuffer,
+  private def dispatchMsg(mtype: Int, flags: Int, body: ByteBuffer,
       msgs: scala.collection.mutable.ArrayBuffer[Msg],
       path: String): Option[(Long, Long)] = {
+    // flag bit 1 = SHARED: the body is a shared-message reference into the
+    // SOHM heap, not the message itself — parsing it as one would be a
+    // silent misparse, so refuse loudly (SOHM files are out of subset)
+    require((flags & 0x02) == 0,
+      f"$path: shared header message (type 0x$mtype%04X) unsupported")
     mtype match {
       case 0x0000 => None // NIL
       case 0x0001 => msgs += parseDataspace(body, path); None
@@ -387,9 +392,10 @@ object Hdf5 {
         val mh = r.at(pos, 8)
         val mtype = mh.getShort() & 0xFFFF
         val msize = mh.getShort() & 0xFFFF
-        mh.get(); mh.get(); mh.get(); mh.get() // flags + reserved
+        val mflags = mh.get() & 0xFF
         val body = r.at(pos + 8, msize)
-        dispatchMsg(mtype, body, msgs, path).foreach { c => blocks = c :: blocks }
+        dispatchMsg(mtype, mflags, body, msgs, path)
+          .foreach { c => blocks = c :: blocks }
         read += 1
         pos += 8 + msize
         remaining -= 8 + msize
@@ -432,10 +438,10 @@ object Hdf5 {
         val mh = r.at(pos, hdr)
         val mtype = mh.get() & 0xFF
         val msize = mh.getShort() & 0xFFFF
-        mh.get() // flags
+        val mflags = mh.get() & 0xFF
         if (hdr == 6) mh.getShort() // creation order
         val body = r.at(pos + hdr, msize)
-        dispatchMsg(mtype, body, msgs, path).foreach { case (off, blen) =>
+        dispatchMsg(mtype, mflags, body, msgs, path).foreach { case (off, blen) =>
           val osig = r.bytes(off, 4)
           require(osig.sameElements("OCHK".getBytes), s"$path: bad OCHK signature")
           blocks = (off + 4, blen - 8, off, blen - 4) :: blocks
