@@ -533,7 +533,13 @@ object Hdf5 {
     val bits0 = b.get() & 0xFF; b.get(); b.get()
     val size = b.getInt()
     clazz match {
-      case 0 => // fixed-point; bit 3 of bits0 = signed (unsigned read as wider signed is out of subset)
+      case 0 => // fixed-point
+        // bit 0 = byte order, bit 3 = signed: decoding big-endian or
+        // unsigned bytes with the little-endian signed readers would be a
+        // silent value corruption, not a format error — refuse loudly
+        require((bits0 & 0x01) == 0, s"$path: big-endian fixed-point unsupported")
+        require((bits0 & 0x08) != 0,
+          s"$path: unsigned fixed-point unsupported (signed readers would misparse)")
         size match {
           case 1 => I8
           case 2 => I16
@@ -542,6 +548,7 @@ object Hdf5 {
           case s => throw new IllegalArgumentException(s"$path: fixed-point size $s unsupported")
         }
       case 1 =>
+        require((bits0 & 0x01) == 0, s"$path: big-endian float unsupported")
         size match {
           case 4 => F32
           case 8 => F64
