@@ -55,7 +55,10 @@ object GridFile {
     val in = new DataInputStream(new FileInputStream(path))
     try {
       require(in.readInt() == Magic, s"$path: not a GRF1 file")
-      val name = new Array[Byte](in.readInt()); in.readFully(name)
+      val nameLen = in.readInt()
+      require(nameLen >= 0 && nameLen <= 4096,
+        s"$path: implausible variable-name length $nameLen")
+      val name = new Array[Byte](nameLen); in.readFully(name)
       val (t, y, x) = (in.readInt(), in.readInt(), in.readInt())
       val (epoch, step) = (in.readLong(), in.readLong())
       val (lat0, dlat, lon0, dlon, fill) =
@@ -170,18 +173,31 @@ object GridFile {
     } finally out.close()
   }
 
-  /** Header + tile directory — the driver-side metadata open. */
+  /** Header + tile directory — the driver-side metadata open. Counts are
+    * plausibility-checked before any allocation sized from them, so a
+    * corrupt or truncated header fails explicitly instead of attempting a
+    * giant array.
+    */
   def readTiledHeader(path: String): TiledHeader = {
     val in = new DataInputStream(new FileInputStream(path))
     try {
       require(in.readInt() == MagicTiled, s"$path: not a GRF2 file")
-      val name = new Array[Byte](in.readInt()); in.readFully(name)
+      val nameLen = in.readInt()
+      require(nameLen >= 0 && nameLen <= 4096,
+        s"$path: implausible variable-name length $nameLen")
+      val name = new Array[Byte](nameLen); in.readFully(name)
       val (t, y, x) = (in.readInt(), in.readInt(), in.readInt())
       val (tileY, tileX) = (in.readInt(), in.readInt())
+      require(t > 0 && y > 0 && x > 0 && tileY > 0 && tileX > 0,
+        s"$path: implausible dims ($t, $y, $x) / tiling ($tileY, $tileX)")
       val (epoch, step) = (in.readLong(), in.readLong())
       val (lat0, dlat, lon0, dlon, fill) =
         (in.readDouble(), in.readDouble(), in.readDouble(), in.readDouble(), in.readDouble())
       val n = in.readInt()
+      val maxTiles =
+        ((y + tileY - 1) / tileY).toLong * ((x + tileX - 1) / tileX)
+      require(n >= 0 && n <= maxTiles,
+        s"$path: directory claims $n tiles, grid has at most $maxTiles")
       val tiles = (0 until n).map { _ =>
         TileEntry(in.readInt(), in.readInt(), in.readLong())
       }
