@@ -75,6 +75,67 @@ object Scale {
     * one executor task, and the driver only computes the tile→group map
     * (tile-grid-sized, catalog-scale).
     */
+  /** Compact a GRF2 directory: re-pack every variable's tiles, Morton-
+    * ordered, into containers of `tilesPerFile` — the maintenance pass that
+    * fixes the small-file problem after incremental tile ingest (many tiny
+    * containers → few full ones) without touching cell values. The driver
+    * reads only tile DIRECTORIES (catalog-sized); each output container is
+    * assembled and written by one executor task from raw source-tile reads.
+    */
+  def compactTiledDir(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, dstDir: String, tilesPerFile: Int): Unit = {
+    import graft.sources.GridFile
+    new java.io.File(dstDir).mkdirs()
+    val files = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".grf")).sortBy(_.getName)
+      .map(f => f.getAbsolutePath -> GridFile.readTiledHeader(f.getAbsolutePath))
+    require(files.nonEmpty, s"no .grf files in $srcDir")
+    val h0 = files.head._2
+    files.foreach { case (p, h) =>
+      require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&
+        h.tileY == h0.tileY && h.tileX == h0.tileX &&
+        h.epochMicros == h0.epochMicros && h.stepMicros == h0.stepMicros &&
+        h.lat0 == h0.lat0 && h.dlat == h0.dlat &&
+        h.lon0 == h0.lon0 && h.dlon == h0.dlon,
+        s"$p: heterogeneous grid layout — cannot compact with ${files.head._1}")
+    }
+    // (variable, group) work units: every tile of a variable across ALL
+    // source containers, Morton-sorted, sliced into output groups
+    val units = files.groupBy(_._2.variable).toSeq.flatMap { case (v, vf) =>
+      val tiles = vf.flatMap { case (p, h) => h.tiles.map(e => (p, e)) }.toSeq
+      require(tiles.map(e => (e._2.ty, e._2.tx)).distinct.length == tiles.length,
+        s"$srcDir: variable $v has duplicate tiles across containers")
+      tiles
+        .sortBy { case (_, e) =>
+          graft.functions.ZOrder64.interleave(e.tx, e.ty) }
+        .grouped(tilesPerFile).zipWithIndex
+        .map { case (g, i) => (v, i, g) }.toSeq
+    }
+    val bc = spark.sparkContext.broadcast(h0)
+    spark.sparkContext.parallelize(units, math.max(1, units.length)).foreach {
+      case (variable, group, tileRefs) =>
+        val h = bc.value
+        val byPath = tileRefs.groupBy(_._1)
+        val cubes = byPath.flatMap { case (path, refs) =>
+          val raf = new java.io.RandomAccessFile(path, "r")
+          try refs.map { case (_, e) =>
+            val (cy, cx) = h.clipDims(e)
+            val buf = new Array[Byte](h.t * cy * cx * 8)
+            raf.seek(e.dataOffset); raf.readFully(buf)
+            val vals = new Array[Double](h.t * cy * cx)
+            java.nio.ByteBuffer.wrap(buf).asDoubleBuffer().get(vals)
+            (e.ty, e.tx) -> vals
+          } finally raf.close()
+        }
+        // keep the Morton packing order of the work unit in the output dir
+        val ordered = tileRefs.map { case (_, e) =>
+          (e.ty, e.tx, cubes((e.ty, e.tx))) }
+        GridFile.writeTiled(s"$dstDir/$variable-g$group.grf", variable,
+          h.t, h.y, h.x, h.tileY, h.tileX, h.epochMicros, h.stepMicros,
+          h.lat0, h.dlat, h.lon0, h.dlon, ordered, h.fill)
+    }
+  }
+
   def writeZOrderedGrid(cells: DataFrame, dir: String,
       tDim: Int, yDim: Int, xDim: Int, epochMicros: Long, stepMicros: Long,
       lat0: Double, dlat: Double, lon0: Double, dlon: Double,

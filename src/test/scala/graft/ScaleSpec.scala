@@ -292,6 +292,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(agg.collect()(0) == expect)
   }
 
+  test("GRF2 compaction merges small containers, preserving every cell and the file skip") {
+    import org.apache.spark.sql.functions._
+    import graft.domain.GridData
+    import graft.sources.GridSource
+    val cells = GridData.cells(spark)
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+    // incremental-ingest shape: one tile per container = 48 tiny files
+    val small = java.nio.file.Files.createTempDirectory("grf2-small").toFile.getAbsolutePath
+    graft.operators.Scale.writeZOrderedGrid(cells, small,
+      tDim = GridData.T, yDim = GridData.Y, xDim = GridData.X,
+      epochMicros = GridSource.epochMicros, stepMicros = 24L * 3600 * 1000000L,
+      lat0 = 44.0, dlat = 0.05, lon0 = -80.0, dlon = 0.05,
+      tileY = 5, tileX = 5, tilesPerFile = 1)
+    assert(new java.io.File(small).listFiles().count(_.getName.endsWith(".grf")) == 48)
+    val packed = java.nio.file.Files.createTempDirectory("grf2-packed").toFile.getAbsolutePath
+    graft.operators.Scale.compactTiledDir(spark, small, packed, tilesPerFile = 4)
+    assert(new java.io.File(packed).listFiles().count(_.getName.endsWith(".grf")) == 12)
+    val got = spark.read.format(classOf[GridSource].getName)
+      .option("path", packed).load()
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+    assert(got.count() == GridData.N)
+    assert(got.except(cells).count() == 0 && cells.except(got).count() == 0)
+  }
+
   test("zorder64 interleave: bits land in even/odd positions, order is locality-preserving") {
     import graft.functions.ZOrder64.interleave
     assert(interleave(0, 0) == 0L)
