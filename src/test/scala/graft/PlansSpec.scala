@@ -73,6 +73,22 @@ class PlansSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 6, s"partitions=${df.rdd.getNumPartitions}")
   }
 
+  test("q_quantile_rollup: partial sketch before the shard exchange, two-column scan") {
+    val plan = planOf("q_quantile_rollup")
+    // map-side combine: shards receive partial sketch state, never raw rows
+    assert(plan.contains("partial_histogram_sketch"), plan)
+    assert(plan.contains("histogram_merge_quantiles"), plan)
+    // column pruning: the lineitem scan reads only (l_orderkey, l_quantity)
+    assert(!plan.contains("l_extendedprice") && !plan.contains("l_comment"), plan)
+  }
+
+  test("q_grid_tiled: all three predicates push into the tiled scan") {
+    val plan = planOf("q_grid_tiled")
+    assert(plan.contains("TiledGridScan"), plan)
+    Seq("LessThan(y,10)", "LessThan(x,10)", "GreaterThanOrEqual(ts,")
+      .foreach(p => assert(plan.contains(p), s"missing pushed $p in\n$plan"))
+  }
+
   test("q_scan_partitioned: the day predicate prunes directories, not rows") {
     val plan = planOf("q_scan_partitioned")
     assert(plan.contains("PartitionFilters:"), plan)
