@@ -220,6 +220,33 @@ object Aggregates extends QueryModule {
       .select(col("k"), round(col("total"), 2).as("total"), col("n"))
       .orderBy("k")
 
+  /** Column profiler: per-column non-null / distinct / min / max over a fixed
+    * column list, computed in ONE scan (a single no-group HashAggregate with
+    * 4×|cols| aggregate expressions, partial+final) and then unpivoted with
+    * `stack` into one row per column. The one-pass shape is the point at
+    * 100 TB: profiling N columns costs one read of the table, not N — the
+    * same trick `df.summary()` uses, but with an exact distinct count and an
+    * oracle twin. Distinct counts expand to per-column shuffles under
+    * `count(DISTINCT)` planning; at real scale swap `approx_count_distinct`
+    * in the same expression slots.
+    */
+  private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_orderkey")
+
+  private def qProfile(s: SparkSession, d: String): DataFrame = {
+    val aggs = profileCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_nn"),
+        count_distinct(col(c)).as(s"${c}_nd"),
+        round(min(col(c)).cast("double"), 4).as(s"${c}_mn"),
+        round(max(col(c)).cast("double"), 4).as(s"${c}_mx"))
+    }
+    val wide = T.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = profileCols.map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
+    wide
+      .selectExpr(s"stack(${profileCols.size}, $stackArgs) AS (col_name, non_null, n_distinct, mn, mx)")
+      .orderBy("col_name")
+  }
+
   /** Pivot: wide per-returnflag quantity totals — `groupBy().pivot()` with an
     * explicit value list (never let pivot scan for distinct values at scale).
     */
@@ -243,6 +270,7 @@ object Aggregates extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot" -> qPivot,
+    "q_profile" -> qProfile,
     "q_stats" -> qStats,
     "q_agg_salted" -> qAggSalted,
     "q1_pricing" -> q1Pricing,
@@ -262,6 +290,14 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile" -> {
+      val branches = profileCols.map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS non_null, count(DISTINCT $c) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 4) AS mn, round(CAST(max($c) AS DOUBLE), 4) AS mx
+           |FROM lineitem""".stripMargin
+      }
+      branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
     // the HLL union is in exact sparse mode at this cardinality
     "q_hll_union" ->
       "SELECT count(DISTINCT source) AS distinct_sources FROM documents",

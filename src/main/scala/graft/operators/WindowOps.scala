@@ -100,7 +100,47 @@ object WindowOps extends QueryModule {
         |FROM graft_events_v ORDER BY event_id""".stripMargin)
   }
 
+  /** Truncated exponentially-weighted moving average (α = 0.25, last 8
+    * observations) per user over event time — the time-series smoothing
+    * primitive. The textbook EWMA recursion is inherently sequential; the
+    * 8-term truncation (residual weight 0.75⁸ ≈ 10%) re-expresses it as a
+    * fixed fan of `lag` terms over ONE window — a single shuffle on user_id,
+    * fully parallel, identical cost shape to the other window queries. The
+    * weights and the per-prefix normalizers are exact binary decimal
+    * literals (0.75^k is dyadic·3^k, exactly representable), NOT `power()`
+    * calls — Math.pow (JVM) and libm pow (DuckDB) are each allowed 1 ulp, so
+    * shared literals are what make the oracle hash bit-stable. Both engines
+    * run the same SQL text, so the double addition order matches too.
+    */
+  private val ewmaWeights: Seq[BigDecimal] =
+    (0 until 8).map(k => BigDecimal("0.75").pow(k))
+
+  private def ewmaSql(table: String): String = {
+    val win = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    val num = ewmaWeights.zipWithIndex.map { case (w, k) =>
+      val v = if (k == 0) "value" else s"lag(value, $k) OVER $win"
+      s"coalesce($v * $w, 0)"
+    }.mkString(" + ")
+    // normalizer for short prefixes: sum of the first m weights, m = min(rn, 8)
+    val partials = ewmaWeights.scanLeft(BigDecimal(0))(_ + _).tail
+    val den = partials.zipWithIndex.init.reverse
+      .foldLeft(s"${partials.last}") { case (acc, (p, i)) =>
+        s"CASE WHEN row_number() OVER $win = ${i + 1} THEN $p ELSE $acc END"
+      }
+    s"""SELECT event_id, ewma FROM (
+       |  SELECT event_id, event_type,
+       |    round(($num) / ($den), 6) AS ewma
+       |  FROM $table
+       |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+  }
+
+  private def qEwma(s: SparkSession, d: String): DataFrame = {
+    T.events(s, d).createOrReplaceTempView("graft_events_ewma")
+    s.sql(ewmaSql("graft_events_ewma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma" -> qEwma,
     "q_window_range" -> qWindowRange,
     "q_window_rank" -> qWindowRank,
     "q_window_frame" -> qWindowFrame,
@@ -110,6 +150,7 @@ object WindowOps extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ewma" -> ewmaSql("events"),
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(rank() OVER w AS INT) AS rnk,
