@@ -44,6 +44,7 @@ object Bench {
       sources.SourceQueries.nc4LatestDir // latest-format twin (q_grid_nc4_latest)
       sources.SourceQueries.ncCurvDir // curvilinear .nc fixture
       similarity.Similarity.prepareIvfIndex(spark, sfDir)
+      similarity.Similarity.preparePqIndex(spark, sfDir)
       dedup.Dedup.prepareSignatures(spark, sfDir)
       // grid catalog = ingest-time metadata (one row per file); build the
       // cached dim-sized table here like the other layouts

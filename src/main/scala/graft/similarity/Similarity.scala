@@ -308,10 +308,24 @@ object Similarity extends QueryModule {
   private def qCosineIvf(s: SparkSession, d: String): DataFrame =
     Ivf.topK(T.embeddings(s, d), prepareIvfIndex(s, d), queryId = 1L, k = 20, nprobe = 2)
 
+  /** PQ path (no oracle — approximate): 16 subspaces × 16 codes compress
+    * each 64-float vector to 16 nibble codes + a norm (16× smaller); ADC
+    * scan + exact rerank of the top 100. Codebooks come from the per-JVM
+    * index cache (Bench warms it), same contract as the IVF quantizer above.
+    */
+  val PqM = 16; val PqKsub = 16; val PqIters = 3; val PqRerank = 100
+
+  def preparePqIndex(s: SparkSession, d: String): Pq.Codebooks =
+    Pq.trainCached(T.embeddings(s, d), d, PqM, PqKsub, PqIters)
+
+  private def qCosinePq(s: SparkSession, d: String): DataFrame =
+    Pq.topK(T.embeddings(s, d), preparePqIndex(s, d), queryId = 1L, k = 20, rerank = PqRerank)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_lsh" -> qCosineLsh,
     "q_cosine_ivf" -> qCosineIvf,
+    "q_cosine_pq" -> qCosinePq,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_embed_knn" -> qEmbedKnn,
     "q_embed_knn_shuffle" -> qEmbedKnnShuffle,

@@ -161,6 +161,37 @@ object Streaming extends QueryModule {
       .select("p_id", "c_id", "p_user")
   }
 
+  /** Left-outer stream-stream interval join: every purchase row survives,
+    * with NULL click columns when no click preceded it within 30 minutes.
+    * The outer semantics are the subtle part in streaming: an unmatched
+    * purchase is emitted (with nulls) only once the CLICK-side watermark has
+    * passed its interval — before that the row is neither matched nor
+    * provably unmatched, so it stays buffered. The batch twin
+    * (`q_attribution_left`) evaluates the same condition where every
+    * watermark has trivially passed.
+    */
+  def purchaseAttributionLeft(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, expr(
+      "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts < p_ts"),
+      "left_outer")
+      .select("p_id", "c_id", "p_user")
+  }
+
+  /** Batch twin of `purchaseAttributionLeft` (oracle-checked; the true
+    * watermarked null-emission path is StreamingSpec).
+    */
+  private def qAttributionLeft(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d)
+    purchaseAttributionLeft(
+      e.filter(col("event_type") === "purchase"),
+      e.filter(col("event_type") === "click"))
+      .orderBy("p_id", "c_id")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
@@ -216,7 +247,8 @@ object Streaming extends QueryModule {
     "q_slide" -> qSlide,
     "q_session" -> qSession,
     "q_session_late" -> qSessionLate,
-    "q_attribution" -> qAttribution
+    "q_attribution" -> qAttribution,
+    "q_attribution_left" -> qAttributionLeft
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -291,6 +323,13 @@ object Streaming extends QueryModule {
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
+    "q_attribution_left" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
         |ORDER BY p_id, c_id""".stripMargin

@@ -39,6 +39,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((emb.head._1, 9999L)))
   }
 
+  test("PQ ADC+rerank top-k recalls the exact top-k") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val cb = Similarity.preparePqIndex(spark, TestSpark.sf)
+    val exact = Similarity.cosineTopK(emb, 1L, 20).select("vec_id").as[Long].collect().toSet
+    val pq = graft.similarity.Pq.topK(emb, cb, 1L, 20, rerank = 100)
+      .select("vec_id").as[Long].collect()
+    assert(pq.length == 20)
+    val recall = pq.count(exact.contains).toDouble / 20
+    assert(recall >= 0.9, s"PQ recall@20 $recall below 0.9 (rerank=100 of 500)")
+  }
+
+  test("PQ encode is deterministic, codes in range, norm exact") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val cb = Similarity.preparePqIndex(spark, TestSpark.sf)
+    assert(cb.m == 16 && cb.ksub == 16 && cb.dsub == 4)
+    val a = graft.similarity.Pq.encode(emb, cb).orderBy("vec_id").collect()
+    val b = graft.similarity.Pq.encode(emb, cb).orderBy("vec_id").collect()
+    assert(a.sameElements(b), "encode not deterministic")
+    a.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == cb.m && codes.forall(c => c >= 0 && c < cb.ksub))
+      assert(r.getDouble(2) > 0.0)
+    }
+    // compression accounting: 8 nibble codes + 1 float norm ≪ 64 floats
+    assert(cb.m * cb.ksub * cb.dsub == 1024, "codebook must stay driver-sized")
+  }
+
   test("LSH bucket is stable and within range") {
     val b = Tables.embeddings(spark, TestSpark.sf)
       .select(Similarity.lshBucket(col("embedding")).as("b")).as[Int].collect()

@@ -158,6 +158,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set((1L, 100L)), s"got $out")
   }
 
+  test("left-outer stream-stream join emits the null row only after the click watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = Streaming.purchaseAttributionLeft(
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      clicks.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("attr_left_out").outputMode("append").start()
+    clicks.addData((100L, 7L, t("2024-01-01 10:00:00")))
+    purchases.addData((1L, 7L, t("2024-01-01 10:15:00")), // matched by click 100
+      (2L, 8L, t("2024-01-01 10:15:00"))) // no click for user 8 — null row
+    q.processAllAvailable()
+    def rows() = spark.table("attr_left_out").select("p_id", "c_id")
+      .as[(Long, Option[Long])].collect().toSet
+    // purchase 2 is not yet provably unmatched (clicks could still arrive
+    // inside its interval), so only the matched row may have been emitted
+    assert(!rows().contains((2L, None)), s"null row emitted before watermark: ${rows()}")
+    // advance both watermarks far past purchase 2's interval
+    clicks.addData((103L, 9L, t("2024-01-01 12:00:00")))
+    purchases.addData((3L, 9L, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows().contains((1L, Some(100L))), s"matched row missing: ${rows()}")
+    assert(rows().contains((2L, None)), s"unmatched purchase never emitted: ${rows()}")
+  }
+
   test("session_window under readStream: late data dropped, closed sessions equal the batch twin") {
     // the true-streaming form of q_session_late's semantics: watermarked
     // session windows in append mode emit each session once it can no longer
