@@ -42,6 +42,7 @@ object Bench {
       sources.SourceQueries.ncDir // writes the .nc files q_grid_nc reads
       sources.SourceQueries.nc4Dir // the NetCDF-4 twin q_grid_nc4 reads
       sources.SourceQueries.nc4LatestDir // latest-format twin (q_grid_nc4_latest)
+      sources.SourceQueries.nc4DenseDir // dense-group twin (q_grid_nc4_dense)
       sources.SourceQueries.ncCurvDir // curvilinear .nc fixture
       similarity.Similarity.prepareIvfIndex(spark, sfDir)
       similarity.Similarity.preparePqIndex(spark, sfDir)

@@ -15,14 +15,17 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    flags): superblock version 0, old-style groups (v1 B-tree + SNOD
   *    symbol nodes + local heap), version-1 object headers (with
   *    continuation blocks)
-  *  - latest-format files (`H5F_LIBVER_LATEST` / h5py `libver='latest'`),
-  *    for compact groups: superblock version 2/3 (Jenkins-lookup3
-  *    checksummed), version-2 object headers (`OHDR`/`OCHK`, checksummed,
-  *    incl. tracked attribute creation order and stored times), new-style
-  *    groups via compact link messages, dataspace v2, attribute messages
-  *    v2/v3, data layout v4 with Single Chunk, Implicit (back-to-back
-  *    unfiltered chunks) and Fixed Array (`FAHD`/`FADB`, filtered and
-  *    unfiltered clients) chunk indexes
+  *  - latest-format files (`H5F_LIBVER_LATEST` / h5py `libver='latest'`):
+  *    superblock version 2/3 (Jenkins-lookup3 checksummed), version-2
+  *    object headers (`OHDR`/`OCHK`, checksummed, incl. tracked attribute
+  *    creation order and stored times), new-style groups via compact link
+  *    messages OR dense storage (fractal-heap `FRHP`/`FHDB` managed link
+  *    objects + single-leaf name-index v2 b-tree `BTHD`/`BTLF`; root
+  *    direct block or root indirect block with direct children — deeper
+  *    heaps and multi-node b-trees fail loudly), dataspace v2, attribute
+  *    messages v2/v3, data layout v4 with Single Chunk, Implicit
+  *    (back-to-back unfiltered chunks) and Fixed Array (`FAHD`/`FADB`,
+  *    filtered and unfiltered clients) chunk indexes
   *  - messages: NIL, dataspace (v1/v2), datatype (fixed/float/string/
   *    reference/vlen), fill value (skipped), data layout v3 (contiguous +
   *    chunked) and v4 (contiguous + chunked single-chunk/implicit/
@@ -35,10 +38,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    id fails loudly
   *  - global heap collections for vlen data — enough for NetCDF-4's
   *    DIMENSION_LIST attributes (vlen of object references)
-  * Everything else (superblock v1, fractal-heap DENSE groups/attributes,
-  * soft/external links, extensible-array/v2-btree chunk indexes, paged
-  * fixed arrays, SOHM shared header messages, filters outside the trio)
-  * fails with an explicit message, never a misparse.
+  * Everything else (superblock v1, dense ATTRIBUTE storage, huge/tiny
+  * fractal-heap objects, soft/external links, extensible-array/v2-btree
+  * chunk indexes, paged fixed arrays, SOHM shared header messages, filters
+  * outside the trio) fails with an explicit message, never a misparse.
   */
 object Hdf5 {
 
@@ -244,13 +247,16 @@ object Hdf5 {
         rootMsgs.collectFirst { case m: SymbolTableMsg => m } match {
           case Some(st) => readGroupEntries(r, st.btreeAddr, st.heapAddr, path)
           case None =>
-            rootMsgs.collectFirst { case LinkInfoMsg(fh) if fh != Undef => fh }
-              .foreach { _ => throw new IllegalArgumentException(
-                s"$path: dense (fractal-heap) groups unsupported (compact links only)") }
-            val links = rootMsgs.collect { case LinkMsg(n, a) => (n, a) }
-            require(links.nonEmpty,
-              s"$path: root group has neither a symbol table nor link messages")
-            links.sortBy(_._1)
+            rootMsgs.collectFirst {
+              case LinkInfoMsg(fh, bt) if fh != Undef => (fh, bt)
+            } match {
+              case Some((fh, bt)) => readDenseLinks(r, fh, bt, path)
+              case None =>
+                val links = rootMsgs.collect { case LinkMsg(n, a) => (n, a) }
+                require(links.nonEmpty,
+                  s"$path: root group has neither a symbol table nor link messages")
+                links.sortBy(_._1)
+            }
         }
       // two passes: names first (so object references resolve), then bodies
       val addrToName = entries.map { case (n, a) => a -> n }.toMap
@@ -315,6 +321,173 @@ object Hdf5 {
     walk(btreeAddr).sortBy(_._1)
   }
 
+  // ---- dense (fractal-heap) group storage
+
+  /** The managed-object geometry of a fractal heap (spec III.G `FRHP`). */
+  private final case class FractalHeap(idLen: Int, flags: Int,
+      maxManagedSize: Long, tableWidth: Int, startBlockSize: Long,
+      maxDirectSize: Long, maxHeapBits: Int, rootAddr: Long, curRows: Int) {
+    /** heap-offset field width in IDs/blocks: min bytes for the heap space */
+    def offSize: Int = (maxHeapBits + 7) / 8
+    /** object-length field width in IDs: min bytes for max managed size */
+    def lenSize: Int = { // H5VM_limit_enc_size: (log2(v) / 8) + 1
+      var n = 0; var x = maxManagedSize
+      while (x > 0) { x >>= 1; n += 1 }
+      (math.max(n - 1, 0) / 8) + 1
+    }
+    /** direct-block header bytes: sig + ver + heap addr + offset + checksum */
+    def directHeaderSize: Int = 4 + 1 + 8 + offSize + (if ((flags & 2) != 0) 4 else 0)
+  }
+
+  /** `FRHP` fractal heap header: fixed 142-byte prefix + checksum (group
+    * link heaps carry no I/O filters, enforced below).
+    */
+  private def parseFrhp(r: Reader, addr: Long, path: String): FractalHeap = {
+    val raw = r.bytes(addr, 146)
+    val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); b.get(sig)
+    require(sig.sameElements("FRHP".getBytes), s"$path: bad fractal heap signature")
+    require(b.get() == 0, s"$path: fractal heap version unsupported")
+    val idLen = b.getShort() & 0xFFFF
+    val filterLen = b.getShort() & 0xFFFF
+    require(filterLen == 0, s"$path: filtered fractal heap unsupported")
+    val flags = b.get() & 0xFF
+    val maxManaged = b.getInt().toLong & 0xFFFFFFFFL
+    b.getLong(); b.getLong() // next huge id, huge v2-btree address
+    b.getLong(); b.getLong() // free space, free-space manager address
+    b.getLong(); b.getLong() // managed space, allocated managed space
+    b.getLong() // direct-block allocation iterator offset
+    b.getLong() // number of managed objects
+    val hugeN = { b.getLong(); b.getLong() } // huge size, huge count
+    val tinyN = { b.getLong(); b.getLong() } // tiny size, tiny count
+    require(hugeN == 0 && tinyN == 0,
+      s"$path: huge/tiny fractal-heap objects unsupported (managed only)")
+    val width = b.getShort() & 0xFFFF
+    val startSize = b.getLong()
+    val maxDirect = b.getLong()
+    val maxHeapBits = b.getShort() & 0xFFFF
+    b.getShort() // starting rows in root indirect block
+    val rootAddr = b.getLong()
+    val curRows = b.getShort() & 0xFFFF
+    val stored = b.getInt()
+    val computed = lookup3(java.util.Arrays.copyOf(raw, 142))
+    require(stored == computed,
+      f"$path: fractal heap checksum mismatch (stored 0x$stored%08x)")
+    FractalHeap(idLen, flags, maxManaged, width, startSize, maxDirect,
+      maxHeapBits, rootAddr, curRows)
+  }
+
+  /** Size of the doubling-table row `row`: rows 0–1 use the starting block
+    * size, then each row doubles.
+    */
+  private def rowBlockSize(fh: FractalHeap, row: Int): Long =
+    if (row < 2) fh.startBlockSize else fh.startBlockSize << (row - 1)
+
+  /** Resolve a managed heap offset to its direct block (blockAddr,
+    * blockStartOffset). Root may be a single direct block (curRows = 0) or
+    * an indirect block whose rows list direct children; indirect CHILDREN
+    * (heaps past width×maxDirect of link data) are out of subset and fail
+    * loudly.
+    */
+  private def locateDirectBlock(r: Reader, fh: FractalHeap, off: Long,
+      path: String): (Long, Long) = {
+    if (fh.curRows == 0) (fh.rootAddr, 0L)
+    else {
+      // walk the doubling table to the row/column containing `off`
+      var row = 0; var rowStart = 0L
+      while (off >= rowStart + rowBlockSize(fh, row) * fh.tableWidth) {
+        rowStart += rowBlockSize(fh, row) * fh.tableWidth
+        row += 1
+        require(row < fh.curRows, s"$path: heap offset $off beyond root indirect block")
+      }
+      val bs = rowBlockSize(fh, row)
+      require(bs <= fh.maxDirectSize,
+        s"$path: indirect child blocks unsupported (fractal heap grew past " +
+          s"${fh.tableWidth}×${fh.maxDirectSize} bytes of link data)")
+      val col = ((off - rowStart) / bs).toInt
+      // FHIB: sig(4) ver(1) heap-addr(8) block-offset(offSize) then child
+      // addresses (8 bytes each, unfiltered heap) in row-major order
+      val headSize = 4 + 1 + 8 + fh.offSize
+      val entryIdx = row * fh.tableWidth + col
+      val ib = r.at(fh.rootAddr, headSize + (entryIdx + 1) * 8)
+      val sig = new Array[Byte](4); ib.get(sig)
+      require(sig.sameElements("FHIB".getBytes), s"$path: bad indirect block signature")
+      require(ib.get() == 0, s"$path: indirect block version unsupported")
+      ib.position(headSize + entryIdx * 8)
+      (ib.getLong(), rowStart + col * bs)
+    }
+  }
+
+  /** Read one managed object's bytes given its heap ID (flags byte +
+    * variable-width offset and length).
+    */
+  private def readManagedObject(r: Reader, fh: FractalHeap, id: Array[Byte],
+      path: String): Array[Byte] = {
+    val b = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
+    val f = b.get() & 0xFF
+    require((f >> 6) == 0, s"$path: heap ID version ${f >> 6} unsupported")
+    require(((f >> 4) & 3) == 0,
+      s"$path: non-managed heap ID type ${(f >> 4) & 3} unsupported")
+    val off = uintVar(b, fh.offSize)
+    val len = uintVar(b, fh.lenSize)
+    val (blockAddr, blockStart) = locateDirectBlock(r, fh, off, path)
+    // the direct block's offset space includes its own header, so a valid
+    // object offset always lands past it — check, never misparse
+    require(off - blockStart >= fh.directHeaderSize,
+      s"$path: heap object offset $off inside direct-block header")
+    r.bytes(blockAddr + (off - blockStart), len.toInt)
+  }
+
+  /** Dense group links: walk the name-index v2 B-tree (`BTHD` + `BTLF` leaf
+    * records of hash + heap ID, spec III.A.2) and resolve each record's
+    * heap ID to a link message in the fractal heap. Single-leaf trees only
+    * (the shape below ~500 links); deeper trees fail loudly.
+    */
+  private def readDenseLinks(r: Reader, fhAddr: Long, btAddr: Long,
+      path: String): Seq[(String, Long)] = {
+    require(btAddr != Undef, s"$path: dense group without a name-index v2 b-tree")
+    val fh = parseFrhp(r, fhAddr, path)
+    val raw = r.bytes(btAddr, 38)
+    val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); b.get(sig)
+    require(sig.sameElements("BTHD".getBytes), s"$path: bad v2 b-tree signature")
+    require(b.get() == 0, s"$path: v2 b-tree version unsupported")
+    val btType = b.get() & 0xFF
+    require(btType == 5, s"$path: v2 b-tree type $btType is not a link-name index")
+    b.getInt() // node size
+    val recSize = b.getShort() & 0xFFFF
+    val depth = b.getShort() & 0xFFFF
+    require(depth == 0,
+      s"$path: v2 b-tree depth $depth unsupported (single-leaf dense groups only)")
+    b.get(); b.get() // split / merge percents
+    val rootAddr = b.getLong()
+    val nrec = b.getShort() & 0xFFFF
+    b.getLong() // total records (== nrec at depth 0)
+    val stored = b.getInt()
+    val computed = lookup3(java.util.Arrays.copyOf(raw, 34))
+    require(stored == computed,
+      f"$path: v2 b-tree header checksum mismatch (stored 0x$stored%08x)")
+    require(recSize == 4 + fh.idLen,
+      s"$path: link-name record size $recSize != 4 + heap ID length ${fh.idLen}")
+    val leafRaw = r.bytes(rootAddr, 4 + 1 + 1 + nrec * recSize + 4)
+    val lb = ByteBuffer.wrap(leafRaw).order(ByteOrder.LITTLE_ENDIAN)
+    val lsig = new Array[Byte](4); lb.get(lsig)
+    require(lsig.sameElements("BTLF".getBytes), s"$path: bad v2 b-tree leaf signature")
+    require(lb.get() == 0, s"$path: v2 b-tree leaf version unsupported")
+    require((lb.get() & 0xFF) == 5, s"$path: v2 b-tree leaf type mismatch")
+    val links = (0 until nrec).map { _ =>
+      lb.getInt() // name hash — index key; enumeration reads every record
+      val id = new Array[Byte](fh.idLen); lb.get(id)
+      val msgs = scala.collection.mutable.ArrayBuffer[Msg]()
+      dispatchMsg(0x0006, 0,
+        ByteBuffer.wrap(readManagedObject(r, fh, id, path))
+          .order(ByteOrder.LITTLE_ENDIAN), msgs, path)
+      msgs.head match { case LinkMsg(n, a) => (n, a)
+        case m => throw new IllegalStateException(s"$path: unexpected $m") }
+    }
+    links.sortBy(_._1)
+  }
+
   // ---- object header messages
 
   private sealed trait Msg
@@ -324,7 +497,8 @@ object Hdf5 {
   private final case class AttrMsg(attr: RawAttr) extends Msg
   private final case class FilterMsg(filters: Seq[H5Filter]) extends Msg
   private final case class SymbolTableMsg(btreeAddr: Long, heapAddr: Long) extends Msg
-  private final case class LinkInfoMsg(fractalHeapAddr: Long) extends Msg
+  private final case class LinkInfoMsg(fractalHeapAddr: Long,
+      nameBtreeAddr: Long) extends Msg
   private final case class LinkMsg(name: String, ohAddr: Long) extends Msg
   private final case class RawAttr(name: String, dtype: DType, dims: Seq[Long],
       data: Array[Byte])
@@ -462,8 +636,9 @@ object Hdf5 {
     case o => throw new IllegalArgumentException(s"unsupported field width $o")
   }
 
-  /** Link Info (0x0002): only needed to detect dense (fractal-heap) groups,
-    * which the subset rejects; compact groups keep the address undefined.
+  /** Link Info (0x0002): compact groups keep the fractal heap address
+    * undefined; a defined address means DENSE link storage — the links live
+    * as managed fractal-heap objects indexed by the name-index v2 B-tree.
     */
   private def parseLinkInfo(b: ByteBuffer, path: String): LinkInfoMsg = {
     val version = b.get()
@@ -471,8 +646,8 @@ object Hdf5 {
     val flags = b.get() & 0xFF
     if ((flags & 1) != 0) b.getLong() // max creation index
     val fheap = b.getLong()
-    b.getLong() // name-index b-tree
-    LinkInfoMsg(fheap)
+    val nameBt = b.getLong()
+    LinkInfoMsg(fheap, nameBt)
   }
 
   /** Link (0x0006): hard links only — the shape compact latest-format
@@ -1240,6 +1415,9 @@ object Hdf5 {
   def write(path: String, datasets: Seq[WDataset]): Unit =
     write(path, datasets, latest = false)
 
+  def write(path: String, datasets: Seq[WDataset], latest: Boolean): Unit =
+    write(path, datasets, latest, denseRoot = false)
+
   /** `latest = true` emits the format's latest-version encodings — the
     * 48-byte checksummed superblock v3, v2 (`OHDR`) object headers, compact
     * link-message groups, dataspace v2, attribute v3, filter pipeline v2,
@@ -1247,8 +1425,14 @@ object Hdf5 {
     * Fixed Array index) — i.e. what `H5F_LIBVER_LATEST` produces for this
     * subset. `latest = false` keeps the default-format encodings
     * (superblock v0, v1 headers, symbol-table groups, layout v3).
+    * `denseRoot = true` (latest only) stores the root group's links DENSE:
+    * one fractal-heap managed object per link message plus a single-leaf
+    * name-index v2 b-tree — what libhdf5 switches to when a group passes
+    * its compact-storage phase-change limit (8 links by default).
     */
-  def write(path: String, datasets: Seq[WDataset], latest: Boolean): Unit = {
+  def write(path: String, datasets: Seq[WDataset], latest: Boolean,
+      denseRoot: Boolean): Unit = {
+    require(!denseRoot || latest, "dense root groups require the latest format")
     datasets.foreach { d =>
       require(d.data.length == d.dims.product,
         s"${d.name}: data length ${d.data.length} != dims product ${d.dims.product}")
@@ -1524,23 +1708,119 @@ object Hdf5 {
       u32ck(b)
     }
 
+    def linkMsgBytes(n: String, res: Resolve): Array[Byte] = {
+      val nb = n.getBytes("UTF-8")
+      require(nb.length <= 255, s"link name too long: $n")
+      val l = new LeBuf
+      l.u8(1).u8(0) // version, flags: hard link, 1-byte name length
+      l.u8(nb.length).raw(nb)
+      l.u64(res(s"oh:$n"))
+      l.bytes
+    }
+
     def rootOhV2(res: Resolve): Array[Byte] = {
       val linkInfo = new LeBuf
       linkInfo.u8(0).u8(0) // version, flags (no creation-order tracking)
-      linkInfo.u64(-1L).u64(-1L) // fractal heap + name b-tree: compact links
+      if (denseRoot) // links live in the fractal heap + name-index b-tree
+        linkInfo.u64(res("frhp")).u64(res("bthd"))
+      else // compact: undefined addresses, one 0x0006 message per member
+        linkInfo.u64(-1L).u64(-1L)
       val groupInfo = new LeBuf
       groupInfo.u8(0).u8(0) // version, flags (default phase-change bounds)
-      val links = names.sorted.map { n =>
-        val nb = n.getBytes("UTF-8")
-        require(nb.length <= 255, s"link name too long: $n")
-        val l = new LeBuf
-        l.u8(1).u8(0) // version, flags: hard link, 1-byte name length
-        l.u8(nb.length).raw(nb)
-        l.u64(res(s"oh:$n"))
-        0x0006 -> l.bytes
-      }
+      val links =
+        if (denseRoot) Nil
+        else names.sorted.map(n => 0x0006 -> linkMsgBytes(n, res))
       objectHeaderV2(
         Seq(0x0002 -> linkInfo.bytes, 0x000A -> groupInfo.bytes) ++ links)
+    }
+
+    // ---- dense root group: fractal heap (FRHP + one root FHDB direct
+    // block) holding the link messages as managed objects, indexed by a
+    // single-leaf name-index v2 b-tree (BTHD + BTLF). Geometry mirrors the
+    // library defaults: 32-bit heap space (4-byte offsets), 4 KiB max
+    // managed object (2-byte lengths), 7-byte heap IDs, record size 11.
+    val denseMaxManaged = 4096L
+    val denseOffSize = 4; val denseLenSize = 2
+    val denseIdLen = 1 + denseOffSize + denseLenSize
+    val denseHeaderSize = 4 + 1 + 8 + denseOffSize + 4 // FHDB prefix + checksum
+    /** (heap offset, length) per sorted link, and the root block size. */
+    val (denseExtents, denseBlockSize): (Seq[(Long, Int)], Long) = {
+      val zeroR: Resolve = _ => 0L
+      val lens = names.sorted.map(n => linkMsgBytes(n, zeroR).length)
+      require(lens.forall(_ <= denseMaxManaged), "link message exceeds heap object max")
+      val offs = lens.scanLeft(denseHeaderSize.toLong)(_ + _)
+      var bs = 512L
+      while (bs < offs.last) bs <<= 1
+      (offs.zip(lens), bs)
+    }
+
+    def frhpBlock(res: Resolve): Array[Byte] = {
+      val used = denseExtents.lastOption.map(e => e._1 + e._2).getOrElse(0L)
+      val b = new LeBuf
+      b.raw("FRHP".getBytes).u8(0)
+      b.u16(denseIdLen).u16(0) // heap ID length, I/O filter length (none)
+      b.u8(0x02) // flags: direct blocks are checksummed
+      b.u32(denseMaxManaged)
+      b.u64(0).u64(-1L) // next huge object id, huge v2-btree address
+      b.u64(denseBlockSize - used).u64(-1L) // free space, free-space manager
+      b.u64(denseBlockSize).u64(denseBlockSize) // managed space, allocated
+      b.u64(denseBlockSize) // direct-block iterator offset (block is full)
+      b.u64(denseExtents.length) // managed objects
+      b.u64(0).u64(0).u64(0).u64(0) // huge size/count, tiny size/count
+      b.u16(4) // table width
+      b.u64(denseBlockSize) // starting block size = the one root block
+      b.u64(math.max(denseBlockSize, denseMaxManaged)) // max direct block size
+      b.u16(32).u16(1) // max heap size (bits), starting rows in root indirect
+      b.u64(res("fhdb"))
+      b.u16(0) // current rows: 0 = root is a direct block
+      u32ck(b)
+    }
+
+    def fhdbBlock(res: Resolve): Array[Byte] = {
+      val out = new Array[Byte](denseBlockSize.toInt)
+      val head = new LeBuf
+      head.raw("FHDB".getBytes).u8(0).u64(res("frhp"))
+      head.u32(0) // block offset within the heap space (4-byte field)
+      System.arraycopy(head.bytes, 0, out, 0, denseHeaderSize - 4)
+      names.sorted.zip(denseExtents).foreach { case (n, (off, _)) =>
+        val body = linkMsgBytes(n, res)
+        System.arraycopy(body, 0, out, off.toInt, body.length)
+      }
+      // checksum over the whole block with its own field zeroed
+      val ck = lookup3(out)
+      val cb = new LeBuf; cb.u32(ck.toLong & 0xFFFFFFFFL)
+      System.arraycopy(cb.bytes, 0, out, denseHeaderSize - 4, 4)
+      out
+    }
+
+    def denseHeapIds: Seq[(String, Array[Byte])] =
+      names.sorted.zip(denseExtents).map { case (n, (off, len)) =>
+        val id = new LeBuf
+        id.u8(0x00) // version 0, managed object
+        id.u32(off).u16(len)
+        n -> id.bytes
+      }
+
+    def bthdBlock(res: Resolve): Array[Byte] = {
+      val b = new LeBuf
+      b.raw("BTHD".getBytes).u8(0).u8(5) // version, type 5: link-name index
+      b.u32(4096).u16(4 + denseIdLen) // node size, record size
+      b.u16(0) // depth: root is the leaf
+      b.u8(100).u8(40) // split / merge percents (library defaults)
+      b.u64(res("btlf"))
+      b.u16(denseExtents.length)
+      b.u64(denseExtents.length)
+      u32ck(b)
+    }
+
+    def btlfBlock(res: Resolve): Array[Byte] = {
+      val b = new LeBuf
+      b.raw("BTLF".getBytes).u8(0).u8(5)
+      denseHeapIds
+        .map { case (n, id) => (lookup3(n.getBytes("UTF-8")), n, id) }
+        .sortBy { case (h, n, _) => (h.toLong & 0xFFFFFFFFL, n) }
+        .foreach { case (h, _, id) => b.u32(h.toLong & 0xFFFFFFFFL).raw(id) }
+      u32ck(b)
     }
 
     def dataspaceBytesV2(dims: Seq[Long]): Array[Byte] = {
@@ -1667,6 +1947,7 @@ object Hdf5 {
     val blockNames: Seq[String] =
       if (latest)
         Seq("oh:/") ++
+          (if (denseRoot) Seq("frhp", "fhdb", "bthd", "btlf") else Nil) ++
           datasets.map(d => s"oh:${d.name}") ++
           (if (gcolEntries.nonEmpty) Seq("gcol") else Nil) ++
           datasets.flatMap { d =>
@@ -1691,6 +1972,10 @@ object Hdf5 {
 
     def buildBlock(name: String, res: Resolve): Array[Byte] = name match {
       case "oh:/" => if (latest) rootOhV2(res) else rootOh(res)
+      case "frhp" => frhpBlock(res)
+      case "fhdb" => fhdbBlock(res)
+      case "bthd" => bthdBlock(res)
+      case "btlf" => btlfBlock(res)
       case "heap" => heapBlock(res)
       case "heapdata" => heapData.bytes
       case "btree" => btreeBlock(res)

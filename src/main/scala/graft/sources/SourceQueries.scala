@@ -202,11 +202,19 @@ object SourceQueries extends QueryModule {
     */
   lazy val nc4LatestDir: String = writeNc4Dir(latest = true)
 
-  private def writeNc4Dir(latest: Boolean): String = {
+  /** The grid once more with DENSE root groups (fractal-heap link storage +
+    * name-index v2 b-tree) — the layout libhdf5 switches to past the
+    * compact phase-change limit, i.e. what any latest-format archive with
+    * more than a handful of variables actually uses.
+    */
+  lazy val nc4DenseDir: String = writeNc4Dir(latest = true, dense = true)
+
+  private def writeNc4Dir(latest: Boolean, dense: Boolean = false): String = {
     import GridData.{T => TD, X => XD, Y => YD}
     import Hdf5._
     val dir = java.nio.file.Files.createTempDirectory(
-      if (latest) "graft-nc4l" else "graft-nc4").toFile.getAbsolutePath
+      if (dense) "graft-nc4d" else if (latest) "graft-nc4l" else "graft-nc4")
+      .toFile.getAbsolutePath
     val lat = Array.tabulate(YD)(y => 44.0 + y * 0.05)
     val lon = Array.tabulate(XD)(x => -80.0 + x * 0.05)
     for ((v, vid) <- Seq("tasmax" -> 0, "tasmin" -> 1)) {
@@ -239,7 +247,7 @@ object SourceQueries extends QueryModule {
           refAttrs = Seq("DIMENSION_LIST" ->
             Seq(Seq("time"), Seq("lat"), Seq("lon"))),
           chunkDims = chunks,
-          filters = filters)), latest)
+          filters = filters)), latest, dense)
     }
     dir
   }
@@ -308,6 +316,20 @@ object SourceQueries extends QueryModule {
     s.read.format(classOf[GridSource].getName).option("path", nc4LatestDir).load()
       .filter(col("ts") >= lit("1990-01-05 00:00:00").cast("timestamp") &&
         col("y") <= 8 && col("x") < 12)
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x")
+
+  /** The hyperslab read where the CATALOG itself comes out of dense group
+    * storage: link messages resolved through the fractal heap + name-index
+    * v2 b-tree before any dataset byte is touched. Pushdown/decode paths are
+    * the latest-format ones above — what changes is purely how the reader
+    * discovers the variables, which is the part real many-variable archives
+    * exercise.
+    */
+  private def qGridNc4Dense(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", nc4DenseDir).load()
+      .filter(col("ts") <= lit("1990-01-04 23:59:59").cast("timestamp") &&
+        col("y").between(3, 14) && col("x") >= 18)
       .select("variable", "ts", "y", "x", "lat", "lon", "value")
       .orderBy("variable", "ts", "y", "x")
 
@@ -415,6 +437,7 @@ object SourceQueries extends QueryModule {
     "q_grid_nc" -> qGridNc,
     "q_grid_nc4" -> qGridNc4,
     "q_grid_nc4_latest" -> qGridNc4Latest,
+    "q_grid_nc4_dense" -> qGridNc4Dense,
     "q_grid_federated" -> qGridFederated,
     "q_grid_nc_curv" -> qGridNcCurv,
     "q_catalog_attrs" -> qCatalogAttrs,
@@ -491,6 +514,11 @@ object SourceQueries extends QueryModule {
       """SELECT variable, ts, y, x, lat, lon, value FROM cells
         |WHERE ts >= TIMESTAMP '1990-01-05 00:00:00'
         |  AND y <= 8 AND x < 12
+        |ORDER BY variable, ts, y, x""".stripMargin),
+    "q_grid_nc4_dense" -> (GridData.oracleCells +
+      """SELECT variable, ts, y, x, lat, lon, value FROM cells
+        |WHERE ts <= TIMESTAMP '1990-01-04 23:59:59'
+        |  AND y BETWEEN 3 AND 14 AND x >= 18
         |ORDER BY variable, ts, y, x""".stripMargin),
     "q_grid_federated" -> (GridData.oracleCells +
       """SELECT variable, count(value) AS n_obs,

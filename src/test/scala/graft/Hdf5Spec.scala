@@ -194,6 +194,40 @@ class Hdf5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("implicit"))
   }
 
+  test("latest format: dense root group (fractal heap + v2 b-tree) round-trips") {
+    val p = tmp("dense.h5"); val pc = tmp("compact.h5")
+    val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
+    def grid = Seq(
+      WDataset("time", I32, Seq(T), Array.tabulate(T)(_.toDouble),
+        strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time")),
+      WDataset("lat", F64, Seq(Y), Array.tabulate(Y)(44.0 + _ * 0.05)),
+      WDataset("lon", F64, Seq(X), Array.tabulate(X)(-80.0 + _ * 0.05)),
+      WDataset("temp", F32, Seq(T, Y, X), data,
+        refAttrs = Seq("DIMENSION_LIST" -> Seq(Seq("time"), Seq("lat"), Seq("lon"))),
+        chunkDims = Some(Seq(2, 3, 3))))
+    Hdf5.write(p, grid, latest = true, denseRoot = true)
+    Hdf5.write(pc, grid, latest = true, denseRoot = false)
+    val d = Hdf5.open(p); val c = Hdf5.open(pc)
+    assert(d.datasets.map(_.name) == c.datasets.map(_.name))
+    assert(d.dataset("temp").get.attr("DIMENSION_LIST").map(_.value)
+      .contains(RefListAttr(Seq(Seq("time"), Seq("lat"), Seq("lon")))))
+    for (n <- Seq("time", "lat", "lon", "temp"))
+      assert(Hdf5.readAll(p, d.dataset(n).get).toSeq ==
+        Hdf5.readAll(pc, c.dataset(n).get).toSeq, n)
+  }
+
+  test("dense root group: 26 links land at distinct heap offsets and all resolve") {
+    val p = tmp("many.h5")
+    val dsets = ('a' to 'z').map(ch =>
+      WDataset(s"var_$ch", F64, Seq(2), Array(ch.toDouble, ch.toDouble / 2)))
+    Hdf5.write(p, dsets, latest = true, denseRoot = true)
+    val h = Hdf5.open(p)
+    assert(h.datasets.map(_.name) == ('a' to 'z').map(ch => s"var_$ch"))
+    for (ch <- 'a' to 'z')
+      assert(Hdf5.readAll(p, h.dataset(s"var_$ch").get).toSeq ==
+        Seq(ch.toDouble, ch.toDouble / 2), ch)
+  }
+
   test("latest format: corrupted metadata fails the lookup3 checksum loudly") {
     val p = tmp("latest-corrupt.h5")
     writeGrid(p, chunked = false, latest = true)
