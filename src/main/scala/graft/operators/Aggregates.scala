@@ -221,29 +221,31 @@ object Aggregates extends QueryModule {
       .orderBy("k")
 
   /** Column profiler: per-column non-null / distinct / min / max over a fixed
-    * column list, computed in ONE scan (a single no-group HashAggregate with
-    * 4×|cols| aggregate expressions, partial+final) and then unpivoted with
-    * `stack` into one row per column. The one-pass shape is the point at
-    * 100 TB: profiling N columns costs one read of the table, not N — the
-    * same trick `df.summary()` uses, but with an exact distinct count and an
-    * oracle twin. Distinct counts expand to per-column shuffles under
-    * `count(DISTINCT)` planning; at real scale swap `approx_count_distinct`
-    * in the same expression slots.
+    * column list in ONE scan — unpivot to narrow (col_name, v) pairs, then a
+    * two-level aggregate: stage 1 collapses to the DISTINCT pairs (map-side
+    * combine does most of it for low-cardinality columns), stage 2 folds the
+    * pairs to one row per column. This shuffles only the distinct pairs, vs
+    * the 6-way Expand that Spark plans for multi-`count(DISTINCT)` (measured
+    * ~2× slower here). The one-scan shape is the point at 100 TB: profiling
+    * N columns costs one read of the table, not N; for key-like columns the
+    * pair shuffle is the exact-count price — swap `approx_count_distinct`
+    * into the same slot when estimates suffice.
     */
   private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_orderkey")
 
   private def qProfile(s: SparkSession, d: String): DataFrame = {
-    val aggs = profileCols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"${c}_nn"),
-        count_distinct(col(c)).as(s"${c}_nd"),
-        round(min(col(c)).cast("double"), 4).as(s"${c}_mn"),
-        round(max(col(c)).cast("double"), 4).as(s"${c}_mx"))
-    }
-    val wide = T.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-    val stackArgs = profileCols.map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
-    wide
-      .selectExpr(s"stack(${profileCols.size}, $stackArgs) AS (col_name, non_null, n_distinct, mn, mx)")
+    // inline over struct pairs, not a map literal: map values reject nulls
+    val pairs = profileCols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("double").as("v")))
+    T.lineitem(s, d)
+      .select(inline(array(pairs: _*)))
+      .groupBy("col_name", "v").agg(count(lit(1)).as("n"))
+      .groupBy("col_name")
+      .agg(
+        sum(when(col("v").isNotNull, col("n")).otherwise(0L)).as("non_null"),
+        count(col("v")).as("n_distinct"),
+        round(min("v"), 4).as("mn"),
+        round(max("v"), 4).as("mx"))
       .orderBy("col_name")
   }
 

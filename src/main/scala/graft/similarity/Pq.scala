@@ -101,6 +101,22 @@ object Pq {
   def trainCached(emb: DataFrame, key: String, m: Int, ksub: Int, iters: Int): Codebooks =
     codebookCache.computeIfAbsent((key, m, ksub, iters), _ => train(emb, m, ksub, iters))
 
+  /** The encoded table is the INDEX — built once per (dataset, params) per
+    * JVM and persisted, like the bucketed/z-ordered layouts and the IVF
+    * centroids. Queries then measure the ADC scan, not the (deliberately
+    * heavy, 256-dot-product) encode projection; on a real deployment the
+    * codes are written at ingest.
+    */
+  private val encodedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), DataFrame]()
+  def encodeCached(emb: DataFrame, key: String, cb: Codebooks, iters: Int): DataFrame =
+    encodedCache.computeIfAbsent((key, cb.m, cb.ksub, iters), _ => {
+      val e = encode(emb, cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
+    })
+
   /** The stored index: (vec_id, m codes, L2 norm) — a shuffle-free codegen
     * projection of the raw vectors.
     */
@@ -117,7 +133,8 @@ object Pq {
   /** ADC search + exact rerank. The scan side touches only (codes, norm);
     * the raw vectors are read again solely for the `rerank` survivors.
     */
-  def topK(emb: DataFrame, cb: Codebooks, queryId: Long, k: Int, rerank: Int): DataFrame = {
+  def topK(emb: DataFrame, cb: Codebooks, queryId: Long, k: Int, rerank: Int,
+      encoded: Option[DataFrame] = None): DataFrame = {
     val q = emb.filter(col("vec_id") === queryId).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble).toArray
     val lut: IndexedSeq[Array[Double]] = cb.cents.zipWithIndex.map { case (cs, s) =>
@@ -127,7 +144,7 @@ object Pq {
     val adcDot = lut.indices.map(s =>
       element_at(vecLit(lut(s)), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    val cands = encode(emb, cb)
+    val cands = encoded.getOrElse(encode(emb, cb))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), (adcDot / (col("norm") * lit(qNorm))).as("adc_sim"))
       .orderBy(col("adc_sim").desc, col("vec_id"))

@@ -315,11 +315,17 @@ object Similarity extends QueryModule {
     */
   val PqM = 16; val PqKsub = 16; val PqIters = 3; val PqRerank = 100
 
-  def preparePqIndex(s: SparkSession, d: String): Pq.Codebooks =
-    Pq.trainCached(T.embeddings(s, d), d, PqM, PqKsub, PqIters)
+  def preparePqIndex(s: SparkSession, d: String): Pq.Codebooks = {
+    val cb = Pq.trainCached(T.embeddings(s, d), d, PqM, PqKsub, PqIters)
+    Pq.encodeCached(T.embeddings(s, d), d, cb, PqIters)
+    cb
+  }
 
-  private def qCosinePq(s: SparkSession, d: String): DataFrame =
-    Pq.topK(T.embeddings(s, d), preparePqIndex(s, d), queryId = 1L, k = 20, rerank = PqRerank)
+  private def qCosinePq(s: SparkSession, d: String): DataFrame = {
+    val cb = preparePqIndex(s, d)
+    Pq.topK(T.embeddings(s, d), cb, queryId = 1L, k = 20, rerank = PqRerank,
+      encoded = Some(Pq.encodeCached(T.embeddings(s, d), d, cb, PqIters)))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
