@@ -48,6 +48,23 @@ class PlansSpec extends AnyFunSuite {
   // the final RDD — partition pruning is asserted on the scan+filter stage
   // (identical predicates, same ScanBuilder path)
 
+  test("q_profile: one scan of lineitem, distinct-pair aggregation, no Expand") {
+    val plan = planOf("q_profile")
+    // one table read for all 5 columns' stats — the profiler's whole point
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    // the narrow-pair formulation must not regress to the multi-distinct Expand
+    assert(!plan.contains("Expand"), plan)
+    // two-level aggregate: (col, v) collapse with map-side partial, then per-col fold
+    assert("HashAggregate".r.findAllIn(plan).size >= 3, plan)
+  }
+
+  test("q_ewma: the lag fan costs ONE window over one shuffle") {
+    val plan = planOf("q_ewma")
+    assert("Window".r.findAllIn(plan).size == 1, plan)
+    // one hashpartitioning exchange on user_id feeds it (plus the final sort)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("q_grid_file: section pushdown plans only the surviving partitions") {
     import org.apache.spark.sql.functions._
     val df = spark.read.format(classOf[sources.GridSource].getName)
