@@ -240,6 +240,29 @@ object Similarity extends QueryModule {
         numPlanes = Some(NumPlanes), numTables = 1)
       .orderBy(col("cos").desc, col("id1"), col("id2")).limit(50)
 
+  /** Semantic dedup END TO END: the embedding-space twin of
+    * `q_dedup_cluster_lsh` — sign-LSH in-bucket pairs thresholded on EXACT
+    * cosine become edges, connected components contract them, and every
+    * vector gets a cluster label (its component's min vec_id = the kept
+    * representative; singletons keep themselves). Oracle-checkable because
+    * the edge set is exact-verified (seed-42 hyperplanes reproduced in SQL,
+    * same rounding) and the CC is a recursive CTE. Scale shape: candidate
+    * join linear in bucket occupancy, CC cost linear in verified pairs —
+    * the components machinery (driver cutover vs distributed propagation)
+    * is shared with the text pipeline.
+    */
+  private def qEmbedDedupCluster(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val edges = embeddingNearDups(emb, minCos = 0.2,
+        numPlanes = Some(NumPlanes), numTables = 1)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    val comps = graft.dedup.Dedup.connectedComponents(edges)
+    emb.select(col("vec_id"))
+      .join(comps, emb("vec_id") === comps("id"), "left")
+      .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** Semantic clustering: assign every vector to its nearest of k fixed
     * centroids — the corpus-scale ASSIGN step of seeded k-means (the
     * centroid refine loop is k×dim-sized, metadata next to the corpus).
@@ -333,6 +356,7 @@ object Similarity extends QueryModule {
     "q_cosine_ivf" -> qCosineIvf,
     "q_cosine_pq" -> qCosinePq,
     "q_embed_neardup" -> qEmbedNearDup,
+    "q_embed_dedup_cluster" -> qEmbedDedupCluster,
     "q_embed_knn" -> qEmbedKnn,
     "q_embed_knn_shuffle" -> qEmbedKnnShuffle,
     "q_embed_centroid" -> qEmbedCentroid,
@@ -416,6 +440,26 @@ object Similarity extends QueryModule {
          |FROM b, q
          |WHERE bit_count(CAST(xor(bucket, qbucket) AS INTEGER)) <= 1 AND vec_id <> 1
          |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    // same seed-42 bucket + exact-cosine edge set as the Spark side, then
+    // min-reachable-id components as a recursive CTE (q_dedup_cluster shape)
+    "q_embed_dedup_cluster" ->
+      s"""WITH RECURSIVE bk AS (
+         |  SELECT vec_id, e, ${bucketSql("e")} AS bucket
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |        FROM embeddings)),
+         |pairs AS (
+         |  SELECT l.vec_id AS src, r.vec_id AS dst
+         |  FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |  WHERE round(list_dot_product(l.e, r.e)
+         |        / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))), 4) >= 0.2),
+         |edges AS (
+         |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |cc AS (
+         |  SELECT vec_id AS id, vec_id AS comp FROM bk
+         |  UNION
+         |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id)
+         |SELECT id AS vec_id, min(comp) AS cluster
+         |FROM cc GROUP BY id ORDER BY vec_id""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH b AS (
          |  SELECT vec_id, e, ${bucketSql("e")} AS bucket

@@ -66,6 +66,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cb.m * cb.ksub * cb.dsub == 1024, "codebook must stay driver-sized")
   }
 
+  test("embedding dedup clusters: labels are component minima, edges never cross clusters") {
+    val label = SparkEntry.queries("q_embed_dedup_cluster")(spark, TestSpark.sf)
+      .as[(Long, Long)].collect().toMap
+    assert(label.forall { case (id, c) => c <= id }, "label must be a component min id")
+    val edges = Similarity.embeddingNearDups(Tables.embeddings(spark, TestSpark.sf),
+        minCos = 0.2, numPlanes = Some(Similarity.NumPlanes), numTables = 1)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(edges.nonEmpty, "fixture should produce at least one near-dup edge")
+    edges.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"edge ($a,$b) crosses clusters")
+    }
+  }
+
   test("LSH bucket is stable and within range") {
     val b = Tables.embeddings(spark, TestSpark.sf)
       .select(Similarity.lshBucket(col("embedding")).as("b")).as[Int].collect()
