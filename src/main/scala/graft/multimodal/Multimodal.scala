@@ -14,14 +14,16 @@ import graft.render.Png
   * interpreted by relational operators, so filters/joins/dedup prune on
   * metadata and only the surviving rows pay decode cost.
   *
-  * Images decode for real: payloads are PNGs (written by the repo's own
-  * from-spec encoder, `graft.render.Png`) and `ImageDecoder` reads them back
-  * through the JDK's `javax.imageio` codec — an independent implementation,
-  * so the round-trip cross-checks both. Non-image media types fall back to
-  * `FakeDecoder`, a deterministic stub standing in for codecs this
-  * environment lacks (audio/video). Either way the `mapPartitions` batch
-  * shape — one decoder instance per partition, rows streamed through it — is
-  * the real plumbing; scales linearly with partitions, no shuffle.
+  * Images and audio decode for REAL: image payloads are PNGs (written by
+  * the repo's own from-spec encoder, `graft.render.Png`) read back through
+  * the JDK's `javax.imageio` codec, and audio payloads are RIFF/WAVE PCM
+  * clips (written by the from-spec [[Wav]] encoder) read back through the
+  * JDK's `javax.sound.sampled` codec — independent implementations, so each
+  * round-trip cross-checks both sides. Media with no codec in this
+  * environment (video) falls back to `FakeDecoder`, a deterministic stub.
+  * Either way the `mapPartitions` batch shape — one decoder instance per
+  * partition, rows streamed through it — is the real plumbing; scales
+  * linearly with partitions, no shuffle.
   */
 object Multimodal extends QueryModule {
 
@@ -136,6 +138,76 @@ object Multimodal extends QueryModule {
       .toDF()
   }
 
+  /** Real audio decode output: PCM stream properties plus exact integer
+    * aggregates of the samples (sum of squares as a long — bounded by
+    * clip-length × 2¹⁵², far inside exact range — and peak amplitude), so
+    * the oracle can verify every sample without parsing WAV.
+    */
+  case class DecodedAudio(
+    asset_id: Long, sample_rate: Int, n_samples: Int, sum_sq: Long, peak: Int)
+
+  /** Real audio decoder: JDK `javax.sound.sampled` (WAV/PCM ships with the
+    * JDK). Independent of [[Wav]], so encoding with ours and decoding with
+    * the JDK's cross-validates both.
+    */
+  object AudioDecoder {
+    def decode(assetId: Long, bytes: Array[Byte]): DecodedAudio = {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"asset $assetId: expected 16-bit mono PCM, got $fmt")
+        val raw = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(raw).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sumSq = 0L; var peak = 0; var n = 0
+        while (bb.remaining() >= 2) {
+          val v = bb.getShort().toInt
+          sumSq += v.toLong * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          n += 1
+        }
+        DecodedAudio(assetId, fmt.getSampleRate.toInt, n, sumSq, peak)
+      } finally in.close()
+    }
+  }
+
+  /** WAV asset table: one synthetic PCM clip per document, generated from a
+    * closed-form INTEGER waveform (no transcendentals — bit-exact in any
+    * engine) and encoded with the repo's own from-spec RIFF/WAVE writer.
+    */
+  def wavAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (400 + id % 100).toInt
+          val samples = Array.tabulate(n) { i =>
+            (((id * 31 + i.toLong * 7919) % 4001) - 2000).toShort
+          }
+          (id, Wav.encode(8000, samples))
+        }
+      }
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload"),
+        struct(
+          lit("audio/wav").as("media_type"),
+          length(col("payload")).as("n_bytes"),
+          lit("synthetic").as("origin")).as("meta"))
+  }
+
+  /** Audio decode via the same mapPartitions batch shape as images. */
+  def decodeAudio(assetsDf: DataFrame): DataFrame = {
+    val s = assetsDf.sparkSession
+    import s.implicits._
+    assetsDf.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => AudioDecoder.decode(id, bytes) })
+      .toDF()
+  }
+
   /** Asset table: binary payload + typed metadata. Payloads here are the
     * documents' UTF-8 bytes standing in for media bytes.
     */
@@ -206,9 +278,23 @@ object Multimodal extends QueryModule {
   private def qMmFrames(s: SparkSession, d: String): DataFrame =
     sampleFrames(assets(s, d)).orderBy("asset_id", "frame_id")
 
+  /** Audio decode round-trip, oracle-checked per SAMPLE: our WAV encoder →
+    * JDK javax.sound decoder → exact integer aggregates (sum-of-squares →
+    * RMS, peak), vs DuckDB evaluating the same integer waveform formula.
+    * All partial sums stay inside exact double range, so the hash is
+    * order-independent and bit-stable.
+    */
+  private def qMmAudio(s: SparkSession, d: String): DataFrame =
+    decodeAudio(wavAssets(s, d))
+      .select(col("asset_id"), col("sample_rate"), col("n_samples"),
+        round(sqrt(col("sum_sq") / col("n_samples")), 4).as("rms"),
+        col("peak"))
+      .orderBy("asset_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta" -> qMmMeta,
     "q_mm_decode" -> qMmDecode,
+    "q_mm_audio" -> qMmAudio,
     "q_mm_frames" -> qMmFrames
   )
 
@@ -226,6 +312,18 @@ object Multimodal extends QueryModule {
         |SELECT doc_id AS asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS pixel_md5
         |FROM vals GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin,
+    // the oracle never parses WAV: it evaluates the same integer waveform
+    // the generator used — a match proves encoder + decoder round-tripped
+    // every 16-bit sample of every clip
+    "q_mm_audio" ->
+      """WITH p AS (SELECT doc_id, 400 + doc_id % 100 AS n FROM documents),
+        |sm AS (
+        |  SELECT doc_id, n, i, ((doc_id * 31 + i * 7919) % 4001) - 2000 AS v
+        |  FROM p, unnest(range(0, n)) AS t(i))
+        |SELECT doc_id AS asset_id, 8000 AS sample_rate, CAST(n AS INT) AS n_samples,
+        |  round(sqrt(sum(CAST(v * v AS DOUBLE)) / n), 4) AS rms,
+        |  CAST(max(abs(v)) AS INT) AS peak
+        |FROM sm GROUP BY doc_id, n ORDER BY asset_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id AS asset_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

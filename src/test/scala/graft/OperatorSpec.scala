@@ -108,6 +108,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal WAV round-trip: our encoder -> JDK javax.sound decoder, per-sample") {
+    import graft.multimodal.{Multimodal, Wav}
+    // hand-made clip through both codecs: exact sample recovery
+    val samples = Array.tabulate(777)(i => ((i * 9973) % 65536 - 32768).toShort)
+    val d = Multimodal.AudioDecoder.decode(1L, Wav.encode(16000, samples))
+    assert(d.sample_rate == 16000 && d.n_samples == 777)
+    assert(d.sum_sq == samples.map(v => v.toLong * v).sum)
+    assert(d.peak == samples.map(v => math.abs(v.toInt)).max)
+    // the fixture clips decode to the generating formula's aggregates
+    val decoded = Multimodal.decodeAudio(Multimodal.wavAssets(spark, TestSpark.sf))
+      .as[Multimodal.DecodedAudio].collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      val n = (400 + r.asset_id % 100).toInt
+      assert(r.sample_rate == 8000 && r.n_samples == n, s"asset ${r.asset_id}")
+      val vs = (0 until n).map(i => (r.asset_id * 31 + i.toLong * 7919) % 4001 - 2000)
+      assert(r.sum_sq == vs.map(v => v * v).sum, s"sample data mismatch for ${r.asset_id}")
+    }
+  }
+
   test("mixed-media decode: fallback rows stay distinguishable (no empty-raster collision)") {
     import graft.multimodal.Multimodal
     // one real PNG, two DIFFERENT no-codec assets: the fallback must not
