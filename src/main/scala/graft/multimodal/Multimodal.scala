@@ -112,6 +112,24 @@ object Multimodal extends QueryModule {
           lit("synthetic").as("origin")).as("meta"))
   }
 
+  /** The synthetic asset tables are INPUT DATA (in production they sit in
+    * parquet next to the documents) — memoized + persisted per (kind,
+    * dataset) per JVM like the other prepared fixtures, so the decode
+    * queries measure decode, not payload synthesis. Bench warms these.
+    */
+  private val assetCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def cached(kind: String, d: String)(build: => DataFrame): DataFrame =
+    assetCache.computeIfAbsent((kind, d), _ => {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+  def prepareAssets(s: SparkSession, d: String): Unit = {
+    cached("png", d)(pngAssets(s, d))
+    cached("wav", d)(wavAssets(s, d))
+  }
+
   /** Decode via mapPartitions: one decoder per partition, rows streamed.
     * Dispatches on media type — real `ImageIO` for images, the deterministic
     * stub for media this environment has no codec for.
@@ -140,7 +158,7 @@ object Multimodal extends QueryModule {
 
   /** Real audio decode output: PCM stream properties plus exact integer
     * aggregates of the samples (sum of squares as a long — bounded by
-    * clip-length × 2¹⁵², far inside exact range — and peak amplitude), so
+    * clip-length × 2³⁰, far inside exact range — and peak amplitude), so
     * the oracle can verify every sample without parsing WAV.
     */
   case class DecodedAudio(
@@ -270,7 +288,7 @@ object Multimodal extends QueryModule {
     * the generating formula directly.
     */
   private def qMmDecode(s: SparkSession, d: String): DataFrame =
-    decodeImages(pngAssets(s, d))
+    decodeImages(cached("png", d)(pngAssets(s, d)))
       .select(col("asset_id"), col("width"), col("height"),
         md5(col("pixel_csv")).as("pixel_md5"))
       .orderBy("asset_id")
@@ -285,7 +303,7 @@ object Multimodal extends QueryModule {
     * order-independent and bit-stable.
     */
   private def qMmAudio(s: SparkSession, d: String): DataFrame =
-    decodeAudio(wavAssets(s, d))
+    decodeAudio(cached("wav", d)(wavAssets(s, d)))
       .select(col("asset_id"), col("sample_rate"), col("n_samples"),
         round(sqrt(col("sum_sq") / col("n_samples")), 4).as("rms"),
         col("peak"))

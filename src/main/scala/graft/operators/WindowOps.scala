@@ -139,8 +139,38 @@ object WindowOps extends QueryModule {
     s.sql(ewmaSql("graft_events_ewma"))
   }
 
+  /** Funnel / conversion analysis in ONE window pass: for every purchase,
+    * whether the same user clicked within the prior 30 minutes and viewed
+    * within the prior 2 hours — running "latest ts per event type" maxima
+    * over a single user window replace the 3-way self-join a naive funnel
+    * would shuffle (the classic product-analytics rewrite; one exchange on
+    * user_id at any scale). Rolled up to daily conversion counts. Shared
+    * SQL text keeps both engines' evaluation identical.
+    */
+  private def funnelSql(table: String): String = {
+    val win = "(PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""SELECT day, count(*) AS purchases,
+       |  count(CASE WHEN last_click >= ts - INTERVAL 30 MINUTE THEN 1 END) AS with_click,
+       |  count(CASE WHEN last_click >= ts - INTERVAL 30 MINUTE
+       |              AND last_view >= ts - INTERVAL 2 HOUR THEN 1 END) AS full_funnel
+       |FROM (
+       |  SELECT event_type, ts, CAST(ts AS DATE) AS day,
+       |    max(CASE WHEN event_type = 'click' THEN ts END) OVER $win AS last_click,
+       |    max(CASE WHEN event_type = 'view' THEN ts END) OVER $win AS last_view
+       |  FROM $table)
+       |WHERE event_type = 'purchase'
+       |GROUP BY day ORDER BY day""".stripMargin
+  }
+
+  private def qFunnel(s: SparkSession, d: String): DataFrame = {
+    T.events(s, d).createOrReplaceTempView("graft_events_funnel")
+    s.sql(funnelSql("graft_events_funnel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma" -> qEwma,
+    "q_funnel" -> qFunnel,
     "q_window_range" -> qWindowRange,
     "q_window_rank" -> qWindowRank,
     "q_window_frame" -> qWindowFrame,
@@ -151,6 +181,7 @@ object WindowOps extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q_ewma" -> ewmaSql("events"),
+    "q_funnel" -> funnelSql("events"),
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(rank() OVER w AS INT) AS rnk,
