@@ -36,6 +36,28 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }
 
+/** Memoized PERSISTED DataFrames for ingest-time indexes/fixtures (PQ code
+  * tables, multimodal asset payloads). Keyed by the owning SparkContext's
+  * applicationId in addition to the caller's key, so a new session in the
+  * same JVM rebuilds instead of returning plans bound to a stopped context
+  * (entries of dead sessions are dropped on the next lookup). The plain
+  * driver-value caches (IVF centroids, PQ codebooks) don't need this — they
+  * hold session-independent data.
+  */
+object PersistedCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Any), DataFrame]()
+  def apply(s: SparkSession, key: Any)(build: => DataFrame): DataFrame = {
+    val appId = s.sparkContext.applicationId
+    cache.keySet.removeIf(_._1 != appId) // drop stopped sessions' entries
+    cache.computeIfAbsent((appId, key), _ => {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+  }
+}
+
 /** A bundle of declared queries plus their DuckDB oracle SQL twins.
   * Every oracle query ends in a total ORDER BY (SURVEY.md §2A preamble) and
   * aliases every computed column identically on both sides.

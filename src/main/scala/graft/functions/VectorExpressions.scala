@@ -121,6 +121,13 @@ case class CosineSimilarity(left: Expression, right: Expression) extends ArrayPa
 }
 
 object VectorFunctions {
+  /** Array-of-doubles literal — the one shared helper behind every vector
+    * constant (IVF centroids, LSH planes, PQ codebooks/LUTs). */
+  def array_lit(c: Array[Double]): Column =
+    org.apache.spark.sql.functions.array(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        c.map(org.apache.spark.sql.functions.lit)): _*)
+
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def cosine_sim(a: Column, b: Column): Column =

@@ -117,17 +117,12 @@ object Multimodal extends QueryModule {
     * dataset) per JVM like the other prepared fixtures, so the decode
     * queries measure decode, not payload synthesis. Bench warms these.
     */
-  private val assetCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  private def cached(kind: String, d: String)(build: => DataFrame): DataFrame =
-    assetCache.computeIfAbsent((kind, d), _ => {
-      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    })
+  private def cached(s: SparkSession, kind: String, d: String)(
+      build: => DataFrame): DataFrame =
+    graft.PersistedCache(s, ("mm-assets", kind, d))(build)
   def prepareAssets(s: SparkSession, d: String): Unit = {
-    cached("png", d)(pngAssets(s, d))
-    cached("wav", d)(wavAssets(s, d))
+    cached(s, "png", d)(pngAssets(s, d))
+    cached(s, "wav", d)(wavAssets(s, d))
   }
 
   /** Decode via mapPartitions: one decoder per partition, rows streamed.
@@ -288,7 +283,7 @@ object Multimodal extends QueryModule {
     * the generating formula directly.
     */
   private def qMmDecode(s: SparkSession, d: String): DataFrame =
-    decodeImages(cached("png", d)(pngAssets(s, d)))
+    decodeImages(cached(s, "png", d)(pngAssets(s, d)))
       .select(col("asset_id"), col("width"), col("height"),
         md5(col("pixel_csv")).as("pixel_md5"))
       .orderBy("asset_id")
@@ -303,7 +298,7 @@ object Multimodal extends QueryModule {
     * order-independent and bit-stable.
     */
   private def qMmAudio(s: SparkSession, d: String): DataFrame =
-    decodeAudio(cached("wav", d)(wavAssets(s, d)))
+    decodeAudio(cached(s, "wav", d)(wavAssets(s, d)))
       .select(col("asset_id"), col("sample_rate"), col("n_samples"),
         round(sqrt(col("sum_sq") / col("n_samples")), 4).as("rms"),
         col("peak"))

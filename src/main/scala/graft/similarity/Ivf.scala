@@ -2,7 +2,7 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.cosine_sim
+import graft.functions.VectorFunctions.{array_lit, cosine_sim}
 
 /** IVF (inverted-file) ANN: Lloyd's k-means coarse quantizer + probe the
   * nearest `nprobe` cells — the second scale path next to sign-LSH
@@ -12,13 +12,10 @@ import graft.functions.VectorFunctions.cosine_sim
   */
 object Ivf {
 
-  private def centroidLit(c: Array[Double]): Column =
-    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)
-
   /** struct(dist, cid) argmin over the centroid list via `least`. */
   private def nearestCentroid(v: Column, cents: Seq[Array[Double]]): Column =
     least(cents.zipWithIndex.map { case (c, i) =>
-      struct((lit(1.0d) - cosine_sim(v, centroidLit(c))).as("d"), lit(i).as("cid"))
+      struct((lit(1.0d) - cosine_sim(v, array_lit(c))).as("d"), lit(i).as("cid"))
     }: _*).getField("cid")
 
   /** Index build is ingest-time layout work (like bucketing): train once per

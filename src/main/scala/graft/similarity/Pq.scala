@@ -2,7 +2,7 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.{cosine_sim, dot_product}
+import graft.functions.VectorFunctions.{array_lit, cosine_sim, dot_product}
 
 /** Product quantization (PQ) ANN — the embedding-compression scale path next
   * to sign-LSH (Similarity) and IVF (Ivf). Jégou/Douze/Schmid's design
@@ -42,9 +42,6 @@ object Pq {
     def ksub: Int = cents.head.length
   }
 
-  private def vecLit(c: Array[Double]): Column =
-    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)
-
   /** argmin_j ||sv − c_j||² expressed as argmax_j (sv·c_j − ||c_j||²/2) so it
     * reuses the codegen'd dot_product; `greatest` over (score, −j) structs
     * breaks ties to the lowest code, keeping encode deterministic.
@@ -52,7 +49,7 @@ object Pq {
   private def nearestCode(sv: Column, cs: Seq[Array[Double]]): Column =
     greatest(cs.zipWithIndex.map { case (c, j) =>
       val halfNorm = c.map(x => x * x).sum / 2.0
-      struct((dot_product(sv, vecLit(c)) - lit(halfNorm)).as("sc"), lit(-j).as("nj"))
+      struct((dot_product(sv, array_lit(c)) - lit(halfNorm)).as("sc"), lit(-j).as("nj"))
     }: _*).getField("nj") * lit(-1)
 
   /** Subvector fan-out: one scan → (vec_id, s, sv) rows for all m subspaces. */
@@ -107,15 +104,9 @@ object Pq {
     * heavy, 256-dot-product) encode projection; on a real deployment the
     * codes are written at ingest.
     */
-  private val encodedCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int), DataFrame]()
   def encodeCached(emb: DataFrame, key: String, cb: Codebooks, iters: Int): DataFrame =
-    encodedCache.computeIfAbsent((key, cb.m, cb.ksub, iters), _ => {
-      val e = encode(emb, cb)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      e.count()
-      e
-    })
+    graft.PersistedCache(emb.sparkSession,
+      ("pq-encoded", key, cb.m, cb.ksub, iters))(encode(emb, cb))
 
   /** The stored index: (vec_id, m codes, L2 norm) — a shuffle-free codegen
     * projection of the raw vectors.
@@ -142,7 +133,7 @@ object Pq {
         .map { case (a, b) => a * b }.sum).toArray
     }
     val adcDot = lut.indices.map(s =>
-      element_at(vecLit(lut(s)), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+      element_at(array_lit(lut(s)), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     val cands = encoded.getOrElse(encode(emb, cb))
       .filter(col("vec_id") =!= queryId)
@@ -150,7 +141,7 @@ object Pq {
       .orderBy(col("adc_sim").desc, col("vec_id"))
       .limit(rerank)
     emb.join(broadcast(cands.select("vec_id")), "vec_id")
-      .select(col("vec_id"), round(cosine_sim(col("embedding"), vecLit(q)), 4).as("sim"))
+      .select(col("vec_id"), round(cosine_sim(col("embedding"), array_lit(q)), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -45,15 +45,12 @@ object Similarity extends QueryModule {
     Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def planeLit(p: Array[Double]): Column =
-    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
-
   /** Sign-LSH bucket id: bit i = sign(dot(v, plane_i)), packed into an int. */
   def lshBucket(v: Column, dim: Int = 64, numPlanes: Int = NumPlanes,
       seed: Long = 42L): Column = {
     require(numPlanes <= 30, s"numPlanes $numPlanes exceeds int bucket width")
     planes(dim, numPlanes, seed).zipWithIndex.map { case (p, i) =>
-      when(dot_product(v, planeLit(p)) > 0d, lit(1 << i)).otherwise(lit(0))
+      when(dot_product(v, graft.functions.VectorFunctions.array_lit(p)) > 0d, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
   }
 

@@ -383,46 +383,85 @@ object Hdf5 {
   private def rowBlockSize(fh: FractalHeap, row: Int): Long =
     if (row < 2) fh.startBlockSize else fh.startBlockSize << (row - 1)
 
-  /** Resolve a managed heap offset to its direct block (blockAddr,
-    * blockStartOffset). Root may be a single direct block (curRows = 0) or
-    * an indirect block whose rows list direct children; indirect CHILDREN
-    * (heaps past width×maxDirect of link data) are out of subset and fail
-    * loudly.
+  /** A validated, in-memory direct block: its heap-space extent plus its
+    * (checksum-verified) bytes. Loading a block once and serving every
+    * managed object from memory keeps link resolution at one read per
+    * BLOCK, not one per link.
     */
-  private def locateDirectBlock(r: Reader, fh: FractalHeap, off: Long,
-      path: String): (Long, Long) = {
-    if (fh.curRows == 0) (fh.rootAddr, 0L)
+  private final class DirectBlock(val start: Long, val size: Long,
+      val bytes: Array[Byte])
+
+  /** Load + validate one direct block: FHDB signature/version, owning-heap
+    * back-pointer, stored block offset, and (when the heap flags say the
+    * blocks are checksummed) the lookup3 checksum computed over the whole
+    * block with its checksum field zeroed.
+    */
+  private def loadDirectBlock(r: Reader, fh: FractalHeap, addr: Long,
+      start: Long, size: Long, heapAddr: Long, path: String): DirectBlock = {
+    val raw = r.bytes(addr, size.toInt)
+    val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); b.get(sig)
+    require(sig.sameElements("FHDB".getBytes), s"$path: bad direct block signature")
+    require(b.get() == 0, s"$path: direct block version unsupported")
+    require(b.getLong() == heapAddr, s"$path: direct block heap back-pointer mismatch")
+    require(uintVar(b, fh.offSize) == start,
+      s"$path: direct block offset mismatch (expected $start)")
+    if ((fh.flags & 2) != 0) {
+      val ckPos = b.position()
+      val stored = b.getInt()
+      val zeroed = raw.clone()
+      java.util.Arrays.fill(zeroed, ckPos, ckPos + 4, 0.toByte)
+      val computed = lookup3(zeroed)
+      require(stored == computed,
+        f"$path: direct block checksum mismatch (stored 0x$stored%08x)")
+    }
+    new DirectBlock(start, size, raw)
+  }
+
+  /** Resolve every direct block of the heap's managed space up front. Root
+    * may be a single direct block (curRows = 0) or an indirect block whose
+    * rows list direct children (the FHIB is parsed ONCE); indirect CHILDREN
+    * (heaps past width×maxDirect of link data) are out of subset and fail
+    * loudly. Blocks at undefined addresses (never allocated) are skipped.
+    */
+  private def loadDirectBlocks(r: Reader, fh: FractalHeap, heapAddr: Long,
+      path: String): Seq[DirectBlock] = {
+    if (fh.curRows == 0)
+      Seq(loadDirectBlock(r, fh, fh.rootAddr, 0L, fh.startBlockSize, heapAddr, path))
     else {
-      // walk the doubling table to the row/column containing `off`
-      var row = 0; var rowStart = 0L
-      while (off >= rowStart + rowBlockSize(fh, row) * fh.tableWidth) {
-        rowStart += rowBlockSize(fh, row) * fh.tableWidth
-        row += 1
-        require(row < fh.curRows, s"$path: heap offset $off beyond root indirect block")
-      }
-      val bs = rowBlockSize(fh, row)
-      require(bs <= fh.maxDirectSize,
-        s"$path: indirect child blocks unsupported (fractal heap grew past " +
-          s"${fh.tableWidth}×${fh.maxDirectSize} bytes of link data)")
-      val col = ((off - rowStart) / bs).toInt
       // FHIB: sig(4) ver(1) heap-addr(8) block-offset(offSize) then child
       // addresses (8 bytes each, unfiltered heap) in row-major order
       val headSize = 4 + 1 + 8 + fh.offSize
-      val entryIdx = row * fh.tableWidth + col
-      val ib = r.at(fh.rootAddr, headSize + (entryIdx + 1) * 8)
+      val nEntries = fh.curRows * fh.tableWidth
+      val ib = r.at(fh.rootAddr, headSize + nEntries * 8)
       val sig = new Array[Byte](4); ib.get(sig)
       require(sig.sameElements("FHIB".getBytes), s"$path: bad indirect block signature")
       require(ib.get() == 0, s"$path: indirect block version unsupported")
-      ib.position(headSize + entryIdx * 8)
-      (ib.getLong(), rowStart + col * bs)
+      require(ib.getLong() == heapAddr, s"$path: indirect block heap back-pointer mismatch")
+      ib.position(headSize)
+      val blocks = scala.collection.mutable.ArrayBuffer[DirectBlock]()
+      var rowStart = 0L
+      for (row <- 0 until fh.curRows) {
+        val bs = rowBlockSize(fh, row)
+        require(bs <= fh.maxDirectSize,
+          s"$path: indirect child blocks unsupported (fractal heap grew past " +
+            s"${fh.tableWidth}×${fh.maxDirectSize} bytes of link data)")
+        for (col <- 0 until fh.tableWidth) {
+          val addr = ib.getLong()
+          if (addr != Undef)
+            blocks += loadDirectBlock(r, fh, addr, rowStart + col * bs, bs, heapAddr, path)
+        }
+        rowStart += bs * fh.tableWidth
+      }
+      blocks.toSeq
     }
   }
 
   /** Read one managed object's bytes given its heap ID (flags byte +
-    * variable-width offset and length).
+    * variable-width offset and length), served from the pre-loaded blocks.
     */
-  private def readManagedObject(r: Reader, fh: FractalHeap, id: Array[Byte],
-      path: String): Array[Byte] = {
+  private def readManagedObject(fh: FractalHeap, blocks: Seq[DirectBlock],
+      id: Array[Byte], path: String): Array[Byte] = {
     val b = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
     val f = b.get() & 0xFF
     require((f >> 6) == 0, s"$path: heap ID version ${f >> 6} unsupported")
@@ -430,12 +469,17 @@ object Hdf5 {
       s"$path: non-managed heap ID type ${(f >> 4) & 3} unsupported")
     val off = uintVar(b, fh.offSize)
     val len = uintVar(b, fh.lenSize)
-    val (blockAddr, blockStart) = locateDirectBlock(r, fh, off, path)
-    // the direct block's offset space includes its own header, so a valid
-    // object offset always lands past it — check, never misparse
-    require(off - blockStart >= fh.directHeaderSize,
+    val blk = blocks.find(d => off >= d.start && off < d.start + d.size)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: heap offset $off outside every allocated direct block"))
+    // the block's offset space includes its own header, and the object must
+    // end inside the block — both bounds checked, never a misparse
+    require(off - blk.start >= fh.directHeaderSize,
       s"$path: heap object offset $off inside direct-block header")
-    r.bytes(blockAddr + (off - blockStart), len.toInt)
+    require(off + len <= blk.start + blk.size,
+      s"$path: heap object at $off+$len overruns its direct block")
+    java.util.Arrays.copyOfRange(blk.bytes,
+      (off - blk.start).toInt, (off - blk.start + len).toInt)
   }
 
   /** Dense group links: walk the name-index v2 B-tree (`BTHD` + `BTLF` leaf
@@ -475,12 +519,19 @@ object Hdf5 {
     require(lsig.sameElements("BTLF".getBytes), s"$path: bad v2 b-tree leaf signature")
     require(lb.get() == 0, s"$path: v2 b-tree leaf version unsupported")
     require((lb.get() & 0xFF) == 5, s"$path: v2 b-tree leaf type mismatch")
+    locally { // leaf checksum covers the used prefix (records are it)
+      val storedLeaf = lb.getInt(leafRaw.length - 4)
+      val computedLeaf = lookup3(java.util.Arrays.copyOf(leafRaw, leafRaw.length - 4))
+      require(storedLeaf == computedLeaf,
+        f"$path: v2 b-tree leaf checksum mismatch (stored 0x$storedLeaf%08x)")
+    }
+    val blocks = loadDirectBlocks(r, fh, fhAddr, path)
     val links = (0 until nrec).map { _ =>
       lb.getInt() // name hash — index key; enumeration reads every record
       val id = new Array[Byte](fh.idLen); lb.get(id)
       val msgs = scala.collection.mutable.ArrayBuffer[Msg]()
       dispatchMsg(0x0006, 0,
-        ByteBuffer.wrap(readManagedObject(r, fh, id, path))
+        ByteBuffer.wrap(readManagedObject(fh, blocks, id, path))
           .order(ByteOrder.LITTLE_ENDIAN), msgs, path)
       msgs.head match { case LinkMsg(n, a) => (n, a)
         case m => throw new IllegalStateException(s"$path: unexpected $m") }
@@ -1743,8 +1794,10 @@ object Hdf5 {
     val denseOffSize = 4; val denseLenSize = 2
     val denseIdLen = 1 + denseOffSize + denseLenSize
     val denseHeaderSize = 4 + 1 + 8 + denseOffSize + 4 // FHDB prefix + checksum
-    /** (heap offset, length) per sorted link, and the root block size. */
-    val (denseExtents, denseBlockSize): (Seq[(Long, Int)], Long) = {
+    /** (heap offset, length) per sorted link, and the root block size —
+      * lazy: only dense writes pay the sizing pass.
+      */
+    lazy val denseGeometry: (Seq[(Long, Int)], Long) = {
       val zeroR: Resolve = _ => 0L
       val lens = names.sorted.map(n => linkMsgBytes(n, zeroR).length)
       require(lens.forall(_ <= denseMaxManaged), "link message exceeds heap object max")
@@ -1753,6 +1806,8 @@ object Hdf5 {
       while (bs < offs.last) bs <<= 1
       (offs.zip(lens), bs)
     }
+    def denseExtents: Seq[(Long, Int)] = denseGeometry._1
+    def denseBlockSize: Long = denseGeometry._2
 
     def frhpBlock(res: Resolve): Array[Byte] = {
       val used = denseExtents.lastOption.map(e => e._1 + e._2).getOrElse(0L)
