@@ -58,6 +58,34 @@ object WindowOps extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** TABLE-to-TABLE as-of join (trades/quotes shape): every purchase picks
+    * the latest click at-or-before it for the same user — via the union-tag
+    * trick: tag both sides, union, ONE window per user ordered by (ts,
+    * side, id), and `last(click_id, ignoreNulls)` is the as-of match. This
+    * is the scale-safe as-of form — one shuffle on the key, no range-join
+    * candidate explosion, no broadcast requirement; DuckDB verifies with a
+    * lateral top-1 subquery. Ties: clicks sort before purchases at equal
+    * (µs-truncated) ts and the highest click id wins — the oracle encodes
+    * the same ordering, and both engines compare µs-truncated timestamps.
+    */
+  private def qJoinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
+        lit(null).cast("long").as("c_id"), lit(1).as("side"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("p_id"), col("event_id").as("c_id"), lit(0).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("c_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(c)
+      .withColumn("asof_c_id", last(col("c_id"), ignoreNulls = true).over(w))
+      .filter(col("p_id").isNotNull)
+      .select(col("p_id"), col("asof_c_id").as("c_id"))
+      .orderBy("p_id")
+  }
+
   /** Distribution family: ntile / percent_rank / cume_dist / lead. */
   private def qWindowDist(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -171,6 +199,7 @@ object WindowOps extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma" -> qEwma,
     "q_funnel" -> qFunnel,
+    "q_join_asof" -> qJoinAsof,
     "q_window_range" -> qWindowRange,
     "q_window_rank" -> qWindowRank,
     "q_window_frame" -> qWindowFrame,
@@ -182,6 +211,16 @@ object WindowOps extends QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q_ewma" -> ewmaSql("events"),
     "q_funnel" -> funnelSql("events"),
+    "q_join_asof" ->
+      """SELECT p.event_id AS p_id, l.c_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS c_id
+        |  FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |  ORDER BY CAST(c.ts AS TIMESTAMP) DESC, c.event_id DESC LIMIT 1) l ON TRUE
+        |ORDER BY p_id""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(rank() OVER w AS INT) AS rnk,
