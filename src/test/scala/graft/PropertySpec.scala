@@ -49,6 +49,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: dense-group HDF5 round-trips for random link counts and names") {
+    import graft.sources.Hdf5
+    import graft.sources.Hdf5._
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      names <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 24)
+        cs <- Gen.listOfN(len, Gen.alphaNumChar)
+      } yield cs.mkString)
+    } yield names.distinct
+    (1 to 5).foreach { trial =>
+      val names = gen.sample.get
+      val dir = java.nio.file.Files.createTempDirectory("graft-h5p")
+      val p = dir.resolve(s"dense$trial.h5").toString
+      val dsets = names.zipWithIndex.map { case (nm, i) =>
+        WDataset(nm, F64, Seq(3), Array(i * 1.0, i * 2.0, i * 3.0))
+      }
+      Hdf5.write(p, dsets, latest = true, denseRoot = true)
+      val h = Hdf5.open(p)
+      assert(h.datasets.map(_.name) == names.sorted, s"trial $trial")
+      names.zipWithIndex.foreach { case (nm, i) =>
+        assert(Hdf5.readAll(p, h.dataset(nm).get).toSeq ==
+          Seq(i * 1.0, i * 2.0, i * 3.0), s"trial $trial dataset $nm")
+      }
+    }
+  }
+
+  test("truncated EWMA window fan equals the direct sequential formula") {
+    val got = SparkEntry.queries("q_ewma")(spark, TestSpark.sf)
+      .as[(Long, Double)].collect().toMap
+    val events = Tables.events(spark, TestSpark.sf)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+    val w = Array.tabulate(8)(k => math.pow(0.75, k)) // exact dyadic powers
+    events.groupBy(_._1).foreach { case (_, rows) =>
+      // sort at full sub-ms precision (getTime alone is ms and would
+      // misorder µs-distinct neighbors)
+      val sorted = rows.sortBy(r => (r._2.getTime / 1000, r._2.getNanos, r._3))
+      sorted.zipWithIndex.foreach { case ((_, _, id, tpe, _), i) =>
+        if (tpe == "purchase") {
+          val terms = (0 until math.min(8, i + 1)).map(k => sorted(i - k)._5 * w(k))
+          val expect = terms.sum / w.take(math.min(8, i + 1)).sum
+          assert(math.abs(got(id) - expect) < 1e-4, s"event $id")
+        }
+      }
+    }
+  }
+
   test("simhash candidates equal brute-force all-pairs for maxDist 1/3/8") {
     val rnd = new scala.util.Random(42)
     val base = Seq.fill(40)(rnd.nextLong())
