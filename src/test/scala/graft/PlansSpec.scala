@@ -65,6 +65,24 @@ class PlansSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("q_join_asof: the as-of match is a window, not a join — one key shuffle") {
+    val plan = planOf("q_join_asof")
+    // the union-tag rewrite's whole point: no join operator of any kind
+    assert(!plan.contains("Join"), plan)
+    assert("Window".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q_cosine_pq: ADC candidate scoring runs without a partition shuffle") {
+    similarity.Similarity.preparePqIndex(spark, TestSpark.sf)
+    val plan = planOf("q_cosine_pq")
+    // scan of the cached code table → scalar ADC score → TakeOrdered; the
+    // only exchange anywhere is the rerank broadcast
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("q_grid_file: section pushdown plans only the surviving partitions") {
     import org.apache.spark.sql.functions._
     val df = spark.read.format(classOf[sources.GridSource].getName)
