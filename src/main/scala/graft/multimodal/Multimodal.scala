@@ -14,16 +14,19 @@ import graft.render.Png
   * interpreted by relational operators, so filters/joins/dedup prune on
   * metadata and only the surviving rows pay decode cost.
   *
-  * Images and audio decode for REAL: image payloads are PNGs (written by
-  * the repo's own from-spec encoder, `graft.render.Png`) read back through
-  * the JDK's `javax.imageio` codec, and audio payloads are RIFF/WAVE PCM
-  * clips (written by the from-spec [[Wav]] encoder) read back through the
-  * JDK's `javax.sound.sampled` codec — independent implementations, so each
-  * round-trip cross-checks both sides. Media with no codec in this
-  * environment (video) falls back to `FakeDecoder`, a deterministic stub.
-  * Either way the `mapPartitions` batch shape — one decoder instance per
-  * partition, rows streamed through it — is the real plumbing; scales
-  * linearly with partitions, no shuffle.
+  * All three media types exercise REAL decode paths: image payloads are
+  * PNGs (written by the repo's own from-spec encoder, `graft.render.Png`)
+  * read back through the JDK's `javax.imageio` codec; audio payloads are
+  * RIFF/WAVE PCM clips (from-spec [[Wav]] encoder) read back through the
+  * JDK's `javax.sound.sampled` codec; video payloads are [[Gfv]] indexed
+  * frame containers whose SAMPLED frames decode through ImageIO (the
+  * container is a fixture stand-in — no video codec ships with the JDK —
+  * but the index-then-selective-decode access pattern and the per-frame
+  * codec round-trip are real). `FakeDecoder` remains only as the dispatch
+  * fallback for media types outside these three. Everywhere the
+  * `mapPartitions` batch shape — one decoder instance per partition, rows
+  * streamed through it — is the real plumbing; scales linearly with
+  * partitions, no shuffle.
   */
 object Multimodal extends QueryModule {
 
@@ -123,6 +126,7 @@ object Multimodal extends QueryModule {
   def prepareAssets(s: SparkSession, d: String): Unit = {
     cached(s, "png", d)(pngAssets(s, d))
     cached(s, "wav", d)(wavAssets(s, d))
+    cached(s, "gfv", d)(videoAssets(s, d))
   }
 
   /** Decode via mapPartitions: one decoder per partition, rows streamed.
@@ -221,6 +225,86 @@ object Multimodal extends QueryModule {
       .toDF()
   }
 
+  /** Indexed frame container ("GFV1") for the video path: magic + frame
+    * count + an (offset, length) index + concatenated PNG frames. The
+    * container itself is a fixture stand-in (no video codec ships with the
+    * JDK), but the access pattern it enables is the real one: the INDEX
+    * locates sampled frames, so 3 of every 4 frames are never even read,
+    * and each sampled frame decodes through the independent `javax.imageio`
+    * codec — the same cross-validation contract as the image and audio
+    * paths, per frame.
+    */
+  object Gfv {
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val indexLen = 4 + 4 + frames.length * 12
+      val total = indexLen + frames.map(_.length).sum
+      val b = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("GFV1".getBytes("US-ASCII")).putInt(frames.length)
+      var off = indexLen.toLong
+      frames.foreach { f => b.putLong(off).putInt(f.length); off += f.length }
+      frames.foreach(b.put)
+      b.array()
+    }
+    /** (offset, length) per frame — reads ONLY the index region. */
+    def index(bytes: Array[Byte]): Seq[(Long, Int)] = {
+      val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4); b.get(magic)
+      require(magic.sameElements("GFV1".getBytes("US-ASCII")), "bad GFV1 magic")
+      val n = b.getInt()
+      (0 until n).map(_ => (b.getLong(), b.getInt()))
+    }
+  }
+
+  /** Video asset table: one GFV1 container per document, `4 + id % 9` PNG
+    * frames of 6×4 gray pixels `(id*31 + frame*17 + i*7) % 251` — closed
+    * form, so the oracle verifies every sampled pixel.
+    */
+  def videoAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = (4 + id % 9).toInt
+          val frames = (0 until nf).map { f =>
+            val px = Array.tabulate(6 * 4) { i =>
+              val v = ((id * 31 + f * 17 + i.toLong * 7) % 251).toInt
+              (v << 16) | (v << 8) | v
+            }
+            Png.encode(6, 4, px)
+          }
+          (id, Gfv.encode(frames))
+        }
+      }
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload"),
+        struct(
+          lit("video/x-graft-gfv").as("media_type"),
+          length(col("payload")).as("n_bytes"),
+          lit("synthetic").as("origin")).as("meta"))
+  }
+
+  /** Sampled-frame decode: the index picks every `stride`-th frame; only
+    * those byte ranges are sliced and decoded (ImageIO per frame). Same
+    * mapPartitions batch shape; emits one row per sampled frame.
+    */
+  def decodeVideoFrames(assetsDf: DataFrame, stride: Int = 4): DataFrame = {
+    val s = assetsDf.sparkSession
+    import s.implicits._
+    assetsDf.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Gfv.index(bytes).zipWithIndex.collect {
+            case ((off, len), fi) if fi % stride == 0 =>
+              val d = ImageDecoder.decode(id,
+                java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len))
+              (id, fi, d.width, d.height, d.pixel_csv)
+          }
+        }
+      }
+      .toDF("asset_id", "frame_id", "width", "height", "pixel_csv")
+  }
+
   /** Asset table: binary payload + typed metadata. Payloads here are the
     * documents' UTF-8 bytes standing in for media bytes.
     */
@@ -291,6 +375,17 @@ object Multimodal extends QueryModule {
   private def qMmFrames(s: SparkSession, d: String): DataFrame =
     sampleFrames(assets(s, d)).orderBy("asset_id", "frame_id")
 
+  /** Sampled-video-frame decode round-trip, oracle-checked per pixel of
+    * every SAMPLED frame: GFV1 index → slice every 4th frame → JDK ImageIO,
+    * vs DuckDB evaluating the generating formula. The unsampled 75% of
+    * frames are never decoded — the index is what makes that pruning free.
+    */
+  private def qMmVideo(s: SparkSession, d: String): DataFrame =
+    decodeVideoFrames(cached(s, "gfv", d)(videoAssets(s, d)))
+      .select(col("asset_id"), col("frame_id"), col("width"), col("height"),
+        md5(col("pixel_csv")).as("pixel_md5"))
+      .orderBy("asset_id", "frame_id")
+
   /** Audio decode round-trip, oracle-checked per SAMPLE: our WAV encoder →
     * JDK javax.sound decoder → exact integer aggregates (sum-of-squares →
     * RMS, peak), vs DuckDB evaluating the same integer waveform formula.
@@ -308,6 +403,7 @@ object Multimodal extends QueryModule {
     "q_mm_meta" -> qMmMeta,
     "q_mm_decode" -> qMmDecode,
     "q_mm_audio" -> qMmAudio,
+    "q_mm_video" -> qMmVideo,
     "q_mm_frames" -> qMmFrames
   )
 
@@ -337,6 +433,15 @@ object Multimodal extends QueryModule {
         |  round(sqrt(sum(CAST(v * v AS DOUBLE)) / n), 4) AS rms,
         |  CAST(max(abs(v)) AS INT) AS peak
         |FROM sm GROUP BY doc_id, n ORDER BY asset_id""".stripMargin,
+    "q_mm_video" ->
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 9 AS nf FROM documents),
+        |f AS (SELECT doc_id, fi FROM p, unnest(range(0, nf)) AS t(fi) WHERE fi % 4 = 0),
+        |v AS (SELECT doc_id, fi, i, (doc_id * 31 + fi * 17 + i * 7) % 251 AS v
+        |      FROM f, unnest(range(0, 24)) AS t2(i))
+        |SELECT doc_id AS asset_id, CAST(fi AS INT) AS frame_id,
+        |  6 AS width, 4 AS height,
+        |  md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS pixel_md5
+        |FROM v GROUP BY doc_id, fi ORDER BY asset_id, frame_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id AS asset_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

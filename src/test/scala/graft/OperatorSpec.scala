@@ -128,6 +128,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("video container: index locates frames exactly, sampled decode matches formula") {
+    import graft.multimodal.Multimodal
+    val frames = (0 until 7).map(f => graft.render.Png.encode(2, 2,
+      Array.tabulate(4)(i => (f * 40 + i) * 0x010101)))
+    val container = Multimodal.Gfv.encode(frames)
+    val idx = Multimodal.Gfv.index(container)
+    assert(idx.length == 7)
+    idx.zip(frames).foreach { case ((off, len), f) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(container, off.toInt, off.toInt + len), f))
+    }
+    val out = Multimodal.decodeVideoFrames(
+        Multimodal.videoAssets(spark, TestSpark.sf).limit(20))
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, fi, w, h, csv) =>
+      assert(fi % 4 == 0 && w == 6 && h == 4, s"asset $id frame $fi")
+      val expect = (0 until 24).map(i => (id * 31 + fi * 17 + i.toLong * 7) % 251).mkString(",")
+      assert(csv == expect, s"pixel mismatch asset $id frame $fi")
+    }
+  }
+
   test("mixed-media decode: fallback rows stay distinguishable (no empty-raster collision)") {
     import graft.multimodal.Multimodal
     // one real PNG, two DIFFERENT no-codec assets: the fallback must not
