@@ -424,7 +424,45 @@ object Relational extends QueryModule {
       .orderBy("lang", "doc_id")
   }
 
+  /** Skyline (Pareto frontier) over (price ↑, date ↓): orders no other
+    * order beats on both dimensions. Two-phase distributed form: phase 1
+    * computes each partition's LOCAL skyline in one `mapPartitions` pass
+    * (genuine per-partition imperative logic — dominance is transitive, so
+    * the global skyline is a subset of the union of local ones); phase 2
+    * takes the exact skyline of that small union with a broadcast anti
+    * theta-join. No O(n²) pair join ever forms: phase 1 is linear passes,
+    * phase 2 touches survivors only — the shape that holds at any scale.
+    * Oracle: the NOT EXISTS dominance definition evaluated directly.
+    */
+  private def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    import s.implicits._
+    def dominates(a: (Long, Double, java.sql.Timestamp),
+        b: (Long, Double, java.sql.Timestamp)): Boolean =
+      a._2 >= b._2 && !a._3.after(b._3) && (a._2 > b._2 || a._3.before(b._3))
+    val partial = o.as[(Long, Double, java.sql.Timestamp)].mapPartitions { it =>
+      val sky = scala.collection.mutable.ArrayBuffer[(Long, Double, java.sql.Timestamp)]()
+      it.foreach { r =>
+        if (!sky.exists(dominates(_, r))) {
+          val keep = sky.filterNot(dominates(r, _))
+          sky.clear(); sky ++= keep += r
+        }
+      }
+      sky.iterator
+    }.toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val rhs = partial.select(col("o_orderkey").as("r_id"),
+      col("o_totalprice").as("r_price"), col("o_orderdate").as("r_date"))
+    partial.join(broadcast(rhs), expr(
+        """r_price >= o_totalprice AND r_date <= o_orderdate
+          |AND (r_price > o_totalprice OR r_date < o_orderdate)""".stripMargin),
+        "left_anti")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> qSkyline,
     "q_sample_hash" -> qSampleHash,
     "q_sample_stratified" -> qSampleStratified,
     "q_join_bucketed" -> qJoinBucketed,
@@ -457,6 +495,14 @@ object Relational extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_skyline" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderdate
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders x
+        |  WHERE x.o_totalprice >= o.o_totalprice AND x.o_orderdate <= o.o_orderdate
+        |    AND (x.o_totalprice > o.o_totalprice OR x.o_orderdate < o.o_orderdate))
+        |ORDER BY o_orderkey""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE (doc_id * 1103515245 + 12345) % 100 < 10

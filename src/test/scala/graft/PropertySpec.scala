@@ -97,6 +97,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("skyline: members undominated, every non-member dominated by a member") {
+    val all = Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+      .as[(Long, Double, java.sql.Timestamp)].collect()
+    val sky = SparkEntry.queries("q_skyline")(spark, TestSpark.sf)
+      .select("o_orderkey").as[Long].collect().toSet
+    def dom(a: (Long, Double, java.sql.Timestamp), b: (Long, Double, java.sql.Timestamp)) =
+      a._2 >= b._2 && !a._3.after(b._3) && (a._2 > b._2 || a._3.before(b._3))
+    val members = all.filter(r => sky.contains(r._1))
+    assert(members.nonEmpty)
+    members.foreach(m => assert(!all.exists(o => dom(o, m)), s"member ${m._1} dominated"))
+    all.filterNot(r => sky.contains(r._1)).take(2000).foreach { r =>
+      assert(members.exists(m => dom(m, r)), s"non-member ${r._1} undominated")
+    }
+  }
+
   test("simhash candidates equal brute-force all-pairs for maxDist 1/3/8") {
     val rnd = new scala.util.Random(42)
     val base = Seq.fill(40)(rnd.nextLong())
