@@ -206,6 +206,23 @@ object GridQueries extends QueryModule {
       .select("ts", "y", "x", "lat", "lon", "value")
       .orderBy("ts", "y", "x")
 
+  /** The domain question in PURE SQL: the cells table registered as a view
+    * and queried with `spark.sql` — the SQL-first user surface. The view is
+    * transparent to Catalyst, so the y/x predicates prune inside the same
+    * codegen'd projection the DataFrame form uses; zero DataFrame code in
+    * the query itself.
+    */
+  private def qGridSqlSurface(s: SparkSession, d: String): DataFrame = {
+    cells(s).createOrReplaceTempView("graft_grid_cells_v")
+    s.sql(
+      """SELECT variable, CAST(ts AS DATE) AS day,
+        |  count(value) AS n_obs, round(avg(value), 4) AS avg_val
+        |FROM graft_grid_cells_v
+        |WHERE y BETWEEN 4 AND 12 AND x < 16
+        |GROUP BY variable, CAST(ts AS DATE)
+        |ORDER BY variable, day""".stripMargin)
+  }
+
   private def qGridCatalog(s: SparkSession, d: String): DataFrame =
     GridQuery.catalog(cells(s))
       .filter(col("ts_max") >= lit("1990-01-05 00:00:00").cast("timestamp"))
@@ -314,6 +331,7 @@ object GridQueries extends QueryModule {
     "q_gap_fill" -> qGapFill,
     "q_polygon" -> qPolygon,
     "q_grid_select" -> qGridSelect,
+    "q_grid_sql" -> qGridSqlSurface,
     "q_grid_catalog" -> qGridCatalog,
     "q_grid_quantile" -> qGridQuantile,
     "q_grid_render" -> qGridRender,
@@ -349,6 +367,13 @@ object GridQueries extends QueryModule {
         |  (lat > 44.025 AND lat < 44.525 AND lon > -79.975 AND lon < -78.825) OR
         |  (lat > 44.525 AND lat < 44.925 AND lon > -79.975 AND lon < -79.425))
         |GROUP BY ts ORDER BY ts""".stripMargin),
+    "q_grid_sql" -> (oracleCells +
+      """SELECT variable, CAST(ts AS DATE) AS day,
+        |  count(value) AS n_obs, round(avg(value), 4) AS avg_val
+        |FROM cells
+        |WHERE y BETWEEN 4 AND 12 AND x < 16
+        |GROUP BY variable, CAST(ts AS DATE)
+        |ORDER BY variable, day""".stripMargin),
     "q_grid_select" -> (oracleCells +
       """SELECT ts, y, x, lat, lon, value FROM cells
         |WHERE variable = 'tasmax'
