@@ -39,22 +39,25 @@ object Tables {
 /** Memoized PERSISTED DataFrames for ingest-time indexes/fixtures (PQ code
   * tables, multimodal asset payloads). Keyed by the owning SparkContext's
   * applicationId in addition to the caller's key, so a new session in the
-  * same JVM rebuilds instead of returning plans bound to a stopped context
-  * (entries of dead sessions are dropped on the next lookup). The plain
+  * same JVM rebuilds instead of returning plans bound to a stopped context.
+  * Eviction is by LIVENESS, not by "differs from the caller": only entries
+  * whose owning context has stopped are dropped (their cached blocks died
+  * with the context), so two concurrently active sessions in one JVM keep
+  * their entries side by side instead of thrashing each other. The plain
   * driver-value caches (IVF centroids, PQ codebooks) don't need this — they
   * hold session-independent data.
   */
 object PersistedCache {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Any), DataFrame]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Any), (org.apache.spark.SparkContext, DataFrame)]()
   def apply(s: SparkSession, key: Any)(build: => DataFrame): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    cache.keySet.removeIf(_._1 != appId) // drop stopped sessions' entries
-    cache.computeIfAbsent((appId, key), _ => {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue._1.isStopped) it.remove()
+    cache.computeIfAbsent((s.sparkContext.applicationId, key), _ => {
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
-      df
-    })
+      (s.sparkContext, df)
+    })._2
   }
 }
 

@@ -245,13 +245,24 @@ object Multimodal extends QueryModule {
       frames.foreach(b.put)
       b.array()
     }
-    /** (offset, length) per frame — reads ONLY the index region. */
+    /** (offset, length) per frame — reads ONLY the index region. Offsets are
+      * 8-byte in the container but sliced from an in-memory Array[Byte], so
+      * each entry is bounds-checked here: a ≥2 GiB offset (or one past the
+      * payload) fails loudly instead of silently truncating through toInt
+      * and decoding garbage bytes.
+      */
     def index(bytes: Array[Byte]): Seq[(Long, Int)] = {
       val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val magic = new Array[Byte](4); b.get(magic)
       require(magic.sameElements("GFV1".getBytes("US-ASCII")), "bad GFV1 magic")
       val n = b.getInt()
-      (0 until n).map(_ => (b.getLong(), b.getInt()))
+      (0 until n).map { fi =>
+        val off = b.getLong(); val len = b.getInt()
+        require(off >= 0 && len >= 0 && off.isValidInt && off + len <= bytes.length,
+          s"GFV1 frame $fi: byte range [$off, ${off + len}) outside the " +
+            s"${bytes.length}-byte container")
+        (off, len)
+      }
     }
   }
 

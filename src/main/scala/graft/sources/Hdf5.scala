@@ -326,7 +326,8 @@ object Hdf5 {
   /** The managed-object geometry of a fractal heap (spec III.G `FRHP`). */
   private final case class FractalHeap(idLen: Int, flags: Int,
       maxManagedSize: Long, tableWidth: Int, startBlockSize: Long,
-      maxDirectSize: Long, maxHeapBits: Int, rootAddr: Long, curRows: Int) {
+      maxDirectSize: Long, maxHeapBits: Int, rootAddr: Long, curRows: Int,
+      allocManagedSpace: Long) {
     /** heap-offset field width in IDs/blocks: min bytes for the heap space */
     def offSize: Int = (maxHeapBits + 7) / 8
     /** object-length field width in IDs: min bytes for max managed size */
@@ -355,7 +356,8 @@ object Hdf5 {
     val maxManaged = b.getInt().toLong & 0xFFFFFFFFL
     b.getLong(); b.getLong() // next huge id, huge v2-btree address
     b.getLong(); b.getLong() // free space, free-space manager address
-    b.getLong(); b.getLong() // managed space, allocated managed space
+    b.getLong() // managed space
+    val allocManaged = b.getLong() // allocated managed space
     b.getLong() // direct-block allocation iterator offset
     b.getLong() // number of managed objects
     val hugeN = { b.getLong(); b.getLong() } // huge size, huge count
@@ -374,7 +376,7 @@ object Hdf5 {
     require(stored == computed,
       f"$path: fractal heap checksum mismatch (stored 0x$stored%08x)")
     FractalHeap(idLen, flags, maxManaged, width, startSize, maxDirect,
-      maxHeapBits, rootAddr, curRows)
+      maxHeapBits, rootAddr, curRows, allocManaged)
   }
 
   /** Size of the doubling-table row `row`: rows 0–1 use the starting block
@@ -426,8 +428,20 @@ object Hdf5 {
     */
   private def loadDirectBlocks(r: Reader, fh: FractalHeap, heapAddr: Long,
       path: String): Seq[DirectBlock] = {
-    if (fh.curRows == 0)
-      Seq(loadDirectBlock(r, fh, fh.rootAddr, 0L, fh.startBlockSize, heapAddr, path))
+    if (fh.curRows == 0) {
+      // libhdf5 doubles the root direct block IN PLACE past the starting
+      // size (tracking it via Allocated Managed Space) before switching to
+      // an indirect root, so the root block's size is the allocated managed
+      // space when recorded, not necessarily startBlockSize. The stored
+      // block-offset and (when flagged) lookup3 checksum over the full
+      // block still cross-check whichever size we derive here.
+      val rootSize =
+        if (fh.allocManagedSpace > 0) fh.allocManagedSpace else fh.startBlockSize
+      require(rootSize <= fh.maxDirectSize,
+        s"$path: root direct block of $rootSize bytes exceeds the max direct " +
+          s"block size ${fh.maxDirectSize} (inconsistent fractal heap header)")
+      Seq(loadDirectBlock(r, fh, fh.rootAddr, 0L, rootSize, heapAddr, path))
+    }
     else {
       // FHIB: sig(4) ver(1) heap-addr(8) block-offset(offSize) then child
       // addresses (8 bytes each, unfiltered heap) in row-major order

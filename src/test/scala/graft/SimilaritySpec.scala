@@ -62,7 +62,7 @@ class SimilaritySpec extends AnyFunSuite {
       assert(codes.length == cb.m && codes.forall(c => c >= 0 && c < cb.ksub))
       assert(r.getDouble(2) > 0.0)
     }
-    // compression accounting: 8 nibble codes + 1 float norm ≪ 64 floats
+    // compression accounting: 16 nibble codes + 1 float norm ≪ 64 floats
     assert(cb.m * cb.ksub * cb.dsub == 1024, "codebook must stay driver-sized")
   }
 
