@@ -46,6 +46,7 @@ object Bench {
       sources.SourceQueries.ncCurvDir // curvilinear .nc fixture
       similarity.Similarity.prepareIvfIndex(spark, sfDir)
       similarity.Similarity.preparePqIndex(spark, sfDir)
+      similarity.Similarity.prepareIvfPqIndex(spark, sfDir) // composed codes table
       multimodal.Multimodal.prepareAssets(spark, sfDir) // decode-query payloads
       dedup.Dedup.prepareSignatures(spark, sfDir)
       // grid catalog = ingest-time metadata (one row per file); build the

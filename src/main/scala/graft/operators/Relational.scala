@@ -429,13 +429,19 @@ object Relational extends QueryModule {
     * computes each partition's LOCAL skyline in one `mapPartitions` pass
     * (genuine per-partition imperative logic — dominance is transitive, so
     * the global skyline is a subset of the union of local ones); phase 2
-    * takes the exact skyline of that small union with a broadcast anti
-    * theta-join. No O(n²) pair join ever forms: phase 1 is linear passes,
-    * phase 2 touches survivors only — the shape that holds at any scale.
-    * Oracle: the NOT EXISTS dominance definition evaluated directly.
+    * takes the exact skyline of that union. On CORRELATED dims the union is
+    * tiny and a broadcast anti theta-join finishes it; on ANTI-correlated
+    * dims the skyline approaches n and that broadcast (and the O(n·|sky|)
+    * per-partition pass) would degrade — so the union is COUNTED first, and
+    * past `broadcastLimit` the plan falls back to `skylineSweep`: a
+    * range-partitioned (price ↓, date ↑) sort + one linear sweep per
+    * partition, seeded with driver-folded cross-partition carry state (one
+    * summary row per partition). Both paths are exact; the sweep is the
+    * shape that survives adversarial data. Oracle: the NOT EXISTS dominance
+    * definition evaluated directly.
     */
-  private def qSkyline(s: SparkSession, d: String): DataFrame = {
-    val o = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+  def skyline(o: DataFrame, broadcastLimit: Long = 200000): DataFrame = {
+    val s = o.sparkSession
     import s.implicits._
     def dominates(a: (Long, Double, java.sql.Timestamp),
         b: (Long, Double, java.sql.Timestamp)): Boolean =
@@ -450,12 +456,87 @@ object Relational extends QueryModule {
       }
       sky.iterator
     }.toDF("o_orderkey", "o_totalprice", "o_orderdate")
-    val rhs = partial.select(col("o_orderkey").as("r_id"),
-      col("o_totalprice").as("r_price"), col("o_orderdate").as("r_date"))
-    partial.join(broadcast(rhs), expr(
-        """r_price >= o_totalprice AND r_date <= o_orderdate
-          |AND (r_price > o_totalprice OR r_date < o_orderdate)""".stripMargin),
-        "left_anti")
+    if (partial.count() > broadcastLimit) skylineSweep(o)
+    else {
+      val rhs = partial.select(col("o_orderkey").as("r_id"),
+        col("o_totalprice").as("r_price"), col("o_orderdate").as("r_date"))
+      partial.join(broadcast(rhs), expr(
+          """r_price >= o_totalprice AND r_date <= o_orderdate
+            |AND (r_price > o_totalprice OR r_date < o_orderdate)""".stripMargin),
+          "left_anti")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    }
+  }
+
+  /** Exact skyline without ever materialising the frontier on one node:
+    * range-partition by (price ↓, date ↑), sort within partitions, then one
+    * linear sweep per partition. A row is dominated iff some strictly
+    * higher-priced row has date ≤ its date (tracked as the running min date
+    * of all earlier price groups) or a same-priced row has a strictly
+    * earlier date (the current group's running min). Partition boundaries
+    * carry that state across: each partition emits ONE summary row
+    * (min price, min date at that price, min date above it), the driver
+    * folds the summaries in range order into a per-partition seed, and the
+    * sweep starts from the seed — so the only driver-side data is K summary
+    * rows for K partitions. The ranged RDD is evaluated twice (summaries,
+    * then sweep) but the second job reuses the first's shuffle output
+    * (same RDD lineage → skipped stages).
+    */
+  private def skylineSweep(o: DataFrame): DataFrame = {
+    val s = o.sparkSession
+    import s.implicits._
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val rdd = o.select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .repartitionByRange(parts, col("o_totalprice").desc, col("o_orderdate").asc)
+      .sortWithinPartitions(col("o_totalprice").desc, col("o_orderdate").asc)
+      .as[(Long, Double, java.sql.Timestamp)]
+      .rdd
+    val nParts = rdd.getNumPartitions
+    // per-partition summary of what LATER (lower-priced) partitions must know
+    val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var curPrice = Double.NaN; var curMin = Long.MaxValue; var above = Long.MaxValue
+      var any = false
+      it.foreach { case (_, p, t) =>
+        any = true
+        if (p != curPrice) {
+          above = math.min(above, curMin); curPrice = p; curMin = Long.MaxValue
+        }
+        curMin = math.min(curMin, t.getTime)
+      }
+      if (any) Iterator.single((pid, curPrice, curMin, above)) else Iterator.empty
+    }.collect().sortBy(_._1)
+    // fold summaries in range order into each partition's sweep seed
+    val seed = new Array[(Long, Double, Long)](nParts) // (above, curPrice, curMin)
+    var above = Long.MaxValue; var curPrice = Double.NaN; var curMin = Long.MaxValue
+    var si = 0
+    for (pid <- 0 until nParts) {
+      seed(pid) = (above, curPrice, curMin)
+      while (si < sums.length && sums(si)._1 == pid) {
+        val (_, mp, atMin, ab) = sums(si)
+        if (!curPrice.isNaN && mp == curPrice) {
+          above = math.min(above, ab); curMin = math.min(curMin, atMin)
+        } else {
+          above = math.min(above, math.min(curMin, ab)); curPrice = mp; curMin = atMin
+        }
+        si += 1
+      }
+    }
+    val bc = s.sparkContext.broadcast(seed)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      var (abov, cp, cm) = bc.value(pid)
+      it.flatMap { case (id, p, t) =>
+        if (p != cp) { abov = math.min(abov, cm); cp = p; cm = Long.MaxValue }
+        val tm = t.getTime
+        val dominated = abov <= tm || cm < tm
+        cm = math.min(cm, tm)
+        if (dominated) None else Some((id, p, t))
+      }
+    }.toDF("o_orderkey", "o_totalprice", "o_orderdate")
+  }
+
+  private def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    skyline(o)
       .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
         col("o_orderdate"))
       .orderBy("o_orderkey")

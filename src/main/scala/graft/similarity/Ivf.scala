@@ -13,7 +13,7 @@ import graft.functions.VectorFunctions.{array_lit, cosine_sim}
 object Ivf {
 
   /** struct(dist, cid) argmin over the centroid list via `least`. */
-  private def nearestCentroid(v: Column, cents: Seq[Array[Double]]): Column =
+  private[similarity] def nearestCentroid(v: Column, cents: Seq[Array[Double]]): Column =
     least(cents.zipWithIndex.map { case (c, i) =>
       struct((lit(1.0d) - cosine_sim(v, array_lit(c))).as("d"), lit(i).as("cid"))
     }: _*).getField("cid")
@@ -59,6 +59,18 @@ object Ivf {
     cents
   }
 
+  /** The query's `nprobe` closest coarse cells by cosine distance — driver
+    * math over the metadata-sized centroid list (shared by the plain IVF
+    * probe and the IVF×PQ composed scan, and by their scan-count locks).
+    */
+  private[similarity] def probeCells(cents: Seq[Array[Double]], q: Array[Double],
+      nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(q).map { case (a, b) => a * b }.sum
+      val sim = dot / (math.sqrt(c.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+      (1.0 - sim, i)
+    }.sorted.take(nprobe).map(_._2)
+
   /** Search: find the query's `nprobe` closest centroids, scan only vectors
     * assigned to those cells (|data|·nprobe/k of the corpus), exact cosine on
     * the survivors.
@@ -69,11 +81,7 @@ object Ivf {
       nearestCentroid(col("embedding"), cents).as("cid"))
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe")).head().getSeq[Float](0)
-    val probeCids = cents.zipWithIndex.map { case (c, i) =>
-      val dot = c.zip(q).map { case (a, b) => a * b.toDouble }.sum
-      val sim = dot / (math.sqrt(c.map(x => x * x).sum) * math.sqrt(q.map(x => x.toDouble * x).sum))
-      (1.0 - sim, i)
-    }.sorted.take(nprobe).map(_._2)
+    val probeCids = probeCells(cents, q.map(_.toDouble).toArray, nprobe)
     assigned
       .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"),

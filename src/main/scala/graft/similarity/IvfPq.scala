@@ -1,0 +1,83 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.dot_product
+
+/** IVF×PQ composed index — the cell-pruned ADC scan of Jégou/Douze/Schmid's
+  * IVFADC design (TPAMI 2011 §V), composing the two halves that already
+  * exist here: `Ivf`'s coarse k-means quantizer prunes the corpus to the
+  * `nprobe` cells nearest the query, and `Pq`'s ADC lookup-table scan scores
+  * only the compressed codes inside those cells, with the usual exact
+  * re-rank on the survivors.
+  *
+  * Scale shape at 100 TB: the plain PQ scan is compressed-LINEAR (every
+  * code row is touched); the composed scan touches ~nprobe/k of the codes.
+  * The index is clustered by cell id before persisting, so the probe-time
+  * `cid` filter skips whole cached columnar batches via their min/max stats
+  * (Spark's in-memory batch pruning) — the local[] analogue of laying the
+  * codes out partitioned-by-cell on disk, where the same filter becomes
+  * partition pruning and the probed cells are the only files read.
+  *
+  * Approximate by construction → `q_cosine_ivfpq` is a no-oracle row;
+  * SimilaritySpec locks recall@20 ≥ 0.9 vs the exact brute force at
+  * nprobe=4 of 16 cells, and ScaleSpec locks that the candidate-scan row
+  * count SHRINKS as nprobe drops (the cell pruning is real, not cosmetic).
+  */
+object IvfPq {
+
+  /** The composed index: (vec_id, cid, codes, norm) — the PQ-encoded table
+    * carrying each row's coarse IVF cell, built in ONE shuffle-free codegen
+    * projection over the raw vectors (assignment and encode share the scan).
+    */
+  def encode(emb: DataFrame, cents: Seq[Array[Double]], cb: Pq.Codebooks): DataFrame = {
+    val codes = array(cb.cents.indices.map { s =>
+      val sv = expr(
+        s"transform(slice(embedding, ${s * cb.dsub + 1}, ${cb.dsub}), x -> CAST(x AS DOUBLE))")
+      Pq.nearestCode(sv, cb.cents(s))
+    }: _*)
+    emb.select(col("vec_id"),
+      Ivf.nearestCentroid(col("embedding"), cents).as("cid"),
+      codes.as("codes"),
+      sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+  }
+
+  /** Ingest-time index build, memoized per (dataset, geometry) per JVM like
+    * the IVF centroids and PQ codebooks. The repartition-by-cell before
+    * persist is what makes the probe filter prune batches instead of
+    * scanning them (see class doc).
+    */
+  def encodeCached(emb: DataFrame, key: String, cents: Seq[Array[Double]],
+      cb: Pq.Codebooks): DataFrame =
+    graft.PersistedCache(emb.sparkSession,
+      ("ivfpq-encoded", key, cents.length, cb.m, cb.ksub))(
+      encode(emb, cents, cb).repartition(col("cid")))
+
+  /** Cell-pruned ADC search: probe the `nprobe` cells nearest the query,
+    * ADC-score only their codes, exact-rerank the top `rerank` survivors.
+    */
+  def topK(emb: DataFrame, cents: Seq[Array[Double]], cb: Pq.Codebooks,
+      queryId: Long, k: Int, nprobe: Int, rerank: Int,
+      encoded: Option[DataFrame] = None): DataFrame = {
+    val q = Pq.queryVec(emb, queryId)
+    val probes = Ivf.probeCells(cents, q, nprobe)
+    val cands = encoded.getOrElse(encode(emb, cents, cb))
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), Pq.adcSim(q, cb).as("adc_sim"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+      .limit(rerank)
+    Pq.rerankExact(emb, cands, q, k)
+  }
+
+  /** Rows the ADC scan would touch for this (query, nprobe) — the quantity
+    * ScaleSpec locks to shrink with nprobe.
+    */
+  def scannedCandidates(emb: DataFrame, cents: Seq[Array[Double]],
+      cb: Pq.Codebooks, queryId: Long, nprobe: Int,
+      encoded: Option[DataFrame] = None): Long = {
+    val probes = Ivf.probeCells(cents, Pq.queryVec(emb, queryId), nprobe)
+    encoded.getOrElse(encode(emb, cents, cb))
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
+      .count()
+  }
+}

@@ -15,8 +15,8 @@ import graft.functions.VectorFunctions.{array_lit, cosine_sim, dot_product}
   *     aggregation); only m×ksub×dsub doubles ever reach the driver.
   *   - ENCODE: each vector becomes m small codes + its L2 norm — a pure
   *     codegen projection (argmin over dot products, no shuffle). At 64 dims
-  *     and m=16/ksub=16 that is 16 nibble codes + 1 norm per vector vs 64
-  *     floats (16× smaller): the representation that lets a 100 TB embedding
+  *     and m=16/ksub=16 that is 16 nibble codes (8 B) + a 4 B norm = 12 B
+  *     per vector vs 64 floats (256 B) — ~21× smaller: the representation that lets a 100 TB embedding
   *     corpus sit in an in-memory/columnar index (codes are 4 bits each;
   *     stored here as ints for schema simplicity — the cost model is
   *     unchanged).
@@ -46,7 +46,7 @@ object Pq {
     * reuses the codegen'd dot_product; `greatest` over (score, −j) structs
     * breaks ties to the lowest code, keeping encode deterministic.
     */
-  private def nearestCode(sv: Column, cs: Seq[Array[Double]]): Column =
+  private[similarity] def nearestCode(sv: Column, cs: Seq[Array[Double]]): Column =
     greatest(cs.zipWithIndex.map { case (c, j) =>
       val halfNorm = c.map(x => x * x).sum / 2.0
       struct((dot_product(sv, array_lit(c)) - lit(halfNorm)).as("sc"), lit(-j).as("nj"))
@@ -121,13 +121,16 @@ object Pq {
       sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
   }
 
-  /** ADC search + exact rerank. The scan side touches only (codes, norm);
-    * the raw vectors are read again solely for the `rerank` survivors.
-    */
-  def topK(emb: DataFrame, cb: Codebooks, queryId: Long, k: Int, rerank: Int,
-      encoded: Option[DataFrame] = None): DataFrame = {
-    val q = emb.filter(col("vec_id") === queryId).select("embedding")
+  /** The query vector, collected driver-side (one row — metadata-sized). */
+  private[similarity] def queryVec(emb: DataFrame, queryId: Long): Array[Double] =
+    emb.filter(col("vec_id") === queryId).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  /** The ADC score column over an encoded table's (codes, norm): the query's
+    * m×ksub lookup table is built ONCE driver-side, then each row costs m
+    * `element_at` picks summed, normalised to approximate cosine.
+    */
+  private[similarity] def adcSim(q: Array[Double], cb: Codebooks): Column = {
     val lut: IndexedSeq[Array[Double]] = cb.cents.zipWithIndex.map { case (cs, s) =>
       cs.map(c => c.zip(q.slice(s * cb.dsub, (s + 1) * cb.dsub))
         .map { case (a, b) => a * b }.sum).toArray
@@ -135,14 +138,30 @@ object Pq {
     val adcDot = lut.indices.map(s =>
       element_at(array_lit(lut(s)), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    val cands = encoded.getOrElse(encode(emb, cb))
-      .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), (adcDot / (col("norm") * lit(qNorm))).as("adc_sim"))
-      .orderBy(col("adc_sim").desc, col("vec_id"))
-      .limit(rerank)
-    emb.join(broadcast(cands.select("vec_id")), "vec_id")
+    adcDot / (col("norm") * lit(qNorm))
+  }
+
+  /** Exact re-score of the ADC survivors: candidate ids broadcast, raw
+    * vectors read only for those rows.
+    */
+  private[similarity] def rerankExact(emb: DataFrame, candIds: DataFrame,
+      q: Array[Double], k: Int): DataFrame =
+    emb.join(broadcast(candIds.select("vec_id")), "vec_id")
       .select(col("vec_id"), round(cosine_sim(col("embedding"), array_lit(q)), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+
+  /** ADC search + exact rerank. The scan side touches only (codes, norm);
+    * the raw vectors are read again solely for the `rerank` survivors.
+    */
+  def topK(emb: DataFrame, cb: Codebooks, queryId: Long, k: Int, rerank: Int,
+      encoded: Option[DataFrame] = None): DataFrame = {
+    val q = queryVec(emb, queryId)
+    val cands = encoded.getOrElse(encode(emb, cb))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), adcSim(q, cb).as("adc_sim"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+      .limit(rerank)
+    rerankExact(emb, cands, q, k)
   }
 }

@@ -329,7 +329,7 @@ object Similarity extends QueryModule {
     Ivf.topK(T.embeddings(s, d), prepareIvfIndex(s, d), queryId = 1L, k = 20, nprobe = 2)
 
   /** PQ path (no oracle — approximate): 16 subspaces × 16 codes compress
-    * each 64-float vector to 16 nibble codes + a norm (16× smaller); ADC
+    * each 64-float vector to 16 nibble codes + a norm (~21× smaller); ADC
     * scan + exact rerank of the top 100. Codebooks come from the per-JVM
     * index cache (Bench warms it), same contract as the IVF quantizer above.
     */
@@ -347,11 +347,35 @@ object Similarity extends QueryModule {
       encoded = Some(Pq.encodeCached(T.embeddings(s, d), d, cb, PqIters)))
   }
 
+  /** IVF×PQ composed path (no oracle — approximate): the coarse quantizer
+    * prunes to `IvfPqNprobe` of `IvfK` cells, the ADC scan scores only those
+    * cells' codes, exact rerank on the survivors. Reuses the SAME cached IVF
+    * centroids and PQ codebooks as the standalone paths, so the three
+    * queries stay comparable; only the composed (vec_id, cid, codes, norm)
+    * table is built extra (ingest-time, Bench-warmed).
+    */
+  val IvfPqNprobe = 4
+
+  def prepareIvfPqIndex(s: SparkSession, d: String): (Seq[Array[Double]], Pq.Codebooks) = {
+    val cents = prepareIvfIndex(s, d)
+    val cb = Pq.trainCached(T.embeddings(s, d), d, PqM, PqKsub, PqIters)
+    IvfPq.encodeCached(T.embeddings(s, d), d, cents, cb)
+    (cents, cb)
+  }
+
+  private def qCosineIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (cents, cb) = prepareIvfPqIndex(s, d)
+    IvfPq.topK(T.embeddings(s, d), cents, cb, queryId = 1L, k = 20,
+      nprobe = IvfPqNprobe, rerank = PqRerank,
+      encoded = Some(IvfPq.encodeCached(T.embeddings(s, d), d, cents, cb)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_lsh" -> qCosineLsh,
     "q_cosine_ivf" -> qCosineIvf,
     "q_cosine_pq" -> qCosinePq,
+    "q_cosine_ivfpq" -> qCosineIvfPq,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_embed_dedup_cluster" -> qEmbedDedupCluster,
     "q_embed_knn" -> qEmbedKnn,

@@ -113,6 +113,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("skyline sweep fallback: exact parity with the broadcast path, incl. anti-correlated data") {
+    import graft.operators.Relational
+    def dom(a: (Long, Double, java.sql.Timestamp), b: (Long, Double, java.sql.Timestamp)) =
+      a._2 >= b._2 && !a._3.after(b._3) && (a._2 > b._2 || a._3.before(b._3))
+    def check(rows: Seq[(Long, Double, java.sql.Timestamp)]): Unit = {
+      val df = rows.toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      // broadcastLimit=0 forces the range-partitioned sweep; default takes broadcast
+      val swept = Relational.skyline(df, broadcastLimit = 0)
+        .select("o_orderkey").as[Long].collect().toSet
+      val bcast = Relational.skyline(df)
+        .select("o_orderkey").as[Long].collect().toSet
+      val exact = rows.filterNot(r => rows.exists(o => dom(o, r))).map(_._1).toSet
+      assert(swept == exact, s"sweep ${swept.size} vs exact ${exact.size}")
+      assert(bcast == exact, s"broadcast ${bcast.size} vs exact ${exact.size}")
+    }
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${1 + day % 28}%02d 00:00:00")
+    // ANTI-correlated: price rises while date worsens → skyline ≈ n (the case
+    // that would melt an unguarded broadcast), with ties + planted dominated rows
+    val anti = (0 until 600).map { i =>
+      (i.toLong, 100.0 + (i / 2) * 10, ts(28 - (i / 2) % 28))
+    } ++ Seq((9001L, 50.0, ts(27)), (9002L, 105.0, ts(27)))
+    check(anti)
+    // correlated: tiny skyline, exercises cross-partition dominance carry
+    val corr = (0 until 600).map { i => (i.toLong, 100.0 + i * 10, ts(i % 28)) }
+    check(corr)
+    // the real table through both paths
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+    val defaultSky = Relational.skyline(orders).select("o_orderkey").as[Long].collect().toSet
+    val sweptSky = Relational.skyline(orders, broadcastLimit = 0)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(sweptSky == defaultSky, s"orders: sweep ${sweptSky.size} vs bcast ${defaultSky.size}")
+  }
+
   test("simhash candidates equal brute-force all-pairs for maxDist 1/3/8") {
     val rnd = new scala.util.Random(42)
     val base = Seq.fill(40)(rnd.nextLong())

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.operators.Scale
-import graft.similarity.{Ivf, Similarity}
+import graft.similarity.{Ivf, IvfPq, Similarity}
 import graft.domain.GridData
 
 class ScaleSpec extends AnyFunSuite {
@@ -45,6 +45,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
     val overlap = ivf.count(exact.contains).toDouble / ivf.length
     assert(overlap >= 0.2, s"IVF overlap with exact top-50 too low: $overlap")
+  }
+
+  test("IVF×PQ cell pruning is real: the ADC scan shrinks with nprobe") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val (cents, cb) = Similarity.prepareIvfPqIndex(spark, TestSpark.sf)
+    val enc = Some(IvfPq.encodeCached(emb, TestSpark.sf, cents, cb))
+    val total = emb.count() - 1 // query row is always excluded
+    val n1 = IvfPq.scannedCandidates(emb, cents, cb, 1L, nprobe = 1, enc)
+    val n4 = IvfPq.scannedCandidates(emb, cents, cb, 1L, nprobe = 4, enc)
+    val nAll = IvfPq.scannedCandidates(emb, cents, cb, 1L, nprobe = Similarity.IvfK, enc)
+    assert(nAll == total, s"full probe must touch the whole corpus ($nAll vs $total)")
+    assert(n1 > 0 && n1 <= n4 && n4 < nAll,
+      s"scan counts must shrink with nprobe: n1=$n1 n4=$n4 nAll=$nAll")
+    // pruning must be substantial, not cosmetic: 4 of 16 cells ≈ 1/4 of the
+    // corpus on balanced cells; allow 2× slack for skewed cell sizes
+    assert(n4 <= total / 2, s"nprobe=4/16 scanned $n4 of $total rows")
   }
 
   /** Deterministic synthetic corpus of n unit-ish vectors (hash-derived, no

@@ -50,6 +50,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"PQ recall@20 $recall below 0.9 (rerank=100 of 500)")
   }
 
+  test("IVF×PQ composed top-k: recall@20 ≥ 0.9 at nprobe=4/16 on a clustered corpus") {
+    // Cell pruning preserves recall when neighbors cluster (the geometry real
+    // embedding corpora have and the one IVFADC is designed for): 10 planted
+    // clusters of 50, deterministic centers ± small deterministic noise.
+    val rows = (0 until 500).map { i =>
+      val c = i % 10
+      val vec = (0 until 64).map { d =>
+        (math.sin(c * 131.0 + d * 17.0) + math.sin(i * 1009.0 + d * 37.0) * 0.05).toFloat
+      }
+      (i.toLong, vec)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = graft.similarity.Ivf.train(emb, k = 16, iters = 2)
+    val cb = graft.similarity.Pq.train(emb, m = 16, ksub = 16, iters = 3)
+    val exact = Similarity.cosineTopK(emb, 1L, 20).select("vec_id").as[Long].collect().toSet
+    val got = graft.similarity.IvfPq.topK(emb, cents, cb, 1L, 20,
+        nprobe = Similarity.IvfPqNprobe, rerank = Similarity.PqRerank)
+      .select("vec_id").as[Long].collect()
+    assert(got.length == 20)
+    val recall = got.count(exact.contains).toDouble / 20
+    assert(recall >= 0.9, s"IVF×PQ recall@20 $recall below 0.9 (nprobe=4 of 16)")
+  }
+
+  test("IVF×PQ on the uniform table degrades gracefully, never below half the exact set") {
+    // The harness embeddings are near-uniform (balanced cells, top-20 spread
+    // across many cells) — the documented worst case for ANY cell-pruned
+    // scan. The lock here is graceful degradation at the query's config, not
+    // the clustered-corpus recall above.
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val (cents, cb) = Similarity.prepareIvfPqIndex(spark, TestSpark.sf)
+    val exact = Similarity.cosineTopK(emb, 1L, 20).select("vec_id").as[Long].collect().toSet
+    val got = graft.similarity.IvfPq.topK(emb, cents, cb, 1L, 20,
+        nprobe = Similarity.IvfPqNprobe, rerank = Similarity.PqRerank)
+      .select("vec_id").as[Long].collect()
+    assert(got.length == 20)
+    val recall = got.count(exact.contains).toDouble / 20
+    assert(recall >= 0.5, s"IVF×PQ uniform-corpus recall@20 $recall below 0.5")
+  }
+
+  test("IVF×PQ at full probe equals plain PQ (composition degenerates correctly)") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val (cents, cb) = Similarity.prepareIvfPqIndex(spark, TestSpark.sf)
+    val full = graft.similarity.IvfPq.topK(emb, cents, cb, 1L, 20,
+        nprobe = Similarity.IvfK, rerank = Similarity.PqRerank)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    val pq = graft.similarity.Pq.topK(emb, cb, 1L, 20, rerank = Similarity.PqRerank)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(full.sameElements(pq),
+      "probing every cell must reduce to the un-pruned ADC scan")
+  }
+
   test("PQ encode is deterministic, codes in range, norm exact") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val cb = Similarity.preparePqIndex(spark, TestSpark.sf)
