@@ -22,10 +22,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    messages OR dense storage (fractal-heap `FRHP`/`FHDB` managed link
   *    objects + single-leaf name-index v2 b-tree `BTHD`/`BTLF`; root
   *    direct block or root indirect block with direct children — deeper
-  *    heaps and multi-node b-trees fail loudly), dataspace v2, attribute
-  *    messages v2/v3, data layout v4 with Single Chunk, Implicit
-  *    (back-to-back unfiltered chunks) and Fixed Array (`FAHD`/`FADB`,
-  *    filtered and unfiltered clients) chunk indexes
+  *    heaps and multi-node b-trees fail loudly), dense ATTRIBUTE storage
+  *    (per-object fractal heap + type-8 attribute-name-index v2 b-tree,
+  *    what libhdf5 switches to past 8 attributes), dataspace v2,
+  *    attribute messages v2/v3, data layout v4 with Single Chunk,
+  *    Implicit (back-to-back unfiltered chunks) and Fixed Array
+  *    (`FAHD`/`FADB`, filtered and unfiltered clients) chunk indexes
   *  - messages: NIL, dataspace (v1/v2), datatype (fixed/float/string/
   *    reference/vlen), fill value (skipped), data layout v3 (contiguous +
   *    chunked) and v4 (contiguous + chunked single-chunk/implicit/
@@ -38,10 +40,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    id fails loudly
   *  - global heap collections for vlen data — enough for NetCDF-4's
   *    DIMENSION_LIST attributes (vlen of object references)
-  * Everything else (superblock v1, dense ATTRIBUTE storage, huge/tiny
-  * fractal-heap objects, soft/external links, extensible-array/v2-btree
-  * chunk indexes, paged fixed arrays, SOHM shared header messages, filters
-  * outside the trio) fails with an explicit message, never a misparse.
+  * Everything else (superblock v1, huge/tiny fractal-heap objects,
+  * soft/external links, extensible-array/v2-btree chunk indexes, paged
+  * fixed arrays, SOHM shared header messages, filters outside the trio)
+  * fails with an explicit message, never a misparse.
   */
 object Hdf5 {
 
@@ -264,9 +266,7 @@ object Hdf5 {
         readDataset(r, name, addr, addrToName, path)
       }
       // attributes on the root group = NetCDF-4 global attributes
-      val rootAttrs = rootMsgs.collect { case AttrMsg(a) =>
-        resolveAttr(r, a, addrToName, path) }
-      H5File(path, datasets, rootAttrs)
+      H5File(path, datasets, attrsOf(r, rootMsgs, addrToName, path))
     } finally raf.close()
   }
 
@@ -496,27 +496,26 @@ object Hdf5 {
       (off - blk.start).toInt, (off - blk.start + len).toInt)
   }
 
-  /** Dense group links: walk the name-index v2 B-tree (`BTHD` + `BTLF` leaf
-    * records of hash + heap ID, spec III.A.2) and resolve each record's
-    * heap ID to a link message in the fractal heap. Single-leaf trees only
-    * (the shape below ~500 links); deeper trees fail loudly.
+  /** Validate a single-leaf name-index v2 B-tree (`BTHD` header + one `BTLF`
+    * leaf, spec III.A.2), both Jenkins-lookup3 checksummed, and return the
+    * leaf's record bytes positioned at record 0 plus the record count.
+    * Single-leaf trees only (the shape below ~500 entries); deeper trees
+    * fail loudly.
     */
-  private def readDenseLinks(r: Reader, fhAddr: Long, btAddr: Long,
-      path: String): Seq[(String, Long)] = {
-    require(btAddr != Undef, s"$path: dense group without a name-index v2 b-tree")
-    val fh = parseFrhp(r, fhAddr, path)
+  private def readBtreeLeaf(r: Reader, btAddr: Long, expType: Int,
+      expRecSize: Int, what: String, path: String): (ByteBuffer, Int) = {
     val raw = r.bytes(btAddr, 38)
     val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val sig = new Array[Byte](4); b.get(sig)
     require(sig.sameElements("BTHD".getBytes), s"$path: bad v2 b-tree signature")
     require(b.get() == 0, s"$path: v2 b-tree version unsupported")
     val btType = b.get() & 0xFF
-    require(btType == 5, s"$path: v2 b-tree type $btType is not a link-name index")
+    require(btType == expType, s"$path: v2 b-tree type $btType is not a $what index")
     b.getInt() // node size
     val recSize = b.getShort() & 0xFFFF
     val depth = b.getShort() & 0xFFFF
     require(depth == 0,
-      s"$path: v2 b-tree depth $depth unsupported (single-leaf dense groups only)")
+      s"$path: v2 b-tree depth $depth unsupported (single-leaf $what indexes only)")
     b.get(); b.get() // split / merge percents
     val rootAddr = b.getLong()
     val nrec = b.getShort() & 0xFFFF
@@ -525,20 +524,32 @@ object Hdf5 {
     val computed = lookup3(java.util.Arrays.copyOf(raw, 34))
     require(stored == computed,
       f"$path: v2 b-tree header checksum mismatch (stored 0x$stored%08x)")
-    require(recSize == 4 + fh.idLen,
-      s"$path: link-name record size $recSize != 4 + heap ID length ${fh.idLen}")
+    require(recSize == expRecSize,
+      s"$path: $what record size $recSize != expected $expRecSize")
     val leafRaw = r.bytes(rootAddr, 4 + 1 + 1 + nrec * recSize + 4)
     val lb = ByteBuffer.wrap(leafRaw).order(ByteOrder.LITTLE_ENDIAN)
     val lsig = new Array[Byte](4); lb.get(lsig)
     require(lsig.sameElements("BTLF".getBytes), s"$path: bad v2 b-tree leaf signature")
     require(lb.get() == 0, s"$path: v2 b-tree leaf version unsupported")
-    require((lb.get() & 0xFF) == 5, s"$path: v2 b-tree leaf type mismatch")
+    require((lb.get() & 0xFF) == expType, s"$path: v2 b-tree leaf type mismatch")
     locally { // leaf checksum covers the used prefix (records are it)
       val storedLeaf = lb.getInt(leafRaw.length - 4)
       val computedLeaf = lookup3(java.util.Arrays.copyOf(leafRaw, leafRaw.length - 4))
       require(storedLeaf == computedLeaf,
         f"$path: v2 b-tree leaf checksum mismatch (stored 0x$storedLeaf%08x)")
     }
+    (lb, nrec)
+  }
+
+  /** Dense group links: walk the name-index v2 B-tree (type 5 records of
+    * hash + heap ID) and resolve each record's heap ID to a link message in
+    * the fractal heap.
+    */
+  private def readDenseLinks(r: Reader, fhAddr: Long, btAddr: Long,
+      path: String): Seq[(String, Long)] = {
+    require(btAddr != Undef, s"$path: dense group without a name-index v2 b-tree")
+    val fh = parseFrhp(r, fhAddr, path)
+    val (lb, nrec) = readBtreeLeaf(r, btAddr, 5, 4 + fh.idLen, "link-name", path)
     val blocks = loadDirectBlocks(r, fh, fhAddr, path)
     val links = (0 until nrec).map { _ =>
       lb.getInt() // name hash — index key; enumeration reads every record
@@ -553,6 +564,41 @@ object Hdf5 {
     links.sortBy(_._1)
   }
 
+  /** Dense attribute storage: walk the attribute name-index v2 B-tree
+    * (type 8 records of heap ID + message flags + creation order + hash,
+    * the order libhdf5's `H5A__dense_btree2_name_encode` writes) and
+    * resolve each heap ID to an attribute message in the fractal heap.
+    */
+  private def readDenseAttrs(r: Reader, fhAddr: Long, btAddr: Long,
+      path: String): Seq[RawAttr] = {
+    require(btAddr != Undef, s"$path: dense attributes without a name-index v2 b-tree")
+    val fh = parseFrhp(r, fhAddr, path)
+    val (lb, nrec) = readBtreeLeaf(r, btAddr, 8, fh.idLen + 9, "attribute-name", path)
+    val blocks = loadDirectBlocks(r, fh, fhAddr, path)
+    (0 until nrec).map { _ =>
+      val id = new Array[Byte](fh.idLen); lb.get(id)
+      val mflags = lb.get() & 0xFF
+      require((mflags & 0x01) == 0, // bit 0 = message stored in SOHM heap
+        s"$path: shared dense attribute message unsupported")
+      lb.getInt(); lb.getInt() // creation order, name hash
+      parseAttr(ByteBuffer.wrap(readManagedObject(fh, blocks, id, path))
+        .order(ByteOrder.LITTLE_ENDIAN), path)
+    }.sortBy(_.name)
+  }
+
+  /** All attributes of one object header: compact 0x000C messages plus, when
+    * an Attribute Info message carries a defined fractal-heap address, the
+    * densely stored ones.
+    */
+  private def attrsOf(r: Reader, msgs: Seq[Msg], addrToName: Map[Long, String],
+      path: String): Seq[H5Attr] = {
+    val compact = msgs.collect { case AttrMsg(a) => a }
+    val dense = msgs.collectFirst {
+      case AttrInfoMsg(fh, bt) if fh != Undef => readDenseAttrs(r, fh, bt, path)
+    }.getOrElse(Nil)
+    (compact ++ dense).map(a => resolveAttr(r, a, addrToName, path))
+  }
+
   // ---- object header messages
 
   private sealed trait Msg
@@ -563,6 +609,8 @@ object Hdf5 {
   private final case class FilterMsg(filters: Seq[H5Filter]) extends Msg
   private final case class SymbolTableMsg(btreeAddr: Long, heapAddr: Long) extends Msg
   private final case class LinkInfoMsg(fractalHeapAddr: Long,
+      nameBtreeAddr: Long) extends Msg
+  private final case class AttrInfoMsg(fractalHeapAddr: Long,
       nameBtreeAddr: Long) extends Msg
   private final case class LinkMsg(name: String, ohAddr: Long) extends Msg
   private final case class RawAttr(name: String, dtype: DType, dims: Seq[Long],
@@ -594,7 +642,7 @@ object Hdf5 {
       case 0x0010 => Some((body.getLong(), body.getLong()))
       case 0x0011 => msgs += SymbolTableMsg(body.getLong(), body.getLong()); None
       case 0x0012 => None // object modification time
-      case 0x0015 => parseAttrInfo(body, path); None // rejects dense attrs
+      case 0x0015 => msgs += parseAttrInfo(body, path); None
       case t =>
         throw new IllegalArgumentException(
           f"$path: object header message type 0x$t%04X unsupported")
@@ -733,17 +781,21 @@ object Hdf5 {
   }
 
   /** Attribute Info (0x0015): attributes stay in the header (compact) as
-    * long as the fractal heap address is undefined; dense storage is out of
-    * the subset and must fail loudly, not parse as "no attributes".
+    * long as the fractal heap address is undefined; a defined address means
+    * DENSE attribute storage — the attribute messages live as managed
+    * fractal-heap objects indexed by a name-index v2 B-tree (type 8), the
+    * layout libhdf5 switches to past the compact phase-change limit
+    * (8 attributes by default).
     */
-  private def parseAttrInfo(b: ByteBuffer, path: String): Unit = {
+  private def parseAttrInfo(b: ByteBuffer, path: String): AttrInfoMsg = {
     val version = b.get()
     require(version == 0, s"$path: attribute info version $version unsupported")
     val flags = b.get() & 0xFF
     if ((flags & 1) != 0) b.getShort() // max creation index
     val fheap = b.getLong()
-    require(fheap == Undef,
-      s"$path: dense (fractal-heap) attribute storage unsupported")
+    val nameBt = b.getLong()
+    if ((flags & 2) != 0) b.getLong() // creation-order v2 b-tree — not consulted
+    AttrInfoMsg(fheap, nameBt)
   }
 
   private def parseDataspace(b: ByteBuffer, path: String): DataspaceMsg = {
@@ -1036,7 +1088,7 @@ object Hdf5 {
       .getOrElse(throw new IllegalArgumentException(s"$path: $name has no datatype"))
     val layout = msgs.collectFirst { case LayoutMsg(l) => l }
       .getOrElse(throw new IllegalArgumentException(s"$path: $name has no layout"))
-    val attrs = msgs.collect { case AttrMsg(a) => resolveAttr(r, a, addrToName, path) }
+    val attrs = attrsOf(r, msgs, addrToName, path)
     val filters = msgs.collectFirst { case FilterMsg(f) => f }.getOrElse(Nil)
     require(filters.isEmpty || layout.isInstanceOf[ChunkedLayout],
       s"$path: $name has filters on a non-chunked layout")
@@ -1483,6 +1535,10 @@ object Hdf5 {
   def write(path: String, datasets: Seq[WDataset], latest: Boolean): Unit =
     write(path, datasets, latest, denseRoot = false)
 
+  def write(path: String, datasets: Seq[WDataset], latest: Boolean,
+      denseRoot: Boolean): Unit =
+    write(path, datasets, latest, denseRoot, denseAttrs = false)
+
   /** `latest = true` emits the format's latest-version encodings — the
     * 48-byte checksummed superblock v3, v2 (`OHDR`) object headers, compact
     * link-message groups, dataspace v2, attribute v3, filter pipeline v2,
@@ -1494,10 +1550,15 @@ object Hdf5 {
     * one fractal-heap managed object per link message plus a single-leaf
     * name-index v2 b-tree — what libhdf5 switches to when a group passes
     * its compact-storage phase-change limit (8 links by default).
+    * `denseAttrs = true` (latest only) likewise stores each dataset's
+    * attributes DENSE: the object header carries only an Attribute Info
+    * message pointing at a per-dataset fractal heap + type-8 name-index
+    * b-tree — what libhdf5 switches to past 8 attributes by default.
     */
   def write(path: String, datasets: Seq[WDataset], latest: Boolean,
-      denseRoot: Boolean): Unit = {
+      denseRoot: Boolean, denseAttrs: Boolean): Unit = {
     require(!denseRoot || latest, "dense root groups require the latest format")
+    require(!denseAttrs || latest, "dense attribute storage requires the latest format")
     datasets.foreach { d =>
       require(d.data.length == d.dims.product,
         s"${d.name}: data length ${d.data.length} != dims product ${d.dims.product}")
@@ -1787,7 +1848,7 @@ object Hdf5 {
       val linkInfo = new LeBuf
       linkInfo.u8(0).u8(0) // version, flags (no creation-order tracking)
       if (denseRoot) // links live in the fractal heap + name-index b-tree
-        linkInfo.u64(res("frhp")).u64(res("bthd"))
+        linkInfo.u64(res("rootdx:frhp")).u64(res("rootdx:bthd"))
       else // compact: undefined addresses, one 0x0006 message per member
         linkInfo.u64(-1L).u64(-1L)
       val groupInfo = new LeBuf
@@ -1799,97 +1860,121 @@ object Hdf5 {
         Seq(0x0002 -> linkInfo.bytes, 0x000A -> groupInfo.bytes) ++ links)
     }
 
-    // ---- dense root group: fractal heap (FRHP + one root FHDB direct
-    // block) holding the link messages as managed objects, indexed by a
-    // single-leaf name-index v2 b-tree (BTHD + BTLF). Geometry mirrors the
-    // library defaults: 32-bit heap space (4-byte offsets), 4 KiB max
-    // managed object (2-byte lengths), 7-byte heap IDs, record size 11.
-    val denseMaxManaged = 4096L
-    val denseOffSize = 4; val denseLenSize = 2
-    val denseIdLen = 1 + denseOffSize + denseLenSize
-    val denseHeaderSize = 4 + 1 + 8 + denseOffSize + 4 // FHDB prefix + checksum
-    /** (heap offset, length) per sorted link, and the root block size —
-      * lazy: only dense writes pay the sizing pass.
-      */
-    lazy val denseGeometry: (Seq[(Long, Int)], Long) = {
-      val zeroR: Resolve = _ => 0L
-      val lens = names.sorted.map(n => linkMsgBytes(n, zeroR).length)
-      require(lens.forall(_ <= denseMaxManaged), "link message exceeds heap object max")
-      val offs = lens.scanLeft(denseHeaderSize.toLong)(_ + _)
-      var bs = 512L
-      while (bs < offs.last) bs <<= 1
-      (offs.zip(lens), bs)
-    }
-    def denseExtents: Seq[(Long, Int)] = denseGeometry._1
-    def denseBlockSize: Long = denseGeometry._2
-
-    def frhpBlock(res: Resolve): Array[Byte] = {
-      val used = denseExtents.lastOption.map(e => e._1 + e._2).getOrElse(0L)
-      val b = new LeBuf
-      b.raw("FRHP".getBytes).u8(0)
-      b.u16(denseIdLen).u16(0) // heap ID length, I/O filter length (none)
-      b.u8(0x02) // flags: direct blocks are checksummed
-      b.u32(denseMaxManaged)
-      b.u64(0).u64(-1L) // next huge object id, huge v2-btree address
-      b.u64(denseBlockSize - used).u64(-1L) // free space, free-space manager
-      b.u64(denseBlockSize).u64(denseBlockSize) // managed space, allocated
-      b.u64(denseBlockSize) // direct-block iterator offset (block is full)
-      b.u64(denseExtents.length) // managed objects
-      b.u64(0).u64(0).u64(0).u64(0) // huge size/count, tiny size/count
-      b.u16(4) // table width
-      b.u64(denseBlockSize) // starting block size = the one root block
-      b.u64(math.max(denseBlockSize, denseMaxManaged)) // max direct block size
-      b.u16(32).u16(1) // max heap size (bits), starting rows in root indirect
-      b.u64(res("fhdb"))
-      b.u16(0) // current rows: 0 = root is a direct block
-      u32ck(b)
-    }
-
-    def fhdbBlock(res: Resolve): Array[Byte] = {
-      val out = new Array[Byte](denseBlockSize.toInt)
-      val head = new LeBuf
-      head.raw("FHDB".getBytes).u8(0).u64(res("frhp"))
-      head.u32(0) // block offset within the heap space (4-byte field)
-      System.arraycopy(head.bytes, 0, out, 0, denseHeaderSize - 4)
-      names.sorted.zip(denseExtents).foreach { case (n, (off, _)) =>
-        val body = linkMsgBytes(n, res)
-        System.arraycopy(body, 0, out, off.toInt, body.length)
+    // ---- dense storage builder: one fractal heap (FRHP + one root FHDB
+    // direct block) holding message bodies as managed objects, indexed by a
+    // single-leaf name-index v2 b-tree (BTHD + BTLF). Serves the dense root
+    // group (b-tree type 5, link-name records of hash + 7-byte heap ID) and
+    // dense attribute storage (type 8, records of 8-byte heap ID + message
+    // flags + creation order + hash — the order libhdf5 encodes). Geometry
+    // mirrors the library defaults: 32-bit heap space (4-byte offsets),
+    // 4 KiB max managed object (2-byte lengths).
+    final class DenseStore(prefix: String, btType: Int, idLen: Int,
+        items: Seq[(String, Resolve => Array[Byte])]) {
+      private val maxManaged = 4096L
+      private val offSize = 4; private val lenSize = 2
+      private val headerSize = 4 + 1 + 8 + offSize + 4 // FHDB prefix + checksum
+      /** (heap offset, length) per item, and the root block size. */
+      private lazy val geometry: (Seq[(Long, Int)], Long) = {
+        val zeroR: Resolve = _ => 0L
+        val lens = items.map { case (_, body) => body(zeroR).length }
+        require(lens.forall(_ <= maxManaged), "message exceeds heap object max")
+        val offs = lens.scanLeft(headerSize.toLong)(_ + _)
+        var bs = 512L
+        while (bs < offs.last) bs <<= 1
+        (offs.zip(lens), bs)
       }
-      // checksum over the whole block with its own field zeroed
-      val ck = lookup3(out)
-      val cb = new LeBuf; cb.u32(ck.toLong & 0xFFFFFFFFL)
-      System.arraycopy(cb.bytes, 0, out, denseHeaderSize - 4, 4)
-      out
-    }
+      private def extents: Seq[(Long, Int)] = geometry._1
+      private def blockSize: Long = geometry._2
 
-    def denseHeapIds: Seq[(String, Array[Byte])] =
-      names.sorted.zip(denseExtents).map { case (n, (off, len)) =>
-        val id = new LeBuf
-        id.u8(0x00) // version 0, managed object
-        id.u32(off).u16(len)
-        n -> id.bytes
+      private def frhpBlock(res: Resolve): Array[Byte] = {
+        val used = extents.lastOption.map(e => e._1 + e._2).getOrElse(0L)
+        val b = new LeBuf
+        b.raw("FRHP".getBytes).u8(0)
+        b.u16(idLen).u16(0) // heap ID length, I/O filter length (none)
+        b.u8(0x02) // flags: direct blocks are checksummed
+        b.u32(maxManaged)
+        b.u64(0).u64(-1L) // next huge object id, huge v2-btree address
+        b.u64(blockSize - used).u64(-1L) // free space, free-space manager
+        b.u64(blockSize).u64(blockSize) // managed space, allocated
+        b.u64(blockSize) // direct-block iterator offset (block is full)
+        b.u64(extents.length) // managed objects
+        b.u64(0).u64(0).u64(0).u64(0) // huge size/count, tiny size/count
+        b.u16(4) // table width
+        b.u64(blockSize) // starting block size = the one root block
+        b.u64(math.max(blockSize, maxManaged)) // max direct block size
+        b.u16(32).u16(1) // max heap size (bits), starting rows in root indirect
+        b.u64(res(s"$prefix:fhdb"))
+        b.u16(0) // current rows: 0 = root is a direct block
+        u32ck(b)
       }
 
-    def bthdBlock(res: Resolve): Array[Byte] = {
-      val b = new LeBuf
-      b.raw("BTHD".getBytes).u8(0).u8(5) // version, type 5: link-name index
-      b.u32(4096).u16(4 + denseIdLen) // node size, record size
-      b.u16(0) // depth: root is the leaf
-      b.u8(100).u8(40) // split / merge percents (library defaults)
-      b.u64(res("btlf"))
-      b.u16(denseExtents.length)
-      b.u64(denseExtents.length)
-      u32ck(b)
-    }
+      private def fhdbBlock(res: Resolve): Array[Byte] = {
+        val out = new Array[Byte](blockSize.toInt)
+        val head = new LeBuf
+        head.raw("FHDB".getBytes).u8(0).u64(res(s"$prefix:frhp"))
+        head.u32(0) // block offset within the heap space (4-byte field)
+        System.arraycopy(head.bytes, 0, out, 0, headerSize - 4)
+        items.zip(extents).foreach { case ((_, mkBody), (off, _)) =>
+          val body = mkBody(res)
+          System.arraycopy(body, 0, out, off.toInt, body.length)
+        }
+        // checksum over the whole block with its own field zeroed
+        val ck = lookup3(out)
+        val cb = new LeBuf; cb.u32(ck.toLong & 0xFFFFFFFFL)
+        System.arraycopy(cb.bytes, 0, out, headerSize - 4, 4)
+        out
+      }
 
-    def btlfBlock(res: Resolve): Array[Byte] = {
-      val b = new LeBuf
-      b.raw("BTLF".getBytes).u8(0).u8(5)
-      denseHeapIds
-        .map { case (n, id) => (lookup3(n.getBytes("UTF-8")), n, id) }
-        .sortBy { case (h, n, _) => (h.toLong & 0xFFFFFFFFL, n) }
-        .foreach { case (h, _, id) => b.u32(h.toLong & 0xFFFFFFFFL).raw(id) }
-      u32ck(b)
+      private def heapIds: Seq[(String, Array[Byte])] =
+        items.zip(extents).map { case ((n, _), (off, len)) =>
+          val id = new LeBuf
+          id.u8(0x00) // version 0, managed object
+          id.u32(off).u16(len)
+          (1 + offSize + lenSize until idLen).foreach(_ => id.u8(0)) // pad
+          n -> id.bytes
+        }
+
+      private def recSize: Int =
+        if (btType == 5) 4 + idLen // hash + heap ID
+        else idLen + 1 + 4 + 4 // heap ID + message flags + creation order + hash
+
+      private def bthdBlock(res: Resolve): Array[Byte] = {
+        val b = new LeBuf
+        b.raw("BTHD".getBytes).u8(0).u8(btType)
+        b.u32(4096).u16(recSize) // node size, record size
+        b.u16(0) // depth: root is the leaf
+        b.u8(100).u8(40) // split / merge percents (library defaults)
+        b.u64(res(s"$prefix:btlf"))
+        b.u16(extents.length)
+        b.u64(extents.length)
+        u32ck(b)
+      }
+
+      private def btlfBlock(res: Resolve): Array[Byte] = {
+        val b = new LeBuf
+        b.raw("BTLF".getBytes).u8(0).u8(btType)
+        heapIds.zipWithIndex
+          .map { case ((n, id), i) => (lookup3(n.getBytes("UTF-8")), n, id, i) }
+          .sortBy { case (h, n, _, _) => (h.toLong & 0xFFFFFFFFL, n) }
+          .foreach { case (h, _, id, i) =>
+            if (btType == 5) b.u32(h.toLong & 0xFFFFFFFFL).raw(id)
+            else b.raw(id).u8(0).u32(i).u32(h.toLong & 0xFFFFFFFFL)
+          }
+        u32ck(b)
+      }
+
+      def fheapRef(res: Resolve): Long = res(s"$prefix:frhp")
+      def btreeRef(res: Resolve): Long = res(s"$prefix:bthd")
+      def blockNames: Seq[String] =
+        Seq(s"$prefix:frhp", s"$prefix:fhdb", s"$prefix:bthd", s"$prefix:btlf")
+      def build(name: String, res: Resolve): Array[Byte] =
+        name.drop(prefix.length + 1) match {
+          case "frhp" => frhpBlock(res)
+          case "fhdb" => fhdbBlock(res)
+          case "bthd" => bthdBlock(res)
+          case "btlf" => btlfBlock(res)
+          case o => throw new IllegalStateException(s"unknown dense block $o")
+        }
     }
 
     def dataspaceBytesV2(dims: Seq[Long]): Array[Byte] = {
@@ -1912,6 +1997,37 @@ object Hdf5 {
       b.raw(nameB).raw(dtB).raw(dsB).raw(data) // exact lengths, no padding
       b.bytes
     }
+
+    /** Each dataset attribute as (name, resolved v3 message body) — the SAME
+      * bodies serve compact 0x000C messages and dense heap objects.
+      */
+    def attrItems(d: WDataset): Seq[(String, Resolve => Array[Byte])] =
+      d.strAttrs.map { case (an, s) =>
+        val sb = s.getBytes("UTF-8") :+ 0.toByte
+        an -> ((_: Resolve) => attrBytesV3(an, Str(sb.length), Nil, sb))
+      } ++
+        d.numAttrs.map { case (an, t, nums) =>
+          an -> ((_: Resolve) => attrBytesV3(an, t, Seq(nums.length.toLong),
+            encodeData(t, nums.toArray)))
+        } ++
+        d.refAttrs.map { case (an, lists) =>
+          an -> ((res: Resolve) => {
+            val data = new LeBuf
+            lists.zipWithIndex.foreach { case (refs, i) =>
+              data.u32(refs.length)
+              data.u64(res("gcol"))
+              data.u32(gcolIndex((d.name, an, i)))
+            }
+            attrBytesV3(an, Vlen(ObjRef), Seq(lists.length.toLong), data.bytes)
+          })
+        }
+
+    lazy val rootDense = new DenseStore("rootdx", 5, 7,
+      names.sorted.map(n => n -> ((res: Resolve) => linkMsgBytes(n, res))))
+    lazy val attrDense: Map[String, DenseStore] = datasets
+      .filter(d => attrItems(d).nonEmpty)
+      .map(d => d.name -> new DenseStore(s"adx:${d.name}", 8, 8, attrItems(d)))
+      .toMap
 
     // fixtures stay far below 2^10 chunks, so data blocks never page
     val fixedArrayPageBits = 10
@@ -1968,24 +2084,14 @@ object Hdf5 {
         }
         msgs += 0x000B -> f.bytes
       }
-      d.strAttrs.foreach { case (an, s) =>
-        val sb = s.getBytes("UTF-8") :+ 0.toByte
-        msgs += 0x000C -> attrBytesV3(an, Str(sb.length), Nil, sb)
-      }
-      d.numAttrs.foreach { case (an, t, nums) =>
-        msgs += 0x000C -> attrBytesV3(an, t, Seq(nums.length.toLong),
-          encodeData(t, nums.toArray))
-      }
-      d.refAttrs.foreach { case (an, lists) =>
-        val data = new LeBuf
-        lists.zipWithIndex.foreach { case (refs, i) =>
-          data.u32(refs.length)
-          data.u64(res("gcol"))
-          data.u32(gcolIndex((d.name, an, i)))
-        }
-        msgs += 0x000C -> attrBytesV3(an, Vlen(ObjRef), Seq(lists.length.toLong),
-          data.bytes)
-      }
+      if (denseAttrs && attrItems(d).nonEmpty) {
+        // attributes live in the per-dataset fractal heap + name b-tree;
+        // the header carries only the Attribute Info pointer
+        val ai = new LeBuf
+        ai.u8(0).u8(0) // version, flags (creation order untracked)
+        ai.u64(res(s"adx:${d.name}:frhp")).u64(res(s"adx:${d.name}:bthd"))
+        msgs += 0x0015 -> ai.bytes
+      } else attrItems(d).foreach { case (_, body) => msgs += 0x000C -> body(res) }
       objectHeaderV2(msgs.toSeq)
     }
 
@@ -2016,8 +2122,10 @@ object Hdf5 {
     val blockNames: Seq[String] =
       if (latest)
         Seq("oh:/") ++
-          (if (denseRoot) Seq("frhp", "fhdb", "bthd", "btlf") else Nil) ++
+          (if (denseRoot) rootDense.blockNames else Nil) ++
           datasets.map(d => s"oh:${d.name}") ++
+          (if (denseAttrs) datasets.filter(d => attrItems(d).nonEmpty)
+            .flatMap(d => attrDense(d.name).blockNames) else Nil) ++
           (if (gcolEntries.nonEmpty) Seq("gcol") else Nil) ++
           datasets.flatMap { d =>
             d.chunkDims match {
@@ -2041,10 +2149,8 @@ object Hdf5 {
 
     def buildBlock(name: String, res: Resolve): Array[Byte] = name match {
       case "oh:/" => if (latest) rootOhV2(res) else rootOh(res)
-      case "frhp" => frhpBlock(res)
-      case "fhdb" => fhdbBlock(res)
-      case "bthd" => bthdBlock(res)
-      case "btlf" => btlfBlock(res)
+      case n if n.startsWith("rootdx:") => rootDense.build(n, res)
+      case n if n.startsWith("adx:") => attrDense(n.split(":")(1)).build(n, res)
       case "heap" => heapBlock(res)
       case "heapdata" => heapData.bytes
       case "btree" => btreeBlock(res)

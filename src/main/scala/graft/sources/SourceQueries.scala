@@ -209,11 +209,23 @@ object SourceQueries extends QueryModule {
     */
   lazy val nc4DenseDir: String = writeNc4Dir(latest = true, dense = true)
 
-  private def writeNc4Dir(latest: Boolean, dense: Boolean = false): String = {
+  /** And once more with DENSE ATTRIBUTE storage: every variable's attributes
+    * live in a per-dataset fractal heap + type-8 name-index v2 b-tree
+    * instead of the object header — what libhdf5 switches to past 8
+    * attributes (the data variable carries 10 here, the realistic trigger).
+    * The DIMENSION_LIST vlen-of-object-reference attribute rides the heap
+    * too, so reference resolution is exercised through the dense path.
+    */
+  lazy val nc4DenseAttrsDir: String =
+    writeNc4Dir(latest = true, dense = true, denseAttrs = true)
+
+  private def writeNc4Dir(latest: Boolean, dense: Boolean = false,
+      denseAttrs: Boolean = false): String = {
     import GridData.{T => TD, X => XD, Y => YD}
     import Hdf5._
     val dir = java.nio.file.Files.createTempDirectory(
-      if (dense) "graft-nc4d" else if (latest) "graft-nc4l" else "graft-nc4")
+      if (denseAttrs) "graft-nc4da"
+      else if (dense) "graft-nc4d" else if (latest) "graft-nc4l" else "graft-nc4")
       .toFile.getAbsolutePath
     val lat = Array.tabulate(YD)(y => 44.0 + y * 0.05)
     val lon = Array.tabulate(XD)(x => -80.0 + x * 0.05)
@@ -242,12 +254,19 @@ object SourceQueries extends QueryModule {
         WDataset(v, F32, Seq(TD, YD, XD), data,
           strAttrs = Seq("long_name" -> (if (vid == 0)
             "Daily Maximum Near-Surface Air Temperature"
-          else "Daily Minimum Near-Surface Air Temperature")),
-          numAttrs = Seq(("_FillValue", F32, Seq(-999.0))),
+          else "Daily Minimum Near-Surface Air Temperature")) ++
+            (if (denseAttrs) // past the 8-attr compact limit, like real CF files
+              Seq("units" -> "K", "standard_name" -> "air_temperature",
+                "cell_methods" -> "time: maximum", "comment" -> "synthetic")
+            else Nil),
+          numAttrs = Seq(("_FillValue", F32, Seq(-999.0))) ++
+            (if (denseAttrs)
+              Seq(("valid_min", F32, Seq(-60.0)), ("valid_max", F32, Seq(60.0)))
+            else Nil),
           refAttrs = Seq("DIMENSION_LIST" ->
             Seq(Seq("time"), Seq("lat"), Seq("lon"))),
           chunkDims = chunks,
-          filters = filters)), latest, dense)
+          filters = filters)), latest, dense, denseAttrs)
     }
     dir
   }
@@ -384,6 +403,17 @@ object SourceQueries extends QueryModule {
       .select("file", "variable", "attr_value")
       .orderBy("file", "variable")
 
+  /** The same catalog over the DENSE-attribute archive — every attribute
+    * row here is resolved through a fractal heap + type-8 name-index
+    * b-tree rather than header messages, including the 10-attr data
+    * variable that triggers dense storage in real libhdf5 files.
+    */
+  private def qCatalogAttrsDense(s: SparkSession, d: String): DataFrame =
+    NcCatalog.attrs(s, nc4DenseAttrsDir)
+      .filter(col("attr_name").isin("long_name", "units", "standard_name"))
+      .select("file", "variable", "attr_name", "attr_value")
+      .orderBy("file", "variable", "attr_name")
+
   /** Variable DISCOVERED by attribute, then queried — the reference's
     * schema-on-read flow end to end: find the variable whose `long_name`
     * says "Daily Maximum", then aggregate its cells. The discovery is a
@@ -441,6 +471,7 @@ object SourceQueries extends QueryModule {
     "q_grid_federated" -> qGridFederated,
     "q_grid_nc_curv" -> qGridNcCurv,
     "q_catalog_attrs" -> qCatalogAttrs,
+    "q_catalog_attrs_dense" -> qCatalogAttrsDense,
     "q_nc_discover" -> qNcDiscover
   )
 
@@ -541,6 +572,22 @@ object SourceQueries extends QueryModule {
         |  ('tasmin.nc', 'tasmin', 'Daily Minimum Near-Surface Air Temperature')
         |) AS t(file, variable, attr_value)
         |ORDER BY file, variable""".stripMargin,
+    "q_catalog_attrs_dense" ->
+      """SELECT * FROM (VALUES
+        |  ('tasmax.nc4', 'lat', 'long_name', 'latitude'),
+        |  ('tasmax.nc4', 'lon', 'long_name', 'longitude'),
+        |  ('tasmax.nc4', 'tasmax', 'long_name', 'Daily Maximum Near-Surface Air Temperature'),
+        |  ('tasmax.nc4', 'tasmax', 'standard_name', 'air_temperature'),
+        |  ('tasmax.nc4', 'tasmax', 'units', 'K'),
+        |  ('tasmax.nc4', 'time', 'units', 'days since 1990-01-01'),
+        |  ('tasmin.nc4', 'lat', 'long_name', 'latitude'),
+        |  ('tasmin.nc4', 'lon', 'long_name', 'longitude'),
+        |  ('tasmin.nc4', 'tasmin', 'long_name', 'Daily Minimum Near-Surface Air Temperature'),
+        |  ('tasmin.nc4', 'tasmin', 'standard_name', 'air_temperature'),
+        |  ('tasmin.nc4', 'tasmin', 'units', 'K'),
+        |  ('tasmin.nc4', 'time', 'units', 'days since 1990-01-01')
+        |) AS t(file, variable, attr_name, attr_value)
+        |ORDER BY file, variable, attr_name""".stripMargin,
     "q_nc_discover" -> (GridData.oracleCells +
       """SELECT ts, count(value) AS n_obs, round(avg(value), 4) AS mean_v
         |FROM cells WHERE variable = 'tasmax' AND y < 10

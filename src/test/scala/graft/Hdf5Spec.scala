@@ -216,6 +216,43 @@ class Hdf5Spec extends AnyFunSuite {
         Hdf5.readAll(pc, c.dataset(n).get).toSeq, n)
   }
 
+  test("latest format: dense attribute storage round-trips, equal to compact") {
+    val p = tmp("denseattr.h5"); val pc = tmp("compactattr.h5")
+    val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
+    // 10 attributes on the data var — past libhdf5's 8-attr compact limit,
+    // the shape that actually triggers dense storage in real files
+    def grid = Seq(
+      WDataset("time", I32, Seq(T), Array.tabulate(T)(_.toDouble),
+        strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time")),
+      WDataset("temp", F32, Seq(T, Y, X), data,
+        strAttrs = Seq("long_name" -> "air temperature", "units" -> "K",
+          "standard_name" -> "air_temperature", "cell_methods" -> "time: mean",
+          "comment" -> "synthetic", "grid_mapping" -> "crs"),
+        numAttrs = Seq(("_FillValue", F32, Seq(-999.0)),
+          ("valid_min", F32, Seq(-60.0)), ("valid_max", F32, Seq(60.0))),
+        refAttrs = Seq("DIMENSION_LIST" -> Seq(Seq("time"))),
+        chunkDims = Some(Seq(2, 3, 3))))
+    Hdf5.write(p, grid, latest = true, denseRoot = false, denseAttrs = true)
+    Hdf5.write(pc, grid, latest = true, denseRoot = false, denseAttrs = false)
+    val d = Hdf5.open(p); val c = Hdf5.open(pc)
+    val dt = d.dataset("temp").get; val ct = c.dataset("temp").get
+    assert(dt.attrs.map(_.name).sorted == ct.attrs.map(_.name).sorted)
+    assert(dt.attrs.length == 10)
+    for (a <- ct.attrs)
+      assert(dt.attr(a.name).map(_.value).contains(a.value), a.name)
+    // the vlen object-reference attribute resolves through the heap too
+    assert(dt.attr("DIMENSION_LIST").map(_.value)
+      .contains(RefListAttr(Seq(Seq("time")))))
+    assert(Hdf5.readAll(p, dt).toSeq == Hdf5.readAll(pc, ct).toSeq)
+    // dense-attr objects coexist with a dense root group in one file
+    val pb = tmp("denseboth.h5")
+    Hdf5.write(pb, grid, latest = true, denseRoot = true, denseAttrs = true)
+    val b = Hdf5.open(pb)
+    assert(b.dataset("temp").get.attrs.map(_.name).sorted ==
+      ct.attrs.map(_.name).sorted)
+    assert(Hdf5.readAll(pb, b.dataset("temp").get).toSeq == data.toSeq)
+  }
+
   test("dense root group: 26 links land at distinct heap offsets and all resolve") {
     val p = tmp("many.h5")
     val dsets = ('a' to 'z').map(ch =>
