@@ -53,6 +53,14 @@ object IvfPq {
       ("ivfpq-encoded", key, cents.length, cb.m, cb.ksub))(
       encode(emb, cents, cb).repartition(col("cid")))
 
+  /** Incremental composed-index maintenance (see [[Pq.appendShard]]): the
+    * new shard pays ONE projection (cell assign + encode share the scan);
+    * existing codes and the coarse centroids stay frozen.
+    */
+  def appendShard(index: DataFrame, shard: DataFrame,
+      cents: Seq[Array[Double]], cb: Pq.Codebooks): DataFrame =
+    index.unionByName(encode(shard, cents, cb))
+
   /** Cell-pruned ADC search: probe the `nprobe` cells nearest the query,
     * ADC-score only their codes, exact-rerank the top `rerank` survivors.
     */

@@ -121,6 +121,20 @@ object Pq {
       sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
   }
 
+  /** Incremental index maintenance — the ANN twin of
+    * `Dedup.incrementalDedup`'s nightly-ingest shape: a NEW shard is
+    * encoded against the FROZEN codebooks (one shuffle-free projection
+    * over the shard alone) and unioned with the already-encoded index.
+    * The existing codes are never recomputed and the raw corpus is never
+    * rescanned — per-shard cost scales with the shard, not the corpus,
+    * which is the only affordable maintenance shape at 100 TB. The
+    * codebooks must stay frozen: retraining would silently change the
+    * meaning of every stored code (the same contract as a real IVFADC
+    * deployment, where codebooks are versioned ingest-time constants).
+    */
+  def appendShard(index: DataFrame, shard: DataFrame, cb: Codebooks): DataFrame =
+    index.unionByName(encode(shard, cb))
+
   /** The query vector, collected driver-side (one row — metadata-sized). */
   private[similarity] def queryVec(emb: DataFrame, queryId: Long): Array[Double] =
     emb.filter(col("vec_id") === queryId).select("embedding")

@@ -101,6 +101,45 @@ class SimilaritySpec extends AnyFunSuite {
       "probing every cell must reduce to the un-pruned ADC scan")
   }
 
+  test("incremental PQ encode: shard-only work, identical index and topK vs full re-encode") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val cb = Similarity.preparePqIndex(spark, TestSpark.sf) // frozen codebooks
+    val corpus = emb.filter(col("vec_id") < 400)
+    val shard = emb.filter(col("vec_id") >= 400)
+    assert(shard.count() > 0)
+    // every raw-corpus row read bumps the accumulator — the lock that
+    // appendShard pays for the shard only, never a corpus rescan
+    val corpusScans = spark.sparkContext.longAccumulator("corpus-scans")
+    val corpusCounted = corpus.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { r => corpusScans.add(1); r }.toDF("vec_id", "embedding")
+    val index = graft.similarity.Pq.encode(corpusCounted, cb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index.count() // ingest-time materialization
+    val scansAtIngest = corpusScans.value
+    val combined = graft.similarity.Pq.appendShard(index, shard, cb)
+    combined.count()
+    assert(corpusScans.value == scansAtIngest,
+      s"appendShard rescanned the raw corpus (${corpusScans.value} vs $scansAtIngest)")
+    // the maintained index is byte-identical to a full re-encode...
+    val full = graft.similarity.Pq.encode(emb, cb)
+    assert(combined.orderBy("vec_id").collect()
+      .sameElements(full.orderBy("vec_id").collect()))
+    // ...so search over it is too
+    val a = graft.similarity.Pq.topK(emb, cb, 1L, 20, rerank = Similarity.PqRerank,
+      encoded = Some(combined)).collect()
+    val b = graft.similarity.Pq.topK(emb, cb, 1L, 20, rerank = Similarity.PqRerank,
+      encoded = Some(full)).collect()
+    assert(a.sameElements(b), "topK over the maintained index diverged")
+    // the composed IVF×PQ index maintains the same way (cell assign rides
+    // the same shard-only projection)
+    val (cents, _) = Similarity.prepareIvfPqIndex(spark, TestSpark.sf)
+    val combined2 = graft.similarity.IvfPq.appendShard(
+      graft.similarity.IvfPq.encode(corpus, cents, cb), shard, cents, cb)
+    assert(combined2.orderBy("vec_id").collect()
+      .sameElements(graft.similarity.IvfPq.encode(emb, cents, cb).orderBy("vec_id").collect()))
+    index.unpersist()
+  }
+
   test("PQ encode is deterministic, codes in range, norm exact") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val cb = Similarity.preparePqIndex(spark, TestSpark.sf)
