@@ -302,6 +302,45 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The SALTED twin of [[qPackContexts]] — same output contract, scalable
+    * partitioning. The plain form's only shuffle keys on `source` (bounded
+    * cardinality), so one giant source becomes one giant window partition.
+    * Here the partition key is salted with ORDERED doc_id ranges
+    * (`bucket = doc_id / width` — ranges, not hashes, because packing is
+    * order-dependent), the cumsum runs per (source, bucket), and the global
+    * positions are restored by adding each bucket's offset — the running
+    * total of all earlier buckets in its source, computed on the
+    * metadata-sized (source, bucket, total) table and broadcast back.
+    * seq_id/seq_fill are arithmetic on the restored global cumsum, so the
+    * output is row-identical to the unsalted form (same oracle) while the
+    * wide shuffle carries sources × buckets keys.
+    */
+  def packContextsSalted(docs: DataFrame, budget: Int, bucketWidth: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wB = W.partitionBy("source", "bucket").orderBy("doc_id")
+    val toks = docs
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("bucket", floor(col("doc_id") / bucketWidth))
+    // per-bucket offsets: one tiny aggregate + window over (sources × buckets)
+    val wOff = W.partitionBy("source").orderBy("bucket")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offs = toks.groupBy("source", "bucket").agg(sum("n_tokens").as("btotal"))
+      .withColumn("boff", coalesce(sum("btotal").over(wOff), lit(0L)))
+      .select("source", "bucket", "boff")
+    toks.withColumn("lcum", sum("n_tokens").over(wB))
+      .join(broadcast(offs), Seq("source", "bucket"))
+      .withColumn("cum", col("lcum") + col("boff"))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .withColumn("seq_fill",
+        round((col("cum") - col("seq_id") * budget) / lit(budget.toDouble), 4))
+      .select("doc_id", "source", "n_tokens", "seq_id", "seq_fill")
+  }
+
+  private def qPackContextsSalted(s: SparkSession, d: String): DataFrame =
+    packContextsSalted(T.documents(s, d), budget = 512, bucketWidth = 64)
+      .orderBy("doc_id")
+
   /** Sliding-window document chunking with overlap — the other half of the
     * context-prep story next to [[qPackContexts]]: long documents split
     * into fixed-size token windows (size 64, stride 48 → 16-token overlap)
@@ -325,6 +364,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> qChunkDocs,
     "q_pack_contexts" -> qPackContexts,
+    "q_pack_contexts_salted" -> qPackContextsSalted,
     "q_repetition" -> qRepetition,
     "q_token_cms" -> qTokenCms,
     "q_normalize" -> qNormalize,
@@ -345,6 +385,22 @@ object TextAnalysis extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q_pack_contexts" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  round((cum - ((cum - n_tokens) // 512) * 512) / 512.0, 4) AS seq_fill
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // the salted form is output-identical by construction, so it shares the
+    // unsalted oracle verbatim
+    "q_pack_contexts_salted" ->
       """WITH t AS (
         |  SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens

@@ -20,6 +20,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("salted context packing: output-identical on skew, partition key genuinely splits") {
+    // one giant source (1200 docs) next to a tiny one — the skew the plain
+    // source-keyed window cannot split
+    val docs = ((0 until 1200).map(i => (i.toLong, "web",
+      (0 to i % 7).map(j => s"tok$j").mkString(" "))) ++
+      (1200 until 1210).map(i => (i.toLong, "books", "a b c")))
+      .toDF("doc_id", "source", "text")
+    val width = 64L
+    val salted = graft.text.TextAnalysis
+      .packContextsSalted(docs, budget = 512, bucketWidth = width)
+    // exact parity with the unsalted single-window form
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val plain = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / 512).cast("long"))
+      .withColumn("seq_fill", round((col("cum") - col("seq_id") * 512) / lit(512.0), 4))
+      .select("doc_id", "source", "n_tokens", "seq_id", "seq_fill")
+    assert(salted.orderBy("doc_id").collect()
+      .sameElements(plain.orderBy("doc_id").collect()))
+    // balance: the wide shuffle's key is (source, bucket) — the giant source
+    // splits into ~19 bounded buckets instead of one 1200-row partition
+    val groups = docs
+      .select(col("source"), floor(col("doc_id") / width).as("bucket"))
+      .groupBy("source", "bucket").count().as[(String, Long, Long)].collect()
+    assert(groups.count(_._1 == "web") >= 1200 / width,
+      "giant source must split into many sub-buckets")
+    assert(groups.map(_._3).max <= width,
+      s"no sub-bucket may exceed the bucket width (${groups.map(_._3).max})")
+  }
+
   test("bucketed co-located join plans with no shuffle exchange") {
     val o = Tables.orders(spark, TestSpark.sf)
     val c = Tables.customer(spark, TestSpark.sf)
