@@ -47,6 +47,7 @@ object Bench {
       similarity.Similarity.prepareIvfIndex(spark, sfDir)
       similarity.Similarity.preparePqIndex(spark, sfDir)
       similarity.Similarity.prepareIvfPqIndex(spark, sfDir) // composed codes table
+      similarity.Similarity.prepareIvfPqResIndex(spark, sfDir) // residual variant
       multimodal.Multimodal.prepareAssets(spark, sfDir) // decode-query payloads
       dedup.Dedup.prepareSignatures(spark, sfDir)
       // grid catalog = ingest-time metadata (one row per file); build the

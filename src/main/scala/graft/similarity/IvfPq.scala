@@ -1,8 +1,8 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.dot_product
+import graft.functions.VectorFunctions.{array_lit, dot_product}
 
 /** IVF×PQ composed index — the cell-pruned ADC scan of Jégou/Douze/Schmid's
   * IVFADC design (TPAMI 2011 §V), composing the two halves that already
@@ -72,6 +72,83 @@ object IvfPq {
     val cands = encoded.getOrElse(encode(emb, cents, cb))
       .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), Pq.adcSim(q, cb).as("adc_sim"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+      .limit(rerank)
+    Pq.rerankExact(emb, cands, q, k)
+  }
+
+  // ---- residual encoding (IVFADC proper, Jégou et al. §V.A): PQ quantizes
+  // r = x − c(cell) instead of x. Residuals have far smaller variance than
+  // raw vectors (the coarse quantizer absorbed the between-cell spread), so
+  // the same code budget loses much less signal. Search decomposes
+  // q·x = q·c(cell) + q·r: the second term is the usual ADC lookup-table
+  // sum over the residual codebooks (ONE table for all cells — the LUT
+  // depends only on q), the first is a per-cell driver-side constant picked
+  // by `element_at`. Still one codegen projection per row, no new shuffle.
+
+  /** (vec_id, cid, residual) — residual kept float like the raw embeddings
+    * so train and encode quantize identical values.
+    */
+  private def residualRows(emb: DataFrame, cents: Seq[Array[Double]]): DataFrame = {
+    val centLit = array(cents.map(array_lit): _*)
+    emb.select(col("vec_id"), col("embedding"),
+        Ivf.nearestCentroid(col("embedding"), cents).as("cid"))
+      .select(col("vec_id"), col("cid"), col("embedding"),
+        zip_with(col("embedding"), element_at(centLit, col("cid") + 1),
+          (x, c) => x.cast("double") - c).cast("array<float>").as("residual"))
+  }
+
+  /** Residual codebooks: plain PQ training, but over the residual table. */
+  def trainResidual(emb: DataFrame, cents: Seq[Array[Double]],
+      m: Int, ksub: Int, iters: Int): Pq.Codebooks =
+    Pq.train(residualRows(emb, cents)
+      .select(col("vec_id"), col("residual").as("embedding")), m, ksub, iters)
+
+  private val residualCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int, Int), Pq.Codebooks]()
+  def trainResidualCached(emb: DataFrame, key: String, cents: Seq[Array[Double]],
+      m: Int, ksub: Int, iters: Int): Pq.Codebooks =
+    residualCbCache.computeIfAbsent((key, cents.length, m, ksub, iters),
+      _ => trainResidual(emb, cents, m, ksub, iters))
+
+  /** The residual-encoded index: (vec_id, cid, codes-of-residual, norm-of-x).
+    * Cell assignment, residual, and encode share ONE shuffle-free projection.
+    */
+  def encodeResidual(emb: DataFrame, cents: Seq[Array[Double]],
+      cbr: Pq.Codebooks): DataFrame = {
+    val rows = residualRows(emb, cents)
+    val codes = array(cbr.cents.indices.map { s =>
+      val sv = expr(
+        s"transform(slice(residual, ${s * cbr.dsub + 1}, ${cbr.dsub}), x -> CAST(x AS DOUBLE))")
+      Pq.nearestCode(sv, cbr.cents(s))
+    }: _*)
+    rows.select(col("vec_id"), col("cid"), codes.as("codes"),
+      sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+  }
+
+  def encodeResidualCached(emb: DataFrame, key: String, cents: Seq[Array[Double]],
+      cbr: Pq.Codebooks): DataFrame =
+    graft.PersistedCache(emb.sparkSession,
+      ("ivfpq-res-encoded", key, cents.length, cbr.m, cbr.ksub))(
+      encodeResidual(emb, cents, cbr).repartition(col("cid")))
+
+  /** Cell-pruned residual-ADC search: q·x reassembles as the per-cell
+    * constant q·c(cid) plus the residual lookup-table sum, divided by the
+    * stored exact ‖x‖ — then the usual exact rerank.
+    */
+  def topKResidual(emb: DataFrame, cents: Seq[Array[Double]], cbr: Pq.Codebooks,
+      queryId: Long, k: Int, nprobe: Int, rerank: Int,
+      encoded: Option[DataFrame] = None): DataFrame = {
+    val q = Pq.queryVec(emb, queryId)
+    val probes = Ivf.probeCells(cents, q, nprobe)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val qDotC: Array[Double] =
+      cents.map(c => c.zip(q).map { case (a, b) => a * b }.sum).toArray
+    val sim: Column = (element_at(array_lit(qDotC), col("cid") + 1) +
+      Pq.adcDot(q, cbr)) / (col("norm") * lit(qNorm))
+    val cands = encoded.getOrElse(encodeResidual(emb, cents, cbr))
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), sim.as("adc_sim"))
       .orderBy(col("adc_sim").desc, col("vec_id"))
       .limit(rerank)
     Pq.rerankExact(emb, cands, q, k)

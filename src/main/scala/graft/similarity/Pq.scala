@@ -140,19 +140,26 @@ object Pq {
     emb.filter(col("vec_id") === queryId).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble).toArray
 
-  /** The ADC score column over an encoded table's (codes, norm): the query's
-    * m×ksub lookup table is built ONCE driver-side, then each row costs m
-    * `element_at` picks summed, normalised to approximate cosine.
+  /** Σ_s LUT[s][code_s] — the approximate dot product of the query with
+    * whatever the codes quantize (raw vectors, or residuals in the IVFADC
+    * composition): the query's m×ksub lookup table is built ONCE
+    * driver-side, then each row costs m `element_at` picks summed.
     */
-  private[similarity] def adcSim(q: Array[Double], cb: Codebooks): Column = {
+  private[similarity] def adcDot(q: Array[Double], cb: Codebooks): Column = {
     val lut: IndexedSeq[Array[Double]] = cb.cents.zipWithIndex.map { case (cs, s) =>
       cs.map(c => c.zip(q.slice(s * cb.dsub, (s + 1) * cb.dsub))
         .map { case (a, b) => a * b }.sum).toArray
     }
-    val adcDot = lut.indices.map(s =>
+    lut.indices.map(s =>
       element_at(array_lit(lut(s)), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+  }
+
+  /** The ADC score column over an encoded table's (codes, norm), normalised
+    * to approximate cosine.
+    */
+  private[similarity] def adcSim(q: Array[Double], cb: Codebooks): Column = {
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    adcDot / (col("norm") * lit(qNorm))
+    adcDot(q, cb) / (col("norm") * lit(qNorm))
   }
 
   /** Exact re-score of the ADC survivors: candidate ids broadcast, raw

@@ -370,12 +370,35 @@ object Similarity extends QueryModule {
       encoded = Some(IvfPq.encodeCached(T.embeddings(s, d), d, cents, cb)))
   }
 
+  /** IVFADC-proper variant (no oracle — approximate): the PQ codebooks are
+    * trained on and encode RESIDUALS x − c(cell) instead of raw vectors —
+    * the coarse quantizer absorbs the between-cell spread, so the same
+    * 16-nibble budget quantizes a much tighter distribution. Search adds
+    * the per-cell q·c constant to the residual lookup-table sum.
+    * SimilaritySpec locks recall ≥ the shared-codebook composed path on
+    * the same corpus.
+    */
+  def prepareIvfPqResIndex(s: SparkSession, d: String): (Seq[Array[Double]], Pq.Codebooks) = {
+    val cents = prepareIvfIndex(s, d)
+    val cbr = IvfPq.trainResidualCached(T.embeddings(s, d), d, cents, PqM, PqKsub, PqIters)
+    IvfPq.encodeResidualCached(T.embeddings(s, d), d, cents, cbr)
+    (cents, cbr)
+  }
+
+  private def qCosineIvfPqRes(s: SparkSession, d: String): DataFrame = {
+    val (cents, cbr) = prepareIvfPqResIndex(s, d)
+    IvfPq.topKResidual(T.embeddings(s, d), cents, cbr, queryId = 1L, k = 20,
+      nprobe = IvfPqNprobe, rerank = PqRerank,
+      encoded = Some(IvfPq.encodeResidualCached(T.embeddings(s, d), d, cents, cbr)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_lsh" -> qCosineLsh,
     "q_cosine_ivf" -> qCosineIvf,
     "q_cosine_pq" -> qCosinePq,
     "q_cosine_ivfpq" -> qCosineIvfPq,
+    "q_cosine_ivfpq_res" -> qCosineIvfPqRes,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_embed_dedup_cluster" -> qEmbedDedupCluster,
     "q_embed_knn" -> qEmbedKnn,

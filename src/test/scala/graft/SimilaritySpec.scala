@@ -73,6 +73,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF×PQ recall@20 $recall below 0.9 (nprobe=4 of 16)")
   }
 
+  test("IVFADC residual encoding: recall holds and reconstruction beats raw-vector PQ") {
+    // clustered corpus (same fixture as the composed test): residual recall
+    // must hit the same bar and never fall below the shared-codebook path
+    val rows = (0 until 500).map { i =>
+      val c = i % 10
+      val vec = (0 until 64).map { d =>
+        (math.sin(c * 131.0 + d * 17.0) + math.sin(i * 1009.0 + d * 37.0) * 0.05).toFloat
+      }
+      (i.toLong, vec)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = graft.similarity.Ivf.train(emb, k = 16, iters = 2)
+    val cb = graft.similarity.Pq.train(emb, m = 16, ksub = 16, iters = 3)
+    val cbr = graft.similarity.IvfPq.trainResidual(emb, cents, m = 16, ksub = 16, iters = 3)
+    val exact = Similarity.cosineTopK(emb, 1L, 20).select("vec_id").as[Long].collect().toSet
+    def recallOf(got: Array[Long]) = got.count(exact.contains).toDouble / 20
+    val shared = recallOf(graft.similarity.IvfPq.topK(emb, cents, cb, 1L, 20,
+      nprobe = Similarity.IvfPqNprobe, rerank = Similarity.PqRerank)
+      .select("vec_id").as[Long].collect())
+    val residual = recallOf(graft.similarity.IvfPq.topKResidual(emb, cents, cbr, 1L, 20,
+      nprobe = Similarity.IvfPqNprobe, rerank = Similarity.PqRerank)
+      .select("vec_id").as[Long].collect())
+    assert(residual >= 0.9, s"residual recall@20 $residual below 0.9")
+    assert(residual >= shared,
+      s"residual recall $residual fell below shared-codebook recall $shared")
+
+    // the paper's core claim, isolated from cell pruning: quantizing
+    // residuals reconstructs the corpus with LOWER error than quantizing
+    // raw vectors on the same code budget — checked on the harness table
+    val hemb = Tables.embeddings(spark, TestSpark.sf)
+    val hcb = Similarity.preparePqIndex(spark, TestSpark.sf)
+    val (hcents, hcbr) = Similarity.prepareIvfPqResIndex(spark, TestSpark.sf)
+    val raw = hemb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def mse(recons: Map[Long, Array[Double]]): Double =
+      recons.map { case (id, rec) =>
+        raw(id).zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / recons.size
+    val rawRec = graft.similarity.Pq.encode(hemb, hcb)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+      .map { case (id, codes) =>
+        id -> codes.zipWithIndex.flatMap { case (c, s) => hcb.cents(s)(c) }.toArray
+      }
+    val resRec = graft.similarity.IvfPq.encodeResidual(hemb, hcents, hcbr)
+      .select("vec_id", "cid", "codes").as[(Long, Int, Seq[Int])].collect()
+      .map { case (id, cid, codes) =>
+        val r = codes.zipWithIndex.flatMap { case (c, s) => hcbr.cents(s)(c) }
+        id -> hcents(cid).zip(r).map { case (a, b) => a + b }.toArray
+      }.toMap
+    val (mRaw, mRes) = (mse(rawRec), mse(resRec))
+    assert(mRes < mRaw,
+      s"residual reconstruction MSE $mRes not below raw-PQ MSE $mRaw")
+  }
+
   test("IVF×PQ on the uniform table degrades gracefully, never below half the exact set") {
     // The harness embeddings are near-uniform (balanced cells, top-20 spread
     // across many cells) — the documented worst case for ANY cell-pruned
