@@ -424,6 +424,31 @@ object Relational extends QueryModule {
       .orderBy("lang", "doc_id")
   }
 
+  /** Temperature resampling across languages (α = 0.5) — the data-mixing
+    * op of LLM corpus prep: per-group keep rates ∝ n^α rebalance the mix
+    * toward under-represented groups while capping at 1 (here `lang`, the
+    * fixture's genuinely skewed dimension: en dominates). The per-group
+    * count table is metadata-sized (one small aggregate, broadcast back);
+    * membership is then a per-row LCG-hash threshold test — deterministic,
+    * shuffle-free on the corpus side, and reproducible row-for-row by the
+    * oracle because both sides run the identical integer/IEEE arithmetic.
+    * The smallest group keeps everything (rate 1), larger ones keep
+    * sqrt(n_min/n) — expected sampled counts ∝ n^0.5, the flattened mix.
+    * At 100 TB the corpus pays one scan.
+    */
+  private def qSampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val counts = broadcast(T.documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_g")))
+    val minN = counts.agg(min("n_g")).head().getLong(0)
+    T.documents(s, d).join(counts, "lang")
+      .withColumn("keep_rate",
+        least(lit(1.0), round(sqrt(lit(minN.toDouble) / col("n_g")), 6)))
+      .filter((col("doc_id") * 1103515245L + 12345L) % 1000000L <
+        floor(col("keep_rate") * 1000000L))
+      .select("doc_id", "lang", "keep_rate")
+      .orderBy("doc_id")
+  }
+
   /** Skyline (Pareto frontier) over (price ↑, date ↓): orders no other
     * order beats on both dimensions. Two-phase distributed form: phase 1
     * computes each partition's LOCAL skyline in one `mapPartitions` pass
@@ -545,6 +570,7 @@ object Relational extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> qSkyline,
     "q_sample_hash" -> qSampleHash,
+    "q_sample_temperature" -> qSampleTemperature,
     "q_sample_stratified" -> qSampleStratified,
     "q_join_bucketed" -> qJoinBucketed,
     "q_dpp" -> qDpp,
@@ -587,6 +613,16 @@ object Relational extends QueryModule {
     "q_sample_hash" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE (doc_id * 1103515245 + 12345) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_g) AS n_min FROM c),
+        |r AS (
+        |  SELECT d.doc_id, d.lang,
+        |    least(1.0, round(sqrt(m.n_min / CAST(c.n_g AS DOUBLE)), 6)) AS keep_rate
+        |  FROM documents d, c, m WHERE d.lang = c.lang)
+        |SELECT doc_id, lang, keep_rate FROM r
+        |WHERE (doc_id * 1103515245 + 12345) % 1000000 < floor(keep_rate * 1000000)
         |ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, doc_id FROM (

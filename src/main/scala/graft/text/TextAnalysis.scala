@@ -341,6 +341,37 @@ object TextAnalysis extends QueryModule {
     packContextsSalted(T.documents(s, d), budget = 512, bucketWidth = 64)
       .orderBy("doc_id")
 
+  /** Benchmark-contamination check — the train/test leakage scan every LLM
+    * corpus needs before training: for each training document, the fraction
+    * of its distinct token 5-grams that also appear in the evaluation set
+    * (here the deterministic doc_id % 97 == 0 subset standing in for a
+    * benchmark). The eval side's distinct-shingle set is benchmark-sized
+    * (MBs even for real suites) → broadcast; the corpus side pays one scan
+    * + explode + broadcast left-join + one per-doc aggregate. No corpus
+    * self-join ever forms, so the shape survives any corpus size.
+    */
+  private def qContamination(s: SparkSession, d: String): DataFrame = {
+    val grams5 = expr(
+      """CASE WHEN size(t) >= 5 THEN
+        |  array_distinct(transform(sequence(1, size(t) - 4),
+        |    i -> array_join(slice(t, i, 5), ' ')))
+        |ELSE array() END""".stripMargin)
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), grams5.as("g5"))
+    val evalSet = toks.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("g5")).as("g")).distinct()
+      .withColumn("hit", lit(1))
+    toks.filter(col("doc_id") % 97 =!= 0 && size(col("g5")) > 0)
+      .select(col("doc_id"), explode(col("g5")).as("g"))
+      .join(broadcast(evalSet), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("contamination", round(col("n_hit") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Sliding-window document chunking with overlap — the other half of the
     * context-prep story next to [[qPackContexts]]: long documents split
     * into fixed-size token windows (size 64, stride 48 → 16-token overlap)
@@ -363,6 +394,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> qChunkDocs,
+    "q_contamination" -> qContamination,
     "q_pack_contexts" -> qPackContexts,
     "q_pack_contexts_salted" -> qPackContextsSalted,
     "q_repetition" -> qRepetition,
@@ -398,6 +430,19 @@ object TextAnalysis extends QueryModule {
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
         |  round((cum - ((cum - n_tokens) // 512) * 512) / 512.0, 4) AS seq_fill
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    range(greatest(len(t) - 4, 0)),
+        |    i -> array_to_string(t[i + 1 : i + 5], ' ')))) AS g
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(sum(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END) / count(*), 4) AS contamination
+        |FROM g WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the salted form is output-identical by construction, so it shares the
     // unsalted oracle verbatim
     "q_pack_contexts_salted" ->
