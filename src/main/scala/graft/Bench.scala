@@ -44,7 +44,8 @@ object Bench {
       sources.SourceQueries.nc4LatestDir // latest-format twin (q_grid_nc4_latest)
       sources.SourceQueries.nc4DenseDir // dense-group twin (q_grid_nc4_dense)
       sources.SourceQueries.ncCurvDir // curvilinear .nc fixture
-      similarity.Similarity.prepareIvfIndex(spark, sfDir)
+      similarity.Ivf.assignCached(Tables.embeddings(spark, sfDir), sfDir,
+        similarity.Similarity.prepareIvfIndex(spark, sfDir))
       similarity.Similarity.preparePqIndex(spark, sfDir)
       similarity.Similarity.prepareIvfPqIndex(spark, sfDir) // composed codes table
       similarity.Similarity.prepareIvfPqResIndex(spark, sfDir) // residual variant

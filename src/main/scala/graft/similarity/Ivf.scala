@@ -71,19 +71,33 @@ object Ivf {
       (1.0 - sim, i)
     }.sorted.take(nprobe).map(_._2)
 
+  /** (vec_id, embedding, cid) — one shuffle-free codegen projection. */
+  def assign(emb: DataFrame, cents: Seq[Array[Double]]): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      nearestCentroid(col("embedding"), cents).as("cid"))
+
+  /** The assignment table is ingest-time state, like the PQ code tables:
+    * persisted clustered by cell so the probe-time `cid` filter prunes
+    * cached columnar batches via their min/max stats (on disk, the same
+    * filter becomes partition pruning — the probed cells are the only
+    * files read). Without this every query would re-run the k-dot-product
+    * assignment over the WHOLE corpus.
+    */
+  def assignCached(emb: DataFrame, key: String, cents: Seq[Array[Double]]): DataFrame =
+    graft.PersistedCache(emb.sparkSession, ("ivf-assigned", key, cents.length))(
+      assign(emb, cents).repartition(col("cid")))
+
   /** Search: find the query's `nprobe` closest centroids, scan only vectors
     * assigned to those cells (|data|·nprobe/k of the corpus), exact cosine on
     * the survivors.
     */
   def topK(emb: DataFrame, cents: Seq[Array[Double]], queryId: Long, k: Int,
-      nprobe: Int): DataFrame = {
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      nearestCentroid(col("embedding"), cents).as("cid"))
-    val q = assigned.filter(col("vec_id") === queryId)
+      nprobe: Int, assigned: Option[DataFrame] = None): DataFrame = {
+    val a = assigned.getOrElse(assign(emb, cents))
+    val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe")).head().getSeq[Float](0)
     val probeCids = probeCells(cents, q.map(_.toDouble).toArray, nprobe)
-    assigned
-      .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= queryId)
+    a.filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"),
         round(cosine_sim(col("embedding"), lit(q.toArray)), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))

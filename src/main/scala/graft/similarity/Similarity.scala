@@ -325,8 +325,11 @@ object Similarity extends QueryModule {
   def prepareIvfIndex(s: SparkSession, d: String): Seq[Array[Double]] =
     Ivf.trainCached(T.embeddings(s, d), d, IvfK, IvfIters)
 
-  private def qCosineIvf(s: SparkSession, d: String): DataFrame =
-    Ivf.topK(T.embeddings(s, d), prepareIvfIndex(s, d), queryId = 1L, k = 20, nprobe = 2)
+  private def qCosineIvf(s: SparkSession, d: String): DataFrame = {
+    val cents = prepareIvfIndex(s, d)
+    Ivf.topK(T.embeddings(s, d), cents, queryId = 1L, k = 20, nprobe = 2,
+      assigned = Some(Ivf.assignCached(T.embeddings(s, d), d, cents)))
+  }
 
   /** PQ path (no oracle — approximate): 16 subspaces × 16 codes compress
     * each 64-float vector to 16 nibble codes + a norm (~21× smaller); ADC
