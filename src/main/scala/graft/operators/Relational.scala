@@ -441,10 +441,14 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n_g")))
     val minN = counts.agg(min("n_g")).head().getLong(0)
     T.documents(s, d).join(counts, "lang")
+      // membership threshold comes from the UNROUNDED sqrt (floor of an
+      // IEEE-identical product on both engines); round() only shapes the
+      // reported keep_rate — a rounding-mode divergence there would change
+      // a printed digit, never which rows are sampled
+      .filter((col("doc_id") * 1103515245L + 12345L) % 1000000L <
+        floor(least(lit(1.0), sqrt(lit(minN.toDouble) / col("n_g"))) * 1000000L))
       .withColumn("keep_rate",
         least(lit(1.0), round(sqrt(lit(minN.toDouble) / col("n_g")), 6)))
-      .filter((col("doc_id") * 1103515245L + 12345L) % 1000000L <
-        floor(col("keep_rate") * 1000000L))
       .select("doc_id", "lang", "keep_rate")
       .orderBy("doc_id")
   }
@@ -455,10 +459,12 @@ object Relational extends QueryModule {
     * (genuine per-partition imperative logic — dominance is transitive, so
     * the global skyline is a subset of the union of local ones); phase 2
     * takes the exact skyline of that union. On CORRELATED dims the union is
-    * tiny and a broadcast anti theta-join finishes it; on ANTI-correlated
-    * dims the skyline approaches n and that broadcast (and the O(n·|sky|)
-    * per-partition pass) would degrade — so the union is COUNTED first, and
-    * past `broadcastLimit` the plan falls back to `skylineSweep`: a
+    * tiny, so it is pulled to the driver in the SAME single pass that would
+    * have fed a broadcast (take(limit + 1) — a bounded collect, exactly
+    * what broadcasting the union would have shipped anyway) and finished
+    * with one driver-side sort + linear sweep; if the union overflows
+    * `broadcastLimit` (ANTI-correlated dims, skyline ≈ n) the collected
+    * sample is discarded and the plan falls back to `skylineSweep`: a
     * range-partitioned (price ↓, date ↑) sort + one linear sweep per
     * partition, seeded with driver-folded cross-partition carry state (one
     * summary row per partition). Both paths are exact; the sweep is the
@@ -481,15 +487,23 @@ object Relational extends QueryModule {
       }
       sky.iterator
     }.toDF("o_orderkey", "o_totalprice", "o_orderdate")
-    if (partial.count() > broadcastLimit) skylineSweep(o)
+    // ONE pass over o: pull at most limit+1 union rows (what a broadcast
+    // would have shipped to the driver anyway); overflow → distributed sweep
+    val sample = partial.take(broadcastLimit.toInt + 1)
+    if (sample.length > broadcastLimit) skylineSweep(o)
     else {
-      val rhs = partial.select(col("o_orderkey").as("r_id"),
-        col("o_totalprice").as("r_price"), col("o_orderdate").as("r_date"))
-      partial.join(broadcast(rhs), expr(
-          """r_price >= o_totalprice AND r_date <= o_orderdate
-            |AND (r_price > o_totalprice OR r_date < o_orderdate)""".stripMargin),
-          "left_anti")
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val rows = sample
+        .map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2)))
+        .sortBy(t => (-t._2, t._3.getTime))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Double, java.sql.Timestamp)]()
+      var abov = Long.MaxValue; var cp = Double.NaN; var cm = Long.MaxValue
+      rows.foreach { case (id, p, t) =>
+        if (p != cp) { abov = math.min(abov, cm); cp = p; cm = Long.MaxValue }
+        val tm = t.getTime
+        if (!(abov <= tm || cm < tm)) out += ((id, p, t))
+        cm = math.min(cm, tm)
+      }
+      out.toSeq.toDF("o_orderkey", "o_totalprice", "o_orderdate")
     }
   }
 
@@ -619,10 +633,11 @@ object Relational extends QueryModule {
         |m AS (SELECT min(n_g) AS n_min FROM c),
         |r AS (
         |  SELECT d.doc_id, d.lang,
+        |    least(1.0, sqrt(m.n_min / CAST(c.n_g AS DOUBLE))) AS rate_raw,
         |    least(1.0, round(sqrt(m.n_min / CAST(c.n_g AS DOUBLE)), 6)) AS keep_rate
         |  FROM documents d, c, m WHERE d.lang = c.lang)
         |SELECT doc_id, lang, keep_rate FROM r
-        |WHERE (doc_id * 1103515245 + 12345) % 1000000 < floor(keep_rate * 1000000)
+        |WHERE (doc_id * 1103515245 + 12345) % 1000000 < floor(rate_raw * 1000000)
         |ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, doc_id FROM (

@@ -84,7 +84,8 @@ object Ivf {
     * assignment over the WHOLE corpus.
     */
   def assignCached(emb: DataFrame, key: String, cents: Seq[Array[Double]]): DataFrame =
-    graft.PersistedCache(emb.sparkSession, ("ivf-assigned", key, cents.length))(
+    graft.PersistedCache(emb.sparkSession, ("ivf-assigned", key, cents.length,
+      java.util.Arrays.deepHashCode(cents.map(_.asInstanceOf[AnyRef]).toArray)))(
       assign(emb, cents).repartition(col("cid")))
 
   /** Search: find the query's `nprobe` closest centroids, scan only vectors

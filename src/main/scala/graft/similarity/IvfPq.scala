@@ -47,10 +47,18 @@ object IvfPq {
     * persist is what makes the probe filter prune batches instead of
     * scanning them (see class doc).
     */
+  /** Identity hash over the actual centroid/codebook VALUES — cache keys
+    * must change when training inputs (e.g. iteration counts) change, or a
+    * stale encoded table would be silently scored with fresh codebooks.
+    */
+  private[similarity] def geomKey(cents: Seq[Array[Double]], cb: Pq.Codebooks): Int =
+    java.util.Arrays.deepHashCode(
+      (cents ++ cb.cents.flatten).map(_.asInstanceOf[AnyRef]).toArray)
+
   def encodeCached(emb: DataFrame, key: String, cents: Seq[Array[Double]],
       cb: Pq.Codebooks): DataFrame =
     graft.PersistedCache(emb.sparkSession,
-      ("ivfpq-encoded", key, cents.length, cb.m, cb.ksub))(
+      ("ivfpq-encoded", key, cents.length, cb.m, cb.ksub, geomKey(cents, cb)))(
       encode(emb, cents, cb).repartition(col("cid")))
 
   /** Incremental composed-index maintenance (see [[Pq.appendShard]]): the
@@ -129,7 +137,7 @@ object IvfPq {
   def encodeResidualCached(emb: DataFrame, key: String, cents: Seq[Array[Double]],
       cbr: Pq.Codebooks): DataFrame =
     graft.PersistedCache(emb.sparkSession,
-      ("ivfpq-res-encoded", key, cents.length, cbr.m, cbr.ksub))(
+      ("ivfpq-res-encoded", key, cents.length, cbr.m, cbr.ksub, geomKey(cents, cbr)))(
       encodeResidual(emb, cents, cbr).repartition(col("cid")))
 
   /** Cell-pruned residual-ADC search: q·x reassembles as the per-cell

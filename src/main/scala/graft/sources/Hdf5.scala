@@ -1998,29 +1998,35 @@ object Hdf5 {
       b.bytes
     }
 
-    /** Each dataset attribute as (name, resolved v3 message body) — the SAME
-      * bodies serve compact 0x000C messages and dense heap objects.
+    /** Each dataset's attributes as (name, resolved v3 message body) — the
+      * SAME bodies serve compact 0x000C messages and dense heap objects.
+      * Built once per dataset (the closures are reused by the header gate,
+      * the dense stores, and the block list).
       */
-    def attrItems(d: WDataset): Seq[(String, Resolve => Array[Byte])] =
-      d.strAttrs.map { case (an, s) =>
-        val sb = s.getBytes("UTF-8") :+ 0.toByte
-        an -> ((_: Resolve) => attrBytesV3(an, Str(sb.length), Nil, sb))
-      } ++
-        d.numAttrs.map { case (an, t, nums) =>
-          an -> ((_: Resolve) => attrBytesV3(an, t, Seq(nums.length.toLong),
-            encodeData(t, nums.toArray)))
+    val attrItemsByDs: Map[String, Seq[(String, Resolve => Array[Byte])]] =
+      datasets.map { d =>
+        d.name -> (d.strAttrs.map { case (an, s) =>
+          val sb = s.getBytes("UTF-8") :+ 0.toByte
+          an -> ((_: Resolve) => attrBytesV3(an, Str(sb.length), Nil, sb))
         } ++
-        d.refAttrs.map { case (an, lists) =>
-          an -> ((res: Resolve) => {
-            val data = new LeBuf
-            lists.zipWithIndex.foreach { case (refs, i) =>
-              data.u32(refs.length)
-              data.u64(res("gcol"))
-              data.u32(gcolIndex((d.name, an, i)))
-            }
-            attrBytesV3(an, Vlen(ObjRef), Seq(lists.length.toLong), data.bytes)
+          d.numAttrs.map { case (an, t, nums) =>
+            an -> ((_: Resolve) => attrBytesV3(an, t, Seq(nums.length.toLong),
+              encodeData(t, nums.toArray)))
+          } ++
+          d.refAttrs.map { case (an, lists) =>
+            an -> ((res: Resolve) => {
+              val data = new LeBuf
+              lists.zipWithIndex.foreach { case (refs, i) =>
+                data.u32(refs.length)
+                data.u64(res("gcol"))
+                data.u32(gcolIndex((d.name, an, i)))
+              }
+              attrBytesV3(an, Vlen(ObjRef), Seq(lists.length.toLong), data.bytes)
+            })
           })
-        }
+      }.toMap
+    def attrItems(d: WDataset): Seq[(String, Resolve => Array[Byte])] =
+      attrItemsByDs(d.name)
 
     lazy val rootDense = new DenseStore("rootdx", 5, 7,
       names.sorted.map(n => n -> ((res: Resolve) => linkMsgBytes(n, res))))
@@ -2150,7 +2156,8 @@ object Hdf5 {
     def buildBlock(name: String, res: Resolve): Array[Byte] = name match {
       case "oh:/" => if (latest) rootOhV2(res) else rootOh(res)
       case n if n.startsWith("rootdx:") => rootDense.build(n, res)
-      case n if n.startsWith("adx:") => attrDense(n.split(":")(1)).build(n, res)
+      case n if n.startsWith("adx:") => // "adx:<ds>:<kind>"; <ds> may hold ':'
+        attrDense(n.substring(4, n.lastIndexOf(':'))).build(n, res)
       case "heap" => heapBlock(res)
       case "heapdata" => heapData.bytes
       case "btree" => btreeBlock(res)

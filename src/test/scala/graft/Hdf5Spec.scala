@@ -251,6 +251,15 @@ class Hdf5Spec extends AnyFunSuite {
     assert(b.dataset("temp").get.attrs.map(_.name).sorted ==
       ct.attrs.map(_.name).sorted)
     assert(Hdf5.readAll(pb, b.dataset("temp").get).toSeq == data.toSeq)
+    // dataset names may contain ':' (any char but '/') — the dense-attr
+    // block dispatch must not split on it
+    val pc2 = tmp("colon.h5")
+    Hdf5.write(pc2, Seq(WDataset("a:b", F64, Seq(2), Array(1.0, 2.0),
+      strAttrs = Seq("long_name" -> "colon"))),
+      latest = true, denseRoot = false, denseAttrs = true)
+    val h2 = Hdf5.open(pc2)
+    assert(h2.dataset("a:b").get.attr("long_name").map(_.value)
+      .contains(StrAttr("colon")))
   }
 
   test("dense root group: 26 links land at distinct heap offsets and all resolve") {

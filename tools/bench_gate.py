@@ -29,11 +29,19 @@ RATIO = 2.0
 ABS_FLOOR = 0.3  # seconds
 
 
+def usage_error(msg):
+    print(f"bench_gate: {msg}", file=sys.stderr)
+    sys.exit(2)
+
+
 def load(path):
-    with open(path) as f:
-        d = json.load(f)
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        usage_error(f"cannot read {path}: {e}")
     if "queries" not in d:
-        sys.exit(f"bench_gate: {path} has no per-query map")
+        usage_error(f"{path} has no per-query map")
     return d
 
 
@@ -48,11 +56,11 @@ def main(argv):
         others = [a for a in archives
                   if os.path.abspath(a) != os.path.abspath(cur_path)]
         if not others:
-            sys.exit("bench_gate: no baseline archive found under bench/")
+            usage_error("no baseline archive found under bench/")
         base_path = others[-1]
     else:
         if len(archives) < 2:
-            sys.exit("bench_gate: need two archives under bench/ to compare")
+            usage_error("need two archives under bench/ to compare")
         cur_path, base_path = archives[-1], archives[-2]
 
     cur, base = load(cur_path), load(base_path)
@@ -64,6 +72,9 @@ def main(argv):
     regressions = []
     for q in shared:
         c, b = float(cq[q]), float(bq[q])
+        # b == 0 would pass the ratio test vacuously; treat any recorded 0 as
+        # the floor so the ratio in the report stays finite
+        b = max(b, 1e-9)
         if c > b * RATIO and c - b > ABS_FLOOR:
             regressions.append((q, b, c))
 
