@@ -234,6 +234,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._1 == 1L) && streamed.size == 3)
   }
 
+  test("foreachBatch maintains the on-disk IVF-PQ index across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.{IvfPq, Similarity}
+    val (cents, cb) = Similarity.prepareIvfPqIndex(spark, TestSpark.sf)
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-stream").toString
+    // the streaming twin of IvfPq.appendShard: each arriving micro-batch
+    // pays ONE encode projection against the frozen coarse centroids +
+    // codebooks and appends its codes to the cid-partitioned index table —
+    // the on-disk layout where the probe-time cid filter IS partition
+    // pruning (the local[] cache analogue is batch pruning, see IvfPq doc)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        IvfPq.encode(batch, cents, cb)
+          .write.mode("append").partitionBy("cid").parquet(idxDir)
+      }
+      .start()
+    val rows = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val (first, second) = rows.partition(_._1 < 400)
+    mem.addData(first.toSeq); q.processAllAvailable()
+    mem.addData(second.toSeq); q.processAllAvailable()
+    q.stop()
+    val disk = spark.read.parquet(idxDir)
+      .select(col("vec_id"), col("cid"), col("codes"), col("norm"))
+    // the maintained on-disk index is row-identical to a full batch re-encode
+    val full = IvfPq.encode(emb, cents, cb)
+    assert(disk.orderBy("vec_id").collect()
+      .sameElements(full.orderBy("vec_id").collect()),
+      "streamed index diverged from full re-encode")
+    // ...so the cell-pruned search over it is identical too
+    val a = IvfPq.topK(emb, cents, cb, 1L, 20, Similarity.IvfPqNprobe,
+      Similarity.PqRerank, encoded = Some(disk)).collect()
+    val b = IvfPq.topK(emb, cents, cb, 1L, 20, Similarity.IvfPqNprobe,
+      Similarity.PqRerank).collect()
+    assert(a.sameElements(b), "topK over the streamed index diverged")
+    // probe-time cid filter reaches the scan as a PARTITION filter: at
+    // 100 TB the probed cells are the only files read
+    val probed = disk.filter(col("cid") === 3)
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:"), plan)
+    assert(plan.split("PartitionFilters:").exists(_.take(200).contains("cid")), plan)
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
     val events = Tables.events(spark, TestSpark.sf)
       .select("event_id", "ts", "user_id").as[Streaming.Event]
