@@ -424,6 +424,22 @@ object Relational extends QueryModule {
       .orderBy("lang", "doc_id")
   }
 
+  /** Deterministic train/valid/test assignment (90/5/5): the same LCG-hash
+    * membership idiom as [[qSampleTemperature]] — every row lands in exactly
+    * one split, reproducibly, with no sampling shuffle and no global sort.
+    * Pure per-row projection: at 100 TB the corpus pays one scan, and the
+    * split column is a deterministic function of the key so re-runs (or
+    * late-arriving shards) assign identically without coordination.
+    */
+  private def qSplitAssign(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("h", (col("doc_id") * 1103515245L + 12345L) % 1000000L)
+      .withColumn("split",
+        when(col("h") < 900000L, "train")
+          .when(col("h") < 950000L, "valid").otherwise("test"))
+      .select("doc_id", "lang", "split")
+      .orderBy("doc_id")
+
   /** Temperature resampling across languages (α = 0.5) — the data-mixing
     * op of LLM corpus prep: per-group keep rates ∝ n^α rebalance the mix
     * toward under-represented groups while capping at 1 (here `lang`, the
@@ -585,6 +601,7 @@ object Relational extends QueryModule {
     "q_skyline" -> qSkyline,
     "q_sample_hash" -> qSampleHash,
     "q_sample_temperature" -> qSampleTemperature,
+    "q_split_assign" -> qSplitAssign,
     "q_sample_stratified" -> qSampleStratified,
     "q_join_bucketed" -> qJoinBucketed,
     "q_dpp" -> qDpp,
@@ -639,6 +656,12 @@ object Relational extends QueryModule {
         |SELECT doc_id, lang, keep_rate FROM r
         |WHERE (doc_id * 1103515245 + 12345) % 1000000 < floor(rate_raw * 1000000)
         |ORDER BY doc_id""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN (doc_id * 1103515245 + 12345) % 1000000 < 900000 THEN 'train'
+        |       WHEN (doc_id * 1103515245 + 12345) % 1000000 < 950000 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -372,6 +372,56 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** PII redaction scrub — the regex pass every pre-training pipeline runs
+    * before tokenization. The synthetic corpus carries no PII, so the query
+    * first derives a deterministic contact-bearing column (identical
+    * construction in the DuckDB oracle); the operator under test is the
+    * redaction itself: count the matches, scrub them with replacement tags,
+    * and prove the scrub left nothing behind. Patterns stay in the
+    * RE2∩Java-regex common dialect so both engines match identically. Pure
+    * per-row regex projections (codegen'd, shuffle-free): at 100 TB this is
+    * an embarrassingly-parallel single scan.
+    */
+  private def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\d{3}-\\d{4}"
+    val redacted =
+      regexp_replace(regexp_replace(col("contact"), email, "[EMAIL]"),
+        phone, "[PHONE]")
+    T.documents(s, d)
+      .withColumn("contact",
+        concat(col("text"), lit(" reach user"), col("doc_id"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        regexp_count(col("contact"), lit(email)).as("n_emails"),
+        regexp_count(col("contact"), lit(phone)).as("n_phones"),
+        length(redacted).as("len_redacted"),
+        (regexp_count(redacted, lit(email)) +
+          regexp_count(redacted, lit(phone))).as("n_left"))
+      .orderBy("doc_id")
+  }
+
+  /** Curriculum phases: equal-width document-length buckets with per-phase
+    * corpus stats — the short-to-long ordering pass of curriculum training.
+    * All-integer bucket arithmetic (`DIV`), so both engines agree exactly.
+    * Shape: one broadcast scalar agg + a 4-key groupBy — no global sort; a
+    * global `ntile` window would serialize the corpus through ONE partition,
+    * which is exactly what this avoids at 100 TB.
+    */
+  private def qCurriculum(s: SparkSession, d: String): DataFrame = {
+    val bounds = broadcast(T.documents(s, d)
+      .agg(min("n_chars").as("mn"), max("n_chars").as("mx")))
+    T.documents(s, d).crossJoin(bounds)
+      .withColumn("phase",
+        expr("CAST((n_chars - mn) * 4 DIV (mx - mn + 1) AS INT)"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).as("total_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy("phase")
+  }
+
   /** Sliding-window document chunking with overlap — the other half of the
     * context-prep story next to [[qPackContexts]]: long documents split
     * into fixed-size token windows (size 64, stride 48 → 16-token overlap)
@@ -395,6 +445,8 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> qChunkDocs,
     "q_contamination" -> qContamination,
+    "q_curriculum" -> qCurriculum,
+    "q_pii_redact" -> qPiiRedact,
     "q_pack_contexts" -> qPackContexts,
     "q_pack_contexts_salted" -> qPackContextsSalted,
     "q_repetition" -> qRepetition,
@@ -443,6 +495,33 @@ object TextAnalysis extends QueryModule {
         |  round(sum(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END) / count(*), 4) AS contamination
         |FROM g WHERE doc_id % 97 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || doc_id || '@example.com or 555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, contact,
+        |    regexp_replace(regexp_replace(contact,
+        |      '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |      '\d{3}-\d{4}', '[PHONE]', 'g') AS red
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(contact, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(contact, '\d{3}-\d{4}')) AS INT) AS n_phones,
+        |  CAST(len(red) AS INT) AS len_redacted,
+        |  CAST(len(regexp_extract_all(red, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |    + len(regexp_extract_all(red, '\d{3}-\d{4}')) AS INT) AS n_left
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_curriculum" ->
+      """WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
+        |SELECT CAST((n_chars - mn) * 4 // (mx - mn + 1) AS INT) AS phase,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents, b
+        |GROUP BY 1 ORDER BY phase""".stripMargin,
     // the salted form is output-identical by construction, so it shares the
     // unsalted oracle verbatim
     "q_pack_contexts_salted" ->
