@@ -214,6 +214,42 @@ object Similarity extends QueryModule {
   private def qCosineTopk(s: SparkSession, d: String): DataFrame =
     cosineTopK(T.embeddings(s, d), queryId = 1L, k = 20)
 
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF): a lexical arm
+    * (query-term frequency over `documents`) and a vector arm (exact cosine
+    * against the query embedding) each produce a bounded top-100 candidate
+    * list; candidates fuse as Σ 1/(60+rank), missing arms contributing 0.
+    * Scale shape: each arm is one scan + TakeOrdered (no global sort ever
+    * materializes), the rank windows run over the BOUNDED candidate lists
+    * (100 rows — a driver-sized single partition by construction, not the
+    * corpus), and the fusion join is candidate×candidate sized. At 100 TB
+    * the arms swap for their indexed forms (an inverted index / the IVF-PQ
+    * scan) — the fusion algebra is arm-agnostic and stays this cheap.
+    */
+  private def qRankFusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 100
+    val lexTop = T.documents(s, d)
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), t -> t = 'spark' OR t = 'window')"))
+          .as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id")).limit(n)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+    val vecTop = cosineTopK(T.embeddings(s, d), queryId = 1L, k = n)
+      .select(col("vec_id").as("doc_id"), col("sim"))
+      .withColumn("r_vec",
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+    lexTop.select("doc_id", "r_lex")
+      .join(vecTop.select("doc_id", "r_vec"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+      .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   private def qCosineLsh(s: SparkSession, d: String): DataFrame =
     cosineTopKLsh(T.embeddings(s, d), queryId = 1L, k = 20)
 
@@ -397,6 +433,7 @@ object Similarity extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
+    "q_rank_fusion" -> qRankFusion,
     "q_cosine_lsh" -> qCosineLsh,
     "q_cosine_ivf" -> qCosineIvf,
     "q_cosine_pq" -> qCosinePq,
@@ -465,6 +502,34 @@ object Similarity extends QueryModule {
         |FROM m ORDER BY vec_id""".stripMargin,
     // mirrors CosineSimilarity exactly: per-element double widening, sequential
     // folds, dot/(sqrt(na)*sqrt(nb))
+    "q_rank_fusion" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings),
+        |q AS (SELECT ev AS qe FROM e WHERE vec_id = 1),
+        |vec AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_dot_product(ev, qe)
+        |          / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
+        |  FROM e, q WHERE vec_id <> 1),
+        |vtop AS (SELECT doc_id, sim FROM vec ORDER BY sim DESC, doc_id LIMIT 100),
+        |vr AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT) AS r_vec
+        |  FROM vtop),
+        |lex AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t = 'spark' OR t = 'window')) AS INT) AS score
+        |  FROM documents),
+        |ltop AS (SELECT doc_id, score FROM lex WHERE score > 0
+        |  ORDER BY score DESC, doc_id LIMIT 100),
+        |lr AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_lex
+        |  FROM ltop)
+        |SELECT COALESCE(lr.doc_id, vr.doc_id) AS doc_id, r_lex, r_vec,
+        |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0)
+        |      + COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0), 6) AS rrf
+        |FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (
         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe

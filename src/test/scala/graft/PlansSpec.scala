@@ -140,6 +140,23 @@ class PlansSpec extends AnyFunSuite {
       s.takeWhile(_ != '\n').contains("dynamicpruning")), plan)
   }
 
+  test("q_rank_fusion: rank windows run over TakeOrdered candidates, not the corpus") {
+    val plan = planOf("q_rank_fusion")
+    // each arm bounds its candidates with TakeOrdered BEFORE the single-
+    // partition rank window — the window's input is 100 rows by construction,
+    // so the warned-about single partition is driver-sized, never the corpus
+    val arms = plan.split("Window \\[row_number").drop(1)
+    assert(arms.length == 2, "expected exactly the two rank windows\n" + plan)
+    // plan prints top-down: below each Window, the bounding TakeOrdered must
+    // appear BEFORE any table scan — i.e. the window input is the 100-row
+    // candidate list, never a raw corpus scan
+    arms.foreach { below =>
+      val take = below.indexOf("TakeOrderedAndProject(limit=100")
+      val scan = below.indexOf("FileScan")
+      assert(take >= 0 && (scan < 0 || take < scan), plan)
+    }
+  }
+
   test("runtime bloom filter: shuffle join gets a might_contain probe on the big side") {
     import org.apache.spark.sql.functions._
     // thresholds sized for test data; at production scale the defaults
