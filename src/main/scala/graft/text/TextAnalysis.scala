@@ -347,23 +347,33 @@ object TextAnalysis extends QueryModule {
     * (here the deterministic doc_id % 97 == 0 subset standing in for a
     * benchmark). The eval side's distinct-shingle set is benchmark-sized
     * (MBs even for real suites) → broadcast; the corpus side pays one scan
-    * + explode + broadcast left-join + one per-doc aggregate. No corpus
+    * + explode + broadcast left-join + per-doc aggregates. No corpus
     * self-join ever forms, so the shape survives any corpus size.
+    *
+    * Explode shape matters: Generate re-evaluates an INLINE generator per
+    * OUTPUT row, so exploding a built-per-doc shingle array re-built the
+    * array (transform + array_distinct) once per shingle — O(len²) per doc,
+    * 13× slower end to end. Exploding the cheap POSITION sequence instead
+    * and building each shingle string once per output row keeps the
+    * expensive work linear; the per-doc distinct moves into the (doc_id, g)
+    * pre-aggregation, whose map-side partial dedups before the exchange.
+    * (At real scale the shuffle would carry shingle HASHES, as the MinHash
+    * path does; strings here keep the DuckDB oracle exact.)
     */
   private def qContamination(s: SparkSession, d: String): DataFrame = {
-    val grams5 = expr(
-      """CASE WHEN size(t) >= 5 THEN
-        |  array_distinct(transform(sequence(1, size(t) - 4),
-        |    i -> array_join(slice(t, i, 5), ' ')))
-        |ELSE array() END""".stripMargin)
-    val toks = T.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), grams5.as("g5"))
-    val evalSet = toks.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("g5")).as("g")).distinct()
+    def shingleRows(docs: DataFrame): DataFrame =
+      docs
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), col("t"),
+          explode(expr("sequence(1, size(t) - 4)")).as("i"))
+        .select(col("doc_id"), expr("array_join(slice(t, i, 5), ' ')").as("g"))
+        .distinct() // per-doc distinct shingles; partial agg dedups map-side
+    val docs = T.documents(s, d)
+    val evalSet = shingleRows(docs.filter(col("doc_id") % 97 === 0))
+      .select("g").distinct()
       .withColumn("hit", lit(1))
-    toks.filter(col("doc_id") % 97 =!= 0 && size(col("g5")) > 0)
-      .select(col("doc_id"), explode(col("g5")).as("g"))
+    shingleRows(docs.filter(col("doc_id") % 97 =!= 0))
       .join(broadcast(evalSet), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
