@@ -360,15 +360,19 @@ object TextAnalysis extends QueryModule {
     * (At real scale the shuffle would carry shingle HASHES, as the MinHash
     * path does; strings here keep the DuckDB oracle exact.)
     */
+  /** Distinct (doc_id, 5-gram) rows via the fast position-explode shape
+    * (see [[qContamination]]'s scaladoc for why NOT explode-the-array).
+    */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, size(t) - 4)")).as("i"))
+      .select(col("doc_id"), expr("array_join(slice(t, i, 5), ' ')").as("g"))
+      .distinct() // per-doc distinct shingles; partial agg dedups map-side
+
   private def qContamination(s: SparkSession, d: String): DataFrame = {
-    def shingleRows(docs: DataFrame): DataFrame =
-      docs
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 5)
-        .select(col("doc_id"), col("t"),
-          explode(expr("sequence(1, size(t) - 4)")).as("i"))
-        .select(col("doc_id"), expr("array_join(slice(t, i, 5), ' ')").as("g"))
-        .distinct() // per-doc distinct shingles; partial agg dedups map-side
     val docs = T.documents(s, d)
     val evalSet = shingleRows(docs.filter(col("doc_id") % 97 === 0))
       .select("g").distinct()
@@ -379,6 +383,57 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       .withColumn("contamination", round(col("n_hit") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** The corpus-prep pipeline END TO END as one declared query — the
+    * composition a pipeline user actually runs nightly: eval-doc exclusion →
+    * quality gate (q_quality_filter's predicate) → exact dedup (min doc_id
+    * per identical text) → benchmark decontamination (q_contamination's
+    * position-explode shape, frac < 0.05 gate) → train split
+    * (q_split_assign's LCG) → context packing (q_pack_contexts' window
+    * cumsum). Proves the operators COMPOSE: one Catalyst plan, stages fused
+    * where possible. Shuffle budget at any corpus size: dedup keys one
+    * exchange on text (a content hash at real scale), decontamination the
+    * (doc_id, g) pre-agg + per-doc agg (eval set stays broadcast), packing
+    * one window keyed on source — nothing quadratic, no corpus self-join.
+    * Fully row-oracle-checked as one CTE chain.
+    */
+  private def qPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val budget = 512
+    val t = tokens(col("text"))
+    val quality = T.documents(s, d)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(t).as("n_tokens"),
+        (length(col("text")).cast("double") / size(t)).as("atl"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("div"))
+      .filter(col("n_tokens").between(20, 80) &&
+        col("atl").between(2.0, 10.0) && col("div") >= 0.45)
+      .select("doc_id", "source", "text", "n_tokens")
+    val wTxt = org.apache.spark.sql.expressions.Window.partitionBy("text")
+    val deduped = quality
+      .withColumn("keep_id", min("doc_id").over(wTxt))
+      .filter(col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+    val evalSet = shingleRows(T.documents(s, d).filter(col("doc_id") % 97 === 0))
+      .select("g").distinct()
+      .withColumn("hit", lit(1))
+    val frac = shingleRows(deduped)
+      .join(broadcast(evalSet), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("frac"))
+    val train = deduped.join(frac, "doc_id")
+      .filter(col("frac") < 0.05)
+      .filter((col("doc_id") * 1103515245L + 12345L) % 1000000L < 900000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    train
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .withColumn("seq_fill",
+        round((col("cum") - col("seq_id") * budget) / lit(budget.toDouble), 4))
+      .select("doc_id", "source", "n_tokens", "seq_id", "seq_fill")
       .orderBy("doc_id")
   }
 
@@ -457,6 +512,7 @@ object TextAnalysis extends QueryModule {
     "q_contamination" -> qContamination,
     "q_curriculum" -> qCurriculum,
     "q_pii_redact" -> qPiiRedact,
+    "q_pipeline_e2e" -> qPipelineE2e,
     "q_pack_contexts" -> qPackContexts,
     "q_pack_contexts_salted" -> qPackContextsSalted,
     "q_repetition" -> qRepetition,
@@ -505,6 +561,49 @@ object TextAnalysis extends QueryModule {
         |  round(sum(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END) / count(*), 4) AS contamination
         |FROM g WHERE doc_id % 97 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pipeline_e2e" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 97 <> 0),
+        |q AS (
+        |  SELECT doc_id, source, text, t, len(t) AS n_tokens,
+        |    CAST(length(text) AS DOUBLE) / len(t) AS atl,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS div
+        |  FROM base),
+        |keep_q AS (
+        |  SELECT doc_id, source, text, t, n_tokens FROM q
+        |  WHERE n_tokens BETWEEN 20 AND 80 AND atl BETWEEN 2.0 AND 10.0 AND div >= 0.45),
+        |dedup AS (
+        |  SELECT doc_id, source, text, t, n_tokens FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep_id FROM keep_q)
+        |  WHERE doc_id = keep_id),
+        |g AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    range(greatest(len(t) - 4, 0)), i -> array_to_string(t[i + 1 : i + 5], ' ')))) AS g
+        |  FROM dedup),
+        |ev AS (
+        |  SELECT DISTINCT UNNEST(list_distinct(list_transform(
+        |    range(greatest(len(string_split(text, ' ')) - 4, 0)),
+        |    i -> array_to_string(string_split(text, ' ')[i + 1 : i + 5], ' ')))) AS g
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END) / count(*) AS frac
+        |  FROM g GROUP BY doc_id),
+        |train AS (
+        |  SELECT d.doc_id, d.source, d.n_tokens FROM dedup d
+        |  JOIN contam c USING (doc_id)
+        |  WHERE c.frac < 0.05
+        |    AND (d.doc_id * 1103515245 + 12345) % 1000000 < 900000),
+        |packed AS (
+        |  SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM train)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  round((cum - ((cum - n_tokens) // 512) * 512) / 512.0, 4) AS seq_fill
+        |FROM packed ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       """WITH c AS (
         |  SELECT doc_id,
