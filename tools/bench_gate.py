@@ -49,19 +49,29 @@ def main(argv):
     bench_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench")
     archives = sorted(glob.glob(os.path.join(bench_dir, "BENCH_2*.json")))
+
+    def same_sf_baseline(cur_path):
+        # comparing across scale factors produced false alarms (an sf0.1 run
+        # gated against an sf0.01 archive flags every data-heavy query); the
+        # default baseline is the newest OTHER archive at the SAME sf
+        cur_sf = load(cur_path).get("sf")
+        others = [a for a in archives
+                  if os.path.abspath(a) != os.path.abspath(cur_path)
+                  and load(a).get("sf") == cur_sf]
+        if not others:
+            usage_error(f"no baseline archive with sf={cur_sf} under bench/")
+        return others[-1]
+
     if len(argv) >= 3:
         cur_path, base_path = argv[1], argv[2]
     elif len(argv) == 2:
         cur_path = argv[1]
-        others = [a for a in archives
-                  if os.path.abspath(a) != os.path.abspath(cur_path)]
-        if not others:
-            usage_error("no baseline archive found under bench/")
-        base_path = others[-1]
+        base_path = same_sf_baseline(argv[1])
     else:
         if len(archives) < 2:
             usage_error("need two archives under bench/ to compare")
-        cur_path, base_path = archives[-1], archives[-2]
+        cur_path = archives[-1]
+        base_path = same_sf_baseline(cur_path)
 
     cur, base = load(cur_path), load(base_path)
     cq, bq = cur["queries"], base["queries"]
