@@ -530,15 +530,15 @@ class FileGridTable(dir: String) extends Table with SupportsRead {
   override def name(): String = s"graft_grid_files($dir)"
   override def schema(): StructType = GridSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FileGridScanBuilder(files)
+    new FileGridScanBuilder(dir, files)
 }
 
 /** Same pushdown contract as the generator path: variable equality/IN prunes
   * whole files, ts/y/x ranges narrow the Section each partition reads.
   */
-class FileGridScanBuilder(files: Seq[(String, GridFile.Header)]) extends ScanBuilder
+class FileGridScanBuilder(dir: String, files: Seq[(String, GridFile.Header)]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private val dims = files.head._2
@@ -594,7 +594,7 @@ class FileGridScanBuilder(files: Seq[(String, GridFile.Header)]) extends ScanBui
 
   override def build(): Scan = aggPlan match {
     case Some(plan) => new FileGridAggScan(kept.map(_._2), section, plan)
-    case None => new FileGridScan(kept, section, required, pushed)
+    case None => new FileGridScan(kept, section, required, pushed, dir, varNames)
   }
 }
 
@@ -619,10 +619,19 @@ class FileGridAggScan(headers: Seq[GridFile.Header], section: GridSource.Section
 }
 
 class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Section,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    required: StructType, pushed: Array[Filter],
+    dir: String = "", varNames: Option[Set[String]] = None) extends Scan with Batch
     with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Streaming micro-batch form of the same scan: new `.grf` files arriving
+    * in `dir` become micro-batches, with the SAME Section/variable pushdown
+    * narrowing every batch's reads (filters on a `readStream` DSv2 relation
+    * push down like batch). See [[FileGridMicroBatchStream]].
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FileGridMicroBatchStream(dir, files.head._2, varNames, section, required)
   override def description(): String =
     s"FileGridScan files=${files.map(_._1).mkString(",")} section=$section " +
       s"pushed=[${pushed.mkString(", ")}]"
@@ -655,6 +664,80 @@ class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Se
 
 case class FileGridPartition(path: String, header: GridFile.Header, t: Int,
   section: GridSource.Section) extends InputPartition
+
+/** Offset = the set of `.grf` files already processed (paths only — the
+  * same seen-files bookkeeping Spark's own FileStreamSource keeps in its
+  * log; bounded by file count, not data volume). Correct for ANY arrival
+  * order — no monotone-naming assumption.
+  */
+case class GridFilesOffset(names: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    names.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+}
+object GridFilesOffset {
+  def fromJson(json: String): GridFilesOffset = {
+    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) GridFilesOffset(Nil)
+    else GridFilesOffset(
+      body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+  }
+}
+
+/** Micro-batch streaming ingest of grid containers: each trigger lists the
+  * directory, and files not in the start offset become the batch — planned
+  * as the SAME (file, t)-sliced partitions the batch scan uses, with the
+  * SAME pushed Section/variable narrowing (a `readStream` filter pushes down
+  * through V2ScanRelationPushDown exactly like batch). New files must match
+  * the table's grid layout — the homogeneity contract is enforced per batch,
+  * same as at table open. At scale this is the nightly-archive ingest shape:
+  * an object-store prefix accrues one container per (variable, day) and each
+  * trigger reads only the new arrivals, metadata-first (headers on the
+  * driver, cell bytes in executor tasks).
+  */
+class FileGridMicroBatchStream(dir: String, h0: GridFile.Header,
+    varNames: Option[Set[String]], section: GridSource.Section,
+    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listNow(): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".grf")).map(_.getAbsolutePath).sorted.toSeq
+      .map { p =>
+        require(!p.contains("\"") && !p.contains(","),
+          s"$p: file paths with quotes/commas break the offset encoding")
+        p
+      }
+
+  override def initialOffset(): Offset = GridFilesOffset(Nil)
+  override def latestOffset(): Offset = GridFilesOffset(listNow())
+  override def deserializeOffset(json: String): Offset = GridFilesOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GridFilesOffset].names.toSet
+    val fresh = end.asInstanceOf[GridFilesOffset].names.filterNot(seen)
+    val headers = fresh.map(p => p -> GridFile.readHeader(p))
+    headers.foreach { case (p, h) =>
+      require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&
+        h.epochMicros == h0.epochMicros && h.stepMicros == h0.stepMicros &&
+        h.lat0 == h0.lat0 && h.dlat == h0.dlat && h.lon0 == h0.lon0 && h.dlon == h0.dlon,
+        s"$p: heterogeneous grid layout arrived mid-stream — dims/time-base/" +
+          "coord-affine must match the table's first file")
+    }
+    (for {
+      (path, header) <- headers
+      if varNames.forall(_.contains(header.variable))
+      t <- section.t0 to math.min(section.t1, header.t - 1)
+      if t >= 0
+    } yield FileGridPartition(path, header, t, section): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FileGridReaderFactory(required)
+}
 
 class FileGridReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =

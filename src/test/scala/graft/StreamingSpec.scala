@@ -234,6 +234,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._1 == 1L) && streamed.size == 3)
   }
 
+  test("grid file source streams new .grf arrivals as micro-batches (DSv2 MicroBatchStream)") {
+    import graft.sources.{GridFile, GridSource}
+    val dir = java.nio.file.Files.createTempDirectory("graft-grf-stream").toFile.getAbsolutePath
+    def writeVar(v: String, vid: Int): Unit =
+      GridFile.write(s"$dir/$v.grf", v, 4, 6, 6,
+        GridSource.epochMicros, 24L * 3600 * 1000000L,
+        lat0 = 44.0, dlat = 0.05, lon0 = -80.0, dlon = 0.05) { (t, y, x) =>
+        if ((t + y + x) % 17 == 0) None
+        else Some(((t * 31 + y * 7 + x * 13 + vid * 5) % 100).toDouble / 2.0 - 10.0)
+      }
+    writeVar("tasmax", 0)
+    // the filter narrows every micro-batch's section reads, batch-identically
+    val q = spark.readStream.format(classOf[GridSource].getName)
+      .option("path", dir).load()
+      .filter(col("y") >= 2 && col("y") <= 4 && col("x") <= 3)
+      .writeStream.format("memory").queryName("grf_stream").outputMode("append").start()
+    q.processAllAvailable()
+    val afterFirst = spark.table("grf_stream").count()
+    assert(afterFirst > 0)
+    // a new container lands between triggers -> exactly its rows arrive
+    writeVar("tasmin", 1)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("grf_stream")
+      .select("variable", "ts", "y", "x", "value")
+      .collect().toSet
+    assert(streamed.size > afterFirst, "second file's rows never arrived")
+    // accumulated stream = the batch read of the final directory, row for row
+    val batch = spark.read.format(classOf[GridSource].getName)
+      .option("path", dir).load()
+      .filter(col("y") >= 2 && col("y") <= 4 && col("x") <= 3)
+      .select("variable", "ts", "y", "x", "value")
+      .collect().toSet
+    assert(streamed == batch, "streamed rows diverge from the batch twin")
+    // offset round-trip: the seen-file set survives JSON serialization
+    val off = graft.sources.GridFilesOffset(Seq(s"$dir/tasmax.grf", s"$dir/tasmin.grf"))
+    assert(graft.sources.GridFilesOffset.fromJson(off.json()) == off)
+    assert(graft.sources.GridFilesOffset.fromJson(
+      graft.sources.GridFilesOffset(Nil).json()) == graft.sources.GridFilesOffset(Nil))
+  }
+
   test("foreachBatch maintains the on-disk IVF-PQ index across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.similarity.{IvfPq, Similarity}
