@@ -96,6 +96,10 @@ object Multimodal extends QueryModule {
   def pngAssets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     T.documents(s, d).select(col("doc_id")).as[Long]
+      // ingest-time layout: the fixture parquet is ONE split, which would
+      // serialize synthesis AND every downstream mapPartitions decode; a
+      // real asset store arrives in many objects, so spread at ingest
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 9).toInt
@@ -198,6 +202,10 @@ object Multimodal extends QueryModule {
   def wavAssets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     T.documents(s, d).select(col("doc_id")).as[Long]
+      // ingest-time layout: the fixture parquet is ONE split, which would
+      // serialize synthesis AND every downstream mapPartitions decode; a
+      // real asset store arrives in many objects, so spread at ingest
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val n = (400 + id % 100).toInt
@@ -273,6 +281,10 @@ object Multimodal extends QueryModule {
   def videoAssets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     T.documents(s, d).select(col("doc_id")).as[Long]
+      // ingest-time layout: the fixture parquet is ONE split, which would
+      // serialize synthesis AND every downstream mapPartitions decode; a
+      // real asset store arrives in many objects, so spread at ingest
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val nf = (4 + id % 9).toInt
