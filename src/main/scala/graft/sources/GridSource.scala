@@ -836,16 +836,16 @@ class TiledGridTable(dir: String) extends Table with SupportsRead {
   override def name(): String = s"graft_grid_tiled($dir)"
   override def schema(): StructType = GridSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TiledGridScanBuilder(files)
+    new TiledGridScanBuilder(dir, files)
 }
 
 /** Same pushdown contract as the one-cube-per-file path; the payoff lands at
   * planning time, where per-file tile directories turn the section into a
   * file-skip decision.
   */
-class TiledGridScanBuilder(files: Seq[(String, GridFile.TiledHeader)])
+class TiledGridScanBuilder(dir: String, files: Seq[(String, GridFile.TiledHeader)])
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -900,7 +900,7 @@ class TiledGridScanBuilder(files: Seq[(String, GridFile.TiledHeader)])
 
   override def build(): Scan = aggPlan match {
     case Some(plan) => new TiledGridAggScan(kept.map(_._2), section, plan)
-    case None => new TiledGridScan(kept, section, required, pushed)
+    case None => new TiledGridScan(kept, section, required, pushed, dir, varNames)
   }
 }
 
@@ -928,10 +928,18 @@ class TiledGridAggScan(headers: Seq[GridFile.TiledHeader],
 }
 
 class TiledGridScan(files: Seq[(String, GridFile.TiledHeader)],
-    section: GridSource.Section, required: StructType, pushed: Array[Filter])
+    section: GridSource.Section, required: StructType, pushed: Array[Filter],
+    dir: String = "", varNames: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Streaming twin of [[FileGridScan.toMicroBatchStream]] for tiled
+    * containers: new arrivals plan only their section-surviving tiles, so
+    * the Morton file/tile skip applies per micro-batch too.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TiledGridMicroBatchStream(dir, files.head._2, varNames, section, required)
   override def description(): String =
     s"TiledGridScan files=${files.map(_._1).mkString(",")} section=$section " +
       s"pushed=[${pushed.mkString(", ")}]"
@@ -965,6 +973,56 @@ class TiledGridScan(files: Seq[(String, GridFile.TiledHeader)],
 case class TiledGridPartition(path: String, header: GridFile.TiledHeader,
     tile: GridFile.TileEntry, t: Int, section: GridSource.Section)
   extends InputPartition
+
+/** Micro-batch ingest of GRF2 tiled containers — same seen-file-set offsets
+  * as [[FileGridMicroBatchStream]]; each batch plans only the new files'
+  * section-surviving tiles, so the Morton tile/file skip is per-trigger.
+  */
+class TiledGridMicroBatchStream(dir: String, h0: GridFile.TiledHeader,
+    varNames: Option[Set[String]], section: GridSource.Section,
+    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listNow(): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".grf")).map(_.getAbsolutePath).sorted.toSeq
+      .map { p =>
+        require(!p.contains("\"") && !p.contains(","),
+          s"$p: file paths with quotes/commas break the offset encoding")
+        p
+      }
+
+  override def initialOffset(): Offset = GridFilesOffset(Nil)
+  override def latestOffset(): Offset = GridFilesOffset(listNow())
+  override def deserializeOffset(json: String): Offset = GridFilesOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GridFilesOffset].names.toSet
+    val fresh = end.asInstanceOf[GridFilesOffset].names.filterNot(seen)
+    val headers = fresh.map(p => p -> GridFile.readTiledHeader(p))
+    headers.foreach { case (p, h) =>
+      require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&
+        h.tileY == h0.tileY && h.tileX == h0.tileX &&
+        h.epochMicros == h0.epochMicros && h.stepMicros == h0.stepMicros &&
+        h.lat0 == h0.lat0 && h.dlat == h0.dlat && h.lon0 == h0.lon0 && h.dlon == h0.dlon,
+        s"$p: heterogeneous grid layout arrived mid-stream — dims/tiling/" +
+          "time-base/coord-affine must match the table's first file")
+    }
+    (for {
+      (path, h) <- headers
+      if varNames.forall(_.contains(h.variable))
+      e <- h.tiles
+      c <- GridSource.clampToTile(section, h, e).toSeq
+      t <- c.t0 to c.t1
+    } yield TiledGridPartition(path, h, e, t, c): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TiledGridReaderFactory(required)
+}
 
 class TiledGridReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =

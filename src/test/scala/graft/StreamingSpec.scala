@@ -275,6 +275,36 @@ class StreamingSpec extends AnyFunSuite {
       graft.sources.GridFilesOffset(Nil).json()) == graft.sources.GridFilesOffset(Nil))
   }
 
+  test("tiled GRF2 source streams new containers as micro-batches") {
+    import graft.sources.{GridFile, GridSource}
+    val dir = java.nio.file.Files.createTempDirectory("graft-grf2-stream").toFile.getAbsolutePath
+    def writeVar(v: String, vid: Int): Unit = {
+      val cube = Array.tabulate(2 * 5 * 5)(k => (k + vid * 7).toDouble)
+      GridFile.writeTiled(s"$dir/$v.grf", v, 2, 5, 5, 5, 5,
+        GridSource.epochMicros, 24L * 3600 * 1000000L,
+        44.0, 0.05, -80.0, 0.05, Seq((0, 0, cube)))
+    }
+    writeVar("tasmax", 0)
+    val q = spark.readStream.format(classOf[GridSource].getName)
+      .option("path", dir).load()
+      .filter(col("x") <= 2)
+      .writeStream.format("memory").queryName("grf2_stream").outputMode("append").start()
+    q.processAllAvailable()
+    val afterFirst = spark.table("grf2_stream").count()
+    assert(afterFirst > 0)
+    writeVar("tasmin", 1)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("grf2_stream")
+      .select("variable", "ts", "y", "x", "value").collect().toSet
+    assert(streamed.size > afterFirst, "second container's rows never arrived")
+    val batch = spark.read.format(classOf[GridSource].getName)
+      .option("path", dir).load()
+      .filter(col("x") <= 2)
+      .select("variable", "ts", "y", "x", "value").collect().toSet
+    assert(streamed == batch, "streamed rows diverge from the batch twin")
+  }
+
   test("foreachBatch maintains the on-disk IVF-PQ index across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.similarity.{IvfPq, Similarity}
