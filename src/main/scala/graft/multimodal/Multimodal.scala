@@ -98,8 +98,12 @@ object Multimodal extends QueryModule {
     T.documents(s, d).select(col("doc_id")).as[Long]
       // ingest-time layout: the fixture parquet is ONE split, which would
       // serialize synthesis AND every downstream mapPartitions decode; a
-      // real asset store arrives in many objects, so spread at ingest
-      .repartition(s.sparkContext.defaultParallelism)
+      // real asset store arrives in many objects, so spread at ingest. A
+      // MODEST fan-out (cores/4): enough to parallelize codec work, small
+      // enough that per-thread codec warm-up (SPI lookup, JIT) doesn't
+      // dominate fixture-scale decodes — at real scale per-partition data
+      // amortizes that warm-up and the source's split count rules anyway
+      .repartition(math.max(2, s.sparkContext.defaultParallelism / 4))
       .mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 9).toInt
@@ -204,8 +208,12 @@ object Multimodal extends QueryModule {
     T.documents(s, d).select(col("doc_id")).as[Long]
       // ingest-time layout: the fixture parquet is ONE split, which would
       // serialize synthesis AND every downstream mapPartitions decode; a
-      // real asset store arrives in many objects, so spread at ingest
-      .repartition(s.sparkContext.defaultParallelism)
+      // real asset store arrives in many objects, so spread at ingest. A
+      // MODEST fan-out (cores/4): enough to parallelize codec work, small
+      // enough that per-thread codec warm-up (SPI lookup, JIT) doesn't
+      // dominate fixture-scale decodes — at real scale per-partition data
+      // amortizes that warm-up and the source's split count rules anyway
+      .repartition(math.max(2, s.sparkContext.defaultParallelism / 4))
       .mapPartitions { it =>
         it.map { id =>
           val n = (400 + id % 100).toInt
@@ -283,8 +291,12 @@ object Multimodal extends QueryModule {
     T.documents(s, d).select(col("doc_id")).as[Long]
       // ingest-time layout: the fixture parquet is ONE split, which would
       // serialize synthesis AND every downstream mapPartitions decode; a
-      // real asset store arrives in many objects, so spread at ingest
-      .repartition(s.sparkContext.defaultParallelism)
+      // real asset store arrives in many objects, so spread at ingest. A
+      // MODEST fan-out (cores/4): enough to parallelize codec work, small
+      // enough that per-thread codec warm-up (SPI lookup, JIT) doesn't
+      // dominate fixture-scale decodes — at real scale per-partition data
+      // amortizes that warm-up and the source's split count rules anyway
+      .repartition(math.max(2, s.sparkContext.defaultParallelism / 4))
       .mapPartitions { it =>
         it.map { id =>
           val nf = (4 + id % 9).toInt

@@ -150,6 +150,17 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("asset ingest spreads synthesis/decode across partitions (not one input split)") {
+    import graft.multimodal.Multimodal
+    // the fixture parquet is one split; the ingest-time repartition is what
+    // gives every downstream mapPartitions decode its parallelism — a
+    // regression here would silently serialize all codec work on one core
+    for (build <- Seq(Multimodal.pngAssets(spark, TestSpark.sf),
+        Multimodal.wavAssets(spark, TestSpark.sf),
+        Multimodal.videoAssets(spark, TestSpark.sf)))
+      assert(build.rdd.getNumPartitions > 1, "asset build collapsed to one partition")
+  }
+
   test("mixed-media decode: fallback rows stay distinguishable (no empty-raster collision)") {
     import graft.multimodal.Multimodal
     // one real PNG, two DIFFERENT no-codec assets: the fallback must not
