@@ -140,6 +140,21 @@ class PlansSpec extends AnyFunSuite {
       s.takeWhile(_ != '\n').contains("dynamicpruning")), plan)
   }
 
+  test("q_contamination: Generate explodes positions, never the built shingle array") {
+    val plan = planOf("q_contamination")
+    // Generate inlines its generator and re-evaluates it per OUTPUT row;
+    // exploding the built-per-doc shingle array re-ran the whole
+    // construction per shingle (13× slower, see PERF.md). Both Generates
+    // must explode the cheap position sequence only.
+    val gens = plan.split("Generate ").drop(1).map(_.takeWhile(_ != '\n'))
+    assert(gens.nonEmpty, plan)
+    gens.foreach { g =>
+      assert(g.contains("explode(sequence("), g)
+      assert(!g.contains("array_distinct"), g)
+      assert(!g.contains("array_join"), g)
+    }
+  }
+
   test("q_rank_fusion: rank windows run over TakeOrdered candidates, not the corpus") {
     val plan = planOf("q_rank_fusion")
     // each arm bounds its candidates with TakeOrdered BEFORE the single-
