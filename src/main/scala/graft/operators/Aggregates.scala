@@ -260,18 +260,43 @@ object Aggregates extends QueryModule {
       .orderBy("l_linestatus")
 
   /** Statistical aggregate family: stddev/variance/correlation/covariance. */
+  /** Per-group statistical moments. Spark's `skewness`/`kurtosis` are the
+    * POPULATION moments (g1 = m3/m2^1.5, excess g2 = m4/m2² − 3) — DuckDB's
+    * builtins are the bias-corrected SAMPLE versions, so the oracle
+    * reproduces Spark's definition from raw power sums instead. round(4)
+    * absorbs the one-pass-update vs raw-sums float noise, same as corr.
+    */
   private def qStats(s: SparkSession, d: String): DataFrame =
     T.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(skewness(col("l_quantity")), 4).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt_qty"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
         round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
       .orderBy("l_returnflag")
 
+  /** Per-group least-squares fit: the regr_* aggregate family (slope,
+    * intercept, R², mean point, count) — one partial+final hash agg like
+    * any other aggregate; both engines share the textbook definitions so
+    * the oracle is direct.
+    */
+  private def qRegr(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("avg_x"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot" -> qPivot,
+    "q_regr" -> qRegr,
     "q_profile" -> qProfile,
     "q_stats" -> qStats,
     "q_agg_salted" -> qAggSalted,
@@ -318,13 +343,33 @@ object Aggregates extends QueryModule {
         |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
         |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
-    "q_stats" ->
+    "q_regr" ->
       """SELECT l_returnflag,
-        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-        |  round(var_samp(l_quantity), 4) AS var_qty,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |    round(var_samp(l_quantity), 4) AS var_qty,
+        |    round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |    round(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+        |    avg(l_quantity) AS mu,
+        |    avg(l_quantity * l_quantity) AS p2,
+        |    avg(l_quantity * l_quantity * l_quantity) AS p3,
+        |    avg(l_quantity * l_quantity * l_quantity * l_quantity) AS p4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, sd_qty, var_qty,
+        |  round((p3 - 3 * mu * p2 + 2 * mu * mu * mu)
+        |        / pow(p2 - mu * mu, 1.5), 4) AS skew_qty,
+        |  round((p4 - 4 * mu * p3 + 6 * mu * mu * p2 - 3 * pow(mu, 4))
+        |        / pow(p2 - mu * mu, 2) - 3, 4) AS kurt_qty,
+        |  corr_qp, cov_qd
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS total, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin,
