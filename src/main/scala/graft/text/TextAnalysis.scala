@@ -419,11 +419,22 @@ object TextAnalysis extends QueryModule {
     val evalSet = shingleRows(T.documents(s, d).filter(col("doc_id") % 97 === 0))
       .select("g").distinct()
       .withColumn("hit", lit(1))
-    val frac = shingleRows(deduped)
+    // (source, n_tokens) ride the shingle expansion — functionally dependent
+    // on doc_id, so grouping by all three is the same per-doc aggregate, and
+    // the post-dedup subtree is consumed ONCE (no join-back recomputing the
+    // quality+dedup stages; two small extra columns on the shingle exchange
+    // is the whole price)
+    val train = deduped
+      .select(col("doc_id"), col("source"), col("n_tokens"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("t"),
+        explode(expr("sequence(1, size(t) - 4)")).as("i"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("array_join(slice(t, i, 5), ' ')").as("g"))
+      .distinct()
       .join(broadcast(evalSet), Seq("g"), "left")
-      .groupBy("doc_id")
+      .groupBy("doc_id", "source", "n_tokens")
       .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("frac"))
-    val train = deduped.join(frac, "doc_id")
       .filter(col("frac") < 0.05)
       .filter((col("doc_id") * 1103515245L + 12345L) % 1000000L < 900000L)
     val w = org.apache.spark.sql.expressions.Window
