@@ -294,9 +294,24 @@ object Aggregates extends QueryModule {
         regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
       .orderBy("l_returnflag")
 
+  /** Ordered string aggregation (the LISTAGG surface): collect_set →
+    * sort_array → array_join makes the concatenation deterministic without
+    * relying on input order — the only shape an oracle can check. Deduped
+    * per group map-side (collect_set partials), so the shuffle carries
+    * distinct values, not rows.
+    */
+  private def qStragg(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot" -> qPivot,
     "q_regr" -> qRegr,
+    "q_stragg" -> qStragg,
     "q_profile" -> qProfile,
     "q_stats" -> qStats,
     "q_agg_salted" -> qAggSalted,
@@ -343,6 +358,11 @@ object Aggregates extends QueryModule {
         |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
         |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_stragg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_regr" ->
       """SELECT l_returnflag,
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
