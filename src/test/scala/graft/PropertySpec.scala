@@ -49,6 +49,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: grid stream offsets round-trip JSON for random path sets") {
+    import graft.sources.GridFilesOffset
+    val nameGen = Gen.listOf(Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('/', '.', '-', '_', ' ')))
+      .map(cs => "/" + cs.mkString))
+    (1 to 200).foreach { i =>
+      val names = nameGen(Gen.Parameters.default.withSize(i % 23 + 1),
+        org.scalacheck.rng.Seed(i)).getOrElse(Nil).distinct
+      val off = GridFilesOffset(names)
+      val back = GridFilesOffset.fromJson(off.json())
+      // serialization sorts (offset equality is set equality over files)
+      assert(back.names.toSet == names.toSet,
+        s"offset round-trip lost files for $names")
+    }
+  }
+
   test("property: dense-group HDF5 round-trips for random link counts and names") {
     import graft.sources.Hdf5
     import graft.sources.Hdf5._
