@@ -113,11 +113,19 @@ object IvfPq {
       .select(col("vec_id"), col("residual").as("embedding")), m, ksub, iters)
 
   private val residualCbCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int, Int), Pq.Codebooks]()
+    (String, Int, Int, Int, Int, Int), Pq.Codebooks]()
+  /** Keyed on the centroid VALUES (same identity rule as [[geomKey]]):
+    * residual codebooks are fit to x − c, so centroids retrained to
+    * different values — even at the same k — must miss this cache, or
+    * search would score residuals against codebooks fit to the old cells.
+    */
   def trainResidualCached(emb: DataFrame, key: String, cents: Seq[Array[Double]],
-      m: Int, ksub: Int, iters: Int): Pq.Codebooks =
-    residualCbCache.computeIfAbsent((key, cents.length, m, ksub, iters),
+      m: Int, ksub: Int, iters: Int): Pq.Codebooks = {
+    val centsHash = java.util.Arrays.deepHashCode(
+      cents.map(_.asInstanceOf[AnyRef]).toArray)
+    residualCbCache.computeIfAbsent((key, cents.length, m, ksub, iters, centsHash),
       _ => trainResidual(emb, cents, m, ksub, iters))
+  }
 
   /** The residual-encoded index: (vec_id, cid, codes-of-residual, norm-of-x).
     * Cell assignment, residual, and encode share ONE shuffle-free projection.

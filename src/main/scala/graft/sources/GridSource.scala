@@ -552,12 +552,16 @@ class FileGridScanBuilder(dir: String, files: Seq[(String, GridFile.Header)]) ex
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, rest) = filters.partition {
+      // varNames holds the FILTER's values, not their intersection with the
+      // files present at open: a streaming read must admit files for a
+      // filtered variable that arrive AFTER the stream starts (the filter
+      // is reported pushed, so Spark never re-applies it)
       case EqualTo("variable", v: String) =>
-        varNames = Some(varNames.getOrElse(files.map(_._2.variable).toSet).intersect(Set(v)))
+        varNames = Some(varNames.map(_.intersect(Set(v))).getOrElse(Set(v)))
         true
       case In("variable", vs) =>
         val names = vs.collect { case s: String => s }.toSet
-        varNames = Some(varNames.getOrElse(files.map(_._2.variable).toSet).intersect(names))
+        varNames = Some(varNames.map(_.intersect(names)).getOrElse(names))
         true
       case f => section.narrow(f) match {
         case Some(s) => section = s; true
@@ -594,7 +598,8 @@ class FileGridScanBuilder(dir: String, files: Seq[(String, GridFile.Header)]) ex
 
   override def build(): Scan = aggPlan match {
     case Some(plan) => new FileGridAggScan(kept.map(_._2), section, plan)
-    case None => new FileGridScan(kept, section, required, pushed, dir, varNames)
+    case None => new FileGridScan(kept, section, required, pushed, dir, varNames,
+      files.headOption.map(_._2))
   }
 }
 
@@ -620,7 +625,8 @@ class FileGridAggScan(headers: Seq[GridFile.Header], section: GridSource.Section
 
 class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Section,
     required: StructType, pushed: Array[Filter],
-    dir: String = "", varNames: Option[Set[String]] = None) extends Scan with Batch
+    dir: String = "", varNames: Option[Set[String]] = None,
+    baseline: Option[GridFile.Header] = None) extends Scan with Batch
     with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -631,7 +637,11 @@ class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Se
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FileGridMicroBatchStream(dir, files.head._2, varNames, section, required)
+    // the layout baseline is the TABLE's first file, not the variable-pruned
+    // list's — a stream whose filtered variable has no file yet must start
+    // with empty batches, not crash
+    new FileGridMicroBatchStream(dir, baseline.getOrElse(files.head._2),
+      varNames, section, required)
   override def description(): String =
     s"FileGridScan files=${files.map(_._1).mkString(",")} section=$section " +
       s"pushed=[${pushed.mkString(", ")}]"
@@ -695,11 +705,15 @@ object GridFilesOffset {
   * trigger reads only the new arrivals, metadata-first (headers on the
   * driver, cell bytes in executor tasks).
   */
-class FileGridMicroBatchStream(dir: String, h0: GridFile.Header,
-    varNames: Option[Set[String]], section: GridSource.Section,
-    required: StructType)
+/** Shared dir-listing micro-batch plumbing for the `.grf` container
+  * sources: offsets are the seen-file set, a batch is the freshly listed
+  * files — subclasses translate fresh files into their partition shape.
+  */
+abstract class DirMicroBatchStream(dir: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  protected def partitionsFor(fresh: Seq[String]): Array[InputPartition]
 
   private def listNow(): Seq[String] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -718,7 +732,15 @@ class FileGridMicroBatchStream(dir: String, h0: GridFile.Header,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[GridFilesOffset].names.toSet
-    val fresh = end.asInstanceOf[GridFilesOffset].names.filterNot(seen)
+    partitionsFor(end.asInstanceOf[GridFilesOffset].names.filterNot(seen))
+  }
+}
+
+class FileGridMicroBatchStream(dir: String, h0: GridFile.Header,
+    varNames: Option[Set[String]], section: GridSource.Section,
+    required: StructType) extends DirMicroBatchStream(dir) {
+
+  override protected def partitionsFor(fresh: Seq[String]): Array[InputPartition] = {
     val headers = fresh.map(p => p -> GridFile.readHeader(p))
     headers.foreach { case (p, h) =>
       require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&
@@ -859,12 +881,16 @@ class TiledGridScanBuilder(dir: String, files: Seq[(String, GridFile.TiledHeader
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, rest) = filters.partition {
+      // varNames holds the FILTER's values, not their intersection with the
+      // files present at open: a streaming read must admit files for a
+      // filtered variable that arrive AFTER the stream starts (the filter
+      // is reported pushed, so Spark never re-applies it)
       case EqualTo("variable", v: String) =>
-        varNames = Some(varNames.getOrElse(files.map(_._2.variable).toSet).intersect(Set(v)))
+        varNames = Some(varNames.map(_.intersect(Set(v))).getOrElse(Set(v)))
         true
       case In("variable", vs) =>
         val names = vs.collect { case s: String => s }.toSet
-        varNames = Some(varNames.getOrElse(files.map(_._2.variable).toSet).intersect(names))
+        varNames = Some(varNames.map(_.intersect(names)).getOrElse(names))
         true
       case f => section.narrow(f) match {
         case Some(s) => section = s; true
@@ -900,7 +926,8 @@ class TiledGridScanBuilder(dir: String, files: Seq[(String, GridFile.TiledHeader
 
   override def build(): Scan = aggPlan match {
     case Some(plan) => new TiledGridAggScan(kept.map(_._2), section, plan)
-    case None => new TiledGridScan(kept, section, required, pushed, dir, varNames)
+    case None => new TiledGridScan(kept, section, required, pushed, dir, varNames,
+      files.headOption.map(_._2))
   }
 }
 
@@ -929,7 +956,8 @@ class TiledGridAggScan(headers: Seq[GridFile.TiledHeader],
 
 class TiledGridScan(files: Seq[(String, GridFile.TiledHeader)],
     section: GridSource.Section, required: StructType, pushed: Array[Filter],
-    dir: String = "", varNames: Option[Set[String]] = None)
+    dir: String = "", varNames: Option[Set[String]] = None,
+    baseline: Option[GridFile.TiledHeader] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -939,7 +967,8 @@ class TiledGridScan(files: Seq[(String, GridFile.TiledHeader)],
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TiledGridMicroBatchStream(dir, files.head._2, varNames, section, required)
+    new TiledGridMicroBatchStream(dir, baseline.getOrElse(files.head._2),
+      varNames, section, required)
   override def description(): String =
     s"TiledGridScan files=${files.map(_._1).mkString(",")} section=$section " +
       s"pushed=[${pushed.mkString(", ")}]"
@@ -980,28 +1009,9 @@ case class TiledGridPartition(path: String, header: GridFile.TiledHeader,
   */
 class TiledGridMicroBatchStream(dir: String, h0: GridFile.TiledHeader,
     varNames: Option[Set[String]], section: GridSource.Section,
-    required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    required: StructType) extends DirMicroBatchStream(dir) {
 
-  private def listNow(): Seq[String] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".grf")).map(_.getAbsolutePath).sorted.toSeq
-      .map { p =>
-        require(!p.contains("\"") && !p.contains(","),
-          s"$p: file paths with quotes/commas break the offset encoding")
-        p
-      }
-
-  override def initialOffset(): Offset = GridFilesOffset(Nil)
-  override def latestOffset(): Offset = GridFilesOffset(listNow())
-  override def deserializeOffset(json: String): Offset = GridFilesOffset.fromJson(json)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[GridFilesOffset].names.toSet
-    val fresh = end.asInstanceOf[GridFilesOffset].names.filterNot(seen)
+  override protected def partitionsFor(fresh: Seq[String]): Array[InputPartition] = {
     val headers = fresh.map(p => p -> GridFile.readTiledHeader(p))
     headers.foreach { case (p, h) =>
       require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&

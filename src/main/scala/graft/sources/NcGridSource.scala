@@ -347,11 +347,13 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, rest) = filters.partition {
       case EqualTo("variable", v: String) =>
-        varNames = Some(varNames.getOrElse(cubes.map(_.varName).toSet).intersect(Set(v)))
+        // filter values only — NOT intersected with the cubes present at
+        // open: a stream must admit a filtered variable arriving later
+        varNames = Some(varNames.map(_.intersect(Set(v))).getOrElse(Set(v)))
         true
       case In("variable", vs) =>
         val names = vs.collect { case s: String => s }.toSet
-        varNames = Some(varNames.getOrElse(cubes.map(_.varName).toSet).intersect(names))
+        varNames = Some(varNames.map(_.intersect(names)).getOrElse(names))
         true
       case f if narrowTs(f) => true
       // ts is handled ONLY by narrowTs above: Section.narrow's epoch/step

@@ -321,13 +321,22 @@ object TextAnalysis extends QueryModule {
     val toks = docs
       .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
       .withColumn("bucket", floor(col("doc_id") / bucketWidth))
-    // per-bucket offsets: one tiny aggregate + window over (sources × buckets)
+      // explicit join-key not-null filters: the broadcast join infers them
+      // on its streamed side only, which would make the two consumers'
+      // exchange subtrees canonically different and defeat the reuse below
+      .filter(col("source").isNotNull && col("bucket").isNotNull)
+    val toksW = toks.withColumn("lcum", sum("n_tokens").over(wB))
+    // per-bucket offsets DERIVED FROM the windowed output (bucket total =
+    // max cumulative), not from a second aggregate over `toks`: both
+    // consumers then share one canonical Exchange subtree, so the corpus
+    // tokenize runs ONCE (ReusedExchange) instead of once per consumer —
+    // at scale the tokenize pass is the dominant cost of this query
     val wOff = W.partitionBy("source").orderBy("bucket")
       .rowsBetween(W.unboundedPreceding, -1)
-    val offs = toks.groupBy("source", "bucket").agg(sum("n_tokens").as("btotal"))
+    val offs = toksW.groupBy("source", "bucket").agg(max("lcum").as("btotal"))
       .withColumn("boff", coalesce(sum("btotal").over(wOff), lit(0L)))
       .select("source", "bucket", "boff")
-    toks.withColumn("lcum", sum("n_tokens").over(wB))
+    toksW
       .join(broadcast(offs), Seq("source", "bucket"))
       .withColumn("cum", col("lcum") + col("boff"))
       .withColumn("seq_id",

@@ -245,10 +245,15 @@ class StreamingSpec extends AnyFunSuite {
         else Some(((t * 31 + y * 7 + x * 13 + vid * 5) % 100).toDouble / 2.0 - 10.0)
       }
     writeVar("tasmax", 0)
-    // the filter narrows every micro-batch's section reads, batch-identically
+    // the filters narrow every micro-batch's section reads, batch-identically.
+    // the variable IN filter names BOTH variables while only tasmax exists
+    // yet: the pushed filter must hold its OWN values (not their intersection
+    // with the files present at start), or tasmin's later arrival is
+    // silently dropped from the stream forever
     val q = spark.readStream.format(classOf[GridSource].getName)
       .option("path", dir).load()
-      .filter(col("y") >= 2 && col("y") <= 4 && col("x") <= 3)
+      .filter(col("variable").isin("tasmax", "tasmin") &&
+        col("y") >= 2 && col("y") <= 4 && col("x") <= 3)
       .writeStream.format("memory").queryName("grf_stream").outputMode("append").start()
     q.processAllAvailable()
     val afterFirst = spark.table("grf_stream").count()
@@ -264,9 +269,12 @@ class StreamingSpec extends AnyFunSuite {
     // accumulated stream = the batch read of the final directory, row for row
     val batch = spark.read.format(classOf[GridSource].getName)
       .option("path", dir).load()
-      .filter(col("y") >= 2 && col("y") <= 4 && col("x") <= 3)
+      .filter(col("variable").isin("tasmax", "tasmin") &&
+        col("y") >= 2 && col("y") <= 4 && col("x") <= 3)
       .select("variable", "ts", "y", "x", "value")
       .collect().toSet
+    assert(streamed.exists(_.getString(0) == "tasmin"),
+      "later-arriving filtered variable was dropped from the stream")
     assert(streamed == batch, "streamed rows diverge from the batch twin")
     // offset round-trip: the seen-file set survives JSON serialization
     val off = graft.sources.GridFilesOffset(Seq(s"$dir/tasmax.grf", s"$dir/tasmin.grf"))
