@@ -75,6 +75,45 @@ object Scale {
     * one executor task, and the driver only computes the tile→group map
     * (tile-grid-sized, catalog-scale).
     */
+  /** Compact a small-file parquet directory into ~`targetBytes` output files
+    * — the lake-table twin of [[compactTiledDir]] (the OPTIMIZE maintenance
+    * pass a deployment runs after streaming/incremental ingest leaves
+    * thousands of tiny files behind). Spark-first shape: the file-source
+    * scan ALREADY greedy-bin-packs input splits into partitions of
+    * `spark.sql.files.maxPartitionBytes` (+ `openCostInBytes` per file, the
+    * knob that makes many tiny files coalesce), so setting those two confs
+    * for one read and writing a file per task IS the compaction — zero
+    * shuffle, no driver-side data movement, every bin assembled and written
+    * by one executor task. Returns the output file count.
+    *
+    * At 100 TB the same call works unchanged: the driver handles only the
+    * file LISTING (catalog-scale), and bin count = totalBytes/target tasks
+    * run wherever the cluster has slots.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, dstDir: String, targetBytes: Long): Int = {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes", "spark.sql.files.minPartitionNum")
+    val prev = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+      // near-zero open cost: pack by real bytes, not per-file padding (the
+      // default 4 MB padding would cap every bin at a handful of files no
+      // matter how tiny they are — exactly wrong for a compaction pass)
+      conf.set("spark.sql.files.openCostInBytes", "1024")
+      // without this the scan sizes splits as totalBytes/defaultParallelism
+      // to feed every core, re-fragmenting the bins; a maintenance pass
+      // wants target-sized bins, period (parallelism = bin count)
+      conf.set("spark.sql.files.minPartitionNum", "1")
+      spark.read.parquet(srcDir).write.mode("overwrite").parquet(dstDir)
+    } finally {
+      prev.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+    Option(new java.io.File(dstDir).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+  }
+
   /** Compact a GRF2 directory: re-pack every variable's tiles, Morton-
     * ordered, into containers of `tilesPerFile` — the maintenance pass that
     * fixes the small-file problem after incremental tile ingest (many tiny

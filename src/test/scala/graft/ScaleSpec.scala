@@ -264,6 +264,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(zf <= rf / 2, s"z-order touched $zf of 16 files, random $rf")
   }
 
+  test("parquet compaction: small files re-pack into ~target bins, rows preserved") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val small = java.nio.file.Files.createTempDirectory("compact-s").toFile.getAbsolutePath
+    li.repartition(40).write.mode("overwrite").parquet(small)
+    def parquets(dir: String) =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    val srcFiles = parquets(small)
+    val total = srcFiles.map(_.length()).sum
+    val target = math.max(total / 5, 16L << 10)
+    val out = java.nio.file.Files.createTempDirectory("compact-o").toFile.getAbsolutePath
+    val nOut = Scale.compactParquet(spark, small, out, target)
+    // genuinely compacted: far fewer files than the 40 in, near the
+    // byte-derived bin count (openCost padding allows a small overshoot)
+    assert(nOut < srcFiles.length / 2, s"$nOut of ${srcFiles.length} files out")
+    assert(nOut <= (total / target).toInt + 3, s"$nOut bins for total=$total target=$target")
+    // no file larger than target + one straggler input file: the greedy
+    // packing never concatenates past the cap
+    val maxOut = parquets(out).map(_.length()).max
+    assert(maxOut <= target + srcFiles.map(_.length()).max,
+      s"output file $maxOut exceeds target $target plus one input")
+    // row multiset preserved exactly
+    val a = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = spark.read.parquet(out).groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b)
+    // and the session confs were restored after the maintenance pass
+    assert(spark.conf.get("spark.sql.files.maxPartitionBytes") !=
+      target.toString)
+  }
+
   test("z-order tiled .grf ingest: bbox skips whole container files") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
