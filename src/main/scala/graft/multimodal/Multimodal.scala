@@ -194,6 +194,14 @@ object Multimodal extends QueryModule {
           if (math.abs(v) > peak) peak = math.abs(v)
           n += 1
         }
+        // the JDK stream hands back however many bytes exist — a truncated
+        // payload would otherwise decode as a silently SHORTER clip; hold it
+        // to the header's declared frame count (mono ⇒ 1 frame = 1 sample)
+        val declared = in.getFrameLength
+        require(declared == javax.sound.sampled.AudioSystem.NOT_SPECIFIED.toLong ||
+          n.toLong == declared,
+          s"asset $assetId: decoded $n samples but the header declares " +
+            s"$declared — truncated or padded payload")
         DecodedAudio(assetId, fmt.getSampleRate.toInt, n, sumSq, peak)
       } finally in.close()
     }

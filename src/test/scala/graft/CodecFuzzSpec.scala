@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GridFile, Hdf5, NetCdf3}
+import graft.sources.Hdf5.{F32, F64, I32, WDataset}
+import graft.sources.NetCdf3.{NcChar, NcDouble, NcFloat, WAttr, WVar}
+import graft.multimodal.{Multimodal, Wav}
+
+/** Adversarial-input hardening for every from-spec binary codec the engine
+  * parses: a FULL read of any truncated copy of a valid container must either
+  * raise an explicit error or return the complete, byte-identical result
+  * (when the cut only removed bytes the format never references) — never
+  * hang, never silently hand back a short or garbled payload. Checksummed
+  * bit-flip corruption is covered in Hdf5Spec; this sweeps the EOF paths.
+  *
+  * The reference gets this robustness from mature third-party codecs
+  * (NetCDF-Java CDM, `/root/reference/build.sbt:46`); the from-spec
+  * replacements here have to prove it.
+  */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("codec-fuzz").resolve(name).toString
+
+  /** ~61 evenly spaced cut points plus the final byte — enough to land in
+    * every structural region (magic, header, directory, payload, tail) of
+    * the KB-scale fixtures without thousands of re-reads.
+    */
+  private def truncations(len: Long): Seq[Long] = {
+    val stride = math.max(1L, len / 61)
+    ((0L until len by stride) :+ (len - 1)).distinct.filter(_ >= 0)
+  }
+
+  private def truncatedCopy(src: String, keep: Long): String = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src))
+    val dst = tmp(new java.io.File(src).getName + s".cut$keep")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dst),
+      java.util.Arrays.copyOfRange(bytes, 0, keep.toInt))
+    dst
+  }
+
+  /** Every truncation either fails loudly or reproduces the full result. */
+  private def assertLoud[A](name: String, len: Long, orig: A)(read: Long => A): Unit =
+    truncations(len).foreach { cut =>
+      scala.util.Try(read(cut)) match {
+        case scala.util.Failure(_) => // explicit error — the contract
+        case scala.util.Success(got) =>
+          assert(got == orig,
+            s"$name: truncation to $cut of $len bytes silently returned a " +
+              "wrong or partial result")
+      }
+    }
+
+  // ------------------------------------------------------------ GRF1 / GRF2
+
+  test("GRF1 container: every truncation fails loudly on a full read") {
+    val p = tmp("fuzz.grf")
+    GridFile.write(p, "temp", tDim = 2, yDim = 3, xDim = 4,
+      epochMicros = 0L, stepMicros = 86400000000L,
+      lat0 = 40.0, dlat = 0.5, lon0 = -80.0, dlon = 0.5)(
+      (t, y, x) => Some(t * 100.0 + y * 10 + x))
+    def fullRead(path: String): Vector[Double] = {
+      val h = GridFile.readHeader(path)
+      require(h.t == 2 && h.y == 3 && h.x == 4, s"$path: header dims changed")
+      val r = new GridFile.SectionReader(path, h)
+      try (for (t <- 0 until h.t; y <- 0 until h.y)
+        yield r.readRow(t, y, 0, h.x - 1).toVector).flatten.toVector
+      finally r.close()
+    }
+    val orig = fullRead(p)
+    val len = new java.io.File(p).length()
+    assertLoud("GRF1", len, orig)(cut => fullRead(truncatedCopy(p, cut)))
+  }
+
+  test("GRF2 tiled container: every truncation fails loudly on a full read") {
+    val p = tmp("fuzz-tiled.grf")
+    val tiles = for (ty <- 0 until 2; tx <- 0 until 2) yield {
+      val cube = Array.tabulate(2 * 2 * 2)(i => ty * 1000.0 + tx * 100.0 + i)
+      (ty, tx, cube)
+    }
+    GridFile.writeTiled(p, "temp", tDim = 2, yDim = 4, xDim = 4,
+      tileY = 2, tileX = 2, epochMicros = 0L, stepMicros = 86400000000L,
+      lat0 = 40.0, dlat = 0.5, lon0 = -80.0, dlon = 0.5, tiles = tiles)
+    def fullRead(path: String): Vector[Double] = {
+      val h = GridFile.readTiledHeader(path)
+      require(h.tiles.length == 4, s"$path: tile directory changed")
+      val r = new GridFile.TiledSectionReader(path, h)
+      try h.tiles.toVector.flatMap { e =>
+        val (y0, y1, x0, x1) = h.tileBounds(e)
+        (for (t <- 0 until h.t; y <- y0 to y1)
+          yield r.readRow(e, t, y, x0, x1).toVector).flatten
+      } finally r.close()
+    }
+    val orig = fullRead(p)
+    val len = new java.io.File(p).length()
+    assertLoud("GRF2", len, orig)(cut => fullRead(truncatedCopy(p, cut)))
+  }
+
+  // -------------------------------------------------------------- NetCDF-3
+
+  for (version <- Seq(1, 5)) {
+    test(s"NetCDF-3 CDF-$version: every truncation fails loudly on a full read") {
+      val p = tmp(s"fuzz-cdf$version.nc")
+      val (t, y, x) = (2, 3, 4)
+      NetCdf3.write(p,
+        dims = Seq("time" -> t, "lat" -> y, "lon" -> x),
+        recordDim = Some("time"),
+        gatts = Seq(WAttr("title", NcChar, text = "fuzz grid")),
+        vars = Seq(
+          WVar("time", NcDouble, Seq("time"), Nil, Array.tabulate(t)(_.toDouble)),
+          WVar("lat", NcDouble, Seq("lat"), Nil, Array.tabulate(y)(40.0 + _)),
+          WVar("lon", NcFloat, Seq("lon"), Nil, Array.tabulate(x)(-80.0 + _)),
+          WVar("temp", NcFloat, Seq("time", "lat", "lon"),
+            Seq(WAttr("units", NcChar, text = "K")),
+            Array.tabulate(t * y * x)(_.toDouble))),
+        version = version)
+      def fullRead(path: String): Vector[Vector[Double]] = {
+        val h = NetCdf3.open(path)
+        h.vars.toVector.map(v => NetCdf3.readAll(h, v).toVector)
+      }
+      val orig = fullRead(p)
+      val len = new java.io.File(p).length()
+      assertLoud(s"CDF-$version", len, orig)(cut => fullRead(truncatedCopy(p, cut)))
+    }
+  }
+
+  // ------------------------------------------------------------------ HDF5
+
+  for (latest <- Seq(false, true)) {
+    val tag = if (latest) "latest format" else "default format"
+    test(s"HDF5 $tag: every truncation fails loudly on a full read") {
+      val p = tmp(s"fuzz-${if (latest) "latest" else "v0"}.h5")
+      val (t, y, x) = (2, 3, 4)
+      Hdf5.write(p, Seq(
+        WDataset("time", I32, Seq(t), Array.tabulate(t)(_.toDouble),
+          strAttrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+        WDataset("lat", F64, Seq(y), Array.tabulate(y)(40.0 + _)),
+        WDataset("temp", F32, Seq(t, y, x),
+          Array.tabulate(t * y * x)(_.toDouble),
+          strAttrs = Seq("long_name" -> "air temperature"))),
+        latest = latest)
+      def fullRead(path: String): Vector[(String, Vector[Double])] = {
+        val h = Hdf5.open(path)
+        h.datasets.toVector.map(ds => ds.name -> Hdf5.readAll(path, ds).toVector)
+      }
+      val orig = fullRead(p)
+      val len = new java.io.File(p).length()
+      assertLoud(s"HDF5 $tag", len, orig)(cut => fullRead(truncatedCopy(p, cut)))
+    }
+  }
+
+  // --------------------------------------------- in-memory payload codecs
+
+  test("PNG payload: every truncation fails loudly through the real decoder") {
+    val px = Array.tabulate(8 * 6)(i => i * 7 % 251)
+    val bytes = graft.render.Png.encode(8, 6, px)
+    val orig = Multimodal.ImageDecoder.decode(1L, bytes)
+    assertLoud("PNG", bytes.length.toLong, orig)(cut =>
+      Multimodal.ImageDecoder.decode(1L, java.util.Arrays.copyOfRange(bytes, 0, cut.toInt)))
+  }
+
+  test("WAV payload: every truncation fails loudly through the JDK decoder") {
+    val samples = Array.tabulate(300)(i => (math.sin(i * 0.1) * 12000).toShort)
+    val bytes = Wav.encode(8000, samples)
+    val orig = Multimodal.AudioDecoder.decode(1L, bytes)
+    assert(orig.n_samples == 300)
+    assertLoud("WAV", bytes.length.toLong, orig)(cut =>
+      Multimodal.AudioDecoder.decode(1L, java.util.Arrays.copyOfRange(bytes, 0, cut.toInt)))
+  }
+
+  test("GFV1 payload: every truncation fails loudly at index or frame decode") {
+    val frames = (0 until 4).map { f =>
+      graft.render.Png.encode(6, 4, Array.tabulate(24)(i => (f * 17 + i * 7) % 251))
+    }
+    val bytes = Multimodal.Gfv.encode(frames)
+    def fullRead(b: Array[Byte]): Vector[Multimodal.DecodedImage] =
+      Multimodal.Gfv.index(b).toVector.zipWithIndex.map { case ((off, len), fi) =>
+        Multimodal.ImageDecoder.decode(fi.toLong,
+          java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + len))
+      }
+    val orig = fullRead(bytes)
+    assertLoud("GFV1", bytes.length.toLong, orig)(cut =>
+      fullRead(java.util.Arrays.copyOfRange(bytes, 0, cut.toInt)))
+  }
+}
