@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Scale
 import graft.streaming.Streaming
 
 class StreamingSpec extends AnyFunSuite {
@@ -347,6 +348,38 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("x") <= 2)
       .select("variable", "ts", "y", "x", "value").collect().toSet
     assert(streamed == batch, "streamed rows diverge from the batch twin")
+  }
+
+  test("streaming ingest leaves small files; compaction maintenance preserves rows") {
+    implicit val sqlCtx = spark.sqlContext
+    // the production sequence the compaction op exists for: micro-batch
+    // ingest appends a few small parquet files per trigger, the nightly
+    // maintenance pass re-packs them, queries see identical rows either way
+    val ingest = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("k", "tag", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.repartition(4).write.mode("append").parquet(ingest)
+      }
+      .start()
+    (0 until 6).foreach { b =>
+      mem.addData((0 until 50).map(i => (b * 50L + i, s"t${i % 3}", i * 1.5)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def parquets(dir: String) =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    val nSmall = parquets(ingest).length
+    assert(nSmall >= 20, s"expected many per-trigger files, got $nSmall")
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-opt").toString
+    val total = parquets(ingest).map(_.length()).sum
+    val nOut = Scale.compactParquet(spark, ingest, out, math.max(total / 3, 16L << 10))
+    assert(nOut < nSmall / 3, s"compaction left $nOut of $nSmall files")
+    val a = spark.read.parquet(ingest).as[(Long, String, Double)].collect().sortBy(_._1)
+    val b = spark.read.parquet(out).as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(a.sameElements(b), "maintenance pass changed the row multiset")
   }
 
   test("foreachBatch maintains the on-disk IVF-PQ index across micro-batches") {
