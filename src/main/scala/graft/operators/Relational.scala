@@ -112,9 +112,7 @@ object Relational extends QueryModule {
           .toFile.getAbsolutePath
         val small = s"$base/small"; val out = s"$base/compacted"
         T.lineitem(s, d).repartition(48).write.parquet(small)
-        val total = Option(new java.io.File(small).listFiles())
-          .getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        val total = Scale.listParquet(s, small).map(_._2).sum
         Scale.compactParquet(s, small, out,
           targetBytes = math.max(total / 6, 64L << 10))
         out

@@ -92,26 +92,35 @@ object Scale {
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, dstDir: String, targetBytes: Long): Int = {
-    val conf = spark.conf
-    val keys = Seq("spark.sql.files.maxPartitionBytes",
-      "spark.sql.files.openCostInBytes", "spark.sql.files.minPartitionNum")
-    val prev = keys.map(k => k -> conf.getOption(k))
-    try {
-      conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-      // near-zero open cost: pack by real bytes, not per-file padding (the
-      // default 4 MB padding would cap every bin at a handful of files no
-      // matter how tiny they are — exactly wrong for a compaction pass)
-      conf.set("spark.sql.files.openCostInBytes", "1024")
-      // without this the scan sizes splits as totalBytes/defaultParallelism
-      // to feed every core, re-fragmenting the bins; a maintenance pass
-      // wants target-sized bins, period (parallelism = bin count)
-      conf.set("spark.sql.files.minPartitionNum", "1")
-      spark.read.parquet(srcDir).write.mode("overwrite").parquet(dstDir)
-    } finally {
-      prev.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
-    }
-    Option(new java.io.File(dstDir).listFiles()).getOrElse(Array.empty)
-      .count(_.getName.endsWith(".parquet"))
+    // an isolated session (shared SparkContext, private SQLConf) scopes the
+    // split-packing knobs to THIS job: the caller's session — possibly
+    // serving concurrent queries (ApiServer shares one session across its
+    // request pool) — never sees them, and there is nothing to restore
+    val s = spark.newSession()
+    s.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    // near-zero open cost: pack by real bytes, not per-file padding (the
+    // default 4 MB padding would cap every bin at a handful of files no
+    // matter how tiny they are — exactly wrong for a compaction pass)
+    s.conf.set("spark.sql.files.openCostInBytes", "1024")
+    // without this the scan sizes splits as totalBytes/defaultParallelism
+    // to feed every core, re-fragmenting the bins; a maintenance pass
+    // wants target-sized bins, period (parallelism = bin count)
+    s.conf.set("spark.sql.files.minPartitionNum", "1")
+    s.read.parquet(srcDir).write.mode("overwrite").parquet(dstDir)
+    listParquet(spark, dstDir).length
+  }
+
+  /** Parquet data files (name, bytes) under a directory, via the Hadoop
+    * FileSystem API so any scheme the cluster mounts works — local, HDFS,
+    * object store (a `java.io.File` listing would return nothing there).
+    */
+  def listParquet(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getLen))
   }
 
   /** Compact a GRF2 directory: re-pack every variable's tiles, Morton-

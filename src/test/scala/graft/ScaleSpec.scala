@@ -269,12 +269,12 @@ class ScaleSpec extends AnyFunSuite {
       .select("l_orderkey", "l_linenumber", "l_quantity")
     val small = java.nio.file.Files.createTempDirectory("compact-s").toFile.getAbsolutePath
     li.repartition(40).write.mode("overwrite").parquet(small)
-    def parquets(dir: String) =
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
-    val srcFiles = parquets(small)
-    val total = srcFiles.map(_.length()).sum
+    val srcFiles = Scale.listParquet(spark, small)
+    val total = srcFiles.map(_._2).sum
     val target = math.max(total / 5, 16L << 10)
+    val confKeys = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes", "spark.sql.files.minPartitionNum")
+    val confBefore = confKeys.map(k => spark.conf.getOption(k))
     val out = java.nio.file.Files.createTempDirectory("compact-o").toFile.getAbsolutePath
     val nOut = Scale.compactParquet(spark, small, out, target)
     // genuinely compacted: far fewer files than the 40 in, near the
@@ -283,8 +283,8 @@ class ScaleSpec extends AnyFunSuite {
     assert(nOut <= (total / target).toInt + 3, s"$nOut bins for total=$total target=$target")
     // no file larger than target + one straggler input file: the greedy
     // packing never concatenates past the cap
-    val maxOut = parquets(out).map(_.length()).max
-    assert(maxOut <= target + srcFiles.map(_.length()).max,
+    val maxOut = Scale.listParquet(spark, out).map(_._2).max
+    assert(maxOut <= target + srcFiles.map(_._2).max,
       s"output file $maxOut exceeds target $target plus one input")
     // row multiset preserved exactly
     val a = li.groupBy("l_orderkey", "l_linenumber")
@@ -294,9 +294,9 @@ class ScaleSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(a == b)
-    // and the session confs were restored after the maintenance pass
-    assert(spark.conf.get("spark.sql.files.maxPartitionBytes") !=
-      target.toString)
+    // and the CALLER's session confs are untouched — the packing knobs
+    // lived and died in compactParquet's isolated session (all three keys)
+    assert(confKeys.map(k => spark.conf.getOption(k)) == confBefore)
   }
 
   test("z-order tiled .grf ingest: bbox skips whole container files") {

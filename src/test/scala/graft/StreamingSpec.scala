@@ -368,13 +368,10 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
     }
     q.stop()
-    def parquets(dir: String) =
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
-    val nSmall = parquets(ingest).length
+    val nSmall = Scale.listParquet(spark, ingest).length
     assert(nSmall >= 20, s"expected many per-trigger files, got $nSmall")
     val out = java.nio.file.Files.createTempDirectory("graft-ingest-opt").toString
-    val total = parquets(ingest).map(_.length()).sum
+    val total = Scale.listParquet(spark, ingest).map(_._2).sum
     val nOut = Scale.compactParquet(spark, ingest, out, math.max(total / 3, 16L << 10))
     assert(nOut < nSmall / 3, s"compaction left $nOut of $nSmall files")
     val a = spark.read.parquet(ingest).as[(Long, String, Double)].collect().sortBy(_._1)
