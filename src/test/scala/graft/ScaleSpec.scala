@@ -297,6 +297,12 @@ class ScaleSpec extends AnyFunSuite {
     // and the CALLER's session confs are untouched — the packing knobs
     // lived and died in compactParquet's isolated session (all three keys)
     assert(confKeys.map(k => spark.conf.getOption(k)) == confBefore)
+    // re-running maintenance never fragments: merging small files removes
+    // per-file overhead, so a second pass can only merge further (here the
+    // first pass's ~40 tiny-file headers amortize away), never split
+    val again = java.nio.file.Files.createTempDirectory("compact-a").toFile.getAbsolutePath
+    assert(Scale.compactParquet(spark, out, again, target) <= nOut,
+      "re-compacting an already-compacted dir increased the bin count")
   }
 
   test("z-order tiled .grf ingest: bbox skips whole container files") {
