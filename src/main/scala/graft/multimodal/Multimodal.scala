@@ -280,6 +280,11 @@ object Multimodal extends QueryModule {
       val magic = new Array[Byte](4); b.get(magic)
       require(magic.sameElements("GFV1".getBytes("US-ASCII")), "bad GFV1 magic")
       val n = b.getInt()
+      // a negative/overstated count must not decode as an EMPTY container
+      // (`0 until -1` is an empty range — the silent-short-payload outcome
+      // the per-frame bounds checks below exist to prevent)
+      require(n >= 0 && 8 + n * 12L <= bytes.length,
+        s"GFV1: frame count $n impossible in a ${bytes.length}-byte container")
       (0 until n).map { fi =>
         val off = b.getLong(); val len = b.getInt()
         require(off >= 0 && len >= 0 && off.isValidInt && off + len <= bytes.length,

@@ -488,9 +488,16 @@ object Relational extends QueryModule {
     * At 100 TB the corpus pays one scan.
     */
   private def qSampleTemperature(s: SparkSession, d: String): DataFrame = {
-    val counts = broadcast(T.documents(s, d).groupBy("lang")
-      .agg(count(lit(1)).as("n_g")))
-    val minN = counts.agg(min("n_g")).head().getLong(0)
+    // ONE aggregate job: the per-lang count table is metadata-sized, so
+    // collect it once and derive both the min and the broadcast join side
+    // from the collected rows (previously the same corpus aggregate ran
+    // twice — once for min, once as the join side)
+    val countRows = T.documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_g")).collect()
+    val minN = countRows.map(_.getLong(1)).min
+    import s.implicits._
+    val counts = broadcast(
+      countRows.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("lang", "n_g"))
     T.documents(s, d).join(counts, "lang")
       // membership threshold comes from the UNROUNDED sqrt (floor of an
       // IEEE-identical product on both engines); round() only shapes the

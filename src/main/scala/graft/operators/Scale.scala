@@ -140,12 +140,7 @@ object Scale {
     require(files.nonEmpty, s"no .grf files in $srcDir")
     val h0 = files.head._2
     files.foreach { case (p, h) =>
-      require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&
-        h.tileY == h0.tileY && h.tileX == h0.tileX &&
-        h.epochMicros == h0.epochMicros && h.stepMicros == h0.stepMicros &&
-        h.lat0 == h0.lat0 && h.dlat == h0.dlat &&
-        h.lon0 == h0.lon0 && h.dlon == h0.dlon,
-        s"$p: heterogeneous grid layout — cannot compact with ${files.head._1}")
+      GridFile.requireSameLayout(p, h, h0, s"cannot compact with ${files.head._1}")
     }
     // (variable, group) work units: every tile of a variable across ALL
     // source containers, Morton-sorted, sliced into output groups

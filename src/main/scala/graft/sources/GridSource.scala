@@ -53,14 +53,19 @@ class GridSource extends TableProvider {
         if (hasNc) new NcGridTable(dir)
         else {
           // sniff GRF1 (one cube per file) vs GRF2 (tiled container) on the
-          // first file; each table's homogeneity check rejects a mixed dir
+          // first file; each table's homogeneity check rejects a mixed dir.
+          // An EMPTY dir cold-starts as the plain-.grf table (nothing to
+          // sniff): batch reads return zero rows, a declared stream adopts
+          // the first arrival's layout — a GRF2/NetCDF file landing instead
+          // fails loudly at its header read, never a misparse
           val first = Option(new java.io.File(dir).listFiles())
             .getOrElse(Array.empty).filter(_.getName.endsWith(".grf"))
             .sortBy(_.getName).headOption
-            .getOrElse(throw new IllegalArgumentException(s"no .grf files in $dir"))
-          if (GridFile.readMagic(first.getAbsolutePath) == GridFile.MagicTiled)
-            new TiledGridTable(dir)
-          else new FileGridTable(dir)
+          first match {
+            case Some(f) if GridFile.readMagic(f.getAbsolutePath) == GridFile.MagicTiled =>
+              new TiledGridTable(dir)
+            case _ => new FileGridTable(dir)
+          }
         }
       case None => new GridTable
     }
@@ -511,20 +516,19 @@ class FileGridTable(dir: String) extends Table with SupportsRead {
       .filter(_.getName.endsWith(".grf")).sortBy(_.getName)
       .map(f => f.getAbsolutePath -> GridFile.readHeader(f.getAbsolutePath)).toSeq
 
-  require(files.nonEmpty, s"no .grf files in $dir")
   // one table = one grid layout: the scan narrows ONE Section (dims, time
   // base, coord affine taken from the first header), so every file must share
   // them — a mismatched file would otherwise be read at wrong byte offsets.
-  // Reject loudly at metadata-open time instead.
-  locally {
-    val h0 = files.head._2
+  // Reject loudly at metadata-open time instead. An EMPTY dir is a valid
+  // cold-start state (declare the stream, then land files): batch reads plan
+  // zero partitions, the micro-batch stream adopts the first arrival's
+  // layout, and filters stay Spark-applied until a layout exists to resolve
+  // them against.
+  files.headOption.foreach { case (f0, h0) =>
     files.foreach { case (p, h) =>
-      require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&
-        h.epochMicros == h0.epochMicros && h.stepMicros == h0.stepMicros &&
-        h.lat0 == h0.lat0 && h.dlat == h0.dlat && h.lon0 == h0.lon0 && h.dlon == h0.dlon,
-        s"$p: heterogeneous grid layout — dims/time-base/coord-affine must match ${files.head._1}")
+      GridFile.requireSameLayout(p, h, h0, s"must match $f0")
     }
-    require(h0.stepMicros > 0, s"${files.head._1}: non-positive time step")
+    require(h0.stepMicros > 0, s"$f0: non-positive time step")
   }
 
   override def name(): String = s"graft_grid_files($dir)"
@@ -541,10 +545,18 @@ class FileGridTable(dir: String) extends Table with SupportsRead {
 class FileGridScanBuilder(dir: String, files: Seq[(String, GridFile.Header)]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
-  private val dims = files.head._2
-  private var section = GridSource.Section(
-    t1 = dims.t - 1, y1 = dims.y - 1, x1 = dims.x - 1,
-    epoch = dims.epochMicros, step = dims.stepMicros)
+  // cold start (empty dir): no layout exists to resolve index/time filters
+  // against, so NOTHING section-shaped is reported pushed — Spark keeps
+  // applying the filters itself, which stays correct once files land
+  private val dims0: Option[GridFile.Header] = files.headOption.map(_._2)
+  private var section = dims0 match {
+    case Some(d) => GridSource.Section(
+      t1 = d.t - 1, y1 = d.y - 1, x1 = d.x - 1,
+      epoch = d.epochMicros, step = d.stepMicros)
+    case None => GridSource.Section(
+      t1 = Int.MaxValue - 1, y1 = Int.MaxValue - 1, x1 = Int.MaxValue - 1,
+      epoch = 0L, step = 1L) // placeholders; never consulted (no narrowing)
+  }
   private var varNames: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GridSource.schema
@@ -563,16 +575,19 @@ class FileGridScanBuilder(dir: String, files: Seq[(String, GridFile.Header)]) ex
         val names = vs.collect { case s: String => s }.toSet
         varNames = Some(varNames.map(_.intersect(names)).getOrElse(names))
         true
-      case f => section.narrow(f) match {
+      case f if dims0.nonEmpty => section.narrow(f) match {
         case Some(s) => section = s; true
         case None => false
       }
+      case _ => false
     }
     // conservative bbox narrowing from the header's coord affine; filters
     // stay unhandled (exactness is Spark's, the seeks get smaller)
-    rest.foreach { f =>
-      section = GridSource.narrowCoordConservative(section, f,
-        dims.lat0, dims.dlat, dims.lon0, dims.dlon)
+    dims0.foreach { dims =>
+      rest.foreach { f =>
+        section = GridSource.narrowCoordConservative(section, f,
+          dims.lat0, dims.dlat, dims.lon0, dims.dlon)
+      }
     }
     pushed = handled
     rest
@@ -586,9 +601,10 @@ class FileGridScanBuilder(dir: String, files: Seq[(String, GridFile.Header)]) ex
     * (`Gddp.scala:121-130`): no data bytes are touched.
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    GridAgg.translate(agg).isDefined
+    dims0.nonEmpty && GridAgg.translate(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean =
-    GridAgg.translate(agg) match {
+    if (dims0.isEmpty) false // cold start: let Spark aggregate the empty scan
+    else GridAgg.translate(agg) match {
       case some @ Some(_) => aggPlan = some; true
       case None => false
     }
@@ -625,8 +641,10 @@ class FileGridAggScan(headers: Seq[GridFile.Header], section: GridSource.Section
 
 class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Section,
     required: StructType, pushed: Array[Filter],
-    dir: String = "", varNames: Option[Set[String]] = None,
-    baseline: Option[GridFile.Header] = None) extends Scan with Batch
+    // no defaults: a scan built without the ingest dir or layout baseline
+    // would stream forever-empty batches with no diagnostic
+    dir: String, varNames: Option[Set[String]],
+    baseline: Option[GridFile.Header]) extends Scan with Batch
     with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -639,8 +657,9 @@ class FileGridScan(files: Seq[(String, GridFile.Header)], section: GridSource.Se
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     // the layout baseline is the TABLE's first file, not the variable-pruned
     // list's — a stream whose filtered variable has no file yet must start
-    // with empty batches, not crash
-    new FileGridMicroBatchStream(dir, baseline.getOrElse(files.head._2),
+    // with empty batches, not crash. A cold-start stream (empty dir at
+    // open) has NO baseline yet; the first arrival fixes the layout.
+    new FileGridMicroBatchStream(dir, baseline.orElse(files.headOption.map(_._2)),
       varNames, section, required)
   override def description(): String =
     s"FileGridScan files=${files.map(_._1).mkString(",")} section=$section " +
@@ -736,25 +755,33 @@ abstract class DirMicroBatchStream(dir: String)
   }
 }
 
-class FileGridMicroBatchStream(dir: String, h0: GridFile.Header,
+class FileGridMicroBatchStream(dir: String, base0: Option[GridFile.Header],
     varNames: Option[Set[String]], section: GridSource.Section,
     required: StructType) extends DirMicroBatchStream(dir) {
+
+  // cold start: the first arrival's layout becomes the stream's baseline.
+  // (After a checkpoint restart the table re-open re-lists the dir, so a
+  // restarted stream always gets its baseline from the table.)
+  private var base: Option[GridFile.Header] = base0
 
   override protected def partitionsFor(fresh: Seq[String]): Array[InputPartition] = {
     val headers = fresh.map(p => p -> GridFile.readHeader(p))
     headers.foreach { case (p, h) =>
-      require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&
-        h.epochMicros == h0.epochMicros && h.stepMicros == h0.stepMicros &&
-        h.lat0 == h0.lat0 && h.dlat == h0.dlat && h.lon0 == h0.lon0 && h.dlon == h0.dlon,
-        s"$p: heterogeneous grid layout arrived mid-stream — dims/time-base/" +
-          "coord-affine must match the table's first file")
+      base match {
+        case Some(b) => GridFile.requireSameLayout(p, h, b,
+          "arrived mid-stream; must match the table's first file")
+        case None => base = Some(h)
+      }
     }
     (for {
       (path, header) <- headers
       if varNames.forall(_.contains(header.variable))
-      t <- section.t0 to math.min(section.t1, header.t - 1)
+      // clamp per file: a cold-start section is unbounded until the first
+      // file defines the grid, and the reader iterates section bounds
+      sec = GridSource.clampTo(section, header.t, header.y, header.x)
+      t <- sec.t0 to sec.t1
       if t >= 0
-    } yield FileGridPartition(path, header, t, section): InputPartition).toArray
+    } yield FileGridPartition(path, header, t, sec): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -842,17 +869,13 @@ class TiledGridTable(dir: String) extends Table with SupportsRead {
       .filter(_.getName.endsWith(".grf")).sortBy(_.getName)
       .map(f => f.getAbsolutePath -> GridFile.readTiledHeader(f.getAbsolutePath)).toSeq
 
-  require(files.nonEmpty, s"no .grf files in $dir")
-  locally { // one table = one GLOBAL grid layout; tiles differ, the grid not
-    val h0 = files.head._2
+  // one table = one GLOBAL grid layout; tiles differ, the grid not. Empty
+  // dir = valid cold start, as in [[FileGridTable]].
+  files.headOption.foreach { case (f0, h0) =>
     files.foreach { case (p, h) =>
-      require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&
-        h.tileY == h0.tileY && h.tileX == h0.tileX &&
-        h.epochMicros == h0.epochMicros && h.stepMicros == h0.stepMicros &&
-        h.lat0 == h0.lat0 && h.dlat == h0.dlat && h.lon0 == h0.lon0 && h.dlon == h0.dlon,
-        s"$p: heterogeneous grid layout — dims/tiling/time-base/coord-affine must match ${files.head._1}")
+      GridFile.requireSameLayout(p, h, h0, s"must match $f0")
     }
-    require(h0.stepMicros > 0, s"${files.head._1}: non-positive time step")
+    require(h0.stepMicros > 0, s"$f0: non-positive time step")
   }
 
   override def name(): String = s"graft_grid_tiled($dir)"
@@ -871,10 +894,17 @@ class TiledGridScanBuilder(dir: String, files: Seq[(String, GridFile.TiledHeader
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
-  private val dims = files.head._2
-  private var section = GridSource.Section(
-    t1 = dims.t - 1, y1 = dims.y - 1, x1 = dims.x - 1,
-    epoch = dims.epochMicros, step = dims.stepMicros)
+  // cold start (empty dir): nothing section-shaped is reported pushed —
+  // see [[FileGridScanBuilder]]
+  private val dims0: Option[GridFile.TiledHeader] = files.headOption.map(_._2)
+  private var section = dims0 match {
+    case Some(d) => GridSource.Section(
+      t1 = d.t - 1, y1 = d.y - 1, x1 = d.x - 1,
+      epoch = d.epochMicros, step = d.stepMicros)
+    case None => GridSource.Section(
+      t1 = Int.MaxValue - 1, y1 = Int.MaxValue - 1, x1 = Int.MaxValue - 1,
+      epoch = 0L, step = 1L) // placeholders; never consulted (no narrowing)
+  }
   private var varNames: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GridSource.schema
@@ -892,14 +922,17 @@ class TiledGridScanBuilder(dir: String, files: Seq[(String, GridFile.TiledHeader
         val names = vs.collect { case s: String => s }.toSet
         varNames = Some(varNames.map(_.intersect(names)).getOrElse(names))
         true
-      case f => section.narrow(f) match {
+      case f if dims0.nonEmpty => section.narrow(f) match {
         case Some(s) => section = s; true
         case None => false
       }
+      case _ => false
     }
-    rest.foreach { f =>
-      section = GridSource.narrowCoordConservative(section, f,
-        dims.lat0, dims.dlat, dims.lon0, dims.dlon)
+    dims0.foreach { dims =>
+      rest.foreach { f =>
+        section = GridSource.narrowCoordConservative(section, f,
+          dims.lat0, dims.dlat, dims.lon0, dims.dlon)
+      }
     }
     pushed = handled
     rest
@@ -914,9 +947,10 @@ class TiledGridScanBuilder(dir: String, files: Seq[(String, GridFile.TiledHeader
     */
   private var aggPlan: Option[Seq[GridAgg]] = None
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    GridAgg.translate(agg).isDefined
+    dims0.nonEmpty && GridAgg.translate(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean =
-    GridAgg.translate(agg) match {
+    if (dims0.isEmpty) false // cold start: let Spark aggregate the empty scan
+    else GridAgg.translate(agg) match {
       case some @ Some(_) => aggPlan = some; true
       case None => false
     }
@@ -956,8 +990,9 @@ class TiledGridAggScan(headers: Seq[GridFile.TiledHeader],
 
 class TiledGridScan(files: Seq[(String, GridFile.TiledHeader)],
     section: GridSource.Section, required: StructType, pushed: Array[Filter],
-    dir: String = "", varNames: Option[Set[String]] = None,
-    baseline: Option[GridFile.TiledHeader] = None)
+    // no defaults — see [[FileGridScan]]
+    dir: String, varNames: Option[Set[String]],
+    baseline: Option[GridFile.TiledHeader])
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -967,7 +1002,7 @@ class TiledGridScan(files: Seq[(String, GridFile.TiledHeader)],
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TiledGridMicroBatchStream(dir, baseline.getOrElse(files.head._2),
+    new TiledGridMicroBatchStream(dir, baseline.orElse(files.headOption.map(_._2)),
       varNames, section, required)
   override def description(): String =
     s"TiledGridScan files=${files.map(_._1).mkString(",")} section=$section " +
@@ -1007,19 +1042,21 @@ case class TiledGridPartition(path: String, header: GridFile.TiledHeader,
   * as [[FileGridMicroBatchStream]]; each batch plans only the new files'
   * section-surviving tiles, so the Morton tile/file skip is per-trigger.
   */
-class TiledGridMicroBatchStream(dir: String, h0: GridFile.TiledHeader,
+class TiledGridMicroBatchStream(dir: String, base0: Option[GridFile.TiledHeader],
     varNames: Option[Set[String]], section: GridSource.Section,
     required: StructType) extends DirMicroBatchStream(dir) {
+
+  // cold start: first arrival fixes the layout (see FileGridMicroBatchStream)
+  private var base: Option[GridFile.TiledHeader] = base0
 
   override protected def partitionsFor(fresh: Seq[String]): Array[InputPartition] = {
     val headers = fresh.map(p => p -> GridFile.readTiledHeader(p))
     headers.foreach { case (p, h) =>
-      require(h.t == h0.t && h.y == h0.y && h.x == h0.x &&
-        h.tileY == h0.tileY && h.tileX == h0.tileX &&
-        h.epochMicros == h0.epochMicros && h.stepMicros == h0.stepMicros &&
-        h.lat0 == h0.lat0 && h.dlat == h0.dlat && h.lon0 == h0.lon0 && h.dlon == h0.dlon,
-        s"$p: heterogeneous grid layout arrived mid-stream — dims/tiling/" +
-          "time-base/coord-affine must match the table's first file")
+      base match {
+        case Some(b) => GridFile.requireSameLayout(p, h, b,
+          "arrived mid-stream; must match the table's first file")
+        case None => base = Some(h)
+      }
     }
     (for {
       (path, h) <- headers

@@ -578,7 +578,11 @@ object Hdf5 {
     (0 until nrec).map { _ =>
       val id = new Array[Byte](fh.idLen); lb.get(id)
       val mflags = lb.get() & 0xFF
-      require((mflags & 0x01) == 0, // bit 0 = message stored in SOHM heap
+      // the record's message-flags byte is the same header-message flags
+      // field dispatchMsg checks: bit 1 (0x02) = SHARED — the heap object
+      // would be a SOHM reference, not an attribute message, and parsing it
+      // as one would misparse; bit 0 (0x01) is merely "constant" and fine
+      require((mflags & 0x02) == 0,
         s"$path: shared dense attribute message unsupported")
       lb.getInt(); lb.getInt() // creation order, name hash
       parseAttr(ByteBuffer.wrap(readManagedObject(fh, blocks, id, path))

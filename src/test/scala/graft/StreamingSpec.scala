@@ -284,6 +284,45 @@ class StreamingSpec extends AnyFunSuite {
       graft.sources.GridFilesOffset(Nil).json()) == graft.sources.GridFilesOffset(Nil))
   }
 
+  test("grid stream cold start: declared on an empty dir, first arrival fixes the layout") {
+    import graft.sources.{GridFile, GridSource}
+    val dir = java.nio.file.Files.createTempDirectory("graft-grf-cold").toFile.getAbsolutePath
+    // the nightly-ingest declaration order: stream first, data later. Batch
+    // reads of the empty dir are valid too (zero rows, schema intact)
+    assert(spark.read.format(classOf[GridSource].getName)
+      .option("path", dir).load().count() == 0)
+    val q = spark.readStream.format(classOf[GridSource].getName)
+      .option("path", dir).load()
+      .filter(col("variable") === "tasmax" && col("y") <= 2)
+      .writeStream.format("memory").queryName("grf_cold").outputMode("append").start()
+    q.processAllAvailable() // first trigger: nothing yet, empty batch
+    assert(spark.table("grf_cold").count() == 0)
+    GridFile.write(s"$dir/tasmax.grf", "tasmax", 2, 4, 4,
+      GridSource.epochMicros, 24L * 3600 * 1000000L,
+      lat0 = 44.0, dlat = 0.05, lon0 = -80.0, dlon = 0.05) { (t, y, x) =>
+      Some((t * 16 + y * 4 + x).toDouble)
+    }
+    q.processAllAvailable()
+    val rows = spark.table("grf_cold").select("variable", "y", "x", "value").collect()
+    // y <= 2 was NOT pushable at declaration time (no layout existed), so
+    // Spark applied it — rows must still respect it, with full x extent
+    assert(rows.nonEmpty && rows.forall(r => r.getInt(1) <= 2))
+    assert(rows.length == 2 * 3 * 4, s"expected 2 t x 3 y x 4 x rows, got ${rows.length}")
+    // a mismatched layout arriving later still fails loudly against the
+    // first arrival's adopted baseline
+    GridFile.write(s"$dir/zz_bad.grf", "tasmax", 2, 5, 4,
+      GridSource.epochMicros, 24L * 3600 * 1000000L,
+      lat0 = 44.0, dlat = 0.05, lon0 = -80.0, dlon = 0.05) { (t, y, x) =>
+      Some(0.0)
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("heterogeneous") ||
+      Option(e.getCause).exists(_.getMessage.contains("heterogeneous")))
+  }
+
   test("grid stream restart recovers the seen-file offset from the checkpoint") {
     import graft.sources.{GridFile, GridSource}
     val dir = java.nio.file.Files.createTempDirectory("graft-grf-ckpt").toFile.getAbsolutePath
