@@ -734,14 +734,23 @@ abstract class DirMicroBatchStream(dir: String)
 
   protected def partitionsFor(fresh: Seq[String]): Array[InputPartition]
 
-  private def listNow(): Seq[String] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".grf")).map(_.getAbsolutePath).sorted.toSeq
+  private def listNow(): Seq[String] = {
+    val names = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    // the mixed-dir reject at table open only sees files present THEN; a
+    // NetCDF file landing mid-stream (or after a cold start on an empty
+    // dir) would otherwise be silently ignored by the *.grf listing forever
+    names.find(f => NcGrid.isNcName(f.getName)).foreach { f =>
+      throw new IllegalArgumentException(
+        s"${f.getAbsolutePath}: NetCDF file arrived in a .grf streaming dir — " +
+          "this table reads .grf containers only; split formats into separate dirs")
+    }
+    names.filter(_.getName.endsWith(".grf")).map(_.getAbsolutePath).sorted.toSeq
       .map { p =>
         require(!p.contains("\"") && !p.contains(","),
           s"$p: file paths with quotes/commas break the offset encoding")
         p
       }
+  }
 
   override def initialOffset(): Offset = GridFilesOffset(Nil)
   override def latestOffset(): Offset = GridFilesOffset(listNow())

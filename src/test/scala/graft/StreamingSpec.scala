@@ -323,6 +323,32 @@ class StreamingSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("heterogeneous")))
   }
 
+  test("grid stream rejects a NetCDF file arriving in a .grf dir, loudly") {
+    import graft.sources.{GridFile, GridSource}
+    val dir = java.nio.file.Files.createTempDirectory("graft-grf-mixed").toFile.getAbsolutePath
+    GridFile.write(s"$dir/tasmax.grf", "tasmax", 2, 4, 4,
+      GridSource.epochMicros, 24L * 3600 * 1000000L,
+      lat0 = 44.0, dlat = 0.05, lon0 = -80.0, dlon = 0.05) { (t, y, x) =>
+      Some((t * 16 + y * 4 + x).toDouble)
+    }
+    val q = spark.readStream.format(classOf[GridSource].getName)
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("grf_mixed").outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("grf_mixed").count() > 0)
+    // a .nc drop lands in the wrong dir: the open-time mixed-dir reject
+    // never saw it, and silently ignoring it would lose data — fail loudly
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/late.nc"),
+      Array[Byte](0x43, 0x44, 0x46, 0x01)) // CDF-1 magic
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("NetCDF file arrived")), msgs(e).mkString(" | "))
+  }
+
   test("grid stream restart recovers the seen-file offset from the checkpoint") {
     import graft.sources.{GridFile, GridSource}
     val dir = java.nio.file.Files.createTempDirectory("graft-grf-ckpt").toFile.getAbsolutePath
