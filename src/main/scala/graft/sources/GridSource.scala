@@ -50,7 +50,16 @@ class GridSource extends TableProvider {
         // silently drop the other's files from every query
         require(!(hasNc && names.exists(_.endsWith(".grf"))),
           s"$dir mixes NetCDF and .grf files; split them into separate directories")
-        if (hasNc) new NcGridTable(dir)
+        // `option("format", "nc")` pins the table kind for a COLD START on
+        // an empty dir (nothing to sniff yet); on a nonempty dir it must
+        // agree with the files found
+        Option(properties.get("format")).foreach { f =>
+          require(Set("nc", "grf").contains(f), s"unknown grid format '$f' (nc|grf)")
+          require(names.isEmpty || (f == "nc") == hasNc,
+            s"$dir: format option '$f' contradicts the files present")
+        }
+        if (hasNc || Option(properties.get("format")).contains("nc"))
+          new NcGridTable(dir)
         else {
           // sniff GRF1 (one cube per file) vs GRF2 (tiled container) on the
           // first file; each table's homogeneity check rejects a mixed dir.

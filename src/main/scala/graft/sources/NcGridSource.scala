@@ -229,15 +229,17 @@ class NcGridTable(dir: String) extends Table with SupportsRead {
           c
         }
       }.toList
-    require(opened.nonEmpty, s"no .nc/.nc4/.h5 files in $dir")
-    val c0 = opened.head
-    opened.foreach { c =>
-      require(c.t == c0.t && c.y == c0.y && c.x == c0.x,
-        s"${c.path}#${c.varName}: heterogeneous grid layout vs ${c0.path}#${c0.varName}")
+    // empty dir = valid cold start (stream declared before the first drop
+    // lands; batch reads plan zero rows) — same contract as FileGridTable
+    opened.headOption.foreach { c0 =>
+      opened.foreach { c =>
+        require(c.t == c0.t && c.y == c0.y && c.x == c0.x,
+          s"${c.path}#${c.varName}: heterogeneous grid layout vs ${c0.path}#${c0.varName}")
+      }
+      require(opened.map(_.varName).distinct.size == opened.size,
+        s"$dir: duplicate variable names across files")
+      NcGrid.requireSameCoords(opened)
     }
-    require(opened.map(_.varName).distinct.size == opened.size,
-      s"$dir: duplicate variable names across files")
-    NcGrid.requireSameCoords(opened)
     opened
   }
 
@@ -257,14 +259,20 @@ class NcGridTable(dir: String) extends Table with SupportsRead {
 class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
-  private val dims = cubes.head
+  // cold start (empty dir): no layout exists, nothing section-shaped is
+  // reported pushed — see FileGridScanBuilder
+  private val dims0: Option[NcCube] = cubes.headOption
   // ONE dim-sized read per scan, lazily: queries with no ts predicate and no
   // planned partitions never pay it, and the builder — not every cube —
   // holds the array, keeping driver state O(1) per file
-  private lazy val times = NcGrid.timesOf(dims)
+  private lazy val times =
+    dims0.map(NcGrid.timesOf).getOrElse(Array.empty[Long])
   private val timesFn: () => Array[Long] = () => times
-  private var section = GridSource.Section(
-    t1 = dims.t - 1, y1 = dims.y - 1, x1 = dims.x - 1)
+  private var section = dims0 match {
+    case Some(d) => GridSource.Section(t1 = d.t - 1, y1 = d.y - 1, x1 = d.x - 1)
+    case None => GridSource.Section(
+      t1 = Int.MaxValue - 1, y1 = Int.MaxValue - 1, x1 = Int.MaxValue - 1)
+  }
   private var varNames: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GridSource.schema
@@ -294,9 +302,9 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
   // binary search can't be trusted on.
   private case class Axis(ascending: Array[Double], wasDescending: Boolean)
   private lazy val coordAxes: (Option[Axis], Option[Axis]) =
-    if (dims.curvilinear) (None, None)
+    if (dims0.forall(_.curvilinear)) (None, None) // incl. cold start: no coords
     else {
-      val (lats, lons) = NcGrid.coordArrays(dims)
+      val (lats, lons) = NcGrid.coordArrays(dims0.get)
       def axis(a: Array[Double]): Option[Axis] = {
         // STRICT one-direction monotonicity, no NaN: on anything else the
         // binary search could prune rows Spark's filter would have kept
@@ -355,14 +363,15 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
         val names = vs.collect { case s: String => s }.toSet
         varNames = Some(varNames.map(_.intersect(names)).getOrElse(names))
         true
-      case f if narrowTs(f) => true
+      case f if dims0.nonEmpty && narrowTs(f) => true
       // ts is handled ONLY by narrowTs above: Section.narrow's epoch/step
       // mapping assumes a uniform axis, which the nc coord array need not be
       case f if f.references.contains("ts") => false
-      case f => section.narrow(f) match {
+      case f if dims0.nonEmpty => section.narrow(f) match {
         case Some(s) => section = s; true
         case None => false
       }
+      case _ => false
     }
     // bbox ranges narrow conservatively from the stored coordinate arrays
     // but stay unhandled (Spark re-evaluates) — pruned seeks, exact results
@@ -375,9 +384,10 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    GridAgg.translate(agg).isDefined
+    dims0.nonEmpty && GridAgg.translate(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean =
-    GridAgg.translate(agg) match {
+    if (dims0.isEmpty) false // cold start: let Spark aggregate the empty scan
+    else GridAgg.translate(agg) match {
       case some @ Some(_) => aggPlan = some; true
       case None => false
     }
@@ -387,7 +397,8 @@ class NcGridScanBuilder(cubes: Seq[NcCube], dir: String) extends ScanBuilder
 
   override def build(): Scan = aggPlan match {
     case Some(plan) => new NcGridAggScan(kept, section, plan, timesFn)
-    case None => new NcGridScan(kept, section, required, pushed, dir, varNames, timesFn)
+    case None => new NcGridScan(kept, section, required, pushed, dir, varNames,
+      timesFn, cubes.headOption)
   }
 }
 
@@ -446,8 +457,11 @@ class NcGridAggScan(cubes: Seq[NcCube], section: GridSource.Section,
 
 class NcGridScan(cubes: Seq[NcCube], section: GridSource.Section,
     required: StructType, pushed: Array[Filter],
-    dir: String = null, varNames: Option[Set[String]] = None,
-    timesFn: () => Array[Long] = () => Array.empty) extends Scan with Batch
+    // no defaults: a scan built without dir/baseline would stream empty
+    // batches (or skip layout checks) with no diagnostic
+    dir: String, varNames: Option[Set[String]],
+    timesFn: () => Array[Long],
+    baseline: Option[NcCube]) extends Scan with Batch
     with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -458,7 +472,10 @@ class NcGridScan(cubes: Seq[NcCube], section: GridSource.Section,
     */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new NcGridMicroBatchStream(dir, section, varNames, required, cubes.headOption, timesFn)
+    // baseline = the TABLE's first cube (not the variable-pruned list's —
+    // layout checks must hold even when the filtered variable has no file
+    // yet); None only on a cold start, where the first arrival adopts it
+    new NcGridMicroBatchStream(dir, section, varNames, required, baseline, timesFn)
   override def description(): String =
     s"NcGridScan vars=${cubes.map(_.varName).mkString(",")} section=$section " +
       s"pushed=[${pushed.mkString(", ")}]"
@@ -512,9 +529,17 @@ class NcGridMicroBatchStream(dir: String, section: GridSource.Section,
           org.json4s.JString(_): org.json4s.JValue)))
   }
 
-  private def listNc(): Set[String] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => NcGrid.isNcName(f.getName)).map(_.getName).toSet
+  private def listNc(): Set[String] = {
+    val names = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    // mirror of DirMicroBatchStream's guard: a .grf container landing in a
+    // NetCDF streaming dir would be silently invisible to this listing
+    names.find(_.getName.endsWith(".grf")).foreach { f =>
+      throw new IllegalArgumentException(
+        s"${f.getAbsolutePath}: .grf file arrived in a NetCDF streaming dir — " +
+          "this table reads NetCDF containers only; split formats into separate dirs")
+    }
+    names.filter(f => NcGrid.isNcName(f.getName)).map(_.getName).toSet
+  }
 
   override def initialOffset(): Offset = FilesOffset(Set.empty)
 
@@ -526,15 +551,24 @@ class NcGridMicroBatchStream(dir: String, section: GridSource.Section,
       .asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s).toSet)
   }
 
+  // cold start: the first arrival's cube (and its time axis) becomes the
+  // stream's layout baseline — same adoption as FileGridMicroBatchStream
+  private var ref: Option[NcCube] = reference
+  private var refTimesCold: Array[Long] = Array.empty
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val newFiles = (end.asInstanceOf[FilesOffset].files --
       start.asInstanceOf[FilesOffset].files).toSeq.sorted
     val opened = newFiles.flatMap(f => NcGrid.openCubesT(s"$dir/$f"))
-    reference.foreach { r =>
+    if (ref.isEmpty) opened.headOption.foreach { case (c, times) =>
+      ref = Some(c); refTimesCold = times
+    }
+    ref.foreach { r =>
       // the reference time axis is re-read once per micro-batch (dim-sized)
       // and each new file's axis compared EXACTLY — the pushed section's ts
-      // narrowing was derived from it
-      val refTimes = timesFn()
+      // narrowing was derived from it. (A cold-adopted baseline keeps the
+      // first arrival's axis instead; nothing was pushed in that case.)
+      val refTimes = if (reference.nonEmpty) timesFn() else refTimesCold
       opened.foreach { case (c, times) => require(
         c.t == r.t && c.y == r.y && c.x == r.x &&
           java.util.Arrays.equals(times, refTimes),

@@ -196,6 +196,37 @@ class NcGridSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nc stream cold start: format=nc on an empty dir, first drop fixes the layout") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-nc-cold").toFile.getAbsolutePath
+    // the format option pins the table kind — an empty dir has nothing to
+    // sniff. Batch reads are valid too (zero rows)
+    assert(spark.read.format(classOf[GridSource].getName)
+      .option("path", dir).option("format", "nc").load().count() == 0)
+    val q = spark.readStream.format(classOf[GridSource].getName)
+      .option("path", dir).option("format", "nc").load()
+      .filter(col("y") < 5)
+      .writeStream.format("memory").queryName("nc_cold").outputMode("append").start()
+    try {
+      q.processAllAvailable() // nothing yet: empty batch, no crash
+      assert(spark.table("nc_cold").count() == 0)
+      Files.copy(Paths.get(SourceQueries.ncDir, "tasmax.nc"), Paths.get(dir, "tasmax.nc"))
+      q.processAllAvailable()
+      val rows = spark.table("nc_cold")
+      // y < 5 was not pushable at declaration (no layout); Spark applied it
+      assert(rows.count() == 8L * 5 * 30)
+      assert(rows.select("y").collect().forall(_.getInt(0) < 5))
+    } finally q.stop()
+  }
+
+  test("format option must agree with the files present") {
+    val e = intercept[Exception] {
+      spark.read.format(classOf[graft.sources.GridSource].getName)
+        .option("path", SourceQueries.ncDir).option("format", "grf").load()
+    }
+    assert(e.getMessage.contains("contradicts"), e.getMessage)
+  }
+
   test("NcCube holds O(1) time metadata, never the per-file time array") {
     // the driver retains one NcCube per (file, variable); at 100 TB that is
     // millions of cubes, so dim-sized arrays must not live on them — exact
