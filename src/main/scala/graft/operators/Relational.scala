@@ -494,7 +494,8 @@ object Relational extends QueryModule {
     // twice — once for min, once as the join side)
     val countRows = T.documents(s, d).groupBy("lang")
       .agg(count(lit(1)).as("n_g")).collect()
-    val minN = countRows.map(_.getLong(1)).min
+    // empty corpus → empty join side → empty result; any min works
+    val minN = countRows.map(_.getLong(1)).minOption.getOrElse(1L)
     import s.implicits._
     val counts = broadcast(
       countRows.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("lang", "n_g"))

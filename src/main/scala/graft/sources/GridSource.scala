@@ -43,39 +43,45 @@ class GridSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     Option(properties.get("path")) match {
       case Some(dir) =>
-        val names = Option(new java.io.File(dir).listFiles())
-          .getOrElse(Array.empty).map(_.getName)
-        val hasNc = names.exists(NcGrid.isNcName)
+        // ONE directory snapshot: every decision below (mixed-dir reject,
+        // format agreement, magic sniff) sees the same file set — two
+        // listings would leave a race window where a file lands between
+        // them and is sniffed without having passed the checks
+        val listing = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty)
+        val ncFiles = listing.filter(f => NcGrid.isNcName(f.getName))
+        val grfFiles = listing.filter(_.getName.endsWith(".grf")).sortBy(_.getName)
         // a mixed directory must fail loudly: picking one format would
         // silently drop the other's files from every query
-        require(!(hasNc && names.exists(_.endsWith(".grf"))),
+        require(!(ncFiles.nonEmpty && grfFiles.nonEmpty),
           s"$dir mixes NetCDF and .grf files; split them into separate directories")
-        // `option("format", "nc")` pins the table kind for a COLD START on
-        // an empty dir (nothing to sniff yet); on a nonempty dir it must
-        // agree with the files found
-        Option(properties.get("format")).foreach { f =>
-          require(Set("nc", "grf").contains(f), s"unknown grid format '$f' (nc|grf)")
-          require(names.isEmpty || (f == "nc") == hasNc,
-            s"$dir: format option '$f' contradicts the files present")
+        // the first .grf's magic decides GRF1 (one cube per file) vs GRF2
+        // (tiled container); each table's homogeneity check rejects a mix
+        val tiled = grfFiles.headOption
+          .exists(f => GridFile.readMagic(f.getAbsolutePath) == GridFile.MagicTiled)
+        // `option("format", nc|grf|grf2)` pins the table kind for a COLD
+        // START (no GRID files to sniff yet — stray entries like checkpoint
+        // dirs or _SUCCESS markers don't count); when grid files exist it
+        // must agree with them
+        val format = Option(properties.get("format"))
+        format.foreach { f =>
+          require(Set("nc", "grf", "grf2").contains(f),
+            s"unknown grid format '$f' (nc|grf|grf2)")
+          val actual =
+            if (ncFiles.nonEmpty) Some("nc")
+            else if (grfFiles.nonEmpty) Some(if (tiled) "grf2" else "grf")
+            else None
+          actual.foreach(a => require(a == f,
+            s"$dir: format option '$f' contradicts the $a files present"))
         }
-        if (hasNc || Option(properties.get("format")).contains("nc"))
-          new NcGridTable(dir)
-        else {
-          // sniff GRF1 (one cube per file) vs GRF2 (tiled container) on the
-          // first file; each table's homogeneity check rejects a mixed dir.
-          // An EMPTY dir cold-starts as the plain-.grf table (nothing to
-          // sniff): batch reads return zero rows, a declared stream adopts
-          // the first arrival's layout — a GRF2/NetCDF file landing instead
-          // fails loudly at its header read, never a misparse
-          val first = Option(new java.io.File(dir).listFiles())
-            .getOrElse(Array.empty).filter(_.getName.endsWith(".grf"))
-            .sortBy(_.getName).headOption
-          first match {
-            case Some(f) if GridFile.readMagic(f.getAbsolutePath) == GridFile.MagicTiled =>
-              new TiledGridTable(dir)
-            case _ => new FileGridTable(dir)
-          }
-        }
+        // An EMPTY dir cold-starts as the pinned format (default: plain
+        // .grf): batch reads return zero rows, a declared stream adopts the
+        // first arrival's layout — a file of another format landing instead
+        // fails loudly at its header read or the listing guard, never a
+        // misparse
+        if (ncFiles.nonEmpty || format.contains("nc")) new NcGridTable(dir)
+        else if (tiled || format.contains("grf2")) new TiledGridTable(dir)
+        else new FileGridTable(dir)
       case None => new GridTable
     }
 }
@@ -788,7 +794,10 @@ class FileGridMicroBatchStream(dir: String, base0: Option[GridFile.Header],
       base match {
         case Some(b) => GridFile.requireSameLayout(p, h, b,
           "arrived mid-stream; must match the table's first file")
-        case None => base = Some(h)
+        case None =>
+          // same validation the table open runs on ITS first file
+          require(h.stepMicros > 0, s"$p: non-positive time step")
+          base = Some(h)
       }
     }
     (for {
@@ -1073,7 +1082,10 @@ class TiledGridMicroBatchStream(dir: String, base0: Option[GridFile.TiledHeader]
       base match {
         case Some(b) => GridFile.requireSameLayout(p, h, b,
           "arrived mid-stream; must match the table's first file")
-        case None => base = Some(h)
+        case None =>
+          // same validation the table open runs on ITS first file
+          require(h.stepMicros > 0, s"$p: non-positive time step")
+          base = Some(h)
       }
     }
     (for {

@@ -323,6 +323,27 @@ class StreamingSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("heterogeneous")))
   }
 
+  test("tiled grid stream cold start via format=grf2") {
+    import graft.sources.{GridFile, GridSource}
+    val dir = java.nio.file.Files.createTempDirectory("graft-grf2-cold").toFile.getAbsolutePath
+    val q = spark.readStream.format(classOf[GridSource].getName)
+      .option("path", dir).option("format", "grf2").load()
+      .writeStream.format("memory").queryName("grf2_cold").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("grf2_cold").count() == 0)
+      // first GRF2 container lands: its (tiled) layout becomes the baseline
+      val tiles = for (ty <- 0 until 2; tx <- 0 until 2)
+        yield (ty, tx, Array.tabulate(2 * 2 * 2)(i => (ty * 100 + tx * 10 + i).toDouble))
+      GridFile.writeTiled(s"$dir/t0.grf", "tasmax", tDim = 2, yDim = 4, xDim = 4,
+        tileY = 2, tileX = 2, epochMicros = GridSource.epochMicros,
+        stepMicros = 24L * 3600 * 1000000L,
+        lat0 = 44.0, dlat = 0.05, lon0 = -80.0, dlon = 0.05, tiles = tiles)
+      q.processAllAvailable()
+      assert(spark.table("grf2_cold").count() == 2L * 4 * 4)
+    } finally q.stop()
+  }
+
   test("grid stream rejects a NetCDF file arriving in a .grf dir, loudly") {
     import graft.sources.{GridFile, GridSource}
     val dir = java.nio.file.Files.createTempDirectory("graft-grf-mixed").toFile.getAbsolutePath
