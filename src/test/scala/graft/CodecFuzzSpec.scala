@@ -98,7 +98,7 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   // -------------------------------------------------------------- NetCDF-3
 
-  for (version <- Seq(1, 5)) {
+  for (version <- Seq(1, 2, 5)) {
     test(s"NetCDF-3 CDF-$version: every truncation fails loudly on a full read") {
       val p = tmp(s"fuzz-cdf$version.nc")
       val (t, y, x) = (2, 3, 4)
@@ -146,6 +146,34 @@ class CodecFuzzSpec extends AnyFunSuite {
       val orig = fullRead(p)
       val len = new java.io.File(p).length()
       assertLoud(s"HDF5 $tag", len, orig)(cut => fullRead(truncatedCopy(p, cut)))
+    }
+  }
+
+  test("HDF5 latest format: every superblock byte-flip is caught or harmless") {
+    // the latest-format metadata is Jenkins-lookup3 checksummed; flipping
+    // any single byte of the superblock (incl. its checksum field) must
+    // either fail loudly or — if the byte is genuinely unreferenced —
+    // reproduce the full result. No flip may yield a DIFFERENT result.
+    val p = tmp("flip.h5")
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(2, 3), Array.tabulate(6)(_.toDouble))),
+      latest = true)
+    def fullRead(path: String): Vector[Double] = {
+      val h = Hdf5.open(path)
+      Hdf5.readAll(path, h.datasets.head).toVector
+    }
+    val orig = fullRead(p)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // superblock v3 = 48 bytes at offset 0 (sig 8 + fields + checksum)
+    (0 until 48).foreach { i =>
+      val mutated = bytes.clone(); mutated(i) = (mutated(i) ^ 0x5A).toByte
+      val mp = tmp(s"flip$i.h5")
+      java.nio.file.Files.write(java.nio.file.Paths.get(mp), mutated)
+      scala.util.Try(fullRead(mp)) match {
+        case scala.util.Failure(_) => // caught — the checksum's job
+        case scala.util.Success(got) =>
+          assert(got == orig, s"flip at byte $i changed the result silently")
+      }
     }
   }
 
