@@ -61,7 +61,10 @@ object Relational extends QueryModule {
         col("l_extendedprice").between(20000, 40000))
       .orderBy("l_orderkey", "l_linenumber")
 
-  private val zorderedLayouts = scala.collection.mutable.Map[String, String]()
+  // (applicationId, dataset)-keyed for the same session-conf reason as
+  // compactedLayouts below
+  private val zorderedLayouts =
+    scala.collection.mutable.Map[(String, String), String]()
 
   /** One-time Z-order-clustered lineitem layout over the q_bbox filter
     * dimensions (quantity × extendedprice, quantized to ints). Like the
@@ -70,7 +73,7 @@ object Relational extends QueryModule {
     */
   def prepareZOrderedLayout(s: SparkSession, d: String): String =
     zorderedLayouts.synchronized {
-      zorderedLayouts.getOrElseUpdate(d, {
+      zorderedLayouts.getOrElseUpdate((s.sparkContext.applicationId, d), {
         val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
           .toFile.getAbsolutePath
         Scale.writeZOrdered(
@@ -97,7 +100,11 @@ object Relational extends QueryModule {
       // for the oracle compare
       .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
 
-  private val compactedLayouts = scala.collection.mutable.Map[String, String]()
+  // keyed on (applicationId, dataset) like Tables.PersistedCache: the dir
+  // outlives any one session, but a fresh session rebuilds under ITS OWN
+  // Hadoop conf instead of inheriting a layout written under another's
+  private val compactedLayouts =
+    scala.collection.mutable.Map[(String, String), String]()
 
   /** One-time small-file fixture + its compaction: lineitem written as 48
     * tiny files (the layout incremental/streaming ingest leaves behind),
@@ -107,7 +114,7 @@ object Relational extends QueryModule {
     */
   def prepareCompactedLayout(s: SparkSession, d: String): String =
     compactedLayouts.synchronized {
-      compactedLayouts.getOrElseUpdate(d, {
+      compactedLayouts.getOrElseUpdate((s.sparkContext.applicationId, d), {
         val base = java.nio.file.Files.createTempDirectory("graft-compact")
           .toFile.getAbsolutePath
         val small = s"$base/small"; val out = s"$base/compacted"

@@ -717,14 +717,15 @@ case class FileGridPartition(path: String, header: GridFile.Header, t: Int,
 case class GridFilesOffset(names: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
-    names.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JsonDSL.seq2jvalue(names.sorted.map(
+        org.json4s.JString(_): org.json4s.JValue)))
 }
 object GridFilesOffset {
   def fromJson(json: String): GridFilesOffset = {
-    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (body.isEmpty) GridFilesOffset(Nil)
-    else GridFilesOffset(
-      body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+    import org.json4s._
+    GridFilesOffset(jackson.JsonMethods.parse(json)
+      .asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s))
   }
 }
 
@@ -742,6 +743,14 @@ object GridFilesOffset {
 /** Shared dir-listing micro-batch plumbing for the `.grf` container
   * sources: offsets are the seen-file set, a batch is the freshly listed
   * files — subclasses translate fresh files into their partition shape.
+  *
+  * ATOMIC-PUBLISH CONTRACT (same as Spark's own FileStreamSource): a file
+  * must appear in the directory complete — write it elsewhere (or under a
+  * temp name) and rename into place. A listed name is read immediately; a
+  * file still being written in place races header vs payload. As a guard,
+  * names carrying the common in-progress suffixes (`.tmp`, `.inprogress`,
+  * `._COPYING_`, or a leading `.`/`_` hidden marker) are skipped until the
+  * rename lands.
   */
 abstract class DirMicroBatchStream(dir: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
@@ -751,6 +760,7 @@ abstract class DirMicroBatchStream(dir: String)
 
   private def listNow(): Seq[String] = {
     val names = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filterNot(f => DirMicroBatchStream.isInProgressName(f.getName))
     // the mixed-dir reject at table open only sees files present THEN; a
     // NetCDF file landing mid-stream (or after a cold start on an empty
     // dir) would otherwise be silently ignored by the *.grf listing forever
@@ -760,11 +770,6 @@ abstract class DirMicroBatchStream(dir: String)
           "this table reads .grf containers only; split formats into separate dirs")
     }
     names.filter(_.getName.endsWith(".grf")).map(_.getAbsolutePath).sorted.toSeq
-      .map { p =>
-        require(!p.contains("\"") && !p.contains(","),
-          s"$p: file paths with quotes/commas break the offset encoding")
-        p
-      }
   }
 
   override def initialOffset(): Offset = GridFilesOffset(Nil)
@@ -777,6 +782,16 @@ abstract class DirMicroBatchStream(dir: String)
     val seen = start.asInstanceOf[GridFilesOffset].names.toSet
     partitionsFor(end.asInstanceOf[GridFilesOffset].names.filterNot(seen))
   }
+}
+
+object DirMicroBatchStream {
+  /** In-progress naming conventions honored by the listing (HDFS
+    * `._COPYING_`, Flink/Spark `.tmp`/`.inprogress`, hidden `.`/`_`
+    * prefixes) — such files are invisible until renamed into place.
+    */
+  def isInProgressName(n: String): Boolean =
+    n.startsWith(".") || n.startsWith("_") ||
+      n.endsWith(".tmp") || n.endsWith(".inprogress") || n.endsWith("._COPYING_")
 }
 
 class FileGridMicroBatchStream(dir: String, base0: Option[GridFile.Header],

@@ -437,6 +437,16 @@ object Hdf5 {
       // block still cross-check whichever size we derive here.
       val rootSize =
         if (fh.allocManagedSpace > 0) fh.allocManagedSpace else fh.startBlockSize
+      // libhdf5 only ever grows the root block by doubling, so the alloc
+      // field must be startBlockSize × 2^k — anything else is a corrupt or
+      // hand-built header, and (absent the checksummed-direct-blocks flag)
+      // there is no checksum to catch it downstream, so reject it here.
+      val quot = rootSize / fh.startBlockSize
+      require(rootSize % fh.startBlockSize == 0 && quot > 0 &&
+          (quot & (quot - 1)) == 0,
+        s"$path: allocated managed space $rootSize is not a power-of-two " +
+          s"doubling of the starting block size ${fh.startBlockSize} " +
+          "(inconsistent fractal heap header)")
       require(rootSize <= fh.maxDirectSize,
         s"$path: root direct block of $rootSize bytes exceeds the max direct " +
           s"block size ${fh.maxDirectSize} (inconsistent fractal heap header)")

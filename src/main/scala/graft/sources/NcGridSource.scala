@@ -530,7 +530,10 @@ class NcGridMicroBatchStream(dir: String, section: GridSource.Section,
   }
 
   private def listNc(): Set[String] = {
+    // same atomic-publish contract as DirMicroBatchStream: in-progress
+    // names are invisible until renamed into place
     val names = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filterNot(f => DirMicroBatchStream.isInProgressName(f.getName))
     // mirror of DirMicroBatchStream's guard: a .grf container landing in a
     // NetCDF streaming dir would be silently invisible to this listing
     names.find(_.getName.endsWith(".grf")).foreach { f =>

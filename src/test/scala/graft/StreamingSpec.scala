@@ -284,6 +284,40 @@ class StreamingSpec extends AnyFunSuite {
       graft.sources.GridFilesOffset(Nil).json()) == graft.sources.GridFilesOffset(Nil))
   }
 
+  test("grid stream honors the atomic-publish contract: in-progress names invisible until renamed") {
+    import graft.sources.{GridFile, GridSource}
+    val dir = java.nio.file.Files.createTempDirectory("graft-grf-tmp").toFile.getAbsolutePath
+    def write(path: String): Unit =
+      GridFile.write(path, "tasmax", 2, 4, 4,
+        GridSource.epochMicros, 24L * 3600 * 1000000L,
+        lat0 = 44.0, dlat = 0.05, lon0 = -80.0, dlon = 0.05) { (t, y, x) =>
+        Some((t * 16 + y * 4 + x).toDouble)
+      }
+    write(s"$dir/seed.grf")
+    val q = spark.readStream.format(classOf[GridSource].getName)
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("grf_tmp").outputMode("append").start()
+    q.processAllAvailable()
+    val seeded = spark.table("grf_tmp").count()
+    assert(seeded == 2 * 4 * 4)
+    // a writer lands a complete container under an in-progress name: the
+    // listing must NOT read it (the real hazard is a HALF-written file; a
+    // complete one stands in deterministically)
+    write(s"$dir/late.grf.tmp")
+    q.processAllAvailable()
+    assert(spark.table("grf_tmp").count() == seeded, "in-progress file was read")
+    // the rename IS the publish
+    assert(new java.io.File(s"$dir/late.grf.tmp").renameTo(new java.io.File(s"$dir/late.grf")))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("grf_tmp").count() == 2 * seeded, "renamed file never arrived")
+    // json4s offset encoding round-trips names the old hand-rolled format
+    // rejected (quotes, commas, whitespace)
+    val awkward = graft.sources.GridFilesOffset(
+      Seq("/tmp/ c .grf", """/tmp/a,"b".grf"""))
+    assert(graft.sources.GridFilesOffset.fromJson(awkward.json()) == awkward)
+  }
+
   test("grid stream cold start: declared on an empty dir, first arrival fixes the layout") {
     import graft.sources.{GridFile, GridSource}
     val dir = java.nio.file.Files.createTempDirectory("graft-grf-cold").toFile.getAbsolutePath
