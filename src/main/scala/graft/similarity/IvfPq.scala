@@ -64,10 +64,48 @@ object IvfPq {
   /** Incremental composed-index maintenance (see [[Pq.appendShard]]): the
     * new shard pays ONE projection (cell assign + encode share the scan);
     * existing codes and the coarse centroids stay frozen.
+    *
+    * The appended codes land in shard-shaped partitions that MIX cells, so
+    * while results stay exact (the cid filter still selects the right rows),
+    * the probe filter's batch/partition pruning degrades as shards
+    * accumulate — run [[compactIndex]] periodically to re-cluster.
     */
   def appendShard(index: DataFrame, shard: DataFrame,
       cents: Seq[Array[Double]], cb: Pq.Codebooks): DataFrame =
     index.unionByName(encode(shard, cents, cb))
+
+  /** Storage maintenance for the composed index — the ANN twin of
+    * [[graft.operators.Scale.compactParquet]]: one shuffle re-clusters the
+    * accumulated shard appends by cell so the probe-time `cid` filter goes
+    * back to pruning whole batches (on disk: whole partition dirs) instead
+    * of scanning every shard's mixed-cell partitions. Search results are
+    * byte-identical pre/post — only the physical clustering changes.
+    * Cost: one pass over the CODES (12 B/vector), never the raw corpus.
+    */
+  def compactIndex(index: DataFrame): DataFrame =
+    index.repartition(col("cid"))
+
+  /** [[compactIndex]] + re-persist through the session cache, mirroring
+    * [[encodeCached]]; `key` must change per compaction generation (e.g.
+    * include the appended-shard count) or the stale layout is returned.
+    */
+  def compactIndexCached(index: DataFrame, key: Any): DataFrame =
+    graft.PersistedCache(index.sparkSession, ("ivfpq-compacted", key))(
+      compactIndex(index))
+
+  /** How many underlying partitions hold rows of the probed cells — the
+    * batch/file count the probe filter CANNOT prune (ScaleSpec locks that
+    * compaction shrinks this back to ≤ nprobe after shard appends inflate
+    * it). Driver-side partition presence flags only, never row data.
+    */
+  def partitionsTouched(emb: DataFrame, cents: Seq[Array[Double]],
+      queryId: Long, nprobe: Int, index: DataFrame): Long = {
+    val probes = Ivf.probeCells(cents, Pq.queryVec(emb, queryId), nprobe).toSet
+    index.select("cid").rdd
+      .mapPartitions(it => Iterator.single(
+        if (it.exists(r => probes.contains(r.getInt(0)))) 1L else 0L))
+      .sum().toLong
+  }
 
   /** Cell-pruned ADC search: probe the `nprobe` cells nearest the query,
     * ADC-score only their codes, exact-rerank the top `rerank` survivors.

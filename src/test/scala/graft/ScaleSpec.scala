@@ -96,6 +96,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(n4 <= total / 2, s"nprobe=4/16 scanned $n4 of $total rows")
   }
 
+  test("ANN index compaction re-clusters appended shards by cell") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val (cents, cb) = Similarity.prepareIvfPqIndex(spark, TestSpark.sf)
+    // ingest-time base: cid-clustered, like encodeCached lays it out
+    val base = IvfPq.encode(emb.filter(col("vec_id") < 300), cents, cb)
+      .repartition(col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    // four incremental shard appends: each lands as its own mixed-cell
+    // partitions, so probe-time pruning degrades append by append
+    val idx = (300L until 500L by 50L).foldLeft(base: org.apache.spark.sql.DataFrame) {
+      (acc, lo) => IvfPq.appendShard(acc,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 50), cents, cb)
+    }
+    val nprobe = Similarity.IvfPqNprobe
+    val before = IvfPq.partitionsTouched(emb, cents, 1L, nprobe, idx)
+    val compacted = IvfPq.compactIndex(idx)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    compacted.count()
+    val after = IvfPq.partitionsTouched(emb, cents, 1L, nprobe, compacted)
+    // each append added at least one unprunable partition; compaction takes
+    // the probed footprint back to at most one partition per probed cell
+    assert(before > nprobe, s"appends did not inflate the probed footprint: $before")
+    assert(after <= nprobe, s"compaction left probed cells scattered: $after > $nprobe")
+    // compaction is pure layout: the index is row-identical to a full
+    // re-encode, and the cell-pruned search over it is byte-identical
+    assert(compacted.orderBy("vec_id").collect()
+      .sameElements(IvfPq.encode(emb, cents, cb).orderBy("vec_id").collect()),
+      "compaction changed index contents")
+    val pre = IvfPq.topK(emb, cents, cb, 1L, 20, nprobe,
+      Similarity.PqRerank, encoded = Some(idx)).collect()
+    val post = IvfPq.topK(emb, cents, cb, 1L, 20, nprobe,
+      Similarity.PqRerank, encoded = Some(compacted)).collect()
+    assert(pre.sameElements(post), "topK diverged across compaction")
+    base.unpersist(); compacted.unpersist()
+  }
+
   /** Deterministic synthetic corpus of n unit-ish vectors (hash-derived, no
     * RNG state shared with the planes), with a planted near-dup pair (1, 2).
     */
