@@ -457,6 +457,67 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The corpus-prep pipeline with the PRODUCTION near-dedup stage: the same
+    * stages as [[qPipelineE2e]], but the exact-dedup window is replaced by
+    * the banded-LSH path ([[graft.dedup.Dedup.dedupClusters]]): MinHash band
+    * buckets → candidate equi-join → exact-Jaccard ≥ 0.5 verification →
+    * connected components, keeping each cluster's smallest doc_id. Not one
+    * Catalyst plan like the exact twin — CC is iterative by construction
+    * (eagerly checkpointed rounds) — but every expensive subtree keeps the
+    * production shape: candidates from the band equi-join (O(candidates),
+    * never all-pairs), verification touching candidates only, the
+    * doc-count-sized component table joining back broadcast-small. Two
+    * corpus scans total for the quality stage (one feeding signatures, one
+    * for the join-back) — the standard price for an iterative stage that
+    * cannot ride a single plan.
+    *
+    * Oracle: the e2e CTE chain with the dedup stage as a recursive CTE over
+    * the identical exact-verified edge set — sound because banded candidates
+    * are verified with exact shingle Jaccard and banding recall is total at
+    * j ≥ 0.5 on this corpus (q_dedup_cluster_lsh's standing contract).
+    */
+  private def qPipelineNear(s: SparkSession, d: String): DataFrame = {
+    val budget = 512
+    val t = tokens(col("text"))
+    val quality = T.documents(s, d)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(t).as("n_tokens"),
+        (length(col("text")).cast("double") / size(t)).as("atl"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("div"))
+      .filter(col("n_tokens").between(20, 80) &&
+        col("atl").between(2.0, 10.0) && col("div") >= 0.45)
+      .select("doc_id", "source", "text", "n_tokens")
+    val comps = graft.dedup.Dedup.dedupClusters(quality)
+    val deduped = quality.join(comps, Seq("doc_id"))
+      .filter(col("doc_id") === col("component")).drop("component")
+    val evalSet = shingleRows(T.documents(s, d).filter(col("doc_id") % 97 === 0))
+      .select("g").distinct()
+      .withColumn("hit", lit(1))
+    val train = deduped
+      .select(col("doc_id"), col("source"), col("n_tokens"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("t"),
+        explode(expr("sequence(1, size(t) - 4)")).as("i"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("array_join(slice(t, i, 5), ' ')").as("g"))
+      .distinct()
+      .join(broadcast(evalSet), Seq("g"), "left")
+      .groupBy("doc_id", "source", "n_tokens")
+      .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("frac"))
+      .filter(col("frac") < 0.05)
+      .filter((col("doc_id") * 1103515245L + 12345L) % 1000000L < 900000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    train
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .withColumn("seq_fill",
+        round((col("cum") - col("seq_id") * budget) / lit(budget.toDouble), 4))
+      .select("doc_id", "source", "n_tokens", "seq_id", "seq_fill")
+      .orderBy("doc_id")
+  }
+
   /** PII redaction scrub — the regex pass every pre-training pipeline runs
     * before tokenization. The synthetic corpus carries no PII, so the query
     * first derives a deterministic contact-bearing column (identical
@@ -533,6 +594,7 @@ object TextAnalysis extends QueryModule {
     "q_curriculum" -> qCurriculum,
     "q_pii_redact" -> qPiiRedact,
     "q_pipeline_e2e" -> qPipelineE2e,
+    "q_pipeline_near" -> qPipelineNear,
     "q_pack_contexts" -> qPackContexts,
     "q_pack_contexts_salted" -> qPackContextsSalted,
     "q_repetition" -> qRepetition,
@@ -597,6 +659,73 @@ object TextAnalysis extends QueryModule {
         |  SELECT doc_id, source, text, t, n_tokens FROM (
         |    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep_id FROM keep_q)
         |  WHERE doc_id = keep_id),
+        |g AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    range(greatest(len(t) - 4, 0)), i -> array_to_string(t[i + 1 : i + 5], ' ')))) AS g
+        |  FROM dedup),
+        |ev AS (
+        |  SELECT DISTINCT UNNEST(list_distinct(list_transform(
+        |    range(greatest(len(string_split(text, ' ')) - 4, 0)),
+        |    i -> array_to_string(string_split(text, ' ')[i + 1 : i + 5], ' ')))) AS g
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END) / count(*) AS frac
+        |  FROM g GROUP BY doc_id),
+        |train AS (
+        |  SELECT d.doc_id, d.source, d.n_tokens FROM dedup d
+        |  JOIN contam c USING (doc_id)
+        |  WHERE c.frac < 0.05
+        |    AND (d.doc_id * 1103515245 + 12345) % 1000000 < 900000),
+        |packed AS (
+        |  SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM train)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  round((cum - ((cum - n_tokens) // 512) * 512) / 512.0, 4) AS seq_fill
+        |FROM packed ORDER BY doc_id""".stripMargin,
+    // the near-dedup pipeline twin: e2e's chain with the dedup stage as a
+    // recursive CTE over the exact-verified word-3-gram Jaccard edge set
+    // (same construction as q_dedup_cluster_lsh's oracle, restricted to the
+    // quality survivors)
+    "q_pipeline_near" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 97 <> 0),
+        |q AS (
+        |  SELECT doc_id, source, text, t, len(t) AS n_tokens,
+        |    CAST(length(text) AS DOUBLE) / len(t) AS atl,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS div
+        |  FROM base),
+        |keep_q AS (
+        |  SELECT doc_id, source, text, t, n_tokens FROM q
+        |  WHERE n_tokens BETWEEN 20 AND 80 AND atl BETWEEN 2.0 AND 10.0 AND div >= 0.45),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END AS grams
+        |  FROM keep_q),
+        |pairs AS (
+        |  SELECT l.doc_id AS doc1, r.doc_id AS doc2
+        |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+        |  WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(l.grams, r.grams))), 4) >= 0.5),
+        |edges AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM pairs
+        |  UNION ALL SELECT doc2, doc1 FROM pairs),
+        |cc AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM keep_q
+        |  UNION
+        |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id),
+        |comp AS (
+        |  SELECT id AS doc_id, min(comp) AS component FROM cc GROUP BY id),
+        |dedup AS (
+        |  SELECT k.doc_id, k.source, k.text, k.t, k.n_tokens
+        |  FROM keep_q k JOIN comp c ON k.doc_id = c.doc_id AND k.doc_id = c.component),
         |g AS (
         |  SELECT doc_id, UNNEST(list_distinct(list_transform(
         |    range(greatest(len(t) - 4, 0)), i -> array_to_string(t[i + 1 : i + 5], ' ')))) AS g
