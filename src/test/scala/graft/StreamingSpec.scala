@@ -470,6 +470,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "streamed rows diverge from the batch twin")
   }
 
+  test("HDF5 (NetCDF-4) drop dir streams new containers as micro-batches") {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.{GridSource, SourceQueries}
+    val dir = Files.createTempDirectory("graft-nc4-stream").toFile.getAbsolutePath
+    // seed: the chunked shuffle+deflate container; the later drop is the
+    // contiguous twin — both decode through the HDF5 subset codec
+    Files.copy(Paths.get(SourceQueries.nc4Dir, "tasmax.nc4"),
+      Paths.get(dir, "tasmax.nc4"))
+    val q = spark.readStream.format(classOf[GridSource].getName)
+      .option("path", dir).load()
+      .filter(col("y") < 5) // pushdown applies to streamed HDF5 cubes too
+      .writeStream.format("memory").queryName("nc4_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table("nc4_stream").count()
+      assert(afterFirst == 8L * 5 * 30)
+      Files.copy(Paths.get(SourceQueries.nc4Dir, "tasmin.nc4"),
+        Paths.get(dir, "tasmin.nc4"))
+      q.processAllAvailable()
+      val streamed = spark.table("nc4_stream")
+        .select("variable", "ts", "y", "x", "value").collect().toSet
+      assert(streamed.size > afterFirst, "second HDF5 container never arrived")
+      // accumulated stream = the batch read of the final dir, row for row
+      val batch = spark.read.format(classOf[GridSource].getName)
+        .option("path", dir).load()
+        .filter(col("y") < 5)
+        .select("variable", "ts", "y", "x", "value").collect().toSet
+      assert(streamed == batch, "streamed HDF5 rows diverge from the batch twin")
+    } finally q.stop()
+  }
+
+  test("format-migrated stream: an HDF5 container arriving in a classic .nc dir is sniffed per file") {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.{GridSource, SourceQueries}
+    val dir = Files.createTempDirectory("graft-nc-migr").toFile.getAbsolutePath
+    Files.copy(Paths.get(SourceQueries.ncDir, "tasmax.nc"),
+      Paths.get(dir, "tasmax.nc"))
+    val q = spark.readStream.format(classOf[GridSource].getName)
+      .option("path", dir).load()
+      .filter(col("y") < 5)
+      .writeStream.format("memory").queryName("nc_migr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table("nc_migr").count()
+      assert(afterFirst == 8L * 5 * 30)
+      // the archive migrated formats mid-stream: the same grid, HDF5 bytes.
+      // NcIo sniffs the magic per file, so the arrival is just a new cube
+      Files.copy(Paths.get(SourceQueries.nc4Dir, "tasmin.nc4"),
+        Paths.get(dir, "tasmin.nc4"))
+      q.processAllAvailable()
+      val streamed = spark.table("nc_migr")
+        .select("variable", "ts", "y", "x", "value").collect().toSet
+      val batch = spark.read.format(classOf[GridSource].getName)
+        .option("path", dir).load()
+        .filter(col("y") < 5)
+        .select("variable", "ts", "y", "x", "value").collect().toSet
+      assert(streamed.exists(_.getString(0) == "tasmin"),
+        "migrated-format container was dropped from the stream")
+      assert(streamed == batch, "mixed-container stream diverges from the batch twin")
+    } finally q.stop()
+  }
+
   test("streaming ingest leaves small files; compaction maintenance preserves rows") {
     implicit val sqlCtx = spark.sqlContext
     // the production sequence the compaction op exists for: micro-batch
