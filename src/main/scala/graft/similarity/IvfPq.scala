@@ -74,6 +74,15 @@ object IvfPq {
       cents: Seq[Array[Double]], cb: Pq.Codebooks): DataFrame =
     index.unionByName(encode(shard, cents, cb))
 
+  /** [[appendShard]] for the residual-encoded index: same frozen-codebook
+    * shard-only cost, same accumulating mixed-cell partitions (and the same
+    * [[compactIndex]] cure — it re-clusters by `cid` and never decodes, so
+    * it is encoding-agnostic).
+    */
+  def appendShardResidual(index: DataFrame, shard: DataFrame,
+      cents: Seq[Array[Double]], cbr: Pq.Codebooks): DataFrame =
+    index.unionByName(encodeResidual(shard, cents, cbr))
+
   /** Storage maintenance for the composed index — the ANN twin of
     * [[graft.operators.Scale.compactParquet]]: one shuffle re-clusters the
     * accumulated shard appends by cell so the probe-time `cid` filter goes

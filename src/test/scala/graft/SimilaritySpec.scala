@@ -190,6 +190,14 @@ class SimilaritySpec extends AnyFunSuite {
       graft.similarity.IvfPq.encode(corpus, cents, cb), shard, cents, cb)
     assert(combined2.orderBy("vec_id").collect()
       .sameElements(graft.similarity.IvfPq.encode(emb, cents, cb).orderBy("vec_id").collect()))
+    // ...and so does the residual (IVFADC-proper) variant
+    val (rcents, rcbr) = Similarity.prepareIvfPqResIndex(spark, TestSpark.sf)
+    val combined3 = graft.similarity.IvfPq.appendShardResidual(
+      graft.similarity.IvfPq.encodeResidual(corpus, rcents, rcbr), shard, rcents, rcbr)
+    assert(combined3.orderBy("vec_id").collect()
+      .sameElements(graft.similarity.IvfPq.encodeResidual(emb, rcents, rcbr)
+        .orderBy("vec_id").collect()),
+      "residual appendShard diverged from full re-encode")
     index.unpersist()
   }
 
