@@ -287,6 +287,29 @@ class Hdf5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("checksum mismatch"))
   }
 
+  test("fractal heap: non-doubling allocated-managed-space is rejected (checksum-valid corruption)") {
+    val p = tmp("alloc-bad.h5")
+    val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
+    Hdf5.write(p, Seq(
+      WDataset("time", I32, Seq(T), Array.tabulate(T)(_.toDouble)),
+      WDataset("temp", F32, Seq(T, Y, X), data, chunkDims = Some(Seq(2, 3, 3)))),
+      latest = true, denseRoot = true)
+    // patch Allocated Managed Space (FRHP+54) to 3× the starting block size
+    // (libhdf5 only ever doubles) and RECOMPUTE the lookup3 checksum, so the
+    // inconsistency is exactly the kind no checksum can catch downstream
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val frhp = bytes.indexOfSlice("FRHP".getBytes)
+    assert(frhp > 0, "no FRHP in dense-root file")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val startSize = bb.getLong(frhp + 112) // after the 12-long field run + width
+    bb.putLong(frhp + 54, startSize * 3)
+    bb.putInt(frhp + 142, Hdf5.lookup3(
+      java.util.Arrays.copyOfRange(bytes, frhp, frhp + 142)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException](Hdf5.open(p))
+    assert(e.getMessage.contains("power-of-two doubling"), e.getMessage)
+  }
+
   test("fletcher32 detects chunk corruption") {
     val p = tmp("sum.h5")
     val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
