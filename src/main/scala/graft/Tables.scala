@@ -20,17 +20,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  /** `events.ts` is nanosecond-precision parquet, which Spark's TimestampType
-    * (µs) cannot read natively. Read ns as long and floor-divide to µs — the
-    * same truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so
-    * oracle comparisons on derived timestamps agree. Integer `DIV` keeps the
-    * conversion exact (ns epochs exceed double's 2^53 integer range).
+  /** `events.ts` has shipped as three physical parquet types across fixture
+    * regenerations: TIMESTAMP(NANOS) (read as long under
+    * `nanosAsLong`), TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ), and plain TIMESTAMP(MICROS). Branch on the column's
+    * actual dataType so a fixture regeneration can't silently break every
+    * downstream consumer again (round-12/13 postmortem): every branch
+    * normalizes to session-tz TimestampType, which under the UTC sessions all
+    * entrypoints build matches DuckDB's naive read of the same file.
+    *   - long (ns): floor-divide to µs — the truncation DuckDB applies for
+    *     TIMESTAMP_NS → TIMESTAMP; integer `DIV` stays exact (ns epochs
+    *     exceed double's 2^53 integer range).
+    *   - TIMESTAMP_NTZ (µs): cast; under UTC the micros are unchanged.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unhandled parquet type $other — update Tables.events")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -62,8 +62,18 @@ object Dedup extends QueryModule {
     array((0 until n).map(i =>
       array_min(transform(shingles, sh => xxhash64(lit(i), sh)))): _*)
 
-  /** LSH band hashes: one hash per band of `rows` signature components. */
+  /** LSH band hashes: one hash per band of `rows` signature components.
+    * Single-loop native expression — the compositional fan (kept below as
+    * the parity twin) generated `bands × rows` element_at/xxhash64 bodies
+    * and pushed dedup projections past Janino's 64 KB method limit,
+    * silently falling back to interpreted eval on the hot path.
+    */
   def bandHashes(sig: Column, rows: Int = BandRows, n: Int = NumPerms): Column =
+    graft.functions.MinHashFunctions.band_hashes(sig, rows, n)
+
+  /** Compositional reference form of [[bandHashes]], kept for the parity
+    * test (DedupSpec asserts the native expression is bit-identical). */
+  def bandHashesCompositional(sig: Column, rows: Int = BandRows, n: Int = NumPerms): Column =
     array((0 until n / rows).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*).as("bh"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputT
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, TypeBridge}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 
 /** All `numPerms` MinHash signature components in ONE pass over the shingle
   * array (Broder '97). Bit-identical to the compositional form
@@ -75,8 +75,75 @@ case class MinHashSignature(child: Expression, numPerms: Int) extends UnaryExpre
   override def prettyName: String = "minhash_signature"
 }
 
+/** All LSH band hashes of a minhash signature in ONE loop. Bit-identical to
+  * the compositional form
+  * `array((0 until n/rows).map(b => struct(b, xxhash64(sig[b*rows+1] ..
+  * sig[b*rows+rows]))))` — Spark's n-ary `xxhash64` folds
+  * `h = XXH64.hashLong(child, h)` left-to-right from seed 42, reproduced
+  * here (DedupSpec asserts parity).
+  *
+  * Why an expression: the compositional fan is `bands` structs × (`rows`
+  * `element_at` + an `xxhash64`) of generated code, and inside the dedup
+  * pipeline's wider projections it pushed the codegen unit past the JVM's
+  * 64 KB method limit — Janino's `InternalCompilerException: Code grows
+  * beyond 64 KB` dropped the whole signature stage to interpreted mode (a
+  * constant-factor regression on the 100-TB hot path). One loop keeps the
+  * generated method tiny no matter how many bands.
+  */
+case class BandHashes(child: Expression, bandRows: Int, numPerms: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  private val bands = numPerms / bandRows
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bh", LongType, nullable = false))),
+    containsNull = false)
+  override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(ArrayType(LongType))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var r = 0
+      while (r < bandRows) { h = XXH64.hashLong(a.getLong(b * bandRows + r), h); r += 1 }
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(b, h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out"); val b = ctx.freshName("b")
+      val r = ctx.freshName("r"); val h = ctx.freshName("h")
+      s"""
+         |Object[] $out = new Object[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = 42L;
+         |  for (int $r = 0; $r < $bandRows; $r++) {
+         |    $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+         |      $a.getLong($b * $bandRows + $r), $h);
+         |  }
+         |  $out[$b] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { $b, $h });
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "band_hashes"
+}
+
 object MinHashFunctions {
   /** Signature of an `array<bigint>` shingle-hash column. */
   def minhash_signature(shingleHashes: Column, numPerms: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingleHashes), numPerms))
+
+  /** LSH band keys `array<struct<band:int, bh:bigint>>` of a signature. */
+  def band_hashes(sig: Column, bandRows: Int, numPerms: Int): Column =
+    ColumnBridge.column(BandHashes(ColumnBridge.expression(sig), bandRows, numPerms))
 }

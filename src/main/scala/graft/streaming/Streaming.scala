@@ -110,13 +110,27 @@ object Streaming extends QueryModule {
   /** events as a file-source stream (same ns→µs conversion as Tables.events). */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // readStream needs an explicit schema, and the fixture's physical ts type
+    // has drifted across regenerations (ns-as-long / µs NTZ / µs TZ — see
+    // Tables.events). Sniff the actual type with a batch footer read (driver
+    // metadata only, no data scan) so the stream schema matches the file and
+    // the normalization mirrors the batch loader exactly.
+    val tsType = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // file-stream sources take a directory; select the events file by glob
-    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unhandled parquet type $other — update Streaming.eventsStream")
+    }
   }
 
   /** Streaming tumbling aggregation with a 10-minute watermark: late events

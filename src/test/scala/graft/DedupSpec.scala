@@ -225,4 +225,17 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { case (id, fast, ref) => assert(fast == ref, s"doc $id") }
   }
+
+  test("single-loop BandHashes expression is bit-identical to the compositional form") {
+    val sigs = Dedup.signatures(docs)
+    val rows = sigs.select(col("doc_id"),
+      Dedup.bandHashes(col("sig")).as("fast"),
+      Dedup.bandHashesCompositional(col("sig")).as("ref"))
+      .as[(Long, Seq[(Int, Long)], Seq[(Int, Long)])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, fast, ref) =>
+      assert(fast.length == Dedup.NumPerms / Dedup.BandRows, s"doc $id band count")
+      assert(fast == ref, s"doc $id")
+    }
+  }
 }
