@@ -254,18 +254,11 @@ object Dedup extends QueryModule {
     */
   def simhashCandidates(fpTable: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 12, s"maxDist $maxDist out of range")
-    val b = maxDist + 3
-    val widths = (0 until b).map(i => 64 / b + (if (i < 64 % b) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    // arithmetic shiftright sign-extends the top block; the width mask strips it
-    def block(i: Int): Column =
-      shiftright(col("fp"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
-    val keys = array((0 until b).combinations(3).toSeq.zipWithIndex.map {
-      case (c, gi) =>
-        struct(lit(gi).as("g"),
-          c.foldLeft(lit(0L): Column) { (acc, bi) =>
-            shiftleft(acc, widths(bi)).bitwiseOR(block(bi)) }.as("k"))
-    }: _*)
+    // single-loop native expression — the compositional 20-struct key fan
+    // (kept below as the parity twin) overflowed whole-stage codegen's 64 KB
+    // method limit inside the candidate join, dropping the stage to
+    // interpreted eval
+    val keys = graft.functions.SimHashFunctions.simhash_block_keys(col("fp"), maxDist)
     val keyed = fpTable.select(col("doc_id"), col("fp"), explode(keys).as("gk"))
       .select(col("gk.g").as("g"), col("gk.k").as("k"), col("doc_id"), col("fp"))
     val l = keyed.select(col("g"), col("k"), col("doc_id").as("doc1"), col("fp").as("fp1"))
@@ -274,6 +267,24 @@ object Dedup extends QueryModule {
       .select(col("doc1"), col("doc2"),
         bit_count(col("fp1").bitwiseXOR(col("fp2"))).as("hamming"))
       .distinct()
+  }
+
+  /** Compositional reference form of the pigeonhole combination keys, kept
+    * for the parity test (DedupSpec asserts `SimHashBlockKeys` is
+    * bit-identical). */
+  def simhashBlockKeysCompositional(fp: Column, maxDist: Int = 3): Column = {
+    val b = maxDist + 3
+    val widths = (0 until b).map(i => 64 / b + (if (i < 64 % b) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    // arithmetic shiftright sign-extends the top block; the width mask strips it
+    def block(i: Int): Column =
+      shiftright(fp, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    array((0 until b).combinations(3).toSeq.zipWithIndex.map {
+      case (c, gi) =>
+        struct(lit(gi).as("g"),
+          c.foldLeft(lit(0L): Column) { (acc, bi) =>
+            shiftleft(acc, widths(bi)).bitwiseOR(block(bi)) }.as("k"))
+    }: _*)
   }
 
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =

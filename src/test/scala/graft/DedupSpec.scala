@@ -226,6 +226,23 @@ class DedupSpec extends AnyFunSuite {
     rows.foreach { case (id, fast, ref) => assert(fast == ref, s"doc $id") }
   }
 
+  test("single-loop SimHashBlockKeys expression is bit-identical to the compositional form") {
+    for (maxDist <- Seq(1, 3, 8)) {
+      val fps = Dedup.simhashTable(docs)
+      val rows = fps.select(col("doc_id"),
+        graft.functions.SimHashFunctions.simhash_block_keys(col("fp"), maxDist).as("fast"),
+        Dedup.simhashBlockKeysCompositional(col("fp"), maxDist).as("ref"))
+        .as[(Long, Seq[(Int, Long)], Seq[(Int, Long)])].collect()
+      assert(rows.nonEmpty)
+      val b = maxDist + 3
+      val expectGroups = (0 until b).combinations(3).size
+      rows.foreach { case (id, fast, ref) =>
+        assert(fast.length == expectGroups, s"doc $id group count at maxDist=$maxDist")
+        assert(fast == ref, s"doc $id at maxDist=$maxDist")
+      }
+    }
+  }
+
   test("single-loop BandHashes expression is bit-identical to the compositional form") {
     val sigs = Dedup.signatures(docs)
     val rows = sigs.select(col("doc_id"),
