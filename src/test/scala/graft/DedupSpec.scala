@@ -77,12 +77,21 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("hash expressions: interpreted eval agrees with codegen") {
-    def run(): (Map[Long, Long], Map[Long, Seq[Long]]) = {
+    def run(): (Map[Long, Long], Map[Long, Seq[Long]],
+        Map[Long, Seq[(Int, Long)]], Map[Long, Seq[(Int, Long)]]) = {
       val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
         .as[(Long, Long)].collect().toMap
       val sig = Dedup.signatures(docs).select("doc_id", "sig")
         .as[(Long, Seq[Long])].collect().toMap
-      (fp, sig)
+      val bands = Dedup.signatures(docs)
+        .select(col("doc_id"), Dedup.bandHashes(col("sig")).as("b"))
+        .as[(Long, Seq[(Int, Long)])].collect().toMap
+      val keys = docs
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+        .select(col("doc_id"),
+          graft.functions.SimHashFunctions.simhash_block_keys(col("fp"), 3).as("k"))
+        .as[(Long, Seq[(Int, Long)])].collect().toMap
+      (fp, sig, bands, keys)
     }
     val gen = run()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
