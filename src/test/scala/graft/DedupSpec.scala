@@ -235,6 +235,20 @@ class DedupSpec extends AnyFunSuite {
     rows.foreach { case (id, fast, ref) => assert(fast == ref, s"doc $id") }
   }
 
+  test("BandHashes and SimHashBlockKeys compile under CODEGEN_ONLY") {
+    // CODEGEN_ONLY turns a silent interpreted fallback into a hard failure
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val bands = Dedup.signatures(docs)
+        .select(Dedup.bandHashes(col("sig")).as("b")).collect()
+      assert(bands.nonEmpty)
+      val keys = docs.select(Dedup.simhash(col("text")).as("fp"))
+        .select(graft.functions.SimHashFunctions.simhash_block_keys(col("fp"), 3).as("k"))
+        .collect()
+      assert(keys.nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("single-loop SimHashBlockKeys expression is bit-identical to the compositional form") {
     for (maxDist <- Seq(1, 3, 8)) {
       val fps = Dedup.simhashTable(docs)
