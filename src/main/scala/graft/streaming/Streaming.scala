@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 import graft.{QueryModule, Tables => T}
 
@@ -237,6 +237,78 @@ object Streaming extends QueryModule {
           if (st != null) state.update(st)
           out.iterator
       }
+  }
+
+  /** Sessionization as a `StatefulProcessor` (the `transformWithState` API,
+    * Spark 4.x): same gap semantics as [[sessionize]], plus the piece
+    * `flatMapGroupsWithState` cannot express — an EVENT-TIME TIMER at
+    * `last + gap` per open session, so a session closes and emits when the
+    * WATERMARK passes its gap, not only when a later event for the same key
+    * happens to arrive. On an idle key (the common case in a real event
+    * stream: most users stop clicking) the fMGWS version holds state and
+    * emits nothing forever; this one emits the session and clears its state
+    * the moment the stream's event time moves on — bounded state by
+    * construction at 100 TB/day. Requires the RocksDB state-store provider
+    * (timers + column families), which is how a 1000-executor deployment
+    * runs stateful streaming anyway.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, UserSession] {
+    @transient private var state: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      var st = if (state.exists()) state.get() else null
+      // one live timer per key: drop the previous batch's before re-arming
+      if (st != null) getHandle.deleteTimer(st.last + gapMs)
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        if (st == null) st = SessionState(t, t, 1)
+        else if (t - st.last > gapMs) {
+          out += UserSession(userId, new java.sql.Timestamp(st.start),
+            new java.sql.Timestamp(st.last + gapMs), st.n.toLong)
+          st = SessionState(t, t, 1)
+        } else st = SessionState(st.start, t, st.n + 1)
+      }
+      if (st != null) {
+        state.update(st)
+        getHandle.registerTimer(st.last + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[UserSession] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val st = state.get()
+        // a stale timer (state advanced, old timer already fired) emits nothing
+        if (st.last + gapMs != expired.getExpiryTimeInMs) Iterator.empty
+        else {
+          state.clear()
+          Iterator.single(UserSession(userId, new java.sql.Timestamp(st.start),
+            new java.sql.Timestamp(st.last + gapMs), st.n.toLong))
+        }
+      }
+    }
+  }
+
+  /** [[SessionProcessor]] over a watermarked stream: the timer-closing twin
+    * of [[sessionize]] (StreamingSpec drives both and checks agreement with
+    * the batch `session_window` result).
+    */
+  def sessionizeTws(events: Dataset[Event], gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Batch twin of `dedupedStream` (dropDuplicatesWithinWatermark): the

@@ -626,4 +626,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(custom.subsetOf(builtin), "custom sessions disagree with session_window")
     assert(custom.nonEmpty)
   }
+
+  test("transformWithState sessionizer closes idle sessions via event-time timers") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store (timers + column
+    // families) — the provider a production cluster runs anyway
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streaming.Event]
+      val q = Streaming.sessionizeTws(mem.toDS())
+        .writeStream.format("memory").queryName("tws_out").outputMode("append").start()
+      def t(m: String) = java.sql.Timestamp.valueOf(m)
+      mem.addData(
+        Streaming.Event(1, t("2024-01-01 10:00:00"), 1),
+        Streaming.Event(2, t("2024-01-01 10:10:00"), 1),
+        Streaming.Event(3, t("2024-01-01 12:00:00"), 1),   // breaks user 1's gap
+        Streaming.Event(4, t("2024-01-01 10:05:00"), 2))   // user 2 then goes idle
+      q.processAllAvailable()
+      // sentinel user far ahead: the WATERMARK (not a later same-key event)
+      // passes every open session's gap — the case fMGWS can never emit
+      mem.addData(Streaming.Event(99, t("2024-01-02 00:00:00"), 999))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("tws_out").as[Streaming.UserSession].collect()
+        .map(s => (s.user_id, s.session_start.toString, s.session_end.toString,
+          s.n_events)).toSet
+      assert(out == Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L),
+        (1L, "2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L),
+        (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:35:00.0", 1L)), out)
+      // the sentinel's own session stays open (watermark never passes it)
+      assert(!out.exists(_._1 == 999L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
