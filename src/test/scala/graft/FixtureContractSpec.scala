@@ -44,13 +44,49 @@ class FixtureContractSpec extends AnyFunSuite {
       s"events.ts epoch range [$lo, $hi] implausible — unit conversion bug?")
   }
 
-  test("core tables load with the column names the query registry uses") {
+  test("all 10 harness tables load with the column sets the query registry uses") {
     val contracts: Seq[(String, org.apache.spark.sql.DataFrame, Seq[String])] = Seq(
-      ("events", Tables.events(spark, sf), Seq("ts", "user_id", "event_type")),
-      ("documents", Tables.documents(spark, sf), Seq("doc_id", "text")),
-      ("embeddings", Tables.embeddings(spark, sf), Seq("vec_id", "embedding")),
-      ("lineitem", Tables.lineitem(spark, sf), Seq("l_orderkey", "l_quantity")))
+      ("region", Tables.region(spark, sf), Seq("r_regionkey", "r_name")),
+      ("nation", Tables.nation(spark, sf), Seq("n_nationkey", "n_name", "n_regionkey")),
+      ("customer", Tables.customer(spark, sf),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+      ("supplier", Tables.supplier(spark, sf),
+        Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
+      ("part", Tables.part(spark, sf),
+        Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")),
+      ("orders", Tables.orders(spark, sf),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")),
+      ("lineitem", Tables.lineitem(spark, sf),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+          "l_shipdate")),
+      ("events", Tables.events(spark, sf),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
+      ("documents", Tables.documents(spark, sf),
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
+      ("embeddings", Tables.embeddings(spark, sf),
+        Seq("vec_id", "embedding", "label")))
     for ((name, df, cols) <- contracts; c <- cols)
       assert(df.columns.contains(c), s"$name lost contract column $c")
+  }
+
+  test("date-like columns stay timestamp-family (orders, lineitem)") {
+    // o_orderdate / l_shipdate have shipped as timestamp[us]; queries compare
+    // them against timestamp literals, so a regeneration to DATE or string
+    // must fail here first
+    def tsFamily(dt: DataType) = dt == TimestampType || dt == TimestampNTZType
+    assert(tsFamily(Tables.orders(spark, sf).schema("o_orderdate").dataType))
+    assert(tsFamily(Tables.lineitem(spark, sf).schema("l_shipdate").dataType))
+  }
+
+  test("embeddings.embedding is array<float> with a consistent dimension") {
+    val emb = Tables.embeddings(spark, sf)
+    assert(emb.schema("embedding").dataType === ArrayType(FloatType, containsNull = true) ||
+      emb.schema("embedding").dataType === ArrayType(FloatType, containsNull = false),
+      s"embedding regenerated as ${emb.schema("embedding").dataType}")
+    import org.apache.spark.sql.functions._
+    val dims = emb.select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+    assert(dims.length == 1 && dims.head > 0, s"ragged embedding dims: ${dims.mkString(",")}")
   }
 }
