@@ -163,6 +163,55 @@ object Multimodal extends QueryModule {
       .toDF()
   }
 
+  case class Thumb(asset_id: Long, out_w: Int, out_h: Int, thumb_csv: String)
+
+  /** Integer box-average resize to `outW`×`outH` — the thumbnail step every
+    * multimodal ingest runs between decode and feature extraction. Each
+    * SOURCE pixel maps to output cell `(y*outH/h, x*outW/w)`; each cell
+    * emits `floor(sum / count)`. Integer arithmetic end to end, so the
+    * DuckDB oracle reproduces every thumbnail pixel from the generating
+    * formula without ever parsing PNG. Same mapPartitions shape as
+    * [[decodeImages]]: one decoder per partition, rows streamed, pure scan
+    * at 100 TB (no shuffle — the downscale is per-row).
+    */
+  def resizeImages(assetsDf: DataFrame, outW: Int = 4, outH: Int = 4): DataFrame = {
+    val s = assetsDf.sparkSession
+    import s.implicits._
+    assetsDf.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"asset $id: payload is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          require(w >= outW && h >= outH,
+            s"asset $id: $w x $h smaller than thumb $outW x $outH")
+          val sums = new Array[Long](outW * outH)
+          val counts = new Array[Long](outW * outH)
+          var y = 0
+          while (y < h) {
+            val oy = y * outH / h
+            var x = 0
+            while (x < w) {
+              val cell = oy * outW + x * outW / w
+              sums(cell) += (img.getRGB(x, y) & 0xff) // gray: R==G==B
+              counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val sb = new java.lang.StringBuilder(outW * outH * 4)
+          var i = 0
+          while (i < outW * outH) {
+            if (i > 0) sb.append(',')
+            sb.append(sums(i) / counts(i))
+            i += 1
+          }
+          Thumb(id, outW, outH, sb.toString)
+        }
+      }.toDF()
+  }
+
   /** Real audio decode output: PCM stream properties plus exact integer
     * aggregates of the samples (sum of squares as a long — bounded by
     * clip-length × 2³⁰, far inside exact range — and peak amplitude), so
@@ -423,6 +472,16 @@ object Multimodal extends QueryModule {
   private def qMmFrames(s: SparkSession, d: String): DataFrame =
     sampleFrames(assets(s, d)).orderBy("asset_id", "frame_id")
 
+  /** Decode → integer box-average thumbnail, oracle-checked per thumbnail
+    * pixel: JDK ImageIO + the box average in Spark vs DuckDB evaluating the
+    * generating pixel formula and the same box average directly.
+    */
+  private def qMmResize(s: SparkSession, d: String): DataFrame =
+    resizeImages(cached(s, "png", d)(pngAssets(s, d)))
+      .select(col("asset_id"), col("out_w"), col("out_h"),
+        md5(col("thumb_csv")).as("thumb_md5"))
+      .orderBy("asset_id")
+
   /** Sampled-video-frame decode round-trip, oracle-checked per pixel of
     * every SAMPLED frame: GFV1 index → slice every 4th frame → JDK ImageIO,
     * vs DuckDB evaluating the generating formula. The unsampled 75% of
@@ -452,13 +511,32 @@ object Multimodal extends QueryModule {
     "q_mm_decode" -> qMmDecode,
     "q_mm_audio" -> qMmAudio,
     "q_mm_video" -> qMmVideo,
-    "q_mm_frames" -> qMmFrames
+    "q_mm_frames" -> qMmFrames,
+    "q_mm_resize" -> qMmResize
   )
 
   val oracleSql: Map[String, String] = Map(
     // the oracle never parses PNG: it evaluates the same closed-form pixel
     // function the generator used, so a hash match proves encoder+decoder
     // round-tripped every pixel of every asset
+    // same construction for the thumbnail: evaluate the pixel formula, map
+    // each source pixel to its 4x4 cell, floor-average — a hash match proves
+    // decode + box-average round-tripped every thumbnail pixel
+    "q_mm_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 7) % 9) AS h
+        |  FROM documents),
+        |vals AS (
+        |  SELECT doc_id, w, h, (i // w) AS y, (i % w) AS x,
+        |    (doc_id * 31 + i * 7) % 251 AS v
+        |  FROM dims, unnest(range(0, w * h)) AS t(i)),
+        |cells AS (
+        |  SELECT doc_id, (y * 4) // h AS oy, (x * 4) // w AS ox,
+        |    SUM(v) // COUNT(*) AS tv
+        |  FROM vals GROUP BY 1, 2, 3)
+        |SELECT doc_id AS asset_id, CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+        |  md5(string_agg(CAST(tv AS VARCHAR), ',' ORDER BY oy, ox)) AS thumb_md5
+        |FROM cells GROUP BY doc_id ORDER BY asset_id""".stripMargin,
     "q_mm_decode" ->
       """WITH dims AS (
         |  SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 7) % 9) AS h

@@ -108,6 +108,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal resize: integer box-average thumbnail matches a naive recompute") {
+    val thumbs = graft.multimodal.Multimodal
+      .resizeImages(graft.multimodal.Multimodal.pngAssets(spark, TestSpark.sf))
+      .as[graft.multimodal.Multimodal.Thumb].collect()
+    assert(thumbs.nonEmpty)
+    thumbs.foreach { t =>
+      val id = t.asset_id
+      val w = (8 + id % 9).toInt; val h = (8 + (id * 7) % 9).toInt
+      val sums = Array.fill(16)(0L); val counts = Array.fill(16)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cell = (y * 4 / h) * 4 + (x * 4 / w)
+        sums(cell) += ((id * 31 + (y * w + x).toLong * 7) % 251)
+        counts(cell) += 1
+      }
+      val expected = (0 until 16).map(i => sums(i) / counts(i)).mkString(",")
+      assert(t.out_w == 4 && t.out_h == 4)
+      assert(t.thumb_csv == expected, s"thumb mismatch for asset $id")
+    }
+  }
+
   test("multimodal WAV round-trip: our encoder -> JDK javax.sound decoder, per-sample") {
     import graft.multimodal.{Multimodal, Wav}
     // hand-made clip through both codecs: exact sample recovery
