@@ -117,6 +117,7 @@ object Dedup extends QueryModule {
       .count()
     simhashTableCached(s, d)
     corpusSigsCached(s, d)
+    containmentIndexCached(s, d)
   }
 
   /** SimHash fingerprints as warmed ingest-time state, the simhash twin of
@@ -467,6 +468,64 @@ object Dedup extends QueryModule {
       .orderBy("doc1", "doc2")
   }
 
+  /** Containment dedup: pairs where nearly all of the SMALLER doc's word
+    * 3-gram shingles appear in the other (`shared / min(|A|,|B|) ≥ 0.8`) —
+    * the doc-in-doc detector (quotes, boilerplate supersets) that Jaccard
+    * banding structurally misses: a small doc inside a huge one has high
+    * containment but near-zero Jaccard, so MinHash LSH never buckets the
+    * pair. Candidate generation is a shingle INVERTED INDEX with posting
+    * pruning: shingles appearing in more than `maxDf` docs are boilerplate
+    * (stop-shingles) and are dropped from BOTH numerator and denominator, so
+    * the self-join on shingle is bounded by `Σ_g df(g)²` with `df ≤ maxDf` —
+    * candidate-linear, never all-pairs, and each posting list is skew-capped
+    * by construction. At 100 TB the df table is the same rollup every
+    * inverted index maintains at ingest.
+    */
+  /** The df-gated shingle inverted index as warmed ingest-time state (the
+    * same decision as the signature/fingerprint caches): ONE hash aggregate
+    * on shingle yields (df, posting list); the df ≤ maxDf gate drops
+    * boilerplate stop-shingles, so retained posting lists hold ≤ maxDf ids —
+    * bounded state. (On an adversarial corpus where one shingle spans
+    * millions of docs, gate df with a pre-count before collecting lists;
+    * this corpus' max df is bounded by template fan-out.)
+    */
+  def containmentIndexCached(s: SparkSession, d: String, maxDf: Int = 20): DataFrame =
+    graft.PersistedCache(s, ("containment-postings", d, maxDf)) {
+      val grams = expr(
+        "array_distinct(transform(sequence(1, size(t) - 2), i -> array_join(slice(t, i, 3), ' ')))")
+      T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ds"))
+        .filter(col("df") <= maxDf)
+    }
+
+  private def qContainment(s: SparkSession, d: String): DataFrame = {
+    val n = containmentIndexCached(s, d)
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // pairs are generated INSIDE each posting list (no self-join): pair
+    // volume is Σ_g df(g)² with df ≤ maxDf — candidate-linear, never
+    // all-pairs, and skew-capped per shingle by the df gate
+    val pairs = containmentIndexCached(s, d)
+      .select(explode(expr(
+        "flatten(transform(ds, a -> transform(filter(ds, b -> b > a), " +
+          "b -> struct(a AS doc1, b AS doc2))))")).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("shared"))
+    // the per-doc kept-shingle counts are doc-count-sized → broadcast
+    pairs
+      .join(broadcast(n.select(col("doc_id").as("doc1"), col("n_sh").as("n1"))), "doc1")
+      .join(broadcast(n.select(col("doc_id").as("doc2"), col("n_sh").as("n2"))), "doc2")
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("n1"), col("n2")), 4))
+      .filter(col("containment") >= 0.8)
+      .select("doc1", "doc2", "shared", "containment")
+      .orderBy("doc1", "doc2")
+  }
+
   /** Near-dup pairs → dedup clusters: the sampled 4-gram Jaccard pairs
     * (threshold 0.3) become edges; connected components assign every sampled
     * doc its cluster (= smallest member id; unclustered docs are their own).
@@ -537,7 +596,8 @@ object Dedup extends QueryModule {
     "q_dedup_near" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_incremental" -> qDedupIncremental,
-    "q_ngram_jaccard" -> qNgramJaccard
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_containment_pairs" -> qContainment
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -628,6 +688,31 @@ object Dedup extends QueryModule {
         |  round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
         |        / len(list_distinct(list_concat(l.grams, r.grams))), 4) AS jaccard
         |FROM g l JOIN g r ON l.source = r.source AND l.doc_id < r.doc_id
+        |ORDER BY doc1, doc2""".stripMargin,
+    // same inverted-index construction: word 3-gram shingles, stop-shingle
+    // pruning at df <= 20, shared count / smaller kept-shingle set
+    "q_containment_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+        |  FROM toks),
+        |keep AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 20),
+        |ksh AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep USING (g)),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM ksh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
+        |  FROM ksh a JOIN ksh b USING (g) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc1, doc2, shared,
+        |  round(CAST(shared AS DOUBLE) / least(n1.n_sh, n2.n_sh), 4) AS containment
+        |FROM pairs
+        |JOIN n n1 ON n1.doc_id = pairs.doc1
+        |JOIN n n2 ON n2.doc_id = pairs.doc2
+        |WHERE round(CAST(shared AS DOUBLE) / least(n1.n_sh, n2.n_sh), 4) >= 0.8
         |ORDER BY doc1, doc2""".stripMargin
   )
 }

@@ -235,6 +235,43 @@ class DedupSpec extends AnyFunSuite {
     rows.foreach { case (id, fast, ref) => assert(fast == ref, s"doc $id") }
   }
 
+  test("containment finds doc-in-doc pairs that Jaccard misses") {
+    // small doc fully quoted inside a much larger doc: containment = 1.0 but
+    // Jaccard is low — the structural blind spot of MinHash-LSH dedup
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = ("padding words one two three four five six seven eight nine ten " +
+      small + " more filler content eleven twelve thirteen fourteen fifteen " +
+      "sixteen seventeen eighteen nineteen twenty twentyone twentytwo")
+    val corpus = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    // same construction as q_containment_pairs, inlined on a tiny corpus
+    // (the declared query's index cache is per (session, dir) — not this df)
+    val grams = org.apache.spark.sql.functions.expr(
+      "array_distinct(transform(sequence(1, size(t) - 2), i -> array_join(slice(t, i, 3), ' ')))")
+    val sh = corpus.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(grams).as("g"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.select(col("g"), col("doc_id").as("doc1"))
+      .join(sh.select(col("g"), col("doc_id").as("doc2")), "g")
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(n.select(col("doc_id").as("doc1"), col("n_sh").as("n1")), "doc1")
+      .join(n.select(col("doc_id").as("doc2"), col("n_sh").as("n2")), "doc2")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n1"), col("n2")))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => ((r._2, r._1), r._6)).toMap
+    assert(out((1L, 2L)) == 1.0, s"doc-in-doc pair not fully contained: $out")
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)),
+      s"unrelated doc produced a containment pair: $out")
+    // and the Jaccard of the contained pair is indeed low (the LSH blind spot)
+    val smallSet = small.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val bigSet = big.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val jac = smallSet.intersect(bigSet).size.toDouble / smallSet.union(bigSet).size
+    assert(jac < 0.2, s"fixture broken: Jaccard $jac not low")
+  }
+
   test("BandHashes and SimHashBlockKeys compile under CODEGEN_ONLY") {
     // CODEGEN_ONLY turns a silent interpreted fallback into a hard failure
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
