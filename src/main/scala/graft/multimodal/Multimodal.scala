@@ -174,41 +174,45 @@ object Multimodal extends QueryModule {
     * [[decodeImages]]: one decoder per partition, rows streamed, pure scan
     * at 100 TB (no shuffle — the downscale is per-row).
     */
+  /** One payload's thumbnail (the per-row body of [[resizeImages]], exposed
+    * for the truncation fuzz): decode fails loudly on undecodable bytes. */
+  def boxThumb(id: Long, bytes: Array[Byte], outW: Int, outH: Int): Thumb = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"asset $id: payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    require(w >= outW && h >= outH,
+      s"asset $id: $w x $h smaller than thumb $outW x $outH")
+    val sums = new Array[Long](outW * outH)
+    val counts = new Array[Long](outW * outH)
+    var y = 0
+    while (y < h) {
+      val oy = y * outH / h
+      var x = 0
+      while (x < w) {
+        val cell = oy * outW + x * outW / w
+        sums(cell) += (img.getRGB(x, y) & 0xff) // gray: R==G==B
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new java.lang.StringBuilder(outW * outH * 4)
+    var i = 0
+    while (i < outW * outH) {
+      if (i > 0) sb.append(',')
+      sb.append(sums(i) / counts(i))
+      i += 1
+    }
+    Thumb(id, outW, outH, sb.toString)
+  }
+
   def resizeImages(assetsDf: DataFrame, outW: Int = 4, outH: Int = 4): DataFrame = {
     val s = assetsDf.sparkSession
     import s.implicits._
     assetsDf.select(col("asset_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val img = ImageIO.read(new ByteArrayInputStream(bytes))
-          require(img != null, s"asset $id: payload is not a decodable image")
-          val w = img.getWidth; val h = img.getHeight
-          require(w >= outW && h >= outH,
-            s"asset $id: $w x $h smaller than thumb $outW x $outH")
-          val sums = new Array[Long](outW * outH)
-          val counts = new Array[Long](outW * outH)
-          var y = 0
-          while (y < h) {
-            val oy = y * outH / h
-            var x = 0
-            while (x < w) {
-              val cell = oy * outW + x * outW / w
-              sums(cell) += (img.getRGB(x, y) & 0xff) // gray: R==G==B
-              counts(cell) += 1
-              x += 1
-            }
-            y += 1
-          }
-          val sb = new java.lang.StringBuilder(outW * outH * 4)
-          var i = 0
-          while (i < outW * outH) {
-            if (i > 0) sb.append(',')
-            sb.append(sums(i) / counts(i))
-            i += 1
-          }
-          Thumb(id, outW, outH, sb.toString)
-        }
+        it.map { case (id, bytes) => boxThumb(id, bytes, outW, outH) }
       }.toDF()
   }
 

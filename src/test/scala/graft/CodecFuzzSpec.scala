@@ -187,6 +187,15 @@ class CodecFuzzSpec extends AnyFunSuite {
       Multimodal.ImageDecoder.decode(1L, java.util.Arrays.copyOfRange(bytes, 0, cut.toInt)))
   }
 
+  test("PNG resize: every truncation fails loudly through the thumbnail path") {
+    val px = Array.tabulate(8 * 6)(i => i * 7 % 251)
+    val bytes = graft.render.Png.encode(8, 6, px)
+    val orig = Multimodal.boxThumb(1L, bytes, 4, 4)
+    assert(orig.thumb_csv.split(",").length == 16)
+    assertLoud("PNG-resize", bytes.length.toLong, orig)(cut =>
+      Multimodal.boxThumb(1L, java.util.Arrays.copyOfRange(bytes, 0, cut.toInt), 4, 4))
+  }
+
   test("WAV payload: every truncation fails loudly through the JDK decoder") {
     val samples = Array.tabulate(300)(i => (math.sin(i * 0.1) * 12000).toShort)
     val bytes = Wav.encode(8000, samples)
