@@ -45,6 +45,7 @@ object Bench {
       sources.SourceQueries.nc4Dir // the NetCDF-4 twin q_grid_nc4 reads
       sources.SourceQueries.nc4LatestDir // latest-format twin (q_grid_nc4_latest)
       sources.SourceQueries.nc4DenseDir // dense-group twin (q_grid_nc4_dense)
+      sources.SourceQueries.nc4MultinodeDir // multi-node chunk b-tree twin
       sources.SourceQueries.ncCurvDir // curvilinear .nc fixture
       similarity.Ivf.assignCached(Tables.embeddings(spark, sfDir), sfDir,
         similarity.Similarity.prepareIvfIndex(spark, sfDir))
@@ -63,12 +64,32 @@ object Bench {
     // reps of one query) so a transient stall hits one pass of many queries,
     // and per-query medians damp it; "queries" carries the medians, "runs"
     // archives every sample for later inspection.
+    // Environment stamp: a 71 s close total and a 34 s same-code archive were
+    // indistinguishable from the JSON alone (r14) — record machine pressure at
+    // run start so a contended sample is explainable from the artifact.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val envStamp = {
+      def r1(d: Double) = math.rint(d * 10) / 10
+      val loadAvg = r1(osBean.getSystemLoadAverage)
+      val freeGb = r1(osBean.getFreeMemorySize / 1073741824.0)
+      val cpuCount = Runtime.getRuntime.availableProcessors
+      s"""{"load_avg":$loadAvg,"free_mem_gb":$freeGb,"cpus":$cpuCount}"""
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
+    // A broken query must never hide behind rc=0: r12/r13's analysis-time
+    // crash benchmarked as a fast -1-ish time and the gate stayed green.
+    // Record the first error per query and exit nonzero if any query errored.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val samples: Seq[Map[String, Double]] = (1 to reps).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(160))
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -88,8 +109,12 @@ object Bench {
     // tail of stdout, and the per-sample runs array pushed the line past it —
     // every BENCH_r*.json came back "parsed": null. The full line, runs
     // included, goes to the dated archive under bench/ instead.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
-    val archiveLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"runs":$runsJson}"""
+    def jsonStr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val errJson = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson,"env":$envStamp}"""
+    val archiveLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson,"env":$envStamp,"runs":$runsJson}"""
     println(line)
     val stamp = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"))
@@ -99,5 +124,9 @@ object Bench {
     java.nio.file.Files.write(archived.toPath, (archiveLine + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] archived ${archived.getPath}")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries errored: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

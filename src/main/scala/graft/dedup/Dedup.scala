@@ -93,9 +93,20 @@ object Dedup extends QueryModule {
   def signatures(docs: DataFrame, numPerms: Int = NumPerms): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), shingleHashesOfTokens(col("toks")).as("shingles"))
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        shingleHashesOfTokens(col("toks")).as("shingles"))
+      .select(col("doc_id"), col("n_toks"), col("shingles"),
         graft.functions.MinHashFunctions.minhash_signature(col("shingles"), numPerms).as("sig"))
+
+  /** THE shared per-corpus signature/shingle table — every consumer of doc
+    * shingles (the LSH cluster queries, the pipeline near-dedup stage, the
+    * containment posting index, the incremental corpus index) derives from
+    * this one cached build instead of re-tokenizing the corpus. Subset
+    * consumers slice it by doc_id (signatures are per-row pure, so a slice
+    * of the corpus table IS the subset's signature table).
+    */
+  def sigsCached(s: SparkSession, d: String): DataFrame =
+    graft.PersistedCache(s, ("minhash-sigs", d))(signatures(T.documents(s, d)))
 
   /** Candidate pairs from LSH banding + exact/estimated Jaccard verification.
     * Returns (doc1, doc2, est_jaccard, jaccard) for pairs with Jaccard ≥ minJ.
@@ -112,11 +123,8 @@ object Dedup extends QueryModule {
     * signature materialization.
     */
   def prepareSignatures(s: SparkSession, d: String): Unit = {
-    signatures(T.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .count()
+    sigsCached(s, d)
     simhashTableCached(s, d)
-    corpusSigsCached(s, d)
     containmentIndexCached(s, d)
   }
 
@@ -153,6 +161,19 @@ object Dedup extends QueryModule {
     val sigs =
       if (ownsCache) sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigsPlan
+    val out = minhashPairsOf(sigs, minJ, numPerms, bandRows)
+    if (ownsCache) sigs.unpersist()
+    out
+  }
+
+  /** [[minhashPairs]] from a PREBUILT signature table in the [[signatures]]
+    * schema — [[sigsCached]] itself, or a doc_id-restricted slice of it when
+    * deduping a subset (slices stay valid because signatures are per-row
+    * pure). The caller owns the table's lifecycle; the result is still
+    * eagerly materialized so it outlives any cache the caller releases.
+    */
+  def minhashPairsOf(sigs: DataFrame, minJ: Double = 0.5,
+      numPerms: Int = NumPerms, bandRows: Int = BandRows): DataFrame = {
     val buckets = sigs.select(col("doc_id"),
         explode(bandHashes(col("sig"), bandRows, numPerms)).as("b"))
       .select(col("b.band").as("band"), col("b.bh").as("bh"), col("doc_id"))
@@ -160,7 +181,7 @@ object Dedup extends QueryModule {
     val r = buckets.select(col("band"), col("bh"), col("doc_id").as("doc2"))
     val cand = l.join(r, Seq("band", "bh")).filter(col("doc1") < col("doc2"))
       .select("doc1", "doc2").distinct()
-    val out = cand
+    cand
       .join(sigs.select(col("doc_id").as("doc1"), col("shingles").as("sh1"),
         col("sig").as("sig1")), "doc1")
       .join(sigs.select(col("doc_id").as("doc2"), col("shingles").as("sh2"),
@@ -178,8 +199,6 @@ object Dedup extends QueryModule {
       // materialize the (candidate-sized) pair set eagerly so the signature
       // cache can be released now instead of leaking until session end
       .transform(eagerCheckpoint)
-    if (ownsCache) sigs.unpersist()
-    out
   }
 
   /** Incremental (cross-shard) dedup: admit from `newDocs` only the docs
@@ -201,16 +220,27 @@ object Dedup extends QueryModule {
     * fault tolerance by configuration (DedupSpec asserts both paths).
     */
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
-      minJ: Double = 0.5, corpusSigs: Option[DataFrame] = None): DataFrame = {
+      minJ: Double = 0.5): DataFrame =
+    incrementalDedupImpl(newDocs, signatures(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      ownsCorpus = true, minJ)
+
+  /** [[incrementalDedup]] against a MAINTAINED corpus signature index (the
+    * output shape of [[signatures]], e.g. [[corpusSigsCached]]): the shard
+    * pays only its own signature scan plus the banded join. The index IS the
+    * corpus here — there is deliberately no corpus DataFrame parameter, so a
+    * caller can never pass a corpus inconsistent with the prebuilt index and
+    * silently admit real duplicates (the footgun the old Option-parameter
+    * form allowed).
+    */
+  def incrementalDedupAgainstIndex(newDocs: DataFrame, corpusSigs: DataFrame,
+      minJ: Double = 0.5): DataFrame =
+    incrementalDedupImpl(newDocs, corpusSigs, ownsCorpus = false, minJ)
+
+  private def incrementalDedupImpl(newDocs: DataFrame, cs: DataFrame,
+      ownsCorpus: Boolean, minJ: Double): DataFrame = {
     val ns = signatures(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the corpus signature table IS the maintained ingest-time index in the
-    // nightly-shard deployment — callers that own one pass it in and the
-    // shard pays only its own signature scan; without one we build (and at
-    // the end release) a per-call table
-    val ownsCorpus = corpusSigs.isEmpty
-    val cs = corpusSigs.getOrElse(signatures(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def buckets(sigs: DataFrame, id: String) =
       sigs.select(col("doc_id").as(id), explode(bandHashes(col("sig"))).as("b"))
         .select(col("b.band").as("band"), col("b.bh").as("bh"), col(id))
@@ -431,6 +461,20 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
   }
 
+  /** [[dedupClusters]] from a PREBUILT signature table. `sigs` must cover
+    * exactly `docs`' doc_id set (e.g. [[sigsCached]] sliced by the same
+    * predicate/ids) — a superset would link two docs transitively THROUGH a
+    * doc outside `docs`, merging components the subset-only run keeps apart.
+    */
+  def dedupClustersFromSigs(docs: DataFrame, sigs: DataFrame,
+      minJ: Double = 0.5): DataFrame = {
+    val edges = minhashPairsOf(sigs, minJ).select("doc1", "doc2")
+    val comps = connectedComponents(edges)
+    docs.select(col("doc_id"))
+      .join(comps, docs("doc_id") === comps("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
   // ---- declared queries ----
 
   /** Exact dedup: content-hash groupBy keeping the smallest doc_id — the
@@ -489,20 +533,32 @@ object Dedup extends QueryModule {
     * millions of docs, gate df with a pre-count before collecting lists;
     * this corpus' max df is bounded by template fan-out.)
     */
-  def containmentIndexCached(s: SparkSession, d: String, maxDf: Int = 20): DataFrame =
+  def containmentIndexCached(s: SparkSession, d: String, maxDf: Int = 20): DataFrame = {
+    // derive from the SHARED signature/shingle cache — the `shingles` column
+    // is exactly the distinct hashed word-3-grams this index needs (identity
+    // of xxhash64'd token tuples = identity of joined-string grams, the
+    // standing contract q_dedup_cluster_lsh's oracle rests on); n_toks >= 3
+    // excludes the short-doc whole-list fallback pseudo-shingle, matching
+    // the string form's size(t) >= 3 gate. Resolved OUTSIDE the cache build
+    // so PersistedCache entries never nest computeIfAbsent calls.
+    val sigs = sigsCached(s, d)
     graft.PersistedCache(s, ("containment-postings", d, maxDf)) {
-      val grams = expr(
-        "array_distinct(transform(sequence(1, size(t) - 2), i -> array_join(slice(t, i, 3), ' ')))")
-      T.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(grams).as("g"))
+      sigs
+        .filter(col("n_toks") >= 3)
+        .select(col("doc_id"), explode(col("shingles")).as("g"))
         .groupBy("g")
         .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ds"))
         .filter(col("df") <= maxDf)
     }
+  }
 
-  private def qContainment(s: SparkSession, d: String): DataFrame = {
+  /** Containment pairs (doc1 < doc2, containment ≥ minC) carrying both
+    * docs' kept-shingle counts — shared by the declared query and the
+    * production pipeline's containment-drop stage ([[TextAnalysis]]
+    * q_pipeline_full), which needs n1/n2 to decide which side is the
+    * contained SUBSET doc.
+    */
+  def containmentPairs(s: SparkSession, d: String, minC: Double = 0.8): DataFrame = {
     val n = containmentIndexCached(s, d)
       .select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -521,10 +577,25 @@ object Dedup extends QueryModule {
       .join(broadcast(n.select(col("doc_id").as("doc2"), col("n_sh").as("n2"))), "doc2")
       .withColumn("containment",
         round(col("shared").cast("double") / least(col("n1"), col("n2")), 4))
-      .filter(col("containment") >= 0.8)
+      .filter(col("containment") >= minC)
+  }
+
+  /** The drop side of each containment pair: the SUBSET doc is the one with
+    * the smaller kept-shingle set (it is the contained excerpt/quote);
+    * equal sizes drop the larger doc_id deterministically. Input is any
+    * slice of [[containmentPairs]] output (needs doc1/doc2/n1/n2).
+    */
+  def containmentDropIds(pairs: DataFrame): DataFrame =
+    pairs.select(
+      when(col("n1") < col("n2"), col("doc1"))
+        .when(col("n2") < col("n1"), col("doc2"))
+        .otherwise(greatest(col("doc1"), col("doc2"))).as("doc_id"))
+      .distinct()
+
+  private def qContainment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(s, d)
       .select("doc1", "doc2", "shared", "containment")
       .orderBy("doc1", "doc2")
-  }
 
   /** Near-dup pairs → dedup clusters: the sampled 4-gram Jaccard pairs
     * (threshold 0.3) become edges; connected components assign every sampled
@@ -560,7 +631,7 @@ object Dedup extends QueryModule {
     * the separator) and runs the same CC as a recursive CTE.
     */
   private def qDedupClusterLsh(s: SparkSession, d: String): DataFrame =
-    dedupClusters(T.documents(s, d)).orderBy("doc_id")
+    dedupClustersFromSigs(T.documents(s, d), sigsCached(s, d)).orderBy("doc_id")
 
   /** A 10% "new shard" admitted against the other 90% as corpus. The banded
     * candidates verify with EXACT Jaccard, so DuckDB reproduces the admitted
@@ -574,15 +645,17 @@ object Dedup extends QueryModule {
     * signature scan plus the banded join against the maintained index.
     */
   def corpusSigsCached(s: SparkSession, d: String): DataFrame =
-    graft.PersistedCache(s, ("incr-corpus-sigs", d))(
-      signatures(T.documents(s, d).filter(col("doc_id") % 10 =!= 0)))
+    // a doc_id-predicate SLICE of the shared signature cache: per-row purity
+    // makes the slice identical to signatures(filtered corpus), and one
+    // cached build now serves this index AND every other shingle consumer
+    // (previously a second full tokenize+minhash pass cached separately)
+    sigsCached(s, d).filter(col("doc_id") % 10 =!= 0)
 
   private def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
-    incrementalDedup(
+    incrementalDedupAgainstIndex(
         docs.filter(col("doc_id") % 10 === 0),
-        docs.filter(col("doc_id") % 10 =!= 0),
-        corpusSigs = Some(corpusSigsCached(s, d)))
+        corpusSigsCached(s, d))
       .select("doc_id", "source", "lang")
       .orderBy("doc_id")
   }

@@ -1462,6 +1462,11 @@ object Hdf5 {
     * chunk indexes in latest format — Single Chunk when the chunk covers
     * the extent, otherwise Fixed Array, or Implicit (back-to-back unfiltered
     * chunks, no directory) when `implicitIndex` is set.
+    * `btreeLeafK` (classic format only) caps v1 chunk-b-tree leaf fan-out:
+    * more chunks than `k` per node emits a MULTI-NODE tree — a level-1
+    * internal root over sibling-chained level-0 leaves, the shape libhdf5
+    * produces once a real chunked archive outgrows one node (default
+    * `H5F_KVALUE` leaf k = 32 chunks) — instead of one oversized leaf.
     */
   final case class WDataset(
       name: String, dtype: DType, dims: Seq[Long], data: Array[Double],
@@ -1470,7 +1475,8 @@ object Hdf5 {
       refAttrs: Seq[(String, Seq[Seq[String]])] = Nil,
       chunkDims: Option[Seq[Int]] = None,
       filters: Seq[H5Filter] = Nil,
-      implicitIndex: Boolean = false)
+      implicitIndex: Boolean = false,
+      btreeLeafK: Option[Int] = None)
 
   private final class LeBuf {
     private val bo = new java.io.ByteArrayOutputStream()
@@ -1582,6 +1588,12 @@ object Hdf5 {
         s"${d.name}: filters apply to chunked layouts only")
       require(!d.implicitIndex || d.filters.isEmpty,
         s"${d.name}: an implicit chunk index cannot carry filtered chunks")
+      d.btreeLeafK.foreach { k =>
+        require(k >= 1, s"${d.name}: btreeLeafK must be >= 1")
+        require(d.chunkDims.isDefined, s"${d.name}: btreeLeafK needs a chunked layout")
+        require(!latest,
+          s"${d.name}: btreeLeafK shapes the v1 chunk b-tree — classic format only")
+      }
     }
     val names = datasets.map(_.name)
     require(names.distinct == names, "duplicate dataset names")
@@ -1801,19 +1813,72 @@ object Hdf5 {
       }
     }
 
-    def chunkBtree(d: WDataset, res: Resolve): Array[Byte] = {
-      val cs = chunksOf(d)
-      val b = new LeBuf
-      b.raw("TREE".getBytes).u8(1).u8(0).u16(cs.length)
-      b.u64(-1L).u64(-1L)
-      cs.zipWithIndex.foreach { case ((off, bytes), i) =>
-        b.u32(bytes.length).u32(0) // chunk size, filter mask
-        off.foreach(b.u64); b.u64(0) // offsets + trailing element-size 0
-        b.u64(res(s"chunk:${d.name}:$i"))
+    /** Leaf-node partition of a dataset's chunks: one group per level-0
+      * b-tree node. Chunks keep their global index (the `chunk:<ds>:<i>`
+      * block names), so grouping never moves chunk payloads.
+      */
+    def chunkGroups(d: WDataset): Seq[Seq[((Seq[Long], Array[Byte]), Int)]] = {
+      val cs = chunksOf(d).zipWithIndex
+      d.btreeLeafK match {
+        case Some(k) if cs.length > k => cs.grouped(k).toSeq
+        case _ => Seq(cs)
       }
-      // trailing upper-bound key
-      b.u32(0).u32(0)
-      d.dims.foreach(b.u64); b.u64(0)
+    }
+
+    /** One v1-b-tree key: stored chunk size, filter mask, per-dim element
+      * offsets, trailing element-size offset 0. Internal-node key i is the
+      * key of the FIRST chunk in child i's subtree (spec III.A.1).
+      */
+    def chunkKey(b: LeBuf, off: Seq[Long], size: Int): Unit = {
+      b.u32(size).u32(0)
+      off.foreach(b.u64); b.u64(0)
+    }
+
+    def chunkLeafNode(d: WDataset, j: Int, res: Resolve): Array[Byte] = {
+      val groups = chunkGroups(d)
+      val g = groups(j)
+      val b = new LeBuf
+      b.raw("TREE".getBytes).u8(1).u8(0).u16(g.length)
+      b.u64(if (j > 0) res(s"chunkleaf:${d.name}:${j - 1}") else -1L)
+      b.u64(if (j < groups.length - 1) res(s"chunkleaf:${d.name}:${j + 1}") else -1L)
+      g.foreach { case ((off, bytes), gi) =>
+        chunkKey(b, off, bytes.length)
+        b.u64(res(s"chunk:${d.name}:$gi"))
+      }
+      // trailing key = right sibling's first key; dims upper bound at the end
+      if (j < groups.length - 1) {
+        val ((noff, nbytes), _) = groups(j + 1).head
+        chunkKey(b, noff, nbytes.length)
+      } else {
+        b.u32(0).u32(0); d.dims.foreach(b.u64); b.u64(0)
+      }
+      b.bytes
+    }
+
+    def chunkBtree(d: WDataset, res: Resolve): Array[Byte] = {
+      val groups = chunkGroups(d)
+      val b = new LeBuf
+      if (groups.length == 1) { // single leaf: the root IS the level-0 node
+        val cs = groups.head
+        b.raw("TREE".getBytes).u8(1).u8(0).u16(cs.length)
+        b.u64(-1L).u64(-1L)
+        cs.foreach { case ((off, bytes), i) =>
+          chunkKey(b, off, bytes.length)
+          b.u64(res(s"chunk:${d.name}:$i"))
+        }
+        b.u32(0).u32(0)
+        d.dims.foreach(b.u64); b.u64(0)
+      } else { // level-1 internal root over sibling-chained leaves
+        b.raw("TREE".getBytes).u8(1).u8(1).u16(groups.length)
+        b.u64(-1L).u64(-1L)
+        groups.zipWithIndex.foreach { case (g, j) =>
+          val ((off, bytes), _) = g.head
+          chunkKey(b, off, bytes.length)
+          b.u64(res(s"chunkleaf:${d.name}:$j"))
+        }
+        b.u32(0).u32(0)
+        d.dims.foreach(b.u64); b.u64(0)
+      }
       b.bytes
     }
 
@@ -2161,10 +2226,15 @@ object Hdf5 {
           datasets.map(d => s"oh:${d.name}") ++
           (if (gcolEntries.nonEmpty) Seq("gcol") else Nil) ++
           datasets.flatMap { d =>
-            if (d.chunkDims.isDefined)
-              Seq(s"chunkbt:${d.name}") ++
+            if (d.chunkDims.isDefined) {
+              val groups = chunkGroups(d)
+              val leaves =
+                if (groups.length > 1)
+                  groups.indices.map(j => s"chunkleaf:${d.name}:$j")
+                else Nil
+              Seq(s"chunkbt:${d.name}") ++ leaves ++
                 chunksOf(d).indices.map(i => s"chunk:${d.name}:$i")
-            else Seq(s"data:${d.name}")
+            } else Seq(s"data:${d.name}")
           }
 
     def buildBlock(name: String, res: Resolve): Array[Byte] = name match {
@@ -2182,6 +2252,10 @@ object Hdf5 {
         if (latest) datasetOhV2(d, res) else datasetOh(d, res)
       case n if n.startsWith("chunkbt:") =>
         chunkBtree(datasets.find(_.name == n.drop(8)).get, res)
+      case n if n.startsWith("chunkleaf:") => // "chunkleaf:<ds>:<j>"
+        val cut = n.lastIndexOf(':')
+        chunkLeafNode(datasets.find(_.name == n.substring(10, cut)).get,
+          n.substring(cut + 1).toInt, res)
       case n if n.startsWith("fahd:") =>
         fahdBlock(datasets.find(_.name == n.drop(5)).get, res)
       case n if n.startsWith("fadb:") =>

@@ -219,12 +219,22 @@ object SourceQueries extends QueryModule {
   lazy val nc4DenseAttrsDir: String =
     writeNc4Dir(latest = true, dense = true, denseAttrs = true)
 
+  /** The grid once more with a MULTI-NODE v1 chunk b-tree: tasmax chunked
+    * 2×4×8 (80 chunks) with the writer's leaf fan-out capped at 8, so the
+    * chunk index is a level-1 internal root over 10 sibling leaves — the
+    * tree shape any real chunked archive takes once it outgrows one node
+    * (libhdf5's default leaf k is 32 chunks; a 100 TB dataset has millions).
+    * Same values, same oracle; what changes is the index traversal.
+    */
+  lazy val nc4MultinodeDir: String = writeNc4Dir(latest = false, bigBtree = true)
+
   private def writeNc4Dir(latest: Boolean, dense: Boolean = false,
-      denseAttrs: Boolean = false): String = {
+      denseAttrs: Boolean = false, bigBtree: Boolean = false): String = {
     import GridData.{T => TD, X => XD, Y => YD}
     import Hdf5._
     val dir = java.nio.file.Files.createTempDirectory(
-      if (denseAttrs) "graft-nc4da"
+      if (bigBtree) "graft-nc4mn"
+      else if (denseAttrs) "graft-nc4da"
       else if (dense) "graft-nc4d" else if (latest) "graft-nc4l" else "graft-nc4")
       .toFile.getAbsolutePath
     val lat = Array.tabulate(YD)(y => 44.0 + y * 0.05)
@@ -238,9 +248,12 @@ object SourceQueries extends QueryModule {
       // the non-chunked twin exercises contiguous v3 in the default file and
       // a filtered Single Chunk index in the latest one
       val (chunks, filters) =
-        if (vid == 0) (Some(Seq(3, 8, 16)), Seq(Shuffle(F32.size), Deflate(4)))
+        if (bigBtree && vid == 0) // 4×5×4 = 80 chunks → >1 leaf node
+          (Some(Seq(2, 4, 8)), Seq(Shuffle(F32.size), Deflate(4)))
+        else if (vid == 0) (Some(Seq(3, 8, 16)), Seq(Shuffle(F32.size), Deflate(4)))
         else if (latest) (Some(Seq(TD, YD, XD)), Seq(Fletcher32))
         else (None, Nil)
+      val leafK = if (bigBtree && vid == 0) Some(8) else None
       Hdf5.write(s"$dir/$v.nc4", Seq(
         WDataset("time", I32, Seq(TD), Array.tabulate(TD)(_.toDouble),
           strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time",
@@ -266,7 +279,8 @@ object SourceQueries extends QueryModule {
           refAttrs = Seq("DIMENSION_LIST" ->
             Seq(Seq("time"), Seq("lat"), Seq("lon"))),
           chunkDims = chunks,
-          filters = filters)), latest, dense, denseAttrs)
+          filters = filters,
+          btreeLeafK = leafK)), latest, dense, denseAttrs)
     }
     dir
   }
@@ -337,6 +351,21 @@ object SourceQueries extends QueryModule {
         col("y") <= 8 && col("x") < 12)
       .select("variable", "ts", "y", "x", "lat", "lon", "value")
       .orderBy("variable", "ts", "y", "x")
+
+  /** The hyperslab read served through a MULTI-NODE v1 chunk b-tree:
+    * tasmax's 80 chunks index through a level-1 internal root over 10
+    * sibling leaves, so the section lookup traverses internal nodes — the
+    * path a real >1-node chunked archive exercises on every read. Filters
+    * (shuffle+deflate) ride along so the multi-node tree also carries
+    * per-chunk stored sizes ≠ raw sizes.
+    */
+  private def qGridNc4Multinode(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", nc4MultinodeDir).load()
+      .filter(col("variable") === "tasmax" &&
+        col("ts") >= lit("1990-01-02 00:00:00").cast("timestamp") &&
+        col("y").between(2, 16) && col("x") >= 7)
+      .select("ts", "y", "x", "lat", "lon", "value")
+      .orderBy("ts", "y", "x")
 
   /** The hyperslab read where the CATALOG itself comes out of dense group
     * storage: link messages resolved through the fractal heap + name-index
@@ -468,6 +497,7 @@ object SourceQueries extends QueryModule {
     "q_grid_nc4" -> qGridNc4,
     "q_grid_nc4_latest" -> qGridNc4Latest,
     "q_grid_nc4_dense" -> qGridNc4Dense,
+    "q_grid_nc4_multinode" -> qGridNc4Multinode,
     "q_grid_federated" -> qGridFederated,
     "q_grid_nc_curv" -> qGridNcCurv,
     "q_catalog_attrs" -> qCatalogAttrs,
@@ -551,6 +581,12 @@ object SourceQueries extends QueryModule {
         |WHERE ts <= TIMESTAMP '1990-01-04 23:59:59'
         |  AND y BETWEEN 3 AND 14 AND x >= 18
         |ORDER BY variable, ts, y, x""".stripMargin),
+    "q_grid_nc4_multinode" -> (GridData.oracleCells +
+      """SELECT ts, y, x, lat, lon, value FROM cells
+        |WHERE variable = 'tasmax'
+        |  AND ts >= TIMESTAMP '1990-01-02 00:00:00'
+        |  AND y BETWEEN 2 AND 16 AND x >= 7
+        |ORDER BY ts, y, x""".stripMargin),
     "q_grid_federated" -> (GridData.oracleCells +
       """SELECT variable, count(value) AS n_obs,
         |  round(avg(value), 4) AS avg_val,

@@ -232,7 +232,10 @@ object Streaming extends QueryModule {
               out += UserSession(userId, new java.sql.Timestamp(st.start),
                 new java.sql.Timestamp(st.last + gapMs), st.n.toLong)
               st = SessionState(t, t, 1)
-            } else st = SessionState(st.start, t, st.n + 1)
+            // max: an event later than the watermark but earlier than the
+            // carried state's last (out-of-order across batches) must not
+            // move the session's last-event time backwards
+            } else st = SessionState(st.start, math.max(st.last, t), st.n + 1)
           }
           if (st != null) state.update(st)
           out.iterator
@@ -273,7 +276,10 @@ object Streaming extends QueryModule {
           out += UserSession(userId, new java.sql.Timestamp(st.start),
             new java.sql.Timestamp(st.last + gapMs), st.n.toLong)
           st = SessionState(t, t, 1)
-        } else st = SessionState(st.start, t, st.n + 1)
+        // max, for parity with sessionize: a cross-batch out-of-order event
+        // must not regress st.last — the timer would re-arm EARLIER and close
+        // the session before true-last + gap
+        } else st = SessionState(st.start, math.max(st.last, t), st.n + 1)
       }
       if (st != null) {
         state.update(st)

@@ -476,7 +476,31 @@ object TextAnalysis extends QueryModule {
     * are verified with exact shingle Jaccard and banding recall is total at
     * j ≥ 0.5 on this corpus (q_dedup_cluster_lsh's standing contract).
     */
-  private def qPipelineNear(s: SparkSession, d: String): DataFrame = {
+  private def qPipelineNear(s: SparkSession, d: String): DataFrame =
+    pipelineNearBase(s, d, postDedup = (_, deduped) => deduped)
+
+  /** [[qPipelineNear]] plus the CONTAINMENT-drop stage — what a real
+    * corpus-prep run does with the containment pairs q_containment_pairs
+    * surfaces: after Jaccard-CC near-dedup, a doc ≥80%-contained in another
+    * surviving doc is a subset document (a quote, an excerpt, a template
+    * instantiation) and is dropped. The contained SIDE is the one with the
+    * smaller kept-shingle set (ties: the larger doc_id). Pairs restrict to
+    * dedup survivors — a pair against an already-dropped doc is moot. The
+    * pair set is candidate-sized (posting-list-bounded), so both joins here
+    * broadcast; the stage adds no shuffle of the corpus itself.
+    */
+  private def qPipelineFull(s: SparkSession, d: String): DataFrame =
+    pipelineNearBase(s, d, postDedup = (spark, deduped) => {
+      val surv = deduped.select("doc_id")
+      val contSurv = graft.dedup.Dedup.containmentPairs(spark, d)
+        .join(surv.withColumnRenamed("doc_id", "doc1"), "doc1")
+        .join(surv.withColumnRenamed("doc_id", "doc2"), "doc2")
+      val dropIds = graft.dedup.Dedup.containmentDropIds(contSurv)
+      deduped.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    })
+
+  private def pipelineNearBase(s: SparkSession, d: String,
+      postDedup: (SparkSession, DataFrame) => DataFrame): DataFrame = {
     val budget = 512
     val t = tokens(col("text"))
     val quality = T.documents(s, d)
@@ -488,9 +512,15 @@ object TextAnalysis extends QueryModule {
       .filter(col("n_tokens").between(20, 80) &&
         col("atl").between(2.0, 10.0) && col("div") >= 0.45)
       .select("doc_id", "source", "text", "n_tokens")
-    val comps = graft.dedup.Dedup.dedupClusters(quality)
-    val deduped = quality.join(comps, Seq("doc_id"))
-      .filter(col("doc_id") === col("component")).drop("component")
+    // the dedup stage consumes the SHARED corpus signature cache sliced to
+    // the quality survivors (per-row purity makes the slice identical to
+    // re-deriving signatures over the subset) — previously this stage
+    // re-tokenized and re-minhashed the quality docs on every run
+    val qualitySigs = graft.dedup.Dedup.sigsCached(s, d)
+      .join(quality.select("doc_id"), Seq("doc_id"))
+    val comps = graft.dedup.Dedup.dedupClustersFromSigs(quality, qualitySigs)
+    val deduped = postDedup(s, quality.join(comps, Seq("doc_id"))
+      .filter(col("doc_id") === col("component")).drop("component"))
     val evalSet = shingleRows(T.documents(s, d).filter(col("doc_id") % 97 === 0))
       .select("g").distinct()
       .withColumn("hit", lit(1))
@@ -595,6 +625,7 @@ object TextAnalysis extends QueryModule {
     "q_pii_redact" -> qPiiRedact,
     "q_pipeline_e2e" -> qPipelineE2e,
     "q_pipeline_near" -> qPipelineNear,
+    "q_pipeline_full" -> qPipelineFull,
     "q_pack_contexts" -> qPackContexts,
     "q_pack_contexts_salted" -> qPackContextsSalted,
     "q_repetition" -> qRepetition,
@@ -741,6 +772,103 @@ object TextAnalysis extends QueryModule {
         |  FROM g GROUP BY doc_id),
         |train AS (
         |  SELECT d.doc_id, d.source, d.n_tokens FROM dedup d
+        |  JOIN contam c USING (doc_id)
+        |  WHERE c.frac < 0.05
+        |    AND (d.doc_id * 1103515245 + 12345) % 1000000 < 900000),
+        |packed AS (
+        |  SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM train)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  round((cum - ((cum - n_tokens) // 512) * 512) / 512.0, 4) AS seq_fill
+        |FROM packed ORDER BY doc_id""".stripMargin,
+    // the full pipeline twin: q_pipeline_near's chain plus the containment
+    // stage — q_containment_pairs' CTEs (corpus-wide df gate and
+    // kept-shingle counts), pairs restricted to dedup survivors, the
+    // smaller-kept-shingle side (ties: larger doc_id) dropped before
+    // contamination/pack
+    "q_pipeline_full" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 97 <> 0),
+        |q AS (
+        |  SELECT doc_id, source, text, t, len(t) AS n_tokens,
+        |    CAST(length(text) AS DOUBLE) / len(t) AS atl,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS div
+        |  FROM base),
+        |keep_q AS (
+        |  SELECT doc_id, source, text, t, n_tokens FROM q
+        |  WHERE n_tokens BETWEEN 20 AND 80 AND atl BETWEEN 2.0 AND 10.0 AND div >= 0.45),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END AS grams
+        |  FROM keep_q),
+        |pairs AS (
+        |  SELECT l.doc_id AS doc1, r.doc_id AS doc2
+        |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+        |  WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(l.grams, r.grams))), 4) >= 0.5),
+        |edges AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM pairs
+        |  UNION ALL SELECT doc2, doc1 FROM pairs),
+        |cc AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM keep_q
+        |  UNION
+        |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id),
+        |comp AS (
+        |  SELECT id AS doc_id, min(comp) AS component FROM cc GROUP BY id),
+        |dedup AS (
+        |  SELECT k.doc_id, k.source, k.text, k.t, k.n_tokens
+        |  FROM keep_q k JOIN comp c ON k.doc_id = c.doc_id AND k.doc_id = c.component),
+        |ctoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |csh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+        |  FROM ctoks),
+        |ckeep AS (SELECT g FROM csh GROUP BY g HAVING count(*) <= 20),
+        |cksh AS (SELECT csh.doc_id, csh.g FROM csh JOIN ckeep USING (g)),
+        |cn AS (SELECT doc_id, count(*) AS n_sh FROM cksh GROUP BY doc_id),
+        |cpairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
+        |  FROM cksh a JOIN cksh b USING (g) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT doc1, doc2, n1.n_sh AS n1, n2.n_sh AS n2
+        |  FROM cpairs
+        |  JOIN cn n1 ON n1.doc_id = cpairs.doc1
+        |  JOIN cn n2 ON n2.doc_id = cpairs.doc2
+        |  WHERE round(CAST(shared AS DOUBLE) / least(n1.n_sh, n2.n_sh), 4) >= 0.8),
+        |drops AS (
+        |  SELECT CASE WHEN n1 < n2 THEN doc1 WHEN n2 < n1 THEN doc2
+        |    ELSE greatest(doc1, doc2) END AS doc_id
+        |  FROM cont
+        |  WHERE doc1 IN (SELECT doc_id FROM dedup)
+        |    AND doc2 IN (SELECT doc_id FROM dedup)),
+        |kept AS (
+        |  SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        |g AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    range(greatest(len(t) - 4, 0)), i -> array_to_string(t[i + 1 : i + 5], ' ')))) AS g
+        |  FROM kept),
+        |ev AS (
+        |  SELECT DISTINCT UNNEST(list_distinct(list_transform(
+        |    range(greatest(len(string_split(text, ' ')) - 4, 0)),
+        |    i -> array_to_string(string_split(text, ' ')[i + 1 : i + 5], ' ')))) AS g
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END) / count(*) AS frac
+        |  FROM g GROUP BY doc_id),
+        |train AS (
+        |  SELECT d.doc_id, d.source, d.n_tokens FROM kept d
         |  JOIN contam c USING (doc_id)
         |  WHERE c.frac < 0.05
         |    AND (d.doc_id * 1103515245 + 12345) % 1000000 < 900000),

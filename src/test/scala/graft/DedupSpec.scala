@@ -272,6 +272,20 @@ class DedupSpec extends AnyFunSuite {
     assert(jac < 0.2, s"fixture broken: Jaccard $jac not low")
   }
 
+  test("containmentDropIds drops the subset side (smaller kept-shingle set; ties drop the larger id)") {
+    // the pipeline's containment-drop stage rule, on pairs where each case
+    // fires: n1 < n2 (drop doc1), n1 > n2 (drop doc2), tie (drop max id)
+    val pairs = Seq(
+      (1L, 2L, 4L, 30L),  // doc1 is the contained excerpt
+      (5L, 3L, 25L, 6L),  // doc2 is the contained excerpt
+      (7L, 8L, 10L, 10L), // tie: deterministic larger-id drop
+      (9L, 2L, 4L, 30L)   // second pair naming an already-dropped size class
+    ).toDF("doc1", "doc2", "n1", "n2")
+    val drops = Dedup.containmentDropIds(pairs)
+      .as[Long].collect().toSet
+    assert(drops == Set(1L, 3L, 8L, 9L), s"got $drops")
+  }
+
   test("BandHashes and SimHashBlockKeys compile under CODEGEN_ONLY") {
     // CODEGEN_ONLY turns a silent interpreted fallback into a hard failure
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")

@@ -81,6 +81,51 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-node v1 chunk b-tree: internal root + sibling leaves read whole and sectioned") {
+    // a bigger cube so the chunk count comfortably exceeds the leaf cap:
+    // 8×10×12 elements / 2×3×3 chunks = 4×4×4 = 64 chunks; leafK = 7 forces
+    // ceil(64/7) = 10 level-0 leaves under a level-1 internal root — the
+    // shape any real chunked archive takes past one node
+    val (tN, yN, xN) = (8, 10, 12)
+    val data = Array.tabulate(tN * yN * xN) { i =>
+      val t = i / (yN * xN); val y = (i / xN) % yN; val x = i % xN
+      t * 1000.0 + y * 20 + x
+    }
+    def writeTo(path: String, leafK: Option[Int]): Unit =
+      Hdf5.write(path, Seq(
+        WDataset("temp", F32, Seq(tN, yN, xN), data,
+          chunkDims = Some(Seq(2, 3, 3)),
+          filters = Seq(Shuffle(4), Deflate(4)),
+          btreeLeafK = leafK)))
+    val pMulti = tmp("multinode.h5"); val pSingle = tmp("singlenode.h5")
+    writeTo(pMulti, Some(7)); writeTo(pSingle, None)
+    // the tree really is multi-node: a level-1 root signature at the layout
+    // address (byte 5 of the TREE block is the node level)
+    locally {
+      val h = Hdf5.open(pMulti)
+      val raf = new java.io.RandomAccessFile(pMulti, "r")
+      try {
+        val Chunked(btAddr, _) = h.dataset("temp").get.layout: @unchecked
+        raf.seek(btAddr + 5)
+        assert(raf.read() == 1, "expected a level-1 internal root node")
+      } finally raf.close()
+    }
+    val hm = Hdf5.open(pMulti)
+    val temp = hm.dataset("temp").get
+    assert(Hdf5.readAll(pMulti, temp).toSeq == data.toSeq)
+    // and byte-for-byte agreement with the single-node twin on section reads
+    val hs = Hdf5.open(pSingle)
+    val rdrM = new Hdf5.SectionReader(pMulti, temp)
+    val rdrS = new Hdf5.SectionReader(pSingle, hs.dataset("temp").get)
+    try {
+      for (t <- 0 until tN; y <- 0 until yN) {
+        val m = rdrM.readRow(t, y, 1, xN - 2).toSeq
+        assert(m == rdrS.readRow(t, y, 1, xN - 2).toSeq, s"t=$t y=$y")
+        assert(m == (1 to xN - 2).map(x => data((t * yN + y) * xN + x)), s"t=$t y=$y")
+      }
+    } finally { rdrM.close(); rdrS.close() }
+  }
+
   test("filtered chunks: shuffle+deflate+fletcher32 round-trip, metadata surfaced") {
     val p = tmp("filtered.h5")
     // repetitive data so deflate actually shrinks the stored bytes
