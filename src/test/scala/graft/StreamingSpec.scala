@@ -667,4 +667,53 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState sessionizer recovers open sessions and timers from the checkpoint (kill + restart)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-ckpt").toFile.getAbsolutePath
+      val outDir = java.nio.file.Files.createTempDirectory("graft-tws-out").toFile.getAbsolutePath
+      val mem = MemoryStream[Streaming.Event]
+      // the memory sink refuses checkpoint recovery; the parquet sink makes
+      // the no-duplicates/no-loss assertion end-to-end
+      def start() = Streaming.sessionizeTws(mem.toDS())
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      def t(m: String) = java.sql.Timestamp.valueOf(m)
+      // batch 1 leaves three OPEN sessions in RocksDB state (nothing emitted:
+      // the watermark hasn't passed any gap) — every session this query will
+      // ever emit depends on state and timers surviving the kill
+      val q1 = start()
+      mem.addData(
+        Streaming.Event(1, t("2024-01-01 10:00:00"), 1),
+        Streaming.Event(2, t("2024-01-01 10:10:00"), 1),
+        Streaming.Event(3, t("2024-01-01 10:05:00"), 2))
+      q1.processAllAvailable(); q1.stop()
+      // restart against the SAME checkpoint: user 1's session must close with
+      // BOTH pre-restart events (recovered value state), and user 2's must
+      // close via the event-time timer armed before the kill (recovered
+      // timer state) once the sentinel advances the watermark
+      val q2 = start()
+      mem.addData(Streaming.Event(4, t("2024-01-01 12:00:00"), 1))
+      mem.addData(Streaming.Event(99, t("2024-01-02 00:00:00"), 999))
+      q2.processAllAvailable(); q2.stop()
+      val rows = spark.read.parquet(outDir).as[Streaming.UserSession].collect()
+        .map(s => (s.user_id, s.session_start.toString, s.session_end.toString,
+          s.n_events))
+      assert(rows.length == rows.toSet.size, s"duplicate sessions after restart: ${rows.toSeq}")
+      assert(rows.toSet == Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L),
+        (1L, "2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L),
+        (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:35:00.0", 1L)), rows.toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
