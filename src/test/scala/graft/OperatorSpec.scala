@@ -20,6 +20,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SURVEY §2D per-module query lists match the registry exactly") {
+    // keeps the doc mechanically honest: every module bullet's names and
+    // count, the no-oracle markers, and the total line must equal the code
+    val byModule: Map[String, QueryModule] = Map(
+      "dedup/Dedup" -> dedup.Dedup,
+      "domain/Grid" -> domain.GridQueries,
+      "multimodal/Multimodal" -> multimodal.Multimodal,
+      "operators/Aggregates" -> operators.Aggregates,
+      "operators/Relational" -> operators.Relational,
+      "operators/Scalars" -> operators.Scalars,
+      "operators/WindowOps" -> operators.WindowOps,
+      "similarity/Similarity" -> similarity.Similarity,
+      "sources/SourceQueries" -> sources.SourceQueries,
+      "streaming/Streaming" -> streaming.Streaming,
+      "text/TextAnalysis" -> TextAnalysis)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val section = text.substring(text.indexOf("### 2D."))
+    val bullet = """- \*\*([^*]+)\*\* \((\d+)\): (.*)""".r
+    val seen = scala.collection.mutable.Set[String]()
+    for (m <- bullet.findAllMatchIn(section.substring(0, section.indexOf("Total:")))) {
+      val (name, count, body) = (m.group(1), m.group(2).toInt, m.group(3))
+      val mod = byModule.getOrElse(name, fail(s"§2D names unknown module $name"))
+      val entries = """`([a-z0-9_]+)`(\s*\*\(no oracle\)\*)?""".r
+        .findAllMatchIn(body).map(e => e.group(1) -> (e.group(2) != null)).toSeq
+      assert(entries.size == count, s"$name: bullet says $count, lists ${entries.size}")
+      assert(entries.map(_._1).toSet == mod.queries.keySet,
+        s"$name: doc ${entries.map(_._1).toSet} != code ${mod.queries.keySet}")
+      entries.foreach { case (q, noOracle) =>
+        assert(noOracle == !mod.oracleSql.contains(q),
+          s"$q: doc no-oracle marker $noOracle but oracle present = ${mod.oracleSql.contains(q)}")
+      }
+      seen += name
+    }
+    assert(seen == byModule.keySet, s"§2D missing modules: ${byModule.keySet -- seen}")
+    val total = """Total: (\d+) declared queries \((\d+) oracle-checked \+ (\d+) no-oracle""".r
+      .findFirstMatchIn(section).getOrElse(fail("§2D total line missing"))
+    assert(total.group(1).toInt == SparkEntry.queries.size, "total drifted")
+    assert(total.group(2).toInt == SparkEntry.oracleSql.size, "oracle count drifted")
+    assert(total.group(3).toInt ==
+      SparkEntry.queries.size - SparkEntry.oracleSql.size, "no-oracle count drifted")
+  }
+
   test("q1 pricing aggregates are internally consistent") {
     val rows = graft.operators.Aggregates.q1Pricing(spark, TestSpark.sf)
       .select("sum_qty", "avg_qty", "count_order")
