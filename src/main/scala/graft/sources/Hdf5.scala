@@ -1666,20 +1666,28 @@ object Hdf5 {
       b.bytes
     }
 
+    // The superblock declares group leaf k = 4, so a symbol table node holds
+    // at most 2k = 8 entries (spec III.A.1) — libhdf5 splits there, and so
+    // does this writer: past 8 names the root b-tree fans out over multiple
+    // SNODs instead of overstuffing one (the many-variable-archive case).
+    val nameGroups: Seq[Seq[String]] = names.sorted.grouped(8).toSeq
+
     def btreeBlock(res: Resolve): Array[Byte] = {
       val b = new LeBuf
-      b.raw("TREE".getBytes).u8(0).u8(0).u16(1) // type 0, level 0, 1 child
+      b.raw("TREE".getBytes).u8(0).u8(0).u16(nameGroups.length) // type 0, level 0
       b.u64(-1L).u64(-1L) // siblings
       b.u64(0) // key 0: lowest (empty string at heap offset 0)
-      b.u64(res("snod"))
-      b.u64(heapOffsets(names.sorted.last)) // key 1: greatest name
+      nameGroups.zipWithIndex.foreach { case (g, j) =>
+        b.u64(res(s"snod:$j"))
+        b.u64(heapOffsets(g.last)) // key j+1: greatest name in child j
+      }
       b.bytes
     }
 
-    def snodBlock(res: Resolve): Array[Byte] = {
+    def snodBlock(j: Int, res: Resolve): Array[Byte] = {
       val b = new LeBuf
-      b.raw("SNOD".getBytes).u8(1).u8(0).u16(names.length)
-      names.sorted.foreach { n =>
+      b.raw("SNOD".getBytes).u8(1).u8(0).u16(nameGroups(j).length)
+      nameGroups(j).foreach { n =>
         b.u64(heapOffsets(n)).u64(res(s"oh:$n"))
         b.u32(0).u32(0) // cache type 0 + reserved
         b.u64(0).u64(0) // scratch
@@ -2222,7 +2230,8 @@ object Hdf5 {
             }
           }
       else
-        Seq("oh:/", "heap", "heapdata", "btree", "snod") ++
+        Seq("oh:/", "heap", "heapdata", "btree") ++
+          nameGroups.indices.map(j => s"snod:$j") ++
           datasets.map(d => s"oh:${d.name}") ++
           (if (gcolEntries.nonEmpty) Seq("gcol") else Nil) ++
           datasets.flatMap { d =>
@@ -2245,7 +2254,7 @@ object Hdf5 {
       case "heap" => heapBlock(res)
       case "heapdata" => heapData.bytes
       case "btree" => btreeBlock(res)
-      case "snod" => snodBlock(res)
+      case n if n.startsWith("snod:") => snodBlock(n.drop(5).toInt, res)
       case "gcol" => gcolBlock(res)
       case n if n.startsWith("oh:") =>
         val d = datasets.find(_.name == n.drop(3)).get

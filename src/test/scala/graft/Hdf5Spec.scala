@@ -319,6 +319,25 @@ class Hdf5Spec extends AnyFunSuite {
         Seq(ch.toDouble, ch.toDouble / 2), ch)
   }
 
+  test("classic group with 26 links splits across multiple SNODs (leaf k = 4) and all resolve") {
+    // the superblock declares group leaf k = 4 → max 8 symbols per SNOD, so
+    // a 26-variable classic archive MUST fan the root b-tree over 4 symbol
+    // table nodes — the many-variable shape real archives take
+    val p = tmp("many-classic.h5")
+    val dsets = ('a' to 'z').map(ch =>
+      WDataset(s"var_$ch", F64, Seq(2), Array(ch.toDouble, ch.toDouble / 2)))
+    Hdf5.write(p, dsets)
+    // count SNOD signatures in the raw bytes: ceil(26/8) = 4 nodes
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val snods = bytes.sliding(4).count(_.sameElements("SNOD".getBytes))
+    assert(snods == 4, s"expected 4 symbol table nodes, found $snods")
+    val h = Hdf5.open(p)
+    assert(h.datasets.map(_.name) == ('a' to 'z').map(ch => s"var_$ch"))
+    for (ch <- 'a' to 'z')
+      assert(Hdf5.readAll(p, h.dataset(s"var_$ch").get).toSeq ==
+        Seq(ch.toDouble, ch.toDouble / 2), ch)
+  }
+
   test("latest format: corrupted metadata fails the lookup3 checksum loudly") {
     val p = tmp("latest-corrupt.h5")
     writeGrid(p, chunked = false, latest = true)
