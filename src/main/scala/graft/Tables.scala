@@ -26,12 +26,17 @@ object Tables {
     * TIMESTAMP_NTZ), and plain TIMESTAMP(MICROS). Branch on the column's
     * actual dataType so a fixture regeneration can't silently break every
     * downstream consumer again (round-12/13 postmortem): every branch
-    * normalizes to session-tz TimestampType, which under the UTC sessions all
-    * entrypoints build matches DuckDB's naive read of the same file.
+    * normalizes to TimestampType holding the instant DuckDB's naive read of
+    * the same file yields — INDEPENDENT of the session timezone, so a
+    * library user's non-UTC session gets the same epoch-aligned windows and
+    * unix_timestamp math as the UTC harness entrypoints.
     *   - long (ns): floor-divide to µs — the truncation DuckDB applies for
     *     TIMESTAMP_NS → TIMESTAMP; integer `DIV` stays exact (ns epochs
-    *     exceed double's 2^53 integer range).
-    *   - TIMESTAMP_NTZ (µs): cast; under UTC the micros are unchanged.
+    *     exceed double's 2^53 integer range). Epoch micros are already an
+    *     instant, no tz involved.
+    *   - TIMESTAMP_NTZ (µs): interpret the naive wall clock AS UTC
+    *     explicitly (convert_timezone UTC → session tz, then cast) — a bare
+    *     cast would reinterpret the micros in whatever tz the session runs.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -40,7 +45,10 @@ object Tables {
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        val sessionTz = s.conf.get("spark.sql.session.timeZone")
+        raw.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast(TimestampType))
       case TimestampType    => raw
       case other => throw new IllegalStateException(
         s"events.ts: unhandled parquet type $other — update Tables.events")

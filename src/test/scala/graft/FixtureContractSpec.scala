@@ -44,6 +44,26 @@ class FixtureContractSpec extends AnyFunSuite {
       s"events.ts epoch range [$lo, $hi] implausible — unit conversion bug?")
   }
 
+  test("Tables.events yields the same instants under a non-UTC session timezone") {
+    // the NTZ branch must interpret the naive wall clock AS UTC explicitly —
+    // a bare cast reinterprets the micros in the session tz and silently
+    // shifts every epoch-aligned window for a non-UTC library user
+    import org.apache.spark.sql.functions._
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    val utc = Tables.events(spark, sf)
+      .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))),
+        sum(unix_timestamp(col("ts")))).collect()(0)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val ny = Tables.events(spark, sf)
+        .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))),
+          sum(unix_timestamp(col("ts")))).collect()(0)
+      assert(ny == utc,
+        s"events instants shift with session tz: UTC=$utc America/New_York=$ny")
+    } finally spark.conf.set(tzKey, prev)
+  }
+
   test("all 10 harness tables load with the column sets the query registry uses") {
     val contracts: Seq[(String, org.apache.spark.sql.DataFrame, Seq[String])] = Seq(
       ("region", Tables.region(spark, sf), Seq("r_regionkey", "r_name")),
