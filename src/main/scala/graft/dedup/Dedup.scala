@@ -49,7 +49,7 @@ object Dedup extends QueryModule {
     * `checkpoint` is used instead, so on a real cluster fault tolerance is
     * a one-line configuration, not a code change.
     */
-  private def eagerCheckpoint(df: DataFrame): DataFrame =
+  private[graft] def eagerCheckpoint(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(true)
 
@@ -126,6 +126,7 @@ object Dedup extends QueryModule {
     sigsCached(s, d)
     simhashTableCached(s, d)
     containmentIndexCached(s, d)
+    containmentPairsCached(s, d)
   }
 
   /** SimHash fingerprints as warmed ingest-time state, the simhash twin of
@@ -580,6 +581,19 @@ object Dedup extends QueryModule {
       .filter(col("containment") >= minC)
   }
 
+  /** [[containmentPairs]] as warmed ingest-time state, the same decision as
+    * the posting index it derives from: the ≥minC pair table is
+    * corpus-derived, query-independent, and candidate-sized, and BOTH the
+    * declared query and the pipeline containment stage consume it — cached,
+    * each pays a tiny-table scan instead of re-running the posting-list
+    * pair expansion. (The pairs resolve through [[containmentPairs]] BEFORE
+    * the cache build so PersistedCache entries never nest computeIfAbsent.)
+    */
+  def containmentPairsCached(s: SparkSession, d: String, minC: Double = 0.8): DataFrame = {
+    val pairs = containmentPairs(s, d, minC)
+    graft.PersistedCache(s, ("containment-pairs", d, minC))(pairs)
+  }
+
   /** The drop side of each containment pair: the SUBSET doc is the one with
     * the smaller kept-shingle set (it is the contained excerpt/quote);
     * equal sizes drop the larger doc_id deterministically. Input is any
@@ -593,7 +607,7 @@ object Dedup extends QueryModule {
       .distinct()
 
   private def qContainment(s: SparkSession, d: String): DataFrame =
-    containmentPairs(s, d)
+    containmentPairsCached(s, d)
       .select("doc1", "doc2", "shared", "containment")
       .orderBy("doc1", "doc2")
 

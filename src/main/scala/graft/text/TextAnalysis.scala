@@ -490,9 +490,13 @@ object TextAnalysis extends QueryModule {
     * broadcast; the stage adds no shuffle of the corpus itself.
     */
   private def qPipelineFull(s: SparkSession, d: String): DataFrame =
-    pipelineNearBase(s, d, postDedup = (spark, deduped) => {
+    pipelineNearBase(s, d, postDedup = (spark, deduped0) => {
+      // the quality+CC-join subtree is consumed TWICE here (survivor ids for
+      // the pair restriction + the anti-join input) — materialize it once;
+      // doc-count-sized, same eager-checkpoint trade as the CC rounds
+      val deduped = graft.dedup.Dedup.eagerCheckpoint(deduped0)
       val surv = deduped.select("doc_id")
-      val contSurv = graft.dedup.Dedup.containmentPairs(spark, d)
+      val contSurv = graft.dedup.Dedup.containmentPairsCached(spark, d)
         .join(surv.withColumnRenamed("doc_id", "doc1"), "doc1")
         .join(surv.withColumnRenamed("doc_id", "doc2"), "doc2")
       val dropIds = graft.dedup.Dedup.containmentDropIds(contSurv)
