@@ -172,6 +172,19 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pipeline_full: the containment stage never reshuffles the corpus") {
+    dedup.Dedup.prepareSignatures(spark, TestSpark.sf)
+    val plan = planOf("q_pipeline_full")
+    // the pair restriction + subset-drop anti-join all build on the tiny
+    // (posting-list-bounded) containment side: broadcast hash joins only —
+    // a sort-merge LeftAnti here would mean the corpus shuffled on doc_id
+    // for a candidate-sized drop list
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined, plan)
+    assert("SortMergeJoin .*LeftAnti".r.findFirstIn(plan).isEmpty, plan)
+    // the cached pair table surfaces as an in-memory scan, not a rebuild
+    assert(plan.contains("InMemoryTableScan"), plan)
+  }
+
   test("runtime bloom filter: shuffle join gets a might_contain probe on the big side") {
     import org.apache.spark.sql.functions._
     // thresholds sized for test data; at production scale the defaults
