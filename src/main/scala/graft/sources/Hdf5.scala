@@ -506,11 +506,14 @@ object Hdf5 {
       (off - blk.start).toInt, (off - blk.start + len).toInt)
   }
 
-  /** Validate a single-leaf name-index v2 B-tree (`BTHD` header + one `BTLF`
-    * leaf, spec III.A.2), both Jenkins-lookup3 checksummed, and return the
-    * leaf's record bytes positioned at record 0 plus the record count.
-    * Single-leaf trees only (the shape below ~500 entries); deeper trees
-    * fail loudly.
+  /** Walk a name-index v2 B-tree (`BTHD` header, spec III.B) and return ALL
+    * record bytes back-to-back plus the record count — every node
+    * Jenkins-lookup3 checksum-verified. Depth 0 (root = one `BTLF` leaf, the
+    * below-~400-entry common case) and depth 1 (`BTIN` internal root over
+    * sibling leaves, the many-link/many-attribute archive shape) are
+    * supported; deeper trees (≈100k+ entries at default node size) fail
+    * loudly. Record ordering across nodes is NOT restored — both callers
+    * sort by name afterwards.
     */
   private def readBtreeLeaf(r: Reader, btAddr: Long, expType: Int,
       expRecSize: Int, what: String, path: String): (ByteBuffer, Int) = {
@@ -521,34 +524,82 @@ object Hdf5 {
     require(b.get() == 0, s"$path: v2 b-tree version unsupported")
     val btType = b.get() & 0xFF
     require(btType == expType, s"$path: v2 b-tree type $btType is not a $what index")
-    b.getInt() // node size
+    val nodeSize = b.getInt()
     val recSize = b.getShort() & 0xFFFF
     val depth = b.getShort() & 0xFFFF
-    require(depth == 0,
-      s"$path: v2 b-tree depth $depth unsupported (single-leaf $what indexes only)")
+    require(depth <= 1,
+      s"$path: v2 b-tree depth $depth unsupported ($what indexes: root + one leaf level max)")
     b.get(); b.get() // split / merge percents
     val rootAddr = b.getLong()
-    val nrec = b.getShort() & 0xFFFF
-    b.getLong() // total records (== nrec at depth 0)
+    val nrecRoot = b.getShort() & 0xFFFF
+    val totalRec = b.getLong()
     val stored = b.getInt()
     val computed = lookup3(java.util.Arrays.copyOf(raw, 34))
     require(stored == computed,
       f"$path: v2 b-tree header checksum mismatch (stored 0x$stored%08x)")
     require(recSize == expRecSize,
       s"$path: $what record size $recSize != expected $expRecSize")
-    val leafRaw = r.bytes(rootAddr, 4 + 1 + 1 + nrec * recSize + 4)
-    val lb = ByteBuffer.wrap(leafRaw).order(ByteOrder.LITTLE_ENDIAN)
-    val lsig = new Array[Byte](4); lb.get(lsig)
-    require(lsig.sameElements("BTLF".getBytes), s"$path: bad v2 b-tree leaf signature")
-    require(lb.get() == 0, s"$path: v2 b-tree leaf version unsupported")
-    require((lb.get() & 0xFF) == expType, s"$path: v2 b-tree leaf type mismatch")
-    locally { // leaf checksum covers the used prefix (records are it)
+
+    /** One BTLF's records appended to `out` (checksum-verified). */
+    def readLeaf(addr: Long, nrec: Int, out: java.io.ByteArrayOutputStream): Unit = {
+      val leafRaw = r.bytes(addr, 4 + 1 + 1 + nrec * recSize + 4)
+      val lb = ByteBuffer.wrap(leafRaw).order(ByteOrder.LITTLE_ENDIAN)
+      val lsig = new Array[Byte](4); lb.get(lsig)
+      require(lsig.sameElements("BTLF".getBytes), s"$path: bad v2 b-tree leaf signature")
+      require(lb.get() == 0, s"$path: v2 b-tree leaf version unsupported")
+      require((lb.get() & 0xFF) == expType, s"$path: v2 b-tree leaf type mismatch")
       val storedLeaf = lb.getInt(leafRaw.length - 4)
       val computedLeaf = lookup3(java.util.Arrays.copyOf(leafRaw, leafRaw.length - 4))
       require(storedLeaf == computedLeaf,
         f"$path: v2 b-tree leaf checksum mismatch (stored 0x$storedLeaf%08x)")
+      out.write(leafRaw, 6, nrec * recSize)
     }
-    (lb, nrec)
+
+    if (depth == 0) { // root IS the leaf — the below-~400-entry common case
+      val out = new java.io.ByteArrayOutputStream()
+      readLeaf(rootAddr, nrecRoot, out)
+      (ByteBuffer.wrap(out.toByteArray).order(ByteOrder.LITTLE_ENDIAN), nrecRoot)
+    } else {
+      // depth 1: one BTIN internal root over BTLF leaves. Internal layout
+      // (spec III.B.2): prefix, then ALL records, then nrec+1 child
+      // pointers of (address, child record count); the count field width is
+      // the minimum bytes representing the max records a LEAF can hold
+      // (leaf capacity = (nodeSize - 10) / recSize, libhdf5's
+      // H5B2_NUM_LEAF_REC with the 10-byte leaf prefix+checksum).
+      val maxLeafRec = (nodeSize - 10) / recSize
+      require(maxLeafRec >= 1, s"$path: implausible v2 b-tree geometry")
+      val cntSize = (63 - java.lang.Long.numberOfLeadingZeros(maxLeafRec.toLong) + 8) / 8
+      val intLen = 6 + nrecRoot * recSize + (nrecRoot + 1) * (8 + cntSize) + 4
+      val inRaw = r.bytes(rootAddr, intLen)
+      val ib = ByteBuffer.wrap(inRaw).order(ByteOrder.LITTLE_ENDIAN)
+      val isig = new Array[Byte](4); ib.get(isig)
+      require(isig.sameElements("BTIN".getBytes),
+        s"$path: bad v2 b-tree internal node signature")
+      require(ib.get() == 0, s"$path: v2 b-tree internal version unsupported")
+      require((ib.get() & 0xFF) == expType, s"$path: v2 b-tree internal type mismatch")
+      val storedInt = ib.getInt(intLen - 4)
+      val computedInt = lookup3(java.util.Arrays.copyOf(inRaw, intLen - 4))
+      require(storedInt == computedInt,
+        f"$path: v2 b-tree internal checksum mismatch (stored 0x$storedInt%08x)")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(inRaw, 6, nrecRoot * recSize) // the root's own records
+      ib.position(6 + nrecRoot * recSize)
+      def uintN(n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) { v |= (ib.get().toLong & 0xFF) << (8 * i); i += 1 }
+        v
+      }
+      (0 to nrecRoot).foreach { _ =>
+        val addr = ib.getLong()
+        val cn = uintN(cntSize).toInt
+        require(cn >= 1 && cn <= maxLeafRec, s"$path: leaf record count $cn out of range")
+        readLeaf(addr, cn, out)
+      }
+      val bytes = out.toByteArray
+      require(bytes.length / recSize == totalRec,
+        s"$path: v2 b-tree total ${bytes.length / recSize} != declared $totalRec")
+      (ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN), totalRec.toInt)
+    }
   }
 
   /** Dense group links: walk the name-index v2 B-tree (type 5 records of
@@ -2025,41 +2076,98 @@ object Hdf5 {
         if (btType == 5) 4 + idLen // hash + heap ID
         else idLen + 1 + 4 + 4 // heap ID + message flags + creation order + hash
 
-      private def bthdBlock(res: Resolve): Array[Byte] = {
-        val b = new LeBuf
-        b.raw("BTHD".getBytes).u8(0).u8(btType)
-        b.u32(4096).u16(recSize) // node size, record size
-        b.u16(0) // depth: root is the leaf
-        b.u8(100).u8(40) // split / merge percents (library defaults)
-        b.u64(res(s"$prefix:btlf"))
-        b.u16(extents.length)
-        b.u64(extents.length)
-        u32ck(b)
-      }
+      private val nodeSize = 4096
+      /** Leaf capacity under the declared node size (libhdf5's
+        * H5B2_NUM_LEAF_REC: node minus the 10-byte prefix+checksum) — past
+        * it the index becomes a BTIN root over split leaves, exactly as the
+        * library splits for many-link / many-attribute objects.
+        */
+      private def maxLeafRec: Int = (nodeSize - 10) / recSize
 
-      private def btlfBlock(res: Resolve): Array[Byte] = {
-        val b = new LeBuf
-        b.raw("BTLF".getBytes).u8(0).u8(btType)
+      /** All records in b-tree key order (name hash, then name). */
+      private lazy val sortedRecs: Seq[Array[Byte]] =
         heapIds.zipWithIndex
           .map { case ((n, id), i) => (lookup3(n.getBytes("UTF-8")), n, id, i) }
           .sortBy { case (h, n, _, _) => (h.toLong & 0xFFFFFFFFL, n) }
-          .foreach { case (h, _, id, i) =>
+          .map { case (h, _, id, i) =>
+            val b = new LeBuf
             if (btType == 5) b.u32(h.toLong & 0xFFFFFFFFL).raw(id)
             else b.raw(id).u8(0).u32(i).u32(h.toLong & 0xFFFFFFFFL)
+            b.bytes
           }
+
+      /** (leaf record slices, separator records): single leaf when it fits;
+        * otherwise a classic B-tree split — L leaves and L-1 separator
+        * records living in the internal root (records are NOT duplicated:
+        * leaves + separators partition the full sorted sequence).
+        */
+      private lazy val split: (Seq[Seq[Array[Byte]]], Seq[Array[Byte]]) = {
+        val n = sortedRecs.length
+        if (n <= maxLeafRec) (Seq(sortedRecs), Nil)
+        else {
+          val leaves = (n + maxLeafRec) / (maxLeafRec + 1) // smallest L covering n
+          val leafTotal = n - (leaves - 1)
+          val base = leafTotal / leaves; val extra = leafTotal % leaves
+          val leafRecs = scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]]()
+          val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          var at = 0
+          (0 until leaves).foreach { j =>
+            val sz = base + (if (j < extra) 1 else 0)
+            leafRecs += sortedRecs.slice(at, at + sz); at += sz
+            if (j < leaves - 1) { seps += sortedRecs(at); at += 1 }
+          }
+          (leafRecs.toSeq, seps.toSeq)
+        }
+      }
+      private def nLeaves: Int = split._1.length
+
+      private def bthdBlock(res: Resolve): Array[Byte] = {
+        val b = new LeBuf
+        b.raw("BTHD".getBytes).u8(0).u8(btType)
+        b.u32(nodeSize).u16(recSize)
+        b.u16(if (nLeaves == 1) 0 else 1) // depth
+        b.u8(100).u8(40) // split / merge percents (library defaults)
+        b.u64(if (nLeaves == 1) res(s"$prefix:btlf:0") else res(s"$prefix:btin"))
+        b.u16(if (nLeaves == 1) sortedRecs.length else split._2.length)
+        b.u64(sortedRecs.length)
+        u32ck(b)
+      }
+
+      private def btinBlock(res: Resolve): Array[Byte] = {
+        // internal node: prefix, ALL separator records, then nLeaves child
+        // pointers of (address, record count in the leaf-capacity field
+        // width) — the layout readBtreeLeaf's depth-1 branch consumes
+        val cntSize = (63 - java.lang.Long.numberOfLeadingZeros(maxLeafRec.toLong) + 8) / 8
+        val b = new LeBuf
+        b.raw("BTIN".getBytes).u8(0).u8(btType)
+        split._2.foreach(b.raw)
+        split._1.zipWithIndex.foreach { case (g, j) =>
+          b.u64(res(s"$prefix:btlf:$j"))
+          (0 until cntSize).foreach(k => b.u8((g.length >> (8 * k)) & 0xFF))
+        }
+        u32ck(b)
+      }
+
+      private def btlfBlock(j: Int): Array[Byte] = {
+        val b = new LeBuf
+        b.raw("BTLF".getBytes).u8(0).u8(btType)
+        split._1(j).foreach(b.raw)
         u32ck(b)
       }
 
       def fheapRef(res: Resolve): Long = res(s"$prefix:frhp")
       def btreeRef(res: Resolve): Long = res(s"$prefix:bthd")
       def blockNames: Seq[String] =
-        Seq(s"$prefix:frhp", s"$prefix:fhdb", s"$prefix:bthd", s"$prefix:btlf")
+        Seq(s"$prefix:frhp", s"$prefix:fhdb", s"$prefix:bthd") ++
+          (if (nLeaves > 1) Seq(s"$prefix:btin") else Nil) ++
+          (0 until nLeaves).map(j => s"$prefix:btlf:$j")
       def build(name: String, res: Resolve): Array[Byte] =
         name.drop(prefix.length + 1) match {
           case "frhp" => frhpBlock(res)
           case "fhdb" => fhdbBlock(res)
           case "bthd" => bthdBlock(res)
-          case "btlf" => btlfBlock(res)
+          case "btin" => btinBlock(res)
+          case l if l.startsWith("btlf:") => btlfBlock(l.drop(5).toInt)
           case o => throw new IllegalStateException(s"unknown dense block $o")
         }
     }
@@ -2249,8 +2357,14 @@ object Hdf5 {
     def buildBlock(name: String, res: Resolve): Array[Byte] = name match {
       case "oh:/" => if (latest) rootOhV2(res) else rootOh(res)
       case n if n.startsWith("rootdx:") => rootDense.build(n, res)
-      case n if n.startsWith("adx:") => // "adx:<ds>:<kind>"; <ds> may hold ':'
-        attrDense(n.substring(4, n.lastIndexOf(':'))).build(n, res)
+      case n if n.startsWith("adx:") =>
+        // "adx:<ds>:<kind>"; <ds> may hold ':' and <kind> may be "btlf:<j>",
+        // so match the known kind suffixes greedily instead of splitting on
+        // the last colon
+        val kind = "(:(?:frhp|fhdb|bthd|btin|btlf:\\d+))$".r
+          .findFirstIn(n).getOrElse(
+            throw new IllegalStateException(s"unparseable dense block $n"))
+        attrDense(n.substring(4, n.length - kind.length)).build(n, res)
       case "heap" => heapBlock(res)
       case "heapdata" => heapData.bytes
       case "btree" => btreeBlock(res)

@@ -338,6 +338,43 @@ class Hdf5Spec extends AnyFunSuite {
         Seq(ch.toDouble, ch.toDouble / 2), ch)
   }
 
+  test("dense root group with 400 links: name-index v2 b-tree splits into BTIN + multiple leaves") {
+    // 400 link records × 11 bytes > one 4096-byte leaf (max 371), so the
+    // writer must emit a depth-1 tree — the many-variable archive shape —
+    // and the reader must walk root records + all leaves
+    val p = tmp("manylinks.h5")
+    val dsets = (0 until 400).map(i =>
+      WDataset(f"v$i%03d", F64, Seq(2), Array(i.toDouble, i / 2.0)))
+    Hdf5.write(p, dsets, latest = true, denseRoot = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    def count(sig: String) = bytes.sliding(4).count(_.sameElements(sig.getBytes))
+    assert(count("BTIN") == 1, s"expected one internal root, found ${count("BTIN")}")
+    assert(count("BTLF") >= 2, s"expected split leaves, found ${count("BTLF")}")
+    val h = Hdf5.open(p)
+    assert(h.datasets.map(_.name) == (0 until 400).map(i => f"v$i%03d"))
+    for (i <- Seq(0, 123, 371, 399))
+      assert(Hdf5.readAll(p, h.dataset(f"v$i%03d").get).toSeq ==
+        Seq(i.toDouble, i / 2.0), i)
+  }
+
+  test("dense attributes past one leaf: 300 attrs resolve through BTIN + leaves (':' name safe)") {
+    // attr records are 17 bytes → max 240 per 4096-byte leaf; 300 forces the
+    // split. The dataset name carries ':' to pin the block-name dispatch.
+    val p = tmp("manyattrs.h5")
+    val attrs = (0 until 300).map(i => (f"a$i%03d", F64, Seq(i.toDouble)))
+    Hdf5.write(p, Seq(
+      WDataset("t:v", F64, Seq(2), Array(1.0, 2.0), numAttrs = attrs)),
+      latest = true, denseRoot = false, denseAttrs = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    def count(sig: String) = bytes.sliding(4).count(_.sameElements(sig.getBytes))
+    assert(count("BTIN") == 1, s"expected one internal root, found ${count("BTIN")}")
+    assert(count("BTLF") >= 2, s"expected split leaves, found ${count("BTLF")}")
+    val ds = Hdf5.open(p).dataset("t:v").get
+    assert(ds.attrs.length == 300)
+    for (i <- Seq(0, 99, 240, 299))
+      assert(ds.attr(f"a$i%03d").map(_.value).contains(NumAttr(Seq(i.toDouble))), i)
+  }
+
   test("latest format: corrupted metadata fails the lookup3 checksum loudly") {
     val p = tmp("latest-corrupt.h5")
     writeGrid(p, chunked = false, latest = true)
