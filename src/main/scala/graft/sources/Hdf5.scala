@@ -323,11 +323,13 @@ object Hdf5 {
 
   // ---- dense (fractal-heap) group storage
 
-  /** The managed-object geometry of a fractal heap (spec III.G `FRHP`). */
+  /** The managed-object geometry of a fractal heap (spec III.G `FRHP`),
+    * plus the huge-object index address (Undef when the heap holds none).
+    */
   private final case class FractalHeap(idLen: Int, flags: Int,
       maxManagedSize: Long, tableWidth: Int, startBlockSize: Long,
       maxDirectSize: Long, maxHeapBits: Int, rootAddr: Long, curRows: Int,
-      allocManagedSpace: Long) {
+      allocManagedSpace: Long, hugeBtAddr: Long) {
     /** heap-offset field width in IDs/blocks: min bytes for the heap space */
     def offSize: Int = (maxHeapBits + 7) / 8
     /** object-length field width in IDs: min bytes for max managed size */
@@ -354,7 +356,8 @@ object Hdf5 {
     require(filterLen == 0, s"$path: filtered fractal heap unsupported")
     val flags = b.get() & 0xFF
     val maxManaged = b.getInt().toLong & 0xFFFFFFFFL
-    b.getLong(); b.getLong() // next huge id, huge v2-btree address
+    b.getLong() // next huge object id
+    val hugeBtAddr = b.getLong() // huge-object v2-btree address
     b.getLong(); b.getLong() // free space, free-space manager address
     b.getLong() // managed space
     val allocManaged = b.getLong() // allocated managed space
@@ -362,8 +365,10 @@ object Hdf5 {
     b.getLong() // number of managed objects
     val hugeN = { b.getLong(); b.getLong() } // huge size, huge count
     val tinyN = { b.getLong(); b.getLong() } // tiny size, tiny count
-    require(hugeN == 0 && tinyN == 0,
-      s"$path: huge/tiny fractal-heap objects unsupported (managed only)")
+    require(hugeN == 0 || hugeBtAddr != Undef,
+      s"$path: $hugeN huge objects declared but no huge-object index")
+    require(tinyN == 0,
+      s"$path: tiny fractal-heap objects unsupported")
     val width = b.getShort() & 0xFFFF
     val startSize = b.getLong()
     val maxDirect = b.getLong()
@@ -376,8 +381,23 @@ object Hdf5 {
     require(stored == computed,
       f"$path: fractal heap checksum mismatch (stored 0x$stored%08x)")
     FractalHeap(idLen, flags, maxManaged, width, startSize, maxDirect,
-      maxHeapBits, rootAddr, curRows, allocManaged)
+      maxHeapBits, rootAddr, curRows, allocManaged, hugeBtAddr)
   }
+
+  /** The heap's huge-object directory: id → (file address, length), from the
+    * type-1 ("huge, indirectly accessed, unfiltered") v2 b-tree — record =
+    * address (8) + length (8) + id (8). Empty when the heap holds none.
+    */
+  private def hugeObjects(r: Reader, fh: FractalHeap,
+      path: String): Map[Long, (Long, Long)] =
+    if (fh.hugeBtAddr == Undef) Map.empty
+    else {
+      val (hb, n) = readBtreeLeaf(r, fh.hugeBtAddr, 1, 24, "huge-object", path)
+      (0 until n).map { _ =>
+        val addr = hb.getLong(); val len = hb.getLong(); val id = hb.getLong()
+        id -> (addr, len)
+      }.toMap
+    }
 
   /** Size of the doubling-table row `row`: rows 0–1 use the starting block
     * size, then each row doubles.
@@ -481,16 +501,33 @@ object Hdf5 {
     }
   }
 
-  /** Read one managed object's bytes given its heap ID (flags byte +
-    * variable-width offset and length), served from the pre-loaded blocks.
+  /** Read one heap object's bytes given its heap ID. Managed objects
+    * (type 0: flags byte + variable-width offset and length) are served from
+    * the pre-loaded direct blocks; HUGE objects (type 2: flags byte + huge
+    * object id, the > max-managed-size case — e.g. a large array attribute)
+    * resolve through the heap's huge-object v2 b-tree to a direct file read.
+    * Tiny objects (type 1) stay loud-fail: at the library-default 7/8-byte
+    * ID lengths no real link/attribute message fits inside an ID.
     */
-  private def readManagedObject(fh: FractalHeap, blocks: Seq[DirectBlock],
+  private def readHeapObject(r: Reader, fh: FractalHeap,
+      blocks: Seq[DirectBlock], huge: Map[Long, (Long, Long)],
       id: Array[Byte], path: String): Array[Byte] = {
     val b = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
     val f = b.get() & 0xFF
     require((f >> 6) == 0, s"$path: heap ID version ${f >> 6} unsupported")
-    require(((f >> 4) & 3) == 0,
-      s"$path: non-managed heap ID type ${(f >> 4) & 3} unsupported")
+    (f >> 4) & 3 match {
+      case 0 => // managed
+      case 2 => // huge (indirect): remaining ID bytes are the b-tree key
+        var hid = 0L
+        var i = 0
+        while (i < fh.idLen - 1) { hid |= (b.get().toLong & 0xFF) << (8 * i); i += 1 }
+        val (addr, len) = huge.getOrElse(hid,
+          throw new IllegalArgumentException(
+            s"$path: huge object id $hid missing from the huge-object index"))
+        return r.bytes(addr, len.toInt)
+      case t =>
+        throw new IllegalArgumentException(s"$path: heap ID type $t unsupported")
+    }
     val off = uintVar(b, fh.offSize)
     val len = uintVar(b, fh.lenSize)
     val blk = blocks.find(d => off >= d.start && off < d.start + d.size)
@@ -612,12 +649,13 @@ object Hdf5 {
     val fh = parseFrhp(r, fhAddr, path)
     val (lb, nrec) = readBtreeLeaf(r, btAddr, 5, 4 + fh.idLen, "link-name", path)
     val blocks = loadDirectBlocks(r, fh, fhAddr, path)
+    val huge = hugeObjects(r, fh, path)
     val links = (0 until nrec).map { _ =>
       lb.getInt() // name hash — index key; enumeration reads every record
       val id = new Array[Byte](fh.idLen); lb.get(id)
       val msgs = scala.collection.mutable.ArrayBuffer[Msg]()
       dispatchMsg(0x0006, 0,
-        ByteBuffer.wrap(readManagedObject(fh, blocks, id, path))
+        ByteBuffer.wrap(readHeapObject(r, fh, blocks, huge, id, path))
           .order(ByteOrder.LITTLE_ENDIAN), msgs, path)
       msgs.head match { case LinkMsg(n, a) => (n, a)
         case m => throw new IllegalStateException(s"$path: unexpected $m") }
@@ -636,6 +674,7 @@ object Hdf5 {
     val fh = parseFrhp(r, fhAddr, path)
     val (lb, nrec) = readBtreeLeaf(r, btAddr, 8, fh.idLen + 9, "attribute-name", path)
     val blocks = loadDirectBlocks(r, fh, fhAddr, path)
+    val huge = hugeObjects(r, fh, path)
     (0 until nrec).map { _ =>
       val id = new Array[Byte](fh.idLen); lb.get(id)
       val mflags = lb.get() & 0xFF
@@ -646,7 +685,7 @@ object Hdf5 {
       require((mflags & 0x02) == 0,
         s"$path: shared dense attribute message unsupported")
       lb.getInt(); lb.getInt() // creation order, name hash
-      parseAttr(ByteBuffer.wrap(readManagedObject(fh, blocks, id, path))
+      parseAttr(ByteBuffer.wrap(readHeapObject(r, fh, blocks, huge, id, path))
         .order(ByteOrder.LITTLE_ENDIAN), path)
     }.sortBy(_.name)
   }
@@ -2011,11 +2050,21 @@ object Hdf5 {
       private val maxManaged = 4096L
       private val offSize = 4; private val lenSize = 2
       private val headerSize = 4 + 1 + 8 + offSize + 4 // FHDB prefix + checksum
-      /** (heap offset, length) per item, and the root block size. */
-      private lazy val geometry: (Seq[(Long, Int)], Long) = {
+      private lazy val itemLens: Seq[Int] = {
         val zeroR: Resolve = _ => 0L
-        val lens = items.map { case (_, body) => body(zeroR).length }
-        require(lens.forall(_ <= maxManaged), "message exceeds heap object max")
+        items.map { case (_, body) => body(zeroR).length }
+      }
+      /** Items past the max managed size become HUGE objects: stored as
+        * standalone file blocks indexed by the heap's type-1 v2 b-tree,
+        * exactly libhdf5's spill path for big payloads (e.g. large array
+        * attributes). Everything else is a managed object in the root
+        * direct block.
+        */
+      private lazy val hugeIdx: Seq[Int] = items.indices.filter(itemLens(_) > maxManaged)
+      private lazy val managedIdx: Seq[Int] = items.indices.filterNot(itemLens(_) > maxManaged)
+      /** (heap offset, length) per MANAGED item, and the root block size. */
+      private lazy val geometry: (Seq[(Long, Int)], Long) = {
+        val lens = managedIdx.map(itemLens)
         val offs = lens.scanLeft(headerSize.toLong)(_ + _)
         var bs = 512L
         while (bs < offs.last) bs <<= 1
@@ -2031,12 +2080,14 @@ object Hdf5 {
         b.u16(idLen).u16(0) // heap ID length, I/O filter length (none)
         b.u8(0x02) // flags: direct blocks are checksummed
         b.u32(maxManaged)
-        b.u64(0).u64(-1L) // next huge object id, huge v2-btree address
+        b.u64(hugeIdx.length + 1) // next huge object id (ids are 1-based)
+        b.u64(if (hugeIdx.isEmpty) -1L else res(s"$prefix:hugebt"))
         b.u64(blockSize - used).u64(-1L) // free space, free-space manager
         b.u64(blockSize).u64(blockSize) // managed space, allocated
         b.u64(blockSize) // direct-block iterator offset (block is full)
-        b.u64(extents.length) // managed objects
-        b.u64(0).u64(0).u64(0).u64(0) // huge size/count, tiny size/count
+        b.u64(managedIdx.length) // managed objects
+        b.u64(hugeIdx.map(itemLens(_).toLong).sum).u64(hugeIdx.length) // huge size/count
+        b.u64(0).u64(0) // tiny size/count
         b.u16(4) // table width
         b.u64(blockSize) // starting block size = the one root block
         b.u64(math.max(blockSize, maxManaged)) // max direct block size
@@ -2052,8 +2103,8 @@ object Hdf5 {
         head.raw("FHDB".getBytes).u8(0).u64(res(s"$prefix:frhp"))
         head.u32(0) // block offset within the heap space (4-byte field)
         System.arraycopy(head.bytes, 0, out, 0, headerSize - 4)
-        items.zip(extents).foreach { case ((_, mkBody), (off, _)) =>
-          val body = mkBody(res)
+        managedIdx.zip(extents).foreach { case (ix, (off, _)) =>
+          val body = items(ix)._2(res)
           System.arraycopy(body, 0, out, off.toInt, body.length)
         }
         // checksum over the whole block with its own field zeroed
@@ -2063,14 +2114,50 @@ object Hdf5 {
         out
       }
 
-      private def heapIds: Seq[(String, Array[Byte])] =
-        items.zip(extents).map { case ((n, _), (off, len)) =>
+      /** Huge-object index: BTHD (type 1, depth 0) over one BTLF of
+        * (address, length, id) records, id order = key order.
+        */
+      private def hugeBtBlock(res: Resolve): Array[Byte] = {
+        val b = new LeBuf
+        b.raw("BTHD".getBytes).u8(0).u8(1)
+        b.u32(4096).u16(24) // node size; record = addr(8)+len(8)+id(8)
+        b.u16(0) // depth
+        b.u8(100).u8(40)
+        b.u64(res(s"$prefix:hugebl"))
+        b.u16(hugeIdx.length)
+        b.u64(hugeIdx.length)
+        u32ck(b)
+      }
+
+      private def hugeBlBlock(res: Resolve): Array[Byte] = {
+        val b = new LeBuf
+        b.raw("BTLF".getBytes).u8(0).u8(1)
+        hugeIdx.zipWithIndex.foreach { case (ix, k) =>
+          b.u64(res(s"$prefix:hugeobj:$k")).u64(itemLens(ix)).u64(k + 1)
+        }
+        u32ck(b)
+      }
+
+      private def heapIds: Seq[(String, Array[Byte])] = {
+        val mOff = managedIdx.zip(extents).toMap
+        val hId = hugeIdx.zipWithIndex.map { case (ix, k) => ix -> (k + 1) }.toMap
+        items.zipWithIndex.map { case ((n, _), ix) =>
           val id = new LeBuf
-          id.u8(0x00) // version 0, managed object
-          id.u32(off).u16(len)
-          (1 + offSize + lenSize until idLen).foreach(_ => id.u8(0)) // pad
+          hId.get(ix) match {
+            case Some(v) =>
+              id.u8(0x20) // version 0, type 2 = huge (indirect)
+              // Long shift: an Int shift is mod-32, so byte 4 of the id
+              // would alias byte 0 (1 >> 32 == 1) and corrupt every id
+              (0 until idLen - 1).foreach(k => id.u8(((v.toLong >> (8 * k)) & 0xFF).toInt))
+            case None =>
+              val (off, len) = mOff(ix)
+              id.u8(0x00) // version 0, managed object
+              id.u32(off).u16(len)
+              (1 + offSize + lenSize until idLen).foreach(_ => id.u8(0)) // pad
+          }
           n -> id.bytes
         }
+      }
 
       private def recSize: Int =
         if (btType == 5) 4 + idLen // hash + heap ID
@@ -2143,7 +2230,8 @@ object Hdf5 {
         split._2.foreach(b.raw)
         split._1.zipWithIndex.foreach { case (g, j) =>
           b.u64(res(s"$prefix:btlf:$j"))
-          (0 until cntSize).foreach(k => b.u8((g.length >> (8 * k)) & 0xFF))
+          (0 until cntSize).foreach(k =>
+            b.u8(((g.length.toLong >> (8 * k)) & 0xFF).toInt))
         }
         u32ck(b)
       }
@@ -2160,14 +2248,21 @@ object Hdf5 {
       def blockNames: Seq[String] =
         Seq(s"$prefix:frhp", s"$prefix:fhdb", s"$prefix:bthd") ++
           (if (nLeaves > 1) Seq(s"$prefix:btin") else Nil) ++
-          (0 until nLeaves).map(j => s"$prefix:btlf:$j")
+          (0 until nLeaves).map(j => s"$prefix:btlf:$j") ++
+          (if (hugeIdx.nonEmpty)
+            Seq(s"$prefix:hugebt", s"$prefix:hugebl") ++
+              hugeIdx.indices.map(k => s"$prefix:hugeobj:$k")
+          else Nil)
       def build(name: String, res: Resolve): Array[Byte] =
         name.drop(prefix.length + 1) match {
           case "frhp" => frhpBlock(res)
           case "fhdb" => fhdbBlock(res)
           case "bthd" => bthdBlock(res)
           case "btin" => btinBlock(res)
+          case "hugebt" => hugeBtBlock(res)
+          case "hugebl" => hugeBlBlock(res)
           case l if l.startsWith("btlf:") => btlfBlock(l.drop(5).toInt)
+          case h if h.startsWith("hugeobj:") => items(hugeIdx(h.drop(8).toInt))._2(res)
           case o => throw new IllegalStateException(s"unknown dense block $o")
         }
     }
@@ -2361,7 +2456,7 @@ object Hdf5 {
         // "adx:<ds>:<kind>"; <ds> may hold ':' and <kind> may be "btlf:<j>",
         // so match the known kind suffixes greedily instead of splitting on
         // the last colon
-        val kind = "(:(?:frhp|fhdb|bthd|btin|btlf:\\d+))$".r
+        val kind = "(:(?:frhp|fhdb|bthd|btin|btlf:\\d+|hugebt|hugebl|hugeobj:\\d+))$".r
           .findFirstIn(n).getOrElse(
             throw new IllegalStateException(s"unparseable dense block $n"))
         attrDense(n.substring(4, n.length - kind.length)).build(n, res)

@@ -375,6 +375,26 @@ class Hdf5Spec extends AnyFunSuite {
       assert(ds.attr(f"a$i%03d").map(_.value).contains(NumAttr(Seq(i.toDouble))), i)
   }
 
+  test("huge fractal-heap objects: a >4 KB array attribute spills to the huge-object index") {
+    // an 1100-double attribute body (~8.8 KB) exceeds the 4096-byte max
+    // managed size, so the writer must store it as a huge object behind the
+    // heap's type-1 v2 b-tree — libhdf5's spill path for large attributes —
+    // while the small attributes stay managed in the direct block
+    val p = tmp("hugeattr.h5")
+    val big = (0 until 1100).map(_.toDouble)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F64, Seq(2), Array(1.0, 2.0),
+        strAttrs = Seq("long_name" -> "with a huge neighbor"),
+        numAttrs = Seq(("calibration_table", F64, big),
+          ("small", F64, Seq(42.0))))),
+      latest = true, denseRoot = false, denseAttrs = true)
+    val ds = Hdf5.open(p).dataset("temp").get
+    assert(ds.attr("calibration_table").map(_.value).contains(NumAttr(big)))
+    assert(ds.attr("small").map(_.value).contains(NumAttr(Seq(42.0))))
+    assert(ds.attr("long_name").map(_.value).contains(StrAttr("with a huge neighbor")))
+    assert(Hdf5.readAll(p, ds).toSeq == Seq(1.0, 2.0))
+  }
+
   test("latest format: corrupted metadata fails the lookup3 checksum loudly") {
     val p = tmp("latest-corrupt.h5")
     writeGrid(p, chunked = false, latest = true)
