@@ -127,6 +127,7 @@ object Dedup extends QueryModule {
     simhashTableCached(s, d)
     containmentIndexCached(s, d)
     containmentPairsCached(s, d)
+    containmentStateCached(s, d)
   }
 
   /** SimHash fingerprints as warmed ingest-time state, the simhash twin of
@@ -553,6 +554,87 @@ object Dedup extends QueryModule {
     }
   }
 
+  /** MERGEABLE containment posting state over arbitrary docs: (g, df, ds)
+    * for EVERY shingle, with the posting list nulled once df exceeds maxDf
+    * (boilerplate shingles keep their exact count but drop their — would-be
+    * unbounded — id list). Unlike the df ≤ maxDf gated VIEW the pair
+    * queries consume, this shape is closed under shard merge
+    * ([[appendContainmentShard]]): counts add, and a list is retained iff
+    * the COMBINED df stays under the gate — so a maintained corpus index
+    * equals a full rebuild (DedupSpec parity-locks it).
+    */
+  def containmentPostings(docs: DataFrame, maxDf: Int = 20): DataFrame =
+    signatures(docs)
+      .filter(col("n_toks") >= 3)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ds"))
+      .withColumn("ds", when(col("df") <= maxDf, col("ds")))
+
+  /** Nightly-shard maintenance of [[containmentPostings]] state: one full
+    * outer merge on the shingle key — counts add; a posting list survives
+    * only while the combined df stays under the gate (a shingle crossing
+    * the boilerplate threshold drops its list and never regains it, exactly
+    * as the full rebuild would decide). Per-ingest cost is the SHARD's
+    * posting build plus a vocabulary-keyed merge join — never a corpus
+    * rescan.
+    */
+  def appendContainmentShard(state: DataFrame, newDocs: DataFrame,
+      maxDf: Int = 20): DataFrame = {
+    val shard = containmentPostings(newDocs, maxDf)
+    state.select(col("g"), col("df").as("df1"), col("ds").as("ds1"))
+      .join(shard.select(col("g"), col("df").as("df2"), col("ds").as("ds2")),
+        Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("df1"), lit(0L)) + coalesce(col("df2"), lit(0L))).as("df"),
+        when(coalesce(col("df1"), lit(0L)) + coalesce(col("df2"), lit(0L)) <= maxDf,
+          concat(coalesce(col("ds1"), expr("array()")),
+            coalesce(col("ds2"), expr("array()")))).as("ds"))
+  }
+
+  /** Containment-based shard ADMISSION against maintained corpus state
+    * (the containment twin of [[incrementalDedupAgainstIndex]]): a new doc
+    * is rejected when ≥ minC of its kept shingles appear in ONE corpus doc
+    * — it is an excerpt/quote/subset of something the corpus already has.
+    * DIRECTIONAL containment (shared / |new doc's kept shingles|), so a
+    * short quote of a long corpus doc is caught even though symmetric
+    * Jaccard is tiny. "Kept" = not boilerplate IN THE CORPUS (df ≤ maxDf,
+    * judged from the state's exact counts — a shingle the corpus has never
+    * seen has df 0 and counts toward the denominator). Docs under 3 tokens
+    * carry no shingles and are admitted. Cost: one scan of the SHARD plus
+    * a posting-list join — never a corpus rescan.
+    */
+  def incrementalContainmentAdmit(newDocs: DataFrame, corpusState: DataFrame,
+      minC: Double = 0.8, maxDf: Int = 20): DataFrame = {
+    val newSh = signatures(newDocs)
+      .filter(col("n_toks") >= 3)
+      .select(col("doc_id").as("new_id"), explode(col("shingles")).as("g"))
+      .join(corpusState.select(col("g"), col("df"), col("ds")), Seq("g"), "left")
+      .filter(coalesce(col("df"), lit(0L)) <= maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNew = newSh.groupBy("new_id").agg(count(lit(1)).as("n_new"))
+    val rejected = newSh
+      .select(col("new_id"), explode(col("ds")).as("corp_id"))
+      .groupBy("new_id", "corp_id").agg(count(lit(1)).as("shared"))
+      .join(broadcast(nNew), "new_id")
+      .filter(round(col("shared").cast("double") / col("n_new"), 4) >= minC)
+      .select("new_id").distinct()
+      .transform(eagerCheckpoint)
+    newSh.unpersist()
+    newDocs.join(rejected.withColumnRenamed("new_id", "doc_id"),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** [[containmentPostings]] state over the 90% corpus split as warmed
+    * ingest-time state — what [[incrementalContainmentAdmit]]'s declared
+    * query admits nightly shards against.
+    */
+  def containmentStateCached(s: SparkSession, d: String, maxDf: Int = 20): DataFrame = {
+    val docs = T.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+    graft.PersistedCache(s, ("containment-state", d, maxDf))(
+      containmentPostings(docs, maxDf))
+  }
+
   /** Containment pairs (doc1 < doc2, containment ≥ minC) carrying both
     * docs' kept-shingle counts — shared by the declared query and the
     * production pipeline's containment-drop stage ([[TextAnalysis]]
@@ -674,6 +756,19 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The same 10% shard admitted by CONTAINMENT against the maintained 90%
+    * corpus posting state: rejects subset docs (quotes/excerpts of corpus
+    * content) that Jaccard-based admission structurally misses.
+    */
+  private def qContainmentAdmit(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    incrementalContainmentAdmit(
+        docs.filter(col("doc_id") % 10 === 0),
+        containmentStateCached(s, d))
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cluster" -> qDedupCluster,
     "q_dedup_cluster_lsh" -> qDedupClusterLsh,
@@ -684,7 +779,8 @@ object Dedup extends QueryModule {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_ngram_jaccard" -> qNgramJaccard,
-    "q_containment_pairs" -> qContainment
+    "q_containment_pairs" -> qContainment,
+    "q_containment_admit" -> qContainmentAdmit
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -800,6 +896,40 @@ object Dedup extends QueryModule {
         |JOIN n n1 ON n1.doc_id = pairs.doc1
         |JOIN n n2 ON n2.doc_id = pairs.doc2
         |WHERE round(CAST(shared AS DOUBLE) / least(n1.n_sh, n2.n_sh), 4) >= 0.8
-        |ORDER BY doc1, doc2""".stripMargin
+        |ORDER BY doc1, doc2""".stripMargin,
+    // directional-containment admission: a new-shard doc is rejected when
+    // >= 0.8 of its corpus-kept shingles (corpus df <= 20; unseen counts as
+    // df 0) land in ONE corpus doc
+    "q_containment_admit" ->
+      """WITH corp AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 10 <> 0 AND len(string_split(text, ' ')) >= 3),
+        |csh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+        |  FROM corp),
+        |cdf AS (SELECT g, count(*) AS df FROM csh GROUP BY g),
+        |nsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |        WHERE doc_id % 10 = 0)
+        |  WHERE len(t) >= 3),
+        |kept AS (
+        |  SELECT n.doc_id, n.g FROM nsh n LEFT JOIN cdf USING (g)
+        |  WHERE coalesce(cdf.df, 0) <= 20),
+        |nn AS (SELECT doc_id, count(*) AS n_new FROM kept GROUP BY doc_id),
+        |shr AS (
+        |  SELECT k.doc_id AS new_id, c.doc_id AS corp_id, count(*) AS shared
+        |  FROM kept k JOIN csh c USING (g)
+        |  GROUP BY 1, 2),
+        |rejected AS (
+        |  SELECT DISTINCT new_id FROM shr JOIN nn ON nn.doc_id = shr.new_id
+        |  WHERE round(CAST(shared AS DOUBLE) / n_new, 4) >= 0.8)
+        |SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT new_id FROM rejected)
+        |ORDER BY doc_id""".stripMargin
   )
 }

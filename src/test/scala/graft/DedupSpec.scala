@@ -272,6 +272,42 @@ class DedupSpec extends AnyFunSuite {
     assert(jac < 0.2, s"fixture broken: Jaccard $jac not low")
   }
 
+  test("appendContainmentShard: maintained posting state equals a full rebuild") {
+    val corpus = Tables.documents(spark, TestSpark.sf).filter(col("doc_id") % 10 =!= 0)
+    val shard = Tables.documents(spark, TestSpark.sf).filter(col("doc_id") % 10 === 0)
+    val all = Tables.documents(spark, TestSpark.sf)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("g"), col("df"), array_sort(col("ds")).as("ds"))
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    val merged = canon(Dedup.appendContainmentShard(
+      Dedup.containmentPostings(corpus), shard))
+    val full = canon(Dedup.containmentPostings(all))
+    assert(merged == full, "maintained state diverges from full rebuild")
+    // the gate really fires both ways: some shingle crossed maxDf only in
+    // the merge (list dropped), and gated lists stayed bounded
+    assert(full.exists(_._3 == null) || full.forall(_._2 <= 20),
+      "fixture never exercises the df gate")
+    full.filter(_._3 != null).foreach { case (_, df, ds) =>
+      assert(ds.length == df && df <= 20)
+    }
+  }
+
+  test("incrementalContainmentAdmit rejects a quote of a corpus doc, admits fresh content") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = ("padding words one two three four five six seven eight nine ten " +
+      small + " more filler content eleven twelve thirteen fourteen fifteen")
+    val corpus = Seq((2L, big), (3L, other)).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, small),                                   // a quote → rejected
+      (11L, "entirely novel words nobody wrote before in any corpus document"),
+      (12L, "hi")                                     // < 3 tokens → admitted
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalContainmentAdmit(
+      fresh, Dedup.containmentPostings(corpus))
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(11L, 12L), s"got $admitted")
+  }
+
   test("containmentDropIds drops the subset side (smaller kept-shingle set; ties drop the larger id)") {
     // the pipeline's containment-drop stage rule, on pairs where each case
     // fires: n1 < n2 (drop doc1), n1 > n2 (drop doc2), tie (drop max id)
