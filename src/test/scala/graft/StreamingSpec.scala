@@ -607,6 +607,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.split("PartitionFilters:").exists(_.take(200).contains("cid")), plan)
   }
 
+  test("foreachBatch maintains containment-admission state across micro-batches (continuous corpus ingest)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    // the streaming corpus-ingest loop: every arriving shard is admitted
+    // against the maintained posting state, admitted docs land in the
+    // corpus sink, and the state folds the ADMITTED docs in — so a later
+    // batch quoting an earlier-admitted doc is rejected without ever
+    // rescanning the corpus
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cont-ingest").toString
+    import spark.implicits._
+    var state = Dedup.containmentPostings(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).localCheckpoint(true)
+    val docA = "the famous historical speech begins with four score and seven years " +
+      "ago our fathers brought forth a new nation conceived in liberty"
+    val docC = "completely separate technical manual describing the operation of the " +
+      "hydraulic pump assembly under sustained negative pressure conditions"
+    val quoteA = "four score and seven years ago our fathers brought forth a new nation"
+    val quoteC = "describing the operation of the hydraulic pump assembly under sustained"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val admitted = Dedup.incrementalContainmentAdmit(batch.toDF(), state)
+          .localCheckpoint(true)
+        admitted.write.mode("append").parquet(outDir)
+        state = Dedup.appendContainmentShard(state, admitted).localCheckpoint(true)
+      }
+      .start()
+    mem.addData((1L, docA), (2L, "unrelated short note about lunch plans today"))
+    q.processAllAvailable()
+    mem.addData((3L, quoteA), (4L, docC)) // 3 quotes an ADMITTED doc → rejected
+    q.processAllAvailable()
+    mem.addData((5L, quoteC))             // quotes a doc admitted mid-stream
+    q.processAllAvailable()
+    q.stop()
+    val admittedIds = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admittedIds == Set(1L, 2L, 4L), s"got $admittedIds")
+    // and the maintained state equals a rebuild over exactly the admitted docs
+    val admittedDocs = Seq((1L, docA),
+      (2L, "unrelated short note about lunch plans today"), (4L, docC))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("g"), col("df"), array_sort(col("ds")).as("ds"))
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(canon(state) == canon(Dedup.containmentPostings(admittedDocs)),
+      "maintained state diverged from rebuild over admitted docs")
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
     val events = Tables.events(spark, TestSpark.sf)
       .select("event_id", "ts", "user_id").as[Streaming.Event]
