@@ -90,13 +90,42 @@ object Dedup extends QueryModule {
     * (CollapseProject keeps non-cheap multiply-referenced projections
     * un-inlined).
     */
-  def signatures(docs: DataFrame, numPerms: Int = NumPerms): DataFrame =
+  /** doc_id → (n_toks, shingles) — the tokenize+shingle scan WITHOUT the
+    * minhash projection, for consumers that need shingle sets only (the
+    * containment paths): the signature is the single most expensive
+    * per-row expression, and computing it for a consumer that drops it
+    * doubled the containment-admit scan cost.
+    */
+  def shingleTable(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_toks"),
         shingleHashesOfTokens(col("toks")).as("shingles"))
+
+  def signatures(docs: DataFrame, numPerms: Int = NumPerms): DataFrame =
+    shingleTable(docs)
       .select(col("doc_id"), col("n_toks"), col("shingles"),
         graft.functions.MinHashFunctions.minhash_signature(col("shingles"), numPerms).as("sig"))
+
+  /** DISTINCT (doc_id, g) shingle rows for ≥3-token docs, WITHOUT exploding
+    * the built array: `Generate` inlines its generator and re-evaluates it
+    * per OUTPUT row, so `explode(shingleHashesOfTokens(...))` rebuilds the
+    * whole shingle array once per element — O(len²) per doc (the PERF.md
+    * q_contamination lesson; measured 3.4 s for a 500-doc shard). Explode
+    * the cheap position sequence instead, hash ONE gram per row (identical
+    * xxhash64 construction, so values match [[shingleHashesOfTokens]]
+    * exactly), and dedup with a keyed pre-aggregate.
+    */
+  def shingleRowsDistinct(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, size(t) - 3)")).as("i"))
+      .select(col("doc_id"),
+        xxhash64(element_at(col("t"), col("i") + 1),
+          element_at(col("t"), col("i") + 2),
+          element_at(col("t"), col("i") + 3)).as("g"))
+      .distinct()
 
   /** THE shared per-corpus signature/shingle table — every consumer of doc
     * shingles (the LSH cluster queries, the pipeline near-dedup stage, the
@@ -564,9 +593,7 @@ object Dedup extends QueryModule {
     * equals a full rebuild (DedupSpec parity-locks it).
     */
   def containmentPostings(docs: DataFrame, maxDf: Int = 20): DataFrame =
-    signatures(docs)
-      .filter(col("n_toks") >= 3)
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    shingleRowsDistinct(docs)
       .groupBy("g")
       .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ds"))
       .withColumn("ds", when(col("df") <= maxDf, col("ds")))
@@ -606,21 +633,33 @@ object Dedup extends QueryModule {
     */
   def incrementalContainmentAdmit(newDocs: DataFrame, corpusState: DataFrame,
       minC: Double = 0.8, maxDf: Int = 20): DataFrame = {
-    val newSh = signatures(newDocs)
-      .filter(col("n_toks") >= 3)
-      .select(col("doc_id").as("new_id"), explode(col("shingles")).as("g"))
-      .join(corpusState.select(col("g"), col("df"), col("ds")), Seq("g"), "left")
-      .filter(coalesce(col("df"), lit(0L)) <= maxDf)
+    // ONE shard shingle scan and ONE pass over the (vocabulary-sized)
+    // state: the shard's distinct shingle rows persist once and feed both
+    // the state join and the denominator; only the MATCHED rows (shard
+    // shingles the corpus has seen — a small fraction under any realistic
+    // distribution) persist from the join. The denominator (kept shingles:
+    // corpus-absent + corpus-light) is the doc's total distinct-shingle
+    // count minus its matched-HEAVY count — no second state pass.
+    val rows = shingleRowsDistinct(newDocs)
+      .withColumnRenamed("doc_id", "new_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nNew = newSh.groupBy("new_id").agg(count(lit(1)).as("n_new"))
-    val rejected = newSh
+    val matched = rows
+      .join(corpusState.select(col("g"), col("df"), col("ds")), "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTot = rows.groupBy("new_id").agg(count(lit(1)).as("n_tot"))
+    val nHeavy = matched.filter(col("df") > maxDf)
+      .groupBy("new_id").agg(count(lit(1)).as("n_heavy"))
+    val nNew = nTot.join(nHeavy, Seq("new_id"), "left")
+      .select(col("new_id"),
+        (col("n_tot") - coalesce(col("n_heavy"), lit(0L))).as("n_new"))
+    val rejected = matched.filter(col("df") <= maxDf)
       .select(col("new_id"), explode(col("ds")).as("corp_id"))
       .groupBy("new_id", "corp_id").agg(count(lit(1)).as("shared"))
       .join(broadcast(nNew), "new_id")
       .filter(round(col("shared").cast("double") / col("n_new"), 4) >= minC)
       .select("new_id").distinct()
       .transform(eagerCheckpoint)
-    newSh.unpersist()
+    matched.unpersist(); rows.unpersist()
     newDocs.join(rejected.withColumnRenamed("new_id", "doc_id"),
       Seq("doc_id"), "left_anti")
   }
@@ -631,8 +670,15 @@ object Dedup extends QueryModule {
     */
   def containmentStateCached(s: SparkSession, d: String, maxDf: Int = 20): DataFrame = {
     val docs = T.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+    // hash-partition the state by its join key BEFORE caching: the admit
+    // query joins this vocabulary-sized table on g twice (df gate + posting
+    // expansion), and an unpartitioned cache re-exchanged all of it on
+    // every run — partitioned, the cached layout satisfies both joins'
+    // distribution and only the SHARD side shuffles (the on-disk analogue
+    // at 100 TB is the state table bucketed by g)
     graft.PersistedCache(s, ("containment-state", d, maxDf))(
-      containmentPostings(docs, maxDf))
+      containmentPostings(docs, maxDf)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("g")))
   }
 
   /** Containment pairs (doc1 < doc2, containment ≥ minC) carrying both

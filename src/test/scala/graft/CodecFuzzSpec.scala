@@ -149,6 +149,34 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("HDF5 multi-node structures: every truncation fails loudly on a full read") {
+    // the r15 shapes in one file: a multi-node v1 chunk b-tree (classic),
+    // and — in a latest twin — a split dense name index + a huge spilled
+    // attribute; truncations must never misparse into silent wrong data
+    val pClassic = tmp("fuzz-multinode.h5")
+    val (t, y, x) = (4, 6, 8)
+    Hdf5.write(pClassic, Seq(
+      WDataset("temp", F32, Seq(t, y, x), Array.tabulate(t * y * x)(_.toDouble),
+        chunkDims = Some(Seq(1, 2, 2)), btreeLeafK = Some(5)))) // 48 chunks, 10 leaves
+    val pDense = tmp("fuzz-dense.h5")
+    Hdf5.write(pDense,
+      (0 until 12).map(i => WDataset(f"v$i%02d", F64, Seq(2),
+        Array(i.toDouble, i + 0.5),
+        numAttrs =
+          if (i == 0) Seq(("huge", F64, (0 until 900).map(_.toDouble))) else Nil)),
+      latest = true, denseRoot = true, denseAttrs = true)
+    for (p <- Seq(pClassic, pDense)) {
+      def fullRead(path: String): Vector[(String, Vector[Double], Int)] = {
+        val h = Hdf5.open(path)
+        h.datasets.toVector.map(ds =>
+          (ds.name, Hdf5.readAll(path, ds).toVector, ds.attrs.length))
+      }
+      val orig = fullRead(p)
+      val len = new java.io.File(p).length()
+      assertLoud(s"HDF5 multi-node $p", len, orig)(cut => fullRead(truncatedCopy(p, cut)))
+    }
+  }
+
   test("HDF5 latest format: every superblock byte-flip is caught or harmless") {
     // the latest-format metadata is Jenkins-lookup3 checksummed; flipping
     // any single byte of the superblock (incl. its checksum field) must
