@@ -109,8 +109,15 @@ object Bench {
     // tail of stdout, and the per-sample runs array pushed the line past it —
     // every BENCH_r*.json came back "parsed": null. The full line, runs
     // included, goes to the dated archive under bench/ instead.
-    def jsonStr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    // escape EVERY control char (Spark error text carries ANSI escapes),
+    // not just whitespace — one raw 0x1b would make the whole line
+    // unparseable, the exact "parsed": null failure this JSON exists to avoid
+    def jsonStr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val errJson = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson,"env":$envStamp}"""

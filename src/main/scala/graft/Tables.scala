@@ -35,8 +35,12 @@ object Tables {
     *     exceed double's 2^53 integer range). Epoch micros are already an
     *     instant, no tz involved.
     *   - TIMESTAMP_NTZ (µs): interpret the naive wall clock AS UTC
-    *     explicitly (convert_timezone UTC → session tz, then cast) — a bare
-    *     cast would reinterpret the micros in whatever tz the session runs.
+    *     explicitly via make_timestamp(..., 'UTC') over the extracted
+    *     fields — a bare cast would reinterpret the micros in whatever tz
+    *     the session runs, and a convert-to-session-wall-then-cast
+    *     round-trip is ambiguous in a DST fall-back overlap (the cast picks
+    *     one offset, shifting those instants an hour). UTC has no DST, so
+    *     field-wise construction is exact for every wall clock.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -46,9 +50,9 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
-        val sessionTz = s.conf.get("spark.sql.session.timeZone")
-        raw.withColumn("ts",
-          convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast(TimestampType))
+        raw.withColumn("ts", expr(
+          "make_timestamp(year(ts), month(ts), day(ts), hour(ts), minute(ts), " +
+            "date_part('SECOND', ts), 'UTC')"))
       case TimestampType    => raw
       case other => throw new IllegalStateException(
         s"events.ts: unhandled parquet type $other — update Tables.events")

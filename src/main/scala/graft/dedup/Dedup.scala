@@ -625,34 +625,38 @@ object Dedup extends QueryModule {
     * — it is an excerpt/quote/subset of something the corpus already has.
     * DIRECTIONAL containment (shared / |new doc's kept shingles|), so a
     * short quote of a long corpus doc is caught even though symmetric
-    * Jaccard is tiny. "Kept" = not boilerplate IN THE CORPUS (df ≤ maxDf,
-    * judged from the state's exact counts — a shingle the corpus has never
-    * seen has df 0 and counts toward the denominator). Docs under 3 tokens
-    * carry no shingles and are admitted. Cost: one scan of the SHARD plus
-    * a posting-list join — never a corpus rescan.
+    * Jaccard is tiny. "Kept" = not boilerplate IN THE CORPUS, judged from
+    * the state's OWN gate (a heavy shingle is one whose posting list the
+    * state nulled; a shingle the corpus has never seen counts toward the
+    * denominator). Docs under 3 tokens carry no shingles and are admitted.
+    * Cost: one scan of the SHARD plus a posting-list join — never a corpus
+    * rescan.
     */
   def incrementalContainmentAdmit(newDocs: DataFrame, corpusState: DataFrame,
-      minC: Double = 0.8, maxDf: Int = 20): DataFrame = {
+      minC: Double = 0.8): DataFrame = {
     // ONE shard shingle scan and ONE pass over the (vocabulary-sized)
     // state: the shard's distinct shingle rows persist once and feed both
     // the state join and the denominator; only the MATCHED rows (shard
     // shingles the corpus has seen — a small fraction under any realistic
     // distribution) persist from the join. The denominator (kept shingles:
     // corpus-absent + corpus-light) is the doc's total distinct-shingle
-    // count minus its matched-HEAVY count — no second state pass.
+    // count minus its matched-HEAVY count — no second state pass. The
+    // boilerplate gate is the STATE's own: a heavy shingle is one whose
+    // posting list the state nulled at build/merge time (a re-supplied
+    // maxDf could silently disagree with the state and skew the ratio).
     val rows = shingleRowsDistinct(newDocs)
       .withColumnRenamed("doc_id", "new_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matched = rows
-      .join(corpusState.select(col("g"), col("df"), col("ds")), "g")
+      .join(corpusState.select(col("g"), col("ds")), "g")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTot = rows.groupBy("new_id").agg(count(lit(1)).as("n_tot"))
-    val nHeavy = matched.filter(col("df") > maxDf)
+    val nHeavy = matched.filter(col("ds").isNull)
       .groupBy("new_id").agg(count(lit(1)).as("n_heavy"))
     val nNew = nTot.join(nHeavy, Seq("new_id"), "left")
       .select(col("new_id"),
         (col("n_tot") - coalesce(col("n_heavy"), lit(0L))).as("n_new"))
-    val rejected = matched.filter(col("df") <= maxDf)
+    val rejected = matched.filter(col("ds").isNotNull)
       .select(col("new_id"), explode(col("ds")).as("corp_id"))
       .groupBy("new_id", "corp_id").agg(count(lit(1)).as("shared"))
       .join(broadcast(nNew), "new_id")

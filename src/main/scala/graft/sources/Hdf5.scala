@@ -1893,8 +1893,15 @@ object Hdf5 {
 
     /** Chunk the row-major data of a 3-D dataset; returns (offsets, stored
       * bytes) — stored = filtered when the dataset declares a pipeline.
+      * Memoized per dataset: block builders (b-tree nodes, leaf lists,
+      * individual chunk blocks) and both resolver passes each consult the
+      * chunk list, and re-running the deflate pipeline per consultation
+      * made the writer O(chunks × blocks) in compression work.
       */
-    def chunksOf(d: WDataset): Seq[(Seq[Long], Array[Byte])] = {
+    val chunksMemo = scala.collection.mutable.Map[String, Seq[(Seq[Long], Array[Byte])]]()
+    def chunksOf(d: WDataset): Seq[(Seq[Long], Array[Byte])] =
+      chunksMemo.getOrElseUpdate(d.name, chunksOfUncached(d))
+    def chunksOfUncached(d: WDataset): Seq[(Seq[Long], Array[Byte])] = {
       val Seq(tN, yN, xN) = d.dims.map(_.toInt): @unchecked
       val Seq(ct, cy, cx) = d.chunkDims.get: @unchecked
       for {
@@ -2118,6 +2125,11 @@ object Hdf5 {
         * (address, length, id) records, id order = key order.
         */
       private def hugeBtBlock(res: Resolve): Array[Byte] = {
+        // single-leaf only: (4096-10)/24 = 170 records fit the declared
+        // node; more huge objects would need the same BTIN split as the
+        // name index — fail loudly instead of overstuffing the leaf
+        require(hugeIdx.length <= (4096 - 10) / 24,
+          s"$prefix: ${hugeIdx.length} huge objects exceed one index leaf")
         val b = new LeBuf
         b.raw("BTHD".getBytes).u8(0).u8(1)
         b.u32(4096).u16(24) // node size; record = addr(8)+len(8)+id(8)
@@ -2192,7 +2204,11 @@ object Hdf5 {
         val n = sortedRecs.length
         if (n <= maxLeafRec) (Seq(sortedRecs), Nil)
         else {
-          val leaves = (n + maxLeafRec) / (maxLeafRec + 1) // smallest L covering n
+          // smallest L with L*cap + (L-1) >= n, i.e. ceil((n+1)/(cap+1)):
+          // the straightforward (n+cap)/(cap+1) undercounts by one exactly
+          // when n is a multiple of cap+1, overstuffing a leaf past the
+          // declared node size (and past the reader's own cn <= cap check)
+          val leaves = (n + maxLeafRec + 1) / (maxLeafRec + 1)
           val leafTotal = n - (leaves - 1)
           val base = leafTotal / leaves; val extra = leafTotal % leaves
           val leafRecs = scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]]()

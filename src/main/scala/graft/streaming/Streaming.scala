@@ -232,10 +232,13 @@ object Streaming extends QueryModule {
               out += UserSession(userId, new java.sql.Timestamp(st.start),
                 new java.sql.Timestamp(st.last + gapMs), st.n.toLong)
               st = SessionState(t, t, 1)
-            // max: an event later than the watermark but earlier than the
-            // carried state's last (out-of-order across batches) must not
-            // move the session's last-event time backwards
-            } else st = SessionState(st.start, math.max(st.last, t), st.n + 1)
+            // clamp BOTH bounds: a cross-batch out-of-order event (above the
+            // watermark) must neither regress last nor be ignored when it
+            // precedes start — session_window extends the session backward.
+            // (An event a full gap before start would be a separate session;
+            // unreachable while watermarkDelay < gap, the configuration both
+            // declared uses run.)
+            } else st = SessionState(math.min(st.start, t), math.max(st.last, t), st.n + 1)
           }
           if (st != null) state.update(st)
           out.iterator
@@ -276,10 +279,11 @@ object Streaming extends QueryModule {
           out += UserSession(userId, new java.sql.Timestamp(st.start),
             new java.sql.Timestamp(st.last + gapMs), st.n.toLong)
           st = SessionState(t, t, 1)
-        // max, for parity with sessionize: a cross-batch out-of-order event
-        // must not regress st.last — the timer would re-arm EARLIER and close
-        // the session before true-last + gap
-        } else st = SessionState(st.start, math.max(st.last, t), st.n + 1)
+        // both bounds clamped, for parity with sessionize: regressing last
+        // would re-arm the timer EARLIER and close the session before
+        // true-last + gap; ignoring an earlier t would emit a late
+        // session_start (session_window extends backward)
+        } else st = SessionState(math.min(st.start, t), math.max(st.last, t), st.n + 1)
       }
       if (st != null) {
         state.update(st)

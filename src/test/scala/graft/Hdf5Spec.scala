@@ -357,11 +357,14 @@ class Hdf5Spec extends AnyFunSuite {
         Seq(i.toDouble, i / 2.0), i)
   }
 
-  test("dense attributes past one leaf: 300 attrs resolve through BTIN + leaves (':' name safe)") {
-    // attr records are 17 bytes → max 240 per 4096-byte leaf; 300 forces the
-    // split. The dataset name carries ':' to pin the block-name dispatch.
+  for (n <- Seq(241, 300)) // 241 = leaf capacity + 1, the split boundary
+  test(s"dense attributes past one leaf: $n attrs resolve through BTIN + leaves (':' name safe)") {
+    // attr records are 17 bytes → max 240 per 4096-byte leaf; both counts
+    // force the split (241 is the off-by-one boundary where the naive leaf
+    // count would overstuff a single leaf). The dataset name carries ':'
+    // to pin the block-name dispatch.
     val p = tmp("manyattrs.h5")
-    val attrs = (0 until 300).map(i => (f"a$i%03d", F64, Seq(i.toDouble)))
+    val attrs = (0 until n).map(i => (f"a$i%03d", F64, Seq(i.toDouble)))
     Hdf5.write(p, Seq(
       WDataset("t:v", F64, Seq(2), Array(1.0, 2.0), numAttrs = attrs)),
       latest = true, denseRoot = false, denseAttrs = true)
@@ -370,8 +373,8 @@ class Hdf5Spec extends AnyFunSuite {
     assert(count("BTIN") == 1, s"expected one internal root, found ${count("BTIN")}")
     assert(count("BTLF") >= 2, s"expected split leaves, found ${count("BTLF")}")
     val ds = Hdf5.open(p).dataset("t:v").get
-    assert(ds.attrs.length == 300)
-    for (i <- Seq(0, 99, 240, 299))
+    assert(ds.attrs.length == n)
+    for (i <- Seq(0, 99, 240, n - 1))
       assert(ds.attr(f"a$i%03d").map(_.value).contains(NumAttr(Seq(i.toDouble))), i)
   }
 

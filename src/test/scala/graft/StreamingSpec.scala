@@ -717,6 +717,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState sessionizer: cross-batch out-of-order event extends the session backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streaming.Event]
+      val q = Streaming.sessionizeTws(mem.toDS())
+        .writeStream.format("memory").queryName("tws_ooo").outputMode("append").start()
+      def t(m: String) = java.sql.Timestamp.valueOf(m)
+      mem.addData(Streaming.Event(1, t("2024-01-01 10:10:00"), 1))
+      q.processAllAvailable() // watermark now 10:00 (10-minute delay)
+      // above the watermark but BEFORE the open session's start: the session
+      // must extend backward (session_window semantics), not keep 10:10
+      mem.addData(Streaming.Event(2, t("2024-01-01 10:05:00"), 1))
+      q.processAllAvailable()
+      mem.addData(Streaming.Event(99, t("2024-01-02 00:00:00"), 999)) // close via watermark
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("tws_ooo").as[Streaming.UserSession].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start.toString, s.session_end.toString, s.n_events))
+      assert(out.toSeq == Seq(("2024-01-01 10:05:00.0", "2024-01-01 10:40:00.0", 2L)), out.toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState sessionizer recovers open sessions and timers from the checkpoint (kill + restart)") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
