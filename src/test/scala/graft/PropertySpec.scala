@@ -49,6 +49,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: containment posting merge equals full rebuild for random corpora and splits") {
+    import graft.dedup.Dedup
+    // random small-vocabulary docs (repeats force df-gate crossings) split
+    // into 1..3 shards folded in sequentially — the maintained state must
+    // equal the one-shot rebuild regardless of how ingestion was sliced
+    val words = Vector("red", "blue", "ox", "fig", "elm", "sky", "fox", "sun")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("g"), col("df"), array_sort(col("ds")).as("ds"))
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 40L).map { id =>
+        val len = 3 + rnd.nextInt(8)
+        (id, Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val maxDf = 6 // low gate so random repeats actually cross it
+      val full = canon(Dedup.containmentPostings(docs.toDF("doc_id", "text"), maxDf))
+      val cuts = (1 to 2).map(_ => 1 + rnd.nextInt(39)).distinct.sorted
+      val shards = (Seq(0L) ++ cuts.map(_.toLong) ++ Seq(40L))
+        .sliding(2).map { case Seq(lo, hi) =>
+          docs.filter(d => d._1 > lo && d._1 <= hi).toDF("doc_id", "text")
+        }.toSeq
+      val merged = shards.foldLeft(
+        Dedup.containmentPostings(Seq.empty[(Long, String)].toDF("doc_id", "text"), maxDf)) {
+        (st, shard) => Dedup.appendContainmentShard(st, shard, maxDf).localCheckpoint(true)
+      }
+      assert(canon(merged) == full, s"seed $seed: merge order changed the state")
+    }
+  }
+
   test("property: grid stream offsets round-trip JSON for random path sets") {
     import graft.sources.GridFilesOffset
     val nameGen = Gen.listOf(Gen.nonEmptyListOf(
