@@ -516,6 +516,10 @@ object TextAnalysis extends QueryModule {
       .filter(col("n_tokens").between(20, 80) &&
         col("atl").between(2.0, 10.0) && col("div") >= 0.45)
       .select("doc_id", "source", "text", "n_tokens")
+      // the quality scan is consumed by the signature slice, the CC
+      // join-back, and the survivor join — materialize the (survivor-sized)
+      // result once instead of re-tokenizing the corpus per consumer
+      .transform(graft.dedup.Dedup.eagerCheckpoint)
     // the dedup stage consumes the SHARED corpus signature cache sliced to
     // the quality survivors (per-row purity makes the slice identical to
     // re-deriving signatures over the subset) — previously this stage
