@@ -199,6 +199,29 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rank")
   }
 
+  /** Semantic shard ADMISSION — the embedding-space member of the admission
+    * family ([[graft.dedup.Dedup.incrementalDedupAgainstIndex]] covers
+    * near-identical text, `incrementalContainmentAdmit` covers subset text;
+    * this covers PARAPHRASES, which share no shingles at all): each new
+    * vector's single nearest corpus neighbor decides — best cosine ≥ tau is
+    * a semantic duplicate. One VERDICT row per new vector (best neighbor,
+    * similarity, admitted flag) so the decision is auditable downstream;
+    * cost is the k=1 batch kNN join, broadcast or LSH-bucketed shuffle by
+    * [[knnJoin]]'s auto path — shard-linear, never all-pairs at scale.
+    */
+  def embedAdmit(corpus: DataFrame, newVecs: DataFrame, tau: Double): DataFrame =
+    knnJoin(corpus, newVecs, k = 1)
+      .select(col("q_id").as("vec_id"), col("vec_id").as("best_corp"),
+        col("sim").as("best_cos"),
+        when(col("sim") >= tau, 0).otherwise(1).as("admitted"))
+
+  private def qEmbedAdmit(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    embedAdmit(emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0), tau = 0.9)
+      .orderBy("vec_id")
+  }
+
   /** The shuffle-form kNN join in its exact configuration (full multiprobe
     * over 3 planes = every cell probed) — same results as the broadcast form,
     * so it shares `q_embed_knn`'s window-rank oracle while exercising the
@@ -443,6 +466,7 @@ object Similarity extends QueryModule {
     "q_embed_dedup_cluster" -> qEmbedDedupCluster,
     "q_embed_knn" -> qEmbedKnn,
     "q_embed_knn_shuffle" -> qEmbedKnnShuffle,
+    "q_embed_admit" -> qEmbedAdmit,
     "q_embed_centroid" -> qEmbedCentroid,
     "q_embed_quantize" -> qEmbedQuantize
   )
@@ -487,6 +511,28 @@ object Similarity extends QueryModule {
         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_embed_knn" -> knnOracleSql,
     "q_embed_knn_shuffle" -> knnOracleSql,
+    // semantic admission verdicts: best corpus neighbor per new vector
+    // (same rank tie-break as the kNN oracle), admitted iff best < 0.9
+    "q_embed_admit" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, ev AS qe FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id, ev FROM e WHERE vec_id % 10 <> 0),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    round(list_dot_product(c.ev, q.qe)
+        |          / (sqrt(list_dot_product(c.ev, c.ev)) * sqrt(list_dot_product(q.qe, q.qe))), 4) AS sim
+        |  FROM c, q),
+        |best AS (
+        |  SELECT q_id, vec_id, sim FROM (
+        |    SELECT q_id, vec_id, sim,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |    FROM scored)
+        |  WHERE rnk = 1)
+        |SELECT q_id AS vec_id, vec_id AS best_corp, sim AS best_cos,
+        |  CAST(CASE WHEN sim >= 0.9 THEN 0 ELSE 1 END AS INT) AS admitted
+        |FROM best ORDER BY vec_id""".stripMargin,
     "q_embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev

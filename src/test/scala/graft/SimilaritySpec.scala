@@ -27,6 +27,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall too low for hamming-1 multiprobe")
   }
 
+  test("embedAdmit rejects a planted paraphrase vector, admits the rest") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val corpus = emb.take(50).toSeq.toDF("vec_id", "embedding")
+    val near = emb.head._2.toArray.clone(); near(0) = near(0) + 1e-4f
+    val fresh = emb.drop(50).head._2 // a real vector NOT in the 50-corpus
+    val shard = Seq((9001L, near.toSeq), (9002L, fresh))
+      .toDF("vec_id", "embedding")
+    val verdicts = Similarity.embedAdmit(corpus, shard, tau = 0.98)
+      .select("vec_id", "best_corp", "admitted")
+      .as[(Long, Long, Int)].collect()
+      .map { case (v, b, a) => v -> (b, a) }.toMap
+    assert(verdicts(9001L)._2 == 0, s"near-dup admitted: $verdicts")
+    assert(verdicts(9001L)._1 == emb.head._1, "wrong best neighbor")
+    assert(verdicts(9002L)._2 == 1, s"fresh vector rejected: $verdicts")
+  }
+
   test("a planted near-duplicate is found by the bucketed near-dup join") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
