@@ -139,10 +139,16 @@ object Similarity extends QueryModule {
     * new shard against the corpus, retrieval evaluation). Exact; requires the
     * query set to fit in a broadcast table.
     */
-  def knnJoinBroadcast(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def knnJoinBroadcast(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    // excludeSelf fits the self-join kNN queries; CROSS-SET consumers
+    // (admission) must keep id collisions — a shard id equal to a corpus id
+    // is two different vectors from different namespaces, and excluding the
+    // pair would hide an exact duplicate
     rankTopK(
-      corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      corpus.join(broadcast(q),
+        if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
         .select(col("q_id"), scoredCand(col("qe")).as("cand")), k)
   }
 
@@ -206,14 +212,24 @@ object Similarity extends QueryModule {
     * vector's single nearest corpus neighbor decides — best cosine ≥ tau is
     * a semantic duplicate. One VERDICT row per new vector (best neighbor,
     * similarity, admitted flag) so the decision is auditable downstream;
-    * cost is the k=1 batch kNN join, broadcast or LSH-bucketed shuffle by
-    * [[knnJoin]]'s auto path — shard-linear, never all-pairs at scale.
+    * cost is the k=1 EXACT broadcast kNN join (shard-linear: one corpus
+    * scan per shard; id collisions across the two namespaces are NOT
+    * excluded, and a new vector with no corpus candidate — bootstrap
+    * against an empty corpus — gets an admitted verdict with null
+    * neighbor, never a silently dropped row). For a shard too large to
+    * broadcast, run [[knnJoinShuffled]] with full multiprobe and apply the
+    * same verdict projection — the default multiprobe setting is ANN and
+    * could admit a paraphrase whose neighbor sits outside the probed
+    * cells, the exact class this gate rejects.
     */
-  def embedAdmit(corpus: DataFrame, newVecs: DataFrame, tau: Double): DataFrame =
-    knnJoin(corpus, newVecs, k = 1)
+  def embedAdmit(corpus: DataFrame, newVecs: DataFrame, tau: Double): DataFrame = {
+    val best = knnJoinBroadcast(corpus, newVecs, k = 1, excludeSelf = false)
       .select(col("q_id").as("vec_id"), col("vec_id").as("best_corp"),
-        col("sim").as("best_cos"),
-        when(col("sim") >= tau, 0).otherwise(1).as("admitted"))
+        col("sim").as("best_cos"))
+    newVecs.select(col("vec_id")).join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("best_corp"), col("best_cos"),
+        when(col("best_cos") >= tau, 0).otherwise(1).as("admitted"))
+  }
 
   private def qEmbedAdmit(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)

@@ -466,10 +466,12 @@ object TextAnalysis extends QueryModule {
     * (eagerly checkpointed rounds) — but every expensive subtree keeps the
     * production shape: candidates from the band equi-join (O(candidates),
     * never all-pairs), verification touching candidates only, the
-    * doc-count-sized component table joining back broadcast-small. Two
-    * corpus scans total for the quality stage (one feeding signatures, one
-    * for the join-back) — the standard price for an iterative stage that
-    * cannot ride a single plan.
+    * doc-count-sized component table joining back broadcast-small. ONE
+    * corpus tokenize for the quality stage (the filtered result is
+    * eagerly materialized and every consumer — the signature slice, the
+    * CC join-back, the survivor join — reads the survivor-sized
+    * checkpoint), and the signatures themselves come from the shared
+    * corpus cache sliced by survivor ids.
     *
     * Oracle: the e2e CTE chain with the dedup stage as a recursive CTE over
     * the identical exact-verified edge set — sound because banded candidates

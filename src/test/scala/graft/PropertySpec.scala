@@ -52,7 +52,8 @@ class PropertySpec extends AnyFunSuite {
   test("property: containment posting merge equals full rebuild for random corpora and splits") {
     import graft.dedup.Dedup
     // random small-vocabulary docs (repeats force df-gate crossings) split
-    // into 1..3 shards folded in sequentially — the maintained state must
+    // into 2..3 shards folded in sequentially (the single-shard append case
+    // is DedupSpec's parity test) — the maintained state must
     // equal the one-shot rebuild regardless of how ingestion was sliced
     val words = Vector("red", "blue", "ox", "fig", "elm", "sky", "fox", "sun")
     def canon(df: org.apache.spark.sql.DataFrame) = df

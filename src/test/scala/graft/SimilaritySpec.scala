@@ -31,10 +31,13 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, TestSpark.sf)
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
     val corpus = emb.take(50).toSeq.toDF("vec_id", "embedding")
-    val near = emb.head._2.toArray.clone(); near(0) = near(0) + 1e-4f
+    val near = emb.head._2.toArray; near(0) = near(0) + 1e-4f
     val fresh = emb.drop(50).head._2 // a real vector NOT in the 50-corpus
-    val shard = Seq((9001L, near.toSeq), (9002L, fresh))
-      .toDF("vec_id", "embedding")
+    // 9001 is a planted paraphrase; the near-dup ALSO ships under the
+    // corpus head's OWN id — cross-namespace id collision must still be
+    // compared against its corpus twin, not excluded as a self-pair
+    val shard = Seq((9001L, near.toSeq), (9002L, fresh),
+      (emb.head._1, near.toSeq)).toDF("vec_id", "embedding")
     val verdicts = Similarity.embedAdmit(corpus, shard, tau = 0.98)
       .select("vec_id", "best_corp", "admitted")
       .as[(Long, Long, Int)].collect()
@@ -42,6 +45,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(verdicts(9001L)._2 == 0, s"near-dup admitted: $verdicts")
     assert(verdicts(9001L)._1 == emb.head._1, "wrong best neighbor")
     assert(verdicts(9002L)._2 == 1, s"fresh vector rejected: $verdicts")
+    assert(verdicts(emb.head._1)._2 == 0, s"id-colliding duplicate admitted: $verdicts")
+    // bootstrap: empty corpus admits everything, one verdict row per vector
+    val boot = Similarity.embedAdmit(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), shard, tau = 0.98)
+      .select("vec_id", "admitted").as[(Long, Int)].collect()
+    assert(boot.length == 3 && boot.forall(_._2 == 1), boot.toSeq)
   }
 
   test("a planted near-duplicate is found by the bucketed near-dup join") {
