@@ -466,6 +466,30 @@ class Hdf5Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("magic"))
   }
 
+  test("property: dense attr indexes round-trip for random counts straddling the leaf split") {
+    // attr record = 17 bytes → leaf cap 240: counts drawn across
+    // 230..520 hit single-leaf, boundary, and 2–3-leaf split shapes, and
+    // big random payloads occasionally spill to huge objects
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { trial =>
+      val n = 230 + rnd.nextInt(291)
+      val p = tmp(s"attr-prop$trial.h5")
+      val attrs = (0 until n).map { i =>
+        val len = if (rnd.nextInt(20) == 0) 600 + rnd.nextInt(200) else 1
+        (f"a$i%04d", F64, (0 until len).map(j => (i * 31 + j).toDouble))
+      }
+      Hdf5.write(p, Seq(
+        WDataset("v", F64, Seq(2), Array(1.0, 2.0), numAttrs = attrs)),
+        latest = true, denseRoot = false, denseAttrs = true)
+      val ds = Hdf5.open(p).dataset("v").get
+      assert(ds.attrs.length == n, s"trial $trial n=$n")
+      attrs.foreach { case (nm, _, vals) =>
+        assert(ds.attr(nm).map(_.value).contains(NumAttr(vals)),
+          s"trial $trial attr $nm")
+      }
+    }
+  }
+
   test("property: random dims/types/layouts round-trip") {
     import org.scalacheck.Gen
     val genCase = for {
@@ -491,7 +515,11 @@ class Hdf5Spec extends AnyFunSuite {
           filters = filters,
           // unfiltered latest chunked cases split between fixed-array and
           // implicit indexes
-          implicitIndex = latest && chunked && filters.isEmpty && rnd.nextBoolean())),
+          implicitIndex = latest && chunked && filters.isEmpty && rnd.nextBoolean(),
+          // classic chunked cases randomly cap the chunk b-tree leaf
+          // fan-out, exercising single- AND multi-node trees
+          btreeLeafK = if (chunked && !latest && rnd.nextBoolean())
+            Some(rnd.nextInt(6) + 1) else None)),
         latest)
       val h = Hdf5.open(p)
       val v = h.dataset("v").get
