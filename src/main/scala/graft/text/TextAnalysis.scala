@@ -628,8 +628,47 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Corpus-frequency segment dedup — the duplicated-line/boilerplate removal
+    * pass (C4's "discard any line seen more than once"; RefinedWeb/Dolma run
+    * the same rule per line or paragraph). The synthetic corpus has no
+    * newlines, so the unit is a fixed non-overlapping 4-token segment: any
+    * segment whose exact text occurs in ≥ 3 distinct documents is corpus
+    * boilerplate, every occurrence is dropped, and each document is
+    * reassembled from its surviving segments in order. Unlike the doc-level
+    * dedup family this rewrites documents rather than dropping them.
+    *
+    * Shape: one segment explode, a two-level distinct-doc-count aggregate on
+    * the segment key, a join back on that same key, and a per-doc reassembly
+    * aggregate — every exchange is segment- or doc-keyed, nothing quadratic.
+    * At 100 TB the df table is vocabulary-of-segments-sized and would live as
+    * warmed ingest-time state exactly like the containment posting index
+    * (df-only, no posting lists, so it is strictly smaller state).
+    */
+  private def qSegmentDedup(s: SparkSession, d: String): DataFrame = {
+    val (k, minDf) = (4, 3)
+    val segs = T.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), posexplode(
+        sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(k)))
+        .as(Seq("seg_id", "start")))
+      .select(col("doc_id"), col("seg_id"),
+        concat_ws(" ", slice(col("t"), col("start") + 1, lit(k))).as("seg"))
+    val df_ = segs.groupBy("seg")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    segs.join(df_, "seg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("df") < minDf,
+            struct(col("seg_id"), col("seg"))))),
+          x => x.getField("seg"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> qChunkDocs,
+    "q_segment_dedup" -> qSegmentDedup,
     "q_contamination" -> qContamination,
     "q_curriculum" -> qCurriculum,
     "q_pii_redact" -> qPiiRedact,
@@ -657,6 +696,20 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(s.i // 4 AS INT) AS seg_id,
+        |    array_to_string(toks[s.i + 1 : s.i + 4], ' ') AS seg
+        |  FROM t, LATERAL (SELECT unnest(range(0, greatest(len(toks), 1), 4)) AS i) s),
+        |df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+        |SELECT s.doc_id,
+        |  count(*) AS n_seg,
+        |  CAST(sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_id)
+        |    FILTER (WHERE df.df < 3), '') AS clean_text
+        |FROM segs s JOIN df ON s.seg = df.seg
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "q_pack_contexts" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -63,6 +63,22 @@ class OperatorSpec extends AnyFunSuite {
       SparkEntry.queries.size - SparkEntry.oracleSql.size, "no-oracle count drifted")
   }
 
+  test("segment dedup scrubs corpus-repeated segments, untouched docs round-trip") {
+    val out = SparkEntry.queries("q_segment_dedup")(spark, TestSpark.sf)
+    val rows = out.select("doc_id", "n_seg", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.map(_._3).sum > 0, "fixture should contain corpus-repeated segments")
+    assert(rows.exists(_._3 == 0), "some docs should be untouched")
+    val original = graft.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, nSeg, nDrop, clean) =>
+      assert(nDrop <= nSeg, s"doc $id dropped more segments than it has")
+      if (nDrop == 0)
+        assert(clean == original(id), s"doc $id with zero drops must round-trip")
+      else assert(clean.length < original(id).length, s"doc $id shrank")
+    }
+  }
+
   test("q1 pricing aggregates are internally consistent") {
     val rows = graft.operators.Aggregates.q1Pricing(spark, TestSpark.sf)
       .select("sum_qty", "avg_qty", "count_order")
