@@ -100,6 +100,64 @@ object Similarity extends QueryModule {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily select k results from the top-n relevance candidates,
+    * each pick maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` —
+    * the diversification rerank RAG retrieval runs after the ANN stage so
+    * near-duplicate passages don't crowd out coverage.
+    *
+    * Shape: the corpus pays ONE distributed scan (TakeOrdered bounds the
+    * candidates to n, exactly like [[qRankFusion]]'s arms), the n² pairwise
+    * similarities compute distributed over the bounded candidate set, and
+    * only then does the inherently-sequential greedy run driver-side over
+    * n rows — the same candidate-bounded collect class as the k-centroid
+    * and skyline-summary sites. At 100 TB only the first scan grows.
+    *
+    * Both relevance and pairwise sims are rounded to 4 decimals BEFORE the
+    * greedy: the argmax then compares identical doubles in any engine, which
+    * is what makes the recursive-CTE DuckDB twin exact rather than
+    * float-fragile.
+    */
+  def mmrTopK(emb: DataFrame, queryId: Long, n: Int = 50, k: Int = 10,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val cand = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine_sim(col("embedding"), col("qe")), 4).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(n)
+    val a = cand.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = cand.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val rels: Map[Long, Double] = cand.select(col("vec_id"), col("rel"))
+      .as[(Long, Double)].collect().toMap                  // ≤ n rows
+    val sims: Map[(Long, Long), Double] = a.crossJoin(b)
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), round(cosine_sim(col("ea"), col("eb")), 4).as("s"))
+      .as[(Long, Long, Double)].collect()                  // ≤ n² rows
+      .map { case (i, j, v) => (i, j) -> v }.toMap
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+    val selected = scala.collection.mutable.ArrayBuffer[Long]()
+    for (rank <- 1 to math.min(k, rels.size)) {
+      // argmax of the MMR objective; ties break on the smaller id (both
+      // engines order by score DESC, id ASC)
+      val (id, score) = rels.keysIterator
+        .filterNot(selected.contains)
+        .map { c =>
+          val maxS = if (selected.isEmpty) 0d
+          else selected.iterator.map(s => sims((c, s))).max
+          c -> (lambda * rels(c) - (1 - lambda) * maxS)
+        }
+        .reduceLeft((x, y) => if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+      picked += ((rank, id, rels(id), BigDecimal(score)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      selected += id
+    }
+    picked.toSeq.toDF("rank", "vec_id", "rel", "mmr").orderBy("rank")
+  }
+
   /** Embedding near-duplicate detection: AND-OR LSH candidates + exact
     * cosine verification — the embedding twin of MinHash banding.
     * `numPlanes = None` (the production default) derives the plane count
@@ -470,8 +528,12 @@ object Similarity extends QueryModule {
       encoded = Some(IvfPq.encodeResidualCached(T.embeddings(s, d), d, cents, cbr)))
   }
 
+  private def qMmr(s: SparkSession, d: String): DataFrame =
+    mmrTopK(T.embeddings(s, d), queryId = 1L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
+    "q_mmr" -> qMmr,
     "q_rank_fusion" -> qRankFusion,
     "q_cosine_lsh" -> qCosineLsh,
     "q_cosine_ivf" -> qCosineIvf,
@@ -592,6 +654,44 @@ object Similarity extends QueryModule {
         |      + COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0), 6) AS rrf
         |FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // the greedy argmax runs over 4-decimal-rounded doubles in BOTH engines,
+    // so selection is order-deterministic; state (the selected-id list) rides
+    // the recursive CTE as a DuckDB LIST
+    "q_mmr" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |      FROM embeddings),
+        |q AS (SELECT e AS qe FROM e WHERE vec_id = 1),
+        |cand AS (
+        |  SELECT vec_id, round(list_dot_product(e, qe)
+        |      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4) AS rel, e
+        |  FROM e, q WHERE vec_id <> 1
+        |  ORDER BY rel DESC, vec_id LIMIT 50),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(list_dot_product(a.e, b.e)
+        |      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS s
+        |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+        |sel AS (
+        |  SELECT 1 AS rank,
+        |    first(vec_id ORDER BY rel DESC, vec_id) AS vec_id,
+        |    first(round(0.7 * rel, 4) ORDER BY rel DESC, vec_id) AS mmr,
+        |    [first(vec_id ORDER BY rel DESC, vec_id)] AS ids
+        |  FROM cand
+        |  UNION ALL
+        |  SELECT rank + 1, pick.vec_id, pick.mmr, list_append(ids, pick.vec_id)
+        |  FROM sel, LATERAL (
+        |    SELECT c.vec_id,
+        |      round(0.7 * c.rel - 0.3 * (SELECT max(p.s) FROM p
+        |        WHERE p.ia = c.vec_id AND list_contains(sel.ids, p.ib)), 4) AS mmr
+        |    FROM cand c
+        |    WHERE NOT list_contains(sel.ids, c.vec_id)
+        |    ORDER BY 0.7 * c.rel - 0.3 * (SELECT max(p.s) FROM p
+        |        WHERE p.ia = c.vec_id AND list_contains(sel.ids, p.ib)) DESC, c.vec_id
+        |    LIMIT 1) pick
+        |  WHERE rank < 10)
+        |SELECT s.rank, s.vec_id, c.rel, s.mmr
+        |FROM sel s JOIN cand c USING (vec_id) ORDER BY s.rank""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (
         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe

@@ -15,6 +15,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("MMR: λ=1 degenerates to relevance order, λ=0.7 diversifies, picks unique") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val pure = Similarity.cosineTopK(emb, 1L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val lam1 = Similarity.mmrTopK(emb, 1L, n = 50, k = 10, lambda = 1.0)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(lam1 == pure, "λ=1 must reduce to plain relevance top-k order")
+    val mmr = Similarity.mmrTopK(emb, 1L).select("rank", "vec_id", "rel", "mmr")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(mmr.map(_._2).distinct.length == mmr.length, "no repeats")
+    assert(mmr.head._2 == pure.head, "first pick is the most relevant")
+    assert(mmr.map(_._2).toSeq != pure, "default λ should reorder for diversity")
+    // true marginals are non-increasing (each step's penalty only grows);
+    // the emitted scores are 4-decimal-rounded, hence the 1e-4 slack
+    assert(mmr.sliding(2).forall(p => p(0)._4 >= p(1)._4 - 1e-4),
+      "marginal scores are non-increasing down the ranking")
+  }
+
   test("LSH top-k hits are a subset of a deep exact ranking with decent recall") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val exactTop = Similarity.cosineTopK(emb, 1L, 50)
