@@ -644,18 +644,47 @@ object TextAnalysis extends QueryModule {
     * warmed ingest-time state exactly like the containment posting index
     * (df-only, no posting lists, so it is strictly smaller state).
     */
-  private def qSegmentDedup(s: SparkSession, d: String): DataFrame = {
-    val (k, minDf) = (4, 3)
-    val segs = T.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
+  /** Non-overlapping k-token segments of each document: (doc_id, seg_id, seg). */
+  def segments(docs: DataFrame, k: Int = 4): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"), posexplode(
         sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(k)))
         .as(Seq("seg_id", "start")))
       .select(col("doc_id"), col("seg_id"),
         concat_ws(" ", slice(col("t"), col("start") + 1, lit(k))).as("seg"))
-    val df_ = segs.groupBy("seg")
-      .agg(count_distinct(col("doc_id")).as("df"))
-    segs.join(df_, "seg")
+
+  /** Segment document-frequency table (seg, df) — df counts DISTINCT docs, so
+    * a doc repeating its own segment contributes once. This is mergeable
+    * ingest-time state: disjoint shards have disjoint doc sets, so shard dfs
+    * ADD exactly ([[appendSegmentShard]]); unlike the containment posting
+    * state there are no lists to cap — the state is vocabulary-of-segments
+    * sized, strictly bounded.
+    */
+  def segmentDf(docs: DataFrame, k: Int = 4): DataFrame =
+    segments(docs, k).groupBy("seg").agg(count_distinct(col("doc_id")).as("df"))
+
+  /** Fold one ingested shard into the segment-df state: one full-outer merge
+    * on the segment key, dfs add (exact — shard doc sets are disjoint).
+    */
+  def appendSegmentShard(state: DataFrame, newDocs: DataFrame, k: Int = 4): DataFrame =
+    state.select(col("seg"), col("df").as("df1"))
+      .join(segmentDf(newDocs, k).select(col("seg"), col("df").as("df2")),
+        Seq("seg"), "full_outer")
+      .select(col("seg"),
+        (coalesce(col("df1"), lit(0L)) + coalesce(col("df2"), lit(0L))).as("df"))
+
+  /** Scrub documents against a segment-df state: every segment whose df in
+    * `state` is ≥ minDf is dropped, and each document is reassembled from its
+    * surviving segments in order. Segments absent from the state count df 0.
+    * Cost is linear in `docs` — the state is never rebuilt here, so a nightly
+    * shard pays its own explode + one seg-keyed join + one doc-keyed
+    * reassembly aggregate.
+    */
+  def scrubSegments(docs: DataFrame, state: DataFrame, minDf: Int,
+      k: Int = 4): DataFrame =
+    segments(docs, k)
+      .join(state, Seq("seg"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_seg"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dropped"),
@@ -663,12 +692,30 @@ object TextAnalysis extends QueryModule {
           array_sort(collect_list(when(col("df") < minDf,
             struct(col("seg_id"), col("seg"))))),
           x => x.getField("seg"))).as("clean_text"))
+
+  private def qSegmentDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    scrubSegments(docs, segmentDf(docs), minDf = 3).orderBy("doc_id")
+  }
+
+  /** The shard-linear form: the 90% corpus's segment-df table is the
+    * maintained ingest state, and the 10% shard is scrubbed against it —
+    * C4's "line seen more than once" rule (minDf = 2) applied at admission
+    * time, the segment member of the admission family (MinHash admit /
+    * containment admit / embedding admit / this). The corpus is touched only
+    * to build state the deployment would already hold.
+    */
+  private def qSegmentScrub(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val state = segmentDf(docs.filter(col("doc_id") % 10 =!= 0))
+    scrubSegments(docs.filter(col("doc_id") % 10 === 0), state, minDf = 2)
       .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> qChunkDocs,
     "q_segment_dedup" -> qSegmentDedup,
+    "q_segment_scrub" -> qSegmentScrub,
     "q_contamination" -> qContamination,
     "q_curriculum" -> qCurriculum,
     "q_pii_redact" -> qPiiRedact,
@@ -709,6 +756,24 @@ object TextAnalysis extends QueryModule {
         |  coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_id)
         |    FILTER (WHERE df.df < 3), '') AS clean_text
         |FROM segs s JOIN df ON s.seg = df.seg
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q_segment_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(s.i // 4 AS INT) AS seg_id,
+        |    array_to_string(toks[s.i + 1 : s.i + 4], ' ') AS seg
+        |  FROM t, LATERAL (SELECT unnest(range(0, greatest(len(toks), 1), 4)) AS i) s),
+        |state AS (
+        |  SELECT seg, count(DISTINCT doc_id) AS df FROM segs
+        |  WHERE doc_id % 10 <> 0 GROUP BY seg)
+        |SELECT s.doc_id,
+        |  count(*) AS n_seg,
+        |  CAST(sum(CASE WHEN coalesce(st.df, 0) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_id)
+        |    FILTER (WHERE coalesce(st.df, 0) < 2), '') AS clean_text
+        |FROM segs s LEFT JOIN state st ON s.seg = st.seg
+        |WHERE s.doc_id % 10 = 0
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "q_pack_contexts" ->
       """WITH t AS (

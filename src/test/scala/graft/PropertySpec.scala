@@ -80,6 +80,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: segment-df merge equals full rebuild for random corpora and splits") {
+    import graft.text.TextAnalysis
+    // same slicing-invariance contract as the posting state: the maintained
+    // (seg, df) table must equal the one-shot rebuild however ingestion was
+    // cut. Repeated segments WITHIN one doc must count once (distinct-doc
+    // semantics), which the small vocabulary forces often.
+    val words = Vector("red", "blue", "ox", "fig")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long)].collect().toSet
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 30L).map { id =>
+        val len = 2 + rnd.nextInt(10)
+        (id, Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val full = canon(TextAnalysis.segmentDf(docs.toDF("doc_id", "text"), k = 2))
+      val cuts = (1 to 2).map(_ => 1 + rnd.nextInt(29)).distinct.sorted
+      val shards = (Seq(0L) ++ cuts.map(_.toLong) ++ Seq(30L))
+        .sliding(2).map { case Seq(lo, hi) =>
+          docs.filter(d => d._1 > lo && d._1 <= hi).toDF("doc_id", "text")
+        }.toSeq
+      val merged = shards.foldLeft(
+        TextAnalysis.segmentDf(Seq.empty[(Long, String)].toDF("doc_id", "text"), k = 2)) {
+        (st, shard) => TextAnalysis.appendSegmentShard(st, shard, k = 2).localCheckpoint(true)
+      }
+      assert(canon(merged) == full, s"seed $seed: merge order changed the df state")
+    }
+  }
+
   test("property: grid stream offsets round-trip JSON for random path sets") {
     import graft.sources.GridFilesOffset
     val nameGen = Gen.listOf(Gen.nonEmptyListOf(
