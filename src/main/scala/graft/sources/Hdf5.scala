@@ -1557,6 +1557,11 @@ object Hdf5 {
     * internal root over sibling-chained level-0 leaves, the shape libhdf5
     * produces once a real chunked archive outgrows one node (default
     * `H5F_KVALUE` leaf k = 32 chunks) — instead of one oversized leaf.
+    * `btreeInternalK` additionally caps INTERNAL fan-out: internal nodes
+    * (including the root) split recursively at that cap, producing the
+    * depth ≥ 2 internal-over-internal trees a million-chunk archive has
+    * (libhdf5 splits every node at 2·istore_k; the reader recurses at any
+    * depth). Requires `btreeLeafK`.
     */
   final case class WDataset(
       name: String, dtype: DType, dims: Seq[Long], data: Array[Double],
@@ -1566,7 +1571,8 @@ object Hdf5 {
       chunkDims: Option[Seq[Int]] = None,
       filters: Seq[H5Filter] = Nil,
       implicitIndex: Boolean = false,
-      btreeLeafK: Option[Int] = None)
+      btreeLeafK: Option[Int] = None,
+      btreeInternalK: Option[Int] = None)
 
   private final class LeBuf {
     private val bo = new java.io.ByteArrayOutputStream()
@@ -1683,6 +1689,11 @@ object Hdf5 {
         require(d.chunkDims.isDefined, s"${d.name}: btreeLeafK needs a chunked layout")
         require(!latest,
           s"${d.name}: btreeLeafK shapes the v1 chunk b-tree — classic format only")
+      }
+      d.btreeInternalK.foreach { k =>
+        require(k >= 2, s"${d.name}: btreeInternalK must be >= 2")
+        require(d.btreeLeafK.isDefined,
+          s"${d.name}: btreeInternalK splits internal nodes — needs btreeLeafK first")
       }
     }
     val names = datasets.map(_.name)
@@ -1960,11 +1971,77 @@ object Hdf5 {
       b.bytes
     }
 
-    def chunkBtree(d: WDataset, res: Resolve): Array[Byte] = {
-      val groups = chunkGroups(d)
+    /** Node counts per chunk-b-tree level: counts(0) = leaf nodes, each
+      * higher level groups the one below by `btreeInternalK` (unbounded
+      * without it — ONE internal root regardless of fan-out), ending at the
+      * single root. Length 1 ⇔ the root IS the leaf.
+      */
+    def chunkTreeLevels(d: WDataset): Seq[Int] = {
+      val leaves = chunkGroups(d).length
+      if (leaves == 1) Seq(1)
+      else {
+        val kInt = d.btreeInternalK.getOrElse(Int.MaxValue)
+        val ups = Iterator.iterate(leaves)(n => ((n.toLong + kInt - 1) / kInt).toInt)
+          .drop(1).takeWhile(_ > 1).toSeq
+        (leaves +: ups) :+ 1
+      }
+    }
+
+    def chunkNodeName(d: WDataset, level: Int, j: Int): String =
+      if (level == 0) s"chunkleaf:${d.name}:$j"
+      else s"chunkint:${d.name}:$level:$j"
+
+    /** First chunk (offsets, stored size) of the subtree rooted at node
+      * (level, idx) — the key a PARENT stores for that child (spec III.A.1).
+      */
+    def firstChunkOf(d: WDataset, level: Int, idx: Int): (Seq[Long], Int) =
+      if (level == 0) {
+        val ((off, bytes), _) = chunkGroups(d)(idx).head
+        (off, bytes.length)
+      } else {
+        // idx > 0 requires a finite internal cap (an uncapped level holds
+        // exactly one node), so the long product below never overflows use
+        val kInt = d.btreeInternalK.getOrElse(Int.MaxValue)
+        firstChunkOf(d, level - 1, if (idx == 0) 0 else idx * kInt)
+      }
+
+    /** One internal (level ≥ 1) v1 chunk-b-tree node: children are the
+      * contiguous run [j·kInt, (j+1)·kInt) of the level below, key i is the
+      * first chunk of child i's subtree, the trailing key is the right
+      * sibling's first key (or the dims upper bound on the rightmost node),
+      * and same-level siblings chain left/right — recursion the READER
+      * already performs at any depth; this writes the shapes a real archive
+      * reaches once leaf count outgrows one internal node (libhdf5 splits
+      * every node at 2·istore_k).
+      */
+    def chunkInternalNode(d: WDataset, level: Int, j: Int, res: Resolve): Array[Byte] = {
+      val counts = chunkTreeLevels(d)
+      val kInt = d.btreeInternalK.getOrElse(Int.MaxValue)
+      val below = counts(level - 1)
+      val lo = if (j == 0) 0 else j * kInt
+      val hi = math.min(below.toLong, (j.toLong + 1) * kInt).toInt
+      val nNodes = counts(level)
       val b = new LeBuf
-      if (groups.length == 1) { // single leaf: the root IS the level-0 node
-        val cs = groups.head
+      b.raw("TREE".getBytes).u8(1).u8(level).u16(hi - lo)
+      b.u64(if (j > 0) res(chunkNodeName(d, level, j - 1)) else -1L)
+      b.u64(if (j < nNodes - 1) res(chunkNodeName(d, level, j + 1)) else -1L)
+      (lo until hi).foreach { ci =>
+        val (off, size) = firstChunkOf(d, level - 1, ci)
+        chunkKey(b, off, size)
+        b.u64(res(chunkNodeName(d, level - 1, ci)))
+      }
+      if (j < nNodes - 1) {
+        val (noff, nsize) = firstChunkOf(d, level - 1, hi)
+        chunkKey(b, noff, nsize)
+      } else { b.u32(0).u32(0); d.dims.foreach(b.u64); b.u64(0) }
+      b.bytes
+    }
+
+    def chunkBtree(d: WDataset, res: Resolve): Array[Byte] = {
+      val counts = chunkTreeLevels(d)
+      if (counts.length == 1) { // single leaf: the root IS the level-0 node
+        val cs = chunkGroups(d).head
+        val b = new LeBuf
         b.raw("TREE".getBytes).u8(1).u8(0).u16(cs.length)
         b.u64(-1L).u64(-1L)
         cs.foreach { case ((off, bytes), i) =>
@@ -1973,18 +2050,8 @@ object Hdf5 {
         }
         b.u32(0).u32(0)
         d.dims.foreach(b.u64); b.u64(0)
-      } else { // level-1 internal root over sibling-chained leaves
-        b.raw("TREE".getBytes).u8(1).u8(1).u16(groups.length)
-        b.u64(-1L).u64(-1L)
-        groups.zipWithIndex.foreach { case (g, j) =>
-          val ((off, bytes), _) = g.head
-          chunkKey(b, off, bytes.length)
-          b.u64(res(s"chunkleaf:${d.name}:$j"))
-        }
-        b.u32(0).u32(0)
-        d.dims.foreach(b.u64); b.u64(0)
-      }
-      b.bytes
+        b.bytes
+      } else chunkInternalNode(d, counts.length - 1, 0, res)
     }
 
     // ---- latest-format builders (superblock v3 / OHDR v2 / layout v4)
@@ -2455,12 +2522,15 @@ object Hdf5 {
           (if (gcolEntries.nonEmpty) Seq("gcol") else Nil) ++
           datasets.flatMap { d =>
             if (d.chunkDims.isDefined) {
-              val groups = chunkGroups(d)
+              val counts = chunkTreeLevels(d)
               val leaves =
-                if (groups.length > 1)
-                  groups.indices.map(j => s"chunkleaf:${d.name}:$j")
+                if (counts.length > 1)
+                  (0 until counts(0)).map(j => s"chunkleaf:${d.name}:$j")
                 else Nil
-              Seq(s"chunkbt:${d.name}") ++ leaves ++
+              // internal levels below the root (the root is chunkbt:)
+              val internals = (1 until counts.length - 1).flatMap(l =>
+                (0 until counts(l)).map(j => s"chunkint:${d.name}:$l:$j"))
+              Seq(s"chunkbt:${d.name}") ++ leaves ++ internals ++
                 chunksOf(d).indices.map(i => s"chunk:${d.name}:$i")
             } else Seq(s"data:${d.name}")
           }
@@ -2490,6 +2560,11 @@ object Hdf5 {
         val cut = n.lastIndexOf(':')
         chunkLeafNode(datasets.find(_.name == n.substring(10, cut)).get,
           n.substring(cut + 1).toInt, res)
+      case n if n.startsWith("chunkint:") => // "chunkint:<ds>:<level>:<j>"
+        val cutJ = n.lastIndexOf(':')
+        val cutL = n.lastIndexOf(':', cutJ - 1)
+        chunkInternalNode(datasets.find(_.name == n.substring(9, cutL)).get,
+          n.substring(cutL + 1, cutJ).toInt, n.substring(cutJ + 1).toInt, res)
       case n if n.startsWith("fahd:") =>
         fahdBlock(datasets.find(_.name == n.drop(5)).get, res)
       case n if n.startsWith("fadb:") =>

@@ -157,7 +157,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     val (t, y, x) = (4, 6, 8)
     Hdf5.write(pClassic, Seq(
       WDataset("temp", F32, Seq(t, y, x), Array.tabulate(t * y * x)(_.toDouble),
-        chunkDims = Some(Seq(1, 2, 2)), btreeLeafK = Some(5)))) // 48 chunks, 10 leaves
+        chunkDims = Some(Seq(1, 2, 2)), btreeLeafK = Some(5),
+        btreeInternalK = Some(3)))) // 48 chunks, 10 leaves, depth-3 tree
     val pDense = tmp("fuzz-dense.h5")
     Hdf5.write(pDense,
       (0 until 12).map(i => WDataset(f"v$i%02d", F64, Seq(2),

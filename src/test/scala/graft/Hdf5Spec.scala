@@ -126,6 +126,44 @@ class Hdf5Spec extends AnyFunSuite {
     } finally { rdrM.close(); rdrS.close() }
   }
 
+  test("deep v1 chunk b-tree: internal-over-internal nodes read whole and sectioned") {
+    // 64 chunks / leafK 4 = 16 leaves; internalK 4 ⇒ 4 level-1 internals
+    // under a level-2 root — the depth a million-chunk archive reaches
+    // (libhdf5 splits EVERY node at 2·istore_k, not just leaves)
+    val (tN, yN, xN) = (8, 10, 12)
+    val data = Array.tabulate(tN * yN * xN) { i =>
+      val t = i / (yN * xN); val y = (i / xN) % yN; val x = i % xN
+      t * 1000.0 + y * 20 + x
+    }
+    def writeTo(path: String, leafK: Option[Int], intK: Option[Int]): Unit =
+      Hdf5.write(path, Seq(
+        WDataset("temp", F32, Seq(tN, yN, xN), data,
+          chunkDims = Some(Seq(2, 3, 3)),
+          filters = Seq(Shuffle(4), Deflate(4)),
+          btreeLeafK = leafK, btreeInternalK = intK)))
+    val pDeep = tmp("deepnode.h5"); val pSingle = tmp("deep-singlenode.h5")
+    writeTo(pDeep, Some(4), Some(4)); writeTo(pSingle, None, None)
+    locally { // the root really is level 2 (byte 5 of the TREE block)
+      val h = Hdf5.open(pDeep)
+      val raf = new java.io.RandomAccessFile(pDeep, "r")
+      try {
+        val Chunked(btAddr, _) = h.dataset("temp").get.layout: @unchecked
+        raf.seek(btAddr + 5)
+        assert(raf.read() == 2, "expected a level-2 internal root node")
+      } finally raf.close()
+    }
+    val temp = Hdf5.open(pDeep).dataset("temp").get
+    assert(Hdf5.readAll(pDeep, temp).toSeq == data.toSeq)
+    val rdrD = new Hdf5.SectionReader(pDeep, temp)
+    val rdrS = new Hdf5.SectionReader(pSingle, Hdf5.open(pSingle).dataset("temp").get)
+    try {
+      for (t <- 0 until tN; y <- 0 until yN) {
+        val m = rdrD.readRow(t, y, 1, xN - 2).toSeq
+        assert(m == rdrS.readRow(t, y, 1, xN - 2).toSeq, s"t=$t y=$y")
+      }
+    } finally { rdrD.close(); rdrS.close() }
+  }
+
   test("filtered chunks: shuffle+deflate+fletcher32 round-trip, metadata surfaced") {
     val p = tmp("filtered.h5")
     // repetitive data so deflate actually shrinks the stored bytes
@@ -508,6 +546,9 @@ class Hdf5Spec extends AnyFunSuite {
       val filters =
         if (!chunked) Nil
         else Seq(Shuffle(dtype.size), Deflate(6), Fletcher32).take(filtered)
+      val leafK =
+        if (chunked && !latest && rnd.nextBoolean()) Some(rnd.nextInt(6) + 1)
+        else None
       Hdf5.write(p, Seq(
         WDataset("v", dtype, Seq(t, y, x), data,
           chunkDims = if (chunked) Some(Seq(
@@ -517,9 +558,11 @@ class Hdf5Spec extends AnyFunSuite {
           // implicit indexes
           implicitIndex = latest && chunked && filters.isEmpty && rnd.nextBoolean(),
           // classic chunked cases randomly cap the chunk b-tree leaf
-          // fan-out, exercising single- AND multi-node trees
-          btreeLeafK = if (chunked && !latest && rnd.nextBoolean())
-            Some(rnd.nextInt(6) + 1) else None)),
+          // fan-out, exercising single- AND multi-node trees; half of the
+          // capped cases also cap internal fan-out → random-depth trees
+          btreeLeafK = leafK,
+          btreeInternalK = if (leafK.isDefined && rnd.nextBoolean())
+            Some(rnd.nextInt(4) + 2) else None)),
         latest)
       val h = Hdf5.open(p)
       val v = h.dataset("v").get
