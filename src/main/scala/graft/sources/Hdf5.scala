@@ -1672,9 +1672,20 @@ object Hdf5 {
     * b-tree — what libhdf5 switches to past 8 attributes by default.
     */
   def write(path: String, datasets: Seq[WDataset], latest: Boolean,
-      denseRoot: Boolean, denseAttrs: Boolean): Unit = {
+      denseRoot: Boolean, denseAttrs: Boolean): Unit =
+    write(path, datasets, latest, denseRoot, denseAttrs, groupInternalK = 16)
+
+  /** `groupInternalK` is the superblock's declared group internal node k:
+    * every classic group b-tree node (level 0 over SNODs, higher levels
+    * over tree nodes) splits at 2·k children, recursively — libhdf5's rule
+    * (default k = 16, so the tree goes multi-level past 32 SNODs ≈ 256
+    * names). Lower it to exercise deep group trees on small fixtures.
+    */
+  def write(path: String, datasets: Seq[WDataset], latest: Boolean,
+      denseRoot: Boolean, denseAttrs: Boolean, groupInternalK: Int): Unit = {
     require(!denseRoot || latest, "dense root groups require the latest format")
     require(!denseAttrs || latest, "dense attribute storage requires the latest format")
+    require(groupInternalK >= 1, "groupInternalK must be >= 1")
     datasets.foreach { d =>
       require(d.data.length == d.dims.product,
         s"${d.name}: data length ${d.data.length} != dims product ${d.dims.product}")
@@ -1723,7 +1734,7 @@ object Hdf5 {
       b.raw(Magic)
       b.u8(0).u8(0).u8(0).u8(0).u8(0) // sb/freespace/rootgroup/reserved/shared versions
       b.u8(8).u8(8).u8(0) // offset size, length size, reserved
-      b.u16(4).u16(16) // group leaf k, internal k
+      b.u16(4).u16(groupInternalK) // group leaf k, internal k
       b.u32(0) // consistency flags
       b.u64(0) // base address
       b.u64(-1L) // free space (undefined)
@@ -1773,17 +1784,53 @@ object Hdf5 {
     // SNODs instead of overstuffing one (the many-variable-archive case).
     val nameGroups: Seq[Seq[String]] = names.sorted.grouped(8).toSeq
 
-    def btreeBlock(res: Resolve): Array[Byte] = {
+    // Every group TREE node caps at 2·groupInternalK children (the
+    // superblock's declared internal k — libhdf5 splits there), so past
+    // that many SNODs the tree grows internal levels recursively.
+    val gcap = 2 * groupInternalK
+
+    /** Node counts per group-b-tree level: counts(0) = level-0 nodes (the
+      * ones pointing at SNODs), ending at the single root. */
+    def gtreeLevels: Seq[Int] = {
+      val l0 = (nameGroups.length + gcap - 1) / gcap
+      Iterator.iterate(l0)(n => (n + gcap - 1) / gcap).takeWhile(_ > 1).toSeq :+ 1
+    }
+
+    def gtreeNodeName(level: Int, j: Int): String =
+      if (level == gtreeLevels.length - 1) "btree" else s"gbt:$level:$j"
+
+    /** SNODs per subtree of one child at `level` (a level-l node's children
+      * each cover gcap^l SNODs). Long to survive absurd caps. */
+    def gtreeSpan(level: Int): Long =
+      (0 until level).foldLeft(1L)((a, _) => a * gcap)
+
+    /** One group-b-tree node. Keys interleave children (key0 child0 key1 …
+      * childN-1 keyN): key0 is 0 (the empty string, lowest) on the leftmost
+      * path and the greatest name BEFORE the subtree otherwise; key i+1 is
+      * the greatest name in child i's subtree (spec III.A.1, type 0).
+      */
+    def gtreeNode(level: Int, j: Int, res: Resolve): Array[Byte] = {
+      val counts = gtreeLevels
+      val below = if (level == 0) nameGroups.length else counts(level - 1)
+      val lo = j * gcap
+      val hi = math.min(below, lo + gcap)
       val b = new LeBuf
-      b.raw("TREE".getBytes).u8(0).u8(0).u16(nameGroups.length) // type 0, level 0
-      b.u64(-1L).u64(-1L) // siblings
-      b.u64(0) // key 0: lowest (empty string at heap offset 0)
-      nameGroups.zipWithIndex.foreach { case (g, j) =>
-        b.u64(res(s"snod:$j"))
-        b.u64(heapOffsets(g.last)) // key j+1: greatest name in child j
+      b.raw("TREE".getBytes).u8(0).u8(level).u16(hi - lo)
+      b.u64(if (j > 0) res(gtreeNodeName(level, j - 1)) else -1L)
+      b.u64(if (j < counts(level) - 1) res(gtreeNodeName(level, j + 1)) else -1L)
+      val firstSnod = lo * gtreeSpan(level)
+      b.u64(if (firstSnod == 0) 0L
+        else heapOffsets(nameGroups((firstSnod - 1).toInt).last))
+      (lo until hi).foreach { ci =>
+        b.u64(res(if (level == 0) s"snod:$ci" else gtreeNodeName(level - 1, ci)))
+        val lastSnod = math.min(nameGroups.length - 1L, (ci + 1) * gtreeSpan(level) - 1)
+        b.u64(heapOffsets(nameGroups(lastSnod.toInt).last))
       }
       b.bytes
     }
+
+    def btreeBlock(res: Resolve): Array[Byte] =
+      gtreeNode(gtreeLevels.length - 1, 0, res)
 
     def snodBlock(j: Int, res: Resolve): Array[Byte] = {
       val b = new LeBuf
@@ -2517,6 +2564,8 @@ object Hdf5 {
           }
       else
         Seq("oh:/", "heap", "heapdata", "btree") ++
+          (0 until gtreeLevels.length - 1).flatMap(l =>
+            (0 until gtreeLevels(l)).map(j => s"gbt:$l:$j")) ++
           nameGroups.indices.map(j => s"snod:$j") ++
           datasets.map(d => s"oh:${d.name}") ++
           (if (gcolEntries.nonEmpty) Seq("gcol") else Nil) ++
@@ -2549,6 +2598,9 @@ object Hdf5 {
       case "heap" => heapBlock(res)
       case "heapdata" => heapData.bytes
       case "btree" => btreeBlock(res)
+      case n if n.startsWith("gbt:") => // "gbt:<level>:<j>"
+        val Array(_, l, j) = n.split(":")
+        gtreeNode(l.toInt, j.toInt, res)
       case n if n.startsWith("snod:") => snodBlock(n.drop(5).toInt, res)
       case "gcol" => gcolBlock(res)
       case n if n.startsWith("oh:") =>

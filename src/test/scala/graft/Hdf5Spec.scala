@@ -164,6 +164,33 @@ class Hdf5Spec extends AnyFunSuite {
     } finally { rdrD.close(); rdrS.close() }
   }
 
+  test("deep classic group b-tree: internal levels over SNOD leaves") {
+    // 40 names / 8-per-SNOD = 5 SNODs; groupInternalK = 1 caps every tree
+    // node at 2 children ⇒ 3 level-0 nodes, 2 level-1, one level-2 root —
+    // the many-variable-archive shape past 2k SNODs. All datasets must
+    // still resolve and read back through the recursive walk.
+    val p = tmp("deepgroup.h5")
+    val ds = (0 until 40).map(i =>
+      WDataset(f"v$i%02d", F64, Seq(2), Array(i.toDouble, i + 0.5)))
+    Hdf5.write(p, ds, latest = false, denseRoot = false, denseAttrs = false,
+      groupInternalK = 1)
+    // structural check: some type-0 TREE node carries level 2
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val sig = "TREE".getBytes
+    val levels = (0 to bytes.length - 6).collect {
+      case i if bytes(i) == sig(0) && bytes(i + 1) == sig(1) &&
+        bytes(i + 2) == sig(2) && bytes(i + 3) == sig(3) &&
+        bytes(i + 4) == 0 => bytes(i + 5).toInt // type 0 = group node
+    }
+    assert(levels.max == 2, s"expected a level-2 group root, saw levels $levels")
+    val h = Hdf5.open(p)
+    ds.foreach { d =>
+      val got = h.dataset(d.name)
+      assert(got.isDefined, s"${d.name} missing from deep group tree")
+      assert(Hdf5.readAll(p, got.get).toSeq == d.data.toSeq, d.name)
+    }
+  }
+
   test("filtered chunks: shuffle+deflate+fletcher32 round-trip, metadata surfaced") {
     val p = tmp("filtered.h5")
     // repetitive data so deflate actually shrinks the stored bytes
