@@ -34,13 +34,16 @@ object Tables {
     *     TIMESTAMP_NS → TIMESTAMP; integer `DIV` stays exact (ns epochs
     *     exceed double's 2^53 integer range). Epoch micros are already an
     *     instant, no tz involved.
-    *   - TIMESTAMP_NTZ (µs): interpret the naive wall clock AS UTC
-    *     explicitly via make_timestamp(..., 'UTC') over the extracted
-    *     fields — a bare cast would reinterpret the micros in whatever tz
-    *     the session runs, and a convert-to-session-wall-then-cast
-    *     round-trip is ambiguous in a DST fall-back overlap (the cast picks
-    *     one offset, shifting those instants an hour). UTC has no DST, so
-    *     field-wise construction is exact for every wall clock.
+    *   - TIMESTAMP_NTZ (µs): interpret the naive wall clock AS UTC. A bare
+    *     cast would reinterpret the micros in whatever tz the session runs,
+    *     and a convert-to-session-wall-then-cast round-trip is ambiguous in
+    *     a DST fall-back overlap (the cast picks one offset, shifting those
+    *     instants an hour). NTZ physically stores µs since the 1970-01-01
+    *     wall epoch, so `timestampdiff(MICROSECOND, epoch, ts)` IS the
+    *     as-UTC instant — one codegen'd subtraction, no calendar fields, no
+    *     tz rules anywhere (verified equal to field-wise
+    *     make_timestamp(…, 'UTC') construction on the full fixture under a
+    *     non-UTC session).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -51,8 +54,8 @@ object Tables {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
         raw.withColumn("ts", expr(
-          "make_timestamp(year(ts), month(ts), day(ts), hour(ts), minute(ts), " +
-            "date_part('SECOND', ts), 'UTC')"))
+          "timestamp_micros(timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"))
       case TimestampType    => raw
       case other => throw new IllegalStateException(
         s"events.ts: unhandled parquet type $other — update Tables.events")

@@ -126,7 +126,12 @@ object Streaming extends QueryModule {
     tsType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        // same session-tz-INDEPENDENT as-UTC interpretation as Tables.events
+        // (a bare cast reinterprets in the session zone — stream/batch twins
+        // would diverge on any non-UTC session)
+        raw.withColumn("ts", expr(
+          "timestamp_micros(timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"))
       case org.apache.spark.sql.types.TimestampType => raw
       case other => throw new IllegalStateException(
         s"events.ts: unhandled parquet type $other — update Streaming.eventsStream")
