@@ -545,12 +545,13 @@ object Hdf5 {
 
   /** Walk a name-index v2 B-tree (`BTHD` header, spec III.B) and return ALL
     * record bytes back-to-back plus the record count — every node
-    * Jenkins-lookup3 checksum-verified. Depth 0 (root = one `BTLF` leaf, the
-    * below-~400-entry common case) and depth 1 (`BTIN` internal root over
-    * sibling leaves, the many-link/many-attribute archive shape) are
-    * supported; deeper trees (≈100k+ entries at default node size) fail
-    * loudly. Record ordering across nodes is NOT restored — both callers
-    * sort by name afterwards.
+    * Jenkins-lookup3 checksum-verified, ANY depth: depth 0 (root = one
+    * `BTLF` leaf, the below-~400-entry common case), depth 1 (`BTIN`
+    * internal root over leaves, the many-link/many-attribute shape), and
+    * depth ≥ 2 (internal-over-internal, ≈100k+ entries at the default node
+    * size) all traverse through the per-depth geometry derived from the
+    * header. Record ordering across nodes is NOT restored — callers sort by
+    * name afterwards.
     */
   private def readBtreeLeaf(r: Reader, btAddr: Long, expType: Int,
       expRecSize: Int, what: String, path: String): (ByteBuffer, Int) = {
@@ -564,8 +565,6 @@ object Hdf5 {
     val nodeSize = b.getInt()
     val recSize = b.getShort() & 0xFFFF
     val depth = b.getShort() & 0xFFFF
-    require(depth <= 1,
-      s"$path: v2 b-tree depth $depth unsupported ($what indexes: root + one leaf level max)")
     b.get(); b.get() // split / merge percents
     val rootAddr = b.getLong()
     val nrecRoot = b.getShort() & 0xFFFF
@@ -592,51 +591,73 @@ object Hdf5 {
       out.write(leafRaw, 6, nrec * recSize)
     }
 
-    if (depth == 0) { // root IS the leaf — the below-~400-entry common case
-      val out = new java.io.ByteArrayOutputStream()
-      readLeaf(rootAddr, nrecRoot, out)
-      (ByteBuffer.wrap(out.toByteArray).order(ByteOrder.LITTLE_ENDIAN), nrecRoot)
-    } else {
-      // depth 1: one BTIN internal root over BTLF leaves. Internal layout
-      // (spec III.B.2): prefix, then ALL records, then nrec+1 child
-      // pointers of (address, child record count); the count field width is
-      // the minimum bytes representing the max records a LEAF can hold
-      // (leaf capacity = (nodeSize - 10) / recSize, libhdf5's
-      // H5B2_NUM_LEAF_REC with the 10-byte leaf prefix+checksum).
-      val maxLeafRec = (nodeSize - 10) / recSize
-      require(maxLeafRec >= 1, s"$path: implausible v2 b-tree geometry")
-      val cntSize = (63 - java.lang.Long.numberOfLeadingZeros(maxLeafRec.toLong) + 8) / 8
-      val intLen = 6 + nrecRoot * recSize + (nrecRoot + 1) * (8 + cntSize) + 4
-      val inRaw = r.bytes(rootAddr, intLen)
-      val ib = ByteBuffer.wrap(inRaw).order(ByteOrder.LITTLE_ENDIAN)
-      val isig = new Array[Byte](4); ib.get(isig)
-      require(isig.sameElements("BTIN".getBytes),
-        s"$path: bad v2 b-tree internal node signature")
-      require(ib.get() == 0, s"$path: v2 b-tree internal version unsupported")
-      require((ib.get() & 0xFF) == expType, s"$path: v2 b-tree internal type mismatch")
-      val storedInt = ib.getInt(intLen - 4)
-      val computedInt = lookup3(java.util.Arrays.copyOf(inRaw, intLen - 4))
-      require(storedInt == computedInt,
-        f"$path: v2 b-tree internal checksum mismatch (stored 0x$storedInt%08x)")
-      val out = new java.io.ByteArrayOutputStream()
-      out.write(inRaw, 6, nrecRoot * recSize) // the root's own records
-      ib.position(6 + nrecRoot * recSize)
-      def uintN(n: Int): Long = {
-        var v = 0L; var i = 0
-        while (i < n) { v |= (ib.get().toLong & 0xFF) << (8 * i); i += 1 }
-        v
-      }
-      (0 to nrecRoot).foreach { _ =>
-        val addr = ib.getLong()
-        val cn = uintN(cntSize).toInt
-        require(cn >= 1 && cn <= maxLeafRec, s"$path: leaf record count $cn out of range")
-        readLeaf(addr, cn, out)
-      }
-      val bytes = out.toByteArray
-      require(bytes.length / recSize == totalRec,
-        s"$path: v2 b-tree total ${bytes.length / recSize} != declared $totalRec")
-      (ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN), totalRec.toInt)
+    // Per-depth geometry (libhdf5's formulas, spec III.B.2): every
+    // "number of records" pointer field uses ONE width — the bytes needed
+    // for the LEAF capacity (the largest node type); a pointer to a
+    // depth-d ≥ 1 subtree additionally carries the subtree's total record
+    // count in the width of that depth's cumulative maximum
+    // cum(d) = (maxRec(d)+1)·cum(d−1) + maxRec(d), and internal capacity
+    // maxRec(d) = (nodeSize − 10 − ptr(d)) / (recSize + ptr(d)) with
+    // ptr(d) = 8 + nrecWidth + cumWidth(d−1).
+    val maxLeafRec = (nodeSize - 10) / recSize
+    require(maxLeafRec >= 1, s"$path: implausible v2 b-tree geometry")
+    def bytesFor(v: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v)) + 8) / 8
+    val nrecWidth = bytesFor(maxLeafRec.toLong)
+    // (maxRec, cumMax, cumWidth) indexed by depth; depth 0 = leaves
+    val geo = new Array[(Long, Long, Int)](depth + 1)
+    geo(0) = (maxLeafRec.toLong, maxLeafRec.toLong, bytesFor(maxLeafRec.toLong))
+    (1 to depth).foreach { d =>
+      val ptr = 8 + nrecWidth + (if (d >= 2) geo(d - 1)._3 else 0)
+      val maxRec = (nodeSize - 10 - ptr) / (recSize + ptr)
+      require(maxRec >= 1, s"$path: implausible v2 b-tree internal geometry at depth $d")
+      val cum = (maxRec + 1).toLong * geo(d - 1)._2 + maxRec
+      geo(d) = (maxRec.toLong, cum, bytesFor(cum))
     }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def readNode(addr: Long, nrec: Int, d: Int): Unit =
+      if (d == 0) readLeaf(addr, nrec, out)
+      else {
+        val totWidth = if (d >= 2) geo(d - 1)._3 else 0
+        val ptr = 8 + nrecWidth + totWidth
+        val intLen = 6 + nrec * recSize + (nrec + 1) * ptr + 4
+        val inRaw = r.bytes(addr, intLen)
+        val ib = ByteBuffer.wrap(inRaw).order(ByteOrder.LITTLE_ENDIAN)
+        val isig = new Array[Byte](4); ib.get(isig)
+        require(isig.sameElements("BTIN".getBytes),
+          s"$path: bad v2 b-tree internal node signature")
+        require(ib.get() == 0, s"$path: v2 b-tree internal version unsupported")
+        require((ib.get() & 0xFF) == expType, s"$path: v2 b-tree internal type mismatch")
+        val storedInt = ib.getInt(intLen - 4)
+        val computedInt = lookup3(java.util.Arrays.copyOf(inRaw, intLen - 4))
+        require(storedInt == computedInt,
+          f"$path: v2 b-tree internal checksum mismatch (stored 0x$storedInt%08x)")
+        out.write(inRaw, 6, nrec * recSize) // the node's own records
+        ib.position(6 + nrec * recSize)
+        def uintN(n: Int): Long = {
+          var v = 0L; var i = 0
+          while (i < n) { v |= (ib.get().toLong & 0xFF) << (8 * i); i += 1 }
+          v
+        }
+        (0 to nrec).foreach { _ =>
+          val caddr = ib.getLong()
+          val cn = uintN(nrecWidth).toInt
+          require(cn >= 1 && cn <= geo(d - 1)._1,
+            s"$path: child record count $cn out of range at depth ${d - 1}")
+          if (totWidth > 0) {
+            val ctot = uintN(totWidth)
+            require(ctot >= cn && ctot <= geo(d - 1)._2,
+              s"$path: child subtree total $ctot out of range at depth ${d - 1}")
+          }
+          readNode(caddr, cn, d - 1)
+        }
+      }
+    readNode(rootAddr, nrecRoot, depth)
+    val bytes = out.toByteArray
+    require(bytes.length / recSize == totalRec,
+      s"$path: v2 b-tree total ${bytes.length / recSize} != declared $totalRec")
+    (ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN), totalRec.toInt)
   }
 
   /** Dense group links: walk the name-index v2 B-tree (type 5 records of
@@ -1682,10 +1703,24 @@ object Hdf5 {
     * names). Lower it to exercise deep group trees on small fixtures.
     */
   def write(path: String, datasets: Seq[WDataset], latest: Boolean,
-      denseRoot: Boolean, denseAttrs: Boolean, groupInternalK: Int): Unit = {
+      denseRoot: Boolean, denseAttrs: Boolean, groupInternalK: Int): Unit =
+    write(path, datasets, latest, denseRoot, denseAttrs, groupInternalK,
+      denseNodeSize = 4096)
+
+  /** `denseNodeSize` is the v2 b-tree node size declared in every dense
+    * name-index `BTHD` header (libhdf5 default 4096). The tree's depth
+    * follows from it: one leaf below ~400 records, a depth-1 internal past
+    * that, internal-over-internal once the cumulative depth-1 capacity
+    * (~100k records at 4096) overflows — lower it to exercise deep trees on
+    * small fixtures; the reader derives all geometry from the header.
+    */
+  def write(path: String, datasets: Seq[WDataset], latest: Boolean,
+      denseRoot: Boolean, denseAttrs: Boolean, groupInternalK: Int,
+      denseNodeSize: Int): Unit = {
     require(!denseRoot || latest, "dense root groups require the latest format")
     require(!denseAttrs || latest, "dense attribute storage requires the latest format")
     require(groupInternalK >= 1, "groupInternalK must be >= 1")
+    require(denseNodeSize >= 48, "denseNodeSize implausibly small")
     datasets.foreach { d =>
       require(d.data.length == d.dims.product,
         s"${d.name}: data length ${d.data.length} != dims product ${d.dims.product}")
@@ -2167,7 +2202,8 @@ object Hdf5 {
     // mirrors the library defaults: 32-bit heap space (4-byte offsets),
     // 4 KiB max managed object (2-byte lengths).
     final class DenseStore(prefix: String, btType: Int, idLen: Int,
-        items: Seq[(String, Resolve => Array[Byte])]) {
+        items: Seq[(String, Resolve => Array[Byte])],
+        nodeSize: Int = 4096) {
       private val maxManaged = 4096L
       private val offSize = 4; private val lenSize = 2
       private val headerSize = 4 + 1 + 8 + offSize + 4 // FHDB prefix + checksum
@@ -2289,13 +2325,26 @@ object Hdf5 {
         if (btType == 5) 4 + idLen // hash + heap ID
         else idLen + 1 + 4 + 4 // heap ID + message flags + creation order + hash
 
-      private val nodeSize = 4096
       /** Leaf capacity under the declared node size (libhdf5's
         * H5B2_NUM_LEAF_REC: node minus the 10-byte prefix+checksum) — past
         * it the index becomes a BTIN root over split leaves, exactly as the
-        * library splits for many-link / many-attribute objects.
+        * library splits for many-link / many-attribute objects; past the
+        * cumulative depth-1 capacity the internals split recursively too.
         */
       private def maxLeafRec: Int = (nodeSize - 10) / recSize
+      private def bytesFor(v: Long): Int =
+        (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v)) + 8) / 8
+      private def nrecWidth: Int = bytesFor(maxLeafRec.toLong)
+      /** (maxRec, cumMax, cumWidth) per depth — the reader twin's formulas. */
+      private def geo(d: Int): (Long, Long, Int) =
+        if (d == 0) (maxLeafRec.toLong, maxLeafRec.toLong, bytesFor(maxLeafRec.toLong))
+        else {
+          val ptr = 8 + nrecWidth + (if (d >= 2) geo(d - 1)._3 else 0)
+          val maxRec = (nodeSize - 10 - ptr) / (recSize + ptr)
+          require(maxRec >= 1, s"$prefix: node size $nodeSize too small for depth $d")
+          val cum = (maxRec + 1).toLong * geo(d - 1)._2 + maxRec
+          (maxRec.toLong, cum, bytesFor(cum))
+        }
 
       /** All records in b-tree key order (name hash, then name). */
       private lazy val sortedRecs: Seq[Array[Byte]] =
@@ -2309,67 +2358,104 @@ object Hdf5 {
             b.bytes
           }
 
-      /** (leaf record slices, separator records): single leaf when it fits;
-        * otherwise a classic B-tree split — L leaves and L-1 separator
-        * records living in the internal root (records are NOT duplicated:
-        * leaves + separators partition the full sorted sequence).
+      /** A classic B-tree partition of the sorted records, ANY depth: a
+        * node owns its separator records; children + separators partition
+        * the full sorted sequence (records are NOT duplicated). The tree
+        * depth is the smallest whose cumulative capacity fits the count.
         */
-      private lazy val split: (Seq[Seq[Array[Byte]]], Seq[Array[Byte]]) = {
-        val n = sortedRecs.length
-        if (n <= maxLeafRec) (Seq(sortedRecs), Nil)
-        else {
-          // smallest L with L*cap + (L-1) >= n, i.e. ceil((n+1)/(cap+1)):
-          // the straightforward (n+cap)/(cap+1) undercounts by one exactly
-          // when n is a multiple of cap+1, overstuffing a leaf past the
-          // declared node size (and past the reader's own cn <= cap check)
-          val leaves = (n + maxLeafRec + 1) / (maxLeafRec + 1)
-          val leafTotal = n - (leaves - 1)
-          val base = leafTotal / leaves; val extra = leafTotal % leaves
-          val leafRecs = scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]]()
-          val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-          var at = 0
-          (0 until leaves).foreach { j =>
-            val sz = base + (if (j < extra) 1 else 0)
-            leafRecs += sortedRecs.slice(at, at + sz); at += sz
-            if (j < leaves - 1) { seps += sortedRecs(at); at += 1 }
-          }
-          (leafRecs.toSeq, seps.toSeq)
-        }
+      private sealed trait BNode {
+        def own: Seq[Array[Byte]]; def depth: Int; def idx: Int
+        def total: Long
       }
-      private def nLeaves: Int = split._1.length
+      private final case class BLeaf(own: Seq[Array[Byte]], idx: Int) extends BNode {
+        def depth = 0; def total: Long = own.length.toLong
+      }
+      private final case class BInt(depth: Int, own: Seq[Array[Byte]],
+          children: Seq[BNode], idx: Int) extends BNode {
+        def total: Long = own.length.toLong + children.map(_.total).sum
+      }
+      private lazy val tree: BNode = {
+        val n = sortedRecs.length
+        val depth = Iterator.from(0).find(d => n <= geo(d)._2).get
+        // capacity-1 leaves cannot split without an empty child — a real
+        // b-tree never has them (node sizes dwarf records); fail loudly
+        require(depth == 0 || maxLeafRec >= 2,
+          s"$prefix: node size $nodeSize holds one record per leaf — cannot split")
+        val counters = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+        def mk(recs: Seq[Array[Byte]], d: Int): BNode = {
+          val i = { val v = counters(d); counters(d) = v + 1; v }
+          if (d == 0) BLeaf(recs, i)
+          else {
+            // smallest child count C with C·cum(d−1) + (C−1) ≥ n, i.e.
+            // ceil((n+1)/(cum+1)) — the naive (n+cum)/(cum+1) undercounts
+            // exactly when n is a multiple of cum+1, overstuffing a subtree
+            val cum = geo(d - 1)._2
+            val c = ((recs.length + cum + 1) / (cum + 1)).toInt
+            val childTotal = recs.length - (c - 1)
+            val base = childTotal / c; val extra = childTotal % c
+            val kids = scala.collection.mutable.ArrayBuffer[BNode]()
+            val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+            var at = 0
+            (0 until c).foreach { j =>
+              val sz = base + (if (j < extra) 1 else 0)
+              kids += mk(recs.slice(at, at + sz), d - 1); at += sz
+              if (j < c - 1) { seps += recs(at); at += 1 }
+            }
+            BInt(d, seps.toSeq, kids.toSeq, i)
+          }
+        }
+        mk(sortedRecs, depth)
+      }
+      private lazy val allNodes: Seq[BNode] = {
+        def walk(n: BNode): Seq[BNode] = n match {
+          case l: BLeaf => Seq(l)
+          case i: BInt => i +: i.children.flatMap(walk)
+        }
+        walk(tree)
+      }
+      private def nodeSuffix(n: BNode): String = n match {
+        case l: BLeaf => s"btlf:${l.idx}"
+        case i: BInt => s"btin:${i.depth}:${i.idx}"
+      }
 
       private def bthdBlock(res: Resolve): Array[Byte] = {
         val b = new LeBuf
         b.raw("BTHD".getBytes).u8(0).u8(btType)
         b.u32(nodeSize).u16(recSize)
-        b.u16(if (nLeaves == 1) 0 else 1) // depth
+        b.u16(tree.depth) // depth
         b.u8(100).u8(40) // split / merge percents (library defaults)
-        b.u64(if (nLeaves == 1) res(s"$prefix:btlf:0") else res(s"$prefix:btin"))
-        b.u16(if (nLeaves == 1) sortedRecs.length else split._2.length)
+        b.u64(res(s"$prefix:${nodeSuffix(tree)}"))
+        b.u16(tree.own.length)
         b.u64(sortedRecs.length)
         u32ck(b)
       }
 
-      private def btinBlock(res: Resolve): Array[Byte] = {
-        // internal node: prefix, ALL separator records, then nLeaves child
-        // pointers of (address, record count in the leaf-capacity field
-        // width) — the layout readBtreeLeaf's depth-1 branch consumes
-        val cntSize = (63 - java.lang.Long.numberOfLeadingZeros(maxLeafRec.toLong) + 8) / 8
+      /** Internal node: prefix, the node's own separator records, then
+        * nrec+1 child pointers of (address, child record count in the
+        * leaf-capacity width[, subtree total in the depth-(d−1) cumulative
+        * width — only when children are themselves internal]) — the layout
+        * readBtreeLeaf consumes at every depth.
+        */
+      private def btinBlock(node: BInt, res: Resolve): Array[Byte] = {
+        val totWidth = if (node.depth >= 2) geo(node.depth - 1)._3 else 0
         val b = new LeBuf
         b.raw("BTIN".getBytes).u8(0).u8(btType)
-        split._2.foreach(b.raw)
-        split._1.zipWithIndex.foreach { case (g, j) =>
-          b.u64(res(s"$prefix:btlf:$j"))
-          (0 until cntSize).foreach(k =>
-            b.u8(((g.length.toLong >> (8 * k)) & 0xFF).toInt))
+        node.own.foreach(b.raw)
+        node.children.foreach { k =>
+          b.u64(res(s"$prefix:${nodeSuffix(k)}"))
+          (0 until nrecWidth).foreach(i =>
+            b.u8(((k.own.length.toLong >> (8 * i)) & 0xFF).toInt))
+          (0 until totWidth).foreach(i =>
+            b.u8(((k.total >> (8 * i)) & 0xFF).toInt))
         }
         u32ck(b)
       }
 
       private def btlfBlock(j: Int): Array[Byte] = {
+        val own = allNodes.collectFirst { case l: BLeaf if l.idx == j => l.own }.get
         val b = new LeBuf
         b.raw("BTLF".getBytes).u8(0).u8(btType)
-        split._1(j).foreach(b.raw)
+        own.foreach(b.raw)
         u32ck(b)
       }
 
@@ -2377,8 +2463,7 @@ object Hdf5 {
       def btreeRef(res: Resolve): Long = res(s"$prefix:bthd")
       def blockNames: Seq[String] =
         Seq(s"$prefix:frhp", s"$prefix:fhdb", s"$prefix:bthd") ++
-          (if (nLeaves > 1) Seq(s"$prefix:btin") else Nil) ++
-          (0 until nLeaves).map(j => s"$prefix:btlf:$j") ++
+          allNodes.map(n => s"$prefix:${nodeSuffix(n)}") ++
           (if (hugeIdx.nonEmpty)
             Seq(s"$prefix:hugebt", s"$prefix:hugebl") ++
               hugeIdx.indices.map(k => s"$prefix:hugeobj:$k")
@@ -2388,7 +2473,11 @@ object Hdf5 {
           case "frhp" => frhpBlock(res)
           case "fhdb" => fhdbBlock(res)
           case "bthd" => bthdBlock(res)
-          case "btin" => btinBlock(res)
+          case n if n.startsWith("btin:") => // "btin:<depth>:<idx>"
+            val Array(_, d, j) = n.split(":")
+            btinBlock(allNodes.collectFirst {
+              case b: BInt if b.depth == d.toInt && b.idx == j.toInt => b
+            }.get, res)
           case "hugebt" => hugeBtBlock(res)
           case "hugebl" => hugeBlBlock(res)
           case l if l.startsWith("btlf:") => btlfBlock(l.drop(5).toInt)
@@ -2449,10 +2538,12 @@ object Hdf5 {
       attrItemsByDs(d.name)
 
     lazy val rootDense = new DenseStore("rootdx", 5, 7,
-      names.sorted.map(n => n -> ((res: Resolve) => linkMsgBytes(n, res))))
+      names.sorted.map(n => n -> ((res: Resolve) => linkMsgBytes(n, res))),
+      denseNodeSize)
     lazy val attrDense: Map[String, DenseStore] = datasets
       .filter(d => attrItems(d).nonEmpty)
-      .map(d => d.name -> new DenseStore(s"adx:${d.name}", 8, 8, attrItems(d)))
+      .map(d => d.name -> new DenseStore(s"adx:${d.name}", 8, 8, attrItems(d),
+        denseNodeSize))
       .toMap
 
     // fixtures stay far below 2^10 chunks, so data blocks never page
@@ -2591,7 +2682,7 @@ object Hdf5 {
         // "adx:<ds>:<kind>"; <ds> may hold ':' and <kind> may be "btlf:<j>",
         // so match the known kind suffixes greedily instead of splitting on
         // the last colon
-        val kind = "(:(?:frhp|fhdb|bthd|btin|btlf:\\d+|hugebt|hugebl|hugeobj:\\d+))$".r
+        val kind = "(:(?:frhp|fhdb|bthd|btin:\\d+:\\d+|btlf:\\d+|hugebt|hugebl|hugeobj:\\d+))$".r
           .findFirstIn(n).getOrElse(
             throw new IllegalStateException(s"unparseable dense block $n"))
         attrDense(n.substring(4, n.length - kind.length)).build(n, res)

@@ -166,7 +166,14 @@ class CodecFuzzSpec extends AnyFunSuite {
         numAttrs =
           if (i == 0) Seq(("huge", F64, (0 until 900).map(_.toDouble))) else Nil)),
       latest = true, denseRoot = true, denseAttrs = true)
-    for (p <- Seq(pClassic, pDense)) {
+    // a depth-2 dense index twin: tiny v2 nodes force internal-over-internal
+    val pDeep = tmp("fuzz-deepdense.h5")
+    Hdf5.write(pDeep,
+      (0 until 80).map(i => WDataset(f"w$i%02d", F64, Seq(2),
+        Array(i.toDouble, i - 0.5))),
+      latest = true, denseRoot = true, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 96)
+    for (p <- Seq(pClassic, pDense, pDeep)) {
       def fullRead(path: String): Vector[(String, Vector[Double], Int)] = {
         val h = Hdf5.open(path)
         h.datasets.toVector.map(ds =>

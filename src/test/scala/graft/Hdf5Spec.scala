@@ -443,6 +443,38 @@ class Hdf5Spec extends AnyFunSuite {
       assert(ds.attr(f"a$i%03d").map(_.value).contains(NumAttr(Seq(i.toDouble))), i)
   }
 
+  test("depth-2 dense name indexes: internal-over-internal v2 b-trees for links and attrs") {
+    // at denseNodeSize = 128 a link leaf holds 10 records and the depth-1
+    // cumulative capacity is 65 (attrs: 6 and 34), so 120 of each forces a
+    // depth-2 tree — the ≈100k-entry shape at the real 4096 node size,
+    // reached here with a fixture-sized count; the reader derives all
+    // pointer-field widths from the header geometry
+    val p = tmp("deepdense.h5")
+    val dsets = (0 until 120).map(i =>
+      WDataset(f"v$i%03d", F64, Seq(2), Array(i.toDouble, i / 2.0),
+        numAttrs =
+          if (i == 0) (0 until 120).map(k => (f"a$k%03d", F64, Seq(k * 1.5)))
+          else Nil))
+    Hdf5.write(p, dsets, latest = true, denseRoot = true, denseAttrs = true,
+      groupInternalK = 16, denseNodeSize = 128)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val depths = (0 to bytes.length - 14).collect {
+      case i if bytes(i) == 'B' && bytes(i + 1) == 'T' && bytes(i + 2) == 'H' &&
+        bytes(i + 3) == 'D' =>
+        (bytes(i + 12) & 0xFF) | ((bytes(i + 13) & 0xFF) << 8)
+    }
+    assert(depths.max == 2, s"expected a depth-2 BTHD header, saw depths $depths")
+    val h = Hdf5.open(p)
+    assert(h.datasets.map(_.name) == (0 until 120).map(i => f"v$i%03d"))
+    for (i <- Seq(0, 59, 119))
+      assert(Hdf5.readAll(p, h.dataset(f"v$i%03d").get).toSeq ==
+        Seq(i.toDouble, i / 2.0), i)
+    val v0 = h.dataset("v000").get
+    assert(v0.attrs.length == 120)
+    for (k <- Seq(0, 34, 65, 119))
+      assert(v0.attr(f"a$k%03d").map(_.value).contains(NumAttr(Seq(k * 1.5))), k)
+  }
+
   test("huge fractal-heap objects: a >4 KB array attribute spills to the huge-object index") {
     // an 1100-double attribute body (~8.8 KB) exceeds the 4096-byte max
     // managed size, so the writer must store it as a huge object behind the

@@ -134,15 +134,19 @@ class PropertySpec extends AnyFunSuite {
         len <- Gen.choose(1, 24)
         cs <- Gen.listOfN(len, Gen.alphaNumChar)
       } yield cs.mkString)
-    } yield names.distinct
+      // random v2-b-tree node sizes drive random index depths (0..2) for
+      // the SAME link counts — tiny nodes force internal-over-internal
+      nodeSize <- Gen.oneOf(64, 96, 128, 512, 4096)
+    } yield (names.distinct, nodeSize)
     (1 to 5).foreach { trial =>
-      val names = gen.sample.get
+      val (names, nodeSize) = gen.sample.get
       val dir = java.nio.file.Files.createTempDirectory("graft-h5p")
       val p = dir.resolve(s"dense$trial.h5").toString
       val dsets = names.zipWithIndex.map { case (nm, i) =>
         WDataset(nm, F64, Seq(3), Array(i * 1.0, i * 2.0, i * 3.0))
       }
-      Hdf5.write(p, dsets, latest = true, denseRoot = true)
+      Hdf5.write(p, dsets, latest = true, denseRoot = true, denseAttrs = false,
+        groupInternalK = 16, denseNodeSize = nodeSize)
       val h = Hdf5.open(p)
       assert(h.datasets.map(_.name) == names.sorted, s"trial $trial")
       names.zipWithIndex.foreach { case (nm, i) =>
