@@ -656,6 +656,53 @@ class StreamingSpec extends AnyFunSuite {
       "maintained state diverged from rebuild over admitted docs")
   }
 
+  test("foreachBatch maintains segment-df state across micro-batches (streaming boilerplate scrub)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.TextAnalysis
+    // the streaming twin of q_segment_scrub: each arriving shard is scrubbed
+    // against the maintained corpus segment-df state (C4's seen-more-than-
+    // once rule), the scrubbed docs land in the sink, and the state folds
+    // the shard's RAW segments in — so boilerplate introduced by earlier
+    // batches scrubs later ones without a corpus rebuild
+    val outDir = java.nio.file.Files.createTempDirectory("graft-seg-scrub").toString
+    import spark.implicits._
+    var state = TextAnalysis.segmentDf(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).localCheckpoint(true)
+    // 6 tokens landing after a 4-token prefix → exactly 2 shared segments
+    val boiler = "subscribe to our newsletter for updates"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextAnalysis.scrubSegments(batch.toDF(), state, minDf = 2)
+          .localCheckpoint(true)
+          .write.mode("append").parquet(outDir)
+        state = TextAnalysis.appendSegmentShard(state, batch.toDF()).localCheckpoint(true)
+      }
+      .start()
+    mem.addData((1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"epsilon zeta eta theta $boiler"))
+    q.processAllAvailable()
+    mem.addData((3L, s"iota kappa lambda mu $boiler"))   // boiler now df=2 → scrubbed
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("doc_id", "n_dropped", "clean_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // batch 1: state was empty, nothing scrubbed
+    assert(out(0) == ((1L, 0L, s"alpha beta gamma delta $boiler")))
+    assert(out(1) == ((2L, 0L, s"epsilon zeta eta theta $boiler")))
+    // batch 2: both boilerplate segments hit df=2 in the folded state
+    assert(out(2) == ((3L, 2L, "iota kappa lambda mu")), s"got ${out(2)}")
+    // the maintained state equals a rebuild over everything ingested
+    val allDocs = Seq((1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"epsilon zeta eta theta $boiler"),
+      (3L, s"iota kappa lambda mu $boiler")).toDF("doc_id", "text")
+    assert(state.as[(String, Long)].collect().toSet ==
+      TextAnalysis.segmentDf(allDocs).as[(String, Long)].collect().toSet,
+      "maintained state diverged from full rebuild")
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
     val events = Tables.events(spark, TestSpark.sf)
       .select("event_id", "ts", "user_id").as[Streaming.Event]
