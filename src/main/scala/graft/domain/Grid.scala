@@ -297,6 +297,24 @@ object GridQueries extends QueryModule {
       .agg(count(col("value")).as("n_obs"), round(avg("value"), 4).as("mean_v"))
       .orderBy("ts", "yc", "xc")
 
+  /** Temporal coarsening (CDO's weekmean/timselmean): the daily series
+    * resampled to ISO-week stats per (variable, cell) — the spatial twin is
+    * [[qRegrid]]; together they are the "daily 1 km → weekly 2 km product"
+    * job every climate archive runs. One hash aggregate keyed on
+    * (variable, period, y, x) with map-side partials; NODATA nulls fall
+    * out of avg/min/max and `count(value)` is the per-period observation
+    * count. No window, no sort — at 100 TB this is one embarrassingly
+    * parallel pass whose shuffle carries only coarsened keys.
+    */
+  private def qTimeCoarsen(s: SparkSession, d: String): DataFrame =
+    cells(s)
+      .groupBy(col("variable"), date_trunc("week", col("ts")).as("period"),
+        col("y"), col("x"))
+      .agg(round(avg("value"), 4).as("mean_val"),
+        min("value").as("min_val"), max("value").as("max_val"),
+        count(col("value")).as("n_obs"))
+      .orderBy("variable", "period", "y", "x")
+
   /** Anomaly vs per-cell climatology: value minus that cell's own mean over
     * the time axis — the standard climate-analysis transform. One window
     * partitioned by (variable, y, x): shuffle carries cell keys once.
@@ -338,6 +356,7 @@ object GridQueries extends QueryModule {
     "q_grid_nearest" -> qGridNearest,
     "q_zonal_stats" -> qZonalStats,
     "q_regrid" -> qRegrid,
+    "q_time_coarsen" -> qTimeCoarsen,
     "q_anomaly" -> qAnomaly
   )
 
@@ -428,6 +447,13 @@ object GridQueries extends QueryModule {
       """SELECT ts, y, x,
         |  round(value - avg(value) OVER (PARTITION BY variable, y, x), 4) AS anomaly
         |FROM cells WHERE variable = 'tasmin' AND y < 4 AND x < 8
-        |ORDER BY ts, y, x""".stripMargin)
+        |ORDER BY ts, y, x""".stripMargin),
+    "q_time_coarsen" -> (oracleCells +
+      """SELECT variable, date_trunc('week', ts) AS period, y, x,
+        |  round(avg(value), 4) AS mean_val,
+        |  min(value) AS min_val, max(value) AS max_val,
+        |  CAST(count(value) AS BIGINT) AS n_obs
+        |FROM cells GROUP BY 1, 2, 3, 4
+        |ORDER BY variable, period, y, x""".stripMargin)
   )
 }
