@@ -315,6 +315,29 @@ object GridQueries extends QueryModule {
         count(col("value")).as("n_obs"))
       .orderBy("variable", "period", "y", "x")
 
+  /** Consecutive-spell statistics (the ETCCDI CDD/CWD climate-index shape):
+    * per cell, the number and maximum length of consecutive-day runs where
+    * the value stays below a threshold — gaps-and-islands via the
+    * day-index-minus-row-number trick (one window over the cell key, runs
+    * collapse in two hash aggregates). NODATA days conservatively break a
+    * spell (unknown ≠ dry). Per-cell series are independent, so at 100 TB
+    * the single cell-keyed window shuffle is the whole cost.
+    */
+  private def qSpell(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("variable", "y", "x").orderBy("t")
+    cells(s)
+      .filter(col("value") < 20 && col("y") < 4 && col("x") < 8)
+      .select(col("variable"), col("y"), col("x"),
+        datediff(col("ts"), lit("1990-01-01")).as("t"))
+      .withColumn("island", col("t") - row_number().over(w))
+      .groupBy("variable", "y", "x", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("variable", "y", "x")
+      .agg(count(lit(1)).as("n_spells"), max("len").as("max_spell"))
+      .orderBy("variable", "y", "x")
+  }
+
   /** Anomaly vs per-cell climatology: value minus that cell's own mean over
     * the time axis — the standard climate-analysis transform. One window
     * partitioned by (variable, y, x): shuffle carries cell keys once.
@@ -357,6 +380,7 @@ object GridQueries extends QueryModule {
     "q_zonal_stats" -> qZonalStats,
     "q_regrid" -> qRegrid,
     "q_time_coarsen" -> qTimeCoarsen,
+    "q_spell" -> qSpell,
     "q_anomaly" -> qAnomaly
   )
 
@@ -454,6 +478,23 @@ object GridQueries extends QueryModule {
         |  min(value) AS min_val, max(value) AS max_val,
         |  CAST(count(value) AS BIGINT) AS n_obs
         |FROM cells GROUP BY 1, 2, 3, 4
-        |ORDER BY variable, period, y, x""".stripMargin)
+        |ORDER BY variable, period, y, x""".stripMargin),
+    "q_spell" -> (oracleCells +
+      """, cond AS (
+        |  SELECT variable, y, x,
+        |    date_diff('day', TIMESTAMP '1990-01-01 00:00:00', ts) AS t
+        |  FROM cells WHERE value < 20 AND y < 4 AND x < 8),
+        |isl AS (
+        |  SELECT variable, y, x,
+        |    t - row_number() OVER (PARTITION BY variable, y, x ORDER BY t) AS island
+        |  FROM cond),
+        |runs AS (
+        |  SELECT variable, y, x, island, count(*) AS len
+        |  FROM isl GROUP BY 1, 2, 3, 4)
+        |SELECT variable, y, x,
+        |  CAST(count(*) AS BIGINT) AS n_spells,
+        |  CAST(max(len) AS BIGINT) AS max_spell
+        |FROM runs GROUP BY 1, 2, 3
+        |ORDER BY variable, y, x""".stripMargin)
   )
 }
