@@ -308,7 +308,33 @@ object Aggregates extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Weekly cohort retention — the product-analytics staple: users grouped
+    * by first-activity week, then distinct-user counts per weeks-since-
+    * cohort offset. Shape: distinct over (user, week) pairs FIRST — the
+    * map-side partial dedup collapses each user-week's many events before
+    * anything shuffles — then the per-user min as a WINDOW over the user
+    * key and one tiny (cohort, offset)-keyed count. Every post-dedup
+    * exchange carries user-week PAIRS, not events; repartitioning raw
+    * events by user up front would save one pair-sized exchange but ship
+    * every raw event through the shuffle, the wrong trade at any scale.
+    * Count(*) IS the distinct-user count because the input is one row per
+    * (user, week).
+    */
+  private def qRetention(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    T.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+      .withColumn("cohort", min("wk").over(w))
+      .select(col("cohort"),
+        expr("CAST(datediff(wk, cohort) DIV 7 AS INT)").as("week_offset"))
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> qRetention,
     "q_pivot" -> qPivot,
     "q_regr" -> qRegr,
     "q_stragg" -> qStragg,
@@ -332,6 +358,17 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |c AS (
+        |  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort
+        |  FROM a)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2
+        |ORDER BY cohort, week_offset""".stripMargin,
     "q_profile" -> {
       val branches = profileCols.map { c =>
         s"""SELECT '$c' AS col_name, count($c) AS non_null, count(DISTINCT $c) AS n_distinct,
