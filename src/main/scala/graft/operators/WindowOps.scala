@@ -196,7 +196,32 @@ object WindowOps extends QueryModule {
     s.sql(funnelSql("graft_events_funnel"))
   }
 
+  /** Event path mining — top per-user event-type trigrams: each user's
+    * stream ordered by (ts, event_id) (the id tiebreak makes simultaneous
+    * events deterministic in both engines), two LEADs fan the next two
+    * types onto every row in ONE window pass, then a trigram count and
+    * top-20. The window shuffles user-keyed once; the count aggregate
+    * carries only distinct trigrams (map-side combined) — nothing here
+    * materializes a per-user sequence, so skewed users cost one partition's
+    * sort, not memory.
+    */
+  private def qEventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_paths" -> qEventPaths,
     "q_ewma" -> qEwma,
     "q_funnel" -> qFunnel,
     "q_join_asof" -> qJoinAsof,
@@ -209,6 +234,15 @@ object WindowOps extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_event_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT concat_ws('>', event_type, e2, e3) AS path, count(*) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q_ewma" -> ewmaSql("events"),
     "q_funnel" -> funnelSql("events"),
     "q_join_asof" ->
