@@ -165,6 +165,84 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Consecutive-token (w1, w2) bigram rows of a tokenized corpus, keeping
+    * `keep` columns alongside. One Generate pass — the only data-sized scan
+    * the LM/PMI queries make over the corpus.
+    */
+  private def bigramRows(docs: DataFrame, keep: Column*): DataFrame =
+    docs
+      .filter(size(col("t")) >= 2)
+      .select(keep :+ explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("bg"): _*)
+      .select(keep :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020, "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data"): train an
+    * add-one-smoothed bigram LM on the English slice, then score EVERY
+    * document by its average negative log-likelihood under that LM — low
+    * score = fluent in-distribution text, high = other languages / junk.
+    * The reference has no model-based filtering at all.
+    *
+    * Scale shape: the train pass is one bigram explode feeding two
+    * vocab-sized count tables (c12, c1) plus a 1-row vocab size; the score
+    * pass is one explode + two left joins against those count tables (AQE
+    * broadcasts them at fixture scale; on a 100 TB corpus they become hash
+    * joins keyed on (w1, w2) / w1, still vocab- not corpus-sized) + one
+    * doc-keyed aggregate. Nothing all-pairs, nothing driver-side.
+    */
+  private def qNgramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+    val train = docs.filter(col("lang") === "en")
+    // add-one smoothing denominator: distinct train-slice token count
+    val vocab = train.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    // c1 rolls up from c12 (Σ_w2 c12 = bigram-starts of w1), so the train
+    // slice is bigram-exploded ONCE and the second aggregate runs over the
+    // vocab-sized count table, not the corpus
+    val c12 = bigramRows(train).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    bigramRows(docs, col("doc_id"), col("lang"))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .select(col("doc_id"), col("lang"),
+        (-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")))).as("nll"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** PMI collocation mining: pointwise mutual information
+    * ln(c12·N / (c1·c2)) over corpus bigrams with a min-support gate,
+    * top 50. c1/c2 count a token's occurrences as bigram-left / bigram-right
+    * and N the total bigram count, so all four tables are vocab-sized
+    * aggregates of ONE corpus explode. The min-support HAVING prunes c12
+    * before it joins; products are computed in double so counts can't
+    * overflow at web scale; top-50 is TakeOrderedAndProject, never a full
+    * sort.
+    */
+  private def qPmi(s: SparkSession, d: String): DataFrame = {
+    // ONE corpus explode feeds one (w1, w2) aggregate; N / c1 / c2 all roll
+    // up from that vocab-sized table (Σc12 marginals), so the three extra
+    // aggregates never touch the corpus again
+    val c12all = bigramRows(
+      T.documents(s, d).select(tokens(col("text")).as("t")))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val n = c12all.agg(sum("c12").as("n"))
+    val c12 = c12all.filter(col("c12") >= 5)
+    val c1 = c12all.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2 = c12all.groupBy("w2").agg(sum("c12").as("c2"))
+    c12.join(c1, "w1").join(c2, "w2").crossJoin(n)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c12"),
+        round(log(col("c12").cast("double") * col("n") /
+          (col("c1").cast("double") * col("c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(50)
+  }
+
   /** Character-class composition ratios (alpha/digit/space) — the usual
     * symbol-soup quality gates; single projection, shuffle-free.
     */
@@ -731,6 +809,8 @@ object TextAnalysis extends QueryModule {
     "q_top_tokens_approx" -> qTopTokensApprox,
     "q_quality_filter" -> qQualityFilter,
     "q_top_bigram" -> qTopBigram,
+    "q_ngram_lm" -> qNgramLm,
+    "q_pmi" -> qPmi,
     "q_char_ratios" -> qCharRatios,
     "q_stopword_ratio" -> qStopwordRatio,
     "q_tokens" -> qTokens,
@@ -1134,6 +1214,42 @@ object TextAnalysis extends QueryModule {
         |                 AND atl BETWEEN 2.0 AND 10.0
         |                 AND div >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "q_ngram_lm" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |train AS (SELECT * FROM t WHERE lang = 'en'),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM train)),
+        |tbg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM train, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+        |  WHERE len(t) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1),
+        |score AS (
+        |  SELECT d.doc_id, d.lang,
+        |    -ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+        |        / (coalesce(c1.c1, 0) + v.v)) AS nll
+        |  FROM (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+        |        FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+        |        WHERE len(t) >= 2) d
+        |  LEFT JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+        |  LEFT JOIN c1 ON d.w1 = c1.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, lang, count(*) AS n_bigrams, round(avg(nll), 4) AS lm_score
+        |FROM score GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    "q_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+        |n AS (SELECT count(*) AS n FROM bg),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |c2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1)
+        |SELECT c12.w1 || ' ' || c12.w2 AS bigram, c12.c12 AS c12,
+        |  round(ln(CAST(c12.c12 AS DOUBLE) * n.n
+        |        / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 4) AS pmi
+        |FROM c12 JOIN c1 ON c12.w1 = c1.w1 JOIN c2 ON c12.w2 = c2.w2 CROSS JOIN n
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
     "q_top_bigram" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -307,6 +307,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM scores train-distribution (en) docs better than other languages") {
+    val rows = SparkEntry.queries("q_ngram_lm")(spark, TestSpark.sf)
+      .select("lang", "lm_score").as[(String, Double)].collect()
+    val (en, other) = rows.partition(_._1 == "en")
+    assert(en.nonEmpty && other.nonEmpty)
+    def mean(xs: Array[(String, Double)]) = xs.map(_._2).sum / xs.length
+    assert(mean(en) < mean(other),
+      s"en mean ${mean(en)} should beat non-en mean ${mean(other)}")
+    rows.foreach { case (l, sc) => assert(sc > 0, s"$l: nll must be positive, got $sc") }
+  }
+
+  test("PMI collocations respect min-support and descending-PMI order") {
+    val rows = SparkEntry.queries("q_pmi")(spark, TestSpark.sf)
+      .select("c12", "pmi").as[(Long, Double)].collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_._1 >= 5), "min-support gate violated")
+    assert(rows.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      "not sorted by pmi desc")
+  }
+
   test("multimodal stub decode is deterministic and shaped") {
     val a = graft.multimodal.Multimodal.assets(spark, TestSpark.sf)
     val d1 = graft.multimodal.Multimodal.decodeFeatures(a)
