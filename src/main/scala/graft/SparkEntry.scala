@@ -20,7 +20,8 @@ object SparkEntry {
     streaming.Streaming,
     domain.GridQueries,
     multimodal.Multimodal,
-    sources.SourceQueries
+    sources.SourceQueries,
+    graph.GraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -26,6 +26,7 @@ class OperatorSpec extends AnyFunSuite {
     val byModule: Map[String, QueryModule] = Map(
       "dedup/Dedup" -> dedup.Dedup,
       "domain/Grid" -> domain.GridQueries,
+      "graph/Graph" -> graph.GraphQueries,
       "multimodal/Multimodal" -> multimodal.Multimodal,
       "operators/Aggregates" -> operators.Aggregates,
       "operators/Relational" -> operators.Relational,
@@ -325,6 +326,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(_._1 >= 5), "min-support gate violated")
     assert(rows.map(_._2).sliding(2).forall(p => p.head >= p.last),
       "not sorted by pmi desc")
+  }
+
+  test("pagerank is a probability distribution over event types") {
+    val rows = SparkEntry.queries("q_pagerank")(spark, TestSpark.sf)
+      .select("event_type", "pagerank").as[(String, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0), "all ranks positive")
+    val total = rows.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"ranks should sum to ~1, got $total")
+  }
+
+  test("bfs hops start at the seed and grow by at most one per edge") {
+    val rows = SparkEntry.queries("q_bfs_hops")(spark, TestSpark.sf)
+      .select("event_type", "hops").as[(String, Long)].collect().toMap
+    assert(rows("signup") == 0L)
+    assert(rows.values.forall(h => h >= 0 && h <= 4))
   }
 
   test("multimodal stub decode is deterministic and shaped") {
