@@ -17,11 +17,13 @@ import graft.{QueryModule, Tables => T}
   * build — one user-keyed window over the events stream (same shuffle as
   * q_event_paths) feeding a (src, dst) count aggregate. Everything after
   * runs on the aggregated edge relation, which is bounded by
-  * |node vocab|², not by the corpus: iterations are src-keyed hash joins +
-  * dst-keyed aggregates. At 100 TB the events scan grows; the iteration
-  * cost does not (event-type vocab is fixed), and with a high-cardinality
-  * node domain (users, documents) the same loop holds because every step
-  * stays edge-keyed — no step is ever all-pairs or driver-resident.
+  * |node vocab|², not by the corpus. Like the dedup CC loop, the iteration
+  * is edge-count-gated: an aggregated edge table under the gate runs the
+  * recurrence driver-locally (the fixture's 5-node graph costs 10 Spark
+  * jobs otherwise — pure scheduler overhead); above it, the distributed
+  * loop iterates src-keyed hash joins + dst-keyed aggregates with periodic
+  * lineage truncation — nothing all-pairs, nothing driver-resident. Both
+  * paths compute the identical recurrence and GraphSpec locks their parity.
   */
 object GraphQueries extends QueryModule {
 
@@ -29,7 +31,7 @@ object GraphQueries extends QueryModule {
     * (ts, event_id) ordering makes simultaneous events deterministic in
     * both engines.
     */
-  private def transitions(s: SparkSession, d: String): DataFrame = {
+  private[graft] def transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     T.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -39,67 +41,111 @@ object GraphQueries extends QueryModule {
       .select("src", "dst")
   }
 
-  /** Weighted PageRank (damping 0.85, 10 fixed iterations, uniform init)
-    * over the transition graph: pr'(v) = (1-d)/N + d·Σ_{(u,v)} pr(u)·p(u,v)
-    * with p = w/out-weight. Dangling mass is dropped (every fixture node
-    * has out-edges; the oracle does the same). The edge-probability table
-    * is persisted once and reused by all 10 iterations; pr's lineage is
-    * truncated every 3 steps so the plan stays iteration-shallow. N is the
-    * one driver-side scalar (a count, same metadata class as the k-centroid
-    * collects). Output rounds to 6 decimals — contributions are ≤ |vocab|
-    * doubles per node per step, so engines agree well inside the rounding.
+  /** Weighted PageRank (damping d, fixed iteration count, uniform init)
+    * over a (src, dst, w) edge relation: pr'(v) = (1-d)/N + d·Σ_{(u,v)}
+    * pr(u)·w(u,v)/out(u). Dangling mass is dropped (the oracle does the
+    * same). `localEdgeLimit` is the scale gate — see the object scaladoc.
     */
-  private def qPagerank(s: SparkSession, d: String): DataFrame = {
-    val edges = transitions(s, d).groupBy("src", "dst")
-      .agg(count(lit(1)).as("w"))
-    val outw = edges.groupBy("src").agg(sum("w").cast("double").as("outw"))
-    val ew = edges.join(outw, "src")
-      .select(col("src"), col("dst"), (col("w") / col("outw")).as("p"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  private[graft] def pagerankFromEdges(edges: DataFrame, iters: Int = 10,
+      damping: Double = 0.85, localEdgeLimit: Long = 100000L): DataFrame = {
+    val s = edges.sparkSession
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = nodes.count().toDouble
-      var pr = nodes.select(col("node"), lit(1.0 / n).as("r"))
-      for (i <- 1 to 10) {
-        val contrib = pr.join(ew, pr("node") === ew("src"))
-          .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("contrib"))
-        pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-          .select(col("node"),
-            (lit(0.15 / n) + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("r"))
-        if (i % 3 == 0) pr = pr.localCheckpoint(true)
+      if (e.count() <= localEdgeLimit) {
+        // vocab²-bounded edge table: run the recurrence on the driver, the
+        // same class of collect as the dedup union-find / k-centroid sites
+        val es = e.select(col("src"), col("dst"), col("w").cast("long"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+        val n = nodes.length.toDouble
+        val outw = es.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum.toDouble }
+        var pr = nodes.map(_ -> 1.0 / n).toMap
+        for (_ <- 1 to iters) {
+          val contrib = es.groupBy(_._2).map { case (v, in) =>
+            v -> in.map { case (u, _, w) => pr(u) * w / outw(u) }.sum
+          }
+          pr = nodes.map(v => v -> ((1 - damping) / n + damping * contrib.getOrElse(v, 0.0))).toMap
+        }
+        import s.implicits._
+        pr.toSeq.toDF("event_type", "r")
+          .select(col("event_type"), round(col("r"), 6).as("pagerank"))
+          .orderBy(col("pagerank").desc, col("event_type"))
+      } else {
+        val outw = e.groupBy("src").agg(sum("w").cast("double").as("outw"))
+        val ew = e.join(outw, "src")
+          .select(col("src"), col("dst"), (col("w") / col("outw")).as("p"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = nodes.count().toDouble
+          var pr = nodes.select(col("node"), lit(1.0 / n).as("r"))
+          for (i <- 1 to iters) {
+            val contrib = pr.join(ew, pr("node") === ew("src"))
+              .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("contrib"))
+            pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+              .select(col("node"),
+                (lit((1 - damping) / n) +
+                  lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"))
+            if (i % 3 == 0) pr = pr.localCheckpoint(true)
+          }
+          pr.select(col("node").as("event_type"), round(col("r"), 6).as("pagerank"))
+            .orderBy(col("pagerank").desc, col("event_type"))
+            .localCheckpoint(true)
+        } finally { ew.unpersist(); nodes.unpersist() }
       }
-      // the checkpoint above materialized pr; order the final frame
-      pr.select(col("node").as("event_type"), round(col("r"), 6).as("pagerank"))
-        .orderBy(col("pagerank").desc, col("event_type"))
-        .localCheckpoint(true)
-    } finally { ew.unpersist(); nodes.unpersist() }
+    } finally { e.unpersist() }
   }
 
-  /** BFS minimum hop count from the 'signup' node, Bellman-Ford style: 4
-    * relaxation rounds (matching the oracle's bounded path enumeration),
-    * each a src-keyed join extending the frontier one edge plus a min-hop
-    * dedup aggregate — so the working set stays |nodes| rows per round and
-    * cyclic graphs can't blow up the frontier.
+  private def qPagerank(s: SparkSession, d: String): DataFrame =
+    pagerankFromEdges(
+      transitions(s, d).groupBy("src", "dst").agg(count(lit(1)).as("w")))
+
+  /** BFS minimum hop count from `seed` over a distinct (src, dst) edge
+    * relation, Bellman-Ford style: `rounds` relaxations (matching the
+    * oracle's bounded path enumeration), each extending the frontier one
+    * edge then min-hop deduping, so the working set stays |nodes| rows per
+    * round and cycles can't blow up the frontier. Same edge-count gate as
+    * PageRank.
     */
-  private def qBfsHops(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val edges = transitions(s, d).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  private[graft] def bfsHopsFromEdges(edges: DataFrame, seed: String,
+      rounds: Int = 4, localEdgeLimit: Long = 100000L): DataFrame = {
+    val s = edges.sparkSession
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var dist = Seq(("signup", 0L)).toDF("node", "hop")
-      for (_ <- 1 to 4) {
-        val next = dist.join(edges, dist("node") === edges("src"))
-          .select(col("dst").as("node"), (col("hop") + 1).as("hop"))
-        dist = dist.union(next).groupBy("node").agg(min("hop").as("hops"))
-          .withColumnRenamed("hops", "hop")
+      if (e.count() <= localEdgeLimit) {
+        val es = e.select("src", "dst").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val out: Map[String, Seq[String]] =
+          es.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSeq }
+        var dist = Map(seed -> 0L)
+        for (_ <- 1 to rounds) {
+          val next = dist.toSeq.flatMap { case (u, h) =>
+            out.getOrElse(u, Nil).map(_ -> (h + 1)) }
+          dist = (dist.toSeq ++ next).groupBy(_._1)
+            .map { case (v, hs) => v -> hs.map(_._2).min }
+        }
+        import s.implicits._
+        dist.toSeq.toDF("event_type", "hops").orderBy("hops", "event_type")
+      } else {
+        import s.implicits._
+        var dist = Seq((seed, 0L)).toDF("node", "hop")
+        for (_ <- 1 to rounds) {
+          val next = dist.join(e, dist("node") === e("src"))
+            .select(col("dst").as("node"), (col("hop") + 1).as("hop"))
+          dist = dist.union(next).groupBy("node").agg(min("hop").as("hops"))
+            .withColumnRenamed("hops", "hop")
+        }
+        dist.select(col("node").as("event_type"), col("hop").as("hops"))
+          .orderBy("hops", "event_type")
+          .localCheckpoint(true)
       }
-      dist.select(col("node").as("event_type"), col("hop").as("hops"))
-        .orderBy("hops", "event_type")
-        .localCheckpoint(true)
-    } finally { edges.unpersist() }
+    } finally { e.unpersist() }
   }
+
+  private def qBfsHops(s: SparkSession, d: String): DataFrame =
+    bfsHopsFromEdges(transitions(s, d).distinct(), seed = "signup")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank,

@@ -75,6 +75,60 @@ object SourceQueries extends QueryModule {
       .orderBy("n_nationkey")
   }
 
+  /** JSONL twin of the documents table, written once per JVM per sf dir —
+    * the standard LLM-corpus interchange format. One shard gets a
+    * deliberately malformed trailing line so the read path proves
+    * schema-on-read resilience, not just the happy path.
+    */
+  private val jsonlDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonlDir(s: SparkSession, d: String): String =
+    jsonlDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile.getAbsolutePath
+      graft.Tables.documents(s, d).coalesce(4).write.mode("overwrite").json(dir)
+      // a whole extra shard of garbage (own file: appending to a Spark shard
+      // would invalidate its Hadoop CRC sidecar)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-corrupt.json"),
+        "{\"doc_id\": broken\n".getBytes("UTF-8"))
+      dir
+    })
+
+  /** JSONL corpus ingest: explicit schema (no sampling-based inference pass
+    * — at 100 TB schema inference is a full extra scan), DROPMALFORMED so a
+    * torn/corrupt line costs one record, not the job. The aggregate proves
+    * the round-trip against the parquet-derived oracle. Scale shape: a
+    * line-splittable text scan, embarrassingly parallel like any file scan.
+    */
+  private def qScanJsonl(s: SparkSession, d: String): DataFrame =
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("mode", "DROPMALFORMED")
+      .json(jsonlDir(s, d))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        sum(length(col("text"))).as("total_len"))
+      .orderBy("lang")
+
+  /** CSV ingest with explicit schema + header, proven by round-tripping the
+    * nation table (names are quoted strings).
+    */
+  private val csvDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def csvDir(s: SparkSession, d: String): String =
+    csvDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-csv").toFile.getAbsolutePath
+      graft.Tables.nation(s, d).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      dir
+    })
+
+  private def qScanCsv(s: SparkSession, d: String): DataFrame =
+    s.read
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+      .option("header", "true")
+      .csv(csvDir(s, d))
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+
   /** Writes the two variables' cubes to `.grf` files once per JVM — the same
     * closed form as the generator, so the file-backed scan stays fully
     * oracle-checkable.
@@ -490,6 +544,8 @@ object SourceQueries extends QueryModule {
     "q_dsv2_count" -> qDsv2Count,
     "q_scan_uri" -> qScanUri,
     "q_scan_uri_mock" -> qScanUriMock,
+    "q_scan_jsonl" -> qScanJsonl,
+    "q_scan_csv" -> qScanCsv,
     "q_scan_partitioned" -> qScanPartitioned,
     "q_grid_file" -> qGridFile,
     "q_grid_tiled" -> qGridTiled,
@@ -544,6 +600,14 @@ object SourceQueries extends QueryModule {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_scan_uri_mock" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_scan_jsonl" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_scan_csv" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_scan_partitioned" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events WHERE date_trunc('day', ts) = DATE '2024-01-15'

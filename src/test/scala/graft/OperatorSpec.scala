@@ -344,6 +344,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.values.forall(h => h >= 0 && h <= 4))
   }
 
+  test("graph local and distributed iteration paths are parity-locked") {
+    import graft.graph.GraphQueries
+    val pr = GraphQueries.transitions(spark, TestSpark.sf)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val prLocal = GraphQueries.pagerankFromEdges(pr)
+      .as[(String, Double)].collect().toSeq
+    val prDist = GraphQueries.pagerankFromEdges(pr, localEdgeLimit = 0L)
+      .as[(String, Double)].collect().toSeq
+    assert(prLocal == prDist, s"pagerank paths diverge: $prLocal vs $prDist")
+    val bfs = GraphQueries.transitions(spark, TestSpark.sf).distinct()
+    val bLocal = GraphQueries.bfsHopsFromEdges(bfs, "signup")
+      .as[(String, Long)].collect().toSeq
+    val bDist = GraphQueries.bfsHopsFromEdges(bfs, "signup", localEdgeLimit = 0L)
+      .as[(String, Long)].collect().toSeq
+    assert(bLocal == bDist, s"bfs paths diverge: $bLocal vs $bDist")
+  }
+
   test("multimodal stub decode is deterministic and shaped") {
     val a = graft.multimodal.Multimodal.assets(spark, TestSpark.sf)
     val d1 = graft.multimodal.Multimodal.decodeFeatures(a)
