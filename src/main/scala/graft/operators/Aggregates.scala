@@ -278,6 +278,34 @@ object Aggregates extends QueryModule {
         round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
       .orderBy("l_returnflag")
 
+  /** Chi-square test of independence over the lang × source contingency
+    * table: χ² = Σ (o − e)²/e with e = rowTotal·colTotal/N, plus degrees of
+    * freedom. The ONE data-sized pass is the (lang, source) count
+    * aggregate; marginals, N, and the statistic all roll up from that
+    * |langs|·|sources| table, so at 100 TB only the first aggregate grows.
+    * The standard "is this metadata dimension independent of that one"
+    * profiling question for corpus audits.
+    */
+  private def qChi2(s: SparkSession, d: String): DataFrame = {
+    val obs = T.documents(s, d).groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy("lang").agg(sum("o").as("rt"))
+    val ct = obs.groupBy("source").agg(sum("o").as("ct"))
+    val tot = obs.agg(sum("o").cast("double").as("n"),
+      countDistinct(col("lang")).as("nl"), countDistinct(col("source")).as("ns"))
+    obs.join(rt, "lang").join(ct, "source").crossJoin(tot)
+      .select(
+        (((col("o") - col("rt") * col("ct") / col("n"))
+          * (col("o") - col("rt") * col("ct") / col("n")))
+          / (col("rt") * col("ct") / col("n"))).as("cell"),
+        ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+        col("n"))
+      .groupBy("dof", "n")
+      .agg(round(sum("cell"), 4).as("chi2"))
+      .select(col("chi2"), col("dof"), col("n").cast("long").as("n_docs"))
+      .orderBy("chi2")
+  }
+
   /** Per-group least-squares fit: the regr_* aggregate family (slope,
     * intercept, R², mean point, count) — one partial+final hash agg like
     * any other aggregate; both engines share the textbook definitions so
@@ -354,10 +382,24 @@ object Aggregates extends QueryModule {
     "q_quantile" -> qQuantile,
     "q_quantile_approx" -> qQuantileApprox,
     "q_quantile_rollup" -> qQuantileRollup,
-    "q_colorbin" -> qColorbin
+    "q_colorbin" -> qColorbin,
+    "q_chi2" -> qChi2
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_chi2" ->
+      """WITH obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT source, sum(o) AS ct FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n,
+        |  count(DISTINCT lang) AS nl, count(DISTINCT source) AS ns FROM obs)
+        |SELECT
+        |  round(sum((o - rt.rt*ct.ct/tot.n) * (o - rt.rt*ct.ct/tot.n)
+        |        / (rt.rt*ct.ct/tot.n)), 4) AS chi2,
+        |  (nl - 1) * (ns - 1) AS dof,
+        |  CAST(tot.n AS BIGINT) AS n_docs
+        |FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+        |GROUP BY dof, n_docs ORDER BY chi2""".stripMargin,
     "q_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
