@@ -191,10 +191,11 @@ object TextAnalysis extends QueryModule {
     * joins keyed on (w1, w2) / w1, still vocab- not corpus-sized) + one
     * doc-keyed aggregate. Nothing all-pairs, nothing driver-side.
     */
-  private def qNgramLm(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d)
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
-    val train = docs.filter(col("lang") === "en")
+  /** Per-doc average negative log-likelihood of `docs` under an
+    * add-one-smoothed bigram LM trained on `train` (both shaped
+    * (doc_id, lang, t)). See [[qNgramLm]] for the scale shape.
+    */
+  private def lmScores(docs: DataFrame, train: DataFrame): DataFrame = {
     // add-one smoothing denominator: distinct train-slice token count
     val vocab = train.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
@@ -212,6 +213,30 @@ object TextAnalysis extends QueryModule {
           (coalesce(col("c1"), lit(0L)) + col("v")))).as("nll"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("lm_score"))
+  }
+
+  private def qNgramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+    lmScores(docs, docs.filter(col("lang") === "en")).orderBy("doc_id")
+  }
+
+  /** LM-based shard admission — the model-scoring member of the admission
+    * family (MinHash admit / containment admit / embedding admit / segment
+    * scrub / this): the 90% corpus contributes only its trained LM count
+    * tables (at a real deployment, maintained ingest state — vocab-sized,
+    * mergeable across shards by summing counts), the 10% shard is scored
+    * against them, and docs above the nll threshold are rejected. CCNet's
+    * perplexity gate applied at admission time; the corpus is never
+    * re-scanned at admit.
+    */
+  private def qLmAdmit(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+    val train = docs.filter(col("lang") === "en" && col("doc_id") % 10 =!= 0)
+    lmScores(docs.filter(col("doc_id") % 10 === 0), train)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lm_score"),
+        when(col("lm_score") <= 3.4, 1).otherwise(0).as("admit"))
       .orderBy("doc_id")
   }
 
@@ -810,6 +835,7 @@ object TextAnalysis extends QueryModule {
     "q_quality_filter" -> qQualityFilter,
     "q_top_bigram" -> qTopBigram,
     "q_ngram_lm" -> qNgramLm,
+    "q_lm_admit" -> qLmAdmit,
     "q_pmi" -> qPmi,
     "q_char_ratios" -> qCharRatios,
     "q_stopword_ratio" -> qStopwordRatio,
@@ -821,6 +847,31 @@ object TextAnalysis extends QueryModule {
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint
   )
+
+  /** Shared bigram-LM oracle CTE chain, parameterized by the train / score
+    * slices so q_ngram_lm and q_lm_admit run the identical recurrence.
+    */
+  private def ngramLmCtes(trainWhere: String, scoreWhere: String): String =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |train AS (SELECT * FROM t WHERE $trainWhere),
+       |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM train)),
+       |tbg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM train, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+       |  WHERE len(t) >= 2),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1),
+       |score AS (
+       |  SELECT d.doc_id, d.lang,
+       |    -ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+       |        / (coalesce(c1.c1, 0) + v.v)) AS nll
+       |  FROM (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+       |        FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+       |        WHERE len(t) >= 2 AND ($scoreWhere)) d
+       |  LEFT JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+       |  LEFT JOIN c1 ON d.w1 = c1.w1
+       |  CROSS JOIN v),
+       |sc AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+       |       round(avg(nll), 4) AS lm_score FROM score GROUP BY 1, 2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_segment_dedup" ->
@@ -1215,26 +1266,14 @@ object TextAnalysis extends QueryModule {
         |                 AND div >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "q_ngram_lm" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
-        |train AS (SELECT * FROM t WHERE lang = 'en'),
-        |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM train)),
-        |tbg AS (SELECT t[i] AS w1, t[i + 1] AS w2
-        |  FROM train, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
-        |  WHERE len(t) >= 2),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1),
-        |score AS (
-        |  SELECT d.doc_id, d.lang,
-        |    -ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
-        |        / (coalesce(c1.c1, 0) + v.v)) AS nll
-        |  FROM (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
-        |        FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
-        |        WHERE len(t) >= 2) d
-        |  LEFT JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
-        |  LEFT JOIN c1 ON d.w1 = c1.w1
-        |  CROSS JOIN v)
-        |SELECT doc_id, lang, count(*) AS n_bigrams, round(avg(nll), 4) AS lm_score
-        |FROM score GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+      (ngramLmCtes("lang = 'en'", "TRUE") +
+        "\nSELECT doc_id, lang, n_bigrams, lm_score FROM sc ORDER BY doc_id"),
+    "q_lm_admit" ->
+      (ngramLmCtes("lang = 'en' AND doc_id % 10 <> 0", "doc_id % 10 = 0") +
+        """
+          |SELECT doc_id, lang, n_bigrams, lm_score,
+          |  CASE WHEN lm_score <= 3.4 THEN 1 ELSE 0 END AS admit
+          |FROM sc ORDER BY doc_id""".stripMargin),
     "q_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),
