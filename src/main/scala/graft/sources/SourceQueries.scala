@@ -129,6 +129,31 @@ object SourceQueries extends QueryModule {
       .select("n_nationkey", "n_name", "n_regionkey")
       .orderBy("n_nationkey")
 
+  /** ORC twin of the events table, hive-partitioned by event_type — the
+    * columnar format a warehouse migration actually hands you. Written once
+    * per JVM per sf dir.
+    */
+  private val orcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def orcDir(s: SparkSession, d: String): String =
+    orcDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-orc").toFile.getAbsolutePath
+      graft.Tables.events(s, d)
+        .write.mode("overwrite").partitionBy("event_type").orc(dir)
+      dir
+    })
+
+  /** ORC ingest with hive-partition pruning: the event_type predicate never
+    * reads the other partitions' files (directory-level pruning, same
+    * mechanism as q_scan_partitioned's parquet twin), and the value/ts scan
+    * benefits from ORC's native column projection.
+    */
+  private def qScanOrc(s: SparkSession, d: String): DataFrame =
+    s.read.orc(orcDir(s, d))
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("day")
+
   /** Writes the two variables' cubes to `.grf` files once per JVM — the same
     * closed form as the generator, so the file-backed scan stays fully
     * oracle-checkable.
@@ -546,6 +571,7 @@ object SourceQueries extends QueryModule {
     "q_scan_uri_mock" -> qScanUriMock,
     "q_scan_jsonl" -> qScanJsonl,
     "q_scan_csv" -> qScanCsv,
+    "q_scan_orc" -> qScanOrc,
     "q_scan_partitioned" -> qScanPartitioned,
     "q_grid_file" -> qGridFile,
     "q_grid_tiled" -> qGridTiled,
@@ -608,6 +634,11 @@ object SourceQueries extends QueryModule {
     "q_scan_csv" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_scan_orc" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q_scan_partitioned" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events WHERE date_trunc('day', ts) = DATE '2024-01-15'
