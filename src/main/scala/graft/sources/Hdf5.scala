@@ -40,10 +40,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    id fails loudly
   *  - global heap collections for vlen data — enough for NetCDF-4's
   *    DIMENSION_LIST attributes (vlen of object references)
-  * Everything else (superblock v1, huge/tiny fractal-heap objects,
-  * soft/external links, extensible-array/v2-btree chunk indexes, paged
-  * fixed arrays, SOHM shared header messages, filters outside the trio)
-  * fails with an explicit message, never a misparse.
+  * Everything else (superblock v1, soft/external links,
+  * extensible-array/v2-btree chunk indexes, paged fixed arrays, SOHM
+  * shared header messages, filters outside the trio, extended tiny heap
+  * IDs) fails with an explicit message, never a misparse.
   */
 object Hdf5 {
 
@@ -367,8 +367,7 @@ object Hdf5 {
     val tinyN = { b.getLong(); b.getLong() } // tiny size, tiny count
     require(hugeN == 0 || hugeBtAddr != Undef,
       s"$path: $hugeN huge objects declared but no huge-object index")
-    require(tinyN == 0,
-      s"$path: tiny fractal-heap objects unsupported")
+    locally { val _ = tinyN } // tiny objects live inline in their heap IDs
     val width = b.getShort() & 0xFFFF
     val startSize = b.getLong()
     val maxDirect = b.getLong()
@@ -502,12 +501,15 @@ object Hdf5 {
   }
 
   /** Read one heap object's bytes given its heap ID. Managed objects
-    * (type 0: flags byte + variable-width offset and length) are served from
-    * the pre-loaded direct blocks; HUGE objects (type 2: flags byte + huge
-    * object id, the > max-managed-size case — e.g. a large array attribute)
-    * resolve through the heap's huge-object v2 b-tree to a direct file read.
-    * Tiny objects (type 1) stay loud-fail: at the library-default 7/8-byte
-    * ID lengths no real link/attribute message fits inside an ID.
+    * (type 0: flags byte + variable-width offset and length) are served
+    * from the pre-loaded direct blocks; HUGE objects (type 1: flags byte +
+    * huge object id, the > max-managed-size case — e.g. a large array
+    * attribute) resolve through the heap's huge-object v2 b-tree to a
+    * direct file read; TINY objects (type 2, normal sub-variant: length−1
+    * in the flag byte's low 4 bits, data inline in the remaining ID bytes —
+    * libhdf5's H5HF_ID_TYPE_HUGE 0x10 / H5HF_ID_TYPE_TINY 0x20, spec
+    * III.G) decode straight out of the ID. Only the extended tiny
+    * sub-variant (heap ID length > 18) stays loud-fail.
     */
   private def readHeapObject(r: Reader, fh: FractalHeap,
       blocks: Seq[DirectBlock], huge: Map[Long, (Long, Long)],
@@ -517,7 +519,7 @@ object Hdf5 {
     require((f >> 6) == 0, s"$path: heap ID version ${f >> 6} unsupported")
     (f >> 4) & 3 match {
       case 0 => // managed
-      case 2 => // huge (indirect): remaining ID bytes are the b-tree key
+      case 1 => // huge (indirect): remaining ID bytes are the b-tree key
         var hid = 0L
         var i = 0
         while (i < fh.idLen - 1) { hid |= (b.get().toLong & 0xFF) << (8 * i); i += 1 }
@@ -525,6 +527,13 @@ object Hdf5 {
           throw new IllegalArgumentException(
             s"$path: huge object id $hid missing from the huge-object index"))
         return r.bytes(addr, len.toInt)
+      case 2 => // tiny: data inline in the ID itself
+        require(fh.idLen <= 18,
+          s"$path: extended tiny heap IDs (ID length ${fh.idLen} > 18) unsupported")
+        val len = (f & 0x0F) + 1
+        require(1 + len <= id.length,
+          s"$path: tiny heap object ($len bytes) overruns its ${id.length}-byte ID")
+        return java.util.Arrays.copyOfRange(id, 1, 1 + len)
       case t =>
         throw new IllegalArgumentException(s"$path: heap ID type $t unsupported")
     }
@@ -1707,6 +1716,12 @@ object Hdf5 {
     write(path, datasets, latest, denseRoot, denseAttrs, groupInternalK,
       denseNodeSize = 4096)
 
+  def write(path: String, datasets: Seq[WDataset], latest: Boolean,
+      denseRoot: Boolean, denseAttrs: Boolean, groupInternalK: Int,
+      denseNodeSize: Int): Unit =
+    write(path, datasets, latest, denseRoot, denseAttrs, groupInternalK,
+      denseNodeSize, denseIdLen = 0)
+
   /** `denseNodeSize` is the v2 b-tree node size declared in every dense
     * name-index `BTHD` header (libhdf5 default 4096). The tree's depth
     * follows from it: one leaf below ~400 records, a depth-1 internal past
@@ -1714,13 +1729,20 @@ object Hdf5 {
     * (~100k records at 4096) overflows — lower it to exercise deep trees on
     * small fixtures; the reader derives all geometry from the header.
     */
+  /** `denseIdLen` (0 = library defaults: 7-byte link / 8-byte attribute
+    * IDs) widens the declared fractal-heap ID length so that short
+    * messages take libhdf5's TINY inline path — at the defaults nothing
+    * real fits an ID, exactly as in libhdf5-written files.
+    */
   def write(path: String, datasets: Seq[WDataset], latest: Boolean,
       denseRoot: Boolean, denseAttrs: Boolean, groupInternalK: Int,
-      denseNodeSize: Int): Unit = {
+      denseNodeSize: Int, denseIdLen: Int): Unit = {
     require(!denseRoot || latest, "dense root groups require the latest format")
     require(!denseAttrs || latest, "dense attribute storage requires the latest format")
     require(groupInternalK >= 1, "groupInternalK must be >= 1")
     require(denseNodeSize >= 48, "denseNodeSize implausibly small")
+    require(denseIdLen == 0 || (denseIdLen >= 7 && denseIdLen <= 18),
+      "denseIdLen must be 0 (defaults) or in [7, 18] (normal tiny sub-variant)")
     datasets.foreach { d =>
       require(d.data.length == d.dims.product,
         s"${d.name}: data length ${d.data.length} != dims product ${d.dims.product}")
@@ -2218,7 +2240,15 @@ object Hdf5 {
         * direct block.
         */
       private lazy val hugeIdx: Seq[Int] = items.indices.filter(itemLens(_) > maxManaged)
-      private lazy val managedIdx: Seq[Int] = items.indices.filterNot(itemLens(_) > maxManaged)
+      /** Items that fit inside the heap ID itself become TINY objects
+        * (normal sub-variant: ≤ 16 bytes AND ≤ idLen−1) — libhdf5's inline
+        * path, reachable here only with a widened `idLen` since no real
+        * link/attr message fits the default 7/8 bytes.
+        */
+      private lazy val tinyIdx: Seq[Int] = items.indices.filter(ix =>
+        itemLens(ix) <= math.min(idLen - 1, 16) && itemLens(ix) >= 1)
+      private lazy val managedIdx: Seq[Int] = items.indices
+        .filterNot(ix => itemLens(ix) > maxManaged || tinyIdx.contains(ix))
       /** (heap offset, length) per MANAGED item, and the root block size. */
       private lazy val geometry: (Seq[(Long, Int)], Long) = {
         val lens = managedIdx.map(itemLens)
@@ -2244,7 +2274,7 @@ object Hdf5 {
         b.u64(blockSize) // direct-block iterator offset (block is full)
         b.u64(managedIdx.length) // managed objects
         b.u64(hugeIdx.map(itemLens(_).toLong).sum).u64(hugeIdx.length) // huge size/count
-        b.u64(0).u64(0) // tiny size/count
+        b.u64(tinyIdx.map(itemLens(_).toLong).sum).u64(tinyIdx.length) // tiny size/count
         b.u16(4) // table width
         b.u64(blockSize) // starting block size = the one root block
         b.u64(math.max(blockSize, maxManaged)) // max direct block size
@@ -2300,25 +2330,33 @@ object Hdf5 {
         u32ck(b)
       }
 
-      private def heapIds: Seq[(String, Array[Byte])] = {
-        val mOff = managedIdx.zip(extents).toMap
-        val hId = hugeIdx.zipWithIndex.map { case (ix, k) => ix -> (k + 1) }.toMap
-        items.zipWithIndex.map { case ((n, _), ix) =>
-          val id = new LeBuf
-          hId.get(ix) match {
-            case Some(v) =>
-              id.u8(0x20) // version 0, type 2 = huge (indirect)
-              // Long shift: an Int shift is mod-32, so byte 4 of the id
-              // would alias byte 0 (1 >> 32 == 1) and corrupt every id
-              (0 until idLen - 1).foreach(k => id.u8(((v.toLong >> (8 * k)) & 0xFF).toInt))
-            case None =>
-              val (off, len) = mOff(ix)
-              id.u8(0x00) // version 0, managed object
-              id.u32(off).u16(len)
-              (1 + offSize + lenSize until idLen).foreach(_ => id.u8(0)) // pad
-          }
-          n -> id.bytes
+      /** The heap ID for item `ix`. Tiny IDs embed the message BODY, which
+        * may reference other blocks (hard links carry the target object
+        * header address), so IDs — and the b-tree records that contain
+        * them — are built under `res`; their LENGTHS are res-independent.
+        */
+      private lazy val mOff = managedIdx.zip(extents).toMap
+      private lazy val hId = hugeIdx.zipWithIndex.map { case (ix, k) => ix -> (k + 1) }.toMap
+      private def heapId(ix: Int, res: Resolve): Array[Byte] = {
+        val id = new LeBuf
+        if (hId.contains(ix)) {
+          val v = hId(ix)
+          id.u8(0x10) // version 0, type 1 = huge (indirect)
+          // Long shift: an Int shift is mod-32, so byte 4 of the id
+          // would alias byte 0 (1 >> 32 == 1) and corrupt every id
+          (0 until idLen - 1).foreach(k => id.u8(((v.toLong >> (8 * k)) & 0xFF).toInt))
+        } else if (tinyIdx.contains(ix)) {
+          val body = items(ix)._2(res)
+          id.u8(0x20 | (body.length - 1)) // version 0, type 2 = tiny, len-1
+          id.raw(body)
+          (1 + body.length until idLen).foreach(_ => id.u8(0)) // pad
+        } else {
+          val (off, len) = mOff(ix)
+          id.u8(0x00) // version 0, managed object
+          id.u32(off).u16(len)
+          (1 + offSize + lenSize until idLen).foreach(_ => id.u8(0)) // pad
         }
+        id.bytes
       }
 
       private def recSize: Int =
@@ -2346,17 +2384,22 @@ object Hdf5 {
           (maxRec.toLong, cum, bytesFor(cum))
         }
 
-      /** All records in b-tree key order (name hash, then name). */
-      private lazy val sortedRecs: Seq[Array[Byte]] =
-        heapIds.zipWithIndex
-          .map { case ((n, id), i) => (lookup3(n.getBytes("UTF-8")), n, id, i) }
-          .sortBy { case (h, n, _, _) => (h.toLong & 0xFFFFFFFFL, n) }
-          .map { case (h, _, id, i) =>
-            val b = new LeBuf
-            if (btType == 5) b.u32(h.toLong & 0xFFFFFFFFL).raw(id)
-            else b.raw(id).u8(0).u32(i).u32(h.toLong & 0xFFFFFFFFL)
-            b.bytes
-          }
+      /** Item indices in b-tree key order (name hash, then name) — order
+        * and count are res-free, so the tree SHAPE is a lazy val while the
+        * record BYTES (which embed heap IDs) materialize under `res`.
+        */
+      private lazy val sortedIdx: Seq[Int] =
+        items.indices
+          .map(i => (lookup3(items(i)._1.getBytes("UTF-8")), items(i)._1, i))
+          .sortBy { case (h, n, _) => (h.toLong & 0xFFFFFFFFL, n) }
+          .map(_._3)
+      private def recBytes(i: Int, res: Resolve): Array[Byte] = {
+        val h = lookup3(items(i)._1.getBytes("UTF-8"))
+        val b = new LeBuf
+        if (btType == 5) b.u32(h.toLong & 0xFFFFFFFFL).raw(heapId(i, res))
+        else b.raw(heapId(i, res)).u8(0).u32(i).u32(h.toLong & 0xFFFFFFFFL)
+        b.bytes
+      }
 
       /** A classic B-tree partition of the sorted records, ANY depth: a
         * node owns its separator records; children + separators partition
@@ -2364,25 +2407,25 @@ object Hdf5 {
         * depth is the smallest whose cumulative capacity fits the count.
         */
       private sealed trait BNode {
-        def own: Seq[Array[Byte]]; def depth: Int; def idx: Int
+        def own: Seq[Int]; def depth: Int; def idx: Int
         def total: Long
       }
-      private final case class BLeaf(own: Seq[Array[Byte]], idx: Int) extends BNode {
+      private final case class BLeaf(own: Seq[Int], idx: Int) extends BNode {
         def depth = 0; def total: Long = own.length.toLong
       }
-      private final case class BInt(depth: Int, own: Seq[Array[Byte]],
+      private final case class BInt(depth: Int, own: Seq[Int],
           children: Seq[BNode], idx: Int) extends BNode {
         def total: Long = own.length.toLong + children.map(_.total).sum
       }
       private lazy val tree: BNode = {
-        val n = sortedRecs.length
+        val n = sortedIdx.length
         val depth = Iterator.from(0).find(d => n <= geo(d)._2).get
         // capacity-1 leaves cannot split without an empty child — a real
         // b-tree never has them (node sizes dwarf records); fail loudly
         require(depth == 0 || maxLeafRec >= 2,
           s"$prefix: node size $nodeSize holds one record per leaf — cannot split")
         val counters = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
-        def mk(recs: Seq[Array[Byte]], d: Int): BNode = {
+        def mk(recs: Seq[Int], d: Int): BNode = {
           val i = { val v = counters(d); counters(d) = v + 1; v }
           if (d == 0) BLeaf(recs, i)
           else {
@@ -2394,7 +2437,7 @@ object Hdf5 {
             val childTotal = recs.length - (c - 1)
             val base = childTotal / c; val extra = childTotal % c
             val kids = scala.collection.mutable.ArrayBuffer[BNode]()
-            val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+            val seps = scala.collection.mutable.ArrayBuffer[Int]()
             var at = 0
             (0 until c).foreach { j =>
               val sz = base + (if (j < extra) 1 else 0)
@@ -2404,7 +2447,7 @@ object Hdf5 {
             BInt(d, seps.toSeq, kids.toSeq, i)
           }
         }
-        mk(sortedRecs, depth)
+        mk(sortedIdx, depth)
       }
       private lazy val allNodes: Seq[BNode] = {
         def walk(n: BNode): Seq[BNode] = n match {
@@ -2426,7 +2469,7 @@ object Hdf5 {
         b.u8(100).u8(40) // split / merge percents (library defaults)
         b.u64(res(s"$prefix:${nodeSuffix(tree)}"))
         b.u16(tree.own.length)
-        b.u64(sortedRecs.length)
+        b.u64(sortedIdx.length)
         u32ck(b)
       }
 
@@ -2440,7 +2483,7 @@ object Hdf5 {
         val totWidth = if (node.depth >= 2) geo(node.depth - 1)._3 else 0
         val b = new LeBuf
         b.raw("BTIN".getBytes).u8(0).u8(btType)
-        node.own.foreach(b.raw)
+        node.own.foreach(i => b.raw(recBytes(i, res)))
         node.children.foreach { k =>
           b.u64(res(s"$prefix:${nodeSuffix(k)}"))
           (0 until nrecWidth).foreach(i =>
@@ -2451,11 +2494,11 @@ object Hdf5 {
         u32ck(b)
       }
 
-      private def btlfBlock(j: Int): Array[Byte] = {
+      private def btlfBlock(j: Int, res: Resolve): Array[Byte] = {
         val own = allNodes.collectFirst { case l: BLeaf if l.idx == j => l.own }.get
         val b = new LeBuf
         b.raw("BTLF".getBytes).u8(0).u8(btType)
-        own.foreach(b.raw)
+        own.foreach(i => b.raw(recBytes(i, res)))
         u32ck(b)
       }
 
@@ -2480,7 +2523,7 @@ object Hdf5 {
             }.get, res)
           case "hugebt" => hugeBtBlock(res)
           case "hugebl" => hugeBlBlock(res)
-          case l if l.startsWith("btlf:") => btlfBlock(l.drop(5).toInt)
+          case l if l.startsWith("btlf:") => btlfBlock(l.drop(5).toInt, res)
           case h if h.startsWith("hugeobj:") => items(hugeIdx(h.drop(8).toInt))._2(res)
           case o => throw new IllegalStateException(s"unknown dense block $o")
         }
@@ -2537,12 +2580,14 @@ object Hdf5 {
     def attrItems(d: WDataset): Seq[(String, Resolve => Array[Byte])] =
       attrItemsByDs(d.name)
 
-    lazy val rootDense = new DenseStore("rootdx", 5, 7,
+    lazy val rootDense = new DenseStore("rootdx", 5,
+      if (denseIdLen > 0) denseIdLen else 7,
       names.sorted.map(n => n -> ((res: Resolve) => linkMsgBytes(n, res))),
       denseNodeSize)
     lazy val attrDense: Map[String, DenseStore] = datasets
       .filter(d => attrItems(d).nonEmpty)
-      .map(d => d.name -> new DenseStore(s"adx:${d.name}", 8, 8, attrItems(d),
+      .map(d => d.name -> new DenseStore(s"adx:${d.name}", 8,
+        if (denseIdLen > 0) denseIdLen else 8, attrItems(d),
         denseNodeSize))
       .toMap
 

@@ -495,6 +495,51 @@ class Hdf5Spec extends AnyFunSuite {
     assert(Hdf5.readAll(p, ds).toSeq == Seq(1.0, 2.0))
   }
 
+  test("tiny fractal-heap objects: short link messages inline in widened heap IDs") {
+    // with the declared heap ID widened to 18 bytes (write knob; libhdf5's
+    // "tiny" path), a 1-char-name hard link message (~12 bytes) fits INSIDE
+    // its ID — flag byte 0x2w (type 2, length-1 in the low nibble), body
+    // inline, nothing in the heap's direct block
+    val p = tmp("tinylink.h5")
+    Hdf5.write(p, Seq(
+      WDataset("a", F64, Seq(2), Array(1.0, 2.0)),
+      WDataset("b", F64, Seq(3), Array(3.0, 4.0, 5.0))),
+      latest = true, denseRoot = true, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 18)
+    // prove a tiny ID actually exists in the file: first record of the
+    // name-index BTLF is hash(4) + heap ID, whose flag byte must carry
+    // type bits 2 (H5HF_ID_TYPE_TINY 0x20) — guards against the writer
+    // silently keeping everything managed, which would pass reads anyway
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val leaf = (0 until bytes.length - 4).find(i =>
+      bytes(i) == 'B' && bytes(i + 1) == 'T' && bytes(i + 2) == 'L' &&
+        bytes(i + 3) == 'F').get
+    val flag = bytes(leaf + 6 + 4) & 0xFF
+    assert(((flag >> 4) & 3) == 2, f"expected a tiny heap ID, flag=0x$flag%02x")
+    val h = Hdf5.open(p)
+    assert(Hdf5.readAll(p, h.dataset("a").get).toSeq == Seq(1.0, 2.0))
+    assert(Hdf5.readAll(p, h.dataset("b").get).toSeq == Seq(3.0, 4.0, 5.0))
+  }
+
+  test("huge heap IDs use type bits 1 (libhdf5 H5HF_ID_TYPE_HUGE), not 2") {
+    // interop lock: r14 encoded huge as type 2 — self-consistent, but real
+    // libhdf5 files use 0x10 for huge and 0x20 for tiny (spec III.G)
+    val p = tmp("hugeflag.h5")
+    val big = (0 until 1100).map(_.toDouble)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F64, Seq(2), Array(1.0, 2.0),
+        numAttrs = Seq(("calibration_table", F64, big)))),
+      latest = true, denseRoot = false, denseAttrs = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val leaf = (0 until bytes.length - 4).find(i =>
+      bytes(i) == 'B' && bytes(i + 1) == 'T' && bytes(i + 2) == 'L' &&
+        bytes(i + 3) == 'F' && (bytes(i + 5) & 0xFF) == 8).get
+    val flag = bytes(leaf + 6) & 0xFF // type-8 record: heap ID first
+    assert(((flag >> 4) & 3) == 1, f"expected a huge heap ID, flag=0x$flag%02x")
+    val ds = Hdf5.open(p).dataset("temp").get
+    assert(ds.attr("calibration_table").map(_.value).contains(NumAttr(big)))
+  }
+
   test("latest format: corrupted metadata fails the lookup3 checksum loudly") {
     val p = tmp("latest-corrupt.h5")
     writeGrid(p, chunked = false, latest = true)
