@@ -209,4 +209,29 @@ class PlansSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q_pmi: top-50 is TakeOrderedAndProject, count tables broadcast") {
+    val plan = planOf("q_pmi")
+    // the limit must ride the sort (never a global Sort + CollectLimit)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // marginal joins against the vocab-sized tables broadcast at fixture scale
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_ngram_lm: score-side explode joins the count tables by broadcast") {
+    val plan = planOf("q_ngram_lm")
+    // two LEFT broadcast joins (c12, c1) + the 1-row vocab cross join
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan)
+    assert("LeftOuter".r.findAllIn(plan).size >= 2, plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan)
+    // no shuffle join anywhere at fixture scale
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_scan_orc: the event_type predicate prunes hive partitions at the ORC scan") {
+    val plan = planOf("q_scan_orc")
+    assert(plan.contains("Scan orc"), plan)
+    val pf = plan.split("PartitionFilters:").drop(1).map(_.takeWhile(_ != '\n')).mkString
+    assert(pf.contains("event_type"), plan)
+  }
 }
