@@ -404,6 +404,59 @@ object Relational extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  /** Data-quality audit — the dbt-test/Deequ-style constraint sweep: each
+    * check is one column-pruned scan folding to a scalar violation count
+    * (pk uniqueness, fk orphans via LEFT ANTI, range and null checks), the
+    * shape a nightly pipeline gate runs before promoting a snapshot. Checks
+    * are independent scans so they parallelize and each reads only its
+    * check's columns; thresholds are chosen so the fixture exercises both
+    * zero and nonzero violation rows.
+    */
+  private def qDqAudit(s: SparkSession, d: String): DataFrame = {
+    val orders = T.orders(s, d)
+    val one = lit(1)
+    val pkDup = orders.agg((count(one) - countDistinct(col("o_orderkey")))
+      .as("violations")).select(lit("orders_pk_dup").as("chk"), col("violations"))
+    val fkOrphan = orders.join(T.customer(s, d),
+        orders("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(one).as("violations"))
+      .select(lit("orders_fk_orphan").as("chk"), col("violations"))
+    val qtyHigh = T.lineitem(s, d).filter(col("l_quantity") > 45)
+      .agg(count(one).as("violations"))
+      .select(lit("lineitem_qty_gt45").as("chk"), col("violations"))
+    val balNull = T.customer(s, d)
+      .filter(col("c_acctbal").isNull || col("c_name").isNull)
+      .agg(count(one).as("violations"))
+      .select(lit("customer_nulls").as("chk"), col("violations"))
+    pkDup.unionByName(fkOrphan).unionByName(qtyHigh).unionByName(balNull)
+      .orderBy("chk")
+  }
+
+  /** CDC snapshot diff — change detection between two keyed snapshots via
+    * ONE key-partitioned full outer join classifying every key as
+    * INSERTED / DELETED / UPDATED / UNCHANGED, then a 4-row count rollup.
+    * The value comparison is exact (the derived new snapshot adds 1.0,
+    * which is representable, so both engines compare identical doubles).
+    * At 100 TB both snapshots bucket by the key and the join is
+    * exchange-free; the diff never materializes unchanged rows downstream.
+    */
+  private def qCdcDiff(s: SparkSession, d: String): DataFrame = {
+    val base = T.orders(s, d).select("o_orderkey", "o_totalprice")
+    val old = base.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumnRenamed("o_totalprice", "old_price")
+    val neu = base.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") +
+          when(col("o_orderkey") % 5 === 0, 1.0).otherwise(0.0)).as("new_price"))
+    old.join(neu, Seq("o_orderkey"), "full_outer")
+      .select(when(col("old_price").isNull, "INSERTED")
+        .when(col("new_price").isNull, "DELETED")
+        .when(col("old_price") =!= col("new_price"), "UPDATED")
+        .otherwise("UNCHANGED").as("change"))
+      .groupBy("change").agg(count(lit(1)).as("n"))
+      .orderBy("change")
+  }
+
   /** Unpivot (melt): wide metric columns → long (metric, value) rows via
     * `stack` — the Generate is a per-row expansion, no shuffle before the
     * oracle's ORDER BY.
@@ -657,6 +710,8 @@ object Relational extends QueryModule {
     "q_dpp" -> qDpp,
     "q_unpivot" -> qUnpivot,
     "q_scd_merge" -> qScdMerge,
+    "q_dq_audit" -> qDqAudit,
+    "q_cdc_diff" -> qCdcDiff,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -684,6 +739,32 @@ object Relational extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dq_audit" ->
+      """SELECT 'orders_pk_dup' AS chk,
+        |  count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+        |UNION ALL
+        |SELECT 'orders_fk_orphan', count(*) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem_qty_gt45', count(*) FROM lineitem WHERE l_quantity > 45
+        |UNION ALL
+        |SELECT 'customer_nulls', count(*) FROM customer
+        |WHERE c_acctbal IS NULL OR c_name IS NULL
+        |ORDER BY chk""".stripMargin,
+    "q_cdc_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice AS old_price FROM orders
+        |  WHERE o_orderkey % 11 <> 0),
+        |neu AS (
+        |  SELECT o_orderkey, o_totalprice +
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END AS new_price
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT CASE WHEN old_price IS NULL THEN 'INSERTED'
+        |            WHEN new_price IS NULL THEN 'DELETED'
+        |            WHEN old_price <> new_price THEN 'UPDATED'
+        |            ELSE 'UNCHANGED' END AS change, count(*) AS n
+        |FROM old FULL OUTER JOIN neu USING (o_orderkey)
+        |GROUP BY 1 ORDER BY change""".stripMargin,
     "q_skyline" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderdate
         |FROM orders o
