@@ -191,23 +191,48 @@ object TextAnalysis extends QueryModule {
     * joins keyed on (w1, w2) / w1, still vocab- not corpus-sized) + one
     * doc-keyed aggregate. Nothing all-pairs, nothing driver-side.
     */
-  /** Per-doc average negative log-likelihood of `docs` under an
-    * add-one-smoothed bigram LM trained on `train` (both shaped
-    * (doc_id, lang, t)). See [[qNgramLm]] for the scale shape.
+  /** Bigram-LM ingest-time state over a train corpus (docs with `text`):
+    * the (w1, w2) count table plus the distinct vocabulary. Both are
+    * EXACTLY mergeable across disjoint shards — bigram counts add,
+    * vocabularies union ([[appendLmShard]], StreamingSpec parity-locked) —
+    * so a deployment maintains them at ingest and admission-time scoring
+    * never rescans the train corpus. c1 is NOT stored: it rolls up from
+    * c12 at score time (Σ_w2 c12, vocab-sized input).
     */
-  private def lmScores(docs: DataFrame, train: DataFrame): DataFrame = {
-    // add-one smoothing denominator: distinct train-slice token count
-    val vocab = train.select(explode(col("t")).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
-    // c1 rolls up from c12 (Σ_w2 c12 = bigram-starts of w1), so the train
-    // slice is bigram-exploded ONCE and the second aggregate runs over the
-    // vocab-sized count table, not the corpus
-    val c12 = bigramRows(train).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+  def lmCounts(train: DataFrame): (DataFrame, DataFrame) = {
+    val t = train.select(tokens(col("text")).as("t"))
+    val c12 = bigramRows(t).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = t.select(explode(col("t")).as("w")).distinct()
+    (c12, vocab)
+  }
+
+  /** Fold one ingested shard into the LM state: one full-outer merge on the
+    * bigram key (counts add exactly) + a vocabulary union-distinct.
+    */
+  def appendLmShard(c12: DataFrame, vocab: DataFrame,
+      shard: DataFrame): (DataFrame, DataFrame) = {
+    val (s12, sv) = lmCounts(shard)
+    val merged = c12.select(col("w1"), col("w2"), col("c12").as("a"))
+      .join(s12.select(col("w1"), col("w2"), col("c12").as("b")),
+        Seq("w1", "w2"), "full_outer")
+      .select(col("w1"), col("w2"),
+        (coalesce(col("a"), lit(0L)) + coalesce(col("b"), lit(0L))).as("c12"))
+    (merged, vocab.union(sv).distinct())
+  }
+
+  /** Per-doc average negative log-likelihood of `docs` (doc_id, lang, text)
+    * under the add-one-smoothed bigram LM state. See [[qNgramLm]] for the
+    * scale shape.
+    */
+  def lmScoreAgainst(docs: DataFrame, c12: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val v = vocab.agg(count(lit(1)).as("v"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    bigramRows(docs, col("doc_id"), col("lang"))
+    bigramRows(docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("t")),
+        col("doc_id"), col("lang"))
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
-      .crossJoin(vocab)
+      .crossJoin(v)
       .select(col("doc_id"), col("lang"),
         (-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
           (coalesce(col("c1"), lit(0L)) + col("v")))).as("nll"))
@@ -217,8 +242,8 @@ object TextAnalysis extends QueryModule {
 
   private def qNgramLm(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
-    lmScores(docs, docs.filter(col("lang") === "en")).orderBy("doc_id")
+    val (c12, vocab) = lmCounts(docs.filter(col("lang") === "en"))
+    lmScoreAgainst(docs, c12, vocab).orderBy("doc_id")
   }
 
   /** LM-based shard admission — the model-scoring member of the admission
@@ -232,9 +257,9 @@ object TextAnalysis extends QueryModule {
     */
   private def qLmAdmit(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
-    val train = docs.filter(col("lang") === "en" && col("doc_id") % 10 =!= 0)
-    lmScores(docs.filter(col("doc_id") % 10 === 0), train)
+    val (c12, vocab) = lmCounts(
+      docs.filter(col("lang") === "en" && col("doc_id") % 10 =!= 0))
+    lmScoreAgainst(docs.filter(col("doc_id") % 10 === 0), c12, vocab)
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lm_score"),
         when(col("lm_score") <= 3.4, 1).otherwise(0).as("admit"))
       .orderBy("doc_id")

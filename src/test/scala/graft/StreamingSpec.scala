@@ -703,6 +703,52 @@ class StreamingSpec extends AnyFunSuite {
       "maintained state diverged from full rebuild")
   }
 
+  test("foreachBatch maintains bigram-LM state across micro-batches (streaming perplexity gate)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.TextAnalysis
+    import spark.implicits._
+    // the streaming twin of q_lm_admit's state side: each arriving train
+    // shard folds its bigram counts and vocabulary into the maintained LM
+    // state; the state must equal a full rebuild over everything ingested,
+    // so admission scoring against it is EXACTLY the oracle-checked batch
+    // scoring — no drift, no rescans
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    var (c12, vocab) = TextAnalysis.lmCounts(empty)
+    c12 = c12.localCheckpoint(true); vocab = vocab.localCheckpoint(true)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (n12, nv) = TextAnalysis.appendLmShard(c12, vocab, batch.toDF())
+        c12 = n12.localCheckpoint(true); vocab = nv.localCheckpoint(true)
+      }
+      .start()
+    mem.addData((1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"))
+    q.processAllAvailable()
+    mem.addData((3L, "the cat chased the dog"))
+    q.processAllAvailable()
+    q.stop()
+    val allDocs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat chased the dog")).toDF("doc_id", "text")
+    val (r12, rv) = TextAnalysis.lmCounts(allDocs)
+    assert(c12.as[(String, String, Long)].collect().toSet ==
+      r12.as[(String, String, Long)].collect().toSet,
+      "maintained c12 state diverged from full rebuild")
+    assert(vocab.as[String].collect().toSet == rv.as[String].collect().toSet,
+      "maintained vocabulary diverged from full rebuild")
+    // and scoring against the maintained state matches scoring on a rebuild
+    val probe = Seq((9L, "en", "the cat sat"), (10L, "en", "zzz qqq xxx"))
+      .toDF("doc_id", "lang", "text")
+    val a = TextAnalysis.lmScoreAgainst(probe, c12, vocab)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val b = TextAnalysis.lmScoreAgainst(probe, r12, rv)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(a == b, s"state-scored $a != rebuild-scored $b")
+    val byId = a.map(r => r._1 -> r._4).toMap
+    assert(byId(9L) < byId(10L), "in-distribution probe must score better")
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
     val events = Tables.events(spark, TestSpark.sf)
       .select("event_id", "ts", "user_id").as[Streaming.Event]
