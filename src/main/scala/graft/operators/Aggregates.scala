@@ -306,6 +306,35 @@ object Aggregates extends QueryModule {
       .orderBy("chi2")
   }
 
+  /** Association rules (market-basket): support / confidence / lift for
+    * every ordered event-type pair over per-user itemsets. The data-sized
+    * pass is ONE distinct over (user, event_type) — map-side partials
+    * collapse each user's repeats before the shuffle; the self-join that
+    * builds co-occurrence is keyed on user with fan-out bounded by
+    * |type vocab|² per user, so it stays corpus-linear (never all-pairs
+    * across users). Marginals and totals are vocab-sized rollups; ratios
+    * compute in double so counts can't overflow at web scale.
+    */
+  private def qAssocRules(s: SparkSession, d: String): DataFrame = {
+    val ue = T.events(s, d).select(col("user_id"), col("event_type")).distinct()
+    val cnt = ue.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val total = ue.agg(countDistinct(col("user_id")).as("total"))
+    val both = ue.select(col("user_id"), col("event_type").as("a"))
+      .join(ue.select(col("user_id"), col("event_type").as("b")), "user_id")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    both
+      .join(cnt.select(col("event_type").as("a"), col("cnt").as("na")), "a")
+      .join(cnt.select(col("event_type").as("b"), col("cnt").as("nb")), "b")
+      .crossJoin(total)
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        round(col("nab").cast("double") / col("total"), 4).as("support"),
+        round(col("nab").cast("double") / col("na"), 4).as("confidence"),
+        round(col("nab").cast("double") * col("total") /
+          (col("na").cast("double") * col("nb")), 4).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
   /** Per-group least-squares fit: the regr_* aggregate family (slope,
     * intercept, R², mean point, count) — one partial+final hash agg like
     * any other aggregate; both engines share the textbook definitions so
@@ -383,10 +412,29 @@ object Aggregates extends QueryModule {
     "q_quantile_approx" -> qQuantileApprox,
     "q_quantile_rollup" -> qQuantileRollup,
     "q_colorbin" -> qColorbin,
-    "q_chi2" -> qChi2
+    "q_chi2" -> qChi2,
+    "q_assoc_rules" -> qAssocRules
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_assoc_rules" ->
+      """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+        |cnt AS (SELECT event_type, count(*) AS cnt FROM ue GROUP BY 1),
+        |total AS (SELECT count(DISTINCT user_id) AS total FROM ue),
+        |pair AS (
+        |  SELECT x.event_type AS a, y.event_type AS b, count(*) AS nab
+        |  FROM ue x JOIN ue y ON x.user_id = y.user_id
+        |  WHERE x.event_type <> y.event_type GROUP BY 1, 2)
+        |SELECT a AS antecedent, b AS consequent,
+        |  round(CAST(nab AS DOUBLE) / total.total, 4) AS support,
+        |  round(CAST(nab AS DOUBLE) / na.cnt, 4) AS confidence,
+        |  round(CAST(nab AS DOUBLE) * total.total
+        |        / (CAST(na.cnt AS DOUBLE) * nb.cnt), 4) AS lift
+        |FROM pair
+        |JOIN cnt na ON na.event_type = pair.a
+        |JOIN cnt nb ON nb.event_type = pair.b
+        |CROSS JOIN total
+        |ORDER BY antecedent, consequent""".stripMargin,
     "q_chi2" ->
       """WITH obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
         |rt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1),
