@@ -147,9 +147,30 @@ object GraphQueries extends QueryModule {
   private def qBfsHops(s: SparkSession, d: String): DataFrame =
     bfsHopsFromEdges(transitions(s, d).distinct(), seed = "signup")
 
+  /** Triangle enumeration over the undirected form of the transition graph
+    * (a < b < c once each): the canonical two-join pattern — (a,b)⋈(b,c)
+    * then verified against (a,c) — whose ordering constraint (every stored
+    * edge has a < b) guarantees each triangle is emitted exactly once and
+    * halves the join inputs. Joins are edge-keyed; at scale the standard
+    * refinement orders vertices by degree so high-degree hubs don't fan
+    * out, which this canonical-order form already approximates.
+    */
+  private def qTriangles(s: SparkSession, d: String): DataFrame = {
+    val und = transitions(s, d)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val bc = und.select(col("a").as("b"), col("b").as("c"))
+    val ac = und.select(col("a"), col("b").as("c"))
+    und.join(bc, "b").join(ac, Seq("a", "c"))
+      .select("a", "b", "c").orderBy("a", "b", "c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank,
-    "q_bfs_hops" -> qBfsHops
+    "q_bfs_hops" -> qBfsHops,
+    "q_triangles" -> qTriangles
   )
 
   private val edgeCtes =
@@ -182,6 +203,15 @@ object GraphQueries extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_triangles" ->
+      s"""WITH $edgeCtes,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM edges WHERE src <> dst)
+         |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |FROM und e1
+         |JOIN und e2 ON e2.a = e1.b
+         |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+         |ORDER BY e1.a, e1.b, e2.b""".stripMargin,
     "q_bfs_hops" ->
       s"""WITH RECURSIVE $edgeCtes,
          |reach(node, hop) AS (

@@ -143,6 +143,24 @@ object WindowOps extends QueryModule {
   private val ewmaWeights: Seq[BigDecimal] =
     (0 until 8).map(k => BigDecimal("0.75").pow(k))
 
+  /** Cumulative distinct users by day — the growth-accounting staple
+    * (new vs returning): each user's FIRST activity day via a user-keyed
+    * min, then per-day new-user counts and a running total. The global
+    * window runs over |days| rows (the day aggregate), never over raw
+    * events, so the unpartitioned cumsum is metadata-sized at any corpus
+    * scale; the data-sized passes are both keyed (user, then day).
+    */
+  private def qCumDistinct(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, d)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+      .orderBy("day")
+  }
+
   private def ewmaSql(table: String): String = {
     val win = "(PARTITION BY user_id ORDER BY ts, event_id)"
     val num = ewmaWeights.zipWithIndex.map { case (w, k) =>
@@ -221,6 +239,7 @@ object WindowOps extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cum_distinct" -> qCumDistinct,
     "q_event_paths" -> qEventPaths,
     "q_ewma" -> qEwma,
     "q_funnel" -> qFunnel,
@@ -234,6 +253,15 @@ object WindowOps extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cum_distinct" ->
+      """WITH first AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+        |daily AS (SELECT day, count(*) AS new_users FROM first GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
     "q_event_paths" ->
       """WITH seq AS (
         |  SELECT event_type,

@@ -165,6 +165,31 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-document keyword extraction: each doc's top-tfidf token (argmax
+    * via a doc-keyed row_number window; score-then-token ordering makes
+    * ties deterministic in both engines). Same one-explode tfidf shape as
+    * [[qTfidf]] — (doc, token) tf aggregate, df as a token-partitioned
+    * window over that table, scalar N broadcast — plus one doc-keyed
+    * window to pick the winner; nothing corpus-quadratic.
+    */
+  private def qKeywords(s: SparkSession, d: String): DataFrame = {
+    val tf = T.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("token")
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token"))
+    val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("keyword"), col("tfidf"))
+      .orderBy("doc_id")
+  }
+
   /** Consecutive-token (w1, w2) bigram rows of a tokenized corpus, keeping
     * `keep` columns alongside. One Generate pass — the only data-sized scan
     * the LM/PMI queries make over the corpus.
@@ -861,6 +886,7 @@ object TextAnalysis extends QueryModule {
     "q_top_bigram" -> qTopBigram,
     "q_ngram_lm" -> qNgramLm,
     "q_lm_admit" -> qLmAdmit,
+    "q_keywords" -> qKeywords,
     "q_pmi" -> qPmi,
     "q_char_ratios" -> qCharRatios,
     "q_stopword_ratio" -> qStopwordRatio,
@@ -1290,6 +1316,24 @@ object TextAnalysis extends QueryModule {
         |                 AND atl BETWEEN 2.0 AND 10.0
         |                 AND div >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "q_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t.token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents) t
+        |  GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    round(tf * ln(CAST(n.n_docs AS DOUBLE)
+        |          / count(*) OVER (PARTITION BY token)), 4) AS tfidf
+        |  FROM tf CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tfidf, row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        |  FROM scored)
+        |SELECT doc_id, token AS keyword, tfidf FROM ranked
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_ngram_lm" ->
       (ngramLmCtes("lang = 'en'", "TRUE") +
         "\nSELECT doc_id, lang, n_bigrams, lm_score FROM sc ORDER BY doc_id"),

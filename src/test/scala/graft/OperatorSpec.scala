@@ -344,6 +344,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.values.forall(h => h >= 0 && h <= 4))
   }
 
+  test("cumulative distinct users is monotone and ends at the distinct-user count") {
+    val rows = SparkEntry.queries("q_cum_distinct")(spark, TestSpark.sf)
+      .select("new_users", "cum_users").as[(Long, Long)].collect()
+    assert(rows.scanLeft(0L)(_ + _._1).drop(1).toSeq == rows.map(_._2).toSeq,
+      "running total must equal the cumsum of new users")
+    val users = Tables.events(spark, TestSpark.sf).select("user_id").distinct().count()
+    assert(rows.last._2 == users, "every user is new exactly once")
+  }
+
+  test("triangles are canonical (a < b < c) and their edges exist") {
+    val tri = SparkEntry.queries("q_triangles")(spark, TestSpark.sf)
+      .as[(String, String, String)].collect()
+    assert(tri.nonEmpty)
+    assert(tri.forall { case (a, b, c) => a < b && b < c })
+    val edges = graft.graph.GraphQueries.transitions(spark, TestSpark.sf)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .distinct().as[(String, String)].collect().toSet
+    tri.foreach { case (a, b, c) =>
+      assert(edges((a, b)) && edges((b, c)) && edges((a, c)), s"($a,$b,$c)")
+    }
+  }
+
   test("graph local and distributed iteration paths are parity-locked") {
     import graft.graph.GraphQueries
     val pr = GraphQueries.transitions(spark, TestSpark.sf)
