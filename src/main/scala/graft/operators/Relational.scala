@@ -404,6 +404,35 @@ object Relational extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  /** Snapshot time travel over a manifest-versioned table ([[Snapshots]]):
+    * v1 = initial load, v2 = append commit, v3 = REPLACE commit rewriting
+    * v2's content (the compaction shape). The query reads all three pinned
+    * versions and aggregates each — v1's result is provably unchanged by
+    * later commits (its manifest's files are immutable) and v3 must equal
+    * v2 row-for-row despite a different file layout. Fixture built once per
+    * JVM per sf dir; the oracle states each version as its defining slice.
+    */
+  private val snapDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapDir(s: SparkSession, d: String): String =
+    snapDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snap").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderkey", "o_totalprice")
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 3 === 0))
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 3 === 1))
+      Snapshots.commit(s, dir,
+        Snapshots.read(s, dir).coalesce(2), replace = true)
+      dir
+    })
+
+  private def qTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = snapDir(s, d)
+    Seq(1, 2, 3).map { v =>
+      Snapshots.read(s, dir, Some(v))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(lit(v).as("version"), col("n"), col("total"))
+    }.reduce(_.unionByName(_)).orderBy("version")
+  }
+
   /** Data-quality audit — the dbt-test/Deequ-style constraint sweep: each
     * check is one column-pruned scan folding to a scalar violation count
     * (pk uniqueness, fk orphans via LEFT ANTI, range and null checks), the
@@ -712,6 +741,7 @@ object Relational extends QueryModule {
     "q_scd_merge" -> qScdMerge,
     "q_dq_audit" -> qDqAudit,
     "q_cdc_diff" -> qCdcDiff,
+    "q_time_travel" -> qTimeTravel,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -751,6 +781,16 @@ object Relational extends QueryModule {
         |SELECT 'customer_nulls', count(*) FROM customer
         |WHERE c_acctbal IS NULL OR c_name IS NULL
         |ORDER BY chk""".stripMargin,
+    "q_time_travel" ->
+      """SELECT 1 AS version, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 2, count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 3, count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |ORDER BY version""".stripMargin,
     "q_cdc_diff" ->
       """WITH old AS (
         |  SELECT o_orderkey, o_totalprice AS old_price FROM orders
