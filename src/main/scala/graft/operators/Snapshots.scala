@@ -93,4 +93,50 @@ object Snapshots {
     require(fs.nonEmpty, s"$dir: snapshot v$v lists no files")
     spark.read.parquet(fs.map(f => s"$dir/$f"): _*)
   }
+
+  /** Incremental read: the rows appended between `fromVersion` (exclusive)
+    * and `toVersion` (inclusive) — the storage-layer CDC feed a downstream
+    * consumer tails instead of re-reading the table. Valid only across
+    * append commits: a REPLACE in the range rewrites history, so file-set
+    * subtraction would misreport it — that case fails loudly (a real
+    * consumer must resync from a full snapshot, exactly like Iceberg's
+    * incremental scan over a rewrite).
+    */
+  def readChanges(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion,
+      s"$dir: fromVersion $fromVersion must precede toVersion $toVersion")
+    val from = files(spark, dir, fromVersion).toSet
+    val to = files(spark, dir, toVersion)
+    require(from.subsetOf(to.toSet),
+      s"$dir: a replace commit between v$fromVersion and v$toVersion rewrote " +
+        "history — incremental read is undefined, resync from a snapshot")
+    val fresh = to.filterNot(from)
+    require(fresh.nonEmpty, s"$dir: no files appended in (v$fromVersion, v$toVersion]")
+    spark.read.parquet(fresh.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Expire snapshots older than `keepFrom`: their manifests are removed
+    * and every data file no surviving manifest references is deleted — the
+    * vacuum that bounds storage growth under replace-heavy workloads.
+    * Metadata-only on the driver (file list set-difference); returns the
+    * number of data files deleted. Reads pinned to expired versions fail
+    * loudly afterwards, surviving versions are untouched.
+    */
+  def expire(spark: SparkSession, dir: String, keepFrom: Int): Int = {
+    val (fs, _) = hfs(spark, dir)
+    val all = versions(spark, dir)
+    require(all.contains(keepFrom), s"$dir: keepFrom v$keepFrom does not exist")
+    val (drop, keep) = all.partition(_ < keepFrom)
+    val keepFiles = keep.flatMap(v => files(spark, dir, v)).toSet
+    val orphans = drop.flatMap(v => files(spark, dir, v)).distinct
+      .filterNot(keepFiles)
+    orphans.foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$f"), false)
+    }
+    drop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.list"), false)
+    }
+    orphans.length
+  }
 }

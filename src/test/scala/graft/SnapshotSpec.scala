@@ -55,6 +55,36 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshots.files(spark, dir, 9))
   }
 
+  test("readChanges tails appended rows only, refuses ranges crossing a replace") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((4L, "d"), (5L, "e")).toDF("k", "v"))
+    assert(Snapshots.readChanges(spark, dir, 1, 2)
+      .as[(Long, String)].collect().toSet == Set((3L, "c")))
+    assert(Snapshots.readChanges(spark, dir, 1, 3)
+      .as[(Long, String)].collect().toSet == Set((3L, "c"), (4L, "d"), (5L, "e")))
+    Snapshots.commit(spark, dir,
+      Snapshots.read(spark, dir).coalesce(1), replace = true)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readChanges(spark, dir, 3, 4))
+    assert(e.getMessage.contains("replace"), e.getMessage)
+  }
+
+  test("expire vacuums unreferenced files and kills expired reads loudly") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, spark.range(10).toDF("k").repartition(4))
+    Snapshots.commit(spark, dir,
+      Snapshots.read(spark, dir).coalesce(1), replace = true) // v2 rewrites
+    Snapshots.commit(spark, dir, spark.range(10, 12).toDF("k")) // v3 appends
+    val deleted = Snapshots.expire(spark, dir, keepFrom = 2)
+    assert(deleted == 4, s"v1's 4 now-orphaned files should go, got $deleted")
+    assert(Snapshots.versions(spark, dir) == Seq(2, 3))
+    intercept[IllegalArgumentException](Snapshots.files(spark, dir, 1))
+    assert(Snapshots.read(spark, dir, Some(2)).count() == 10, "kept version intact")
+    assert(Snapshots.read(spark, dir).count() == 12)
+  }
+
   test("q_time_travel: v3 (replace) equals v2 (its source) row-for-row") {
     val rows = SparkEntry.queries("q_time_travel")(spark, TestSpark.sf)
       .as[(Int, Long, Double)].collect().sortBy(_._1)
