@@ -703,6 +703,39 @@ class StreamingSpec extends AnyFunSuite {
       "maintained state diverged from full rebuild")
   }
 
+  test("foreachBatch commits micro-batches as snapshot versions; a consumer tails readChanges") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Snapshots
+    import spark.implicits._
+    // streaming ingest INTO the versioned table: each micro-batch is one
+    // atomic snapshot commit, so a downstream consumer reads exactly-once
+    // increments via readChanges and a pinned reader never sees a torn batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) { Snapshots.commit(spark, dir, batch.toDF()); () }
+      }
+      .start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    val v1 = Snapshots.currentVersion(spark, dir).get
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    mem.addData((4L, "d"))
+    q.processAllAvailable()
+    q.stop()
+    val head = Snapshots.currentVersion(spark, dir).get
+    assert(head == v1 + 2, s"each micro-batch must be one version ($v1 -> $head)")
+    // the consumer's incremental tail since v1 is exactly batches 2+3
+    assert(Snapshots.readChanges(spark, dir, v1, head)
+      .as[(Long, String)].collect().toSet == Set((3L, "c"), (4L, "d")))
+    // and the pinned v1 read still returns only batch 1
+    assert(Snapshots.read(spark, dir, Some(v1))
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("foreachBatch maintains bigram-LM state across micro-batches (streaming perplexity gate)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.TextAnalysis
