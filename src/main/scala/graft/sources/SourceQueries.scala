@@ -121,6 +121,39 @@ object SourceQueries extends QueryModule {
       dir
     })
 
+  /** Schema-evolution fixture: an "old" shard written before the n_chars
+    * column existed and a "new" shard carrying it — the column-add case
+    * every long-lived lake table hits. Written once per JVM per sf dir.
+    */
+  private val evoDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def evoDir(s: SparkSession, d: String): String =
+    evoDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-evo").toFile.getAbsolutePath
+      val docs = graft.Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$dir/old")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/new")
+      dir
+    })
+
+  /** Schema evolution on read: `mergeSchema` unions the per-file footers so
+    * the pre-evolution shard surfaces the added column as NULL — no
+    * rewrite, no migration job. The aggregate proves both the merged shape
+    * (null counts = old-shard rows) and the surviving values. At 100 TB
+    * footer merging is a driver metadata pass over file schemas, not data.
+    */
+  private def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = evoDir(s, d)
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/old", s"$dir/new")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
+        coalesce(sum("n_chars"), lit(0L)).as("total_chars"))
+      .orderBy("lang")
+  }
+
   private def qScanCsv(s: SparkSession, d: String): DataFrame =
     s.read
       .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
@@ -572,6 +605,7 @@ object SourceQueries extends QueryModule {
     "q_scan_jsonl" -> qScanJsonl,
     "q_scan_csv" -> qScanCsv,
     "q_scan_orc" -> qScanOrc,
+    "q_schema_evolution" -> qSchemaEvolution,
     "q_scan_partitioned" -> qScanPartitioned,
     "q_grid_file" -> qGridFile,
     "q_grid_tiled" -> qGridTiled,
@@ -634,6 +668,13 @@ object SourceQueries extends QueryModule {
     "q_scan_csv" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pre_evolution,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0) AS BIGINT)
+        |    AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_scan_orc" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
         |  round(sum(value), 2) AS total
