@@ -433,6 +433,17 @@ object Relational extends QueryModule {
     }.reduce(_.unionByName(_)).orderBy("version")
   }
 
+  /** The incremental tail of the same snapshot table: rows appended in
+    * (v1, v2] via [[Snapshots.readChanges]] — file-set subtraction, so the
+    * consumer reads ONLY the new files (never the table). The oracle states
+    * the appended commit as its defining slice.
+    */
+  private def qSnapshotChanges(s: SparkSession, d: String): DataFrame =
+    Snapshots.readChanges(s, snapDir(s, d), 1, 2)
+      .groupBy()
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   /** Data-quality audit — the dbt-test/Deequ-style constraint sweep: each
     * check is one column-pruned scan folding to a scalar violation count
     * (pk uniqueness, fk orphans via LEFT ANTI, range and null checks), the
@@ -742,6 +753,7 @@ object Relational extends QueryModule {
     "q_dq_audit" -> qDqAudit,
     "q_cdc_diff" -> qCdcDiff,
     "q_time_travel" -> qTimeTravel,
+    "q_snapshot_changes" -> qSnapshotChanges,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -781,6 +793,11 @@ object Relational extends QueryModule {
         |SELECT 'customer_nulls', count(*) FROM customer
         |WHERE c_acctbal IS NULL OR c_name IS NULL
         |ORDER BY chk""".stripMargin,
+    "q_snapshot_changes" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY n""".stripMargin,
     "q_time_travel" ->
       """SELECT 1 AS version, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderkey % 3 = 0
