@@ -154,6 +154,34 @@ object SourceQueries extends QueryModule {
       .orderBy("lang")
   }
 
+  /** Nested-layout twin of documents: metadata packed into a struct column
+    * (the shape document corpora actually ship with — a `meta` object per
+    * record). Written once per JVM per sf dir.
+    */
+  private val nestedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nestedDir(s: SparkSession, d: String): String =
+    nestedDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-nested").toFile.getAbsolutePath
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** Nested schema pruning: the aggregate touches only meta.lang and
+    * meta.n_chars, so the parquet scan must read struct<lang, n_chars> —
+    * neither meta.source nor the (dominant) text column ever leaves the
+    * file (ReadSchema PlansSpec-locked). On a 100 TB corpus whose bytes are
+    * mostly text, this is the difference between scanning terabytes and
+    * scanning the metadata columns.
+    */
+  private def qNestedPrune(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(nestedDir(s, d))
+      .groupBy(col("meta.lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("meta.n_chars").as("total_chars"))
+      .orderBy("lang")
+
   private def qScanCsv(s: SparkSession, d: String): DataFrame =
     s.read
       .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
@@ -606,6 +634,7 @@ object SourceQueries extends QueryModule {
     "q_scan_csv" -> qScanCsv,
     "q_scan_orc" -> qScanOrc,
     "q_schema_evolution" -> qSchemaEvolution,
+    "q_nested_prune" -> qNestedPrune,
     "q_scan_partitioned" -> qScanPartitioned,
     "q_grid_file" -> qGridFile,
     "q_grid_tiled" -> qGridTiled,
@@ -668,6 +697,10 @@ object SourceQueries extends QueryModule {
     "q_scan_csv" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_nested_prune" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_schema_evolution" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)

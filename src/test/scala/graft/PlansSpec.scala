@@ -228,6 +228,13 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q_nested_prune: the scan reads only the touched struct fields, never text") {
+    val plan = planOf("q_nested_prune")
+    val rs = plan.split("ReadSchema:").drop(1).map(_.takeWhile(_ != '\n')).mkString
+    assert(rs.contains("meta:struct<lang") && rs.contains("n_chars"), plan)
+    assert(!rs.contains("text") && !rs.contains("source"), s"unpruned scan: $rs")
+  }
+
   test("q_scan_orc: the event_type predicate prunes hive partitions at the ORC scan") {
     val plan = planOf("q_scan_orc")
     assert(plan.contains("Scan orc"), plan)
