@@ -85,6 +85,37 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 12)
   }
 
+  test("property: random append/replace sequences match an in-memory model at every version") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val dir = tmp()
+      // model(v) = expected key multiset of snapshot v
+      val model = scala.collection.mutable.ArrayBuffer[Vector[Long]]()
+      var next = 1000L * trial
+      for (step <- 0 until 6) {
+        val fresh = Vector.fill(1 + rnd.nextInt(4)) { next += 1; next }
+        val replace = step > 0 && rnd.nextBoolean()
+        val v = Snapshots.commit(spark, dir, fresh.toDF("k"), replace = replace)
+        assert(v == step + 1)
+        model += (if (replace || model.isEmpty) fresh
+                  else (model.last ++ fresh))
+      }
+      model.zipWithIndex.foreach { case (want, i) =>
+        val got = Snapshots.read(spark, dir, Some(i + 1)).as[Long].collect().sorted
+        assert(got.toVector == want.sorted, s"trial $trial v${i + 1}")
+      }
+      // readChanges across every append-only span equals the model delta
+      for (a <- 1 until model.length; b <- (a + 1) to model.length
+           if model(b - 1).startsWith(model(a - 1))) {
+        val delta = model(b - 1).drop(model(a - 1).length)
+        if (delta.nonEmpty) {
+          val got = Snapshots.readChanges(spark, dir, a, b).as[Long].collect().sorted
+          assert(got.toVector == delta.sorted, s"trial $trial changes ($a,$b]")
+        }
+      }
+    }
+  }
+
   test("q_time_travel: v3 (replace) equals v2 (its source) row-for-row") {
     val rows = SparkEntry.queries("q_time_travel")(spark, TestSpark.sf)
       .as[(Int, Long, Double)].collect().sortBy(_._1)
