@@ -26,12 +26,16 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    (per-object fractal heap + type-8 attribute-name-index v2 b-tree,
   *    what libhdf5 switches to past 8 attributes), dataspace v2,
   *    attribute messages v2/v3, data layout v4 with Single Chunk,
-  *    Implicit (back-to-back unfiltered chunks) and Fixed Array
-  *    (`FAHD`/`FADB`, filtered and unfiltered clients) chunk indexes
+  *    Implicit (back-to-back unfiltered chunks), Fixed Array
+  *    (`FAHD`/`FADB`, filtered and unfiltered clients), Extensible Array
+  *    (`EAHD`/`EAIB`/`EASB`/`EADB` — libhdf5's index for ONE unlimited
+  *    dimension, unpaged blocks) and v2 B-tree (record types 10/11, any
+  *    depth) chunk indexes
   *  - messages: NIL, dataspace (v1/v2), datatype (fixed/float/string/
   *    reference/vlen), fill value (skipped), data layout v3 (contiguous +
   *    chunked) and v4 (contiguous + chunked single-chunk/implicit/
-  *    fixed-array), filter pipeline (v1/v2), attribute (v1/v2/v3), object
+  *    fixed-array/extensible-array/v2-btree), filter pipeline (v1/v2),
+  *    attribute (v1/v2/v3), object
   *    header continuation, symbol table, link info, link, group info,
   *    attribute info
   *  - chunked data via v1 chunk B-trees or the v4 indexes above, raw or
@@ -40,10 +44,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    id fails loudly
   *  - global heap collections for vlen data — enough for NetCDF-4's
   *    DIMENSION_LIST attributes (vlen of object references)
-  * Everything else (superblock v1, soft/external links,
-  * extensible-array/v2-btree chunk indexes, paged fixed arrays, SOHM
-  * shared header messages, filters outside the trio, extended tiny heap
-  * IDs) fails with an explicit message, never a misparse.
+  * Everything else (superblock v1, soft/external links, paged fixed
+  * arrays, paged extensible-array data blocks, SOHM shared header
+  * messages, filters outside the trio, extended tiny heap IDs) fails
+  * with an explicit message, never a misparse.
   */
 object Hdf5 {
 
@@ -109,6 +113,18 @@ object Hdf5 {
   final case class ImplicitIndex(addr: Long) extends ChunkIndex
   /** Index type 3: Fixed Array (`FAHD` header + `FADB` data block). */
   final case class FixedArrayIndex(addr: Long, pageBits: Int) extends ChunkIndex
+  /** Index type 4: Extensible Array (`EAHD` header → `EAIB` index block →
+    * `EASB` super blocks → `EADB` data blocks) — what libhdf5 uses for a
+    * chunked dataset with ONE unlimited dimension, i.e. the appendable
+    * archive shape. The creation parameters ride in the layout message AND
+    * the `EAHD`; the reader cross-requires they agree.
+    */
+  final case class ExtensibleArrayIndex(addr: Long, maxBits: Int, idxElmts: Int,
+      minPtrs: Int, minElmts: Int, pageBits: Int) extends ChunkIndex
+  /** Index type 5: v2 B-tree of chunk records (record type 10 unfiltered /
+    * 11 filtered) — what libhdf5 uses for ≥ 2 unlimited dimensions.
+    */
+  final case class Btree2Index(addr: Long, nodeSize: Int) extends ChunkIndex
 
   /** A chunk filter, in PIPELINE (write) order; reads apply the inverses in
     * reverse order. The ids are the format's registered values.
@@ -874,12 +890,18 @@ object Hdf5 {
     (msgs.toSeq, addr)
   }
 
-  /** Variable-width little-endian unsigned read (1/2/4/8 bytes). */
+  /** Variable-width little-endian unsigned read (any 1–8 bytes — odd widths
+    * occur in chunk-size fields and extensible-array block offsets).
+    */
   private def uintVar(b: ByteBuffer, n: Int): Long = n match {
     case 1 => b.get().toLong & 0xFF
     case 2 => b.getShort().toLong & 0xFFFF
     case 4 => b.getInt().toLong & 0xFFFFFFFFL
     case 8 => b.getLong()
+    case o if o >= 1 && o <= 8 =>
+      var v = 0L; var i = 0
+      while (i < o) { v |= (b.get().toLong & 0xFF) << (8 * i); i += 1 }
+      v
     case o => throw new IllegalArgumentException(s"unsupported field width $o")
   }
 
@@ -1016,8 +1038,23 @@ object Hdf5 {
           case 3 =>
             val pageBits = b.get() & 0xFF
             FixedArrayIndex(b.getLong(), pageBits)
+          case 4 =>
+            // spec field order here (Max Bits, Index Elements, Min Pointers,
+            // Min Elements, Page Bits) differs from the EAHD's own order —
+            // the reader cross-checks the two against each other
+            val maxBits = b.get() & 0xFF
+            val idxElmts = b.get() & 0xFF
+            val minPtrs = b.get() & 0xFF
+            val minElmts = b.get() & 0xFF
+            val pageBits = b.get() & 0xFF
+            ExtensibleArrayIndex(b.getLong(), maxBits, idxElmts, minPtrs,
+              minElmts, pageBits)
+          case 5 =>
+            val nodeSize = b.getInt()
+            b.get(); b.get() // split / merge percents — advisory
+            Btree2Index(b.getLong(), nodeSize)
           case t => throw new IllegalArgumentException(
-            s"$path: chunk index type $t unsupported (single-chunk=1, implicit=2, fixed-array=3)")
+            s"$path: chunk index type $t unsupported (single-chunk=1, implicit=2, fixed-array=3, extensible-array=4, v2-btree=5)")
         }
         LayoutMsg(ChunkedV4(cdims, index))
       case 0 =>
@@ -1347,6 +1384,12 @@ object Hdf5 {
           }
         case fa: FixedArrayIndex =>
           fixedArrayChunks(r, fa, cdims, ds.dims, chunkBytes, path)
+        case ea: ExtensibleArrayIndex =>
+          extensibleArrayChunks(r, ea, cdims, ds.dims, chunkBytes,
+            ds.filters.nonEmpty, path)
+        case bt: Btree2Index =>
+          btree2Chunks(r, bt, cdims, ds.dims, chunkBytes,
+            ds.filters.nonEmpty, path)
       }
     case l => throw new IllegalArgumentException(s"$path: layout $l is not chunked")
   }
@@ -1426,6 +1469,252 @@ object Hdf5 {
         else (chunkBytes, 0)
       if (addr == Undef) None // unallocated chunk: fill
       else Some((chunkOrigin(i, grid, cdims), addr, size, mask))
+    }
+  }
+
+  /** Bytes libhdf5 uses to store a chunk's post-filter size in EA elements
+    * and v2-b-tree records: one more than the bytes of the raw chunk size
+    * (a filter can GROW a chunk), capped at 8 (`H5D__earray_crt_context` /
+    * `H5D__bt2_crt_context` use the same formula).
+    */
+  private def chunkSizeLen(chunkBytes: Long): Int = {
+    val log2 = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, chunkBytes))
+    math.min(8, 1 + (log2 + 8) / 8)
+  }
+
+  /** Extensible-array geometry (spec III.E), shared by reader and writer so
+    * the two can never drift: super block `u` holds `2^(u/2)` data blocks of
+    * `2^((u+1)/2) · minElmts` elements each; the first `idxElmts` elements
+    * live directly in the index block; the first `2·log2(minPtrs)` super
+    * blocks' data blocks are pointed to directly FROM the index block
+    * (`2·(minPtrs−1)` pointers in total); later super blocks get their own
+    * `EASB`. Block offsets count in FULL array-index space (index-block
+    * elements included).
+    */
+  private final case class EaGeometry(maxBits: Int, idxElmts: Int,
+      minPtrs: Int, minElmts: Int, pageBits: Int) {
+    private def log2Exact(v: Int, what: String): Int = {
+      require(v >= 1 && Integer.bitCount(v) == 1,
+        s"extensible array: $what=$v is not a power of two")
+      31 - Integer.numberOfLeadingZeros(v)
+    }
+    val minElmtsLog2: Int = log2Exact(minElmts, "data-block min elements")
+    val minPtrsLog2: Int = log2Exact(minPtrs, "super-block min pointers")
+    require(maxBits >= 1 && maxBits <= 64 && maxBits > minElmtsLog2,
+      s"extensible array: implausible max-bits $maxBits (minElmts=$minElmts)")
+    val nsblksTotal: Int = 1 + (maxBits - minElmtsLog2) / 2
+    val arrOffSize: Int = (maxBits + 7) / 8
+    val nsblksDirect: Int = math.min(nsblksTotal, 2 * minPtrsLog2)
+    val ndblkAddrs: Int = 2 * (minPtrs - 1)
+    val nsblkAddrs: Int = nsblksTotal - nsblksDirect
+    /** Per super block: (ndblks, dblkNelmts, startIdx, startDblk); start
+      * indices are relative to the first element AFTER the index block.
+      */
+    val sblks: IndexedSeq[(Int, Long, Long, Long)] = {
+      var idx = 0L; var dblk = 0L
+      (0 until nsblksTotal).map { u =>
+        val nd = 1 << (u / 2)
+        val ne = (1L << ((u + 1) / 2)) * minElmts
+        val row = (nd, ne, idx, dblk)
+        idx += nd.toLong * ne; dblk += nd
+        row
+      }
+    }
+    /** `(sblk, dblkIdx, within)` of element `idx ≥ idxElmts` — the closed
+      * form `H5EA__dblock_sblk_idx` uses: `log2(adj/minElmts + 1)`.
+      */
+    def locate(idx: Long): (Int, Int, Long) = {
+      val adj = idx - idxElmts
+      val u = 63 - java.lang.Long.numberOfLeadingZeros(adj / minElmts + 1)
+      val (_, ne, start, _) = sblks(u)
+      (u, ((adj - start) / ne).toInt, (adj - start) % ne)
+    }
+    /** EA element size on disk for a chunk client. */
+    def elmtSize(filtered: Boolean, chunkBytes: Long): Int =
+      if (filtered) 8 + chunkSizeLen(chunkBytes) + 4 else 8
+  }
+
+  /** Enumerate chunks from an Extensible Array index: `EAHD` header (whose
+    * creation parameters must agree with the layout message's), `EAIB` index
+    * block (first elements inline + direct data-block pointers + super-block
+    * pointers), `EASB` super blocks, `EADB` data blocks — every block
+    * signature- and Jenkins-lookup3-checksum-verified. Unset element slots
+    * and never-created blocks are undefined addresses → fill. Paged data
+    * blocks (more elements than one `2^pageBits` page) fail loudly.
+    */
+  private def extensibleArrayChunks(r: Reader, ea: ExtensibleArrayIndex,
+      cdims: Seq[Int], dims: Seq[Long], chunkBytes: Long, filtered: Boolean,
+      path: String): Seq[(Seq[Long], Long, Long, Int)] = {
+    if (ea.addr == Undef) return Nil
+    // sig + version + client + 6 cparam bytes + 6 statistics + iblock addr
+    val hdrLen = 4 + 1 + 1 + 6 + 6 * 8 + 8
+    val raw = r.bytes(ea.addr, hdrLen + 4)
+    val h = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); h.get(sig)
+    require(sig.sameElements("EAHD".getBytes),
+      s"$path: bad extensible-array header signature")
+    require(h.get() == 0, s"$path: extensible-array header version unsupported")
+    val client = h.get() & 0xFF
+    require(client == (if (filtered) 1 else 0),
+      s"$path: extensible-array client $client does not match pipeline " +
+        s"(expected ${if (filtered) 1 else 0})")
+    val elmtSize = h.get() & 0xFF
+    // EAHD cparam order (spec: its OWN section) — note minElmts BEFORE
+    // minPtrs, the reverse of the layout message's field order
+    val maxBits = h.get() & 0xFF
+    val idxElmts = h.get() & 0xFF
+    val minElmts = h.get() & 0xFF
+    val minPtrs = h.get() & 0xFF
+    val pageBits = h.get() & 0xFF
+    require(maxBits == ea.maxBits && idxElmts == ea.idxElmts &&
+      minElmts == ea.minElmts && minPtrs == ea.minPtrs &&
+      pageBits == ea.pageBits,
+      s"$path: extensible-array header parameters ($maxBits,$idxElmts," +
+        s"$minElmts,$minPtrs,$pageBits) disagree with the layout message " +
+        s"(${ea.maxBits},${ea.idxElmts},${ea.minElmts},${ea.minPtrs},${ea.pageBits})")
+    // statistics (nsblks, sblk bytes, ndblks, dblk bytes, max index set,
+    // realized elements) — not consulted; the pointer structure is
+    // authoritative
+    (0 until 6).foreach(_ => h.getLong())
+    val ibAddr = h.getLong()
+    val hck = h.getInt()
+    require(hck == lookup3(java.util.Arrays.copyOf(raw, hdrLen)),
+      s"$path: extensible-array header checksum mismatch")
+    val geo = EaGeometry(maxBits, idxElmts, minPtrs, minElmts, pageBits)
+    require(elmtSize == geo.elmtSize(filtered, chunkBytes),
+      s"$path: extensible-array element size $elmtSize != expected " +
+        s"${geo.elmtSize(filtered, chunkBytes)}")
+
+    /** One element at the buffer's position → Some(addr, storedSize, mask). */
+    def element(b: ByteBuffer): Option[(Long, Long, Int)] = {
+      val addr = b.getLong()
+      val (size, mask) =
+        if (client == 1) (uintVar(b, elmtSize - 12), b.getInt())
+        else (chunkBytes, 0)
+      if (addr == Undef) None else Some((addr, size, mask))
+    }
+
+    val grid = chunkGrid(dims, cdims)
+    val nchunks = grid.product.toLong
+    require(maxBits >= 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nchunks)),
+      s"$path: chunk grid of $nchunks outgrows the declared 2^$maxBits elements")
+    if (ibAddr == Undef) return Nil
+
+    // index block: inline elements, direct data-block pointers, super-block
+    // pointers — fixed capacity regardless of how much is in use
+    val ibLen = 14 + idxElmts * elmtSize + (geo.ndblkAddrs + geo.nsblkAddrs) * 8 + 4
+    val ibRaw = r.bytes(ibAddr, ibLen)
+    val ib = ByteBuffer.wrap(ibRaw).order(ByteOrder.LITTLE_ENDIAN)
+    val ibSig = new Array[Byte](4); ib.get(ibSig)
+    require(ibSig.sameElements("EAIB".getBytes),
+      s"$path: bad extensible-array index block signature")
+    require(ib.get() == 0, s"$path: extensible-array index block version unsupported")
+    require((ib.get() & 0xFF) == client, s"$path: extensible-array index block client mismatch")
+    require(ib.getLong() == ea.addr, s"$path: extensible-array index block points elsewhere")
+    require(ib.getInt(ibLen - 4) == lookup3(java.util.Arrays.copyOf(ibRaw, ibLen - 4)),
+      s"$path: extensible-array index block checksum mismatch")
+    ib.position(14)
+    val inline = (0 until idxElmts).map(_ => element(ib))
+    val directDblk = (0 until geo.ndblkAddrs).map(_ => ib.getLong())
+    val sblkAddr = (0 until geo.nsblkAddrs).map(_ => ib.getLong())
+
+    /** Data-block pointers of super block `u ≥ nsblksDirect` (cached). */
+    val sblkCache = scala.collection.mutable.Map.empty[Int, IndexedSeq[Long]]
+    def sblkDblks(u: Int): IndexedSeq[Long] = sblkCache.getOrElseUpdate(u, {
+      val (nd, ne, start, _) = geo.sblks(u)
+      require(ne <= (1L << pageBits),
+        s"$path: paged extensible-array data blocks unsupported " +
+          s"($ne elements > 2^$pageBits page) in super block $u")
+      val addr = sblkAddr(u - geo.nsblksDirect)
+      if (addr == Undef) IndexedSeq.fill(nd)(Undef)
+      else {
+        val len = 14 + geo.arrOffSize + nd * 8 + 4
+        val sRaw = r.bytes(addr, len)
+        val sb = ByteBuffer.wrap(sRaw).order(ByteOrder.LITTLE_ENDIAN)
+        val sSig = new Array[Byte](4); sb.get(sSig)
+        require(sSig.sameElements("EASB".getBytes),
+          s"$path: bad extensible-array super block signature")
+        require(sb.get() == 0, s"$path: extensible-array super block version unsupported")
+        require((sb.get() & 0xFF) == client, s"$path: extensible-array super block client mismatch")
+        require(sb.getLong() == ea.addr, s"$path: extensible-array super block points elsewhere")
+        val off = uintVar(sb, geo.arrOffSize)
+        require(off == idxElmts + start,
+          s"$path: extensible-array super block $u at offset $off, expected ${idxElmts + start}")
+        require(sb.getInt(len - 4) == lookup3(java.util.Arrays.copyOf(sRaw, len - 4)),
+          s"$path: extensible-array super block checksum mismatch")
+        (0 until nd).map(_ => sb.getLong())
+      }
+    })
+
+    /** Elements of the data block at `addr` holding `ne` elements whose
+      * first element has array index `off` (cached per address).
+      */
+    val dblkCache = scala.collection.mutable.Map.empty[Long, IndexedSeq[Option[(Long, Long, Int)]]]
+    def dblkElements(addr: Long, ne: Long, off: Long): IndexedSeq[Option[(Long, Long, Int)]] =
+      dblkCache.getOrElseUpdate(addr, {
+        require(ne <= (1L << pageBits),
+          s"$path: paged extensible-array data block unsupported ($ne elements > 2^$pageBits page)")
+        val len = 14 + geo.arrOffSize + ne.toInt * elmtSize + 4
+        val dRaw = r.bytes(addr, len)
+        val db = ByteBuffer.wrap(dRaw).order(ByteOrder.LITTLE_ENDIAN)
+        val dSig = new Array[Byte](4); db.get(dSig)
+        require(dSig.sameElements("EADB".getBytes),
+          s"$path: bad extensible-array data block signature")
+        require(db.get() == 0, s"$path: extensible-array data block version unsupported")
+        require((db.get() & 0xFF) == client, s"$path: extensible-array data block client mismatch")
+        require(db.getLong() == ea.addr, s"$path: extensible-array data block points elsewhere")
+        val stored = uintVar(db, geo.arrOffSize)
+        require(stored == off,
+          s"$path: extensible-array data block at offset $stored, expected $off")
+        require(db.getInt(len - 4) == lookup3(java.util.Arrays.copyOf(dRaw, len - 4)),
+          s"$path: extensible-array data block checksum mismatch")
+        (0 until ne.toInt).map(_ => element(db))
+      })
+
+    (0L until nchunks).flatMap { i =>
+      val e =
+        if (i < idxElmts) inline(i.toInt)
+        else {
+          val (u, dblkIdx, within) = geo.locate(i)
+          val (_, ne, start, startDblk) = geo.sblks(u)
+          val addr =
+            if (u < geo.nsblksDirect) directDblk((startDblk + dblkIdx).toInt)
+            else sblkDblks(u)(dblkIdx)
+          if (addr == Undef) None
+          else dblkElements(addr, ne, idxElmts + start + dblkIdx * ne)(within.toInt)
+        }
+      e.map { case (addr, size, mask) =>
+        (chunkOrigin(i.toInt, grid, cdims), addr, size, mask)
+      }
+    }
+  }
+
+  /** Enumerate chunks from a v2 B-tree index: the generic any-depth walker
+    * ([[readBtreeLeaf]]) over record type 10 (unfiltered: address + per-dim
+    * scaled offsets) or 11 (filtered: address + stored size in the
+    * [[chunkSizeLen]] width + filter mask + scaled offsets). Scaled offsets
+    * are chunk-grid coordinates; × chunk dims restores element offsets.
+    */
+  private def btree2Chunks(r: Reader, bt: Btree2Index, cdims: Seq[Int],
+      dims: Seq[Long], chunkBytes: Long, filtered: Boolean,
+      path: String): Seq[(Seq[Long], Long, Long, Int)] = {
+    if (bt.addr == Undef) return Nil
+    val rank = cdims.length
+    val csl = chunkSizeLen(chunkBytes)
+    val recSize = 8 + (if (filtered) csl + 4 else 0) + 8 * rank
+    val expType = if (filtered) 11 else 10
+    val (buf, n) = readBtreeLeaf(r, bt.addr, expType, recSize, "chunk", path)
+    val grid = chunkGrid(dims, cdims)
+    (0 until n).map { _ =>
+      val addr = buf.getLong()
+      val (size, mask) =
+        if (filtered) (uintVar(buf, csl), buf.getInt()) else (chunkBytes, 0)
+      val scaled = (0 until rank).map(_ => buf.getLong())
+      scaled.zip(grid).zipWithIndex.foreach { case ((s, g), k) =>
+        require(s >= 0 && s < g,
+          s"$path: v2 b-tree chunk record scaled offset $s out of grid range $g (dim $k)")
+      }
+      (scaled.zip(cdims).map { case (s, c) => s * c }, addr, size, mask)
     }
   }
 
@@ -1592,6 +1881,14 @@ object Hdf5 {
     * depth ≥ 2 internal-over-internal trees a million-chunk archive has
     * (libhdf5 splits every node at 2·istore_k; the reader recurses at any
     * depth). Requires `btreeLeafK`.
+    * `eaIndex` (latest only) switches a multi-chunk dataset to the
+    * EXTENSIBLE ARRAY chunk index — what libhdf5 picks for one unlimited
+    * dimension, i.e. the appendable-archive shape; pair with `maxDims`
+    * marking the record dimension unlimited. `bt2NodeSize` (latest only)
+    * switches to the V2 B-TREE chunk index at the given node size — what
+    * libhdf5 picks for ≥ 2 unlimited dimensions; small node sizes force
+    * multi-level trees. `maxDims` adds a maximum-dimensions list to the
+    * dataspace message (−1 entries = H5S_UNLIMITED).
     */
   final case class WDataset(
       name: String, dtype: DType, dims: Seq[Long], data: Array[Double],
@@ -1602,7 +1899,10 @@ object Hdf5 {
       filters: Seq[H5Filter] = Nil,
       implicitIndex: Boolean = false,
       btreeLeafK: Option[Int] = None,
-      btreeInternalK: Option[Int] = None)
+      btreeInternalK: Option[Int] = None,
+      eaIndex: Boolean = false,
+      bt2NodeSize: Option[Int] = None,
+      maxDims: Option[Seq[Long]] = None)
 
   private final class LeBuf {
     private val bo = new java.io.ByteArrayOutputStream()
@@ -1612,6 +1912,12 @@ object Hdf5 {
     def u16(v: Int): this.type = { u8(v); u8(v >> 8) }
     def u32(v: Long): this.type = { u16((v & 0xFFFF).toInt); u16(((v >> 16) & 0xFFFF).toInt) }
     def u64(v: Long): this.type = { u32(v & 0xFFFFFFFFL); u32((v >>> 32) & 0xFFFFFFFFL) }
+    /** Little-endian unsigned in `n` bytes — chunk-size and extensible-array
+      * block-offset fields use non-power-of-two widths.
+      */
+    def uvar(v: Long, n: Int): this.type = {
+      (0 until n).foreach(i => u8(((v >>> (8 * i)) & 0xFF).toInt)); this
+    }
     def raw(b: Array[Byte]): this.type = { bo.write(b); this }
     def padTo8(): this.type = { while (size % 8 != 0) u8(0); this }
   }
@@ -1762,6 +2068,24 @@ object Hdf5 {
         require(k >= 2, s"${d.name}: btreeInternalK must be >= 2")
         require(d.btreeLeafK.isDefined,
           s"${d.name}: btreeInternalK splits internal nodes — needs btreeLeafK first")
+      }
+      require(!(d.eaIndex && d.bt2NodeSize.isDefined),
+        s"${d.name}: pick ONE of eaIndex / bt2NodeSize")
+      if (d.eaIndex || d.bt2NodeSize.isDefined) {
+        require(latest,
+          s"${d.name}: extensible-array / v2-b-tree chunk indexes are latest-format only")
+        require(d.chunkDims.isDefined,
+          s"${d.name}: extensible-array / v2-b-tree indexes need a chunked layout")
+        require(!d.implicitIndex,
+          s"${d.name}: implicitIndex conflicts with an explicit chunk index choice")
+      }
+      d.bt2NodeSize.foreach(ns => require(ns >= 48,
+        s"${d.name}: v2-b-tree node size $ns implausibly small"))
+      d.maxDims.foreach { md =>
+        require(md.length == d.dims.length,
+          s"${d.name}: maxDims rank ${md.length} != dims rank ${d.dims.length}")
+        require(latest, s"${d.name}: maxDims is emitted by the v2 dataspace " +
+          "message only — latest format required")
       }
     }
     val names = datasets.map(_.name)
@@ -2223,6 +2547,147 @@ object Hdf5 {
     // flags + creation order + hash — the order libhdf5 encodes). Geometry
     // mirrors the library defaults: 32-bit heap space (4-byte offsets),
     // 4 KiB max managed object (2-byte lengths).
+    /** A v2 B-tree writer over `count` records already in KEY ORDER —
+      * `recBytes(i, res)` returns record `i`'s bytes (fixed `recSize`). The
+      * classic any-depth partition: a node owns its separator records;
+      * children + separators partition the full sorted sequence (records
+      * are NOT duplicated). The tree depth is the smallest whose cumulative
+      * capacity fits the count; node capacities follow the reader twin's
+      * per-depth formulas ([[readBtreeLeaf]]), so writer and reader can
+      * never disagree on geometry. Shared by the dense-storage name indexes
+      * (via [[DenseStore]]) and the v2-b-tree CHUNK indexes (record types
+      * 10/11).
+      */
+    final class V2TreeWriter(prefix: String, btType: Int, nodeSize: Int,
+        recSize: Int, count: Int, recBytes: (Int, Resolve) => Array[Byte]) {
+      private def maxLeafRec: Int = (nodeSize - 10) / recSize
+      private def bytesFor(v: Long): Int =
+        (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v)) + 8) / 8
+      private def nrecWidth: Int = bytesFor(maxLeafRec.toLong)
+      /** (maxRec, cumMax, cumWidth) per depth — the reader twin's formulas. */
+      private def geo(d: Int): (Long, Long, Int) =
+        if (d == 0) (maxLeafRec.toLong, maxLeafRec.toLong, bytesFor(maxLeafRec.toLong))
+        else {
+          val ptr = 8 + nrecWidth + (if (d >= 2) geo(d - 1)._3 else 0)
+          val maxRec = (nodeSize - 10 - ptr) / (recSize + ptr)
+          require(maxRec >= 1, s"$prefix: node size $nodeSize too small for depth $d")
+          val cum = (maxRec + 1).toLong * geo(d - 1)._2 + maxRec
+          (maxRec.toLong, cum, bytesFor(cum))
+        }
+
+      private sealed trait BNode {
+        def own: Seq[Int]; def depth: Int; def idx: Int
+        def total: Long
+      }
+      private final case class BLeaf(own: Seq[Int], idx: Int) extends BNode {
+        def depth = 0; def total: Long = own.length.toLong
+      }
+      private final case class BInt(depth: Int, own: Seq[Int],
+          children: Seq[BNode], idx: Int) extends BNode {
+        def total: Long = own.length.toLong + children.map(_.total).sum
+      }
+      private lazy val tree: BNode = {
+        val n = count
+        val depth = Iterator.from(0).find(d => n <= geo(d)._2).get
+        // capacity-1 leaves cannot split without an empty child — a real
+        // b-tree never has them (node sizes dwarf records); fail loudly
+        require(depth == 0 || maxLeafRec >= 2,
+          s"$prefix: node size $nodeSize holds one record per leaf — cannot split")
+        val counters = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+        def mk(recs: Seq[Int], d: Int): BNode = {
+          val i = { val v = counters(d); counters(d) = v + 1; v }
+          if (d == 0) BLeaf(recs, i)
+          else {
+            // smallest child count C with C·cum(d−1) + (C−1) ≥ n, i.e.
+            // ceil((n+1)/(cum+1)) — the naive (n+cum)/(cum+1) undercounts
+            // exactly when n is a multiple of cum+1, overstuffing a subtree
+            val cum = geo(d - 1)._2
+            val c = ((recs.length + cum + 1) / (cum + 1)).toInt
+            val childTotal = recs.length - (c - 1)
+            val base = childTotal / c; val extra = childTotal % c
+            val kids = scala.collection.mutable.ArrayBuffer[BNode]()
+            val seps = scala.collection.mutable.ArrayBuffer[Int]()
+            var at = 0
+            (0 until c).foreach { j =>
+              val sz = base + (if (j < extra) 1 else 0)
+              kids += mk(recs.slice(at, at + sz), d - 1); at += sz
+              if (j < c - 1) { seps += recs(at); at += 1 }
+            }
+            BInt(d, seps.toSeq, kids.toSeq, i)
+          }
+        }
+        mk(0 until count, depth)
+      }
+      private lazy val allNodes: Seq[BNode] = {
+        def walk(n: BNode): Seq[BNode] = n match {
+          case l: BLeaf => Seq(l)
+          case i: BInt => i +: i.children.flatMap(walk)
+        }
+        walk(tree)
+      }
+      private def nodeSuffix(n: BNode): String = n match {
+        case l: BLeaf => s"btlf:${l.idx}"
+        case i: BInt => s"btin:${i.depth}:${i.idx}"
+      }
+
+      private def bthdBlock(res: Resolve): Array[Byte] = {
+        val b = new LeBuf
+        b.raw("BTHD".getBytes).u8(0).u8(btType)
+        b.u32(nodeSize).u16(recSize)
+        b.u16(tree.depth) // depth
+        b.u8(100).u8(40) // split / merge percents (library defaults)
+        b.u64(res(s"$prefix:${nodeSuffix(tree)}"))
+        b.u16(tree.own.length)
+        b.u64(count)
+        u32ck(b)
+      }
+
+      /** Internal node: prefix, the node's own separator records, then
+        * nrec+1 child pointers of (address, child record count in the
+        * leaf-capacity width[, subtree total in the depth-(d−1) cumulative
+        * width — only when children are themselves internal]) — the layout
+        * readBtreeLeaf consumes at every depth.
+        */
+      private def btinBlock(node: BInt, res: Resolve): Array[Byte] = {
+        val totWidth = if (node.depth >= 2) geo(node.depth - 1)._3 else 0
+        val b = new LeBuf
+        b.raw("BTIN".getBytes).u8(0).u8(btType)
+        node.own.foreach(i => b.raw(recBytes(i, res)))
+        node.children.foreach { k =>
+          b.u64(res(s"$prefix:${nodeSuffix(k)}"))
+          (0 until nrecWidth).foreach(i =>
+            b.u8(((k.own.length.toLong >> (8 * i)) & 0xFF).toInt))
+          (0 until totWidth).foreach(i =>
+            b.u8(((k.total >> (8 * i)) & 0xFF).toInt))
+        }
+        u32ck(b)
+      }
+
+      private def btlfBlock(j: Int, res: Resolve): Array[Byte] = {
+        val own = allNodes.collectFirst { case l: BLeaf if l.idx == j => l.own }.get
+        val b = new LeBuf
+        b.raw("BTLF".getBytes).u8(0).u8(btType)
+        own.foreach(i => b.raw(recBytes(i, res)))
+        u32ck(b)
+      }
+
+      def headerRef(res: Resolve): Long = res(s"$prefix:bthd")
+      def blockNames: Seq[String] =
+        Seq(s"$prefix:bthd") ++ allNodes.map(n => s"$prefix:${nodeSuffix(n)}")
+      /** Build the block whose FULL name is `name`. */
+      def build(name: String, res: Resolve): Array[Byte] =
+        name.drop(prefix.length + 1) match {
+          case "bthd" => bthdBlock(res)
+          case n if n.startsWith("btin:") => // "btin:<depth>:<idx>"
+            val Array(_, d, j) = n.split(":")
+            btinBlock(allNodes.collectFirst {
+              case b: BInt if b.depth == d.toInt && b.idx == j.toInt => b
+            }.get, res)
+          case l if l.startsWith("btlf:") => btlfBlock(l.drop(5).toInt, res)
+          case o => throw new IllegalStateException(s"unknown v2-tree block $o")
+        }
+    }
+
     final class DenseStore(prefix: String, btType: Int, idLen: Int,
         items: Seq[(String, Resolve => Array[Byte])],
         nodeSize: Int = 4096) {
@@ -2363,27 +2828,6 @@ object Hdf5 {
         if (btType == 5) 4 + idLen // hash + heap ID
         else idLen + 1 + 4 + 4 // heap ID + message flags + creation order + hash
 
-      /** Leaf capacity under the declared node size (libhdf5's
-        * H5B2_NUM_LEAF_REC: node minus the 10-byte prefix+checksum) — past
-        * it the index becomes a BTIN root over split leaves, exactly as the
-        * library splits for many-link / many-attribute objects; past the
-        * cumulative depth-1 capacity the internals split recursively too.
-        */
-      private def maxLeafRec: Int = (nodeSize - 10) / recSize
-      private def bytesFor(v: Long): Int =
-        (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v)) + 8) / 8
-      private def nrecWidth: Int = bytesFor(maxLeafRec.toLong)
-      /** (maxRec, cumMax, cumWidth) per depth — the reader twin's formulas. */
-      private def geo(d: Int): (Long, Long, Int) =
-        if (d == 0) (maxLeafRec.toLong, maxLeafRec.toLong, bytesFor(maxLeafRec.toLong))
-        else {
-          val ptr = 8 + nrecWidth + (if (d >= 2) geo(d - 1)._3 else 0)
-          val maxRec = (nodeSize - 10 - ptr) / (recSize + ptr)
-          require(maxRec >= 1, s"$prefix: node size $nodeSize too small for depth $d")
-          val cum = (maxRec + 1).toLong * geo(d - 1)._2 + maxRec
-          (maxRec.toLong, cum, bytesFor(cum))
-        }
-
       /** Item indices in b-tree key order (name hash, then name) — order
         * and count are res-free, so the tree SHAPE is a lazy val while the
         * record BYTES (which embed heap IDs) materialize under `res`.
@@ -2401,112 +2845,16 @@ object Hdf5 {
         b.bytes
       }
 
-      /** A classic B-tree partition of the sorted records, ANY depth: a
-        * node owns its separator records; children + separators partition
-        * the full sorted sequence (records are NOT duplicated). The tree
-        * depth is the smallest whose cumulative capacity fits the count.
+      /** The name-index tree itself: the generic writer over records in
+        * hash-then-name key order.
         */
-      private sealed trait BNode {
-        def own: Seq[Int]; def depth: Int; def idx: Int
-        def total: Long
-      }
-      private final case class BLeaf(own: Seq[Int], idx: Int) extends BNode {
-        def depth = 0; def total: Long = own.length.toLong
-      }
-      private final case class BInt(depth: Int, own: Seq[Int],
-          children: Seq[BNode], idx: Int) extends BNode {
-        def total: Long = own.length.toLong + children.map(_.total).sum
-      }
-      private lazy val tree: BNode = {
-        val n = sortedIdx.length
-        val depth = Iterator.from(0).find(d => n <= geo(d)._2).get
-        // capacity-1 leaves cannot split without an empty child — a real
-        // b-tree never has them (node sizes dwarf records); fail loudly
-        require(depth == 0 || maxLeafRec >= 2,
-          s"$prefix: node size $nodeSize holds one record per leaf — cannot split")
-        val counters = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
-        def mk(recs: Seq[Int], d: Int): BNode = {
-          val i = { val v = counters(d); counters(d) = v + 1; v }
-          if (d == 0) BLeaf(recs, i)
-          else {
-            // smallest child count C with C·cum(d−1) + (C−1) ≥ n, i.e.
-            // ceil((n+1)/(cum+1)) — the naive (n+cum)/(cum+1) undercounts
-            // exactly when n is a multiple of cum+1, overstuffing a subtree
-            val cum = geo(d - 1)._2
-            val c = ((recs.length + cum + 1) / (cum + 1)).toInt
-            val childTotal = recs.length - (c - 1)
-            val base = childTotal / c; val extra = childTotal % c
-            val kids = scala.collection.mutable.ArrayBuffer[BNode]()
-            val seps = scala.collection.mutable.ArrayBuffer[Int]()
-            var at = 0
-            (0 until c).foreach { j =>
-              val sz = base + (if (j < extra) 1 else 0)
-              kids += mk(recs.slice(at, at + sz), d - 1); at += sz
-              if (j < c - 1) { seps += recs(at); at += 1 }
-            }
-            BInt(d, seps.toSeq, kids.toSeq, i)
-          }
-        }
-        mk(sortedIdx, depth)
-      }
-      private lazy val allNodes: Seq[BNode] = {
-        def walk(n: BNode): Seq[BNode] = n match {
-          case l: BLeaf => Seq(l)
-          case i: BInt => i +: i.children.flatMap(walk)
-        }
-        walk(tree)
-      }
-      private def nodeSuffix(n: BNode): String = n match {
-        case l: BLeaf => s"btlf:${l.idx}"
-        case i: BInt => s"btin:${i.depth}:${i.idx}"
-      }
-
-      private def bthdBlock(res: Resolve): Array[Byte] = {
-        val b = new LeBuf
-        b.raw("BTHD".getBytes).u8(0).u8(btType)
-        b.u32(nodeSize).u16(recSize)
-        b.u16(tree.depth) // depth
-        b.u8(100).u8(40) // split / merge percents (library defaults)
-        b.u64(res(s"$prefix:${nodeSuffix(tree)}"))
-        b.u16(tree.own.length)
-        b.u64(sortedIdx.length)
-        u32ck(b)
-      }
-
-      /** Internal node: prefix, the node's own separator records, then
-        * nrec+1 child pointers of (address, child record count in the
-        * leaf-capacity width[, subtree total in the depth-(d−1) cumulative
-        * width — only when children are themselves internal]) — the layout
-        * readBtreeLeaf consumes at every depth.
-        */
-      private def btinBlock(node: BInt, res: Resolve): Array[Byte] = {
-        val totWidth = if (node.depth >= 2) geo(node.depth - 1)._3 else 0
-        val b = new LeBuf
-        b.raw("BTIN".getBytes).u8(0).u8(btType)
-        node.own.foreach(i => b.raw(recBytes(i, res)))
-        node.children.foreach { k =>
-          b.u64(res(s"$prefix:${nodeSuffix(k)}"))
-          (0 until nrecWidth).foreach(i =>
-            b.u8(((k.own.length.toLong >> (8 * i)) & 0xFF).toInt))
-          (0 until totWidth).foreach(i =>
-            b.u8(((k.total >> (8 * i)) & 0xFF).toInt))
-        }
-        u32ck(b)
-      }
-
-      private def btlfBlock(j: Int, res: Resolve): Array[Byte] = {
-        val own = allNodes.collectFirst { case l: BLeaf if l.idx == j => l.own }.get
-        val b = new LeBuf
-        b.raw("BTLF".getBytes).u8(0).u8(btType)
-        own.foreach(i => b.raw(recBytes(i, res)))
-        u32ck(b)
-      }
+      private lazy val nameTree = new V2TreeWriter(prefix, btType, nodeSize,
+        recSize, items.length, (i, res) => recBytes(sortedIdx(i), res))
 
       def fheapRef(res: Resolve): Long = res(s"$prefix:frhp")
       def btreeRef(res: Resolve): Long = res(s"$prefix:bthd")
       def blockNames: Seq[String] =
-        Seq(s"$prefix:frhp", s"$prefix:fhdb", s"$prefix:bthd") ++
-          allNodes.map(n => s"$prefix:${nodeSuffix(n)}") ++
+        Seq(s"$prefix:frhp", s"$prefix:fhdb") ++ nameTree.blockNames ++
           (if (hugeIdx.nonEmpty)
             Seq(s"$prefix:hugebt", s"$prefix:hugebl") ++
               hugeIdx.indices.map(k => s"$prefix:hugeobj:$k")
@@ -2515,25 +2863,22 @@ object Hdf5 {
         name.drop(prefix.length + 1) match {
           case "frhp" => frhpBlock(res)
           case "fhdb" => fhdbBlock(res)
-          case "bthd" => bthdBlock(res)
-          case n if n.startsWith("btin:") => // "btin:<depth>:<idx>"
-            val Array(_, d, j) = n.split(":")
-            btinBlock(allNodes.collectFirst {
-              case b: BInt if b.depth == d.toInt && b.idx == j.toInt => b
-            }.get, res)
           case "hugebt" => hugeBtBlock(res)
           case "hugebl" => hugeBlBlock(res)
-          case l if l.startsWith("btlf:") => btlfBlock(l.drop(5).toInt, res)
           case h if h.startsWith("hugeobj:") => items(hugeIdx(h.drop(8).toInt))._2(res)
+          case n if n == "bthd" || n.startsWith("btin:") || n.startsWith("btlf:") =>
+            nameTree.build(name, res)
           case o => throw new IllegalStateException(s"unknown dense block $o")
         }
     }
 
-    def dataspaceBytesV2(dims: Seq[Long]): Array[Byte] = {
+    def dataspaceBytesV2(dims: Seq[Long],
+        maxDims: Option[Seq[Long]] = None): Array[Byte] = {
       val b = new LeBuf
-      b.u8(2).u8(dims.length).u8(0) // version, rank, flags
+      b.u8(2).u8(dims.length).u8(if (maxDims.isDefined) 1 else 0) // version, rank, flags
       b.u8(if (dims.isEmpty) 0 else 1) // type: scalar / simple
       dims.foreach(b.u64)
+      maxDims.foreach(_.foreach(b.u64)) // −1 = H5S_UNLIMITED
       b.bytes
     }
 
@@ -2594,9 +2939,18 @@ object Hdf5 {
     // fixtures stay far below 2^10 chunks, so data blocks never page
     val fixedArrayPageBits = 10
 
+    // Extensible-array creation parameters for fixtures: libhdf5's dataset
+    // defaults except data-block min elements 4 (default 16) and super-block
+    // min pointers 2 (default 4), so a fixture-sized chunk count outgrows
+    // the index block's 2 direct pointers (16 elements) and reaches real
+    // EASB super blocks; minPtrs ≠ minElmts also makes the header field
+    // ORDER byte-testable (the two spec sections order them oppositely).
+    val eaParams = EaGeometry(maxBits = 32, idxElmts = 4, minPtrs = 2,
+      minElmts = 4, pageBits = 10)
+
     def datasetOhV2(d: WDataset, res: Resolve): Array[Byte] = {
       val msgs = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
-      msgs += 0x0001 -> dataspaceBytesV2(d.dims)
+      msgs += 0x0001 -> dataspaceBytesV2(d.dims, d.maxDims)
       msgs += 0x0003 -> dtypeBytes(d.dtype)
       locally { // fill value v2, undefined
         val f = new LeBuf; f.u8(2).u8(1).u8(0).u8(0)
@@ -2624,6 +2978,19 @@ object Hdf5 {
             } else if (d.implicitIndex) {
               l.u8(2) // Implicit index: chunk blocks are written back-to-back
               l.u64(res(s"chunk:${d.name}:0"))
+            } else if (d.eaIndex) {
+              // Extensible Array index — the LAYOUT-MESSAGE cparam order
+              // (max bits, index elements, min POINTERS, min ELEMENTS, page
+              // bits) differs from the EAHD's own field order; the reader
+              // cross-checks the two
+              l.u8(4)
+              l.u8(eaParams.maxBits).u8(eaParams.idxElmts).u8(eaParams.minPtrs)
+              l.u8(eaParams.minElmts).u8(eaParams.pageBits)
+              l.u64(res(s"eahd:${d.name}"))
+            } else if (d.bt2NodeSize.isDefined) {
+              l.u8(5) // v2 B-tree index: node size + split/merge percents
+              l.u32(d.bt2NodeSize.get).u8(100).u8(40)
+              l.u64(res(s"bt2:${d.name}:bthd"))
             } else {
               l.u8(3).u8(fixedArrayPageBits) // Fixed Array index
               l.u64(res(s"fahd:${d.name}"))
@@ -2657,12 +3024,38 @@ object Hdf5 {
       objectHeaderV2(msgs.toSeq)
     }
 
+    /** Raw (pre-filter) bytes of one chunk — what sizes the stored-size
+      * field width in FA/EA elements and v2-b-tree records.
+      */
+    def rawChunkBytes(d: WDataset): Long =
+      d.chunkDims.get.map(_.toLong).product * d.dtype.size
+    /** FA/EA on-disk element size: the address, plus for FILTERED clients
+      * the stored size in libhdf5's [[chunkSizeLen]] width (NOT a fixed 8 —
+      * one byte more than the raw chunk size needs, capped at 8) and the
+      * 4-byte filter mask.
+      */
+    def chunkElmtSize(d: WDataset): Int =
+      if (d.filters.nonEmpty) 8 + chunkSizeLen(rawChunkBytes(d)) + 4 else 8
+    /** One FA/EA/EAIB element: chunk address [+ stored size + mask], or the
+      * undefined pattern for a never-written slot.
+      */
+    def chunkElement(b: LeBuf, d: WDataset, i: Long, res: Resolve): Unit = {
+      val cs = chunksOf(d)
+      val csl = chunkSizeLen(rawChunkBytes(d))
+      if (i < cs.length) {
+        b.u64(res(s"chunk:${d.name}:$i"))
+        if (d.filters.nonEmpty) { b.uvar(cs(i.toInt)._2.length, csl); b.u32(0) }
+      } else {
+        b.u64(-1L)
+        if (d.filters.nonEmpty) { b.uvar(0, csl); b.u32(0) }
+      }
+    }
+
     def fahdBlock(d: WDataset, res: Resolve): Array[Byte] = {
       val client = if (d.filters.nonEmpty) 1 else 0
-      val entrySize = if (client == 1) 20 else 8 // addr [+ size(8) + mask(4)]
       val b = new LeBuf
       b.raw("FAHD".getBytes).u8(0).u8(client)
-      b.u8(entrySize).u8(fixedArrayPageBits)
+      b.u8(chunkElmtSize(d)).u8(fixedArrayPageBits)
       b.u64(chunksOf(d).length)
       b.u64(res(s"fadb:${d.name}"))
       u32ck(b)
@@ -2673,12 +3066,127 @@ object Hdf5 {
       val b = new LeBuf
       b.raw("FADB".getBytes).u8(0).u8(client)
       b.u64(res(s"fahd:${d.name}"))
-      chunksOf(d).zipWithIndex.foreach { case ((_, bytes), i) =>
-        b.u64(res(s"chunk:${d.name}:$i"))
-        if (client == 1) { b.u64(bytes.length); b.u32(0) } // stored size + mask
+      chunksOf(d).indices.foreach(i => chunkElement(b, d, i, res))
+      u32ck(b)
+    }
+
+    /** Which super blocks (beyond the direct pointers) and which GLOBAL
+      * data blocks an EA-indexed dataset's chunk count touches.
+      */
+    def eaUsed(d: WDataset): (Seq[Int], Seq[Long]) = {
+      val n = chunksOf(d).length.toLong
+      val pairs = (eaParams.idxElmts.toLong until n)
+        .map(i => { val (u, di, _) = eaParams.locate(i); (u, di) }).distinct
+      val sblksUsed = pairs.map(_._1).filter(_ >= eaParams.nsblksDirect).distinct.sorted
+      val dblksUsed = pairs.map { case (u, di) => eaParams.sblks(u)._4 + di }.sorted
+      (sblksUsed, dblksUsed)
+    }
+    /** Global data-block index → (super block, index within it). */
+    def eaDblkHome(g: Long): (Int, Int) = {
+      val u = eaParams.sblks.lastIndexWhere(_._4 <= g)
+      (u, (g - eaParams.sblks(u)._4).toInt)
+    }
+
+    def eahdBlock(d: WDataset, res: Resolve): Array[Byte] = {
+      val client = if (d.filters.nonEmpty) 1 else 0
+      val n = chunksOf(d).length.toLong
+      val (sblksUsed, dblksUsed) = eaUsed(d)
+      val sblkBytes = sblksUsed.map { u =>
+        (14 + eaParams.arrOffSize + eaParams.sblks(u)._1 * 8 + 4).toLong
+      }.sum
+      val dblkBytes = dblksUsed.map { g =>
+        val (u, _) = eaDblkHome(g)
+        14 + eaParams.arrOffSize + eaParams.sblks(u)._2 * chunkElmtSize(d) + 4
+      }.sum
+      val b = new LeBuf
+      b.raw("EAHD".getBytes).u8(0).u8(client)
+      // EAHD cparam order (its own spec section): element size, max bits,
+      // index elements, min ELEMENTS, min POINTERS, page bits — note the
+      // minElmts/minPtrs order is the REVERSE of the layout message's
+      b.u8(chunkElmtSize(d)).u8(eaParams.maxBits).u8(eaParams.idxElmts)
+      b.u8(eaParams.minElmts).u8(eaParams.minPtrs).u8(eaParams.pageBits)
+      b.u64(sblksUsed.length) // statistics: super blocks created
+      b.u64(sblkBytes)
+      b.u64(dblksUsed.length)
+      b.u64(dblkBytes)
+      b.u64(n) // max index set
+      b.u64(n) // elements realized
+      b.u64(res(s"eaib:${d.name}"))
+      u32ck(b)
+    }
+
+    def eaibBlock(d: WDataset, res: Resolve): Array[Byte] = {
+      val client = if (d.filters.nonEmpty) 1 else 0
+      val (_, dblksUsed) = eaUsed(d)
+      val used = dblksUsed.toSet
+      val b = new LeBuf
+      b.raw("EAIB".getBytes).u8(0).u8(client)
+      b.u64(res(s"eahd:${d.name}"))
+      (0 until eaParams.idxElmts).foreach(i => chunkElement(b, d, i, res))
+      // direct data-block pointers (super blocks 0 .. nsblksDirect−1)
+      (0L until eaParams.ndblkAddrs).foreach { g =>
+        b.u64(if (used(g)) res(s"eadb:${d.name}:$g") else -1L)
+      }
+      // super-block pointers
+      (0 until eaParams.nsblkAddrs).foreach { k =>
+        val u = eaParams.nsblksDirect + k
+        b.u64(if (eaUsed(d)._1.contains(u)) res(s"easb:${d.name}:$u") else -1L)
       }
       u32ck(b)
     }
+
+    def easbBlock(d: WDataset, u: Int, res: Resolve): Array[Byte] = {
+      val client = if (d.filters.nonEmpty) 1 else 0
+      val (nd, _, start, startDblk) = eaParams.sblks(u)
+      val (_, dblksUsed) = eaUsed(d)
+      val used = dblksUsed.toSet
+      val b = new LeBuf
+      b.raw("EASB".getBytes).u8(0).u8(client)
+      b.u64(res(s"eahd:${d.name}"))
+      b.uvar(eaParams.idxElmts + start, eaParams.arrOffSize)
+      (0 until nd).foreach { j =>
+        val g = startDblk + j
+        b.u64(if (used(g)) res(s"eadb:${d.name}:$g") else -1L)
+      }
+      u32ck(b)
+    }
+
+    def eadbBlock(d: WDataset, g: Long, res: Resolve): Array[Byte] = {
+      val client = if (d.filters.nonEmpty) 1 else 0
+      val (u, di) = eaDblkHome(g)
+      val (_, ne, start, _) = eaParams.sblks(u)
+      val base = eaParams.idxElmts + start + di * ne
+      val b = new LeBuf
+      b.raw("EADB".getBytes).u8(0).u8(client)
+      b.u64(res(s"eahd:${d.name}"))
+      b.uvar(base, eaParams.arrOffSize)
+      (0L until ne).foreach(j => chunkElement(b, d, base + j, res))
+      u32ck(b)
+    }
+
+    /** v2-b-tree CHUNK indexes: the generic tree writer over records in
+      * scaled-offset (= row-major chunk-grid) order — type 10 (address +
+      * scaled offsets) unfiltered, type 11 (+ stored size + mask) filtered.
+      */
+    lazy val bt2Trees: Map[String, V2TreeWriter] = datasets
+      .filter(d => d.bt2NodeSize.isDefined && d.chunkDims.isDefined &&
+        chunksOf(d).length > 1)
+      .map { d =>
+        val cd = d.chunkDims.get
+        val filtered = d.filters.nonEmpty
+        val csl = chunkSizeLen(rawChunkBytes(d))
+        val recSize = 8 + (if (filtered) csl + 4 else 0) + 8 * cd.length
+        d.name -> new V2TreeWriter(s"bt2:${d.name}",
+          if (filtered) 11 else 10, d.bt2NodeSize.get, recSize,
+          chunksOf(d).length, (i, res) => {
+            val (off, bytes) = chunksOf(d)(i)
+            val b = new LeBuf
+            b.u64(res(s"chunk:${d.name}:$i"))
+            if (filtered) { b.uvar(bytes.length, csl); b.u32(0) }
+            off.zip(cd).foreach { case (o, c) => b.u64(o / c) }
+            b.bytes
+          })
+      }.toMap
 
     // ---- assemble: block order fixes every address
     val blockNames: Seq[String] =
@@ -2695,6 +3203,13 @@ object Hdf5 {
               case Some(_) =>
                 val cs = chunksOf(d).indices.map(i => s"chunk:${d.name}:$i")
                 if (cs.length == 1 || d.implicitIndex) cs
+                else if (d.eaIndex) {
+                  val (sblksUsed, dblksUsed) = eaUsed(d)
+                  Seq(s"eahd:${d.name}", s"eaib:${d.name}") ++
+                    sblksUsed.map(u => s"easb:${d.name}:$u") ++
+                    dblksUsed.map(g => s"eadb:${d.name}:$g") ++ cs
+                } else if (d.bt2NodeSize.isDefined)
+                  bt2Trees(d.name).blockNames ++ cs
                 else Seq(s"fahd:${d.name}", s"fadb:${d.name}") ++ cs
             }
           }
@@ -2757,6 +3272,22 @@ object Hdf5 {
         fahdBlock(datasets.find(_.name == n.drop(5)).get, res)
       case n if n.startsWith("fadb:") =>
         fadbBlock(datasets.find(_.name == n.drop(5)).get, res)
+      case n if n.startsWith("eahd:") =>
+        eahdBlock(datasets.find(_.name == n.drop(5)).get, res)
+      case n if n.startsWith("eaib:") =>
+        eaibBlock(datasets.find(_.name == n.drop(5)).get, res)
+      case n if n.startsWith("easb:") => // "easb:<ds>:<u>"
+        val cut = n.lastIndexOf(':')
+        easbBlock(datasets.find(_.name == n.substring(5, cut)).get,
+          n.substring(cut + 1).toInt, res)
+      case n if n.startsWith("eadb:") => // "eadb:<ds>:<g>"
+        val cut = n.lastIndexOf(':')
+        eadbBlock(datasets.find(_.name == n.substring(5, cut)).get,
+          n.substring(cut + 1).toLong, res)
+      case n if n.startsWith("bt2:") => // "bt2:<ds>:<bthd|btin:d:j|btlf:j>"
+        val kind = "(:(?:bthd|btin:\\d+:\\d+|btlf:\\d+))$".r.findFirstIn(n)
+          .getOrElse(throw new IllegalStateException(s"unparseable bt2 block $n"))
+        bt2Trees(n.substring(4, n.length - kind.length)).build(n, res)
       case n if n.startsWith("chunk:") =>
         val Array(_, dn, i) = n.split(":")
         chunksOf(datasets.find(_.name == dn).get)(i.toInt)._2

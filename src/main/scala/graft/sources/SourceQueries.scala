@@ -368,12 +368,32 @@ object SourceQueries extends QueryModule {
     */
   lazy val nc4MultinodeDir: String = writeNc4Dir(latest = false, bigBtree = true)
 
+  /** The grid with EXTENSIBLE ARRAY chunk indexes — what libhdf5 emits for
+    * a chunked dataset with ONE unlimited dimension (the appendable archive
+    * libver='latest' shape): tasmax's 80 chunks spread across the index
+    * block's inline elements, its direct data-block pointers, AND three
+    * real EASB super blocks (filtered client); tasmin's 8 chunks stay in
+    * the direct region (unfiltered client). The time dimension is declared
+    * unlimited in the dataspace, as a real appended archive's would be.
+    */
+  lazy val nc4EaDir: String = writeNc4Dir(latest = true, eaIndex = true)
+
+  /** And with V2 B-TREE chunk indexes — libhdf5's choice for ≥ 2 unlimited
+    * dimensions: tasmax's 80 filtered chunk records (type 11) at node size
+    * 256 force a DEPTH-2 tree (internal-over-internal — the million-chunk
+    * shape at scale), tasmin's 8 unfiltered records (type 10) one leaf.
+    */
+  lazy val nc4Bt2Dir: String = writeNc4Dir(latest = true, bt2 = true)
+
   private def writeNc4Dir(latest: Boolean, dense: Boolean = false,
-      denseAttrs: Boolean = false, bigBtree: Boolean = false): String = {
+      denseAttrs: Boolean = false, bigBtree: Boolean = false,
+      eaIndex: Boolean = false, bt2: Boolean = false): String = {
     import GridData.{T => TD, X => XD, Y => YD}
     import Hdf5._
     val dir = java.nio.file.Files.createTempDirectory(
-      if (bigBtree) "graft-nc4mn"
+      if (eaIndex) "graft-nc4ea"
+      else if (bt2) "graft-nc4bt2"
+      else if (bigBtree) "graft-nc4mn"
       else if (denseAttrs) "graft-nc4da"
       else if (dense) "graft-nc4d" else if (latest) "graft-nc4l" else "graft-nc4")
       .toFile.getAbsolutePath
@@ -388,8 +408,10 @@ object SourceQueries extends QueryModule {
       // the non-chunked twin exercises contiguous v3 in the default file and
       // a filtered Single Chunk index in the latest one
       val (chunks, filters) =
-        if (bigBtree && vid == 0) // 4×5×4 = 80 chunks → >1 leaf node
+        if ((bigBtree || eaIndex || bt2) && vid == 0) // 4×5×4 = 80 chunks
           (Some(Seq(2, 4, 8)), Seq(Shuffle(F32.size), Deflate(4)))
+        else if ((eaIndex || bt2) && vid == 1) // 2×2×2 = 8 unfiltered chunks
+          (Some(Seq(4, 10, 16)), Nil)
         else if (vid == 0) (Some(Seq(3, 8, 16)), Seq(Shuffle(F32.size), Deflate(4)))
         else if (latest) (Some(Seq(TD, YD, XD)), Seq(Fletcher32))
         else (None, Nil)
@@ -420,7 +442,13 @@ object SourceQueries extends QueryModule {
             Seq(Seq("time"), Seq("lat"), Seq("lon"))),
           chunkDims = chunks,
           filters = filters,
-          btreeLeafK = leafK)), latest, dense, denseAttrs)
+          btreeLeafK = leafK,
+          eaIndex = eaIndex,
+          bt2NodeSize = if (bt2) Some(if (vid == 0) 256 else 512) else None,
+          // one unlimited dim → EA is libhdf5's pick; two → the v2 b-tree
+          maxDims = if (eaIndex) Some(Seq(-1L, YD.toLong, XD.toLong))
+          else if (bt2) Some(Seq(-1L, -1L, XD.toLong)) else None)),
+        latest, dense, denseAttrs)
     }
     dir
   }
@@ -506,6 +534,33 @@ object SourceQueries extends QueryModule {
         col("y").between(2, 16) && col("x") >= 7)
       .select("ts", "y", "x", "lat", "lon", "value")
       .orderBy("ts", "y", "x")
+
+  /** The hyperslab read served through EXTENSIBLE ARRAY chunk indexes — the
+    * appendable-archive index (one unlimited dimension): tasmax resolves
+    * chunks through inline index-block elements, direct data-block pointers
+    * AND three EASB super blocks (filtered client 1), tasmin through the
+    * direct region only (unfiltered client 0). Same values, same oracle;
+    * what changes is the chunk directory every section lookup traverses.
+    */
+  private def qGridNc4Ea(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", nc4EaDir).load()
+      .filter(col("ts") >= lit("1990-01-03 00:00:00").cast("timestamp") &&
+        col("y").between(5, 15) && col("x") >= 10)
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x")
+
+  /** The hyperslab read served through V2 B-TREE chunk indexes (≥ 2
+    * unlimited dimensions): tasmax's 80 filtered type-11 records sit in a
+    * DEPTH-2 tree at node size 256 — internal-over-internal, the shape a
+    * million-chunk archive has — and tasmin's 8 type-10 records in one
+    * leaf. Every chunk lookup traverses checksummed BTIN/BTLF nodes.
+    */
+  private def qGridNc4Bt2(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", nc4Bt2Dir).load()
+      .filter(col("ts") <= lit("1990-01-06 23:59:59").cast("timestamp") &&
+        col("y") < 12 && col("x").between(4, 25))
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x")
 
   /** The hyperslab read where the CATALOG itself comes out of dense group
     * storage: link messages resolved through the fractal heap + name-index
@@ -641,6 +696,8 @@ object SourceQueries extends QueryModule {
     "q_grid_nc" -> qGridNc,
     "q_grid_nc4" -> qGridNc4,
     "q_grid_nc4_latest" -> qGridNc4Latest,
+    "q_grid_nc4_ea" -> qGridNc4Ea,
+    "q_grid_nc4_bt2" -> qGridNc4Bt2,
     "q_grid_nc4_dense" -> qGridNc4Dense,
     "q_grid_nc4_multinode" -> qGridNc4Multinode,
     "q_grid_federated" -> qGridFederated,
@@ -744,6 +801,16 @@ object SourceQueries extends QueryModule {
       """SELECT variable, ts, y, x, lat, lon, value FROM cells
         |WHERE ts >= TIMESTAMP '1990-01-05 00:00:00'
         |  AND y <= 8 AND x < 12
+        |ORDER BY variable, ts, y, x""".stripMargin),
+    "q_grid_nc4_ea" -> (GridData.oracleCells +
+      """SELECT variable, ts, y, x, lat, lon, value FROM cells
+        |WHERE ts >= TIMESTAMP '1990-01-03 00:00:00'
+        |  AND y BETWEEN 5 AND 15 AND x >= 10
+        |ORDER BY variable, ts, y, x""".stripMargin),
+    "q_grid_nc4_bt2" -> (GridData.oracleCells +
+      """SELECT variable, ts, y, x, lat, lon, value FROM cells
+        |WHERE ts <= TIMESTAMP '1990-01-06 23:59:59'
+        |  AND y < 12 AND x BETWEEN 4 AND 25
         |ORDER BY variable, ts, y, x""".stripMargin),
     "q_grid_nc4_dense" -> (GridData.oracleCells +
       """SELECT variable, ts, y, x, lat, lon, value FROM cells

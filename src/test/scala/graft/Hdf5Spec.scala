@@ -304,6 +304,126 @@ class Hdf5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("implicit"))
   }
 
+  /** Count non-overlapping occurrences of a 4-byte signature in a file. */
+  private def sigCount(path: String, sig: String): Int = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val pat = sig.getBytes
+    var n = 0; var i = 0
+    while (i <= bytes.length - 4) {
+      if (bytes(i) == pat(0) && bytes(i + 1) == pat(1) &&
+        bytes(i + 2) == pat(2) && bytes(i + 3) == pat(3)) { n += 1; i += 4 }
+      else i += 1
+    }
+    n
+  }
+
+  // Extensible array: three chunk counts land in the three block shapes —
+  // 2 chunks fit the index block's inline elements, 10 spill to direct
+  // data blocks, 80 outgrow the direct pointers into real EASB super
+  // blocks (fixture geometry: 4 inline + 2 direct pointers / 16 elements).
+  // Expected block counts under the fixture geometry (idx 4, minElmts 4,
+  // minPtrs 2): super block u holds 2^(u/2) data blocks of 2^((u+1)/2)·4
+  // elements; sblks 0–1 are index-direct. 2 chunks → inline only;
+  // 10 → sblk0 + sblk1 data blocks, still direct; 80 → 7 data blocks
+  // across sblks 0–4, with sblks 2–4 behind real EASBs.
+  for {
+    filtered <- Seq(false, true)
+    (td, nchunks, easbs, eadbs) <- Seq((4, 2, 0, 0), (20, 10, 0, 2), (160, 80, 3, 7))
+  } test(s"latest format: extensible-array chunk index " +
+    s"($nchunks chunks, $easbs super blocks, filtered=$filtered)") {
+    val p = tmp("latest-ea.h5")
+    val data = Array.tabulate(td * Y * X)(i => ((i * 37) % 91).toDouble - 20)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(td, Y, X), data,
+        chunkDims = Some(Seq(2, Y, X)), eaIndex = true,
+        filters = if (filtered) Seq(Shuffle(4), Deflate(6)) else Nil,
+        maxDims = Some(Seq(-1L, Y, X)))), latest = true) // dim 0 unlimited
+    assert(sigCount(p, "EAHD") == 1)
+    assert(sigCount(p, "EAIB") == 1)
+    assert(sigCount(p, "EASB") == easbs)
+    assert(sigCount(p, "EADB") == eadbs)
+    val h = Hdf5.open(p)
+    val temp = h.dataset("temp").get
+    assert(temp.layout.asInstanceOf[ChunkedV4].index.isInstanceOf[ExtensibleArrayIndex])
+    assert(Hdf5.readAll(p, temp).toSeq == data.toSeq)
+    val rdr = new Hdf5.SectionReader(p, temp)
+    try {
+      for (t <- Seq(0, td / 2, td - 1); y <- 0 until Y)
+        assert(rdr.readRow(t, y, 1, X - 2).toSeq ==
+          (1 to X - 2).map(x => data((t * Y + y) * X + x)), s"t=$t y=$y")
+    } finally rdr.close()
+  }
+
+  test("extensible array: EAHD field order follows its own spec section (minElmts BEFORE minPtrs)") {
+    val p = tmp("ea-order.h5")
+    val data = Array.tabulate(20 * Y * X)(_.toDouble)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(20, Y, X), data,
+        chunkDims = Some(Seq(2, Y, X)), eaIndex = true)), latest = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val at = bytes.indexOfSlice("EAHD".getBytes)
+    assert(at > 0)
+    // sig(4) ver(1) client(1) elmtSize(1), then the cparams — the fixture
+    // geometry has minElmts=4 ≠ minPtrs=2, so a swapped order cannot pass
+    assert(bytes(at + 4) == 0, "version")
+    assert(bytes(at + 5) == 0, "client 0 (unfiltered)")
+    assert(bytes(at + 6) == 8, "element size: bare address")
+    assert(bytes(at + 7) == 32, "max nelmts bits")
+    assert(bytes(at + 8) == 4, "index block elements")
+    assert(bytes(at + 9) == 4, "data block min ELEMENTS comes first")
+    assert(bytes(at + 10) == 2, "super block min POINTERS second")
+    assert(bytes(at + 11) == 10, "data block page bits")
+    // and the LAYOUT message encodes the same cparams in ITS spec order
+    // (minPtrs before minElmts) — the reader cross-requires the two agree,
+    // so a round-trip read proves the asymmetry is handled
+    assert(Hdf5.readAll(p, Hdf5.open(p).dataset("temp").get).toSeq == data.toSeq)
+  }
+
+  test("extensible array: corrupted data block fails the checksum loudly") {
+    val p = tmp("ea-corrupt.h5")
+    val data = Array.tabulate(20 * Y * X)(_.toDouble)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(20, Y, X), data,
+        chunkDims = Some(Seq(2, Y, X)), eaIndex = true)), latest = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val at = bytes.indexOfSlice("EADB".getBytes)
+    assert(at > 0)
+    bytes(at + 20) = (bytes(at + 20) ^ 0xFF).toByte // an element byte
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val h = Hdf5.open(p)
+    val e = intercept[IllegalArgumentException](
+      Hdf5.readAll(p, h.dataset("temp").get))
+    assert(e.getMessage.contains("checksum"))
+  }
+
+  // v2 b-tree chunk index: 8 unfiltered chunks fit one type-10 leaf
+  // (depth 0); 80 filtered chunks at node size 256 force a depth-2 tree of
+  // type-11 records (internal-over-internal — the million-chunk shape).
+  for ((filtered, td, nodeSize, minDepthNodes) <- Seq(
+    (false, 16, 512, 0), (true, 160, 256, 3)))
+  test(s"latest format: v2 b-tree chunk index (filtered=$filtered, node=$nodeSize)") {
+    val p = tmp("latest-bt2.h5")
+    val data = Array.tabulate(td * Y * X)(i => ((i * 53) % 83).toDouble - 11)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(td, Y, X), data,
+        chunkDims = Some(Seq(2, Y, X)), bt2NodeSize = Some(nodeSize),
+        filters = if (filtered) Seq(Shuffle(4), Deflate(6)) else Nil,
+        maxDims = Some(Seq(-1L, -1L, X)))), latest = true) // 2 unlimited dims
+    assert(sigCount(p, "BTHD") == 1)
+    assert(sigCount(p, "BTIN") >= minDepthNodes,
+      "the filtered fixture must traverse internal-over-internal nodes")
+    val h = Hdf5.open(p)
+    val temp = h.dataset("temp").get
+    assert(temp.layout.asInstanceOf[ChunkedV4].index.isInstanceOf[Btree2Index])
+    assert(Hdf5.readAll(p, temp).toSeq == data.toSeq)
+    val rdr = new Hdf5.SectionReader(p, temp)
+    try {
+      for (t <- Seq(0, td / 2, td - 1); y <- 0 until Y)
+        assert(rdr.readRow(t, y, 1, X - 2).toSeq ==
+          (1 to X - 2).map(x => data((t * Y + y) * X + x)), s"t=$t y=$y")
+    } finally rdr.close()
+  }
+
   test("latest format: dense root group (fractal heap + v2 b-tree) round-trips") {
     val p = tmp("dense.h5"); val pc = tmp("compact.h5")
     val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
