@@ -424,6 +424,56 @@ object Relational extends QueryModule {
       dir
     })
 
+  /** A snapshot table CLUSTERED on the prune key: one commit of orders
+    * range-partitioned on o_orderkey, so the manifest's per-file min/max
+    * stats (read from the parquet footers at commit) carve the keyspace
+    * into near-disjoint intervals — the layout data skipping is built for.
+    */
+  private val snapSkipDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapSkipDir(s: SparkSession, d: String): String =
+    snapSkipDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapskip").toFile.getAbsolutePath
+      Snapshots.commit(s, dir,
+        T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey")))
+      dir
+    })
+
+  /** Stats-pruned snapshot read (Delta/Iceberg data skipping): the manifest's
+    * per-file min/max index rules files out BEFORE Spark plans the scan, the
+    * residual filter keeps the result exact. SnapshotSpec locks that this
+    * interval actually skips files on the clustered layout; the oracle is
+    * the plain BETWEEN over the source table.
+    */
+  private def qSnapshotSkip(s: SparkSession, d: String): DataFrame =
+    Snapshots.readRange(s, snapSkipDir(s, d), "o_orderkey",
+        Some(100L), Some(1099L))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
+  /** The same clustered table after a copy-on-write row-level DELETE: the
+    * stats index narrows the rewrite to the files whose [min, max] can hold
+    * a matching key, every other file is carried into the new manifest
+    * byte-identical (SnapshotSpec locks the carried-path identity). The
+    * query reads the post-delete snapshot; the oracle states the surviving
+    * rows directly.
+    */
+  private val snapDelDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapDelDir(s: SparkSession, d: String): String =
+    snapDelDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapdel").toFile.getAbsolutePath
+      Snapshots.commit(s, dir,
+        T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey")))
+      Snapshots.deleteRange(s, dir, "o_orderkey", Some(200L), Some(699L))
+      dir
+    })
+
+  private def qSnapshotDelete(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, snapDelDir(s, d))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   private def qTimeTravel(s: SparkSession, d: String): DataFrame = {
     val dir = snapDir(s, d)
     Seq(1, 2, 3).map { v =>
@@ -754,6 +804,8 @@ object Relational extends QueryModule {
     "q_cdc_diff" -> qCdcDiff,
     "q_time_travel" -> qTimeTravel,
     "q_snapshot_changes" -> qSnapshotChanges,
+    "q_snapshot_skip" -> qSnapshotSkip,
+    "q_snapshot_delete" -> qSnapshotDelete,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -793,6 +845,16 @@ object Relational extends QueryModule {
         |SELECT 'customer_nulls', count(*) FROM customer
         |WHERE c_acctbal IS NULL OR c_name IS NULL
         |ORDER BY chk""".stripMargin,
+    "q_snapshot_skip" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 1099
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_delete" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey NOT BETWEEN 200 AND 699
+        |ORDER BY n""".stripMargin,
     "q_snapshot_changes" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

@@ -69,17 +69,39 @@ object Snapshots {
       .map(st => s"$dataRel/${st.getPath.getName}").sorted
     val carried =
       if (replace || next == 1) Seq.empty else files(spark, dir, next - 1)
-    val body = (carried ++ fresh).mkString("", "\n", "\n").getBytes("UTF-8")
+    publish(spark, dir, next, carried, fresh)
+    next
+  }
+
+  /** Publish version `next` = `carried` (files of a prior version, whose
+    * stats are carried forward from that version's sidecar) + `fresh`
+    * (just-written files, whose stats are read from their parquet FOOTERS —
+    * a driver-side metadata read, O(new files), no data scan). The `.stats`
+    * sidecar lands before the `.list`: the list rename is the commit point,
+    * so a reader never sees a version whose stats are still in flight.
+    */
+  private def publish(spark: SparkSession, dir: String, next: Int,
+      carried: Seq[String], fresh: Seq[String]): Unit = {
+    val (fs, _) = hfs(spark, dir)
     val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
     fs.mkdirs(md)
-    // write-temp + atomic rename: a concurrent reader either sees the fully
-    // written manifest or none at all (hidden names are never listed)
-    val tmp = new org.apache.hadoop.fs.Path(md, s".v$next.list.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body) finally out.close()
-    val fin = new org.apache.hadoop.fs.Path(md, s"v$next.list")
-    require(fs.rename(tmp, fin), s"$dir: manifest publish rename failed for v$next")
-    next
+    val prevStats: Map[String, Map[String, ColStat]] =
+      if (carried.isEmpty) Map.empty
+      else stats(spark, dir, next - 1)
+    val statRows = carried.flatMap(f => prevStats.get(f).map(f -> _)) ++
+      fresh.map(f => f -> footerStats(spark, s"$dir/$f"))
+    def writeAtomic(name: String, body: Array[Byte]): Unit = {
+      // write-temp + atomic rename: a concurrent reader either sees the
+      // fully written file or none at all (hidden names are never listed)
+      val tmp = new org.apache.hadoop.fs.Path(md, s".$name.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      val fin = new org.apache.hadoop.fs.Path(md, name)
+      require(fs.rename(tmp, fin), s"$dir: manifest publish rename failed for $name")
+    }
+    writeAtomic(s"v$next.stats", encodeStats(statRows).getBytes("UTF-8"))
+    val body = (carried ++ fresh).mkString("", "\n", "\n").getBytes("UTF-8")
+    writeAtomic(s"v$next.list", body)
   }
 
   /** Read one snapshot (default: latest). Plans exactly the manifest's
@@ -136,7 +158,239 @@ object Snapshots {
     }
     drop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.list"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.stats"), false)
     }
     orphans.length
+  }
+
+  // ---------------------------------------------------------------- stats
+
+  /** Per-file, per-column statistics carried in the manifest — the
+    * data-skipping index (Delta/Iceberg's `stats` field). `minMax` is None
+    * when the column is all-null in the file OR its footer statistics were
+    * unusable (absent, NaN-tainted double, non-ASCII string — see
+    * [[footerStats]]); pruning treats "no minMax but nulls < rows" as
+    * UNKNOWN and keeps the file, so stats can only ever skip work, never
+    * rows. Values are canonical strings under `tpe` ∈ long|double|string
+    * (timestamps/dates surface as `long` micros/days — the parquet physical
+    * order, which is also their logical order).
+    */
+  final case class ColStat(tpe: String, rows: Long, nulls: Long,
+      minMax: Option[(String, String)])
+
+  /** The stats index of one snapshot: file → column → [[ColStat]]. Missing
+    * files/columns (tables committed before stats existed, exotic types)
+    * simply prune nothing. Driver-side manifest read, no data IO.
+    */
+  def stats(spark: SparkSession, dir: String,
+      version: Int): Map[String, Map[String, ColStat]] = {
+    val (fs, _) = hfs(spark, dir)
+    val sf = new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$version.stats")
+    if (!fs.exists(sf)) Map.empty
+    else {
+      val in = fs.open(sf)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      decodeStats(text)
+    }
+  }
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def encodeStats(rows: Seq[(String, Map[String, ColStat])]): String = {
+    val sb = new StringBuilder
+    for ((file, cols) <- rows; (col, st) <- cols.toSeq.sortBy(_._1)) {
+      val (has, mn, mx) = st.minMax match {
+        case Some((a, b)) => ("1", enc(a), enc(b))
+        case None => ("0", "", "")
+      }
+      sb.append(Seq(enc(file), enc(col), st.tpe, st.rows.toString,
+        st.nulls.toString, has, mn, mx).mkString("\t")).append('\n')
+    }
+    sb.toString
+  }
+
+  private def decodeStats(text: String): Map[String, Map[String, ColStat]] =
+    text.linesIterator.filter(_.nonEmpty).toSeq.map { line =>
+      val f = line.split("\t", -1)
+      require(f.length == 8, s"malformed stats line: $line")
+      val mm = if (f(5) == "1") Some((dec(f(6)), dec(f(7)))) else None
+      (dec(f(0)), dec(f(1)), ColStat(f(2), f(3).toLong, f(4).toLong, mm))
+    }.groupBy(_._1).map { case (file, rs) =>
+      file -> rs.map(r => r._2 -> r._3).toMap
+    }
+
+  /** Min/max/null-count per top-level primitive column of one parquet file,
+    * from its FOOTER (row-group statistics merged across row groups).
+    * Conservative by construction: a column whose statistics can't be
+    * trusted for range pruning is recorded with `minMax = None` —
+    * NaN-tainted float/double (parquet min/max is undefined around NaN),
+    * non-ASCII string bounds (parquet orders UTF8 by unsigned bytes; only
+    * the ASCII subset provably agrees with the engine's string order),
+    * absent/empty statistics, and any physical type outside
+    * int32/int64/float/double/UTF8-binary.
+    */
+  def footerStats(spark: SparkSession, path: String): Map[String, ColStat] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+    try {
+      val chunks = reader.getFooter.getBlocks.asScala.toSeq
+        .flatMap(_.getColumns.asScala)
+        .filter(_.getPath.size == 1) // top-level primitives only
+        .groupBy(_.getPath.toDotString)
+      chunks.flatMap { case (name, cs) =>
+        val pt = cs.head.getPrimitiveType
+        val isStr = pt.getLogicalTypeAnnotation != null &&
+          pt.getLogicalTypeAnnotation.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+        val tpe = pt.getPrimitiveTypeName match {
+          case INT32 | INT64 => Some("long")
+          case FLOAT | DOUBLE => Some("double")
+          case BINARY if isStr => Some("string")
+          case _ => None
+        }
+        tpe.map { t =>
+          val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          val sts = cs.map(_.getStatistics)
+          val nulls =
+            if (sts.exists(s => s == null || !s.isNumNullsSet)) -1L
+            else sts.map(_.getNumNulls).sum
+          val usable = sts.forall(s => s != null && !s.isEmpty) &&
+            sts.exists(_.hasNonNullValue)
+          val mm: Option[(String, String)] = if (!usable) None else try {
+            val vals = sts.filter(_.hasNonNullValue).map { s =>
+              (s.genericGetMin, s.genericGetMax)
+            }
+            t match {
+              case "long" =>
+                val lo = vals.map(_._1.asInstanceOf[Number].longValue).min
+                val hi = vals.map(_._2.asInstanceOf[Number].longValue).max
+                Some((lo.toString, hi.toString))
+              case "double" =>
+                val lo = vals.map(_._1.asInstanceOf[Number].doubleValue).min
+                val hi = vals.map(_._2.asInstanceOf[Number].doubleValue).max
+                if (lo.isNaN || hi.isNaN) None else Some((lo.toString, hi.toString))
+              case _ =>
+                val ss = vals.map { case (a, b) =>
+                  (a.asInstanceOf[org.apache.parquet.io.api.Binary],
+                    b.asInstanceOf[org.apache.parquet.io.api.Binary])
+                }
+                val ascii = ss.forall { case (a, b) =>
+                  a.getBytes.forall(_ >= 0) && b.getBytes.forall(_ >= 0)
+                }
+                if (!ascii) None
+                else Some((ss.map(_._1.toStringUsingUTF8).min,
+                  ss.map(_._2.toStringUsingUTF8).max))
+            }
+          } catch { case _: Exception => None }
+          // a None minMax with nulls == rows means provably-all-null (still
+          // prunable); an unusable stat must NOT masquerade as that
+          val safeNulls = if (mm.isEmpty && nulls == rows &&
+            sts.exists(_.hasNonNullValue)) -1L else nulls
+          name -> ColStat(t, rows, safeNulls, mm)
+        }
+      }
+    } finally reader.close()
+  }
+
+  private def cmp(tpe: String, a: String, b: String): Int = tpe match {
+    case "long" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => a.compareTo(b)
+  }
+
+  private def canonical(tpe: String, v: Any): String = (tpe, v) match {
+    case ("long", n: Number) => n.longValue.toString
+    case ("double", n: Number) => n.doubleValue.toString
+    case ("string", s: String) => s
+    case _ => throw new IllegalArgumentException(
+      s"bound $v (${v.getClass.getSimpleName}) does not match stats type $tpe")
+  }
+
+  /** Manifest-level file skipping for `column BETWEEN lower AND upper`
+    * (either bound optional): returns (kept, all) file lists. A file is
+    * dropped only when its stats PROVE no row can match — interval disjoint
+    * from [min, max], or the column provably all-null. Files without usable
+    * stats are kept, so the result set is exact whatever the stats coverage.
+    * Driver-side metadata only; at 100 TB this is the difference between
+    * planning 40 files and 40,000.
+    */
+  def pruneFiles(spark: SparkSession, dir: String, version: Int, column: String,
+      lower: Option[Any], upper: Option[Any]): (Seq[String], Seq[String]) = {
+    val all = files(spark, dir, version)
+    val idx = stats(spark, dir, version)
+    val kept = all.filter { f =>
+      val st = idx.get(f).flatMap(_.get(column))
+      st match {
+        case None => true
+        case Some(s) => s.minMax match {
+          case None => !(s.nulls == s.rows && s.nulls >= 0) // all-null → prune
+          case Some((mn, mx)) =>
+            val loOk = lower.forall(b => cmp(s.tpe, canonical(s.tpe, b), mx) <= 0)
+            val hiOk = upper.forall(b => cmp(s.tpe, canonical(s.tpe, b), mn) >= 0)
+            loOk && hiOk
+        }
+      }
+    }
+    (kept, all)
+  }
+
+  /** Read one snapshot restricted to `column BETWEEN lower AND upper`,
+    * planning ONLY the files the stats index can't rule out, then applying
+    * the exact residual filter (stats prune files, never rows). Null never
+    * satisfies BETWEEN, so all-null files are skippable and the residual
+    * filter's null semantics match plain SQL.
+    */
+  def readRange(spark: SparkSession, dir: String, column: String,
+      lower: Option[Any], upper: Option[Any],
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val (kept, all) = pruneFiles(spark, dir, v, column, lower, upper)
+    val base = if (kept.nonEmpty) spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
+      else spark.read.parquet(all.map(f => s"$dir/$f"): _*).filter(lit(false))
+    val pred = (lower.map(col(column) >= lit(_)) ++
+      upper.map(col(column) <= lit(_))).reduceOption(_ && _)
+    pred.fold(base)(base.filter)
+  }
+
+  /** Row-level DELETE of `column BETWEEN lower AND upper`, copy-on-write:
+    * the stats index narrows the rewrite to the files that can contain a
+    * matching row; every other file is CARRIED into the new manifest
+    * untouched (same path, same bytes — prior versions keep reading it
+    * too). Rows where the predicate is NULL survive, per SQL DELETE
+    * semantics. Returns the new version — or the current one unchanged when
+    * stats prove nothing matches (a provable no-op publishes nothing).
+    * History is rewritten for the affected files, so [[readChanges]] across
+    * a delete fails loudly, exactly like a replace commit.
+    */
+  def deleteRange(spark: SparkSession, dir: String, column: String,
+      lower: Option[Any], upper: Option[Any]): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, _) = hfs(spark, dir)
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val (affected, all) = pruneFiles(spark, dir, cur, column, lower, upper)
+    if (affected.isEmpty) return cur
+    val untouched = all.filterNot(affected.toSet)
+    val next = cur + 1
+    val dataRel = s"data/c$next"
+    val keep = (Seq(col(column).isNull) ++
+      lower.map(col(column) < lit(_)) ++ upper.map(col(column) > lit(_)))
+      .reduce(_ || _)
+    spark.read.parquet(affected.map(f => s"$dir/$f"): _*)
+      .filter(keep)
+      .write.mode("overwrite").parquet(s"$dir/$dataRel")
+    val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
+      .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"$dataRel/${st.getPath.getName}").sorted
+    publish(spark, dir, next, untouched, fresh)
+    next
   }
 }

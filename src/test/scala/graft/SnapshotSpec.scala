@@ -116,6 +116,138 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("commit collects footer stats: every file, min<=max, rows add up") {
+    val dir = tmp()
+    val v = Snapshots.commit(spark, dir,
+      spark.range(1000).toDF("k").withColumn("s", concat(lit("id"), format_string("%04d", col("k"))))
+        .repartitionByRange(4, col("k")))
+    val idx = Snapshots.stats(spark, dir, v)
+    val all = Snapshots.files(spark, dir, v)
+    assert(all.nonEmpty && all.forall(idx.contains), "a data file has no stats entry")
+    var rows = 0L
+    for (f <- all) {
+      val st = idx(f)("k")
+      assert(st.tpe == "long" && st.nulls == 0)
+      val Some((mn, mx)) = st.minMax
+      assert(mn.toLong <= mx.toLong)
+      rows += st.rows
+      val ss = idx(f)("s")
+      assert(ss.tpe == "string" && ss.minMax.exists { case (a, b) => a <= b })
+    }
+    assert(rows == 1000, s"per-file row counts sum to $rows, not 1000")
+  }
+
+  test("readRange skips files on a clustered layout and stays exact") {
+    val dir = tmp()
+    val v = Snapshots.commit(spark, dir,
+      spark.range(1000).toDF("k").repartitionByRange(8, col("k")))
+    val (kept, all) = Snapshots.pruneFiles(spark, dir, v, "k", Some(100L), Some(199L))
+    assert(all.length == 8)
+    assert(kept.length < all.length, "interval inside the keyspace pruned nothing")
+    val got = Snapshots.readRange(spark, dir, "k", Some(100L), Some(199L))
+      .as[Long].collect().sorted.toSeq
+    assert(got == (100L to 199L).toSeq)
+    // unbounded sides
+    assert(Snapshots.readRange(spark, dir, "k", None, Some(49L)).count() == 50)
+    assert(Snapshots.readRange(spark, dir, "k", Some(950L), None).count() == 50)
+    // disjoint interval → zero rows, schema intact
+    val empty = Snapshots.readRange(spark, dir, "k", Some(5000L), Some(6000L))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k"))
+  }
+
+  test("property: readRange equals full-read filter for random intervals") {
+    val dir = tmp()
+    val rng = new scala.util.Random(42)
+    val data = Seq.fill(500)(rng.nextInt(10000).toLong)
+    Snapshots.commit(spark, dir, data.toDF("k").repartitionByRange(6, col("k")))
+    val full = Snapshots.read(spark, dir).as[Long].collect().sorted.toSeq
+    for (_ <- 1 to 25) {
+      val a = rng.nextInt(11000).toLong - 500
+      val b = a + rng.nextInt(3000)
+      val got = Snapshots.readRange(spark, dir, "k", Some(a), Some(b))
+        .as[Long].collect().sorted.toSeq
+      assert(got == full.filter(k => k >= a && k <= b), s"interval [$a,$b] diverged")
+    }
+  }
+
+  test("missing stats sidecar prunes nothing and stays exact") {
+    val dir = tmp()
+    val v = Snapshots.commit(spark, dir,
+      spark.range(100).toDF("k").repartitionByRange(4, col("k")))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_manifests", s"v$v.stats"))
+    val (kept, all) = Snapshots.pruneFiles(spark, dir, v, "k", Some(0L), Some(9L))
+    assert(kept == all, "files were pruned without stats to justify it")
+    assert(Snapshots.readRange(spark, dir, "k", Some(0L), Some(9L)).count() == 10)
+  }
+
+  test("non-ASCII string stats are dropped (conservative), ASCII ones prune") {
+    val dir = tmp()
+    val v = Snapshots.commit(spark, dir,
+      Seq("äber", "zürich").toDF("s").coalesce(1)
+        .unionByName(Seq("alpha", "beta").toDF("s").coalesce(1))
+        .repartition(2, col("s")))
+    val idx = Snapshots.stats(spark, dir, v)
+    val nonAscii = idx.values.filter(_.get("s").exists(_.minMax.isEmpty))
+    assert(nonAscii.nonEmpty, "file holding non-ASCII strings kept a stat")
+    // pruning on the string column must still return exact rows
+    val got = Snapshots.readRange(spark, dir, "s", Some("alpha"), Some("beta"))
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("alpha", "beta"))
+  }
+
+  test("all-null column files are skippable; mixed-null stays exact") {
+    val dir = tmp()
+    val df = Seq((1L, Option.empty[java.lang.Long]), (2L, Option.empty[java.lang.Long]))
+      .toDF("k", "v").coalesce(1)
+      .unionByName(Seq((3L, Option(java.lang.Long.valueOf(7L))),
+        (4L, Option.empty[java.lang.Long])).toDF("k", "v").coalesce(1))
+      .repartition(2, col("k") <= 2)
+    val v = Snapshots.commit(spark, dir, df)
+    val got = Snapshots.readRange(spark, dir, "v", Some(0L), Some(100L))
+      .select("k").as[Long].collect().toSeq
+    assert(got == Seq(3L), "BETWEEN over a null-bearing column diverged")
+    val idx = Snapshots.stats(spark, dir, v)
+    val allNull = idx.values.filter(s => s.get("v").exists(c =>
+      c.minMax.isEmpty && c.nulls == c.rows && c.nulls >= 0))
+    if (allNull.nonEmpty) {
+      val (kept, all) = Snapshots.pruneFiles(spark, dir, v, "v", Some(0L), Some(100L))
+      assert(kept.length < all.length, "provably all-null file was not skipped")
+    }
+  }
+
+  test("deleteRange rewrites only stat-affected files, carries the rest byte-identical") {
+    val dir = tmp()
+    val v1 = Snapshots.commit(spark, dir,
+      spark.range(1000).toDF("k").repartitionByRange(8, col("k")))
+    val before = Snapshots.files(spark, dir, v1)
+    val v2 = Snapshots.deleteRange(spark, dir, "k", Some(100L), Some(199L))
+    assert(v2 == v1 + 1)
+    val after = Snapshots.files(spark, dir, v2)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.nonEmpty, "no file was carried — delete rewrote the whole table")
+    assert(after.toSet != before.toSet, "delete carried every file — nothing rewritten")
+    val got = Snapshots.read(spark, dir).as[Long].collect().sorted.toSeq
+    assert(got == (0L until 1000L).filterNot(k => k >= 100 && k <= 199).toSeq)
+    // v1 history intact; incremental read across the rewrite refuses
+    assert(Snapshots.read(spark, dir, Some(v1)).count() == 1000)
+    intercept[IllegalArgumentException](Snapshots.readChanges(spark, dir, v1, v2))
+    // provable no-op delete publishes nothing
+    assert(Snapshots.deleteRange(spark, dir, "k", Some(5000L), Some(9999L)) == v2)
+    // carried files keep their stats (still prunable post-delete)
+    val (kept, all) = Snapshots.pruneFiles(spark, dir, v2, "k", Some(900L), Some(999L))
+    assert(kept.length < all.length, "stats were lost across the delete")
+  }
+
+  test("deleteRange keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir,
+      Seq(Option(1L), Option(5L), None, Option(9L)).toDF("k"))
+    Snapshots.deleteRange(spark, dir, "k", Some(4L), Some(6L))
+    val got = Snapshots.read(spark, dir).select("k").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+    assert(got == Seq(-1L, 1L, 9L), "NULL row must survive a range delete")
+  }
+
   test("q_time_travel: v3 (replace) equals v2 (its source) row-for-row") {
     val rows = SparkEntry.queries("q_time_travel")(spark, TestSpark.sf)
       .as[(Int, Long, Double)].collect().sortBy(_._1)
