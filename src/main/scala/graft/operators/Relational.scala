@@ -474,6 +474,30 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** OPTIMIZE ZORDER + 2-D skipping: the table is replace-committed
+    * re-clustered on the Morton key of (o_custkey, o_orderkey), so BOTH
+    * columns' per-file stats are tight and the conjunctive range read
+    * prunes on each dimension independently (SnapshotSpec locks that either
+    * dimension alone skips files on this layout — the property 1-D range
+    * clustering cannot give). Oracle is the plain 2-D BETWEEN.
+    */
+  private val snapZDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapZDir(s: SparkSession, d: String): String =
+    snapZDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapz").toFile.getAbsolutePath
+      Snapshots.commit(s, dir,
+        T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"))
+      Snapshots.clusterZOrder(s, dir, "o_custkey", "o_orderkey", 16)
+      dir
+    })
+
+  private def qSnapshotZorder(s: SparkSession, d: String): DataFrame =
+    Snapshots.readRanges(s, snapZDir(s, d), Seq(
+        ("o_custkey", Some(10L), Some(40L)),
+        ("o_orderkey", Some(0L), Some(999L))))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   private def qTimeTravel(s: SparkSession, d: String): DataFrame = {
     val dir = snapDir(s, d)
     Seq(1, 2, 3).map { v =>
@@ -806,6 +830,7 @@ object Relational extends QueryModule {
     "q_snapshot_changes" -> qSnapshotChanges,
     "q_snapshot_skip" -> qSnapshotSkip,
     "q_snapshot_delete" -> qSnapshotDelete,
+    "q_snapshot_zorder" -> qSnapshotZorder,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -854,6 +879,12 @@ object Relational extends QueryModule {
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey NOT BETWEEN 200 AND 699
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_zorder" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_custkey BETWEEN 10 AND 40
+        |  AND o_orderkey BETWEEN 0 AND 999
         |ORDER BY n""".stripMargin,
     "q_snapshot_changes" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,

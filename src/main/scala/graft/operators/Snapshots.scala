@@ -321,19 +321,28 @@ object Snapshots {
     * planning 40 files and 40,000.
     */
   def pruneFiles(spark: SparkSession, dir: String, version: Int, column: String,
-      lower: Option[Any], upper: Option[Any]): (Seq[String], Seq[String]) = {
+      lower: Option[Any], upper: Option[Any]): (Seq[String], Seq[String]) =
+    pruneFilesAll(spark, dir, version, Seq((column, lower, upper)))
+
+  /** Conjunctive multi-column skipping: a file survives only if EVERY
+    * range's stats check keeps it — the shape a Z-order-clustered table is
+    * laid out for, where both dimensions' per-file [min, max] are tight.
+    */
+  def pruneFilesAll(spark: SparkSession, dir: String, version: Int,
+      ranges: Seq[(String, Option[Any], Option[Any])]): (Seq[String], Seq[String]) = {
     val all = files(spark, dir, version)
     val idx = stats(spark, dir, version)
     val kept = all.filter { f =>
-      val st = idx.get(f).flatMap(_.get(column))
-      st match {
-        case None => true
-        case Some(s) => s.minMax match {
-          case None => !(s.nulls == s.rows && s.nulls >= 0) // all-null → prune
-          case Some((mn, mx)) =>
-            val loOk = lower.forall(b => cmp(s.tpe, canonical(s.tpe, b), mx) <= 0)
-            val hiOk = upper.forall(b => cmp(s.tpe, canonical(s.tpe, b), mn) >= 0)
-            loOk && hiOk
+      ranges.forall { case (column, lower, upper) =>
+        idx.get(f).flatMap(_.get(column)) match {
+          case None => true
+          case Some(s) => s.minMax match {
+            case None => !(s.nulls == s.rows && s.nulls >= 0) // all-null → prune
+            case Some((mn, mx)) =>
+              val loOk = lower.forall(b => cmp(s.tpe, canonical(s.tpe, b), mx) <= 0)
+              val hiOk = upper.forall(b => cmp(s.tpe, canonical(s.tpe, b), mn) >= 0)
+              loOk && hiOk
+          }
         }
       }
     }
@@ -348,16 +357,45 @@ object Snapshots {
     */
   def readRange(spark: SparkSession, dir: String, column: String,
       lower: Option[Any], upper: Option[Any],
+      version: Option[Int] = None): DataFrame =
+    readRanges(spark, dir, Seq((column, lower, upper)), version)
+
+  /** [[readRange]] for a CONJUNCTION of per-column ranges — on a Z-order
+    * layout ([[clusterZOrder]]) either dimension alone skips files, and the
+    * conjunction skips near-multiplicatively.
+    */
+  def readRanges(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Option[Any], Option[Any])],
       version: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
-    val (kept, all) = pruneFiles(spark, dir, v, column, lower, upper)
+    val (kept, all) = pruneFilesAll(spark, dir, v, ranges)
     val base = if (kept.nonEmpty) spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
       else spark.read.parquet(all.map(f => s"$dir/$f"): _*).filter(lit(false))
-    val pred = (lower.map(col(column) >= lit(_)) ++
-      upper.map(col(column) <= lit(_))).reduceOption(_ && _)
+    val pred = ranges.flatMap { case (column, lower, upper) =>
+      lower.map(col(column) >= lit(_)) ++ upper.map(col(column) <= lit(_))
+    }.reduceOption(_ && _)
     pred.fold(base)(base.filter)
+  }
+
+  /** OPTIMIZE ZORDER: replace-commit the table re-clustered on the Morton
+    * key of two (int-castable) columns, so BOTH columns' per-file stats come
+    * out tight and [[readRanges]] skips on either dimension or their
+    * conjunction. Layout cost is one full rewrite a deployment pays per
+    * maintenance window; prior versions keep reading their own files. The
+    * Morton key itself is dropped — derivable, and the dimension columns'
+    * stats do the pruning.
+    */
+  def clusterZOrder(spark: SparkSession, dir: String, xCol: String,
+      yCol: String, targetFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    commit(spark, dir, read(spark, dir)
+      .withColumn("__z", graft.functions.ZOrderFunctions.zorder64(
+        col(xCol).cast("int"), col(yCol).cast("int")))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z"), replace = true)
   }
 
   /** Row-level DELETE of `column BETWEEN lower AND upper`, copy-on-write:

@@ -238,6 +238,32 @@ class SnapshotSpec extends AnyFunSuite {
     assert(kept.length < all.length, "stats were lost across the delete")
   }
 
+  test("clusterZOrder: either dimension alone skips files; conjunction stays exact") {
+    val dir = tmp()
+    // a 64x64 grid: range clustering on x would leave y stats spanning the
+    // whole domain; z-order must make BOTH tight
+    val grid = spark.range(64L * 64L).toDF("i")
+      .withColumn("x", (col("i") % 64).cast("long"))
+      .withColumn("y", (col("i") / 64).cast("long")).drop("i")
+    Snapshots.commit(spark, dir, grid)
+    val v = Snapshots.clusterZOrder(spark, dir, "x", "y", 16)
+    val (keptX, all) = Snapshots.pruneFiles(spark, dir, v, "x", Some(0L), Some(15L))
+    val (keptY, _) = Snapshots.pruneFiles(spark, dir, v, "y", Some(0L), Some(15L))
+    assert(all.length > 8)
+    assert(keptX.length < all.length, "x-range skipped nothing on the z layout")
+    assert(keptY.length < all.length, "y-range skipped nothing on the z layout")
+    val (keptXY, _) = Snapshots.pruneFilesAll(spark, dir, v,
+      Seq(("x", Some(0L), Some(15L)), ("y", Some(0L), Some(15L))))
+    assert(keptXY.length <= math.min(keptX.length, keptY.length))
+    val got = Snapshots.readRanges(spark, dir,
+        Seq(("x", Some(0L), Some(15L)), ("y", Some(0L), Some(15L))))
+      .count()
+    assert(got == 16L * 16L)
+    // pre-cluster version still readable, full content preserved
+    assert(Snapshots.read(spark, dir, Some(v)).count() == 64L * 64L)
+    assert(Snapshots.read(spark, dir, Some(v - 1)).count() == 64L * 64L)
+  }
+
   test("deleteRange keeps NULL-predicate rows (SQL DELETE semantics)") {
     val dir = tmp()
     Snapshots.commit(spark, dir,
