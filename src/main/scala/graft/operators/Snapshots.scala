@@ -57,11 +57,28 @@ object Snapshots {
     * false` appends (new manifest = previous files + new files); `replace =
     * true` makes the new files the whole table (compaction / overwrite) —
     * prior versions keep reading their own files untouched.
+    *
+    * `expectedVersion` is the optimistic-concurrency guard (Delta's
+    * commit protocol): pass the version this commit was PLANNED against and
+    * the commit fails with `ConcurrentModificationException` — before any
+    * data is written — if another writer published in between, instead of
+    * silently committing a table state the caller never saw. The manifest
+    * publish itself re-checks the slot, so even two unguarded writers racing
+    * the same version number cannot both win on a filesystem with
+    * no-overwrite rename; on plain POSIX rename (which overwrites) the
+    * pre-rename existence check closes all but a microsecond window — the
+    * same caveat that makes Delta-on-S3 need an external lock.
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-      replace: Boolean = false): Int = {
+      replace: Boolean = false, expectedVersion: Option[Int] = None): Int = {
     val (fs, _) = hfs(spark, dir)
-    val next = currentVersion(spark, dir).getOrElse(0) + 1
+    val cur = currentVersion(spark, dir).getOrElse(0)
+    expectedVersion.foreach { ev =>
+      if (cur != ev) throw new java.util.ConcurrentModificationException(
+        s"$dir: commit planned against v$ev but table is at v$cur — " +
+          "rebase the commit on the current snapshot and retry")
+    }
+    val next = cur + 1
     val dataRel = s"data/c$next"
     df.write.mode("overwrite").parquet(s"$dir/$dataRel")
     val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
@@ -92,16 +109,44 @@ object Snapshots {
       fresh.map(f => f -> footerStats(spark, s"$dir/$f"))
     def writeAtomic(name: String, body: Array[Byte]): Unit = {
       // write-temp + atomic rename: a concurrent reader either sees the
-      // fully written file or none at all (hidden names are never listed)
+      // fully written file or none at all (hidden names are never listed).
+      // An already-present destination means another writer won this
+      // version slot — surface the conflict, never clobber the winner.
       val tmp = new org.apache.hadoop.fs.Path(md, s".$name.tmp")
       val out = fs.create(tmp, true)
       try out.write(body) finally out.close()
       val fin = new org.apache.hadoop.fs.Path(md, name)
+      if (fs.exists(fin)) {
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"$dir: $name was published concurrently — rebase and retry")
+      }
       require(fs.rename(tmp, fin), s"$dir: manifest publish rename failed for $name")
     }
     writeAtomic(s"v$next.stats", encodeStats(statRows).getBytes("UTF-8"))
     val body = (carried ++ fresh).mkString("", "\n", "\n").getBytes("UTF-8")
     writeAtomic(s"v$next.list", body)
+  }
+
+  /** Wall-clock publish time of one version (the manifest's modification
+    * time — set by the atomic rename, i.e. the commit point). */
+  def commitTime(spark: SparkSession, dir: String, version: Int): Long = {
+    val (fs, _) = hfs(spark, dir)
+    val mf = new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$version.list")
+    require(fs.exists(mf), s"$dir: snapshot version $version does not exist")
+    fs.getFileStatus(mf).getModificationTime
+  }
+
+  /** TIMESTAMP AS OF: read the newest snapshot published at or before
+    * `tsMillis`. Fails loudly for a timestamp older than the first commit
+    * (there was no table then) — the Delta/Iceberg contract.
+    */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val vs = versions(spark, dir)
+    val at = vs.filter(v => commitTime(spark, dir, v) <= tsMillis)
+    require(at.nonEmpty,
+      s"$dir: no snapshot existed at $tsMillis (first commit is later)")
+    read(spark, dir, Some(at.max))
   }
 
   /** Read one snapshot (default: latest). Plans exactly the manifest's

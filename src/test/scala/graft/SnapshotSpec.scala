@@ -274,6 +274,49 @@ class SnapshotSpec extends AnyFunSuite {
     assert(got == Seq(-1L, 1L, 9L), "NULL row must survive a range delete")
   }
 
+  test("optimistic concurrency: a commit planned against a stale version refuses") {
+    val dir = tmp()
+    val v1 = Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    // writer A plans against v1; writer B publishes v2 first
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    val ex = intercept[java.util.ConcurrentModificationException](
+      Snapshots.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"),
+        expectedVersion = Some(v1)))
+    assert(ex.getMessage.contains("rebase"))
+    assert(Snapshots.currentVersion(spark, dir).contains(2), "failed commit published")
+    assert(Snapshots.read(spark, dir).count() == 2, "failed commit leaked rows")
+    // rebased on the real current version it goes through
+    val v3 = Snapshots.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"),
+      expectedVersion = Some(2))
+    assert(v3 == 3 && Snapshots.read(spark, dir).count() == 3)
+  }
+
+  test("a concurrently-taken version slot is never clobbered at publish") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    // simulate the race: v2's manifest appears between version resolution
+    // and publish — the publish must refuse, not overwrite the winner
+    val winner = java.nio.file.Paths.get(dir, "_manifests", "v2.stats")
+    java.nio.file.Files.write(winner, Array.emptyByteArray)
+    intercept[java.util.ConcurrentModificationException](
+      Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v")))
+    assert(java.nio.file.Files.size(winner) == 0, "loser clobbered the winner's file")
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+  }
+
+  test("readAsOf resolves TIMESTAMP AS OF against commit times") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val t1 = Snapshots.commitTime(spark, dir, 1)
+    Thread.sleep(15)
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    val t2 = Snapshots.commitTime(spark, dir, 2)
+    assert(t2 > t1, "commit times must be monotone for AS OF to resolve")
+    assert(Snapshots.readAsOf(spark, dir, t1).count() == 1)
+    assert(Snapshots.readAsOf(spark, dir, t2 + 1000).count() == 2)
+    intercept[IllegalArgumentException](Snapshots.readAsOf(spark, dir, t1 - 1000))
+  }
+
   test("q_time_travel: v3 (replace) equals v2 (its source) row-for-row") {
     val rows = SparkEntry.queries("q_time_travel")(spark, TestSpark.sf)
       .as[(Int, Long, Double)].collect().sortBy(_._1)
