@@ -21,3 +21,17 @@ object ColumnBridge {
 object TypeBridge {
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }
+
+/** Bridge into `SparkSession.internalCreateDataFrame` (`private[sql]`): a v1
+  * streaming `Source.getBatch` must return a DataFrame whose logical plan is
+  * flagged `isStreaming = true` (MicroBatchExecution asserts it), and the
+  * only way to re-flag a batch-planned DataFrame is this internal
+  * constructor — exactly how Spark's own FileStreamSource builds its
+  * batches. No Spark internals are modified.
+  */
+object StreamBridge {
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+}

@@ -736,6 +736,76 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("snapshots source tails commits as micro-batches, exactly-once") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapsrc").toString
+    Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val q = spark.readStream.format("snapshots").option("path", dir).load()
+      .writeStream.format("memory").queryName("snap_tail").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("snap_tail").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")), "initial snapshot batch wrong")
+    // two more commits while the stream runs: each arrives exactly once
+    Snapshots.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    q.processAllAvailable()
+    Snapshots.commit(spark, dir, Seq((4L, "d")).toDF("k", "v"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("snap_tail").as[(Long, String)].collect().toSeq
+    assert(got.size == 4 && got.toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      s"tail diverged or duplicated: $got")
+  }
+
+  test("snapshots source startingVersion skips history; replace fails the stream loudly") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapsrc2").toString
+    Snapshots.commit(spark, dir, Seq((1L, "old")).toDF("k", "v"))
+    val v1 = Snapshots.currentVersion(spark, dir).get
+    val q = spark.readStream.format("snapshots").option("path", dir)
+      .option("startingVersion", v1.toString).load()
+      .writeStream.format("memory").queryName("snap_tail2").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("snap_tail2").isEmpty, "history leaked past startingVersion")
+    Snapshots.commit(spark, dir, Seq((2L, "new")).toDF("k", "v"))
+    q.processAllAvailable()
+    assert(spark.table("snap_tail2").as[(Long, String)].collect().toSet ==
+      Set((2L, "new")))
+    // a REPLACE rewrites history: the tail must refuse, not misreport
+    Snapshots.commit(spark, dir, Seq((9L, "rw")).toDF("k", "v"), replace = true)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(ex).exists(m => m != null && m.contains("replace commit")),
+      s"stream failed for the wrong reason: ${chain(ex)}")
+    q.stop()
+  }
+
+  test("snapshots source recovers its version offset from the checkpoint (kill + restart)") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapsrc3").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snapsrc3-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-snapsrc3-out").toString
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    def run(): Unit = {
+      val q = spark.readStream.format("snapshots").option("path", dir).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    // restart from the SAME checkpoint: only the unseen commit may arrive
+    run()
+    val got = spark.read.parquet(out).as[(Long, String)].collect().toSeq
+    assert(got.size == 2 && got.toSet == Set((1L, "a"), (2L, "b")),
+      s"checkpoint recovery duplicated or lost rows: $got")
+  }
+
   test("foreachBatch maintains bigram-LM state across micro-batches (streaming perplexity gate)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.TextAnalysis
