@@ -491,6 +491,23 @@ object Relational extends QueryModule {
       dir
     })
 
+  /** The SQL face of the versioned table: `USING snapshots` mounts a
+    * snapshot as a relation, and the plain `WHERE` range drives manifest
+    * data skipping through the pushed-down filters — no API call, the
+    * [[graft.streaming.SnapshotRelation]] translation does it
+    * (SnapshotSpec locks that this exact query shape skips files).
+    */
+  private def qSnapshotSql(s: SparkSession, d: String): DataFrame = {
+    val dir = snapSkipDir(s, d)
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_orders " +
+      s"USING snapshots OPTIONS (path '$dir')")
+    s.sql("""SELECT o_custkey, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS total
+            |FROM snap_orders
+            |WHERE o_orderkey BETWEEN 1100 AND 2099
+            |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
   private def qSnapshotZorder(s: SparkSession, d: String): DataFrame =
     Snapshots.readRanges(s, snapZDir(s, d), Seq(
         ("o_custkey", Some(10L), Some(40L)),
@@ -831,6 +848,7 @@ object Relational extends QueryModule {
     "q_snapshot_skip" -> qSnapshotSkip,
     "q_snapshot_delete" -> qSnapshotDelete,
     "q_snapshot_zorder" -> qSnapshotZorder,
+    "q_snapshot_sql" -> qSnapshotSql,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -880,6 +898,10 @@ object Relational extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey NOT BETWEEN 200 AND 699
         |ORDER BY n""".stripMargin,
+    "q_snapshot_sql" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey BETWEEN 1100 AND 2099
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_snapshot_zorder" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

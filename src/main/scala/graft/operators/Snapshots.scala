@@ -29,6 +29,21 @@ object Snapshots {
 
   private def manifestDir(dir: String) = s"$dir/_manifests"
 
+  /** Snapshot data files always carry TIMESTAMP_MICROS (INT64) timestamps:
+    * Spark's INT96 legacy default writes NO column statistics, which would
+    * silently disable data skipping on every timestamp column. Set around
+    * the write and restored, so the caller's session is untouched.
+    */
+  private def withStatFriendlyWrites[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   /** Published versions, ascending (empty for a fresh table). */
   def versions(spark: SparkSession, dir: String): Seq[Int] = {
     val (fs, _) = hfs(spark, dir)
@@ -80,7 +95,9 @@ object Snapshots {
     }
     val next = cur + 1
     val dataRel = s"data/c$next"
-    df.write.mode("overwrite").parquet(s"$dir/$dataRel")
+    withStatFriendlyWrites(spark) {
+      df.write.mode("overwrite").parquet(s"$dir/$dataRel")
+    }
     val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
       .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => s"$dataRel/${st.getPath.getName}").sorted
@@ -353,6 +370,17 @@ object Snapshots {
     case ("long", n: Number) => n.longValue.toString
     case ("double", n: Number) => n.doubleValue.toString
     case ("string", s: String) => s
+    // temporal externals against their parquet physical order: TIMESTAMP →
+    // INT64 epoch micros (TZ and NTZ both), DATE → INT32 epoch days
+    case ("long", t: java.sql.Timestamp) =>
+      (t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L).toString
+    case ("long", t: java.time.Instant) =>
+      (t.getEpochSecond * 1000000L + t.getNano / 1000L).toString
+    case ("long", t: java.time.LocalDateTime) =>
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case ("long", d: java.sql.Date) => d.toLocalDate.toEpochDay.toString
+    case ("long", d: java.time.LocalDate) => d.toEpochDay.toString
     case _ => throw new IllegalArgumentException(
       s"bound $v (${v.getClass.getSimpleName}) does not match stats type $tpe")
   }
@@ -383,10 +411,15 @@ object Snapshots {
           case None => true
           case Some(s) => s.minMax match {
             case None => !(s.nulls == s.rows && s.nulls >= 0) // all-null → prune
-            case Some((mn, mx)) =>
+            case Some((mn, mx)) => try {
               val loOk = lower.forall(b => cmp(s.tpe, canonical(s.tpe, b), mx) <= 0)
               val hiOk = upper.forall(b => cmp(s.tpe, canonical(s.tpe, b), mn) >= 0)
               loOk && hiOk
+            } catch {
+              // a bound the stats type can't order (exotic external type) is
+              // UNKNOWN — keep the file, the residual filter decides
+              case _: IllegalArgumentException => true
+            }
           }
         }
       }
@@ -467,9 +500,11 @@ object Snapshots {
     val keep = (Seq(col(column).isNull) ++
       lower.map(col(column) < lit(_)) ++ upper.map(col(column) > lit(_)))
       .reduce(_ || _)
-    spark.read.parquet(affected.map(f => s"$dir/$f"): _*)
-      .filter(keep)
-      .write.mode("overwrite").parquet(s"$dir/$dataRel")
+    withStatFriendlyWrites(spark) {
+      spark.read.parquet(affected.map(f => s"$dir/$f"): _*)
+        .filter(keep)
+        .write.mode("overwrite").parquet(s"$dir/$dataRel")
+    }
     val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
       .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => s"$dataRel/${st.getPath.getName}").sorted

@@ -1,13 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graftbridge.StreamBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Snapshots
+import graft.operators.Snapshots.ColStat
 
 /** Structured-Streaming SOURCE over a [[graft.operators.Snapshots]] table —
   * the Delta-streaming-source twin, closing the loop with the foreachBatch
@@ -40,12 +42,46 @@ import graft.operators.Snapshots
   * reads (two manifest lists + a set difference); data moves only through
   * the executor parquet scan of the appended files.
   */
-class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister {
+class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "snapshots"
 
   private def dirOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "snapshots source requires option(\"path\", <snapshot table dir>)"))
+
+  /** BATCH half of the format: `spark.read.format("snapshots")` / `CREATE
+    * [TEMP] VIEW t USING snapshots OPTIONS (path '…')` — the SQL face of
+    * the versioned table. `versionAsOf` pins a version, `timestampAsOf`
+    * (epoch millis or `yyyy-MM-dd HH:mm:ss[.f…]`, UTC) resolves TIMESTAMP
+    * AS OF; at most one of the two. Pushed-down filters drive manifest
+    * data skipping automatically ([[SnapshotRelation]]), so a plain SQL
+    * `WHERE` prunes files with no API call.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val dir = dirOf(parameters)
+    val spark = sqlContext.sparkSession
+    val vOpt = parameters.get("versionAsOf").map(_.toInt)
+    val tOpt = parameters.get("timestampAsOf").map { raw =>
+      scala.util.Try(raw.toLong).getOrElse {
+        val fmt = java.time.format.DateTimeFormatter.ofPattern(
+          "yyyy-MM-dd HH:mm:ss[.SSS]")
+        java.time.LocalDateTime.parse(raw, fmt)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    }
+    require(vOpt.isEmpty || tOpt.isEmpty,
+      "pass versionAsOf OR timestampAsOf, not both")
+    val version = vOpt.orElse(tOpt.map { ts =>
+      val vs = Snapshots.versions(spark, dir)
+        .filter(v => Snapshots.commitTime(spark, dir, v) <= ts)
+      require(vs.nonEmpty, s"$dir: no snapshot existed at $ts")
+      vs.max
+    }).orElse(Snapshots.currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    new SnapshotRelation(sqlContext, dir, version)
+  }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
@@ -68,6 +104,89 @@ class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister 
     val st = sourceSchema(sqlContext, schema, providerName, parameters)._2
     new SnapshotSource(sqlContext, dir, starting, st)
   }
+}
+
+/** DSv1 relation over one snapshot version with filter-driven data
+  * skipping: Catalyst pushes the query's filters here, [[translate]] turns
+  * the provably-range-expressible ones into manifest stat checks, and only
+  * surviving files reach the parquet scan. Filter translation is
+  * conservative in both directions — untranslatable filters prune nothing,
+  * and `unhandledFilters` (default: all) makes Spark re-apply EVERY filter
+  * after the scan, so pruning can only skip files, never change results.
+  * Column pruning is pushed into the inner parquet read.
+  */
+class SnapshotRelation(override val sqlContext: SQLContext, dir: String,
+    version: Int) extends BaseRelation with PrunedFilteredScan {
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType = Snapshots.read(spark, dir, Some(version)).schema
+
+  /** One conjunct → zero or more stat range-checks (empty = can't prune on
+    * it). `IsNotNull` is the unbounded range: it keeps every file with a
+    * non-null value but drops provably-all-null ones. `In`/prefix collapse
+    * to their envelope interval.
+    */
+  private def translate(f: Filter): Seq[(String, Option[Any], Option[Any])] = f match {
+    case EqualTo(a, v) if v != null => Seq((a, Some(v), Some(v)))
+    case EqualNullSafe(a, v) if v != null => Seq((a, Some(v), Some(v)))
+    case GreaterThan(a, v) => Seq((a, Some(v), None))
+    case GreaterThanOrEqual(a, v) => Seq((a, Some(v), None))
+    case LessThan(a, v) => Seq((a, None, Some(v)))
+    case LessThanOrEqual(a, v) => Seq((a, None, Some(v)))
+    case In(a, vs) =>
+      val nn = vs.filter(_ != null)
+      envelope(nn).map { case (mn, mx) => (a, Some(mn), Some(mx)) }.toSeq
+    // '￿' caps the prefix interval: every string starting with p
+    // precedes p + '￿' in Java string order
+    case StringStartsWith(a, p) => Seq((a, Some(p), Some(p + '￿')))
+    case IsNotNull(a) => Seq((a, None, None))
+    case And(l, r) => translate(l) ++ translate(r)
+    case _ => Seq.empty
+  }
+
+  private def envelope(vs: Array[Any]): Option[(Any, Any)] =
+    if (vs.isEmpty) None
+    else if (vs.forall(_.isInstanceOf[Number])) {
+      val ds = vs.map(_.asInstanceOf[Number])
+      Some((ds.minBy(_.doubleValue), ds.maxBy(_.doubleValue)))
+    } else if (vs.forall(_.isInstanceOf[String])) {
+      val ss = vs.map(_.asInstanceOf[String])
+      Some((ss.min, ss.max))
+    } else None
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ranges = filters.toSeq.flatMap(translate)
+    val (kept0, all) = Snapshots.pruneFilesAll(spark, dir, version, ranges)
+    // IsNull: a file with a known-zero null count can't produce a match
+    val nullCols = filters.collect { case IsNull(a) => a }
+    val kept = if (nullCols.isEmpty) kept0 else {
+      val idx = Snapshots.stats(spark, dir, version)
+      kept0.filter { f =>
+        nullCols.forall { c =>
+          idx.get(f).flatMap(_.get(c)) match {
+            case Some(s) if s.nulls == 0 => false
+            case _ => true
+          }
+        }
+      }
+    }
+    SnapshotRelation.lastScan.set((kept.length, all.length))
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
+      else Snapshots.read(spark, dir, Some(version)).filter(lit(false))
+    val projected =
+      if (requiredColumns.isEmpty) base.select()
+      else base.select(requiredColumns.toSeq.map(col): _*)
+    projected.rdd
+  }
+}
+
+object SnapshotRelation {
+  /** (kept, total) of the most recent buildScan — test/diagnostic
+    * instrumentation for asserting that pushed filters actually skip. */
+  val lastScan = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 }
 
 private[streaming] class SnapshotSource(sqlContext: SQLContext, dir: String,

@@ -317,6 +317,71 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshots.readAsOf(spark, dir, t1 - 1000))
   }
 
+  test("SQL relation: pushed filters drive data skipping, results stay exact") {
+    import graft.streaming.SnapshotRelation
+    val dir = tmp()
+    val df = spark.range(1000).toDF("k")
+      .withColumn("s", concat(lit("u"), format_string("%04d", col("k"))))
+      .withColumn("maybe", when(col("k") < 500, col("k")))
+      .repartitionByRange(8, col("k"))
+    Snapshots.commit(spark, dir, df)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_t USING snapshots OPTIONS (path '$dir')")
+    def scanned[T](body: => T): ((Int, Int), T) = {
+      SnapshotRelation.lastScan.set((-1, -1))
+      val r = body
+      (SnapshotRelation.lastScan.get, r)
+    }
+    // range → skip
+    val ((k1, n1), r1) = scanned(
+      spark.sql("SELECT sum(k) FROM snap_t WHERE k BETWEEN 100 AND 199").first.getLong(0))
+    assert(r1 == (100L to 199L).sum && k1 < n1 && n1 == 8, s"range scan ($k1/$n1)")
+    // equality and IN → skip via envelope
+    val ((k2, _), r2) = scanned(
+      spark.sql("SELECT count(*) FROM snap_t WHERE k IN (3, 7)").first.getLong(0))
+    assert(r2 == 2 && k2 == 1, s"IN envelope kept $k2 files")
+    // string prefix → skip on the clustered string column
+    val ((k3, _), r3) = scanned(
+      spark.sql("SELECT count(*) FROM snap_t WHERE s LIKE 'u000%'").first.getLong(0))
+    assert(r3 == 10 && k3 == 1, s"prefix kept $k3 files")
+    // IS NULL: files with known-zero null count are skipped
+    val ((k4, _), r4) = scanned(
+      spark.sql("SELECT count(*) FROM snap_t WHERE maybe IS NULL").first.getLong(0))
+    assert(r4 == 500 && k4 < 8, s"IS NULL kept $k4 files")
+    // OR (untranslatable) → prunes nothing, still exact
+    val ((k5, _), r5) = scanned(
+      spark.sql("SELECT count(*) FROM snap_t WHERE k = 1 OR k = 999").first.getLong(0))
+    assert(r5 == 2 && k5 == 8, "OR must be conservative")
+  }
+
+  test("SQL relation: versionAsOf / timestampAsOf resolve time travel") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val t1 = Snapshots.commitTime(spark, dir, 1)
+    Thread.sleep(15)
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    assert(spark.read.format("snapshots").option("path", dir).load().count() == 2)
+    assert(spark.read.format("snapshots").option("path", dir)
+      .option("versionAsOf", "1").load().count() == 1)
+    assert(spark.read.format("snapshots").option("path", dir)
+      .option("timestampAsOf", t1.toString).load().count() == 1)
+    intercept[IllegalArgumentException](
+      spark.read.format("snapshots").option("path", dir)
+        .option("versionAsOf", "1").option("timestampAsOf", "0").load())
+    // timestamp columns prune through temporal canonicalization
+    val dir2 = tmp()
+    Snapshots.commit(spark, dir2,
+      spark.range(100).toDF("i").withColumn("ts",
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,i,0,0)"))
+        .repartitionByRange(4, col("ts")))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_ts USING snapshots OPTIONS (path '$dir2')")
+    graft.streaming.SnapshotRelation.lastScan.set((-1, -1))
+    val n = spark.sql("SELECT count(*) FROM snap_ts WHERE ts >= timestamp'2024-01-04 00:00:00'")
+      .first.getLong(0)
+    val (kept, all) = graft.streaming.SnapshotRelation.lastScan.get
+    assert(n == 28, s"timestamp filter wrong: $n")
+    assert(kept < all && all == 4, s"timestamp stats did not skip ($kept/$all)")
+  }
+
   test("q_time_travel: v3 (replace) equals v2 (its source) row-for-row") {
     val rows = SparkEntry.queries("q_time_travel")(spark, TestSpark.sf)
       .as[(Int, Long, Double)].collect().sortBy(_._1)
