@@ -491,6 +491,32 @@ object Relational extends QueryModule {
       dir
     })
 
+  /** MERGE INTO the clustered snapshot table: updates bump the price of
+    * every 10th key in [0, 1000), inserts add 50 brand-new keys above the
+    * keyspace. Touched-file discovery (envelope prune + one key-join scan)
+    * keeps the rewrite to the files really holding a matched key —
+    * SnapshotSpec locks the carried-file identity; the oracle states the
+    * merged table directly as CASE + UNION ALL.
+    */
+  private val snapMergeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapMergeDir(s: SparkSession, d: String): String =
+    snapMergeDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapmrg").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      Snapshots.commit(s, dir, orders.repartitionByRange(8, col("o_orderkey")))
+      val updates = orders.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      val inserts = orders.filter(col("o_orderkey") < 50)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(9000000L))
+      Snapshots.mergeInto(s, dir, updates.unionByName(inserts), "o_orderkey")
+      dir
+    })
+
+  private def qSnapshotMerge(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, snapMergeDir(s, d))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   /** The SQL face of the versioned table: `USING snapshots` mounts a
     * snapshot as a relation, and the plain `WHERE` range drives manifest
     * data skipping through the pushed-down filters — no API call, the
@@ -849,6 +875,7 @@ object Relational extends QueryModule {
     "q_snapshot_delete" -> qSnapshotDelete,
     "q_snapshot_zorder" -> qSnapshotZorder,
     "q_snapshot_sql" -> qSnapshotSql,
+    "q_snapshot_merge" -> qSnapshotMerge,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -898,6 +925,17 @@ object Relational extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey NOT BETWEEN 200 AND 699
         |ORDER BY n""".stripMargin,
+    "q_snapshot_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    o_totalprice + CASE WHEN o_orderkey < 1000 AND o_orderkey % 10 = 0
+        |      THEN 1.0 ELSE 0.0 END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 9000000, o_totalprice FROM orders WHERE o_orderkey < 50)
+        |SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged ORDER BY n""".stripMargin,
     "q_snapshot_sql" ->
       """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderkey BETWEEN 1100 AND 2099

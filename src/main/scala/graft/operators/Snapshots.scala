@@ -85,7 +85,8 @@ object Snapshots {
     * same caveat that makes Delta-on-S3 need an external lock.
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-      replace: Boolean = false, expectedVersion: Option[Int] = None): Int = {
+      replace: Boolean = false, expectedVersion: Option[Int] = None,
+      evolve: Boolean = false): Int = {
     val (fs, _) = hfs(spark, dir)
     val cur = currentVersion(spark, dir).getOrElse(0)
     expectedVersion.foreach { ev =>
@@ -93,6 +94,7 @@ object Snapshots {
         s"$dir: commit planned against v$ev but table is at v$cur — " +
           "rebase the commit on the current snapshot and retry")
     }
+    if (!replace && cur > 0) enforceSchema(spark, dir, df, evolve)
     val next = cur + 1
     val dataRel = s"data/c$next"
     withStatFriendlyWrites(spark) {
@@ -105,6 +107,34 @@ object Snapshots {
       if (replace || next == 1) Seq.empty else files(spark, dir, next - 1)
     publish(spark, dir, next, carried, fresh)
     next
+  }
+
+  /** Append-commit schema gate (Delta's enforcement): the incoming frame
+    * must carry exactly the table's columns with exactly their types —
+    * a silently mixed-footer table is how reads start returning
+    * reader-dependent results. `evolve = true` relaxes ONE direction:
+    * brand-new columns may be ADDED (prior files surface NULLs for them
+    * via the merged-footer read); dropped columns and type changes stay
+    * hard errors either way.
+    */
+  private def enforceSchema(spark: SparkSession, dir: String, df: DataFrame,
+      evolve: Boolean): Unit = {
+    val table = read(spark, dir).schema.map(f => f.name -> f.dataType).toMap
+    val incoming = df.schema.map(f => f.name -> f.dataType).toMap
+    val missing = table.keySet -- incoming.keySet
+    val added = incoming.keySet -- table.keySet
+    val retyped = table.keySet.intersect(incoming.keySet)
+      .filter(c => table(c) != incoming(c))
+    if (retyped.nonEmpty) throw new IllegalArgumentException(
+      s"$dir: append changes column type(s) ${retyped.toSeq.sorted.mkString(", ")} " +
+        s"(${retyped.toSeq.sorted.map(c => s"$c: ${table(c).simpleString} -> " +
+          incoming(c).simpleString).mkString("; ")}) — types are fixed")
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"$dir: append drops column(s) ${missing.toSeq.sorted.mkString(", ")} — " +
+        "a commit must carry every table column")
+    if (added.nonEmpty && !evolve) throw new IllegalArgumentException(
+      s"$dir: append adds column(s) ${added.toSeq.sorted.mkString(", ")} — " +
+        "pass evolve = true to extend the schema")
   }
 
   /** Publish version `next` = `carried` (files of a prior version, whose
@@ -175,7 +205,10 @@ object Snapshots {
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     val fs = files(spark, dir, v)
     require(fs.nonEmpty, s"$dir: snapshot v$v lists no files")
-    spark.read.parquet(fs.map(f => s"$dir/$f"): _*)
+    // mergeSchema: evolved tables (evolve = true appends) surface added
+    // columns with NULLs in pre-evolution files instead of whichever
+    // single footer the planner happened to sample
+    spark.read.option("mergeSchema", "true").parquet(fs.map(f => s"$dir/$f"): _*)
   }
 
   /** Incremental read: the rows appended between `fromVersion` (exclusive)
@@ -486,6 +519,78 @@ object Snapshots {
     * History is rewritten for the affected files, so [[readChanges]] across
     * a delete fails loudly, exactly like a replace commit.
     */
+  /** MERGE INTO (upsert), copy-on-write: rows of `updates` replace
+    * same-`key` table rows, the rest insert — Delta's
+    * whenMatched-update/whenNotMatched-insert in one call. Touched files
+    * are found the way Delta finds them: the stats index narrows to
+    * candidate files by the update-key envelope, then ONE key-join scan of
+    * only those candidates pins the files that really hold a matched key
+    * — every other file carries into the new manifest byte-identical, so
+    * merge cost tracks the data actually hit, not table size. Updates must
+    * be key-unique and non-null-keyed (checked; a double-matching update
+    * would otherwise silently duplicate), and must carry exactly the table
+    * schema. Returns the new version. History is rewritten for touched
+    * files, so [[readChanges]] across a merge refuses like any replace.
+    */
+  def mergeInto(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String): Int = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, min, max}
+    val (fs, _) = hfs(spark, dir)
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    enforceSchema(spark, dir, updates, evolve = false)
+    val up = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val Array(head) = up.agg(count(lit(1)), count(col(key)),
+        countDistinctCol(key), min(col(key)), max(col(key))).collect()
+      val (total, nonNull, distinct) = (head.getLong(0), head.getLong(1), head.getLong(2))
+      if (total == 0) return cur
+      require(nonNull == total, s"$dir: merge key $key has null(s) in updates")
+      require(distinct == total, s"$dir: merge updates carry duplicate $key values")
+      val (candidates, all) = pruneFiles(spark, dir, cur, key,
+        Option(head.get(3)), Option(head.get(4)))
+      // one scan of only the envelope candidates pins the files that hold a
+      // matched key (metadata-sized result: distinct file names)
+      val touched: Seq[String] =
+        if (candidates.isEmpty) Seq.empty
+        else {
+          val prefix = s"$dir/"
+          spark.read.parquet(candidates.map(f => s"$prefix$f"): _*)
+            .select(col(key)).withColumn("__f", input_file_name())
+            .join(up.select(col(key)), Seq(key))
+            .select("__f").distinct().collect()
+            .map(_.getString(0))
+            .map { uri =>
+              val p = new java.net.URI(uri).getPath
+              val i = p.indexOf("/data/c")
+              require(i >= 0, s"$dir: touched file $p is outside the table")
+              p.substring(i + 1)
+            }.toSeq.sorted
+        }
+      val untouched = all.filterNot(touched.toSet)
+      val next = cur + 1
+      val dataRel = s"data/c$next"
+      val survivors =
+        if (touched.isEmpty) up.toDF()
+        else spark.read.parquet(touched.map(f => s"$dir/$f"): _*)
+          .join(up.select(col(key)), Seq(key), "left_anti")
+          .unionByName(up)
+      withStatFriendlyWrites(spark) {
+        survivors.write.mode("overwrite").parquet(s"$dir/$dataRel")
+      }
+      val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
+        .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => s"$dataRel/${st.getPath.getName}").sorted
+      publish(spark, dir, next, untouched, fresh)
+      next
+    } finally { up.unpersist(); () }
+  }
+
+  private def countDistinctCol(key: String) = {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    countDistinct(col(key))
+  }
+
   def deleteRange(spark: SparkSession, dir: String, column: String,
       lower: Option[Any], upper: Option[Any]): Int = {
     import org.apache.spark.sql.functions.{col, lit}

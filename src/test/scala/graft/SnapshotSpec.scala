@@ -264,6 +264,68 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir, Some(v - 1)).count() == 64L * 64L)
   }
 
+  test("mergeInto rewrites only key-touched files; updates replace, inserts append") {
+    val dir = tmp()
+    val v1 = Snapshots.commit(spark, dir,
+      spark.range(1000).toDF("k").withColumn("v", col("k") * 10)
+        .repartitionByRange(8, col("k")))
+    val before = Snapshots.files(spark, dir, v1)
+    // updates hit keys 100-104 only; inserts are far outside every file
+    val updates = Seq((100L, -1L), (101L, -2L), (104L, -3L)).toDF("k", "v")
+    val inserts = Seq((5000L, 1L), (5001L, 2L)).toDF("k", "v")
+    val v2 = Snapshots.mergeInto(spark, dir, updates.unionByName(inserts), "k")
+    assert(v2 == v1 + 1)
+    val after = Snapshots.files(spark, dir, v2)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.size == before.size - 1,
+      s"keys 100-104 live in ONE range file; ${before.size - carried.size} rewritten")
+    val got = Snapshots.read(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got.size == 1002)
+    assert(got(100L) == -1L && got(101L) == -2L && got(104L) == -3L, "update lost")
+    assert(got(102L) == 1020L && got(103L) == 1030L, "untouched rows must survive")
+    assert(got(5000L) == 1L && got(5001L) == 2L, "insert lost")
+    assert(Snapshots.read(spark, dir, Some(v1)).count() == 1000, "history rewritten")
+  }
+
+  test("mergeInto refuses null or duplicate keys and schema drift") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException](Snapshots.mergeInto(spark, dir,
+      Seq((Option.empty[java.lang.Long], "x")).toDF("k", "v"), "k"))
+    intercept[IllegalArgumentException](Snapshots.mergeInto(spark, dir,
+      Seq((2L, "x"), (2L, "y")).toDF("k", "v"), "k"))
+    intercept[IllegalArgumentException](Snapshots.mergeInto(spark, dir,
+      Seq((2L, "x", 1.0)).toDF("k", "v", "extra"), "k"))
+    assert(Snapshots.read(spark, dir).count() == 1, "a refused merge leaked")
+    // pure-insert merge appends, so readChanges still tails it
+    val v2 = Snapshots.mergeInto(spark, dir, Seq((2L, "b")).toDF("k", "v"), "k")
+    assert(Snapshots.readChanges(spark, dir, 1, v2)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+  }
+
+  test("append schema enforcement: drops/retypes refuse, evolve adds columns") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, dir, Seq(2L).toDF("k"))) // drops v
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, dir, Seq((2L, 3L)).toDF("k", "v"))) // retypes v
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, dir, Seq((2L, "b", 1.0)).toDF("k", "v", "w")))
+    assert(Snapshots.versions(spark, dir) == Seq(1), "a refused append published")
+    val v2 = Snapshots.commit(spark, dir,
+      Seq((2L, "b", 1.5)).toDF("k", "v", "w"), evolve = true)
+    val got = Snapshots.read(spark, dir, Some(v2))
+    assert(got.columns.sorted.toSeq == Seq("k", "v", "w"))
+    val rows = got.select("k", "w").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(1.5)),
+      "pre-evolution file must surface NULL for the added column")
+    // replace redefines freely
+    val v3 = Snapshots.commit(spark, dir, Seq(9L).toDF("z"), replace = true)
+    assert(Snapshots.read(spark, dir, Some(v3)).columns.toSeq == Seq("z"))
+  }
+
   test("deleteRange keeps NULL-predicate rows (SQL DELETE semantics)") {
     val dir = tmp()
     Snapshots.commit(spark, dir,
