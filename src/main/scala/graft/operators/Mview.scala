@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized aggregates over a
+  * [[Snapshots]] table — the consumer the CDC feed (`readChanges` / the
+  * `snapshots` streaming source) exists for.
+  *
+  * The view is `GROUP BY keys → (cnt, sum_<c>…)`, i.e. the
+  * SUM/COUNT-decomposable family (avg = sum/cnt at query time): each
+  * [[refresh]] folds ONLY the source rows appended since the last refresh
+  * into the running totals, so refresh cost is O(delta) + O(view), never
+  * O(source). At 100 TB the source is the big thing — a nightly refresh
+  * reads one day's appends, not the table.
+  *
+  * The view is itself a snapshot table, and its exactly-once watermark is
+  * the `src_version` entry in the view commit's metadata: the folded
+  * version and the marker publish in ONE atomic manifest rename
+  * ([[Snapshots.commit]] meta), so a crash between "computed" and
+  * "recorded" cannot double-fold a delta — on restart the view's own
+  * latest metadata says exactly what was already applied. A REPLACE (or
+  * merge/delete rewrite) on the source makes the incremental delta
+  * undefined; [[refresh]] then refuses loudly (`readChanges`' contract)
+  * and [[rebuild]] resyncs from a full scan.
+  */
+object Mview {
+  private val SrcKey = "src_version"
+
+  /** Source version already folded into the view (None for a fresh view). */
+  def appliedSrcVersion(spark: SparkSession, viewDir: String): Option[Int] =
+    Snapshots.currentVersion(spark, viewDir).map { v =>
+      val m = Snapshots.commitMeta(spark, viewDir, v)
+      m.getOrElse(SrcKey, throw new IllegalStateException(
+        s"$viewDir: view commit v$v carries no $SrcKey marker — " +
+          "not a Mview-maintained table")).toInt
+    }
+
+  private def aggregated(src: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    src.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+
+  /** Fold source commits `(applied, head]` into the view; returns the new
+    * view version (or the current one when the source hasn't moved). The
+    * first refresh of an empty view is the initial full build.
+    */
+  def refresh(spark: SparkSession, srcDir: String, viewDir: String,
+      keys: Seq[String], sumCols: Seq[String]): Int = {
+    val head = Snapshots.currentVersion(spark, srcDir).getOrElse(
+      throw new IllegalArgumentException(s"$srcDir: no published snapshots"))
+    appliedSrcVersion(spark, viewDir) match {
+      case Some(applied) if applied == head =>
+        Snapshots.currentVersion(spark, viewDir).get // nothing new: no-op
+      case Some(applied) =>
+        require(applied < head,
+          s"$srcDir went backwards (v$head < applied v$applied) — expired? rebuild")
+        val delta = aggregated(
+          Snapshots.readChanges(spark, srcDir, applied, head), keys, sumCols)
+        val old = Snapshots.read(spark, viewDir)
+        val valCols = "cnt" +: sumCols.map(c => s"sum_$c")
+        // full-outer merge of two aggregate-sized tables: totals add,
+        // groups new to either side contribute their own totals
+        val merged = old.select(old.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
+          .join(delta.select(delta.columns.map(c => col(c).as(s"r_$c")).toSeq: _*),
+            keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _), "full_outer")
+          .select(
+            keys.map(k => coalesce(col(s"l_$k"), col(s"r_$k")).as(k)) ++
+              valCols.map(c =>
+                (coalesce(col(s"l_$c"), lit(0)) + coalesce(col(s"r_$c"), lit(0)))
+                  .cast(old.schema(c).dataType).as(c)): _*)
+        Snapshots.commit(spark, viewDir, merged, replace = true,
+          meta = Map(SrcKey -> head.toString))
+      case None =>
+        Snapshots.commit(spark, viewDir,
+          aggregated(Snapshots.read(spark, srcDir, Some(head)), keys, sumCols),
+          meta = Map(SrcKey -> head.toString))
+    }
+  }
+
+  /** Full recompute at the source head — the resync after a source
+    * replace/merge/delete rewrote history and [[refresh]] refused.
+    */
+  def rebuild(spark: SparkSession, srcDir: String, viewDir: String,
+      keys: Seq[String], sumCols: Seq[String]): Int = {
+    val head = Snapshots.currentVersion(spark, srcDir).getOrElse(
+      throw new IllegalArgumentException(s"$srcDir: no published snapshots"))
+    Snapshots.commit(spark, viewDir,
+      aggregated(Snapshots.read(spark, srcDir, Some(head)), keys, sumCols),
+      replace = true, meta = Map(SrcKey -> head.toString))
+  }
+}

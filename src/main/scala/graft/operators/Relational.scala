@@ -517,6 +517,33 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** Incrementally-maintained aggregate view: the source table grows in
+    * THREE append commits and the view refreshes after the first and third
+    * — the second+third deltas are folded from `readChanges`, never a
+    * source rescan. The oracle is the FULL aggregate over orders, so a
+    * hash-green row proves incremental maintenance equals recompute.
+    */
+  private val mviewDirs = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def mviewDir(s: SparkSession, d: String): (String, String) =
+    mviewDirs.computeIfAbsent(d, _ => {
+      val src = java.nio.file.Files.createTempDirectory("graft-mview-src").toFile.getAbsolutePath
+      val view = java.nio.file.Files.createTempDirectory("graft-mview-v").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderstatus", "o_totalprice")
+      Snapshots.commit(s, src, orders.filter(col("o_totalprice") % 3 < 1))
+      Mview.refresh(s, src, view, Seq("o_orderstatus"), Seq("o_totalprice"))
+      Snapshots.commit(s, src, orders.filter(col("o_totalprice") % 3 >= 1 &&
+        col("o_totalprice") % 3 < 2))
+      Snapshots.commit(s, src, orders.filter(col("o_totalprice") % 3 >= 2))
+      Mview.refresh(s, src, view, Seq("o_orderstatus"), Seq("o_totalprice"))
+      (src, view)
+    })
+
+  private def qMviewInc(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, mviewDir(s, d)._2)
+      .select(col("o_orderstatus"), col("cnt"),
+        round(col("sum_o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+
   /** The SQL face of the versioned table: `USING snapshots` mounts a
     * snapshot as a relation, and the plain `WHERE` range drives manifest
     * data skipping through the pushed-down filters — no API call, the
@@ -876,6 +903,7 @@ object Relational extends QueryModule {
     "q_snapshot_zorder" -> qSnapshotZorder,
     "q_snapshot_sql" -> qSnapshotSql,
     "q_snapshot_merge" -> qSnapshotMerge,
+    "q_mview_inc" -> qMviewInc,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -925,6 +953,10 @@ object Relational extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey NOT BETWEEN 200 AND 699
         |ORDER BY n""".stripMargin,
+    "q_mview_inc" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_snapshot_merge" ->
       """WITH merged AS (
         |  SELECT o_orderkey,

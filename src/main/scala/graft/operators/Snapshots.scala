@@ -84,9 +84,15 @@ object Snapshots {
     * pre-rename existence check closes all but a microsecond window — the
     * same caveat that makes Delta-on-S3 need an external lock.
     */
+  /** `meta` rides the commit atomically (Iceberg's snapshot summary): the
+    * key→value map lands in the `vN.meta` sidecar BEFORE the `.list`
+    * rename publishes the version, so a consumer can never observe a
+    * version without its metadata — the property incremental maintenance
+    * ([[Mview]]) builds its exactly-once watermark on.
+    */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean = false, expectedVersion: Option[Int] = None,
-      evolve: Boolean = false): Int = {
+      evolve: Boolean = false, meta: Map[String, String] = Map.empty): Int = {
     val (fs, _) = hfs(spark, dir)
     val cur = currentVersion(spark, dir).getOrElse(0)
     expectedVersion.foreach { ev =>
@@ -105,8 +111,26 @@ object Snapshots {
       .map(st => s"$dataRel/${st.getPath.getName}").sorted
     val carried =
       if (replace || next == 1) Seq.empty else files(spark, dir, next - 1)
-    publish(spark, dir, next, carried, fresh)
+    publish(spark, dir, next, carried, fresh, meta)
     next
+  }
+
+  /** The `meta` map committed with `version` (empty if none was passed). */
+  def commitMeta(spark: SparkSession, dir: String,
+      version: Int): Map[String, String] = {
+    val (fs, _) = hfs(spark, dir)
+    val mf = new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$version.meta")
+    if (!fs.exists(mf)) Map.empty
+    else {
+      val in = fs.open(mf)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(k, v) = line.split("\t", -1)
+        dec(k) -> dec(v)
+      }.toMap
+    }
   }
 
   /** Append-commit schema gate (Delta's enforcement): the incoming frame
@@ -145,7 +169,8 @@ object Snapshots {
     * so a reader never sees a version whose stats are still in flight.
     */
   private def publish(spark: SparkSession, dir: String, next: Int,
-      carried: Seq[String], fresh: Seq[String]): Unit = {
+      carried: Seq[String], fresh: Seq[String],
+      meta: Map[String, String] = Map.empty): Unit = {
     val (fs, _) = hfs(spark, dir)
     val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
     fs.mkdirs(md)
@@ -171,6 +196,10 @@ object Snapshots {
       require(fs.rename(tmp, fin), s"$dir: manifest publish rename failed for $name")
     }
     writeAtomic(s"v$next.stats", encodeStats(statRows).getBytes("UTF-8"))
+    if (meta.nonEmpty)
+      writeAtomic(s"v$next.meta", meta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
     val body = (carried ++ fresh).mkString("", "\n", "\n").getBytes("UTF-8")
     writeAtomic(s"v$next.list", body)
   }
@@ -254,6 +283,7 @@ object Snapshots {
     drop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.list"), false)
       fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.stats"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.meta"), false)
     }
     orphans.length
   }

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Mview, Snapshots}
+
+class MviewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(pfx: String): String =
+    java.nio.file.Files.createTempDirectory(pfx).toFile.getAbsolutePath
+
+  private def viewMap(viewDir: String): Map[String, (Long, Long)] =
+    Snapshots.read(spark, viewDir).select("g", "cnt", "sum_x")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  private def fullMap(srcDir: String): Map[String, (Long, Long)] =
+    Snapshots.read(spark, srcDir).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("property: refresh at random cadence always equals the full aggregate") {
+    val src = tmp("mv-src"); val view = tmp("mv-view")
+    val rng = new scala.util.Random(7)
+    for (round <- 1 to 8) {
+      val rows = Seq.fill(1 + rng.nextInt(40))(
+        (s"g${rng.nextInt(5)}", rng.nextInt(100).toLong))
+      Snapshots.commit(spark, src, rows.toDF("g", "x"))
+      if (rng.nextBoolean() || round == 8) {
+        Mview.refresh(spark, src, view, Seq("g"), Seq("x"))
+        assert(viewMap(view) == fullMap(src), s"diverged at round $round")
+        assert(Mview.appliedSrcVersion(spark, view)
+          .contains(Snapshots.currentVersion(spark, src).get))
+      }
+    }
+  }
+
+  test("refresh with an unmoved source is a no-op version") {
+    val src = tmp("mv-src2"); val view = tmp("mv-view2")
+    Snapshots.commit(spark, src, Seq(("a", 1L)).toDF("g", "x"))
+    val v1 = Mview.refresh(spark, src, view, Seq("g"), Seq("x"))
+    val v2 = Mview.refresh(spark, src, view, Seq("g"), Seq("x"))
+    assert(v1 == v2, "no-op refresh must not publish a version")
+  }
+
+  test("source replace breaks the delta: refresh refuses, rebuild resyncs") {
+    val src = tmp("mv-src3"); val view = tmp("mv-view3")
+    Snapshots.commit(spark, src, Seq(("a", 1L), ("b", 2L)).toDF("g", "x"))
+    Mview.refresh(spark, src, view, Seq("g"), Seq("x"))
+    Snapshots.commit(spark, src, Seq(("a", 100L)).toDF("g", "x"), replace = true)
+    intercept[IllegalArgumentException](
+      Mview.refresh(spark, src, view, Seq("g"), Seq("x")))
+    Mview.rebuild(spark, src, view, Seq("g"), Seq("x"))
+    assert(viewMap(view) == Map("a" -> ((1L, 100L))))
+    // incremental maintenance resumes cleanly after the resync
+    Snapshots.commit(spark, src, Seq(("b", 7L)).toDF("g", "x"))
+    Mview.refresh(spark, src, view, Seq("g"), Seq("x"))
+    assert(viewMap(view) == fullMap(src))
+  }
+
+  test("a non-Mview snapshot table is rejected as a view target") {
+    val d = tmp("mv-plain")
+    Snapshots.commit(spark, d, Seq(("a", 1L)).toDF("g", "x"))
+    intercept[IllegalStateException](Mview.appliedSrcVersion(spark, d))
+  }
+
+  test("commit meta rides the version atomically and round-trips any chars") {
+    val d = tmp("mv-meta")
+    val meta = Map("src_version" -> "3", "note" -> "tabs\tand\nnewlines % ü")
+    Snapshots.commit(spark, d, Seq(1L).toDF("k"), meta = meta)
+    assert(Snapshots.commitMeta(spark, d, 1) == meta)
+    Snapshots.commit(spark, d, Seq(2L).toDF("k"))
+    assert(Snapshots.commitMeta(spark, d, 2).isEmpty, "meta must not leak across versions")
+  }
+}
