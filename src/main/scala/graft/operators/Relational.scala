@@ -517,6 +517,34 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** Bloom-index skipping on a layout min/max CANNOT help: the table is
+    * round-robin partitioned (every file spans the whole keyspace, so
+    * range envelopes keep everything), but the declared bloom column makes
+    * the two-key IN probe keep only the files whose blooms might hold a
+    * probed key. SnapshotSpec locks the skip count; the oracle is the
+    * plain IN over orders.
+    */
+  private val snapBloomDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapBloomDir(s: SparkSession, d: String): String =
+    snapBloomDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapbloom").toFile.getAbsolutePath
+      Snapshots.setBloomColumns(s, dir, Seq("o_orderkey"))
+      Snapshots.commit(s, dir,
+        T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(8))
+      dir
+    })
+
+  private def qSnapshotBloom(s: SparkSession, d: String): DataFrame = {
+    val dir = snapBloomDir(s, d)
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_bloom " +
+      s"USING snapshots OPTIONS (path '$dir')")
+    s.sql("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+            |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            |FROM snap_bloom WHERE o_orderkey IN (17, 1042)
+            |ORDER BY n""".stripMargin)
+  }
+
   /** Incrementally-maintained aggregate view: the source table grows in
     * THREE append commits and the view refreshes after the first and third
     * — the second+third deltas are folded from `readChanges`, never a
@@ -904,6 +932,7 @@ object Relational extends QueryModule {
     "q_snapshot_sql" -> qSnapshotSql,
     "q_snapshot_merge" -> qSnapshotMerge,
     "q_mview_inc" -> qMviewInc,
+    "q_snapshot_bloom" -> qSnapshotBloom,
     "q_scan" -> qScan,
     "q_project" -> qProject,
     "q_prune" -> qPrune,
@@ -952,6 +981,11 @@ object Relational extends QueryModule {
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey NOT BETWEEN 200 AND 699
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_bloom" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey IN (17, 1042)
         |ORDER BY n""".stripMargin,
     "q_mview_inc" ->
       """SELECT o_orderstatus, count(*) AS cnt,

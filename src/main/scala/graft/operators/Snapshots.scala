@@ -29,6 +29,62 @@ object Snapshots {
 
   private def manifestDir(dir: String) = s"$dir/_manifests"
 
+  /** Table properties (durable, version-independent — e.g. which columns
+    * get bloom filters). Stored as a `table.props` k/v file in the
+    * manifest dir, written with the same atomic temp+rename publish.
+    */
+  def properties(spark: SparkSession, dir: String): Map[String, String] = {
+    val (fs, _) = hfs(spark, dir)
+    val pf = new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/table.props")
+    if (!fs.exists(pf)) Map.empty
+    else {
+      val in = fs.open(pf)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(k, v) = line.split("\t", -1)
+        dec(k) -> dec(v)
+      }.toMap
+    }
+  }
+
+  def setProperties(spark: SparkSession, dir: String,
+      props: Map[String, String]): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    fs.mkdirs(md)
+    val merged = properties(spark, dir) ++ props
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    val tmp = new org.apache.hadoop.fs.Path(md, ".table.props.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(md, "table.props")
+    fs.delete(fin, false)
+    require(fs.rename(tmp, fin), s"$dir: table.props publish failed")
+  }
+
+  /** Declare per-file parquet BLOOM FILTERS for `cols` (Delta's bloom
+    * index, via parquet's own standard mechanism): every subsequent data
+    * write — commit, merge rewrite, delete rewrite — emits a bloom per row
+    * group for these columns, and equality/IN pruning consults them
+    * ([[pruneFilesEq]]). The complement to min/max skipping: an equality
+    * probe on a column the layout is NOT clustered by has useless min/max
+    * envelopes, but a bloom answers "definitely absent" per file.
+    */
+  def setBloomColumns(spark: SparkSession, dir: String, cols: Seq[String]): Unit =
+    setProperties(spark, dir, Map("bloom.columns" -> cols.mkString(",")))
+
+  def bloomColumns(spark: SparkSession, dir: String): Seq[String] =
+    properties(spark, dir).get("bloom.columns")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  private def bloomWriteOptions(spark: SparkSession, dir: String): Map[String, String] =
+    bloomColumns(spark, dir)
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
   /** Snapshot data files always carry TIMESTAMP_MICROS (INT64) timestamps:
     * Spark's INT96 legacy default writes NO column statistics, which would
     * silently disable data skipping on every timestamp column. Set around
@@ -83,8 +139,8 @@ object Snapshots {
     * no-overwrite rename; on plain POSIX rename (which overwrites) the
     * pre-rename existence check closes all but a microsecond window — the
     * same caveat that makes Delta-on-S3 need an external lock.
-    */
-  /** `meta` rides the commit atomically (Iceberg's snapshot summary): the
+    *
+    * `meta` rides the commit atomically (Iceberg's snapshot summary): the
     * key→value map lands in the `vN.meta` sidecar BEFORE the `.list`
     * rename publishes the version, so a consumer can never observe a
     * version without its metadata — the property incremental maintenance
@@ -104,7 +160,8 @@ object Snapshots {
     val next = cur + 1
     val dataRel = s"data/c$next"
     withStatFriendlyWrites(spark) {
-      df.write.mode("overwrite").parquet(s"$dir/$dataRel")
+      df.write.options(bloomWriteOptions(spark, dir))
+        .mode("overwrite").parquet(s"$dir/$dataRel")
     }
     val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
       .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -490,6 +547,56 @@ object Snapshots {
     (kept, all)
   }
 
+  /** Bloom-filter file skipping for `column IN (values)`: keeps only the
+    * `candidates` whose parquet bloom filters might contain at least one of
+    * the values. A file (or row group) WITHOUT a bloom for the column is
+    * kept — missing index can only cost IO, never rows. Driver-side
+    * metadata IO: one footer + bloom-page read per candidate, so run it
+    * AFTER min/max pruning has narrowed the list. Complements [[pruneFiles]]
+    * where the layout isn't clustered by `column` (useless envelopes):
+    * blooms answer per-file "definitely absent" for equality probes.
+    */
+  def pruneFilesEq(spark: SparkSession, dir: String, column: String,
+      probeValues: Seq[Any], candidates: Seq[String]): Seq[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    if (probeValues.isEmpty) return candidates
+    val conf = spark.sessionState.newHadoopConf()
+    candidates.filter { f =>
+      val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$f"), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+      try {
+        reader.getFooter.getBlocks.asScala.exists { block =>
+          block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+            case None => true // column absent (pre-evolution file) → keep
+            case Some(ccmd) =>
+              val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(ccmd)
+              if (bloom == null) true // no bloom written → keep
+              else probeValues.exists { v =>
+                try {
+                  val h: Option[Long] =
+                    (ccmd.getPrimitiveType.getPrimitiveTypeName, v) match {
+                      case (INT64, n: Number) => Some(bloom.hash(n.longValue))
+                      case (INT32, n: Number) => Some(bloom.hash(n.intValue))
+                      case (DOUBLE, n: Number) => Some(bloom.hash(n.doubleValue))
+                      case (FLOAT, n: Number) => Some(bloom.hash(n.floatValue))
+                      case (BINARY, s: String) => Some(
+                        bloom.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+                      case (INT64, t: java.sql.Timestamp) => Some(
+                        bloom.hash(t.toInstant.getEpochSecond * 1000000L +
+                          t.toInstant.getNano / 1000L))
+                      case _ => None // unhashable pairing: keep the file
+                    }
+                  h.forall(bloom.findHash)
+                } catch { case _: Exception => true }
+              }
+          }
+        }
+      } finally reader.close()
+    }
+  }
+
   /** Read one snapshot restricted to `column BETWEEN lower AND upper`,
     * planning ONLY the files the stats index can't rule out, then applying
     * the exact residual filter (stats prune files, never rows). Null never
@@ -606,7 +713,8 @@ object Snapshots {
           .join(up.select(col(key)), Seq(key), "left_anti")
           .unionByName(up)
       withStatFriendlyWrites(spark) {
-        survivors.write.mode("overwrite").parquet(s"$dir/$dataRel")
+        survivors.write.options(bloomWriteOptions(spark, dir))
+          .mode("overwrite").parquet(s"$dir/$dataRel")
       }
       val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
         .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -638,7 +746,8 @@ object Snapshots {
     withStatFriendlyWrites(spark) {
       spark.read.parquet(affected.map(f => s"$dir/$f"): _*)
         .filter(keep)
-        .write.mode("overwrite").parquet(s"$dir/$dataRel")
+        .write.options(bloomWriteOptions(spark, dir))
+        .mode("overwrite").parquet(s"$dir/$dataRel")
     }
     val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
       .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

@@ -172,9 +172,20 @@ class SnapshotRelation(override val sqlContext: SQLContext, dir: String,
         }
       }
     }
-    SnapshotRelation.lastScan.set((kept.length, all.length))
+    // equality probes consult the per-file parquet BLOOMS (when the table
+    // declared bloom columns) — the skip that works where the layout isn't
+    // clustered by the probed column and min/max envelopes are useless
+    val eqSets: Seq[(String, Seq[Any])] = filters.toSeq.flatMap {
+      case EqualTo(a, v) if v != null => Seq(a -> Seq(v))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) => Seq(a -> vs.toSeq)
+      case _ => Seq.empty
+    }
+    val keptB = eqSets.foldLeft(kept) { case (fs, (c, vs)) =>
+      Snapshots.pruneFilesEq(spark, dir, c, vs, fs)
+    }
+    SnapshotRelation.lastScan.set((keptB.length, all.length))
     val base =
-      if (kept.nonEmpty) spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
+      if (keptB.nonEmpty) spark.read.parquet(keptB.map(f => s"$dir/$f"): _*)
       else Snapshots.read(spark, dir, Some(version)).filter(lit(false))
     val projected =
       if (requiredColumns.isEmpty) base.select()

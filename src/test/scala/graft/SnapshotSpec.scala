@@ -326,6 +326,55 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir, Some(v3)).columns.toSeq == Seq("z"))
   }
 
+  test("bloom columns skip equality probes where min/max cannot") {
+    import graft.streaming.SnapshotRelation
+    val dir = tmp()
+    Snapshots.setBloomColumns(spark, dir, Seq("k", "s"))
+    assert(Snapshots.bloomColumns(spark, dir) == Seq("k", "s"))
+    // round-robin layout: every file spans the whole keyspace, so range
+    // stats keep all 8 files — only the bloom can say "definitely absent"
+    Snapshots.commit(spark, dir,
+      spark.range(4000).toDF("k")
+        .withColumn("s", concat(lit("id"), col("k"))).repartition(8))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_b USING snapshots OPTIONS (path '$dir')")
+    def scanned(sql: String): ((Int, Int), Long) = {
+      SnapshotRelation.lastScan.set((-1, -1))
+      val n = spark.sql(sql).first.getLong(0)
+      (SnapshotRelation.lastScan.get, n)
+    }
+    val ((k1, n1), r1) = scanned("SELECT count(*) FROM snap_b WHERE k = 1234")
+    assert(r1 == 1 && n1 == 8 && k1 <= 2, s"long bloom kept $k1/$n1 files")
+    val ((k2, _), r2) = scanned("SELECT count(*) FROM snap_b WHERE s = 'id77'")
+    assert(r2 == 1 && k2 <= 2, s"string bloom kept $k2 files")
+    val ((k3, _), r3) = scanned("SELECT count(*) FROM snap_b WHERE k IN (5, 99, 3999)")
+    assert(r3 == 3 && k3 <= 4, s"IN bloom kept $k3 files")
+    // absent key: nearly every file skipped (FP-rate slack), zero rows
+    val ((k4, _), r4) = scanned("SELECT count(*) FROM snap_b WHERE k = 999999")
+    assert(r4 == 0 && k4 <= 2, s"absent-key probe kept $k4 files")
+    // a table WITHOUT declared blooms prunes nothing on equality — modulo
+    // layout: every file's [min, max] provably contains the probed key
+    val dir2 = tmp()
+    Snapshots.commit(spark, dir2,
+      spark.range(100).toDF("k").repartition(4, col("k") % 4))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_nb USING snapshots OPTIONS (path '$dir2')")
+    val ((k5, n5), r5) = scanned("SELECT count(*) FROM snap_nb WHERE k = 50")
+    assert(r5 == 1 && k5 == n5, s"no bloom declared must keep every file ($k5/$n5)")
+  }
+
+  test("rewrites preserve the bloom index (delete keeps skipping)") {
+    import graft.streaming.SnapshotRelation
+    val dir = tmp()
+    Snapshots.setBloomColumns(spark, dir, Seq("k"))
+    Snapshots.commit(spark, dir, spark.range(2000).toDF("k").repartition(6))
+    Snapshots.deleteRange(spark, dir, "k", Some(500L), Some(999L))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_bd USING snapshots OPTIONS (path '$dir')")
+    SnapshotRelation.lastScan.set((-1, -1))
+    val n = spark.sql("SELECT count(*) FROM snap_bd WHERE k = 1500").first.getLong(0)
+    val (kept, all) = SnapshotRelation.lastScan.get
+    assert(n == 1 && kept < all, s"post-delete bloom kept $kept/$all")
+    assert(spark.sql("SELECT count(*) FROM snap_bd WHERE k = 700").first.getLong(0) == 0)
+  }
+
   test("deleteRange keeps NULL-predicate rows (SQL DELETE semantics)") {
     val dir = tmp()
     Snapshots.commit(spark, dir,
