@@ -345,6 +345,52 @@ object Snapshots {
     orphans.length
   }
 
+  /** [[expire]] by age: drop every version whose commit time is older than
+    * `tsMillis`, except the current one (the table never loses its head).
+    * Returns the number of data files deleted (0 when nothing qualifies).
+    */
+  def expireOlderThan(spark: SparkSession, dir: String, tsMillis: Long): Int = {
+    val all = versions(spark, dir)
+    if (all.isEmpty) return 0
+    val keepFrom = all.find(v =>
+      v == all.last || commitTime(spark, dir, v) >= tsMillis).get
+    if (keepFrom == all.head) 0 else expire(spark, dir, keepFrom)
+  }
+
+  /** VACUUM for crashed writers: a commit that wrote its `data/cN` files
+    * but died before the manifest rename leaves orphan data no version
+    * references — invisible to readers, billed forever. Deletes every data
+    * file under `data/` that no surviving manifest lists AND whose
+    * modification time is older than `graceMillis` (default 24 h — an
+    * IN-FLIGHT commit's files must never be swept between its write and
+    * its publish; Delta VACUUM has the same retention guard for the same
+    * reason). Returns the number of files deleted. Driver-side listing +
+    * set difference; deletes never touch a referenced file, so readers of
+    * any version are unaffected.
+    */
+  def vacuumOrphans(spark: SparkSession, dir: String,
+      graceMillis: Long = 24L * 3600 * 1000): Int = {
+    val (fs, _) = hfs(spark, dir)
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
+    if (!fs.exists(dataRoot)) return 0
+    val referenced = versions(spark, dir)
+      .flatMap(v => files(spark, dir, v)).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val it = fs.listFiles(dataRoot, true)
+    val orphans = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getModificationTime < cutoff) {
+        val p = st.getPath.toUri.getPath
+        val i = p.indexOf("/data/c")
+        val rel = if (i >= 0) p.substring(i + 1) else ""
+        if (rel.nonEmpty && !referenced.contains(rel)) orphans += st.getPath
+      }
+    }
+    orphans.foreach(fs.delete(_, false))
+    orphans.length
+  }
+
   // ---------------------------------------------------------------- stats
 
   /** Per-file, per-column statistics carried in the manifest — the

@@ -493,6 +493,44 @@ class SnapshotSpec extends AnyFunSuite {
     assert(kept < all && all == 4, s"timestamp stats did not skip ($kept/$all)")
   }
 
+  test("vacuumOrphans sweeps crashed-commit debris, never referenced files") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    // simulate a writer that died between data write and manifest publish
+    Seq((99L, "dead")).toDF("k", "v").write.parquet(s"$dir/data/c99")
+    Thread.sleep(10)
+    val swept = Snapshots.vacuumOrphans(spark, dir, graceMillis = 0)
+    assert(swept >= 1, "crashed-commit files not swept")
+    assert(!new java.io.File(s"$dir/data/c99").exists() ||
+      new java.io.File(s"$dir/data/c99").listFiles().forall(!_.getName.endsWith(".parquet")))
+    // every version still reads intact
+    assert(Snapshots.read(spark, dir, Some(1)).count() == 2)
+    assert(Snapshots.read(spark, dir, Some(2)).count() == 3)
+    // a fresh (in-grace) orphan must survive — it may be an in-flight commit
+    Seq((100L, "flight")).toDF("k", "v").write.parquet(s"$dir/data/c100")
+    assert(Snapshots.vacuumOrphans(spark, dir) == 0, "in-grace files swept")
+    assert(new java.io.File(s"$dir/data/c100").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("expireOlderThan drops aged versions, never the head") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq(1L).toDF("k"))
+    Thread.sleep(15)
+    Snapshots.commit(spark, dir, Seq(2L).toDF("k"))
+    Thread.sleep(15)
+    Snapshots.commit(spark, dir, Seq(3L).toDF("k"))
+    val t2 = Snapshots.commitTime(spark, dir, 2)
+    assert(Snapshots.expireOlderThan(spark, dir, 0) == 0, "nothing qualifies at ts=0")
+    Snapshots.expireOlderThan(spark, dir, t2)
+    assert(Snapshots.versions(spark, dir) == Seq(2, 3))
+    // far-future cutoff keeps only the head
+    Snapshots.expireOlderThan(spark, dir, System.currentTimeMillis() + 3600000L)
+    assert(Snapshots.versions(spark, dir) == Seq(3))
+    assert(Snapshots.read(spark, dir).count() == 3)
+  }
+
   test("q_time_travel: v3 (replace) equals v2 (its source) row-for-row") {
     val rows = SparkEntry.queries("q_time_travel")(spark, TestSpark.sf)
       .as[(Int, Long, Double)].collect().sortBy(_._1)
