@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshots
+
+/** Model-based chaos fuzz of the whole snapshot surface: a random op
+  * sequence (append / replace / range delete / merge upsert / z-order
+  * rewrite / retention / vacuum) runs against an in-memory multiset model,
+  * with torn-writer debris injected between ops (stray `.tmp` manifests,
+  * orphan data dirs, foreign files in `_manifests`). Invariants after every
+  * op: the head read equals the model exactly, surviving pinned versions
+  * equal their frozen model, and stats-pruned range reads equal the model
+  * filter — no artifact, op interleaving, or index state may change a
+  * result.
+  */
+class SnapshotChaosSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private type Row2 = (Long, Long)
+
+  private def readAll(dir: String, v: Option[Int] = None): Seq[Row2] =
+    Snapshots.read(spark, dir, v).as[Row2].collect().sorted.toSeq
+
+  test("chaos: random ops + torn-writer debris never change any result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos").toFile.getAbsolutePath
+    val rng = new scala.util.Random(1234)
+    def rows(n: Int): Seq[Row2] =
+      Seq.fill(n)((rng.nextInt(50).toLong, rng.nextInt(1000).toLong))
+
+    var history = Map.empty[Int, Seq[Row2]] // version → frozen content
+    def head: Seq[Row2] = history.get(Snapshots.currentVersion(spark, dir)
+      .getOrElse(0)).getOrElse(Seq.empty)
+
+    Snapshots.setBloomColumns(spark, dir, Seq("k"))
+    val v1 = Snapshots.commit(spark, dir, rows(30).toDF("k", "v"))
+    history += v1 -> readAll(dir)
+
+    for (step <- 1 to 24) {
+      // torn-writer debris before each op: none of it may be visible
+      rng.nextInt(3) match {
+        case 0 =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, "_manifests", s".v99$step.list.tmp"),
+            "data/c0/bogus.parquet\n".getBytes("UTF-8"))
+        case 1 =>
+          rows(3).toDF("k", "v").write.mode("overwrite")
+            .parquet(s"$dir/data/c9$step") // crashed commit: data, no manifest
+        case 2 =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, "_manifests", s"notes$step.txt"),
+            "foreign file\n".getBytes("UTF-8"))
+      }
+
+      val cur = Snapshots.currentVersion(spark, dir).get
+      rng.nextInt(6) match {
+        case 0 => // append
+          val r = rows(1 + rng.nextInt(20))
+          val v = Snapshots.commit(spark, dir, r.toDF("k", "v"))
+          history += v -> (history(cur) ++ r).sorted
+        case 1 => // replace
+          val r = rows(1 + rng.nextInt(20))
+          val v = Snapshots.commit(spark, dir, r.toDF("k", "v"), replace = true)
+          history += v -> r.sorted
+        case 2 => // range delete (may be a provable no-op)
+          val a = rng.nextInt(60).toLong - 5; val b = a + rng.nextInt(15)
+          val v = Snapshots.deleteRange(spark, dir, "k", Some(a), Some(b))
+          history += v -> history(cur).filterNot { case (k, _) => k >= a && k <= b }
+        case 3 => // merge upsert with key-unique updates
+          val upd = rows(1 + rng.nextInt(10))
+            .groupBy(_._1).map(_._2.head).toSeq
+          val v = Snapshots.mergeInto(spark, dir, upd.toDF("k", "v"), "k")
+          val keys = upd.map(_._1).toSet
+          history += v ->
+            (history(cur).filterNot(r => keys(r._1)) ++ upd).sorted
+        case 4 => // z-order maintenance rewrite: content must not move
+          val v = Snapshots.clusterZOrder(spark, dir, "k", "v", 1 + rng.nextInt(6))
+          history += v -> history(cur)
+        case 5 => // retention + vacuum: head content must not move
+          val keep = Snapshots.versions(spark, dir).last
+          if (rng.nextBoolean() && Snapshots.versions(spark, dir).size > 2) {
+            Snapshots.expireOlderThan(spark, dir,
+              Snapshots.commitTime(spark, dir, keep))
+            history = history.filter { case (v, _) =>
+              Snapshots.versions(spark, dir).contains(v) }
+          }
+          Snapshots.vacuumOrphans(spark, dir, graceMillis = -1)
+      }
+
+      assert(readAll(dir) == head, s"step $step: head diverged from the model")
+      // a random surviving pinned version must still read its frozen content
+      val vs = Snapshots.versions(spark, dir).filter(history.contains)
+      val pin = vs(rng.nextInt(vs.size))
+      assert(readAll(dir, Some(pin)) == history(pin),
+        s"step $step: pinned v$pin drifted")
+      // stats/bloom-pruned range read == model filter
+      val lo = rng.nextInt(60).toLong - 5; val hi = lo + rng.nextInt(20)
+      val got = Snapshots.readRange(spark, dir, "k", Some(lo), Some(hi))
+        .as[Row2].collect().sorted.toSeq
+      assert(got == head.filter { case (k, _) => k >= lo && k <= hi },
+        s"step $step: readRange [$lo,$hi] diverged")
+    }
+  }
+}
