@@ -368,7 +368,75 @@ object GridQueries extends QueryModule {
       .orderBy("ts", "y", "x")
   }
 
+  /** Distributed points-in-polygons spatial JOIN — the many-zones
+    * generalization of the single-polygon mask (F4): bucket points by a
+    * `cellDeg`-degree grid cell, replicate each zone over the cells its
+    * bbox covers, equi-join on the cell key, then exact ray-cast on the
+    * candidate pairs. No cartesian/BNLJ anywhere (GeoSpec locks the plan):
+    * shuffle is on cell keys, zone replication is bbox-proportional, and
+    * each (point, zone) candidate appears exactly once because a point
+    * lives in exactly one cell. At 100 TB this is the standard spatial-hash
+    * join: both sides partition by cell, the ray-cast runs on the
+    * candidate-sized join output only.
+    *
+    * `zones`: (zone_id, ring `array<double>` of flat lon,lat pairs, closed).
+    */
+  def spatialJoin(points: DataFrame, zones: DataFrame,
+      cellDeg: Double = 0.25): DataFrame = {
+    val zb = zones
+      .select(col("zone_id"), col("ring"), posexplode(col("ring")))
+      .groupBy("zone_id")
+      .agg(first("ring").as("ring"),
+        min(when(col("pos") % 2 === 1, col("col"))).as("minLat"),
+        max(when(col("pos") % 2 === 1, col("col"))).as("maxLat"),
+        min(when(col("pos") % 2 === 0, col("col"))).as("minLon"),
+        max(when(col("pos") % 2 === 0, col("col"))).as("maxLon"))
+    val zcells = zb
+      .select(col("zone_id"), col("ring"), col("minLon"), col("maxLon"),
+        explode(sequence(floor(col("minLat") / cellDeg).cast("long"),
+          floor(col("maxLat") / cellDeg).cast("long"))).as("clat"))
+      .select(col("zone_id"), col("ring"), col("clat"),
+        explode(sequence(floor(col("minLon") / cellDeg).cast("long"),
+          floor(col("maxLon") / cellDeg).cast("long"))).as("clon"))
+    points
+      .withColumn("clat", floor(col("lat") / cellDeg).cast("long"))
+      .withColumn("clon", floor(col("lon") / cellDeg).cast("long"))
+      .join(zcells, Seq("clat", "clon"))
+      .filter(graft.functions.GeoFunctions.point_in_ring(
+        col("lat"), col("lon"), col("ring")))
+      .drop("clat", "clon", "ring")
+  }
+
+  /** The five query triangles, one constant list feeding BOTH the Spark
+    * zones frame and the oracle's VALUES — vertices are off-grid (offset
+    * .0137) so no sampled point sits on an edge and the ray-cast and the
+    * oracle's sign-test agree everywhere.
+    */
+  private[graft] val zoneTriangles: Seq[(Long, Seq[(Double, Double)])] = Seq(
+    1L -> Seq((-79.9871, 44.0137), (-79.4871, 44.0137), (-79.7371, 44.4637)),
+    2L -> Seq((-79.4371, 44.1137), (-78.9871, 44.1137), (-79.2371, 44.5637)),
+    3L -> Seq((-78.9371, 44.0137), (-78.5871, 44.2137), (-78.9371, 44.5137)),
+    4L -> Seq((-79.9371, 44.5137), (-79.4371, 44.5137), (-79.6871, 44.9137)),
+    5L -> Seq((-79.3871, 44.6137), (-78.8871, 44.6137), (-79.1371, 44.9437)))
+
+  private[graft] def zonesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    zoneTriangles.map { case (id, vs) =>
+      val closed = vs :+ vs.head
+      (id, closed.flatMap { case (x, y) => Seq(x, y) }.toArray)
+    }.toDF("zone_id", "ring")
+  }
+
+  private def qSpatialJoin(s: SparkSession, d: String): DataFrame =
+    spatialJoin(
+        cells(s).filter(col("variable") === "tasmax" && col("value").isNotNull),
+        zonesDf(s))
+      .groupBy("zone_id")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_val"))
+      .orderBy("zone_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_join" -> qSpatialJoin,
     "q_gap_fill" -> qGapFill,
     "q_polygon" -> qPolygon,
     "q_grid_select" -> qGridSelect,
@@ -395,6 +463,26 @@ object GridQueries extends QueryModule {
       |  AND lon > -79.317877 AND lon < -78.987601""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the zone VALUES interpolate from the SAME zoneTriangles constant the
+    // Spark side reads, so the two sides cannot drift; containment is the
+    // sign test (all three edge cross-products one sign), which agrees with
+    // the ray-cast on every sampled point because no point sits on an edge
+    "q_spatial_join" -> (oracleCells + {
+      val vals = zoneTriangles.map { case (id, vs) =>
+        val Seq((x1, y1), (x2, y2), (x3, y3)) = vs
+        s"($id, $x1, $y1, $x2, $y2, $x3, $y3)"
+      }.mkString(", ")
+      s""", zones(zone_id, x1, y1, x2, y2, x3, y3) AS (VALUES $vals)
+         |SELECT z.zone_id, count(*) AS n, round(avg(c.value), 4) AS avg_val
+         |FROM cells c JOIN zones z ON c.variable = 'tasmax' AND c.value IS NOT NULL
+         |  AND (((z.x2-z.x1)*(c.lat-z.y1)-(z.y2-z.y1)*(c.lon-z.x1) > 0
+         |    AND (z.x3-z.x2)*(c.lat-z.y2)-(z.y3-z.y2)*(c.lon-z.x2) > 0
+         |    AND (z.x1-z.x3)*(c.lat-z.y3)-(z.y1-z.y3)*(c.lon-z.x3) > 0)
+         |   OR ((z.x2-z.x1)*(c.lat-z.y1)-(z.y2-z.y1)*(c.lon-z.x1) < 0
+         |    AND (z.x3-z.x2)*(c.lat-z.y2)-(z.y3-z.y2)*(c.lon-z.x2) < 0
+         |    AND (z.x1-z.x3)*(c.lat-z.y3)-(z.y1-z.y3)*(c.lon-z.x3) < 0))
+         |GROUP BY z.zone_id ORDER BY z.zone_id""".stripMargin
+    }),
     "q_gap_fill" -> (oracleCells +
       """SELECT ts, y, x, value,
         |  last_value(value IGNORE NULLS) OVER (

@@ -64,10 +64,39 @@ case class PointInPolygon(left: Expression, right: Expression, ring: Array[Doubl
   override def prettyName: String = "point_in_polygon"
 }
 
+/** [[PointInPolygon]] with the ring as a CHILD COLUMN instead of a
+  * per-query constant — the form a spatial JOIN needs, where each row
+  * carries its own polygon (zone). Same ray-cast, same even-odd boundary
+  * convention; the ring array is unpacked once per row in generated code
+  * (zones are aggregate-sized, points are the big side — the per-row
+  * unpack is on the SMALL join output, after bucketing).
+  */
+case class PointInRing(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(lat: Any, lon: Any, ring: Any): Any =
+    GeoUtil.rayCast(lat.asInstanceOf[Double], lon.asInstanceOf[Double],
+      ring.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lat, lon, ring) =>
+      s"${ev.value} = graft.functions.GeoUtil.rayCast($lat, $lon, $ring.toDoubleArray());")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+  override def prettyName: String = "point_in_ring"
+}
+
 object GeoFunctions {
   /** ring as (lon, lat) pairs, GeoJSON-style (`geojson.json:1`). */
   def point_in_polygon(lat: Column, lon: Column, ring: Seq[(Double, Double)]): Column =
     ColumnBridge.column(PointInPolygon(
       ColumnBridge.expression(lat), ColumnBridge.expression(lon),
       ring.flatMap { case (x, y) => Seq(x, y) }.toArray))
+
+  /** Per-row ring (`array<double>` of flat lon,lat pairs) — spatial joins. */
+  def point_in_ring(lat: Column, lon: Column, ring: Column): Column =
+    ColumnBridge.column(PointInRing(ColumnBridge.expression(lat),
+      ColumnBridge.expression(lon), ColumnBridge.expression(ring)))
 }

@@ -92,4 +92,34 @@ class GeoSpec extends AnyFunSuite {
       .as[Int].collect()
     bins.foreach(b => assert(b >= 0 && b <= 9))
   }
+
+  test("spatialJoin: hash-bucketed plan (no cartesian), overlap multiplicity, brute-force parity") {
+    import graft.domain.GridQueries
+    // two OVERLAPPING triangles; points scattered to hit in/out/overlap/none
+    val zones = Seq(
+      (1L, Array(0.0, 0.0, 4.0, 0.0, 2.0, 4.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.5, 5.0, 0.5, 3.0, 4.5, 1.0, 0.5))
+    ).toDF("zone_id", "ring")
+    val rng = new scala.util.Random(5)
+    val pts = Seq.tabulate(300)(i =>
+      (i.toLong, rng.nextDouble() * 6 - 0.5, rng.nextDouble() * 7 - 1.0))
+      .toDF("pid", "lat", "lon") // lat in [-0.5, 5.5], lon in [-1, 6]
+    val joined = GridQueries.spatialJoin(pts, zones, cellDeg = 1.0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "spatial join must bucket, never cross-join")
+    // brute-force oracle with the same ray-cast
+    val expect = (for {
+      (id, ring) <- Seq((1L, zones.collect()(0).getSeq[Double](1).toArray),
+        (2L, zones.collect()(1).getSeq[Double](1).toArray))
+      r <- pts.collect()
+      if GeoUtil.rayCast(r.getDouble(1), r.getDouble(2), ring)
+    } yield (r.getLong(0), id)).toSet
+    val got = joined.select("pid", "zone_id").as[(Long, Long)].collect().toSet
+    assert(got == expect, "bucketed join diverged from brute force")
+    // overlap region points really do land in BOTH zones
+    assert(expect.groupBy(_._1).exists(_._2.size == 2),
+      "fixture should exercise overlapping zones")
+  }
 }
