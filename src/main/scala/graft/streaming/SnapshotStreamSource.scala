@@ -43,8 +43,51 @@ import graft.operators.Snapshots.ColStat
   * the executor parquet scan of the appended files.
   */
 class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
+    with CreatableRelationProvider with StreamSinkProvider
     with DataSourceRegister {
   override def shortName(): String = "snapshots"
+
+  /** `df.write.format("snapshots").mode(...).save()` with SaveMode
+    * semantics: Append → append commit, Overwrite → replace commit,
+    * ErrorIfExists → refuse on a non-empty table, Ignore → no-op on a
+    * non-empty table. One commit per save — atomic like any other.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.Dataset[Row]): BaseRelation = {
+    val dir = dirOf(parameters)
+    val spark = sqlContext.sparkSession
+    val exists = Snapshots.currentVersion(spark, dir).nonEmpty
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Append => Snapshots.commit(spark, dir, data.toDF())
+      case Overwrite => Snapshots.commit(spark, dir, data.toDF(), replace = true)
+      case ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"$dir: snapshot table exists (SaveMode.ErrorIfExists)")
+        Snapshots.commit(spark, dir, data.toDF())
+      case Ignore => if (!exists) { Snapshots.commit(spark, dir, data.toDF()); () }
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** `df.writeStream.format("snapshots")` — the exactly-once streaming
+    * SINK: each micro-batch is one atomic snapshot commit carrying its
+    * `batch_id` in the commit metadata, and a batch REPLAYED after a
+    * restart (its id ≤ the last recorded one) is skipped instead of
+    * re-committed. With the `snapshots` SOURCE on the other side this
+    * closes the exactly-once pipeline end to end. One writer stream per
+    * table (the id watermark is per-table state, like the mview marker).
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "snapshots sink does not support partitionBy")
+    new SnapshotSink(sqlContext, dirOf(parameters))
+  }
 
   private def dirOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -73,14 +116,15 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
     }
     require(vOpt.isEmpty || tOpt.isEmpty,
       "pass versionAsOf OR timestampAsOf, not both")
-    val version = vOpt.orElse(tOpt.map { ts =>
+    val pinned = vOpt.orElse(tOpt.map { ts =>
       val vs = Snapshots.versions(spark, dir)
         .filter(v => Snapshots.commitTime(spark, dir, v) <= ts)
       require(vs.nonEmpty, s"$dir: no snapshot existed at $ts")
       vs.max
-    }).orElse(Snapshots.currentVersion(spark, dir)).getOrElse(
-      throw new IllegalArgumentException(s"$dir: no published snapshots"))
-    new SnapshotRelation(sqlContext, dir, version)
+    })
+    require(pinned.nonEmpty || Snapshots.currentVersion(spark, dir).nonEmpty,
+      s"$dir: no published snapshots")
+    new SnapshotRelation(sqlContext, dir, pinned)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -106,6 +150,28 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
   }
 }
 
+/** Exactly-once micro-batch → snapshot-version sink. The engine replays
+  * the last uncommitted batch after a restart; the `batch_id` recorded in
+  * the commit metadata makes the replay detectable and skippable, so each
+  * micro-batch lands in the table exactly once.
+  */
+private[graft] class SnapshotSink(sqlContext: SQLContext, dir: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  private def spark = sqlContext.sparkSession
+
+  private def lastCommittedBatch: Option[Long] =
+    Snapshots.versions(spark, dir).reverseIterator
+      .flatMap(v => Snapshots.commitMeta(spark, dir, v).get("batch_id"))
+      .toSeq.headOption.map(_.toLong)
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.Dataset[Row]): Unit = {
+    if (lastCommittedBatch.exists(_ >= batchId)) return // replay → skip
+    Snapshots.commit(spark, dir, StreamBridge.asBatch(data.toDF()),
+      meta = Map("batch_id" -> batchId.toString))
+    ()
+  }
+}
+
 /** DSv1 relation over one snapshot version with filter-driven data
   * skipping: Catalyst pushes the query's filters here, [[translate]] turns
   * the provably-range-expressible ones into manifest stat checks, and only
@@ -116,10 +182,29 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
   * Column pruning is pushed into the inner parquet read.
   */
 class SnapshotRelation(override val sqlContext: SQLContext, dir: String,
-    version: Int) extends BaseRelation with PrunedFilteredScan {
+    pinned: Option[Int]) extends BaseRelation with PrunedFilteredScan
+    with InsertableRelation {
   private def spark = sqlContext.sparkSession
 
+  /** An unpinned relation re-resolves LATEST at every scan, so a mounted
+    * view observes later commits (incl. its own `INSERT INTO`s); a
+    * versionAsOf/timestampAsOf pin stays frozen, per time-travel contract.
+    */
+  private def version: Int = pinned.orElse(Snapshots.currentVersion(spark, dir))
+    .getOrElse(throw new IllegalArgumentException(s"$dir: no published snapshots"))
+
   override val schema: StructType = Snapshots.read(spark, dir, Some(version)).schema
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a mounted snapshot view —
+    * one atomic commit (append / replace). Refused on a pinned view:
+    * history is immutable.
+    */
+  override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    require(pinned.isEmpty,
+      s"$dir: cannot INSERT into a version-pinned view — history is immutable")
+    Snapshots.commit(spark, dir, data, replace = overwrite)
+    ()
+  }
 
   /** One conjunct → zero or more stat range-checks (empty = can't prune on
     * it). `IsNotNull` is the unbounded range: it keeps every file with a
@@ -157,12 +242,13 @@ class SnapshotRelation(override val sqlContext: SQLContext, dir: String,
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     import org.apache.spark.sql.functions.{col, lit}
+    val v = version // resolve ONCE: a commit landing mid-plan must not tear
     val ranges = filters.toSeq.flatMap(translate)
-    val (kept0, all) = Snapshots.pruneFilesAll(spark, dir, version, ranges)
+    val (kept0, all) = Snapshots.pruneFilesAll(spark, dir, v, ranges)
     // IsNull: a file with a known-zero null count can't produce a match
     val nullCols = filters.collect { case IsNull(a) => a }
     val kept = if (nullCols.isEmpty) kept0 else {
-      val idx = Snapshots.stats(spark, dir, version)
+      val idx = Snapshots.stats(spark, dir, v)
       kept0.filter { f =>
         nullCols.forall { c =>
           idx.get(f).flatMap(_.get(c)) match {
@@ -186,7 +272,7 @@ class SnapshotRelation(override val sqlContext: SQLContext, dir: String,
     SnapshotRelation.lastScan.set((keptB.length, all.length))
     val base =
       if (keptB.nonEmpty) spark.read.parquet(keptB.map(f => s"$dir/$f"): _*)
-      else Snapshots.read(spark, dir, Some(version)).filter(lit(false))
+      else Snapshots.read(spark, dir, Some(v)).filter(lit(false))
     val projected =
       if (requiredColumns.isEmpty) base.select()
       else base.select(requiredColumns.toSeq.map(col): _*)

@@ -34,4 +34,14 @@ object StreamBridge {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse, for v1 streaming SINKS: `Sink.addBatch` hands over a
+    * Dataset still tied to the incremental streaming plan, which ordinary
+    * `df.write` refuses; rebasing its physical RDD into a batch-flagged
+    * frame is how Spark's own ForeachBatchSink exposes the micro-batch.
+    */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

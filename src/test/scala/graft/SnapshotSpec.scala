@@ -531,6 +531,61 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 3)
   }
 
+  test("df.write.format(snapshots) honors SaveMode; SQL INSERT INTO commits") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("k", "v").write.format("snapshots")
+      .option("path", dir).mode("errorifexists").save()
+    intercept[Exception](Seq((9L, "x")).toDF("k", "v").write.format("snapshots")
+      .option("path", dir).mode("errorifexists").save())
+    Seq((2L, "b")).toDF("k", "v").write.format("snapshots")
+      .option("path", dir).mode("append").save()
+    Seq((8L, "ign")).toDF("k", "v").write.format("snapshots")
+      .option("path", dir).mode("ignore").save()
+    assert(Snapshots.read(spark, dir).count() == 2, "ignore-mode must be a no-op")
+    // a mounted (unpinned) view sees its own INSERTs immediately
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_w USING snapshots OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO snap_w VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM snap_w").first.getLong(0) == 3,
+      "view must observe its own insert")
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2, 3))
+    // a pinned view refuses INSERT — history is immutable
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_w1 USING snapshots " +
+      s"OPTIONS (path '$dir', versionAsOf '1')")
+    intercept[Exception](spark.sql("INSERT INTO snap_w1 VALUES (4, 'd')"))
+    assert(Snapshots.read(spark, dir).count() == 3, "pinned insert leaked")
+    // overwrite-mode save = replace commit
+    Seq((7L, "z")).toDF("k", "v").write.format("snapshots")
+      .option("path", dir).mode("overwrite").save()
+    assert(Snapshots.read(spark, dir).as[(Long, String)].collect().toSeq ==
+      Seq((7L, "z")))
+    assert(Snapshots.read(spark, dir, Some(3)).count() == 3, "history intact")
+  }
+
+  test("writeStream.format(snapshots): one version per micro-batch, replays skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream.format("snapshots")
+      .option("path", dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-snapsink-ck").toString)
+      .outputMode("append").start()
+    mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+    mem.addData((3L, "c")); q.processAllAvailable()
+    q.stop()
+    assert(Snapshots.currentVersion(spark, dir).contains(2),
+      "each micro-batch must be one version")
+    assert(Snapshots.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Snapshots.commitMeta(spark, dir, 2) == Map("batch_id" -> "1"))
+    // an engine REPLAY of batch 1 after restart must be skipped, not doubled
+    val sink = new graft.streaming.SnapshotSink(spark.sqlContext, dir)
+    sink.addBatch(1L, Seq((3L, "c")).toDF("k", "v"))
+    assert(Snapshots.currentVersion(spark, dir).contains(2), "replay re-committed")
+    sink.addBatch(2L, Seq((4L, "d")).toDF("k", "v"))
+    assert(Snapshots.read(spark, dir).count() == 4, "fresh batch must commit")
+  }
+
   test("q_time_travel: v3 (replace) equals v2 (its source) row-for-row") {
     val rows = SparkEntry.queries("q_time_travel")(spark, TestSpark.sf)
       .as[(Int, Long, Double)].collect().sortBy(_._1)
