@@ -345,6 +345,25 @@ object Snapshots {
     orphans.length
   }
 
+  /** OPTIMIZE (small-file compaction) as a replace commit: re-pack the
+    * current snapshot into ceil(tableBytes / targetBytes) files. Streaming
+    * sinks and incremental appends accrete one file set per micro-batch —
+    * this is the maintenance pass that folds them back into scan-efficient
+    * files, while every prior version keeps reading its own layout. Stats
+    * and blooms regenerate with the rewrite (commit-path property).
+    */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
+    val (fs, _) = hfs(spark, dir)
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val total = files(spark, dir, cur)
+      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen)
+      .sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    commit(spark, dir, read(spark, dir, Some(cur)).repartition(n), replace = true,
+      meta = Map("compaction" -> s"$total bytes -> $n files"))
+  }
+
   /** [[expire]] by age: drop every version whose commit time is older than
     * `tsMillis`, except the current one (the table never loses its head).
     * Returns the number of data files deleted (0 when nothing qualifies).

@@ -145,8 +145,10 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
       parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
     val starting = parameters.getOrElse("startingVersion", "0").toInt
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt)
+    maxPerTrigger.foreach(m => require(m > 0, "maxVersionsPerTrigger must be > 0"))
     val st = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    new SnapshotSource(sqlContext, dir, starting, st)
+    new SnapshotSource(sqlContext, dir, starting, st, maxPerTrigger)
   }
 }
 
@@ -287,9 +289,16 @@ object SnapshotRelation {
 }
 
 private[streaming] class SnapshotSource(sqlContext: SQLContext, dir: String,
-    startingVersion: Int, override val schema: StructType) extends Source {
+    startingVersion: Int, override val schema: StructType,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   private def spark = sqlContext.sparkSession
+
+  /** Highest version a planned batch has covered — raised by every
+    * getBatch (incl. the engine's restart replay), so the rate cap below
+    * anchors on real progress. None until the first batch plans.
+    */
+  @volatile private var coveredTo: Option[Int] = None
 
   private def versionOf(o: OffsetV1): Int = o match {
     case LongOffset(v) => v.toInt
@@ -299,10 +308,22 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext, dir: String,
   }
 
   /** Latest published version, or None while nothing past `startingVersion`
-    * exists — the engine idles instead of planning empty batches. */
+    * exists — the engine idles instead of planning empty batches.
+    * `maxVersionsPerTrigger` caps STEADY-STATE triggers at that many
+    * versions each; the first trigger after a (re)start takes the whole
+    * backlog (the cap anchors on observed batch progress, which is the
+    * only anchor that cannot regress below the engine's checkpointed
+    * offset and stall or tear the stream).
+    */
   override def getOffset: Option[OffsetV1] =
     Snapshots.currentVersion(spark, dir).filter(_ > startingVersion)
-      .map(v => LongOffset(v.toLong))
+      .map { head =>
+        val capped = (coveredTo, maxVersionsPerTrigger) match {
+          case (Some(c), Some(m)) => math.min(head, c + m)
+          case _ => head
+        }
+        LongOffset(capped.toLong)
+      }
 
   /** Rows committed in `(start, end]`. `start = None` is the stream's very
     * first batch: everything up to `end` when startingVersion = 0 (the
@@ -311,6 +332,7 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext, dir: String,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
+    coveredTo = Some(coveredTo.fold(to)(math.max(_, to)))
     val batch =
       if (from == 0) Snapshots.read(spark, dir, Some(to))
       else Snapshots.readChanges(spark, dir, from, to)

@@ -586,6 +586,25 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 4, "fresh batch must commit")
   }
 
+  test("compact folds accreted small files into target-sized ones, history intact") {
+    val dir = tmp()
+    for (i <- 1 to 6)
+      Snapshots.commit(spark, dir,
+        spark.range(i * 100L - 100, i * 100L).toDF("k").repartition(4))
+    val before = Snapshots.files(spark, dir, 6)
+    assert(before.size >= 20, s"fixture should accrete many files (${before.size})")
+    val v = Snapshots.compact(spark, dir, targetBytes = 1L << 20)
+    val after = Snapshots.files(spark, dir, v)
+    assert(after.size < before.size / 4, s"${before.size} -> ${after.size} files")
+    assert(Snapshots.read(spark, dir).as[Long].collect().sorted.toSeq ==
+      (0L until 600L).toSeq, "compaction changed content")
+    assert(Snapshots.read(spark, dir, Some(6)).count() == 600, "pre-compact version lost")
+    assert(Snapshots.commitMeta(spark, dir, v).contains("compaction"))
+    // stats regenerate with the rewrite: range pruning still live
+    val (kept, all) = Snapshots.pruneFiles(spark, dir, v, "k", Some(0L), Some(10L))
+    assert(kept.size <= all.size && Snapshots.stats(spark, dir, v).nonEmpty)
+  }
+
   test("q_time_travel: v3 (replace) equals v2 (its source) row-for-row") {
     val rows = SparkEntry.queries("q_time_travel")(spark, TestSpark.sf)
       .as[(Int, Long, Double)].collect().sortBy(_._1)

@@ -806,6 +806,34 @@ class StreamingSpec extends AnyFunSuite {
       s"checkpoint recovery duplicated or lost rows: $got")
   }
 
+  test("snapshots source maxVersionsPerTrigger paces the tail one version per batch") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapsrc4").toString
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val q = spark.readStream.format("snapshots").option("path", dir)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          batches.incrementAndGet()
+          b.collect().foreach(r => rows.add(r.getLong(0)))
+        }; ()
+      }
+      .start()
+    q.processAllAvailable()
+    assert(batches.get == 1, "initial snapshot should be one batch")
+    // a 3-commit backlog must drain as THREE paced batches, not one
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((4L, "d")).toDF("k", "v"))
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.get == 4, s"expected 1 + 3 paced batches, got ${batches.get}")
+    assert(rows.toArray.toSet == Set(1L, 2L, 3L, 4L), "paced tail lost/duplicated rows")
+  }
+
   test("foreachBatch maintains bigram-LM state across micro-batches (streaming perplexity gate)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.TextAnalysis
