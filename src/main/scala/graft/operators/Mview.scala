@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * [[Snapshots]] table — the consumer the CDC feed (`readChanges` / the
   * `snapshots` streaming source) exists for.
   *
-  * The view is `GROUP BY keys → (cnt, sum_<c>…)`, i.e. the
-  * SUM/COUNT-decomposable family (avg = sum/cnt at query time): each
+  * The view is `GROUP BY keys → (cnt, sum_<c>…, min_<c>/max_<c>…)` — the
+  * append-decomposable family: counts and sums ADD across deltas, extrema
+  * fold via least/greatest (valid precisely because the incremental feed
+  * is append-only — a delete would need recompute, and source rewrites
+  * refuse upstream), avg = sum/cnt at query time. Each
   * [[refresh]] folds ONLY the source rows appended since the last refresh
   * into the running totals, so refresh cost is O(delta) + O(view), never
   * O(source). At 100 TB the source is the big thing — a nightly refresh
@@ -37,17 +40,20 @@ object Mview {
     }
 
   private def aggregated(src: DataFrame, keys: Seq[String],
-      sumCols: Seq[String]): DataFrame =
+      sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame =
     src.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+          minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c"))): _*)
 
   /** Fold source commits `(applied, head]` into the view; returns the new
     * view version (or the current one when the source hasn't moved). The
     * first refresh of an empty view is the initial full build.
     */
   def refresh(spark: SparkSession, srcDir: String, viewDir: String,
-      keys: Seq[String], sumCols: Seq[String]): Int = {
+      keys: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): Int = {
     val head = Snapshots.currentVersion(spark, srcDir).getOrElse(
       throw new IllegalArgumentException(s"$srcDir: no published snapshots"))
     appliedSrcVersion(spark, viewDir) match {
@@ -57,24 +63,34 @@ object Mview {
         require(applied < head,
           s"$srcDir went backwards (v$head < applied v$applied) — expired? rebuild")
         val delta = aggregated(
-          Snapshots.readChanges(spark, srcDir, applied, head), keys, sumCols)
+          Snapshots.readChanges(spark, srcDir, applied, head),
+          keys, sumCols, minMaxCols)
         val old = Snapshots.read(spark, viewDir)
-        val valCols = "cnt" +: sumCols.map(c => s"sum_$c")
-        // full-outer merge of two aggregate-sized tables: totals add,
-        // groups new to either side contribute their own totals
+        val addCols = "cnt" +: sumCols.map(c => s"sum_$c")
+        // full-outer merge of two aggregate-sized tables: totals ADD,
+        // extrema fold via least/greatest (valid because appends only ever
+        // grow a group — a delete would need recompute, and deletes refuse
+        // upstream via readChanges), groups new to either side contribute
+        // their own rows
         val merged = old.select(old.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
           .join(delta.select(delta.columns.map(c => col(c).as(s"r_$c")).toSeq: _*),
             keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _), "full_outer")
           .select(
             keys.map(k => coalesce(col(s"l_$k"), col(s"r_$k")).as(k)) ++
-              valCols.map(c =>
+              addCols.map(c =>
                 (coalesce(col(s"l_$c"), lit(0)) + coalesce(col(s"r_$c"), lit(0)))
-                  .cast(old.schema(c).dataType).as(c)): _*)
+                  .cast(old.schema(c).dataType).as(c)) ++
+              minMaxCols.flatMap { c =>
+                Seq(least(col(s"l_min_$c"), col(s"r_min_$c"))
+                    .as(s"min_$c"), // least/greatest skip NULLs (absent side)
+                  greatest(col(s"l_max_$c"), col(s"r_max_$c")).as(s"max_$c"))
+              }: _*)
         Snapshots.commit(spark, viewDir, merged, replace = true,
           meta = Map(SrcKey -> head.toString))
       case None =>
         Snapshots.commit(spark, viewDir,
-          aggregated(Snapshots.read(spark, srcDir, Some(head)), keys, sumCols),
+          aggregated(Snapshots.read(spark, srcDir, Some(head)),
+            keys, sumCols, minMaxCols),
           meta = Map(SrcKey -> head.toString))
     }
   }
@@ -83,11 +99,13 @@ object Mview {
     * replace/merge/delete rewrote history and [[refresh]] refused.
     */
   def rebuild(spark: SparkSession, srcDir: String, viewDir: String,
-      keys: Seq[String], sumCols: Seq[String]): Int = {
+      keys: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): Int = {
     val head = Snapshots.currentVersion(spark, srcDir).getOrElse(
       throw new IllegalArgumentException(s"$srcDir: no published snapshots"))
     Snapshots.commit(spark, viewDir,
-      aggregated(Snapshots.read(spark, srcDir, Some(head)), keys, sumCols),
+      aggregated(Snapshots.read(spark, srcDir, Some(head)), keys, sumCols,
+        minMaxCols),
       replace = true, meta = Map(SrcKey -> head.toString))
   }
 }

@@ -558,18 +558,22 @@ object Relational extends QueryModule {
       val view = java.nio.file.Files.createTempDirectory("graft-mview-v").toFile.getAbsolutePath
       val orders = T.orders(s, d).select("o_orderstatus", "o_totalprice")
       Snapshots.commit(s, src, orders.filter(col("o_totalprice") % 3 < 1))
-      Mview.refresh(s, src, view, Seq("o_orderstatus"), Seq("o_totalprice"))
+      Mview.refresh(s, src, view, Seq("o_orderstatus"), Seq("o_totalprice"),
+        minMaxCols = Seq("o_totalprice"))
       Snapshots.commit(s, src, orders.filter(col("o_totalprice") % 3 >= 1 &&
         col("o_totalprice") % 3 < 2))
       Snapshots.commit(s, src, orders.filter(col("o_totalprice") % 3 >= 2))
-      Mview.refresh(s, src, view, Seq("o_orderstatus"), Seq("o_totalprice"))
+      Mview.refresh(s, src, view, Seq("o_orderstatus"), Seq("o_totalprice"),
+        minMaxCols = Seq("o_totalprice"))
       (src, view)
     })
 
   private def qMviewInc(s: SparkSession, d: String): DataFrame =
     Snapshots.read(s, mviewDir(s, d)._2)
       .select(col("o_orderstatus"), col("cnt"),
-        round(col("sum_o_totalprice"), 2).as("total"))
+        round(col("sum_o_totalprice"), 2).as("total"),
+        round(col("min_o_totalprice"), 2).as("lo"),
+        round(col("max_o_totalprice"), 2).as("hi"))
       .orderBy("o_orderstatus")
 
   /** The SQL face of the versioned table: `USING snapshots` mounts a
@@ -989,7 +993,8 @@ object Relational extends QueryModule {
         |ORDER BY n""".stripMargin,
     "q_mview_inc" ->
       """SELECT o_orderstatus, count(*) AS cnt,
-        |  round(sum(o_totalprice), 2) AS total
+        |  round(sum(o_totalprice), 2) AS total,
+        |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_snapshot_merge" ->
       """WITH merged AS (

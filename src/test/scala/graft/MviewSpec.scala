@@ -11,14 +11,17 @@ class MviewSpec extends AnyFunSuite {
   private def tmp(pfx: String): String =
     java.nio.file.Files.createTempDirectory(pfx).toFile.getAbsolutePath
 
-  private def viewMap(viewDir: String): Map[String, (Long, Long)] =
-    Snapshots.read(spark, viewDir).select("g", "cnt", "sum_x")
-      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+  private def viewMap(viewDir: String): Map[String, (Long, Long, Long, Long)] =
+    Snapshots.read(spark, viewDir).select("g", "cnt", "sum_x", "min_x", "max_x")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
 
-  private def fullMap(srcDir: String): Map[String, (Long, Long)] =
+  private def fullMap(srcDir: String): Map[String, (Long, Long, Long, Long)] =
     Snapshots.read(spark, srcDir).groupBy("g")
-      .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
-      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"),
+        min("x").as("min_x"), max("x").as("max_x"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
 
   test("property: refresh at random cadence always equals the full aggregate") {
     val src = tmp("mv-src"); val view = tmp("mv-view")
@@ -28,7 +31,7 @@ class MviewSpec extends AnyFunSuite {
         (s"g${rng.nextInt(5)}", rng.nextInt(100).toLong))
       Snapshots.commit(spark, src, rows.toDF("g", "x"))
       if (rng.nextBoolean() || round == 8) {
-        Mview.refresh(spark, src, view, Seq("g"), Seq("x"))
+        Mview.refresh(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
         assert(viewMap(view) == fullMap(src), s"diverged at round $round")
         assert(Mview.appliedSrcVersion(spark, view)
           .contains(Snapshots.currentVersion(spark, src).get))
@@ -47,15 +50,15 @@ class MviewSpec extends AnyFunSuite {
   test("source replace breaks the delta: refresh refuses, rebuild resyncs") {
     val src = tmp("mv-src3"); val view = tmp("mv-view3")
     Snapshots.commit(spark, src, Seq(("a", 1L), ("b", 2L)).toDF("g", "x"))
-    Mview.refresh(spark, src, view, Seq("g"), Seq("x"))
+    Mview.refresh(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
     Snapshots.commit(spark, src, Seq(("a", 100L)).toDF("g", "x"), replace = true)
     intercept[IllegalArgumentException](
-      Mview.refresh(spark, src, view, Seq("g"), Seq("x")))
-    Mview.rebuild(spark, src, view, Seq("g"), Seq("x"))
-    assert(viewMap(view) == Map("a" -> ((1L, 100L))))
+      Mview.refresh(spark, src, view, Seq("g"), Seq("x"), Seq("x")))
+    Mview.rebuild(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
+    assert(viewMap(view) == Map("a" -> ((1L, 100L, 100L, 100L))))
     // incremental maintenance resumes cleanly after the resync
     Snapshots.commit(spark, src, Seq(("b", 7L)).toDF("g", "x"))
-    Mview.refresh(spark, src, view, Seq("g"), Seq("x"))
+    Mview.refresh(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
     assert(viewMap(view) == fullMap(src))
   }
 

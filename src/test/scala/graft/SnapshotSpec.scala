@@ -464,6 +464,39 @@ class SnapshotSpec extends AnyFunSuite {
     assert(r5 == 2 && k5 == 8, "OR must be conservative")
   }
 
+  test("property: random WHERE shapes over the relation equal the raw parquet scan") {
+    val dir = tmp()
+    Snapshots.setBloomColumns(spark, dir, Seq("k", "s"))
+    val df = spark.range(800).toDF("k")
+      .withColumn("s", concat(lit("w"), (col("k") % 37).cast("string")))
+      .withColumn("d", (col("k") * 7 % 101).cast("double") / 4)
+      .withColumn("maybe", when(col("k") % 5 < 3, col("k") % 50))
+      .repartitionByRange(7, col("k"))
+    Snapshots.commit(spark, dir, df)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_fz USING snapshots OPTIONS (path '$dir')")
+    val raw = Snapshots.files(spark, dir, 1).map(f => s"$dir/$f")
+    spark.read.parquet(raw: _*).createOrReplaceTempView("raw_fz")
+    val rng = new scala.util.Random(99)
+    def term(): String = rng.nextInt(8) match {
+      case 0 => s"k >= ${rng.nextInt(900) - 50}"
+      case 1 => s"k < ${rng.nextInt(900) - 50}"
+      case 2 => s"k = ${rng.nextInt(900) - 50}"
+      case 3 => s"s IN ('w${rng.nextInt(40)}', 'w${rng.nextInt(40)}')"
+      case 4 => s"s LIKE 'w${rng.nextInt(4)}%'"
+      case 5 => s"d BETWEEN ${rng.nextInt(20) - 5} AND ${rng.nextInt(25)}"
+      case 6 => if (rng.nextBoolean()) "maybe IS NULL" else "maybe IS NOT NULL"
+      case 7 => s"(k < ${rng.nextInt(400)} OR k > ${rng.nextInt(400) + 400})"
+    }
+    for (i <- 1 to 40) {
+      val conj = Seq.fill(1 + rng.nextInt(3))(term()).mkString(" AND ")
+      val got = spark.sql(s"SELECT sum(k), count(*), count(maybe) FROM snap_fz WHERE $conj")
+        .collect().head.toSeq
+      val want = spark.sql(s"SELECT sum(k), count(*), count(maybe) FROM raw_fz WHERE $conj")
+        .collect().head.toSeq
+      assert(got == want, s"predicate #$i diverged: WHERE $conj")
+    }
+  }
+
   test("SQL relation: versionAsOf / timestampAsOf resolve time travel") {
     val dir = tmp()
     Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
