@@ -197,6 +197,23 @@ class SnapshotRelation(override val sqlContext: SQLContext, dir: String,
 
   override val schema: StructType = Snapshots.read(spark, dir, Some(version)).schema
 
+  /** Catalyst table statistics from the manifest (sum of data-file
+    * lengths): without this a DSv1 relation reports "huge" and a
+    * nation-sized mounted view never auto-broadcasts in a join. Parquet
+    * is compressed, so the on-disk sum UNDERSTATES in-memory width — the
+    * safe direction for enabling broadcast is overstating, so scale by
+    * the compression factor Spark itself assumes for columnar data.
+    */
+  override def sizeInBytes: Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val bytes = Snapshots.files(spark, dir, version).map { f =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$f")
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val factor = spark.sessionState.conf.fileCompressionFactor
+    math.max(1L, (bytes * factor).toLong)
+  }
+
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a mounted snapshot view —
     * one atomic commit (append / replace). Refused on a pinned view:
     * history is immutable.

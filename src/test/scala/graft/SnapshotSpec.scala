@@ -497,6 +497,19 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("mounted views report manifest-derived size: small tables auto-broadcast") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir,
+      Seq.tabulate(20)(i => (i.toLong, s"dim$i")).toDF("k", "name"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_dim USING snapshots OPTIONS (path '$dir')")
+    val big = spark.range(100000).toDF("k")
+    val joined = big.join(spark.table("snap_dim"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim-sized mounted view did not broadcast:\n$plan")
+    assert(joined.count() == 20)
+  }
+
   test("SQL relation: versionAsOf / timestampAsOf resolve time travel") {
     val dir = tmp()
     Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
