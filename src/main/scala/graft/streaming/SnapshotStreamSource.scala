@@ -205,11 +205,16 @@ class SnapshotRelation(override val sqlContext: SQLContext, dir: String,
     * the compression factor Spark itself assumes for columnar data.
     */
   override def sizeInBytes: Long = {
-    val conf = spark.sessionState.newHadoopConf()
-    val bytes = Snapshots.files(spark, dir, version).map { f =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$f")
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
+    val v = version
+    val bytes = SnapshotRelation.sizeCache.computeIfAbsent((dir, v), _ => {
+      // a version's file set is immutable, so the listing is paid once per
+      // (table, version) per JVM — repeat planning costs a map lookup
+      val conf = spark.sessionState.newHadoopConf()
+      Snapshots.files(spark, dir, v).map { f =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$f")
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    })
     val factor = spark.sessionState.conf.fileCompressionFactor
     math.max(1L, (bytes * factor).toLong)
   }
@@ -303,6 +308,9 @@ object SnapshotRelation {
   /** (kept, total) of the most recent buildScan — test/diagnostic
     * instrumentation for asserting that pushed filters actually skip. */
   val lastScan = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  private[streaming] val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Long]()
 }
 
 private[streaming] class SnapshotSource(sqlContext: SQLContext, dir: String,
