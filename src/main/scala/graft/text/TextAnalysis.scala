@@ -50,6 +50,36 @@ object TextAnalysis extends QueryModule {
         count(lit(1)).as("n_docs"))
       .orderBy("source")
 
+  /** Data-RECIPE mixing — the "data mixture" step of corpus prep: given
+    * per-source weights and a total token budget, keep each source's docs
+    * (in doc_id order) until that source's token quota `weight × budget`
+    * is filled. One scan + one per-source running-sum window: the shuffle
+    * carries source keys once, selection is the windowed cumsum compare.
+    * At 100 TB a single mega-source makes its window partition the long
+    * pole; the standard fix is pre-aggregating per-shard token counts to
+    * pick a doc_id cutoff first (two metadata-sized passes) — the
+    * windowed form is the general one and what the oracle states.
+    */
+  def mixRecipe(docs: DataFrame, weights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      .filter(col("cum") <=
+        element_at(typedLit(weights), col("source")) * tokenBudget)
+  }
+
+  /** src0-src9 are "high-quality" at 7% each, src10-src19 at 3% — the
+    * 2:1-ish upweighting a real recipe applies; Σ = 1.0 of the budget. */
+  private[graft] val recipeWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (if (i < 10) 0.07 else 0.03)).toMap
+
+  private def qMixRecipe(s: SparkSession, d: String): DataFrame =
+    mixRecipe(T.documents(s, d), recipeWeights, tokenBudget = 2000L)
+      .orderBy("doc_id")
+
   /** BPE-ish token estimate: whitespace word-pieces counted as ceil(len/4)
     * pieces — the common "~4 chars per token" heuristic. Pure array
     * arithmetic, so it carries a full DuckDB oracle.
@@ -895,6 +925,7 @@ object TextAnalysis extends QueryModule {
     "q_text_quality" -> qTextQuality,
     "q_token_count" -> qTokenCount,
     "q_token_count_bpe" -> qTokenCountBpe,
+    "q_mix_recipe" -> qMixRecipe,
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint
   )
@@ -1411,6 +1442,20 @@ object TextAnalysis extends QueryModule {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_mix_recipe" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |cums AS (
+        |  SELECT doc_id, source, tok,
+        |    CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS cum
+        |  FROM toks)
+        |SELECT doc_id, source, tok, cum FROM cums
+        |WHERE cum <= CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |  THEN 0.07 ELSE 0.03 END * 2000
+        |ORDER BY doc_id""".stripMargin,
     "q_token_count_bpe" ->
       """SELECT doc_id,
         |  CAST(list_sum(list_transform(string_split(text, ' '),
