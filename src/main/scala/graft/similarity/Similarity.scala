@@ -257,6 +257,31 @@ object Similarity extends QueryModule {
     else knnJoinShuffled(corpus, queries, k)
   }
 
+  /** kNN CLASSIFICATION — majority label among the k nearest corpus
+    * neighbors (ties to the smallest label, mirroring the kNN rank
+    * tie-break): the label-propagation / weak-annotation member of the
+    * similarity family, e.g. propagating quality or topic labels from a
+    * small annotated set onto an unlabeled corpus. Cost = the exact
+    * broadcast kNN join + a (q, label) vote aggregate; at scale the
+    * shuffled/ANN join forms substitute for the probe stage unchanged.
+    */
+  private def qKnnClassify(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") % 50 === 7)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 7)
+    val nn = knnJoinBroadcast(corpus, queries, k = 10, excludeSelf = false)
+    val votes = nn.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(queries.select(col("vec_id").as("q_id"),
+        col("label").as("true_label")), "q_id")
+      .select(col("q_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"))
+      .orderBy("q_id")
+  }
+
   private def qEmbedKnn(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
     knnJoin(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
@@ -544,6 +569,7 @@ object Similarity extends QueryModule {
     "q_embed_dedup_cluster" -> qEmbedDedupCluster,
     "q_embed_knn" -> qEmbedKnn,
     "q_embed_knn_shuffle" -> qEmbedKnnShuffle,
+    "q_knn_classify" -> qKnnClassify,
     "q_embed_admit" -> qEmbedAdmit,
     "q_embed_centroid" -> qEmbedCentroid,
     "q_embed_quantize" -> qEmbedQuantize
@@ -589,6 +615,32 @@ object Similarity extends QueryModule {
         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_embed_knn" -> knnOracleSql,
     "q_embed_knn_shuffle" -> knnOracleSql,
+    // same rank tie-break as the kNN oracle; vote ties fall to the
+    // smallest label, matching the window's (votes DESC, label) order
+    "q_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS true_label, ev AS qe
+        |      FROM e WHERE vec_id % 50 = 7),
+        |c AS (SELECT vec_id, label, ev FROM e WHERE vec_id % 50 <> 7),
+        |scored AS (
+        |  SELECT q.q_id, q.true_label, c.vec_id, c.label,
+        |    round(list_dot_product(c.ev, q.qe)
+        |      / (sqrt(list_dot_product(c.ev, c.ev))
+        |         * sqrt(list_dot_product(q.qe, q.qe))), 4) AS sim
+        |  FROM c, q),
+        |top AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, vec_id) AS rk FROM scored) WHERE rk <= 10),
+        |votes AS (
+        |  SELECT q_id, true_label, label, count(*) AS votes
+        |  FROM top GROUP BY 1, 2, 3)
+        |SELECT q_id, true_label, label AS pred_label, votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY votes DESC, label) AS rn FROM votes)
+        |WHERE rn = 1 ORDER BY q_id""".stripMargin,
     // semantic admission verdicts: best corpus neighbor per new vector
     // (same rank tie-break as the kNN oracle), admitted iff best < 0.9
     "q_embed_admit" ->
