@@ -74,7 +74,9 @@ object Mview {
         // their own rows
         val merged = old.select(old.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
           .join(delta.select(delta.columns.map(c => col(c).as(s"r_$c")).toSeq: _*),
-            keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _), "full_outer")
+            // null-safe: a NULL group key is one group, not a fresh row
+            // per refresh (=== would never match the two NULL sides)
+            keys.map(k => col(s"l_$k") <=> col(s"r_$k")).reduce(_ && _), "full_outer")
           .select(
             keys.map(k => coalesce(col(s"l_$k"), col(s"r_$k")).as(k)) ++
               addCols.map(c =>
@@ -86,6 +88,7 @@ object Mview {
                   greatest(col(s"l_max_$c"), col(s"r_max_$c")).as(s"max_$c"))
               }: _*)
         Snapshots.commit(spark, viewDir, merged, replace = true,
+          expectedVersion = Snapshots.currentVersion(spark, viewDir),
           meta = Map(SrcKey -> head.toString))
       case None =>
         Snapshots.commit(spark, viewDir,

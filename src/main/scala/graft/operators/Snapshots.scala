@@ -158,18 +158,46 @@ object Snapshots {
     }
     if (!replace && cur > 0) enforceSchema(spark, dir, df, evolve)
     val next = cur + 1
-    val dataRel = s"data/c$next"
-    withStatFriendlyWrites(spark) {
-      df.write.options(bloomWriteOptions(spark, dir))
-        .mode("overwrite").parquet(s"$dir/$dataRel")
-    }
-    val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
-      .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"$dataRel/${st.getPath.getName}").sorted
+    val fresh = writeData(spark, dir, next, df)
     val carried =
       if (replace || next == 1) Seq.empty else files(spark, dir, next - 1)
     publish(spark, dir, next, carried, fresh, meta)
     next
+  }
+
+  /** Write a commit's data files under a PER-WRITER-UNIQUE directory
+    * (`data/c{next}-{uuid}`) and return the table-relative file list. The
+    * unique suffix is what makes the manifest CAS safe end to end: two
+    * writers racing the same version number write DISJOINT directories, so
+    * the loser's `mode(overwrite)` can never destroy files the winner's
+    * just-published manifest references (Delta's unique-file-name rule).
+    * Loser directories become orphan debris that [[vacuumOrphans]] sweeps.
+    */
+  private def writeData(spark: SparkSession, dir: String, next: Int,
+      df: DataFrame): Seq[String] = {
+    val (fs, _) = hfs(spark, dir)
+    val dataRel = s"data/c$next-${java.util.UUID.randomUUID.toString.take(8)}"
+    withStatFriendlyWrites(spark) {
+      df.write.options(bloomWriteOptions(spark, dir))
+        .mode("overwrite").parquet(s"$dir/$dataRel")
+    }
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
+      .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"$dataRel/${st.getPath.getName}").sorted
+  }
+
+  /** Table-relative path of an absolute data-file path/URI — the inverse of
+    * the manifest entry. Resolves against the table dir itself (never a
+    * substring scan: a table living under a `/data/c…` parent must not
+    * confuse the parse).
+    */
+  private def relPath(dir: String, absPathOrUri: String): String = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      .stripSuffix("/")
+    val p = new org.apache.hadoop.fs.Path(absPathOrUri).toUri.getPath
+    require(p.startsWith(dirPath + "/"),
+      s"$p is outside the table directory $dirPath")
+    p.substring(dirPath.length + 1)
   }
 
   /** The `meta` map committed with `version` (empty if none was passed). */
@@ -239,16 +267,23 @@ object Snapshots {
     def writeAtomic(name: String, body: Array[Byte]): Unit = {
       // write-temp + atomic rename: a concurrent reader either sees the
       // fully written file or none at all (hidden names are never listed).
-      // An already-present destination means another writer won this
-      // version slot — surface the conflict, never clobber the winner.
+      // An already-present destination means another writer beat us to this
+      // slot — UNLESS the slot's COMMIT POINT (the .list) never landed, in
+      // which case the file is debris of a writer that crashed mid-publish:
+      // treating that as a conflict would wedge the version slot forever,
+      // so stale sidecars are swept and the publish proceeds.
       val tmp = new org.apache.hadoop.fs.Path(md, s".$name.tmp")
       val out = fs.create(tmp, true)
       try out.write(body) finally out.close()
       val fin = new org.apache.hadoop.fs.Path(md, name)
       if (fs.exists(fin)) {
-        fs.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"$dir: $name was published concurrently — rebase and retry")
+        val committed = fs.exists(new org.apache.hadoop.fs.Path(md, s"v$next.list"))
+        if (committed || name == s"v$next.list") {
+          fs.delete(tmp, false)
+          throw new java.util.ConcurrentModificationException(
+            s"$dir: $name was published concurrently — rebase and retry")
+        }
+        fs.delete(fin, false) // crashed-writer sidecar, no commit point
       }
       require(fs.rename(tmp, fin), s"$dir: manifest publish rename failed for $name")
     }
@@ -316,7 +351,7 @@ object Snapshots {
         "history — incremental read is undefined, resync from a snapshot")
     val fresh = to.filterNot(from)
     require(fresh.nonEmpty, s"$dir: no files appended in (v$fromVersion, v$toVersion]")
-    spark.read.parquet(fresh.map(f => s"$dir/$f"): _*)
+    spark.read.option("mergeSchema", "true").parquet(fresh.map(f => s"$dir/$f"): _*)
   }
 
   /** Expire snapshots older than `keepFrom`: their manifests are removed
@@ -360,7 +395,10 @@ object Snapshots {
       .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen)
       .sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    // expectedVersion: an append landing between the read and this commit
+    // must surface as a conflict, not silently vanish from the new head
     commit(spark, dir, read(spark, dir, Some(cur)).repartition(n), replace = true,
+      expectedVersion = Some(cur),
       meta = Map("compaction" -> s"$total bytes -> $n files"))
   }
 
@@ -400,10 +438,8 @@ object Snapshots {
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getModificationTime < cutoff) {
-        val p = st.getPath.toUri.getPath
-        val i = p.indexOf("/data/c")
-        val rel = if (i >= 0) p.substring(i + 1) else ""
-        if (rel.nonEmpty && !referenced.contains(rel)) orphans += st.getPath
+        val rel = relPath(dir, st.getPath.toUri.getPath)
+        if (!referenced.contains(rel)) orphans += st.getPath
       }
     }
     orphans.foreach(fs.delete(_, false))
@@ -684,8 +720,9 @@ object Snapshots {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     val (kept, all) = pruneFilesAll(spark, dir, v, ranges)
-    val base = if (kept.nonEmpty) spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
-      else spark.read.parquet(all.map(f => s"$dir/$f"): _*).filter(lit(false))
+    val base = if (kept.nonEmpty) spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(f => s"$dir/$f"): _*)
+      else read(spark, dir, Some(v)).filter(lit(false))
     val pred = ranges.flatMap { case (column, lower, upper) =>
       lower.map(col(column) >= lit(_)) ++ upper.map(col(column) <= lit(_))
     }.reduceOption(_ && _)
@@ -703,12 +740,15 @@ object Snapshots {
   def clusterZOrder(spark: SparkSession, dir: String, xCol: String,
       yCol: String, targetFiles: Int): Int = {
     import org.apache.spark.sql.functions.col
-    commit(spark, dir, read(spark, dir)
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    // expectedVersion: a concurrent append must conflict, not be dropped
+    commit(spark, dir, read(spark, dir, Some(cur))
       .withColumn("__z", graft.functions.ZOrderFunctions.zorder64(
         col(xCol).cast("int"), col(yCol).cast("int")))
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z"), replace = true)
+      .drop("__z"), replace = true, expectedVersion = Some(cur))
   }
 
   /** Row-level DELETE of `column BETWEEN lower AND upper`, copy-on-write:
@@ -756,34 +796,22 @@ object Snapshots {
       val touched: Seq[String] =
         if (candidates.isEmpty) Seq.empty
         else {
-          val prefix = s"$dir/"
-          spark.read.parquet(candidates.map(f => s"$prefix$f"): _*)
+          spark.read.option("mergeSchema", "true")
+            .parquet(candidates.map(f => s"$dir/$f"): _*)
             .select(col(key)).withColumn("__f", input_file_name())
             .join(up.select(col(key)), Seq(key))
             .select("__f").distinct().collect()
-            .map(_.getString(0))
-            .map { uri =>
-              val p = new java.net.URI(uri).getPath
-              val i = p.indexOf("/data/c")
-              require(i >= 0, s"$dir: touched file $p is outside the table")
-              p.substring(i + 1)
-            }.toSeq.sorted
+            .map(r => relPath(dir, r.getString(0))).toSeq.sorted
         }
       val untouched = all.filterNot(touched.toSet)
       val next = cur + 1
-      val dataRel = s"data/c$next"
       val survivors =
         if (touched.isEmpty) up.toDF()
-        else spark.read.parquet(touched.map(f => s"$dir/$f"): _*)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(f => s"$dir/$f"): _*)
           .join(up.select(col(key)), Seq(key), "left_anti")
-          .unionByName(up)
-      withStatFriendlyWrites(spark) {
-        survivors.write.options(bloomWriteOptions(spark, dir))
-          .mode("overwrite").parquet(s"$dir/$dataRel")
-      }
-      val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
-        .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(st => s"$dataRel/${st.getPath.getName}").sorted
+          .unionByName(up, allowMissingColumns = true)
+      val fresh = writeData(spark, dir, next, survivors)
       publish(spark, dir, next, untouched, fresh)
       next
     } finally { up.unpersist(); () }
@@ -804,19 +832,13 @@ object Snapshots {
     if (affected.isEmpty) return cur
     val untouched = all.filterNot(affected.toSet)
     val next = cur + 1
-    val dataRel = s"data/c$next"
     val keep = (Seq(col(column).isNull) ++
       lower.map(col(column) < lit(_)) ++ upper.map(col(column) > lit(_)))
       .reduce(_ || _)
-    withStatFriendlyWrites(spark) {
-      spark.read.parquet(affected.map(f => s"$dir/$f"): _*)
-        .filter(keep)
-        .write.options(bloomWriteOptions(spark, dir))
-        .mode("overwrite").parquet(s"$dir/$dataRel")
-    }
-    val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
-      .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"$dataRel/${st.getPath.getName}").sorted
+    val fresh = writeData(spark, dir, next,
+      spark.read.option("mergeSchema", "true")
+        .parquet(affected.map(f => s"$dir/$f"): _*)
+        .filter(keep))
     publish(spark, dir, next, untouched, fresh)
     next
   }

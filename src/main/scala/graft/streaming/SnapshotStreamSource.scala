@@ -108,8 +108,12 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
     val vOpt = parameters.get("versionAsOf").map(_.toInt)
     val tOpt = parameters.get("timestampAsOf").map { raw =>
       scala.util.Try(raw.toLong).getOrElse {
-        val fmt = java.time.format.DateTimeFormatter.ofPattern(
-          "yyyy-MM-dd HH:mm:ss[.SSS]")
+        val fmt = new java.time.format.DateTimeFormatterBuilder()
+          .appendPattern("yyyy-MM-dd HH:mm:ss")
+          .optionalStart()
+          .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+          .optionalEnd()
+          .toFormatter
         java.time.LocalDateTime.parse(raw, fmt)
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
       }
@@ -162,9 +166,12 @@ private[graft] class SnapshotSink(sqlContext: SQLContext, dir: String)
   private def spark = sqlContext.sparkSession
 
   private def lastCommittedBatch: Option[Long] =
+    // lazy scan newest-first: stops at the first version carrying a
+    // batch_id (almost always the newest) instead of reading every
+    // version's metadata per micro-batch
     Snapshots.versions(spark, dir).reverseIterator
       .flatMap(v => Snapshots.commitMeta(spark, dir, v).get("batch_id"))
-      .toSeq.headOption.map(_.toLong)
+      .nextOption().map(_.toLong)
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.Dataset[Row]): Unit = {
     if (lastCommittedBatch.exists(_ >= batchId)) return // replay → skip
@@ -253,9 +260,20 @@ class SnapshotRelation(override val sqlContext: SQLContext, dir: String,
     case _ => Seq.empty
   }
 
+  private def isIntegral(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
   private def envelope(vs: Array[Any]): Option[(Any, Any)] =
     if (vs.isEmpty) None
-    else if (vs.forall(_.isInstanceOf[Number])) {
+    else if (vs.forall(isIntegral)) {
+      // order as longs: doubleValue collapses longs past 2^53 and an
+      // inverted/collapsed envelope would prune files that hold real keys
+      val ds = vs.map(_.asInstanceOf[Number])
+      Some((ds.minBy(_.longValue), ds.maxBy(_.longValue)))
+    } else if (vs.forall(_.isInstanceOf[Number])) {
       val ds = vs.map(_.asInstanceOf[Number])
       Some((ds.minBy(_.doubleValue), ds.maxBy(_.doubleValue)))
     } else if (vs.forall(_.isInstanceOf[String])) {
@@ -282,24 +300,38 @@ class SnapshotRelation(override val sqlContext: SQLContext, dir: String,
         }
       }
     }
-    // equality probes consult the per-file parquet BLOOMS (when the table
-    // declared bloom columns) — the skip that works where the layout isn't
-    // clustered by the probed column and min/max envelopes are useless
+    // equality probes consult the per-file parquet BLOOMS — only for the
+    // columns the table actually DECLARED blooms on: probing the rest
+    // would open every kept footer for zero possible skip
+    val bloomCols = Snapshots.bloomColumns(spark, dir).toSet
     val eqSets: Seq[(String, Seq[Any])] = filters.toSeq.flatMap {
-      case EqualTo(a, v) if v != null => Seq(a -> Seq(v))
-      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) => Seq(a -> vs.toSeq)
+      case EqualTo(a, v) if v != null && bloomCols(a) => Seq(a -> Seq(v))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) && bloomCols(a) =>
+        Seq(a -> vs.toSeq)
       case _ => Seq.empty
     }
     val keptB = eqSets.foldLeft(kept) { case (fs, (c, vs)) =>
       Snapshots.pruneFilesEq(spark, dir, c, vs, fs)
     }
     SnapshotRelation.lastScan.set((keptB.length, all.length))
+    // mergeSchema: an evolved table's pruned subset may include files
+    // predating a column add — project the evolved schema, not whichever
+    // single footer the planner sampled
     val base =
-      if (keptB.nonEmpty) spark.read.parquet(keptB.map(f => s"$dir/$f"): _*)
+      if (keptB.nonEmpty) spark.read.option("mergeSchema", "true")
+        .parquet(keptB.map(f => s"$dir/$f"): _*)
       else Snapshots.read(spark, dir, Some(v)).filter(lit(false))
-    val projected =
-      if (requiredColumns.isEmpty) base.select()
-      else base.select(requiredColumns.toSeq.map(col): _*)
+    val projected = {
+      // a pre-evolution pruned subset can lack an evolved column entirely:
+      // surface it as typed NULLs so the projection matches `schema`
+      val present = base.columns.toSet
+      val want = if (requiredColumns.isEmpty) Array.empty[String] else requiredColumns
+      if (want.isEmpty) base.select()
+      else base.select(want.toSeq.map { c =>
+        if (present(c)) col(c)
+        else lit(null).cast(schema(c).dataType).as(c)
+      }: _*)
+    }
     projected.rdd
   }
 }

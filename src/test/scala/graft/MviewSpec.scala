@@ -62,6 +62,21 @@ class MviewSpec extends AnyFunSuite {
     assert(viewMap(view) == fullMap(src))
   }
 
+  test("NULL group keys stay ONE group across refreshes (null-safe merge)") {
+    val src = tmp("mv-null"); val view = tmp("mv-null-v")
+    Snapshots.commit(spark, src,
+      Seq((Option("a"), 1L), (Option.empty[String], 2L)).toDF("g", "x"))
+    Mview.refresh(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
+    Snapshots.commit(spark, src,
+      Seq((Option.empty[String], 3L), (Option.empty[String], 5L)).toDF("g", "x"))
+    Mview.refresh(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
+    val rows = Snapshots.read(spark, view).collect()
+    assert(rows.length == 2, s"NULL key split into ${rows.length - 1} rows")
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) == 3 && nullRow.getLong(2) == 10,
+      "NULL-group totals must accumulate in one row")
+  }
+
   test("a non-Mview snapshot table is rejected as a view target") {
     val d = tmp("mv-plain")
     Snapshots.commit(spark, d, Seq(("a", 1L)).toDF("g", "x"))

@@ -402,17 +402,26 @@ class SnapshotSpec extends AnyFunSuite {
     assert(v3 == 3 && Snapshots.read(spark, dir).count() == 3)
   }
 
-  test("a concurrently-taken version slot is never clobbered at publish") {
+  test("a published commit point is never clobbered; writers land AFTER it") {
     val dir = tmp()
     Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
-    // simulate the race: v2's manifest appears between version resolution
-    // and publish — the publish must refuse, not overwrite the winner
-    val winner = java.nio.file.Paths.get(dir, "_manifests", "v2.stats")
-    java.nio.file.Files.write(winner, Array.emptyByteArray)
-    intercept[java.util.ConcurrentModificationException](
-      Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v")))
-    assert(java.nio.file.Files.size(winner) == 0, "loser clobbered the winner's file")
-    assert(Snapshots.versions(spark, dir) == Seq(1))
+    // a winner's .list IS the commit point: later writers must resolve past
+    // it and leave its bytes untouched (the .stats-only debris case — a
+    // crashed writer, no commit point — is covered by the wedge test)
+    val winner = java.nio.file.Paths.get(dir, "_manifests", "v2.list")
+    val sentinel = Snapshots.files(spark, dir, 1).head + "\n"
+    java.nio.file.Files.write(winner, sentinel.getBytes("UTF-8"))
+    val v = Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    assert(v == 3, "a writer must land after the published v2, never on it")
+    assert(new String(java.nio.file.Files.readAllBytes(winner), "UTF-8") == sentinel,
+      "the winner's manifest bytes changed")
+    // data written by unguarded writers lives in per-writer-unique dirs, so
+    // even same-version racers cannot overwrite each other's files
+    val carried = Snapshots.files(spark, dir, 1).toSet
+    val dirs = Snapshots.files(spark, dir, 3).filterNot(carried)
+      .map(_.split("/")(1)).distinct
+    assert(dirs.nonEmpty && dirs.forall(_.matches("c3-[0-9a-f]{8}")),
+      s"fresh data dirs not per-writer-unique: $dirs")
   }
 
   test("readAsOf resolves TIMESTAMP AS OF against commit times") {
@@ -649,6 +658,91 @@ class SnapshotSpec extends AnyFunSuite {
     // stats regenerate with the rewrite: range pruning still live
     val (kept, all) = Snapshots.pruneFiles(spark, dir, v, "k", Some(0L), Some(10L))
     assert(kept.size <= all.size && Snapshots.stats(spark, dir, v).nonEmpty)
+  }
+
+  test("a table living under a '/data/c...' parent path parses file paths correctly") {
+    // regression: path recovery used a substring scan for "/data/c" that
+    // matched the PARENT segment — merge then duplicated matched rows and
+    // vacuum saw every referenced file as an orphan
+    val base = tmp()
+    val dir = s"$base/data/curated/orders"
+    Snapshots.commit(spark, dir,
+      spark.range(100).toDF("k").withColumn("v", col("k") * 2)
+        .repartitionByRange(4, col("k")))
+    val v2 = Snapshots.mergeInto(spark, dir,
+      Seq((10L, -1L), (11L, -2L)).toDF("k", "v"), "k")
+    val got = Snapshots.read(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got.size == 100, s"merge duplicated rows (${got.size})")
+    assert(got(10L) == -1L && got(11L) == -2L && got(12L) == 24L)
+    Thread.sleep(10)
+    Snapshots.vacuumOrphans(spark, dir, graceMillis = 0)
+    assert(Snapshots.read(spark, dir, Some(v2)).count() == 100,
+      "vacuum deleted referenced files under a /data/c parent")
+    assert(Snapshots.read(spark, dir, Some(1)).count() == 100)
+  }
+
+  test("a crashed writer's stale sidecar does not wedge the version slot") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    // simulate death between v2.stats publish and v2.list rename
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_manifests", "v2.stats"),
+      "stale debris\n".getBytes("UTF-8"))
+    val v2 = Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    assert(v2 == 2, "commit must reclaim a slot whose commit point never landed")
+    assert(Snapshots.read(spark, dir).count() == 2)
+    // the reclaimed slot's stats are the real ones, not the debris
+    assert(Snapshots.stats(spark, dir, 2).nonEmpty)
+  }
+
+  test("evolved tables read correctly through every pruned path") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir,
+      spark.range(100).toDF("k").repartitionByRange(2, col("k")))
+    Snapshots.commit(spark, dir,
+      spark.range(100, 200).toDF("k").withColumn("w", col("k") * 2)
+        .repartitionByRange(2, col("k")), evolve = true)
+    // readRange over a span covering BOTH pre- and post-evolution files
+    val rr = Snapshots.readRange(spark, dir, "k", Some(50L), Some(150L))
+    assert(rr.columns.sorted.toSeq == Seq("k", "w"))
+    assert(rr.count() == 101)
+    assert(rr.filter(col("w").isNull).count() == 50, "old files must surface NULL w")
+    // SQL relation over a pruned subset that is ONLY pre-evolution files
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_ev USING snapshots OPTIONS (path '$dir')")
+    val old = spark.sql("SELECT k, w FROM snap_ev WHERE k BETWEEN 0 AND 49")
+    assert(old.count() == 50 && old.filter(col("w").isNotNull).count() == 0)
+    // deleteRange whose affected set spans the evolution boundary
+    Snapshots.deleteRange(spark, dir, "k", Some(90L), Some(110L))
+    assert(Snapshots.read(spark, dir).count() == 179)
+    // mergeInto touching a pre-evolution file with evolved-schema updates
+    Snapshots.mergeInto(spark, dir,
+      Seq((5L, java.lang.Long.valueOf(55L))).toDF("k", "w"), "k")
+    val r5 = Snapshots.read(spark, dir).filter(col("k") === 5).collect()
+    assert(r5.length == 1 && r5.head.getLong(1) == 55L)
+  }
+
+  test("timestampAsOf accepts variable-length fractional seconds") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq(1L).toDF("k"))
+    val t = Snapshots.commitTime(spark, dir, 1)
+    val iso = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(t + 500), java.time.ZoneOffset.UTC)
+    val raw = iso.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")) + ".5"
+    assert(spark.read.format("snapshots").option("path", dir)
+      .option("timestampAsOf", raw).load().count() == 1)
+  }
+
+  test("IN-envelopes on longs past 2^53 never prune files holding probed keys") {
+    val dir = tmp()
+    val big = 9007199254740992L // 2^53: +1 collapses onto it as a double
+    Snapshots.commit(spark, dir,
+      Seq(big, big + 1L, big + 10L).toDF("k").repartitionByRange(2, col("k")))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_big USING snapshots OPTIONS (path '$dir')")
+    val got = spark.sql(
+      s"SELECT k FROM snap_big WHERE k IN ($big, ${big + 1L})")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(big, big + 1L), s"lost rows at the 2^53 boundary: $got")
   }
 
   test("q_time_travel: v3 (replace) equals v2 (its source) row-for-row") {
