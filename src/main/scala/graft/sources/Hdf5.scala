@@ -20,9 +20,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    object headers (`OHDR`/`OCHK`, checksummed, incl. tracked attribute
   *    creation order and stored times), new-style groups via compact link
   *    messages OR dense storage (fractal-heap `FRHP`/`FHDB` managed link
-  *    objects + single-leaf name-index v2 b-tree `BTHD`/`BTLF`; root
-  *    direct block or root indirect block with direct children — deeper
-  *    heaps and multi-node b-trees fail loudly), dense ATTRIBUTE storage
+  *    objects + name-index v2 b-tree `BTHD`/`BTLF`; root direct block, or
+  *    `FHIB` indirect blocks traversed recursively through direct rows AND
+  *    indirect children — the wide-group shape), dense ATTRIBUTE storage
   *    (per-object fractal heap + type-8 attribute-name-index v2 b-tree,
   *    what libhdf5 switches to past 8 attributes), dataspace v2,
   *    attribute messages v2/v3, data layout v4 with Single Chunk,
@@ -455,11 +455,81 @@ object Hdf5 {
     new DirectBlock(start, size, raw)
   }
 
+  /** Rows 0 .. maxDirectRows−1 of the doubling table hold DIRECT blocks;
+    * rows past that hold INDIRECT children (spec III.G: `max_direct_rows =
+    * log2(max direct size) − log2(starting size) + 2`). Both sizes are
+    * enforced powers of two, so the log is exact.
+    */
+  private def maxDirectRows(fh: FractalHeap): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(fh.maxDirectSize / fh.startBlockSize) + 2
+
+  /** One indirect block (`FHIB`, spec III.G): header + row-major child
+    * addresses + checksum. Rows below [[maxDirectRows]] point at direct
+    * blocks of the row's doubling-table size; higher rows point at CHILD
+    * indirect blocks, each spanning exactly that row's block size of heap
+    * space with `row − log2(width)` rows of its own table (libhdf5's
+    * `H5HF_dtable_size_to_rows`) — recursion makes the depth unbounded,
+    * which is how a wide group's link heap actually grows at scale.
+    * Validated per block: signature, version, owning-heap back-pointer,
+    * the stored heap offset against the offset the TREE position implies,
+    * and the trailing Jenkins-lookup3 checksum (indirect blocks are always
+    * checksummed, independent of the direct-block checksum flag).
+    */
+  private def loadIndirectBlock(r: Reader, fh: FractalHeap, addr: Long,
+      baseOff: Long, nrows: Int, heapAddr: Long,
+      path: String): Seq[DirectBlock] = {
+    require(Integer.bitCount(fh.tableWidth) == 1 && fh.tableWidth >= 2,
+      s"$path: fractal heap table width ${fh.tableWidth} is not a power of two")
+    val logW = Integer.numberOfTrailingZeros(fh.tableWidth)
+    val mdr = maxDirectRows(fh)
+    val headSize = 4 + 1 + 8 + fh.offSize
+    val total = headSize + nrows * fh.tableWidth * 8 + 4
+    val raw = r.bytes(addr, total)
+    val ib = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); ib.get(sig)
+    require(sig.sameElements("FHIB".getBytes), s"$path: bad indirect block signature")
+    require(ib.get() == 0, s"$path: indirect block version unsupported")
+    require(ib.getLong() == heapAddr, s"$path: indirect block heap back-pointer mismatch")
+    require(uintVar(ib, fh.offSize) == baseOff,
+      s"$path: indirect block offset mismatch (expected $baseOff)")
+    locally {
+      val stored = ByteBuffer.wrap(raw, total - 4, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt()
+      val computed = lookup3(java.util.Arrays.copyOf(raw, total - 4))
+      require(stored == computed,
+        f"$path: indirect block checksum mismatch (stored 0x$stored%08x)")
+    }
+    val blocks = scala.collection.mutable.ArrayBuffer[DirectBlock]()
+    var rowStart = 0L
+    for (row <- 0 until nrows) {
+      val bs = rowBlockSize(fh, row)
+      for (col <- 0 until fh.tableWidth) {
+        val child = ib.getLong()
+        if (child != Undef) {
+          val off = baseOff + rowStart + col * bs
+          if (row < mdr)
+            blocks += loadDirectBlock(r, fh, child, off, bs, heapAddr, path)
+          else {
+            val childRows = row - logW
+            require(childRows >= 1 && childRows < 64,
+              s"$path: indirect child at row $row implies $childRows rows " +
+                "(inconsistent fractal heap header)")
+            blocks ++= loadIndirectBlock(r, fh, child, off, childRows,
+              heapAddr, path)
+          }
+        }
+      }
+      rowStart += bs * fh.tableWidth
+    }
+    blocks.toSeq
+  }
+
   /** Resolve every direct block of the heap's managed space up front. Root
-    * may be a single direct block (curRows = 0) or an indirect block whose
-    * rows list direct children (the FHIB is parsed ONCE); indirect CHILDREN
-    * (heaps past width×maxDirect of link data) are out of subset and fail
-    * loudly. Blocks at undefined addresses (never allocated) are skipped.
+    * may be a single direct block (curRows = 0) or an indirect block
+    * traversed recursively through [[loadIndirectBlock]] — direct rows,
+    * then indirect children once the heap outgrows the root's direct rows
+    * (the many-link wide-group shape). Blocks at undefined addresses
+    * (never allocated) are skipped.
     */
   private def loadDirectBlocks(r: Reader, fh: FractalHeap, heapAddr: Long,
       path: String): Seq[DirectBlock] = {
@@ -487,33 +557,7 @@ object Hdf5 {
           s"block size ${fh.maxDirectSize} (inconsistent fractal heap header)")
       Seq(loadDirectBlock(r, fh, fh.rootAddr, 0L, rootSize, heapAddr, path))
     }
-    else {
-      // FHIB: sig(4) ver(1) heap-addr(8) block-offset(offSize) then child
-      // addresses (8 bytes each, unfiltered heap) in row-major order
-      val headSize = 4 + 1 + 8 + fh.offSize
-      val nEntries = fh.curRows * fh.tableWidth
-      val ib = r.at(fh.rootAddr, headSize + nEntries * 8)
-      val sig = new Array[Byte](4); ib.get(sig)
-      require(sig.sameElements("FHIB".getBytes), s"$path: bad indirect block signature")
-      require(ib.get() == 0, s"$path: indirect block version unsupported")
-      require(ib.getLong() == heapAddr, s"$path: indirect block heap back-pointer mismatch")
-      ib.position(headSize)
-      val blocks = scala.collection.mutable.ArrayBuffer[DirectBlock]()
-      var rowStart = 0L
-      for (row <- 0 until fh.curRows) {
-        val bs = rowBlockSize(fh, row)
-        require(bs <= fh.maxDirectSize,
-          s"$path: indirect child blocks unsupported (fractal heap grew past " +
-            s"${fh.tableWidth}×${fh.maxDirectSize} bytes of link data)")
-        for (col <- 0 until fh.tableWidth) {
-          val addr = ib.getLong()
-          if (addr != Undef)
-            blocks += loadDirectBlock(r, fh, addr, rowStart + col * bs, bs, heapAddr, path)
-        }
-        rowStart += bs * fh.tableWidth
-      }
-      blocks.toSeq
-    }
+    else loadIndirectBlock(r, fh, fh.rootAddr, 0L, fh.curRows, heapAddr, path)
   }
 
   /** Read one heap object's bytes given its heap ID. Managed objects
@@ -2042,13 +2086,29 @@ object Hdf5 {
     */
   def write(path: String, datasets: Seq[WDataset], latest: Boolean,
       denseRoot: Boolean, denseAttrs: Boolean, groupInternalK: Int,
-      denseNodeSize: Int, denseIdLen: Int): Unit = {
+      denseNodeSize: Int, denseIdLen: Int): Unit =
+    write(path, datasets, latest, denseRoot, denseAttrs, groupInternalK,
+      denseNodeSize, denseIdLen, denseHeapGeom = None)
+
+  /** `denseHeapGeom = Some((startBlockSize, maxDirectSize))` (both powers of
+    * two, maxDirect ≥ 2·start) lays every dense store's fractal heap out as
+    * a REAL multi-block doubling table: `FHIB` root, direct rows, and child
+    * indirect blocks once the link/attribute data outruns the direct rows —
+    * the wide-group shape of real many-variable archives, shrunk to fixture
+    * scale. `None` (default) keeps one root direct block sized to fit.
+    */
+  def write(path: String, datasets: Seq[WDataset], latest: Boolean,
+      denseRoot: Boolean, denseAttrs: Boolean, groupInternalK: Int,
+      denseNodeSize: Int, denseIdLen: Int,
+      denseHeapGeom: Option[(Long, Long)]): Unit = {
     require(!denseRoot || latest, "dense root groups require the latest format")
     require(!denseAttrs || latest, "dense attribute storage requires the latest format")
     require(groupInternalK >= 1, "groupInternalK must be >= 1")
     require(denseNodeSize >= 48, "denseNodeSize implausibly small")
     require(denseIdLen == 0 || (denseIdLen >= 7 && denseIdLen <= 18),
       "denseIdLen must be 0 (defaults) or in [7, 18] (normal tiny sub-variant)")
+    require(denseHeapGeom.isEmpty || denseRoot || denseAttrs,
+      "denseHeapGeom shapes dense-storage fractal heaps — enable denseRoot or denseAttrs")
     datasets.foreach { d =>
       require(d.data.length == d.dims.product,
         s"${d.name}: data length ${d.data.length} != dims product ${d.dims.product}")
@@ -2688,12 +2748,27 @@ object Hdf5 {
         }
     }
 
+    /** `geom = Some((startBlockSize, maxDirectSize))` switches the heap to a
+      * REAL multi-block doubling-table layout (table width 4): managed
+      * objects pack first-fit across direct blocks in heap-offset order, the
+      * root becomes an `FHIB` indirect block, and rows past `max_direct_rows`
+      * recurse into child indirect blocks — the shape libhdf5 grows once a
+      * group's link data outruns `width × maxDirectSize`. `None` keeps the
+      * library-common single root direct block sized to fit.
+      */
     final class DenseStore(prefix: String, btType: Int, idLen: Int,
         items: Seq[(String, Resolve => Array[Byte])],
-        nodeSize: Int = 4096) {
+        nodeSize: Int = 4096, geom: Option[(Long, Long)] = None) {
       private val maxManaged = 4096L
       private val offSize = 4; private val lenSize = 2
       private val headerSize = 4 + 1 + 8 + offSize + 4 // FHDB prefix + checksum
+      private val tableW = 4
+      geom.foreach { case (s0, m0) =>
+        require(java.lang.Long.bitCount(s0) == 1 && java.lang.Long.bitCount(m0) == 1 &&
+            s0 > headerSize && m0 >= 2 * s0,
+          s"$prefix: heap geometry ($s0, $m0) must be powers of two with " +
+            s"maxDirect >= 2*start and start > $headerSize")
+      }
       private lazy val itemLens: Seq[Int] = {
         val zeroR: Resolve = _ => 0L
         items.map { case (_, body) => body(zeroR).length }
@@ -2725,8 +2800,158 @@ object Hdf5 {
       private def extents: Seq[(Long, Int)] = geometry._1
       private def blockSize: Long = geometry._2
 
+      // ---- multi-block (doubling-table) layout, active when geom is set
+      private def rowSizeOf(s0: Long, row: Int): Long =
+        if (row < 2) s0 else s0 << (row - 1)
+      /** Heap offset where table row `row` starts: W·S·2^(row−1) (rows 0–1
+        * are both S-sized, then each row doubles — the closed form of the
+        * doubling-table prefix sum).
+        */
+      private def rowStartOf(s0: Long, row: Int): Long =
+        if (row == 0) 0L else (tableW.toLong * s0) << (row - 1)
+      private def maxDirectRowsW: Int = {
+        val (s0, m0) = geom.get
+        63 - java.lang.Long.numberOfLeadingZeros(m0 / s0) + 2
+      }
+      private def logW: Int = Integer.numberOfTrailingZeros(tableW)
+      /** Direct blocks in heap-offset order as (path, absOff, size). Paths
+        * name tree positions — "3.2/0.1" is row 3 col 2's child indirect
+        * block, row 0 col 1 inside it — so the packer, the FHIB builders,
+        * and the block-name registry all agree on structure. Indirect rows
+        * expand in place, recursively, mirroring the reader twin.
+        */
+      private def directBlockStream: LazyList[(String, Long, Long)] = {
+        val (s0, _) = geom.get
+        val mdr = maxDirectRowsW
+        def table(pfx: String, base: Long,
+            rows: LazyList[Int]): LazyList[(String, Long, Long)] =
+          rows.flatMap { r =>
+            val bs = rowSizeOf(s0, r)
+            LazyList.range(0, tableW).flatMap { c =>
+              val off = base + rowStartOf(s0, r) + c * bs
+              if (r < mdr) LazyList((s"$pfx$r.$c", off, bs))
+              else table(s"$pfx$r.$c/", off, LazyList.range(0, r - logW))
+            }
+          }
+        table("", 0L, LazyList.from(0))
+      }
+      /** First-fit packing of the managed objects over [[directBlockStream]]:
+        * per-item (absolute heap offset, length), the USED blocks as
+        * (path, absOff, size, items), and the root row count. Objects never
+        * span blocks (as in libhdf5); requiring each object to fit a
+        * starting-size block's payload guarantees the packer advances.
+        */
+      private lazy val multi: (Map[Int, (Long, Int)],
+          Seq[(String, Long, Long, Seq[(Int, Long)])], Int) = {
+        val (s0, _) = geom.get
+        require(managedIdx.nonEmpty, s"$prefix: multi-block heap with no managed objects")
+        var stream = directBlockStream
+        val used = scala.collection.mutable.ArrayBuffer[
+          (String, Long, Long, scala.collection.mutable.ArrayBuffer[(Int, Long)])]()
+        var curUsed = 0L
+        for (ix <- managedIdx) {
+          val len = itemLens(ix).toLong
+          require(len <= s0 - headerSize,
+            s"$prefix: $len-byte object exceeds the $s0-byte starting block's payload")
+          if (used.isEmpty || curUsed + len > used.last._3) {
+            val (p, o, sz) = stream.head; stream = stream.tail
+            used += ((p, o, sz,
+              scala.collection.mutable.ArrayBuffer[(Int, Long)]()))
+            curUsed = headerSize.toLong
+          }
+          used.last._4 += ((ix, used.last._2 + curUsed))
+          curUsed += len
+        }
+        val offs = used.flatMap(_._4.map { case (ix, off) =>
+          ix -> (off, itemLens(ix)) }).toMap
+        val rootRows = used.map(_._1.takeWhile(_ != '.').toInt).max + 1
+        (offs, used.map(b => (b._1, b._2, b._3, b._4.toSeq)).toSeq, rootRows)
+      }
+      /** Every indirect block the used direct blocks imply (tree positions
+        * above them), as directory paths — "root" is named separately.
+        */
+      private lazy val fhibPaths: Seq[String] =
+        multi._2.flatMap { case (p, _, _, _) =>
+          val segs = p.split('/')
+          (1 until segs.length).map(k => segs.take(k).mkString("/"))
+        }.distinct
+
+      /** One `FHIB` indirect block: header, row-major child addresses
+        * (direct rows point at used `FHDB`s, higher rows at child `FHIB`s,
+        * never-allocated positions at the undefined address), checksum.
+        */
+      private def fhibBlock(dir: String, res: Resolve): Array[Byte] = {
+        val (s0, _) = geom.get
+        val mdr = maxDirectRowsW
+        val (pfx, base, nrows) =
+          if (dir == "root") ("", 0L, multi._3)
+          else {
+            var b = 0L
+            dir.split('/').foreach { seg =>
+              val Array(r, c) = seg.split('.').map(_.toInt)
+              b += rowStartOf(s0, r) + c * rowSizeOf(s0, r)
+            }
+            val lastRow = dir.split('/').last.split('.')(0).toInt
+            (dir + "/", b, lastRow - logW)
+          }
+        val usedPaths = multi._2.map(_._1).toSet
+        val b = new LeBuf
+        b.raw("FHIB".getBytes).u8(0)
+        b.u64(res(s"$prefix:frhp"))
+        b.u32(base) // this block's heap offset (offSize = 4 bytes)
+        for (r <- 0 until nrows; c <- 0 until tableW) {
+          val name = s"$pfx$r.$c"
+          b.u64(
+            if (r < mdr) {
+              if (usedPaths(name)) res(s"$prefix:fhdb:$name") else -1L
+            } else if (usedPaths.exists(_.startsWith(name + "/")))
+              res(s"$prefix:fhib:$name")
+            else -1L)
+        }
+        u32ck(b)
+      }
+
+      /** One direct block of the multi-block layout: same `FHDB` framing and
+        * whole-block zeroed-field checksum as the single-block twin, at its
+        * tree position's absolute heap offset and row size.
+        */
+      private def fhdbMultiBlock(pathName: String, res: Resolve): Array[Byte] = {
+        val (_, off, size, its) = multi._2.find(_._1 == pathName).getOrElse(
+          throw new IllegalStateException(s"$prefix: unknown direct block $pathName"))
+        val out = new Array[Byte](size.toInt)
+        val head = new LeBuf
+        head.raw("FHDB".getBytes).u8(0).u64(res(s"$prefix:frhp"))
+        head.u32(off) // absolute heap offset of this block (4-byte field)
+        System.arraycopy(head.bytes, 0, out, 0, headerSize - 4)
+        its.foreach { case (ix, absOff) =>
+          val body = items(ix)._2(res)
+          System.arraycopy(body, 0, out, (absOff - off).toInt, body.length)
+        }
+        val ck = lookup3(out)
+        val cb = new LeBuf; cb.u32(ck.toLong & 0xFFFFFFFFL)
+        System.arraycopy(cb.bytes, 0, out, headerSize - 4, 4)
+        out
+      }
+
       private def frhpBlock(res: Resolve): Array[Byte] = {
-        val used = extents.lastOption.map(e => e._1 + e._2).getOrElse(0L)
+        // the geometry-dependent fields: (start size, max direct size, root
+        // address, current rows, free space, managed = allocated space,
+        // iterator offset)
+        val (startSz, maxDir, rootRef, curRows, freeSpace, managedSpace, iterOff) =
+          geom match {
+            case Some((s0, m0)) =>
+              val blocks = multi._2
+              val alloc = blocks.map(_._3).sum
+              val free = blocks.map(blk =>
+                blk._3 - headerSize - blk._4.map(i => itemLens(i._1).toLong).sum).sum
+              val last = blocks.last
+              (s0, m0, res(s"$prefix:fhib:root"), multi._3, free, alloc,
+                last._2 + last._3)
+            case None =>
+              val used = extents.lastOption.map(e => e._1 + e._2).getOrElse(0L)
+              (blockSize, math.max(blockSize, maxManaged), res(s"$prefix:fhdb"),
+                0, blockSize - used, blockSize, blockSize)
+          }
         val b = new LeBuf
         b.raw("FRHP".getBytes).u8(0)
         b.u16(idLen).u16(0) // heap ID length, I/O filter length (none)
@@ -2734,18 +2959,18 @@ object Hdf5 {
         b.u32(maxManaged)
         b.u64(hugeIdx.length + 1) // next huge object id (ids are 1-based)
         b.u64(if (hugeIdx.isEmpty) -1L else res(s"$prefix:hugebt"))
-        b.u64(blockSize - used).u64(-1L) // free space, free-space manager
-        b.u64(blockSize).u64(blockSize) // managed space, allocated
-        b.u64(blockSize) // direct-block iterator offset (block is full)
+        b.u64(freeSpace).u64(-1L) // free space, free-space manager
+        b.u64(managedSpace).u64(managedSpace) // managed space, allocated
+        b.u64(iterOff) // direct-block iterator offset
         b.u64(managedIdx.length) // managed objects
         b.u64(hugeIdx.map(itemLens(_).toLong).sum).u64(hugeIdx.length) // huge size/count
         b.u64(tinyIdx.map(itemLens(_).toLong).sum).u64(tinyIdx.length) // tiny size/count
-        b.u16(4) // table width
-        b.u64(blockSize) // starting block size = the one root block
-        b.u64(math.max(blockSize, maxManaged)) // max direct block size
-        b.u16(32).u16(1) // max heap size (bits), starting rows in root indirect
-        b.u64(res(s"$prefix:fhdb"))
-        b.u16(0) // current rows: 0 = root is a direct block
+        b.u16(tableW) // table width
+        b.u64(startSz) // starting block size
+        b.u64(maxDir) // max direct block size
+        b.u16(32).u16(math.max(curRows, 1)) // max heap bits, starting root rows
+        b.u64(rootRef)
+        b.u16(curRows) // 0 = root is a direct block, else root FHIB rows
         u32ck(b)
       }
 
@@ -2800,7 +3025,8 @@ object Hdf5 {
         * header address), so IDs — and the b-tree records that contain
         * them — are built under `res`; their LENGTHS are res-independent.
         */
-      private lazy val mOff = managedIdx.zip(extents).toMap
+      private lazy val mOff: Map[Int, (Long, Int)] =
+        if (geom.isDefined) multi._1 else managedIdx.zip(extents).toMap
       private lazy val hId = hugeIdx.zipWithIndex.map { case (ix, k) => ix -> (k + 1) }.toMap
       private def heapId(ix: Int, res: Resolve): Array[Byte] = {
         val id = new LeBuf
@@ -2854,7 +3080,11 @@ object Hdf5 {
       def fheapRef(res: Resolve): Long = res(s"$prefix:frhp")
       def btreeRef(res: Resolve): Long = res(s"$prefix:bthd")
       def blockNames: Seq[String] =
-        Seq(s"$prefix:frhp", s"$prefix:fhdb") ++ nameTree.blockNames ++
+        (if (geom.isDefined)
+          Seq(s"$prefix:frhp", s"$prefix:fhib:root") ++
+            fhibPaths.map(p => s"$prefix:fhib:$p") ++
+            multi._2.map(blk => s"$prefix:fhdb:${blk._1}")
+        else Seq(s"$prefix:frhp", s"$prefix:fhdb")) ++ nameTree.blockNames ++
           (if (hugeIdx.nonEmpty)
             Seq(s"$prefix:hugebt", s"$prefix:hugebl") ++
               hugeIdx.indices.map(k => s"$prefix:hugeobj:$k")
@@ -2863,6 +3093,9 @@ object Hdf5 {
         name.drop(prefix.length + 1) match {
           case "frhp" => frhpBlock(res)
           case "fhdb" => fhdbBlock(res)
+          case "fhib:root" => fhibBlock("root", res)
+          case n if n.startsWith("fhib:") => fhibBlock(n.drop(5), res)
+          case n if n.startsWith("fhdb:") => fhdbMultiBlock(n.drop(5), res)
           case "hugebt" => hugeBtBlock(res)
           case "hugebl" => hugeBlBlock(res)
           case h if h.startsWith("hugeobj:") => items(hugeIdx(h.drop(8).toInt))._2(res)
@@ -2928,12 +3161,12 @@ object Hdf5 {
     lazy val rootDense = new DenseStore("rootdx", 5,
       if (denseIdLen > 0) denseIdLen else 7,
       names.sorted.map(n => n -> ((res: Resolve) => linkMsgBytes(n, res))),
-      denseNodeSize)
+      denseNodeSize, denseHeapGeom)
     lazy val attrDense: Map[String, DenseStore] = datasets
       .filter(d => attrItems(d).nonEmpty)
       .map(d => d.name -> new DenseStore(s"adx:${d.name}", 8,
         if (denseIdLen > 0) denseIdLen else 8, attrItems(d),
-        denseNodeSize))
+        denseNodeSize, denseHeapGeom))
       .toMap
 
     // fixtures stay far below 2^10 chunks, so data blocks never page
@@ -3242,7 +3475,8 @@ object Hdf5 {
         // "adx:<ds>:<kind>"; <ds> may hold ':' and <kind> may be "btlf:<j>",
         // so match the known kind suffixes greedily instead of splitting on
         // the last colon
-        val kind = "(:(?:frhp|fhdb|bthd|btin:\\d+:\\d+|btlf:\\d+|hugebt|hugebl|hugeobj:\\d+))$".r
+        val kind = ("(:(?:frhp|fhdb(?::[0-9./]+)?|fhib:(?:root|[0-9./]+)|bthd|" +
+          "btin:\\d+:\\d+|btlf:\\d+|hugebt|hugebl|hugeobj:\\d+))$").r
           .findFirstIn(n).getOrElse(
             throw new IllegalStateException(s"unparseable dense block $n"))
         attrDense(n.substring(4, n.length - kind.length)).build(n, res)

@@ -359,6 +359,44 @@ object SourceQueries extends QueryModule {
   lazy val nc4DenseAttrsDir: String =
     writeNc4Dir(latest = true, dense = true, denseAttrs = true)
 
+  /** A WIDE archive: 60 variables behind a DEEP dense root group. The
+    * fractal heap is forced to fixture-scale geometry (starting block 64,
+    * max direct 128), so 63 link messages overflow the root's direct rows
+    * into CHILD indirect blocks (`FHIB` → `FHIB` → `FHDB`) — the tree shape
+    * a real many-variable archive's link heap grows into at scale. Every
+    * read of the file resolves its catalog through that multi-level heap
+    * first. Values are closed-form halves, so the DuckDB oracle regenerates
+    * the cube exactly.
+    */
+  lazy val nc4DeepDir: String = {
+    import Hdf5._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc4deep")
+      .toFile.getAbsolutePath
+    val (tD, yD, xD) = (2, 3, 4)
+    val coords = Seq(
+      WDataset("time", I32, Seq(tD), Array.tabulate(tD)(_.toDouble),
+        strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time",
+          "units" -> "days since 1990-01-01")),
+      WDataset("lat", F64, Seq(yD), Array.tabulate(yD)(44.0 + _ * 0.05),
+        strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "lat")),
+      WDataset("lon", F64, Seq(xD), Array.tabulate(xD)(-80.0 + _ * 0.05),
+        strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "lon")))
+    val vars = (0 until 60).map { v =>
+      val data = Array.tabulate(tD * yD * xD) { i =>
+        val t = i / (yD * xD); val y = (i / xD) % yD; val x = i % xD
+        ((v * 7 + t * 5 + y * 3 + x) % 50).toDouble / 2.0 - 5.0
+      }
+      WDataset(f"m_$v%04d", F32, Seq(tD, yD, xD), data,
+        refAttrs = Seq("DIMENSION_LIST" ->
+          Seq(Seq("time"), Seq("lat"), Seq("lon"))))
+    }
+    Hdf5.write(s"$dir/wide.nc4", coords ++ vars,
+      latest = true, denseRoot = true, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
+      denseHeapGeom = Some((64L, 128L)))
+    dir
+  }
+
   /** The grid once more with a MULTI-NODE v1 chunk b-tree: tasmax chunked
     * 2×4×8 (80 chunks) with the writer's leaf fan-out capped at 8, so the
     * chunk index is a level-1 internal root over 10 sibling leaves — the
@@ -576,6 +614,20 @@ object SourceQueries extends QueryModule {
       .select("variable", "ts", "y", "x", "lat", "lon", "value")
       .orderBy("variable", "ts", "y", "x")
 
+  /** Per-variable aggregate over the WIDE deep-heap archive: the variable
+    * range prunes 40 of 60 variables and the x bound prunes the hyperslab,
+    * but FIRST the catalog of all 63 links resolves through the multi-level
+    * fractal heap (root `FHIB` → child `FHIB`s → `FHDB`s) — the metadata
+    * path that dominates opening a many-variable archive at scale.
+    */
+  private def qGridNc4Deep(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", nc4DeepDir).load()
+      .filter(col("variable") >= "m_0040" && col("x") >= 1)
+      .groupBy("variable")
+      .agg(count(lit(1)).as("n_obs"),
+        round(sum(col("value").cast("double")), 2).as("sum_v"))
+      .orderBy("variable")
+
   /** Z-order-tiled GRF2 fixture: the generator cells packed into container
     * files of 4 Morton-consecutive 5×5 tiles each (6 files per variable) by
     * [[graft.operators.Scale.writeZOrderedGrid]] — the domain-source twin of
@@ -699,6 +751,7 @@ object SourceQueries extends QueryModule {
     "q_grid_nc4_ea" -> qGridNc4Ea,
     "q_grid_nc4_bt2" -> qGridNc4Bt2,
     "q_grid_nc4_dense" -> qGridNc4Dense,
+    "q_grid_nc4_deep" -> qGridNc4Deep,
     "q_grid_nc4_multinode" -> qGridNc4Multinode,
     "q_grid_federated" -> qGridFederated,
     "q_grid_nc_curv" -> qGridNcCurv,
@@ -817,6 +870,18 @@ object SourceQueries extends QueryModule {
         |WHERE ts <= TIMESTAMP '1990-01-04 23:59:59'
         |  AND y BETWEEN 3 AND 14 AND x >= 18
         |ORDER BY variable, ts, y, x""".stripMargin),
+    "q_grid_nc4_deep" ->
+      """WITH cells AS (
+        |  SELECT v.v, t.t, y.y, x.x,
+        |         CAST((v.v * 7 + t.t * 5 + y.y * 3 + x.x) % 50 AS DOUBLE)
+        |           / 2.0 - 5.0 AS value
+        |  FROM range(60) v(v), range(2) t(t), range(3) y(y), range(4) x(x))
+        |SELECT printf('m_%04d', v) AS variable,
+        |       count(*) AS n_obs,
+        |       round(sum(value), 2) AS sum_v
+        |FROM cells
+        |WHERE v >= 40 AND x >= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_grid_nc4_multinode" -> (GridData.oracleCells +
       """SELECT ts, y, x, lat, lon, value FROM cells
         |WHERE variable = 'tasmax'

@@ -504,6 +504,57 @@ class Hdf5Spec extends AnyFunSuite {
         Seq(ch.toDouble, ch.toDouble / 2), ch)
   }
 
+  test("deep fractal heap: 80 links overflow into indirect child blocks and all resolve") {
+    // geometry (start 64, max direct 128): the root's direct rows hold only
+    // ~24 of the 80 link messages, so the heap MUST grow an FHIB root whose
+    // rows 3+ point at CHILD indirect blocks (children of 1, 2 and 3 rows
+    // all occur) — the wide-group shape a many-variable archive's link heap
+    // takes at scale, shrunk to fixture size
+    val p = tmp("deepheap.h5"); val pc = tmp("deepheap-compact.h5")
+    def dsets = (0 until 80).map(i =>
+      WDataset(f"metric_$i%04d", F64, Seq(2), Array(i.toDouble, i * 0.5)))
+    Hdf5.write(p, dsets, latest = true, denseRoot = true, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
+      denseHeapGeom = Some((64L, 128L)))
+    Hdf5.write(pc, dsets, latest = true, denseRoot = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    def count(sig: String) = bytes.sliding(4).count(_.sameElements(sig.getBytes))
+    assert(count("FHIB") >= 5,
+      s"expected a root + child indirect blocks, found ${count("FHIB")}")
+    assert(count("FHDB") >= 20,
+      s"expected many direct blocks, found ${count("FHDB")}")
+    val h = Hdf5.open(p); val c = Hdf5.open(pc)
+    assert(h.datasets.map(_.name) == c.datasets.map(_.name))
+    // indices spanning the direct rows and every child-depth region
+    for (i <- Seq(0, 23, 24, 41, 60, 79))
+      assert(Hdf5.readAll(p, h.dataset(f"metric_$i%04d").get).toSeq ==
+        Seq(i.toDouble, i * 0.5), i)
+  }
+
+  test("deep fractal heap: 90 dense attributes overflow into indirect child blocks") {
+    // same tree, attribute flavor: geometry (128, 512) fits ~72 of the 90
+    // attribute messages in direct rows, forcing row-4 indirect children in
+    // the per-dataset attribute heap
+    val p = tmp("deepattrs.h5"); val pc = tmp("deepattrs-single.h5")
+    def ds = Seq(WDataset("temp", F64, Seq(3), Array(1.0, 2.0, 3.0),
+      numAttrs = (0 until 90).map(i => (f"a_$i%04d", F64, Seq(i * 1.5)))))
+    Hdf5.write(p, ds, latest = true, denseRoot = false, denseAttrs = true,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
+      denseHeapGeom = Some((128L, 512L)))
+    Hdf5.write(pc, ds, latest = true, denseRoot = false, denseAttrs = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    def count(sig: String) = bytes.sliding(4).count(_.sameElements(sig.getBytes))
+    assert(count("FHIB") >= 2,
+      s"expected a root + child indirect blocks, found ${count("FHIB")}")
+    val h = Hdf5.open(p); val c = Hdf5.open(pc)
+    val ht = h.dataset("temp").get; val ct = c.dataset("temp").get
+    assert(ht.attrs.map(_.name).sorted == ct.attrs.map(_.name).sorted)
+    assert(ht.attrs.length == 90)
+    for (a <- ct.attrs)
+      assert(ht.attr(a.name).map(_.value).contains(a.value), a.name)
+    assert(Hdf5.readAll(p, ht).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
   test("classic group with 26 links splits across multiple SNODs (leaf k = 4) and all resolve") {
     // the superblock declares group leaf k = 4 → max 8 symbols per SNOD, so
     // a 26-variable classic archive MUST fan the root b-tree over 4 symbol
