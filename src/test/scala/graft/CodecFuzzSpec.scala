@@ -173,7 +173,16 @@ class CodecFuzzSpec extends AnyFunSuite {
         Array(i.toDouble, i - 0.5))),
       latest = true, denseRoot = true, denseAttrs = false,
       groupInternalK = 16, denseNodeSize = 96)
-    for (p <- Seq(pClassic, pDense, pDeep)) {
+    // a deep FRACTAL HEAP twin: fixture-scale doubling-table geometry, so
+    // links resolve through FHIB root + child indirect blocks + many FHDBs
+    val pHeap = tmp("fuzz-deepheap.h5")
+    Hdf5.write(pHeap,
+      (0 until 70).map(i => WDataset(f"h$i%04d", F64, Seq(2),
+        Array(i.toDouble, i + 0.25))),
+      latest = true, denseRoot = true, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
+      denseHeapGeom = Some((64L, 128L)))
+    for (p <- Seq(pClassic, pDense, pDeep, pHeap)) {
       def fullRead(path: String): Vector[(String, Vector[Double], Int)] = {
         val h = Hdf5.open(path)
         h.datasets.toVector.map(ds =>
