@@ -123,6 +123,54 @@ object Multimodal extends QueryModule {
           lit("synthetic").as("origin")).as("meta"))
   }
 
+  /** PNG asset table for the perceptual-hash queries. Pixels follow a
+    * QUADRATIC closed form — `(i²·7919 + id·104729 + i·id·13) mod 251` —
+    * because [[pngAssets]]' linear gradient would make dHash degenerate
+    * (adjacent pixels always differ by exactly +7, so every image's
+    * comparison bits nearly coincide; measured: 52k of 125k fixture pairs
+    * land within hamming 7). Under the quadratic form unrelated assets
+    * measure ≥ 4 apart while the PLANTED near-duplicates — every 10th
+    * document also emits a variant (`asset_id = doc_id + 1_000_000`) with
+    * pixels `i % 11 == 0` brightened to `min(250, v + 6)` — stay within
+    * hamming ≤ 1 of their original after box-average blurring. Dims match
+    * [[pngAssets]] (w = 8 + id%9, h = 8 + (id·7)%9).
+    */
+  def phashAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id")).as[Long]
+      .repartition(math.max(2, s.sparkContext.defaultParallelism / 4))
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id * 7) % 9).toInt
+          def px(i: Int, pert: Boolean): Int = {
+            val v = ((i.toLong * i * 7919 + id * 104729 + i.toLong * id * 13) % 251).toInt
+            if (pert && i % 11 == 0) math.min(250, v + 6) else v
+          }
+          def encode(pert: Boolean): Array[Byte] =
+            Png.encode(w, h, Array.tabulate(w * h) { i =>
+              val v = px(i, pert); (v << 16) | (v << 8) | v
+            })
+          val orig = Seq((id, encode(pert = false)))
+          if (id % 10 == 0) orig :+ ((id + 1000000L, encode(pert = true)))
+          else orig
+        }
+      }
+      .toDF("asset_id", "payload")
+  }
+
+  /** (asset_id, phash) over [[phashAssets]] — real ImageIO decode →
+    * box-average → [[dHash56]], one decoder per partition, pure scan.
+    */
+  def phashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    cached(s, "phash", d)(phashAssets(s, d))
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, dHash56(id, bytes)) })
+      .toDF("asset_id", "phash")
+  }
+
   /** The synthetic asset tables are INPUT DATA (in production they sit in
     * parquet next to the documents) — memoized + persisted per (kind,
     * dataset) per JVM like the other prepared fixtures, so the decode
@@ -135,6 +183,7 @@ object Multimodal extends QueryModule {
     cached(s, "png", d)(pngAssets(s, d))
     cached(s, "wav", d)(wavAssets(s, d))
     cached(s, "gfv", d)(videoAssets(s, d))
+    cached(s, "phash", d)(phashAssets(s, d))
   }
 
   /** Decode via mapPartitions: one decoder per partition, rows streamed.
@@ -177,6 +226,21 @@ object Multimodal extends QueryModule {
   /** One payload's thumbnail (the per-row body of [[resizeImages]], exposed
     * for the truncation fuzz): decode fails loudly on undecodable bytes. */
   def boxThumb(id: Long, bytes: Array[Byte], outW: Int, outH: Int): Thumb = {
+    val cells = boxCells(id, bytes, outW, outH)
+    val sb = new java.lang.StringBuilder(outW * outH * 4)
+    var i = 0
+    while (i < outW * outH) {
+      if (i > 0) sb.append(',')
+      sb.append(cells(i))
+      i += 1
+    }
+    Thumb(id, outW, outH, sb.toString)
+  }
+
+  /** The box-average grid itself (row-major floor averages) — shared by the
+    * csv-emitting [[boxThumb]] and the bit-emitting [[dHash56]].
+    */
+  def boxCells(id: Long, bytes: Array[Byte], outW: Int, outH: Int): Array[Long] = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, s"asset $id: payload is not a decodable image")
     val w = img.getWidth; val h = img.getHeight
@@ -196,14 +260,32 @@ object Multimodal extends QueryModule {
       }
       y += 1
     }
-    val sb = new java.lang.StringBuilder(outW * outH * 4)
+    val out = new Array[Long](outW * outH)
     var i = 0
-    while (i < outW * outH) {
-      if (i > 0) sb.append(',')
-      sb.append(sums(i) / counts(i))
-      i += 1
+    while (i < outW * outH) { out(i) = sums(i) / counts(i); i += 1 }
+    out
+  }
+
+  /** 56-bit difference hash (dHash) over the 8×8 box thumbnail: bit
+    * `r*7 + c` (LSB-first) is 1 iff cell (r, c+1) is brighter than cell
+    * (r, c). Integer end to end — decode, floor-average, compare — so the
+    * DuckDB oracle reproduces every bit from the generating pixel formula.
+    * The 8-wide thumb gives 7 horizontal comparisons per row; 9×8 (the
+    * textbook geometry) would reject the fixture's 8-pixel-wide images.
+    */
+  def dHash56(id: Long, bytes: Array[Byte]): Long = {
+    val cells = boxCells(id, bytes, 8, 8)
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (cells(r * 8 + c + 1) > cells(r * 8 + c)) bits |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
     }
-    Thumb(id, outW, outH, sb.toString)
+    bits
   }
 
   def resizeImages(assetsDf: DataFrame, outW: Int = 4, outH: Int = 4): DataFrame = {
@@ -510,8 +592,48 @@ object Multimodal extends QueryModule {
         col("peak"))
       .orderBy("asset_id")
 
+  /** Decode → dHash fingerprint per asset, oracle-checked per BIT: JDK
+    * ImageIO + box-average + adjacent-cell compare in Spark vs DuckDB
+    * evaluating the generating pixel formula through the same integer
+    * pipeline. This is the image twin of the text corpus' simhash
+    * fingerprint — the first stage of any image-dedup pass.
+    */
+  private def qMmPhash(s: SparkSession, d: String): DataFrame =
+    phashes(s, d).orderBy("asset_id")
+
+  /** Image near-duplicate pairs via banded hamming join — the scale path:
+    * each 56-bit dHash splits into 8 bands of 7 bits; pairs within hamming
+    * distance ≤ 3 disturb at most 3 bands, so ≥ 5 bands survive intact and
+    * the band-bucket self-join has GUARANTEED recall (pigeonhole, the
+    * MinHash-LSH argument) — never an all-pairs compare. Candidates are
+    * then exact-verified with one codegen'd `bit_count(xor)`. At fixture
+    * scale the oracle CAN brute-force all pairs, which is what makes the
+    * banded plan's exactness checkable; at 100 TB the band join is
+    * candidate-linear while brute force is corpus-quadratic (a longer hash
+    * with wider bands keeps bucket occupancy flat as the corpus grows).
+    */
+  private def qMmPhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = phashes(s, d)
+      .select(col("asset_id"), col("phash"),
+        explode(expr("sequence(0, 7)")).as("band"))
+      .withColumn("bval", expr("shiftright(phash, band * 7) & 127"))
+    val a = bands.select(col("asset_id").as("a_id"), col("phash").as("a_hash"),
+      col("band"), col("bval"))
+    val b = bands.select(col("asset_id").as("b_id"), col("phash").as("b_hash"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hash", "b_hash").distinct()
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_hash ^ b_hash)").cast("int").as("dist"))
+      .filter(col("dist") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta" -> qMmMeta,
+    "q_mm_phash" -> qMmPhash,
+    "q_mm_phash_pairs" -> qMmPhashPairs,
     "q_mm_decode" -> qMmDecode,
     "q_mm_audio" -> qMmAudio,
     "q_mm_video" -> qMmVideo,
@@ -541,6 +663,73 @@ object Multimodal extends QueryModule {
         |SELECT doc_id AS asset_id, CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
         |  md5(string_agg(CAST(tv AS VARCHAR), ',' ORDER BY oy, ox)) AS thumb_md5
         |FROM cells GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+    // perceptual-hash twins: evaluate the quadratic pixel formula (with the
+    // planted-variant perturbation), box-average to 8x8, compare adjacent
+    // cells, pack bits LSB-first — every bit of every hash is re-derived
+    // without parsing PNG. The pairs twin then BRUTE-FORCES all pairs,
+    // which is exactly what proves the banded join dropped none.
+    "q_mm_phash" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id AS asset_id, 0 AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1000000 AS asset_id, 1 AS pert
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |dims AS (SELECT *, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 7) % 9) AS h
+        |         FROM base),
+        |vals AS (
+        |  SELECT asset_id, w, h, (i // w) AS y, (i % w) AS x,
+        |    CASE WHEN pert = 1 AND i % 11 = 0
+        |      THEN least(250, (i*i*7919 + doc_id*104729 + i*doc_id*13) % 251 + 6)
+        |      ELSE (i*i*7919 + doc_id*104729 + i*doc_id*13) % 251 END AS v
+        |  FROM dims, unnest(range(0, w * h)) AS t(i)),
+        |cells AS (
+        |  SELECT asset_id, (y * 8) // h AS r, (x * 8) // w AS c,
+        |    SUM(v) // COUNT(*) AS tv
+        |  FROM vals GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.asset_id, l.r, l.c,
+        |    CASE WHEN rr.tv > l.tv THEN 1 ELSE 0 END AS bit
+        |  FROM cells l
+        |  JOIN cells rr ON rr.asset_id = l.asset_id AND rr.r = l.r
+        |    AND rr.c = l.c + 1
+        |  WHERE l.c < 7)
+        |SELECT asset_id,
+        |  CAST(sum(bit * (CAST(1 AS BIGINT) << (r * 7 + c))) AS BIGINT) AS phash
+        |FROM bits GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+    "q_mm_phash_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id AS asset_id, 0 AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1000000 AS asset_id, 1 AS pert
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |dims AS (SELECT *, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 7) % 9) AS h
+        |         FROM base),
+        |vals AS (
+        |  SELECT asset_id, w, h, (i // w) AS y, (i % w) AS x,
+        |    CASE WHEN pert = 1 AND i % 11 = 0
+        |      THEN least(250, (i*i*7919 + doc_id*104729 + i*doc_id*13) % 251 + 6)
+        |      ELSE (i*i*7919 + doc_id*104729 + i*doc_id*13) % 251 END AS v
+        |  FROM dims, unnest(range(0, w * h)) AS t(i)),
+        |cells AS (
+        |  SELECT asset_id, (y * 8) // h AS r, (x * 8) // w AS c,
+        |    SUM(v) // COUNT(*) AS tv
+        |  FROM vals GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.asset_id, l.r, l.c,
+        |    CASE WHEN rr.tv > l.tv THEN 1 ELSE 0 END AS bit
+        |  FROM cells l
+        |  JOIN cells rr ON rr.asset_id = l.asset_id AND rr.r = l.r
+        |    AND rr.c = l.c + 1
+        |  WHERE l.c < 7),
+        |hashes AS (
+        |  SELECT asset_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << (r * 7 + c))) AS BIGINT) AS phash
+        |  FROM bits GROUP BY asset_id)
+        |SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS dist
+        |FROM hashes a JOIN hashes b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_mm_decode" ->
       """WITH dims AS (
         |  SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 7) % 9) AS h

@@ -775,7 +775,7 @@ object Snapshots {
     * files, so [[readChanges]] across a merge refuses like any replace.
     */
   def mergeInto(spark: SparkSession, dir: String, updates: DataFrame,
-      key: String): Int = {
+      key: String, meta: Map[String, String] = Map.empty): Int = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, min, max}
     val (fs, _) = hfs(spark, dir)
     val cur = currentVersion(spark, dir).getOrElse(
@@ -812,7 +812,7 @@ object Snapshots {
           .join(up.select(col(key)), Seq(key), "left_anti")
           .unionByName(up, allowMissingColumns = true)
       val fresh = writeData(spark, dir, next, survivors)
-      publish(spark, dir, next, untouched, fresh)
+      publish(spark, dir, next, untouched, fresh, meta)
       next
     } finally { up.unpersist(); () }
   }

@@ -341,8 +341,99 @@ object Streaming extends QueryModule {
       .orderBy("event_id")
   }
 
+  // ---- streaming CDC apply into a snapshot table ----
+
+  /** Newest `graft.cdc.batch` marker at or below the current version — the
+    * exactly-once watermark [[applyCdcBatch]] reads before every apply. The
+    * backward scan stops at the first CDC commit, so in steady state (every
+    * commit a CDC apply) it is one sidecar read; interleaved non-CDC
+    * commits only deepen it by their count.
+    */
+  def lastAppliedCdcBatch(s: SparkSession, dir: String): Option[Long] =
+    graft.operators.Snapshots.currentVersion(s, dir).flatMap { cur =>
+      Iterator.range(cur, 0, -1)
+        .map(v => graft.operators.Snapshots.commitMeta(s, dir, v)
+          .get("graft.cdc.batch"))
+        .collectFirst { case Some(b) => b.toLong }
+    }
+
+  /** Apply ONE CDC micro-batch to the snapshot table at `dir`, keyed by
+    * `key`, idempotently. `foreachBatch` replays the in-flight batch after
+    * a restart (at-least-once); exactly-once application comes from the
+    * `graft.cdc.batch` marker riding each commit's metadata ATOMICALLY
+    * (the sidecar lands before the manifest rename publishes) — a replayed
+    * batch whose id is ≤ the recorded watermark returns before any write.
+    * Within the batch, rows collapse to one per key by `ord` DESC (ts
+    * first, then a unique tiebreaker), because a double-keyed update would
+    * otherwise be order-dependent; across batches the LAST APPLIED batch
+    * wins per key — standard CDC upsert semantics. The first batch creates
+    * the table; later ones merge (file-pruned: only files holding touched
+    * keys rewrite).
+    */
+  def applyCdcBatch(batch: DataFrame, dir: String, key: String,
+      ord: Seq[String], batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (lastAppliedCdcBatch(s, dir).exists(_ >= batchId)) return
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(ord.map(c => col(c).desc): _*)
+    val collapsed = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val meta = Map("graft.cdc.batch" -> batchId.toString)
+    if (graft.operators.Snapshots.currentVersion(s, dir).isEmpty)
+      graft.operators.Snapshots.commit(s, dir, collapsed, meta = meta)
+    else
+      graft.operators.Snapshots.mergeInto(s, dir, collapsed, key, meta)
+    ()
+  }
+
+  /** The streaming entry: upsert a CDC stream into the snapshot table at
+    * `tableDir` via `foreachBatch` + [[applyCdcBatch]]. Restart-safe from
+    * `checkpointDir` (StreamingSpec kills and resumes it mid-stream and
+    * asserts no double-application). At 100 TB the per-batch cost is the
+    * merge's: envelope-pruned candidate files + one hit-sized rewrite.
+    */
+  def cdcApply(updates: DataFrame, tableDir: String, key: String,
+      ord: Seq[String], checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyCdcBatch(b.toDF(), tableDir, key, ord, id))
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  private val cdcApplyDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Batch twin of the CDC upsert loop, fully oracle-checked: events split
+    * into three interleaved CDC batches (`event_id % 3`), applied in order
+    * through the SAME [[applyCdcBatch]] path the stream runs — commit,
+    * then two metadata-marked merges — and the final table read back. Per
+    * user the highest-numbered batch containing that user wins, and within
+    * it the (ts, event_id)-latest row: exactly the oracle's
+    * `row_number() OVER (ORDER BY event_id % 3 DESC, ts DESC, event_id
+    * DESC)` fold, so a hash-green row proves three real merge commits
+    * equal the one-shot SQL.
+    */
+  private def qCdcApply(s: SparkSession, d: String): DataFrame = {
+    val dir = cdcApplyDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdcapply")
+        .toFile.getAbsolutePath
+      val ev = T.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      (0 to 2).foreach { k =>
+        applyCdcBatch(ev.filter(col("event_id") % 3 === k), dir,
+          "user_id", Seq("ts", "event_id"), k.toLong)
+      }
+      dir
+    })
+    graft.operators.Snapshots.read(s, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_stream" -> qDedupStream,
+    "q_cdc_apply" -> qCdcApply,
     "q_tumble" -> qTumble,
     "q_tumble_topk" -> qTumbleTopk,
     "q_slide" -> qSlide,
@@ -353,6 +444,16 @@ object Streaming extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // CDC-apply twin: the three-merge upsert loop folds to one window —
+    // highest batch (event_id % 3) per user wins, then latest (ts,
+    // event_id) within it
+    "q_cdc_apply" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY (event_id % 3) DESC, ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_dedup_stream" ->
       """SELECT event_id, min(ts) AS first_ts, count(*) AS n_copies
         |FROM (SELECT event_id, ts FROM events

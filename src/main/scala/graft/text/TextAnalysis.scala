@@ -157,6 +157,48 @@ object TextAnalysis extends QueryModule {
       .limit(200)
   }
 
+  /** Okapi BM25 retrieval (k1 = 1.2, b = 0.75): score every document
+    * against a deterministic query-term set (the corpus tokens ranked
+    * 6th–13th by document frequency — mid-df terms, so the retrieval is
+    * neither stopword-flooded nor single-doc-trivial) and return the
+    * top-20 docs. The scale shape: ONE corpus explode builds per-(doc,
+    * token) tf; df rolls up from tf (vocab-sized input, never re-exploding
+    * the corpus); the 8-term query set broadcasts, so the big tf table is
+    * FILTERED by a BroadcastHashJoin before anything doc-sized joins —
+    * after the term filter only query-hit rows survive, and AQE turns the
+    * hit⋈dl join into a broadcast at fixture scale. Document length comes
+    * from a shuffle-free `size(split(...))` projection, NOT a second
+    * explode. Scores round to 4 decimals before the ordering (the MMR
+    * rule) so the top-k tie-breaks identically in any engine. At 100 TB
+    * the per-doc scan dominates and everything downstream of the term
+    * filter is hit-sized.
+    */
+  private def qBm25(s: SparkSession, d: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val docs = T.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val queryTerms = dfTbl.orderBy(col("df").desc, col("token"))
+      .offset(5).limit(8)
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(tokens(col("text")))).as("avgdl"))
+    tf.join(broadcast(queryTerms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(b) * col("dl") / col("avgdl") + (1 - b)))).as("s"))
+      .groupBy("doc_id").agg(round(sum(col("s")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** C4-style composed quality filter: per-source kept/total after the
     * standard length / avg-token-length / lexical-diversity gates. The gates
     * are one codegen'd projection; the only shuffle is the per-source rollup.
@@ -922,6 +964,7 @@ object TextAnalysis extends QueryModule {
     "q_stopword_ratio" -> qStopwordRatio,
     "q_tokens" -> qTokens,
     "q_tfidf" -> qTfidf,
+    "q_bm25" -> qBm25,
     "q_text_quality" -> qTextQuality,
     "q_token_count" -> qTokenCount,
     "q_token_count_bpe" -> qTokenCountBpe,
@@ -1415,6 +1458,23 @@ object TextAnalysis extends QueryModule {
         |          x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))
         |        AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // BM25 twin: same query-term derivation (df rank 6..13), same Okapi
+    // constants, same round-before-order rule as the Spark side
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |qt AS (SELECT token, df FROM dfx ORDER BY df DESC, token LIMIT 8 OFFSET 5),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n_docs,
+        |          avg(len(string_split(text, ' '))) AS avgdl FROM documents)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |    (tf * (1.2 + 1)) /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM tf JOIN qt USING (token) JOIN dl USING (doc_id), stats
+        |GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

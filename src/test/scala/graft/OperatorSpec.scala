@@ -154,6 +154,59 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 ranking matches a driver-side brute force (order exact, scores 1e-6)") {
+    val out = SparkEntry.queries("q_bm25")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val tf = docs.flatMap { case (id, _) =>
+      toks(id).groupBy(identity).map { case (w, g) => (id, w, g.size.toLong) }
+    }
+    val dfm = tf.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val qts = dfm.toSeq.sortBy { case (w, n) => (-n, w) }.slice(5, 13).toMap
+    val n = docs.length.toLong
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    val scores = tf.filter(r => qts.contains(r._2))
+      .groupBy(_._1).map { case (id, rows) =>
+        val dl = toks(id).size
+        id -> rows.map { case (_, w, f) =>
+          math.log((n - qts(w) + 0.5) / (qts(w) + 0.5) + 1.0) * (f * 2.2) /
+            (f + 1.2 * (0.75 * dl / avgdl + 0.25))
+        }.sum
+      }
+    val brute = scores.toSeq
+      .map { case (id, s) =>
+        (id, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(out.map(_._1).toSeq == brute.map(_._1), "doc ranking diverged")
+    out.zip(brute).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-6, s"score $a vs brute $b")
+    }
+  }
+
+  test("phash banded pairs equal brute-force hamming pairs and catch every planted near-dup") {
+    val hashes = graft.multimodal.Multimodal.phashes(spark, TestSpark.sf)
+      .as[(Long, Long)].collect()
+    assert(hashes.length > 500) // originals + planted variants
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    val out = SparkEntry.queries("q_mm_phash_pairs")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // banding has GUARANTEED recall at d <= 3 with 8 bands (pigeonhole) and
+    // the exact verify kills false candidates, so the sets must be equal
+    assert(out == brute, s"banded=${out.size} brute=${brute.size}")
+    val variants = hashes.map(_._1).filter(_ >= 1000000L)
+    assert(variants.nonEmpty, "planted variant set missing from the asset table")
+    variants.foreach { v =>
+      assert(out.exists(p => p._1 == v - 1000000L && p._2 == v && p._3 <= 1),
+        s"planted near-dup ($v) not found within hamming 1")
+    }
+  }
+
   test("multimodal PNG round-trip: our encoder -> JDK ImageIO decoder, per-pixel") {
     val decoded = graft.multimodal.Multimodal
       .decodeImages(graft.multimodal.Multimodal.pngAssets(spark, TestSpark.sf))

@@ -1021,4 +1021,45 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming CDC apply upserts exactly-once across kill + restart and replayed batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("graft-cdc-tbl").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toFile.getAbsolutePath
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double, Long)]
+    def start() = Streaming.cdcApply(
+      mem.toDF().toDF("user_id", "ts", "value", "seq"),
+      tbl, "user_id", Seq("ts", "seq"), ckpt)
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    // batch 0: creates the table; user 1 arrives TWICE in the batch — the
+    // (ts, seq)-latest row must win the in-batch collapse
+    val q1 = start()
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), 1.0, 1L),
+      (2L, t("2024-01-01 10:01:00"), 2.0, 2L),
+      (1L, t("2024-01-01 10:05:00"), 3.0, 3L))
+    q1.processAllAvailable(); q1.stop()
+    assert(Streaming.lastAppliedCdcBatch(spark, tbl).contains(0L))
+    val v1 = graft.operators.Snapshots.currentVersion(spark, tbl)
+    // a replayed batch id (what foreachBatch does after a crash between the
+    // snapshot commit and the checkpoint commit) must be a no-op
+    Streaming.applyCdcBatch(
+      Seq((1L, t("2024-01-01 10:05:00"), 99.0, 3L))
+        .toDF("user_id", "ts", "value", "seq"),
+      tbl, "user_id", Seq("ts", "seq"), 0L)
+    assert(graft.operators.Snapshots.currentVersion(spark, tbl) == v1,
+      "replayed batch re-applied: version advanced")
+    // restart from the SAME checkpoint: batch 1 updates user 2, inserts 3
+    val q2 = start()
+    mem.addData(
+      (2L, t("2024-01-01 11:00:00"), 9.0, 4L),
+      (3L, t("2024-01-01 11:01:00"), 7.0, 5L))
+    q2.processAllAvailable(); q2.stop()
+    val rows = graft.operators.Snapshots.read(spark, tbl)
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 3.0), (2L, 9.0), (3L, 7.0)), rows)
+    assert(Streaming.lastAppliedCdcBatch(spark, tbl).contains(1L))
+    assert(graft.operators.Snapshots.currentVersion(spark, tbl).contains(2),
+      "expected exactly one create + one merge commit")
+  }
 }
