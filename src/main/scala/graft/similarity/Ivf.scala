@@ -104,4 +104,31 @@ object Ivf {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Filtered ANN (the vector-DB "metadata filter" path): probe the same
+    * `nprobe` cells, then drop candidates failing `pred` BEFORE any scoring
+    * dot product runs. The predicate evaluates on a vec_id semi-join
+    * against the metadata projection of `emb` — candidate-sized on the
+    * probe side, so AQE broadcasts it at fixture scale; in production the
+    * assignment table carries the filter columns itself (it is ingest-time
+    * state) and the join disappears into the cell-pruned scan. Recall vs
+    * the filtered exact scan is locked in SimilaritySpec — filtering after
+    * probing means low-selectivity predicates need a higher nprobe, the
+    * standard filtered-ANN trade.
+    */
+  def topKFiltered(emb: DataFrame, cents: Seq[Array[Double]], queryId: Long,
+      k: Int, nprobe: Int, pred: org.apache.spark.sql.Column,
+      assigned: Option[DataFrame] = None): DataFrame = {
+    val a = assigned.getOrElse(assign(emb, cents))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe")).head().getSeq[Float](0)
+    val probeCids = probeCells(cents, q.map(_.toDouble).toArray, nprobe)
+    val allowed = emb.filter(pred).select("vec_id")
+    a.filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= queryId)
+      .join(allowed, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        round(cosine_sim(col("embedding"), lit(q.toArray)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -73,10 +73,16 @@ object Similarity extends QueryModule {
       .select("id1", "id2").distinct()
   }
 
-  /** Brute-force cosine top-k against the query vector (vec_id = queryId). */
-  def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+  /** Brute-force cosine top-k against the query vector (vec_id = queryId).
+    * `pred` is the metadata pre-filter of filtered vector search: it cuts
+    * the scan BEFORE any dot product runs (and, on disk, reaches the
+    * parquet scan as a pushed filter) — the exact twin the ANN variants'
+    * recall is measured against.
+    */
+  def cosineTopK(emb: DataFrame, queryId: Long, k: Int,
+      pred: Column = lit(true)): DataFrame = {
     val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
-    emb.filter(col("vec_id") =!= queryId)
+    emb.filter(col("vec_id") =!= queryId && pred)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosine_sim(col("embedding"), col("qe")), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -336,6 +342,30 @@ object Similarity extends QueryModule {
   private def qCosineTopk(s: SparkSession, d: String): DataFrame =
     cosineTopK(T.embeddings(s, d), queryId = 1L, k = 20)
 
+  /** Filtered vector search, exact arm (full oracle): brute-force cosine
+    * top-k restricted to `label % 3 = 0` vectors — the predicate prunes
+    * the scan before any dot product.
+    */
+  private def qCosineTopkFiltered(s: SparkSession, d: String): DataFrame =
+    cosineTopK(T.embeddings(s, d), queryId = 1L, k = 20,
+      pred = col("label") % 3 === 0)
+
+  /** Filtered vector search, ANN arm (no oracle — approximate): IVF cell
+    * probe then the same metadata predicate before scoring. nprobe is 6
+    * (vs the unfiltered query's 2) — filtering KEEPS 1/3 of each cell, so
+    * the filtered top-20 reaches ~3× deeper into the unfiltered ranking
+    * and needs proportionally more cells: the standard selectivity⇄nprobe
+    * trade of filtered ANN. SimilaritySpec locks recall ≥ 0.9 on a
+    * clustered corpus (the geometry IVF is designed for) and the graceful
+    * ≥ 0.5 floor on this uniform fixture.
+    */
+  private def qCosineIvfFiltered(s: SparkSession, d: String): DataFrame = {
+    val cents = prepareIvfIndex(s, d)
+    Ivf.topKFiltered(T.embeddings(s, d), cents, queryId = 1L, k = 20,
+      nprobe = 6, pred = col("label") % 3 === 0,
+      assigned = Some(Ivf.assignCached(T.embeddings(s, d), d, cents)))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (RRF): a lexical arm
     * (query-term frequency over `documents`) and a vector arm (exact cosine
     * against the query embedding) each produce a bounded top-100 candidate
@@ -558,6 +588,8 @@ object Similarity extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
+    "q_cosine_topk_filtered" -> qCosineTopkFiltered,
+    "q_cosine_ivf_filtered" -> qCosineIvfFiltered,
     "q_mmr" -> qMmr,
     "q_rank_fusion" -> qRankFusion,
     "q_cosine_lsh" -> qCosineLsh,
@@ -744,6 +776,18 @@ object Similarity extends QueryModule {
         |  WHERE rank < 10)
         |SELECT s.rank, s.vec_id, c.rel, s.mmr
         |FROM sel s JOIN cand c USING (vec_id) ORDER BY s.rank""".stripMargin,
+    // filtered-search twin: the exact arm's predicate lands in the inner
+    // scan, mirroring the Spark-side pre-score filter
+    "q_cosine_topk_filtered" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id = 1)
+        |SELECT vec_id,
+        |  round(list_dot_product(e, qe)
+        |        / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
+        |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |      FROM embeddings WHERE vec_id <> 1 AND label % 3 = 0), q
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (
         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe

@@ -45,6 +45,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall too low for hamming-1 multiprobe")
   }
 
+  test("filtered ANN: predicate never leaks; recall >= 0.9 clustered, >= 0.5 uniform fixture") {
+    // strict bound on a clustered corpus (the geometry IVF is built for):
+    // 10 planted clusters of 50, labels interleaved so each cluster holds
+    // vectors on both sides of the predicate
+    val rows = (0 until 500).map { i =>
+      val c = i % 10
+      val vec = (0 until 64).map { d =>
+        (math.sin(c * 131.0 + d * 17.0) + math.sin(i * 1009.0 + d * 37.0) * 0.05).toFloat
+      }
+      (i.toLong, vec, i % 5)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cents = graft.similarity.Ivf.train(emb, k = 16, iters = 2)
+    val pred = col("label") % 3 === 0
+    val exactC = Similarity.cosineTopK(emb, 1L, 20, pred)
+      .select("vec_id").as[Long].collect().toSet
+    val gotC = graft.similarity.Ivf.topKFiltered(emb, cents, 1L, 20, nprobe = 4, pred)
+      .select("vec_id").as[Long].collect()
+    gotC.foreach(id => assert(id % 5 % 3 == 0, s"clustered: leaked vec $id"))
+    val recallC = gotC.count(exactC.contains).toDouble / exactC.size
+    assert(recallC >= 0.9, s"clustered filtered recall@20 $recallC below 0.9 (nprobe=4)")
+    // graceful floor on the uniform fixture via the declared queries
+    val exact = SparkEntry.queries("q_cosine_topk_filtered")(spark, TestSpark.sf)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = SparkEntry.queries("q_cosine_ivf_filtered")(spark, TestSpark.sf)
+      .select("vec_id").as[Long].collect()
+    assert(ivf.nonEmpty, "filtered IVF probe found no candidates")
+    val labels = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    ivf.foreach(id => assert(labels(id) % 3 == 0,
+      s"filtered ANN leaked vec $id with label ${labels(id)}"))
+    val recall = ivf.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"uniform filtered recall@20 $recall below 0.5 (nprobe=6)")
+  }
+
   test("embedAdmit rejects a planted paraphrase vector, admits the rest") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
