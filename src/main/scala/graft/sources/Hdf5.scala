@@ -12,7 +12,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Supported subset:
   *  - default-format files (what h5py/netcdf-c emit WITHOUT latest-format
-  *    flags): superblock version 0, old-style groups (v1 B-tree + SNOD
+  *    flags): superblock version 0 or 1 (v1 adds the 1.6-era
+  *    indexed-storage-k field), old-style groups (v1 B-tree + SNOD
   *    symbol nodes + local heap), version-1 object headers (with
   *    continuation blocks)
   *  - latest-format files (`H5F_LIBVER_LATEST` / h5py `libver='latest'`):
@@ -44,10 +45,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    id fails loudly
   *  - global heap collections for vlen data — enough for NetCDF-4's
   *    DIMENSION_LIST attributes (vlen of object references)
-  * Everything else (superblock v1, soft/external links, paged fixed
-  * arrays, paged extensible-array data blocks, SOHM shared header
-  * messages, filters outside the trio, extended tiny heap IDs) fails
-  * with an explicit message, never a misparse.
+  * Everything else (soft/external links, paged fixed arrays, paged
+  * extensible-array data blocks, SOHM shared header messages, filters
+  * outside the trio, extended tiny heap IDs) fails with an explicit
+  * message, never a misparse.
   */
 object Hdf5 {
 
@@ -219,8 +220,13 @@ object Hdf5 {
       }, s"$path: not an HDF5 file (bad signature)")
       val sbVersion = r.at(8, 1).get()
       val rootOh: Long = sbVersion match {
-        case 0 =>
-          val sb = r.at(0, 96)
+        case 0 | 1 =>
+          // v1 = v0 plus a 2-byte Indexed Storage Internal Node K (+ 2
+          // reserved) between the group ks and the consistency flags —
+          // what 1.6-era libhdf5 writes when istore_k departs the default.
+          // The k itself shapes WRITERS' v1 chunk b-tree splits; reading
+          // is self-describing, so the field is skipped once parsed past.
+          val sb = r.at(0, if (sbVersion == 1) 100 else 96)
           sb.position(9)
           sb.get(); sb.get(); sb.get(); sb.get() // freespace/root-group/reserved/shared versions
           val offSize = sb.get(); val lenSize = sb.get()
@@ -228,6 +234,7 @@ object Hdf5 {
             s"$path: only 8-byte offsets/lengths supported (got $offSize/$lenSize)")
           sb.get() // reserved
           sb.getShort(); sb.getShort() // group leaf/internal k
+          if (sbVersion == 1) { sb.getShort(); sb.getShort() } // istore k + reserved
           sb.getInt() // file consistency flags
           val baseAddr = sb.getLong()
           require(baseAddr == 0, s"$path: nonzero base address $baseAddr unsupported")
@@ -255,7 +262,7 @@ object Hdf5 {
             f"$path: superblock checksum mismatch (stored 0x$stored%08x, computed 0x$computed%08x)")
           oh
         case v => throw new IllegalArgumentException(
-          s"$path: superblock version $v unsupported (subset reads 0, 2, 3)")
+          s"$path: superblock version $v unsupported (subset reads 0, 1, 2, 3)")
       }
       // scratch btree/heap addresses in the v0 superblock are a cache; read
       // the authoritative group shape from the root object header instead —
@@ -2097,10 +2104,16 @@ object Hdf5 {
     * the wide-group shape of real many-variable archives, shrunk to fixture
     * scale. `None` (default) keeps one root direct block sized to fit.
     */
+  /** `sbV1 = true` (classic only) emits a version-1 superblock — v0 plus
+    * the 2-byte Indexed Storage Internal Node K (written at libhdf5's
+    * default 32) + 2 reserved bytes, the 1.6-era shape produced when
+    * `istore_k` departs its default.
+    */
   def write(path: String, datasets: Seq[WDataset], latest: Boolean,
       denseRoot: Boolean, denseAttrs: Boolean, groupInternalK: Int,
       denseNodeSize: Int, denseIdLen: Int,
-      denseHeapGeom: Option[(Long, Long)]): Unit = {
+      denseHeapGeom: Option[(Long, Long)], sbV1: Boolean = false): Unit = {
+    require(!sbV1 || !latest, "superblock v1 is a classic-format shape")
     require(!denseRoot || latest, "dense root groups require the latest format")
     require(!denseAttrs || latest, "dense attribute storage requires the latest format")
     require(groupInternalK >= 1, "groupInternalK must be >= 1")
@@ -2173,9 +2186,11 @@ object Hdf5 {
     def superblock(res: Resolve): Array[Byte] = {
       val b = new LeBuf
       b.raw(Magic)
-      b.u8(0).u8(0).u8(0).u8(0).u8(0) // sb/freespace/rootgroup/reserved/shared versions
+      b.u8(if (sbV1) 1 else 0) // superblock version
+      b.u8(0).u8(0).u8(0).u8(0) // freespace/rootgroup/reserved/shared versions
       b.u8(8).u8(8).u8(0) // offset size, length size, reserved
       b.u16(4).u16(groupInternalK) // group leaf k, internal k
+      if (sbV1) b.u16(32).u16(0) // indexed storage internal k (default) + reserved
       b.u32(0) // consistency flags
       b.u64(0) // base address
       b.u64(-1L) // free space (undefined)
@@ -3534,7 +3549,7 @@ object Hdf5 {
     // pass 1: sizes with zero addresses → offsets; pass 2: real bytes
     // (checksums change between passes, their 4-byte width does not)
     val zero: Resolve = _ => 0L
-    var off = if (latest) 48L else 96L
+    var off = if (latest) 48L else if (sbV1) 100L else 96L
     val offsets = scala.collection.mutable.Map[String, Long]()
     blockNames.foreach { n =>
       offsets(n) = off

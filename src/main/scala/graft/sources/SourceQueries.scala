@@ -406,6 +406,12 @@ object SourceQueries extends QueryModule {
     */
   lazy val nc4MultinodeDir: String = writeNc4Dir(latest = false, bigBtree = true)
 
+  /** The classic grid behind a VERSION-1 superblock (the 1.6-era
+    * indexed-storage-k shape) — byte-identical datasets, shifted by the
+    * 4-byte-longer superblock.
+    */
+  lazy val nc4SbV1Dir: String = writeNc4Dir(latest = false, sbV1 = true)
+
   /** The grid with EXTENSIBLE ARRAY chunk indexes — what libhdf5 emits for
     * a chunked dataset with ONE unlimited dimension (the appendable archive
     * libver='latest' shape): tasmax's 80 chunks spread across the index
@@ -425,11 +431,13 @@ object SourceQueries extends QueryModule {
 
   private def writeNc4Dir(latest: Boolean, dense: Boolean = false,
       denseAttrs: Boolean = false, bigBtree: Boolean = false,
-      eaIndex: Boolean = false, bt2: Boolean = false): String = {
+      eaIndex: Boolean = false, bt2: Boolean = false,
+      sbV1: Boolean = false): String = {
     import GridData.{T => TD, X => XD, Y => YD}
     import Hdf5._
     val dir = java.nio.file.Files.createTempDirectory(
-      if (eaIndex) "graft-nc4ea"
+      if (sbV1) "graft-nc4sb1"
+      else if (eaIndex) "graft-nc4ea"
       else if (bt2) "graft-nc4bt2"
       else if (bigBtree) "graft-nc4mn"
       else if (denseAttrs) "graft-nc4da"
@@ -486,7 +494,9 @@ object SourceQueries extends QueryModule {
           // one unlimited dim → EA is libhdf5's pick; two → the v2 b-tree
           maxDims = if (eaIndex) Some(Seq(-1L, YD.toLong, XD.toLong))
           else if (bt2) Some(Seq(-1L, -1L, XD.toLong)) else None)),
-        latest, dense, denseAttrs)
+        latest, dense, denseAttrs, groupInternalK = 16,
+        denseNodeSize = 4096, denseIdLen = 0, denseHeapGeom = None,
+        sbV1 = sbV1)
     }
     dir
   }
@@ -543,6 +553,19 @@ object SourceQueries extends QueryModule {
       .filter(col("variable") === "tasmax" &&
         col("ts") >= lit("1990-01-03 00:00:00").cast("timestamp") &&
         col("y") <= 12 && col("x").between(5, 20))
+      .select("ts", "y", "x", "lat", "lon", "value")
+      .orderBy("ts", "y", "x")
+
+  /** The same hyperslab read against a VERSION-1 superblock file — the
+    * 1.6-era shape whose extra indexed-storage-k field shifts everything
+    * after it by 4 bytes; a different slab than q_grid_nc4 so the two
+    * cannot share a cached result by accident.
+    */
+  private def qGridNc4SbV1(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", nc4SbV1Dir).load()
+      .filter(col("variable") === "tasmin" &&
+        col("ts") <= lit("1990-01-05 23:59:59").cast("timestamp") &&
+        col("y") >= 3 && col("x") < 18)
       .select("ts", "y", "x", "lat", "lon", "value")
       .orderBy("ts", "y", "x")
 
@@ -753,6 +776,7 @@ object SourceQueries extends QueryModule {
     "q_grid_nc4_dense" -> qGridNc4Dense,
     "q_grid_nc4_deep" -> qGridNc4Deep,
     "q_grid_nc4_multinode" -> qGridNc4Multinode,
+    "q_grid_nc4_sbv1" -> qGridNc4SbV1,
     "q_grid_federated" -> qGridFederated,
     "q_grid_nc_curv" -> qGridNcCurv,
     "q_catalog_attrs" -> qCatalogAttrs,
@@ -849,6 +873,12 @@ object SourceQueries extends QueryModule {
         |WHERE variable = 'tasmax'
         |  AND ts >= TIMESTAMP '1990-01-03 00:00:00'
         |  AND y <= 12 AND x BETWEEN 5 AND 20
+        |ORDER BY ts, y, x""".stripMargin),
+    "q_grid_nc4_sbv1" -> (GridData.oracleCells +
+      """SELECT ts, y, x, lat, lon, value FROM cells
+        |WHERE variable = 'tasmin'
+        |  AND ts <= TIMESTAMP '1990-01-05 23:59:59'
+        |  AND y >= 3 AND x < 18
         |ORDER BY ts, y, x""".stripMargin),
     "q_grid_nc4_latest" -> (GridData.oracleCells +
       """SELECT variable, ts, y, x, lat, lon, value FROM cells

@@ -81,6 +81,28 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("superblock v1 (indexed-storage k field) round-trips; unknown versions stay loud") {
+    val p = tmp("sbv1.h5")
+    val data = cube((t, y, x) => t * 100.0 + y * 10 + x)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(T, Y, X), data, chunkDims = Some(Seq(2, 3, 3)))),
+      latest = false, denseRoot = false, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
+      denseHeapGeom = None, sbV1 = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(bytes(8) == 1, "writer did not emit a v1 superblock")
+    val h = Hdf5.open(p)
+    val temp = h.dataset("temp").get
+    assert(temp.dims == Seq(T, Y, X))
+    assert(Hdf5.readAll(p, temp).toSeq == data.toSeq)
+    // an unknown superblock version must reject loudly, never misparse
+    bytes(8) = 4
+    val p4 = tmp("sbv4.h5")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p4), bytes)
+    val e = intercept[IllegalArgumentException](Hdf5.open(p4))
+    assert(e.getMessage.contains("superblock version 4"))
+  }
+
   test("multi-node v1 chunk b-tree: internal root + sibling leaves read whole and sectioned") {
     // a bigger cube so the chunk count comfortably exceeds the leaf cap:
     // 8×10×12 elements / 2×3×3 chunks = 4×4×4 = 64 chunks; leafK = 7 forces
