@@ -46,6 +46,8 @@ object Bench {
       sources.SourceQueries.nc4LatestDir // latest-format twin (q_grid_nc4_latest)
       sources.SourceQueries.nc4DenseDir // dense-group twin (q_grid_nc4_dense)
       sources.SourceQueries.nc4MultinodeDir // multi-node chunk b-tree twin
+      sources.SourceQueries.nc4FaPagedDir // paged fixed-array twin
+      sources.SourceQueries.nc4EaPagedDir // paged extensible-array twin
       sources.SourceQueries.ncCurvDir // curvilinear .nc fixture
       similarity.Ivf.assignCached(Tables.embeddings(spark, sfDir), sfDir,
         similarity.Similarity.prepareIvfIndex(spark, sfDir))

@@ -1466,8 +1466,17 @@ object Hdf5 {
   /** Enumerate chunks from a Fixed Array index (`FAHD` header + `FADB` data
     * block): entries sit in row-major chunk-grid order; client 0 stores bare
     * addresses (unfiltered), client 1 adds the stored size + filter mask.
-    * Both blocks end in a verified Jenkins-lookup3 checksum. Paged arrays
-    * (more elements than one 2^pageBits data-block page) are out of subset.
+    * Both blocks end in a verified Jenkins-lookup3 checksum. Past one
+    * 2^pageBits page the data block PAGES (spec III.F): its header keeps
+    * only a page bitmap (bit p set = page p initialized; libhdf5's H5VM bit
+    * order, MSB-first within each byte) and a header-only checksum; pages
+    * follow back-to-back, each elements + own checksum. Space for
+    * uninitialized pages is allocated but never written — their element
+    * slots read as unallocated chunks (fill). A bit-order mistake here
+    * cannot misparse silently on partially-initialized real archives: a
+    * page wrongly treated as initialized fails its page checksum
+    * (uninitialized space is not a valid checksummed page), which is the
+    * loud failure the codec prefers over wrong data.
     */
   private def fixedArrayChunks(r: Reader, fa: FixedArrayIndex, cdims: Seq[Int],
       dims: Seq[Long], chunkBytes: Long,
@@ -1495,31 +1504,74 @@ object Hdf5 {
     // instead of this explicit failure
     require(pageBits >= 1 && pageBits < 63 && nelmts >= 0,
       s"$path: implausible fixed-array geometry (pageBits=$pageBits, n=$nelmts)")
-    require(nelmts <= (1L << pageBits),
-      s"$path: paged fixed array unsupported ($nelmts entries > 2^$pageBits page)")
     val grid = chunkGrid(dims, cdims)
     require(grid.product.toLong == nelmts,
       s"$path: fixed array has $nelmts entries, chunk grid needs ${grid.product}")
+    val pageSize = 1L << pageBits
     val dbPrefix = 4 + 1 + 1 + 8
-    val dbLen = dbPrefix + nelmts.toInt * entrySize + 4
-    val db = r.bytes(dbAddr, dbLen)
-    val d = ByteBuffer.wrap(db).order(ByteOrder.LITTLE_ENDIAN)
-    val dsig = new Array[Byte](4); d.get(dsig)
-    require(dsig.sameElements("FADB".getBytes),
-      s"$path: bad fixed-array data block signature")
-    require(d.get() == 0, s"$path: fixed-array data block version unsupported")
-    require((d.get() & 0xFF) == client, s"$path: fixed-array client mismatch")
-    require(d.getLong() == fa.addr, s"$path: fixed-array data block points elsewhere")
-    val dck = ByteBuffer.wrap(db, dbLen - 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-    require(dck == lookup3(java.util.Arrays.copyOf(db, dbLen - 4)),
-      s"$path: fixed-array data block checksum mismatch")
-    (0 until nelmts.toInt).flatMap { i =>
-      val addr = d.getLong()
+
+    /** One element at the buffer's position → Some(addr, storedSize, mask). */
+    def element(b: ByteBuffer): Option[(Long, Long, Int)] = {
+      val addr = b.getLong()
       val (size, mask) =
-        if (client == 1) (uintVar(d, entrySize - 12), d.getInt())
+        if (client == 1) (uintVar(b, entrySize - 12), b.getInt())
         else (chunkBytes, 0)
-      if (addr == Undef) None // unallocated chunk: fill
-      else Some((chunkOrigin(i, grid, cdims), addr, size, mask))
+      if (addr == Undef) None else Some((addr, size, mask)) // Undef: fill
+    }
+    def checkDbHeader(b: ByteBuffer): Unit = {
+      val dsig = new Array[Byte](4); b.get(dsig)
+      require(dsig.sameElements("FADB".getBytes),
+        s"$path: bad fixed-array data block signature")
+      require(b.get() == 0, s"$path: fixed-array data block version unsupported")
+      require((b.get() & 0xFF) == client, s"$path: fixed-array client mismatch")
+      require(b.getLong() == fa.addr, s"$path: fixed-array data block points elsewhere")
+    }
+
+    if (nelmts <= pageSize) {
+      val dbLen = dbPrefix + nelmts.toInt * entrySize + 4
+      val db = r.bytes(dbAddr, dbLen)
+      val d = ByteBuffer.wrap(db).order(ByteOrder.LITTLE_ENDIAN)
+      checkDbHeader(d)
+      val dck = ByteBuffer.wrap(db, dbLen - 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(dck == lookup3(java.util.Arrays.copyOf(db, dbLen - 4)),
+        s"$path: fixed-array data block checksum mismatch")
+      (0 until nelmts.toInt).flatMap { i =>
+        element(d).map { case (addr, size, mask) =>
+          (chunkOrigin(i, grid, cdims), addr, size, mask)
+        }
+      }
+    } else {
+      // paged: header = prefix + page bitmap + checksum over both; pages
+      // (elements + own checksum) follow immediately after
+      val npages = ((nelmts + pageSize - 1) / pageSize).toInt
+      val bmBytes = (npages + 7) / 8
+      val hdrLen2 = dbPrefix + bmBytes
+      val hb = r.bytes(dbAddr, hdrLen2 + 4)
+      val d = ByteBuffer.wrap(hb).order(ByteOrder.LITTLE_ENDIAN)
+      checkDbHeader(d)
+      val bitmap = new Array[Byte](bmBytes); d.get(bitmap)
+      require(d.getInt() == lookup3(java.util.Arrays.copyOf(hb, hdrLen2)),
+        s"$path: paged fixed-array data block header checksum mismatch")
+      def pageInit(p: Int): Boolean =
+        (bitmap(p / 8) & (1 << (7 - p % 8))) != 0
+      var pageAt = dbAddr + hdrLen2 + 4
+      (0 until npages).flatMap { p =>
+        val pe = math.min(pageSize, nelmts - p * pageSize).toInt
+        val pLen = pe * entrySize + 4
+        val at = pageAt; pageAt += pLen
+        if (!pageInit(p)) Nil // uninitialized page: every slot is fill
+        else {
+          val pRaw = r.bytes(at, pLen)
+          val pb = ByteBuffer.wrap(pRaw).order(ByteOrder.LITTLE_ENDIAN)
+          require(pb.getInt(pLen - 4) == lookup3(java.util.Arrays.copyOf(pRaw, pLen - 4)),
+            s"$path: fixed-array data block page $p checksum mismatch")
+          (0 until pe).flatMap { j =>
+            element(pb).map { case (addr, size, mask) =>
+              (chunkOrigin((p * pageSize + j).toInt, grid, cdims), addr, size, mask)
+            }
+          }
+        }
+      }
     }
   }
 
@@ -1590,8 +1642,14 @@ object Hdf5 {
     * block (first elements inline + direct data-block pointers + super-block
     * pointers), `EASB` super blocks, `EADB` data blocks — every block
     * signature- and Jenkins-lookup3-checksum-verified. Unset element slots
-    * and never-created blocks are undefined addresses → fill. Paged data
-    * blocks (more elements than one `2^pageBits` page) fail loudly.
+    * and never-created blocks are undefined addresses → fill. Data blocks
+    * past one `2^pageBits` page PAGE: their header checksum covers only the
+    * prefix, element pages follow each with its own checksum, and the
+    * page-init bitmap lives in the parent super block (dblock-major bit
+    * order, MSB-first within each byte). Paged data blocks in the
+    * index-block DIRECT region (no parent super block to carry the bitmap)
+    * fail loudly — libhdf5's default creation parameters keep the early
+    * blocks under one page.
     */
   private def extensibleArrayChunks(r: Reader, ea: ExtensibleArrayIndex,
       cdims: Seq[Int], dims: Seq[Long], chunkBytes: Long, filtered: Boolean,
@@ -1669,17 +1727,27 @@ object Hdf5 {
     val directDblk = (0 until geo.ndblkAddrs).map(_ => ib.getLong())
     val sblkAddr = (0 until geo.nsblkAddrs).map(_ => ib.getLong())
 
-    /** Data-block pointers of super block `u ≥ nsblksDirect` (cached). */
-    val sblkCache = scala.collection.mutable.Map.empty[Int, IndexedSeq[Long]]
-    def sblkDblks(u: Int): IndexedSeq[Long] = sblkCache.getOrElseUpdate(u, {
+    val pageSize = 1L << pageBits
+    /** Pages per data block of super block `u`, 0 when its blocks do not
+      * page (spec III.E: a data block pages past one 2^pageBits page; the
+      * page-init bitmap then lives in the PARENT super block, covering its
+      * data blocks' pages in dblock-major order).
+      */
+    def npgOf(ne: Long): Int = if (ne > pageSize) (ne / pageSize).toInt else 0
+
+    /** Data-block pointers + page-init bitmap of super block
+      * `u ≥ nsblksDirect` (cached). The bitmap is empty when the super
+      * block's data blocks are unpaged.
+      */
+    val sblkCache = scala.collection.mutable.Map.empty[Int, (IndexedSeq[Long], Array[Byte])]
+    def sblkInfo(u: Int): (IndexedSeq[Long], Array[Byte]) = sblkCache.getOrElseUpdate(u, {
       val (nd, ne, start, _) = geo.sblks(u)
-      require(ne <= (1L << pageBits),
-        s"$path: paged extensible-array data blocks unsupported " +
-          s"($ne elements > 2^$pageBits page) in super block $u")
+      val npg = npgOf(ne)
+      val bmBytes = (nd * npg + 7) / 8
       val addr = sblkAddr(u - geo.nsblksDirect)
-      if (addr == Undef) IndexedSeq.fill(nd)(Undef)
+      if (addr == Undef) (IndexedSeq.fill(nd)(Undef), new Array[Byte](bmBytes))
       else {
-        val len = 14 + geo.arrOffSize + nd * 8 + 4
+        val len = 14 + geo.arrOffSize + bmBytes + nd * 8 + 4
         val sRaw = r.bytes(addr, len)
         val sb = ByteBuffer.wrap(sRaw).order(ByteOrder.LITTLE_ENDIAN)
         val sSig = new Array[Byte](4); sb.get(sSig)
@@ -1691,20 +1759,19 @@ object Hdf5 {
         val off = uintVar(sb, geo.arrOffSize)
         require(off == idxElmts + start,
           s"$path: extensible-array super block $u at offset $off, expected ${idxElmts + start}")
+        val bitmap = new Array[Byte](bmBytes); sb.get(bitmap)
         require(sb.getInt(len - 4) == lookup3(java.util.Arrays.copyOf(sRaw, len - 4)),
           s"$path: extensible-array super block checksum mismatch")
-        (0 until nd).map(_ => sb.getLong())
+        ((0 until nd).map(_ => sb.getLong()), bitmap)
       }
     })
 
-    /** Elements of the data block at `addr` holding `ne` elements whose
-      * first element has array index `off` (cached per address).
+    /** Elements of an UNPAGED data block at `addr` holding `ne` elements
+      * whose first element has array index `off` (cached per address).
       */
     val dblkCache = scala.collection.mutable.Map.empty[Long, IndexedSeq[Option[(Long, Long, Int)]]]
     def dblkElements(addr: Long, ne: Long, off: Long): IndexedSeq[Option[(Long, Long, Int)]] =
       dblkCache.getOrElseUpdate(addr, {
-        require(ne <= (1L << pageBits),
-          s"$path: paged extensible-array data block unsupported ($ne elements > 2^$pageBits page)")
         val len = 14 + geo.arrOffSize + ne.toInt * elmtSize + 4
         val dRaw = r.bytes(addr, len)
         val db = ByteBuffer.wrap(dRaw).order(ByteOrder.LITTLE_ENDIAN)
@@ -1722,17 +1789,77 @@ object Hdf5 {
         (0 until ne.toInt).map(_ => element(db))
       })
 
+    /** Header check of a PAGED data block at `addr` (cached): the block
+      * keeps sig/version/client/header-address/block-offset + a checksum
+      * over just that prefix; element pages follow, each with its own
+      * checksum. Page-init state lives in the parent super block's bitmap.
+      */
+    val pagedHdrSeen = scala.collection.mutable.Set.empty[Long]
+    def checkPagedDblkHeader(addr: Long, off: Long): Unit =
+      if (!pagedHdrSeen.contains(addr)) {
+        val prefix = 14 + geo.arrOffSize
+        val dRaw = r.bytes(addr, prefix + 4)
+        val db = ByteBuffer.wrap(dRaw).order(ByteOrder.LITTLE_ENDIAN)
+        val dSig = new Array[Byte](4); db.get(dSig)
+        require(dSig.sameElements("EADB".getBytes),
+          s"$path: bad extensible-array data block signature")
+        require(db.get() == 0, s"$path: extensible-array data block version unsupported")
+        require((db.get() & 0xFF) == client, s"$path: extensible-array data block client mismatch")
+        require(db.getLong() == ea.addr, s"$path: extensible-array data block points elsewhere")
+        val stored = uintVar(db, geo.arrOffSize)
+        require(stored == off,
+          s"$path: extensible-array data block at offset $stored, expected $off")
+        require(db.getInt() == lookup3(java.util.Arrays.copyOf(dRaw, prefix)),
+          s"$path: paged extensible-array data block header checksum mismatch")
+        pagedHdrSeen += addr
+      }
+
+    /** Elements of page `p` of the paged data block at `addr` (cached). */
+    val pageCache = scala.collection.mutable.Map.empty[(Long, Int), IndexedSeq[Option[(Long, Long, Int)]]]
+    def pageElements(addr: Long, p: Int): IndexedSeq[Option[(Long, Long, Int)]] =
+      pageCache.getOrElseUpdate((addr, p), {
+        val pLen = pageSize.toInt * elmtSize + 4
+        val at = addr + 14 + geo.arrOffSize + 4 + p.toLong * pLen
+        val pRaw = r.bytes(at, pLen)
+        val pb = ByteBuffer.wrap(pRaw).order(ByteOrder.LITTLE_ENDIAN)
+        require(pb.getInt(pLen - 4) == lookup3(java.util.Arrays.copyOf(pRaw, pLen - 4)),
+          s"$path: extensible-array data block page $p checksum mismatch")
+        (0 until pageSize.toInt).map(_ => element(pb))
+      })
+
     (0L until nchunks).flatMap { i =>
       val e =
         if (i < idxElmts) inline(i.toInt)
         else {
           val (u, dblkIdx, within) = geo.locate(i)
           val (_, ne, start, startDblk) = geo.sblks(u)
-          val addr =
-            if (u < geo.nsblksDirect) directDblk((startDblk + dblkIdx).toInt)
-            else sblkDblks(u)(dblkIdx)
-          if (addr == Undef) None
-          else dblkElements(addr, ne, idxElmts + start + dblkIdx * ne)(within.toInt)
+          if (u < geo.nsblksDirect) {
+            require(ne <= pageSize,
+              s"$path: paged extensible-array data block unsupported in the " +
+                s"index-block direct region ($ne elements > 2^$pageBits page, super block $u)")
+            val addr = directDblk((startDblk + dblkIdx).toInt)
+            if (addr == Undef) None
+            else dblkElements(addr, ne, idxElmts + start + dblkIdx * ne)(within.toInt)
+          } else {
+            val (addrs, bitmap) = sblkInfo(u)
+            val addr = addrs(dblkIdx)
+            if (addr == Undef) None
+            else if (ne <= pageSize)
+              dblkElements(addr, ne, idxElmts + start + dblkIdx * ne)(within.toInt)
+            else {
+              val npg = npgOf(ne)
+              val p = (within / pageSize).toInt
+              val bit = dblkIdx * npg + p
+              // bitmap unset: page never initialized → every slot is fill.
+              // As with the fixed array, a bit-order mistake loud-fails on
+              // the page checksum rather than misparsing.
+              if ((bitmap(bit / 8) & (1 << (7 - bit % 8))) == 0) None
+              else {
+                checkPagedDblkHeader(addr, idxElmts + start + dblkIdx * ne)
+                pageElements(addr, p)((within % pageSize).toInt)
+              }
+            }
+          }
         }
       e.map { case (addr, size, mask) =>
         (chunkOrigin(i.toInt, grid, cdims), addr, size, mask)
@@ -1953,7 +2080,18 @@ object Hdf5 {
       btreeInternalK: Option[Int] = None,
       eaIndex: Boolean = false,
       bt2NodeSize: Option[Int] = None,
-      maxDims: Option[Seq[Long]] = None)
+      maxDims: Option[Seq[Long]] = None,
+      /** Fixed-array data-block page bits (default 10, libhdf5's): lower it
+        * so a fixture-sized chunk count exceeds one page and the FADB pages.
+        */
+      faPageBits: Option[Int] = None,
+      /** Extensible-array data-block page bits override, same purpose. */
+      eaPageBits: Option[Int] = None,
+      /** Chunk-grid slots to leave UNALLOCATED (fill): exercises undefined
+        * element addresses and — when a whole page's slots are sparse —
+        * uninitialized data-block pages. FA/EA indexes only.
+        */
+      sparseChunks: Set[Int] = Set.empty)
 
   private final class LeBuf {
     private val bo = new java.io.ByteArrayOutputStream()
@@ -3184,8 +3322,10 @@ object Hdf5 {
         denseNodeSize, denseHeapGeom))
       .toMap
 
-    // fixtures stay far below 2^10 chunks, so data blocks never page
+    // libhdf5's default page bits; fixtures stay below 2^10 chunks, so data
+    // blocks only page when a dataset lowers the knob deliberately
     val fixedArrayPageBits = 10
+    def faPb(d: WDataset): Int = d.faPageBits.getOrElse(fixedArrayPageBits)
 
     // Extensible-array creation parameters for fixtures: libhdf5's dataset
     // defaults except data-block min elements 4 (default 16) and super-block
@@ -3195,6 +3335,10 @@ object Hdf5 {
     // ORDER byte-testable (the two spec sections order them oppositely).
     val eaParams = EaGeometry(maxBits = 32, idxElmts = 4, minPtrs = 2,
       minElmts = 4, pageBits = 10)
+    // pageBits shapes only the on-disk (un)paging of data blocks, never the
+    // block geometry (EaGeometry's formulas don't consult it), so the
+    // per-dataset override touches serialization sites only
+    def eaPb(d: WDataset): Int = d.eaPageBits.getOrElse(eaParams.pageBits)
 
     def datasetOhV2(d: WDataset, res: Resolve): Array[Byte] = {
       val msgs = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
@@ -3233,14 +3377,14 @@ object Hdf5 {
               // cross-checks the two
               l.u8(4)
               l.u8(eaParams.maxBits).u8(eaParams.idxElmts).u8(eaParams.minPtrs)
-              l.u8(eaParams.minElmts).u8(eaParams.pageBits)
+              l.u8(eaParams.minElmts).u8(eaPb(d))
               l.u64(res(s"eahd:${d.name}"))
             } else if (d.bt2NodeSize.isDefined) {
               l.u8(5) // v2 B-tree index: node size + split/merge percents
               l.u32(d.bt2NodeSize.get).u8(100).u8(40)
               l.u64(res(s"bt2:${d.name}:bthd"))
             } else {
-              l.u8(3).u8(fixedArrayPageBits) // Fixed Array index
+              l.u8(3).u8(faPb(d)) // Fixed Array index
               l.u64(res(s"fahd:${d.name}"))
             }
         }
@@ -3290,7 +3434,7 @@ object Hdf5 {
     def chunkElement(b: LeBuf, d: WDataset, i: Long, res: Resolve): Unit = {
       val cs = chunksOf(d)
       val csl = chunkSizeLen(rawChunkBytes(d))
-      if (i < cs.length) {
+      if (i < cs.length && !d.sparseChunks(i.toInt)) {
         b.u64(res(s"chunk:${d.name}:$i"))
         if (d.filters.nonEmpty) { b.uvar(cs(i.toInt)._2.length, csl); b.u32(0) }
       } else {
@@ -3303,7 +3447,7 @@ object Hdf5 {
       val client = if (d.filters.nonEmpty) 1 else 0
       val b = new LeBuf
       b.raw("FAHD".getBytes).u8(0).u8(client)
-      b.u8(chunkElmtSize(d)).u8(fixedArrayPageBits)
+      b.u8(chunkElmtSize(d)).u8(faPb(d))
       b.u64(chunksOf(d).length)
       b.u64(res(s"fadb:${d.name}"))
       u32ck(b)
@@ -3314,8 +3458,35 @@ object Hdf5 {
       val b = new LeBuf
       b.raw("FADB".getBytes).u8(0).u8(client)
       b.u64(res(s"fahd:${d.name}"))
-      chunksOf(d).indices.foreach(i => chunkElement(b, d, i, res))
-      u32ck(b)
+      val n = chunksOf(d).length
+      val pageSize = 1 << faPb(d)
+      if (n <= pageSize) {
+        (0 until n).foreach(i => chunkElement(b, d, i.toLong, res))
+        u32ck(b)
+      } else {
+        // paged: header keeps only the page-init bitmap (MSB-first per byte,
+        // H5VM order) and a header-only checksum; pages follow, each
+        // elements + own checksum, uninitialized pages zero-filled space
+        val npages = (n + pageSize - 1) / pageSize
+        def pageInit(p: Int): Boolean =
+          (p * pageSize until math.min(n, (p + 1) * pageSize))
+            .exists(i => !d.sparseChunks(i))
+        val bm = new Array[Byte]((npages + 7) / 8)
+        (0 until npages).foreach { p =>
+          if (pageInit(p)) bm(p / 8) = (bm(p / 8) | (1 << (7 - p % 8))).toByte
+        }
+        b.raw(bm)
+        u32ck(b)
+        (0 until npages).foreach { p =>
+          val pe = math.min(pageSize, n - p * pageSize)
+          if (pageInit(p)) {
+            val pb = new LeBuf
+            (0 until pe).foreach(j => chunkElement(pb, d, (p * pageSize + j).toLong, res))
+            b.raw(u32ck(pb))
+          } else b.raw(new Array[Byte](pe * chunkElmtSize(d) + 4))
+        }
+        b.bytes
+      }
     }
 
     /** Which super blocks (beyond the direct pointers) and which GLOBAL
@@ -3324,6 +3495,7 @@ object Hdf5 {
     def eaUsed(d: WDataset): (Seq[Int], Seq[Long]) = {
       val n = chunksOf(d).length.toLong
       val pairs = (eaParams.idxElmts.toLong until n)
+        .filterNot(i => d.sparseChunks(i.toInt)) // all-sparse blocks: never created
         .map(i => { val (u, di, _) = eaParams.locate(i); (u, di) }).distinct
       val sblksUsed = pairs.map(_._1).filter(_ >= eaParams.nsblksDirect).distinct.sorted
       val dblksUsed = pairs.map { case (u, di) => eaParams.sblks(u)._4 + di }.sorted
@@ -3344,7 +3516,11 @@ object Hdf5 {
       }.sum
       val dblkBytes = dblksUsed.map { g =>
         val (u, _) = eaDblkHome(g)
-        14 + eaParams.arrOffSize + eaParams.sblks(u)._2 * chunkElmtSize(d) + 4
+        val ne = eaParams.sblks(u)._2
+        val pageSize = 1L << eaPb(d)
+        if (ne <= pageSize) 14 + eaParams.arrOffSize + ne * chunkElmtSize(d) + 4
+        else 14 + eaParams.arrOffSize + 4 + // header-only checksum when paged
+          (ne / pageSize) * (pageSize * chunkElmtSize(d) + 4)
       }.sum
       val b = new LeBuf
       b.raw("EAHD".getBytes).u8(0).u8(client)
@@ -3352,7 +3528,7 @@ object Hdf5 {
       // index elements, min ELEMENTS, min POINTERS, page bits — note the
       // minElmts/minPtrs order is the REVERSE of the layout message's
       b.u8(chunkElmtSize(d)).u8(eaParams.maxBits).u8(eaParams.idxElmts)
-      b.u8(eaParams.minElmts).u8(eaParams.minPtrs).u8(eaParams.pageBits)
+      b.u8(eaParams.minElmts).u8(eaParams.minPtrs).u8(eaPb(d))
       b.u64(sblksUsed.length) // statistics: super blocks created
       b.u64(sblkBytes)
       b.u64(dblksUsed.length)
@@ -3383,15 +3559,38 @@ object Hdf5 {
       u32ck(b)
     }
 
+    /** Is any chunk in element range [from, until) allocated? (EA array
+      * index = chunk-grid index, inline elements included.)
+      */
+    def eaRangeLive(d: WDataset, from: Long, until: Long): Boolean = {
+      val n = chunksOf(d).length.toLong
+      (from until math.min(n, until)).exists(i => !d.sparseChunks(i.toInt))
+    }
+
     def easbBlock(d: WDataset, u: Int, res: Resolve): Array[Byte] = {
       val client = if (d.filters.nonEmpty) 1 else 0
-      val (nd, _, start, startDblk) = eaParams.sblks(u)
+      val (nd, ne, start, startDblk) = eaParams.sblks(u)
       val (_, dblksUsed) = eaUsed(d)
       val used = dblksUsed.toSet
       val b = new LeBuf
       b.raw("EASB".getBytes).u8(0).u8(client)
       b.u64(res(s"eahd:${d.name}"))
       b.uvar(eaParams.idxElmts + start, eaParams.arrOffSize)
+      val pageSize = 1L << eaPb(d)
+      if (ne > pageSize) {
+        // this super block's data blocks page: the page-init bitmap lives
+        // HERE (dblock-major, MSB-first per byte), before the addresses
+        val npg = (ne / pageSize).toInt
+        val bm = new Array[Byte]((nd * npg + 7) / 8)
+        for (j <- 0 until nd; p <- 0 until npg) {
+          val base = eaParams.idxElmts + start + j * ne + p * pageSize
+          if (used(startDblk + j) && eaRangeLive(d, base, base + pageSize)) {
+            val bit = j * npg + p
+            bm(bit / 8) = (bm(bit / 8) | (1 << (7 - bit % 8))).toByte
+          }
+        }
+        b.raw(bm)
+      }
       (0 until nd).foreach { j =>
         val g = startDblk + j
         b.u64(if (used(g)) res(s"eadb:${d.name}:$g") else -1L)
@@ -3408,8 +3607,27 @@ object Hdf5 {
       b.raw("EADB".getBytes).u8(0).u8(client)
       b.u64(res(s"eahd:${d.name}"))
       b.uvar(base, eaParams.arrOffSize)
-      (0L until ne).foreach(j => chunkElement(b, d, base + j, res))
-      u32ck(b)
+      val pageSize = 1L << eaPb(d)
+      if (ne <= pageSize) {
+        (0L until ne).foreach(j => chunkElement(b, d, base + j, res))
+        u32ck(b)
+      } else {
+        require(u >= eaParams.nsblksDirect,
+          s"writer: paged data block in the index-block direct region (super block $u)")
+        // paged: header-only checksum; element pages follow, each with its
+        // own checksum, uninitialized pages zero-filled space
+        u32ck(b)
+        val npg = (ne / pageSize).toInt
+        (0 until npg).foreach { p =>
+          val pBase = base + p * pageSize
+          if (eaRangeLive(d, pBase, pBase + pageSize)) {
+            val pb = new LeBuf
+            (0L until pageSize).foreach(j => chunkElement(pb, d, pBase + j, res))
+            b.raw(u32ck(pb))
+          } else b.raw(new Array[Byte](pageSize.toInt * chunkElmtSize(d) + 4))
+        }
+        b.bytes
+      }
     }
 
     /** v2-b-tree CHUNK indexes: the generic tree writer over records in
@@ -3449,8 +3667,15 @@ object Hdf5 {
             d.chunkDims match {
               case None => Seq(s"data:${d.name}")
               case Some(_) =>
-                val cs = chunksOf(d).indices.map(i => s"chunk:${d.name}:$i")
-                if (cs.length == 1 || d.implicitIndex) cs
+                if (d.sparseChunks.nonEmpty)
+                  require(!d.implicitIndex && d.bt2NodeSize.isEmpty &&
+                    chunksOf(d).length > 1,
+                    s"${d.name}: sparseChunks supported only for FA/EA chunk indexes")
+                // sparse slots keep their grid position (Undef elements) but
+                // have no payload block to emit
+                val cs = chunksOf(d).indices.filterNot(d.sparseChunks)
+                  .map(i => s"chunk:${d.name}:$i")
+                if (chunksOf(d).length == 1 || d.implicitIndex) cs
                 else if (d.eaIndex) {
                   val (sblksUsed, dblksUsed) = eaUsed(d)
                   Seq(s"eahd:${d.name}", s"eaib:${d.name}") ++
@@ -3469,6 +3694,8 @@ object Hdf5 {
           datasets.map(d => s"oh:${d.name}") ++
           (if (gcolEntries.nonEmpty) Seq("gcol") else Nil) ++
           datasets.flatMap { d =>
+            require(d.sparseChunks.isEmpty,
+              s"${d.name}: sparseChunks supported only for FA/EA chunk indexes")
             if (d.chunkDims.isDefined) {
               val counts = chunkTreeLevels(d)
               val leaves =

@@ -429,16 +429,34 @@ object SourceQueries extends QueryModule {
     */
   lazy val nc4Bt2Dir: String = writeNc4Dir(latest = true, bt2 = true)
 
+  /** And with PAGED fixed-array data blocks — what a >2^10-chunk archive's
+    * chunk directory looks like at libhdf5's default page size, forced at
+    * fixture scale by lowering the page-bits knob: tasmax's 80 filtered
+    * chunks land in a 5-page FADB, tasmin's 8 unfiltered in 2 pages, each
+    * page individually checksummed behind the header's page-init bitmap.
+    */
+  lazy val nc4FaPagedDir: String = writeNc4Dir(latest = true, faPaged = true)
+
+  /** And with PAGED extensible-array data blocks — the appended-archive
+    * directory past ~1k chunks: super blocks 3/4 hold two-page data blocks
+    * whose page-init bitmap lives in the parent EASB.
+    */
+  lazy val nc4EaPagedDir: String =
+    writeNc4Dir(latest = true, eaIndex = true, eaPaged = true)
+
   private def writeNc4Dir(latest: Boolean, dense: Boolean = false,
       denseAttrs: Boolean = false, bigBtree: Boolean = false,
       eaIndex: Boolean = false, bt2: Boolean = false,
-      sbV1: Boolean = false): String = {
+      sbV1: Boolean = false, faPaged: Boolean = false,
+      eaPaged: Boolean = false): String = {
     import GridData.{T => TD, X => XD, Y => YD}
     import Hdf5._
     val dir = java.nio.file.Files.createTempDirectory(
       if (sbV1) "graft-nc4sb1"
+      else if (eaPaged) "graft-nc4eap"
       else if (eaIndex) "graft-nc4ea"
       else if (bt2) "graft-nc4bt2"
+      else if (faPaged) "graft-nc4fap"
       else if (bigBtree) "graft-nc4mn"
       else if (denseAttrs) "graft-nc4da"
       else if (dense) "graft-nc4d" else if (latest) "graft-nc4l" else "graft-nc4")
@@ -454,9 +472,9 @@ object SourceQueries extends QueryModule {
       // the non-chunked twin exercises contiguous v3 in the default file and
       // a filtered Single Chunk index in the latest one
       val (chunks, filters) =
-        if ((bigBtree || eaIndex || bt2) && vid == 0) // 4×5×4 = 80 chunks
+        if ((bigBtree || eaIndex || bt2 || faPaged) && vid == 0) // 4×5×4 = 80 chunks
           (Some(Seq(2, 4, 8)), Seq(Shuffle(F32.size), Deflate(4)))
-        else if ((eaIndex || bt2) && vid == 1) // 2×2×2 = 8 unfiltered chunks
+        else if ((eaIndex || bt2 || faPaged) && vid == 1) // 2×2×2 = 8 unfiltered chunks
           (Some(Seq(4, 10, 16)), Nil)
         else if (vid == 0) (Some(Seq(3, 8, 16)), Seq(Shuffle(F32.size), Deflate(4)))
         else if (latest) (Some(Seq(TD, YD, XD)), Seq(Fletcher32))
@@ -490,6 +508,10 @@ object SourceQueries extends QueryModule {
           filters = filters,
           btreeLeafK = leafK,
           eaIndex = eaIndex,
+          // paged directories: 80 chunks at 2^4/page → 5 FADB pages;
+          // 8 chunks at 2^2/page → 2. EA at 2^3/page pages super blocks 3/4.
+          faPageBits = if (faPaged) Some(if (vid == 0) 4 else 2) else None,
+          eaPageBits = if (eaPaged && vid == 0) Some(3) else None,
           bt2NodeSize = if (bt2) Some(if (vid == 0) 256 else 512) else None,
           // one unlimited dim → EA is libhdf5's pick; two → the v2 b-tree
           maxDims = if (eaIndex) Some(Seq(-1L, YD.toLong, XD.toLong))
@@ -607,6 +629,33 @@ object SourceQueries extends QueryModule {
     s.read.format(classOf[GridSource].getName).option("path", nc4EaDir).load()
       .filter(col("ts") >= lit("1990-01-03 00:00:00").cast("timestamp") &&
         col("y").between(5, 15) && col("x") >= 10)
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x")
+
+  /** The hyperslab read served through PAGED fixed-array chunk directories:
+    * tasmax's 80 filtered elements split over 5 individually-checksummed
+    * FADB pages behind the header's page-init bitmap, tasmin's 8 unfiltered
+    * over 2 — the directory shape any >2^10-chunk fixed-dims archive has at
+    * libhdf5's default page size, forced at fixture scale by the page-bits
+    * knob. Same slab as q_grid_nc4_latest's sibling reads; what changes is
+    * that every chunk lookup resolves through a paged directory.
+    */
+  private def qGridNc4FaPaged(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", nc4FaPagedDir).load()
+      .filter(col("ts") >= lit("1990-01-04 00:00:00").cast("timestamp") &&
+        col("y") < 14 && col("x").between(6, 22))
+      .select("variable", "ts", "y", "x", "lat", "lon", "value")
+      .orderBy("variable", "ts", "y", "x")
+
+  /** The hyperslab read served through PAGED extensible-array data blocks —
+    * the appended-archive directory past ~1k chunks: tasmax's chunks in
+    * super blocks 3/4 resolve through two-page EADBs whose page-init
+    * bitmap lives in the parent EASB, each page checksummed on its own.
+    */
+  private def qGridNc4EaPaged(s: SparkSession, d: String): DataFrame =
+    s.read.format(classOf[GridSource].getName).option("path", nc4EaPagedDir).load()
+      .filter(col("ts") <= lit("1990-01-05 23:59:59").cast("timestamp") &&
+        col("y") >= 6 && col("x") < 24)
       .select("variable", "ts", "y", "x", "lat", "lon", "value")
       .orderBy("variable", "ts", "y", "x")
 
@@ -772,6 +821,8 @@ object SourceQueries extends QueryModule {
     "q_grid_nc4" -> qGridNc4,
     "q_grid_nc4_latest" -> qGridNc4Latest,
     "q_grid_nc4_ea" -> qGridNc4Ea,
+    "q_grid_nc4_eap" -> qGridNc4EaPaged,
+    "q_grid_nc4_fap" -> qGridNc4FaPaged,
     "q_grid_nc4_bt2" -> qGridNc4Bt2,
     "q_grid_nc4_dense" -> qGridNc4Dense,
     "q_grid_nc4_deep" -> qGridNc4Deep,
@@ -889,6 +940,16 @@ object SourceQueries extends QueryModule {
       """SELECT variable, ts, y, x, lat, lon, value FROM cells
         |WHERE ts >= TIMESTAMP '1990-01-03 00:00:00'
         |  AND y BETWEEN 5 AND 15 AND x >= 10
+        |ORDER BY variable, ts, y, x""".stripMargin),
+    "q_grid_nc4_eap" -> (GridData.oracleCells +
+      """SELECT variable, ts, y, x, lat, lon, value FROM cells
+        |WHERE ts <= TIMESTAMP '1990-01-05 23:59:59'
+        |  AND y >= 6 AND x < 24
+        |ORDER BY variable, ts, y, x""".stripMargin),
+    "q_grid_nc4_fap" -> (GridData.oracleCells +
+      """SELECT variable, ts, y, x, lat, lon, value FROM cells
+        |WHERE ts >= TIMESTAMP '1990-01-04 00:00:00'
+        |  AND y < 14 AND x BETWEEN 6 AND 22
         |ORDER BY variable, ts, y, x""".stripMargin),
     "q_grid_nc4_bt2" -> (GridData.oracleCells +
       """SELECT variable, ts, y, x, lat, lon, value FROM cells

@@ -182,7 +182,21 @@ class CodecFuzzSpec extends AnyFunSuite {
       latest = true, denseRoot = true, denseAttrs = false,
       groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
       denseHeapGeom = Some((64L, 128L)))
-    for (p <- Seq(pClassic, pDense, pDeep, pHeap)) {
+    // paged chunk directories: a 3-page fixed array and an extensible array
+    // whose super-block 3/4 data blocks page (bitmap in the EASB) — every
+    // cut must hit a signature/checksum require, never a silent fill
+    val pFaPaged = tmp("fuzz-fapaged.h5")
+    Hdf5.write(pFaPaged, Seq(
+      WDataset("temp", F32, Seq(80, 4, 5), Array.tabulate(80 * 4 * 5)(_.toDouble),
+        chunkDims = Some(Seq(2, 4, 5)), faPageBits = Some(4),
+        sparseChunks = (16 until 32).toSet)), latest = true)
+    val pEaPaged = tmp("fuzz-eapaged.h5")
+    Hdf5.write(pEaPaged, Seq(
+      WDataset("temp", F32, Seq(160, 4, 5), Array.tabulate(160 * 4 * 5)(_.toDouble),
+        chunkDims = Some(Seq(2, 4, 5)), eaIndex = true, eaPageBits = Some(3),
+        sparseChunks = (72 until 80).toSet,
+        maxDims = Some(Seq(-1L, 4L, 5L)))), latest = true)
+    for (p <- Seq(pClassic, pDense, pDeep, pHeap, pFaPaged, pEaPaged)) {
       def fullRead(path: String): Vector[(String, Vector[Double], Int)] = {
         val h = Hdf5.open(path)
         h.datasets.toVector.map(ds =>

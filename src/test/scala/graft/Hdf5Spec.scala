@@ -876,4 +876,166 @@ class Hdf5Spec extends AnyFunSuite {
       } finally rdr.close()
     }
   }
+
+  // Paged fixed array: 40 chunks at page bits 4 (16 elements/page) → a
+  // 3-page FADB (16, 16, 8 elements) — the shape real >2^10-chunk archives
+  // take at libhdf5's default page size. Filtered twin widens the element
+  // past the bare address.
+  for (filtered <- Seq(false, true))
+  test(s"paged fixed array: multi-page data block round-trips (filtered=$filtered)") {
+    val p = tmp("fa-paged.h5")
+    val td = 80
+    val data = Array.tabulate(td * Y * X)(i => ((i * 37) % 91).toDouble - 13)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(td, Y, X), data,
+        chunkDims = Some(Seq(2, Y, X)), faPageBits = Some(4),
+        filters = if (filtered) Seq(Shuffle(4), Deflate(5)) else Nil)),
+      latest = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val at = bytes.indexOfSlice("FADB".getBytes)
+    assert(at > 0)
+    // bitmap (1 byte for 3 pages) sits right after the 14-byte prefix;
+    // all three pages initialized, MSB-first bit order → 0b1110_0000
+    assert((bytes(at + 14) & 0xFF) == 0xE0,
+      "page bitmap: 3 initialized pages, MSB-first")
+    val h = Hdf5.open(p)
+    val temp = h.dataset("temp").get
+    assert(Hdf5.readAll(p, temp).toSeq == data.toSeq)
+    val rdr = new Hdf5.SectionReader(p, temp)
+    try {
+      for (t <- Seq(0, 31, td - 1); y <- 0 until Y)
+        assert(rdr.readRow(t, y, 1, X - 1).toSeq ==
+          (1 until X).map(x => data((t * Y + y) * X + x)), s"t=$t y=$y")
+    } finally rdr.close()
+  }
+
+  test("paged fixed array: a fully-sparse page is uninitialized; sparse slots read as fill") {
+    val p = tmp("fa-paged-sparse.h5")
+    val td = 80 // 40 chunks of (2,Y,X); page bits 4 → pages {0..15},{16..31},{32..39}
+    val sparse = (16 until 32).toSet + 3 // page 1 entirely + one slot of page 0
+    val data = Array.tabulate(td * Y * X)(i => ((i * 41) % 87).toDouble - 11)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(td, Y, X), data,
+        chunkDims = Some(Seq(2, Y, X)), faPageBits = Some(4),
+        sparseChunks = sparse)), latest = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val at = bytes.indexOfSlice("FADB".getBytes)
+    // pages 0 and 2 initialized, page 1 never written → 0b1010_0000
+    assert((bytes(at + 14) & 0xFF) == 0xA0,
+      "page bitmap: uninitialized middle page, MSB-first")
+    val h = Hdf5.open(p)
+    val got = Hdf5.readAll(p, h.dataset("temp").get)
+    val want = Array.tabulate(td * Y * X) { i =>
+      val chunk = (i / (Y * X)) / 2
+      if (sparse(chunk)) 0.0 else data(i) // unallocated chunk = fill
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("paged fixed array: corrupted page fails its checksum loudly") {
+    val p = tmp("fa-paged-corrupt.h5")
+    val td = 80
+    val data = Array.tabulate(td * Y * X)(_.toDouble)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(td, Y, X), data,
+        chunkDims = Some(Seq(2, Y, X)), faPageBits = Some(4))), latest = true)
+    val path = java.nio.file.Paths.get(p)
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val at = bytes.indexOfSlice("FADB".getBytes)
+    // header = 14-byte prefix + 1 bitmap byte + 4 checksum; page 0 follows
+    bytes(at + 19 + 2) = (bytes(at + 19 + 2) ^ 0xFF).toByte
+    java.nio.file.Files.write(path, bytes)
+    val h = Hdf5.open(p)
+    val e = intercept[IllegalArgumentException](
+      Hdf5.readAll(p, h.dataset("temp").get))
+    assert(e.getMessage.contains("page 0 checksum"))
+  }
+
+  // Paged extensible array: page bits 3 (8 elements/page) with the fixture
+  // geometry (4 inline, minElmts 4, minPtrs 2) → super blocks 3 and 4 hold
+  // 16-element data blocks = 2 pages each, with the page-init bitmap in the
+  // PARENT super block. 80 chunks reach super block 4's first data block
+  // only, so its bitmap mixes initialized, uninitialized-page, and
+  // never-created-block states.
+  for (filtered <- Seq(false, true))
+  test(s"paged extensible array: EASB page bitmaps + paged EADBs round-trip (filtered=$filtered)") {
+    val p = tmp("ea-paged.h5")
+    val td = 160 // 80 chunks of (2,Y,X)
+    val data = Array.tabulate(td * Y * X)(i => ((i * 53) % 97).toDouble - 17)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(td, Y, X), data,
+        chunkDims = Some(Seq(2, Y, X)), eaIndex = true, eaPageBits = Some(3),
+        filters = if (filtered) Seq(Shuffle(4), Deflate(5)) else Nil,
+        maxDims = Some(Seq(-1L, Y.toLong, X.toLong)))), latest = true)
+    // super blocks 2 (unpaged: 8-element blocks = one page), 3, 4 exist
+    assert(sigCount(p, "EASB") == 3)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // EASBs are written in ascending u; bitmap sits after the 14-byte
+    // prefix + 4-byte block offset (maxBits 32). u=3: 2 dblocks × 2 pages,
+    // chunks 32..63 all live → 0b1111_0000; u=4: 4 dblocks × 2 pages,
+    // only dblock 0 (chunks 64..79) created, both its pages live →
+    // 0b1100_0000.
+    val easbAt = Iterator.iterate(bytes.indexOfSlice("EASB".getBytes))(i =>
+      bytes.indexOfSlice("EASB".getBytes, i + 4)).take(3).toSeq
+    assert((bytes(easbAt(1) + 18) & 0xFF) == 0xF0, "super block 3 page bitmap")
+    assert((bytes(easbAt(2) + 18) & 0xFF) == 0xC0, "super block 4 page bitmap")
+    val h = Hdf5.open(p)
+    val temp = h.dataset("temp").get
+    assert(Hdf5.readAll(p, temp).toSeq == data.toSeq)
+    val rdr = new Hdf5.SectionReader(p, temp)
+    try {
+      for (t <- Seq(0, 70, 130, td - 1); y <- 0 until Y)
+        assert(rdr.readRow(t, y, 0, X - 2).toSeq ==
+          (0 to X - 2).map(x => data((t * Y + y) * X + x)), s"t=$t y=$y")
+    } finally rdr.close()
+  }
+
+  test("paged extensible array: a fully-sparse page is uninitialized; sparse slots read as fill") {
+    val p = tmp("ea-paged-sparse.h5")
+    val td = 160
+    val sparse = (72 until 80).toSet + 33 // sb4 dblock0 page 1 + one sb3 slot
+    val data = Array.tabulate(td * Y * X)(i => ((i * 29) % 89).toDouble - 7)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(td, Y, X), data,
+        chunkDims = Some(Seq(2, Y, X)), eaIndex = true, eaPageBits = Some(3),
+        sparseChunks = sparse,
+        maxDims = Some(Seq(-1L, Y.toLong, X.toLong)))), latest = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val easbAt = Iterator.iterate(bytes.indexOfSlice("EASB".getBytes))(i =>
+      bytes.indexOfSlice("EASB".getBytes, i + 4)).take(3).toSeq
+    // u=4: dblock 0 page 0 (64..71) live, page 1 (72..79) never written
+    assert((bytes(easbAt(2) + 18) & 0xFF) == 0x80,
+      "super block 4 bitmap: only dblock 0 page 0 initialized")
+    val h = Hdf5.open(p)
+    val got = Hdf5.readAll(p, h.dataset("temp").get)
+    val want = Array.tabulate(td * Y * X) { i =>
+      val chunk = (i / (Y * X)) / 2
+      if (sparse(chunk)) 0.0 else data(i)
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("paged extensible array: corrupted page fails its checksum loudly") {
+    val p = tmp("ea-paged-corrupt.h5")
+    val td = 160
+    val data = Array.tabulate(td * Y * X)(_.toDouble)
+    Hdf5.write(p, Seq(
+      WDataset("temp", F32, Seq(td, Y, X), data,
+        chunkDims = Some(Seq(2, Y, X)), eaIndex = true, eaPageBits = Some(3),
+        maxDims = Some(Seq(-1L, Y.toLong, X.toLong)))), latest = true)
+    val path = java.nio.file.Paths.get(p)
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    // the LAST EADB in file order is super block 4's paged dblock 0:
+    // 14-byte prefix + 4-byte block offset + 4-byte header checksum, then
+    // page 0's elements
+    val last = Iterator.iterate(bytes.indexOfSlice("EADB".getBytes))(i =>
+      bytes.indexOfSlice("EADB".getBytes, i + 4))
+      .takeWhile(_ >= 0).toSeq.last
+    bytes(last + 22 + 2) = (bytes(last + 22 + 2) ^ 0xFF).toByte
+    java.nio.file.Files.write(path, bytes)
+    val h = Hdf5.open(p)
+    val e = intercept[IllegalArgumentException](
+      Hdf5.readAll(p, h.dataset("temp").get))
+    assert(e.getMessage.contains("page"))
+  }
 }
