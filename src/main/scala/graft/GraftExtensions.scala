@@ -20,6 +20,10 @@ import graft.functions.{ApproxTopK, CmsEstimate, CosineSimilarity, DotProduct, H
   *     `histogram_merge_quantiles` (two-stage quantile rollup),
   *     `minhash_signature`, `top_k_by_score` — so a SQL-only user of
   *     the reference's query surface needs no Scala.
+  *   - SQL table functions: `FROM grid_scan('<dir>')` — the DSv2
+  *     NetCDF/HDF5/GRF scan with its full pushdown surface — and
+  *     `FROM snapshot_scan('<dir>'[, version])` — manifest-versioned
+  *     snapshot reads with SQL-native time travel.
   *   - `PolygonEnvelopeRule`: rewrites `point_in_polygon` predicates inside
   *     `Filter` conditions to `bbox(ring) AND point_in_polygon` (under filter
   *     semantics NULL and FALSE both drop the row, so this is an equivalence;
@@ -157,6 +161,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "minhash_signature(arr, numPerms)")
         MinHashSignature(longArray(args(0)), litInt(args(1), "numPerms"))
+      }))
+    // ---- table-valued functions: the library's TABLE surfaces for
+    // SQL-only users — `FROM grid_scan('<dir>')` serves a NetCDF/HDF5/GRF
+    // directory through the DSv2 grid source (full pushdown: the returned
+    // plan is the same relation `spark.read.format(GridSource)` builds), and
+    // `FROM snapshot_scan('<dir>'[, version])` reads a manifest-versioned
+    // snapshot table, pinned to `version` when given (SQL-native time
+    // travel). Builders run at resolution time on the driver; arguments must
+    // be constants, exactly like a path in plain SQL `parquet.<path>`.
+    def litString(e: Expression, what: String): String = {
+      require(e.foldable, s"$what must be a constant string")
+      val v = e.eval()
+      require(v != null, s"$what must be a non-null string")
+      v.toString
+    }
+    ext.injectTableFunction((FunctionIdentifier("grid_scan"), info("grid_scan"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "grid_scan('<dir>') takes exactly one path")
+        val spark = org.apache.spark.sql.SparkSession.active
+        spark.read.format(classOf[graft.sources.GridSource].getName)
+          .option("path", litString(args.head, "grid_scan path")).load()
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((FunctionIdentifier("snapshot_scan"), info("snapshot_scan"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2,
+          "snapshot_scan('<dir>'[, version])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Snapshots.read(spark,
+          litString(args.head, "snapshot_scan path"),
+          args.lift(1).map(litInt(_, "snapshot_scan version")))
+          .queryExecution.logical
       }))
     ext.injectOptimizerRule(_ => PolygonEnvelopeRule)
   }

@@ -593,6 +593,20 @@ object Relational extends QueryModule {
             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   }
 
+  /** SQL-NATIVE time travel: `FROM snapshot_scan('<dir>', 2)` — the
+    * GraftExtensions table function resolves the pinned manifest at
+    * analysis time, so a SQL-only user gets exactly [[Snapshots.read]]'s
+    * file set with no API call and no temp view. Version 2 is the last
+    * APPEND commit, so the result states history the later replace (v3)
+    * rewrote — the reason the pin matters.
+    */
+  private def qSnapshotTvf(s: SparkSession, d: String): DataFrame = {
+    val dir = snapDir(s, d)
+    s.sql(s"""SELECT 2 AS version, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM snapshot_scan('$dir', 2)""".stripMargin)
+  }
+
   private def qSnapshotZorder(s: SparkSession, d: String): DataFrame =
     Snapshots.readRanges(s, snapZDir(s, d), Seq(
         ("o_custkey", Some(10L), Some(40L)),
@@ -934,6 +948,7 @@ object Relational extends QueryModule {
     "q_snapshot_delete" -> qSnapshotDelete,
     "q_snapshot_zorder" -> qSnapshotZorder,
     "q_snapshot_sql" -> qSnapshotSql,
+    "q_snapshot_tvf" -> qSnapshotTvf,
     "q_snapshot_merge" -> qSnapshotMerge,
     "q_mview_inc" -> qMviewInc,
     "q_snapshot_bloom" -> qSnapshotBloom,
@@ -1011,6 +1026,9 @@ object Relational extends QueryModule {
       """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderkey BETWEEN 1100 AND 2099
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_snapshot_tvf" ->
+      """SELECT 2 AS version, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
     "q_snapshot_zorder" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

@@ -632,6 +632,18 @@ object SourceQueries extends QueryModule {
       .select("variable", "ts", "y", "x", "lat", "lon", "value")
       .orderBy("variable", "ts", "y", "x")
 
+  /** The archive scan as pure SQL: `FROM grid_scan('<dir>')` — the
+    * GraftExtensions table function returns the same DSv2 relation the
+    * DataFrame form builds, so the WHERE clause still pushes down to a
+    * Section read; a SQL-only user needs no Scala and no temp view.
+    */
+  private def qScanTvf(s: SparkSession, d: String): DataFrame =
+    s.sql(s"""SELECT variable, ts, y, x, lat, lon, value
+             |FROM grid_scan('$nc4Dir')
+             |WHERE ts >= TIMESTAMP '1990-01-06 00:00:00'
+             |  AND y BETWEEN 2 AND 10 AND x < 16
+             |ORDER BY variable, ts, y, x""".stripMargin)
+
   /** The hyperslab read served through PAGED fixed-array chunk directories:
     * tasmax's 80 filtered elements split over 5 individually-checksummed
     * FADB pages behind the header's page-init bitmap, tasmin's 8 unfiltered
@@ -820,6 +832,7 @@ object SourceQueries extends QueryModule {
     "q_grid_nc" -> qGridNc,
     "q_grid_nc4" -> qGridNc4,
     "q_grid_nc4_latest" -> qGridNc4Latest,
+    "q_scan_tvf" -> qScanTvf,
     "q_grid_nc4_ea" -> qGridNc4Ea,
     "q_grid_nc4_eap" -> qGridNc4EaPaged,
     "q_grid_nc4_fap" -> qGridNc4FaPaged,
@@ -940,6 +953,11 @@ object SourceQueries extends QueryModule {
       """SELECT variable, ts, y, x, lat, lon, value FROM cells
         |WHERE ts >= TIMESTAMP '1990-01-03 00:00:00'
         |  AND y BETWEEN 5 AND 15 AND x >= 10
+        |ORDER BY variable, ts, y, x""".stripMargin),
+    "q_scan_tvf" -> (GridData.oracleCells +
+      """SELECT variable, ts, y, x, lat, lon, value FROM cells
+        |WHERE ts >= TIMESTAMP '1990-01-06 00:00:00'
+        |  AND y BETWEEN 2 AND 10 AND x < 16
         |ORDER BY variable, ts, y, x""".stripMargin),
     "q_grid_nc4_eap" -> (GridData.oracleCells +
       """SELECT variable, ts, y, x, lat, lon, value FROM cells

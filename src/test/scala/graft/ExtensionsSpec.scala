@@ -180,4 +180,43 @@ class ExtensionsSpec extends AnyFunSuite {
     val optimized = df.queryExecution.optimizedPlan.toString
     assert("point_in_polygon".r.findAllIn(optimized).size == 1, optimized)
   }
+
+  test("SQL grid_scan TVF serves the DSv2 grid source with pushdown intact") {
+    val dir = sources.SourceQueries.ncDir
+    val viaSql = ext.sql(
+      s"SELECT variable, ts, y, x, value FROM grid_scan('$dir') " +
+        "WHERE y < 5 AND x < 7 ORDER BY variable, ts, y, x")
+    val viaApi = ext.read.format(classOf[sources.GridSource].getName)
+      .option("path", dir).load()
+      .filter(col("y") < 5 && col("x") < 7)
+      .select("variable", "ts", "y", "x", "value")
+      .orderBy("variable", "ts", "y", "x")
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+    assert(viaSql.count() > 0)
+    // the bbox predicate must reach the source as a pushed Section, exactly
+    // as in the DataFrame form — the TVF returns the same relation
+    val phys = viaSql.queryExecution.executedPlan.toString
+    assert(phys.contains("GridScan") || phys.contains("Section"), phys)
+  }
+
+  test("SQL snapshot_scan TVF reads latest and pinned versions (time travel)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-snap").toString
+    import TestSpark.spark.implicits._
+    operators.Snapshots.commit(ext,
+      dir, Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    operators.Snapshots.commit(ext,
+      dir, Seq((3, "c")).toDF("id", "s"))
+    val latest = ext.sql(s"SELECT sum(id) AS t FROM snapshot_scan('$dir')")
+      .collect()(0).getLong(0)
+    val pinned = ext.sql(s"SELECT sum(id) AS t FROM snapshot_scan('$dir', 1)")
+      .collect()(0).getLong(0)
+    assert(latest == 6 && pinned == 3)
+  }
+
+  test("table functions reject non-constant arguments loudly") {
+    val e = intercept[Exception](
+      ext.sql("SELECT * FROM grid_scan(concat('a', rand()))").collect())
+    assert(e.getMessage.toLowerCase.contains("constant") ||
+      e.getMessage.toLowerCase.contains("foldable"), e.getMessage)
+  }
 }

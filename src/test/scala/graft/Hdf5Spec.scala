@@ -854,6 +854,11 @@ class Hdf5Spec extends AnyFunSuite {
           // unfiltered latest chunked cases split between fixed-array and
           // implicit indexes
           implicitIndex = latest && chunked && filters.isEmpty && rnd.nextBoolean(),
+          // half the fixed-array cases force tiny pages (2^1..2^3 elements)
+          // so random chunk counts exercise unpaged, paged, and
+          // ragged-last-page layouts; ignored when another index wins
+          faPageBits = if (latest && chunked && rnd.nextBoolean())
+            Some(rnd.nextInt(3) + 1) else None,
           // classic chunked cases randomly cap the chunk b-tree leaf
           // fan-out, exercising single- AND multi-node trees; half of the
           // capped cases also cap internal fan-out → random-depth trees

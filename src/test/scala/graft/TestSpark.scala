@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local session for the whole suite (guide: one per suite). */
+/** One shared local session for the whole suite (guide: one per suite).
+  * Built WITH [[GraftExtensions]], matching every production entrypoint
+  * (Verify/Bench/ApiServer/tools all set `spark.sql.extensions`) — declared
+  * queries may use the SQL-registered functions and table functions.
+  */
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
@@ -13,6 +17,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
