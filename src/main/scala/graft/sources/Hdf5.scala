@@ -1727,6 +1727,11 @@ object Hdf5 {
     val directDblk = (0 until geo.ndblkAddrs).map(_ => ib.getLong())
     val sblkAddr = (0 until geo.nsblkAddrs).map(_ => ib.getLong())
 
+    // bound BEFORE shifting, as in the fixed array: 1L << 64 wraps mod 64,
+    // so a corrupt pageBits (u8, up to 255) would alias a small page size
+    // and misparse instead of failing here
+    require(pageBits >= 1 && pageBits < 63,
+      s"$path: implausible extensible-array page bits $pageBits")
     val pageSize = 1L << pageBits
     /** Pages per data block of super block `u`, 0 when its blocks do not
       * page (spec III.E: a data block pages past one 2^pageBits page; the
@@ -3512,7 +3517,13 @@ object Hdf5 {
       val n = chunksOf(d).length.toLong
       val (sblksUsed, dblksUsed) = eaUsed(d)
       val sblkBytes = sblksUsed.map { u =>
-        (14 + eaParams.arrOffSize + eaParams.sblks(u)._1 * 8 + 4).toLong
+        val (nd, ne, _, _) = eaParams.sblks(u)
+        // paged super blocks carry the page-init bitmap for their data
+        // blocks' pages — keep the statistic equal to the bytes easbBlock
+        // actually writes
+        val pageSize = 1L << eaPb(d)
+        val bmBytes = if (ne > pageSize) (nd * (ne / pageSize) + 7) / 8 else 0
+        (14 + eaParams.arrOffSize + bmBytes + nd * 8 + 4).toLong
       }.sum
       val dblkBytes = dblksUsed.map { g =>
         val (u, _) = eaDblkHome(g)

@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  /** A second session on the shared SparkContext, built WITH the extension.
-    * `spark.sql.extensions` is a STATIC conf — ignored once the context
-    * exists — so this goes through `builder.withExtensions` (the programmatic
-    * path); Bench/Verify/ApiServer create their own contexts and use the
-    * config form. The suite session stays default for the other specs.
+  /** A second session on the shared SparkContext, built WITH the extension
+    * via `builder.withExtensions` — the programmatic path (the
+    * `spark.sql.extensions` STATIC conf is ignored once the context
+    * exists); Bench/Verify/ApiServer create their own contexts and use the
+    * config form. TestSpark.spark ALSO carries the extensions now (declared
+    * queries use the SQL table functions), so this session exists to pin
+    * the programmatic registration path specifically, not an
+    * extensions-vs-none contrast. It is restored as non-default so the
+    * other specs keep running against the shared session.
     */
   private lazy val ext: SparkSession = {
     TestSpark.spark // ensure the shared context exists first
