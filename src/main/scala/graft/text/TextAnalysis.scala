@@ -937,7 +937,126 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- BPE tokenizer training
+
+  /** Word table for BPE training: lowercase alpha tokens → corpus counts,
+    * capped at the `maxVocab` most frequent words (every real BPE trainer
+    * caps the word table — a tail word below the cut can move any pair
+    * count by at most its own count). `syms` is the space-joined character
+    * sequence the merge loop rewrites. The ONE corpus-scale pass: after
+    * this aggregate everything is vocab-bounded.
+    */
+  private[graft] def bpeWordTable(docs: DataFrame, maxVocab: Int): DataFrame =
+    docs.select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(maxVocab)
+      .select(concat_ws(" ", split(col("word"), "")).as("syms"), col("cnt"))
+
+  /** One BPE merge applied to a space-joined symbol string: the greedy
+    * left-to-right fold — append each symbol unless the accumulated tail is
+    * `a` and the symbol is `b`, in which case replace the tail with the
+    * merged symbol. The fold form gets overlap right for free ("a a a"
+    * under (a,a) → "aa a", leftmost-first), which a string replace over the
+    * space-joined form would not (the shared delimiter breaks the second
+    * match). The DuckDB oracle runs the identical fold via `list_reduce`.
+    */
+  private def bpeApply(syms: Column, a: String, b: String, m: String): Column =
+    aggregate(split(syms, " "), lit(""), (acc, sym) =>
+      when(acc === "", sym)
+        .when(element_at(split(acc, " "), -1) === a && sym === b,
+          concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(m)))
+        .otherwise(concat(acc, lit(" "), sym)))
+
+  /** Byte-pair-encoding tokenizer training (Sennrich et al., the standard
+    * LLM-tokenizer construction): from the capped word-count table, repeat
+    * `merges` times — count adjacent symbol pairs weighted by word count,
+    * merge the most frequent pair everywhere (ties: lexicographically
+    * smallest pair, so both engines and both paths pick identically).
+    * Returns the learned merge table (step, l_sym, r_sym, merged, cnt) —
+    * the artifact a tokenizer ships.
+    *
+    * Scale: the corpus is touched ONCE ([[bpeWordTable]]'s token count);
+    * the merge loop runs on the vocab-bounded word table — under
+    * `localVocabLimit` driver-locally (the word table is the small thing
+    * the collect gate exists for; HF-style trainers do exactly this), above
+    * it as a distributed loop whose per-step shuffle is pair-vocab-sized
+    * with map-side partials, collecting only the 1-row argmax per step.
+    * OperatorSpec locks local/distributed parity on the fixture.
+    */
+  private[graft] def bpeTrain(docs: DataFrame, merges: Int = 10,
+      maxVocab: Int = 30000, localVocabLimit: Long = 200000L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wt = bpeWordTable(docs, maxVocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      if (wt.count() <= localVocabLimit) {
+        var words = wt.collect().map(r => (r.getString(0).split(" "), r.getLong(1)))
+        for (k <- 1 to merges) {
+          val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+          words.foreach { case (ss, cnt) =>
+            var i = 0
+            while (i < ss.length - 1) {
+              val key = (ss(i), ss(i + 1))
+              pairCounts(key) = pairCounts.getOrElse(key, 0L) + cnt
+              i += 1
+            }
+          }
+          if (pairCounts.nonEmpty) {
+            val ((a, b), c) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+            val m = a + b
+            learned += ((k, a, b, m, c))
+            words = words.map { case (ss, cnt) =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              ss.foreach { sym =>
+                if (out.nonEmpty && out.last == a && sym == b)
+                  out(out.length - 1) = m
+                else out += sym
+              }
+              (out.toArray, cnt)
+            }
+          }
+        }
+      } else {
+        var cur = wt.select("syms", "cnt")
+        for (k <- 1 to merges) {
+          val arr = split(col("syms"), " ")
+          val pairs = cur.filter(size(arr) >= 2)
+            .select(col("cnt"), explode(transform(
+              sequence(lit(0), size(arr) - 2),
+              i => struct(element_at(arr, i + 1).as("a"),
+                element_at(arr, i + 2).as("b")))).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("cnt").as("c"))
+          val best = pairs.orderBy(col("c").desc, col("a"), col("b"))
+            .limit(1).collect()
+          if (best.nonEmpty) {
+            val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+            val m = a + b
+            learned += ((k, a, b, m, c))
+            cur = cur.select(bpeApply(col("syms"), a, b, m).as("syms"), col("cnt"))
+            // truncate lineage every few folds: 10+ nested aggregates on one
+            // column otherwise stack up in a single codegen stage
+            if (k % 4 == 0) cur = cur.localCheckpoint(true)
+          }
+        }
+      }
+      learned.toSeq.toDF("step", "l_sym", "r_sym", "merged", "cnt")
+        .orderBy("step")
+    } finally { wt.unpersist(); () }
+  }
+
+  /** The learned merge table over the harness corpus — the tokenizer
+    * artifact as a query, full unrolled-CTE oracle (each step's pair count,
+    * argmax, and fold rerun in DuckDB via `list_reduce`).
+    */
+  private def qBpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrain(T.documents(s, d), merges = 10, maxVocab = 30000)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train" -> qBpeTrain,
     "q_chunk_docs" -> qChunkDocs,
     "q_segment_dedup" -> qSegmentDedup,
     "q_segment_scrub" -> qSegmentScrub,
@@ -998,7 +1117,46 @@ object TextAnalysis extends QueryModule {
        |sc AS (SELECT doc_id, lang, count(*) AS n_bigrams,
        |       round(avg(nll), 4) AS lm_score FROM score GROUP BY 1, 2)""".stripMargin
 
+  /** q_bpe_train's oracle: the identical recurrence unrolled — per step a
+    * pair-count aggregate, the (cnt DESC, pair ASC) argmax, and the same
+    * greedy left-to-right fold as [[bpeApply]] via `list_reduce` (the
+    * accumulator is the space-joined prefix; its last token is compared to
+    * the step's left symbol). Generated programmatically so both engines
+    * run byte-identical step logic.
+    */
+  private val bpeTrainSql: String = {
+    val merges = 10
+    val steps = (1 to merges).map { k =>
+      s""",p$k AS (
+         |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT string_split(syms, ' ') AS l, cnt FROM w${k - 1}) ww,
+         |       UNNEST(range(1, length(l))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, a||b AS m, c FROM p$k ORDER BY c DESC, a, b LIMIT 1),
+         |w$k AS (
+         |  SELECT list_reduce(string_split(w.syms, ' '),
+         |           (acc, s) -> CASE
+         |             WHEN regexp_extract(acc, '[^ ]+$$') = b$k.a AND s = b$k.b
+         |               THEN left(acc, length(acc) - length(b$k.a)) || b$k.m
+         |             ELSE acc || ' ' || s END) AS syms, cnt
+         |  FROM w${k - 1} w CROSS JOIN b$k)""".stripMargin
+    }.mkString
+    val out = (1 to merges).map(k =>
+      s"SELECT $k AS step, a AS l_sym, b AS r_sym, m AS merged, c AS cnt FROM b$k")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH toks AS (
+       |  SELECT lower(t.tok) AS word
+       |  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(tok)),
+       |words0 AS (
+       |  SELECT word, count(*) AS cnt FROM toks GROUP BY word
+       |  ORDER BY cnt DESC, word LIMIT 30000),
+       |w0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms, cnt
+       |       FROM words0)$steps$out
+       |ORDER BY step""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainSql,
     "q_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |segs AS (

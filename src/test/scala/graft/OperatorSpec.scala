@@ -116,6 +116,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(3L) == "fr"); assert(got(4L) == "und")
   }
 
+  test("BPE training learns the textbook merges on crafted text") {
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "the hat of the cat"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, merges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // 'at' appears in cat/sat/mat/hat (5 weighted), then 'he', then t+he
+    assert(got == Seq((1, "a", "t", "at", 5L), (2, "h", "e", "he", 4L),
+      (3, "t", "he", "the", 4L)), got.toString)
+  }
+
+  test("BPE training: distributed loop matches the driver-local path exactly") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+    val local = TextAnalysis.bpeTrain(docs, merges = 6).collect().toSeq
+    val dist = TextAnalysis.bpeTrain(docs, merges = 6, localVocabLimit = 0L)
+      .collect().toSeq
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local.size == 6)
+  }
+
   test("fingerprint is order-sensitive (dedup vs reordered text)") {
     val fp = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")
