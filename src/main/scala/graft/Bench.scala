@@ -56,6 +56,7 @@ object Bench {
       similarity.Similarity.prepareIvfPqResIndex(spark, sfDir) // residual variant
       multimodal.Multimodal.prepareAssets(spark, sfDir) // decode-query payloads
       dedup.Dedup.prepareSignatures(spark, sfDir)
+      text.TextAnalysis.bpeMergesCached(spark, sfDir) // tokenizer training (q_bpe_*)
       // grid catalog = ingest-time metadata (one row per file); build the
       // cached dim-sized table here like the other layouts
       domain.GridQuery.catalog(domain.GridData.cells(spark)).count()

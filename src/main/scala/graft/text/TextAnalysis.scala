@@ -1055,8 +1055,67 @@ object TextAnalysis extends QueryModule {
   private def qBpeTrain(s: SparkSession, d: String): DataFrame =
     bpeTrain(T.documents(s, d), merges = 10, maxVocab = 30000)
 
+  /** The learned merges per harness dir — train once per JVM, reuse across
+    * the train and encode queries (the merge table IS the tokenizer
+    * artifact; rerunning training per consumer would repeat the corpus
+    * pass).
+    */
+  private val bpeMergesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, String)]]()
+  private[graft] def bpeMergesCached(s: SparkSession, d: String): Seq[(String, String, String)] =
+    bpeMergesMemo.computeIfAbsent(d, _ =>
+      bpeTrain(T.documents(s, d), merges = 10, maxVocab = 30000)
+        .orderBy("step").collect().toSeq
+        .map(r => (r.getString(1), r.getString(2), r.getString(3))))
+
+  /** ENCODE with a learned merge table: per distinct word, apply the merges
+    * in training order (each a full greedy pass — [[bpeApply]], the same
+    * fold training used), yielding the word's BPE sub-token count. The
+    * vocabulary table is the unit of work — corpus text is touched only by
+    * the tokenize-explode — and stays distributed; nothing driver-side but
+    * the 10-row merge table.
+    */
+  private[graft] def bpeSubtokenCounts(docs: DataFrame,
+      merges: Seq[(String, String, String)]): DataFrame = {
+    val words = docs.select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .distinct()
+    var t = words.select(col("word"),
+      concat_ws(" ", split(col("word"), "")).as("syms"))
+    merges.foreach { case (a, b, m) =>
+      t = t.select(col("word"), bpeApply(col("syms"), a, b, m).as("syms"))
+    }
+    t.select(col("word"), size(split(col("syms"), " ")).as("n_sub"))
+  }
+
+  /** Per-document BPE token counts under the learned tokenizer — the
+    * pre-training sizing pass every corpus goes through (token budgets,
+    * context packing, cost estimates all key off it). The merges apply to
+    * EVERY distinct word, trained-vocab or not — that is the point of BPE:
+    * unseen words still merge their learned pairs, bottoming out at
+    * characters (the left join's coalesce is only a guard for a word that
+    * somehow missed the vocabulary build). The word→n_sub table is
+    * vocab-sized, so at 100 TB the join broadcasts (or AQE picks a hash
+    * join keyed by word); the corpus side is one explode + one doc-keyed
+    * aggregate.
+    */
+  private def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val sub = bpeSubtokenCounts(docs, bpeMergesCached(s, d))
+    docs.select(col("doc_id"), explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .join(sub, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"), length(col("word")))).as("n_bpe_tokens"))
+      .withColumn("ratio",
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain,
+    "q_bpe_encode" -> qBpeEncode,
     "q_chunk_docs" -> qChunkDocs,
     "q_segment_dedup" -> qSegmentDedup,
     "q_segment_scrub" -> qSegmentScrub,
@@ -1124,9 +1183,24 @@ object TextAnalysis extends QueryModule {
     * the step's left symbol). Generated programmatically so both engines
     * run byte-identical step logic.
     */
-  private val bpeTrainSql: String = {
-    val merges = 10
-    val steps = (1 to merges).map { k =>
+  private val bpeMergeSteps = 10
+
+  /** The greedy-fold rewrite of `w.syms` by step k's best pair — shared by
+    * the training chain (w$k) and the encode chain (ew$k).
+    */
+  private def bpeFoldSql(k: Int): String =
+    s"""list_reduce(string_split(w.syms, ' '),
+       |           (acc, s) -> CASE
+       |             WHEN regexp_extract(acc, '[^ ]+$$') = b$k.a AND s = b$k.b
+       |               THEN left(acc, length(acc) - length(b$k.a)) || b$k.m
+       |             ELSE acc || ' ' || s END)""".stripMargin
+
+  /** The shared training chain: word counts (capped like the Scala side),
+    * then per step the pair-count aggregate, the (cnt DESC, pair ASC)
+    * argmax b$k, and the folded word table w$k.
+    */
+  private val bpeChainCtes: String = {
+    val steps = (1 to bpeMergeSteps).map { k =>
       s""",p$k AS (
          |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
          |  FROM (SELECT string_split(syms, ' ') AS l, cnt FROM w${k - 1}) ww,
@@ -1134,29 +1208,56 @@ object TextAnalysis extends QueryModule {
          |  GROUP BY 1, 2),
          |b$k AS (SELECT a, b, a||b AS m, c FROM p$k ORDER BY c DESC, a, b LIMIT 1),
          |w$k AS (
-         |  SELECT list_reduce(string_split(w.syms, ' '),
-         |           (acc, s) -> CASE
-         |             WHEN regexp_extract(acc, '[^ ]+$$') = b$k.a AND s = b$k.b
-         |               THEN left(acc, length(acc) - length(b$k.a)) || b$k.m
-         |             ELSE acc || ' ' || s END) AS syms, cnt
+         |  SELECT ${bpeFoldSql(k)} AS syms, cnt
          |  FROM w${k - 1} w CROSS JOIN b$k)""".stripMargin
     }.mkString
-    val out = (1 to merges).map(k =>
-      s"SELECT $k AS step, a AS l_sym, b AS r_sym, m AS merged, c AS cnt FROM b$k")
-      .mkString("\n", "\nUNION ALL\n", "\n")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT lower(t.tok) AS word
        |  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(tok)),
        |words0 AS (
        |  SELECT word, count(*) AS cnt FROM toks GROUP BY word
        |  ORDER BY cnt DESC, word LIMIT 30000),
        |w0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms, cnt
-       |       FROM words0)$steps$out
-       |ORDER BY step""".stripMargin
+       |       FROM words0)$steps""".stripMargin
+  }
+
+  private val bpeTrainSql: String = {
+    val out = (1 to bpeMergeSteps).map(k =>
+      s"SELECT $k AS step, a AS l_sym, b AS r_sym, m AS merged, c AS cnt FROM b$k")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"WITH $bpeChainCtes$out\nORDER BY step"
+  }
+
+  /** q_bpe_encode's oracle: the training chain for the merge tables b1..bN,
+    * then the SAME folds applied in order to EVERY distinct corpus word
+    * (ew0..ewN — trained-vocab capping does not apply at encode time), and
+    * the per-document aggregate over the word→sub-token-count table.
+    */
+  private val bpeEncodeSql: String = {
+    val esteps = (1 to bpeMergeSteps).map { k =>
+      s""",ew$k AS (
+         |  SELECT w.word, ${bpeFoldSql(k)} AS syms
+         |  FROM ew${k - 1} w CROSS JOIN b$k)""".stripMargin
+    }.mkString
+    s"""WITH $bpeChainCtes,
+       |docw AS (
+       |  SELECT doc_id, lower(t.tok) AS word
+       |  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(tok)),
+       |ew0 AS (
+       |  SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms
+       |  FROM (SELECT DISTINCT word FROM docw))$esteps,
+       |sub AS (SELECT word, length(string_split(syms, ' ')) AS n_sub FROM ew$bpeMergeSteps)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(coalesce(n_sub, length(word))) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(coalesce(n_sub, length(word))) AS DOUBLE) / count(*), 4) AS ratio
+       |FROM docw LEFT JOIN sub USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |segs AS (

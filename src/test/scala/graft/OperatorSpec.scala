@@ -126,6 +126,21 @@ class OperatorSpec extends AnyFunSuite {
       (3, "t", "he", "the", 4L)), got.toString)
   }
 
+  test("BPE encode applies learned merges to unseen words (no vocab lookup wall)") {
+    val train = Seq((1L, "the cat sat on the mat"), (2L, "the hat of the cat"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(train, merges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+      .map(t => (t._2, t._3, t._4)) // (a, t) (h, e) (t, he)
+    // 'theta' never appeared in training; its 'the' prefix must still merge:
+    // t h e t a → t he t a → the t a → 3 sub-tokens
+    val sub = TextAnalysis.bpeSubtokenCounts(
+        Seq((1L, "theta zq")).toDF("doc_id", "text"), merges)
+      .as[(String, Int)].collect().toMap
+    assert(sub("theta") == 3, sub.toString)
+    assert(sub("zq") == 2) // nothing to merge: stays at character count
+  }
+
   test("BPE training: distributed loop matches the driver-local path exactly") {
     val docs = Tables.documents(spark, TestSpark.sf).limit(200)
     val local = TextAnalysis.bpeTrain(docs, merges = 6).collect().toSeq
