@@ -102,6 +102,35 @@ class ApiServer(spark: SparkSession, port: Int = 0,
     }
   }
 
+  /** `POST /sql` — the SQL face of the whole library over HTTP: body
+    * `{"query": "SELECT …"}`, response `{"columns": […], "rowCount": n,
+    * "truncated": bool, "rows": [{…}, …]}`. With the session extensions
+    * registered, `FROM grid_scan('<dir>')` / `FROM snapshot_scan('<dir>')`
+    * and every custom function work over plain HTTP — the Thrift-server
+    *-style surface, minus a dependency. Read-only by construction: the
+    * statement is parsed first and anything that is a Command (DDL/DML,
+    * SET, CREATE VIEW) is rejected before execution — a guard at the plan
+    * level, not a keyword regex. Results are capped at [[sqlRowCap]] rows
+    * (one extra row is fetched to set `truncated` honestly); row values
+    * serialize through Spark's own JSON writer so types and escaping are
+    * the engine's, not hand-rolled.
+    */
+  private[server] val sqlRowCap = 10000
+
+  private[server] def runSql(query: String): String = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(query)
+    if (parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command])
+      throw new IllegalArgumentException("only read-only queries are served")
+    val df = spark.sql(query)
+    val rows = df.limit(sqlRowCap + 1).toJSON.collect()
+    val truncated = rows.length > sqlRowCap
+    val kept = if (truncated) rows.take(sqlRowCap) else rows
+    val cols = df.columns.map(c =>
+      "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    s"""{"columns":[${cols.mkString(",")}],"rowCount":${kept.length},""" +
+      s""""truncated":$truncated,"rows":[${kept.mkString(",")}]}"""
+  }
+
   private def respond(ex: HttpExchange, code: Int, contentType: String,
       body: Array[Byte]): Unit = {
     ex.getResponseHeaders.set("Content-Type", contentType)
@@ -131,6 +160,31 @@ class ApiServer(spark: SparkSession, port: Int = 0,
         if (req != null)
           respond(ex, 200, "application/zip", fetchResult(req))
       } catch {
+        case e: Exception =>
+          respond(ex, 500, "application/json",
+            s"""{"message": "Server Error: ${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
+      })
+    server.createContext("/sql", (ex: HttpExchange) =>
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        // malformed body JSON is the client's fault, whatever json4s throws
+        val parsedBody = try JsonMethods.parse(body) catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"body is not JSON: ${e.getClass.getSimpleName}")
+        }
+        val query = parsedBody \ "query" match {
+          case JString(q) if q.trim.nonEmpty => q
+          case _ => throw new IllegalArgumentException("body must be {\"query\": \"…\"}")
+        }
+        respond(ex, 200, "application/json", runSql(query).getBytes("UTF-8"))
+      } catch {
+        // the client's fault: malformed body, unparseable SQL, unresolvable
+        // names, or a write statement — all pre-execution
+        case e @ (_: IllegalArgumentException |
+                  _: org.apache.spark.sql.catalyst.parser.ParseException |
+                  _: org.apache.spark.sql.AnalysisException) =>
+          respond(ex, 400, "application/json",
+            s"""{"message": "Bad Request: ${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
         case e: Exception =>
           respond(ex, 500, "application/json",
             s"""{"message": "Server Error: ${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))

@@ -188,4 +188,49 @@ class ApiSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("POST /sql runs read-only SQL, including the grid_scan table function") {
+    withServer { port =>
+      val url = s"http://127.0.0.1:$port/sql"
+      val (c1, b1) = post(url, """{"query": "SELECT 1 AS one, 'x' AS s"}""")
+      assert(c1 == 200, new String(b1, "UTF-8"))
+      val s1 = new String(b1, "UTF-8")
+      assert(s1.contains("\"columns\":[\"one\",\"s\"]") &&
+        s1.contains("\"rowCount\":1") && s1.contains("{\"one\":1,\"s\":\"x\"}"), s1)
+      // the TVF surface over HTTP: count a real archive dir
+      val dir = sources.SourceQueries.ncDir
+      val (c2, b2) = post(url,
+        s"""{"query": "SELECT count(*) AS n FROM grid_scan('$dir') WHERE y < 3"}""")
+      assert(c2 == 200)
+      val expected = spark.read.format(classOf[sources.GridSource].getName)
+        .option("path", dir).load().filter("y < 3").count()
+      assert(new String(b2, "UTF-8").contains(s"""{"n":$expected}"""))
+    }
+  }
+
+  test("POST /sql rejects writes, bad SQL, and bad bodies as client errors") {
+    withServer { port =>
+      val url = s"http://127.0.0.1:$port/sql"
+      // Command plans (DDL/DML/SET) are refused before execution
+      for (q <- Seq("SET spark.graft.x=1",
+          "CREATE TABLE t_should_not_exist(x INT) USING parquet",
+          "SELEKT 1", "")) {
+        val (code, body) = post(url, s"""{"query": "$q"}""")
+        assert(code == 400, s"$q -> $code ${new String(body.take(120), "UTF-8")}")
+      }
+      assert(spark.catalog.tableExists("t_should_not_exist") == false)
+      val (cBody, _) = post(url, "not json at all")
+      assert(cBody == 400)
+    }
+  }
+
+  test("POST /sql caps huge results and says so") {
+    withServer { port =>
+      val (code, body) = post(s"http://127.0.0.1:$port/sql",
+        """{"query": "SELECT id FROM range(20000)"}""")
+      assert(code == 200)
+      val s = new String(body, "UTF-8")
+      assert(s.contains("\"rowCount\":10000") && s.contains("\"truncated\":true"), s.take(200))
+    }
+  }
 }
