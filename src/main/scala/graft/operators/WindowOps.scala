@@ -238,9 +238,56 @@ object WindowOps extends QueryModule {
       .limit(20)
   }
 
+  /** The CEP patterns [[qEventPattern]] evaluates — sequence shapes the
+    * funnel CANNOT express: ADJACENCY (immediately-followed-by, no events
+    * between), bounded REPETITION, ALTERNATION, and an anchored prefix.
+    * Sequences are '>'-delimited with sentinels on both ends so every
+    * event occurrence is '>'-enclosed and patterns can anchor on the
+    * delimiter; the regex subset used (non-capturing groups, alternation,
+    * {n} repeats, ^ anchor) behaves identically in Java regex (Spark) and
+    * RE2 (DuckDB).
+    */
+  private val eventPatterns: Seq[(String, String)] = Seq(
+    ("error_then_recovery", ">error>(?:click|view)>purchase>"),
+    ("immediate_rebuy", ">purchase>purchase>"),
+    ("signup_direct_purchase", "^>signup>(?:view>|click>)*purchase>"),
+    ("view_streak3", "(?:>view){3}>"))
+
+  /** MATCH_RECOGNIZE-style sequence pattern matching (the CEP class —
+    * Flink/Esper territory): per user, the event-type sequence ordered by
+    * (ts, event_id), then each pattern's user-match count and rate. One
+    * user-keyed aggregate builds the sequences (sorted struct collect —
+    * per-user history, the same state any CEP engine holds per key); the
+    * pattern tests are ONE pass of codegen'd regexes over that table,
+    * unpivoted to a row per pattern. At 100 TB the sequence build is the
+    * one shuffle and patterns are constants; a pathological user's history
+    * is one partition's array, the usual per-key-state caveat of CEP.
+    */
+  private def qEventPattern(s: SparkSession, d: String): DataFrame = {
+    val seqs = T.events(s, d)
+      .groupBy("user_id")
+      .agg(concat(lit(">"), concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        e => e.getField("event_type"))), lit(">")).as("seq"))
+    val aggCols = eventPatterns.map { case (name, re) =>
+      sum(when(col("seq").rlike(re), 1).otherwise(0)).as(name)
+    } :+ count(lit(1)).as("n_users")
+    val flags = seqs.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = eventPatterns
+      .map { case (name, _) => s"'$name', $name" }.mkString(", ")
+    flags.select(
+        expr(s"stack(${eventPatterns.length}, $stackArgs) AS (pattern, n_matched)"),
+        col("n_users"))
+      .select(col("pattern"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_users"), 4).as("match_rate"))
+      .orderBy("pattern")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cum_distinct" -> qCumDistinct,
     "q_event_paths" -> qEventPaths,
+    "q_event_pattern" -> qEventPattern,
     "q_ewma" -> qEwma,
     "q_funnel" -> qFunnel,
     "q_join_asof" -> qJoinAsof,
@@ -252,7 +299,32 @@ object WindowOps extends QueryModule {
     "q_asof" -> qAsof
   )
 
+  /** q_event_pattern's oracle, generated from the SAME pattern list so the
+    * two engines can never drift: per-user ordered sequence via string_agg,
+    * one flag-sum per pattern, unpivoted by UNION ALL.
+    */
+  private val eventPatternSql: String = {
+    val flagCols = eventPatterns.map { case (name, re) =>
+      s"""CAST(sum(CASE WHEN regexp_matches(seq, '$re') THEN 1 ELSE 0 END) AS BIGINT) AS $name"""
+    }.mkString(",\n  ")
+    val unpivot = eventPatterns.map { case (name, _) =>
+      s"SELECT '$name' AS pattern, $name AS n_matched, n_users FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH seqs AS (
+       |  SELECT user_id,
+       |    '>' || string_agg(event_type, '>' ORDER BY ts, event_id) || '>' AS seq
+       |  FROM events GROUP BY user_id),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |  $flagCols
+       |  FROM seqs)
+       |SELECT pattern, n_matched,
+       |  round(CAST(n_matched AS DOUBLE) / n_users, 4) AS match_rate
+       |FROM ($unpivot)
+       |ORDER BY pattern""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_event_pattern" -> eventPatternSql,
     "q_cum_distinct" ->
       """WITH first AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
