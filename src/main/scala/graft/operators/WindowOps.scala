@@ -247,7 +247,7 @@ object WindowOps extends QueryModule {
     * {n} repeats, ^ anchor) behaves identically in Java regex (Spark) and
     * RE2 (DuckDB).
     */
-  private val eventPatterns: Seq[(String, String)] = Seq(
+  private[graft] val eventPatterns: Seq[(String, String)] = Seq(
     ("error_then_recovery", ">error>(?:click|view)>purchase>"),
     ("immediate_rebuy", ">purchase>purchase>"),
     ("signup_direct_purchase", "^>signup>(?:view>|click>)*purchase>"),

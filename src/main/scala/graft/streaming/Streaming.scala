@@ -341,6 +341,77 @@ object Streaming extends QueryModule {
       .orderBy("event_id")
   }
 
+  // ---- streaming CEP: sequence patterns over live event streams ----
+
+  case class TypedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String)
+  /** Per-user CEP state: the '>'-joined tail of the history (bounded at
+    * `maxTail` events), whether the front has ever been trimmed (anchored
+    * patterns are only decidable on an untrimmed prefix), and a bitmask of
+    * patterns already emitted (first-match-only).
+    */
+  case class PatternState(tail: String, nTail: Int, trimmed: Boolean, emitted: Int)
+  case class PatternMatch(user_id: Long, pattern: String)
+
+  /** [[graft.operators.WindowOps.eventPatterns]] over a LIVE stream — the
+    * CEP engine's native habitat (a batch sweep tells you who matched
+    * yesterday; the stream emits the moment a user completes the shape).
+    * flatMapGroupsWithState keeps per-user state BOUNDED by construction:
+    * the last `maxTail` event types plus one bitmask — not the full
+    * history, which is what makes this run forever at 100 TB/day. The
+    * trade: a pattern spanning more than `maxTail` events is undetectable
+    * (size the cap to the longest pattern's horizon), and ^-anchored
+    * patterns are only tested while the prefix is untrimmed — after a trim
+    * the state can no longer prove where history began, so the matcher
+    * abstains rather than guesses (locked in StreamingSpec). Within a
+    * batch, events sort by (ts, event_id); a cross-batch straggler appends
+    * in arrival order — the usual unwatermarked-CEP caveat, same contract
+    * as [[sessionize]]'s cross-batch clamps but without a reorder buffer.
+    * Each emitted match fires once (the bitmask), in the micro-batch that
+    * completes it.
+    */
+  def patternMatches(events: Dataset[TypedEvent],
+      patterns: Seq[(String, String)] = graft.operators.WindowOps.eventPatterns,
+      maxTail: Int = 512): Dataset[PatternMatch] = {
+    import events.sparkSession.implicits._
+    // compiled once on the driver, shipped in the closure (Pattern is
+    // serializable); anchored-ness decided from the regex itself
+    val compiled = patterns.zipWithIndex.map { case ((name, re), i) =>
+      (name, java.util.regex.Pattern.compile(re), re.startsWith("^"), i)
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, PatternMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[PatternState]) =>
+          var st = state.getOption.getOrElse(PatternState("", 0, trimmed = false, 0))
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var tail = st.tail
+          sorted.foreach { e =>
+            tail = if (tail.isEmpty) e.event_type else tail + ">" + e.event_type
+          }
+          var n = st.nTail + sorted.length
+          var trimmed = st.trimmed
+          if (n > maxTail) {
+            val parts = tail.split(">")
+            tail = parts.drop(parts.length - maxTail).mkString(">")
+            n = maxTail
+            trimmed = true
+          }
+          val probe = ">" + tail + ">"
+          val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
+          var emitted = st.emitted
+          compiled.foreach { case (name, p, anchored, i) =>
+            if ((emitted & (1 << i)) == 0 && (!anchored || !trimmed) &&
+              p.matcher(probe).find()) {
+              out += PatternMatch(userId, name)
+              emitted |= 1 << i
+            }
+          }
+          state.update(PatternState(tail, n, trimmed, emitted))
+          out.iterator
+      }
+  }
+
   // ---- streaming CDC apply into a snapshot table ----
 
   /** Newest `graft.cdc.batch` marker at or below the current version — the

@@ -241,4 +241,20 @@ class PlansSpec extends AnyFunSuite {
     val pf = plan.split("PartitionFilters:").drop(1).map(_.takeWhile(_ != '\n')).mkString
     assert(pf.contains("event_type"), plan)
   }
+
+  test("q_bpe_encode: the vocab-sized sub-token table joins by broadcast, corpus never reshuffled by it") {
+    val plan = planOf("q_bpe_encode")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the corpus side's only exchange is the doc-keyed aggregate; the word
+    // join must not add a word-keyed shuffle of the exploded corpus
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_event_pattern: all patterns evaluate in ONE pass — a single user-keyed shuffle") {
+    val plan = planOf("q_event_pattern")
+    // sequence build = 1 user-keyed exchange; the final single-row stack
+    // adds its 1-partition exchange; there must be no per-pattern passes
+    assert(plan.split("Exchange").length - 1 <= 3, plan)
+    assert(plan.split("Scan ").length - 1 == 1, s"events scanned more than once: $plan")
+  }
 }

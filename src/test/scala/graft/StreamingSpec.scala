@@ -1062,4 +1062,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.Snapshots.currentVersion(spark, tbl).contains(2),
       "expected exactly one create + one merge commit")
   }
+
+  test("streaming CEP emits exactly the users the batch pattern sweep finds") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.WindowOps
+    val all = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[Streaming.TypedEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Streaming.TypedEvent]
+    val q = Streaming.patternMatches(mem.toDS(), maxTail = 100000)
+      .writeStream.format("memory").queryName("cep_out").outputMode("append").start()
+    // three time-ordered micro-batches, so matches complete mid-stream
+    all.grouped(math.max(1, all.length / 3 + 1)).foreach { batch =>
+      mem.addData(batch.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cep_out")
+      .as[(Long, String)].collect().toSet
+    // batch truth: the same sequences + the same regexes, per user
+    val seqs = Tables.events(spark, TestSpark.sf)
+      .groupBy("user_id")
+      .agg(concat(lit(">"), concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        e => e.getField("event_type"))), lit(">")).as("seq"))
+      .as[(Long, String)].collect()
+    val expected = (for {
+      (u, s) <- seqs
+      (name, re) <- WindowOps.eventPatterns
+      if java.util.regex.Pattern.compile(re).matcher(s).find()
+    } yield (u, name)).toSet
+    assert(streamed == expected, s"streamed ${streamed.size} vs batch ${expected.size}")
+    assert(streamed.nonEmpty)
+    // first-match-only: no (user, pattern) pair appears twice
+    val dup = spark.table("cep_out").groupBy("user_id", "pattern")
+      .count().filter(col("count") > 1).count()
+    assert(dup == 0, "a match was emitted more than once")
+  }
+
+  test("streaming CEP abstains on anchored patterns once the tail is trimmed") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val mem = MemoryStream[Streaming.TypedEvent]
+    // maxTail 2: by the time 'purchase' arrives, 'signup' has been trimmed
+    // off the front — the anchored signup→purchase pattern must NOT fire
+    // (the state can no longer prove where history began), while the
+    // unanchored adjacency patterns still see the tail
+    val q = Streaming.patternMatches(mem.toDS(), maxTail = 2)
+      .writeStream.format("memory").queryName("cep_trim").outputMode("append").start()
+    mem.addData(
+      Streaming.TypedEvent(1, t("2024-01-01 10:00:00"), 7L, "signup"),
+      Streaming.TypedEvent(2, t("2024-01-01 10:01:00"), 7L, "view"))
+    q.processAllAvailable()
+    mem.addData(
+      Streaming.TypedEvent(3, t("2024-01-01 10:02:00"), 7L, "purchase"),
+      Streaming.TypedEvent(4, t("2024-01-01 10:03:00"), 7L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cep_trim").as[(Long, String)].collect().toSet
+    assert(got == Set((7L, "immediate_rebuy")), got.toString)
+  }
 }
