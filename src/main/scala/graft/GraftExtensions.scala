@@ -195,6 +195,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectOptimizerRule(_ => PolygonEnvelopeRule)
+    // automatic materialized-view query rewrite (operators.MviewRewrite):
+    // an aggregate over a registered snapshot source answers from its
+    // fresh Mview instead — registration-gated, no-op otherwise
+    ext.injectOptimizerRule(session => new graft.operators.MviewRewriteRule(session))
   }
 }
 

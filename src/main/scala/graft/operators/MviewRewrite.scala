@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Automatic query rewrite over [[Mview]]-maintained materialized views —
+  * the classic warehouse feature (Calcite/Oracle "query rewrite"): an
+  * aggregate over the SOURCE snapshot table silently answers from the
+  * aggregate-sized VIEW when that is provably equivalent. The query author
+  * keeps writing against the base table; whoever registered the view pays
+  * its maintenance; every matching query stops scanning the fact table.
+  * At 100 TB this is the difference between a full fact scan and a read of
+  * a few thousand rows.
+  *
+  * A rewrite fires only when ALL of:
+  *   - the aggregate's child is (modulo an attribute-only Project) the
+  *     parquet relation of a REGISTERED source dir, planning exactly the
+  *     files of the source's CURRENT version — a time-travel read of an
+  *     older version keeps its full scan;
+  *   - the view is FRESH: its `src_version` marker equals the source head
+  *     (a stale view never answers — correctness beats the speedup);
+  *   - grouping is by a subset of the view's keys, and every aggregate is
+  *     derivable: `count(<literal>)` → `sum(cnt)`, `sum(x)` →
+  *     `sum(sum_x)`, `min(x)`/`max(x)` → `min(min_x)`/`max(max_x)`,
+  *     possibly under scalar wrappers (`round(sum(x), 2)`, arithmetic,
+  *     casts) — no DISTINCT, no FILTER clauses, and every rewritten
+  *     expression must carry the exact same data type (a DECIMAL sum
+  *     re-widened would change the schema, so it refuses instead).
+  *
+  * The rewrite re-aggregates over the view, which is exact: view rows are
+  * one per key group, and count/sum/min/max all fold correctly from the
+  * partial per-group values when grouping by fewer keys. Output
+  * expression ids are preserved, so parent operators never notice.
+  */
+object MviewRewrite {
+  final case class Registration(srcDir: String, viewDir: String,
+      keys: Seq[String], sumCols: Seq[String], minMaxCols: Seq[String])
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Registration]()
+
+  /** Declare that `viewDir` materializes `srcDir`'s aggregate (same
+    * arguments as [[Mview.refresh]]). Idempotent per source dir.
+    */
+  def register(srcDir: String, viewDir: String, keys: Seq[String],
+      sumCols: Seq[String], minMaxCols: Seq[String] = Seq.empty): Unit =
+    registry.put(srcDir, Registration(srcDir, viewDir, keys, sumCols, minMaxCols))
+
+  def deregister(srcDir: String): Unit = { registry.remove(srcDir); () }
+  def clear(): Unit = registry.clear()
+
+  private[operators] def isEmpty: Boolean = registry.isEmpty
+  private[operators] def all: Seq[Registration] = {
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.toSeq
+  }
+}
+
+class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MviewRewrite.isEmpty) plan
+    else plan.transformUp {
+      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+        tryRewrite(groupExprs, aggExprs, child).getOrElse(agg)
+    }
+
+  /** The base relation under an attribute-only Project, if that is the
+    * whole child (anything else — filters, joins, generators — refuses).
+    */
+  private def baseOf(child: LogicalPlan): Option[LogicalRelation] = child match {
+    case p @ Project(plist, c: LogicalRelation)
+        if plist.forall(_.isInstanceOf[AttributeReference]) => Some(c)
+    case c: LogicalRelation => Some(c)
+    case _ => None
+  }
+
+  private def tryRewrite(groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val lr = baseOf(child).getOrElse(return None)
+    val fsRel = lr.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    val planned = fsRel.location.rootPaths.map(_.toUri.getPath).toSet
+    if (planned.isEmpty) return None
+    val reg = MviewRewrite.all.find(r =>
+      planned.forall(_.startsWith(r.srcDir + "/"))).getOrElse(return None)
+
+    // freshness + exact-version check: the planned file set must be the
+    // source HEAD's file set, and the view must have folded exactly that
+    // version (manifests are KB-sized driver reads)
+    val head = Snapshots.currentVersion(spark, reg.srcDir).getOrElse(return None)
+    if (!Mview.appliedSrcVersion(spark, reg.viewDir).contains(head)) return None
+    val headFiles = Snapshots.files(spark, reg.srcDir, head)
+      .map(f => new org.apache.hadoop.fs.Path(reg.srcDir + "/" + f).toUri.getPath)
+      .toSet
+    if (planned != headFiles) return None
+
+    // grouping must be by view keys only
+    val groupAttrs = groupExprs.map {
+      case a: AttributeReference if reg.keys.contains(a.name) => a
+      case _ => return None
+    }
+
+    // analyzed (NOT optimized — that would re-enter this rule) view plan;
+    // fresh expression ids per rewrite, so no conflicts with the query
+    val viewPlan = Snapshots.read(spark, reg.viewDir).queryExecution.analyzed
+    val viewAttr: Map[String, Attribute] = viewPlan.output.map(a => a.name -> a).toMap
+    def aggOf(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Expression =
+      AggregateExpression(fn, Complete, isDistinct = false)
+
+    /** The view-side twin of one base-table aggregate call, or None when
+      * it is not derivable. Type equality is part of equivalence: a
+      * type-widening rewrite (DECIMAL sums widen per aggregation) refuses.
+      */
+    def replacementFor(ae: AggregateExpression): Option[Expression] = {
+      if (ae.mode != Complete || ae.isDistinct || ae.filter.nonEmpty) return None
+      val replaced = ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null => aggOf(Sum(viewAttr("cnt")))
+        case Sum(ar: AttributeReference, _) if reg.sumCols.contains(ar.name) =>
+          aggOf(Sum(viewAttr(s"sum_${ar.name}")))
+        case Min(ar: AttributeReference) if reg.minMaxCols.contains(ar.name) =>
+          aggOf(Min(viewAttr(s"min_${ar.name}")))
+        case Max(ar: AttributeReference) if reg.minMaxCols.contains(ar.name) =>
+          aggOf(Max(viewAttr(s"max_${ar.name}")))
+        case _ => return None
+      }
+      if (replaced.dataType == ae.dataType) Some(replaced) else None
+    }
+
+    /** Top-down expression rewrite: aggregate subtrees map atomically via
+      * [[replacementFor]]; bare attributes outside aggregates can only be
+      * grouping keys (analysis guarantees it) and map to the view's;
+      * scalar wrappers (round, arithmetic, casts) keep their shape over
+      * rewritten children; any other leaf aborts the whole rewrite.
+      */
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => replacementFor(ae)
+      case a: AttributeReference =>
+        if (reg.keys.contains(a.name)) Some(viewAttr(a.name)) else None
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    val rewritten = aggExprs.map {
+      case a: AttributeReference if reg.keys.contains(a.name) =>
+        Alias(viewAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(child, name) =>
+        val newChild = rewriteExpr(child).getOrElse(return None)
+        if (newChild.dataType != al.dataType) return None
+        Alias(newChild, name)(exprId = al.exprId)
+      case _ => return None
+    }
+    val newGroup = groupAttrs.map(a => viewAttr(a.name))
+    Some(Aggregate(newGroup, rewritten, viewPlan))
+  }
+}

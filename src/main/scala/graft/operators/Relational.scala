@@ -568,6 +568,25 @@ object Relational extends QueryModule {
       (src, view)
     })
 
+  /** AUTOMATIC query rewrite over the same maintained view: the query is
+    * written against the SOURCE snapshot table, and the injected
+    * [[MviewRewrite]] optimizer rule answers it from the aggregate-sized
+    * view because the registration matches and the view is fresh — the
+    * fact table is never scanned (PlansSpec locks the scan paths). The
+    * oracle aggregates the full base data, so a wrong rewrite cannot hide.
+    */
+  private def qMviewRewrite(s: SparkSession, d: String): DataFrame = {
+    val (src, view) = mviewDir(s, d)
+    MviewRewrite.register(src, view, Seq("o_orderstatus"),
+      Seq("o_totalprice"), Seq("o_totalprice"))
+    Snapshots.read(s, src).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("total"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("o_orderstatus")
+  }
+
   private def qMviewInc(s: SparkSession, d: String): DataFrame =
     Snapshots.read(s, mviewDir(s, d)._2)
       .select(col("o_orderstatus"), col("cnt"),
@@ -951,6 +970,7 @@ object Relational extends QueryModule {
     "q_snapshot_tvf" -> qSnapshotTvf,
     "q_snapshot_merge" -> qSnapshotMerge,
     "q_mview_inc" -> qMviewInc,
+    "q_mview_rewrite" -> qMviewRewrite,
     "q_snapshot_bloom" -> qSnapshotBloom,
     "q_scan" -> qScan,
     "q_project" -> qProject,
@@ -1007,6 +1027,13 @@ object Relational extends QueryModule {
         |FROM orders WHERE o_orderkey IN (17, 1042)
         |ORDER BY n""".stripMargin,
     "q_mview_inc" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // same base truth as q_mview_inc — deliberately: the rewrite must be
+    // invisible in results, only in the plan (PlansSpec locks the plan)
+    "q_mview_rewrite" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS total,
         |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi

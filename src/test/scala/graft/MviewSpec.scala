@@ -91,4 +91,93 @@ class MviewSpec extends AnyFunSuite {
     Snapshots.commit(spark, d, Seq(2L).toDF("k"))
     assert(Snapshots.commitMeta(spark, d, 2).isEmpty, "meta must not leak across versions")
   }
+
+  // ---- automatic query rewrite (MviewRewrite + the injected rule)
+
+  import graft.operators.MviewRewrite
+
+  private def rewriteFixture(): (String, String) = {
+    val src = tmp("mvr-src"); val view = tmp("mvr-view")
+    Snapshots.commit(spark, src,
+      Seq(("a", 1L), ("a", 5L), ("b", 2L), ("b", 8L), ("c", 4L)).toDF("g", "x"))
+    Mview.refresh(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
+    (src, view)
+  }
+
+  private def baseAgg(src: String) =
+    Snapshots.read(spark, src).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sx"),
+        min("x").as("lo"), max("x").as("hi"))
+      .orderBy("g")
+
+  /** Root paths of every file relation in the optimized plan. */
+  private def scannedDirs(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath).toSet
+          case _ => Set.empty[String]
+        }
+    }.flatten.toSet
+
+  private def scansUnder(df: org.apache.spark.sql.DataFrame, dir: String): Boolean =
+    scannedDirs(df).exists(_.startsWith(dir + "/"))
+
+  test("query rewrite: a fresh registered view answers the base-table aggregate") {
+    val (src, view) = rewriteFixture()
+    val truth = baseAgg(src).as[(String, Long, Long, Long, Long)].collect().toSeq
+    MviewRewrite.register(src, view, Seq("g"), Seq("x"), Seq("x"))
+    try {
+      val df = baseAgg(src)
+      assert(scansUnder(df, view), s"aggregate not rewritten to the view: ${scannedDirs(df)}")
+      assert(!scansUnder(df, src), s"rewritten plan still scans the source: ${scannedDirs(df)}")
+      assert(df.as[(String, Long, Long, Long, Long)].collect().toSeq == truth)
+      // subset grouping (global aggregate) re-aggregates the view correctly
+      val g = Snapshots.read(spark, src)
+        .agg(count(lit(1)).as("cnt"), sum("x").as("sx"), max("x").as("hi"))
+      assert(scansUnder(g, view))
+      assert(g.as[(Long, Long, Long)].collect().head == ((5L, 20L, 8L)))
+    } finally MviewRewrite.deregister(src)
+  }
+
+  test("query rewrite: a STALE view never answers; refresh re-enables it") {
+    val (src, view) = rewriteFixture()
+    MviewRewrite.register(src, view, Seq("g"), Seq("x"), Seq("x"))
+    try {
+      Snapshots.commit(spark, src, Seq(("c", 9L)).toDF("g", "x"))
+      val df = baseAgg(src)
+      assert(!scansUnder(df, view), "stale view must not answer")
+      assert(df.as[(String, Long, Long, Long, Long)].collect()
+        .exists(r => r._1 == "c" && r._5 == 9L), "fresh data missing")
+      Mview.refresh(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
+      val df2 = baseAgg(src)
+      assert(scansUnder(df2, view))
+      assert(df2.as[(String, Long, Long, Long, Long)].collect()
+        .exists(r => r._1 == "c" && r._5 == 9L))
+    } finally MviewRewrite.deregister(src)
+  }
+
+  test("query rewrite: time travel and non-derivable aggregates keep the base scan") {
+    val (src, view) = rewriteFixture()
+    Snapshots.commit(spark, src, Seq(("d", 3L)).toDF("g", "x"))
+    Mview.refresh(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
+    MviewRewrite.register(src, view, Seq("g"), Seq("x"), Seq("x"))
+    try {
+      // a pinned v1 read aggregates HISTORY — rewriting to the head view
+      // would be wrong, so it must not fire
+      val v1 = Snapshots.read(spark, src, Some(1)).groupBy("g")
+        .agg(count(lit(1)).as("cnt")).orderBy("g")
+      assert(!scansUnder(v1, view))
+      assert(v1.as[(String, Long)].collect().toSeq ==
+        Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+      // avg is not in the view's derivable set → base scan, correct result
+      val av = Snapshots.read(spark, src).groupBy("g").agg(avg("x").as("a"))
+      assert(!scansUnder(av, view))
+      // count(DISTINCT x) must also refuse
+      val cd = Snapshots.read(spark, src).groupBy("g")
+        .agg(countDistinct(col("x")).as("n"))
+      assert(!scansUnder(cd, view))
+    } finally MviewRewrite.deregister(src)
+  }
 }
