@@ -43,7 +43,11 @@ object Mview {
       sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame =
     src.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+        // cntv_<c> = the NON-NULL count, also add-decomposable: it is what
+        // makes avg(c) (= sum_c / cntv_c) and count(c) derivable by the
+        // query-rewrite rule even on nullable columns
+        sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
+            count(col(c)).as(s"cntv_$c"))) ++
           minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
             max(col(c)).as(s"max_$c"))): _*)
 
@@ -66,7 +70,7 @@ object Mview {
           Snapshots.readChanges(spark, srcDir, applied, head),
           keys, sumCols, minMaxCols)
         val old = Snapshots.read(spark, viewDir)
-        val addCols = "cnt" +: sumCols.map(c => s"sum_$c")
+        val addCols = "cnt" +: sumCols.flatMap(c => Seq(s"sum_$c", s"cntv_$c"))
         // full-outer merge of two aggregate-sized tables: totals ADD,
         // extrema fold via least/greatest (valid because appends only ever
         // grow a group — a delete would need recompute, and deletes refuse

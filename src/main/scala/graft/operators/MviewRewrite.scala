@@ -69,19 +69,24 @@ class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         tryRewrite(groupExprs, aggExprs, child).getOrElse(agg)
     }
 
-  /** The base relation under an attribute-only Project, if that is the
-    * whole child (anything else — filters, joins, generators — refuses).
+  /** The base relation under attribute-only Projects and Filters, plus the
+    * conjunction of the filter conditions met on the way (anything else —
+    * joins, generators, windows — refuses). Filters are admissible only
+    * when they reference just the view's grouping keys, decided later.
     */
-  private def baseOf(child: LogicalPlan): Option[LogicalRelation] = child match {
-    case p @ Project(plist, c: LogicalRelation)
-        if plist.forall(_.isInstanceOf[AttributeReference]) => Some(c)
-    case c: LogicalRelation => Some(c)
-    case _ => None
-  }
+  private def baseOf(child: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    child match {
+      case Project(plist, c) if plist.forall(_.isInstanceOf[AttributeReference]) =>
+        baseOf(c)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c) =>
+        baseOf(c).map { case (lr, conds) => (lr, cond +: conds) }
+      case c: LogicalRelation => Some((c, Nil))
+      case _ => None
+    }
 
   private def tryRewrite(groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
-    val lr = baseOf(child).getOrElse(return None)
+    val (lr, filterConds) = baseOf(child).getOrElse(return None)
     val fsRel = lr.relation match {
       case h: HadoopFsRelation => h
       case _ => return None
@@ -114,20 +119,41 @@ class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def aggOf(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Expression =
       AggregateExpression(fn, Complete, isDistinct = false)
 
+    // safe lookup: a view refreshed by an older Mview build may lack the
+    // cntv_* columns — a missing column refuses the rewrite, never throws
+    def va(name: String): Option[Attribute] = viewAttr.get(name)
+
     /** The view-side twin of one base-table aggregate call, or None when
       * it is not derivable. Type equality is part of equivalence: a
       * type-widening rewrite (DECIMAL sums widen per aggregation) refuses.
       */
     def replacementFor(ae: AggregateExpression): Option[Expression] = {
       if (ae.mode != Complete || ae.isDistinct || ae.filter.nonEmpty) return None
-      val replaced = ae.aggregateFunction match {
-        case Count(Seq(l: Literal)) if l.value != null => aggOf(Sum(viewAttr("cnt")))
+      val replaced: Expression = ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null =>
+          aggOf(Sum(va("cnt").getOrElse(return None)))
+        // count(x) — the NON-NULL count — folds from the view's cntv_x
+        case Count(Seq(ar: AttributeReference)) if reg.sumCols.contains(ar.name) =>
+          aggOf(Sum(va(s"cntv_${ar.name}").getOrElse(return None)))
         case Sum(ar: AttributeReference, _) if reg.sumCols.contains(ar.name) =>
-          aggOf(Sum(viewAttr(s"sum_${ar.name}")))
+          aggOf(Sum(va(s"sum_${ar.name}").getOrElse(return None)))
         case Min(ar: AttributeReference) if reg.minMaxCols.contains(ar.name) =>
-          aggOf(Min(viewAttr(s"min_${ar.name}")))
+          aggOf(Min(va(s"min_${ar.name}").getOrElse(return None)))
         case Max(ar: AttributeReference) if reg.minMaxCols.contains(ar.name) =>
-          aggOf(Max(viewAttr(s"max_${ar.name}")))
+          aggOf(Max(va(s"max_${ar.name}").getOrElse(return None)))
+        // avg(x) = sum(sum_x) / sum(cntv_x), both as double — the type
+        // Average itself produces for non-decimal inputs (decimal averages,
+        // whose scale arithmetic differs, fail the type check and refuse).
+        // The denominator is the NON-NULL count, so nullable x is exact.
+        case org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+            ar: AttributeReference, _) if reg.sumCols.contains(ar.name) =>
+          org.apache.spark.sql.catalyst.expressions.Divide(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              aggOf(Sum(va(s"sum_${ar.name}").getOrElse(return None))),
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              aggOf(Sum(va(s"cntv_${ar.name}").getOrElse(return None))),
+              org.apache.spark.sql.types.DoubleType))
         case _ => return None
       }
       if (replaced.dataType == ae.dataType) Some(replaced) else None
@@ -151,6 +177,12 @@ class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+    // filters between the aggregate and the scan are admissible only over
+    // grouping keys — then they commute with the aggregate and apply to
+    // the view's key columns unchanged
+    if (!filterConds.forall(_.references.forall(a => reg.keys.contains(a.name))))
+      return None
+
     val rewritten = aggExprs.map {
       case a: AttributeReference if reg.keys.contains(a.name) =>
         Alias(viewAttr(a.name), a.name)(exprId = a.exprId)
@@ -161,6 +193,10 @@ class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val newGroup = groupAttrs.map(a => viewAttr(a.name))
-    Some(Aggregate(newGroup, rewritten, viewPlan))
+    val filtered = filterConds.foldRight(viewPlan) { (c, p) =>
+      org.apache.spark.sql.catalyst.plans.logical.Filter(
+        rewriteExpr(c).getOrElse(return None), p)
+    }
+    Some(Aggregate(newGroup, rewritten, filtered))
   }
 }

@@ -171,13 +171,49 @@ class MviewSpec extends AnyFunSuite {
       assert(!scansUnder(v1, view))
       assert(v1.as[(String, Long)].collect().toSeq ==
         Seq(("a", 2L), ("b", 2L), ("c", 1L)))
-      // avg is not in the view's derivable set → base scan, correct result
-      val av = Snapshots.read(spark, src).groupBy("g").agg(avg("x").as("a"))
-      assert(!scansUnder(av, view))
+      // an aggregate over an EXPRESSION is not derivable → base scan
+      val ex = Snapshots.read(spark, src).groupBy("g")
+        .agg(sum(col("x") * 2).as("s2"))
+      assert(!scansUnder(ex, view))
       // count(DISTINCT x) must also refuse
       val cd = Snapshots.read(spark, src).groupBy("g")
         .agg(countDistinct(col("x")).as("n"))
       assert(!scansUnder(cd, view))
+    } finally MviewRewrite.deregister(src)
+  }
+
+  test("query rewrite: avg and count(col) derive via non-null counts, exact under NULLs") {
+    val src = tmp("mvr-null-src"); val view = tmp("mvr-null-view")
+    Snapshots.commit(spark, src,
+      Seq(("a", Option(4L)), ("a", Option.empty[Long]), ("a", Option(8L)),
+        ("b", Option.empty[Long]), ("b", Option.empty[Long]))
+        .toDF("g", "x"))
+    Mview.refresh(spark, src, view, Seq("g"), Seq("x"))
+    def q() = Snapshots.read(spark, src).groupBy("g")
+      .agg(avg("x").as("a"), count(col("x")).as("nn"), count(lit(1)).as("n"))
+      .orderBy("g")
+    val truth = q().collect().map(_.toSeq).toSeq
+    assert(truth == Seq(Seq("a", 6.0, 2L, 3L), Seq("b", null, 0L, 2L)), truth)
+    MviewRewrite.register(src, view, Seq("g"), Seq("x"))
+    try {
+      val df = q()
+      assert(scansUnder(df, view), s"avg/count(col) did not rewrite: ${scannedDirs(df)}")
+      assert(df.collect().map(_.toSeq).toSeq == truth)
+    } finally MviewRewrite.deregister(src)
+  }
+
+  test("query rewrite: a key-only WHERE rides the rewrite; other filters refuse") {
+    val (src, view) = rewriteFixture()
+    MviewRewrite.register(src, view, Seq("g"), Seq("x"), Seq("x"))
+    try {
+      val f = Snapshots.read(spark, src).filter(col("g") =!= "b").groupBy("g")
+        .agg(sum("x").as("sx")).orderBy("g")
+      assert(scansUnder(f, view), s"key filter blocked the rewrite: ${scannedDirs(f)}")
+      assert(f.as[(String, Long)].collect().toSeq == Seq(("a", 6L), ("c", 4L)))
+      // a filter on a NON-key column does not commute with the aggregate
+      val nf = Snapshots.read(spark, src).filter(col("x") > 1).groupBy("g")
+        .agg(sum("x").as("sx"))
+      assert(!scansUnder(nf, view), "non-key filter must refuse")
     } finally MviewRewrite.deregister(src)
   }
 }
