@@ -71,6 +71,12 @@ object Mview {
           keys, sumCols, minMaxCols)
         val old = Snapshots.read(spark, viewDir)
         val addCols = "cnt" +: sumCols.flatMap(c => Seq(s"sum_$c", s"cntv_$c"))
+        // a view materialized before the cntv_* columns cannot be folded
+        // incrementally (non-null history is not recoverable from deltas) —
+        // refuse with the migration path instead of crashing mid-merge
+        require(addCols.forall(old.columns.contains),
+          s"$viewDir predates the cntv_* non-null-count columns — run " +
+            "Mview.rebuild once to migrate, then refresh resumes incrementally")
         // full-outer merge of two aggregate-sized tables: totals ADD,
         // extrema fold via least/greatest (valid because appends only ever
         // grow a group — a delete would need recompute, and deletes refuse

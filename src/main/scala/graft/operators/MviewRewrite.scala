@@ -93,8 +93,14 @@ class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val planned = fsRel.location.rootPaths.map(_.toUri.getPath).toSet
     if (planned.isEmpty) return None
-    val reg = MviewRewrite.all.find(r =>
-      planned.forall(_.startsWith(r.srcDir + "/"))).getOrElse(return None)
+    // LONGEST matching source dir wins: with nested registered dirs
+    // (/data/a and /data/a/b) the most specific one is the only candidate
+    // whose head-file check can succeed, and map iteration order must not
+    // decide whether the rewrite fires
+    val candidates = MviewRewrite.all
+      .filter(r => planned.forall(_.startsWith(r.srcDir + "/")))
+    if (candidates.isEmpty) return None
+    val reg = candidates.maxBy(_.srcDir.length)
 
     // freshness + exact-version check: the planned file set must be the
     // source HEAD's file set, and the view must have folded exactly that
@@ -129,12 +135,19 @@ class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       */
     def replacementFor(ae: AggregateExpression): Option[Expression] = {
       if (ae.mode != Complete || ae.isDistinct || ae.filter.nonEmpty) return None
+      // counts fold as sums, but an EMPTY input (a global aggregate over a
+      // filtered-out or empty table) sums to NULL where count returns 0 —
+      // coalesce restores count's contract; harmless under grouping, where
+      // empty groups emit no row on either side
+      def countAs(colName: String): Option[Expression] =
+        va(colName).map(a => org.apache.spark.sql.catalyst.expressions.Coalesce(
+          Seq(aggOf(Sum(a)), Literal(0L))))
       val replaced: Expression = ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null =>
-          aggOf(Sum(va("cnt").getOrElse(return None)))
+          countAs("cnt").getOrElse(return None)
         // count(x) — the NON-NULL count — folds from the view's cntv_x
         case Count(Seq(ar: AttributeReference)) if reg.sumCols.contains(ar.name) =>
-          aggOf(Sum(va(s"cntv_${ar.name}").getOrElse(return None)))
+          countAs(s"cntv_${ar.name}").getOrElse(return None)
         case Sum(ar: AttributeReference, _) if reg.sumCols.contains(ar.name) =>
           aggOf(Sum(va(s"sum_${ar.name}").getOrElse(return None)))
         case Min(ar: AttributeReference) if reg.minMaxCols.contains(ar.name) =>
@@ -168,7 +181,7 @@ class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression => replacementFor(ae)
       case a: AttributeReference =>
-        if (reg.keys.contains(a.name)) Some(viewAttr(a.name)) else None
+        if (reg.keys.contains(a.name)) va(a.name) else None
       case l: Literal => Some(l)
       case other if other.children.nonEmpty =>
         val kids = other.children.map(rewriteExpr)
@@ -177,22 +190,26 @@ class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-    // filters between the aggregate and the scan are admissible only over
-    // grouping keys — then they commute with the aggregate and apply to
-    // the view's key columns unchanged
-    if (!filterConds.forall(_.references.forall(a => reg.keys.contains(a.name))))
+    // filters between the aggregate and the scan are admissible only when
+    // DETERMINISTIC and over grouping keys — then they commute with the
+    // aggregate and apply to the view's key columns unchanged. (The
+    // determinism check matters even with an empty reference set: a
+    // rand() predicate filters base ROWS, and pushing it over the view
+    // would filter whole GROUPS instead.)
+    if (!filterConds.forall(c => c.deterministic &&
+        c.references.forall(a => reg.keys.contains(a.name))))
       return None
 
     val rewritten = aggExprs.map {
       case a: AttributeReference if reg.keys.contains(a.name) =>
-        Alias(viewAttr(a.name), a.name)(exprId = a.exprId)
+        Alias(va(a.name).getOrElse(return None), a.name)(exprId = a.exprId)
       case al @ Alias(child, name) =>
         val newChild = rewriteExpr(child).getOrElse(return None)
         if (newChild.dataType != al.dataType) return None
         Alias(newChild, name)(exprId = al.exprId)
       case _ => return None
     }
-    val newGroup = groupAttrs.map(a => viewAttr(a.name))
+    val newGroup = groupAttrs.map(a => va(a.name).getOrElse(return None))
     val filtered = filterConds.foldRight(viewPlan) { (c, p) =>
       org.apache.spark.sql.catalyst.plans.logical.Filter(
         rewriteExpr(c).getOrElse(return None), p)

@@ -118,15 +118,29 @@ class ApiServer(spark: SparkSession, port: Int = 0,
   private[server] val sqlRowCap = 10000
 
   private[server] def runSql(query: String): String = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, ParsedStatement}
     val parsed = spark.sessionState.sqlParser.parsePlan(query)
-    if (parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command])
+    // writes hide in THREE parse-time shapes, and Command alone misses two:
+    // DDL/SET parse to Command subtypes, but INSERT INTO parses to
+    // InsertIntoStatement (a ParsedStatement) and INSERT OVERWRITE
+    // DIRECTORY to InsertIntoDir — neither extends Command. Scan the whole
+    // tree so a write nested under a CTE cannot slip past either.
+    if (parsed.exists(n => n.isInstanceOf[Command] ||
+        n.isInstanceOf[ParsedStatement] || n.isInstanceOf[InsertIntoDir]))
       throw new IllegalArgumentException("only read-only queries are served")
     val df = spark.sql(query)
     val rows = df.limit(sqlRowCap + 1).toJSON.collect()
     val truncated = rows.length > sqlRowCap
     val kept = if (truncated) rows.take(sqlRowCap) else rows
-    val cols = df.columns.map(c =>
-      "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    // full JSON string escaping for column names — Spark permits aliases
+    // with control characters, and one raw newline would break the payload
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val cols = df.columns.map(jstr)
     s"""{"columns":[${cols.mkString(",")}],"rowCount":${kept.length},""" +
       s""""truncated":$truncated,"rows":[${kept.mkString(",")}]}"""
   }

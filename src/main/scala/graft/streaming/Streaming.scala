@@ -374,6 +374,10 @@ object Streaming extends QueryModule {
       patterns: Seq[(String, String)] = graft.operators.WindowOps.eventPatterns,
       maxTail: Int = 512): Dataset[PatternMatch] = {
     import events.sparkSession.implicits._
+    // the first-match bitmask is an Int — one more pattern would silently
+    // alias bit 0 and drop matches, so refuse loudly instead
+    require(patterns.length <= 32,
+      s"patternMatches supports at most 32 patterns (got ${patterns.length})")
     // compiled once on the driver, shipped in the closure (Pattern is
     // serializable); anchored-ness decided from the regex itself
     val compiled = patterns.zipWithIndex.map { case ((name, re), i) =>

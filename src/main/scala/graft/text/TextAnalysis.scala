@@ -939,6 +939,14 @@ object TextAnalysis extends QueryModule {
 
   // ---- BPE tokenizer training
 
+  /** The one BPE word tokenization (lowercase alpha runs): training, the
+    * vocabulary build, and encode must use the byte-identical rule or
+    * encode silently falls back to per-character counts — one definition
+    * makes the invariant structural.
+    */
+  private def bpeWords(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
   /** Word table for BPE training: lowercase alpha tokens → corpus counts,
     * capped at the `maxVocab` most frequent words (every real BPE trainer
     * caps the word table — a tail word below the cut can move any pair
@@ -947,8 +955,7 @@ object TextAnalysis extends QueryModule {
     * this aggregate everything is vocab-bounded.
     */
   private[graft] def bpeWordTable(docs: DataFrame, maxVocab: Int): DataFrame =
-    docs.select(explode(
-        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+    docs.select(explode(bpeWords(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(maxVocab)
       .select(concat_ws(" ", split(col("word"), "")).as("syms"), col("cnt"))
@@ -1077,8 +1084,7 @@ object TextAnalysis extends QueryModule {
     */
   private[graft] def bpeSubtokenCounts(docs: DataFrame,
       merges: Seq[(String, String, String)]): DataFrame = {
-    val words = docs.select(explode(
-        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+    val words = docs.select(explode(bpeWords(col("text"))).as("word"))
       .distinct()
     var t = words.select(col("word"),
       concat_ws(" ", split(col("word"), "")).as("syms"))
@@ -1102,8 +1108,7 @@ object TextAnalysis extends QueryModule {
   private def qBpeEncode(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
     val sub = bpeSubtokenCounts(docs, bpeMergesCached(s, d))
-    docs.select(col("doc_id"), explode(
-        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+    docs.select(col("doc_id"), explode(bpeWords(col("text"))).as("word"))
       .join(sub, Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),

@@ -224,6 +224,25 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /sql rejects INSERT statements (they are not Command plans)") {
+    withServer { port =>
+      val url = s"http://127.0.0.1:$port/sql"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sql-guard").toString
+      // INSERT OVERWRITE DIRECTORY parses to InsertIntoDir, INSERT INTO to
+      // InsertIntoStatement — neither is a Command, both must still refuse
+      for (q <- Seq(
+          s"INSERT OVERWRITE DIRECTORY '$dir/out' USING parquet SELECT 1 AS x",
+          s"INSERT INTO parquet.`$dir/tbl` SELECT 1 AS x",
+          s"WITH t AS (SELECT 1 AS x) INSERT OVERWRITE DIRECTORY '$dir/out' USING parquet SELECT * FROM t")) {
+        val (code, _) = post(url, s"""{"query": "$q"}""")
+        assert(code == 400, s"$q -> $code")
+      }
+      assert(new java.io.File(s"$dir/out").listFiles() == null &&
+        new java.io.File(s"$dir/tbl").listFiles() == null,
+        "a rejected INSERT left files behind")
+    }
+  }
+
   test("POST /sql caps huge results and says so") {
     withServer { port =>
       val (code, body) = post(s"http://127.0.0.1:$port/sql",

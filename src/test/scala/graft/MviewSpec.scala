@@ -110,16 +110,8 @@ class MviewSpec extends AnyFunSuite {
         min("x").as("lo"), max("x").as("hi"))
       .orderBy("g")
 
-  /** Root paths of every file relation in the optimized plan. */
   private def scannedDirs(df: org.apache.spark.sql.DataFrame): Set[String] =
-    df.queryExecution.optimizedPlan.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.map(_.toUri.getPath).toSet
-          case _ => Set.empty[String]
-        }
-    }.flatten.toSet
+    TestSpark.scannedDirs(df)
 
   private def scansUnder(df: org.apache.spark.sql.DataFrame, dir: String): Boolean =
     scannedDirs(df).exists(_.startsWith(dir + "/"))
@@ -199,6 +191,44 @@ class MviewSpec extends AnyFunSuite {
       val df = q()
       assert(scansUnder(df, view), s"avg/count(col) did not rewrite: ${scannedDirs(df)}")
       assert(df.collect().map(_.toSeq).toSeq == truth)
+    } finally MviewRewrite.deregister(src)
+  }
+
+  test("query rewrite: counts stay 0 (not NULL) when the rewritten input is empty") {
+    val (src, view) = rewriteFixture()
+    MviewRewrite.register(src, view, Seq("g"), Seq("x"), Seq("x"))
+    try {
+      // global aggregate + a key filter matching nothing: the rewrite fires
+      // (key-only filter) and sum-over-empty must not turn count's 0 into NULL
+      val df = Snapshots.read(spark, src).filter(col("g") === "zzz")
+        .agg(count(lit(1)).as("n"), count(col("x")).as("nn"), sum("x").as("sx"))
+      assert(scansUnder(df, view), s"expected rewrite: ${scannedDirs(df)}")
+      val row = df.collect().head
+      assert(row.getLong(0) == 0L && row.getLong(1) == 0L && row.isNullAt(2), row.toString)
+    } finally MviewRewrite.deregister(src)
+  }
+
+  test("query rewrite: nondeterministic filters and mismatched registrations refuse safely") {
+    val (src, view) = rewriteFixture()
+    // a rand() predicate filters base ROWS; over the view it would filter
+    // whole GROUPS — must refuse even though its reference set is empty
+    MviewRewrite.register(src, view, Seq("g"), Seq("x"), Seq("x"))
+    try {
+      // (rand < 2.0 would be provably true and Spark removes the filter
+      // before this rule runs — the predicate must stay unfoldable)
+      val nd = Snapshots.read(spark, src).filter(rand(7) < 0.5).groupBy("g")
+        .agg(count(lit(1)).as("n"))
+      assert(!scansUnder(nd, view), "nondeterministic filter must refuse")
+    } finally MviewRewrite.deregister(src)
+    // a registration claiming a key the VIEW does not carry must refuse
+    // the rewrite (base scan, correct result) — never throw from the
+    // optimizer: here "x" is registered as a key but the view was built
+    // keyed on "g" only, so grouping by x attempts and safely abandons
+    MviewRewrite.register(src, view, Seq("g", "x"), Seq.empty)
+    try {
+      val df = Snapshots.read(spark, src).groupBy("x").agg(count(lit(1)).as("n"))
+      assert(!scansUnder(df, view))
+      assert(df.count() == 5)
     } finally MviewRewrite.deregister(src)
   }
 

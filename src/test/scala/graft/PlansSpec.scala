@@ -244,14 +244,7 @@ class PlansSpec extends AnyFunSuite {
 
   test("q_mview_rewrite: the fact table is never scanned — the view answers") {
     val df = SparkEntry.queries("q_mview_rewrite")(spark, TestSpark.sf)
-    val dirs = df.queryExecution.optimizedPlan.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.map(_.toUri.getPath).toSet
-          case _ => Set.empty[String]
-        }
-    }.flatten.toSet
+    val dirs = TestSpark.scannedDirs(df)
     assert(dirs.nonEmpty && dirs.forall(_.contains("graft-mview-v")),
       s"rewritten plan still scans the source: $dirs")
   }

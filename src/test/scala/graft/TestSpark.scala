@@ -23,4 +23,18 @@ object TestSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Root paths of every file relation in the optimized plan — the shared
+    * "which directories does this query actually scan" probe (mview-rewrite
+    * locks in MviewSpec and PlansSpec assert on it).
+    */
+  def scannedDirs(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath).toSet
+          case _ => Set.empty[String]
+        }
+    }.flatten.toSet
 }
