@@ -87,30 +87,45 @@ class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     val (lr, filterConds) = baseOf(child).getOrElse(return None)
-    val fsRel = lr.relation match {
-      case h: HadoopFsRelation => h
+    // the source table appears in two relation shapes: the parquet file
+    // relation Snapshots.read / snapshot_scan() plan (match by planned
+    // file set), and the `USING snapshots` SQL relation (match by its own
+    // dir + pin). Either way the match must pin to the source HEAD.
+    val reg = lr.relation match {
+      case h: HadoopFsRelation =>
+        val planned = h.location.rootPaths.map(_.toUri.getPath).toSet
+        if (planned.isEmpty) return None
+        // LONGEST matching source dir wins: with nested registered dirs
+        // (/data/a and /data/a/b) the most specific one is the only
+        // candidate whose head-file check can succeed, and map iteration
+        // order must not decide whether the rewrite fires
+        val candidates = MviewRewrite.all
+          .filter(r => planned.forall(_.startsWith(r.srcDir + "/")))
+        if (candidates.isEmpty) return None
+        val reg = candidates.maxBy(_.srcDir.length)
+        // exact-version check: the planned file set must be the source
+        // HEAD's file set — a time-travel read keeps its scan
+        val head = Snapshots.currentVersion(spark, reg.srcDir).getOrElse(return None)
+        val headFiles = Snapshots.files(spark, reg.srcDir, head)
+          .map(f => new org.apache.hadoop.fs.Path(reg.srcDir + "/" + f).toUri.getPath)
+          .toSet
+        if (planned != headFiles) return None
+        reg
+      case sr: graft.streaming.SnapshotRelation =>
+        val reg = MviewRewrite.all.find(_.srcDir == sr.dir).getOrElse(return None)
+        val head = Snapshots.currentVersion(spark, reg.srcDir).getOrElse(return None)
+        // an unpinned mounted view reads LATEST; the rewrite pins its
+        // answer to the head seen at planning — the same exposure the
+        // parquet path has (its file list is also fixed at planning). A
+        // version/timestamp pin must equal the head or keep its scan.
+        if (!sr.pinned.forall(_ == head)) return None
+        reg
       case _ => return None
     }
-    val planned = fsRel.location.rootPaths.map(_.toUri.getPath).toSet
-    if (planned.isEmpty) return None
-    // LONGEST matching source dir wins: with nested registered dirs
-    // (/data/a and /data/a/b) the most specific one is the only candidate
-    // whose head-file check can succeed, and map iteration order must not
-    // decide whether the rewrite fires
-    val candidates = MviewRewrite.all
-      .filter(r => planned.forall(_.startsWith(r.srcDir + "/")))
-    if (candidates.isEmpty) return None
-    val reg = candidates.maxBy(_.srcDir.length)
-
-    // freshness + exact-version check: the planned file set must be the
-    // source HEAD's file set, and the view must have folded exactly that
-    // version (manifests are KB-sized driver reads)
+    // freshness: the view must have folded exactly the source head
+    // (manifests are KB-sized driver reads)
     val head = Snapshots.currentVersion(spark, reg.srcDir).getOrElse(return None)
     if (!Mview.appliedSrcVersion(spark, reg.viewDir).contains(head)) return None
-    val headFiles = Snapshots.files(spark, reg.srcDir, head)
-      .map(f => new org.apache.hadoop.fs.Path(reg.srcDir + "/" + f).toUri.getPath)
-      .toSet
-    if (planned != headFiles) return None
 
     // grouping must be by view keys only
     val groupAttrs = groupExprs.map {

@@ -190,8 +190,8 @@ private[graft] class SnapshotSink(sqlContext: SQLContext, dir: String)
   * after the scan, so pruning can only skip files, never change results.
   * Column pruning is pushed into the inner parquet read.
   */
-class SnapshotRelation(override val sqlContext: SQLContext, dir: String,
-    pinned: Option[Int]) extends BaseRelation with PrunedFilteredScan
+class SnapshotRelation(override val sqlContext: SQLContext, val dir: String,
+    val pinned: Option[Int]) extends BaseRelation with PrunedFilteredScan
     with InsertableRelation {
   private def spark = sqlContext.sparkSession
 

@@ -232,6 +232,35 @@ class MviewSpec extends AnyFunSuite {
     } finally MviewRewrite.deregister(src)
   }
 
+  test("query rewrite: fires for SQL users too — snapshot_scan TVF and mounted USING snapshots") {
+    val (src, view) = rewriteFixture()
+    MviewRewrite.register(src, view, Seq("g"), Seq("x"), Seq("x"))
+    try {
+      // the TVF plans the same parquet relation Snapshots.read builds
+      val tvf = spark.sql(
+        s"SELECT g, count(*) AS n, sum(x) AS sx FROM snapshot_scan('$src') GROUP BY g ORDER BY g")
+      assert(scansUnder(tvf, view), s"TVF aggregate not rewritten: ${scannedDirs(tvf)}")
+      assert(tvf.as[(String, Long, Long)].collect().toSeq ==
+        Seq(("a", 2L, 6L), ("b", 2L, 10L), ("c", 1L, 4L)))
+      // the DSv1 mounted relation matches by its own dir + pin
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mvr_mounted " +
+        s"USING snapshots OPTIONS (path '$src')")
+      val mounted = spark.sql(
+        "SELECT g, count(*) AS n FROM mvr_mounted GROUP BY g ORDER BY g")
+      assert(scansUnder(mounted, view), s"mounted aggregate not rewritten: ${scannedDirs(mounted)}")
+      assert(mounted.as[(String, Long)].collect().toSeq ==
+        Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+      // a version-pinned mount below head keeps its scan
+      Snapshots.commit(spark, src, Seq(("c", 9L)).toDF("g", "x"))
+      Mview.refresh(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mvr_pinned " +
+        s"USING snapshots OPTIONS (path '$src', versionAsOf '1')")
+      val pinned = spark.sql("SELECT g, count(*) AS n FROM mvr_pinned GROUP BY g")
+      assert(!scansUnder(pinned, view), "pinned mount must keep its scan")
+      assert(pinned.count() == 3)
+    } finally MviewRewrite.deregister(src)
+  }
+
   test("query rewrite: a key-only WHERE rides the rewrite; other filters refuse") {
     val (src, view) = rewriteFixture()
     MviewRewrite.register(src, view, Seq("g"), Seq("x"), Seq("x"))
