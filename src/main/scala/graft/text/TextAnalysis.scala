@@ -1148,6 +1148,8 @@ object TextAnalysis extends QueryModule {
     "q_tokens" -> qTokens,
     "q_tfidf" -> qTfidf,
     "q_bm25" -> qBm25,
+    "q_bm25_indexed" -> ((s: SparkSession, d: String) =>
+      TextIndex.bm25Indexed(s, TextIndex.prepareIndex(s, d))),
     "q_text_quality" -> qTextQuality,
     "q_token_count" -> qTokenCount,
     "q_token_count_bpe" -> qTokenCountBpe,
@@ -1725,6 +1727,23 @@ object TextAnalysis extends QueryModule {
     // BM25 twin: same query-term derivation (df rank 6..13), same Okapi
     // constants, same round-before-order rule as the Spark side
     "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |qt AS (SELECT token, df FROM dfx ORDER BY df DESC, token LIMIT 8 OFFSET 5),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n_docs,
+        |          avg(len(string_split(text, ' '))) AS avgdl FROM documents)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |    (tf * (1.2 + 1)) /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM tf JOIN qt USING (token) JOIN dl USING (doc_id), stats
+        |GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin,
+    // the indexed variant answers the SAME retrieval — identical oracle;
+    // what changes is where the work happens (ingest vs query time)
+    "q_bm25_indexed" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),

@@ -1,0 +1,129 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent inverted index for retrieval — the ingest-time structure a
+  * 100 TB corpus serves search from. Every other retrieval query in this
+  * repo (`q_bm25`, `q_tfidf`, `q_keywords`) re-tokenizes the corpus at
+  * query time, which is the right shape for one-off analytics but not for
+  * serving: at scale the tokenize+explode pass IS the cost, and it is the
+  * same work every query. This module moves it to ingest. (North-star op;
+  * the reference has no text processing — its only string work is CSV arg
+  * splitting, `Gddp.scala:108,114`.)
+  *
+  * On-disk layout (all parquet, shard-partitioned, append-only):
+  *
+  *   dir/postings/shard=K/   (token, doc_id, tf, dl)
+  *   dir/df/shard=K/         (token, df)
+  *   dir/stats/shard=K/      (n_docs, sum_dl)
+  *
+  * Three scale decisions:
+  *
+  *   - Document length is DENORMALIZED into the posting rows. BM25 needs
+  *     per-doc dl; a separate doclen table would force a doc-count-sized
+  *     join (a full doclen scan under any join strategy, since the hit set
+  *     isn't known until runtime). Inline, the query touches ONLY the
+  *     postings of its query terms — the classic forward-index-in-the-
+  *     posting trick, at +8 bytes per posting.
+  *   - Postings are hash-partitioned on token and SORTED by token within
+  *     each file, so parquet row-group min/max stats answer the query-term
+  *     `IN` filter: a k-term query reads ~k row groups per shard, not the
+  *     index. (The on-disk analogue at 100 TB is the same table bucketed
+  *     by token; the sort is what makes the pushed filter selective.)
+  *   - df and stats are per-shard partial aggregates merged BY SUM at query
+  *     time. A posting (token, doc_id) appears in exactly one shard —
+  *     shards partition the docs — so sum-of-shard-dfs equals the
+  *     full-corpus df and appending a shard never rewrites existing state.
+  *     Both tables are vocabulary-/constant-sized: merge cost is metadata.
+  *
+  * TextIndexSpec property-locks merge-equals-rebuild (any slicing of the
+  * corpus into shards yields the same query answers as one shard) and the
+  * plan shape (pushed `IN` filter on the postings scan, no Generate —
+  * i.e. no query-time tokenization anywhere in the plan).
+  */
+object TextIndex {
+
+  /** Tokenize `docs` (doc_id, text) and append its postings + partial
+    * aggregates as shard `shard` of the index at `dir`. One corpus explode,
+    * one (doc, token) aggregate; df and stats roll up from that table's
+    * vocab-/constant-sized projections, never re-exploding the corpus.
+    */
+  def writeShard(docs: DataFrame, dir: String, shard: Int): Unit = {
+    val s = docs.sparkSession
+    val tf = docs
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("dl"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tf.select("token", "doc_id", "tf", "dl")
+        .repartition(s.sessionState.conf.numShufflePartitions min 8, col("token"))
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("errorifexists").parquet(s"$dir/postings/shard=$shard")
+      tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .coalesce(1)
+        .write.mode("errorifexists").parquet(s"$dir/df/shard=$shard")
+      docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.tokens(col("text")))).as("sum_dl"))
+        .coalesce(1)
+        .write.mode("errorifexists").parquet(s"$dir/stats/shard=$shard")
+    } finally tf.unpersist()
+  }
+
+  /** Merged document frequency across all shards — vocabulary-sized. */
+  def mergedDf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/df")
+      .groupBy("token").agg(sum("df").as("df"))
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) served FROM the index: same query-term
+    * derivation (corpus tokens ranked 6th–13th by merged df), same
+    * constants, same round-before-order rule as `q_bm25`, so the two share
+    * one oracle. The term set is collected to drive literal `IN` pushdown
+    * into the postings scan — 8 rows, metadata-sized by construction
+    * (`limit(8)`), which is exactly the collect the scan pruning needs.
+    * Everything doc-sized the query touches is the hit postings.
+    */
+  def bm25Indexed(s: SparkSession, dir: String, nTerms: Int = 8,
+      skip: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = mergedDf(s, dir)
+      .orderBy(col("df").desc, col("token")).offset(skip).limit(nTerms)
+    val terms = qt.collect().map(_.getString(0))
+    val stats = s.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs").as("n_docs"),
+        (sum("sum_dl").cast("double") / sum("n_docs")).as("avgdl"))
+    s.read.parquet(s"$dir/postings")
+      .filter(col("token").isin(terms.toSeq: _*))
+      .join(broadcast(qt), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(b) * col("dl") / col("avgdl") + (1 - b)))).as("s"))
+      .groupBy("doc_id").agg(round(sum(col("s")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // (applicationId, dataset)-keyed like the other ingest-time layouts
+  private val indexDirs = scala.collection.mutable.Map[(String, String), String]()
+
+  /** The harness index: built from the 90% corpus split, then the held-out
+    * 10% APPENDED as a second shard — so the declared query's hash-green
+    * row proves incremental maintenance equals a full build, the same
+    * proof shape as q_mview_inc. Bench warms this with the other layouts.
+    */
+  def prepareIndex(s: SparkSession, d: String): String =
+    indexDirs.synchronized {
+      indexDirs.getOrElseUpdate((s.sparkContext.applicationId, d), {
+        val dir = java.nio.file.Files.createTempDirectory("graft-textindex")
+          .toFile.getAbsolutePath
+        val docs = graft.Tables.documents(s, d).select("doc_id", "text")
+        writeShard(docs.filter(col("doc_id") % 10 =!= 0), dir, 0)
+        writeShard(docs.filter(col("doc_id") % 10 === 0), dir, 1)
+        dir
+      })
+    }
+}

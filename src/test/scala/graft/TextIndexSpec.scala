@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.{TextAnalysis, TextIndex}
+
+/** Locks for the persistent inverted index (text/TextIndex.scala): the
+  * indexed retrieval must answer exactly what the full-scan query answers,
+  * under ANY slicing of the corpus into ingest shards, and its plan must
+  * show the work really moved to ingest (pushed term filter, no
+  * query-time tokenization).
+  */
+class TextIndexSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-tix").toFile.getAbsolutePath
+
+  test("indexed BM25 equals the full-scan q_bm25 on the harness corpus") {
+    val indexed = SparkEntry.queries("q_bm25_indexed")(s, sf).collect()
+    val scan = SparkEntry.queries("q_bm25")(s, sf).collect()
+    assert(indexed.toSeq == scan.toSeq)
+  }
+
+  test("merge equals rebuild: any shard slicing answers like one shard") {
+    val docs = Tables.documents(s, sf).select("doc_id", "text")
+    val one = freshDir()
+    TextIndex.writeShard(docs, one, 0)
+    val expected = TextIndex.bm25Indexed(s, one).collect().toSeq
+    val expectedDf = TextIndex.mergedDf(s, one)
+      .orderBy("token").collect().toSeq
+    // 1, 3 and 7 shards, sliced by unrelated keys (mod and hash ranges)
+    for ((nShards, key) <- Seq(
+        (3, col("doc_id") % 3), (7, abs(hash(col("text"))) % 7))) {
+      val dir = freshDir()
+      for (k <- 0 until nShards)
+        TextIndex.writeShard(docs.filter(key === k), dir, k)
+      assert(TextIndex.mergedDf(s, dir).orderBy("token").collect().toSeq ==
+        expectedDf, s"df diverged at $nShards shards")
+      assert(TextIndex.bm25Indexed(s, dir).collect().toSeq == expected,
+        s"bm25 diverged at $nShards shards")
+    }
+  }
+
+  test("empty shards are harmless: append of zero docs changes nothing") {
+    val docs = Tables.documents(s, sf).select("doc_id", "text")
+    val dir = freshDir()
+    TextIndex.writeShard(docs, dir, 0)
+    val before = TextIndex.bm25Indexed(s, dir).collect().toSeq
+    TextIndex.writeShard(docs.filter(lit(false)), dir, 1)
+    assert(TextIndex.bm25Indexed(s, dir).collect().toSeq == before)
+  }
+
+  test("the indexed plan pushes the term IN filter and never tokenizes") {
+    val df = TextIndex.bm25Indexed(s, TextIndex.prepareIndex(s, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    // the postings scan receives the 8 query terms as a pushed IN filter —
+    // with token-sorted files this is the row-group-pruning path
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"no pushed term filter in:\n$plan")
+    // no Generate node: the corpus explode happened at ingest, not here
+    assert(!plan.contains("Generate"), s"query-time explode in:\n$plan")
+    // and the documents table itself is never scanned at query time
+    assert(!TestSpark.scannedDirs(df).exists(_.contains("documents")),
+      "indexed query still reads the documents table")
+  }
+
+  test("postings files are token-sorted so min/max stats can prune") {
+    val dir = TextIndex.prepareIndex(s, sf)
+    val post = s.read.parquet(s"$dir/postings")
+    import org.apache.spark.sql.expressions.Window
+    val byFile = Window.partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
+    val unsorted = post
+      .withColumn("prev", lag(col("token"), 1).over(byFile))
+      .filter(col("prev") > col("token"))
+    assert(unsorted.isEmpty, "postings not sorted by token within files")
+  }
+
+  test("a tombstoned doc never resurfaces: rebuild-without is the contract") {
+    // the index is append-only; deletes are a shard rebuild (same contract
+    // as Scale.compactTiledDir). Verify the rebuilt index forgets the doc.
+    val docs = Tables.documents(s, sf).select("doc_id", "text")
+    val victim = TextIndex.bm25Indexed(s, TextIndex.prepareIndex(s, sf))
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .head()
+    val dir = freshDir()
+    TextIndex.writeShard(docs.filter(col("doc_id") =!= victim), dir, 0)
+    val hits = TextIndex.bm25Indexed(s, dir)
+      .filter(col("doc_id") === victim)
+    assert(hits.isEmpty, s"doc $victim still retrieved after rebuild")
+  }
+}
