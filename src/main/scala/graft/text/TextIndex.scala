@@ -48,9 +48,17 @@ object TextIndex {
     * aggregates as shard `shard` of the index at `dir`. One corpus explode,
     * one (doc, token) aggregate; df and stats roll up from that table's
     * vocab-/constant-sized projections, never re-exploding the corpus.
+    *
+    * `overwrite = true` makes the write idempotent PER SHARD — the mode a
+    * streaming maintainer needs: a retried micro-batch (shard = batchId)
+    * replaces its own three directories instead of erroring on the
+    * partial output the failed attempt left behind (StreamingSpec locks
+    * the streamed index against a batch build).
     */
-  def writeShard(docs: DataFrame, dir: String, shard: Int): Unit = {
+  def writeShard(docs: DataFrame, dir: String, shard: Int,
+      overwrite: Boolean = false): Unit = {
     val s = docs.sparkSession
+    val mode = if (overwrite) "overwrite" else "errorifexists"
     val tf = docs
       .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("dl"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -61,14 +69,14 @@ object TextIndex {
       tf.select("token", "doc_id", "tf", "dl")
         .repartition(s.sessionState.conf.numShufflePartitions min 8, col("token"))
         .sortWithinPartitions("token", "doc_id")
-        .write.mode("errorifexists").parquet(s"$dir/postings/shard=$shard")
+        .write.mode(mode).parquet(s"$dir/postings/shard=$shard")
       tf.groupBy("token").agg(count(lit(1)).as("df"))
         .coalesce(1)
-        .write.mode("errorifexists").parquet(s"$dir/df/shard=$shard")
+        .write.mode(mode).parquet(s"$dir/df/shard=$shard")
       docs.agg(count(lit(1)).as("n_docs"),
           sum(size(TextAnalysis.tokens(col("text")))).as("sum_dl"))
         .coalesce(1)
-        .write.mode("errorifexists").parquet(s"$dir/stats/shard=$shard")
+        .write.mode(mode).parquet(s"$dir/stats/shard=$shard")
     } finally tf.unpersist()
   }
 

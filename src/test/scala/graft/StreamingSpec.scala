@@ -607,6 +607,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.split("PartitionFilters:").exists(_.take(200).contains("cid")), plan)
   }
 
+  test("foreachBatch maintains the on-disk inverted index across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.TextIndex
+    // the streaming twin of TextIndex.writeShard-at-ingest: each arriving
+    // micro-batch of documents becomes one index shard (shard = batchId,
+    // overwrite mode so a RETRIED batch replaces its own partial output
+    // instead of erroring or duplicating), and retrieval over the streamed
+    // index answers exactly what a one-shot batch build answers
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-tix-stream").toString
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        TextIndex.writeShard(batch.toDF(), idxDir, batchId.toInt, overwrite = true)
+      }
+      .start()
+    val rows = docs.as[(Long, String)].collect()
+    val (first, second) = rows.partition(_._1 < 250)
+    mem.addData(first.toSeq); q.processAllAvailable()
+    mem.addData(second.toSeq); q.processAllAvailable()
+    q.stop()
+    // a retry of the LAST batch (same shard id, same data) must be a no-op
+    TextIndex.writeShard(second.toSeq.toDF("doc_id", "text"), idxDir, 1,
+      overwrite = true)
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-tix-batch").toString
+    TextIndex.writeShard(docs, batchDir, 0)
+    assert(TextIndex.mergedDf(spark, idxDir).orderBy("token").collect().toSeq ==
+      TextIndex.mergedDf(spark, batchDir).orderBy("token").collect().toSeq,
+      "streamed df state diverged from batch build")
+    assert(TextIndex.bm25Indexed(spark, idxDir).collect().toSeq ==
+      TextIndex.bm25Indexed(spark, batchDir).collect().toSeq,
+      "retrieval over the streamed index diverged from batch build")
+  }
+
   test("foreachBatch maintains containment-admission state across micro-batches (continuous corpus ingest)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.dedup.Dedup
