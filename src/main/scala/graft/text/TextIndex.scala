@@ -115,6 +115,30 @@ object TextIndex {
       .limit(20)
   }
 
+  /** Storage maintenance: rewrite an N-shard index as one shard at
+    * `dstDir`. Streaming ingest leaves one shard per micro-batch, so a
+    * k-term query pays ~k row groups TIMES N shards; compaction restores
+    * the ~k bound. The rewrite merges the EXISTING tables — postings
+    * re-clustered by token, df/stats folded by sum — so its cost is
+    * index-sized, never a corpus re-tokenize (same maintenance contract as
+    * `Scale.compactTiledDir` / `IvfPq.compactIndex`: answers must be
+    * byte-identical before and after, TextIndexSpec-locked).
+    */
+  def compactIndex(s: SparkSession, srcDir: String, dstDir: String): Unit = {
+    s.read.parquet(s"$srcDir/postings")
+      .select("token", "doc_id", "tf", "dl")
+      .repartition(s.sessionState.conf.numShufflePartitions min 8, col("token"))
+      .sortWithinPartitions("token", "doc_id")
+      .write.mode("errorifexists").parquet(s"$dstDir/postings/shard=0")
+    mergedDf(s, srcDir)
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dstDir/df/shard=0")
+    s.read.parquet(s"$srcDir/stats")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dstDir/stats/shard=0")
+  }
+
   // (applicationId, dataset)-keyed like the other ingest-time layouts
   private val indexDirs = scala.collection.mutable.Map[(String, String), String]()
 

@@ -78,6 +78,31 @@ class TextIndexSpec extends AnyFunSuite {
     assert(unsorted.isEmpty, "postings not sorted by token within files")
   }
 
+  test("compaction merges shards without changing any answer") {
+    val docs = Tables.documents(s, sf).select("doc_id", "text")
+    val src = freshDir()
+    for (k <- 0 until 7) // streaming-ingest aftermath: one shard per batch
+      TextIndex.writeShard(docs.filter(col("doc_id") % 7 === k), src, k)
+    val dst = freshDir()
+    TextIndex.compactIndex(s, src, dst)
+    assert(TextIndex.mergedDf(s, dst).orderBy("token").collect().toSeq ==
+      TextIndex.mergedDf(s, src).orderBy("token").collect().toSeq)
+    assert(TextIndex.bm25Indexed(s, dst).collect().toSeq ==
+      TextIndex.bm25Indexed(s, src).collect().toSeq)
+    def files(d: String) = s.read.parquet(s"$d/postings")
+      .select(input_file_name()).distinct().count()
+    assert(files(dst) < files(src),
+      s"compaction did not shrink the file count: ${files(src)} -> ${files(dst)}")
+    // the compacted layout keeps the pruning invariant
+    val post = s.read.parquet(s"$dst/postings")
+    import org.apache.spark.sql.expressions.Window
+    val byFile = Window.partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
+    assert(post.withColumn("prev", lag(col("token"), 1).over(byFile))
+      .filter(col("prev") > col("token")).isEmpty,
+      "compacted postings not token-sorted within files")
+  }
+
   test("a tombstoned doc never resurfaces: rebuild-without is the contract") {
     // the index is append-only; deletes are a shard rebuild (same contract
     // as Scale.compactTiledDir). Verify the rebuilt index forgets the doc.
