@@ -1150,6 +1150,8 @@ object TextAnalysis extends QueryModule {
     "q_bm25" -> qBm25,
     "q_bm25_indexed" -> ((s: SparkSession, d: String) =>
       TextIndex.bm25Indexed(s, TextIndex.prepareIndex(s, d))),
+    "q_phrase_search" -> ((s: SparkSession, d: String) =>
+      TextIndex.phraseSearch(s, TextIndex.prepareIndex(s, d))),
     "q_text_quality" -> qTextQuality,
     "q_token_count" -> qTokenCount,
     "q_token_count_bpe" -> qTokenCountBpe,
@@ -1741,6 +1743,18 @@ object TextAnalysis extends QueryModule {
         |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
         |FROM tf JOIN qt USING (token) JOIN dl USING (doc_id), stats
         |GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin,
+    // phrase oracle: position semantics (overlapping occurrences), top
+    // bigram picked (count DESC, w1, w2) — both engines tie-break alike
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |       FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+        |       WHERE len(t) >= 2),
+        |top AS (SELECT w1, w2 FROM (SELECT w1, w2, count(*) AS c FROM bg
+        |        GROUP BY 1, 2 ORDER BY c DESC, w1, w2 LIMIT 1))
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_hits
+        |FROM bg JOIN top USING (w1, w2)
+        |GROUP BY doc_id ORDER BY n_hits DESC, doc_id LIMIT 50""".stripMargin,
     // the indexed variant answers the SAME retrieval — identical oracle;
     // what changes is where the work happens (ingest vs query time)
     "q_bm25_indexed" ->

@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   * On-disk layout (all parquet, shard-partitioned, append-only):
   *
   *   dir/postings/shard=K/   (token, doc_id, tf, dl)
+  *   dir/positions/shard=K/  (token, doc_id, ps: array&lt;int&gt;)
+  *   dir/bigrams/shard=K/    (w1, w2, c)
   *   dir/df/shard=K/         (token, df)
   *   dir/stats/shard=K/      (n_docs, sum_dl)
   *
@@ -45,9 +47,11 @@ import org.apache.spark.sql.functions._
 object TextIndex {
 
   /** Tokenize `docs` (doc_id, text) and append its postings + partial
-    * aggregates as shard `shard` of the index at `dir`. One corpus explode,
-    * one (doc, token) aggregate; df and stats roll up from that table's
-    * vocab-/constant-sized projections, never re-exploding the corpus.
+    * aggregates as shard `shard` of the index at `dir`. Three corpus-linear
+    * passes over the ARRIVING SHARD (tf, positions, bigrams), each one
+    * explode + one aggregate; df and stats roll up from the tf table's
+    * vocab-/constant-sized projections. Ingest-time cost, paid once per
+    * shard — queries never re-tokenize anything.
     *
     * `overwrite = true` makes the write idempotent PER SHARD — the mode a
     * streaming maintainer needs: a retried micro-batch (shard = batchId)
@@ -73,6 +77,29 @@ object TextIndex {
       tf.groupBy("token").agg(count(lit(1)).as("df"))
         .coalesce(1)
         .write.mode(mode).parquet(s"$dir/df/shard=$shard")
+      // positional postings (phrase/proximity retrieval) — the SAME
+      // tokenize pass, positions folded to one sorted array per posting,
+      // token-clustered like the tf postings so term filters prune
+      docs
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "token")))
+        .groupBy("token", "doc_id")
+        .agg(sort_array(collect_list(col("p"))).as("ps"))
+        .repartition(s.sessionState.conf.numShufflePartitions min 8, col("token"))
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode(mode).parquet(s"$dir/positions/shard=$shard")
+      // per-shard bigram counts (phrase statistics) — bigrams never cross
+      // doc boundaries, so shard counts merge by sum like df
+      docs
+        .select(TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2")))).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .coalesce(1)
+        .write.mode(mode).parquet(s"$dir/bigrams/shard=$shard")
       docs.agg(count(lit(1)).as("n_docs"),
           sum(size(TextAnalysis.tokens(col("text")))).as("sum_dl"))
         .coalesce(1)
@@ -115,6 +142,39 @@ object TextIndex {
       .limit(20)
   }
 
+  /** Phrase search served from the POSITIONAL index: retrieve the docs
+    * containing the corpus' top bigram (count desc, then (w1, w2) asc —
+    * deterministic in any engine) with per-doc occurrence counts.
+    * The phrase comes from the merged bigram table (vocab²-bounded partial
+    * sums, a metadata-sized aggregate), is collected (1 row — the literal
+    * the scan pruning needs), and the only data-sized work is the
+    * positions scan FILTERED to the two phrase words: per-doc hits are
+    * `|shift(ps₁) ∩ ps₂|`, which counts overlapping occurrences exactly
+    * (positions are distinct, so "a a a" scores 2 for phrase "a a").
+    * The w1 = w2 self-phrase case joins the same posting row to itself and
+    * needs no special path. No Generate, no doc-sized join — the same
+    * query-from-state shape as [[bm25Indexed]].
+    */
+  def phraseSearch(s: SparkSession, dir: String, limit: Int = 50): DataFrame = {
+    val top = s.read.parquet(s"$dir/bigrams")
+      .groupBy("w1", "w2").agg(sum("c").as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(1).collect().head
+    val (w1, w2) = (top.getString(0), top.getString(1))
+    val pos = s.read.parquet(s"$dir/positions")
+    val p1 = pos.filter(col("token") === w1)
+      .select(col("doc_id"), col("ps").as("ps1"))
+    val p2 = pos.filter(col("token") === w2)
+      .select(col("doc_id"), col("ps").as("ps2"))
+    p1.join(p2, "doc_id")
+      .select(col("doc_id"),
+        size(array_intersect(transform(col("ps1"), x => x + 1), col("ps2")))
+          .as("n_hits"))
+      .filter(col("n_hits") >= 1)
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(limit)
+  }
+
   /** Storage maintenance: rewrite an N-shard index as one shard at
     * `dstDir`. Streaming ingest leaves one shard per micro-batch, so a
     * k-term query pays ~k row groups TIMES N shards; compaction restores
@@ -130,6 +190,15 @@ object TextIndex {
       .repartition(s.sessionState.conf.numShufflePartitions min 8, col("token"))
       .sortWithinPartitions("token", "doc_id")
       .write.mode("errorifexists").parquet(s"$dstDir/postings/shard=0")
+    s.read.parquet(s"$srcDir/positions")
+      .select("token", "doc_id", "ps")
+      .repartition(s.sessionState.conf.numShufflePartitions min 8, col("token"))
+      .sortWithinPartitions("token", "doc_id")
+      .write.mode("errorifexists").parquet(s"$dstDir/positions/shard=0")
+    s.read.parquet(s"$srcDir/bigrams")
+      .groupBy("w1", "w2").agg(sum("c").as("c"))
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dstDir/bigrams/shard=0")
     mergedDf(s, srcDir)
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dstDir/df/shard=0")

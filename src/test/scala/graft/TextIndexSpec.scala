@@ -40,6 +40,9 @@ class TextIndexSpec extends AnyFunSuite {
         expectedDf, s"df diverged at $nShards shards")
       assert(TextIndex.bm25Indexed(s, dir).collect().toSeq == expected,
         s"bm25 diverged at $nShards shards")
+      assert(TextIndex.phraseSearch(s, dir).collect().toSeq ==
+        TextIndex.phraseSearch(s, one).collect().toSeq,
+        s"phrase search diverged at $nShards shards")
     }
   }
 
@@ -78,6 +81,38 @@ class TextIndexSpec extends AnyFunSuite {
     assert(unsorted.isEmpty, "postings not sorted by token within files")
   }
 
+  test("phrase search counts overlapping occurrences and self-phrases") {
+    import s.implicits._
+    val dir = freshDir()
+    // "a a a" contains "a a" twice (overlap); doc 2 has the phrase once;
+    // doc 3 has both words but never adjacent in order
+    TextIndex.writeShard(Seq(
+      (1L, "a a a x"), (2L, "x a a y"), (3L, "a x y a"),
+      (4L, "b b b b b")).toDF("doc_id", "text"), dir, 0)
+    // corpus top bigram is (b, b) c=4; force the (a, a) phrase by checking
+    // against a corpus whose top IS the self-phrase a a (c=3)
+    val hits = TextIndex.phraseSearch(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(hits == Map(4L -> 4)) // "b b b b b": 4 overlapping b-b hits
+    val dir2 = freshDir()
+    TextIndex.writeShard(Seq(
+      (1L, "a a a x"), (2L, "x a a y"), (3L, "a x y a")).toDF("doc_id", "text"),
+      dir2, 0)
+    val hits2 = TextIndex.phraseSearch(s, dir2).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(hits2 == Map(1L -> 2, 2L -> 1)) // doc 3 excluded: not adjacent
+  }
+
+  test("phrase search plan reads only the index, filtered to the phrase words") {
+    val df = graft.text.TextIndex.phraseSearch(s, TextIndex.prepareIndex(s, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"query-time explode in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(token), EqualTo(token"),
+      s"phrase-word filter not pushed in:\n$plan")
+    assert(!TestSpark.scannedDirs(df).exists(_.contains("documents")),
+      "phrase query still reads the documents table")
+  }
+
   test("compaction merges shards without changing any answer") {
     val docs = Tables.documents(s, sf).select("doc_id", "text")
     val src = freshDir()
@@ -89,6 +124,8 @@ class TextIndexSpec extends AnyFunSuite {
       TextIndex.mergedDf(s, src).orderBy("token").collect().toSeq)
     assert(TextIndex.bm25Indexed(s, dst).collect().toSeq ==
       TextIndex.bm25Indexed(s, src).collect().toSeq)
+    assert(TextIndex.phraseSearch(s, dst).collect().toSeq ==
+      TextIndex.phraseSearch(s, src).collect().toSeq)
     def files(d: String) = s.read.parquet(s"$d/postings")
       .select(input_file_name()).distinct().count()
     assert(files(dst) < files(src),
