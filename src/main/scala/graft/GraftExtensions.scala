@@ -23,7 +23,10 @@ import graft.functions.{ApproxTopK, CmsEstimate, CosineSimilarity, DotProduct, H
   *   - SQL table functions: `FROM grid_scan('<dir>')` — the DSv2
   *     NetCDF/HDF5/GRF scan with its full pushdown surface — and
   *     `FROM snapshot_scan('<dir>'[, version])` — manifest-versioned
-  *     snapshot reads with SQL-native time travel.
+  *     snapshot reads with SQL-native time travel — and
+  *     `FROM bm25_search('<indexDir>'[, k])` / `FROM phrase_search(
+  *     '<indexDir>'[, limit])` — retrieval from a persistent
+  *     [[graft.text.TextIndex]] directory.
   *   - `PolygonEnvelopeRule`: rewrites `point_in_polygon` predicates inside
   *     `Filter` conditions to `bbox(ring) AND point_in_polygon` (under filter
   *     semantics NULL and FALSE both drop the row, so this is an equivalence;
@@ -192,6 +195,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Snapshots.read(spark,
           litString(args.head, "snapshot_scan path"),
           args.lift(1).map(litInt(_, "snapshot_scan version")))
+          .queryExecution.logical
+      }))
+    // `FROM bm25_search('<indexDir>'[, k])` / `FROM phrase_search('<indexDir>'
+    // [, limit])` — retrieval served from a persistent text.TextIndex
+    // directory. Like snapshot_scan's manifest read, the metadata-sized
+    // term/phrase derivation (8-row / 1-row collect) runs at resolution
+    // time on the driver; the returned plan is the pruned index scan.
+    ext.injectTableFunction((FunctionIdentifier("bm25_search"), info("bm25_search"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2, "bm25_search('<indexDir>'[, k])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.text.TextIndex.bm25Indexed(spark,
+          litString(args.head, "bm25_search index dir"),
+          k = args.lift(1).map(litInt(_, "bm25_search k")).getOrElse(20))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((FunctionIdentifier("phrase_search"), info("phrase_search"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2,
+          "phrase_search('<indexDir>'[, limit])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.text.TextIndex.phraseSearch(spark,
+          litString(args.head, "phrase_search index dir"),
+          args.lift(1).map(litInt(_, "phrase_search limit")).getOrElse(50))
           .queryExecution.logical
       }))
     ext.injectOptimizerRule(_ => PolygonEnvelopeRule)

@@ -121,7 +121,8 @@ object TextIndex {
     * Everything doc-sized the query touches is the hit postings.
     */
   def bm25Indexed(s: SparkSession, dir: String, nTerms: Int = 8,
-      skip: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      skip: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 20): DataFrame = {
     val qt = mergedDf(s, dir)
       .orderBy(col("df").desc, col("token")).offset(skip).limit(nTerms)
     val terms = qt.collect().map(_.getString(0))
@@ -139,7 +140,7 @@ object TextIndex {
             lit(k1) * (lit(b) * col("dl") / col("avgdl") + (1 - b)))).as("s"))
       .groupBy("doc_id").agg(round(sum(col("s")), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
+      .limit(k)
   }
 
   /** Phrase search served from the POSITIONAL index: retrieve the docs
@@ -156,11 +157,14 @@ object TextIndex {
     * query-from-state shape as [[bm25Indexed]].
     */
   def phraseSearch(s: SparkSession, dir: String, limit: Int = 50): DataFrame = {
-    val top = s.read.parquet(s"$dir/bigrams")
+    val topRows = s.read.parquet(s"$dir/bigrams")
       .groupBy("w1", "w2").agg(sum("c").as("c"))
       .orderBy(col("c").desc, col("w1"), col("w2"))
-      .limit(1).collect().head
-    val (w1, w2) = (top.getString(0), top.getString(1))
+      .limit(1).collect()
+    require(topRows.nonEmpty,
+      s"index at $dir has an empty bigram table (no doc with >= 2 tokens); " +
+        "no phrase exists to search for")
+    val (w1, w2) = (topRows.head.getString(0), topRows.head.getString(1))
     val pos = s.read.parquet(s"$dir/positions")
     val p1 = pos.filter(col("token") === w1)
       .select(col("doc_id"), col("ps").as("ps1"))

@@ -217,6 +217,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(latest == 6 && pinned == 3)
   }
 
+  test("SQL bm25_search / phrase_search TVFs serve the text index") {
+    val dir = graft.text.TextIndex.prepareIndex(ext, TestSpark.sf)
+    assert(ext.sql(s"SELECT * FROM bm25_search('$dir')").collect().toSeq ==
+      graft.text.TextIndex.bm25Indexed(ext, dir).collect().toSeq)
+    // the k argument narrows the cut, SQL-side composition still works
+    val top5 = ext.sql(
+      s"SELECT doc_id FROM bm25_search('$dir', 5) WHERE bm25 > 0")
+    assert(top5.count() <= 5 && top5.count() > 0)
+    assert(ext.sql(s"SELECT * FROM phrase_search('$dir')").collect().toSeq ==
+      graft.text.TextIndex.phraseSearch(ext, dir).collect().toSeq)
+    // the TVF plan is the same pruned index scan: no Generate, no documents
+    val phys = ext.sql(s"SELECT * FROM bm25_search('$dir')")
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Generate"), phys)
+    assert(phys.contains("PushedFilters: [In(token"), phys)
+  }
+
   test("table functions reject non-constant arguments loudly") {
     val e = intercept[Exception](
       ext.sql("SELECT * FROM grid_scan(concat('a', rand()))").collect())
