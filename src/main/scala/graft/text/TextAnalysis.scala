@@ -262,11 +262,13 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** Consecutive-token (w1, w2) bigram rows of a tokenized corpus, keeping
-    * `keep` columns alongside. One Generate pass — the only data-sized scan
-    * the LM/PMI queries make over the corpus.
+  /** Consecutive-token (w1, w2) bigram rows of a tokenized corpus (a `t`
+    * array column), keeping `keep` columns alongside. One Generate pass —
+    * the only data-sized scan the LM/PMI queries make over the corpus;
+    * package-visible so [[TextIndex]] builds its bigram statistics from
+    * the same definition.
     */
-  private def bigramRows(docs: DataFrame, keep: Column*): DataFrame =
+  private[text] def bigramRows(docs: DataFrame, keep: Column*): DataFrame =
     docs
       .filter(size(col("t")) >= 2)
       .select(keep :+ explode(transform(sequence(lit(0), size(col("t")) - 2),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistent inverted index for retrieval — the ingest-time structure a
@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *   dir/positions/shard=K/  (token, doc_id, ps: array&lt;int&gt;)
   *   dir/bigrams/shard=K/    (w1, w2, c)
   *   dir/df/shard=K/         (token, df)
-  *   dir/stats/shard=K/      (n_docs, sum_dl)
+  *   dir/stats/shard=K/      (n_docs, n_dl, sum_dl)
+  *   dir/_commits/K          (empty marker, written LAST)
   *
-  * Three scale decisions:
+  * Four scale decisions:
   *
   *   - Document length is DENORMALIZED into the posting rows. BM25 needs
   *     per-doc dl; a separate doclen table would force a doc-count-sized
@@ -33,31 +34,41 @@ import org.apache.spark.sql.functions._
   *     `IN` filter: a k-term query reads ~k row groups per shard, not the
   *     index. (The on-disk analogue at 100 TB is the same table bucketed
   *     by token; the sort is what makes the pushed filter selective.)
-  *   - df and stats are per-shard partial aggregates merged BY SUM at query
-  *     time. A posting (token, doc_id) appears in exactly one shard —
-  *     shards partition the docs — so sum-of-shard-dfs equals the
-  *     full-corpus df and appending a shard never rewrites existing state.
-  *     Both tables are vocabulary-/constant-sized: merge cost is metadata.
+  *   - df, bigrams and stats are per-shard partial aggregates merged BY SUM
+  *     at query time. A posting (token, doc_id) appears in exactly one
+  *     shard — shards partition the docs, and bigrams never cross doc
+  *     boundaries — so sum-of-shard-partials equals the full-corpus value
+  *     and appending a shard never rewrites existing state. All three are
+  *     vocabulary-/constant-sized: merge cost is metadata.
+  *   - A shard becomes VISIBLE only when its `_commits/K` marker lands,
+  *     written after all five table writes succeed. Readers resolve the
+  *     committed shard set first and scan exactly those paths, so an
+  *     ingest that dies mid-shard leaves queries answering from the last
+  *     consistent state; the repair is re-running the shard with
+  *     `overwrite = true` (which replaces the partial output), not a
+  *     manual cleanup.
   *
   * TextIndexSpec property-locks merge-equals-rebuild (any slicing of the
-  * corpus into shards yields the same query answers as one shard) and the
-  * plan shape (pushed `IN` filter on the postings scan, no Generate —
-  * i.e. no query-time tokenization anywhere in the plan).
+  * corpus into shards yields the same query answers as one shard), the
+  * uncommitted-shard invisibility + repair contract, and the plan shape
+  * (pushed `IN` filter on the postings scan, no Generate — i.e. no
+  * query-time tokenization anywhere in the plan).
   */
 object TextIndex {
 
   /** Tokenize `docs` (doc_id, text) and append its postings + partial
     * aggregates as shard `shard` of the index at `dir`. Three corpus-linear
     * passes over the ARRIVING SHARD (tf, positions, bigrams), each one
-    * explode + one aggregate; df and stats roll up from the tf table's
-    * vocab-/constant-sized projections. Ingest-time cost, paid once per
-    * shard — queries never re-tokenize anything.
+    * explode + one aggregate; df rolls up from the cached tf table and
+    * stats from tf's per-doc slice plus a tokenize-free total count.
+    * Ingest-time cost, paid once per shard — queries never re-tokenize
+    * anything.
     *
     * `overwrite = true` makes the write idempotent PER SHARD — the mode a
     * streaming maintainer needs: a retried micro-batch (shard = batchId)
-    * replaces its own three directories instead of erroring on the
-    * partial output the failed attempt left behind (StreamingSpec locks
-    * the streamed index against a batch build).
+    * replaces all five of its per-shard directories instead of erroring on
+    * the partial output the failed attempt left behind (StreamingSpec
+    * locks the streamed index against a batch build).
     */
   def writeShard(docs: DataFrame, dir: String, shard: Int,
       overwrite: Boolean = false): Unit = {
@@ -90,46 +101,76 @@ object TextIndex {
         .write.mode(mode).parquet(s"$dir/positions/shard=$shard")
       // per-shard bigram counts (phrase statistics) — bigrams never cross
       // doc boundaries, so shard counts merge by sum like df
-      docs
-        .select(TextAnalysis.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => struct(element_at(col("t"), i + 1).as("w1"),
-            element_at(col("t"), i + 2).as("w2")))).as("bg"))
-        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      TextAnalysis.bigramRows(
+          docs.select(TextAnalysis.tokens(col("text")).as("t")))
+        .groupBy("w1", "w2")
         .agg(count(lit(1)).as("c"))
         .coalesce(1)
         .write.mode(mode).parquet(s"$dir/bigrams/shard=$shard")
-      docs.agg(count(lit(1)).as("n_docs"),
-          sum(size(TextAnalysis.tokens(col("text")))).as("sum_dl"))
+      // stats WITHOUT another tokenize pass: per-doc dl is one row per doc
+      // in the cached tf table (null-text docs have no tf rows, so n_dl /
+      // sum_dl skip them — mirroring avg()'s null semantics in q_bm25 and
+      // the DuckDB oracle); n_docs counts ALL docs (BM25's idf N), a
+      // column-pruned count that never touches text
+      val nDocs = docs.count()
+      tf.select("doc_id", "dl").dropDuplicates("doc_id")
+        .agg(count(lit(1)).as("n_dl"), sum("dl").as("sum_dl"))
+        .select(lit(nDocs).as("n_docs"), col("n_dl"), col("sum_dl"))
         .coalesce(1)
         .write.mode(mode).parquet(s"$dir/stats/shard=$shard")
+      commitShard(dir, shard)
     } finally tf.unpersist()
   }
 
-  /** Merged document frequency across all shards — vocabulary-sized. */
+  /** Mark shard `shard` committed (write the empty `_commits/K` marker).
+    * Idempotent — a retried already-successful batch re-marks harmlessly.
+    */
+  private def commitShard(dir: String, shard: Int): Unit = {
+    val commits = new java.io.File(dir, "_commits")
+    commits.mkdirs()
+    new java.io.File(commits, shard.toString).createNewFile()
+    ()
+  }
+
+  /** The committed shard ids at `dir` — the ONLY shards queries may see. */
+  def committedShards(dir: String): Seq[Int] = {
+    val commits = new java.io.File(dir, "_commits")
+    Option(commits.list()).map(_.toSeq.map(_.toInt).sorted).getOrElse(Seq.empty)
+  }
+
+  /** Read one index table restricted to the committed shards. */
+  private def readTable(s: SparkSession, dir: String, table: String): DataFrame = {
+    val shards = committedShards(dir)
+    require(shards.nonEmpty, s"index at $dir has no committed shard")
+    s.read.parquet(shards.map(k => s"$dir/$table/shard=$k"): _*)
+  }
+
+  /** Merged document frequency across all committed shards — vocab-sized. */
   def mergedDf(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/df")
+    readTable(s, dir, "df")
       .groupBy("token").agg(sum("df").as("df"))
 
   /** Okapi BM25 (k1 = 1.2, b = 0.75) served FROM the index: same query-term
     * derivation (corpus tokens ranked 6th–13th by merged df), same
     * constants, same round-before-order rule as `q_bm25`, so the two share
-    * one oracle. The term set is collected to drive literal `IN` pushdown
-    * into the postings scan — 8 rows, metadata-sized by construction
-    * (`limit(8)`), which is exactly the collect the scan pruning needs.
+    * one oracle. The term table is collected ONCE — the 8 (token, df) rows
+    * drive both the literal `IN` pushdown into the postings scan and the
+    * broadcast join side (rebuilt locally, so the vocab scan runs once).
     * Everything doc-sized the query touches is the hit postings.
     */
   def bm25Indexed(s: SparkSession, dir: String, nTerms: Int = 8,
       skip: Int = 5, k1: Double = 1.2, b: Double = 0.75,
       k: Int = 20): DataFrame = {
-    val qt = mergedDf(s, dir)
+    val qtPlan = mergedDf(s, dir)
       .orderBy(col("df").desc, col("token")).offset(skip).limit(nTerms)
-    val terms = qt.collect().map(_.getString(0))
-    val stats = s.read.parquet(s"$dir/stats")
+    val qtRows = qtPlan.collect()
+    val qt = s.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*), qtPlan.schema)
+    val terms = qtRows.map(_.getString(0))
+    val stats = readTable(s, dir, "stats")
       .agg(sum("n_docs").as("n_docs"),
-        (sum("sum_dl").cast("double") / sum("n_docs")).as("avgdl"))
-    s.read.parquet(s"$dir/postings")
+        (sum("sum_dl").cast("double") / sum("n_dl")).as("avgdl"))
+    readTable(s, dir, "postings")
       .filter(col("token").isin(terms.toSeq: _*))
       .join(broadcast(qt), "token")
       .crossJoin(broadcast(stats))
@@ -157,7 +198,7 @@ object TextIndex {
     * query-from-state shape as [[bm25Indexed]].
     */
   def phraseSearch(s: SparkSession, dir: String, limit: Int = 50): DataFrame = {
-    val topRows = s.read.parquet(s"$dir/bigrams")
+    val topRows = readTable(s, dir, "bigrams")
       .groupBy("w1", "w2").agg(sum("c").as("c"))
       .orderBy(col("c").desc, col("w1"), col("w2"))
       .limit(1).collect()
@@ -165,7 +206,7 @@ object TextIndex {
       s"index at $dir has an empty bigram table (no doc with >= 2 tokens); " +
         "no phrase exists to search for")
     val (w1, w2) = (topRows.head.getString(0), topRows.head.getString(1))
-    val pos = s.read.parquet(s"$dir/positions")
+    val pos = readTable(s, dir, "positions")
     val p1 = pos.filter(col("token") === w1)
       .select(col("doc_id"), col("ps").as("ps1"))
     val p2 = pos.filter(col("token") === w2)
@@ -182,34 +223,41 @@ object TextIndex {
   /** Storage maintenance: rewrite an N-shard index as one shard at
     * `dstDir`. Streaming ingest leaves one shard per micro-batch, so a
     * k-term query pays ~k row groups TIMES N shards; compaction restores
-    * the ~k bound. The rewrite merges the EXISTING tables — postings
-    * re-clustered by token, df/stats folded by sum — so its cost is
-    * index-sized, never a corpus re-tokenize (same maintenance contract as
-    * `Scale.compactTiledDir` / `IvfPq.compactIndex`: answers must be
-    * byte-identical before and after, TextIndexSpec-locked).
+    * the ~k bound. The rewrite merges the EXISTING committed tables —
+    * postings/positions re-clustered by token, df/bigrams/stats folded by
+    * sum — so its cost is index-sized, never a corpus re-tokenize (same
+    * maintenance contract as `Scale.compactTiledDir` / `IvfPq.compactIndex`:
+    * answers must be byte-identical before and after, TextIndexSpec-locked).
+    * In-place compaction is unsupported: the rewrite lazily reads what it
+    * would be overwriting.
     */
   def compactIndex(s: SparkSession, srcDir: String, dstDir: String): Unit = {
-    s.read.parquet(s"$srcDir/postings")
+    require(new java.io.File(srcDir).getCanonicalPath !=
+      new java.io.File(dstDir).getCanonicalPath,
+      "compactIndex cannot compact in place: pass a fresh dstDir")
+    readTable(s, srcDir, "postings")
       .select("token", "doc_id", "tf", "dl")
       .repartition(s.sessionState.conf.numShufflePartitions min 8, col("token"))
       .sortWithinPartitions("token", "doc_id")
       .write.mode("errorifexists").parquet(s"$dstDir/postings/shard=0")
-    s.read.parquet(s"$srcDir/positions")
+    readTable(s, srcDir, "positions")
       .select("token", "doc_id", "ps")
       .repartition(s.sessionState.conf.numShufflePartitions min 8, col("token"))
       .sortWithinPartitions("token", "doc_id")
       .write.mode("errorifexists").parquet(s"$dstDir/positions/shard=0")
-    s.read.parquet(s"$srcDir/bigrams")
+    readTable(s, srcDir, "bigrams")
       .groupBy("w1", "w2").agg(sum("c").as("c"))
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dstDir/bigrams/shard=0")
     mergedDf(s, srcDir)
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dstDir/df/shard=0")
-    s.read.parquet(s"$srcDir/stats")
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    readTable(s, srcDir, "stats")
+      .agg(sum("n_docs").as("n_docs"), sum("n_dl").as("n_dl"),
+        sum("sum_dl").as("sum_dl"))
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dstDir/stats/shard=0")
+    commitShard(dstDir, 0)
   }
 
   // (applicationId, dataset)-keyed like the other ingest-time layouts

@@ -113,6 +113,47 @@ class TextIndexSpec extends AnyFunSuite {
       "phrase query still reads the documents table")
   }
 
+  test("an uncommitted shard is invisible until repaired (partial-ingest safety)") {
+    val docs = Tables.documents(s, sf).select("doc_id", "text")
+    val dir = freshDir()
+    TextIndex.writeShard(docs.filter(col("doc_id") % 2 === 0), dir, 0)
+    val committedOnly = TextIndex.bm25Indexed(s, dir).collect().toSeq
+    // simulate an ingest that died mid-shard: tables half-written (here:
+    // fully written, marker removed — the weakest observable difference)
+    TextIndex.writeShard(docs.filter(col("doc_id") % 2 === 1), dir, 1)
+    assert(new java.io.File(s"$dir/_commits/1").delete())
+    assert(TextIndex.committedShards(dir) == Seq(0))
+    assert(TextIndex.bm25Indexed(s, dir).collect().toSeq == committedOnly,
+      "uncommitted shard leaked into query results")
+    // the documented repair: re-run the shard with overwrite = true
+    TextIndex.writeShard(docs.filter(col("doc_id") % 2 === 1), dir, 1,
+      overwrite = true)
+    assert(TextIndex.committedShards(dir) == Seq(0, 1))
+    val full = freshDir()
+    TextIndex.writeShard(docs, full, 0)
+    assert(TextIndex.bm25Indexed(s, dir).collect().toSeq ==
+      TextIndex.bm25Indexed(s, full).collect().toSeq,
+      "repaired index diverged from a clean build")
+  }
+
+  test("null-text docs count in idf's N but not in avgdl (avg() semantics)") {
+    import s.implicits._
+    val dir = freshDir()
+    TextIndex.writeShard(Seq((1L, Some("a b c")), (2L, Some("a b")),
+      (3L, None)).toDF("doc_id", "text"), dir, 0)
+    val st = s.read.parquet(s"$dir/stats/shard=0").collect().head
+    assert(st.getLong(st.fieldIndex("n_docs")) == 3) // all docs: BM25's N
+    assert(st.getLong(st.fieldIndex("n_dl")) == 2)   // avg() skips null text
+    assert(st.getLong(st.fieldIndex("sum_dl")) == 5) // 3 + 2
+  }
+
+  test("compaction refuses to run in place") {
+    val dir = TextIndex.prepareIndex(s, sf)
+    val e = intercept[IllegalArgumentException](
+      TextIndex.compactIndex(s, dir, dir))
+    assert(e.getMessage.contains("in place"))
+  }
+
   test("compaction merges shards without changing any answer") {
     val docs = Tables.documents(s, sf).select("doc_id", "text")
     val src = freshDir()
