@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Scalars,
     text.TextAnalysis,
     dedup.Dedup,
+    dedup.EntityResolution,
     similarity.Similarity,
     streaming.Streaming,
     domain.GridQueries,

@@ -1,0 +1,198 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables => T}
+
+/** Entity resolution (record linkage): fuse records that describe the SAME
+  * real-world entity across systems that spell it differently — the
+  * structured-metadata twin of document dedup, and a standard corpus-prep
+  * stage when training data carries provenance records (same author/site/
+  * license entity keyed differently per source).
+  *
+  * Reference scope: the reference engine (YIXIN-WANG/netcdf-olap) has no
+  * linkage operator; this generalizes its dedup-adjacent surface per
+  * SURVEY.md §2B. The pipeline is the textbook Fellegi–Sunter shape,
+  * Spark-first:
+  *
+  *  1. '''Blocking''' — records group by a cheap deterministic key
+  *     (nation × name-digit suffix). Pair generation is a self-join ON the
+  *     block key, so candidate volume is Σ_b |block_b|² — never all-pairs.
+  *     At 100 TB the block key is exactly the kind of key an ingest
+  *     pipeline hash-partitions by, so the join co-locates and the biggest
+  *     block (not the corpus) bounds any task.
+  *  2. '''Pairwise scoring''' — normalized-name Levenshtein (codegen'd
+  *     built-in, shared with `q_str_distance`) plus an attribute-closeness
+  *     gate on account balance. Both sides of a pair arrive in one row, so
+  *     scoring is a projection: no further shuffle.
+  *  3. '''Clustering''' — matched pairs are edges; [[Dedup.connectedComponents]]
+  *     (edge-gated local union-find / distributed min-label propagation —
+  *     the 100 TB path) contracts them into entities, catching transitive
+  *     matches the pair stage misses (a↔b and a↔c link b and c even when
+  *     b↔c alone scores below threshold — see the fixture's B↔C legs).
+  *  4. '''Golden record''' — one survivor per entity: min rec_id as the
+  *     entity key, the arg-min name, the mean balance. One hash aggregate.
+  *
+  * The dirty fixture derives deterministically from `customer` inside the
+  * query (three "systems" with SQL-expressible perturbations), so the
+  * DuckDB oracle rebuilds the identical input and the whole pipeline —
+  * blocking, scoring, clustering, survivorship — is hash-checked end to
+  * end. Ground truth (`rec_id / 10`) exists for the spec's precision/
+  * recall locks but is never used by the resolver itself.
+  */
+object EntityResolution extends QueryModule {
+
+  /** Max normalized-name edit distance for a candidate pair to match. */
+  val MaxNameLev = 4
+
+  /** Max |balance delta| for a match. 0.51 (not 0.50) so system B's
+    * round-to-integer balances pass even at the x.50 rounding boundary. */
+  val MaxBalDiff = 0.51
+
+  /** The dirty multi-system record table, derived from `customer`:
+    * system `a` holds every entity verbatim; `b` (every 3rd entity)
+    * re-styles the name with a dropped letter ("CUSTOMR NO …") and stores
+    * balances rounded to whole units; `c` (every 5th) uses a "cust. #…"
+    * convention. Every perturbation is deterministic SQL, so the oracle
+    * reconstructs the same records byte-for-byte.
+    */
+  def dirtyRecords(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d)
+    val a = c.select(
+      (col("c_custkey") * 10).as("rec_id"), lit("a").as("sys"),
+      col("c_name").as("name"), col("c_nationkey").as("nation"),
+      col("c_acctbal").as("bal"))
+    val b = c.filter(col("c_custkey") % 3 === 0).select(
+      (col("c_custkey") * 10 + 1).as("rec_id"), lit("b").as("sys"),
+      expr("replace(upper(c_name), 'CUSTOMER#', 'CUSTOMR NO ')").as("name"),
+      col("c_nationkey").as("nation"),
+      round(col("c_acctbal"), 0).as("bal"))
+    val c2 = c.filter(col("c_custkey") % 5 === 0).select(
+      (col("c_custkey") * 10 + 2).as("rec_id"), lit("c").as("sys"),
+      expr("replace(c_name, 'Customer#', 'cust. #')").as("name"),
+      col("c_nationkey").as("nation"),
+      col("c_acctbal").as("bal"))
+    a.unionByName(b).unionByName(c2)
+  }
+
+  /** Case/punctuation-insensitive name form the scorer compares. */
+  private def canon(name: Column): Column =
+    lower(regexp_replace(name, "[^a-zA-Z0-9]", ""))
+
+  /** Blocking key: nation × last-4 name digits. Perturbations touch only
+    * the alphabetic prefix, so true matches always share a block; block
+    * population is corpus / (|nations| × 10⁴) — skew-free by construction.
+    */
+  private def blockKey: Column =
+    concat_ws(":", col("nation").cast("string"), expr("right(canon, 4)"))
+
+  /** `records` + derived scoring/blocking columns. */
+  def withBlocks(records: DataFrame): DataFrame =
+    records.withColumn("canon", canon(col("name")))
+      .withColumn("block", blockKey)
+
+  /** Matched candidate pairs: blocked self-join, then the two-feature
+    * match rule as a projection-side filter. Returns
+    * (rec1, rec2, sys1, sys2, name_lev, bal_diff), rec1 < rec2.
+    */
+  def matchPairs(records: DataFrame): DataFrame = {
+    val r = withBlocks(records)
+    val l = r.select(col("block"), col("rec_id").as("rec1"), col("sys").as("sys1"),
+      col("canon").as("canon1"), col("bal").as("bal1"))
+    val rr = r.select(col("block"), col("rec_id").as("rec2"), col("sys").as("sys2"),
+      col("canon").as("canon2"), col("bal").as("bal2"))
+    l.join(rr, "block").filter(col("rec1") < col("rec2"))
+      .withColumn("name_lev", levenshtein(col("canon1"), col("canon2")))
+      .withColumn("bal_diff", round(abs(col("bal1") - col("bal2")), 2))
+      .filter(col("name_lev") <= MaxNameLev &&
+        abs(col("bal1") - col("bal2")) <= MaxBalDiff)
+      .select("rec1", "rec2", "sys1", "sys2", "name_lev", "bal_diff")
+  }
+
+  /** Entities with golden records: cluster matched pairs with the shared
+    * CC machinery (singletons stay their own entity), then one hash
+    * aggregate for survivorship: entity_id = min member rec_id (the CC
+    * label), name/bal from the min-rec_id member (the authoritative
+    * system), bal_spread = max−min balance across members (the conflict
+    * magnitude a steward would review). Arg-min survivorship and a
+    * difference of 2-decimal values keep every output exactly
+    * representable — no cross-engine float-rounding boundary.
+    */
+  def goldenRecords(records: DataFrame): DataFrame = {
+    val edges = matchPairs(records).select(
+      col("rec1").as("doc1"), col("rec2").as("doc2"))
+    val comps = Dedup.connectedComponents(edges)
+    records.join(comps, records("rec_id") === comps("id"), "left")
+      .withColumn("entity_id", coalesce(col("component"), col("rec_id")))
+      .groupBy("entity_id")
+      .agg(count(lit(1)).as("n_recs"),
+        min_by(col("name"), col("rec_id")).as("name"),
+        min_by(col("bal"), col("rec_id")).as("bal"),
+        round(max(col("bal")) - min(col("bal")), 2).as("bal_spread"))
+  }
+
+  // ---- declared queries ----
+
+  private def qErPairs(s: SparkSession, d: String): DataFrame =
+    matchPairs(dirtyRecords(s, d)).orderBy("rec1", "rec2")
+
+  private def qErGolden(s: SparkSession, d: String): DataFrame =
+    goldenRecords(dirtyRecords(s, d)).orderBy("entity_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_er_pairs" -> qErPairs,
+    "q_er_golden" -> qErGolden
+  )
+
+  /** The records CTE shared by both oracles — the same three systems. */
+  private val recordsCte =
+    """recs0 AS (
+      |  SELECT c_custkey * 10 AS rec_id, 'a' AS sys, c_name AS name,
+      |         c_nationkey AS nation, c_acctbal AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey * 10 + 1, 'b',
+      |         replace(upper(c_name), 'CUSTOMER#', 'CUSTOMR NO '),
+      |         c_nationkey, round(c_acctbal, 0)
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey * 10 + 2, 'c',
+      |         replace(c_name, 'Customer#', 'cust. #'),
+      |         c_nationkey, c_acctbal
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |recs AS (
+      |  SELECT *, lower(regexp_replace(name, '[^a-zA-Z0-9]', '', 'g')) AS canon,
+      |         CAST(nation AS VARCHAR) || ':' ||
+      |           right(lower(regexp_replace(name, '[^a-zA-Z0-9]', '', 'g')), 4) AS block
+      |  FROM recs0),
+      |pairs AS (
+      |  SELECT l.rec_id AS rec1, r.rec_id AS rec2, l.sys AS sys1, r.sys AS sys2,
+      |         CAST(levenshtein(l.canon, r.canon) AS INT) AS name_lev,
+      |         round(abs(l.bal - r.bal), 2) AS bal_diff
+      |  FROM recs l JOIN recs r ON l.block = r.block AND l.rec_id < r.rec_id
+      |  WHERE levenshtein(l.canon, r.canon) <= 4 AND abs(l.bal - r.bal) <= 0.51)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_er_pairs" ->
+      s"""WITH $recordsCte
+         |SELECT rec1, rec2, sys1, sys2, name_lev, bal_diff
+         |FROM pairs ORDER BY rec1, rec2""".stripMargin,
+    // recursive-CTE twin of the CC + survivorship aggregate
+    "q_er_golden" ->
+      s"""WITH RECURSIVE $recordsCte,
+         |edges AS (
+         |  SELECT rec1 AS src, rec2 AS dst FROM pairs
+         |  UNION ALL SELECT rec2, rec1 FROM pairs),
+         |cc AS (
+         |  SELECT rec_id AS id, rec_id AS comp FROM recs
+         |  UNION
+         |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id),
+         |comp AS (SELECT id, min(comp) AS entity_id FROM cc GROUP BY id)
+         |SELECT comp.entity_id, count(*) AS n_recs,
+         |       arg_min(r.name, r.rec_id) AS name,
+         |       arg_min(r.bal, r.rec_id) AS bal,
+         |       round(max(r.bal) - min(r.bal), 2) AS bal_spread
+         |FROM comp JOIN recs r ON r.rec_id = comp.id
+         |GROUP BY comp.entity_id ORDER BY entity_id""".stripMargin
+  )
+}

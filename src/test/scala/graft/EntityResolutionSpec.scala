@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.EntityResolution
+
+/** Entity-resolution locks: ground truth is `rec_id / 10` (the customer key
+  * the dirty-record generator perturbed away), which the resolver itself
+  * never sees — so precision/recall here measure real linkage quality, not
+  * rule parity (the DuckDB oracle covers that).
+  */
+class EntityResolutionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val records = EntityResolution.dirtyRecords(spark, TestSpark.sf).cache()
+
+  test("dirty fixture: every 3rd customer gets a b-record, every 5th a c-record") {
+    val bySys = records.groupBy("sys").count().as[(String, Long)].collect().toMap
+    val n = bySys("a")
+    assert(bySys("b") == (0L until n).count(_ % 3 == 0), "b-record population")
+    assert(bySys("c") == (0L until n).count(_ % 5 == 0), "c-record population")
+  }
+
+  test("pair matching: perfect recall on a/b and a/c legs, precision >= 0.95") {
+    val pairs = EntityResolution.matchPairs(records)
+      .select($"rec1", $"rec2").as[(Long, Long)].collect()
+    val truePos = pairs.count { case (r1, r2) => r1 / 10 == r2 / 10 }
+    // every perturbed record must link back to its system-a twin
+    val wantAB = records.filter($"sys" === "b").count()
+    val wantAC = records.filter($"sys" === "c").count()
+    val abFound = pairs.count { case (r1, r2) => r1 / 10 == r2 / 10 && r1 % 10 == 0 && r2 % 10 == 1 }
+    val acFound = pairs.count { case (r1, r2) => r1 / 10 == r2 / 10 && r1 % 10 == 0 && r2 % 10 == 2 }
+    assert(abFound == wantAB, s"a-b recall: $abFound of $wantAB")
+    assert(acFound == wantAC, s"a-c recall: $acFound of $wantAC")
+    assert(truePos.toDouble / pairs.length >= 0.95,
+      s"precision ${truePos.toDouble / pairs.length} below 0.95 (${pairs.length} pairs)")
+  }
+
+  test("clustering is transitive: b and c legs land in one entity even when b-c scores below threshold") {
+    // custkey % 15 == 0 entities hold all three records; the b-c name
+    // distance (5) exceeds MaxNameLev, so only CC transitivity unites them
+    val golden = EntityResolution.goldenRecords(records)
+    val sizes = golden.select($"entity_id", $"n_recs").as[(Long, Long)].collect().toMap
+    val n = records.filter($"sys" === "a").count()
+    (0L until n).foreach { k =>
+      val want = 1 + (if (k % 3 == 0) 1 else 0) + (if (k % 5 == 0) 1 else 0)
+      assert(sizes(k * 10) == want, s"entity $k: size ${sizes(k * 10)} != $want")
+    }
+    assert(sizes.size == n, "every entity resolves to its system-a key")
+  }
+
+  test("golden record survivorship: authoritative name/bal, spread only where b rounded") {
+    val rows = EntityResolution.goldenRecords(records)
+      .select($"entity_id", $"name", $"bal", $"bal_spread")
+      .as[(Long, String, Double, Double)].collect()
+    val src = Tables.customer(spark, TestSpark.sf)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (eid, name, bal, spread) =>
+      val (wantName, wantBal) = src(eid / 10)
+      assert(name == wantName, s"entity $eid name")
+      assert(bal == wantBal, s"entity $eid bal")
+      if (eid / 10 % 3 != 0) assert(spread == 0.0, s"entity $eid spread without a b-record")
+      else assert(spread <= 0.5 + 1e-9, s"entity $eid spread $spread exceeds rounding delta")
+    }
+  }
+
+  test("blocked pair generation: the plan joins on the block key, never cross-product") {
+    val plan = EntityResolution.matchPairs(records).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -25,6 +25,7 @@ class OperatorSpec extends AnyFunSuite {
     // count, the no-oracle markers, and the total line must equal the code
     val byModule: Map[String, QueryModule] = Map(
       "dedup/Dedup" -> dedup.Dedup,
+      "dedup/EntityResolution" -> dedup.EntityResolution,
       "domain/Grid" -> domain.GridQueries,
       "graph/Graph" -> graph.GraphQueries,
       "multimodal/Multimodal" -> multimodal.Multimodal,
