@@ -131,17 +131,81 @@ object EntityResolution extends QueryModule {
         round(max(col("bal")) - min(col("bal")), 2).as("bal_spread"))
   }
 
+  /** The resolved linkage store: every record labeled with its entity —
+    * what an ingest pipeline keeps BETWEEN batches (records + labels +
+    * their blocking/scoring columns), so admitting a new batch never
+    * re-resolves the corpus. At 100 TB this table is written partitioned
+    * by `block`, making the admit join below partition-pruned.
+    */
+  def linkageStore(records: DataFrame): DataFrame = {
+    val edges = matchPairs(records).select(
+      col("rec1").as("doc1"), col("rec2").as("doc2"))
+    val comps = Dedup.connectedComponents(edges)
+    withBlocks(records).join(comps, col("rec_id") === comps("id"), "left")
+      .select(col("rec_id"), coalesce(col("component"), col("rec_id")).as("entity_id"),
+        col("block"), col("canon"), col("bal"))
+  }
+
+  /** Admit a batch against a resolved store: each new record joins the
+    * store on its block and takes the min matching entity_id; records
+    * matching nothing cluster among THEMSELVES (blocked pairs + CC) and
+    * found new entities. Store labels are authoritative — a batch-internal
+    * edge never re-merges two store entities (the same admit semantics as
+    * [[Dedup.incrementalDedupAgainstIndex]]; a periodic full re-resolve
+    * reconciles, exactly like dedup's compaction). Data-sized work is one
+    * block-key join against the (pruned) store plus the batch-sized
+    * unmatched clustering. Returns (rec_id, entity_id, is_new).
+    */
+  def admitRecords(newRecords: DataFrame, store: DataFrame): DataFrame = {
+    val nb = withBlocks(newRecords)
+    val matched = nb.join(store.select(col("block"), col("entity_id"),
+        col("canon").as("s_canon"), col("bal").as("s_bal")), "block")
+      .filter(levenshtein(col("canon"), col("s_canon")) <= MaxNameLev &&
+        abs(col("bal") - col("s_bal")) <= MaxBalDiff)
+      .groupBy("rec_id").agg(min("entity_id").as("entity_id"))
+    val unmatched = newRecords.join(matched, Seq("rec_id"), "left_anti")
+    val comps = Dedup.connectedComponents(
+      matchPairs(unmatched).select(col("rec1").as("doc1"), col("rec2").as("doc2")))
+    val fresh = unmatched.join(comps, unmatched("rec_id") === comps("id"), "left")
+      .select(col("rec_id"), coalesce(col("component"), col("rec_id")).as("entity_id"),
+        lit(true).as("is_new"))
+    matched.withColumn("is_new", lit(false)).unionByName(fresh)
+  }
+
+  /** The incoming batch for the declared admit query: system `d` (every
+    * 7th entity, a "CUST-…" convention that resolves into its existing
+    * entity) and system `x` (every 11th, an "Unknown Party #…" rename no
+    * name rule can link — the genuinely-new-entity path).
+    */
+  def batchRecords(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d)
+    val dd = c.filter(col("c_custkey") % 7 === 0).select(
+      (col("c_custkey") * 10 + 3).as("rec_id"), lit("d").as("sys"),
+      expr("replace(c_name, 'Customer#', 'CUST-')").as("name"),
+      col("c_nationkey").as("nation"), col("c_acctbal").as("bal"))
+    val x = c.filter(col("c_custkey") % 11 === 0).select(
+      (col("c_custkey") * 10 + 4).as("rec_id"), lit("x").as("sys"),
+      expr("replace(c_name, 'Customer#', 'Unknown Party #')").as("name"),
+      col("c_nationkey").as("nation"), col("c_acctbal").as("bal"))
+    dd.unionByName(x)
+  }
+
   // ---- declared queries ----
 
   private def qErPairs(s: SparkSession, d: String): DataFrame =
     matchPairs(dirtyRecords(s, d)).orderBy("rec1", "rec2")
+
+  private def qErAdmit(s: SparkSession, d: String): DataFrame =
+    admitRecords(batchRecords(s, d), linkageStore(dirtyRecords(s, d)))
+      .orderBy("rec_id")
 
   private def qErGolden(s: SparkSession, d: String): DataFrame =
     goldenRecords(dirtyRecords(s, d)).orderBy("entity_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_er_pairs" -> qErPairs,
-    "q_er_golden" -> qErGolden
+    "q_er_golden" -> qErGolden,
+    "q_er_admit" -> qErAdmit
   )
 
   /** The records CTE shared by both oracles — the same three systems. */
@@ -193,6 +257,59 @@ object EntityResolution extends QueryModule {
          |       arg_min(r.bal, r.rec_id) AS bal,
          |       round(max(r.bal) - min(r.bal), 2) AS bal_spread
          |FROM comp JOIN recs r ON r.rec_id = comp.id
-         |GROUP BY comp.entity_id ORDER BY entity_id""".stripMargin
+         |GROUP BY comp.entity_id ORDER BY entity_id""".stripMargin,
+    // store resolution (recursive CC) + block-join admit + unmatched CC
+    "q_er_admit" ->
+      s"""WITH RECURSIVE $recordsCte,
+         |edges AS (
+         |  SELECT rec1 AS src, rec2 AS dst FROM pairs
+         |  UNION ALL SELECT rec2, rec1 FROM pairs),
+         |cc AS (
+         |  SELECT rec_id AS id, rec_id AS comp FROM recs
+         |  UNION
+         |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id),
+         |comp AS (SELECT id, min(comp) AS entity_id FROM cc GROUP BY id),
+         |store AS (
+         |  SELECT r.rec_id, comp.entity_id, r.block, r.canon, r.bal
+         |  FROM recs r JOIN comp ON comp.id = r.rec_id),
+         |batch0 AS (
+         |  SELECT c_custkey * 10 + 3 AS rec_id,
+         |         replace(c_name, 'Customer#', 'CUST-') AS name,
+         |         c_nationkey AS nation, c_acctbal AS bal
+         |  FROM customer WHERE c_custkey % 7 = 0
+         |  UNION ALL
+         |  SELECT c_custkey * 10 + 4,
+         |         replace(c_name, 'Customer#', 'Unknown Party #'),
+         |         c_nationkey, c_acctbal
+         |  FROM customer WHERE c_custkey % 11 = 0),
+         |batch AS (
+         |  SELECT *, lower(regexp_replace(name, '[^a-zA-Z0-9]', '', 'g')) AS canon,
+         |         CAST(nation AS VARCHAR) || ':' ||
+         |           right(lower(regexp_replace(name, '[^a-zA-Z0-9]', '', 'g')), 4) AS block
+         |  FROM batch0),
+         |matched AS (
+         |  SELECT b.rec_id, min(s.entity_id) AS entity_id
+         |  FROM batch b JOIN store s ON b.block = s.block
+         |  WHERE levenshtein(b.canon, s.canon) <= 4 AND abs(b.bal - s.bal) <= 0.51
+         |  GROUP BY b.rec_id),
+         |um AS (
+         |  SELECT * FROM batch
+         |  WHERE rec_id NOT IN (SELECT rec_id FROM matched)),
+         |upairs AS (
+         |  SELECT l.rec_id AS rec1, r.rec_id AS rec2
+         |  FROM um l JOIN um r ON l.block = r.block AND l.rec_id < r.rec_id
+         |  WHERE levenshtein(l.canon, r.canon) <= 4 AND abs(l.bal - r.bal) <= 0.51),
+         |uedges AS (
+         |  SELECT rec1 AS src, rec2 AS dst FROM upairs
+         |  UNION ALL SELECT rec2, rec1 FROM upairs),
+         |ucc AS (
+         |  SELECT rec_id AS id, rec_id AS comp FROM um
+         |  UNION
+         |  SELECT e.dst, ucc.comp FROM ucc JOIN uedges e ON e.src = ucc.id),
+         |ucomp AS (SELECT id, min(comp) AS entity_id FROM ucc GROUP BY id)
+         |SELECT rec_id, entity_id, FALSE AS is_new FROM matched
+         |UNION ALL
+         |SELECT id AS rec_id, entity_id, TRUE AS is_new FROM ucomp
+         |ORDER BY rec_id""".stripMargin
   )
 }

@@ -66,6 +66,21 @@ class EntityResolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental admit: d-records rejoin their store entity, x-records found new ones") {
+    val store = EntityResolution.linkageStore(records)
+    val batch = EntityResolution.batchRecords(spark, TestSpark.sf)
+    val out = EntityResolution.admitRecords(batch, store)
+      .select($"rec_id", $"entity_id", $"is_new").as[(Long, Long, Boolean)].collect()
+    assert(out.length == batch.count(), "every batch record gets a verdict exactly once")
+    out.foreach { case (rec, ent, isNew) =>
+      if (rec % 10 == 3) { // d-system: linkable rename of an existing entity
+        assert(!isNew && ent == rec / 10 * 10, s"d-record $rec resolved to $ent (is_new=$isNew)")
+      } else { // x-system: unlinkable rename -> a new entity
+        assert(isNew, s"x-record $rec should be a new entity, landed in $ent")
+      }
+    }
+  }
+
   test("blocked pair generation: the plan joins on the block key, never cross-product") {
     val plan = EntityResolution.matchPairs(records).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
