@@ -15,6 +15,7 @@ object SparkEntry {
     operators.WindowOps,
     operators.Scalars,
     text.TextAnalysis,
+    text.Privacy,
     dedup.Dedup,
     dedup.EntityResolution,
     similarity.Similarity,

@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables => T}
+
+/** Re-identification-risk operators for corpus publication: k-anonymity
+  * auditing and global-recoding anonymization over quasi-identifier (QI)
+  * columns — the release gate a training-data pipeline runs AFTER content
+  * scrubbing (`q_pii_redact` removes identifiers IN the text; this bounds
+  * what the metadata columns leak ABOUT each document's origin).
+  *
+  * Reference scope: no reference twin (the reference engine has no privacy
+  * surface); generalization category per SURVEY.md §2B / the LLM-pipeline
+  * mandate. Sweeney's k-anonymity model, Spark-first:
+  *
+  *  - The QI ladder is (lang, source, length-bucket) → (lang, source) →
+  *    (lang) — each step a strict coarsening, applied per equivalence
+  *    class, never per row (global recoding, so the published table's
+  *    classes are exactly the audit's classes).
+  *  - Every step is ONE hash aggregate over the QI key producing a
+  *    CELL-sized count table (|langs|·|sources|·|buckets| rows — metadata-
+  *    sized at any corpus scale) joined back broadcast. Data-sized work is
+  *    two scans of the failing remainder; nothing shuffles the corpus by
+  *    doc, and the plan carries no window over the full table.
+  */
+object Privacy extends QueryModule {
+
+  /** Anonymity threshold: a QI cell with fewer members re-identifies. */
+  val K = 3
+
+  /** Quasi-identifier level 0: origin + a 200-char length band (document
+    * length is a classic fingerprinting side channel). */
+  private def withQi(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      (floor(col("n_chars") / 200) * 200).cast("long").as("bucket_lo"))
+
+  /** The audit: every level-0 QI cell below k, with its population —
+    * what a data steward reviews before release. */
+  def kAnonAudit(docs: DataFrame, k: Int = K): DataFrame =
+    withQi(docs)
+      .groupBy("lang", "source", "bucket_lo")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+
+  /** Global-recoding anonymization: rows in under-k level-0 cells drop
+    * the length band; rows still under-k at (lang, source) are WITHHELD
+    * from release (gen_level 2, QI nulled) — so the k-anonymity guarantee
+    * holds unconditionally over the published (gen_level < 2) rows: every
+    * equivalence class there has ≥ k members by construction
+    * (PrivacySpec-locked). Returns every document with its published QI
+    * view and the generalization level applied. */
+  def kAnonymize(docs: DataFrame, k: Int = K): DataFrame = {
+    val l0 = withQi(docs)
+    val c0 = l0.groupBy("lang", "source", "bucket_lo").agg(count(lit(1)).as("n0"))
+    val j0 = l0.join(broadcast(c0), Seq("lang", "source", "bucket_lo"))
+    val pass0 = j0.filter(col("n0") >= k)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket_lo"),
+        lit(0).as("gen_level"))
+    val fail0 = j0.filter(col("n0") < k)
+    val c1 = fail0.groupBy("lang", "source").agg(count(lit(1)).as("n1"))
+    val j1 = fail0.join(broadcast(c1), Seq("lang", "source"))
+    val pass1 = j1.filter(col("n1") >= k)
+      .select(col("doc_id"), col("lang"), col("source"),
+        lit(null).cast("long").as("bucket_lo"), lit(1).as("gen_level"))
+    val pass2 = j1.filter(col("n1") < k)
+      .select(col("doc_id"), col("lang"),
+        lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("bucket_lo"), lit(2).as("gen_level"))
+    pass0.unionByName(pass1).unionByName(pass2)
+  }
+
+  // ---- declared queries ----
+
+  private def qKAnon(s: SparkSession, d: String): DataFrame =
+    kAnonAudit(T.documents(s, d)).orderBy("lang", "source", "bucket_lo")
+
+  private def qAnonymize(s: SparkSession, d: String): DataFrame =
+    kAnonymize(T.documents(s, d)).orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anon" -> qKAnon,
+    "q_anonymize" -> qAnonymize
+  )
+
+  private val qiCte =
+    """l0 AS (
+      |  SELECT doc_id, lang, source,
+      |         CAST(floor(n_chars / 200) * 200 AS BIGINT) AS bucket_lo
+      |  FROM documents)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_k_anon" ->
+      s"""WITH $qiCte
+         |SELECT lang, source, bucket_lo, count(*) AS n
+         |FROM l0 GROUP BY lang, source, bucket_lo
+         |HAVING count(*) < 3
+         |ORDER BY lang, source, bucket_lo""".stripMargin,
+    "q_anonymize" ->
+      s"""WITH $qiCte,
+         |c0 AS (SELECT lang, source, bucket_lo, count(*) AS n0
+         |       FROM l0 GROUP BY lang, source, bucket_lo),
+         |j0 AS (SELECT l0.*, c0.n0 FROM l0
+         |       JOIN c0 USING (lang, source, bucket_lo)),
+         |fail0 AS (SELECT * FROM j0 WHERE n0 < 3),
+         |c1 AS (SELECT lang, source, count(*) AS n1
+         |       FROM fail0 GROUP BY lang, source),
+         |j1 AS (SELECT fail0.*, c1.n1 FROM fail0 JOIN c1 USING (lang, source))
+         |SELECT doc_id, lang, source, bucket_lo, 0 AS gen_level
+         |FROM j0 WHERE n0 >= 3
+         |UNION ALL
+         |SELECT doc_id, lang, source, NULL, 1 FROM j1 WHERE n1 >= 3
+         |UNION ALL
+         |SELECT doc_id, lang, NULL, NULL, 2 FROM j1 WHERE n1 < 3
+         |ORDER BY doc_id""".stripMargin
+  )
+}

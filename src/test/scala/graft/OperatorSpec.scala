@@ -36,7 +36,8 @@ class OperatorSpec extends AnyFunSuite {
       "similarity/Similarity" -> similarity.Similarity,
       "sources/SourceQueries" -> sources.SourceQueries,
       "streaming/Streaming" -> streaming.Streaming,
-      "text/TextAnalysis" -> TextAnalysis)
+      "text/TextAnalysis" -> TextAnalysis,
+      "text/Privacy" -> graft.text.Privacy)
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
     val section = text.substring(text.indexOf("### 2D."))

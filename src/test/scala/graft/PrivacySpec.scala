@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.Privacy
+
+class PrivacySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, TestSpark.sf)
+  private lazy val out = Privacy.kAnonymize(docs).cache()
+
+  test("published rows are k-anonymous: every gen_level<2 equivalence class has >= K members") {
+    val classes = out.filter($"gen_level" < 2)
+      .groupBy("lang", "source", "bucket_lo").count()
+      .as[(String, String, Option[Long], Long)].collect()
+    assert(classes.nonEmpty)
+    classes.foreach { case (l, s, b, n) =>
+      assert(n >= Privacy.K, s"class ($l,$s,$b) has $n < ${Privacy.K} members")
+    }
+  }
+
+  test("generalization is a strict monotone coarsening of the raw QI") {
+    val raw = docs.select($"doc_id", $"lang".as("rl"), $"source".as("rs"),
+      (floor($"n_chars" / 200) * 200).cast("long").as("rb"))
+    val joined = out.join(raw, "doc_id")
+      .select($"gen_level", $"lang" === $"rl",
+        $"source".isNull || $"source" === $"rs", $"bucket_lo".isNull || $"bucket_lo" === $"rb",
+        when($"gen_level" === 0, $"bucket_lo".isNotNull && $"source".isNotNull)
+          .when($"gen_level" === 1, $"bucket_lo".isNull && $"source".isNotNull)
+          .otherwise($"bucket_lo".isNull && $"source".isNull))
+      .as[(Int, Boolean, Boolean, Boolean, Boolean)].collect()
+    joined.foreach { case (lvl, langOk, srcOk, bOk, shapeOk) =>
+      assert(langOk && srcOk && bOk && shapeOk, s"level $lvl row violates coarsening")
+    }
+    assert(out.count() == docs.count(), "every document gets exactly one verdict")
+  }
+
+  test("audit and recode agree: under-k cell population equals the generalized row count") {
+    val flagged = Privacy.kAnonAudit(docs).agg(sum("n")).as[Long].head()
+    val generalized = out.filter($"gen_level" >= 1).count()
+    assert(flagged == generalized, s"audit flags $flagged docs, recode generalized $generalized")
+  }
+
+  test("cell-count joins broadcast; no corpus-keyed window in the plan") {
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("Window"), "anonymization must not window over the corpus")
+  }
+}
