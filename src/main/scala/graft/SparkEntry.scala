@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Scalars,
     text.TextAnalysis,
     text.Privacy,
+    text.Monitoring,
     dedup.Dedup,
     dedup.EntityResolution,
     similarity.Similarity,

@@ -37,7 +37,8 @@ class OperatorSpec extends AnyFunSuite {
       "sources/SourceQueries" -> sources.SourceQueries,
       "streaming/Streaming" -> streaming.Streaming,
       "text/TextAnalysis" -> TextAnalysis,
-      "text/Privacy" -> graft.text.Privacy)
+      "text/Privacy" -> graft.text.Privacy,
+      "text/Monitoring" -> graft.text.Monitoring)
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
     val section = text.substring(text.indexOf("### 2D."))
