@@ -284,7 +284,36 @@ object WindowOps extends QueryModule {
       .orderBy("pattern")
   }
 
+  /** Forecast backtest: per event type, score two one-step daily-total
+    * forecasters over the series' own history — seasonal naive (y[t-7])
+    * and a trailing 7-day moving average — by MAPE. The data-sized pass is
+    * one (type, day) hash aggregate; the windows then run over the
+    * DAY-sized series (rows = types × days, metadata-sized at any event
+    * volume), so adding a forecaster costs nothing at scale. Day totals
+    * and the MA round to 4 places before ratioing, keeping the two
+    * engines' float paths aligned. Backtest rows need a full 7-row
+    * history window and a nonzero actual (MAPE's domain).
+    */
+  private def qForecast(s: SparkSession, d: String): DataFrame = {
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val trail = w.rowsBetween(-7, -1)
+    daily
+      .withColumn("sn", lag("y", 7).over(w))
+      .withColumn("ma", round(avg("y").over(trail), 4))
+      .withColumn("nprev", count("y").over(trail))
+      .filter(col("sn").isNotNull && col("nprev") === 7 && col("y") =!= 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(abs(col("y") - col("sn")) / abs(col("y"))), 4).as("mape_sn"),
+        round(avg(abs(col("y") - col("ma")) / abs(col("y"))), 4).as("mape_ma"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_backtest" -> qForecast,
     "q_cum_distinct" -> qCumDistinct,
     "q_event_paths" -> qEventPaths,
     "q_event_pattern" -> qEventPattern,
@@ -325,6 +354,23 @@ object WindowOps extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q_event_pattern" -> eventPatternSql,
+    "q_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         round(sum(value), 4) AS y
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, day, y,
+        |    lag(y, 7) OVER w AS sn,
+        |    round(avg(y) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4) AS ma,
+        |    count(y) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nprev
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, count(*) AS n_days,
+        |       round(avg(abs(y - sn) / abs(y)), 4) AS mape_sn,
+        |       round(avg(abs(y - ma) / abs(y)), 4) AS mape_ma
+        |FROM f WHERE sn IS NOT NULL AND nprev = 7 AND y <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_cum_distinct" ->
       """WITH first AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),

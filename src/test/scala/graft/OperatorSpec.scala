@@ -67,6 +67,16 @@ class OperatorSpec extends AnyFunSuite {
       SparkEntry.queries.size - SparkEntry.oracleSql.size, "no-oracle count drifted")
   }
 
+  test("forecast backtest: every series scores both forecasters over the same backtest days") {
+    val rows = SparkEntry.queries("q_forecast_backtest")(spark, TestSpark.sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, sn, ma) =>
+      assert(n > 0, s"$t: empty backtest")
+      assert(sn >= 0 && sn.isFinite && ma >= 0 && ma.isFinite, s"$t: MAPE out of domain ($sn, $ma)")
+    }
+  }
+
   test("segment dedup scrubs corpus-repeated segments, untouched docs round-trip") {
     val out = SparkEntry.queries("q_segment_dedup")(spark, TestSpark.sf)
     val rows = out.select("doc_id", "n_seg", "n_dropped", "clean_text")
