@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
@@ -163,6 +163,47 @@ object Streaming extends QueryModule {
   def dedupedStream(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** The static reference distribution a live drift monitor compares
+    * against: (event_type, rf) fractions — cell-sized, broadcast per
+    * micro-batch. */
+  def refDistribution(events: DataFrame): DataFrame = {
+    val counts = events.groupBy("event_type").agg(count(lit(1)).as("rn"))
+    counts.crossJoin(broadcast(counts.select(sum("rn").as("rtot"))))
+      .select(col("event_type"), (col("rn").cast("double") / col("rtot")).as("rf"))
+  }
+
+  /** Live drift monitoring: per closed 1-hour window, the PSI of the
+    * window's event-type mix against a static reference distribution
+    * ([[graft.text.Monitoring]]'s detector, streaming-shaped). Two CHAINED
+    * stateful aggregations — (window, type) counts, then the per-window
+    * fold — with the stateless broadcast reference join between them;
+    * Spark's multi-stateful-operator support propagates the watermark
+    * through `window_time`, so state for both stages evicts as windows
+    * close. Per-window state is |event types|, and the emitted row is one
+    * PSI scalar per hour: the monitor a 100 TB/day ingest runs
+    * continuously without retaining the stream. Buckets absent from a
+    * window contribute through the 1e-4 clamp on the observed side only
+    * (one-sided PSI over observed buckets — same convention in the batch
+    * twin and oracle).
+    */
+  def driftStream(stream: DataFrame, refFracs: DataFrame): DataFrame = {
+    val eps = graft.text.Monitoring.Eps
+    def clamp(c: Column): Column = greatest(c, lit(eps))
+    stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(refFracs), "event_type")
+      .groupBy(window(window_time(col("window")), "1 hour").as("w2"))
+      .agg(sum("n").as("n_events"),
+        collect_list(struct(col("n"), col("rf"))).as("bs"))
+      .select(col("w2.start").as("window_start"), col("n_events"),
+        round(aggregate(col("bs"), lit(0.0d), (acc, b) => {
+          val cf = clamp(b.getField("n").cast("double") / col("n_events"))
+          val rfc = clamp(b.getField("rf"))
+          acc + (cf - rfc) * log(cf / rfc)
+        }), 4).as("psi"))
+  }
 
   /** Stream-stream interval join: purchases matched to the same user's
     * clicks in the preceding 30 minutes. Both sides are watermarked and the
@@ -333,6 +374,29 @@ object Streaming extends QueryModule {
     * driven in StreamingSpec; this row oracle-checks the keep-first
     * semantics.
     */
+  /** Batch twin of [[driftStream]]: identical per-window one-sided PSI
+    * semantics, expressed relationally (counts → window totals → broadcast
+    * reference join → per-window fold) so DuckDB can replay it. The true
+    * chained-stateful-aggregation path is StreamingSpec's
+    * parity-with-this-twin lock.
+    */
+  private def qDriftStream(s: SparkSession, d: String): DataFrame = {
+    val eps = graft.text.Monitoring.Eps
+    def clamp(c: Column): Column = greatest(c, lit(eps))
+    val ev = T.events(s, d)
+    val ref = refDistribution(ev)
+    val cur = ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cur.groupBy("w").agg(sum("n").as("n_events"))
+    val cf = clamp(col("n").cast("double") / col("n_events"))
+    val rfc = clamp(col("rf"))
+    cur.join(tot, "w").join(broadcast(ref), "event_type")
+      .groupBy(col("w"), col("n_events"))
+      .agg(round(sum((cf - rfc) * log(cf / rfc)), 4).as("psi"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("psi"))
+      .orderBy("window_start")
+  }
+
   private def qDedupStream(s: SparkSession, d: String): DataFrame = {
     val e = T.events(s, d).select("event_id", "ts")
     val replayed = e.union(e.withColumn("ts", col("ts") + expr("INTERVAL 5 MINUTES")))
@@ -510,6 +574,7 @@ object Streaming extends QueryModule {
     "q_dedup_stream" -> qDedupStream,
     "q_cdc_apply" -> qCdcApply,
     "q_tumble" -> qTumble,
+    "q_drift_stream" -> qDriftStream,
     "q_tumble_topk" -> qTumbleTopk,
     "q_slide" -> qSlide,
     "q_session" -> qSession,
@@ -539,6 +604,24 @@ object Streaming extends QueryModule {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_drift_stream" ->
+      """WITH ref AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS rf
+        |  FROM events GROUP BY event_type),
+        |cur AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT window_start, CAST(sum(n) AS BIGINT) AS n_events FROM cur GROUP BY 1)
+        |SELECT cur.window_start, tot.n_events,
+        |  round(sum(
+        |    (greatest(CAST(n AS DOUBLE) / n_events, 0.0001) - greatest(rf, 0.0001)) *
+        |    ln(greatest(CAST(n AS DOUBLE) / n_events, 0.0001) / greatest(rf, 0.0001))), 4) AS psi
+        |FROM cur JOIN tot USING (window_start) JOIN ref USING (event_type)
+        |GROUP BY cur.window_start, tot.n_events
+        |ORDER BY window_start""".stripMargin,
     // ApproxTopK orders (count desc, item asc); exact at 5 types vs cap 64
     "q_tumble_topk" ->
       """SELECT window_start, rank, event_type, n FROM (

@@ -29,6 +29,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "watermark emitted no closed windows")
   }
 
+  test("streaming drift monitor (chained stateful aggs) matches the batch twin per closed window") {
+    val stream = Streaming.eventsStream(spark, TestSpark.sf)
+    val ref = Streaming.refDistribution(Tables.events(spark, TestSpark.sf))
+    val q = Streaming.driftStream(stream, ref)
+      .writeStream.format("memory").queryName("drift_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("drift_out")
+      .select("window_start", "n_events", "psi")
+      .as[(java.sql.Timestamp, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed.nonEmpty, "watermark emitted no closed windows")
+    val batch = SparkEntry.queries("q_drift_stream")(spark, TestSpark.sf)
+      .as[(java.sql.Timestamp, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    streamed.foreach { case (w, (n, psi)) =>
+      val (bn, bpsi) = batch.getOrElse(w, fail(s"window $w not in batch twin"))
+      assert(n == bn, s"window $w: streamed $n events vs batch $bn")
+      assert(math.abs(psi - bpsi) <= 1e-3, s"window $w: streamed PSI $psi vs batch $bpsi")
+    }
+  }
+
   test("late events beyond the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
