@@ -90,7 +90,43 @@ object Monitoring extends QueryModule {
       .limit(k)
   }
 
+  /** A/B experiment readout: a two-proportion z-test on user conversion
+    * between two deterministic arms (user_id parity — the hash-split
+    * `q_split_assign` would produce); a user converts when it logs at
+    * least `minConversions` purchase events. The data-sized pass is ONE
+    * user-keyed aggregate; arms and the z statistic fold from the 2-row
+    * arm table (degenerate all/none-convert experiments yield null z, not
+    * a division error). At 100 TB of events this is a single shuffle on
+    * user_id — the same key the funnel/retention family already uses.
+    */
+  def abTest(events: DataFrame, convType: String = "purchase",
+      minConversions: Int = 14): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === convType, 1).otherwise(0)).as("np"))
+      .select((col("user_id") % 2).as("arm"),
+        when(col("np") >= minConversions, 1).otherwise(0).as("conv"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("c"))
+    val flat = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_a"),
+      max(when(col("arm") === 0, col("c"))).as("c_a"),
+      max(when(col("arm") === 1, col("n"))).as("n_b"),
+      max(when(col("arm") === 1, col("c"))).as("c_b"))
+    val (na, ca, nb, cb) = (col("n_a").cast("double"), col("c_a").cast("double"),
+      col("n_b").cast("double"), col("c_b").cast("double"))
+    val pool = (ca + cb) / (na + nb)
+    // degenerate experiment (all or none convert) → null z, not a crash
+    val denom = sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))
+    val z = when(denom =!= 0, (ca / na - cb / nb) / denom)
+    flat.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      round(ca / na, 4).as("rate_a"), round(cb / nb, 4).as("rate_b"),
+      round(z, 4).as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
   // ---- declared queries ----
+
+  private def qAbTest(s: SparkSession, d: String): DataFrame =
+    abTest(T.events(s, d))
 
   private def qDriftPsi(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
@@ -104,7 +140,8 @@ object Monitoring extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_psi" -> qDriftPsi,
-    "q_drift_tokens" -> qDriftTokens
+    "q_drift_tokens" -> qDriftTokens,
+    "q_ab_test" -> qAbTest
   )
 
   private val slicesCte =
@@ -112,6 +149,34 @@ object Monitoring extends QueryModule {
       |cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1 AND n_chars >= 150)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_ab_test" ->
+      """WITH users AS (
+        |  SELECT user_id % 2 AS arm,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |              THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c
+        |  FROM users GROUP BY arm),
+        |flat AS (
+        |  SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |         max(CASE WHEN arm = 0 THEN c END) AS c_a,
+        |         max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |         max(CASE WHEN arm = 1 THEN c END) AS c_b
+        |  FROM arms),
+        |stat AS (
+        |  SELECT *,
+        |    (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+        |    nullif(sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |         (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |         (1.0 / n_a + 1.0 / n_b)), 0) AS zraw
+        |  FROM flat)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  round(CAST(c_a AS DOUBLE) / n_a, 4) AS rate_a,
+        |  round(CAST(c_b AS DOUBLE) / n_b, 4) AS rate_b,
+        |  round(zraw, 4) AS z,
+        |  abs(zraw) > 1.96 AS significant
+        |FROM stat""".stripMargin,
     "q_drift_psi" ->
       s"""WITH $slicesCte,
          |rb AS (

@@ -48,6 +48,33 @@ class MonitoringSpec extends AnyFunSuite {
       assert(math.abs(cf - rf - d) <= 2e-6, s"$t: delta $d != $cf - $rf") }
   }
 
+  test("A/B z-test: planted arm effect is significant with the right sign; parity split is not") {
+    // arm 0 (even ids) converts 9/10, arm 1 converts 2/10
+    def burst(uid: Long, purchases: Int) =
+      (0 until purchases).map(i => (uid, "purchase", i)) :+ ((uid, "view", 99))
+    val planted = (0L until 20L).flatMap { uid =>
+      val p = if (uid % 2 == 0) { if (uid == 18) 0 else 14 } // 9 of 10 convert
+              else { if (uid < 4) 14 else 0 }                // 2 of 10 convert
+      burst(uid, p)
+    }.toDF("user_id", "event_type", "i")
+    val r = Monitoring.abTest(planted)
+      .select($"c_a", $"c_b", $"z", $"significant")
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(r._1 == 9 && r._2 == 2, s"arm conversions ${r._1}/${r._2}")
+    assert(r._3 > 1.96 && r._4, s"planted uplift not significant: $r")
+    val parity = Monitoring.abTest(Tables.events(spark, TestSpark.sf))
+      .select($"significant").as[Boolean].head()
+    assert(!parity, "a user_id-parity split of unbiased traffic must not be significant")
+  }
+
+  test("A/B z-test: degenerate all-convert experiment yields null z, no division error") {
+    val allConvert = (0L until 10L).flatMap(uid =>
+      (0 until 14).map(i => (uid, "purchase", i))).toDF("user_id", "event_type", "i")
+    val row = Monitoring.abTest(allConvert).select($"z", $"rate_a", $"rate_b").collect().head
+    assert(row.isNullAt(0), "z must be null when pooled variance is zero")
+    assert(row.getDouble(1) == 1.0 && row.getDouble(2) == 1.0)
+  }
+
   test("drift plans: totals broadcast, no corpus-sized window on the Spark side") {
     val plan = Monitoring.driftPsi(ref, cur).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
