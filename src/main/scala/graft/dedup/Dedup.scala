@@ -779,6 +779,26 @@ object Dedup extends QueryModule {
   private def qDedupClusterLsh(s: SparkSession, d: String): DataFrame =
     dedupClustersFromSigs(T.documents(s, d), sigsCached(s, d)).orderBy("doc_id")
 
+  /** Quality-aware survivorship over the SAME production LSH clusters:
+    * instead of "keep the smallest doc_id", keep the best copy per
+    * near-dup cluster — here the longest text (doc_id as tie-break), the
+    * stand-in for a quality score in a real corpus prep. One
+    * component-keyed window over cluster-sized partitions (near-dup
+    * clusters are shallow and small by construction, so the window
+    * shuffle is skew-free at any corpus scale).
+    */
+  private def qDedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val clusters = dedupClustersFromSigs(docs, sigsCached(s, d))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(clusters, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "component", "n_chars", "keep")
+      .orderBy("doc_id")
+  }
+
   /** A 10% "new shard" admitted against the other 90% as corpus. The banded
     * candidates verify with EXACT Jaccard, so DuckDB reproduces the admitted
     * set from all cross-split pairs (recall of the banding at J ≥ 0.5 is 1
@@ -822,6 +842,7 @@ object Dedup extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cluster" -> qDedupCluster,
     "q_dedup_cluster_lsh" -> qDedupClusterLsh,
+    "q_dedup_keep_best" -> qDedupKeepBest,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     // SURVEY §2B's declared name for near-dup dedup — the MinHash pipeline
@@ -832,6 +853,33 @@ object Dedup extends QueryModule {
     "q_containment_pairs" -> qContainment,
     "q_containment_admit" -> qContainmentAdmit
   )
+
+  /** Shared DuckDB CTE chain: full-table exact word-3-gram Jaccard pairs at
+    * ≥ 0.5 contracted by a recursive CC — the oracle twin of the banded-LSH
+    * production clustering (recall is total at j ≥ 0.5 on this corpus).
+    */
+  private val lshCcCte =
+    """t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |    ELSE [array_to_string(toks, ' ')] END AS grams
+      |  FROM t),
+      |pairs AS (
+      |  SELECT l.doc_id AS doc1, r.doc_id AS doc2
+      |  FROM g l JOIN g r ON l.doc_id < r.doc_id
+      |  WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(l.grams, r.grams))), 4) >= 0.5),
+      |edges AS (
+      |  SELECT doc1 AS src, doc2 AS dst FROM pairs
+      |  UNION ALL SELECT doc2, doc1 FROM pairs),
+      |cc AS (
+      |  SELECT doc_id AS id, doc_id AS comp FROM t
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // recursive-CTE twin: min reachable id over the same thresholded edge set
@@ -862,29 +910,19 @@ object Dedup extends QueryModule {
     // Spark result because every banded candidate is verified with the same
     // exact Jaccard and banding recall is total at j ≥ 0.5 on this corpus.
     "q_dedup_cluster_lsh" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |    ELSE [array_to_string(toks, ' ')] END AS grams
-        |  FROM t),
-        |pairs AS (
-        |  SELECT l.doc_id AS doc1, r.doc_id AS doc2
-        |  FROM g l JOIN g r ON l.doc_id < r.doc_id
-        |  WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(l.grams, r.grams))), 4) >= 0.5),
-        |edges AS (
-        |  SELECT doc1 AS src, doc2 AS dst FROM pairs
-        |  UNION ALL SELECT doc2, doc1 FROM pairs),
-        |cc AS (
-        |  SELECT doc_id AS id, doc_id AS comp FROM t
-        |  UNION
-        |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id)
-        |SELECT id AS doc_id, min(comp) AS component
-        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $lshCcCte
+         |SELECT id AS doc_id, min(comp) AS component
+         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+    // same clusters, survivor = longest text (doc_id tie-break) per cluster
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $lshCcCte,
+         |compo AS (
+         |  SELECT id AS doc_id, min(comp) AS component FROM cc GROUP BY id)
+         |SELECT d.doc_id, compo.component, d.n_chars,
+         |  row_number() OVER (PARTITION BY component
+         |                     ORDER BY d.n_chars DESC, d.doc_id) = 1 AS keep
+         |FROM compo JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -353,6 +353,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("quality-aware survivorship keeps exactly the longest copy per cluster") {
+    val rows = SparkEntry.queries("q_dedup_keep_best")(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $c keeps ${kept.length} docs")
+      val best = members.minBy(m => (-m._3, m._1)) // longest, doc_id tie-break
+      assert(kept.head._1 == best._1, s"cluster $c kept ${kept.head._1}, best is ${best._1}")
+    }
+    assert(byCluster.exists(_._2.length > 1), "fixture should contain a multi-doc cluster")
+  }
+
   test("single-loop BandHashes expression is bit-identical to the compositional form") {
     val sigs = Dedup.signatures(docs)
     val rows = sigs.select(col("doc_id"),
