@@ -20,6 +20,8 @@ object SparkEntry {
     dedup.Dedup,
     dedup.EntityResolution,
     similarity.Similarity,
+    similarity.Pca,
+    analytics.Behavioral,
     streaming.Streaming,
     domain.GridQueries,
     multimodal.Multimodal,

@@ -1,0 +1,263 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables => T}
+
+/** Behavioral / lifecycle analytics over the events and order streams — the
+  * model-eval end of the training-data pipeline: survival curves for
+  * engagement decay, an item-item collaborative-filtering recommender, and a
+  * temporal-split next-event backtest. No reference twin (the reference has
+  * no behavioral surface); these generalize the funnel/retention/attribution
+  * family already in `operators/` with the three shapes production
+  * event-analytics stacks add next.
+  *
+  * Shared scale posture: every query's DATA-sized pass is either one
+  * user-keyed window (the funnel/retention shuffle class) or one
+  * basket-keyed self-join bounded by per-basket fan-out; everything
+  * downstream operates on vocabulary-sized tables (duration buckets, item
+  * pairs, type transitions) that broadcast or fold driver-free. Nothing here
+  * joins or windows the raw corpus by row id.
+  */
+object Behavioral extends QueryModule {
+
+  /** Hours between two timestamps as exact integer arithmetic: both engines
+    * floor(Δmicros / 3.6e9) on int64 micros, so the bucket can never differ
+    * cross-engine (a `datediff('hour', …)` would count calendar-boundary
+    * crossings in DuckDB but elapsed time in a unix_timestamp formulation —
+    * a silent off-by-one on every non-aligned interval).
+    */
+  private def hoursBetween(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    floor((unix_micros(b) - unix_micros(a)) / lit(3600000000L.toDouble))
+
+  /** Kaplan-Meier repeat-purchase survival: for every purchase, the interval
+    * to the SAME user's next purchase (event) or to the observation end
+    * (right-censored — the open interval after a user's last purchase), then
+    * the product-limit estimator S(t) = Π_{u≤t} (1 − d_u/n_u) over hour
+    * buckets. Censoring is what distinguishes this from `1 − ECDF`: the 150
+    * open intervals keep contributing to the risk sets of every bucket they
+    * survive past, exactly as the estimator demands.
+    *
+    * Scale: one filter + one user-partitioned window (the retention shuffle
+    * class) is the only data-sized work; the grouped (t, d, c) life table is
+    * bounded by the observation span in hours, so the two unpartitioned
+    * windows after it run on a metadata-sized table. The zero-survival tail
+    * guard (last bucket where d = n_risk) mirrors the oracle's CASE — the
+    * product hits exact 0 there and ln() must not see it.
+    */
+  /** Product-limit (Kaplan-Meier) life table from labeled intervals:
+    * `(t: duration bucket, ev: 1 = event observed, 0 = right-censored)` →
+    * one row per bucket with events, carrying the risk set and the running
+    * survival product. Input is expected pre-aggregated to
+    * bucket-vocabulary size (the observation span), so the unpartitioned
+    * windows here run on a metadata-sized table.
+    */
+  private[graft] def kmCurve(intervals: DataFrame): DataFrame = {
+    val tbl = intervals.groupBy("t")
+      .agg(sum("ev").as("d0"), count(lit(1)).as("c"))
+    val wDesc = Window.orderBy(col("t").desc)
+    val wAsc = Window.orderBy(col("t"))
+    tbl.withColumn("n_risk", sum("c").over(wDesc))
+      .filter(col("d0") > 0)
+      .withColumn("f", lit(1.0) - col("d0").cast("double") / col("n_risk"))
+      .withColumn("surv",
+        when(min("f").over(wAsc) === 0.0, lit(0.0))
+          .otherwise(exp(sum(when(col("f") > 0, log("f"))
+            .otherwise(lit(0.0))).over(wAsc))))
+      .select(col("t").as("hours"), col("d0").as("repurchases"),
+        col("n_risk").as("n_risk"), round(col("surv"), 4).as("survival"))
+      .orderBy("hours")
+  }
+
+  private def qSurvival(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val bounds = ev.agg(max("ts").as("obs_end"))
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val iv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .withColumn("nxt", lead("ts", 1).over(w))
+    val lab = iv.crossJoin(broadcast(bounds)).select(
+      when(col("nxt").isNotNull, hoursBetween(col("ts"), col("nxt")))
+        .otherwise(hoursBetween(col("ts"), col("obs_end"))).as("t"),
+      when(col("nxt").isNotNull, 1L).otherwise(0L).as("ev"))
+    kmCurve(lab)
+  }
+
+  /** Item-item collaborative filtering over order baskets, served to the
+    * customer level: cosine similarity between parts from co-purchase
+    * counts, pruned to each part's top-5 neighbors, then per-customer scores
+    * as the sum of neighbor cosines over the parts they already bought,
+    * owned parts excluded, top-3 recommendations each.
+    *
+    * Scale: the co-occurrence self-join is keyed on the order and bounded by
+    * Σ_orders |basket|² (TPC-H baskets ≤ 13 — never all-pairs across
+    * orders); the pruned neighbor table is |parts|×5 — broadcast on both
+    * sides it touches — so the customer-scoring join fans out at most 5×
+    * per owned part and stays corpus-linear. Ranking keys on
+    * round(score, 9) before the item-id tie-break: the score is a sum whose
+    * float addition order differs per engine, and 9 digits absorbs the ulp
+    * while real score gaps stay ordered.
+    */
+  private def qRecsItemcf(s: SparkSession, d: String): DataFrame = {
+    val baskets = T.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val cnt = baskets.groupBy("pk").agg(count(lit(1)).as("n"))
+    val cooc = baskets.select(col("ok"), col("pk").as("a"))
+      .join(baskets.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    val sym = cooc.select("a", "b", "nab")
+      .unionAll(cooc.select(col("b").as("a"), col("a").as("b"), col("nab")))
+    val cos = sym
+      .join(broadcast(cnt.select(col("pk").as("a"), col("n").as("na"))), "a")
+      .join(broadcast(cnt.select(col("pk").as("b"), col("n").as("nb"))), "b")
+      .select(col("a"), col("b"),
+        (col("nab").cast("double") /
+          sqrt(col("na").cast("double") * col("nb"))).as("c"))
+    val nw = Window.partitionBy("a").orderBy(col("c").desc, col("b"))
+    val nb5 = cos.withColumn("rn", row_number().over(nw))
+      .filter(col("rn") <= 5).select("a", "b", "c")
+    val owned = T.orders(s, d)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      .join(baskets, "ok").select("ck", "pk").distinct()
+    val scores = owned.join(broadcast(nb5), col("pk") === col("a"))
+      .groupBy(col("ck"), col("b").as("item")).agg(sum("c").as("score"))
+    val cand = scores.join(owned.withColumnRenamed("pk", "item"),
+      Seq("ck", "item"), "left_anti")
+    val rw = Window.partitionBy("ck")
+      .orderBy(round(col("score"), 9).desc, col("item"))
+    cand.withColumn("rn", row_number().over(rw)).filter(col("rn") <= 3)
+      .select(col("ck").as("custkey"), col("rn").cast("long").as("rank"),
+        col("item").as("partkey"), round(col("score"), 4).as("score"))
+      .orderBy("custkey", "rank")
+  }
+
+  /** Temporal-split next-event backtest: train a first-order transition
+    * model (argmax next event type per current type, tie → lexicographic)
+    * on transitions completing before the split date, score top-1 accuracy
+    * on transitions completing after it — the eval loop every sequence
+    * model ships with, as one query. Assigning a transition to train/test
+    * by its COMPLETION time keeps the split leak-free: no trained pair's
+    * label lies in the future of the split.
+    *
+    * Scale: the transition build is the one data-sized pass (user-keyed
+    * window, the q_event_paths shuffle); the model is |vocab|² rows →
+    * argmax folds it to |vocab| and broadcasts into the test join, so
+    * evaluation is a scan, not a shuffle.
+    */
+  private def qNextEvent(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq = T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead("src", 1).over(w))
+      .withColumn("dst_ts", lead("ts", 1).over(w))
+      .filter(col("dst").isNotNull)
+    val split = lit("2024-01-25 00:00:00").cast("timestamp")
+    val train = seq.filter(col("dst_ts") < split)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w0"))
+    val mw = Window.partitionBy("src").orderBy(col("w0").desc, col("dst"))
+    val model = train.withColumn("rn", row_number().over(mw))
+      .filter(col("rn") === 1).select(col("src"), col("dst").as("predicted"))
+    seq.filter(col("dst_ts") >= split).select("src", "dst")
+      .join(broadcast(model), "src")
+      .groupBy("src", "predicted")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("dst") === col("predicted"), 1L).otherwise(0L)).as("hits"))
+      .select(col("src"), col("predicted"), col("n_test"), col("hits"),
+        round(col("hits").cast("double") / col("n_test"), 4).as("accuracy"))
+      .orderBy("src")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival" -> qSurvival,
+    "q_recs_itemcf" -> qRecsItemcf,
+    "q_next_event" -> qNextEvent
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_survival" ->
+      """WITH b AS (SELECT max(ts) AS obs_end FROM events),
+        |iv AS (
+        |  SELECT user_id, ts, lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        |  FROM events WHERE event_type = 'purchase'),
+        |lab AS (
+        |  SELECT
+        |    CASE WHEN nxt IS NOT NULL
+        |      THEN CAST(floor((epoch_us(nxt) - epoch_us(ts)) / 3600000000.0) AS BIGINT)
+        |      ELSE CAST(floor((epoch_us(b.obs_end) - epoch_us(ts)) / 3600000000.0) AS BIGINT)
+        |    END AS t,
+        |    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM iv CROSS JOIN b),
+        |tbl AS (SELECT t, sum(ev) AS d, count(*) AS c FROM lab GROUP BY 1),
+        |risk AS (SELECT t, d, sum(c) OVER (ORDER BY t DESC) AS n_risk FROM tbl),
+        |km AS (
+        |  SELECT t, d, n_risk,
+        |    CASE WHEN min(1.0 - CAST(d AS DOUBLE)/n_risk) OVER (ORDER BY t) = 0 THEN 0.0
+        |         ELSE exp(sum(CASE WHEN d < n_risk
+        |                  THEN ln(1.0 - CAST(d AS DOUBLE)/n_risk) ELSE 0.0 END)
+        |              OVER (ORDER BY t)) END AS s
+        |  FROM risk WHERE d > 0)
+        |SELECT t AS hours, CAST(d AS BIGINT) AS repurchases,
+        |  CAST(n_risk AS BIGINT) AS n_risk, round(s, 4) AS survival
+        |FROM km ORDER BY hours""".stripMargin,
+    "q_recs_itemcf" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |cnt AS (SELECT pk, count(*) AS n FROM baskets GROUP BY 1),
+        |cooc AS (
+        |  SELECT x.pk AS a, y.pk AS b, count(*) AS nab
+        |  FROM baskets x JOIN baskets y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT a, b, nab FROM cooc UNION ALL SELECT b, a, nab FROM cooc),
+        |cos AS (
+        |  SELECT s.a, s.b,
+        |    CAST(s.nab AS DOUBLE) / sqrt(CAST(ca.n AS DOUBLE) * cb.n) AS c
+        |  FROM sym s JOIN cnt ca ON ca.pk = s.a JOIN cnt cb ON cb.pk = s.b),
+        |nb AS (
+        |  SELECT a, b, c FROM (
+        |    SELECT a, b, c, row_number() OVER (PARTITION BY a ORDER BY c DESC, b) AS rn
+        |    FROM cos) WHERE rn <= 5),
+        |owned AS (
+        |  SELECT DISTINCT o.o_custkey AS ck, b.pk
+        |  FROM orders o JOIN baskets b ON b.ok = o.o_orderkey),
+        |scores AS (
+        |  SELECT w.ck, n.b AS item, sum(n.c) AS score
+        |  FROM owned w JOIN nb n ON n.a = w.pk GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT s.ck, s.item, s.score FROM scores s
+        |  LEFT JOIN owned w ON w.ck = s.ck AND w.pk = s.item
+        |  WHERE w.ck IS NULL),
+        |ranked AS (
+        |  SELECT ck, item, score,
+        |    row_number() OVER (PARTITION BY ck ORDER BY round(score, 9) DESC, item) AS rn
+        |  FROM cand)
+        |SELECT ck AS custkey, CAST(rn AS BIGINT) AS rank, item AS partkey,
+        |  round(score, 4) AS score
+        |FROM ranked WHERE rn <= 3 ORDER BY custkey, rank""".stripMargin,
+    "q_next_event" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_ts
+        |  FROM events),
+        |pairs AS (SELECT src, dst, dst_ts FROM seq WHERE dst IS NOT NULL),
+        |train AS (
+        |  SELECT src, dst, count(*) AS w FROM pairs
+        |  WHERE dst_ts < TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1, 2),
+        |model AS (
+        |  SELECT src, dst AS predicted FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        |    FROM train) WHERE rn = 1),
+        |test AS (
+        |  SELECT src, dst FROM pairs
+        |  WHERE dst_ts >= TIMESTAMP '2024-01-25 00:00:00')
+        |SELECT t.src, m.predicted, count(*) AS n_test,
+        |  CAST(sum(CASE WHEN t.dst = m.predicted THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  round(CAST(sum(CASE WHEN t.dst = m.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 4) AS accuracy
+        |FROM test t JOIN model m ON m.src = t.src
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analytics.Behavioral
+
+class BehavioralSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kmCurve on a hand-computed planted case") {
+    // intervals: two events at t=1, one censored at t=2, one event at t=3
+    // t=1: n=4, d=2 -> S=0.5 ; t=3: n=1, d=1 -> S=0 (exact-zero tail)
+    val iv = Seq((1L, 1L), (1L, 1L), (2L, 0L), (3L, 1L)).toDF("t", "ev")
+    val got = Behavioral.kmCurve(iv)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L, 0.5), (3L, 1L, 1L, 0.0)), got.toString)
+  }
+
+  test("kmCurve without censoring equals 1 - ECDF") {
+    val iv = Seq(1L, 1L, 2L, 5L, 5L, 5L, 9L).map((_, 1L)).toDF("t", "ev")
+    val got = Behavioral.kmCurve(iv)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (t, _, _, s) => t -> s }.toMap
+    assert(got == Map(1L -> 0.7143, 2L -> 0.5714, 5L -> 0.1429, 9L -> 0.0), got.toString)
+  }
+
+  test("q_survival: monotone nonincreasing, risk sets consistent, censoring present") {
+    val rows = SparkEntry.queries("q_survival")(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val survs = rows.map(_._4)
+    survs.zip(survs.tail).foreach { case (a, b) => assert(b <= a + 1e-12) }
+    rows.foreach { case (t, d, n, s) =>
+      assert(d >= 1 && d <= n && s >= 0 && s <= 1, s"bad row ($t,$d,$n,$s)") }
+    // censoring means observed events < total intervals entering the table
+    val totalEvents = rows.map(_._2).sum
+    assert(totalEvents < rows.head._3,
+      s"no censored intervals: $totalEvents events of ${rows.head._3} at risk")
+  }
+
+  test("q_recs_itemcf: never recommends an owned part, ranks are dense 1..k") {
+    val recs = SparkEntry.queries("q_recs_itemcf")(spark, TestSpark.sf).cache()
+    val owned = Tables.orders(spark, TestSpark.sf)
+      .select($"o_orderkey".as("ok"), $"o_custkey".as("custkey"))
+      .join(Tables.lineitem(spark, TestSpark.sf)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("partkey")), "ok")
+      .select("custkey", "partkey").distinct()
+    assert(recs.join(owned, Seq("custkey", "partkey")).count() == 0,
+      "recommended an already-owned part")
+    val byCust = recs.groupBy("custkey")
+      .agg(collect_list("rank").as("ranks"), count(lit(1)).as("n"))
+      .as[(Long, Seq[Long], Long)].collect()
+    byCust.foreach { case (c, ranks, n) =>
+      assert(n <= 3 && ranks.sorted == (1L to n).toSeq, s"cust $c ranks $ranks") }
+    recs.unpersist()
+  }
+
+  test("q_recs_itemcf plan: no cartesian product, neighbor join broadcasts") {
+    val plan = SparkEntry.queries("q_recs_itemcf")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+
+  test("q_next_event: model trained pre-split only, accuracy consistent") {
+    val rows = SparkEntry.queries("q_next_event")(spark, TestSpark.sf)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, pred, n, hits, acc) =>
+      assert(hits >= 0 && hits <= n, s"$src: hits $hits of $n")
+      val want = BigDecimal(hits.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(acc - want) < 1e-9, s"$src: accuracy $acc != $hits/$n")
+      assert(pred.nonEmpty)
+    }
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per src")
+  }
+
+  test("q_next_event is leak-free: post-split transitions never change the model") {
+    // the model argmax must be reproducible from pre-split transitions alone
+    val ev = Tables.events(spark, TestSpark.sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val seq = ev.select($"user_id", $"ts", $"event_id", $"event_type".as("src"))
+      .withColumn("dst", lead("src", 1).over(w))
+      .withColumn("dst_ts", lead("ts", 1).over(w))
+      .filter($"dst".isNotNull && $"dst_ts" < lit("2024-01-25 00:00:00").cast("timestamp"))
+    val wantModel = seq.groupBy("src", "dst").agg(count(lit(1)).as("w0"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy($"w0".desc, $"dst")))
+      .filter($"rn" === 1).select($"src", $"dst".as("want"))
+      .as[(String, String)].collect().toMap
+    val got = SparkEntry.queries("q_next_event")(spark, TestSpark.sf)
+      .select("src", "predicted").as[(String, String)].collect().toMap
+    got.foreach { case (src, pred) =>
+      assert(wantModel(src) == pred, s"$src predicted $pred != pre-split argmax ${wantModel(src)}") }
+  }
+
+  test("q_next_event plan: model join is broadcast") {
+    val plan = SparkEntry.queries("q_next_event")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"model must broadcast:\n$plan")
+  }
+}

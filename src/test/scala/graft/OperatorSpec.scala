@@ -24,6 +24,8 @@ class OperatorSpec extends AnyFunSuite {
     // keeps the doc mechanically honest: every module bullet's names and
     // count, the no-oracle markers, and the total line must equal the code
     val byModule: Map[String, QueryModule] = Map(
+      "analytics/Behavioral" -> analytics.Behavioral,
+      "similarity/Pca" -> similarity.Pca,
       "dedup/Dedup" -> dedup.Dedup,
       "dedup/EntityResolution" -> dedup.EntityResolution,
       "domain/Grid" -> domain.GridQueries,
