@@ -58,6 +58,8 @@ object Bench {
       similarity.Similarity.prepareIvfPqResIndex(spark, sfDir) // residual variant
       multimodal.Multimodal.prepareAssets(spark, sfDir) // decode-query payloads
       dedup.Dedup.prepareSignatures(spark, sfDir)
+      dedup.EntityResolution.linkageStoreCached(spark, sfDir) // q_er_admit store
+      analytics.Behavioral.itemNeighborsCached(spark, sfDir) // q_recs_itemcf model
       text.TextAnalysis.bpeMergesCached(spark, sfDir) // tokenizer training (q_bpe_*)
       // grid catalog = ingest-time metadata (one row per file); build the
       // cached dim-sized table here like the other layouts

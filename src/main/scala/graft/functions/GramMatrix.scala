@@ -163,6 +163,104 @@ case class GramMatrixAgg(
   override def prettyName: String = "gram_matrix"
 }
 
+/** Stage 1 of the covariance rollup: per-shard moment buffer as BYTES —
+  * compute once per shard at ingest, persist alongside the shard (the
+  * `histogram_sketch` / HLL-sketch posture), and answer any
+  * shard-combination's covariance later without rescanning rows. At 100 TB
+  * the spectrum diagnostic then reads |shards| × O(d²) bytes, not the
+  * corpus.
+  */
+case class GramSketch(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GramBuffer]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[TypeBridge.AbstractType] =
+    Seq(ArrayType(DoubleType))
+
+  override def createAggregationBuffer(): GramBuffer = new GramBuffer
+  override def update(buffer: GramBuffer, input: InternalRow): GramBuffer = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.add(v.asInstanceOf[ArrayData], (a, i) => a.getDouble(i))
+    buffer
+  }
+  override def merge(buffer: GramBuffer, other: GramBuffer): GramBuffer = {
+    buffer.merge(other); buffer
+  }
+  override def eval(buffer: GramBuffer): Any = GramBuffer.toBytes(buffer)
+  override def serialize(buffer: GramBuffer): Array[Byte] = GramBuffer.toBytes(buffer)
+  override def deserialize(bytes: Array[Byte]): GramBuffer = GramBuffer.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): GramSketch =
+    copy(child = newChild)
+  override def prettyName: String = "gram_sketch"
+}
+
+/** Stage 2: merge stage-1 sketch bytes and emit the covariance triangle —
+  * [[GramMatrixAgg]]'s output shape. The moments are plain sums, so a
+  * rolled-up result equals the single-pass one up to float-addition
+  * reordering (ulp-scale); the declared queries round at 6 dp on both
+  * engines, which absorbs it.
+  */
+case class GramMergeCov(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GramBuffer]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", LongType, nullable = false),
+    StructField("j", LongType, nullable = false),
+    StructField("cov", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(BinaryType)
+
+  override def createAggregationBuffer(): GramBuffer = new GramBuffer
+  override def update(buffer: GramBuffer, input: InternalRow): GramBuffer = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(GramBuffer.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+  override def merge(buffer: GramBuffer, other: GramBuffer): GramBuffer = {
+    buffer.merge(other); buffer
+  }
+  override def eval(buffer: GramBuffer): Any = {
+    if (buffer.d < 0 || buffer.n == 0) return new GenericArrayData(Array.empty[Any])
+    val d = buffer.d
+    val out = new Array[Any](d * (d + 1) / 2)
+    var i = 0; var k = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        out(k) = new GenericInternalRow(
+          Array[Any](i.toLong, j.toLong, buffer.covariance(i, j)))
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def serialize(buffer: GramBuffer): Array[Byte] = GramBuffer.toBytes(buffer)
+  override def deserialize(bytes: Array[Byte]): GramBuffer = GramBuffer.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramMergeCov =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramMergeCov =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): GramMergeCov =
+    copy(child = newChild)
+  override def prettyName: String = "gram_merge_cov"
+}
+
 object GramFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -170,4 +268,14 @@ object GramFunctions {
   def gram_matrix(c: Column): Column =
     ColumnBridge.column(
       GramMatrixAgg(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** Per-shard moment sketch bytes ([[GramSketch]]). */
+  def gram_sketch(c: Column): Column =
+    ColumnBridge.column(
+      GramSketch(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** Merge sketch bytes → covariance triangle ([[GramMergeCov]]). */
+  def gram_merge_cov(c: Column): Column =
+    ColumnBridge.column(
+      GramMergeCov(ColumnBridge.expression(c)).toAggregateExpression())
 }

@@ -145,6 +145,24 @@ object Pca extends QueryModule {
         (round(col("e.cov"), 6) + lit(0.0)).as("cov"))
       .orderBy("i", "j")
 
+  /** The covariance triangle computed as a two-stage rollup: per-shard
+    * `gram_sketch` moment bytes (what an ingest pipeline persists per shard
+    * — the `histogram_sketch`/HLL posture) merged by `gram_merge_cov`.
+    * Shares `q_embed_gram`'s oracle verbatim: a shard rollup must answer
+    * exactly what the single-pass aggregate answers, which is the whole
+    * point of mergeable moment state — at 100 TB the diagnostic reads
+    * |shards| × O(d²) sketch bytes instead of rescanning the corpus.
+    */
+  private def qEmbedGramShard(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .groupBy((col("vec_id") % 4).as("shard"))
+      .agg(GramFunctions.gram_sketch(col("embedding")).as("sk"))
+      .agg(GramFunctions.gram_merge_cov(col("sk")).as("g"))
+      .select(explode(col("g")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"),
+        (round(col("e.cov"), 6) + lit(0.0)).as("cov"))
+      .orderBy("i", "j")
+
   /** PCA spectrum summary: top-16 eigenvalues with per-component and
     * cumulative explained-variance ratios. No SQL oracle (DuckDB has no
     * eigensolver); PcaSpec locks the math instead — Σλ = trace(cov),
@@ -168,11 +186,22 @@ object Pca extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_gram" -> qEmbedGram,
+    "q_embed_gram_shard" -> qEmbedGramShard,
     "q_embed_pca" -> qEmbedPca
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_embed_gram" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    unnest(range(len(embedding))) AS dim
+        |  FROM embeddings)
+        |SELECT a.dim AS i, b.dim AS j,
+        |  round((sum(a.v*b.v) - sum(a.v)*sum(b.v)/count(*))/count(*), 6) + 0.0 AS cov
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the rollup must answer exactly what the single-pass aggregate answers
+    "q_embed_gram_shard" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
         |    unnest(range(len(embedding))) AS dim

@@ -112,6 +112,18 @@ class PcaSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall@10 in $k-dim PCA space = $recall")
   }
 
+  test("sharded sketch rollup equals the single-pass covariance (mergeable-state parity)") {
+    val one = SparkEntry.queries("q_embed_gram")(spark, TestSpark.sf)
+      .as[(Long, Long, Double)].collect()
+    val rolled = SparkEntry.queries("q_embed_gram_shard")(spark, TestSpark.sf)
+      .as[(Long, Long, Double)].collect()
+    assert(one.length == rolled.length)
+    one.zip(rolled).foreach { case ((i1, j1, c1), (i2, j2, c2)) =>
+      assert(i1 == i2 && j1 == j2)
+      assert(math.abs(c1 - c2) <= 1e-6 + 1e-12, s"($i1,$j1): $c1 vs $c2")
+    }
+  }
+
   test("q_embed_pca output: ratios sum consistently and cum_ratio is monotone") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, TestSpark.sf)
       .as[(Long, Double, Double, Double)].collect()
