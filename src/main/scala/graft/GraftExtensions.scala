@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 
-import graft.functions.{ApproxTopK, CmsEstimate, CosineSimilarity, DotProduct, HistogramBreaks, HistogramMergeQuantiles, HistogramSketch, MinHashSignature, PointInPolygon, SimHash64, TopKByScore, ZOrder64}
+import graft.functions.{ApproxTopK, CmsEstimate, CosineSimilarity, DotProduct, GramMatrixAgg, GramMergeCov, GramSketch, HistogramBreaks, HistogramMergeQuantiles, HistogramSketch, MinHashSignature, PointInPolygon, SimHash64, TopKByScore, ZOrder64}
 
 /** Session extension (`spark.sql.extensions=graft.GraftExtensions`) wiring the
   * library's native expressions into SQL and the optimizer:
@@ -18,7 +18,9 @@ import graft.functions.{ApproxTopK, CmsEstimate, CosineSimilarity, DotProduct, H
   *     `cms_estimate(sketch, item)`, and the aggregate sketches
   *     `approx_top_k`, `histogram_breaks`, `histogram_sketch` +
   *     `histogram_merge_quantiles` (two-stage quantile rollup),
-  *     `minhash_signature`, `top_k_by_score` — so a SQL-only user of
+  *     `minhash_signature`, `top_k_by_score`, and the covariance moments
+  *     `gram_matrix` / `gram_sketch` + `gram_merge_cov` (two-stage
+  *     spectrum rollup) — so a SQL-only user of
   *     the reference's query surface needs no Scala.
   *   - SQL table functions: `FROM grid_scan('<dir>')` — the DSv2
   *     NetCDF/HDF5/GRF scan with its full pushdown surface — and
@@ -164,6 +166,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "minhash_signature(arr, numPerms)")
         MinHashSignature(longArray(args(0)), litInt(args(1), "numPerms"))
+      }))
+    ext.injectFunction((FunctionIdentifier("gram_matrix"), info("gram_matrix"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "gram_matrix(vec)")
+        GramMatrixAgg(args(0))
+      }))
+    ext.injectFunction((FunctionIdentifier("gram_sketch"), info("gram_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "gram_sketch(vec)")
+        GramSketch(args(0))
+      }))
+    ext.injectFunction((FunctionIdentifier("gram_merge_cov"), info("gram_merge_cov"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "gram_merge_cov(sketch)")
+        GramMergeCov(args(0))
       }))
     // ---- table-valued functions: the library's TABLE surfaces for
     // SQL-only users — `FROM grid_scan('<dir>')` serves a NetCDF/HDF5/GRF

@@ -117,25 +117,8 @@ object Behavioral extends QueryModule {
     * basket fan-out and |parts| — re-run per ingest batch, not per query.
     */
   def itemNeighborsCached(s: SparkSession, d: String): DataFrame =
-    graft.PersistedCache(s, ("itemcf-neighbors", d)) {
-      val bk = baskets(s, d)
-      val cnt = bk.groupBy("pk").agg(count(lit(1)).as("n"))
-      val cooc = bk.select(col("ok"), col("pk").as("a"))
-        .join(bk.select(col("ok"), col("pk").as("b")), "ok")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("nab"))
-      val sym = cooc.select("a", "b", "nab")
-        .unionAll(cooc.select(col("b").as("a"), col("a").as("b"), col("nab")))
-      val cos = sym
-        .join(broadcast(cnt.select(col("pk").as("a"), col("n").as("na"))), "a")
-        .join(broadcast(cnt.select(col("pk").as("b"), col("n").as("nb"))), "b")
-        .select(col("a"), col("b"),
-          (col("nab").cast("double") /
-            sqrt(col("na").cast("double") * col("nb"))).as("c"))
-      val nw = Window.partitionBy("a").orderBy(col("c").desc, col("b"))
-      cos.withColumn("rn", row_number().over(nw))
-        .filter(col("rn") <= 5).select("a", "b", "c")
-    }
+    graft.PersistedCache(s, ("itemcf-neighbors", d))(
+      neighborsFrom(baskets(s, d)))
 
   private def qRecsItemcf(s: SparkSession, d: String): DataFrame = {
     val owned = T.orders(s, d)
@@ -152,6 +135,89 @@ object Behavioral extends QueryModule {
       .select(col("ck").as("custkey"), col("rn").cast("long").as("rank"),
         col("item").as("partkey"), round(col("score"), 4).as("score"))
       .orderBy("custkey", "rank")
+  }
+
+  /** Build each part's top-5 cosine neighbors from a given basket relation
+    * — the model shape [[itemNeighborsCached]] persists, parameterized so
+    * the offline evaluation below can retrain on its training split.
+    */
+  private def neighborsFrom(bk: DataFrame): DataFrame = {
+    val cnt = bk.groupBy("pk").agg(count(lit(1)).as("n"))
+    val cooc = bk.select(col("ok"), col("pk").as("a"))
+      .join(bk.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    val sym = cooc.select("a", "b", "nab")
+      .unionAll(cooc.select(col("b").as("a"), col("a").as("b"), col("nab")))
+    val cos = sym
+      .join(broadcast(cnt.select(col("pk").as("a"), col("n").as("na"))), "a")
+      .join(broadcast(cnt.select(col("pk").as("b"), col("n").as("nb"))), "b")
+      .select(col("a"), col("b"),
+        (col("nab").cast("double") /
+          sqrt(col("na").cast("double") * col("nb"))).as("c"))
+    val nw = Window.partitionBy("a").orderBy(col("c").desc, col("b"))
+    cos.withColumn("rn", row_number().over(nw))
+      .filter(col("rn") <= 5).select("a", "b", "c")
+  }
+
+  /** Offline ranking evaluation of the item-CF recommender — leave-latest-
+    * out, leak-free: each customer's most recent interaction (max order
+    * date, then order key, then part key — all exact ints, no float
+    * tie-break) is held out, the model RETRAINS on baskets with the
+    * held-out pairs removed, and the held-out item's rank among the
+    * recommendations scores hit-rate@3/@10 and MRR@10 per market segment.
+    * This is the eval loop a recommender pipeline ships with (the
+    * `q_next_event` posture applied to ranking): training strictly
+    * excludes the held-out interactions, so no label leaks into the model.
+    *
+    * Scale: the holdout pick is one (ck, pk)-keyed aggregate + a
+    * customer-keyed window over pair-vocabulary rows; the retrained model
+    * is the same Σ basket²-bounded build as [[itemNeighborsCached]]; the
+    * metric fold is |segments|-sized. Candidate ranking reuses the
+    * serving join's shape (broadcast neighbors, candidates ∝ training
+    * pairs × 5).
+    */
+  private def qRecsEval(s: SparkSession, d: String): DataFrame = {
+    val bk = baskets(s, d)
+    val ords = T.orders(s, d).select(col("o_orderkey").as("ok"),
+      col("o_custkey").as("ck"), col("o_orderdate").as("odate"))
+    val pairs = ords.join(bk, "ok")
+      .groupBy("ck", "pk").agg(max("odate").as("d1"), max("ok").as("k1"))
+    val cw = Window.partitionBy("ck")
+      .orderBy(col("d1").desc, col("k1").desc, col("pk").desc)
+    val ranked = pairs
+      .withColumn("rn", row_number().over(cw))
+      .withColumn("npairs", count(lit(1)).over(Window.partitionBy("ck")))
+      .filter(col("npairs") >= 2)
+    val held = ranked.filter(col("rn") === 1)
+      .select(col("ck"), col("pk").as("held"))
+    val training = ranked.filter(col("rn") > 1).select("ck", "pk")
+    val trainBk = bk.join(ords.select("ok", "ck"), "ok")
+      .join(held.withColumnRenamed("held", "pk"), Seq("ck", "pk"), "left_anti")
+      .select("ok", "pk").distinct()
+    val nb5 = neighborsFrom(trainBk)
+    val scores = training.join(broadcast(nb5), col("pk") === col("a"))
+      .groupBy(col("ck"), col("b").as("item")).agg(sum("c").as("score"))
+    val cand = scores.join(training.withColumnRenamed("pk", "item"),
+      Seq("ck", "item"), "left_anti")
+    val rw = Window.partitionBy("ck")
+      .orderBy(round(col("score"), 9).desc, col("item"))
+    val candRanked = cand.withColumn("crn", row_number().over(rw))
+    val evalRows = held
+      .join(candRanked.select(col("ck"), col("item"), col("crn")),
+        held("ck") === candRanked("ck") && held("held") === candRanked("item"),
+        "left")
+      .select(held("ck"), col("crn"))
+    val seg = T.customer(s, d)
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("segment"))
+    evalRows.join(broadcast(seg), "ck")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(when(col("crn") <= 3, 1.0).otherwise(0.0)), 4).as("hr3"),
+        round(avg(when(col("crn") <= 10, 1.0).otherwise(0.0)), 4).as("hr10"),
+        round(avg(when(col("crn") <= 10, lit(1.0) / col("crn"))
+          .otherwise(0.0)), 4).as("mrr10"))
+      .orderBy("segment")
   }
 
   /** Temporal-split next-event backtest: train a first-order transition
@@ -194,6 +260,7 @@ object Behavioral extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_survival" -> qSurvival,
     "q_recs_itemcf" -> qRecsItemcf,
+    "q_recs_eval" -> qRecsEval,
     "q_next_event" -> qNextEvent
   )
 
@@ -256,6 +323,58 @@ object Behavioral extends QueryModule {
         |SELECT ck AS custkey, CAST(rn AS BIGINT) AS rank, item AS partkey,
         |  round(score, 4) AS score
         |FROM ranked WHERE rn <= 3 ORDER BY custkey, rank""".stripMargin,
+    "q_recs_eval" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ords AS (SELECT o_orderkey AS ok, o_custkey AS ck, o_orderdate AS odate FROM orders),
+        |pairs AS (
+        |  SELECT o.ck, b.pk, max(o.odate) AS d1, max(o.ok) AS k1
+        |  FROM ords o JOIN bk b ON b.ok = o.ok GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT ck, pk,
+        |    row_number() OVER (PARTITION BY ck ORDER BY d1 DESC, k1 DESC, pk DESC) AS rn,
+        |    count(*) OVER (PARTITION BY ck) AS npairs
+        |  FROM pairs),
+        |held AS (SELECT ck, pk AS held FROM ranked WHERE rn = 1 AND npairs >= 2),
+        |training AS (SELECT ck, pk FROM ranked WHERE rn > 1 AND npairs >= 2),
+        |trainbk AS (
+        |  SELECT DISTINCT b.ok, b.pk
+        |  FROM bk b JOIN ords o ON o.ok = b.ok
+        |  LEFT JOIN held h ON h.ck = o.ck AND h.held = b.pk
+        |  WHERE h.ck IS NULL),
+        |cnt AS (SELECT pk, count(*) AS n FROM trainbk GROUP BY 1),
+        |cooc AS (
+        |  SELECT x.pk AS a, y.pk AS b, count(*) AS nab
+        |  FROM trainbk x JOIN trainbk y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT a, b, nab FROM cooc UNION ALL SELECT b, a, nab FROM cooc),
+        |cos AS (
+        |  SELECT s.a, s.b,
+        |    CAST(s.nab AS DOUBLE) / sqrt(CAST(ca.n AS DOUBLE) * cb.n) AS c
+        |  FROM sym s JOIN cnt ca ON ca.pk = s.a JOIN cnt cb ON cb.pk = s.b),
+        |nb AS (
+        |  SELECT a, b, c FROM (
+        |    SELECT a, b, c, row_number() OVER (PARTITION BY a ORDER BY c DESC, b) AS rn
+        |    FROM cos) WHERE rn <= 5),
+        |scores AS (
+        |  SELECT t.ck, n.b AS item, sum(n.c) AS score
+        |  FROM training t JOIN nb n ON n.a = t.pk GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT s.ck, s.item, s.score FROM scores s
+        |  LEFT JOIN training t ON t.ck = s.ck AND t.pk = s.item
+        |  WHERE t.ck IS NULL),
+        |cr AS (
+        |  SELECT ck, item,
+        |    row_number() OVER (PARTITION BY ck ORDER BY round(score, 9) DESC, item) AS crn
+        |  FROM cand),
+        |ev AS (
+        |  SELECT h.ck, cr.crn FROM held h
+        |  LEFT JOIN cr ON cr.ck = h.ck AND cr.item = h.held)
+        |SELECT c.c_mktsegment AS segment, count(*) AS n_users,
+        |  round(avg(CASE WHEN ev.crn <= 3 THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END), 4) AS hr3,
+        |  round(avg(CASE WHEN ev.crn <= 10 THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END), 4) AS hr10,
+        |  round(avg(CASE WHEN ev.crn <= 10 THEN CAST(1.0 AS DOUBLE) / ev.crn ELSE 0.0 END), 4) AS mrr10
+        |FROM ev JOIN customer c ON c.c_custkey = ev.ck
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_next_event" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS src,

@@ -63,6 +63,26 @@ class BehavioralSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
   }
 
+  test("q_recs_eval: metrics bounded and ordered, every held-out user counted once") {
+    val rows = SparkEntry.queries("q_recs_eval")(spark, TestSpark.sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (seg, n, hr3, hr10, mrr) =>
+      assert(n > 0, seg)
+      assert(hr3 >= 0 && hr3 <= hr10 + 1e-9 && hr10 <= 1, s"$seg: hr3 $hr3 hr10 $hr10")
+      assert(mrr >= 0 && mrr <= hr10 + 1e-9, s"$seg: mrr $mrr > hr10 $hr10")
+    }
+    // one eval row per customer with >= 2 owned parts
+    val eligible = Tables.orders(spark, TestSpark.sf)
+      .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"))
+      .join(Tables.lineitem(spark, TestSpark.sf)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")), "ok")
+      .select("ck", "pk").distinct()
+      .groupBy("ck").count().filter($"count" >= 2).count()
+    assert(rows.map(_._2).sum == eligible,
+      s"${rows.map(_._2).sum} evaluated != $eligible eligible customers")
+  }
+
   test("q_next_event: model trained pre-split only, accuracy consistent") {
     val rows = SparkEntry.queries("q_next_event")(spark, TestSpark.sf)
       .as[(String, String, Long, Long, Double)].collect()

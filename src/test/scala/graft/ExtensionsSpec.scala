@@ -56,6 +56,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(2) == row.getLong(3)) // int array widens to the long-array result
   }
 
+  test("SQL gram_matrix and the gram_sketch rollup compute population covariance") {
+    // x = id in 0..4, y = id²: var_pop(x)=2, covar_pop(x,y)=8, var_pop(y)=34.8
+    def cells(rows: Seq[org.apache.spark.sql.Row]): Map[(Long, Long), Double] =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val one = cells(ext.sql(
+      """SELECT inline(g) FROM (
+        |  SELECT gram_matrix(array(CAST(id AS DOUBLE), CAST(id*id AS DOUBLE))) AS g
+        |  FROM range(5))""".stripMargin).collect().toSeq)
+    assert(math.abs(one((0L, 0L)) - 2.0) < 1e-12, one.toString)
+    assert(math.abs(one((0L, 1L)) - 8.0) < 1e-12, one.toString)
+    assert(math.abs(one((1L, 1L)) - 34.8) < 1e-12, one.toString)
+    val rolled = cells(ext.sql(
+      """SELECT inline(g) FROM (
+        |  SELECT gram_merge_cov(sk) AS g FROM (
+        |    SELECT id % 2 AS shard,
+        |      gram_sketch(array(CAST(id AS DOUBLE), CAST(id*id AS DOUBLE))) AS sk
+        |    FROM range(5) GROUP BY id % 2))""".stripMargin).collect().toSeq)
+    one.foreach { case (k, v) =>
+      assert(math.abs(rolled(k) - v) < 1e-12, s"$k: rollup ${rolled(k)} vs $v") }
+  }
+
   test("SQL point_in_polygon matches the Scala ray-cast") {
     val ring = Seq((-79.5, 44.1), (-79.0, 44.1), (-79.0, 44.4), (-79.5, 44.4), (-79.5, 44.1))
     val sqlHits = ext.sql(
