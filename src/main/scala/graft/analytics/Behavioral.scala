@@ -71,18 +71,80 @@ object Behavioral extends QueryModule {
       .orderBy("hours")
   }
 
-  private def qSurvival(s: SparkSession, d: String): DataFrame = {
+  /** Repeat-purchase intervals labeled (user, t, ev) — shared by the KM
+    * curve and the log-rank comparison.
+    */
+  private def purchaseIntervals(s: SparkSession, d: String): DataFrame = {
     val ev = T.events(s, d)
     val bounds = ev.agg(max("ts").as("obs_end"))
     val w = Window.partitionBy("user_id").orderBy("ts")
-    val iv = ev.filter(col("event_type") === "purchase")
+    ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"))
       .withColumn("nxt", lead("ts", 1).over(w))
-    val lab = iv.crossJoin(broadcast(bounds)).select(
-      when(col("nxt").isNotNull, hoursBetween(col("ts"), col("nxt")))
-        .otherwise(hoursBetween(col("ts"), col("obs_end"))).as("t"),
-      when(col("nxt").isNotNull, 1L).otherwise(0L).as("ev"))
-    kmCurve(lab)
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        when(col("nxt").isNotNull, hoursBetween(col("ts"), col("nxt")))
+          .otherwise(hoursBetween(col("ts"), col("obs_end"))).as("t"),
+        when(col("nxt").isNotNull, 1L).otherwise(0L).as("ev"))
+  }
+
+  private def qSurvival(s: SparkSession, d: String): DataFrame =
+    kmCurve(purchaseIntervals(s, d).select("t", "ev"))
+
+  /** Two-sample log-rank test: does repeat-purchase survival differ between
+    * high-error users (≥ 14 'error' events — the fixture mean is ~13.4, so
+    * the threshold splits the population; a ≥1-error rule is degenerate
+    * here, every user errors) and the rest? The standard Mantel-Cox fold:
+    * at every combined event time, the high group's observed events are
+    * compared to their hypergeometric expectation given the pooled risk
+    * set, χ² = (Σ(O−E))²/ΣV with 1 df. The cohort twin of q_ab_test
+    * (proportions) for time-to-event outcomes. A degenerate split (one
+    * cohort empty → ΣV = 0) yields NULL χ², not a crash — mirrored in the
+    * oracle.
+    *
+    * Scale: cohort labeling is one user-keyed aggregate over the events
+    * scan; everything after the (group, t) aggregate runs on the
+    * observation-span-sized grid (duration buckets × 2 groups).
+    */
+  private def qSurvivalLogrank(s: SparkSession, d: String): DataFrame = {
+    val exposed = T.events(s, d).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("x"))
+      .select(col("user_id"), when(col("x") >= 14, "high")
+        .otherwise("low").as("g"))
+    val lab = purchaseIntervals(s, d).join(exposed, "user_id")
+    val cell = lab.groupBy("g", "t")
+      .agg(sum("ev").as("d"), count(lit(1)).as("c"))
+    // full (t × group) grid so each group's risk set is defined at every
+    // combined time, then reverse-cumulative risk per group
+    val times = cell.select("t").distinct()
+    val groups = cell.select("g").distinct()
+    val grid = times.crossJoin(groups)
+      .join(cell, Seq("g", "t"), "left")
+      .select(col("g"), col("t"),
+        coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wg = Window.partitionBy("g").orderBy(col("t").desc)
+    val risk = grid.withColumn("n", sum("c").over(wg))
+    val byT = risk.groupBy("t").agg(
+      sum("d").as("dt"), sum("n").as("nt"),
+      sum(when(col("g") === "high", col("d")).otherwise(lit(0L))).as("da"),
+      sum(when(col("g") === "high", col("n")).otherwise(lit(0L))).as("na"))
+      .filter(col("dt") > 0 && col("nt") > 1)
+    val terms = byT.select(
+      col("da").cast("double").as("oa"),
+      (col("dt") * col("na").cast("double") / col("nt")).as("ea"),
+      (col("dt") * (col("na").cast("double") / col("nt")) *
+        (lit(1.0) - col("na").cast("double") / col("nt")) *
+        (col("nt") - col("dt")).cast("double") / (col("nt") - 1)).as("v"))
+    val sizes = lab.groupBy()
+      .agg(sum(when(col("g") === "high", 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("g") === "low", 1L).otherwise(0L)).as("n_low"))
+    terms.agg(sum("oa").cast("long").as("obs_high"),
+        round(sum("ea"), 4).as("exp_high"),
+        when(sum("v") > 0,
+          round(pow(sum("oa") - sum("ea"), 2) / sum("v"), 4)).as("chi2"))
+      .crossJoin(sizes)
+      .select("obs_high", "exp_high", "chi2", "n_high", "n_low")
   }
 
   /** Item-item collaborative filtering over order baskets, served to the
@@ -259,6 +321,7 @@ object Behavioral extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_survival" -> qSurvival,
+    "q_survival_logrank" -> qSurvivalLogrank,
     "q_recs_itemcf" -> qRecsItemcf,
     "q_recs_eval" -> qRecsEval,
     "q_next_event" -> qNextEvent
@@ -290,6 +353,57 @@ object Behavioral extends QueryModule {
         |SELECT t AS hours, CAST(d AS BIGINT) AS repurchases,
         |  CAST(n_risk AS BIGINT) AS n_risk, round(s, 4) AS survival
         |FROM km ORDER BY hours""".stripMargin,
+    "q_survival_logrank" ->
+      """WITH b AS (SELECT max(ts) AS obs_end FROM events),
+        |iv AS (
+        |  SELECT user_id, ts, lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        |  FROM events WHERE event_type = 'purchase'),
+        |lab0 AS (
+        |  SELECT user_id,
+        |    CASE WHEN nxt IS NOT NULL
+        |      THEN CAST(floor((epoch_us(nxt) - epoch_us(ts)) / 3600000000.0) AS BIGINT)
+        |      ELSE CAST(floor((epoch_us(b.obs_end) - epoch_us(ts)) / 3600000000.0) AS BIGINT)
+        |    END AS t,
+        |    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM iv CROSS JOIN b),
+        |coh AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 14
+        |      THEN 'high' ELSE 'low' END AS g
+        |  FROM events GROUP BY 1),
+        |lab AS (SELECT l.t, l.ev, coh.g FROM lab0 l JOIN coh ON coh.user_id = l.user_id),
+        |cell AS (SELECT g, t, sum(ev) AS d, count(*) AS c FROM lab GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT gs.g, ts.t, coalesce(cell.d, 0) AS d, coalesce(cell.c, 0) AS c
+        |  FROM (SELECT DISTINCT t FROM cell) ts
+        |  CROSS JOIN (SELECT DISTINCT g FROM cell) gs
+        |  LEFT JOIN cell ON cell.g = gs.g AND cell.t = ts.t),
+        |risk AS (
+        |  SELECT g, t, d, sum(c) OVER (PARTITION BY g ORDER BY t DESC) AS n
+        |  FROM grid),
+        |byt AS (
+        |  SELECT t, sum(d) AS dt, sum(n) AS nt,
+        |    sum(CASE WHEN g = 'high' THEN d ELSE 0 END) AS da,
+        |    sum(CASE WHEN g = 'high' THEN n ELSE 0 END) AS na
+        |  FROM risk GROUP BY 1),
+        |terms AS (
+        |  SELECT CAST(da AS DOUBLE) AS oa,
+        |    dt * CAST(na AS DOUBLE) / nt AS ea,
+        |    dt * (CAST(na AS DOUBLE) / nt) * (1.0 - CAST(na AS DOUBLE) / nt)
+        |      * CAST(nt - dt AS DOUBLE) / (nt - 1) AS v
+        |  FROM byt WHERE dt > 0 AND nt > 1),
+        |sizes AS (
+        |  SELECT sum(CASE WHEN g = 'high' THEN 1 ELSE 0 END) AS n_high,
+        |    sum(CASE WHEN g = 'low' THEN 1 ELSE 0 END) AS n_low
+        |  FROM lab)
+        |SELECT CAST(sum(oa) AS BIGINT) AS obs_high,
+        |  round(sum(ea), 4) AS exp_high,
+        |  CASE WHEN sum(v) > 0
+        |    THEN round(pow(sum(oa) - sum(ea), 2) / sum(v), 4) END AS chi2,
+        |  CAST(sizes.n_high AS BIGINT) AS n_high,
+        |  CAST(sizes.n_low AS BIGINT) AS n_low
+        |FROM terms CROSS JOIN sizes
+        |GROUP BY sizes.n_high, sizes.n_low""".stripMargin,
     "q_recs_itemcf" ->
       """WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |cnt AS (SELECT pk, count(*) AS n FROM baskets GROUP BY 1),

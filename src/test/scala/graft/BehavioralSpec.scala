@@ -39,6 +39,20 @@ class BehavioralSpec extends AnyFunSuite {
       s"no censored intervals: $totalEvents events of ${rows.head._3} at risk")
   }
 
+  test("q_survival_logrank: O/E/V fold is internally consistent") {
+    val Array((obs, exp, chi2, nHigh, nLow)) =
+      SparkEntry.queries("q_survival_logrank")(spark, TestSpark.sf)
+        .as[(Long, Double, Option[Double], Long, Long)].collect()
+    val totalIntervals = Tables.events(spark, TestSpark.sf)
+      .filter($"event_type" === "purchase").count()
+    assert(nHigh + nLow == totalIntervals,
+      s"cohorts $nHigh+$nLow != $totalIntervals purchase intervals")
+    assert(nHigh > 0 && nLow > 0, "cohort split degenerate at this sf")
+    assert(obs >= 0 && obs <= totalIntervals)
+    assert(exp > 0, s"expected events $exp")
+    chi2.foreach(c => assert(c >= 0, s"chi2 $c"))
+  }
+
   test("q_recs_itemcf: never recommends an owned part, ranks are dense 1..k") {
     val recs = SparkEntry.queries("q_recs_itemcf")(spark, TestSpark.sf).cache()
     val owned = Tables.orders(spark, TestSpark.sf)
