@@ -22,6 +22,7 @@ object SparkEntry {
     similarity.Similarity,
     similarity.Pca,
     analytics.Behavioral,
+    analytics.Probe,
     streaming.Streaming,
     domain.GridQueries,
     multimodal.Multimodal,

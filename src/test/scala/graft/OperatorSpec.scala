@@ -25,6 +25,7 @@ class OperatorSpec extends AnyFunSuite {
     // count, the no-oracle markers, and the total line must equal the code
     val byModule: Map[String, QueryModule] = Map(
       "analytics/Behavioral" -> analytics.Behavioral,
+      "analytics/Probe" -> analytics.Probe,
       "similarity/Pca" -> similarity.Pca,
       "dedup/Dedup" -> dedup.Dedup,
       "dedup/EntityResolution" -> dedup.EntityResolution,
