@@ -65,11 +65,12 @@ object Probe extends QueryModule {
       round(sum(col("x1") * col("y")), 6).as("s1y"),
       round(sum(col("x2") * col("y")), 6).as("s2y"))
 
-  /** Cramer's rule for [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] · w = [sy,s1y,s2y].
-    * The expression trees here mirror the oracle SQL token for token so both
-    * engines execute the identical IEEE op sequence.
+  /** Cramer's rule for [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] · w = [sy,s1y,s2y]
+    * as weight columns over a moment row. The expression trees mirror the
+    * oracle SQL token for token so both engines execute the identical IEEE
+    * op sequence.
     */
-  private def solved(m: DataFrame): DataFrame = {
+  private def weightCols: Seq[Column] = {
     val (n, s1, s2, sy) = (col("n"), col("s1"), col("s2"), col("sy"))
     val (s11, s12, s22, s1y, s2y) = (col("s11"), col("s12"), col("s22"), col("s1y"), col("s2y"))
     val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
@@ -80,15 +81,32 @@ object Probe extends QueryModule {
       s2 * (s1 * s2y - s1y * s2)
     val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
       sy * (s1 * s12 - s11 * s2)
-    m.select(n.cast("long").as("n_train"),
+    Seq(col("n").cast("long").as("n_train"),
       (round(det0 / det, 8) + lit(0.0)).as("w0"),
       (round(det1 / det, 8) + lit(0.0)).as("w1"),
       (round(det2 / det, 8) + lit(0.0)).as("w2"))
   }
 
+  private def solved(m: DataFrame): DataFrame = m.select(weightCols: _*)
+
   /** Fitted weights as a 1-row table (metadata-sized; broadcast for scoring). */
   private[graft] def weights(s: SparkSession, d: String): DataFrame =
     solved(moments(train(T.documents(s, d))))
+
+  /** Model SERVING on a live document stream: the same rounded-weight score
+    * expression over a stateless stream-static broadcast equi-join (constant
+    * key, so the streaming planner takes the BroadcastHashJoin path). No
+    * state, no watermark — scoring at ingest is a per-row map once the 1-row
+    * weight table is broadcast, which is exactly how a trained quality gate
+    * fronts a 100 TB/day ingest. Parity with the batch scorer is locked in
+    * StreamingSpec.
+    */
+  def scoredStream(docs: DataFrame, w: DataFrame): DataFrame =
+    feats(docs).withColumn("one", lit(1))
+      .join(broadcast(w.drop("n_train").withColumn("one", lit(1))), "one")
+      .select(col("doc_id"),
+        (round(col("w0") + col("w1") * col("x1") + col("w2") * col("x2"), 6) +
+          lit(0.0)).as("score"))
 
   /** OLS fit of the quality label: intercept + per-feature weights. */
   private def qProbeTrain(s: SparkSession, d: String): DataFrame =
@@ -123,10 +141,66 @@ object Probe extends QueryModule {
         round((col("tp") + col("tn")).cast("double") / col("n_test"), 6).as("accuracy"))
       .orderBy("n_test")
 
+  /** 5-fold cross-validation from ONE corpus pass — the subtractable-
+    * sufficient-statistics trick: the per-fold moment rows (one hash
+    * aggregate, 5 × 9 doubles) determine every fold's TRAINING moments by
+    * subtraction from their total, so all 5 out-of-fold models come from a
+    * single scan; out-of-fold scoring joins each doc to its own fold's
+    * held-out weights (5-row broadcast). At 100 TB this is k models for the
+    * price of one aggregate — versus the naive k retraining passes.
+    * Moment determinism: per-fold sums rounded at 6 dp; the 5-row total is
+    * re-rounded (5-element addition error ~1e-11, far under the grain);
+    * subtraction of identical doubles is IEEE-exact, so both engines solve
+    * identical systems.
+    */
+  private def qProbeCv(s: SparkSession, d: String): DataFrame = {
+    val pf = feats(T.documents(s, d))
+      .groupBy((col("doc_id") % 5).as("fold"))
+      .agg(
+        count(lit(1)).as("fn"),
+        round(sum(col("x1")), 6).as("f1"),
+        round(sum(col("x2")), 6).as("f2"),
+        round(sum(col("y")), 6).as("fy"),
+        round(sum(col("x1") * col("x1")), 6).as("f11"),
+        round(sum(col("x1") * col("x2")), 6).as("f12"),
+        round(sum(col("x2") * col("x2")), 6).as("f22"),
+        round(sum(col("x1") * col("y")), 6).as("f1y"),
+        round(sum(col("x2") * col("y")), 6).as("f2y"))
+    val tot = pf.agg(
+      sum(col("fn")).as("tn"),
+      round(sum(col("f1")), 6).as("t1"),
+      round(sum(col("f2")), 6).as("t2"),
+      round(sum(col("fy")), 6).as("ty"),
+      round(sum(col("f11")), 6).as("t11"),
+      round(sum(col("f12")), 6).as("t12"),
+      round(sum(col("f22")), 6).as("t22"),
+      round(sum(col("f1y")), 6).as("t1y"),
+      round(sum(col("f2y")), 6).as("t2y"))
+    // training moments for fold f = total − fold f (exact subtraction)
+    val tr = pf.crossJoin(broadcast(tot)).select(col("fold"),
+      (col("tn") - col("fn")).cast("double").as("n"),
+      (col("t1") - col("f1")).as("s1"), (col("t2") - col("f2")).as("s2"),
+      (col("ty") - col("fy")).as("sy"),
+      (col("t11") - col("f11")).as("s11"), (col("t12") - col("f12")).as("s12"),
+      (col("t22") - col("f22")).as("s22"),
+      (col("t1y") - col("f1y")).as("s1y"), (col("t2y") - col("f2y")).as("s2y"))
+    val w = tr.select(col("fold") +: weightCols: _*)
+    feats(T.documents(s, d)).withColumn("fold", col("doc_id") % 5)
+      .join(broadcast(w), "fold")
+      .select(col("fold"), col("n_train"), col("y"),
+        (col("w0") + col("w1") * col("x1") + col("w2") * col("x2")).as("score"))
+      .groupBy("fold", "n_train")
+      .agg(count(lit(1)).as("n_test"),
+        round(sum(when((col("score") >= 0.5) === (col("y") === 1.0), 1.0)
+          .otherwise(0.0)) / count(lit(1)), 6).as("accuracy"))
+      .orderBy("fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_probe_train" -> qProbeTrain,
     "q_probe_score" -> qProbeScore,
-    "q_probe_eval" -> qProbeEval
+    "q_probe_eval" -> qProbeEval,
+    "q_probe_cv" -> qProbeCv
   )
 
   /** Shared oracle CTE chain: features → moments (rounded 6 dp) → Cramer. */
@@ -173,6 +247,56 @@ object Probe extends QueryModule {
           |FROM feats f CROSS JOIN w
           |WHERE f.doc_id % 5 = 0
           |ORDER BY score DESC, f.doc_id LIMIT 20""".stripMargin),
+    "q_probe_cv" ->
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) / 1000 AS x1,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS x2,
+        |    CASE WHEN length(source) = 4 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |pf AS (
+        |  SELECT doc_id % 5 AS fold, count(*) AS fn,
+        |    round(sum(x1), 6) AS f1, round(sum(x2), 6) AS f2,
+        |    round(sum(y), 6) AS fy,
+        |    round(sum(x1*x1), 6) AS f11, round(sum(x1*x2), 6) AS f12,
+        |    round(sum(x2*x2), 6) AS f22,
+        |    round(sum(x1*y), 6) AS f1y, round(sum(x2*y), 6) AS f2y
+        |  FROM feats GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(fn) AS tn,
+        |    round(sum(f1), 6) AS t1, round(sum(f2), 6) AS t2,
+        |    round(sum(fy), 6) AS ty,
+        |    round(sum(f11), 6) AS t11, round(sum(f12), 6) AS t12,
+        |    round(sum(f22), 6) AS t22,
+        |    round(sum(f1y), 6) AS t1y, round(sum(f2y), 6) AS t2y
+        |  FROM pf),
+        |tr AS (
+        |  SELECT fold, CAST(tn - fn AS DOUBLE) AS n,
+        |    t1 - f1 AS s1, t2 - f2 AS s2, ty - fy AS sy,
+        |    t11 - f11 AS s11, t12 - f12 AS s12, t22 - f22 AS s22,
+        |    t1y - f1y AS s1y, t2y - f2y AS s2y
+        |  FROM pf CROSS JOIN tot),
+        |w AS (
+        |  SELECT fold, CAST(n AS BIGINT) AS n_train,
+        |    round((sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |           + s2*(s1y*s12 - s11*s2y))
+        |      / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |           + s2*(s1*s12 - s11*s2)), 8) + 0.0 AS w0,
+        |    round((n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |           + s2*(s1*s2y - s1y*s2))
+        |      / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |           + s2*(s1*s12 - s11*s2)), 8) + 0.0 AS w1,
+        |    round((n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |           + sy*(s1*s12 - s11*s2))
+        |      / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |           + s2*(s1*s12 - s11*s2)), 8) + 0.0 AS w2
+        |  FROM tr)
+        |SELECT f.doc_id % 5 AS fold, w.n_train, count(*) AS n_test,
+        |  round(sum(CASE WHEN (w.w0 + w.w1*f.x1 + w.w2*f.x2 >= 0.5) = (f.y = 1.0)
+        |    THEN 1.0 ELSE 0.0 END) / count(*), 6) AS accuracy
+        |FROM feats f JOIN w ON f.doc_id % 5 = w.fold
+        |GROUP BY 1, 2 ORDER BY fold""".stripMargin,
     "q_probe_eval" ->
       (fitCte +
         """, sc AS (

@@ -72,6 +72,24 @@ class ProbeSpec extends AnyFunSuite {
       s"expected broadcast of the 1-row weight table:\n$plan")
   }
 
+  test("q_probe_cv: 5 folds from one pass; fold sizes partition the corpus; subtraction training is consistent") {
+    val rows = SparkEntry.queries("q_probe_cv")(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val total = Tables.documents(spark, TestSpark.sf).count()
+    // each fold's n_train + n_test must equal the corpus
+    rows.foreach { case (f, nTr, nTe, acc) =>
+      assert(nTr + nTe == total, s"fold $f: $nTr + $nTe != $total")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+    assert(rows.map(_._3).sum == total, "folds don't partition the corpus")
+    // fold 0's training moments (total − fold) must equal q_probe_train's
+    // direct fit on doc_id % 5 <> 0 — the subtraction trick, cross-checked
+    val direct = SparkEntry.queries("q_probe_train")(spark, TestSpark.sf)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(rows.head._2 == direct._1, "fold-0 n_train != direct-split n_train")
+  }
+
   test("fit is deterministic across runs") {
     val a = Probe.weights(spark, TestSpark.sf).collect().toSeq
     val b = Probe.weights(spark, TestSpark.sf).collect().toSeq

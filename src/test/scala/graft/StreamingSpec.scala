@@ -1178,4 +1178,29 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("cep_trim").as[(Long, String)].collect().toSet
     assert(got == Set((7L, "immediate_rebuy")), got.toString)
   }
+
+  test("probe scoring serves a document stream (stream-static broadcast, batch parity, stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val w = graft.analytics.Probe.weights(spark, TestSpark.sf)
+    val sample = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text", "source").limit(50)
+      .as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val q = graft.analytics.Probe.scoredStream(docs, w)
+      .writeStream.format("memory").queryName("probe_stream_out")
+      .outputMode("append").start()
+    mem.addData(sample.take(30): _*)
+    q.processAllAvailable()
+    mem.addData(sample.drop(30): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("probe_stream_out").as[(Long, Double)].collect().toMap
+    assert(streamed.size == sample.length)
+    // batch twin over the same rows, same helper
+    val batch = graft.analytics.Probe.scoredStream(
+        sample.toSeq.toDF("doc_id", "text", "source"), w)
+      .as[(Long, Double)].collect().toMap
+    assert(streamed == batch, "stream-served scores diverge from batch scoring")
+  }
 }
