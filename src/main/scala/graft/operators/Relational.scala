@@ -777,6 +777,33 @@ object Relational extends QueryModule {
       .orderBy("lang", "doc_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis-Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 2006): each row draws
+    * a deterministic pseudo-uniform u from the LCG hash of its key and
+    * competes with key `ln(u)/w` (monotone in the paper's `u^(1/w)`), and
+    * the global top-k wins — inclusion probability ∝ weight (here
+    * `n_chars`: longer documents are likelier picks, the length-weighted
+    * corpus subsample). One scan + one TakeOrdered top-k: no shuffle of the
+    * corpus, no per-partition RNG stream, and re-runs (any cluster size,
+    * any partitioning) select the identical sample — the property that
+    * makes the A-ES key the distributed weighted-reservoir idiom.
+    *
+    * Determinism across engines: u is exact integer arithmetic; ln() is the
+    * one transcendental (libm may differ in the last ulp), so ranking keys
+    * on round(key, 9) with the doc id as tie-break — ulp noise is absorbed,
+    * real gaps stay ordered (the q_recs_itemcf ranking posture).
+    */
+  private def qSampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val u01 = (((col("doc_id") * 1103515245L + 12345L) % 1000003L) + 1L)
+      .cast("double") / 1000004.0
+    val key = round(log(u01) / col("n_chars").cast("double"), 9)
+    T.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(25)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** Deterministic train/valid/test assignment (90/5/5): the same LCG-hash
     * membership idiom as [[qSampleTemperature]] — every row lands in exactly
     * one split, reproducibly, with no sampling shuffle and no global sort.
@@ -961,6 +988,7 @@ object Relational extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> qSkyline,
     "q_sample_hash" -> qSampleHash,
+    "q_sample_weighted" -> qSampleWeighted,
     "q_sample_temperature" -> qSampleTemperature,
     "q_split_assign" -> qSplitAssign,
     "q_sample_stratified" -> qSampleStratified,
@@ -1112,6 +1140,14 @@ object Relational extends QueryModule {
       """SELECT doc_id, source, lang FROM documents
         |WHERE (doc_id * 1103515245 + 12345) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(ln(CAST((doc_id * 1103515245 + 12345) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+        |          / CAST(n_chars AS DOUBLE), 9) AS k
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM k
+        |ORDER BY k DESC, doc_id LIMIT 25""".stripMargin,
     "q_sample_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
         |m AS (SELECT min(n_g) AS n_min FROM c),

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables => T}
 
@@ -123,10 +124,142 @@ object Monitoring extends QueryModule {
       round(z, 4).as("z"), (abs(z) > 1.96).as("significant"))
   }
 
+  /** CUPED-adjusted A/B readout (Deng et al. 2013, "Improving the
+    * sensitivity of online controlled experiments"): the experiment metric
+    * is each user's POST-period purchase count, the covariate each user's
+    * PRE-period purchase count, and the adjusted metric
+    * `ycv = y − θ(x − x̄)` with `θ = cov(x, y)/var(x)` from the pooled
+    * population removes the pre-existing between-user variance the
+    * covariate explains — the standard variance-reduction step every
+    * experimentation platform applies before the t-test. Reported next to
+    * the unadjusted Welch z so the sensitivity gain is visible in one row;
+    * `var_reduction` is the pooled `1 − var(ycv)/var(y)` (= ρ² by
+    * construction).
+    *
+    * Scale + determinism: the data-sized pass is ONE user-keyed aggregate
+    * (the q_ab_test shuffle); everything after folds the 2-row arm-moment
+    * table. All moments (Σx, Σy, Σxy, Σx², Σy²) are integer-valued, so
+    * partial-aggregation order can never change them, and the closed-form
+    * θ/variance/z arithmetic is mirrored token-for-token in the oracle —
+    * only IEEE-exact ops (+,−,×,÷,√), no transcendentals — so both engines
+    * execute the identical float sequence (the q_probe_train posture).
+    * A zero-variance covariate yields θ = 0 (falls back to the raw test);
+    * a zero adjusted variance yields null z, not a division error.
+    */
+  def abCuped(events: DataFrame, convType: String = "purchase",
+      split: String = "2024-01-15 00:00:00"): DataFrame = {
+    val sp = lit(split).cast("timestamp")
+    val isConv = col("event_type") === convType
+    val users = events.groupBy(col("user_id"))
+      .agg(sum(when(isConv && col("ts") < sp, 1L).otherwise(0L)).as("x"),
+        sum(when(isConv && col("ts") >= sp, 1L).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+    val arms = users.groupBy("arm").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val flat = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_a"),
+      max(when(col("arm") === 0, col("sx"))).as("sx_a"),
+      max(when(col("arm") === 0, col("sy"))).as("sy_a"),
+      max(when(col("arm") === 0, col("sxy"))).as("sxy_a"),
+      max(when(col("arm") === 0, col("sxx"))).as("sxx_a"),
+      max(when(col("arm") === 0, col("syy"))).as("syy_a"),
+      max(when(col("arm") === 1, col("n"))).as("n_b"),
+      max(when(col("arm") === 1, col("sx"))).as("sx_b"),
+      max(when(col("arm") === 1, col("sy"))).as("sy_b"),
+      max(when(col("arm") === 1, col("sxy"))).as("sxy_b"),
+      max(when(col("arm") === 1, col("sxx"))).as("sxx_b"),
+      max(when(col("arm") === 1, col("syy"))).as("syy_b"))
+    def d(c: String) = col(c).cast("double")
+    // pooled moments (exact: sums of integer-valued doubles)
+    val n = d("n_a") + d("n_b")
+    val sx = d("sx_a") + d("sx_b"); val sy = d("sy_a") + d("sy_b")
+    val sxy = d("sxy_a") + d("sxy_b"); val sxx = d("sxx_a") + d("sxx_b")
+    val syy = d("syy_a") + d("syy_b")
+    val xbar = sx / n
+    val varXDen = sxx - sx * sx / n
+    val theta = when(varXDen =!= 0, (sxy - sx * sy / n) / varXDen).otherwise(lit(0.0))
+    // per-arm sample variance of y and of the CUPED-adjusted ycv, in closed
+    // form from the same moments: var(ycv) = var(y) − 2θcov(x,y) + θ²var(x)
+    def armStats(suf: String, th: Column): (Column, Column, Column) = {
+      val (na, sxa, sya) = (d("n_" + suf), d("sx_" + suf), d("sy_" + suf))
+      val (sxya, sxxa, syya) = (d("sxy_" + suf), d("sxx_" + suf), d("syy_" + suf))
+      val vy = (syya - sya * sya / na) / (na - 1)
+      val vx = (sxxa - sxa * sxa / na) / (na - 1)
+      val cxy = (sxya - sxa * sya / na) / (na - 1)
+      val adjMean = sya / na - th * (sxa / na - xbar)
+      (adjMean, vy - th * cxy * 2 + th * th * vx, vy)
+    }
+    val (adjA, vadjA, vyA) = armStats("a", theta)
+    val (adjB, vadjB, vyB) = armStats("b", theta)
+    val seRaw = sqrt(vyA / d("n_a") + vyB / d("n_b"))
+    val seAdj = sqrt(vadjA / d("n_a") + vadjB / d("n_b"))
+    val zRaw = when(seRaw =!= 0, (d("sy_a") / d("n_a") - d("sy_b") / d("n_b")) / seRaw)
+    val zAdj = when(seAdj =!= 0, (adjA - adjB) / seAdj)
+    val vyPool = (syy - sy * sy / n) / (n - 1)
+    val vadjPool = vyPool - theta * ((sxy - sx * sy / n) / (n - 1)) * 2 +
+      theta * theta * (varXDen / (n - 1))
+    flat.select(col("n_a"), col("n_b"),
+      round(d("sy_a") / d("n_a"), 4).as("mean_a"),
+      round(d("sy_b") / d("n_b"), 4).as("mean_b"),
+      round(adjA, 4).as("adj_a"), round(adjB, 4).as("adj_b"),
+      round(theta, 4).as("theta"),
+      round(zRaw, 4).as("z_raw"), round(zAdj, 4).as("z_cuped"),
+      when(vyPool =!= 0, round(lit(1.0) - vadjPool / vyPool, 4))
+        .as("var_reduction"))
+  }
+
+  /** Single-changepoint detection over a time series by binary segmentation
+    * (the first split of Scott-Knott / PELT-style segmentation): for every
+    * candidate boundary the variance-explained gain
+    * `n₁n₂/(n₁+n₂) · (μ₁ − μ₂)²` of splitting the series there, argmax
+    * wins — the alarm a pipeline monitor raises when a crawl or filter
+    * change shifts daily volume. Input is a `(day, n)` series already
+    * aggregated to calendar grain.
+    *
+    * Scale: callers aggregate the corpus to the day series first (one hash
+    * aggregate — the data-sized pass); the windows here are unpartitioned
+    * but run on the observation-span-sized series (≤ a few thousand rows at
+    * any corpus scale — the q_survival posture). Prefix sums are integer,
+    * so each candidate's means and gain are identical IEEE arithmetic in
+    * both engines; ranking keys on round(gain, 6) with the day as
+    * tie-break. `minSeg` (PELT's minseglen) keeps both segments at least
+    * that long, so a single outlier day at either edge can't win the split.
+    */
+  def changepoint(series: DataFrame, minSeg: Int = 3): DataFrame = {
+    val w = Window.orderBy("day")
+    val tot = series.agg(count(lit(1)).as("nd"), sum("n").as("s"))
+    val cand = series
+      .withColumn("n1", row_number().over(w).cast("long"))
+      .withColumn("s1", sum("n").over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("n1") >= minSeg && col("n1") <= col("nd") - minSeg)
+    val n1 = col("n1").cast("double"); val n2 = (col("nd") - col("n1")).cast("double")
+    val mu1 = col("s1").cast("double") / n1
+    val mu2 = (col("s") - col("s1")).cast("double") / n2
+    val gain = n1 * n2 / (n1 + n2) * ((mu1 - mu2) * (mu1 - mu2))
+    cand.select(col("day").as("split_day"),
+        col("n1").as("days_before"), (col("nd") - col("n1")).as("days_after"),
+        round(mu1, 4).as("mean_before"), round(mu2, 4).as("mean_after"),
+        round(gain, 4).as("gain"), round(gain, 6).as("gk"))
+      .orderBy(col("gk").desc, col("split_day"))
+      .limit(1)
+      .drop("gk")
+  }
+
   // ---- declared queries ----
 
   private def qAbTest(s: SparkSession, d: String): DataFrame =
     abTest(T.events(s, d))
+
+  private def qAbCuped(s: SparkSession, d: String): DataFrame =
+    abCuped(T.events(s, d))
+
+  private def qChangepoint(s: SparkSession, d: String): DataFrame =
+    changepoint(T.events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n")))
 
   private def qDriftPsi(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
@@ -141,7 +274,9 @@ object Monitoring extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_psi" -> qDriftPsi,
     "q_drift_tokens" -> qDriftTokens,
-    "q_ab_test" -> qAbTest
+    "q_ab_test" -> qAbTest,
+    "q_ab_cuped" -> qAbCuped,
+    "q_changepoint" -> qChangepoint
   )
 
   private val slicesCte =
@@ -221,6 +356,118 @@ object Monitoring extends QueryModule {
          |       round(coalesce(cf, 0) - coalesce(rf, 0), 6) AS delta
          |FROM rt FULL OUTER JOIN ct ON rt.token = ct.token
          |ORDER BY abs(round(coalesce(cf, 0) - coalesce(rf, 0), 6)) DESC, token
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+    "q_ab_cuped" ->
+      """WITH users AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |                   AND ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |                   AND ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT arm, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM users GROUP BY arm),
+        |flat AS (
+        |  SELECT
+        |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 0 THEN sx END) AS sx_a,
+        |    max(CASE WHEN arm = 0 THEN sy END) AS sy_a,
+        |    max(CASE WHEN arm = 0 THEN sxy END) AS sxy_a,
+        |    max(CASE WHEN arm = 0 THEN sxx END) AS sxx_a,
+        |    max(CASE WHEN arm = 0 THEN syy END) AS syy_a,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 1 THEN sx END) AS sx_b,
+        |    max(CASE WHEN arm = 1 THEN sy END) AS sy_b,
+        |    max(CASE WHEN arm = 1 THEN sxy END) AS sxy_b,
+        |    max(CASE WHEN arm = 1 THEN sxx END) AS sxx_b,
+        |    max(CASE WHEN arm = 1 THEN syy END) AS syy_b
+        |  FROM arms),
+        |m AS (
+        |  SELECT *,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+        |    CAST(sx_a AS DOUBLE) + CAST(sx_b AS DOUBLE) AS sx,
+        |    CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE) AS sy,
+        |    CAST(sxy_a AS DOUBLE) + CAST(sxy_b AS DOUBLE) AS sxy,
+        |    CAST(sxx_a AS DOUBLE) + CAST(sxx_b AS DOUBLE) AS sxx,
+        |    CAST(syy_a AS DOUBLE) + CAST(syy_b AS DOUBLE) AS syy
+        |  FROM flat),
+        |t AS (
+        |  SELECT *, sx / n AS xbar,
+        |    CASE WHEN sxx - sx * sx / n <> 0
+        |         THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) ELSE 0.0 END AS theta
+        |  FROM m),
+        |a AS (
+        |  SELECT *,
+        |    (CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - 1) AS vy_a,
+        |    (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - 1) AS vx_a,
+        |    (CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - 1) AS cxy_a,
+        |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - xbar) AS adj_a,
+        |    (CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - 1) AS vy_b,
+        |    (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - 1) AS vx_b,
+        |    (CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - 1) AS cxy_b,
+        |    CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) - xbar) AS adj_b
+        |  FROM t),
+        |v AS (
+        |  SELECT *,
+        |    vy_a - theta * cxy_a * 2 + theta * theta * vx_a AS vadj_a,
+        |    vy_b - theta * cxy_b * 2 + theta * theta * vx_b AS vadj_b,
+        |    (syy - sy * sy / n) / (n - 1) AS vy_pool
+        |  FROM a),
+        |z AS (
+        |  SELECT *,
+        |    sqrt(vy_a / CAST(n_a AS DOUBLE) + vy_b / CAST(n_b AS DOUBLE)) AS se_raw,
+        |    sqrt(vadj_a / CAST(n_a AS DOUBLE) + vadj_b / CAST(n_b AS DOUBLE)) AS se_adj,
+        |    vy_pool - theta * ((sxy - sx * sy / n) / (n - 1)) * 2
+        |      + theta * theta * ((sxx - sx * sx / n) / (n - 1)) AS vadj_pool
+        |  FROM v)
+        |SELECT n_a, n_b,
+        |  round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 4) AS mean_a,
+        |  round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE), 4) AS mean_b,
+        |  round(adj_a, 4) AS adj_a, round(adj_b, 4) AS adj_b,
+        |  round(theta, 4) AS theta,
+        |  CASE WHEN se_raw <> 0 THEN
+        |    round((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |           - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / se_raw, 4) END AS z_raw,
+        |  CASE WHEN se_adj <> 0 THEN round((adj_a - adj_b) / se_adj, 4) END AS z_cuped,
+        |  CASE WHEN vy_pool <> 0 THEN round(1.0 - vadj_pool / vy_pool, 4) END AS var_reduction
+        |FROM z""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS nd, CAST(sum(n) AS BIGINT) AS s FROM daily),
+        |pre AS (
+        |  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS n1,
+        |    CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS s1
+        |  FROM daily),
+        |cand AS (
+        |  SELECT p.day, p.n1, p.s1, t.nd, t.s
+        |  FROM pre p CROSS JOIN tot t WHERE p.n1 >= 3 AND p.n1 <= t.nd - 3),
+        |g AS (
+        |  SELECT day, n1, nd - n1 AS n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mu1,
+        |    CAST(s - s1 AS DOUBLE) / CAST(nd - n1 AS DOUBLE) AS mu2,
+        |    CAST(n1 AS DOUBLE) * CAST(nd - n1 AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) + CAST(nd - n1 AS DOUBLE))
+        |      * ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          - CAST(s - s1 AS DOUBLE) / CAST(nd - n1 AS DOUBLE))
+        |         * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |            - CAST(s - s1 AS DOUBLE) / CAST(nd - n1 AS DOUBLE))) AS gain
+        |  FROM cand)
+        |SELECT day AS split_day, n1 AS days_before, n2 AS days_after,
+        |  round(mu1, 4) AS mean_before, round(mu2, 4) AS mean_after,
+        |  round(gain, 4) AS gain
+        |FROM g ORDER BY round(gain, 6) DESC, split_day LIMIT 1""".stripMargin
   )
 }
