@@ -133,8 +133,9 @@ object Monitoring extends QueryModule {
     * covariate explains — the standard variance-reduction step every
     * experimentation platform applies before the t-test. Reported next to
     * the unadjusted Welch z so the sensitivity gain is visible in one row;
-    * `var_reduction` is the pooled `1 − var(ycv)/var(y)` (= ρ² by
-    * construction).
+    * `var_reduction` is the WITHIN-arm `1 − seAdj²/seRaw²` — the quantity
+    * CUPED actually shrinks (the pooled ratio would also count the
+    * between-arm treatment effect, which no covariate can explain).
     *
     * Scale + determinism: the data-sized pass is ONE user-keyed aggregate
     * (the q_ab_test shuffle); everything after folds the 2-row arm-moment
@@ -177,7 +178,6 @@ object Monitoring extends QueryModule {
     val n = d("n_a") + d("n_b")
     val sx = d("sx_a") + d("sx_b"); val sy = d("sy_a") + d("sy_b")
     val sxy = d("sxy_a") + d("sxy_b"); val sxx = d("sxx_a") + d("sxx_b")
-    val syy = d("syy_a") + d("syy_b")
     val xbar = sx / n
     val varXDen = sxx - sx * sx / n
     val theta = when(varXDen =!= 0, (sxy - sx * sy / n) / varXDen).otherwise(lit(0.0))
@@ -194,20 +194,19 @@ object Monitoring extends QueryModule {
     }
     val (adjA, vadjA, vyA) = armStats("a", theta)
     val (adjB, vadjB, vyB) = armStats("b", theta)
-    val seRaw = sqrt(vyA / d("n_a") + vyB / d("n_b"))
-    val seAdj = sqrt(vadjA / d("n_a") + vadjB / d("n_b"))
+    val seRaw2 = vyA / d("n_a") + vyB / d("n_b")
+    val seAdj2 = vadjA / d("n_a") + vadjB / d("n_b")
+    val seRaw = sqrt(seRaw2)
+    val seAdj = sqrt(seAdj2)
     val zRaw = when(seRaw =!= 0, (d("sy_a") / d("n_a") - d("sy_b") / d("n_b")) / seRaw)
     val zAdj = when(seAdj =!= 0, (adjA - adjB) / seAdj)
-    val vyPool = (syy - sy * sy / n) / (n - 1)
-    val vadjPool = vyPool - theta * ((sxy - sx * sy / n) / (n - 1)) * 2 +
-      theta * theta * (varXDen / (n - 1))
     flat.select(col("n_a"), col("n_b"),
       round(d("sy_a") / d("n_a"), 4).as("mean_a"),
       round(d("sy_b") / d("n_b"), 4).as("mean_b"),
       round(adjA, 4).as("adj_a"), round(adjB, 4).as("adj_b"),
       round(theta, 4).as("theta"),
       round(zRaw, 4).as("z_raw"), round(zAdj, 4).as("z_cuped"),
-      when(vyPool =!= 0, round(lit(1.0) - vadjPool / vyPool, 4))
+      when(seRaw2 =!= 0, round(lit(1.0) - seAdj2 / seRaw2, 4))
         .as("var_reduction"))
   }
 
@@ -422,16 +421,15 @@ object Monitoring extends QueryModule {
         |v AS (
         |  SELECT *,
         |    vy_a - theta * cxy_a * 2 + theta * theta * vx_a AS vadj_a,
-        |    vy_b - theta * cxy_b * 2 + theta * theta * vx_b AS vadj_b,
-        |    (syy - sy * sy / n) / (n - 1) AS vy_pool
+        |    vy_b - theta * cxy_b * 2 + theta * theta * vx_b AS vadj_b
         |  FROM a),
-        |z AS (
+        |w AS (
         |  SELECT *,
-        |    sqrt(vy_a / CAST(n_a AS DOUBLE) + vy_b / CAST(n_b AS DOUBLE)) AS se_raw,
-        |    sqrt(vadj_a / CAST(n_a AS DOUBLE) + vadj_b / CAST(n_b AS DOUBLE)) AS se_adj,
-        |    vy_pool - theta * ((sxy - sx * sy / n) / (n - 1)) * 2
-        |      + theta * theta * ((sxx - sx * sx / n) / (n - 1)) AS vadj_pool
-        |  FROM v)
+        |    vy_a / CAST(n_a AS DOUBLE) + vy_b / CAST(n_b AS DOUBLE) AS se_raw2,
+        |    vadj_a / CAST(n_a AS DOUBLE) + vadj_b / CAST(n_b AS DOUBLE) AS se_adj2
+        |  FROM v),
+        |z AS (
+        |  SELECT *, sqrt(se_raw2) AS se_raw, sqrt(se_adj2) AS se_adj FROM w)
         |SELECT n_a, n_b,
         |  round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 4) AS mean_a,
         |  round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE), 4) AS mean_b,
@@ -441,7 +439,7 @@ object Monitoring extends QueryModule {
         |    round((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
         |           - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / se_raw, 4) END AS z_raw,
         |  CASE WHEN se_adj <> 0 THEN round((adj_a - adj_b) / se_adj, 4) END AS z_cuped,
-        |  CASE WHEN vy_pool <> 0 THEN round(1.0 - vadj_pool / vy_pool, 4) END AS var_reduction
+        |  CASE WHEN se_raw2 <> 0 THEN round(1.0 - se_adj2 / se_raw2, 4) END AS var_reduction
         |FROM z""".stripMargin,
     "q_changepoint" ->
       """WITH daily AS (
