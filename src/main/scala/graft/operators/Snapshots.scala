@@ -29,6 +29,11 @@ object Snapshots {
 
   private def manifestDir(dir: String) = s"$dir/_manifests"
 
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def publishLock(key: String): Object =
+    publishLocks.computeIfAbsent(key, _ => new Object)
+
   /** Table properties (durable, version-independent — e.g. which columns
     * get bloom filters). Stored as a `table.props` k/v file in the
     * manifest dir, written with the same atomic temp+rename publish.
@@ -114,8 +119,10 @@ object Snapshots {
   def currentVersion(spark: SparkSession, dir: String): Option[Int] =
     versions(spark, dir).lastOption
 
-  /** Data-file paths (relative to `dir`) of one snapshot. */
-  def files(spark: SparkSession, dir: String, version: Int): Seq[String] = {
+  /** Raw manifest lines of one version: `#key=value` headers (sidecar
+    * references) followed by data-file paths. */
+  private def listLines(spark: SparkSession, dir: String,
+      version: Int): Seq[String] = {
     val (fs, _) = hfs(spark, dir)
     val mf = new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$version.list")
     require(fs.exists(mf), s"$dir: snapshot version $version does not exist")
@@ -123,6 +130,30 @@ object Snapshots {
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
     finally in.close()
   }
+
+  /** Data-file paths (relative to `dir`) of one snapshot. */
+  def files(spark: SparkSession, dir: String, version: Int): Seq[String] =
+    listLines(spark, dir, version).filterNot(_.startsWith("#"))
+
+  /** Manifest-dir file name of a version's `stats`/`meta` sidecar. New
+    * manifests reference a PER-WRITER-UNIQUE sidecar from a `#kind=` header
+    * line (so racing same-slot writers can never clobber each other's
+    * sidecars — the `.list` rename is the only contended name); manifests
+    * written before the header existed fall back to the legacy fixed
+    * `v{N}.{kind}` name.
+    */
+  private def sidecarName(spark: SparkSession, dir: String, version: Int,
+      kind: String): Option[String] =
+    listLines(spark, dir, version)
+      .collectFirst { case l if l.startsWith(s"#$kind=") =>
+        l.substring(kind.length + 2) }
+      .orElse {
+        val (fs, _) = hfs(spark, dir)
+        val legacy = s"v$version.$kind"
+        if (fs.exists(new org.apache.hadoop.fs.Path(manifestDir(dir), legacy)))
+          Some(legacy)
+        else None
+      }
 
   /** Commit `df` as the next snapshot version and return it. `replace =
     * false` appends (new manifest = previous files + new files); `replace =
@@ -165,6 +196,62 @@ object Snapshots {
     next
   }
 
+  /** Commit with the optimistic-concurrency RETRY loop (the commit protocol
+    * the public Delta/Iceberg formats run): data files are written ONCE
+    * under their per-writer-unique directory; on a version-slot collision
+    * only the driver-side metadata publish re-runs, rebased on the
+    * refreshed current version. This is what lets a compactor run next to
+    * a streaming sink — each race's loser lands on the next slot instead
+    * of surfacing [[java.util.ConcurrentModificationException]]:
+    *
+    *  - an APPEND rebase re-carries the new winner's file list, so the
+    *    winner's rows ride along untouched — neither commit is lost;
+    *  - a REPLACE rebase stays a replacement (the retry's manifest is
+    *    still exactly this commit's files). Callers whose replacement was
+    *    DERIVED from a version (compaction, DELETE) must pass that as
+    *    `expectedVersion` — then a mid-flight foreign commit aborts the
+    *    retry loudly instead of silently erasing it, exactly Delta's
+    *    logical-conflict rule (blind replaces may omit it and always win).
+    *
+    * Data written by abandoned attempts is unique-named debris for
+    * [[vacuumOrphans]]. Retries are bounded by `maxAttempts` (each retry
+    * is a metadata op, so contention resolves in milliseconds).
+    */
+  def commitRetry(spark: SparkSession, dir: String, df: DataFrame,
+      replace: Boolean = false, expectedVersion: Option[Int] = None,
+      evolve: Boolean = false, meta: Map[String, String] = Map.empty,
+      maxAttempts: Int = 20): Int = {
+    val planned = currentVersion(spark, dir).getOrElse(0)
+    expectedVersion.foreach { ev =>
+      if (planned != ev) throw new java.util.ConcurrentModificationException(
+        s"$dir: commit planned against v$ev but table is at v$planned — " +
+          "rebase the commit on the current snapshot and retry")
+    }
+    if (!replace && planned > 0) enforceSchema(spark, dir, df, evolve)
+    val fresh = writeData(spark, dir, planned + 1, df)
+    var attempt = 1
+    while (true) {
+      val cur = currentVersion(spark, dir).getOrElse(0)
+      if (replace && expectedVersion.exists(_ != cur))
+        throw new java.util.ConcurrentModificationException(
+          s"$dir: replace derived from v${expectedVersion.get} conflicts " +
+            s"with concurrent v$cur — recompute from the current snapshot")
+      if (!replace && cur > planned) enforceSchema(spark, dir, df, evolve)
+      val next = cur + 1
+      val carried =
+        if (replace || next == 1) Seq.empty else files(spark, dir, cur)
+      try {
+        publish(spark, dir, next, carried, fresh, meta)
+        return next
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Write a commit's data files under a PER-WRITER-UNIQUE directory
     * (`data/c{next}-{uuid}`) and return the table-relative file list. The
     * unique suffix is what makes the manifest CAS safe end to end: two
@@ -204,10 +291,11 @@ object Snapshots {
   def commitMeta(spark: SparkSession, dir: String,
       version: Int): Map[String, String] = {
     val (fs, _) = hfs(spark, dir)
-    val mf = new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$version.meta")
-    if (!fs.exists(mf)) Map.empty
+    val mf = sidecarName(spark, dir, version, "meta")
+      .map(n => new org.apache.hadoop.fs.Path(manifestDir(dir), n))
+    if (mf.isEmpty || !fs.exists(mf.get)) Map.empty
     else {
-      val in = fs.open(mf)
+      val in = fs.open(mf.get)
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -264,36 +352,56 @@ object Snapshots {
       else stats(spark, dir, next - 1)
     val statRows = carried.flatMap(f => prevStats.get(f).map(f -> _)) ++
       fresh.map(f => f -> footerStats(spark, s"$dir/$f"))
-    def writeAtomic(name: String, body: Array[Byte]): Unit = {
+    def writeAtomic(name: String, body: Array[Byte],
+        contended: Boolean): Unit = {
       // write-temp + atomic rename: a concurrent reader either sees the
       // fully written file or none at all (hidden names are never listed).
-      // An already-present destination means another writer beat us to this
-      // slot — UNLESS the slot's COMMIT POINT (the .list) never landed, in
-      // which case the file is debris of a writer that crashed mid-publish:
-      // treating that as a conflict would wedge the version slot forever,
-      // so stale sidecars are swept and the publish proceeds.
-      val tmp = new org.apache.hadoop.fs.Path(md, s".$name.tmp")
+      // Sidecars carry a per-writer-unique token in their name, so the
+      // `.list` is the ONLY contended rename — an already-present list
+      // means another writer won this version slot (the loser's sidecars
+      // become unique-named debris that [[vacuumOrphans]] sweeps; they can
+      // never shadow the winner's, unlike a fixed `vN.stats` name).
+      // The TEMP name must be per-writer unique too: same-slot racers
+      // sharing one `.vN.list.tmp` would overwrite / rename-steal each
+      // other's in-flight bytes before ever reaching the guarded rename.
+      val tmp = new org.apache.hadoop.fs.Path(md,
+        s".$name.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
       val out = fs.create(tmp, true)
       try out.write(body) finally out.close()
       val fin = new org.apache.hadoop.fs.Path(md, name)
-      if (fs.exists(fin)) {
-        val committed = fs.exists(new org.apache.hadoop.fs.Path(md, s"v$next.list"))
-        if (committed || name == s"v$next.list") {
+      def renameGuarded(): Unit = {
+        if (contended && fs.exists(fin)) {
           fs.delete(tmp, false)
           throw new java.util.ConcurrentModificationException(
             s"$dir: $name was published concurrently — rebase and retry")
         }
-        fs.delete(fin, false) // crashed-writer sidecar, no commit point
+        require(fs.rename(tmp, fin), s"$dir: manifest publish rename failed for $name")
       }
-      require(fs.rename(tmp, fin), s"$dir: manifest publish rename failed for $name")
+      // HDFS/object-store rename is no-overwrite (the loser's rename FAILS),
+      // but POSIX local rename overwrites — serialize same-JVM committers
+      // through a per-table lock so the exists-check + rename is atomic
+      // here too. Cross-JVM local racers keep the documented microsecond
+      // window (the Delta-on-S3 external-lock caveat).
+      if (contended) publishLock(md.toString).synchronized(renameGuarded())
+      else renameGuarded()
     }
-    writeAtomic(s"v$next.stats", encodeStats(statRows).getBytes("UTF-8"))
-    if (meta.nonEmpty)
-      writeAtomic(s"v$next.meta", meta.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
-    val body = (carried ++ fresh).mkString("", "\n", "\n").getBytes("UTF-8")
-    writeAtomic(s"v$next.list", body)
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val statsName = s"v$next-$token.stats"
+    writeAtomic(statsName, encodeStats(statRows).getBytes("UTF-8"),
+      contended = false)
+    val metaName =
+      if (meta.isEmpty) None
+      else {
+        val name = s"v$next-$token.meta"
+        writeAtomic(name, meta.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"), contended = false)
+        Some(name)
+      }
+    val headers = Seq(s"#stats=$statsName") ++ metaName.map(n => s"#meta=$n")
+    val body = (headers ++ carried ++ fresh).mkString("", "\n", "\n")
+      .getBytes("UTF-8")
+    writeAtomic(s"v$next.list", body, contended = true)
   }
 
   /** Wall-clock publish time of one version (the manifest's modification
@@ -360,12 +468,22 @@ object Snapshots {
     * Metadata-only on the driver (file list set-difference); returns the
     * number of data files deleted. Reads pinned to expired versions fail
     * loudly afterwards, surviving versions are untouched.
+    *
+    * Retention safety: `keepFrom` is CLAMPED down to the lowest live
+    * [[readerPins]] version, so a retention sweep can never delete a
+    * manifest a checkpoint-registered streaming tail still has to replay —
+    * the lagging reader wins over the vacuum (Iceberg's
+    * min-snapshots-to-keep posture). Abandoned pins age out after
+    * [[defaultPinTtlMillis]].
     */
   def expire(spark: SparkSession, dir: String, keepFrom: Int): Int = {
     val (fs, _) = hfs(spark, dir)
     val all = versions(spark, dir)
     require(all.contains(keepFrom), s"$dir: keepFrom v$keepFrom does not exist")
-    val (drop, keep) = all.partition(_ < keepFrom)
+    val clamped = (readerPins(spark, dir).values.toSeq :+ keepFrom).min
+    val keepEff = if (clamped >= keepFrom) keepFrom
+      else all.find(_ >= clamped).getOrElse(keepFrom)
+    val (drop, keep) = all.partition(_ < keepEff)
     val keepFiles = keep.flatMap(v => files(spark, dir, v)).toSet
     val orphans = drop.flatMap(v => files(spark, dir, v)).distinct
       .filterNot(keepFiles)
@@ -373,9 +491,11 @@ object Snapshots {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$f"), false)
     }
     drop.foreach { v =>
+      // resolve sidecar names BEFORE deleting the list that references them
+      val sidecars = Seq("stats", "meta").flatMap(sidecarName(spark, dir, v, _))
       fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.list"), false)
-      fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.stats"), false)
-      fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.meta"), false)
+      sidecars.foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(manifestDir(dir), n), false))
     }
     orphans.length
   }
@@ -414,6 +534,71 @@ object Snapshots {
     if (keepFrom == all.head) 0 else expire(spark, dir, keepFrom)
   }
 
+  /** Default reader-pin heartbeat TTL: a pin whose file has not been
+    * touched for this long is presumed abandoned (deleted checkpoint) and
+    * stops blocking retention. Streaming sources re-touch their pin every
+    * micro-batch, so a live-but-idle tail only needs one trigger per week
+    * to stay protected. */
+  val defaultPinTtlMillis: Long = 7L * 24 * 3600 * 1000
+
+  private def readersDir(dir: String) = s"${manifestDir(dir)}/readers"
+
+  /** Register (or advance) a reader's retention pin: `needsFrom` is the
+    * LOWEST version whose manifest this reader may still have to resolve —
+    * for a streaming tail that is its last committed offset, because a
+    * post-restart replay re-plans `readChanges(lastCommitted, end)`.
+    * [[expire]]/[[expireOlderThan]] never drop a pinned version, so a
+    * compactor's retention sweep cannot strand a lagging stream. One
+    * writer per `readerId` (a stream owns its checkpoint), so the
+    * temp+rename write needs no CAS; the file's modification time is the
+    * heartbeat [[readerPins]] ages out.
+    */
+  def pinReader(spark: SparkSession, dir: String, readerId: String,
+      needsFrom: Int): Unit = {
+    require(readerId.nonEmpty && !readerId.exists(c => c == '/' || c == '.'),
+      s"readerId '$readerId' must be a plain name (no '/' or '.')")
+    val (fs, _) = hfs(spark, dir)
+    val rd = new org.apache.hadoop.fs.Path(readersDir(dir))
+    fs.mkdirs(rd)
+    val tmp = new org.apache.hadoop.fs.Path(rd, s".$readerId.pin.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(needsFrom.toString.getBytes("UTF-8")) finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(rd, s"$readerId.pin")
+    fs.delete(fin, false)
+    require(fs.rename(tmp, fin), s"$dir: reader pin publish failed")
+  }
+
+  /** Drop a reader's retention pin (the stream is decommissioned). */
+  def unpinReader(spark: SparkSession, dir: String, readerId: String): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(readersDir(dir), s"$readerId.pin"),
+      false)
+  }
+
+  /** Live reader pins: readerId → lowest version it still needs. Pins
+    * whose heartbeat (file mtime) is older than `ttlMillis` are ignored
+    * AND swept — an abandoned checkpoint must not block retention forever.
+    */
+  def readerPins(spark: SparkSession, dir: String,
+      ttlMillis: Long = defaultPinTtlMillis): Map[String, Int] = {
+    val (fs, _) = hfs(spark, dir)
+    val rd = new org.apache.hadoop.fs.Path(readersDir(dir))
+    if (!fs.exists(rd)) return Map.empty
+    val cutoff = System.currentTimeMillis() - ttlMillis
+    fs.listStatus(rd).toSeq.filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".pin")).flatMap { st =>
+      val id = st.getPath.getName.stripSuffix(".pin")
+      if (st.getModificationTime < cutoff) { fs.delete(st.getPath, false); None }
+      else {
+        val in = fs.open(st.getPath)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        Some(id -> text.toInt)
+      }
+    }.toMap
+  }
+
   /** VACUUM for crashed writers: a commit that wrote its `data/cN` files
     * but died before the manifest rename leaves orphan data no version
     * references — invisible to readers, billed forever. Deletes every data
@@ -442,6 +627,19 @@ object Snapshots {
         if (!referenced.contains(rel)) orphans += st.getPath
       }
     }
+    // sidecar debris: a same-slot loser (or crashed writer) leaves behind a
+    // unique-named v{N}-{token}.{stats,meta} no manifest references
+    val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    if (fs.exists(md)) {
+      val liveSidecars = versions(spark, dir).flatMap(v =>
+        Seq("stats", "meta").flatMap(sidecarName(spark, dir, v, _))).toSet
+      fs.listStatus(md).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && st.getModificationTime < cutoff &&
+            (n.endsWith(".stats") || n.endsWith(".meta")) &&
+            !liveSidecars.contains(n)) orphans += st.getPath
+      }
+    }
     orphans.foreach(fs.delete(_, false))
     orphans.length
   }
@@ -468,10 +666,11 @@ object Snapshots {
   def stats(spark: SparkSession, dir: String,
       version: Int): Map[String, Map[String, ColStat]] = {
     val (fs, _) = hfs(spark, dir)
-    val sf = new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$version.stats")
-    if (!fs.exists(sf)) Map.empty
+    val sf = sidecarName(spark, dir, version, "stats")
+      .map(n => new org.apache.hadoop.fs.Path(manifestDir(dir), n))
+    if (sf.isEmpty || !fs.exists(sf.get)) Map.empty
     else {
-      val in = fs.open(sf)
+      val in = fs.open(sf.get)
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()

@@ -151,8 +151,17 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
     val starting = parameters.getOrElse("startingVersion", "0").toInt
     val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     maxPerTrigger.foreach(m => require(m > 0, "maxVersionsPerTrigger must be > 0"))
+    // retention pin identity: stable across restarts of the SAME query
+    // (the checkpoint metadata path is the query's durable name); a
+    // `readerId` option overrides for externally-managed pins
+    val readerId = parameters.getOrElse("readerId", {
+      val digest = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(metadataPath.getBytes("UTF-8"))
+      "src-" + digest.take(6).map(b => f"$b%02x").mkString
+    })
     val st = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    new SnapshotSource(sqlContext, dir, starting, st, maxPerTrigger)
+    new SnapshotSource(sqlContext, dir, starting, st, maxPerTrigger,
+      Some(readerId))
   }
 }
 
@@ -347,9 +356,19 @@ object SnapshotRelation {
 
 private[streaming] class SnapshotSource(sqlContext: SQLContext, dir: String,
     startingVersion: Int, override val schema: StructType,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source {
+    maxVersionsPerTrigger: Option[Int] = None,
+    readerId: Option[String] = None) extends Source {
 
   private def spark = sqlContext.sparkSession
+
+  // retention pin: until the first batch plans, the checkpointed offset is
+  // unknown, so pin conservatively at startingVersion (0 = keep everything);
+  // every getBatch advances it to the lowest manifest a restart replay of
+  // that batch would still resolve. Never unpinned on stop() — a stopped
+  // query is expected to restart; an abandoned pin ages out via the
+  // heartbeat TTL in Snapshots.readerPins.
+  readerId.foreach(id =>
+    graft.operators.Snapshots.pinReader(spark, dir, id, startingVersion))
 
   /** Highest version a planned batch has covered — raised by every
     * getBatch (incl. the engine's restart replay), so the rate cap below
@@ -390,6 +409,11 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext, dir: String,
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
     coveredTo = Some(coveredTo.fold(to)(math.max(_, to)))
+    // replaying this batch after a restart resolves manifests `from` and
+    // `to` (full-snapshot first batch: just `to`) — advance the retention
+    // pin there so a concurrent expire cannot strand the replay
+    readerId.foreach(id =>
+      Snapshots.pinReader(spark, dir, id, if (from == 0) to else from))
     val batch =
       if (from == 0) Snapshots.read(spark, dir, Some(to))
       else Snapshots.readChanges(spark, dir, from, to)

@@ -174,7 +174,18 @@ class SnapshotSpec extends AnyFunSuite {
     val dir = tmp()
     val v = Snapshots.commit(spark, dir,
       spark.range(100).toDF("k").repartitionByRange(4, col("k")))
-    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_manifests", s"v$v.stats"))
+    // delete the version's stats sidecar (resolve the unique name via the
+    // manifest header rather than assuming the legacy fixed name)
+    val sidecars = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "_manifests")).iterator()
+    var deleted = false
+    while (sidecars.hasNext) {
+      val p = sidecars.next()
+      if (p.getFileName.toString.matches(s"v$v-[0-9a-f]{8}\\.stats")) {
+        java.nio.file.Files.delete(p); deleted = true
+      }
+    }
+    assert(deleted, "stats sidecar not found to delete")
     val (kept, all) = Snapshots.pruneFiles(spark, dir, v, "k", Some(0L), Some(9L))
     assert(kept == all, "files were pruned without stats to justify it")
     assert(Snapshots.readRange(spark, dir, "k", Some(0L), Some(9L)).count() == 10)
@@ -383,6 +394,86 @@ class SnapshotSpec extends AnyFunSuite {
     val got = Snapshots.read(spark, dir).select("k").collect()
       .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
     assert(got == Seq(-1L, 1L, 9L), "NULL row must survive a range delete")
+  }
+
+  test("two concurrent committers via commitRetry: both land, no rows lost") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((0L, "seed")).toDF("k", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val writers = (1 to 2).map { w =>
+      Future {
+        barrier.await() // maximize slot contention
+        (1 to 5).map { i =>
+          Snapshots.commitRetry(spark, dir,
+            Seq((w * 100L + i, s"w$w-$i")).toDF("k", "v"))
+        }
+      }
+    }
+    val landed = Await.result(Future.sequence(writers), 180.seconds).flatten
+    pool.shutdown()
+    assert(landed.toSet.size == 10, s"two commits claimed one version: $landed")
+    assert(Snapshots.currentVersion(spark, dir).contains(11))
+    assert(Snapshots.read(spark, dir).count() == 11, "a racing commit lost rows")
+    // append semantics survived every race: each version carries its parent
+    (2 to 11).foreach { v =>
+      val prev = Snapshots.files(spark, dir, v - 1).toSet
+      assert(prev.subsetOf(Snapshots.files(spark, dir, v).toSet),
+        s"v$v dropped files carried from v${v - 1}")
+    }
+    // each version's stats sidecar covers its own fresh files (no racer
+    // clobbered another's sidecar — the fixed-name hazard this protocol
+    // version eliminated)
+    (2 to 11).foreach { v =>
+      val freshOfV = Snapshots.files(spark, dir, v).toSet --
+        Snapshots.files(spark, dir, v - 1).toSet
+      val idx = Snapshots.stats(spark, dir, v)
+      assert(freshOfV.forall(idx.contains),
+        s"v$v stats sidecar is missing its own fresh files")
+    }
+  }
+
+  test("commitRetry: a derived replace aborts loudly on a mid-flight commit") {
+    val dir = tmp()
+    val v1 = Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    // compactor derives its replacement from v1; a foreign append lands first
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    val ex = intercept[java.util.ConcurrentModificationException](
+      Snapshots.commitRetry(spark, dir, Seq((1L, "a")).toDF("k", "v"),
+        replace = true, expectedVersion = Some(v1)))
+    assert(ex.getMessage.contains("rebase") || ex.getMessage.contains("recompute"))
+    assert(Snapshots.read(spark, dir).count() == 2, "aborted replace leaked")
+  }
+
+  test("expire clamps to a live reader pin; unpin releases it") {
+    val dir = tmp()
+    (1 to 4).foreach(i => Snapshots.commit(spark, dir, Seq(i.toLong).toDF("k")))
+    Snapshots.pinReader(spark, dir, "tail", 2)
+    Snapshots.expire(spark, dir, keepFrom = 4)
+    assert(Snapshots.versions(spark, dir) == Seq(2, 3, 4),
+      "expire deleted a manifest a registered reader still needs")
+    // the pinned incremental range still resolves after the sweep
+    assert(Snapshots.readChanges(spark, dir, 2, 4).count() == 2)
+    Snapshots.unpinReader(spark, dir, "tail")
+    Snapshots.expire(spark, dir, keepFrom = 4)
+    assert(Snapshots.versions(spark, dir) == Seq(4))
+  }
+
+  test("an abandoned pin ages out and stops blocking retention") {
+    val dir = tmp()
+    (1 to 3).foreach(i => Snapshots.commit(spark, dir, Seq(i.toLong).toDF("k")))
+    Snapshots.pinReader(spark, dir, "dead", 1)
+    Thread.sleep(15)
+    assert(Snapshots.readerPins(spark, dir, ttlMillis = 5).isEmpty,
+      "stale pin still counted live")
+    assert(!new java.io.File(s"$dir/_manifests/readers/dead.pin").exists(),
+      "stale pin file not swept")
+    Snapshots.expire(spark, dir, keepFrom = 3)
+    assert(Snapshots.versions(spark, dir) == Seq(3))
   }
 
   test("optimistic concurrency: a commit planned against a stale version refuses") {

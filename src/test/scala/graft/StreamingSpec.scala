@@ -863,6 +863,35 @@ class StreamingSpec extends AnyFunSuite {
       s"checkpoint recovery duplicated or lost rows: $got")
   }
 
+  test("snapshots tail survives a retention sweep: the reader pin clamps expire") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapsrc5").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snapsrc5-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-snapsrc5-out").toString
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    def run(): Unit = {
+      val q = spark.readStream.format("snapshots").option("path", dir).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run() // consumes v1, leaves a pin at its last-committed offset
+    assert(Snapshots.readerPins(spark, dir).nonEmpty, "source left no pin")
+    // commits land while the stream is DOWN; a compactor then runs an
+    // aggressive retention sweep that would drop everything below head
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    Snapshots.expire(spark, dir, keepFrom = Snapshots.currentVersion(spark, dir).get)
+    // the pinned offset version must have survived for the replay plan
+    assert(Snapshots.versions(spark, dir).head <=
+      Snapshots.readerPins(spark, dir).values.min,
+      "expire dropped a version the checkpointed tail still needs")
+    run() // restart: resumes from the checkpoint across the sweep
+    val got = spark.read.parquet(out).as[(Long, String)].collect().toSeq
+    assert(got.size == 3 && got.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"tail across an expire duplicated or lost rows: $got")
+  }
+
   test("snapshots source maxVersionsPerTrigger paces the tail one version per batch") {
     import graft.operators.Snapshots
     val dir = java.nio.file.Files.createTempDirectory("graft-snapsrc4").toString
