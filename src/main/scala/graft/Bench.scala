@@ -4,6 +4,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Contention gate: same-code close samples have swung 31.8-52.6 s purely
+    // with machine load (r15 closed at load_avg 6.5). A sample taken on a
+    // busy box is not comparable round-over-round, so wait for the load to
+    // drop below the threshold (default 4, up to ~5 min) before measuring;
+    // if it never does, proceed anyway — a stamped contended sample beats no
+    // sample — and record the wait in the env stamp either way.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0").toDouble
+    val loadBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadInitial = loadBean.getSystemLoadAverage
+    var loadWaits = 0
+    while (loadBean.getSystemLoadAverage > maxLoad && loadWaits < 10) {
+      System.err.println(f"[bench] load_avg ${loadBean.getSystemLoadAverage}%.1f" +
+        f" > $maxLoad%.1f — waiting 30 s for the box to quiesce")
+      Thread.sleep(30000)
+      loadWaits += 1
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -81,7 +97,8 @@ object Bench {
       val loadAvg = r1(osBean.getSystemLoadAverage)
       val freeGb = r1(osBean.getFreeMemorySize / 1073741824.0)
       val cpuCount = Runtime.getRuntime.availableProcessors
-      s"""{"load_avg":$loadAvg,"free_mem_gb":$freeGb,"cpus":$cpuCount}"""
+      s"""{"load_avg":$loadAvg,"free_mem_gb":$freeGb,"cpus":$cpuCount,""" +
+        s""""load_initial":${r1(loadInitial)},"load_waits":$loadWaits}"""
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq

@@ -82,11 +82,19 @@ object PersistedCache {
   def apply(s: SparkSession, key: Any)(build: => DataFrame): DataFrame = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) if (it.next().getValue._1.isStopped) it.remove()
-    cache.computeIfAbsent((s.sparkContext.applicationId, key), _ => {
+    val k = (s.sparkContext.applicationId, key)
+    val hit = cache.get(k)
+    if (hit != null) hit._2
+    else {
+      // build OUTSIDE the map lock: a cached build may itself resolve
+      // another cached table (computeIfAbsent would throw Recursive
+      // update). Racing builders may duplicate work once; first put wins
+      // and the loser's persist is dropped.
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
-      (s.sparkContext, df)
-    })._2
+      val prev = cache.putIfAbsent(k, (s.sparkContext, df))
+      if (prev != null) { df.unpersist(); prev._2 } else df
+    }
   }
 }
 

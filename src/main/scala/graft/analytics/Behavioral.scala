@@ -162,12 +162,24 @@ object Behavioral extends QueryModule {
     * float addition order differs per engine, and 9 digits absorbs the ulp
     * while real score gaps stay ordered.
     */
-  /** Distinct (order, part) baskets — shared by the model build and the
-    * per-customer ownership scan.
+  /** Distinct (order, part) baskets — shared by the model build, the
+    * per-customer ownership scan, and the offline eval's training split.
+    * Warmed ingest state ([[graft.PersistedCache]]): one lineitem distinct
+    * per (session, sf), not one per serving query.
     */
   private def baskets(s: SparkSession, d: String): DataFrame =
-    T.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    graft.PersistedCache(s, ("itemcf-baskets", d))(
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+
+  /** Distinct (customer, part) ownership — the serving join's probe side,
+    * shared (warmed) between [[qRecsItemcf]]'s scoring and exclusion scans.
+    */
+  private def ownedCached(s: SparkSession, d: String): DataFrame =
+    graft.PersistedCache(s, ("itemcf-owned", d))(
+      T.orders(s, d)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+        .join(baskets(s, d), "ok").select("ck", "pk").distinct())
 
   /** The trained item-item model — each part's top-5 cosine neighbors from
     * co-purchase counts — as warmed ingest-time state
@@ -183,9 +195,7 @@ object Behavioral extends QueryModule {
       neighborsFrom(baskets(s, d)))
 
   private def qRecsItemcf(s: SparkSession, d: String): DataFrame = {
-    val owned = T.orders(s, d)
-      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
-      .join(baskets(s, d), "ok").select("ck", "pk").distinct()
+    val owned = ownedCached(s, d)
     val scores = owned.join(broadcast(itemNeighborsCached(s, d)),
         col("pk") === col("a"))
       .groupBy(col("ck"), col("b").as("item")).agg(sum("c").as("score"))

@@ -788,16 +788,24 @@ object Relational extends QueryModule {
     * any partitioning) select the identical sample — the property that
     * makes the A-ES key the distributed weighted-reservoir idiom.
     *
-    * Determinism across engines: u is exact integer arithmetic; ln() is the
-    * one transcendental (libm may differ in the last ulp), so ranking keys
-    * on round(key, 9) with the doc id as tie-break — ulp noise is absorbed,
-    * real gaps stay ordered (the q_recs_itemcf ranking posture).
+    * Determinism across engines: u is exact integer arithmetic (doc_id is
+    * reduced mod the LCG modulus BEFORE the multiply, so the product stays
+    * in BIGINT range at any id scale — Spark would wrap silently where
+    * DuckDB raises); ln() is the one transcendental (libm may differ in the
+    * last ulp), so ranking keys on round(key·10⁶, 9) with the doc id as
+    * tie-break — the 10⁶ scale keeps long documents' tiny |ln(u)/w| above
+    * the rounding quantum (unscaled, keys below 5e-10 collapsed to 0.0 and
+    * selection among the heaviest rows degraded to the tie-break), while
+    * ulp noise is still absorbed and real gaps stay ordered. Zero-length
+    * documents carry weight 0 — never selectable under A-ES — and are
+    * filtered out rather than fed to a division.
     */
   private def qSampleWeighted(s: SparkSession, d: String): DataFrame = {
-    val u01 = (((col("doc_id") * 1103515245L + 12345L) % 1000003L) + 1L)
+    val u01 = ((((col("doc_id") % 1000003L) * 1103515245L + 12345L) % 1000003L) + 1L)
       .cast("double") / 1000004.0
-    val key = round(log(u01) / col("n_chars").cast("double"), 9)
+    val key = round(log(u01) * lit(1000000.0) / col("n_chars").cast("double"), 9)
     T.documents(s, d)
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("lang"), col("n_chars"), key.as("k"))
       .orderBy(col("k").desc, col("doc_id"))
       .limit(25)
@@ -1143,9 +1151,9 @@ object Relational extends QueryModule {
     "q_sample_weighted" ->
       """WITH k AS (
         |  SELECT doc_id, lang, n_chars,
-        |    round(ln(CAST((doc_id * 1103515245 + 12345) % 1000003 + 1 AS DOUBLE) / 1000004.0)
-        |          / CAST(n_chars AS DOUBLE), 9) AS k
-        |  FROM documents)
+        |    round(ln(CAST(((doc_id % 1000003) * 1103515245 + 12345) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+        |          * 1000000.0 / CAST(n_chars AS DOUBLE), 9) AS k
+        |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, lang, n_chars FROM k
         |ORDER BY k DESC, doc_id LIMIT 25""".stripMargin,
     "q_sample_temperature" ->
