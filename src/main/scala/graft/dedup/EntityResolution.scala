@@ -172,6 +172,66 @@ object EntityResolution extends QueryModule {
     matched.withColumn("is_new", lit(false)).unionByName(fresh)
   }
 
+  /** Block-population statistics: block → record count. The additive
+    * (counts SUM across shards — the `q_segment_scrub` df-state posture
+    * applied to entity records) ingest state the hot-gated admit keys
+    * candidate generation on: at 100 TB a handful of hot blocking keys
+    * ("inc", "ltd", shared name suffixes) is what turns Σ|block|² into the
+    * job's straggler, and the populations are the state that detects them
+    * without re-scanning the corpus.
+    */
+  def blockStats(records: DataFrame): DataFrame =
+    withBlocks(records).groupBy("block").agg(count(lit(1)).as("pop"))
+
+  def blockStatsCached(s: SparkSession, d: String): DataFrame =
+    graft.PersistedCache(s, ("er_block_stats", d))(
+      blockStats(dirtyRecords(s, d)))
+
+  /** Blocks whose store population exceeds this refine their candidate key
+    * (hierarchical blocking). Low on the synthetic fixture so the hot path
+    * actually exercises; a deployment sets it to its block-size budget. */
+  val HotBlockPop = 2
+
+  /** Admit with HOT-BLOCK-GATED candidate generation: candidates must share
+    * the block, and within blocks whose maintained population exceeds
+    * [[HotBlockPop]] they must ALSO share a finer sub-key — the last 8
+    * canon characters, which every system convention leaves intact (the
+    * numeric tail), so refinement bounds the hot block's fan-out by the
+    * sub-key split without costing recall on suffix-preserving
+    * perturbations. This is hierarchical blocking, the standard hot-key
+    * mitigation for blocked linkage: per-record candidate volume drops
+    * from |hot block| to |sub-bucket|, and the gate is driven entirely by
+    * the additive [[blockStats]] state (no corpus pass at admit time).
+    * Unmatched records cluster among themselves exactly as
+    * [[admitRecords]] (batch-sized work).
+    */
+  def admitRecordsHotGated(newRecords: DataFrame, store: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val hot = stats.filter(col("pop") > HotBlockPop)
+      .select(col("block"), lit(true).as("is_hot"))
+    def subKeyed(df: DataFrame): DataFrame =
+      df.join(broadcast(hot), Seq("block"), "left")
+        .withColumn("sub",
+          when(col("is_hot"), expr("right(canon, 8)")).otherwise(lit("")))
+        .drop("is_hot")
+    val nb = subKeyed(withBlocks(newRecords))
+      .select(col("block"), col("sub"), col("rec_id"), col("canon"), col("bal"))
+    val st = subKeyed(store)
+      .select(col("block"), col("sub"), col("entity_id"),
+        col("canon").as("s_canon"), col("bal").as("s_bal"))
+    val matched = nb.join(st, Seq("block", "sub"))
+      .filter(levenshtein(col("canon"), col("s_canon")) <= MaxNameLev &&
+        abs(col("bal") - col("s_bal")) <= MaxBalDiff)
+      .groupBy("rec_id").agg(min("entity_id").as("entity_id"))
+    val unmatched = newRecords.join(matched, Seq("rec_id"), "left_anti")
+    val comps = Dedup.connectedComponents(
+      matchPairs(unmatched).select(col("rec1").as("doc1"), col("rec2").as("doc2")))
+    val fresh = unmatched.join(comps, unmatched("rec_id") === comps("id"), "left")
+      .select(col("rec_id"), coalesce(col("component"), col("rec_id")).as("entity_id"),
+        lit(true).as("is_new"))
+    matched.withColumn("is_new", lit(false)).unionByName(fresh)
+  }
+
   /** The incoming batch for the declared admit query: system `d` (every
     * 7th entity, a "CUST-…" convention that resolves into its existing
     * entity) and system `x` (every 11th, an "Unknown Party #…" rename no
@@ -209,13 +269,19 @@ object EntityResolution extends QueryModule {
     admitRecords(batchRecords(s, d), linkageStoreCached(s, d))
       .orderBy("rec_id")
 
+  private def qErAdmitHot(s: SparkSession, d: String): DataFrame =
+    admitRecordsHotGated(batchRecords(s, d), linkageStoreCached(s, d),
+      blockStatsCached(s, d))
+      .orderBy("rec_id")
+
   private def qErGolden(s: SparkSession, d: String): DataFrame =
     goldenRecords(dirtyRecords(s, d)).orderBy("entity_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_er_pairs" -> qErPairs,
     "q_er_golden" -> qErGolden,
-    "q_er_admit" -> qErAdmit
+    "q_er_admit" -> qErAdmit,
+    "q_er_admit_hot" -> qErAdmitHot
   )
 
   /** The records CTE shared by both oracles — the same three systems. */
@@ -300,6 +366,67 @@ object EntityResolution extends QueryModule {
          |matched AS (
          |  SELECT b.rec_id, min(s.entity_id) AS entity_id
          |  FROM batch b JOIN store s ON b.block = s.block
+         |  WHERE levenshtein(b.canon, s.canon) <= 4 AND abs(b.bal - s.bal) <= 0.51
+         |  GROUP BY b.rec_id),
+         |um AS (
+         |  SELECT * FROM batch
+         |  WHERE rec_id NOT IN (SELECT rec_id FROM matched)),
+         |upairs AS (
+         |  SELECT l.rec_id AS rec1, r.rec_id AS rec2
+         |  FROM um l JOIN um r ON l.block = r.block AND l.rec_id < r.rec_id
+         |  WHERE levenshtein(l.canon, r.canon) <= 4 AND abs(l.bal - r.bal) <= 0.51),
+         |uedges AS (
+         |  SELECT rec1 AS src, rec2 AS dst FROM upairs
+         |  UNION ALL SELECT rec2, rec1 FROM upairs),
+         |ucc AS (
+         |  SELECT rec_id AS id, rec_id AS comp FROM um
+         |  UNION
+         |  SELECT e.dst, ucc.comp FROM ucc JOIN uedges e ON e.src = ucc.id),
+         |ucomp AS (SELECT id, min(comp) AS entity_id FROM ucc GROUP BY id)
+         |SELECT rec_id, entity_id, FALSE AS is_new FROM matched
+         |UNION ALL
+         |SELECT id AS rec_id, entity_id, TRUE AS is_new FROM ucomp
+         |ORDER BY rec_id""".stripMargin,
+    // hot-block-gated admit: candidates in blocks with store pop > 2 must
+    // also share right(canon, 8); otherwise identical to q_er_admit
+    "q_er_admit_hot" ->
+      s"""WITH RECURSIVE $recordsCte,
+         |edges AS (
+         |  SELECT rec1 AS src, rec2 AS dst FROM pairs
+         |  UNION ALL SELECT rec2, rec1 FROM pairs),
+         |cc AS (
+         |  SELECT rec_id AS id, rec_id AS comp FROM recs
+         |  UNION
+         |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id),
+         |comp AS (SELECT id, min(comp) AS entity_id FROM cc GROUP BY id),
+         |stats AS (SELECT block, count(*) AS pop FROM recs GROUP BY block),
+         |store AS (
+         |  SELECT r.rec_id, comp.entity_id, r.block, r.canon, r.bal,
+         |         CASE WHEN st.pop > 2 THEN right(r.canon, 8) ELSE '' END AS sub
+         |  FROM recs r JOIN comp ON comp.id = r.rec_id
+         |  JOIN stats st ON st.block = r.block),
+         |batch0 AS (
+         |  SELECT c_custkey * 10 + 3 AS rec_id,
+         |         replace(c_name, 'Customer#', 'CUST-') AS name,
+         |         c_nationkey AS nation, c_acctbal AS bal
+         |  FROM customer WHERE c_custkey % 7 = 0
+         |  UNION ALL
+         |  SELECT c_custkey * 10 + 4,
+         |         replace(c_name, 'Customer#', 'Unknown Party #'),
+         |         c_nationkey, c_acctbal
+         |  FROM customer WHERE c_custkey % 11 = 0),
+         |batch1 AS (
+         |  SELECT *, lower(regexp_replace(name, '[^a-zA-Z0-9]', '', 'g')) AS canon,
+         |         CAST(nation AS VARCHAR) || ':' ||
+         |           right(lower(regexp_replace(name, '[^a-zA-Z0-9]', '', 'g')), 4) AS block
+         |  FROM batch0),
+         |batch AS (
+         |  SELECT b.*,
+         |         CASE WHEN st.pop > 2 THEN right(b.canon, 8) ELSE '' END AS sub
+         |  FROM batch1 b LEFT JOIN stats st ON st.block = b.block),
+         |matched AS (
+         |  SELECT b.rec_id, min(s.entity_id) AS entity_id
+         |  FROM batch b JOIN store s ON b.block = s.block AND b.sub = s.sub
          |  WHERE levenshtein(b.canon, s.canon) <= 4 AND abs(b.bal - s.bal) <= 0.51
          |  GROUP BY b.rec_id),
          |um AS (

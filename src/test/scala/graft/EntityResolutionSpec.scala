@@ -86,4 +86,61 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("hot-gated admit: a collided hot block splits by suffix, same verdicts") {
+    // two DIFFERENT entities colliding in one block (same nation, same
+    // last-4 digits "1234") — the cross-entity hot block the gate exists
+    // for; TPC-H custkeys at test SF never collide on last-4, so this is
+    // the scenario built explicitly
+    val rows = Seq(
+      (10L, "a", "Customer#000011234", 1L, 100.0),
+      (11L, "b", "CUSTOMR NO 000011234", 1L, 100.0),
+      (12L, "c", "cust. #000011234", 1L, 100.0),
+      (20L, "a", "Customer#000021234", 1L, 500.0),
+      (21L, "b", "CUSTOMR NO 000021234", 1L, 500.0),
+      (22L, "c", "cust. #000021234", 1L, 500.0)
+    ).toDF("rec_id", "sys", "name", "nation", "bal")
+    val store = EntityResolution.linkageStore(rows)
+    val stats = EntityResolution.blockStats(rows)
+    assert(stats.filter($"pop" > EntityResolution.HotBlockPop).count() == 1,
+      "the collided block must register hot")
+    val batch = Seq((1003L, "d", "CUST-000011234", 1L, 100.0))
+      .toDF("rec_id", "sys", "name", "nation", "bal")
+    // candidate volume BEFORE scoring: plain block join fans to all 6
+    // collided records; the sub-key keeps only entity A's 3
+    val nb = EntityResolution.withBlocks(batch)
+    val plainCand = nb.join(
+      EntityResolution.withBlocks(rows).select($"block"), "block").count()
+    assert(plainCand == 6, s"collided block should fan to 6, got $plainCand")
+    val gatedCand = nb.withColumn("sub", expr("right(canon, 8)"))
+      .join(EntityResolution.withBlocks(rows)
+        .select($"block", expr("right(canon, 8)").as("sub")), Seq("block", "sub"))
+      .count()
+    assert(gatedCand == 3, s"sub-key should keep entity A's 3, got $gatedCand")
+    // verdicts match the ungated admit: the suffix-preserving conventions
+    // keep recall intact while the hot block's fan-out halves
+    val plain = EntityResolution.admitRecords(batch, store)
+      .select($"rec_id", $"entity_id", $"is_new")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val gated = EntityResolution.admitRecordsHotGated(batch, store, stats)
+      .select($"rec_id", $"entity_id", $"is_new")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(gated == plain && gated == Seq((1003L, 10L, false)),
+      s"hot gating changed verdicts: plain=$plain gated=$gated")
+  }
+
+  test("hot-gated admit on the fixture: parity with the plain admit (suffixes preserved)") {
+    val store = EntityResolution.linkageStore(records)
+    val stats = EntityResolution.blockStats(records)
+    val batch = EntityResolution.batchRecords(spark, TestSpark.sf)
+    assert(stats.filter($"pop" > EntityResolution.HotBlockPop).count() > 0,
+      "fixture has no hot blocks; the declared query never exercises the gate")
+    val plain = EntityResolution.admitRecords(batch, store)
+      .select($"rec_id", $"entity_id", $"is_new")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val gated = EntityResolution.admitRecordsHotGated(batch, store, stats)
+      .select($"rec_id", $"entity_id", $"is_new")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(gated == plain, "gating changed verdicts on suffix-preserving data")
+  }
 }
