@@ -182,6 +182,7 @@ object Multimodal extends QueryModule {
   def prepareAssets(s: SparkSession, d: String): Unit = {
     cached(s, "png", d)(pngAssets(s, d))
     cached(s, "wav", d)(wavAssets(s, d))
+    cached(s, "wavfp", d)(audioFpAssets(s, d))
     cached(s, "gfv", d)(videoAssets(s, d))
     cached(s, "phash", d)(phashAssets(s, d))
   }
@@ -372,6 +373,105 @@ object Multimodal extends QueryModule {
           lit("audio/wav").as("media_type"),
           length(col("payload")).as("n_bytes"),
           lit("synthetic").as("origin")).as("meta"))
+  }
+
+  /** Audio energy-contour fingerprint — the time-domain variant of the
+    * classic Haitsma–Kalker robust audio hash (ICME 2002: fingerprint bits
+    * are the SIGNS of adjacent energy differences; the original differences
+    * span frequency bands, here they span [[AudioContour.Windows]] equal
+    * time windows so the whole pipeline stays integer-exact and the DuckDB
+    * oracle reproduces every bit). Properties that make it a dedup key:
+    * amplitude scaling multiplies every window energy by the same factor,
+    * so difference SIGNS — and the fingerprint — are invariant; small
+    * additive noise flips at most a few borderline bits, so near-dups sit
+    * within a small hamming radius and the banded join finds them.
+    */
+  case class AudioFp(asset_id: Long, afp: Long, n_samples: Int)
+
+  object AudioContour {
+    /** Equal time windows per clip; 33 windows → 32 contour bits → 8
+      * hamming bands of 4 bits in the near-dup join. */
+    val Windows = 33
+
+    def fingerprint(assetId: Long, bytes: Array[Byte]): AudioFp = {
+      // decode through the JDK codec — same cross-validation contract as
+      // decodeAudio (our RIFF writer, their reader)
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"asset $assetId: expected 16-bit mono PCM, got $fmt")
+        val raw = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(raw).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = raw.length / 2
+        require(n >= Windows, s"asset $assetId: $n samples < $Windows windows")
+        val e = new Array[Long](Windows)
+        var i = 0L
+        while (bb.remaining() >= 2) {
+          val v = bb.getShort().toInt
+          e(((i * Windows) / n).toInt) += v.toLong * v
+          i += 1
+        }
+        var fp = 0L
+        var w = 0
+        while (w < Windows - 1) {
+          if (e(w + 1) > e(w)) fp |= 1L << w
+          w += 1
+        }
+        AudioFp(assetId, fp, n)
+      } finally in.close()
+    }
+  }
+
+  /** WAV fixture for the fingerprint pair join: per-doc clips from a
+    * CROSS-TERM waveform `(id·31 + i·7919 + id·i·13) mod 4001 − 2000` (the
+    * q_mm_phash_pairs fixture trick — [[wavAssets]]' formula makes every
+    * clip a constant-offset copy of every other, which the contour hash
+    * correctly flags as near-dup corpus-wide; the id·i cross term
+    * decorrelates unrelated clips so only REAL near-dups pair), plus an
+    * amplitude-DOUBLED twin of every 25th doc (asset_id = doc_id +
+    * 1000000) — scaling is the perturbation the contour hash is invariant
+    * to by construction, so the twins are the planted near-dups (dist 0)
+    * the banded join must recover. Doubled samples stay ≤ 4000, far
+    * inside 16-bit range.
+    */
+  def audioFpAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def clips(filter: Long => Boolean, idOff: Long, amp: Int): DataFrame =
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .filter(filter)
+        .repartition(math.max(2, s.sparkContext.defaultParallelism / 4))
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (400 + id % 100).toInt
+            val samples = Array.tabulate(n) { i =>
+              ((((id * 31 + i.toLong * 7919 + id * i.toLong * 13) % 4001) - 2000)
+                * amp).toShort
+            }
+            (id + idOff, Wav.encode(8000, samples))
+          }
+        }
+        .toDF("asset_id", "payload")
+        .select(col("asset_id"), col("payload"),
+          struct(
+            lit("audio/wav").as("media_type"),
+            length(col("payload")).as("n_bytes"),
+            lit("synthetic").as("origin")).as("meta"))
+    clips(_ => true, 0L, 1).unionByName(clips(_ % 25 == 0, 1000000L, 2))
+  }
+
+  /** Fingerprints via the same mapPartitions batch shape as the decoders. */
+  def audioFingerprints(assetsDf: DataFrame): DataFrame = {
+    val s = assetsDf.sparkSession
+    import s.implicits._
+    assetsDf.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it =>
+        it.map { case (id, bytes) => AudioContour.fingerprint(id, bytes) })
+      .toDF()
   }
 
   /** Audio decode via the same mapPartitions batch shape as images. */
@@ -601,6 +701,42 @@ object Multimodal extends QueryModule {
   private def qMmPhash(s: SparkSession, d: String): DataFrame =
     phashes(s, d).orderBy("asset_id")
 
+  /** Decode → energy-contour audio fingerprint, oracle-checked per BIT:
+    * our RIFF writer → JDK javax.sound decoder → exact integer window
+    * energies → adjacent-difference signs in Spark, vs DuckDB evaluating
+    * the generating waveform through the identical integer pipeline. The
+    * audio twin of [[qMmPhash]] — the first stage of audio dedup.
+    */
+  private def qMmAudioFp(s: SparkSession, d: String): DataFrame =
+    audioFingerprints(cached(s, "wavfp", d)(audioFpAssets(s, d)))
+      .orderBy("asset_id")
+
+  /** Audio near-duplicate pairs via the banded hamming join (audio twin of
+    * [[qMmPhashPairs]]): the 32 contour bits split into 8 bands of 4; a
+    * pair within hamming ≤ 3 disturbs ≤ 3 bands, so ≥ 5 bands collide and
+    * recall is guaranteed by pigeonhole — candidate-linear, never
+    * all-pairs. The planted amplitude-scaled twins surface at dist 0 (the
+    * contour hash is scale-invariant), which is exactly how re-encoded /
+    * loudness-normalized copies of one recording dedup at corpus scale.
+    */
+  private def qMmAudioPairs(s: SparkSession, d: String): DataFrame = {
+    val fps = audioFingerprints(cached(s, "wavfp", d)(audioFpAssets(s, d)))
+    val bands = fps
+      .select(col("asset_id"), col("afp"), explode(expr("sequence(0, 7)")).as("band"))
+      .withColumn("bval", expr("shiftright(afp, band * 4) & 15"))
+    val a = bands.select(col("asset_id").as("a_id"), col("afp").as("a_fp"),
+      col("band"), col("bval"))
+    val b = bands.select(col("asset_id").as("b_id"), col("afp").as("b_fp"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_fp", "b_fp").distinct()
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_fp ^ b_fp)").cast("int").as("dist"))
+      .filter(col("dist") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Image near-duplicate pairs via banded hamming join — the scale path:
     * each 56-bit dHash splits into 8 bands of 7 bits; pairs within hamming
     * distance ≤ 3 disturb at most 3 bands, so ≥ 5 bands survive intact and
@@ -634,6 +770,8 @@ object Multimodal extends QueryModule {
     "q_mm_meta" -> qMmMeta,
     "q_mm_phash" -> qMmPhash,
     "q_mm_phash_pairs" -> qMmPhashPairs,
+    "q_mm_audio_fp" -> qMmAudioFp,
+    "q_mm_audio_pairs" -> qMmAudioPairs,
     "q_mm_decode" -> qMmDecode,
     "q_mm_audio" -> qMmAudio,
     "q_mm_video" -> qMmVideo,
@@ -743,6 +881,62 @@ object Multimodal extends QueryModule {
     // the oracle never parses WAV: it evaluates the same integer waveform
     // the generator used — a match proves encoder + decoder round-tripped
     // every 16-bit sample of every clip
+    // contour-fingerprint oracle: evaluate the generating waveform (and the
+    // amplitude-doubled twins) through the identical integer pipeline —
+    // window sum-of-squares, adjacent-difference signs, bit packing — so a
+    // hash match proves writer + decoder + fingerprint round-tripped every
+    // sample of every clip
+    "q_mm_audio_fp" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id AS asset_id, 1 AS amp FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1000000 AS asset_id, 2 AS amp
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |p AS (SELECT doc_id, asset_id, amp, 400 + doc_id % 100 AS n FROM base),
+        |sm AS (
+        |  SELECT asset_id, n, i,
+        |    (((doc_id * 31 + i * 7919 + doc_id * i * 13) % 4001) - 2000) * amp AS v
+        |  FROM p, unnest(range(0, n)) AS t(i)),
+        |e AS (
+        |  SELECT asset_id, n, (i * 33) // n AS w, sum(v * v) AS energy
+        |  FROM sm GROUP BY 1, 2, 3),
+        |b AS (
+        |  SELECT asset_id, n, w, energy,
+        |    lead(energy) OVER (PARTITION BY asset_id ORDER BY w) AS e_next
+        |  FROM e)
+        |SELECT asset_id,
+        |  CAST(coalesce(sum(CASE WHEN e_next > energy
+        |    THEN (CAST(1 AS BIGINT) << w) ELSE 0 END), 0) AS BIGINT) AS afp,
+        |  CAST(n AS INT) AS n_samples
+        |FROM b GROUP BY asset_id, n ORDER BY asset_id""".stripMargin,
+    "q_mm_audio_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id AS asset_id, 1 AS amp FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1000000 AS asset_id, 2 AS amp
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |p AS (SELECT doc_id, asset_id, amp, 400 + doc_id % 100 AS n FROM base),
+        |sm AS (
+        |  SELECT asset_id, n, i,
+        |    (((doc_id * 31 + i * 7919 + doc_id * i * 13) % 4001) - 2000) * amp AS v
+        |  FROM p, unnest(range(0, n)) AS t(i)),
+        |e AS (
+        |  SELECT asset_id, n, (i * 33) // n AS w, sum(v * v) AS energy
+        |  FROM sm GROUP BY 1, 2, 3),
+        |b AS (
+        |  SELECT asset_id, n, w, energy,
+        |    lead(energy) OVER (PARTITION BY asset_id ORDER BY w) AS e_next
+        |  FROM e),
+        |fp AS (
+        |  SELECT asset_id,
+        |    CAST(coalesce(sum(CASE WHEN e_next > energy
+        |      THEN (CAST(1 AS BIGINT) << w) ELSE 0 END), 0) AS BIGINT) AS afp
+        |  FROM b GROUP BY asset_id, n)
+        |SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS dist
+        |FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_mm_audio" ->
       """WITH p AS (SELECT doc_id, 400 + doc_id % 100 AS n FROM documents),
         |sm AS (

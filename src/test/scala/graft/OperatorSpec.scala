@@ -257,6 +257,48 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("audio contour fingerprint: scale-invariant, noise-robust, planted twins at dist 0") {
+    import graft.multimodal.{Multimodal, Wav}
+    val samples = Array.tabulate(500)(i => (((i.toLong * 7919) % 4001) - 2000).toShort)
+    val base = Multimodal.AudioContour.fingerprint(1L,
+      Wav.encode(8000, samples)).afp
+    // amplitude scaling preserves every energy-difference SIGN → identical fp
+    val scaled = Multimodal.AudioContour.fingerprint(2L,
+      Wav.encode(8000, samples.map(v => (v * 3).toShort))).afp
+    assert(scaled == base, f"scaling changed the contour: $base%x -> $scaled%x")
+    // small additive noise flips at most a few borderline bits
+    val noisy = Multimodal.AudioContour.fingerprint(3L,
+      Wav.encode(8000, samples.zipWithIndex.map { case (v, i) =>
+        if (i % 50 == 0) (v + 1).toShort else v })).afp
+    assert(java.lang.Long.bitCount(base ^ noisy) <= 3,
+      f"noise moved the fp too far: ${java.lang.Long.bitCount(base ^ noisy)} bits")
+    // an unrelated clip is far away
+    val other = Multimodal.AudioContour.fingerprint(4L,
+      Wav.encode(8000, Array.tabulate(500)(i =>
+        (((i.toLong * 104729 + 77) % 4001) - 2000).toShort))).afp
+    assert(java.lang.Long.bitCount(base ^ other) > 3, "unrelated clips collided")
+  }
+
+  test("audio banded pairs equal brute-force hamming pairs; every planted twin found") {
+    val fps = graft.multimodal.Multimodal
+      .audioFingerprints(graft.multimodal.Multimodal
+        .audioFpAssets(spark, TestSpark.sf))
+      .select($"asset_id", $"afp").as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    val out = SparkEntry.queries("q_mm_audio_pairs")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == brute, s"banded=${out.size} brute=${brute.size}")
+    val twins = fps.map(_._1).filter(_ >= 1000000L)
+    assert(twins.nonEmpty, "planted amplitude twins missing")
+    twins.foreach { t =>
+      assert(out.contains((t - 1000000L, t, 0)),
+        s"amplitude twin $t not recovered at dist 0")
+    }
+  }
+
   test("multimodal PNG round-trip: our encoder -> JDK ImageIO decoder, per-pixel") {
     val decoded = graft.multimodal.Multimodal
       .decodeImages(graft.multimodal.Multimodal.pngAssets(spark, TestSpark.sf))
