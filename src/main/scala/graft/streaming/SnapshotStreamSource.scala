@@ -184,7 +184,10 @@ private[graft] class SnapshotSink(sqlContext: SQLContext, dir: String)
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.Dataset[Row]): Unit = {
     if (lastCommittedBatch.exists(_ >= batchId)) return // replay → skip
-    Snapshots.commit(spark, dir, StreamBridge.asBatch(data.toDF()),
+    // commitRetry, not commit: a compactor (or any foreign writer) racing
+    // the sink on the same table must cost a metadata rebase, not fail the
+    // whole streaming query — appends never logically conflict
+    Snapshots.commitRetry(spark, dir, StreamBridge.asBatch(data.toDF()),
       meta = Map("batch_id" -> batchId.toString))
     ()
   }

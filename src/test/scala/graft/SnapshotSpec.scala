@@ -732,6 +732,41 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 4, "fresh batch must commit")
   }
 
+  test("sink racing a compactor: concurrent addBatch + replace commits, no batch lost") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((0L, "seed")).toDF("k", "v"))
+    val sink = new graft.streaming.SnapshotSink(spark.sqlContext, dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val sinkSide = Future {
+      barrier.await()
+      (1L to 5L).foreach(b => sink.addBatch(b, Seq((b, s"b$b")).toDF("k", "v")))
+    }
+    val compactor = Future {
+      barrier.await()
+      // blind maintenance appends racing the sink's slots (a replace would
+      // break the sink's readChanges contract by design; appends race the
+      // same version numbers, which is what commitRetry must absorb)
+      (1 to 5).foreach(i =>
+        Snapshots.commitRetry(spark, dir, Seq((100L + i, s"m$i")).toDF("k", "v")))
+    }
+    Await.result(Future.sequence(Seq(sinkSide, compactor)), 180.seconds)
+    pool.shutdown()
+    assert(Snapshots.currentVersion(spark, dir).contains(11))
+    val rows = Snapshots.read(spark, dir).as[(Long, String)].collect().toSet
+    val want = Set((0L, "seed")) ++
+      (1L to 5L).map(b => (b, s"b$b")) ++ (1 to 5).map(i => (100L + i, s"m$i"))
+    assert(rows == want, s"racing sink/maintenance lost rows: ${want -- rows}")
+    // the batch-id watermark stayed coherent: the newest batch_id is 5 and
+    // a replay of any batch <= 5 is skipped
+    sink.addBatch(5L, Seq((999L, "replay")).toDF("k", "v"))
+    assert(Snapshots.currentVersion(spark, dir).contains(11), "replay re-committed")
+  }
+
   test("compact folds accreted small files into target-sized ones, history intact") {
     val dir = tmp()
     for (i <- 1 to 6)
