@@ -491,6 +491,33 @@ object Relational extends QueryModule {
       dir
     })
 
+  /** Incrementally-clustered twin of [[snapZDir]]: the even-key half is
+    * clustered by the FULL rewrite, the odd-key half arrives afterwards
+    * and is clustered by [[Snapshots.clusterZOrderIncremental]] — only the
+    * appended tail is rewritten (SnapshotSpec locks carried-file identity
+    * and the no-op pass). The read proves 2-D skipping holds across BOTH
+    * clustered chunks; the oracle is the same plain 2-D BETWEEN over all
+    * the data.
+    */
+  private val snapZIncDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapZIncDir(s: SparkSession, d: String): String =
+    snapZIncDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapzi").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 2 === 0))
+      Snapshots.clusterZOrder(s, dir, "o_custkey", "o_orderkey", 8)
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 2 === 1))
+      Snapshots.clusterZOrderIncremental(s, dir, "o_custkey", "o_orderkey", 8)
+      dir
+    })
+
+  private def qSnapshotZorderInc(s: SparkSession, d: String): DataFrame =
+    Snapshots.readRanges(s, snapZIncDir(s, d), Seq(
+        ("o_custkey", Some(10L), Some(40L)),
+        ("o_orderkey", Some(0L), Some(999L))))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   /** MERGE INTO the clustered snapshot table: updates bump the price of
     * every 10th key in [0, 1000), inserts add 50 brand-new keys above the
     * keyspace. Touched-file discovery (envelope prune + one key-join scan)
@@ -558,7 +585,7 @@ object Relational extends QueryModule {
     */
   def prepareSnapshotFixtures(s: SparkSession, d: String): Unit = {
     snapDir(s, d); snapSkipDir(s, d); snapDelDir(s, d); snapZDir(s, d)
-    snapMergeDir(s, d); snapBloomDir(s, d); mviewDir(s, d); ()
+    snapZIncDir(s, d); snapMergeDir(s, d); snapBloomDir(s, d); mviewDir(s, d); ()
   }
 
   private def mviewDir(s: SparkSession, d: String): (String, String) =
@@ -1011,6 +1038,7 @@ object Relational extends QueryModule {
     "q_snapshot_skip" -> qSnapshotSkip,
     "q_snapshot_delete" -> qSnapshotDelete,
     "q_snapshot_zorder" -> qSnapshotZorder,
+    "q_snapshot_zorder_inc" -> qSnapshotZorderInc,
     "q_snapshot_sql" -> qSnapshotSql,
     "q_snapshot_tvf" -> qSnapshotTvf,
     "q_snapshot_merge" -> qSnapshotMerge,
@@ -1102,6 +1130,12 @@ object Relational extends QueryModule {
       """SELECT 2 AS version, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
     "q_snapshot_zorder" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_custkey BETWEEN 10 AND 40
+        |  AND o_orderkey BETWEEN 0 AND 999
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_zorder_inc" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_custkey BETWEEN 10 AND 40

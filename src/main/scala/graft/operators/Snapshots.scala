@@ -942,12 +942,64 @@ object Snapshots {
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     // expectedVersion: a concurrent append must conflict, not be dropped
-    commit(spark, dir, read(spark, dir, Some(cur))
+    val v = commit(spark, dir, read(spark, dir, Some(cur))
       .withColumn("__z", graft.functions.ZOrderFunctions.zorder64(
         col(xCol).cast("int"), col(yCol).cast("int")))
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z"), replace = true, expectedVersion = Some(cur))
+    // a full rewrite clusters everything — later incremental passes start
+    // their tail here
+    setProperties(spark, dir, Map("zorder.clustered_through" -> v.toString))
+    v
+  }
+
+  /** INCREMENTAL OPTIMIZE ZORDER — cluster only the files appended since
+    * the last clustering pass (the liquid-clustering / partial-rewrite
+    * posture): `zorder.clustered_through` in the table props records the
+    * version whose file set is already clustered; this call Z-orders ONLY
+    * the tail files that joined after it and carries every
+    * already-clustered file into the new manifest byte-identical. At
+    * 100 TB this is the difference between a maintenance pass costing
+    * O(new data) per window and one costing O(table) — the full
+    * [[clusterZOrder]] rewrite is a rare re-layout, this runs after every
+    * ingest burst. The table ends up clustered in CHUNKS (one per pass);
+    * per-file stats stay tight inside every chunk, so [[readRanges]] skips
+    * on either dimension across all of them — the read-side cost of
+    * chunked clustering is more (still-tight) files, never wrong or loose
+    * pruning. No-op (returns the current version, publishes nothing) when
+    * no unclustered tail exists. The derived rewrite passes
+    * `expectedVersion` semantics via the slot CAS: a concurrent append
+    * conflicts loudly rather than being silently dropped.
+    */
+  def clusterZOrderIncremental(spark: SparkSession, dir: String, xCol: String,
+      yCol: String, targetFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val curFiles = files(spark, dir, cur)
+    val clustered: Set[String] =
+      properties(spark, dir).get("zorder.clustered_through") match {
+        case Some(v) if versions(spark, dir).contains(v.toInt) =>
+          // files clustered then AND still alive now (a delete/merge may
+          // have rewritten some — those rewritten ones count as tail)
+          files(spark, dir, v.toInt).toSet.intersect(curFiles.toSet)
+        case _ => Set.empty
+      }
+    val tail = curFiles.filterNot(clustered)
+    if (tail.isEmpty) return cur
+    val next = cur + 1
+    val fresh = writeData(spark, dir, next,
+      spark.read.option("mergeSchema", "true")
+        .parquet(tail.map(f => s"$dir/$f"): _*)
+        .withColumn("__z", graft.functions.ZOrderFunctions.zorder64(
+          col(xCol).cast("int"), col(yCol).cast("int")))
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z"))
+    publish(spark, dir, next, clustered.toSeq.sorted, fresh)
+    setProperties(spark, dir, Map("zorder.clustered_through" -> next.toString))
+    next
   }
 
   /** Row-level DELETE of `column BETWEEN lower AND upper`, copy-on-write:

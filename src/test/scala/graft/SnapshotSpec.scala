@@ -767,6 +767,39 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.currentVersion(spark, dir).contains(11), "replay re-committed")
   }
 
+  test("incremental zorder: only the appended tail rewrites; chunks both skip; no-op idles") {
+    val dir = tmp()
+    val even = spark.range(0, 2000, 2)
+      .select($"id".as("k"), ($"id" % 97).as("c"), ($"id" * 2).as("p"))
+    val odd = spark.range(1, 2000, 2)
+      .select($"id".as("k"), ($"id" % 97).as("c"), ($"id" * 2).as("p"))
+    Snapshots.commit(spark, dir, even)
+    val vFull = Snapshots.clusterZOrder(spark, dir, "c", "k", 4)
+    assert(Snapshots.properties(spark, dir)
+      .get("zorder.clustered_through").contains(vFull.toString))
+    val clusteredFiles = Snapshots.files(spark, dir, vFull).toSet
+    Snapshots.commit(spark, dir, odd)
+    val vInc = Snapshots.clusterZOrderIncremental(spark, dir, "c", "k", 4)
+    // every pre-clustered file carried byte-identical; only the tail is new
+    val after = Snapshots.files(spark, dir, vInc).toSet
+    assert(clusteredFiles.subsetOf(after), "incremental pass rewrote clustered files")
+    assert((after -- clusteredFiles).nonEmpty, "tail was not rewritten")
+    assert(Snapshots.properties(spark, dir)
+      .get("zorder.clustered_through").contains(vInc.toString))
+    // both chunks' stats skip: a tight 2-D window prunes files yet reads exact
+    val (kept, all) = Snapshots.pruneFilesAll(spark, dir, vInc, Seq(
+      ("c", Some(0L), Some(20L)), ("k", Some(0L), Some(400L))))
+    assert(kept.size < all.size, s"no skipping across chunks ($kept of $all)")
+    val got = Snapshots.readRanges(spark, dir, Seq(
+        ("c", Some(0L), Some(20L)), ("k", Some(0L), Some(400L))))
+      .count()
+    val want = (0L until 2000L).count(i => i % 97 <= 20 && i <= 400)
+    assert(got == want, s"chunked-clustered read wrong: $got != $want")
+    // nothing new to cluster -> no-op, no version published
+    assert(Snapshots.clusterZOrderIncremental(spark, dir, "c", "k", 4) == vInc)
+    assert(Snapshots.currentVersion(spark, dir).contains(vInc))
+  }
+
   test("compact folds accreted small files into target-sized ones, history intact") {
     val dir = tmp()
     for (i <- 1 to 6)
