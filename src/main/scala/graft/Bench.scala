@@ -75,7 +75,8 @@ object Bench {
       multimodal.Multimodal.prepareAssets(spark, sfDir) // decode-query payloads
       dedup.Dedup.prepareSignatures(spark, sfDir)
       dedup.EntityResolution.linkageStoreCached(spark, sfDir) // q_er_admit store
-      analytics.Behavioral.itemNeighborsCached(spark, sfDir) // q_recs_itemcf model
+      dedup.EntityResolution.blockStatsCached(spark, sfDir) // q_er_admit_hot stats
+      analytics.Behavioral.prepareServingState(spark, sfDir) // q_recs_* tables
       text.TextAnalysis.bpeMergesCached(spark, sfDir) // tokenizer training (q_bpe_*)
       // grid catalog = ingest-time metadata (one row per file); build the
       // cached dim-sized table here like the other layouts

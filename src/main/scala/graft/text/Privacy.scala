@@ -70,17 +70,49 @@ object Privacy extends QueryModule {
     pass0.unionByName(pass1).unionByName(pass2)
   }
 
+  /** Diversity threshold: a published class whose SENSITIVE attribute
+    * takes fewer than L distinct values leaks that attribute even at k
+    * members (the homogeneity attack k-anonymity alone misses). */
+  val LDiv = 3
+
+  /** l-diversity audit (Machanavajjhala et al., ICDE 2006) over the
+    * PUBLISHED k-anonymized view: for every released equivalence class
+    * (gen_level < 2 — the withheld rows have no class to leak), the
+    * distinct count of the sensitive attribute; classes below `l` are the
+    * homogeneity-attack surface a steward must re-generalize or withhold.
+    * The sensitive value here is a deterministic text-derived label (first
+    * hex digit of the content MD5 — standing in for topic/diagnosis), so
+    * the audit is oracle-checkable end to end. Same scale shape as the
+    * k-audit: the class table is cell-sized, the sensitive join is one
+    * corpus-keyed hash join, the distinct-count folds per class.
+    */
+  def lDiversityAudit(docs: DataFrame, k: Int = K, l: Int = LDiv): DataFrame = {
+    val pub = kAnonymize(docs, k).filter(col("gen_level") < 2)
+    val sens = docs.select(col("doc_id"),
+      substring(md5(col("text")), 1, 1).as("sens"))
+    pub.join(sens, "doc_id")
+      .groupBy("gen_level", "lang", "source", "bucket_lo")
+      .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("diversity"))
+      .filter(col("diversity") < l)
+  }
+
   // ---- declared queries ----
 
   private def qKAnon(s: SparkSession, d: String): DataFrame =
     kAnonAudit(T.documents(s, d)).orderBy("lang", "source", "bucket_lo")
+
+  private def qLDiversity(s: SparkSession, d: String): DataFrame =
+    lDiversityAudit(T.documents(s, d))
+      .orderBy(col("gen_level"), col("lang"), col("source"),
+        col("bucket_lo").asc_nulls_first)
 
   private def qAnonymize(s: SparkSession, d: String): DataFrame =
     kAnonymize(T.documents(s, d)).orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anon" -> qKAnon,
-    "q_anonymize" -> qAnonymize
+    "q_anonymize" -> qAnonymize,
+    "q_l_diversity" -> qLDiversity
   )
 
   private val qiCte =
@@ -112,6 +144,29 @@ object Privacy extends QueryModule {
          |SELECT doc_id, lang, source, NULL, 1 FROM j1 WHERE n1 >= 3
          |UNION ALL
          |SELECT doc_id, lang, NULL, NULL, 2 FROM j1 WHERE n1 < 3
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "q_l_diversity" ->
+      s"""WITH $qiCte,
+         |c0 AS (SELECT lang, source, bucket_lo, count(*) AS n0
+         |       FROM l0 GROUP BY lang, source, bucket_lo),
+         |j0 AS (SELECT l0.*, c0.n0 FROM l0
+         |       JOIN c0 USING (lang, source, bucket_lo)),
+         |fail0 AS (SELECT * FROM j0 WHERE n0 < 3),
+         |c1 AS (SELECT lang, source, count(*) AS n1
+         |       FROM fail0 GROUP BY lang, source),
+         |j1 AS (SELECT fail0.*, c1.n1 FROM fail0 JOIN c1 USING (lang, source)),
+         |pub AS (
+         |  SELECT doc_id, lang, source, bucket_lo, 0 AS gen_level
+         |  FROM j0 WHERE n0 >= 3
+         |  UNION ALL
+         |  SELECT doc_id, lang, source, NULL, 1 FROM j1 WHERE n1 >= 3),
+         |sens AS (SELECT doc_id, substring(md5(text), 1, 1) AS sens
+         |         FROM documents)
+         |SELECT gen_level, lang, source, bucket_lo,
+         |  count(*) AS n, count(DISTINCT sens.sens) AS diversity
+         |FROM pub JOIN sens USING (doc_id)
+         |GROUP BY gen_level, lang, source, bucket_lo
+         |HAVING count(DISTINCT sens.sens) < 3
+         |ORDER BY gen_level, lang, source, bucket_lo NULLS FIRST""".stripMargin
   )
 }

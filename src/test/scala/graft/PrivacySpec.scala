@@ -48,4 +48,35 @@ class PrivacySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("Window"), "anonymization must not window over the corpus")
   }
+
+  test("l-diversity audit flags exactly the under-diverse published classes") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val audit = Privacy.lDiversityAudit(docs)
+      .select($"gen_level", $"lang", $"source", $"bucket_lo", $"n", $"diversity")
+      .collect()
+    // recompute per-class diversity directly from the published view
+    val sens = docs.select(col("doc_id"),
+      substring(md5(col("text")), 1, 1).as("sens"))
+    val byClass = out.filter($"gen_level" < 2).join(sens, "doc_id")
+      .collect()
+      .groupBy(r => (r.getAs[Int]("gen_level"), r.getAs[String]("lang"),
+        r.getAs[String]("source"),
+        Option(r.getAs[java.lang.Long]("bucket_lo"))))
+      .view.mapValues(rs => (rs.length.toLong, rs.map(_.getAs[String]("sens")).distinct.length.toLong))
+      .toMap
+    val failing = byClass.filter(_._2._2 < Privacy.LDiv)
+    assert(audit.length == failing.size,
+      s"audit reports ${audit.length} classes, brute-force finds ${failing.size}")
+    audit.foreach { r =>
+      val key = (r.getAs[Int]("gen_level"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), Option(r.getAs[java.lang.Long]("bucket_lo")))
+      assert(failing.get(key).contains(
+        (r.getAs[Long]("n"), r.getAs[Long]("diversity"))),
+        s"audit row $key (${r.getAs[Long]("n")}, ${r.getAs[Long]("diversity")}) " +
+          "does not match brute force")
+    }
+    // every failing class still met k (l-diversity is the SECOND gate)
+    audit.foreach(r => assert(r.getAs[Long]("n") >= Privacy.K,
+      "a published class below k slipped through the recode"))
+  }
 }
