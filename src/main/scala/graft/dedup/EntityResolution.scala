@@ -205,21 +205,37 @@ object EntityResolution extends QueryModule {
     * Unmatched records cluster among themselves exactly as
     * [[admitRecords]] (batch-sized work).
     */
-  def admitRecordsHotGated(newRecords: DataFrame, store: DataFrame,
-      stats: DataFrame): DataFrame = {
+  /** `df` + the hot-gated candidate sub-key ('' outside hot blocks). */
+  private def subKeyed(df: DataFrame, stats: DataFrame): DataFrame = {
     val hot = stats.filter(col("pop") > HotBlockPop)
       .select(col("block"), lit(true).as("is_hot"))
-    def subKeyed(df: DataFrame): DataFrame =
-      df.join(broadcast(hot), Seq("block"), "left")
-        .withColumn("sub",
-          when(col("is_hot"), expr("right(canon, 8)")).otherwise(lit("")))
-        .drop("is_hot")
-    val nb = subKeyed(withBlocks(newRecords))
-      .select(col("block"), col("sub"), col("rec_id"), col("canon"), col("bal"))
-    val st = subKeyed(store)
+    df.join(broadcast(hot), Seq("block"), "left")
+      .withColumn("sub",
+        when(col("is_hot"), expr("right(canon, 8)")).otherwise(lit("")))
+      .drop("is_hot")
+  }
+
+  /** The store with its hot-gated sub-key — the probe side of the gated
+    * admit join. */
+  def hotStore(store: DataFrame, stats: DataFrame): DataFrame =
+    subKeyed(store, stats)
       .select(col("block"), col("sub"), col("entity_id"),
         col("canon").as("s_canon"), col("bal").as("s_bal"))
-    val matched = nb.join(st, Seq("block", "sub"))
+
+  /** [[hotStore]] over the warmed linkage store IS serving state (store
+    * rows never change between batches, and neither do their sub-keys) —
+    * warmed like the store itself, so the admit pays the batch-side key
+    * derivation only. */
+  def hotStoreCached(s: SparkSession, d: String): DataFrame =
+    graft.PersistedCache(s, ("er_store_hot", d))(
+      hotStore(linkageStoreCached(s, d), blockStatsCached(s, d)))
+
+  /** `subKeyedStore` is [[hotStore]] output (pre-keyed serving state). */
+  def admitRecordsHotGated(newRecords: DataFrame, subKeyedStore: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val nb = subKeyed(withBlocks(newRecords), stats)
+      .select(col("block"), col("sub"), col("rec_id"), col("canon"), col("bal"))
+    val matched = nb.join(subKeyedStore, Seq("block", "sub"))
       .filter(levenshtein(col("canon"), col("s_canon")) <= MaxNameLev &&
         abs(col("bal") - col("s_bal")) <= MaxBalDiff)
       .groupBy("rec_id").agg(min("entity_id").as("entity_id"))
@@ -270,7 +286,7 @@ object EntityResolution extends QueryModule {
       .orderBy("rec_id")
 
   private def qErAdmitHot(s: SparkSession, d: String): DataFrame =
-    admitRecordsHotGated(batchRecords(s, d), linkageStoreCached(s, d),
+    admitRecordsHotGated(batchRecords(s, d), hotStoreCached(s, d),
       blockStatsCached(s, d))
       .orderBy("rec_id")
 

@@ -122,7 +122,8 @@ class EntityResolutionSpec extends AnyFunSuite {
     val plain = EntityResolution.admitRecords(batch, store)
       .select($"rec_id", $"entity_id", $"is_new")
       .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
-    val gated = EntityResolution.admitRecordsHotGated(batch, store, stats)
+    val gated = EntityResolution.admitRecordsHotGated(batch,
+      EntityResolution.hotStore(store, stats), stats)
       .select($"rec_id", $"entity_id", $"is_new")
       .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(gated == plain && gated == Seq((1003L, 10L, false)),
@@ -138,7 +139,8 @@ class EntityResolutionSpec extends AnyFunSuite {
     val plain = EntityResolution.admitRecords(batch, store)
       .select($"rec_id", $"entity_id", $"is_new")
       .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
-    val gated = EntityResolution.admitRecordsHotGated(batch, store, stats)
+    val gated = EntityResolution.admitRecordsHotGated(batch,
+      EntityResolution.hotStore(store, stats), stats)
       .select($"rec_id", $"entity_id", $"is_new")
       .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(gated == plain, "gating changed verdicts on suffix-preserving data")

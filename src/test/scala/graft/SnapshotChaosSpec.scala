@@ -102,4 +102,45 @@ class SnapshotChaosSpec extends AnyFunSuite {
         s"step $step: readRange [$lo,$hi] diverged")
     }
   }
+
+  test("chaos: four concurrent retrying appenders — head is the exact union, history linear") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos-cc").toFile.getAbsolutePath
+    Snapshots.commit(spark, dir, Seq((0L, 0L)).toDF("k", "v"))
+    val nThreads = 4; val perThread = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val barrier = new java.util.concurrent.CyclicBarrier(nThreads)
+    val writers = (1 to nThreads).map { t =>
+      Future {
+        barrier.await()
+        (1 to perThread).map { i =>
+          Snapshots.commitRetry(spark, dir,
+            Seq(((t * 1000 + i).toLong, t.toLong)).toDF("k", "v"))
+        }
+      }
+    }
+    val landed = Await.result(Future.sequence(writers), 300.seconds).flatten
+    pool.shutdown()
+    val total = nThreads * perThread
+    assert(landed.toSet.size == total, s"version collision among $landed")
+    assert(Snapshots.currentVersion(spark, dir).contains(1 + total))
+    val want = (Seq((0L, 0L)) ++ (for {
+      t <- 1 to nThreads; i <- 1 to perThread
+    } yield ((t * 1000 + i).toLong, t.toLong))).sorted
+    assert(readAll(dir) == want, "concurrent appenders lost or duplicated rows")
+    // history is LINEAR: every version extends its parent's file set
+    (2 to 1 + total).foreach { v =>
+      val prev = Snapshots.files(spark, dir, v - 1).toSet
+      assert(prev.subsetOf(Snapshots.files(spark, dir, v).toSet),
+        s"v$v does not extend v${v - 1}")
+    }
+    // every version still reads a coherent prefix-union (row count grows by 1)
+    (1 to 1 + total).foreach { v =>
+      assert(Snapshots.read(spark, dir, Some(v)).count() == v.toLong,
+        s"v$v row count wrong")
+    }
+  }
 }
