@@ -491,6 +491,41 @@ object Relational extends QueryModule {
       dir
     })
 
+  /** Change-data-feed fixture: append → append → MERGE (updates + inserts)
+    * → range DELETE, so the feed carries every `_change_type`. Keys are
+    * `o_orderkey`, payload `o_totalprice`; the merge bumps every 10th key
+    * by 1000 (matched keys update, unmatched insert), the delete removes
+    * keys in [100, 499].
+    */
+  private val snapCdfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapCdfDir(s: SparkSession, d: String): String =
+    snapCdfDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapcdf").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+      Snapshots.commit(s, dir, orders.filter(col("k") % 3 === 0))
+      Snapshots.commit(s, dir, orders.filter(col("k") % 3 === 1))
+      Snapshots.mergeInto(s, dir,
+        orders.filter(col("k") % 10 === 0)
+          .select(col("k"), (col("p") + 1000).as("p")), "k")
+      Snapshots.deleteRange(s, dir, "k", Some(100L), Some(499L))
+      dir
+    })
+
+  /** The row-level change feed folded per (version, change type) — what a
+    * downstream incremental consumer (mview, reverse ETL, cache invalidator)
+    * reads instead of re-scanning the table after merges and deletes. The
+    * oracle restates every change set from the base data: v2's inserts, the
+    * merge's update_pre/update_post/insert split by key existence, and the
+    * delete's removed rows from the post-merge table state.
+    */
+  private def qSnapshotCdf(s: SparkSession, d: String): DataFrame =
+    Snapshots.readChangeFeed(s, snapCdfDir(s, d), 1, 4)
+      .groupBy(col("_commit_version").as("version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), round(sum("p"), 2).as("total"))
+      .orderBy("version", "change_type")
+
   /** Incrementally-clustered twin of [[snapZDir]]: the even-key half is
     * clustered by the FULL rewrite, the odd-key half arrives afterwards
     * and is clustered by [[Snapshots.clusterZOrderIncremental]] — only the
@@ -585,7 +620,8 @@ object Relational extends QueryModule {
     */
   def prepareSnapshotFixtures(s: SparkSession, d: String): Unit = {
     snapDir(s, d); snapSkipDir(s, d); snapDelDir(s, d); snapZDir(s, d)
-    snapZIncDir(s, d); snapMergeDir(s, d); snapBloomDir(s, d); mviewDir(s, d); ()
+    snapZIncDir(s, d); snapCdfDir(s, d); snapMergeDir(s, d)
+    snapBloomDir(s, d); mviewDir(s, d); ()
   }
 
   private def mviewDir(s: SparkSession, d: String): (String, String) =
@@ -1039,6 +1075,7 @@ object Relational extends QueryModule {
     "q_snapshot_delete" -> qSnapshotDelete,
     "q_snapshot_zorder" -> qSnapshotZorder,
     "q_snapshot_zorder_inc" -> qSnapshotZorderInc,
+    "q_snapshot_cdf" -> qSnapshotCdf,
     "q_snapshot_sql" -> qSnapshotSql,
     "q_snapshot_tvf" -> qSnapshotTvf,
     "q_snapshot_merge" -> qSnapshotMerge,
@@ -1135,6 +1172,33 @@ object Relational extends QueryModule {
         |FROM orders WHERE o_custkey BETWEEN 10 AND 40
         |  AND o_orderkey BETWEEN 0 AND 999
         |ORDER BY n""".stripMargin,
+    "q_snapshot_cdf" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |v2 AS (
+        |  SELECT 2 AS version, 'insert' AS change_type, count(*) AS n,
+        |         round(sum(p), 2) AS total
+        |  FROM o WHERE k % 3 = 1 HAVING count(*) > 0),
+        |m_pre AS (
+        |  SELECT 3, 'update_pre', count(*), round(sum(p), 2)
+        |  FROM o WHERE k % 10 = 0 AND k % 3 IN (0, 1) HAVING count(*) > 0),
+        |m_post AS (
+        |  SELECT 3, 'update_post', count(*), round(sum(p + 1000), 2)
+        |  FROM o WHERE k % 10 = 0 AND k % 3 IN (0, 1) HAVING count(*) > 0),
+        |m_ins AS (
+        |  SELECT 3, 'insert', count(*), round(sum(p + 1000), 2)
+        |  FROM o WHERE k % 10 = 0 AND k % 3 = 2 HAVING count(*) > 0),
+        |state3 AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN p + 1000 ELSE p END AS p
+        |  FROM o WHERE k % 3 IN (0, 1) OR k % 10 = 0),
+        |v4 AS (
+        |  SELECT 4, 'delete', count(*), round(sum(p), 2)
+        |  FROM state3 WHERE k BETWEEN 100 AND 499 HAVING count(*) > 0)
+        |SELECT * FROM v2
+        |UNION ALL SELECT * FROM m_pre
+        |UNION ALL SELECT * FROM m_post
+        |UNION ALL SELECT * FROM m_ins
+        |UNION ALL SELECT * FROM v4
+        |ORDER BY version, change_type""".stripMargin,
     "q_snapshot_zorder_inc" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

@@ -343,7 +343,8 @@ object Snapshots {
     */
   private def publish(spark: SparkSession, dir: String, next: Int,
       carried: Seq[String], fresh: Seq[String],
-      meta: Map[String, String] = Map.empty): Unit = {
+      meta: Map[String, String] = Map.empty,
+      cdc: Option[String] = None): Unit = {
     val (fs, _) = hfs(spark, dir)
     val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
     fs.mkdirs(md)
@@ -398,10 +399,74 @@ object Snapshots {
           .mkString("", "\n", "\n").getBytes("UTF-8"), contended = false)
         Some(name)
       }
-    val headers = Seq(s"#stats=$statsName") ++ metaName.map(n => s"#meta=$n")
+    val headers = Seq(s"#stats=$statsName") ++ metaName.map(n => s"#meta=$n") ++
+      cdc.map(rel => s"#cdc=$rel")
     val body = (headers ++ carried ++ fresh).mkString("", "\n", "\n")
       .getBytes("UTF-8")
     writeAtomic(s"v$next.list", body, contended = true)
+  }
+
+  /** Table-relative change-feed directory recorded for `version`, if the
+    * commit produced one (merge/delete do; plain appends derive their feed
+    * from the manifest diff instead). */
+  private def cdcRel(spark: SparkSession, dir: String,
+      version: Int): Option[String] =
+    listLines(spark, dir, version)
+      .collectFirst { case l if l.startsWith("#cdc=") => l.substring(5) }
+
+  /** Row-level CHANGE DATA FEED over `(fromVersion, toVersion]` (the public
+    * Delta CDF contract): every row change with `_change_type` ∈
+    * {insert, update_pre, update_post, delete} and `_commit_version`.
+    * Plain appends cost NOTHING at commit time — their feed is derived
+    * from the manifest diff (fresh files = inserts); merge/delete commits
+    * recorded their touched rows in a `_changes/` sidecar referenced from
+    * the manifest header (written BEFORE the commit-point rename, so a
+    * version never appears without its feed). A replace commit records no
+    * feed — reading across one fails loudly, same as [[readChanges]]:
+    * resync from a snapshot. At 100 TB the feed read is O(changed rows):
+    * appended files + recorded change files, never a table scan.
+    */
+  def readChangeFeed(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion < toVersion,
+      s"$dir: fromVersion $fromVersion must precede toVersion $toVersion")
+    val vs = versions(spark, dir).filter(v => v > fromVersion && v <= toVersion)
+    require(vs.nonEmpty, s"$dir: no versions in ($fromVersion, $toVersion]")
+    val parts = vs.map { v =>
+      cdcRel(spark, dir, v) match {
+        case Some(rel) =>
+          spark.read.option("mergeSchema", "true").parquet(s"$dir/$rel")
+            .withColumn("_commit_version", lit(v))
+        case None =>
+          val prev: Set[String] =
+            if (v == 1) Set.empty else files(spark, dir, v - 1).toSet
+          val cur = files(spark, dir, v)
+          require(prev.subsetOf(cur.toSet),
+            s"$dir: v$v is a replace commit with no recorded change feed — " +
+              "incremental read is undefined, resync from a snapshot")
+          val fresh = cur.filterNot(prev)
+          if (fresh.isEmpty)
+            read(spark, dir, Some(v)).limit(0)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v))
+          else spark.read.option("mergeSchema", "true")
+            .parquet(fresh.map(f => s"$dir/$f"): _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+      }
+    }
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Write a commit's recorded change rows under a per-writer-unique
+    * `_changes/` dir; returns the table-relative path for the manifest
+    * header. `df` must already carry `_change_type`. */
+  private def writeCdc(spark: SparkSession, dir: String, next: Int,
+      df: DataFrame): String = {
+    val rel = s"_changes/c$next-${java.util.UUID.randomUUID.toString.take(8)}"
+    df.write.mode("overwrite").parquet(s"$dir/$rel")
+    rel
   }
 
   /** Wall-clock publish time of one version (the manifest's modification
@@ -491,11 +556,15 @@ object Snapshots {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$f"), false)
     }
     drop.foreach { v =>
-      // resolve sidecar names BEFORE deleting the list that references them
+      // resolve sidecar/change-dir names BEFORE deleting the list that
+      // references them
       val sidecars = Seq("stats", "meta").flatMap(sidecarName(spark, dir, v, _))
+      val changes = cdcRel(spark, dir, v)
       fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.list"), false)
       sidecars.foreach(n =>
         fs.delete(new org.apache.hadoop.fs.Path(manifestDir(dir), n), false))
+      changes.foreach(rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
     }
     orphans.length
   }
@@ -625,6 +694,20 @@ object Snapshots {
       if (st.isFile && st.getModificationTime < cutoff) {
         val rel = relPath(dir, st.getPath.toUri.getPath)
         if (!referenced.contains(rel)) orphans += st.getPath
+      }
+    }
+    // change-feed debris: `_changes/` dirs of crashed or losing writers
+    // that no live manifest references
+    val changesRoot = new org.apache.hadoop.fs.Path(s"$dir/_changes")
+    if (fs.exists(changesRoot)) {
+      val liveCdc = versions(spark, dir)
+        .flatMap(cdcRel(spark, dir, _)).map(_.stripPrefix("_changes/")).toSet
+      fs.listStatus(changesRoot).foreach { st =>
+        if (st.isDirectory && st.getModificationTime < cutoff &&
+            !liveCdc.contains(st.getPath.getName)) {
+          fs.delete(st.getPath, true)
+          orphans += st.getPath
+        }
       }
     }
     // sidecar debris: a same-slot loser (or crashed writer) leaves behind a
@@ -1056,14 +1139,35 @@ object Snapshots {
         }
       val untouched = all.filterNot(touched.toSet)
       val next = cur + 1
-      val survivors =
-        if (touched.isEmpty) up.toDF()
-        else spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(f => s"$dir/$f"): _*)
-          .join(up.select(col(key)), Seq(key), "left_anti")
+      val touchedRows =
+        if (touched.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(f => s"$dir/$f"): _*))
+      val survivors = touchedRows match {
+        case None => up.toDF()
+        case Some(tr) => tr.join(up.select(col(key)), Seq(key), "left_anti")
           .unionByName(up, allowMissingColumns = true)
+      }
+      // change feed: replaced rows (update_pre), their replacements
+      // (update_post), and updates matching nothing (insert)
+      val replaced = touchedRows.map(
+        _.join(up.select(col(key)), Seq(key), "left_semi"))
+      val matchedKeys = replaced.map(_.select(col(key)).distinct())
+      val cdcDf = {
+        val pre = replaced.map(_.withColumn("_change_type", lit("update_pre")))
+        val post = matchedKeys.map(mk =>
+          up.join(mk, Seq(key), "left_semi")
+            .withColumn("_change_type", lit("update_post")))
+        val ins = matchedKeys
+          .map(mk => up.join(mk, Seq(key), "left_anti"))
+          .getOrElse(up.toDF())
+          .withColumn("_change_type", lit("insert"))
+        (pre.toSeq ++ post.toSeq :+ ins)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+      val cdc = writeCdc(spark, dir, next, cdcDf)
       val fresh = writeData(spark, dir, next, survivors)
-      publish(spark, dir, next, untouched, fresh, meta)
+      publish(spark, dir, next, untouched, fresh, meta, Some(cdc))
       next
     } finally { up.unpersist(); () }
   }
@@ -1086,11 +1190,13 @@ object Snapshots {
     val keep = (Seq(col(column).isNull) ++
       lower.map(col(column) < lit(_)) ++ upper.map(col(column) > lit(_)))
       .reduce(_ || _)
-    val fresh = writeData(spark, dir, next,
-      spark.read.option("mergeSchema", "true")
-        .parquet(affected.map(f => s"$dir/$f"): _*)
-        .filter(keep))
-    publish(spark, dir, next, untouched, fresh)
+    val affectedRows = spark.read.option("mergeSchema", "true")
+      .parquet(affected.map(f => s"$dir/$f"): _*)
+    // change feed: exactly the rows the predicate removes
+    val cdc = writeCdc(spark, dir, next,
+      affectedRows.filter(!keep).withColumn("_change_type", lit("delete")))
+    val fresh = writeData(spark, dir, next, affectedRows.filter(keep))
+    publish(spark, dir, next, untouched, fresh, cdc = Some(cdc))
     next
   }
 }

@@ -800,6 +800,60 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.currentVersion(spark, dir).contains(vInc))
   }
 
+  test("change feed: row-exact across append, merge and delete; replace refuses") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((4L, "d")).toDF("k", "v"))
+    Snapshots.mergeInto(spark, dir,
+      Seq((2L, "B"), (9L, "i")).toDF("k", "v"), "k")
+    Snapshots.deleteRange(spark, dir, "k", Some(3L), Some(4L))
+    val feed = Snapshots.readChangeFeed(spark, dir, 1, 4)
+      .select($"_commit_version", $"_change_type", $"k", $"v")
+      .as[(Int, String, Long, String)].collect().toSet
+    val want = Set(
+      (2, "insert", 4L, "d"),
+      (3, "update_pre", 2L, "b"), (3, "update_post", 2L, "B"),
+      (3, "insert", 9L, "i"),
+      (4, "delete", 3L, "c"), (4, "delete", 4L, "d"))
+    assert(feed == want, s"feed diverged: got ${feed -- want}, missing ${want -- feed}")
+    // the feed REPLAYS to the head state: start from v1, apply the changes
+    val v1 = Snapshots.read(spark, dir, Some(1)).as[(Long, String)].collect().toSet
+    val replayed = feed.toSeq.sortBy(_._1).foldLeft(v1) {
+      case (st, (_, "insert", k, v)) => st + ((k, v))
+      case (st, (_, "update_pre", k, v)) => st - ((k, v))
+      case (st, (_, "update_post", k, v)) => st + ((k, v))
+      case (st, (_, "delete", k, v)) => st - ((k, v))
+      case (st, _) => st
+    }
+    val head = Snapshots.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(replayed == head, s"feed replay != head: $replayed vs $head")
+    // a replace commit records no feed: reading across it fails loudly
+    Snapshots.commit(spark, dir, Seq((8L, "z")).toDF("k", "v"), replace = true)
+    val ex = intercept[IllegalArgumentException](
+      Snapshots.readChangeFeed(spark, dir, 4, 5).collect())
+    assert(ex.getMessage.contains("replace"), ex.getMessage)
+  }
+
+  test("change feed dirs follow retention: expire drops them, vacuum sweeps orphans") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Snapshots.mergeInto(spark, dir, Seq((1L, "A")).toDF("k", "v"), "k")
+    Snapshots.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    assert(new java.io.File(s"$dir/_changes").listFiles().count(_.isDirectory) == 1)
+    Snapshots.expire(spark, dir, keepFrom = 3)
+    assert(new java.io.File(s"$dir/_changes").listFiles() == null ||
+      new java.io.File(s"$dir/_changes").listFiles().isEmpty,
+      "expired version's change dir survived")
+    // orphan (crashed-writer) change dir is swept past grace, kept in grace
+    new java.io.File(s"$dir/_changes/c9-deadbeef").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_changes", "c9-deadbeef", "part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    Thread.sleep(10)
+    assert(Snapshots.vacuumOrphans(spark, dir, graceMillis = 0) >= 1)
+    assert(!new java.io.File(s"$dir/_changes/c9-deadbeef").exists())
+  }
+
   test("compact folds accreted small files into target-sized ones, history intact") {
     val dir = tmp()
     for (i <- 1 to 6)
