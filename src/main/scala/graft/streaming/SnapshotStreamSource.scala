@@ -139,7 +139,11 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
       require(Snapshots.currentVersion(spark, dir).nonEmpty,
         s"$dir: empty snapshot table — pass .schema(...) to start a stream " +
           "before the first commit")
-      Snapshots.read(spark, dir).schema
+      val base = Snapshots.read(spark, dir).schema
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        base.add("_change_type", org.apache.spark.sql.types.StringType)
+          .add("_commit_version", org.apache.spark.sql.types.IntegerType)
+      else base
     }
     (shortName(), st)
   }
@@ -160,8 +164,9 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
       "src-" + digest.take(6).map(b => f"$b%02x").mkString
     })
     val st = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
     new SnapshotSource(sqlContext, dir, starting, st, maxPerTrigger,
-      Some(readerId))
+      Some(readerId), cdf)
   }
 }
 
@@ -360,7 +365,8 @@ object SnapshotRelation {
 private[streaming] class SnapshotSource(sqlContext: SQLContext, dir: String,
     startingVersion: Int, override val schema: StructType,
     maxVersionsPerTrigger: Option[Int] = None,
-    readerId: Option[String] = None) extends Source {
+    readerId: Option[String] = None,
+    changeFeed: Boolean = false) extends Source {
 
   private def spark = sqlContext.sparkSession
 
@@ -418,7 +424,18 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext, dir: String,
     readerId.foreach(id =>
       Snapshots.pinReader(spark, dir, id, if (from == 0) to else from))
     val batch =
-      if (from == 0) Snapshots.read(spark, dir, Some(to))
+      if (changeFeed) {
+        // CDF mode: the tail delivers row-level changes — merges and
+        // deletes arrive as update/delete rows instead of failing the
+        // stream (only a replace still refuses, loudly). The initial
+        // batch states the starting snapshot as inserts at its version.
+        if (from == 0)
+          Snapshots.read(spark, dir, Some(to))
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+            .withColumn("_commit_version", org.apache.spark.sql.functions.lit(to))
+        else Snapshots.readChangeFeed(spark, dir, from, to)
+      }
+      else if (from == 0) Snapshots.read(spark, dir, Some(to))
       else Snapshots.readChanges(spark, dir, from, to)
     StreamBridge.asStreaming(batch)
   }

@@ -892,6 +892,37 @@ class StreamingSpec extends AnyFunSuite {
       s"tail across an expire duplicated or lost rows: $got")
   }
 
+  test("snapshots CDF tail survives merge and delete, delivering row-level changes") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapcdf-src").toString
+    Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val rows = new java.util.concurrent.CopyOnWriteArrayList[(Int, String, Long, String)]()
+    val q = spark.readStream.format("snapshots").option("path", dir)
+      .option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => rows.add((
+          r.getAs[Int]("_commit_version"), r.getAs[String]("_change_type"),
+          r.getAs[Long]("k"), r.getAs[String]("v"))))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    // a MERGE and a DELETE land while the tail runs — the plain tail would
+    // fail on either; the CDF tail delivers them as row changes
+    Snapshots.mergeInto(spark, dir, Seq((1L, "A"), (3L, "c")).toDF("k", "v"), "k")
+    Snapshots.deleteRange(spark, dir, "k", Some(2L), Some(2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Int, String, Long, String)]).toSet
+    val want = Set(
+      (1, "insert", 1L, "a"), (1, "insert", 2L, "b"),
+      (2, "update_pre", 1L, "a"), (2, "update_post", 1L, "A"),
+      (2, "insert", 3L, "c"),
+      (3, "delete", 2L, "b"))
+    assert(got == want, s"CDF tail diverged: extra ${got -- want}, missing ${want -- got}")
+  }
+
   test("snapshots source maxVersionsPerTrigger paces the tail one version per batch") {
     import graft.operators.Snapshots
     val dir = java.nio.file.Files.createTempDirectory("graft-snapsrc4").toString
