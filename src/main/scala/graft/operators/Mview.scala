@@ -108,6 +108,59 @@ object Mview {
     }
   }
 
+  /** Fold the row-level CHANGE FEED `(applied, head]` into the view — the
+    * merge/delete-surviving refresh ([[refresh]] refuses on both): every
+    * change row carries a signed weight (insert/update_post +1,
+    * update_pre/delete −1), so counts, sums, and non-null counts stay
+    * exactly maintained through upserts and deletes, and a group whose
+    * count reaches zero leaves the view (the base GROUP BY would not emit
+    * it). Extrema are NOT delta-subtractable — a deleted minimum needs a
+    * per-group recompute — so this path maintains the additive family
+    * only; views needing min/max under deletes use [[rebuild]]. Replace
+    * commits still refuse loudly (the feed's contract). Refresh cost is
+    * O(changed rows) + O(view), never O(source) — exactly the property
+    * that lets a 100 TB fact table keep live upsert-fed aggregates.
+    */
+  def refreshViaFeed(spark: SparkSession, srcDir: String, viewDir: String,
+      keys: Seq[String], sumCols: Seq[String]): Int = {
+    val head = Snapshots.currentVersion(spark, srcDir).getOrElse(
+      throw new IllegalArgumentException(s"$srcDir: no published snapshots"))
+    appliedSrcVersion(spark, viewDir) match {
+      case Some(applied) if applied == head =>
+        Snapshots.currentVersion(spark, viewDir).get
+      case Some(applied) =>
+        require(applied < head,
+          s"$srcDir went backwards (v$head < applied v$applied) — expired? rebuild")
+        val feed = Snapshots.readChangeFeed(spark, srcDir, applied, head)
+        val w = when(col("_change_type").isin("insert", "update_post"), 1L)
+          .otherwise(lit(-1L))
+        val aggExprs = sum(w).as("cnt") +: sumCols.flatMap(c => Seq(
+          sum(col(c) * w).as(s"sum_$c"),
+          sum(when(col(c).isNotNull, w).otherwise(lit(0L))).as(s"cntv_$c")))
+        val delta = feed.groupBy(keys.map(col): _*)
+          .agg(aggExprs.head, aggExprs.tail: _*)
+        val old = Snapshots.read(spark, viewDir)
+        val addCols = "cnt" +: sumCols.flatMap(c => Seq(s"sum_$c", s"cntv_$c"))
+        val merged = old.select(old.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
+          .join(delta.select(delta.columns.map(c => col(c).as(s"r_$c")).toSeq: _*),
+            keys.map(k => col(s"l_$k") <=> col(s"r_$k")).reduce(_ && _), "full_outer")
+          .select(
+            keys.map(k => coalesce(col(s"l_$k"), col(s"r_$k")).as(k)) ++
+              addCols.map(c =>
+                (coalesce(col(s"l_$c"), lit(0)) + coalesce(col(s"r_$c"), lit(0)))
+                  .cast(old.schema(c).dataType).as(c)): _*)
+          .filter(col("cnt") > 0) // a fully-deleted group leaves the view
+        Snapshots.commit(spark, viewDir, merged, replace = true,
+          expectedVersion = Snapshots.currentVersion(spark, viewDir),
+          meta = Map(SrcKey -> head.toString))
+      case None =>
+        Snapshots.commit(spark, viewDir,
+          aggregated(Snapshots.read(spark, srcDir, Some(head)),
+            keys, sumCols, Seq.empty),
+          meta = Map(SrcKey -> head.toString))
+    }
+  }
+
   /** Full recompute at the source head — the resync after a source
     * replace/merge/delete rewrote history and [[refresh]] refused.
     */

@@ -512,6 +512,30 @@ object Relational extends QueryModule {
       dir
     })
 
+  /** CDF-maintained mview fixture: the view refreshes INCREMENTALLY across
+    * an append, a merge, and a delete (Mview.refreshViaFeed — the plain
+    * refresh refuses on both rewrites), with a refresh interleaved after
+    * each phase so every feed shape folds through the signed-weight path.
+    */
+  private val mviewCdfDirs = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def mviewCdfDir(s: SparkSession, d: String): (String, String) =
+    mviewCdfDirs.computeIfAbsent(d, _ => {
+      val src = java.nio.file.Files.createTempDirectory("graft-mvcdf-src").toFile.getAbsolutePath
+      val view = java.nio.file.Files.createTempDirectory("graft-mvcdf-v").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select((col("o_orderkey") % 7).as("g"),
+        col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      Snapshots.commit(s, src, orders.filter(col("k") % 3 === 0))
+      Mview.refreshViaFeed(s, src, view, Seq("g"), Seq("p")) // initial build
+      Snapshots.commit(s, src, orders.filter(col("k") % 3 === 1))
+      Snapshots.mergeInto(s, src,
+        orders.filter(col("k") % 10 === 0)
+          .select(col("g"), col("k"), (col("p") + 1000).as("p")), "k")
+      Mview.refreshViaFeed(s, src, view, Seq("g"), Seq("p")) // append + merge
+      Snapshots.deleteRange(s, src, "k", Some(100L), Some(499L))
+      Mview.refreshViaFeed(s, src, view, Seq("g"), Seq("p")) // delete fold
+      src -> view
+    })
+
   /** The row-level change feed folded per (version, change type) — what a
     * downstream incremental consumer (mview, reverse ETL, cache invalidator)
     * reads instead of re-scanning the table after merges and deletes. The
@@ -525,6 +549,17 @@ object Relational extends QueryModule {
         col("_change_type").as("change_type"))
       .agg(count(lit(1)).as("n"), round(sum("p"), 2).as("total"))
       .orderBy("version", "change_type")
+
+  /** The CDF-maintained view itself: exact counts and sums after an
+    * append, an upsert-merge, and a range delete all folded incrementally
+    * (the oracle aggregates the final state directly — any drift in the
+    * signed-weight math would hash-mismatch).
+    */
+  private def qMviewCdf(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, mviewCdfDir(s, d)._2)
+      .select(col("g"), col("cnt"), round(col("sum_p"), 2).as("total"),
+        col("cntv_p").as("n_priced"))
+      .orderBy("g")
 
   /** Incrementally-clustered twin of [[snapZDir]]: the even-key half is
     * clustered by the FULL rewrite, the odd-key half arrives afterwards
@@ -621,7 +656,7 @@ object Relational extends QueryModule {
   def prepareSnapshotFixtures(s: SparkSession, d: String): Unit = {
     snapDir(s, d); snapSkipDir(s, d); snapDelDir(s, d); snapZDir(s, d)
     snapZIncDir(s, d); snapCdfDir(s, d); snapMergeDir(s, d)
-    snapBloomDir(s, d); mviewDir(s, d); ()
+    snapBloomDir(s, d); mviewDir(s, d); mviewCdfDir(s, d); ()
   }
 
   private def mviewDir(s: SparkSession, d: String): (String, String) =
@@ -1076,6 +1111,7 @@ object Relational extends QueryModule {
     "q_snapshot_zorder" -> qSnapshotZorder,
     "q_snapshot_zorder_inc" -> qSnapshotZorderInc,
     "q_snapshot_cdf" -> qSnapshotCdf,
+    "q_mview_cdf" -> qMviewCdf,
     "q_snapshot_sql" -> qSnapshotSql,
     "q_snapshot_tvf" -> qSnapshotTvf,
     "q_snapshot_merge" -> qSnapshotMerge,
@@ -1172,6 +1208,17 @@ object Relational extends QueryModule {
         |FROM orders WHERE o_custkey BETWEEN 10 AND 40
         |  AND o_orderkey BETWEEN 0 AND 999
         |ORDER BY n""".stripMargin,
+    "q_mview_cdf" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |state AS (
+        |  SELECT k % 7 AS g, k,
+        |    CASE WHEN k % 10 = 0 THEN p + 1000 ELSE p END AS p
+        |  FROM o
+        |  WHERE (k % 3 IN (0, 1) OR k % 10 = 0)
+        |    AND NOT (k BETWEEN 100 AND 499))
+        |SELECT g, count(*) AS cnt, round(sum(p), 2) AS total,
+        |  count(p) AS n_priced
+        |FROM state GROUP BY g ORDER BY g""".stripMargin,
     "q_snapshot_cdf" ->
       """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
         |v2 AS (

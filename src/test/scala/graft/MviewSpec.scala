@@ -39,6 +39,42 @@ class MviewSpec extends AnyFunSuite {
     }
   }
 
+  test("feed-based refresh survives merge and delete, equals the full aggregate") {
+    val src = tmp("graft-mvf-src"); val view = tmp("graft-mvf-v")
+    def full: Map[Long, (Long, Long, Long)] =
+      Snapshots.read(spark, src).groupBy("g")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"),
+          count(col("x")).as("cntv_x"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def mv: Map[Long, (Long, Long, Long)] =
+      Snapshots.read(spark, view).select("g", "cnt", "sum_x", "cntv_x")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    Snapshots.commit(spark, src, Seq((1L, 1L, 10L), (1L, 2L, 20L),
+      (2L, 3L, 30L), (3L, 4L, 40L)).toDF("g", "k", "x"))
+    Mview.refreshViaFeed(spark, src, view, Seq("g"), Seq("x"))
+    assert(mv == full, "initial build diverged")
+    // append, then an upsert-merge that updates and inserts
+    Snapshots.commit(spark, src, Seq((2L, 5L, 50L)).toDF("g", "k", "x"))
+    Snapshots.mergeInto(spark, src,
+      Seq((1L, 2L, 99L), (2L, 6L, 60L)).toDF("g", "k", "x"), "k")
+    Mview.refreshViaFeed(spark, src, view, Seq("g"), Seq("x"))
+    assert(mv == full, "merge fold diverged")
+    // delete an ENTIRE group (g=3 has only k=4): the group must leave
+    Snapshots.deleteRange(spark, src, "k", Some(4L), Some(4L))
+    Mview.refreshViaFeed(spark, src, view, Seq("g"), Seq("x"))
+    assert(mv == full, "delete fold diverged")
+    assert(!mv.contains(3L), "fully-deleted group still in the view")
+    // the PLAIN refresh would have refused across these rewrites
+    val src2 = tmp("graft-mvf-src2"); val view2 = tmp("graft-mvf-v2")
+    Snapshots.commit(spark, src2, Seq((1L, 1L, 10L)).toDF("g", "k", "x"))
+    Mview.refresh(spark, src2, view2, Seq("g"), Seq("x"))
+    Snapshots.deleteRange(spark, src2, "k", Some(1L), Some(1L))
+    intercept[IllegalArgumentException](
+      Mview.refresh(spark, src2, view2, Seq("g"), Seq("x")))
+  }
+
   test("refresh with an unmoved source is a no-op version") {
     val src = tmp("mv-src2"); val view = tmp("mv-view2")
     Snapshots.commit(spark, src, Seq(("a", 1L)).toDF("g", "x"))
