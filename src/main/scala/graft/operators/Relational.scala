@@ -855,7 +855,7 @@ object Relational extends QueryModule {
     */
   private def qSampleHash(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
-      .filter((col("doc_id") * 1103515245L + 12345L) % 100 < 10)
+      .filter(((col("doc_id") % 1000003L) * 1103515245L + 12345L) % 100 < 10)
       .select("doc_id", "source", "lang")
       .orderBy("doc_id")
 
@@ -867,7 +867,7 @@ object Relational extends QueryModule {
     */
   private def qSampleStratified(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-      .orderBy((col("doc_id") * 48271L % 2147483647L).asc, col("doc_id").asc)
+      .orderBy(((col("doc_id") % 2147483647L) * 48271L % 2147483647L).asc, col("doc_id").asc)
     T.documents(s, d)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 20)
@@ -919,7 +919,7 @@ object Relational extends QueryModule {
     */
   private def qSplitAssign(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
-      .withColumn("h", (col("doc_id") * 1103515245L + 12345L) % 1000000L)
+      .withColumn("h", ((col("doc_id") % 1000003L) * 1103515245L + 12345L) % 1000000L)
       .withColumn("split",
         when(col("h") < 900000L, "train")
           .when(col("h") < 950000L, "valid").otherwise("test"))
@@ -955,7 +955,7 @@ object Relational extends QueryModule {
       // IEEE-identical product on both engines); round() only shapes the
       // reported keep_rate — a rounding-mode divergence there would change
       // a printed digit, never which rows are sampled
-      .filter((col("doc_id") * 1103515245L + 12345L) % 1000000L <
+      .filter(((col("doc_id") % 1000003L) * 1103515245L + 12345L) % 1000000L <
         floor(least(lit(1.0), sqrt(lit(minN.toDouble) / col("n_g"))) * 1000000L))
       .withColumn("keep_rate",
         least(lit(1.0), round(sqrt(lit(minN.toDouble) / col("n_g")), 6)))
@@ -1291,7 +1291,7 @@ object Relational extends QueryModule {
         |ORDER BY o_orderkey""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, source, lang FROM documents
-        |WHERE (doc_id * 1103515245 + 12345) % 100 < 10
+        |WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
     "q_sample_weighted" ->
       """WITH k AS (
@@ -1310,19 +1310,19 @@ object Relational extends QueryModule {
         |    least(1.0, round(sqrt(m.n_min / CAST(c.n_g AS DOUBLE)), 6)) AS keep_rate
         |  FROM documents d, c, m WHERE d.lang = c.lang)
         |SELECT doc_id, lang, keep_rate FROM r
-        |WHERE (doc_id * 1103515245 + 12345) % 1000000 < floor(rate_raw * 1000000)
+        |WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000000 < floor(rate_raw * 1000000)
         |ORDER BY doc_id""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id, lang,
-        |  CASE WHEN (doc_id * 1103515245 + 12345) % 1000000 < 900000 THEN 'train'
-        |       WHEN (doc_id * 1103515245 + 12345) % 1000000 < 950000 THEN 'valid'
+        |  CASE WHEN ((doc_id % 1000003) * 1103515245 + 12345) % 1000000 < 900000 THEN 'train'
+        |       WHEN ((doc_id % 1000003) * 1103515245 + 12345) % 1000000 < 950000 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY doc_id * 48271 % 2147483647, doc_id) AS rn
+        |      ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
     "q_join_bucketed" ->

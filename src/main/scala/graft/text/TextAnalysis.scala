@@ -672,7 +672,7 @@ object TextAnalysis extends QueryModule {
       .groupBy("doc_id", "source", "n_tokens")
       .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("frac"))
       .filter(col("frac") < 0.05)
-      .filter((col("doc_id") * 1103515245L + 12345L) % 1000000L < 900000L)
+      .filter(((col("doc_id") % 1000003L) * 1103515245L + 12345L) % 1000000L < 900000L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
     train
@@ -773,7 +773,7 @@ object TextAnalysis extends QueryModule {
       .groupBy("doc_id", "source", "n_tokens")
       .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("frac"))
       .filter(col("frac") < 0.05)
-      .filter((col("doc_id") * 1103515245L + 12345L) % 1000000L < 900000L)
+      .filter(((col("doc_id") % 1000003L) * 1103515245L + 12345L) % 1000000L < 900000L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
     train
@@ -1361,7 +1361,7 @@ object TextAnalysis extends QueryModule {
         |  SELECT d.doc_id, d.source, d.n_tokens FROM dedup d
         |  JOIN contam c USING (doc_id)
         |  WHERE c.frac < 0.05
-        |    AND (d.doc_id * 1103515245 + 12345) % 1000000 < 900000),
+        |    AND ((d.doc_id % 1000003) * 1103515245 + 12345) % 1000000 < 900000),
         |packed AS (
         |  SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -1428,7 +1428,7 @@ object TextAnalysis extends QueryModule {
         |  SELECT d.doc_id, d.source, d.n_tokens FROM dedup d
         |  JOIN contam c USING (doc_id)
         |  WHERE c.frac < 0.05
-        |    AND (d.doc_id * 1103515245 + 12345) % 1000000 < 900000),
+        |    AND ((d.doc_id % 1000003) * 1103515245 + 12345) % 1000000 < 900000),
         |packed AS (
         |  SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -1525,7 +1525,7 @@ object TextAnalysis extends QueryModule {
         |  SELECT d.doc_id, d.source, d.n_tokens FROM kept d
         |  JOIN contam c USING (doc_id)
         |  WHERE c.frac < 0.05
-        |    AND (d.doc_id * 1103515245 + 12345) % 1000000 < 900000),
+        |    AND ((d.doc_id % 1000003) * 1103515245 + 12345) % 1000000 < 900000),
         |packed AS (
         |  SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
