@@ -25,7 +25,9 @@ import graft.functions.{ApproxTopK, CmsEstimate, CosineSimilarity, DotProduct, G
   *   - SQL table functions: `FROM grid_scan('<dir>')` — the DSv2
   *     NetCDF/HDF5/GRF scan with its full pushdown surface — and
   *     `FROM snapshot_scan('<dir>'[, version])` — manifest-versioned
-  *     snapshot reads with SQL-native time travel — and
+  *     snapshot reads with SQL-native time travel —
+  *     `FROM snapshot_changes('<dir>', from, to)` — the row-level change
+  *     feed (inserts/updates/deletes across merges) as a relation — and
   *     `FROM bm25_search('<indexDir>'[, k])` / `FROM phrase_search(
   *     '<indexDir>'[, limit])` — retrieval from a persistent
   *     [[graft.text.TextIndex]] directory.
@@ -212,6 +214,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Snapshots.read(spark,
           litString(args.head, "snapshot_scan path"),
           args.lift(1).map(litInt(_, "snapshot_scan version")))
+          .queryExecution.logical
+      }))
+    // `FROM snapshot_changes('<dir>', from, to)` — the row-level change
+    // feed as a relation: SQL users consume inserts/updates/deletes across
+    // merges without the API (the CDC half of snapshot_scan's time travel)
+    ext.injectTableFunction((FunctionIdentifier("snapshot_changes"),
+      info("snapshot_changes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "snapshot_changes('<dir>', from, to)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Snapshots.readChangeFeed(spark,
+          litString(args.head, "snapshot_changes path"),
+          litInt(args(1), "snapshot_changes from"),
+          litInt(args(2), "snapshot_changes to"))
           .queryExecution.logical
       }))
     // `FROM bm25_search('<indexDir>'[, k])` / `FROM phrase_search('<indexDir>'

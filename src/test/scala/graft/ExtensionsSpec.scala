@@ -238,6 +238,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(latest == 6 && pinned == 3)
   }
 
+  test("SQL snapshot_changes TVF serves the row-level change feed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-cdf").toString
+    import TestSpark.spark.implicits._
+    operators.Snapshots.commit(ext, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    operators.Snapshots.commit(ext, dir, Seq((3L, "c")).toDF("k", "v"))
+    operators.Snapshots.mergeInto(ext, dir, Seq((1L, "A")).toDF("k", "v"), "k")
+    val got = ext.sql(
+      s"""SELECT _commit_version, _change_type, k, v
+         |FROM snapshot_changes('$dir', 1, 3)
+         |ORDER BY _commit_version, _change_type, k""".stripMargin)
+      .as[(Int, String, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (2, "insert", 3L, "c"),
+      (3, "update_post", 1L, "A"),
+      (3, "update_pre", 1L, "a")), s"TVF feed diverged: $got")
+  }
+
   test("SQL bm25_search / phrase_search TVFs serve the text index") {
     val dir = graft.text.TextIndex.prepareIndex(ext, TestSpark.sf)
     assert(ext.sql(s"SELECT * FROM bm25_search('$dir')").collect().toSeq ==
