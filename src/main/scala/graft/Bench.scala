@@ -76,6 +76,7 @@ object Bench {
       dedup.Dedup.prepareSignatures(spark, sfDir)
       dedup.EntityResolution.linkageStoreCached(spark, sfDir) // q_er_admit store
       dedup.EntityResolution.blockStatsCached(spark, sfDir) // q_er_admit_hot stats
+      dedup.EntityResolution.hotStoreCached(spark, sfDir) // q_er_admit_hot probe side
       analytics.Behavioral.prepareServingState(spark, sfDir) // q_recs_* tables
       text.TextAnalysis.bpeMergesCached(spark, sfDir) // tokenizer training (q_bpe_*)
       // grid catalog = ingest-time metadata (one row per file); build the
