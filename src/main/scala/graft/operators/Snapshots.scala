@@ -1172,6 +1172,29 @@ object Snapshots {
     } finally { up.unpersist(); () }
   }
 
+  /** MERGE INTO with conflict RETRY: unlike a blind replace, a merge can
+    * safely re-derive after losing a version-slot race — each attempt
+    * re-reads the CURRENT snapshot, re-pins the touched files, and
+    * re-publishes, so a concurrent append is incorporated rather than
+    * erased (Delta's merge conflict-resolution loop). Bounded by
+    * `maxAttempts`; the recompute is the candidate-file scan, not a table
+    * rewrite.
+    */
+  def mergeIntoRetry(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String, meta: Map[String, String] = Map.empty,
+      maxAttempts: Int = 10): Int = {
+    var attempt = 1
+    while (true) {
+      try return mergeInto(spark, dir, updates, key, meta)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
   private def countDistinctCol(key: String) = {
     import org.apache.spark.sql.functions.{col, countDistinct}
     countDistinct(col(key))

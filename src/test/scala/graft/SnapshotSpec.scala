@@ -834,6 +834,40 @@ class SnapshotSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("replace"), ex.getMessage)
   }
 
+  test("mergeIntoRetry racing appenders: updates land, appends survive, no version lost") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val merger = Future {
+      barrier.await()
+      (1 to 4).map(i => Snapshots.mergeIntoRetry(spark, dir,
+        Seq((2L, s"B$i")).toDF("k", "v"), "k"))
+    }
+    val appender = Future {
+      barrier.await()
+      (1 to 4).map(i => Snapshots.commitRetry(spark, dir,
+        Seq((100L + i, s"x$i")).toDF("k", "v")))
+    }
+    val landed = Await.result(Future.sequence(Seq(merger, appender)),
+      300.seconds).flatten
+    pool.shutdown()
+    assert(landed.toSet.size == 8, s"slot collision among $landed")
+    assert(Snapshots.currentVersion(spark, dir).contains(9))
+    val rows = Snapshots.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(rows.size == 7, s"rows lost or duplicated: $rows")
+    assert(rows(2L) == "B4" || rows(2L).startsWith("B"),
+      s"merge updates vanished: ${rows(2L)}")
+    (1 to 4).foreach(i => assert(rows(100L + i) == s"x$i",
+      s"append $i erased by a racing merge"))
+    assert(rows(1L) == "a" && rows(3L) == "c")
+  }
+
   test("change feed dirs follow retention: expire drops them, vacuum sweeps orphans") {
     val dir = tmp()
     Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
