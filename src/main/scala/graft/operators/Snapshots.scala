@@ -433,6 +433,10 @@ object Snapshots {
       s"$dir: fromVersion $fromVersion must precede toVersion $toVersion")
     val vs = versions(spark, dir).filter(v => v > fromVersion && v <= toVersion)
     require(vs.nonEmpty, s"$dir: no versions in ($fromVersion, $toVersion]")
+    // canonical column order = the table's (a using-key join in a commit
+    // path may have moved columns; the STREAMING source binds the batch to
+    // its declared schema positionally, so order is part of the contract)
+    val tableCols = read(spark, dir, Some(toVersion)).columns.toSeq
     val parts = vs.map { v =>
       cdcRel(spark, dir, v) match {
         case Some(rel) =>
@@ -456,7 +460,12 @@ object Snapshots {
             .withColumn("_commit_version", lit(v))
       }
     }
-    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val ordered = tableCols.filter(all.columns.contains) ++
+      all.columns.filterNot(c => tableCols.contains(c) ||
+        c == "_change_type" || c == "_commit_version") ++
+      Seq("_change_type", "_commit_version")
+    all.select(ordered.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** Write a commit's recorded change rows under a per-writer-unique
@@ -1162,8 +1171,13 @@ object Snapshots {
           .map(mk => up.join(mk, Seq(key), "left_anti"))
           .getOrElse(up.toDF())
           .withColumn("_change_type", lit("insert"))
-        (pre.toSeq ++ post.toSeq :+ ins)
+        val u = (pre.toSeq ++ post.toSeq :+ ins)
           .reduce(_.unionByName(_, allowMissingColumns = true))
+        // restore the TABLE column order: the using-key joins above moved
+        // `key` to the front (and `updates` may arrive in any order), and
+        // feed readers bind positionally
+        val tableCols = read(spark, dir, Some(cur)).columns.toSeq
+        u.select((tableCols :+ "_change_type").map(col): _*)
       }
       val cdc = writeCdc(spark, dir, next, cdcDf)
       val fresh = writeData(spark, dir, next, survivors)

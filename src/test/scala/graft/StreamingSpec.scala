@@ -923,6 +923,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"CDF tail diverged: extra ${got -- want}, missing ${want -- got}")
   }
 
+  test("live aggregate over an upsert table: CDF stream + signed weights equals batch") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapcdf-agg").toString
+    Snapshots.commit(spark, dir,
+      Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (2L, 3L, 30.0)).toDF("g", "k", "p"))
+    // the live-mview pattern: a streaming aggregation over the change feed
+    // with signed weights — updates and deletes FOLD into the running
+    // totals instead of failing the stream or double-counting
+    val w = when($"_change_type".isin("insert", "update_post"), 1L)
+      .otherwise(lit(-1L))
+    val q = spark.readStream.format("snapshots").option("path", dir)
+      .option("readChangeFeed", "true").load()
+      .groupBy("g")
+      .agg(sum(w).as("cnt"), sum($"p" * w).as("sum_p"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("live_mv")
+      .start()
+    q.processAllAvailable()
+    Snapshots.mergeInto(spark, dir,
+      Seq((1L, 2L, 99.0), (2L, 4L, 40.0)).toDF("g", "k", "p"), "k")
+    Snapshots.deleteRange(spark, dir, "k", Some(3L), Some(3L))
+    q.processAllAvailable()
+    q.stop()
+    val live = spark.table("live_mv").filter($"cnt" > 0)
+      .select($"g", $"cnt", $"sum_p").as[(Long, Long, Double)]
+      .collect().toSet
+    val batch = Snapshots.read(spark, dir).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("p").as("sum_p"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(live == batch, s"live aggregate diverged: live=$live batch=$batch")
+  }
+
   test("snapshots source maxVersionsPerTrigger paces the tail one version per batch") {
     import graft.operators.Snapshots
     val dir = java.nio.file.Files.createTempDirectory("graft-snapsrc4").toString
