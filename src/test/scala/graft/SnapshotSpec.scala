@@ -868,6 +868,27 @@ class SnapshotSpec extends AnyFunSuite {
     assert(rows(1L) == "a" && rows(3L) == "c")
   }
 
+  test("change feed across a schema-evolving append: old rows surface NULL, order canonical") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    Snapshots.commit(spark, dir,
+      Seq((2L, "b", 7L)).toDF("k", "v", "extra"), evolve = true)
+    Snapshots.mergeInto(spark, dir,
+      Seq((1L, "A", Option.empty[Long])).toDF("k", "v", "extra"), "k")
+    val feed = Snapshots.readChangeFeed(spark, dir, 0, 3)
+    // canonical order: table columns, then the feed metadata
+    assert(feed.columns.toSeq == Seq("k", "v", "extra", "_change_type", "_commit_version"),
+      feed.columns.mkString(","))
+    val rows = feed.select($"_commit_version", $"_change_type", $"k", $"v", $"extra")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(rows == Set(
+      (1, "insert", 1L, "a", -1L), // pre-evolution insert: extra is NULL
+      (2, "insert", 2L, "b", 7L),
+      (3, "update_pre", 1L, "a", -1L),
+      (3, "update_post", 1L, "A", -1L)), s"evolved feed diverged: $rows")
+  }
+
   test("change feed dirs follow retention: expire drops them, vacuum sweeps orphans") {
     val dir = tmp()
     Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
