@@ -20,6 +20,10 @@ object Bench {
       Thread.sleep(30000)
       loadWaits += 1
     }
+    // the POST-quiesce load the gate actually admitted — stamped so archived
+    // close samples are self-describing (load_avg below is re-sampled later,
+    // after warm-up, and reflects the bench's own load)
+    val loadPreMeasure = loadBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -100,7 +104,8 @@ object Bench {
       val freeGb = r1(osBean.getFreeMemorySize / 1073741824.0)
       val cpuCount = Runtime.getRuntime.availableProcessors
       s"""{"load_avg":$loadAvg,"free_mem_gb":$freeGb,"cpus":$cpuCount,""" +
-        s""""load_initial":${r1(loadInitial)},"load_waits":$loadWaits}"""
+        s""""load_initial":${r1(loadInitial)},"load_waits":$loadWaits,""" +
+        s""""load_pre_measure":${r1(loadPreMeasure)}}"""
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq

@@ -614,6 +614,61 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** Merge-on-read twin of [[snapDelDir]] + a second overlapping delete:
+    * [[Snapshots.deleteRangeMor]] masks matching rows through a
+    * DELETION-VECTOR sidecar instead of rewriting files — the new version
+    * carries every data file byte-identical (SnapshotSpec locks the
+    * zero-rewrite property), and every read path applies the mask. The
+    * declared query reads the masked table; the oracle states the
+    * surviving rows directly, so any mask leak (ghost row, over-delete)
+    * hash-mismatches.
+    */
+  private val snapDvDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapDvDir(s: SparkSession, d: String): String =
+    snapDvDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapdv").toFile.getAbsolutePath
+      Snapshots.commit(s, dir,
+        T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey")))
+      Snapshots.deleteRangeMor(s, dir, "o_orderkey", Some(200L), Some(699L))
+      Snapshots.deleteRangeMor(s, dir, "o_orderkey", Some(1200L), Some(1299L))
+      dir
+    })
+
+  private def qSnapshotDv(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, snapDvDir(s, d))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
+  /** Schema-EVOLVING upsert ([[Snapshots.mergeInto]] `evolve = true`): the
+    * update set carries a brand-new `o_flag` column — matched keys update
+    * (flag 'U'), unmatched insert (flag 'I'), and every untouched row
+    * surfaces a NULL flag through the merged-footer read. The oracle
+    * restates the evolved table with CASE + UNION ALL.
+    */
+  private val snapMergeEvoDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapMergeEvoDir(s: SparkSession, d: String): String =
+    snapMergeEvoDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapmev").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderkey", "o_totalprice")
+      Snapshots.commit(s, dir, orders.repartitionByRange(8, col("o_orderkey")))
+      val updates = orders.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("o_flag", lit("U"))
+      val inserts = orders.filter(col("o_orderkey") < 50)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(9000000L))
+        .withColumn("o_flag", lit("I"))
+      Snapshots.mergeInto(s, dir, updates.unionByName(inserts), "o_orderkey",
+        evolve = true)
+      dir
+    })
+
+  private def qSnapshotMergeEvolve(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, snapMergeEvoDir(s, d))
+      .groupBy(coalesce(col("o_flag"), lit("-")).as("flag"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("flag")
+
   /** Bloom-index skipping on a layout min/max CANNOT help: the table is
     * round-robin partitioned (every file spans the whole keyspace, so
     * range envelopes keep everything), but the declared bloom column makes
@@ -656,6 +711,7 @@ object Relational extends QueryModule {
   def prepareSnapshotFixtures(s: SparkSession, d: String): Unit = {
     snapDir(s, d); snapSkipDir(s, d); snapDelDir(s, d); snapZDir(s, d)
     snapZIncDir(s, d); snapCdfDir(s, d); snapMergeDir(s, d)
+    snapDvDir(s, d); snapMergeEvoDir(s, d)
     snapBloomDir(s, d); mviewDir(s, d); mviewCdfDir(s, d); ()
   }
 
@@ -1115,6 +1171,8 @@ object Relational extends QueryModule {
     "q_snapshot_sql" -> qSnapshotSql,
     "q_snapshot_tvf" -> qSnapshotTvf,
     "q_snapshot_merge" -> qSnapshotMerge,
+    "q_snapshot_dv" -> qSnapshotDv,
+    "q_snapshot_merge_evolve" -> qSnapshotMergeEvolve,
     "q_mview_inc" -> qMviewInc,
     "q_mview_rewrite" -> qMviewRewrite,
     "q_snapshot_bloom" -> qSnapshotBloom,
@@ -1195,6 +1253,23 @@ object Relational extends QueryModule {
         |SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged ORDER BY n""".stripMargin,
+    "q_snapshot_dv" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey NOT BETWEEN 200 AND 699
+        |  AND o_orderkey NOT BETWEEN 1200 AND 1299
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_merge_evolve" ->
+      """WITH merged AS (
+        |  SELECT o_totalprice + CASE WHEN o_orderkey < 1000 AND o_orderkey % 10 = 0
+        |      THEN 1.0 ELSE 0.0 END AS p,
+        |    CASE WHEN o_orderkey < 1000 AND o_orderkey % 10 = 0
+        |      THEN 'U' ELSE '-' END AS flag
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_totalprice, 'I' FROM orders WHERE o_orderkey < 50)
+        |SELECT flag, count(*) AS n, round(sum(p), 2) AS total
+        |FROM merged GROUP BY flag ORDER BY flag""".stripMargin,
     "q_snapshot_sql" ->
       """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderkey BETWEEN 1100 AND 2099

@@ -192,7 +192,10 @@ object Snapshots {
     val fresh = writeData(spark, dir, next, df)
     val carried =
       if (replace || next == 1) Seq.empty else files(spark, dir, next - 1)
-    publish(spark, dir, next, carried, fresh, meta)
+    // carried files keep their deletion-vector masks; a replace drops them
+    val dvCarry =
+      if (replace || next == 1) None else dvRel(spark, dir, next - 1)
+    publish(spark, dir, next, carried, fresh, meta, dv = dvCarry)
     next
   }
 
@@ -240,8 +243,10 @@ object Snapshots {
       val next = cur + 1
       val carried =
         if (replace || next == 1) Seq.empty else files(spark, dir, cur)
+      val dvCarry =
+        if (replace || next == 1) None else dvRel(spark, dir, cur)
       try {
-        publish(spark, dir, next, carried, fresh, meta)
+        publish(spark, dir, next, carried, fresh, meta, dv = dvCarry)
         return next
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -344,7 +349,9 @@ object Snapshots {
   private def publish(spark: SparkSession, dir: String, next: Int,
       carried: Seq[String], fresh: Seq[String],
       meta: Map[String, String] = Map.empty,
-      cdc: Option[String] = None): Unit = {
+      cdc: Option[String] = None,
+      dv: Option[String] = None,
+      noRowChange: Boolean = false): Unit = {
     val (fs, _) = hfs(spark, dir)
     val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
     fs.mkdirs(md)
@@ -400,7 +407,8 @@ object Snapshots {
         Some(name)
       }
     val headers = Seq(s"#stats=$statsName") ++ metaName.map(n => s"#meta=$n") ++
-      cdc.map(rel => s"#cdc=$rel")
+      cdc.map(rel => s"#cdc=$rel") ++ dv.map(rel => s"#dv=$rel") ++
+      (if (noRowChange) Seq("#norowchange=1") else Seq.empty)
     val body = (headers ++ carried ++ fresh).mkString("", "\n", "\n")
       .getBytes("UTF-8")
     writeAtomic(s"v$next.list", body, contended = true)
@@ -413,6 +421,27 @@ object Snapshots {
       version: Int): Option[String] =
     listLines(spark, dir, version)
       .collectFirst { case l if l.startsWith("#cdc=") => l.substring(5) }
+
+  /** Table-relative DELETION-VECTOR directory of one version, if the
+    * version carries merge-on-read deletes ([[deleteRangeMor]] /
+    * [[mergeIntoMor]]). The DV is a parquet dir of `(file_name, pos)` rows
+    * — the positions masked out of each data file at read time. Appends
+    * CARRY the header forward (their files keep their masks); a replace
+    * commit drops it (the rewrite materialized the deletes).
+    */
+  private[graft] def dvRel(spark: SparkSession, dir: String,
+      version: Int): Option[String] =
+    listLines(spark, dir, version)
+      .collectFirst { case l if l.startsWith("#dv=") => l.substring(4) }
+
+  /** True when `version` is a DATA-PRESERVING rewrite (compaction, Z-order
+    * maintenance): files changed, visible rows did not — Delta's
+    * `dataChange = false`. Change-feed readers emit zero rows for these
+    * versions instead of refusing, so maintenance can run next to a live
+    * CDF tail.
+    */
+  def isRowPreserving(spark: SparkSession, dir: String, version: Int): Boolean =
+    listLines(spark, dir, version).exists(_.startsWith("#norowchange="))
 
   /** Row-level CHANGE DATA FEED over `(fromVersion, toVersion]` (the public
     * Delta CDF contract): every row change with `_change_type` ∈
@@ -431,14 +460,21 @@ object Snapshots {
     import org.apache.spark.sql.functions.lit
     require(fromVersion < toVersion,
       s"$dir: fromVersion $fromVersion must precede toVersion $toVersion")
-    val vs = versions(spark, dir).filter(v => v > fromVersion && v <= toVersion)
-    require(vs.nonEmpty, s"$dir: no versions in ($fromVersion, $toVersion]")
+    val vs = rangeVersions(spark, dir, fromVersion, toVersion)
     // canonical column order = the table's (a using-key join in a commit
     // path may have moved columns; the STREAMING source binds the batch to
     // its declared schema positionally, so order is part of the contract)
     val tableCols = read(spark, dir, Some(toVersion)).columns.toSeq
+    def emptyAt(v: Int) =
+      read(spark, dir, Some(v)).limit(0)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v))
     val parts = vs.map { v =>
       cdcRel(spark, dir, v) match {
+        // a data-preserving rewrite (compact / Z-order maintenance) changed
+        // no visible rows: the feed is empty for it by definition — Delta's
+        // dataChange = false commits, which CDF skips the same way
+        case _ if isRowPreserving(spark, dir, v) => emptyAt(v)
         case Some(rel) =>
           spark.read.option("mergeSchema", "true").parquet(s"$dir/$rel")
             .withColumn("_commit_version", lit(v))
@@ -449,11 +485,14 @@ object Snapshots {
           require(prev.subsetOf(cur.toSet),
             s"$dir: v$v is a replace commit with no recorded change feed — " +
               "incremental read is undefined, resync from a snapshot")
+          // defensive: every DV writer records a feed, so an un-fed DV delta
+          // here means a foreign/corrupt commit — refuse, don't misreport
+          require(dvRel(spark, dir, v) ==
+            (if (v == 1) None else dvRel(spark, dir, v - 1)),
+            s"$dir: v$v changed deletion vectors without a recorded change " +
+              "feed — incremental read is undefined")
           val fresh = cur.filterNot(prev)
-          if (fresh.isEmpty)
-            read(spark, dir, Some(v)).limit(0)
-              .withColumn("_change_type", lit("insert"))
-              .withColumn("_commit_version", lit(v))
+          if (fresh.isEmpty) emptyAt(v)
           else spark.read.option("mergeSchema", "true")
             .parquet(fresh.map(f => s"$dir/$f"): _*)
             .withColumn("_change_type", lit("insert"))
@@ -477,6 +516,71 @@ object Snapshots {
     df.write.mode("overwrite").parquet(s"$dir/$rel")
     rel
   }
+
+  /** Write a version's deletion-vector rows (`file_name`, `pos`) under a
+    * per-writer-unique `_dv/` dir; returns the table-relative path for the
+    * manifest's `#dv=` header. One dir holds the WHOLE mask of its version
+    * (prior masks are unioned in by the writer), so a reader resolves
+    * exactly one DV join side per snapshot.
+    */
+  private def writeDv(spark: SparkSession, dir: String, next: Int,
+      df: DataFrame): String = {
+    val rel = s"_dv/c$next-${java.util.UUID.randomUUID.toString.take(8)}"
+    df.select(org.apache.spark.sql.functions.col("file_name"),
+        org.apache.spark.sql.functions.col("pos"))
+      .write.mode("overwrite").parquet(s"$dir/$rel")
+    rel
+  }
+
+  /** The deletion-vector rows of one snapshot (empty-None when the version
+    * carries no merge-on-read deletes). Schema: `file_name` (the data
+    * file's base name — unique per table because Spark part files embed
+    * the write job's UUID) and `pos` (the row's file-absolute index, the
+    * same value the parquet source exposes as `_metadata.row_index`).
+    */
+  def deletionVectors(spark: SparkSession, dir: String,
+      version: Int): Option[DataFrame] =
+    dvRel(spark, dir, version).map(rel => spark.read.parquet(s"$dir/$rel"))
+
+  /** Open `paths` with the row's identity attached (`__fname`, `__pos`)
+    * and any existing deletion-vector rows ALREADY masked out — the
+    * primitive every merge-on-read path builds on. The DV anti-join keys
+    * on (file name, file-absolute row index): the DV side is deleted-rows
+    * sized, so Spark broadcast it and the scan stays one pass.
+    */
+  private def openWithPos(spark: SparkSession, dir: String,
+      paths: Seq[String], dv: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val base = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .withColumn("__path", col("_metadata.file_path"))
+      .withColumn("__fname", element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__pos", col("_metadata.row_index"))
+    dv match {
+      case None => base
+      case Some(rel) =>
+        base.join(spark.read.parquet(s"$dir/$rel")
+            .select(col("file_name").as("__fname"), col("pos").as("__pos")),
+          Seq("__fname", "__pos"), "left_anti")
+    }
+  }
+
+  /** Plan `paths` of snapshot `version` with its deletion vectors masked.
+    * No DV → the plain parquet scan, zero overhead; with a DV the deleted
+    * (file, pos) pairs are anti-joined out — merge-on-read's read side.
+    * Every read path funnels here (API, SQL relation, TVF, change feed),
+    * so a DV is invisible everywhere except the write amplification it
+    * saved.
+    */
+  private[graft] def maskedParquet(spark: SparkSession, dir: String,
+      version: Int, paths: Seq[String]): DataFrame =
+    dvRel(spark, dir, version) match {
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      case Some(rel) =>
+        import org.apache.spark.sql.functions.col
+        val withPos = openWithPos(spark, dir, paths, Some(rel))
+        val dataCols = withPos.columns.filterNot(_.startsWith("__"))
+        withPos.select(dataCols.toSeq.map(col): _*)
+    }
 
   /** Wall-clock publish time of one version (the manifest's modification
     * time — set by the atomic rename, i.e. the commit point). */
@@ -508,10 +612,11 @@ object Snapshots {
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     val fs = files(spark, dir, v)
     require(fs.nonEmpty, s"$dir: snapshot v$v lists no files")
-    // mergeSchema: evolved tables (evolve = true appends) surface added
-    // columns with NULLs in pre-evolution files instead of whichever
-    // single footer the planner happened to sample
-    spark.read.option("mergeSchema", "true").parquet(fs.map(f => s"$dir/$f"): _*)
+    // mergeSchema (inside maskedParquet): evolved tables (evolve = true
+    // appends) surface added columns with NULLs in pre-evolution files
+    // instead of whichever single footer the planner happened to sample;
+    // deletion vectors of merge-on-read commits mask out deleted rows
+    maskedParquet(spark, dir, v, fs.map(f => s"$dir/$f"))
   }
 
   /** Incremental read: the rows appended between `fromVersion` (exclusive)
@@ -526,14 +631,58 @@ object Snapshots {
       toVersion: Int): DataFrame = {
     require(fromVersion < toVersion,
       s"$dir: fromVersion $fromVersion must precede toVersion $toVersion")
-    val from = files(spark, dir, fromVersion).toSet
-    val to = files(spark, dir, toVersion)
-    require(from.subsetOf(to.toSet),
-      s"$dir: a replace commit between v$fromVersion and v$toVersion rewrote " +
-        "history — incremental read is undefined, resync from a snapshot")
-    val fresh = to.filterNot(from)
-    require(fresh.nonEmpty, s"$dir: no files appended in (v$fromVersion, v$toVersion]")
-    spark.read.option("mergeSchema", "true").parquet(fresh.map(f => s"$dir/$f"): _*)
+    val vs = rangeVersions(spark, dir, fromVersion, toVersion)
+    // per-version walk (not endpoint set-difference): a DATA-PRESERVING
+    // rewrite in the range (compaction / Z-order maintenance, marked
+    // #norowchange) contributes zero rows and later diffs anchor on its
+    // post-rewrite manifest, so maintenance never breaks a live tail; a
+    // genuine replace or a row-level change still refuses loudly.
+    var prev = files(spark, dir, fromVersion).toSet
+    var prevDv = dvRel(spark, dir, fromVersion)
+    var sawPreserving = false
+    val freshAll = Seq.newBuilder[String]
+    for (v <- vs) {
+      val cur = files(spark, dir, v)
+      if (isRowPreserving(spark, dir, v)) sawPreserving = true
+      else {
+        require(prev.subsetOf(cur.toSet),
+          s"$dir: v$v is a replace commit — incremental read is undefined " +
+            "across it, resync from a snapshot")
+        val dv = dvRel(spark, dir, v)
+        require(dv == prevDv,
+          s"$dir: v$v carries row-level deletes (deletion vectors) — " +
+            "append-only incremental read is undefined, use readChangeFeed")
+        freshAll ++= cur.filterNot(prev)
+      }
+      prev = cur.toSet
+      prevDv = dvRel(spark, dir, v)
+    }
+    val fresh = freshAll.result()
+    if (fresh.isEmpty) {
+      require(sawPreserving,
+        s"$dir: no files appended in (v$fromVersion, v$toVersion]")
+      // only maintenance landed: the delta is exactly zero rows
+      read(spark, dir, Some(toVersion))
+        .filter(org.apache.spark.sql.functions.lit(false))
+    } else spark.read.option("mergeSchema", "true")
+      .parquet(fresh.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Versions in `(fromVersion, toVersion]`, verified CONTIGUOUS from
+    * `fromVersion`: if retention expired the head of the range, an
+    * incremental reader would silently lose the expired commits' changes —
+    * that case fails loudly instead (the consumer must resync from a full
+    * snapshot).
+    */
+  private def rangeVersions(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int): Seq[Int] = {
+    val vs = versions(spark, dir).filter(v => v > fromVersion && v <= toVersion)
+    require(vs.nonEmpty, s"$dir: no versions in ($fromVersion, $toVersion]")
+    require(vs.head == fromVersion + 1 && vs == (vs.head to vs.last),
+      s"$dir: versions in (v$fromVersion, v$toVersion] were expired " +
+        s"(surviving: ${vs.mkString(", ")}) — the incremental range is " +
+        "broken, resync from a snapshot")
+    vs
   }
 
   /** Expire snapshots older than `keepFrom`: their manifests are removed
@@ -564,15 +713,19 @@ object Snapshots {
     orphans.foreach { f =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$f"), false)
     }
+    // a DV dir is SHARED by every append that carried it forward — only
+    // sweep one no surviving manifest references
+    val liveDv = keep.flatMap(v => dvRel(spark, dir, v)).toSet
     drop.foreach { v =>
       // resolve sidecar/change-dir names BEFORE deleting the list that
       // references them
       val sidecars = Seq("stats", "meta").flatMap(sidecarName(spark, dir, v, _))
       val changes = cdcRel(spark, dir, v)
+      val dv = dvRel(spark, dir, v).filterNot(liveDv)
       fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.list"), false)
       sidecars.foreach(n =>
         fs.delete(new org.apache.hadoop.fs.Path(manifestDir(dir), n), false))
-      changes.foreach(rel =>
+      (changes.toSeq ++ dv).foreach(rel =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
     }
     orphans.length
@@ -594,10 +747,32 @@ object Snapshots {
       .sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     // expectedVersion: an append landing between the read and this commit
-    // must surface as a conflict, not silently vanish from the new head
-    commit(spark, dir, read(spark, dir, Some(cur)).repartition(n), replace = true,
+    // must surface as a conflict, not silently vanish from the new head.
+    // read() masks deletion vectors, so compaction MATERIALIZES pending
+    // merge-on-read deletes (the rewritten files carry no DV).
+    replacePreserving(spark, dir, read(spark, dir, Some(cur)).repartition(n),
       expectedVersion = Some(cur),
       meta = Map("compaction" -> s"$total bytes -> $n files"))
+  }
+
+  /** A replace commit that PRESERVES the table's visible rows (compaction,
+    * re-clustering): published with the `#norowchange` marker so change-feed
+    * consumers skip it (zero rows) instead of refusing — maintenance next
+    * to a live CDF tail, Delta's `dataChange = false`. The caller is
+    * responsible for `df` truly being the current content.
+    */
+  private def replacePreserving(spark: SparkSession, dir: String, df: DataFrame,
+      expectedVersion: Option[Int], meta: Map[String, String] = Map.empty): Int = {
+    val cur = currentVersion(spark, dir).getOrElse(0)
+    expectedVersion.foreach { ev =>
+      if (cur != ev) throw new java.util.ConcurrentModificationException(
+        s"$dir: rewrite derived from v$ev conflicts with concurrent v$cur — " +
+          "recompute from the current snapshot")
+    }
+    val next = cur + 1
+    val fresh = writeData(spark, dir, next, df)
+    publish(spark, dir, next, Seq.empty, fresh, meta, noRowChange = true)
+    next
   }
 
   /** [[expire]] by age: drop every version whose commit time is older than
@@ -705,17 +880,21 @@ object Snapshots {
         if (!referenced.contains(rel)) orphans += st.getPath
       }
     }
-    // change-feed debris: `_changes/` dirs of crashed or losing writers
-    // that no live manifest references
-    val changesRoot = new org.apache.hadoop.fs.Path(s"$dir/_changes")
-    if (fs.exists(changesRoot)) {
-      val liveCdc = versions(spark, dir)
-        .flatMap(cdcRel(spark, dir, _)).map(_.stripPrefix("_changes/")).toSet
-      fs.listStatus(changesRoot).foreach { st =>
-        if (st.isDirectory && st.getModificationTime < cutoff &&
-            !liveCdc.contains(st.getPath.getName)) {
-          fs.delete(st.getPath, true)
-          orphans += st.getPath
+    // change-feed and deletion-vector debris: `_changes/` / `_dv/` dirs of
+    // crashed or losing writers that no live manifest references
+    for ((sub, liveOf) <- Seq(
+        "_changes" -> ((v: Int) => cdcRel(spark, dir, v)),
+        "_dv" -> ((v: Int) => dvRel(spark, dir, v)))) {
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (fs.exists(root)) {
+        val live = versions(spark, dir)
+          .flatMap(liveOf).map(_.stripPrefix(s"$sub/")).toSet
+        fs.listStatus(root).foreach { st =>
+          if (st.isDirectory && st.getModificationTime < cutoff &&
+              !live.contains(st.getPath.getName)) {
+            fs.delete(st.getPath, true)
+            orphans += st.getPath
+          }
         }
       }
     }
@@ -730,6 +909,10 @@ object Snapshots {
         if (st.isFile && st.getModificationTime < cutoff &&
             (n.endsWith(".stats") || n.endsWith(".meta")) &&
             !liveSidecars.contains(n)) orphans += st.getPath
+        // crashed writers' per-writer-unique publish temps (`.{name}.{uuid}
+        // .tmp`) are never self-overwritten — age them out here
+        if (st.isFile && st.getModificationTime < cutoff &&
+            n.startsWith(".") && n.endsWith(".tmp")) orphans += st.getPath
       }
     }
     orphans.foreach(fs.delete(_, false))
@@ -1011,8 +1194,7 @@ object Snapshots {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     val (kept, all) = pruneFilesAll(spark, dir, v, ranges)
-    val base = if (kept.nonEmpty) spark.read.option("mergeSchema", "true")
-        .parquet(kept.map(f => s"$dir/$f"): _*)
+    val base = if (kept.nonEmpty) maskedParquet(spark, dir, v, kept.map(f => s"$dir/$f"))
       else read(spark, dir, Some(v)).filter(lit(false))
     val pred = ranges.flatMap { case (column, lower, upper) =>
       lower.map(col(column) >= lit(_)) ++ upper.map(col(column) <= lit(_))
@@ -1033,13 +1215,14 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
-    // expectedVersion: a concurrent append must conflict, not be dropped
-    val v = commit(spark, dir, read(spark, dir, Some(cur))
+    // expectedVersion: a concurrent append must conflict, not be dropped;
+    // row-preserving publish: a CDF tail skips the rewrite instead of dying
+    val v = replacePreserving(spark, dir, read(spark, dir, Some(cur))
       .withColumn("__z", graft.functions.ZOrderFunctions.zorder64(
         col(xCol).cast("int"), col(yCol).cast("int")))
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z"), replace = true, expectedVersion = Some(cur))
+      .drop("__z"), expectedVersion = Some(cur))
     // a full rewrite clusters everything — later incremental passes start
     // their tail here
     setProperties(spark, dir, Map("zorder.clustered_through" -> v.toString))
@@ -1081,18 +1264,47 @@ object Snapshots {
     val tail = curFiles.filterNot(clustered)
     if (tail.isEmpty) return cur
     val next = cur + 1
+    // masked tail read: pending merge-on-read deletes on tail files are
+    // MATERIALIZED by this rewrite; masks on carried files survive in a
+    // filtered DV so their deletes stay applied
     val fresh = writeData(spark, dir, next,
-      spark.read.option("mergeSchema", "true")
-        .parquet(tail.map(f => s"$dir/$f"): _*)
+      maskedParquet(spark, dir, cur, tail.map(f => s"$dir/$f"))
         .withColumn("__z", graft.functions.ZOrderFunctions.zorder64(
           col(xCol).cast("int"), col(yCol).cast("int")))
         .repartitionByRange(targetFiles, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z"))
-    publish(spark, dir, next, clustered.toSeq.sorted, fresh)
+    val dvCarry = carryDvFor(spark, dir, cur, next, clustered.toSeq)
+    // row-preserving publish: a CDF tail emits zero rows for this version
+    // instead of refusing (no visible row changed)
+    publish(spark, dir, next, clustered.toSeq.sorted, fresh,
+      dv = dvCarry, noRowChange = true)
     setProperties(spark, dir, Map("zorder.clustered_through" -> next.toString))
     next
   }
+
+  /** The previous version's deletion vector restricted to the files a
+    * partial rewrite CARRIES (rewritten files materialized their deletes
+    * through the masked read). None when the prior version had no DV or no
+    * carried file keeps a mask.
+    */
+  private def carryDvFor(spark: SparkSession, dir: String, prevVersion: Int,
+      next: Int, carriedFiles: Seq[String]): Option[String] =
+    dvRel(spark, dir, prevVersion).flatMap { rel =>
+      import org.apache.spark.sql.functions.col
+      val names = carriedFiles.map(f =>
+        new org.apache.hadoop.fs.Path(f).getName).toSet
+      if (names.isEmpty) None
+      else {
+        val kept = spark.read.parquet(s"$dir/$rel")
+          .filter(col("file_name").isin(names.toSeq: _*))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (kept.isEmpty) None
+          else Some(writeDv(spark, dir, next, kept))
+        } finally { kept.unpersist(); () }
+      }
+    }
 
   /** Row-level DELETE of `column BETWEEN lower AND upper`, copy-on-write:
     * the stats index narrows the rewrite to the files that can contain a
@@ -1118,12 +1330,13 @@ object Snapshots {
     * files, so [[readChanges]] across a merge refuses like any replace.
     */
   def mergeInto(spark: SparkSession, dir: String, updates: DataFrame,
-      key: String, meta: Map[String, String] = Map.empty): Int = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, min, max}
-    val (fs, _) = hfs(spark, dir)
+      key: String, meta: Map[String, String] = Map.empty,
+      evolve: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit, min, max}
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
-    enforceSchema(spark, dir, updates, evolve = false)
+    enforceSchema(spark, dir, updates, evolve)
+    val prevDv = dvRel(spark, dir, cur)
     val up = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val Array(head) = up.agg(count(lit(1)), count(col(key)),
@@ -1134,24 +1347,23 @@ object Snapshots {
       require(distinct == total, s"$dir: merge updates carry duplicate $key values")
       val (candidates, all) = pruneFiles(spark, dir, cur, key,
         Option(head.get(3)), Option(head.get(4)))
-      // one scan of only the envelope candidates pins the files that hold a
-      // matched key (metadata-sized result: distinct file names)
+      // one MASKED scan of only the envelope candidates pins the files that
+      // hold a LIVE matched key (metadata-sized result: distinct file paths;
+      // a DV-deleted ghost row must neither pin a file nor feed the pre-image)
       val touched: Seq[String] =
         if (candidates.isEmpty) Seq.empty
         else {
-          spark.read.option("mergeSchema", "true")
-            .parquet(candidates.map(f => s"$dir/$f"): _*)
-            .select(col(key)).withColumn("__f", input_file_name())
+          openWithPos(spark, dir, candidates.map(f => s"$dir/$f"), prevDv)
+            .select(col(key), col("__path"))
             .join(up.select(col(key)), Seq(key))
-            .select("__f").distinct().collect()
+            .select("__path").distinct().collect()
             .map(r => relPath(dir, r.getString(0))).toSeq.sorted
         }
       val untouched = all.filterNot(touched.toSet)
       val next = cur + 1
       val touchedRows =
         if (touched.isEmpty) None
-        else Some(spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(f => s"$dir/$f"): _*))
+        else Some(maskedParquet(spark, dir, cur, touched.map(f => s"$dir/$f")))
       val survivors = touchedRows match {
         case None => up.toDF()
         case Some(tr) => tr.join(up.select(col(key)), Seq(key), "left_anti")
@@ -1175,15 +1387,147 @@ object Snapshots {
           .reduce(_.unionByName(_, allowMissingColumns = true))
         // restore the TABLE column order: the using-key joins above moved
         // `key` to the front (and `updates` may arrive in any order), and
-        // feed readers bind positionally
+        // feed readers bind positionally; evolved columns append after the
+        // table's in a stable order
         val tableCols = read(spark, dir, Some(cur)).columns.toSeq
-        u.select((tableCols :+ "_change_type").map(col): _*)
+        val newCols = updates.columns.filterNot(tableCols.contains).toSeq
+        u.select((tableCols ++ newCols :+ "_change_type").map(col): _*)
       }
       val cdc = writeCdc(spark, dir, next, cdcDf)
       val fresh = writeData(spark, dir, next, survivors)
-      publish(spark, dir, next, untouched, fresh, meta, Some(cdc))
+      // rewritten files materialized their masks; carried files keep theirs
+      val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
+      publish(spark, dir, next, untouched, fresh, meta, Some(cdc), dvCarry)
       next
     } finally { up.unpersist(); () }
+  }
+
+  /** MERGE INTO, merge-on-read: matched table rows are masked out through
+    * the version's DELETION VECTOR and every update row lands in fresh
+    * files — NO data file is rewritten (the [[mergeInto]] twin rewrites
+    * each touched file whole). This is the public Delta/Iceberg answer to
+    * continuous CDC-apply at 100 TB: upsert cost is O(updates) writes +
+    * one candidate-file scan, independent of how many gigabytes the
+    * touched files hold. Reads mask the DV (every read path funnels
+    * through [[maskedParquet]]); [[compact]] materializes it. The change
+    * feed carries the same update_pre/update_post/insert rows as the
+    * copy-on-write twin. `evolve = true` permits brand-new update columns
+    * (old rows surface NULLs).
+    */
+  def mergeIntoMor(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String, meta: Map[String, String] = Map.empty,
+      evolve: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit, min, max}
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    enforceSchema(spark, dir, updates, evolve)
+    val prevDv = dvRel(spark, dir, cur)
+    val up = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val Array(head) = up.agg(count(lit(1)), count(col(key)),
+        countDistinctCol(key), min(col(key)), max(col(key))).collect()
+      val (total, nonNull, distinct) = (head.getLong(0), head.getLong(1), head.getLong(2))
+      if (total == 0) return cur
+      require(nonNull == total, s"$dir: merge key $key has null(s) in updates")
+      require(distinct == total, s"$dir: merge updates carry duplicate $key values")
+      val (candidates, all) = pruneFiles(spark, dir, cur, key,
+        Option(head.get(3)), Option(head.get(4)))
+      // the pre-image: LIVE candidate rows matching an update key, with
+      // their (file, pos) identity — these positions join the DV
+      val matched =
+        if (candidates.isEmpty) None
+        else Some(openWithPos(spark, dir, candidates.map(f => s"$dir/$f"), prevDv)
+          .join(up.select(col(key)), Seq(key), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try {
+        val anyMatched = matched.exists(!_.isEmpty)
+        val next = cur + 1
+        val tableCols = read(spark, dir, Some(cur)).columns.toSeq
+        val newCols = updates.columns.filterNot(tableCols.contains).toSeq
+        val matchedKeys = matched.filter(_ => anyMatched)
+          .map(_.select(col(key)).distinct())
+        val cdcDf = {
+          val pre = matched.filter(_ => anyMatched).map(
+            _.withColumn("_change_type", lit("update_pre")))
+          val post = matchedKeys.map(mk =>
+            up.join(mk, Seq(key), "left_semi")
+              .withColumn("_change_type", lit("update_post")))
+          val ins = matchedKeys
+            .map(mk => up.join(mk, Seq(key), "left_anti"))
+            .getOrElse(up.toDF())
+            .withColumn("_change_type", lit("insert"))
+          val u = (pre.toSeq ++ post.toSeq :+ ins)
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+          u.select((tableCols ++ newCols :+ "_change_type").map(col): _*)
+        }
+        val cdc = writeCdc(spark, dir, next, cdcDf)
+        // new mask = prior mask ∪ matched positions (deleted-rows sized)
+        val dvOpt: Option[String] =
+          if (!anyMatched) prevDv // nothing masked anew: carry verbatim
+          else {
+            val newRows = matched.get
+              .select(col("__fname").as("file_name"), col("__pos").as("pos"))
+            val allRows = prevDv match {
+              case None => newRows
+              case Some(rel) =>
+                spark.read.parquet(s"$dir/$rel").unionByName(newRows)
+            }
+            Some(writeDv(spark, dir, next, allRows))
+          }
+        val fresh = writeData(spark, dir, next, up.toDF())
+        publish(spark, dir, next, all, fresh, meta, Some(cdc), dvOpt)
+        next
+      } finally { matched.foreach(_.unpersist()); () }
+    } finally { up.unpersist(); () }
+  }
+
+  /** Row-level DELETE of `column BETWEEN lower AND upper`, merge-on-read:
+    * matching rows are masked via the DELETION VECTOR instead of rewriting
+    * their files — a 1-row delete touches ZERO data files (the
+    * [[deleteRange]] twin rewrites every stat-affected file whole). The
+    * new version carries every prior data file byte-identical plus a DV
+    * sidecar = prior mask ∪ the matched positions, committed atomically
+    * with the manifest. Stats stay valid (they bound a superset), the
+    * change feed records exactly the deleted rows, and [[compact]]
+    * materializes the mask. NULL predicate rows survive, per SQL DELETE.
+    */
+  def deleteRangeMor(spark: SparkSession, dir: String, column: String,
+      lower: Option[Any], upper: Option[Any],
+      meta: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val (affected, _) = pruneFiles(spark, dir, cur, column, lower, upper)
+    if (affected.isEmpty) return cur
+    val prevDv = dvRel(spark, dir, cur)
+    val hit = (Seq(col(column).isNotNull) ++
+      lower.map(col(column) >= lit(_)) ++ upper.map(col(column) <= lit(_)))
+      .reduce(_ && _)
+    val matching = openWithPos(spark, dir, affected.map(f => s"$dir/$f"), prevDv)
+      .filter(hit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (matching.isEmpty) return cur // provable no-op publishes nothing
+      val next = cur + 1
+      // pre-evolution affected files may lack evolved columns: surface
+      // typed NULLs so the feed row matches the table schema
+      val avail = matching.columns.toSet
+      val cdc = writeCdc(spark, dir, next,
+        matching.select(read(spark, dir, Some(cur)).schema.map(f =>
+            if (avail(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+          .withColumn("_change_type", lit("delete")))
+      val newRows = matching
+        .select(col("__fname").as("file_name"), col("__pos").as("pos"))
+      val allRows = prevDv match {
+        case None => newRows
+        case Some(rel) => spark.read.parquet(s"$dir/$rel").unionByName(newRows)
+      }
+      val dv = writeDv(spark, dir, next, allRows)
+      publish(spark, dir, next, files(spark, dir, cur), Seq.empty, meta,
+        Some(cdc), Some(dv))
+      next
+    } finally { matching.unpersist(); () }
   }
 
   /** MERGE INTO with conflict RETRY: unlike a blind replace, a merge can
@@ -1196,10 +1540,10 @@ object Snapshots {
     */
   def mergeIntoRetry(spark: SparkSession, dir: String, updates: DataFrame,
       key: String, meta: Map[String, String] = Map.empty,
-      maxAttempts: Int = 10): Int = {
+      maxAttempts: Int = 10, evolve: Boolean = false): Int = {
     var attempt = 1
     while (true) {
-      try return mergeInto(spark, dir, updates, key, meta)
+      try return mergeInto(spark, dir, updates, key, meta, evolve)
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= maxAttempts) throw e
@@ -1217,7 +1561,6 @@ object Snapshots {
   def deleteRange(spark: SparkSession, dir: String, column: String,
       lower: Option[Any], upper: Option[Any]): Int = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (fs, _) = hfs(spark, dir)
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     val (affected, all) = pruneFiles(spark, dir, cur, column, lower, upper)
@@ -1227,13 +1570,17 @@ object Snapshots {
     val keep = (Seq(col(column).isNull) ++
       lower.map(col(column) < lit(_)) ++ upper.map(col(column) > lit(_)))
       .reduce(_ || _)
-    val affectedRows = spark.read.option("mergeSchema", "true")
-      .parquet(affected.map(f => s"$dir/$f"): _*)
+    // masked read: a row a prior merge-on-read delete already masked must
+    // neither resurrect in the rewrite nor re-surface in the change feed
+    val affectedRows = maskedParquet(spark, dir, cur,
+      affected.map(f => s"$dir/$f"))
     // change feed: exactly the rows the predicate removes
     val cdc = writeCdc(spark, dir, next,
       affectedRows.filter(!keep).withColumn("_change_type", lit("delete")))
     val fresh = writeData(spark, dir, next, affectedRows.filter(keep))
-    publish(spark, dir, next, untouched, fresh, cdc = Some(cdc))
+    // rewritten files materialized their masks; carried files keep theirs
+    val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
+    publish(spark, dir, next, untouched, fresh, cdc = Some(cdc), dv = dvCarry)
     next
   }
 }

@@ -134,18 +134,33 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val dir = dirOf(parameters)
-    val st = schema.getOrElse {
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    // in CDF mode the batch always carries the two feed columns — a
+    // user-supplied .schema(...) must end with them too (appended here when
+    // absent, type-checked when present), or getBatch would return wider
+    // rows than the declared schema and misbind positionally
+    def withCdfCols(base: StructType): StructType = {
+      import org.apache.spark.sql.types.{IntegerType, StringType}
+      val want = Seq("_change_type" -> StringType, "_commit_version" -> IntegerType)
+      want.foldLeft(base) { case (st, (name, tpe)) =>
+        st.find(_.name == name) match {
+          case Some(f) =>
+            require(f.dataType == tpe,
+              s"$dir: schema declares $name as ${f.dataType.simpleString}, " +
+                s"the change feed emits ${tpe.simpleString}")
+            st
+          case None => st.add(name, tpe)
+        }
+      }
+    }
+    val base = schema.getOrElse {
       val spark = sqlContext.sparkSession
       require(Snapshots.currentVersion(spark, dir).nonEmpty,
         s"$dir: empty snapshot table — pass .schema(...) to start a stream " +
           "before the first commit")
-      val base = Snapshots.read(spark, dir).schema
-      if (parameters.get("readChangeFeed").exists(_.toBoolean))
-        base.add("_change_type", org.apache.spark.sql.types.StringType)
-          .add("_commit_version", org.apache.spark.sql.types.IntegerType)
-      else base
+      Snapshots.read(spark, dir).schema
     }
-    (shortName(), st)
+    (shortName(), if (cdf) withCdfCols(base) else base)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -331,12 +346,12 @@ class SnapshotRelation(override val sqlContext: SQLContext, val dir: String,
       Snapshots.pruneFilesEq(spark, dir, c, vs, fs)
     }
     SnapshotRelation.lastScan.set((keptB.length, all.length))
-    // mergeSchema: an evolved table's pruned subset may include files
-    // predating a column add — project the evolved schema, not whichever
-    // single footer the planner sampled
+    // maskedParquet: mergeSchema (an evolved table's pruned subset may
+    // include files predating a column add) + deletion-vector masking
+    // (merge-on-read deletes must not surface through the SQL face)
     val base =
-      if (keptB.nonEmpty) spark.read.option("mergeSchema", "true")
-        .parquet(keptB.map(f => s"$dir/$f"): _*)
+      if (keptB.nonEmpty)
+        Snapshots.maskedParquet(spark, dir, v, keptB.map(f => s"$dir/$f"))
       else Snapshots.read(spark, dir, Some(v)).filter(lit(false))
     val projected = {
       // a pre-evolution pruned subset can lack an evolved column entirely:

@@ -1021,4 +1021,230 @@ class SnapshotSpec extends AnyFunSuite {
     assert(rows(1)._2 == rows(2)._2 && rows(1)._3 == rows(2)._3,
       "replace changed content")
   }
+
+  // ------------------------------------------- deletion vectors (merge-on-read)
+
+  private def kpTable(n: Long = 1000L) =
+    spark.range(n).toDF("k").withColumn("p", col("k") * 2.0)
+      .repartitionByRange(8, col("k"))
+
+  test("MoR delete: zero data files rewritten, masked read equals the CoW twin") {
+    val dir = tmp(); val cow = tmp()
+    Snapshots.commit(spark, dir, kpTable())
+    Snapshots.commit(spark, cow, kpTable())
+    val before = Snapshots.files(spark, dir, 1)
+    val v2 = Snapshots.deleteRangeMor(spark, dir, "k", Some(100L), Some(199L))
+    Snapshots.deleteRange(spark, cow, "k", Some(100L), Some(199L))
+    assert(Snapshots.files(spark, dir, v2) == before,
+      "merge-on-read delete touched data files")
+    val got = Snapshots.read(spark, dir).as[(Long, Double)].collect().sorted.toSeq
+    val want = Snapshots.read(spark, cow).as[(Long, Double)].collect().sorted.toSeq
+    assert(got == want && got.length == 900, "masked read != CoW twin")
+    // history intact: v1 still sees every row
+    assert(Snapshots.read(spark, dir, Some(1)).count() == 1000)
+    // a 1-row delete also touches zero files and masks exactly one position
+    val v3 = Snapshots.deleteRangeMor(spark, dir, "k", Some(777L), Some(777L))
+    assert(Snapshots.files(spark, dir, v3) == before)
+    assert(Snapshots.read(spark, dir).count() == 899)
+    // stats survive untouched: range pruning still live on the masked table
+    val (kept, all) = Snapshots.pruneFiles(spark, dir, v3, "k", Some(900L), Some(999L))
+    assert(kept.length < all.length, "stats lost under a DV commit")
+  }
+
+  test("DV mask survives appends, unions across deletes, and range/SQL reads") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, kpTable())
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(0L), Some(99L))
+    // append carries the mask forward
+    Snapshots.commit(spark, dir, Seq((2000L, 1.0), (2001L, 2.0)).toDF("k", "p"))
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(500L), Some(549L))
+    val live = Snapshots.read(spark, dir).as[(Long, Double)].collect().map(_._1).sorted
+    val want = ((100L until 500L) ++ (550L until 1000L) ++ Seq(2000L, 2001L)).sorted
+    assert(live.toSeq == want.toSeq, "mask lost or double-applied across append")
+    // readRange masks too (stats-pruned path)
+    assert(Snapshots.readRange(spark, dir, "k", Some(0L), Some(599L)).count()
+      == 450, "readRange ignored the deletion vector")
+    // the SQL face masks too (SnapshotRelation.buildScan)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_dv USING snapshots OPTIONS (path '$dir')")
+    assert(spark.sql("SELECT count(*) FROM snap_dv WHERE k < 600").as[Long].head()
+      == 450, "SQL scan ignored the deletion vector")
+  }
+
+  test("compact materializes deletion vectors; CDF skips the rewrite") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, kpTable())
+    val vDel = Snapshots.deleteRangeMor(spark, dir, "k", Some(100L), Some(299L))
+    assert(Snapshots.deletionVectors(spark, dir, vDel).exists(_.count() == 200))
+    val vC = Snapshots.compact(spark, dir, targetBytes = 1L << 20)
+    assert(Snapshots.deletionVectors(spark, dir, vC).isEmpty,
+      "compaction left a deletion vector behind")
+    assert(Snapshots.read(spark, dir).count() == 800)
+    // the feed across delete + compact: exactly the 200 deletes, zero rows
+    // for the data-preserving rewrite
+    val feed = Snapshots.readChangeFeed(spark, dir, 1, vC)
+    assert(feed.filter(col("_commit_version") === vDel).count() == 200)
+    assert(feed.filter(col("_commit_version") === vC).count() == 0)
+    assert(feed.filter(col("_change_type") === "delete").count() == 200)
+  }
+
+  test("MoR merge: all files carried, feed/rows equal the CoW twin") {
+    val dir = tmp(); val cow = tmp()
+    Snapshots.commit(spark, dir, kpTable())
+    Snapshots.commit(spark, cow, kpTable())
+    val before = Snapshots.files(spark, dir, 1)
+    val updates = spark.range(950, 1050).toDF("k").withColumn("p", lit(-1.0))
+    val v2 = Snapshots.mergeIntoMor(spark, dir, updates, "k")
+    Snapshots.mergeInto(spark, cow, updates, "k")
+    // every prior file carried; only the update rows were written
+    val after = Snapshots.files(spark, dir, v2)
+    assert(before.forall(after.contains), "MoR merge rewrote a data file")
+    val got = Snapshots.read(spark, dir).as[(Long, Double)].collect().sorted.toSeq
+    val want = Snapshots.read(spark, cow).as[(Long, Double)].collect().sorted.toSeq
+    assert(got == want && got.length == 1050, "MoR merge != CoW merge")
+    // the change feed carries the same update_pre/update_post/insert rows
+    def feed(d: String) = Snapshots.readChangeFeed(spark, d, 1, 2)
+      .select("_change_type", "k", "p").as[(String, Long, Double)]
+      .collect().sorted.toSeq
+    assert(feed(dir) == feed(cow), "MoR feed diverged from CoW feed")
+    // a key updated twice through DVs resolves to the LATEST value
+    val v3 = Snapshots.mergeIntoMor(spark, dir,
+      Seq((960L, 42.0)).toDF("k", "p"), "k")
+    assert(Snapshots.read(spark, dir, Some(v3)).filter(col("k") === 960)
+      .as[(Long, Double)].collect().toSeq == Seq((960L, 42.0)))
+    assert(Snapshots.read(spark, dir).count() == 1050, "double-merge duplicated a key")
+  }
+
+  test("pure-insert MoR merge keeps the append-only contract for readChanges") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, 1.0)).toDF("k", "p"))
+    val v2 = Snapshots.mergeIntoMor(spark, dir, Seq((2L, 2.0)).toDF("k", "p"), "k")
+    assert(Snapshots.readChanges(spark, dir, 1, v2)
+      .as[(Long, Double)].collect().toSeq == Seq((2L, 2.0)))
+  }
+
+  test("readChanges refuses across a DV commit; the feed reports it row-level") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, kpTable())
+    Snapshots.commit(spark, dir, Seq((5000L, 1.0)).toDF("k", "p"))
+    val v3 = Snapshots.deleteRangeMor(spark, dir, "k", Some(0L), Some(9L))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readChanges(spark, dir, 1, v3))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // spans that avoid the DV commit still tail
+    assert(Snapshots.readChanges(spark, dir, 1, 2).count() == 1)
+    assert(Snapshots.readChangeFeed(spark, dir, 2, v3)
+      .filter(col("_change_type") === "delete").count() == 10)
+  }
+
+  test("CoW delete and merge after a MoR delete never resurrect masked rows") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, kpTable())
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(0L), Some(49L))
+    // CoW delete rewrites some files; carried files must keep their masks,
+    // rewritten ones must not resurrect [0, 49]
+    Snapshots.deleteRange(spark, dir, "k", Some(900L), Some(949L))
+    assert(Snapshots.read(spark, dir).as[(Long, Double)].collect().map(_._1).sorted.toSeq
+      == (50L until 900L).toSeq ++ (950L until 1000L).toSeq)
+    // CoW merge touching a masked file's key range: ghost rows stay gone
+    Snapshots.mergeInto(spark, dir, Seq((60L, 99.0)).toDF("k", "p"), "k")
+    val got = Snapshots.read(spark, dir)
+    assert(got.filter(col("k") < 50).count() == 0, "CoW merge resurrected masked rows")
+    assert(got.filter(col("k") === 60).as[(Long, Double)].head()._2 == 99.0)
+    assert(got.count() == 900)
+  }
+
+  test("MoR merge with evolve adds a column; old rows surface NULLs (CoW twin too)") {
+    val dir = tmp(); val cow = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "p"))
+    Snapshots.commit(spark, cow, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "p"))
+    val up = Seq((2L, 20.0, "eu"), (3L, 3.0, "us")).toDF("k", "p", "region")
+    // refused without evolve, applied with it — on both strategies
+    intercept[IllegalArgumentException](Snapshots.mergeInto(spark, cow, up, "k"))
+    Snapshots.mergeInto(spark, cow, up, "k", evolve = true)
+    Snapshots.mergeIntoMor(spark, dir, up, "k", evolve = true)
+    def state(d: String) = Snapshots.read(spark, d)
+      .select("k", "p", "region").as[(Long, Double, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    val want = Seq((1L, 1.0, None), (2L, 20.0, Some("eu")), (3L, 3.0, Some("us")))
+    assert(state(cow) == want, s"CoW evolve merge diverged: ${state(cow)}")
+    assert(state(dir) == want, s"MoR evolve merge diverged: ${state(dir)}")
+    // the feed carries the evolved column, table columns first
+    val cols = Snapshots.readChangeFeed(spark, dir, 1, 2).columns.toSeq
+    assert(cols == Seq("k", "p", "region", "_change_type", "_commit_version"), cols)
+  }
+
+  test("Z-order maintenance next to a CDF consumer: zero-row feed, masks kept") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, kpTable()
+      .withColumn("c", col("k") % 37).repartitionByRange(4, col("k")))
+    Snapshots.clusterZOrder(spark, dir, "c", "k", 4)
+    Snapshots.commit(spark, dir,
+      spark.range(1000, 1200).toDF("k")
+        .withColumn("p", col("k") * 2.0).withColumn("c", col("k") % 37))
+    val vDel = Snapshots.deleteRangeMor(spark, dir, "k", Some(10L), Some(19L))
+    val vInc = Snapshots.clusterZOrderIncremental(spark, dir, "c", "k", 4)
+    assert(vInc > vDel)
+    // the incremental pass rewrote only the tail; the feed skips both
+    // maintenance versions and the masked rows stay deleted
+    val feed = Snapshots.readChangeFeed(spark, dir, 1, vInc)
+    assert(feed.filter(col("_commit_version") === vInc).count() == 0,
+      "maintenance leaked rows into the change feed")
+    assert(feed.filter(col("_change_type") === "delete").count() == 10)
+    assert(Snapshots.read(spark, dir).count() == 1190)
+    assert(Snapshots.read(spark, dir).filter(col("k").between(10, 19)).count() == 0,
+      "re-clustering resurrected masked rows")
+    // plain readChanges across maintenance-only spans yields zero rows
+    assert(Snapshots.readChanges(spark, dir, vDel, vInc).count() == 0)
+  }
+
+  test("feed range with an expired head refuses instead of silently dropping") {
+    val dir = tmp()
+    (1 to 4).foreach(i => Snapshots.commit(spark, dir, Seq((i.toLong, 1.0)).toDF("k", "p")))
+    Snapshots.expire(spark, dir, keepFrom = 3)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readChangeFeed(spark, dir, 1, 4))
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    intercept[IllegalArgumentException](Snapshots.readChanges(spark, dir, 1, 4))
+    // (3, 4] is contiguous and live — the guard must NOT fire there
+    assert(Snapshots.readChanges(spark, dir, 3, 4).count() == 1)
+    assert(Snapshots.readChangeFeed(spark, dir, 3, 4).count() == 1)
+  }
+
+  test("vacuum sweeps aged manifest publish temps, never live manifests") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, 1.0)).toDF("k", "p"))
+    val torn = java.nio.file.Paths.get(dir, "_manifests", ".v2.list.ab12cd34.tmp")
+    java.nio.file.Files.write(torn, "data/c2/part-bogus.parquet\n".getBytes("UTF-8"))
+    Thread.sleep(10)
+    assert(Snapshots.vacuumOrphans(spark, dir, graceMillis = 0) >= 1)
+    assert(!torn.toFile.exists(), "aged publish temp survived the sweep")
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(Snapshots.read(spark, dir).count() == 1)
+  }
+
+  test("vacuum sweeps orphaned _dv dirs; expire drops unreferenced ones") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, kpTable(100L))
+    val vDel = Snapshots.deleteRangeMor(spark, dir, "k", Some(0L), Some(9L))
+    // a crashed MoR writer's debris: a _dv dir no manifest references
+    val debris = java.nio.file.Paths.get(dir, "_dv", "c9-deadbeef")
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.write(debris.resolve("part-0.parquet"), Array[Byte](1, 2))
+    Thread.sleep(10)
+    assert(Snapshots.vacuumOrphans(spark, dir, graceMillis = 0) >= 1)
+    assert(!debris.toFile.exists(), "orphan _dv dir survived vacuum")
+    assert(Snapshots.read(spark, dir).count() == 90, "vacuum hit a live DV")
+    // the DV dir is carried by a later append: expire of the delete version
+    // must keep it (still referenced), expire past the append may drop it
+    Snapshots.commit(spark, dir, Seq((500L, 1.0)).toDF("k", "p"))
+    Snapshots.expire(spark, dir, keepFrom = vDel + 1)
+    assert(Snapshots.read(spark, dir).count() == 91,
+      "expire deleted a DV dir a surviving version still references")
+    val vC = Snapshots.compact(spark, dir, targetBytes = 1L << 20)
+    Snapshots.expire(spark, dir, keepFrom = vC)
+    assert(new java.io.File(s"$dir/_dv").listFiles() == null ||
+      new java.io.File(s"$dir/_dv").listFiles().isEmpty,
+      "expire left an unreferenced DV dir")
+    assert(Snapshots.read(spark, dir).count() == 91)
+  }
 }
