@@ -491,6 +491,37 @@ object Relational extends QueryModule {
       dir
     })
 
+  /** N-COLUMN Z-order twin of [[snapZDir]], exercising NON-INT dimensions:
+    * the table re-clusters on the interleaved bucket ranks of (o_custkey
+    * BIGINT, o_orderdate TIMESTAMP, o_totalprice DOUBLE) —
+    * [[Snapshots.clusterZOrderCols]] canonicalizes each column against
+    * sampled boundaries, so every dimension's per-file stats come out tight
+    * and the conjunctive 3-D read skips on each one (SnapshotSpec locks
+    * per-dimension skip counts). The oracle is the plain 3-way BETWEEN.
+    */
+  private val snapZColsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapZColsDir(s: SparkSession, d: String): String =
+    snapZColsDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapzc").toFile.getAbsolutePath
+      Snapshots.commit(s, dir, T.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"))
+      Snapshots.clusterZOrderCols(s, dir,
+        Seq("o_custkey", "o_orderdate", "o_totalprice"), 16)
+      dir
+    })
+
+  private def utcTs(iso: String): java.time.Instant =
+    java.time.LocalDateTime.parse(iso).toInstant(java.time.ZoneOffset.UTC)
+
+  private def qSnapshotZorderCols(s: SparkSession, d: String): DataFrame =
+    Snapshots.readRanges(s, snapZColsDir(s, d), Seq(
+        ("o_custkey", Some(10L), Some(40L)),
+        ("o_orderdate", Some(utcTs("1995-01-01T00:00:00")),
+          Some(utcTs("1996-12-31T23:59:59"))),
+        ("o_totalprice", Some(0.0), Some(150000.0))))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   /** Change-data-feed fixture: append → append → MERGE (updates + inserts)
     * → range DELETE, so the feed carries every `_change_type`. Keys are
     * `o_orderkey`, payload `o_totalprice`; the merge bumps every 10th key
@@ -710,7 +741,7 @@ object Relational extends QueryModule {
     */
   def prepareSnapshotFixtures(s: SparkSession, d: String): Unit = {
     snapDir(s, d); snapSkipDir(s, d); snapDelDir(s, d); snapZDir(s, d)
-    snapZIncDir(s, d); snapCdfDir(s, d); snapMergeDir(s, d)
+    snapZIncDir(s, d); snapZColsDir(s, d); snapCdfDir(s, d); snapMergeDir(s, d)
     snapDvDir(s, d); snapMergeEvoDir(s, d)
     snapBloomDir(s, d); mviewDir(s, d); mviewCdfDir(s, d); ()
   }
@@ -1166,6 +1197,7 @@ object Relational extends QueryModule {
     "q_snapshot_delete" -> qSnapshotDelete,
     "q_snapshot_zorder" -> qSnapshotZorder,
     "q_snapshot_zorder_inc" -> qSnapshotZorderInc,
+    "q_snapshot_zorder_cols" -> qSnapshotZorderCols,
     "q_snapshot_cdf" -> qSnapshotCdf,
     "q_mview_cdf" -> qMviewCdf,
     "q_snapshot_sql" -> qSnapshotSql,
@@ -1326,6 +1358,14 @@ object Relational extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_custkey BETWEEN 10 AND 40
         |  AND o_orderkey BETWEEN 0 AND 999
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_zorder_cols" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_custkey BETWEEN 10 AND 40
+        |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |    AND TIMESTAMP '1996-12-31 23:59:59'
+        |  AND o_totalprice BETWEEN 0.0 AND 150000.0
         |ORDER BY n""".stripMargin,
     "q_snapshot_changes" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,

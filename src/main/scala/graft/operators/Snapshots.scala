@@ -1229,6 +1229,89 @@ object Snapshots {
     v
   }
 
+  /** OPTIMIZE ZORDER over ANY number of columns of ANY orderable type
+    * (long/double/string/timestamp/date …) — the generalization of the
+    * two-int [[clusterZOrder]]. Each column is first CANONICALIZED to a
+    * small bucket rank (0 until `buckets`) against boundaries sampled from
+    * the data — the RangePartitioner recipe, so strings and timestamps
+    * rank exactly like ints — and the ranks' bits interleave into one
+    * Morton key the rewrite range-partitions and sorts by. Every listed
+    * column's per-file [min, max] comes out tight, so [[readRanges]] skips
+    * files on ANY single dimension or any conjunction. The rank math is
+    * plain Spark expressions (one `aggregate` fold over a broadcast
+    * boundary array per column — codegen'd, no UDF); the only driver-side
+    * data is the sampled boundary lists (`buckets`-sized per column).
+    * Published as a data-preserving replace: CDF tails skip it, pending
+    * merge-on-read deletes materialize through the masked read.
+    */
+  def clusterZOrderCols(spark: SparkSession, dir: String, cols: Seq[String],
+      targetFiles: Int, buckets: Int = 64): Int = {
+    import org.apache.spark.sql.functions.col
+    require(cols.size >= 2, "clusterZOrderCols wants >= 2 columns")
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val df = read(spark, dir, Some(cur))
+    val v = replacePreserving(spark, dir,
+      df.withColumn("__z", zorderKeyExpr(df, cols, buckets))
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z"),
+      expectedVersion = Some(cur),
+      meta = Map("zorder" -> cols.mkString(",")))
+    setProperties(spark, dir, Map("zorder.clustered_through" -> v.toString,
+      "zorder.cols" -> cols.mkString(",")))
+    v
+  }
+
+  /** The N-column Morton key: per column, rank = #(sampled boundaries ≤
+    * value) via one `aggregate` fold over the boundary array (NULL ranks
+    * lowest), then bit i of rank j lands at key bit `i·N + j`. Boundaries
+    * come from a seeded bounded sample — layout only ever affects WHICH
+    * file a row lands in, never results, so sampling costs nothing in
+    * correctness.
+    */
+  private def zorderKeyExpr(df: DataFrame, cols: Seq[String],
+      buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(buckets - 1))
+    val sampleTarget = buckets * 40
+    // bounded deterministic sample: one count + one sampled collect — both
+    // a sliver of the full-rewrite cost this maintenance pass already pays
+    val n = df.count()
+    val fraction = math.min(1.0, sampleTarget.toDouble / math.max(1L, n))
+    val sampled = df.select(cols.map(col): _*)
+      .sample(withReplacement = false, fraction, seed = 42L).collect()
+    val ranks = cols.zipWithIndex.map { case (c, j) =>
+      val vals = sampled.flatMap(r => Option(r.get(j))).sortWith(anyLt)
+      val bounds: Seq[Any] =
+        if (vals.isEmpty) Seq.empty
+        else (1 until buckets).map { b =>
+          vals(math.min(vals.length - 1, b * vals.length / buckets))
+        }.distinct
+      if (bounds.isEmpty) lit(0L)
+      else {
+        val arr = array(bounds.map(lit(_)): _*)
+        val rank = aggregate(arr, lit(0),
+          (acc, b) => acc + when(col(c) >= b, 1).otherwise(0))
+        when(col(c).isNull, lit(0L)).otherwise(rank.cast("long"))
+      }
+    }
+    (for (i <- 0 until bits; j <- cols.indices)
+      yield shiftleft(shiftright(ranks(j), i).bitwiseAND(lit(1L)),
+        i * cols.size + j))
+      .reduce(_ + _) // disjoint bit positions: + is |
+  }
+
+  /** Driver-side ordering for sampled boundary values — the same total
+    * order Spark's `>=` applies per type. */
+  private def anyLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Number, y: Number) => x.doubleValue < y.doubleValue
+    case (x: Comparable[_], y) =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    case _ => throw new IllegalArgumentException(
+      s"cannot order ${a.getClass.getSimpleName} for Z-order boundaries")
+  }
+
   /** INCREMENTAL OPTIMIZE ZORDER — cluster only the files appended since
     * the last clustering pass (the liquid-clustering / partial-rewrite
     * posture): `zorder.clustered_through` in the table props records the

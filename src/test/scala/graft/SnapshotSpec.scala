@@ -1222,6 +1222,60 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 1)
   }
 
+  test("clusterZOrderCols: each of 3 mixed-type dimensions skips files alone") {
+    val dir = tmp()
+    val base = java.time.LocalDateTime.parse("2020-01-01T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC)
+    val df = spark.range(4000).toDF("k")
+      .withColumn("c", (col("k") * 2654435761L) % 1000) // decorrelated dims
+      .withColumn("ts", timestamp_seconds(lit(base.getEpochSecond) +
+        ((col("k") * 40503L) % 86400L) * 365))
+      .withColumn("p", ((col("k") * 69069L) % 100000L).cast("double"))
+    Snapshots.commit(spark, dir, df.repartition(8))
+    val v = Snapshots.clusterZOrderCols(spark, dir, Seq("c", "ts", "p"), 16)
+    def skipped(ranges: Seq[(String, Option[Any], Option[Any])]): (Int, Int) = {
+      val (kept, all) = Snapshots.pruneFilesAll(spark, dir, v, ranges)
+      (kept.length, all.length)
+    }
+    val (kC, n1) = skipped(Seq(("c", Some(0L), Some(99L))))
+    val (kT, n2) = skipped(Seq(("ts",
+      Some(java.sql.Timestamp.from(base)),
+      Some(java.sql.Timestamp.from(base.plusSeconds(86400L * 365 / 10))))))
+    val (kP, n3) = skipped(Seq(("p", Some(0.0), Some(9999.0))))
+    assert(n1 == 16 && n2 == 16 && n3 == 16)
+    assert(kC <= n1 / 2, s"c-range kept $kC/$n1 — long dim not clustered")
+    assert(kT <= n2 / 2, s"ts-range kept $kT/$n2 — timestamp dim not clustered")
+    assert(kP <= n3 / 2, s"p-range kept $kP/$n3 — double dim not clustered")
+    // the conjunction skips at least as hard as the best single dimension
+    val (kAll, _) = skipped(Seq(
+      ("c", Some(0L), Some(99L)),
+      ("ts", Some(java.sql.Timestamp.from(base)),
+        Some(java.sql.Timestamp.from(base.plusSeconds(86400L * 365 / 10)))),
+      ("p", Some(0.0), Some(9999.0))))
+    assert(kAll <= Seq(kC, kT, kP).min)
+    // results stay exact through the rewrite
+    assert(Snapshots.read(spark, dir).count() == 4000)
+    assert(Snapshots.readRanges(spark, dir, Seq(("c", Some(0L), Some(99L))))
+      .count() == df.filter(col("c") <= 99).count())
+  }
+
+  test("clusterZOrderCols clusters STRING dimensions; CDF tails skip the rewrite") {
+    val dir = tmp()
+    val df = spark.range(2000).toDF("k")
+      .withColumn("lang", concat(lit("lang_"),
+        format_string("%03d", (col("k") * 7919L) % 200)))
+    Snapshots.commit(spark, dir, df.repartition(6))
+    val v = Snapshots.clusterZOrderCols(spark, dir, Seq("lang", "k"), 8)
+    val (kept, all) = Snapshots.pruneFiles(spark, dir, v, "lang",
+      Some("lang_000"), Some("lang_019"))
+    assert(all.length == 8 && kept.length <= all.length / 2,
+      s"string dim kept ${kept.length}/${all.length}")
+    assert(Snapshots.readRange(spark, dir, "lang", Some("lang_000"), Some("lang_019"))
+      .count() == df.filter(col("lang") <= "lang_019").count())
+    // the maintenance rewrite is feed-invisible
+    assert(Snapshots.readChangeFeed(spark, dir, 1, v).count() == 0)
+  }
+
   test("vacuum sweeps orphaned _dv dirs; expire drops unreferenced ones") {
     val dir = tmp()
     Snapshots.commit(spark, dir, kpTable(100L))
