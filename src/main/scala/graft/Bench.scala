@@ -58,6 +58,7 @@ object Bench {
       operators.Relational.prepareZOrderedLayout(spark, sfDir) // q_bbox_zorder
       operators.Relational.prepareCompactedLayout(spark, sfDir) // q_compact
       operators.Relational.prepareSnapshotFixtures(spark, sfDir) // q_snapshot_*/q_mview_*/q_time_travel
+      streaming.Streaming.prepareMviewLive(spark, sfDir) // q_mview_live serving loop
       text.TextIndex.prepareIndex(spark, sfDir) // q_bm25_indexed postings
       sources.SourceQueries.partitionedEventsDir(spark, sfDir)
       sources.SourceQueries.mixedDir // classic + HDF5 dir q_grid_federated reads

@@ -161,6 +161,41 @@ object Mview {
     }
   }
 
+  /** CONTINUOUS materialized view: tail the source's row-level CHANGE FEED
+    * as a stream and fold every arrival through [[refreshViaFeed]] — the
+    * live composition of the CDF streaming source and the feed-driven
+    * refresh. Each trigger costs O(changed rows) + O(view); upserts and
+    * deletes fold through the signed weights; maintenance commits
+    * (compaction, Z-order) are feed-invisible and fold as zero-row deltas.
+    *
+    * Exactly-once across restarts needs NO extra bookkeeping: the engine's
+    * checkpoint replays at most the last batch, and [[refreshViaFeed]]'s
+    * `src_version` commit-meta watermark (published atomically with each
+    * view version) makes any replay — or a fold that already covered the
+    * replayed range — a no-op. The CDF source additionally registers a
+    * retention pin, so a concurrent `expire` can never strand the tail.
+    * One serving stream per view (the watermark is per-table state).
+    */
+  def serveViaFeed(spark: SparkSession, srcDir: String, viewDir: String,
+      keys: Seq[String], sumCols: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("snapshots")
+      .option("path", srcDir)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        // the delivered batch is the wake-up signal; the fold re-derives
+        // (applied, head] from the manifests so it is idempotent under
+        // engine replays AND under having already folded ahead of the
+        // checkpointed offsets
+        refreshViaFeed(spark, srcDir, viewDir, keys, sumCols)
+        ()
+      }
+      .start()
+
   /** Full recompute at the source head — the resync after a source
     * replace/merge/delete rewrote history and [[refresh]] refused.
     */

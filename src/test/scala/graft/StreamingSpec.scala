@@ -923,6 +923,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"CDF tail diverged: extra ${got -- want}, missing ${want -- got}")
   }
 
+  test("live mview kill+restart: streamed view equals batch rebuild across merge/delete/compact") {
+    import graft.operators.{Mview, Snapshots}
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-mvkr-$tag").toFile.getAbsolutePath
+    val (src, view, ckpt) = (tmp("src"), tmp("v"), tmp("ck"))
+    Snapshots.commit(spark, src,
+      Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (2L, 3L, 30.0)).toDF("g", "k", "p"))
+    def serve() = Mview.serveViaFeed(spark, src, view, Seq("g"), Seq("p"), ckpt)
+    val q1 = serve()
+    q1.processAllAvailable()
+    Snapshots.mergeInto(spark, src,
+      Seq((1L, 2L, 200.0), (3L, 9L, 90.0)).toDF("g", "k", "p"), "k")
+    q1.processAllAvailable()
+    q1.stop() // kill mid-life
+    // commits land while the serving loop is DOWN — including maintenance
+    Snapshots.deleteRange(spark, src, "k", Some(3L), Some(3L))
+    Snapshots.compact(spark, src, targetBytes = 1L << 20)
+    Snapshots.commit(spark, src, Seq((2L, 11L, 40.0)).toDF("g", "k", "p"))
+    val q2 = serve() // restart from the checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+    val got = Snapshots.read(spark, view)
+      .select("g", "cnt", "sum_p", "cntv_p")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    // batch truth: aggregate the final source state directly
+    val want = Snapshots.read(spark, src).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("p").as("sum_p"), count("p").as("cntv_p"))
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want, s"live view diverged from batch rebuild: $got vs $want")
+    assert(got == Seq((1L, 2L, 210.0, 2L), (2L, 1L, 40.0, 1L), (3L, 1L, 90.0, 1L)),
+      s"unexpected final state: $got")
+  }
+
   test("live aggregate over an upsert table: CDF stream + signed weights equals batch") {
     import graft.operators.Snapshots
     val dir = java.nio.file.Files.createTempDirectory("graft-snapcdf-agg").toString
