@@ -77,6 +77,35 @@ class BehavioralSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
   }
 
+  test("item-CF ingest state: shard-folded counts equal the full rebuild exactly") {
+    import graft.analytics.Behavioral
+    val bk = Tables.lineitem(spark, TestSpark.sf)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct().cache()
+    // three ok-disjoint ingest shards (whole baskets per shard)
+    val shards = (0 to 2).map(i => bk.filter($"ok" % 3 === i))
+    val (cooc0, cnt0) = (Behavioral.itemcfCounts(shards(0)),
+      Behavioral.itemcfPartCounts(shards(0)))
+    val (cooc, cnt) = shards.drop(1).foldLeft((cooc0, cnt0)) {
+      case ((co, cn), sh) => Behavioral.appendItemcfShard(co, cn, sh)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(canon(cooc, "a", "b", "nab") ==
+      canon(Behavioral.itemcfCounts(bk), "a", "b", "nab"),
+      "incremental co-occurrence counts diverged from the full rebuild")
+    assert(cnt.as[(Long, Long)].collect().sorted.toSeq ==
+      Behavioral.itemcfPartCounts(bk).as[(Long, Long)].collect().sorted.toSeq,
+      "incremental part counts diverged")
+    // and the MODEL from maintained counts equals the one-shot build
+    val fromState = Behavioral.neighborsFromCounts(cooc, cnt)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val oneShot = Behavioral.neighborsFromCounts(
+      Behavioral.itemcfCounts(bk), Behavioral.itemcfPartCounts(bk))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(fromState == oneShot, "model from maintained state diverged")
+    bk.unpersist()
+  }
+
   test("q_recs_eval: metrics bounded and ordered, every held-out user counted once") {
     val rows = SparkEntry.queries("q_recs_eval")(spark, TestSpark.sf)
       .as[(String, Long, Double, Double, Double)].collect()
