@@ -103,6 +103,73 @@ class SnapshotChaosSpec extends AnyFunSuite {
     }
   }
 
+  /** The full mixed-writer TRIANGLE: a real streaming sink, a retrying
+    * MERGE upserter, and a compactor race the same table across 22
+    * randomized interleavings (jittered start order per round). Writer
+    * keyspaces are disjoint where ordering is racy (sink keys ≥ 10000,
+    * merge keys 0..6 written by one sequential upserter), so the final
+    * state is a deterministic model: no batch may be lost or duplicated,
+    * merge keys hold their LAST round's value, and the compactor's
+    * derived-replace conflicts abort loudly (caught + retried next round)
+    * rather than erasing concurrent commits.
+    */
+  test("chaos triangle: streaming sink + retrying upserter + compactor — no lost rows, loud conflicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos-tri").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chaos-tri-ck").toFile.getAbsolutePath
+    Snapshots.commit(spark, dir, Seq((0L, 0L)).toDF("k", "v"))
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("k", "v").writeStream.format("snapshots")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val rng = new scala.util.Random(77)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rounds = 22
+    var compactorLosses = 0
+    for (round <- 1 to rounds) {
+      val jitter = rng.nextInt(3) // which writer starts late this round
+      val fSink = Future {
+        if (jitter == 0) Thread.sleep(rng.nextInt(25).toLong)
+        mem.addData((10000L + round, round.toLong))
+        q.processAllAvailable()
+      }
+      val fMerge = Future {
+        if (jitter == 1) Thread.sleep(rng.nextInt(25).toLong)
+        Snapshots.mergeIntoRetry(spark, dir,
+          Seq(((round % 7).toLong, round.toLong)).toDF("k", "v"), "k")
+      }
+      val fCompact = Future {
+        if (jitter == 2) Thread.sleep(rng.nextInt(25).toLong)
+        try { Snapshots.compact(spark, dir, targetBytes = 1L << 20); 0 }
+        catch { case _: java.util.ConcurrentModificationException => 1 }
+      }
+      Await.result(fSink, 120.seconds)
+      Await.result(fMerge, 120.seconds)
+      compactorLosses += Await.result(fCompact, 120.seconds)
+    }
+    q.processAllAvailable()
+    q.stop()
+    // deterministic final model despite the racing
+    val sinkRows = (1 to rounds).map(r => (10000L + r, r.toLong))
+    val mergeRows = (0L until 7L).map(k =>
+      (k, (1 to rounds).filter(_ % 7 == k.toInt).max.toLong))
+    assert(readAll(dir) == (sinkRows ++ mergeRows).sorted,
+      s"triangle race lost or duplicated rows (compactor losses: $compactorLosses)")
+    info(s"compactor lost $compactorLosses of $rounds races, all loud")
+    // the derived-replace conflict rule itself, deterministically: a replace
+    // planned against a stale version must abort before touching the slot
+    val cur = Snapshots.currentVersion(spark, dir).get
+    Snapshots.commit(spark, dir, Seq((99999L, 1L)).toDF("k", "v"))
+    intercept[java.util.ConcurrentModificationException](
+      Snapshots.commit(spark, dir, Seq((1L, 1L)).toDF("k", "v"),
+        replace = true, expectedVersion = Some(cur)))
+    // and nothing was erased by the refused replace
+    assert(Snapshots.read(spark, dir).count() == (rounds + 7 + 1).toLong)
+  }
+
   test("chaos: four concurrent retrying appenders — head is the exact union, history linear") {
     val dir = java.nio.file.Files.createTempDirectory("graft-chaos-cc").toFile.getAbsolutePath
     Snapshots.commit(spark, dir, Seq((0L, 0L)).toDF("k", "v"))
