@@ -1333,6 +1333,33 @@ object Snapshots {
   def clusterZOrderIncremental(spark: SparkSession, dir: String, xCol: String,
       yCol: String, targetFiles: Int): Int = {
     import org.apache.spark.sql.functions.col
+    clusterIncremental(spark, dir, targetFiles, df =>
+      graft.functions.ZOrderFunctions.zorder64(
+        col(xCol).cast("int"), col(yCol).cast("int")))
+  }
+
+  /** [[clusterZOrderIncremental]] for the N-column any-type key of
+    * [[clusterZOrderCols]]: only the unclustered tail rewrites, ranked
+    * against boundaries sampled from the TAIL itself (each maintenance
+    * chunk is internally clustered — per-file stats stay tight inside
+    * every chunk, which is all [[readRanges]] pruning needs).
+    */
+  def clusterZOrderColsIncremental(spark: SparkSession, dir: String,
+      cols: Seq[String], targetFiles: Int, buckets: Int = 64): Int = {
+    require(cols.size >= 2, "clusterZOrderColsIncremental wants >= 2 columns")
+    clusterIncremental(spark, dir, targetFiles,
+      df => zorderKeyExpr(df, cols, buckets))
+  }
+
+  /** Shared incremental-clustering machinery: rewrite ONLY the files that
+    * joined after `zorder.clustered_through`, carrying every
+    * already-clustered file byte-identical; masked tail read (pending
+    * merge-on-read deletes materialize), filtered DV carry, row-preserving
+    * publish (CDF tails skip it).
+    */
+  private def clusterIncremental(spark: SparkSession, dir: String,
+      targetFiles: Int, keyOf: DataFrame => org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.col
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     val curFiles = files(spark, dir, cur)
@@ -1350,10 +1377,9 @@ object Snapshots {
     // masked tail read: pending merge-on-read deletes on tail files are
     // MATERIALIZED by this rewrite; masks on carried files survive in a
     // filtered DV so their deletes stay applied
+    val tailDf = maskedParquet(spark, dir, cur, tail.map(f => s"$dir/$f"))
     val fresh = writeData(spark, dir, next,
-      maskedParquet(spark, dir, cur, tail.map(f => s"$dir/$f"))
-        .withColumn("__z", graft.functions.ZOrderFunctions.zorder64(
-          col(xCol).cast("int"), col(yCol).cast("int")))
+      tailDf.withColumn("__z", keyOf(tailDf))
         .repartitionByRange(targetFiles, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z"))

@@ -1259,6 +1259,31 @@ class SnapshotSpec extends AnyFunSuite {
       .count() == df.filter(col("c") <= 99).count())
   }
 
+  test("clusterZOrderColsIncremental: only the tail rewrites, chunks both skip, no-op idles") {
+    val dir = tmp()
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).toDF("k")
+      .withColumn("c", (col("k") * 2654435761L) % 1000)
+      .withColumn("p", ((col("k") * 69069L) % 100000L).cast("double"))
+    Snapshots.commit(spark, dir, mk(0, 3000).repartition(6))
+    Snapshots.clusterZOrderCols(spark, dir, Seq("c", "p"), 16)
+    Snapshots.commit(spark, dir, mk(3000, 6000).repartition(6))
+    val before = Snapshots.files(spark, dir,
+      Snapshots.currentVersion(spark, dir).get)
+    val vInc = Snapshots.clusterZOrderColsIncremental(spark, dir, Seq("c", "p"), 16)
+    // clustered chunk carried byte-identical, only the tail rewrote
+    val after = Snapshots.files(spark, dir, vInc)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.size == 16, s"expected the 16 clustered files carried, got ${carried.size}")
+    // both chunks' stats skip on either dimension
+    val (kC, all) = Snapshots.pruneFiles(spark, dir, vInc, "c", Some(0L), Some(99L))
+    val (kP, _) = Snapshots.pruneFiles(spark, dir, vInc, "p", Some(0.0), Some(9999.0))
+    assert(kC.length <= all.length / 2, s"c kept ${kC.length}/${all.length}")
+    assert(kP.length <= all.length / 2, s"p kept ${kP.length}/${all.length}")
+    assert(Snapshots.read(spark, dir).count() == 6000)
+    // idle pass publishes nothing
+    assert(Snapshots.clusterZOrderColsIncremental(spark, dir, Seq("c", "p"), 16) == vInc)
+  }
+
   test("clusterZOrderCols clusters STRING dimensions; CDF tails skip the rewrite") {
     val dir = tmp()
     val df = spark.range(2000).toDF("k")
