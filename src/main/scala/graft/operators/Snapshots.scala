@@ -464,9 +464,13 @@ object Snapshots {
     // canonical column order = the table's (a using-key join in a commit
     // path may have moved columns; the STREAMING source binds the batch to
     // its declared schema positionally, so order is part of the contract)
-    val tableCols = read(spark, dir, Some(toVersion)).columns.toSeq
+    val head = read(spark, dir, Some(toVersion))
+    val tableCols = head.columns.toSeq
+    // one planned relation serves every zero-row part: planning a fresh
+    // mergeSchema read per empty version would re-read all of its footers
+    val headEmpty = head.limit(0)
     def emptyAt(v: Int) =
-      read(spark, dir, Some(v)).limit(0)
+      headEmpty
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(v))
     val parts = vs.map { v =>
