@@ -16,6 +16,27 @@ class PlansSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, TestSpark.sf).queryExecution.executedPlan.toString
   }
 
+  test("deletion-vector mask: broadcast anti-join over the scan, filters still pushed") {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plans-dv").toFile.getAbsolutePath
+    Snapshots.commit(spark, dir,
+      spark.range(5000).toDF("k").withColumn("p", org.apache.spark.sql.functions.col("k") * 2.0)
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("k")))
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(100L), Some(199L))
+    val q = Snapshots.read(spark, dir).filter($"k" > 1000)
+    q.collect() // let AQE finalize the executed plan
+    val plan = q.queryExecution.executedPlan.toString
+    // the deleted-rows-sized DV side broadcasts; the scan is never nested-looped
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV mask should plan as a broadcast anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the user filter still reaches the parquet scan BELOW the mask join
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,1000)]") ||
+      plan.contains("GreaterThan(k,1000)"),
+      s"filter failed to push below the DV mask:\n$plan")
+  }
+
   test("q1_pricing: shipdate filter reaches the parquet scan, columns pruned") {
     val plan = planOf("q1_pricing")
     assert(plan.contains("PushedFilters:"), plan)

@@ -923,6 +923,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"CDF tail diverged: extra ${got -- want}, missing ${want -- got}")
   }
 
+  test("CDF tail delivers merge-on-read (deletion-vector) changes row-level") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf-mor").toString
+    Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val rows = new java.util.concurrent.CopyOnWriteArrayList[(Int, String, Long, String)]()
+    val q = spark.readStream.format("snapshots").option("path", dir)
+      .option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => rows.add((
+          r.getAs[Int]("_commit_version"), r.getAs[String]("_change_type"),
+          r.getAs[Long]("k"), r.getAs[String]("v"))))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    // MoR upsert and MoR delete land mid-tail: zero data files rewrite,
+    // yet the feed carries the same row-level changes the CoW ops would
+    Snapshots.mergeIntoMor(spark, dir, Seq((1L, "A"), (3L, "c")).toDF("k", "v"), "k")
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(2L), Some(2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = rows.toArray.map(_.asInstanceOf[(Int, String, Long, String)]).toSet
+    val want = Set(
+      (1, "insert", 1L, "a"), (1, "insert", 2L, "b"),
+      (2, "update_pre", 1L, "a"), (2, "update_post", 1L, "A"),
+      (2, "insert", 3L, "c"),
+      (3, "delete", 2L, "b"))
+    assert(got == want, s"MoR CDF tail diverged: extra ${got -- want}, missing ${want -- got}")
+  }
+
   test("live mview kill+restart: streamed view equals batch rebuild across merge/delete/compact") {
     import graft.operators.{Mview, Snapshots}
     def tmp(tag: String) = java.nio.file.Files
