@@ -1666,6 +1666,43 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** [[mergeIntoMor]] with the conflict RETRY loop — the CDC-apply stream's
+    * writer next to compactors/appenders: each attempt re-derives from the
+    * CURRENT snapshot (candidate scan + DV union are deleted/updated-rows
+    * sized), so a lost version-slot race costs a rebase, never a wrong
+    * table.
+    */
+  def mergeIntoMorRetry(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String, meta: Map[String, String] = Map.empty,
+      maxAttempts: Int = 10, evolve: Boolean = false): Int = {
+    var attempt = 1
+    while (true) {
+      try return mergeIntoMor(spark, dir, updates, key, meta, evolve)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** [[deleteRangeMor]] with the conflict RETRY loop (same rebase rule). */
+  def deleteRangeMorRetry(spark: SparkSession, dir: String, column: String,
+      lower: Option[Any], upper: Option[Any],
+      meta: Map[String, String] = Map.empty, maxAttempts: Int = 10): Int = {
+    var attempt = 1
+    while (true) {
+      try return deleteRangeMor(spark, dir, column, lower, upper, meta)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
   private def countDistinctCol(key: String) = {
     import org.apache.spark.sql.functions.{col, countDistinct}
     countDistinct(col(key))

@@ -54,7 +54,7 @@ class SnapshotChaosSpec extends AnyFunSuite {
       }
 
       val cur = Snapshots.currentVersion(spark, dir).get
-      rng.nextInt(6) match {
+      rng.nextInt(8) match {
         case 0 => // append
           val r = rows(1 + rng.nextInt(20))
           val v = Snapshots.commit(spark, dir, r.toDF("k", "v"))
@@ -86,6 +86,17 @@ class SnapshotChaosSpec extends AnyFunSuite {
               Snapshots.versions(spark, dir).contains(v) }
           }
           Snapshots.vacuumOrphans(spark, dir, graceMillis = -1)
+        case 6 => // merge-on-read range delete (may be a provable no-op)
+          val a = rng.nextInt(60).toLong - 5; val b = a + rng.nextInt(15)
+          val v = Snapshots.deleteRangeMor(spark, dir, "k", Some(a), Some(b))
+          history += v -> history(cur).filterNot { case (k, _) => k >= a && k <= b }
+        case 7 => // merge-on-read upsert with key-unique updates
+          val upd = rows(1 + rng.nextInt(10))
+            .groupBy(_._1).map(_._2.head).toSeq
+          val v = Snapshots.mergeIntoMor(spark, dir, upd.toDF("k", "v"), "k")
+          val keys = upd.map(_._1).toSet
+          history += v ->
+            (history(cur).filterNot(r => keys(r._1)) ++ upd).sorted
       }
 
       assert(readAll(dir) == head, s"step $step: head diverged from the model")
@@ -138,8 +149,14 @@ class SnapshotChaosSpec extends AnyFunSuite {
       }
       val fMerge = Future {
         if (jitter == 1) Thread.sleep(rng.nextInt(25).toLong)
-        Snapshots.mergeIntoRetry(spark, dir,
-          Seq(((round % 7).toLong, round.toLong)).toDF("k", "v"), "k")
+        // alternate the upsert strategy: copy-on-write and merge-on-read
+        // retrying writers must both compose with the sink and compactor
+        if (round % 2 == 0)
+          Snapshots.mergeIntoRetry(spark, dir,
+            Seq(((round % 7).toLong, round.toLong)).toDF("k", "v"), "k")
+        else
+          Snapshots.mergeIntoMorRetry(spark, dir,
+            Seq(((round % 7).toLong, round.toLong)).toDF("k", "v"), "k")
       }
       val fCompact = Future {
         if (jitter == 2) Thread.sleep(rng.nextInt(25).toLong)

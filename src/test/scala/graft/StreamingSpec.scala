@@ -923,6 +923,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"CDF tail diverged: extra ${got -- want}, missing ${want -- got}")
   }
 
+  test("plain snapshot tail survives row-preserving maintenance with zero extra rows") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-tail-maint").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-tail-maint-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tail-maint-ck").toString
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val q = spark.readStream.format("snapshots").option("path", dir).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    // maintenance lands mid-tail: before r17 this killed the stream with
+    // the replace refusal; a data-preserving rewrite now tails as zero rows
+    Snapshots.compact(spark, dir, targetBytes = 1L << 20)
+    Snapshots.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"maintenance duplicated or dropped tail rows: $got")
+  }
+
   test("CDF tail delivers merge-on-read (deletion-vector) changes row-level") {
     import graft.operators.Snapshots
     val dir = java.nio.file.Files.createTempDirectory("graft-cdf-mor").toString
