@@ -267,6 +267,14 @@ object Snapshots {
     */
   private def writeData(spark: SparkSession, dir: String, next: Int,
       df: DataFrame): Seq[String] = {
+    // the masked-read machinery attaches __path/__fname/__pos internally;
+    // a data column under one of those names would silently corrupt every
+    // merge-on-read path — refuse at the write boundary
+    val reserved = df.columns.filter(c =>
+      c == "__path" || c == "__fname" || c == "__pos")
+    require(reserved.isEmpty,
+      s"$dir: column name(s) ${reserved.mkString(", ")} are reserved by the " +
+        "snapshots format")
     val (fs, _) = hfs(spark, dir)
     val dataRel = s"data/c$next-${java.util.UUID.randomUUID.toString.take(8)}"
     withStatFriendlyWrites(spark) {
@@ -1404,13 +1412,17 @@ object Snapshots {
   private def carryDvFor(spark: SparkSession, dir: String, prevVersion: Int,
       next: Int, carriedFiles: Seq[String]): Option[String] =
     dvRel(spark, dir, prevVersion).flatMap { rel =>
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.broadcast
       val names = carriedFiles.map(f =>
-        new org.apache.hadoop.fs.Path(f).getName).toSet
+        new org.apache.hadoop.fs.Path(f).getName).distinct
       if (names.isEmpty) None
       else {
+        // semi-join against a broadcast name table, not isin: a carried set
+        // can be 100k files and a 100k-literal predicate won't plan
+        import spark.implicits._
+        val nameDf = names.toDF("file_name")
         val kept = spark.read.parquet(s"$dir/$rel")
-          .filter(col("file_name").isin(names.toSeq: _*))
+          .join(broadcast(nameDf), Seq("file_name"), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           if (kept.isEmpty) None

@@ -452,7 +452,21 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext, dir: String,
       }
       else if (from == 0) Snapshots.read(spark, dir, Some(to))
       else Snapshots.readChanges(spark, dir, from, to)
-    StreamBridge.asStreaming(batch)
+    // bind to the DECLARED schema: the engine consumes the batch
+    // positionally, and a schema-evolving append mid-stream would
+    // otherwise widen the batch and misbind every column after the add.
+    // Evolved columns are deliberately dropped until the query restarts
+    // (re-inferring the schema) — the Delta source's contract; columns the
+    // batch lacks (a replay planning pre-evolution files) surface as
+    // typed NULLs.
+    val bound = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val present = batch.columns.toSet
+      batch.select(schema.map(f =>
+        if (present(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    }
+    StreamBridge.asStreaming(bound)
   }
 
   override def stop(): Unit = ()

@@ -1210,6 +1210,15 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.readChangeFeed(spark, dir, 3, 4).count() == 1)
   }
 
+  test("reserved __-columns refuse at the write boundary") {
+    val dir = tmp()
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commit(spark, dir, Seq((1L, 2L)).toDF("k", "__pos")))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, dir, Seq((1L, "x")).toDF("__fname", "v")))
+  }
+
   test("vacuum sweeps aged manifest publish temps, never live manifests") {
     val dir = tmp()
     Snapshots.commit(spark, dir, Seq((1L, 1.0)).toDF("k", "p"))

@@ -945,6 +945,31 @@ class StreamingSpec extends AnyFunSuite {
       s"maintenance duplicated or dropped tail rows: $got")
   }
 
+  test("snapshot tail binds to its declared schema across a mid-stream column add") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-tail-evo").toString
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val rows = new java.util.concurrent.CopyOnWriteArrayList[(Long, String)]()
+    val q = spark.readStream.format("snapshots").option("path", dir).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the batch must carry EXACTLY the declared columns, in order —
+        // an evolved extra column would misbind everything after it
+        assert(b.columns.toSeq == Seq("k", "v"), b.columns.toSeq)
+        b.collect().foreach(r => rows.add((r.getLong(0), r.getString(1))))
+        ()
+      }.start()
+    q.processAllAvailable()
+    // schema-evolving append lands MID-STREAM: the tail keeps delivering
+    // the declared columns (the new one waits for a query restart)
+    Snapshots.commit(spark, dir,
+      Seq((2L, "b", 9.0)).toDF("k", "v", "extra"), evolve = true)
+    q.processAllAvailable()
+    q.stop()
+    assert(rows.toArray.toSet == Set((1L, "a"), (2L, "b")),
+      s"evolved append misbound the tail: ${rows.toArray.toSet}")
+  }
+
   test("CDF tail delivers merge-on-read (deletion-vector) changes row-level") {
     import graft.operators.Snapshots
     val dir = java.nio.file.Files.createTempDirectory("graft-cdf-mor").toString
