@@ -1678,6 +1678,55 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** PARTIAL deletion-vector materialization (Delta's REORG PURGE /
+    * Iceberg's rewrite-position-deletes): rewrite ONLY the files whose
+    * masked-row fraction exceeds `maxMaskedFraction`, carrying every other
+    * file byte-identical with a filtered mask. This is the knob that
+    * bounds mask growth under continuous merge-on-read churn without
+    * paying [[compact]]'s full-table rewrite: scan cost tracks the
+    * heavily-deleted files, the decision itself is metadata (the DV
+    * aggregate is deleted-rows sized, per-file totals come from the stats
+    * sidecar). Data-preserving: CDF tails skip it. Returns the current
+    * version unchanged when no file crosses the threshold; a concurrent
+    * commit surfaces as [[java.util.ConcurrentModificationException]]
+    * (re-call to retry — the rewrite re-derives).
+    */
+  def purgeDeletes(spark: SparkSession, dir: String,
+      maxMaskedFraction: Double = 0.1): Int = {
+    require(maxMaskedFraction >= 0 && maxMaskedFraction < 1,
+      s"maxMaskedFraction $maxMaskedFraction out of [0, 1)")
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val rel = dvRel(spark, dir, cur) match {
+      case None => return cur // no mask, nothing to purge
+      case Some(r) => r
+    }
+    val masked: Map[String, Long] = spark.read.parquet(s"$dir/$rel")
+      .groupBy("file_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idx = stats(spark, dir, cur)
+    val all = files(spark, dir, cur)
+    val hot = all.filter { f =>
+      val name = new org.apache.hadoop.fs.Path(f).getName
+      masked.get(name).exists { m =>
+        idx.get(f).flatMap(_.values.headOption).map(_.rows) match {
+          case Some(rows) if rows > 0 => m.toDouble / rows > maxMaskedFraction
+          case _ => true // no usable row count: purge conservatively
+        }
+      }
+    }
+    if (hot.isEmpty) return cur
+    val untouched = all.filterNot(hot.toSet)
+    val next = cur + 1
+    val fresh = writeData(spark, dir, next,
+      maskedParquet(spark, dir, cur, hot.map(f => s"$dir/$f")))
+    val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
+    publish(spark, dir, next, untouched, fresh,
+      meta = Map("purge" -> s"${hot.length} of ${all.length} files"),
+      dv = dvCarry, noRowChange = true)
+    next
+  }
+
   /** [[mergeIntoMor]] with the conflict RETRY loop — the CDC-apply stream's
     * writer next to compactors/appenders: each attempt re-derives from the
     * CURRENT snapshot (candidate scan + DV union are deleted/updated-rows

@@ -1210,6 +1210,32 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.readChangeFeed(spark, dir, 3, 4).count() == 1)
   }
 
+  test("purgeDeletes rewrites only heavily-masked files; light masks carry") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, kpTable()) // 8 range-clustered files
+    // heavy deletes land in one file's key range, one stray row elsewhere
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(0L), Some(99L))
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(700L), Some(700L))
+    val before = Snapshots.files(spark, dir,
+      Snapshots.currentVersion(spark, dir).get)
+    val v = Snapshots.purgeDeletes(spark, dir, maxMaskedFraction = 0.3)
+    val after = Snapshots.files(spark, dir, v)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.size == before.size - 1,
+      s"purge should rewrite exactly the heavy file: carried ${carried.size}/${before.size}")
+    // the stray 1-row mask survives in a filtered DV; results stay exact
+    assert(Snapshots.deletionVectors(spark, dir, v).exists(_.count() == 1))
+    assert(Snapshots.read(spark, dir).as[(Long, Double)].collect().map(_._1).sorted.toSeq
+      == ((100L until 700L) ++ (701L until 1000L)).toSeq)
+    // data-preserving: the feed skips it; idle purge publishes nothing
+    assert(Snapshots.readChangeFeed(spark, dir, v - 1, v).count() == 0)
+    assert(Snapshots.purgeDeletes(spark, dir, maxMaskedFraction = 0.3) == v)
+    // purging everything (threshold 0) clears the mask entirely
+    val v2 = Snapshots.purgeDeletes(spark, dir, maxMaskedFraction = 0.0)
+    assert(Snapshots.deletionVectors(spark, dir, v2).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 899)
+  }
+
   test("reserved __-columns refuse at the write boundary") {
     val dir = tmp()
     val e = intercept[IllegalArgumentException](
