@@ -230,6 +230,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(args(2), "snapshot_changes to"))
           .queryExecution.logical
       }))
+    // `FROM snapshot_history('<dir>')` — DESCRIBE HISTORY: one row per
+    // version (commit time, file count, feed/DV/maintenance markers,
+    // commit metadata) — the admin surface before expire/compact/purge
+    ext.injectTableFunction((FunctionIdentifier("snapshot_history"),
+      info("snapshot_history"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "snapshot_history('<dir>')")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Snapshots.history(spark,
+          litString(args.head, "snapshot_history path"))
+          .queryExecution.logical
+      }))
     // `FROM bm25_search('<indexDir>'[, k])` / `FROM phrase_search('<indexDir>'
     // [, limit])` — retrieval served from a persistent text.TextIndex
     // directory. Like snapshot_scan's manifest read, the metadata-sized

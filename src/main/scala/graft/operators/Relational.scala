@@ -666,6 +666,20 @@ object Relational extends QueryModule {
       dir
     })
 
+  /** DESCRIBE HISTORY over the CDF fixture, through the SQL TVF: append,
+    * append, merge (records a feed), delete (records a feed) — the
+    * operational markers a table admin reads before expire/compact/purge.
+    * Commit times and file counts are environment-dependent, so the
+    * declared row keeps the deterministic columns; the oracle states them
+    * as VALUES.
+    */
+  private def qSnapshotHistory(s: SparkSession, d: String): DataFrame = {
+    val dir = snapCdfDir(s, d)
+    s.sql(s"""SELECT version, has_change_feed, has_deletion_vectors,
+             |  row_preserving
+             |FROM snapshot_history('$dir') ORDER BY version""".stripMargin)
+  }
+
   private def qSnapshotDv(s: SparkSession, d: String): DataFrame =
     Snapshots.read(s, snapDvDir(s, d))
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
@@ -1204,6 +1218,7 @@ object Relational extends QueryModule {
     "q_snapshot_tvf" -> qSnapshotTvf,
     "q_snapshot_merge" -> qSnapshotMerge,
     "q_snapshot_dv" -> qSnapshotDv,
+    "q_snapshot_history" -> qSnapshotHistory,
     "q_snapshot_merge_evolve" -> qSnapshotMergeEvolve,
     "q_mview_inc" -> qMviewInc,
     "q_mview_rewrite" -> qMviewRewrite,
@@ -1291,6 +1306,14 @@ object Relational extends QueryModule {
         |FROM orders WHERE o_orderkey NOT BETWEEN 200 AND 699
         |  AND o_orderkey NOT BETWEEN 1200 AND 1299
         |ORDER BY n""".stripMargin,
+    "q_snapshot_history" ->
+      """SELECT * FROM (VALUES
+        |  (1, false, false, false),
+        |  (2, false, false, false),
+        |  (3, true, false, false),
+        |  (4, true, false, false))
+        |AS t(version, has_change_feed, has_deletion_vectors, row_preserving)
+        |ORDER BY version""".stripMargin,
     "q_snapshot_merge_evolve" ->
       """WITH merged AS (
         |  SELECT o_totalprice + CASE WHEN o_orderkey < 1000 AND o_orderkey % 10 = 0

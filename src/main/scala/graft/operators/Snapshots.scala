@@ -594,6 +594,26 @@ object Snapshots {
         withPos.select(dataCols.toSeq.map(col): _*)
     }
 
+  /** DESCRIBE HISTORY: one row per published version — commit time, file
+    * count, whether it carried a recorded change feed / deletion vectors /
+    * the data-preserving marker, and the commit metadata (sorted `k=v`
+    * pairs). Driver-side manifest reads, O(versions) — the operational
+    * observability face of the format (what a table admin checks before
+    * expire/compact/purge). Also reachable in SQL as
+    * `FROM snapshot_history('<dir>')`.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, dir).map { v =>
+      val meta = commitMeta(spark, dir, v).toSeq.sortBy(_._1)
+        .map { case (k, x) => s"$k=$x" }.mkString(";")
+      (v, commitTime(spark, dir, v), files(spark, dir, v).length,
+        cdcRel(spark, dir, v).isDefined, dvRel(spark, dir, v).isDefined,
+        isRowPreserving(spark, dir, v), meta)
+    }.toDF("version", "commit_ms", "n_files", "has_change_feed",
+      "has_deletion_vectors", "row_preserving", "meta")
+  }
+
   /** Wall-clock publish time of one version (the manifest's modification
     * time — set by the atomic rename, i.e. the commit point). */
   def commitTime(spark: SparkSession, dir: String, version: Int): Long = {
