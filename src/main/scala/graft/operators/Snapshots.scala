@@ -1698,6 +1698,54 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** Key-driven row DELETE, merge-on-read — the delete half of CDC apply
+    * (a Debezium-shaped feed's `op = d` rows): every live table row whose
+    * `key` appears in `keys` is masked through the deletion vector; no
+    * data file rewrites. Touched-file discovery mirrors [[mergeIntoMor]]:
+    * the stats envelope narrows candidates, one masked scan pins the
+    * matching positions. The change feed records exactly the deleted
+    * rows. Returns the current version unchanged when nothing matches.
+    */
+  def deleteByKeysMor(spark: SparkSession, dir: String, keys: DataFrame,
+      key: String, meta: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit, min, max}
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val kp = keys.select(col(key)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val Array(h) = kp.agg(count(col(key)), min(col(key)), max(col(key))).collect()
+      if (h.getLong(0) == 0) return cur
+      val (candidates, _) = pruneFiles(spark, dir, cur, key,
+        Option(h.get(1)), Option(h.get(2)))
+      if (candidates.isEmpty) return cur
+      val prevDv = dvRel(spark, dir, cur)
+      val matching = openWithPos(spark, dir, candidates.map(f => s"$dir/$f"), prevDv)
+        .join(kp, Seq(key), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (matching.isEmpty) return cur
+        val next = cur + 1
+        val avail = matching.columns.toSet
+        val cdc = writeCdc(spark, dir, next,
+          matching.select(read(spark, dir, Some(cur)).schema.map(f =>
+              if (avail(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+            .withColumn("_change_type", lit("delete")))
+        val newRows = matching
+          .select(col("__fname").as("file_name"), col("__pos").as("pos"))
+        val allRows = prevDv match {
+          case None => newRows
+          case Some(rel) => spark.read.parquet(s"$dir/$rel").unionByName(newRows)
+        }
+        val dv = writeDv(spark, dir, next, allRows)
+        publish(spark, dir, next, files(spark, dir, cur), Seq.empty, meta,
+          Some(cdc), Some(dv))
+        next
+      } finally { matching.unpersist(); () }
+    } finally { kp.unpersist(); () }
+  }
+
   /** PARTIAL deletion-vector materialization (Delta's REORG PURGE /
     * Iceberg's rewrite-position-deletes): rewrite ONLY the files whose
     * masked-row fraction exceeds `maxMaskedFraction`, carrying every other

@@ -525,6 +525,44 @@ object Streaming extends QueryModule {
     ()
   }
 
+  /** OP-AWARE CDC apply — the full Debezium-shaped op set: each batch
+    * collapses to one latest row per key (the `ord` tie-break), rows whose
+    * `opCol` is `"d"` DELETE their key (merge-on-read, zero file
+    * rewrites), the rest UPSERT (merge-on-read appends). The `batch_id`
+    * marker rides the LAST commit of the batch, so a fully-applied batch
+    * replays as a no-op; a crash between the upsert and the delete commit
+    * replays the whole batch, and both halves are idempotent (same-key
+    * upserts overwrite themselves, deletes of absent keys no-op) — the
+    * effect is exactly-once. A delete followed by a later batch's upsert
+    * re-inserts the key, per CDC semantics.
+    */
+  def applyCdcBatchOps(batch: DataFrame, dir: String, key: String,
+      ord: Seq[String], opCol: String, batchId: Long): Unit = {
+    import graft.operators.Snapshots
+    val s = batch.sparkSession
+    if (lastAppliedCdcBatch(s, dir).exists(_ >= batchId)) return
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(ord.map(c => col(c).desc): _*)
+    val collapsed = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dels = collapsed.filter(col(opCol) === "d").select(col(key))
+      val ups = collapsed.filter(col(opCol) =!= "d").drop(opCol)
+      val meta = Map("graft.cdc.batch" -> batchId.toString)
+      val hasDel = !dels.isEmpty
+      if (!ups.isEmpty) {
+        val upMeta = if (hasDel) Map.empty[String, String] else meta
+        if (Snapshots.currentVersion(s, dir).isEmpty)
+          Snapshots.commit(s, dir, ups, meta = upMeta)
+        else Snapshots.mergeIntoMor(s, dir, ups, key, upMeta)
+      }
+      if (hasDel && Snapshots.currentVersion(s, dir).nonEmpty)
+        Snapshots.deleteByKeysMor(s, dir, dels, key, meta)
+      ()
+    } finally { collapsed.unpersist(); () }
+  }
+
   /** The streaming entry: upsert a CDC stream into the snapshot table at
     * `tableDir` via `foreachBatch` + [[applyCdcBatch]]. Restart-safe from
     * `checkpointDir` (StreamingSpec kills and resumes it mid-stream and
@@ -614,9 +652,38 @@ object Streaming extends QueryModule {
     * an ingest-time cost, paid with the other prepared layouts. */
   def prepareMviewLive(s: SparkSession, d: String): Unit = { qMviewLive(s, d); () }
 
+  /** The op-aware twin of [[qCdcApply]]: every 17th event arrives as a
+    * DELETE op, the rest upsert — three batches applied through
+    * [[applyCdcBatchOps]] (merge-on-read upserts + key-driven DV deletes).
+    * Per user the highest batch's (ts, event_id)-latest row decides:
+    * upsert → that row, delete → the user leaves the table (a later
+    * batch's upsert re-inserts). The oracle folds the same rule in one
+    * window.
+    */
+  private val cdcApplyDelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def qCdcApplyDel(s: SparkSession, d: String): DataFrame = {
+    val dir = cdcApplyDelDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdcdel")
+        .toFile.getAbsolutePath
+      val ev = T.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("op", when(col("event_id") % 17 === 0, "d").otherwise("u"))
+      (0 to 2).foreach { k =>
+        applyCdcBatchOps(ev.filter(col("event_id") % 3 === k), dir,
+          "user_id", Seq("ts", "event_id"), "op", k.toLong)
+      }
+      dir
+    })
+    graft.operators.Snapshots.read(s, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_stream" -> qDedupStream,
     "q_cdc_apply" -> qCdcApply,
+    "q_cdc_apply_del" -> qCdcApplyDel,
     "q_mview_live" -> qMviewLive,
     "q_tumble" -> qTumble,
     "q_drift_stream" -> qDriftStream,
@@ -643,6 +710,16 @@ object Streaming extends QueryModule {
         |SELECT g, count(*) AS cnt, round(sum(p), 2) AS total,
         |  count(p) AS n_priced
         |FROM state GROUP BY g ORDER BY g""".stripMargin,
+    // op-aware CDC apply: same per-user fold, but a winning DELETE op
+    // removes the user from the final table
+    "q_cdc_apply_del" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY (event_id % 3) DESC, ts DESC, event_id DESC) AS rn,
+        |    CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS is_del
+        |  FROM events)
+        |WHERE rn = 1 AND is_del = 0 ORDER BY user_id""".stripMargin,
     // CDC-apply twin: the three-merge upsert loop folds to one window —
     // highest batch (event_id % 3) per user wins, then latest (ts,
     // event_id) within it

@@ -1236,6 +1236,22 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 899)
   }
 
+  test("deleteByKeysMor masks exactly the keyed rows, zero files rewritten") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, kpTable())
+    val before = Snapshots.files(spark, dir, 1)
+    val v = Snapshots.deleteByKeysMor(spark, dir,
+      Seq(5L, 17L, 999L, 5000L).toDF("k"), "k") // 5000 absent: ignored
+    assert(Snapshots.files(spark, dir, v) == before, "key delete touched files")
+    val live = Snapshots.read(spark, dir).as[(Long, Double)].collect().map(_._1).toSet
+    assert(!live(5L) && !live(17L) && !live(999L) && live.size == 997)
+    // absent keys only → provable no-op, nothing published
+    assert(Snapshots.deleteByKeysMor(spark, dir, Seq(7777L).toDF("k"), "k") == v)
+    // the feed records exactly the three deletes
+    assert(Snapshots.readChangeFeed(spark, dir, 1, v)
+      .filter(col("_change_type") === "delete").count() == 3)
+  }
+
   test("reserved __-columns refuse at the write boundary") {
     val dir = tmp()
     val e = intercept[IllegalArgumentException](
