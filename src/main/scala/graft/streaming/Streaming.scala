@@ -252,6 +252,36 @@ object Streaming extends QueryModule {
       .orderBy("p_id", "c_id")
   }
 
+  /** FULL-OUTER stream-stream interval join — the last member of the
+    * family: matched (purchase, click) pairs PLUS never-matched purchases
+    * AND never-matched clicks, each null side emitted only once its own
+    * watermark proves no partner can still arrive. State stays bounded by
+    * the same watermark bookkeeping as the inner/left forms.
+    */
+  def purchaseAttributionFull(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, expr(
+      "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts < p_ts"),
+      "full_outer")
+      .select(col("p_id"), col("c_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"))
+  }
+
+  /** Batch twin of `purchaseAttributionFull`. Both join keys are nullable
+    * in the output, so the total order pins null placement explicitly on
+    * both engines (Spark defaults nulls first, DuckDB nulls last).
+    */
+  private def qAttributionFull(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d)
+    purchaseAttributionFull(
+      e.filter(col("event_type") === "purchase"),
+      e.filter(col("event_type") === "click"))
+      .orderBy(col("p_id").asc_nulls_first, col("c_id").asc_nulls_first)
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
@@ -692,7 +722,8 @@ object Streaming extends QueryModule {
     "q_session" -> qSession,
     "q_session_late" -> qSessionLate,
     "q_attribution" -> qAttribution,
-    "q_attribution_left" -> qAttributionLeft
+    "q_attribution_left" -> qAttributionLeft,
+    "q_attribution_full" -> qAttributionFull
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -828,6 +859,14 @@ object Streaming extends QueryModule {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
-        |ORDER BY p_id, c_id""".stripMargin
+        |ORDER BY p_id, c_id""".stripMargin,
+    "q_attribution_full" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  coalesce(p.user_id, c.user_id) AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
+        |ORDER BY p_id ASC NULLS FIRST, c_id ASC NULLS FIRST""".stripMargin
   )
 }

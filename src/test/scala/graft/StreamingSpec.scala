@@ -207,6 +207,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows().contains((2L, None)), s"unmatched purchase never emitted: ${rows()}")
   }
 
+  test("full-outer stream-stream join emits both sides' null rows after their watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = Streaming.purchaseAttributionFull(
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      clicks.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("attr_full_out")
+      .outputMode("append").start()
+    clicks.addData((100L, 7L, t("2024-01-01 10:00:00")), // matched by purchase 1
+      (101L, 5L, t("2024-01-01 10:00:00"))) // no purchase for user 5
+    purchases.addData((1L, 7L, t("2024-01-01 10:15:00")),
+      (2L, 8L, t("2024-01-01 10:15:00"))) // no click for user 8
+    q.processAllAvailable()
+    def rows() = spark.table("attr_full_out").select("p_id", "c_id")
+      .as[(Option[Long], Option[Long])].collect().toSet
+    // neither unmatched row is provably final yet
+    assert(!rows().contains((Some(2L), None)) && !rows().contains((None, Some(101L))),
+      s"null row emitted before its watermark: ${rows()}")
+    // advance both watermarks far past every open interval
+    clicks.addData((103L, 9L, t("2024-01-01 12:00:00")))
+    purchases.addData((3L, 9L, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows().contains((Some(1L), Some(100L))), s"matched row missing: ${rows()}")
+    assert(rows().contains((Some(2L), None)), s"unmatched purchase missing: ${rows()}")
+    assert(rows().contains((None, Some(101L))), s"unmatched click missing: ${rows()}")
+  }
+
   test("session_window under readStream: late data dropped, closed sessions equal the batch twin") {
     // the true-streaming form of q_session_late's semantics: watermarked
     // session windows in append mode emit each session once it can no longer
