@@ -359,13 +359,16 @@ object Snapshots {
       meta: Map[String, String] = Map.empty,
       cdc: Option[String] = None,
       dv: Option[String] = None,
-      noRowChange: Boolean = false): Unit = {
+      noRowChange: Boolean = false,
+      statsFrom: Option[Int] = None): Unit = {
     val (fs, _) = hfs(spark, dir)
     val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
     fs.mkdirs(md)
+    // carried stats come from the version that LISTED the carried files —
+    // the previous one for ordinary commits, the restored one for RESTORE
     val prevStats: Map[String, Map[String, ColStat]] =
       if (carried.isEmpty) Map.empty
-      else stats(spark, dir, next - 1)
+      else stats(spark, dir, statsFrom.getOrElse(next - 1))
     val statRows = carried.flatMap(f => prevStats.get(f).map(f -> _)) ++
       fresh.map(f => f -> footerStats(spark, s"$dir/$f"))
     def writeAtomic(name: String, body: Array[Byte],
@@ -1696,6 +1699,28 @@ object Snapshots {
       }
     }
     -1 // unreachable
+  }
+
+  /** RESTORE: publish a NEW version whose content is exactly snapshot
+    * `toVersion` — the roll-back after a bad write (Delta's RESTORE TABLE).
+    * Pure metadata: the restored version's files (and deletion vector, and
+    * stats) are carried by reference, nothing is copied or rewritten, and
+    * history stays intact — the bad versions remain readable until
+    * retention drops them. Incremental readers refuse across a restore
+    * (history visibly rewound — resync from a snapshot), like any replace.
+    * Requires `toVersion` to still exist (not expired).
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    require(versions(spark, dir).contains(toVersion),
+      s"$dir: cannot restore to v$toVersion — it does not exist (expired?)")
+    if (toVersion == cur) return cur
+    val next = cur + 1
+    publish(spark, dir, next, files(spark, dir, toVersion), Seq.empty,
+      meta = Map("restore" -> s"v$toVersion"),
+      dv = dvRel(spark, dir, toVersion), statsFrom = Some(toVersion))
+    next
   }
 
   /** Key-driven row DELETE, merge-on-read — the delete half of CDC apply

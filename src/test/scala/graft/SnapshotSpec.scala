@@ -1236,6 +1236,32 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 899)
   }
 
+  test("restore rolls the head back by reference; history, stats and masks intact") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, kpTable())
+    val vDel = Snapshots.deleteRangeMor(spark, dir, "k", Some(0L), Some(49L))
+    Snapshots.deleteRange(spark, dir, "k", Some(100L), Some(899L)) // the "bad" write
+    assert(Snapshots.read(spark, dir).count() == 150)
+    val vR = Snapshots.restore(spark, dir, vDel)
+    // content equals the restored version exactly — incl. its DV mask
+    assert(Snapshots.read(spark, dir).as[(Long, Double)].collect().sorted.toSeq ==
+      Snapshots.read(spark, dir, Some(vDel)).as[(Long, Double)].collect().sorted.toSeq)
+    assert(Snapshots.read(spark, dir).count() == 950)
+    // pure metadata: the restored head lists vDel's files byte-identical
+    assert(Snapshots.files(spark, dir, vR) == Snapshots.files(spark, dir, vDel))
+    // the bad version stays readable; stats survived the carry (pruning live)
+    assert(Snapshots.read(spark, dir, Some(vR - 1)).count() == 150)
+    val (kept, all) = Snapshots.pruneFiles(spark, dir, vR, "k", Some(900L), Some(999L))
+    assert(kept.length < all.length, "restore lost the carried stats")
+    // incremental readers refuse across the rewind
+    intercept[IllegalArgumentException](
+      Snapshots.readChanges(spark, dir, vDel, vR).count())
+    // restoring to the current head is a no-op; expired targets refuse
+    assert(Snapshots.restore(spark, dir, vR) == vR)
+    assert(Snapshots.history(spark, dir).filter(col("version") === vR)
+      .select("meta").as[String].head().contains(s"restore=v$vDel"))
+  }
+
   test("deleteByKeysMor masks exactly the keyed rows, zero files rewritten") {
     val dir = tmp()
     Snapshots.commit(spark, dir, kpTable())
