@@ -666,6 +666,29 @@ object Relational extends QueryModule {
       dir
     })
 
+  /** RESTORE fixture: two appends, a destructive range delete (the "bad
+    * write"), then [[Snapshots.restore]] back to v2 — the declared query
+    * reads the restored head, whose content must equal v2 exactly even
+    * though the table went through the delete. The oracle states v2's
+    * defining slice.
+    */
+  private val snapRestoreDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapRestoreDir(s: SparkSession, d: String): String =
+    snapRestoreDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snaprst").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderkey", "o_totalprice")
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 3 === 0))
+      val v2 = Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 3 === 1))
+      Snapshots.deleteRange(s, dir, "o_orderkey", Some(0L), Some(100000000L))
+      Snapshots.restore(s, dir, v2)
+      dir
+    })
+
+  private def qSnapshotRestore(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, snapRestoreDir(s, d))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   /** DESCRIBE HISTORY over the CDF fixture, through the SQL TVF: append,
     * append, merge (records a feed), delete (records a feed) — the
     * operational markers a table admin reads before expire/compact/purge.
@@ -756,7 +779,7 @@ object Relational extends QueryModule {
   def prepareSnapshotFixtures(s: SparkSession, d: String): Unit = {
     snapDir(s, d); snapSkipDir(s, d); snapDelDir(s, d); snapZDir(s, d)
     snapZIncDir(s, d); snapZColsDir(s, d); snapCdfDir(s, d); snapMergeDir(s, d)
-    snapDvDir(s, d); snapMergeEvoDir(s, d)
+    snapDvDir(s, d); snapMergeEvoDir(s, d); snapRestoreDir(s, d)
     snapBloomDir(s, d); mviewDir(s, d); mviewCdfDir(s, d); ()
   }
 
@@ -1219,6 +1242,7 @@ object Relational extends QueryModule {
     "q_snapshot_merge" -> qSnapshotMerge,
     "q_snapshot_dv" -> qSnapshotDv,
     "q_snapshot_history" -> qSnapshotHistory,
+    "q_snapshot_restore" -> qSnapshotRestore,
     "q_snapshot_merge_evolve" -> qSnapshotMergeEvolve,
     "q_mview_inc" -> qMviewInc,
     "q_mview_rewrite" -> qMviewRewrite,
@@ -1305,6 +1329,11 @@ object Relational extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey NOT BETWEEN 200 AND 699
         |  AND o_orderkey NOT BETWEEN 1200 AND 1299
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_restore" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |ORDER BY n""".stripMargin,
     "q_snapshot_history" ->
       """SELECT * FROM (VALUES
