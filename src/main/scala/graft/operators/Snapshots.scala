@@ -94,14 +94,33 @@ object Snapshots {
     * Spark's INT96 legacy default writes NO column statistics, which would
     * silently disable data skipping on every timestamp column. Set around
     * the write and restored, so the caller's session is untouched.
+    *
+    * REFERENCE-COUNTED per session, not save/restore: snapshot writers can
+    * overlap across threads (a live-view stream's foreachBatch commit next
+    * to a main-thread merge), and naive save/restore races — the later
+    * entrant saves the earlier one's "TIMESTAMP_MICROS" as its `prev` and
+    * restores it on exit, leaving the session conf permanently tainted.
+    * With a depth counter the outermost entrant alone saves and restores.
     */
+  private class StatWriteState { var depth = 0; var prev: Option[String] = None }
+  private val statWriteStates =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, StatWriteState]()
   private def withStatFriendlyWrites[T](spark: SparkSession)(body: => T): T = {
     val k = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(k)
-    spark.conf.set(k, "TIMESTAMP_MICROS")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(k, v)
-      case None => spark.conf.unset(k)
+    val st = statWriteStates.computeIfAbsent(spark, _ => new StatWriteState)
+    st.synchronized {
+      if (st.depth == 0) {
+        st.prev = spark.conf.getOption(k)
+        spark.conf.set(k, "TIMESTAMP_MICROS")
+      }
+      st.depth += 1
+    }
+    try body finally st.synchronized {
+      st.depth -= 1
+      if (st.depth == 0) st.prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
     }
   }
 
