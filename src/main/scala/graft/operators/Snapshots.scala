@@ -809,6 +809,38 @@ object Snapshots {
       meta = Map("compaction" -> s"$total bytes -> $n files"))
   }
 
+  /** Predicate-SCOPED compaction: bin-pack only the files whose stats
+    * intersect `column BETWEEN lower AND upper`, carrying every other file
+    * byte-identical — OPTIMIZE WHERE, the form a 100 TB table actually
+    * runs (fold yesterday's micro-batch files without touching the other
+    * 36 months). Small files outside the range cost nothing; pending
+    * merge-on-read deletes on the rewritten files materialize, masks on
+    * carried files survive in a filtered DV. Data-preserving: CDF tails
+    * skip it. No-op (current version, nothing published) when at most one
+    * file intersects the range.
+    */
+  def compactRange(spark: SparkSession, dir: String, column: String,
+      lower: Option[Any], upper: Option[Any], targetBytes: Long): Int = {
+    val (fs, _) = hfs(spark, dir)
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val (hot, all) = pruneFilesAll(spark, dir, cur, Seq((column, lower, upper)))
+    if (hot.length <= 1) return cur // nothing to fold
+    val untouched = all.filterNot(hot.toSet)
+    val total = hot
+      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen)
+      .sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val next = cur + 1
+    val fresh = writeData(spark, dir, next,
+      maskedParquet(spark, dir, cur, hot.map(f => s"$dir/$f")).repartition(n))
+    val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
+    publish(spark, dir, next, untouched, fresh,
+      meta = Map("compaction" -> s"$column-scoped: ${hot.length} files -> $n"),
+      dv = dvCarry, noRowChange = true)
+    next
+  }
+
   /** A replace commit that PRESERVES the table's visible rows (compaction,
     * re-clustering): published with the `#norowchange` marker so change-feed
     * consumers skip it (zero rows) instead of refusing — maintenance next

@@ -1236,6 +1236,37 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 899)
   }
 
+  test("compactRange folds only the files intersecting the range") {
+    val dir = tmp()
+    // 6 ingest bursts, each leaving 4 small files in its own key decade
+    for (i <- 0 until 6)
+      Snapshots.commit(spark, dir,
+        spark.range(i * 1000L, i * 1000L + 1000L).toDF("k")
+          .withColumn("p", col("k") * 2.0).repartition(4))
+    val before = Snapshots.files(spark, dir, 6)
+    assert(before.size == 24)
+    // a MoR delete inside AND outside the compaction range
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(4500L), Some(4599L))
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(10L), Some(19L))
+    val v = Snapshots.compactRange(spark, dir, "k", Some(4000L), Some(5999L),
+      targetBytes = 1L << 20)
+    val after = Snapshots.files(spark, dir, v)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.size == 16, s"expected the 16 out-of-range files carried, " +
+      s"got ${carried.size} of ${after.size}")
+    assert(after.size < before.size, "in-range files were not folded")
+    // in-range mask materialized, out-of-range mask survives
+    assert(Snapshots.read(spark, dir).count() == 6000 - 110)
+    assert(Snapshots.read(spark, dir).filter(col("k").between(4500, 4599)).count() == 0)
+    assert(Snapshots.read(spark, dir).filter(col("k").between(10, 19)).count() == 0)
+    assert(Snapshots.deletionVectors(spark, dir, v).exists(_.count() == 10))
+    // feed-invisible; out-of-range probe skips the folded region's files
+    assert(Snapshots.readChangeFeed(spark, dir, v - 1, v).count() == 0)
+    // a range touching at most one file publishes nothing
+    assert(Snapshots.compactRange(spark, dir, "k", Some(-10L), Some(-1L),
+      targetBytes = 1L << 20) == v)
+  }
+
   test("restore rolls the head back by reference; history, stats and masks intact") {
     val dir = tmp()
     Snapshots.commit(spark, dir, kpTable())
