@@ -187,6 +187,61 @@ class SnapshotChaosSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == (rounds + 7 + 1).toLong)
   }
 
+  /** CDC COMPLETENESS: for ANY op mix without blind replaces, the signed
+    * fold of the change feed (+insert/update_post, −update_pre/delete)
+    * over the starting snapshot reconstructs the head EXACTLY — rows may
+    * never be double-reported, dropped, or mis-typed, and maintenance
+    * versions must contribute nothing. This is the invariant every
+    * downstream incremental consumer (mview, reverse ETL) silently
+    * assumes.
+    */
+  test("property: folding the change feed reconstructs the head across random op mixes") {
+    val rng = new scala.util.Random(4242)
+    for (trial <- 0 until 2) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdcfold").toFile.getAbsolutePath
+      var next = 100000L * trial
+      def rows(n: Int): Seq[Row2] =
+        Seq.fill(n) { next += 1; (next % 97, next) } // recycled keys force matches
+      Snapshots.commit(spark, dir, rows(40).toDF("k", "v"))
+      val v1Content = readAll(dir)
+      for (_ <- 1 to 14) {
+        rng.nextInt(7) match {
+          case 0 => Snapshots.commit(spark, dir, rows(1 + rng.nextInt(10)).toDF("k", "v"))
+          case 1 =>
+            val upd = rows(1 + rng.nextInt(8)).groupBy(_._1).map(_._2.head).toSeq
+            Snapshots.mergeInto(spark, dir, upd.toDF("k", "v"), "k")
+          case 2 =>
+            val upd = rows(1 + rng.nextInt(8)).groupBy(_._1).map(_._2.head).toSeq
+            Snapshots.mergeIntoMor(spark, dir, upd.toDF("k", "v"), "k")
+          case 3 =>
+            val a = rng.nextInt(97).toLong; val b = a + rng.nextInt(10)
+            Snapshots.deleteRange(spark, dir, "k", Some(a), Some(b))
+          case 4 =>
+            val a = rng.nextInt(97).toLong; val b = a + rng.nextInt(10)
+            Snapshots.deleteRangeMor(spark, dir, "k", Some(a), Some(b))
+          case 5 => Snapshots.compact(spark, dir, targetBytes = 1L << 20)
+          case 6 => Snapshots.clusterZOrderIncremental(spark, dir, "k", "v", 4)
+        }
+      }
+      val head = Snapshots.currentVersion(spark, dir).get
+      val feed = Snapshots.readChangeFeed(spark, dir, 1, head)
+        .select(col("k"), col("v"), col("_change_type"))
+        .as[(Long, Long, String)].collect()
+      val folded = scala.collection.mutable.Map.empty[Row2, Long]
+        .withDefaultValue(0L)
+      v1Content.foreach(r => folded(r) += 1)
+      feed.foreach { case (k, v, ct) =>
+        val w = if (ct == "insert" || ct == "update_post") 1L else -1L
+        folded((k, v)) += w
+      }
+      assert(folded.values.forall(c => c == 0L || c == 1L),
+        s"trial $trial: feed fold produced multiplicities ${folded.values.toSet}")
+      val reconstructed = folded.collect { case (r, 1L) => r }.toSeq.sorted
+      assert(reconstructed == readAll(dir),
+        s"trial $trial: feed fold diverged from the head")
+    }
+  }
+
   test("chaos: four concurrent retrying appenders — head is the exact union, history linear") {
     val dir = java.nio.file.Files.createTempDirectory("graft-chaos-cc").toFile.getAbsolutePath
     Snapshots.commit(spark, dir, Seq((0L, 0L)).toDF("k", "v"))
