@@ -689,6 +689,28 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** Column-mapping fixture: half of orders committed under the original
+    * name, the column RENAMED (metadata-only), the other half appended
+    * under the NEW name — the read must fuse both file generations into
+    * ONE logical column. The oracle aggregates the full table.
+    */
+  private val snapRenameDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapRenameDir(s: SparkSession, d: String): String =
+    snapRenameDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapren").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderkey", "o_totalprice")
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 2 === 0))
+      Snapshots.renameColumn(s, dir, "o_totalprice", "price")
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumnRenamed("o_totalprice", "price"))
+      dir
+    })
+
+  private def qSnapshotRename(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, snapRenameDir(s, d))
+      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   /** DESCRIBE HISTORY over the CDF fixture, through the SQL TVF: append,
     * append, merge (records a feed), delete (records a feed) — the
     * operational markers a table admin reads before expire/compact/purge.
@@ -779,7 +801,7 @@ object Relational extends QueryModule {
   def prepareSnapshotFixtures(s: SparkSession, d: String): Unit = {
     snapDir(s, d); snapSkipDir(s, d); snapDelDir(s, d); snapZDir(s, d)
     snapZIncDir(s, d); snapZColsDir(s, d); snapCdfDir(s, d); snapMergeDir(s, d)
-    snapDvDir(s, d); snapMergeEvoDir(s, d); snapRestoreDir(s, d)
+    snapDvDir(s, d); snapMergeEvoDir(s, d); snapRestoreDir(s, d); snapRenameDir(s, d)
     snapBloomDir(s, d); mviewDir(s, d); mviewCdfDir(s, d); ()
   }
 
@@ -1243,6 +1265,7 @@ object Relational extends QueryModule {
     "q_snapshot_dv" -> qSnapshotDv,
     "q_snapshot_history" -> qSnapshotHistory,
     "q_snapshot_restore" -> qSnapshotRestore,
+    "q_snapshot_rename" -> qSnapshotRename,
     "q_snapshot_merge_evolve" -> qSnapshotMergeEvolve,
     "q_mview_inc" -> qMviewInc,
     "q_mview_rewrite" -> qMviewRewrite,
@@ -1330,6 +1353,10 @@ object Relational extends QueryModule {
         |FROM orders WHERE o_orderkey NOT BETWEEN 200 AND 699
         |  AND o_orderkey NOT BETWEEN 1200 AND 1299
         |ORDER BY n""".stripMargin,
+    "q_snapshot_rename" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders ORDER BY n""".stripMargin,
     "q_snapshot_restore" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

@@ -71,6 +71,107 @@ object Snapshots {
     require(fs.rename(tmp, fin), s"$dir: table.props publish failed")
   }
 
+  // -------------------------------------------------- column mapping
+  // Delta's column-mapping idea in name mode: a column's PHYSICAL parquet
+  // name is fixed at its first append; RENAME records physical→logical in
+  // the table props (metadata-only — zero files rewritten), DROP records
+  // the physical in a hidden set. Reads translate physical→logical and
+  // hide dropped columns at the two scan choke points (maskedParquet /
+  // openWithPos); writes translate logical→physical at the single write
+  // choke point (writeData). Stats/blooms/pruning stay keyed physical;
+  // callers pass logical names and [[toPhysical]] translates. The mapping
+  // is table-level (not versioned): renames apply to time-travel reads of
+  // older versions too — simpler than Delta's versioned metadata, and the
+  // mapping is invertible so no data ambiguity arises.
+
+  /** One props read → (physical→logical renames, dropped physicals). */
+  private def mappingState(spark: SparkSession,
+      dir: String): (Map[String, String], Set[String]) = {
+    val props = properties(spark, dir)
+    val renames = props.collect {
+      case (k, v) if k.startsWith("colmap.ren.") =>
+        k.stripPrefix("colmap.ren.") -> v
+    }
+    val dropped = props.get("colmap.dropped")
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    (renames, dropped)
+  }
+
+  private def colMapping(spark: SparkSession, dir: String): Map[String, String] =
+    mappingState(spark, dir)._1
+
+  private def droppedCols(spark: SparkSession, dir: String): Set[String] =
+    mappingState(spark, dir)._2
+
+  /** Physical name of a logical column (identity when never renamed). */
+  private[graft] def toPhysical(spark: SparkSession, dir: String,
+      logical: String): String =
+    colMapping(spark, dir).collectFirst {
+      case (p, l) if l == logical => p
+    }.getOrElse(logical)
+
+  /** Apply the column mapping to a PHYSICAL frame: hide dropped physicals,
+    * surface renamed ones under their logical names. Internal `__` columns
+    * pass through untouched. */
+  private def applyMapping(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (renames, dropped) = mappingState(spark, dir)
+    if (renames.isEmpty && dropped.isEmpty) df
+    else df.select(df.columns.toSeq.collect {
+      case c if c.startsWith("__") => col(c)
+      case c if !dropped.contains(c) => col(c).as(renames.getOrElse(c, c))
+    }: _*)
+  }
+
+  /** Reverse-apply the mapping to a LOGICAL frame before a data write. */
+  private def toPhysicalFrame(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val m = colMapping(spark, dir) // physical -> logical
+    if (m.isEmpty) df
+    else {
+      val rev = m.map(_.swap) // logical -> physical
+      df.select(df.columns.toSeq.map(c =>
+        col(c).as(rev.getOrElse(c, c))): _*)
+    }
+  }
+
+  /** RENAME a column — metadata-only (zero files touched): the logical
+    * name changes for every read path (API, SQL, TVF, feed) while data
+    * files keep their physical name. Appends must carry the NEW name
+    * afterwards; the old name refuses like any unknown column.
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Unit = {
+    val logical = read(spark, dir).columns.toSet
+    require(logical.contains(from), s"$dir: no column '$from' to rename")
+    require(!logical.contains(to), s"$dir: column '$to' already exists")
+    require(!to.startsWith("__"), s"$dir: '$to' is a reserved name")
+    val phys = toPhysical(spark, dir, from)
+    // the new logical name must not shadow a live or dropped PHYSICAL name
+    // (an append would then write a colliding parquet column)
+    val usedPhysical = droppedCols(spark, dir) ++
+      read(spark, dir).columns.map(toPhysical(spark, dir, _)).toSet
+    require(!usedPhysical.contains(to) || phys == to,
+      s"$dir: '$to' collides with a physical column name — pick another")
+    setProperties(spark, dir, Map(s"colmap.ren.$phys" -> to))
+  }
+
+  /** DROP a column — metadata-only: the physical column is hidden from
+    * every read and excluded from the expected append schema; its bytes
+    * stay in place until files naturally rewrite. Re-adding the same
+    * logical name later refuses (the hidden physical would resurrect).
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Unit = {
+    val logical = read(spark, dir).columns.toSet
+    require(logical.contains(name), s"$dir: no column '$name' to drop")
+    require(logical.size > 1, s"$dir: cannot drop the last column")
+    val phys = toPhysical(spark, dir, name)
+    val dropped = droppedCols(spark, dir) + phys
+    setProperties(spark, dir, Map("colmap.dropped" -> dropped.toSeq.sorted.mkString(",")))
+  }
+
   /** Declare per-file parquet BLOOM FILTERS for `cols` (Delta's bloom
     * index, via parquet's own standard mechanism): every subsequent data
     * write — commit, merge rewrite, delete rewrite — emits a bloom per row
@@ -88,7 +189,10 @@ object Snapshots {
 
   private def bloomWriteOptions(spark: SparkSession, dir: String): Map[String, String] =
     bloomColumns(spark, dir)
-      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+      // declared names may be logical (post-rename); the writer sees the
+      // physical frame, so the option must key the physical name
+      .map(c => s"parquet.bloom.filter.enabled#${toPhysical(spark, dir, c)}" -> "true")
+      .toMap
 
   /** Snapshot data files always carry TIMESTAMP_MICROS (INT64) timestamps:
     * Spark's INT96 legacy default writes NO column statistics, which would
@@ -296,8 +400,11 @@ object Snapshots {
         "snapshots format")
     val (fs, _) = hfs(spark, dir)
     val dataRel = s"data/c$next-${java.util.UUID.randomUUID.toString.take(8)}"
+    // the single write choke point: logical frames land under their
+    // PHYSICAL column names, so renamed columns stay one column on disk
+    val physical = toPhysicalFrame(spark, dir, df)
     withStatFriendlyWrites(spark) {
-      df.write.options(bloomWriteOptions(spark, dir))
+      physical.write.options(bloomWriteOptions(spark, dir))
         .mode("overwrite").parquet(s"$dir/$dataRel")
     }
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
@@ -364,6 +471,18 @@ object Snapshots {
     if (added.nonEmpty && !evolve) throw new IllegalArgumentException(
       s"$dir: append adds column(s) ${added.toSeq.sorted.mkString(", ")} — " +
         "pass evolve = true to extend the schema")
+    if (added.nonEmpty) {
+      // a new logical column becomes a physical parquet column of the same
+      // name — it must not collide with a HIDDEN physical (dropped, or
+      // renamed away), or old bytes would resurrect under the new column
+      val hidden = droppedCols(spark, dir) ++
+        colMapping(spark, dir).collect { case (p, l) if p != l => p }
+      val bad = added.intersect(hidden)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$dir: column name(s) ${bad.toSeq.sorted.mkString(", ")} collide " +
+          "with hidden physical columns (dropped or renamed away) — pick " +
+          "different names")
+    }
   }
 
   /** Publish version `next` = `carried` (files of a prior version, whose
@@ -510,7 +629,13 @@ object Snapshots {
         // dataChange = false commits, which CDF skips the same way
         case _ if isRowPreserving(spark, dir, v) => emptyAt(v)
         case Some(rel) =>
-          spark.read.option("mergeSchema", "true").parquet(s"$dir/$rel")
+          // applyMapping: recorded feed rows carry their WRITE-TIME column
+          // names (== physical unless renamed before the write); the
+          // current mapping translates them. A feed written between two
+          // renames of the same column keeps its intermediate name —
+          // consumers should resync after renames, like after replaces.
+          applyMapping(spark, dir,
+            spark.read.option("mergeSchema", "true").parquet(s"$dir/$rel"))
             .withColumn("_commit_version", lit(v))
         case None =>
           val prev: Set[String] =
@@ -527,8 +652,8 @@ object Snapshots {
               "feed — incremental read is undefined")
           val fresh = cur.filterNot(prev)
           if (fresh.isEmpty) emptyAt(v)
-          else spark.read.option("mergeSchema", "true")
-            .parquet(fresh.map(f => s"$dir/$f"): _*)
+          else applyMapping(spark, dir, spark.read.option("mergeSchema", "true")
+            .parquet(fresh.map(f => s"$dir/$f"): _*))
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v))
       }
@@ -585,10 +710,11 @@ object Snapshots {
   private def openWithPos(spark: SparkSession, dir: String,
       paths: Seq[String], dv: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
-    val base = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      .withColumn("__path", col("_metadata.file_path"))
-      .withColumn("__fname", element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("__pos", col("_metadata.row_index"))
+    val base = applyMapping(spark, dir,
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        .withColumn("__path", col("_metadata.file_path"))
+        .withColumn("__fname", element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__pos", col("_metadata.row_index")))
     dv match {
       case None => base
       case Some(rel) =>
@@ -608,7 +734,8 @@ object Snapshots {
   private[graft] def maskedParquet(spark: SparkSession, dir: String,
       version: Int, paths: Seq[String]): DataFrame =
     dvRel(spark, dir, version) match {
-      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      case None => applyMapping(spark, dir,
+        spark.read.option("mergeSchema", "true").parquet(paths: _*))
       case Some(rel) =>
         import org.apache.spark.sql.functions.col
         val withPos = openWithPos(spark, dir, paths, Some(rel))
@@ -718,8 +845,11 @@ object Snapshots {
       // only maintenance landed: the delta is exactly zero rows
       read(spark, dir, Some(toVersion))
         .filter(org.apache.spark.sql.functions.lit(false))
-    } else spark.read.option("mergeSchema", "true")
-      .parquet(fresh.map(f => s"$dir/$f"): _*)
+    } else
+      // maskedParquet: the walk proved the DV is constant across the range
+      // (no entry can reference range-fresh files), so the mask is a
+      // harmless no-op here — this is for the column MAPPING
+      maskedParquet(spark, dir, toVersion, fresh.map(f => s"$dir/$f"))
   }
 
   /** Versions in `(fromVersion, toVersion]`, verified CONTIGUOUS from
@@ -1186,8 +1316,11 @@ object Snapshots {
       ranges: Seq[(String, Option[Any], Option[Any])]): (Seq[String], Seq[String]) = {
     val all = files(spark, dir, version)
     val idx = stats(spark, dir, version)
+    // callers pass LOGICAL names; stats are keyed by the physical ones
+    val physRanges = ranges.map { case (c, lo, hi) =>
+      (toPhysical(spark, dir, c), lo, hi) }
     val kept = all.filter { f =>
-      ranges.forall { case (column, lower, upper) =>
+      physRanges.forall { case (column, lower, upper) =>
         idx.get(f).flatMap(_.get(column)) match {
           case None => true
           case Some(s) => s.minMax match {
@@ -1217,11 +1350,12 @@ object Snapshots {
     * where the layout isn't clustered by `column` (useless envelopes):
     * blooms answer per-file "definitely absent" for equality probes.
     */
-  def pruneFilesEq(spark: SparkSession, dir: String, column: String,
+  def pruneFilesEq(spark: SparkSession, dir: String, column0: String,
       probeValues: Seq[Any], candidates: Seq[String]): Seq[String] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
     if (probeValues.isEmpty) return candidates
+    val column = toPhysical(spark, dir, column0) // footers are physical
     val conf = spark.sessionState.newHadoopConf()
     candidates.filter { f =>
       val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

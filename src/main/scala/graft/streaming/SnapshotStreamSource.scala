@@ -320,7 +320,9 @@ class SnapshotRelation(override val sqlContext: SQLContext, val dir: String,
     val ranges = filters.toSeq.flatMap(translate)
     val (kept0, all) = Snapshots.pruneFilesAll(spark, dir, v, ranges)
     // IsNull: a file with a known-zero null count can't produce a match
-    val nullCols = filters.collect { case IsNull(a) => a }
+    // (stats are keyed by PHYSICAL names; filters carry logical ones)
+    val nullCols = filters.collect { case IsNull(a) =>
+      Snapshots.toPhysical(spark, dir, a) }
     val kept = if (nullCols.isEmpty) kept0 else {
       val idx = Snapshots.stats(spark, dir, v)
       kept0.filter { f =>
@@ -336,9 +338,11 @@ class SnapshotRelation(override val sqlContext: SQLContext, val dir: String,
     // columns the table actually DECLARED blooms on: probing the rest
     // would open every kept footer for zero possible skip
     val bloomCols = Snapshots.bloomColumns(spark, dir).toSet
+    def hasBloom(a: String) =
+      bloomCols(a) || bloomCols(Snapshots.toPhysical(spark, dir, a))
     val eqSets: Seq[(String, Seq[Any])] = filters.toSeq.flatMap {
-      case EqualTo(a, v) if v != null && bloomCols(a) => Seq(a -> Seq(v))
-      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) && bloomCols(a) =>
+      case EqualTo(a, v) if v != null && hasBloom(a) => Seq(a -> Seq(v))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) && hasBloom(a) =>
         Seq(a -> vs.toSeq)
       case _ => Seq.empty
     }

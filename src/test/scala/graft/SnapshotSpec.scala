@@ -1236,6 +1236,63 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 899)
   }
 
+  test("renameColumn is metadata-only: zero files touched, every read path translates") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, kpTable().repartitionByRange(4, col("k")))
+    val filesBefore = Snapshots.files(spark, dir, 1)
+    Snapshots.renameColumn(spark, dir, "p", "price")
+    assert(Snapshots.files(spark, dir, 1) == filesBefore, "rename touched files")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k", "price"))
+    // stats-pruned range read still prunes on the RENAMED key column
+    Snapshots.renameColumn(spark, dir, "k", "key")
+    val (kept, all) = Snapshots.pruneFiles(spark, dir, 1, "key", Some(0L), Some(99L))
+    assert(kept.length < all.length, "rename broke stats pruning")
+    assert(Snapshots.readRange(spark, dir, "key", Some(0L), Some(99L)).count() == 100)
+    // SQL face shows logical names
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_ren USING snapshots OPTIONS (path '$dir')")
+    assert(spark.sql("SELECT sum(key) FROM snap_ren WHERE price < 10").as[Long].head()
+      == (0L until 5L).sum)
+    // appends must carry the NEW names; the old name refuses
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, dir, Seq((5000L, 1.0)).toDF("k", "price")))
+    Snapshots.commit(spark, dir, Seq((5000L, 1.0)).toDF("key", "price"))
+    assert(Snapshots.read(spark, dir).count() == 1001)
+    // old and new files are ONE column: a filter spans both
+    assert(Snapshots.read(spark, dir).filter(col("key") >= 999).count() == 2)
+    // merge on the renamed key rewrites/feeds correctly
+    val v = Snapshots.mergeInto(spark, dir,
+      Seq((5000L, 42.0)).toDF("key", "price"), "key")
+    assert(Snapshots.read(spark, dir).filter(col("key") === 5000)
+      .select("price").as[Double].head() == 42.0)
+    assert(Snapshots.readChangeFeed(spark, dir, v - 1, v).columns.toSeq ==
+      Seq("key", "price", "_change_type", "_commit_version"))
+    // rename-back is allowed (returns to the physical name)
+    Snapshots.renameColumn(spark, dir, "key", "k")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k", "price"))
+  }
+
+  test("dropColumn hides the column everywhere; re-adding the name refuses") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir,
+      Seq((1L, 1.0, "x"), (2L, 2.0, "y")).toDF("k", "p", "tag"))
+    Snapshots.dropColumn(spark, dir, "tag")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k", "p"))
+    // appends carry the narrowed schema
+    Snapshots.commit(spark, dir, Seq((3L, 3.0)).toDF("k", "p"))
+    assert(Snapshots.read(spark, dir).count() == 3)
+    // re-adding the dropped name would resurrect hidden bytes — refuse
+    val e = intercept[IllegalArgumentException](Snapshots.commit(spark, dir,
+      Seq((4L, 4.0, "z")).toDF("k", "p", "tag"), evolve = true))
+    assert(e.getMessage.contains("hidden"), e.getMessage)
+    // a DIFFERENT evolved name is fine; and dropping a renamed column works
+    Snapshots.renameColumn(spark, dir, "p", "price")
+    Snapshots.dropColumn(spark, dir, "price")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k"))
+    // MoR delete on the surviving column still masks correctly
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(2L), Some(2L))
+    assert(Snapshots.read(spark, dir).as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("compactRange folds only the files intersecting the range") {
     val dir = tmp()
     // 6 ingest bursts, each leaving 4 small files in its own key decade
