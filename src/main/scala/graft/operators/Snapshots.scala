@@ -390,14 +390,15 @@ object Snapshots {
     */
   private def writeData(spark: SparkSession, dir: String, next: Int,
       df: DataFrame): Seq[String] = {
-    // the masked-read machinery attaches __path/__fname/__pos internally;
-    // a data column under one of those names would silently corrupt every
-    // merge-on-read path — refuse at the write boundary
-    val reserved = df.columns.filter(c =>
-      c == "__path" || c == "__fname" || c == "__pos")
+    // the masked-read machinery attaches internal `__`-prefixed columns and
+    // maskedParquet strips the WHOLE prefix on merge-on-read reads — a user
+    // column like `__tag` would write fine and then silently vanish from
+    // every read after the first DV delete. Reserve the entire prefix at
+    // the write boundary so the failure is loud and immediate.
+    val reserved = df.columns.filter(_.startsWith("__"))
     require(reserved.isEmpty,
-      s"$dir: column name(s) ${reserved.mkString(", ")} are reserved by the " +
-        "snapshots format")
+      s"$dir: column name(s) ${reserved.mkString(", ")} use the '__' prefix, " +
+        "which is reserved by the snapshots format")
     val (fs, _) = hfs(spark, dir)
     val dataRel = s"data/c$next-${java.util.UUID.randomUUID.toString.take(8)}"
     // the single write choke point: logical frames land under their
@@ -629,11 +630,11 @@ object Snapshots {
         // dataChange = false commits, which CDF skips the same way
         case _ if isRowPreserving(spark, dir, v) => emptyAt(v)
         case Some(rel) =>
-          // applyMapping: recorded feed rows carry their WRITE-TIME column
-          // names (== physical unless renamed before the write); the
-          // current mapping translates them. A feed written between two
-          // renames of the same column keeps its intermediate name —
-          // consumers should resync after renames, like after replaces.
+          // applyMapping: recorded feed rows land under PHYSICAL column
+          // names (writeCdc's rule), so the current table-level mapping
+          // translates every feed generation uniformly — a feed recorded
+          // between two renames of the same column reads back under the
+          // column's CURRENT logical name, same as the data files do.
           applyMapping(spark, dir,
             spark.read.option("mergeSchema", "true").parquet(s"$dir/$rel"))
             .withColumn("_commit_version", lit(v))
@@ -668,11 +669,17 @@ object Snapshots {
 
   /** Write a commit's recorded change rows under a per-writer-unique
     * `_changes/` dir; returns the table-relative path for the manifest
-    * header. `df` must already carry `_change_type`. */
+    * header. `df` must already carry `_change_type`. The rows land under
+    * PHYSICAL column names (same rule as [[writeData]]): a feed recorded
+    * between two renames of the same column would otherwise keep its
+    * intermediate logical name and surface as a stale extra column on
+    * later reads — physical names make [[applyMapping]] translate every
+    * feed generation uniformly. `_change_type` has no mapping entry and
+    * passes through unchanged. */
   private def writeCdc(spark: SparkSession, dir: String, next: Int,
       df: DataFrame): String = {
     val rel = s"_changes/c$next-${java.util.UUID.randomUUID.toString.take(8)}"
-    df.write.mode("overwrite").parquet(s"$dir/$rel")
+    toPhysicalFrame(spark, dir, df).write.mode("overwrite").parquet(s"$dir/$rel")
     rel
   }
 
@@ -1884,6 +1891,25 @@ object Snapshots {
       }
     }
     -1 // unreachable
+  }
+
+  /** Publish a METADATA-ONLY commit: a new version carrying the current
+    * version's files, deletion vector and stats by reference, changed only
+    * by `meta`. Data-preserving (`#norowchange=1`), so change-feed tails
+    * emit zero rows for it. This is how a writer stamps a durable marker
+    * (e.g. the CDC batch watermark) when the batch's data half published
+    * nothing — a delete whose keys all missed, an empty micro-batch —
+    * without fabricating a content change. O(1) driver-side metadata.
+    */
+  def commitMarker(spark: SparkSession, dir: String,
+      meta: Map[String, String]): Int = {
+    require(meta.nonEmpty, s"$dir: a marker commit needs metadata to carry")
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val next = cur + 1
+    publish(spark, dir, next, files(spark, dir, cur), Seq.empty, meta,
+      dv = dvRel(spark, dir, cur), noRowChange = true)
+    next
   }
 
   /** RESTORE: publish a NEW version whose content is exactly snapshot

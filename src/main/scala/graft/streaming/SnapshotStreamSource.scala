@@ -462,10 +462,22 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext, dir: String,
     // Evolved columns are deliberately dropped until the query restarts
     // (re-inferring the schema) — the Delta source's contract; columns the
     // batch lacks (a replay planning pre-evolution files) surface as
-    // typed NULLs.
+    // typed NULLs. The NULL-fill is reserved for that replay case ONLY:
+    // a declared column the table no longer carries (renamed or dropped
+    // mid-stream) would otherwise silently become all-NULL for every
+    // subsequent micro-batch — fail loudly and ask for a restart instead.
     val bound = {
       import org.apache.spark.sql.functions.{col, lit}
       val present = batch.columns.toSet
+      val missing = schema.map(_.name).filterNot(present)
+      if (missing.nonEmpty) {
+        val live = Snapshots.read(spark, dir, Some(to)).columns.toSet
+        val gone = missing.filterNot(live)
+        if (gone.nonEmpty) throw new IllegalStateException(
+          s"$dir: declared stream column(s) ${gone.mkString(", ")} no longer " +
+            "exist in the table (renamed or dropped mid-stream) — restart " +
+            "the query to re-infer the schema")
+      }
       batch.select(schema.map(f =>
         if (present(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)

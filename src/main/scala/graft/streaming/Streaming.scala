@@ -563,8 +563,13 @@ object Streaming extends QueryModule {
     * replays as a no-op; a crash between the upsert and the delete commit
     * replays the whole batch, and both halves are idempotent (same-key
     * upserts overwrite themselves, deletes of absent keys no-op) — the
-    * effect is exactly-once. A delete followed by a later batch's upsert
-    * re-inserts the key, per CDC semantics.
+    * effect is exactly-once. When the batch's last data half publishes
+    * NOTHING (a delete whose keys all missed, or an empty batch), a
+    * metadata-only [[graft.operators.Snapshots.commitMarker]] stamps the
+    * watermark anyway — otherwise every restart would replay the batch
+    * forever, republishing the upsert half as duplicate content-identical
+    * versions and duplicate change-feed entries. A delete followed by a
+    * later batch's upsert re-inserts the key, per CDC semantics.
     */
   def applyCdcBatchOps(batch: DataFrame, dir: String, key: String,
       ord: Seq[String], opCol: String, batchId: Long): Unit = {
@@ -589,6 +594,12 @@ object Streaming extends QueryModule {
       }
       if (hasDel && Snapshots.currentVersion(s, dir).nonEmpty)
         Snapshots.deleteByKeysMor(s, dir, dels, key, meta)
+      // deleteByKeysMor publishes nothing when no key matches (and an
+      // all-empty batch publishes nothing at all) — stamp the watermark
+      // with a data-preserving marker commit so the batch never replays
+      if (Snapshots.currentVersion(s, dir).nonEmpty &&
+          !lastAppliedCdcBatch(s, dir).exists(_ >= batchId))
+        Snapshots.commitMarker(s, dir, meta)
       ()
     } finally { collapsed.unpersist(); () }
   }

@@ -1491,4 +1491,68 @@ class SnapshotSpec extends AnyFunSuite {
       "expire left an unreferenced DV dir")
     assert(Snapshots.read(spark, dir).count() == 91)
   }
+
+  test("any '__'-prefixed column name refuses at the write boundary") {
+    val dir = tmp()
+    // maskedParquet strips the whole __ prefix on merge-on-read reads, so
+    // a user column like __tag would silently vanish after the first DV
+    // delete — the format reserves the prefix, not just its three names
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commit(spark, dir, Seq((1L, "x")).toDF("k", "__tag")))
+    assert(e.getMessage.contains("__"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, dir, Seq((1L, "x")).toDF("k", "__pos")))
+    assert(Snapshots.currentVersion(spark, dir).isEmpty,
+      "a refused commit still published a version")
+    // the merge path funnels through the same gate
+    Snapshots.commit(spark, dir, Seq((1L, "x")).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      Snapshots.mergeInto(spark, dir,
+        Seq((1L, "y")).toDF("k", "__v"), "k", evolve = true))
+  }
+
+  test("a feed recorded between two renames reads back under the current name") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "p"))
+    Snapshots.renameColumn(spark, dir, "p", "price")
+    // merge records a feed sidecar while the column's logical name is the
+    // INTERMEDIATE one ("price"); physical stays "p"
+    val vM = Snapshots.mergeInto(spark, dir,
+      Seq((1L, 10.0), (3L, 3.0)).toDF("k", "price"), "k")
+    Snapshots.renameColumn(spark, dir, "price", "cost")
+    // the recorded feed must surface under the CURRENT logical name with
+    // real values — not a stale "price" column next to an all-NULL "cost"
+    val feed = Snapshots.readChangeFeed(spark, dir, vM - 1, vM)
+    assert(feed.columns.toSeq ==
+      Seq("k", "cost", "_change_type", "_commit_version"), feed.columns.toSeq)
+    val post = feed.filter(col("_change_type") === "update_post")
+      .select("k", "cost").as[(Long, Double)].collect().toSet
+    assert(post == Set((1L, 10.0)), post)
+    assert(feed.filter(col("cost").isNull).count() == 0,
+      "feed values lost in the rename translation")
+    // MoR delete feeds translate the same way
+    Snapshots.renameColumn(spark, dir, "cost", "amount")
+    val vD = Snapshots.deleteRangeMor(spark, dir, "k", Some(3L), Some(3L))
+    val dfeed = Snapshots.readChangeFeed(spark, dir, vD - 1, vD)
+    assert(dfeed.columns.contains("amount") && !dfeed.columns.contains("cost"))
+    assert(dfeed.select("amount").as[Double].collect().toSeq == Seq(3.0))
+  }
+
+  test("commitMarker publishes a metadata-only, feed-invisible version") {
+    val dir = tmp()
+    intercept[IllegalArgumentException](
+      Snapshots.commitMarker(spark, dir, Map("m" -> "1")))
+    Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val vDel = Snapshots.deleteRangeMor(spark, dir, "k", Some(2L), Some(2L))
+    val v = Snapshots.commitMarker(spark, dir, Map("graft.cdc.batch" -> "7"))
+    assert(v == vDel + 1)
+    assert(Snapshots.files(spark, dir, v) == Snapshots.files(spark, dir, vDel),
+      "marker commit changed the file set")
+    assert(Snapshots.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a")), "marker commit dropped the carried deletion vector")
+    assert(Snapshots.commitMeta(spark, dir, v) == Map("graft.cdc.batch" -> "7"))
+    assert(Snapshots.isRowPreserving(spark, dir, v))
+    assert(Snapshots.readChangeFeed(spark, dir, v - 1, v).count() == 0,
+      "marker commit leaked into the change feed")
+  }
 }

@@ -1436,4 +1436,80 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(streamed == batch, "stream-served scores diverge from batch scoring")
   }
+
+  test("op-aware CDC apply stamps the watermark when the delete half matches nothing") {
+    import graft.operators.Snapshots
+    val tbl = java.nio.file.Files.createTempDirectory("graft-cdc-miss").toFile.getAbsolutePath
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    Streaming.applyCdcBatchOps(
+      Seq((1L, t("2024-01-01 10:00:00"), 1.0, "u"),
+          (2L, t("2024-01-01 10:01:00"), 2.0, "u"))
+        .toDF("user_id", "ts", "value", "op"),
+      tbl, "user_id", Seq("ts"), "op", 0L)
+    assert(Streaming.lastAppliedCdcBatch(spark, tbl).contains(0L))
+    // batch 1: a lone delete whose key is ABSENT — deleteByKeysMor
+    // publishes nothing, but the watermark must still advance, else every
+    // restart replays the batch forever
+    Streaming.applyCdcBatchOps(
+      Seq((99L, t("2024-01-01 11:00:00"), 0.0, "d"))
+        .toDF("user_id", "ts", "value", "op"),
+      tbl, "user_id", Seq("ts"), "op", 1L)
+    assert(Streaming.lastAppliedCdcBatch(spark, tbl).contains(1L),
+      "no-match delete batch left no watermark")
+    val v = Snapshots.currentVersion(spark, tbl).get
+    // a replay of batch 1 must now be a pure no-op
+    Streaming.applyCdcBatchOps(
+      Seq((99L, t("2024-01-01 11:00:00"), 0.0, "d"))
+        .toDF("user_id", "ts", "value", "op"),
+      tbl, "user_id", Seq("ts"), "op", 1L)
+    assert(Snapshots.currentVersion(spark, tbl).contains(v),
+      "replayed no-match batch published a duplicate version")
+    // batch 2 mixes an upsert with a no-match delete: the upsert half
+    // commits (no marker), the delete half no-ops — fallback marker again
+    Streaming.applyCdcBatchOps(
+      Seq((3L, t("2024-01-01 12:00:00"), 3.0, "u"),
+          (98L, t("2024-01-01 12:01:00"), 0.0, "d"))
+        .toDF("user_id", "ts", "value", "op"),
+      tbl, "user_id", Seq("ts"), "op", 2L)
+    assert(Streaming.lastAppliedCdcBatch(spark, tbl).contains(2L))
+    val v2 = Snapshots.currentVersion(spark, tbl).get
+    Streaming.applyCdcBatchOps(
+      Seq((3L, t("2024-01-01 12:00:00"), 3.0, "u"),
+          (98L, t("2024-01-01 12:01:00"), 0.0, "d"))
+        .toDF("user_id", "ts", "value", "op"),
+      tbl, "user_id", Seq("ts"), "op", 2L)
+    assert(Snapshots.currentVersion(spark, tbl).contains(v2),
+      "replayed mixed batch republished its upsert half")
+    val rows = Snapshots.read(spark, tbl)
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)), rows)
+    // the marker commits are feed-invisible: the CDF fold over the whole
+    // history reconstructs exactly the table (no duplicate change rows)
+    val head = Snapshots.currentVersion(spark, tbl).get
+    val feed = Snapshots.readChangeFeed(spark, tbl, 1, head)
+    assert(feed.filter(col("_change_type") === "insert").count() == 1,
+      "marker or replay leaked duplicate feed inserts")
+  }
+
+  test("snapshot tail fails loudly when a declared column is renamed mid-stream") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-ren-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snap-ren-ck").toString
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val q = spark.readStream.format("snapshots").option("path", dir).load()
+      .writeStream.format("memory").queryName("snap_ren_tail")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    // the declared column "v" disappears mid-stream: the tail must refuse
+    // (not silently NULL-fill every subsequent batch)
+    Snapshots.renameColumn(spark, dir, "v", "val2")
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "val2"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("no longer exist")), messages(e).mkString(" | "))
+    q.stop()
+  }
 }
