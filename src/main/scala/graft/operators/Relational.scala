@@ -619,6 +619,149 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** WRITE-AUDIT-PUBLISH (Iceberg's WAP workflow on the snapshots format):
+    * a good candidate batch stages invisibly, its audit queries run on the
+    * as-if-published view ([[Snapshots.readStaged]]), and only then does a
+    * pure-metadata publish make it the next version; a bad candidate
+    * (negated prices) fails the same audit and discards without a trace.
+    * The declared read is the final table — hash-green proves staged rows
+    * neither leaked early nor got lost at publish. At 100 TB the audit
+    * costs one scan of the CANDIDATE files plus the current table, and
+    * publish stays O(metadata).
+    */
+  private val snapWapDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapWapDir(s: SparkSession, d: String): String =
+    snapWapDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapwap").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderkey", "o_totalprice")
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 4 === 0))
+      def audit(token: String): Boolean =
+        Snapshots.readStaged(s, dir, token)
+          .filter(col("o_totalprice") <= 0 || col("o_orderkey").isNull)
+          .isEmpty
+      val good = Snapshots.stageCommit(s, dir,
+        orders.filter(col("o_orderkey") % 4 === 1),
+        meta = Map("wap" -> "audited"))
+      require(audit(good), "good WAP candidate failed its audit")
+      Snapshots.publishStaged(s, dir, good)
+      val bad = Snapshots.stageCommit(s, dir,
+        orders.filter(col("o_orderkey") % 4 === 2)
+          .withColumn("o_totalprice", -col("o_totalprice")))
+      require(!audit(bad), "bad WAP candidate passed its audit")
+      Snapshots.discardStaged(s, dir, bad)
+      require(Snapshots.stagedTokens(s, dir).isEmpty, "staged debris left")
+      dir
+    })
+
+  private def qSnapshotWap(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, snapWapDir(s, d))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
+  /** Named TAGS (Iceberg refs): "golden" pins the first commit, two more
+    * commits land, and an aggressive retention sweep (`expire` to head) is
+    * CLAMPED by the tag — the tagged version must still read exactly its
+    * original content afterwards. The declared result is the tagged read
+    * next to the head read; the oracle states both from the source table.
+    */
+  private val snapTagDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapTagDir(s: SparkSession, d: String): String =
+    snapTagDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snaptag").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderkey", "o_totalprice")
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 3 === 0))
+      Snapshots.setTag(s, dir, "golden", 1)
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 3 === 1))
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 3 === 2))
+      // the sweep wants to keep only the head; the tag must survive it
+      Snapshots.expire(s, dir, keepFrom = Snapshots.currentVersion(s, dir).get)
+      require(Snapshots.versions(s, dir).contains(1), "expire dropped the tag")
+      dir
+    })
+
+  private def qSnapshotTag(s: SparkSession, d: String): DataFrame = {
+    val dir = snapTagDir(s, d)
+    def agg(df: DataFrame, ref: String) =
+      df.agg(lit(ref).as("ref"), count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+    agg(Snapshots.readTag(s, dir, "golden"), "golden")
+      .unionByName(agg(Snapshots.read(s, dir), "head"))
+      .orderBy("ref")
+  }
+
+  /** REPLACE WHERE — the idempotent partition-reload idiom (Delta's
+    * replaceWhere): the key region [1000, 1999] is atomically swapped for
+    * a recomputed slice (only the even keys, prices bumped by 100) in ONE
+    * commit; a row outside the region refuses (the builder proves it).
+    * The oracle restates the final table: everything outside the region
+    * untouched, inside it only the recomputed rows.
+    */
+  private val snapRwDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapRwDir(s: SparkSession, d: String): String =
+    snapRwDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snaprw").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderkey", "o_totalprice")
+      Snapshots.commit(s, dir, orders.repartitionByRange(8, col("o_orderkey")))
+      val recomputed = orders
+        .filter(col("o_orderkey").between(1000, 1999) && col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      val escaped =
+        try { Snapshots.replaceWhere(s, dir,
+            recomputed.unionByName(orders.filter(col("o_orderkey") === 5L)),
+            "o_orderkey", Some(1000L), Some(1999L)); false }
+        catch { case _: IllegalArgumentException => true }
+      require(escaped, "replaceWhere accepted a row outside the region")
+      Snapshots.replaceWhere(s, dir, recomputed,
+        "o_orderkey", Some(1000L), Some(1999L))
+      dir
+    })
+
+  private def qSnapshotReplaceWhere(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, snapRwDir(s, d))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
+  /** Table CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT): price
+    * positivity and key NOT NULL gate every commit and merge — a violating
+    * batch refuses ATOMICALLY before any metadata publishes (the builder
+    * proves both refusals), and valid appends/updates land normally. The
+    * declared read is the final table; the oracle restates the surviving
+    * commits + the merge's price bump in SQL.
+    */
+  private val snapConsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapConsDir(s: SparkSession, d: String): String =
+    snapConsDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapcons").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderkey", "o_totalprice")
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 5 === 0))
+      Snapshots.addCheckConstraint(s, dir, "price_pos", "o_totalprice > 0")
+      Snapshots.addCheckConstraint(s, dir, "key_not_null", "o_orderkey IS NOT NULL")
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 5 === 1))
+      val refusedCommit =
+        try { Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 5 === 2)
+            .withColumn("o_totalprice", -col("o_totalprice"))); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refusedCommit, "violating commit was accepted")
+      require(Snapshots.currentVersion(s, dir).contains(2),
+        "refused commit still published a version")
+      val refusedMerge =
+        try { Snapshots.mergeInto(s, dir,
+            orders.filter(col("o_orderkey") % 10 === 5)
+              .withColumn("o_totalprice", lit(-1.0)), "o_orderkey"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refusedMerge, "violating merge was accepted")
+      Snapshots.mergeInto(s, dir,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(7.5)),
+        "o_orderkey")
+      dir
+    })
+
+  private def qSnapshotConstraint(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, snapConsDir(s, d))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   /** MERGE INTO the clustered snapshot table: updates bump the price of
     * every 10th key in [0, 1000), inserts add 50 brand-new keys above the
     * keyspace. Touched-file discovery (envelope prune + one key-join scan)
@@ -1262,6 +1405,10 @@ object Relational extends QueryModule {
     "q_snapshot_sql" -> qSnapshotSql,
     "q_snapshot_tvf" -> qSnapshotTvf,
     "q_snapshot_merge" -> qSnapshotMerge,
+    "q_snapshot_wap" -> qSnapshotWap,
+    "q_snapshot_tag" -> qSnapshotTag,
+    "q_snapshot_constraint" -> qSnapshotConstraint,
+    "q_snapshot_replace_where" -> qSnapshotReplaceWhere,
     "q_snapshot_dv" -> qSnapshotDv,
     "q_snapshot_history" -> qSnapshotHistory,
     "q_snapshot_restore" -> qSnapshotRestore,
@@ -1347,6 +1494,35 @@ object Relational extends QueryModule {
         |SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged ORDER BY n""".stripMargin,
+    "q_snapshot_wap" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_tag" ->
+      """SELECT 'golden' AS ref, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'head', count(*), round(sum(o_totalprice), 2) FROM orders
+        |ORDER BY ref""".stripMargin,
+    "q_snapshot_constraint" ->
+      """SELECT count(*) AS n,
+        |  round(sum(o_totalprice
+        |    + CASE WHEN o_orderkey % 10 = 0 THEN 7.5 ELSE 0 END), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1)
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_replace_where" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT BETWEEN 1000 AND 1999
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 100.0 FROM orders
+        |  WHERE o_orderkey BETWEEN 1000 AND 1999 AND o_orderkey % 2 = 0)
+        |SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM final ORDER BY n""".stripMargin,
     "q_snapshot_dv" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

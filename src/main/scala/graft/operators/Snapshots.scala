@@ -55,11 +55,20 @@ object Snapshots {
   }
 
   def setProperties(spark: SparkSession, dir: String,
-      props: Map[String, String]): Unit = {
+      props: Map[String, String]): Unit =
+    writeProps(spark, dir, properties(spark, dir) ++ props)
+
+  /** Remove property keys (the inverse of [[setProperties]] — tag deletes,
+    * constraint drops). Absent keys are ignored. */
+  def removeProperties(spark: SparkSession, dir: String,
+      keys: Seq[String]): Unit =
+    writeProps(spark, dir, properties(spark, dir) -- keys)
+
+  private def writeProps(spark: SparkSession, dir: String,
+      merged: Map[String, String]): Unit = {
     val (fs, _) = hfs(spark, dir)
     val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
     fs.mkdirs(md)
-    val merged = properties(spark, dir) ++ props
     val body = merged.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
       .mkString("", "\n", "\n").getBytes("UTF-8")
@@ -146,6 +155,7 @@ object Snapshots {
       to: String): Unit = {
     val logical = read(spark, dir).columns.toSet
     require(logical.contains(from), s"$dir: no column '$from' to rename")
+    requireUnconstrained(spark, dir, from, "rename")
     require(!logical.contains(to), s"$dir: column '$to' already exists")
     require(!to.startsWith("__"), s"$dir: '$to' is a reserved name")
     val phys = toPhysical(spark, dir, from)
@@ -167,6 +177,7 @@ object Snapshots {
     val logical = read(spark, dir).columns.toSet
     require(logical.contains(name), s"$dir: no column '$name' to drop")
     require(logical.size > 1, s"$dir: cannot drop the last column")
+    requireUnconstrained(spark, dir, name, "drop")
     val phys = toPhysical(spark, dir, name)
     val dropped = droppedCols(spark, dir) + phys
     setProperties(spark, dir, Map("colmap.dropped" -> dropped.toSeq.sorted.mkString(",")))
@@ -311,6 +322,7 @@ object Snapshots {
           "rebase the commit on the current snapshot and retry")
     }
     if (!replace && cur > 0) enforceSchema(spark, dir, df, evolve)
+    enforceConstraints(spark, dir, df)
     val next = cur + 1
     val fresh = writeData(spark, dir, next, df)
     val carried =
@@ -354,6 +366,7 @@ object Snapshots {
           "rebase the commit on the current snapshot and retry")
     }
     if (!replace && planned > 0) enforceSchema(spark, dir, df, evolve)
+    enforceConstraints(spark, dir, df)
     val fresh = writeData(spark, dir, planned + 1, df)
     var attempt = 1
     while (true) {
@@ -894,7 +907,10 @@ object Snapshots {
     val (fs, _) = hfs(spark, dir)
     val all = versions(spark, dir)
     require(all.contains(keepFrom), s"$dir: keepFrom v$keepFrom does not exist")
-    val clamped = (readerPins(spark, dir).values.toSeq :+ keepFrom).min
+    // reader pins AND tags protect their versions: a tagged snapshot
+    // ("golden", "audited") survives any sweep until the tag is deleted
+    val clamped = (readerPins(spark, dir).values.toSeq ++
+      tags(spark, dir).values :+ keepFrom).min
     val keepEff = if (clamped >= keepFrom) keepFrom
       else all.find(_ >= clamped).getOrElse(keepFrom)
     val (drop, keep) = all.partition(_ < keepEff)
@@ -1091,8 +1107,10 @@ object Snapshots {
     val (fs, _) = hfs(spark, dir)
     val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
     if (!fs.exists(dataRoot)) return 0
-    val referenced = versions(spark, dir)
-      .flatMap(v => files(spark, dir, v)).toSet
+    // staged-commit data is live-but-unpublished: referenced by a
+    // `staged-*.list`, not by any version — protect it like version data
+    val referenced = (versions(spark, dir).flatMap(v => files(spark, dir, v)) ++
+      stagedTokens(spark, dir).flatMap(t => stagedEntry(spark, dir, t)._3)).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
     val it = fs.listFiles(dataRoot, true)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
@@ -1676,6 +1694,7 @@ object Snapshots {
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     enforceSchema(spark, dir, updates, evolve)
+    enforceConstraints(spark, dir, updates)
     val prevDv = dvRel(spark, dir, cur)
     val up = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1761,6 +1780,7 @@ object Snapshots {
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     enforceSchema(spark, dir, updates, evolve)
+    enforceConstraints(spark, dir, updates)
     val prevDv = dvRel(spark, dir, cur)
     val up = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1910,6 +1930,227 @@ object Snapshots {
     publish(spark, dir, next, files(spark, dir, cur), Seq.empty, meta,
       dv = dvRel(spark, dir, cur), noRowChange = true)
     next
+  }
+
+  // -------------------------------------------------- named refs: TAGS
+  // Iceberg's tag idea: a named, immutable pointer to a snapshot version,
+  // stored in the table props. Tags PROTECT their version from [[expire]]
+  // (the retention clamp treats them like reader pins), so "golden" /
+  // "audited-2026Q3" survives aggressive sweeps until the tag is deleted.
+
+  /** Create or move a named tag to `version`. */
+  def setTag(spark: SparkSession, dir: String, name: String,
+      version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"$dir: invalid tag name '$name'")
+    require(versions(spark, dir).contains(version),
+      s"$dir: cannot tag v$version — it does not exist")
+    setProperties(spark, dir, Map(s"ref.tag.$name" -> version.toString))
+  }
+
+  /** All tags: name → version. */
+  def tags(spark: SparkSession, dir: String): Map[String, Int] =
+    properties(spark, dir).collect {
+      case (k, v) if k.startsWith("ref.tag.") =>
+        k.stripPrefix("ref.tag.") -> v.toInt
+    }
+
+  /** Read the snapshot a tag points at. */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir, Some(tags(spark, dir).getOrElse(name,
+      throw new IllegalArgumentException(s"$dir: no tag '$name'"))))
+
+  def deleteTag(spark: SparkSession, dir: String, name: String): Unit =
+    removeProperties(spark, dir, Seq(s"ref.tag.$name"))
+
+  // -------------------------------------------------- CHECK constraints
+  // Delta's table constraints: a named SQL predicate every row-adding
+  // commit must satisfy. Stored in the table props; enforced at the
+  // commit/merge/stage boundaries with one limit(1) violation probe per
+  // constraint (a broken batch fails LOUDLY with a sample row, before any
+  // metadata publishes). SQL-standard CHECK semantics: a row violates only
+  // when the predicate is FALSE — NULL passes (so `col IS NOT NULL` is the
+  // NOT NULL constraint). Tables with no constraints pay nothing.
+
+  /** All CHECK constraints: name → SQL predicate. */
+  def checkConstraints(spark: SparkSession, dir: String): Map[String, String] =
+    properties(spark, dir).collect {
+      case (k, v) if k.startsWith("constraint.check.") =>
+        k.stripPrefix("constraint.check.") -> v
+    }
+
+  /** ADD CONSTRAINT name CHECK (sqlExpr). Existing rows are validated
+    * first (one scan), like Delta — a constraint can never be born
+    * already-violated. */
+  def addCheckConstraint(spark: SparkSession, dir: String, name: String,
+      sqlExpr: String): Unit = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    require(name.matches("[A-Za-z0-9_]+"), s"$dir: invalid constraint name '$name'")
+    require(!checkConstraints(spark, dir).contains(name),
+      s"$dir: constraint '$name' already exists")
+    spark.sessionState.sqlParser.parseExpression(sqlExpr) // parse gate
+    if (currentVersion(spark, dir).nonEmpty) {
+      val bad = read(spark, dir).where(expr(sqlExpr) <=> lit(false))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"$dir: cannot add CHECK '$name' ($sqlExpr) — existing row violates " +
+          s"it: ${bad.headOption.getOrElse("")}")
+    }
+    setProperties(spark, dir, Map(s"constraint.check.$name" -> sqlExpr))
+  }
+
+  def dropCheckConstraint(spark: SparkSession, dir: String,
+      name: String): Unit =
+    removeProperties(spark, dir, Seq(s"constraint.check.$name"))
+
+  /** A CHECK expression stores the column names it was written with —
+    * renaming or dropping a referenced column would make every later
+    * commit fail on an unresolvable constraint. Refuse the metadata op
+    * instead (Delta's rule); the user drops the constraint first. */
+  private def requireUnconstrained(spark: SparkSession, dir: String,
+      colName: String, op: String): Unit = {
+    val pat = ("(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(colName) + "(?![A-Za-z0-9_])").r
+    val used = checkConstraints(spark, dir).filter {
+      case (_, ex) => pat.findFirstIn(ex).isDefined
+    }
+    require(used.isEmpty,
+      s"$dir: cannot $op column '$colName' — referenced by CHECK " +
+        s"constraint(s) ${used.keys.toSeq.sorted.mkString(", ")}; drop them first")
+  }
+
+  /** Refuse `df` if any row violates a table CHECK constraint. One
+    * limit(1) probe per constraint; zero cost when none are defined. */
+  private def enforceConstraints(spark: SparkSession, dir: String,
+      df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    checkConstraints(spark, dir).foreach { case (name, ex) =>
+      val bad = df.where(expr(ex) <=> lit(false)).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$dir: CHECK constraint '$name' ($ex) violated by row ${bad.head} — " +
+          "commit refused")
+    }
+  }
+
+  // -------------------------------------------------- write-audit-publish
+  // Iceberg's WAP workflow, re-expressed on the linear manifest log: a
+  // STAGED commit writes its data files and a `staged-<token>.list`
+  // manifest that version listing never surfaces — readers cannot see it.
+  // The audit step queries the table AS IF published ([[readStaged]]);
+  // [[publishStaged]] then turns the staged file list into the next
+  // version with a pure metadata CAS (the data was already written), and
+  // [[discardStaged]] deletes a failed candidate without a trace. The
+  // schema/constraint gates run at STAGE time, so a candidate that stages
+  // is structurally publishable; publish re-checks only the version race.
+
+  private def stagedManifest(dir: String, token: String) =
+    new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/staged-$token.list")
+
+  /** Stage a commit: write the data + an invisible manifest; return the
+    * token the audit/publish/discard steps key on. */
+  def stageCommit(spark: SparkSession, dir: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty,
+      evolve: Boolean = false): String = {
+    val (fs, _) = hfs(spark, dir)
+    if (currentVersion(spark, dir).nonEmpty) enforceSchema(spark, dir, df, evolve)
+    enforceConstraints(spark, dir, df)
+    val token = java.util.UUID.randomUUID.toString.take(12)
+    val fresh = writeData(spark, dir, currentVersion(spark, dir).getOrElse(0) + 1, df)
+    val headers = (if (evolve) Seq("#evolve=1") else Seq.empty) ++
+      meta.toSeq.sortBy(_._1).map { case (k, v) => s"#m=${enc(k)}\t${enc(v)}" }
+    val body = (headers ++ fresh).mkString("", "\n", "\n").getBytes("UTF-8")
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir(dir), s".staged-$token.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    require(fs.rename(tmp, stagedManifest(dir, token)),
+      s"$dir: staged manifest publish failed")
+    token
+  }
+
+  /** Tokens of all live staged commits. */
+  def stagedTokens(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, _) = hfs(spark, dir)
+    val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("staged-") && n.endsWith(".list") =>
+        n.stripPrefix("staged-").stripSuffix(".list") }.sorted
+  }
+
+  /** (meta, evolve, table-relative data files) of one staged commit. */
+  private def stagedEntry(spark: SparkSession, dir: String,
+      token: String): (Map[String, String], Boolean, Seq[String]) = {
+    val (fs, _) = hfs(spark, dir)
+    val mf = stagedManifest(dir, token)
+    require(fs.exists(mf), s"$dir: no staged commit '$token'")
+    val in = fs.open(mf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        .filter(_.nonEmpty)
+      finally in.close()
+    val meta = lines.collect { case l if l.startsWith("#m=") =>
+      val Array(k, v) = l.stripPrefix("#m=").split("\t", -1)
+      dec(k) -> dec(v)
+    }.toMap
+    (meta, lines.contains("#evolve=1"), lines.filterNot(_.startsWith("#")))
+  }
+
+  /** Audit view: the table AS IF the staged commit were published on the
+    * current version — current files plus the staged files, current
+    * deletion vectors still masked. What the WAP audit queries run on. */
+  def readStaged(spark: SparkSession, dir: String, token: String): DataFrame = {
+    val (_, _, staged) = stagedEntry(spark, dir, token)
+    currentVersion(spark, dir) match {
+      case Some(cur) => maskedParquet(spark, dir, cur,
+        (files(spark, dir, cur) ++ staged).map(f => s"$dir/$f"))
+      case None => applyMapping(spark, dir,
+        spark.read.option("mergeSchema", "true")
+          .parquet(staged.map(f => s"$dir/$f"): _*))
+    }
+  }
+
+  /** Publish a staged commit as the next version — pure metadata (the data
+    * files were written at stage time). Optimistic-retry on version-slot
+    * races like [[commitRetry]]; re-runs the schema gate against the
+    * CURRENT table first, so a conflicting evolution that landed since the
+    * stage refuses loudly instead of publishing a mixed table. */
+  def publishStaged(spark: SparkSession, dir: String, token: String,
+      maxAttempts: Int = 20): Int = {
+    val (fs, _) = hfs(spark, dir)
+    val (meta, evolve, staged) = stagedEntry(spark, dir, token)
+    var attempt = 1
+    while (true) {
+      val cur = currentVersion(spark, dir).getOrElse(0)
+      if (cur > 0)
+        enforceSchema(spark, dir, spark.read
+          .option("mergeSchema", "true")
+          .parquet(staged.map(f => s"$dir/$f"): _*), evolve)
+      val next = cur + 1
+      val carried = if (next == 1) Seq.empty else files(spark, dir, cur)
+      val dvCarry = if (next == 1) None else dvRel(spark, dir, cur)
+      try {
+        publish(spark, dir, next, carried, staged, meta, dv = dvCarry)
+        fs.delete(stagedManifest(dir, token), false)
+        return next
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Delete a staged commit without a trace: its manifest and its data
+    * files (and their now-empty parent dirs). */
+  def discardStaged(spark: SparkSession, dir: String, token: String): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    val (_, _, staged) = stagedEntry(spark, dir, token)
+    // each stage writes into its own per-writer-unique data dir, so the
+    // parents hold nothing but this stage's files — drop them whole
+    staged.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f").getParent)
+      .distinct.foreach(p => fs.delete(p, true))
+    fs.delete(stagedManifest(dir, token), false)
+    ()
   }
 
   /** RESTORE: publish a NEW version whose content is exactly snapshot
@@ -2071,6 +2312,60 @@ object Snapshots {
   private def countDistinctCol(key: String) = {
     import org.apache.spark.sql.functions.{col, countDistinct}
     countDistinct(col(key))
+  }
+
+  /** REPLACE WHERE (Delta's replaceWhere / Iceberg's overwrite-by-filter):
+    * atomically swap the rows inside `[lower, upper]` on `column` for the
+    * rows of `df` — ONE commit, so a reader sees either the old region or
+    * the new one, never a deleted gap. Delta's safety rule is enforced:
+    * every incoming row must fall INSIDE the replaced region (else the
+    * "overwrite" would silently leak writes into unrelated keyspace).
+    * Cost shape = the CoW delete's: stats-affected files rewrite with the
+    * region's rows dropped, all other files carry by reference, the new
+    * data appends — at 100 TB this is the idempotent daily-partition
+    * reload (recompute one day, swap it in, one atomic commit). The change
+    * feed records the dropped rows as deletes and `df` as inserts.
+    */
+  def replaceWhere(spark: SparkSession, dir: String, df: DataFrame,
+      column: String, lower: Option[Any], upper: Option[Any]): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    enforceSchema(spark, dir, df, evolve = false)
+    enforceConstraints(spark, dir, df)
+    val inRegion = (Seq(col(column).isNotNull) ++
+      lower.map(col(column) >= lit(_)) ++ upper.map(col(column) <= lit(_)))
+      .reduce(_ && _)
+    val escapee = df.filter(!inRegion).limit(1).collect()
+    require(escapee.isEmpty,
+      s"$dir: replaceWhere row outside the replaced region on '$column': " +
+        s"${escapee.headOption.getOrElse("")} — refusing to leak writes")
+    val (affected, all) = pruneFiles(spark, dir, cur, column, lower, upper)
+    val untouched = all.filterNot(affected.toSet)
+    val next = cur + 1
+    val keep = (Seq(col(column).isNull) ++
+      lower.map(col(column) < lit(_)) ++ upper.map(col(column) > lit(_)))
+      .reduce(_ || _)
+    val (carriedKeep, dropped) =
+      if (affected.isEmpty) (spark.emptyDataFrame, None)
+      else {
+        val rows = maskedParquet(spark, dir, cur, affected.map(f => s"$dir/$f"))
+        (rows.filter(keep), Some(rows.filter(!keep)))
+      }
+    val inserts = df.withColumn("_change_type", lit("insert"))
+    val cdc = writeCdc(spark, dir, next, dropped match {
+      case Some(del) => del.withColumn("_change_type", lit("delete"))
+        .unionByName(inserts, allowMissingColumns = true)
+      case None => inserts
+    })
+    val freshKeep =
+      if (affected.isEmpty) Seq.empty
+      else writeData(spark, dir, next, carriedKeep)
+    val freshNew = writeData(spark, dir, next, df)
+    val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
+    publish(spark, dir, next, untouched, freshKeep ++ freshNew,
+      cdc = Some(cdc), dv = dvCarry)
+    next
   }
 
   def deleteRange(spark: SparkSession, dir: String, column: String,

@@ -416,6 +416,47 @@ object Similarity extends QueryModule {
       s"(CASE WHEN list_dot_product($col, [${p.mkString(", ")}]) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic duplicate
+    * pruning at CLUSTER scope — every embedding is assigned to its nearest
+    * of k centroids (one broadcast pass over the corpus), duplicates are
+    * then searched only WITHIN a cluster: any pair with cosine ≥ τ drops
+    * the higher vec_id. The clustering is exactly what makes the quadratic
+    * pairwise step tractable at 100 TB: k grows with the corpus so cluster
+    * sizes stay bounded, and the self-join shuffles on the cluster id
+    * alone (no global n² pass). Deterministic twin of the paper's k-means:
+    * centroids are the k lowest vec_ids, assignment ties break to the
+    * smaller centroid, and similarities round to 4 decimals before any
+    * comparison — so the DuckDB oracle matches bit-for-bit. The declared
+    * result is the per-cluster keep/drop census.
+    */
+  private def qSemDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val tau = 0.3
+    val emb = T.embeddings(s, d).select("vec_id", "embedding")
+    val cents = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", round(cosine_sim(col("embedding"), col("ce")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "cid")
+    val drops = assigned.select(col("cid"), col("vec_id").as("id1"),
+        col("embedding").as("e1"))
+      .join(assigned.select(col("cid"), col("vec_id").as("id2"),
+        col("embedding").as("e2")), Seq("cid"))
+      .filter(col("id1") < col("id2") &&
+        round(cosine_sim(col("e1"), col("e2")), 4) >= tau)
+      .select(col("id2").as("drop_id")).distinct()
+    assigned.join(drops, assigned("vec_id") === drops("drop_id"), "left")
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("drop_id").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("drop_id").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("cluster")
+  }
+
   /** Declared as "top in-bucket candidate pairs" (threshold 0 + limit) so the
     * result is non-empty on the synthetic corpus, which has no true near-dups
     * at any sane threshold; the thresholded form is what a pipeline would run.
@@ -598,6 +639,7 @@ object Similarity extends QueryModule {
     "q_cosine_ivfpq" -> qCosineIvfPq,
     "q_cosine_ivfpq_res" -> qCosineIvfPqRes,
     "q_embed_neardup" -> qEmbedNearDup,
+    "q_semdedup" -> qSemDedup,
     "q_embed_dedup_cluster" -> qEmbedDedupCluster,
     "q_embed_knn" -> qEmbedKnn,
     "q_embed_knn_shuffle" -> qEmbedKnnShuffle,
@@ -830,6 +872,31 @@ object Similarity extends QueryModule {
          |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id)
          |SELECT id AS vec_id, min(comp) AS cluster
          |FROM cc GROUP BY id ORDER BY vec_id""".stripMargin,
+    // same deterministic recipe: k = 8 lowest-id centroids, cosine rounded
+    // to 4 decimals before every comparison, ties to the smaller centroid
+    "q_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM e ORDER BY vec_id LIMIT 8),
+        |a AS (
+        |  SELECT vec_id, e, cid, row_number() OVER (
+        |    PARTITION BY vec_id
+        |    ORDER BY round(list_dot_product(e, ce)
+        |      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 4) DESC,
+        |      cid) AS rn
+        |  FROM e, c),
+        |asg AS (SELECT vec_id, e, cid FROM a WHERE rn = 1),
+        |drops AS (
+        |  SELECT DISTINCT r.vec_id AS drop_id
+        |  FROM asg l JOIN asg r ON l.cid = r.cid AND l.vec_id < r.vec_id
+        |  WHERE round(list_dot_product(l.e, r.e)
+        |    / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))), 4) >= 0.3)
+        |SELECT asg.cid AS cluster, count(*) AS n_vecs,
+        |  count(*) - count(d.drop_id) AS n_kept,
+        |  count(d.drop_id) AS n_dropped
+        |FROM asg LEFT JOIN drops d ON asg.vec_id = d.drop_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH b AS (
          |  SELECT vec_id, e, ${bucketSql("e")} AS bucket

@@ -364,6 +364,42 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every pool document by the log importance
+    * ratio log p_target(x) − log p_raw(x) under two cheap bag-of-bigram
+    * LMs — one trained on the TARGET domain (here the `src18` slice
+    * standing in for "looks like Wikipedia"), one on the raw pool — and
+    * select the top-k. This is the pretraining-mix curation step that
+    * upweights in-domain text without a neural scorer. Deterministic
+    * variant: the paper's Gumbel-top-k resample is taken at its
+    * temperature→0 limit (straight arg-top-k; the stochastic member of
+    * the family is `q_sample_temperature`), both arms reuse the
+    * add-one-smoothed [[lmCounts]]/[[lmScoreAgainst]] state, and the
+    * per-doc ratio is a difference of the two 4-decimal-rounded avg NLLs
+    * so the DuckDB twin is exact.
+    *
+    * Scale shape: two vocab-sized count tables (ingest-state, mergeable
+    * across shards via [[appendLmShard]]), two score passes that each join
+    * the corpus explode against them, one TakeOrdered(k) — no global sort,
+    * nothing driver-side, nothing all-pairs.
+    */
+  private def qDsir(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val (t12, tv) = lmCounts(
+      docs.filter(col("lang") === "en" && col("source") === "src18"))
+    val (r12, rv) = lmCounts(docs.filter(col("lang") === "en"))
+    val tgt = lmScoreAgainst(docs, t12, tv)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("lm_score").as("nll_tgt"))
+    val raw = lmScoreAgainst(docs, r12, rv)
+      .select(col("doc_id"), col("lm_score").as("nll_raw"))
+    tgt.join(raw, "doc_id")
+      .withColumn("log_ratio", round(col("nll_raw") - col("nll_tgt"), 4))
+      .orderBy(col("log_ratio").desc, col("doc_id"))
+      .limit(100)
+      .select("doc_id", "lang", "n_bigrams", "nll_tgt", "nll_raw", "log_ratio")
+  }
+
   /** PMI collocation mining: pointwise mutual information
     * ln(c12·N / (c1·c2)) over corpus bigrams with a min-support gate,
     * top 50. c1/c2 count a token's occurrences as bigram-left / bigram-right
@@ -1143,6 +1179,7 @@ object TextAnalysis extends QueryModule {
     "q_top_bigram" -> qTopBigram,
     "q_ngram_lm" -> qNgramLm,
     "q_lm_admit" -> qLmAdmit,
+    "q_dsir" -> qDsir,
     "q_keywords" -> qKeywords,
     "q_pmi" -> qPmi,
     "q_char_ratios" -> qCharRatios,
@@ -1687,6 +1724,38 @@ object TextAnalysis extends QueryModule {
           |SELECT doc_id, lang, n_bigrams, lm_score,
           |  CASE WHEN lm_score <= 3.4 THEN 1 ELSE 0 END AS admit
           |FROM sc ORDER BY doc_id""".stripMargin),
+    // two ngramLmCtes-shaped arms (target = en & src18, raw = en), scored
+    // over every doc; log_ratio = difference of the two ROUNDED avg NLLs
+    "q_dsir" ->
+      """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+        |ttr AS (SELECT * FROM t WHERE lang = 'en' AND source = 'src18'),
+        |rtr AS (SELECT * FROM t WHERE lang = 'en'),
+        |tvv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM ttr)),
+        |rvv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM rtr)),
+        |tbg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM ttr, LATERAL (SELECT unnest(range(1, len(t))) AS i) g WHERE len(t) >= 2),
+        |rbg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM rtr, LATERAL (SELECT unnest(range(1, len(t))) AS i) g WHERE len(t) >= 2),
+        |tc12 AS (SELECT w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2),
+        |tc1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1),
+        |rc12 AS (SELECT w1, w2, count(*) AS c12 FROM rbg GROUP BY 1, 2),
+        |rc1 AS (SELECT w1, count(*) AS c1 FROM rbg GROUP BY 1),
+        |dbg AS (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) g WHERE len(t) >= 2),
+        |sct AS (SELECT d.doc_id, d.lang, count(*) AS n_bigrams,
+        |  round(avg(-ln(CAST(coalesce(tc12.c12, 0) + 1 AS DOUBLE)
+        |    / (coalesce(tc1.c1, 0) + tvv.v))), 4) AS nll_tgt
+        |  FROM dbg d LEFT JOIN tc12 ON d.w1 = tc12.w1 AND d.w2 = tc12.w2
+        |  LEFT JOIN tc1 ON d.w1 = tc1.w1 CROSS JOIN tvv GROUP BY 1, 2),
+        |scr AS (SELECT d.doc_id,
+        |  round(avg(-ln(CAST(coalesce(rc12.c12, 0) + 1 AS DOUBLE)
+        |    / (coalesce(rc1.c1, 0) + rvv.v))), 4) AS nll_raw
+        |  FROM dbg d LEFT JOIN rc12 ON d.w1 = rc12.w1 AND d.w2 = rc12.w2
+        |  LEFT JOIN rc1 ON d.w1 = rc1.w1 CROSS JOIN rvv GROUP BY 1)
+        |SELECT sct.doc_id, sct.lang, sct.n_bigrams, sct.nll_tgt, scr.nll_raw,
+        |  round(scr.nll_raw - sct.nll_tgt, 4) AS log_ratio
+        |FROM sct JOIN scr ON sct.doc_id = scr.doc_id
+        |ORDER BY log_ratio DESC, sct.doc_id LIMIT 100""".stripMargin,
     "q_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),

@@ -314,4 +314,17 @@ class SimilaritySpec extends AnyFunSuite {
       .select(Similarity.lshBucket(col("embedding")).as("b")).as[Int].collect()
     assert(b.forall(x => x >= 0 && x < (1 << Similarity.NumPlanes)))
   }
+
+  test("semdedup census partitions the corpus and actually prunes") {
+    val census = SparkEntry.queries("q_semdedup")(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val corpus = Tables.embeddings(spark, TestSpark.sf).count()
+    assert(census.map(_._2).sum == corpus,
+      "every vector must land in exactly one cluster")
+    assert(census.forall { case (_, n, kept, dropped) => kept + dropped == n },
+      "keep/drop must partition each cluster")
+    assert(census.map(_._4).sum > 0, "no semantic duplicates pruned at all")
+    assert(census.map(_._3).sum > census.map(_._4).sum,
+      "pruning degenerated: dropped the majority of the corpus")
+  }
 }

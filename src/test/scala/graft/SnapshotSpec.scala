@@ -1492,6 +1492,139 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 91)
   }
 
+  test("tags pin versions by name and protect them from expire") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    intercept[IllegalArgumentException](Snapshots.setTag(spark, dir, "golden", 9))
+    Snapshots.setTag(spark, dir, "golden", 1)
+    assert(Snapshots.tags(spark, dir) == Map("golden" -> 1))
+    assert(Snapshots.readTag(spark, dir, "golden").count() == 1)
+    // an aggressive sweep is CLAMPED at the tagged version
+    Snapshots.expire(spark, dir, keepFrom = 3)
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2, 3),
+      "expire dropped a tagged version")
+    assert(Snapshots.readTag(spark, dir, "golden").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a")))
+    // deleting the tag releases the clamp
+    Snapshots.deleteTag(spark, dir, "golden")
+    Snapshots.expire(spark, dir, keepFrom = 3)
+    assert(Snapshots.versions(spark, dir) == Seq(3))
+    intercept[IllegalArgumentException](Snapshots.readTag(spark, dir, "golden"))
+  }
+
+  test("write-audit-publish: staged commits are invisible until published") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"))
+    val tok = Snapshots.stageCommit(spark, dir,
+      Seq((3L, 30.0), (4L, 40.0)).toDF("k", "p"), meta = Map("wap" -> "cand"))
+    // invisible to every reader surface
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(Snapshots.read(spark, dir).count() == 2, "staged rows leaked")
+    assert(Snapshots.stagedTokens(spark, dir) == Seq(tok))
+    // the audit runs on the as-if-published view
+    val audit = Snapshots.readStaged(spark, dir, tok)
+    assert(audit.count() == 4)
+    assert(audit.filter(col("p") <= 0).count() == 0)
+    // vacuum must not sweep live staged data (it may clear _SUCCESS markers)
+    Snapshots.vacuumOrphans(spark, dir, graceMillis = 0)
+    assert(Snapshots.readStaged(spark, dir, tok).count() == 4,
+      "vacuum swept staged data files")
+    // a foreign commit lands between stage and publish: publish rebases
+    Snapshots.commit(spark, dir, Seq((9L, 90.0)).toDF("k", "p"))
+    val v = Snapshots.publishStaged(spark, dir, tok)
+    assert(v == 3)
+    assert(Snapshots.read(spark, dir).as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (9L, 90.0)),
+      "publish lost the concurrent commit or the staged rows")
+    assert(Snapshots.stagedTokens(spark, dir).isEmpty)
+    assert(Snapshots.commitMeta(spark, dir, v) == Map("wap" -> "cand"))
+    intercept[IllegalArgumentException](Snapshots.readStaged(spark, dir, tok))
+    // discard: a failed candidate disappears without a trace
+    val bad = Snapshots.stageCommit(spark, dir, Seq((5L, -1.0)).toDF("k", "p"))
+    val stagedFiles = new java.io.File(s"$dir/data").listFiles().length
+    Snapshots.discardStaged(spark, dir, bad)
+    assert(Snapshots.stagedTokens(spark, dir).isEmpty)
+    assert(new java.io.File(s"$dir/data").listFiles().length < stagedFiles,
+      "discard left the staged data dir behind")
+    assert(Snapshots.read(spark, dir).count() == 5)
+    // the schema gate runs at stage time, same as commit
+    intercept[IllegalArgumentException](
+      Snapshots.stageCommit(spark, dir, Seq((6L, "oops")).toDF("k", "txt")))
+  }
+
+  test("CHECK constraints gate every row-adding path, SQL-standard NULL semantics") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir,
+      Seq((1L, Some(10.0)), (2L, Some(20.0))).toDF("k", "p"))
+    // a constraint existing rows violate refuses to be born
+    intercept[IllegalArgumentException](
+      Snapshots.addCheckConstraint(spark, dir, "p_big", "p > 15"))
+    Snapshots.addCheckConstraint(spark, dir, "p_pos", "p > 0")
+    Snapshots.addCheckConstraint(spark, dir, "k_not_null", "k IS NOT NULL")
+    assert(Snapshots.checkConstraints(spark, dir).keySet == Set("p_pos", "k_not_null"))
+    // violating commit refuses ATOMICALLY (no version, no files published)
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, dir, Seq((3L, Some(-1.0))).toDF("k", "p")))
+    assert(Snapshots.currentVersion(spark, dir).contains(1))
+    // NULL passes a plain CHECK (SQL standard)…
+    Snapshots.commit(spark, dir,
+      Seq((3L, None: Option[Double])).toDF("k", "p"))
+    // …but IS NOT NULL is the NOT NULL constraint
+    intercept[IllegalArgumentException](Snapshots.commit(spark, dir,
+      Seq((None: Option[Long], Some(5.0))).toDF("k", "p")))
+    // merge paths run the same gate
+    intercept[IllegalArgumentException](Snapshots.mergeInto(spark, dir,
+      Seq((1L, Some(-9.0))).toDF("k", "p"), "k"))
+    intercept[IllegalArgumentException](Snapshots.mergeIntoMor(spark, dir,
+      Seq((1L, Some(-9.0))).toDF("k", "p"), "k"))
+    Snapshots.mergeInto(spark, dir, Seq((1L, Some(11.0))).toDF("k", "p"), "k")
+    // rename/drop of a constrained column refuses until the constraint goes
+    intercept[IllegalArgumentException](Snapshots.renameColumn(spark, dir, "p", "price"))
+    intercept[IllegalArgumentException](Snapshots.dropColumn(spark, dir, "p"))
+    Snapshots.dropCheckConstraint(spark, dir, "p_pos")
+    Snapshots.renameColumn(spark, dir, "p", "price")
+    Snapshots.commit(spark, dir, Seq((4L, Some(-2.0))).toDF("k", "price"))
+    val rows = Snapshots.read(spark, dir)
+      .select("k", "price").as[(Long, Option[Double])].collect().toSet
+    assert(rows == Set((1L, Some(11.0)), (2L, Some(20.0)),
+      (3L, None), (4L, Some(-2.0))), rows)
+  }
+
+  test("replaceWhere swaps a key region atomically and carries the rest") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir,
+      spark.range(1000).toDF("k").withColumn("p", col("k") * 1.0)
+        .repartitionByRange(8, col("k")))
+    val before = Snapshots.files(spark, dir, 1)
+    // rows outside the region refuse up front, nothing publishes
+    intercept[IllegalArgumentException](Snapshots.replaceWhere(spark, dir,
+      Seq((5L, 1.0)).toDF("k", "p"), "k", Some(100L), Some(199L)))
+    assert(Snapshots.currentVersion(spark, dir).contains(1))
+    // swap [100, 199] for a recomputed half-density slice
+    val v = Snapshots.replaceWhere(spark, dir,
+      spark.range(100, 200, 2).toDF("k").withColumn("p", col("k") * 10.0),
+      "k", Some(100L), Some(199L))
+    val rows = Snapshots.read(spark, dir).as[(Long, Double)].collect().toMap
+    assert(rows.size == 950)
+    assert((100L until 200L by 2).forall(k => rows(k) == k * 10.0))
+    assert(!(101L until 200L by 2).exists(rows.contains))
+    assert(rows(99L) == 99.0 && rows(200L) == 200.0, "outside region touched")
+    // files outside the region's stats envelope carried by reference
+    assert(Snapshots.files(spark, dir, v).toSet.intersect(before.toSet).nonEmpty,
+      "replaceWhere rewrote files the region never touched")
+    // the feed records the swap as deletes + inserts, nothing else
+    val feed = Snapshots.readChangeFeed(spark, dir, v - 1, v)
+    assert(feed.filter(col("_change_type") === "delete").count() == 100)
+    assert(feed.filter(col("_change_type") === "insert").count() == 50)
+    // empty replacement = pure predicate delete, still one atomic commit
+    val v2 = Snapshots.replaceWhere(spark, dir,
+      spark.emptyDataset[(Long, Double)].toDF("k", "p"), "k",
+      Some(300L), Some(349L))
+    assert(Snapshots.read(spark, dir, Some(v2)).count() == 900)
+  }
+
   test("any '__'-prefixed column name refuses at the write boundary") {
     val dir = tmp()
     // maskedParquet strips the whole __ prefix on merge-on-read reads, so
