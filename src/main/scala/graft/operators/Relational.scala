@@ -868,6 +868,17 @@ object Relational extends QueryModule {
              |FROM snapshot_history('$dir') ORDER BY version""".stripMargin)
   }
 
+  /** COUNT(*) answered from the stats-sidecar metadata minus the deletion
+    * vector — zero data files planned (SnapshotSpec proves it by clobbering
+    * every data file and counting again). The fixture is the MoR-delete
+    * table, so the mask subtraction is exercised; the oracle is the plain
+    * SQL count over the equivalent predicate.
+    */
+  private def qSnapshotCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq(Snapshots.countRows(s, snapDvDir(s, d))).toDF("n")
+  }
+
   private def qSnapshotDv(s: SparkSession, d: String): DataFrame =
     Snapshots.read(s, snapDvDir(s, d))
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
@@ -1409,6 +1420,7 @@ object Relational extends QueryModule {
     "q_snapshot_tag" -> qSnapshotTag,
     "q_snapshot_constraint" -> qSnapshotConstraint,
     "q_snapshot_replace_where" -> qSnapshotReplaceWhere,
+    "q_snapshot_count" -> qSnapshotCount,
     "q_snapshot_dv" -> qSnapshotDv,
     "q_snapshot_history" -> qSnapshotHistory,
     "q_snapshot_restore" -> qSnapshotRestore,
@@ -1513,6 +1525,10 @@ object Relational extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey % 5 IN (0, 1)
         |ORDER BY n""".stripMargin,
+    "q_snapshot_count" ->
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_orderkey NOT BETWEEN 200 AND 699
+        |  AND o_orderkey NOT BETWEEN 1200 AND 1299""".stripMargin,
     "q_snapshot_replace_where" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_totalprice FROM orders

@@ -96,6 +96,59 @@ object Privacy extends QueryModule {
       .filter(col("diversity") < l)
   }
 
+  /** Closeness threshold: a class whose sensitive-value distribution sits
+    * farther than T (total-variation distance) from the global one leaks
+    * by SKEW even when it is diverse — the third audit of the family. */
+  val TClose = 0.7
+
+  /** t-closeness audit (Li et al., ICDE 2007) over the published
+    * k-anonymized view: for every released equivalence class, the
+    * total-variation distance (the EMD of the paper for a categorical
+    * sensitive attribute under uniform ground distance) between the
+    * class's sensitive distribution and the GLOBAL published distribution;
+    * classes beyond `t` are the skew-attack surface l-diversity misses
+    * (a class can hold l distinct diagnoses and still be 90% "cancer").
+    * Every class is returned with its distance and breach flag — the
+    * steward's review sheet, not just the violations.
+    *
+    * Numerics: the distance is computed in INTEGER cross-products
+    * (|cn·gtot − gn·ctot| summed, ONE division at the end) so the 4-decimal
+    * rounding is bit-identical in any engine — no float-sum order hazard.
+    * Scale shape: class table and sensitive alphabet are metadata-sized;
+    * the only corpus-sized work is the one doc-keyed join + one aggregate.
+    */
+  def tClosenessAudit(docs: DataFrame, k: Int = K,
+      t: Double = TClose): DataFrame = {
+    val pub = kAnonymize(docs, k).filter(col("gen_level") < 2)
+    val sens = docs.select(col("doc_id"),
+      substring(md5(col("text")), 1, 1).as("sens"))
+    // NULLed-out QI columns (generalization) are real class keys: fold
+    // them to sentinels so every join/group below is null-safe, restore
+    // at the output boundary
+    val j = pub.join(sens, "doc_id")
+      .select(col("gen_level"), col("lang"),
+        coalesce(col("source"), lit("~")).as("src_k"),
+        coalesce(col("bucket_lo"), lit(-1L)).as("blo_k"), col("sens"))
+    val gtot = j.agg(count(lit(1)).as("gtot"))
+    val g = j.groupBy("sens").agg(count(lit(1)).as("gn"))
+    val cs = j.groupBy("gen_level", "lang", "src_k", "blo_k", "sens")
+      .agg(count(lit(1)).as("cn"))
+    val ct = cs.groupBy("gen_level", "lang", "src_k", "blo_k")
+      .agg(sum("cn").as("ctot"))
+    ct.crossJoin(broadcast(g)).crossJoin(broadcast(gtot))
+      .join(cs, Seq("gen_level", "lang", "src_k", "blo_k", "sens"), "left")
+      .withColumn("term",
+        abs(coalesce(col("cn"), lit(0L)) * col("gtot") - col("gn") * col("ctot")))
+      .groupBy("gen_level", "lang", "src_k", "blo_k", "ctot", "gtot")
+      .agg(sum("term").as("num"))
+      .select(col("gen_level"), col("lang"),
+        nullif(col("src_k"), lit("~")).as("source"),
+        nullif(col("blo_k"), lit(-1L)).as("bucket_lo"),
+        col("ctot").as("n"),
+        round(col("num") / (lit(2.0) * col("ctot") * col("gtot")), 4).as("tvd"))
+      .withColumn("breach", when(col("tvd") > t, 1).otherwise(0))
+  }
+
   // ---- declared queries ----
 
   private def qKAnon(s: SparkSession, d: String): DataFrame =
@@ -109,10 +162,16 @@ object Privacy extends QueryModule {
   private def qAnonymize(s: SparkSession, d: String): DataFrame =
     kAnonymize(T.documents(s, d)).orderBy("doc_id")
 
+  private def qTCloseness(s: SparkSession, d: String): DataFrame =
+    tClosenessAudit(T.documents(s, d))
+      .orderBy(col("gen_level"), col("lang"), col("source").asc_nulls_first,
+        col("bucket_lo").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anon" -> qKAnon,
     "q_anonymize" -> qAnonymize,
-    "q_l_diversity" -> qLDiversity
+    "q_l_diversity" -> qLDiversity,
+    "q_t_closeness" -> qTCloseness
   )
 
   private val qiCte =
@@ -167,6 +226,49 @@ object Privacy extends QueryModule {
          |FROM pub JOIN sens USING (doc_id)
          |GROUP BY gen_level, lang, source, bucket_lo
          |HAVING count(DISTINCT sens.sens) < 3
-         |ORDER BY gen_level, lang, source, bucket_lo NULLS FIRST""".stripMargin
+         |ORDER BY gen_level, lang, source, bucket_lo NULLS FIRST""".stripMargin,
+    // same pub CTE; TVD in integer cross-products, one terminal division
+    "q_t_closeness" ->
+      s"""WITH $qiCte,
+         |c0 AS (SELECT lang, source, bucket_lo, count(*) AS n0
+         |       FROM l0 GROUP BY lang, source, bucket_lo),
+         |j0 AS (SELECT l0.*, c0.n0 FROM l0
+         |       JOIN c0 USING (lang, source, bucket_lo)),
+         |fail0 AS (SELECT * FROM j0 WHERE n0 < 3),
+         |c1 AS (SELECT lang, source, count(*) AS n1
+         |       FROM fail0 GROUP BY lang, source),
+         |j1 AS (SELECT fail0.*, c1.n1 FROM fail0 JOIN c1 USING (lang, source)),
+         |pub AS (
+         |  SELECT doc_id, lang, source, bucket_lo, 0 AS gen_level
+         |  FROM j0 WHERE n0 >= 3
+         |  UNION ALL
+         |  SELECT doc_id, lang, source, NULL, 1 FROM j1 WHERE n1 >= 3),
+         |sens AS (SELECT doc_id, substring(md5(text), 1, 1) AS sens
+         |         FROM documents),
+         |j AS (SELECT pub.gen_level, pub.lang,
+         |        coalesce(pub.source, '~') AS src_k,
+         |        coalesce(pub.bucket_lo, -1) AS blo_k, sens.sens
+         |      FROM pub JOIN sens USING (doc_id)),
+         |gt AS (SELECT count(*) AS gtot FROM j),
+         |g AS (SELECT sens, count(*) AS gn FROM j GROUP BY sens),
+         |cs AS (SELECT gen_level, lang, src_k, blo_k, sens, count(*) AS cn
+         |       FROM j GROUP BY 1, 2, 3, 4, 5),
+         |ct AS (SELECT gen_level, lang, src_k, blo_k, count(*) AS ctot
+         |       FROM j GROUP BY 1, 2, 3, 4),
+         |x AS (SELECT ct.gen_level, ct.lang, ct.src_k, ct.blo_k, ct.ctot,
+         |        gt.gtot,
+         |        abs(coalesce(cs.cn, 0) * gt.gtot - g.gn * ct.ctot) AS term
+         |      FROM ct CROSS JOIN g CROSS JOIN gt
+         |      LEFT JOIN cs ON cs.gen_level = ct.gen_level
+         |        AND cs.lang = ct.lang AND cs.src_k = ct.src_k
+         |        AND cs.blo_k = ct.blo_k AND cs.sens = g.sens)
+         |SELECT gen_level, lang, nullif(src_k, '~') AS source,
+         |  nullif(blo_k, -1) AS bucket_lo, ctot AS n,
+         |  round(sum(term) / (2.0 * ctot * gtot), 4) AS tvd,
+         |  CASE WHEN round(sum(term) / (2.0 * ctot * gtot), 4) > 0.7
+         |       THEN 1 ELSE 0 END AS breach
+         |FROM x GROUP BY gen_level, lang, src_k, blo_k, ctot, gtot
+         |ORDER BY gen_level, lang, source NULLS FIRST,
+         |  bucket_lo NULLS FIRST""".stripMargin
   )
 }

@@ -79,4 +79,26 @@ class PrivacySpec extends AnyFunSuite {
     audit.foreach(r => assert(r.getAs[Long]("n") >= Privacy.K,
       "a published class below k slipped through the recode"))
   }
+
+  test("t-closeness audit covers every published class with a valid TVD") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val audit = Privacy.tClosenessAudit(docs).collect()
+    // one row per PUBLISHED equivalence class, no more, no less
+    val published = Privacy.kAnonymize(docs)
+      .filter(org.apache.spark.sql.functions.col("gen_level") < 2)
+      .select("gen_level", "lang", "source", "bucket_lo").distinct().count()
+    assert(audit.length == published,
+      s"audit covers ${audit.length} classes, published view has $published")
+    audit.foreach { r =>
+      val tvd = r.getAs[Double]("tvd")
+      assert(tvd >= 0.0 && tvd <= 1.0, s"TVD out of range: $tvd")
+      assert(r.getAs[Int]("breach") == (if (tvd > Privacy.TClose) 1 else 0),
+        "breach flag disagrees with its own threshold")
+      assert(r.getAs[Long]("n") >= Privacy.K)
+    }
+    // the audit must actually discriminate on this corpus: small classes
+    // sit far from the global mix, big ones close — both flags present
+    assert(audit.exists(_.getAs[Int]("breach") == 1), "no breach found")
+    assert(audit.exists(_.getAs[Int]("breach") == 0), "everything breached")
+  }
 }

@@ -1592,6 +1592,23 @@ class SnapshotSpec extends AnyFunSuite {
       (3L, None), (4L, Some(-2.0))), rows)
   }
 
+  test("countRows answers from metadata: exact across deletes, zero data scan") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, spark.range(100).toDF("k").repartition(4))
+    Snapshots.commit(spark, dir, spark.range(100, 150).toDF("k"))
+    assert(Snapshots.countRows(spark, dir) == 150)
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(10L), Some(29L))
+    assert(Snapshots.countRows(spark, dir) == 130, "DV mask not subtracted")
+    assert(Snapshots.countRows(spark, dir, Some(2)) == 150, "time-travel count drifted")
+    // proof no data file is planned: clobber every data file; the metadata
+    // count still answers while a real scan would explode
+    Snapshots.files(spark, dir, Snapshots.currentVersion(spark, dir).get)
+      .foreach { f =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, f), Array[Byte](0))
+      }
+    assert(Snapshots.countRows(spark, dir) == 130, "countRows touched data files")
+  }
+
   test("replaceWhere swaps a key region atomically and carries the rest") {
     val dir = tmp()
     Snapshots.commit(spark, dir,
