@@ -388,12 +388,29 @@ object TextAnalysis extends QueryModule {
     val (t12, tv) = lmCounts(
       docs.filter(col("lang") === "en" && col("source") === "src18"))
     val (r12, rv) = lmCounts(docs.filter(col("lang") === "en"))
-    val tgt = lmScoreAgainst(docs, t12, tv)
-      .select(col("doc_id"), col("lang"), col("n_bigrams"),
-        col("lm_score").as("nll_tgt"))
-    val raw = lmScoreAgainst(docs, r12, rv)
-      .select(col("doc_id"), col("lm_score").as("nll_raw"))
-    tgt.join(raw, "doc_id")
+    // BOTH arms score in ONE corpus explode: the pool bigrams join the two
+    // vocab-sized count tables side by side instead of paying the explode
+    // + doc-keyed aggregate twice (halves the corpus-sized work)
+    val tvc = tv.agg(count(lit(1)).as("tv"))
+    val rvc = rv.agg(count(lit(1)).as("rv"))
+    val tc1 = t12.groupBy("w1").agg(sum("c12").as("tc1"))
+    val rc1 = r12.groupBy("w1").agg(sum("c12").as("rc1"))
+    bigramRows(docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("t")),
+        col("doc_id"), col("lang"))
+      .join(t12.withColumnRenamed("c12", "tc12"), Seq("w1", "w2"), "left")
+      .join(tc1, Seq("w1"), "left")
+      .join(r12.withColumnRenamed("c12", "rc12"), Seq("w1", "w2"), "left")
+      .join(rc1, Seq("w1"), "left")
+      .crossJoin(tvc).crossJoin(rvc)
+      .select(col("doc_id"), col("lang"),
+        (-log((coalesce(col("tc12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("tc1"), lit(0L)) + col("tv")))).as("nt"),
+        (-log((coalesce(col("rc12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("rc1"), lit(0L)) + col("rv")))).as("nr"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nt")), 4).as("nll_tgt"),
+        round(avg(col("nr")), 4).as("nll_raw"))
       .withColumn("log_ratio", round(col("nll_raw") - col("nll_tgt"), 4))
       .orderBy(col("log_ratio").desc, col("doc_id"))
       .limit(100)
