@@ -1145,6 +1145,46 @@ object Relational extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** POINT-IN-TIME join against an SCD2 validity-interval dimension — "which
+    * status was active when this fact happened": every sparse change event
+    * (event_id % 5 = 0) opens a [eff_from, eff_to) status interval per user
+    * (SCD2 built with one lead() window), and every other event joins the
+    * interval covering its timestamp. The scalable shape is the BINNED
+    * interval equi-join (same technique as `q_join_range_binned`): dim
+    * intervals explode to the day buckets they cover, facts equi-join
+    * (user, day) — never a per-user cross product — and the exact BETWEEN
+    * residual filters inside the bucket. At 100 TB the fan-out is
+    * interval-days, not |facts|·|dim|, and the join shuffles on a key both
+    * sides can pre-partition by. The oracle states the plain interval join.
+    */
+  private def qJoinTemporal(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val dim = ev.filter(col("event_id") % 5 === 0)
+      .select(col("user_id"), col("ts").as("eff_from"),
+        col("event_type").as("status"), lead(col("ts"), 1).over(w).as("eff_to"))
+    val facts = ev.filter(col("event_id") % 5 =!= 0)
+    def day(c: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(c) / 86400).cast("long")
+    // open-ended intervals cap at the facts' max day (one broadcast scalar)
+    val maxDay = facts.agg(day(max(col("ts"))).as("max_day"))
+    val dimExp = dim.crossJoin(broadcast(maxDay))
+      .withColumn("from_day", day(col("eff_from")))
+      .withColumn("to_day",
+        greatest(coalesce(day(col("eff_to")), col("max_day")), col("from_day")))
+      .withColumn("day", explode(sequence(col("from_day"), col("to_day"))))
+      .select("user_id", "day", "eff_from", "eff_to", "status")
+    facts.withColumn("day", day(col("ts")))
+      .join(dimExp, Seq("user_id", "day"))
+      .filter(col("ts") >= col("eff_from") &&
+        (col("eff_to").isNull || col("ts") < col("eff_to")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("status")
+  }
+
   /** Consistent (hash-based) sampling — the production sampling pattern for
     * training-data pipelines: membership is a pure function of the key, so
     * the same 10% sample falls out on every run, any cluster size, any
@@ -1451,6 +1491,7 @@ object Relational extends QueryModule {
     "q_join_cross" -> qJoinCross,
     "q_join_range" -> qJoinRange,
     "q_join_range_binned" -> qJoinRangeBinned,
+    "q_join_temporal" -> qJoinTemporal,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_subquery_corr" -> qSubqueryCorr
   )
@@ -1525,6 +1566,20 @@ object Relational extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey % 5 IN (0, 1)
         |ORDER BY n""".stripMargin,
+    "q_join_temporal" ->
+      """WITH ch AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS eff_from,
+        |    event_type AS status,
+        |    lead(CAST(ts AS TIMESTAMP)) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS eff_to
+        |  FROM events WHERE event_id % 5 = 0),
+        |f AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_id % 5 <> 0)
+        |SELECT ch.status, count(*) AS n, round(sum(f.value), 2) AS total
+        |FROM f JOIN ch ON f.user_id = ch.user_id
+        |  AND f.ts >= ch.eff_from
+        |  AND (ch.eff_to IS NULL OR f.ts < ch.eff_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_snapshot_count" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_orderkey NOT BETWEEN 200 AND 699

@@ -167,7 +167,22 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
-    val starting = parameters.getOrElse("startingVersion", "0").toInt
+    // startingTimestamp resolves to the newest version published at or
+    // before it (Delta's rule), so a consumer can say "tail from last
+    // Tuesday" without knowing version numbers. Mutually exclusive with
+    // startingVersion; a timestamp older than the first commit starts
+    // from 0 (the full initial snapshot).
+    val starting = parameters.get("startingTimestamp") match {
+      case Some(tsStr) =>
+        require(!parameters.contains("startingVersion"),
+          "pass startingVersion OR startingTimestamp, not both")
+        val ts = java.sql.Timestamp.valueOf(tsStr).getTime
+        val spark = sqlContext.sparkSession
+        Snapshots.versions(spark, dir)
+          .filter(v => Snapshots.commitTime(spark, dir, v) <= ts)
+          .lastOption.getOrElse(0)
+      case None => parameters.getOrElse("startingVersion", "0").toInt
+    }
     val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     maxPerTrigger.foreach(m => require(m > 0, "maxVersionsPerTrigger must be > 0"))
     // retention pin identity: stable across restarts of the SAME query

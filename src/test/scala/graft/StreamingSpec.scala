@@ -1491,6 +1491,34 @@ class StreamingSpec extends AnyFunSuite {
       "marker or replay leaked duplicate feed inserts")
   }
 
+  test("startingTimestamp resolves to the newest version at or before it") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-ts-src").toString
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    Thread.sleep(20)
+    val cut = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    def tailFrom(opts: Map[String, String]): Set[Long] = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-snap-ts-ck").toString
+      val name = s"snap_ts_${ckpt.hashCode.abs}"
+      val q = opts.foldLeft(spark.readStream.format("snapshots")
+          .option("path", dir)) { case (r, (k, v)) => r.option(k, v) }
+        .load().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).select("k").as[Long].collect().toSet
+    }
+    // tail from the cut: only the rows committed after v1
+    assert(tailFrom(Map("startingTimestamp" -> cut.toString)) == Set(2L, 3L))
+    // a timestamp before the first commit = the full initial snapshot
+    assert(tailFrom(Map("startingTimestamp" ->
+      new java.sql.Timestamp(0L).toString)) == Set(1L, 2L, 3L))
+    intercept[Exception](tailFrom(Map(
+      "startingTimestamp" -> cut.toString, "startingVersion" -> "1")))
+  }
+
   test("snapshot tail fails loudly when a declared column is renamed mid-stream") {
     import graft.operators.Snapshots
     val dir = java.nio.file.Files.createTempDirectory("graft-snap-ren-src").toString
