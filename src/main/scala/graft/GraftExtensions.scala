@@ -242,6 +242,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litString(args.head, "snapshot_history path"))
           .queryExecution.logical
       }))
+    // `FROM snapshot_tags('<dir>')` — named refs as a relation: the tag
+    // table a steward joins against snapshot_history before retention ops
+    ext.injectTableFunction((FunctionIdentifier("snapshot_tags"),
+      info("snapshot_tags"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "snapshot_tags('<dir>')")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Snapshots.tagsDf(spark,
+          litString(args.head, "snapshot_tags path"))
+          .queryExecution.logical
+      }))
     // `FROM bm25_search('<indexDir>'[, k])` / `FROM phrase_search('<indexDir>'
     // [, limit])` — retrieval served from a persistent text.TextIndex
     // directory. Like snapshot_scan's manifest read, the metadata-sized

@@ -1974,6 +1974,12 @@ object Snapshots {
         k.stripPrefix("ref.tag.") -> v.toInt
     }
 
+  /** Tags as a relation (the `snapshot_tags` TVF's body). */
+  def tagsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tags(spark, dir).toSeq.sortBy(_._1).toDF("tag", "version")
+  }
+
   /** Read the snapshot a tag points at. */
   def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
     read(spark, dir, Some(tags(spark, dir).getOrElse(name,

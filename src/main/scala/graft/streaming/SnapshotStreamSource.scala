@@ -118,9 +118,15 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
       }
     }
-    require(vOpt.isEmpty || tOpt.isEmpty,
-      "pass versionAsOf OR timestampAsOf, not both")
-    val pinned = vOpt.orElse(tOpt.map { ts =>
+    // tagAsOf resolves a named ref ([[Snapshots.setTag]]) — "read the
+    // audited snapshot by NAME", no version numbers in the SQL
+    val gOpt = parameters.get("tagAsOf").map { name =>
+      Snapshots.tags(spark, dir).getOrElse(name,
+        throw new IllegalArgumentException(s"$dir: no tag '$name'"))
+    }
+    require(Seq(vOpt, tOpt, gOpt).count(_.nonEmpty) <= 1,
+      "pass at most one of versionAsOf, timestampAsOf, tagAsOf")
+    val pinned = vOpt.orElse(gOpt).orElse(tOpt.map { ts =>
       val vs = Snapshots.versions(spark, dir)
         .filter(v => Snapshots.commitTime(spark, dir, v) <= ts)
       require(vs.nonEmpty, s"$dir: no snapshot existed at $ts")

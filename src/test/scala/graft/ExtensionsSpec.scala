@@ -272,6 +272,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(phys.contains("PushedFilters: [In(token"), phys)
   }
 
+  test("SQL face of named tags: snapshot_tags TVF + tagAsOf relation option") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-tag").toString
+    import TestSpark.spark.implicits._
+    operators.Snapshots.commit(ext, dir, Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    operators.Snapshots.commit(ext, dir, Seq((3, "c")).toDF("id", "s"))
+    operators.Snapshots.setTag(ext, dir, "golden", 1)
+    val tags = ext.sql(s"SELECT tag, version FROM snapshot_tags('$dir')")
+      .as[(String, Int)].collect().toSeq
+    assert(tags == Seq(("golden", 1)))
+    ext.sql(s"CREATE OR REPLACE TEMP VIEW snap_tagged USING snapshots " +
+      s"OPTIONS (path '$dir', tagAsOf 'golden')")
+    assert(ext.sql("SELECT sum(id) FROM snap_tagged").collect()(0).getLong(0) == 3)
+    // unknown tag and conflicting pins both refuse
+    intercept[Exception](ext.sql(s"CREATE OR REPLACE TEMP VIEW bad_tag USING " +
+      s"snapshots OPTIONS (path '$dir', tagAsOf 'nope')").collect())
+    intercept[Exception](ext.sql(s"CREATE OR REPLACE TEMP VIEW bad_two USING " +
+      s"snapshots OPTIONS (path '$dir', tagAsOf 'golden', versionAsOf '2')")
+      .collect())
+  }
+
   test("table functions reject non-constant arguments loudly") {
     val e = intercept[Exception](
       ext.sql("SELECT * FROM grid_scan(concat('a', rand()))").collect())
