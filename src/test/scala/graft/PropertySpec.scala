@@ -375,4 +375,58 @@ class PropertySpec extends AnyFunSuite {
     val grand = rows.find(r => r._1 == "ALL" && r._2 == "ALL").get._4
     assert(leaves == grand)
   }
+
+  test("property: replaceWhere equals set-subtract-plus-insert for random regions") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop-rw").toFile.getAbsolutePath
+    val n = 500L
+    Snapshots.commit(spark, dir,
+      spark.range(n).toDF("k").withColumn("p", col("k") * 1.0).repartition(4))
+    var expected: Map[Long, Double] =
+      (0L until n).map(k => k -> k.toDouble).toMap
+    val regions = Gen.listOfN(6, for {
+      lo <- Gen.choose(0L, n - 1); w <- Gen.choose(0L, 120L)
+      dens <- Gen.choose(1, 3); bump <- Gen.choose(1.0, 99.0)
+    } yield (lo, math.min(n - 1, lo + w), dens, bump)).sample.get
+    regions.foreach { case (lo, hi, dens, bump) =>
+      val incoming = (lo to hi).filter(_ % dens == 0).map(k => (k, k + bump))
+      Snapshots.replaceWhere(spark, dir,
+        incoming.toDF("k", "p"), "k", Some(lo), Some(hi))
+      expected = expected.filterNot { case (k, _) => k >= lo && k <= hi } ++
+        incoming.toMap
+      val got = Snapshots.read(spark, dir).as[(Long, Double)].collect().toMap
+      assert(got == expected, s"region [$lo, $hi] dens=$dens diverged")
+    }
+  }
+
+  test("property: a violating batch never publishes — versions and rows are unchanged") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop-cons").toFile.getAbsolutePath
+    Snapshots.commit(spark, dir,
+      spark.range(1, 200).toDF("k").withColumn("p", col("k") * 2.0))
+    Snapshots.addCheckConstraint(spark, dir, "p_pos", "p > 0")
+    Snapshots.addCheckConstraint(spark, dir, "k_pos", "k > 0")
+    val batches = Gen.listOfN(8, for {
+      base <- Gen.choose(1000L, 9000L); sz <- Gen.choose(1, 20)
+      badAt <- Gen.choose(-1, 19) // -1 = clean batch
+    } yield (base, sz, badAt)).sample.get
+    batches.foreach { case (base, sz, badAt) =>
+      val rows = (0 until sz).map(i =>
+        (base + i, if (i == badAt) -1.0 else (base + i) * 2.0))
+      val before = Snapshots.currentVersion(spark, dir).get
+      val beforeRows = Snapshots.countRows(spark, dir)
+      val violates = rows.exists(_._2 <= 0)
+      try {
+        Snapshots.commit(spark, dir, rows.toDF("k", "p"))
+        assert(!violates, s"violating batch ($base, $sz, $badAt) was accepted")
+      } catch {
+        case _: IllegalArgumentException =>
+          assert(violates, s"clean batch ($base, $sz, $badAt) was refused")
+          assert(Snapshots.currentVersion(spark, dir).contains(before),
+            "refused batch advanced the version")
+          assert(Snapshots.countRows(spark, dir) == beforeRows,
+            "refused batch changed the row count")
+      }
+    }
+  }
 }
