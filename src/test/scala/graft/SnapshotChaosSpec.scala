@@ -282,4 +282,51 @@ class SnapshotChaosSpec extends AnyFunSuite {
         s"v$v row count wrong")
     }
   }
+
+  test("chaos: staged publishers racing appenders — every row lands exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos-wap").toFile.getAbsolutePath
+    Snapshots.commit(spark, dir, Seq((0L, 0L)).toDF("k", "v"))
+    // stage all candidates up front (the WAP shape: data written early,
+    // publish deferred past the audit), then publish them from N threads
+    // while N other threads append directly — every publish must rebase
+    // over whatever won its slot
+    val nSides = 3; val perThread = 3
+    val tokens = for (t <- 1 to nSides; i <- 1 to perThread)
+      yield Snapshots.stageCommit(spark, dir,
+        Seq(((t * 1000 + i).toLong, -t.toLong)).toDF("k", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2 * nSides)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val barrier = new java.util.concurrent.CyclicBarrier(2 * nSides)
+    val publishers = (0 until nSides).map { t =>
+      Future {
+        barrier.await()
+        (0 until perThread).map(i =>
+          Snapshots.publishStaged(spark, dir, tokens(t * perThread + i)))
+      }
+    }
+    val appenders = (1 to nSides).map { t =>
+      Future {
+        barrier.await()
+        (1 to perThread).map(i => Snapshots.commitRetry(spark, dir,
+          Seq(((t * 100000 + i).toLong, t.toLong)).toDF("k", "v")))
+      }
+    }
+    val landed = Await.result(
+      Future.sequence(publishers ++ appenders), 300.seconds).flatten
+    pool.shutdown()
+    val total = 2 * nSides * perThread
+    assert(landed.toSet.size == total, s"version collision among $landed")
+    assert(Snapshots.currentVersion(spark, dir).contains(1 + total))
+    val want = (Seq((0L, 0L)) ++
+      (for (t <- 1 to nSides; i <- 1 to perThread)
+        yield ((t * 1000 + i).toLong, -t.toLong)) ++
+      (for (t <- 1 to nSides; i <- 1 to perThread)
+        yield ((t * 100000 + i).toLong, t.toLong))).sorted
+    assert(readAll(dir) == want,
+      "racing staged publishes and appends lost or duplicated rows")
+    assert(Snapshots.stagedTokens(spark, dir).isEmpty, "staged debris left")
+  }
 }
