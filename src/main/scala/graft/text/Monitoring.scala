@@ -250,6 +250,62 @@ object Monitoring extends QueryModule {
 
   // ---- declared queries ----
 
+  /** GROUP-SEQUENTIAL A/B readout (Pocock 1977): the z-statistic evaluated
+    * at K interim looks of growing enrollment, each compared to the
+    * CONSTANT Pocock boundary (K = 5, α = 0.05 two-sided → 2.413) instead
+    * of the fixed-horizon 1.96 — the "peek without lying to yourself"
+    * mechanism every experimentation platform ships, since checking an
+    * unadjusted z at every look inflates false positives severalfold.
+    * Looks are equal slices of users ranked by enrollment (first event ts,
+    * user_id tie-break); per look the CUMULATIVE per-arm (n, conversions)
+    * feed the same pooled two-proportion z as [[abTest]].
+    *
+    * Scale + determinism: the data-sized pass is the one user-keyed
+    * aggregate; the enrollment rank runs over the USER table (one row per
+    * user — at billions of users a platform would range-partition the rank
+    * or cut looks by calendar time instead). Look assignment is integer
+    * arithmetic, all moments are integer counts, and the z arithmetic is
+    * the [[abTest]] IEEE-exact sequence mirrored token-for-token in the
+    * oracle.
+    */
+  def abSequential(events: DataFrame, convType: String = "purchase",
+      minConversions: Int = 14, looks: Int = 5,
+      bound: Double = 2.413): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"),
+        sum(when(col("event_type") === convType, 1).otherwise(0)).as("np"))
+      .select(col("user_id"), col("first_ts"),
+        (col("user_id") % 2).as("arm"),
+        when(col("np") >= minConversions, 1L).otherwise(0L).as("conv"))
+    val ranked = users
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("first_ts"), col("user_id"))))
+      .crossJoin(broadcast(users.agg(count(lit(1)).as("nu"))))
+      .withColumn("look",
+        (floor(((col("rn") - 1) * looks) / col("nu")) + 1).cast("long"))
+    val per = ranked.groupBy("look").agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("dn_a"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("dc_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dn_b"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("dc_b"))
+    val wc = Window.orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.select(col("look"),
+      sum("dn_a").over(wc).as("n_a"), sum("dc_a").over(wc).as("c_a"),
+      sum("dn_b").over(wc).as("n_b"), sum("dc_b").over(wc).as("c_b"))
+    val (na, ca, nb, cb) = (col("n_a").cast("double"), col("c_a").cast("double"),
+      col("n_b").cast("double"), col("c_b").cast("double"))
+    val pool = (ca + cb) / (na + nb)
+    val denom = sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))
+    val z = when(denom =!= 0, (ca / na - cb / nb) / denom)
+    cum.select(col("look"), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        round(z, 4).as("z"), (abs(z) > bound).as("stop"))
+      .orderBy("look")
+  }
+
+  private def qAbSequential(s: SparkSession, d: String): DataFrame =
+    abSequential(T.events(s, d))
+
   private def qAbTest(s: SparkSession, d: String): DataFrame =
     abTest(T.events(s, d))
 
@@ -274,6 +330,7 @@ object Monitoring extends QueryModule {
     "q_drift_psi" -> qDriftPsi,
     "q_drift_tokens" -> qDriftTokens,
     "q_ab_test" -> qAbTest,
+    "q_ab_sequential" -> qAbSequential,
     "q_ab_cuped" -> qAbCuped,
     "q_changepoint" -> qChangepoint
   )
@@ -283,6 +340,54 @@ object Monitoring extends QueryModule {
       |cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1 AND n_chars >= 150)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the abTest z mirrored at 5 cumulative Pocock looks (bound 2.413)
+    "q_ab_sequential" ->
+      """WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN np >= 14 THEN 1 ELSE 0 END AS conv,
+        |    row_number() OVER (ORDER BY first_ts, user_id) AS rn,
+        |    count(*) OVER () AS nu
+        |  FROM u),
+        |l AS (SELECT arm, conv,
+        |    CAST(floor(((rn - 1) * 5.0) / nu) AS BIGINT) + 1 AS look FROM r),
+        |per AS (
+        |  SELECT look,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS dn_a,
+        |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS dc_a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS dn_b,
+        |    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS dc_b
+        |  FROM l GROUP BY look),
+        |cum AS (
+        |  SELECT look,
+        |    CAST(sum(dn_a) OVER w AS BIGINT) AS n_a,
+        |    CAST(sum(dc_a) OVER w AS BIGINT) AS c_a,
+        |    CAST(sum(dn_b) OVER w AS BIGINT) AS n_b,
+        |    CAST(sum(dc_b) OVER w AS BIGINT) AS c_b
+        |  FROM per
+        |  WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW)),
+        |zc AS (
+        |  SELECT look, n_a, c_a, n_b, c_b,
+        |    (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+        |  FROM cum),
+        |zz AS (
+        |  SELECT look, n_a, c_a, n_b, c_b,
+        |    CASE WHEN sqrt(pool * (1.0 - pool)
+        |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) <> 0
+        |      THEN (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |            - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        / sqrt(pool * (1.0 - pool)
+        |            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |    END AS z
+        |  FROM zc)
+        |SELECT look, n_a, c_a, n_b, c_b, round(z, 4) AS z,
+        |  abs(z) > 2.413 AS stop
+        |FROM zz ORDER BY look""".stripMargin,
     "q_ab_test" ->
       """WITH users AS (
         |  SELECT user_id % 2 AS arm,
