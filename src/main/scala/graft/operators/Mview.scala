@@ -114,15 +114,22 @@ object Mview {
     * update_pre/delete −1), so counts, sums, and non-null counts stay
     * exactly maintained through upserts and deletes, and a group whose
     * count reaches zero leaves the view (the base GROUP BY would not emit
-    * it). Extrema are NOT delta-subtractable — a deleted minimum needs a
-    * per-group recompute — so this path maintains the additive family
-    * only; views needing min/max under deletes use [[rebuild]]. Replace
-    * commits still refuse loudly (the feed's contract). Refresh cost is
-    * O(changed rows) + O(view), never O(source) — exactly the property
-    * that lets a 100 TB fact table keep live upsert-fed aggregates.
+    * it).
+    *
+    * Extrema (`minMaxCols`) are NOT delta-subtractable — a deleted minimum
+    * needs a per-group recompute — so they maintain in two tiers: groups
+    * whose delta is pure inserts fold via least/greatest exactly like
+    * [[refresh]]; groups the feed DELETED FROM (update_pre/delete rows)
+    * get a TARGETED recompute — one source scan semi-joined to just those
+    * group keys (broadcast: the negative-group set is delta-sized). The
+    * common steady state (upsert-mostly feeds) stays O(changed rows) +
+    * O(view); only deletes touching extrema-maintained groups pay the
+    * pruned source pass, and only for the affected groups' rows. Replace
+    * commits still refuse loudly (the feed's contract).
     */
   def refreshViaFeed(spark: SparkSession, srcDir: String, viewDir: String,
-      keys: Seq[String], sumCols: Seq[String]): Int = {
+      keys: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): Int = {
     val head = Snapshots.currentVersion(spark, srcDir).getOrElse(
       throw new IllegalArgumentException(s"$srcDir: no published snapshots"))
     appliedSrcVersion(spark, viewDir) match {
@@ -134,29 +141,81 @@ object Mview {
         val feed = Snapshots.readChangeFeed(spark, srcDir, applied, head)
         val w = when(col("_change_type").isin("insert", "update_post"), 1L)
           .otherwise(lit(-1L))
-        val aggExprs = sum(w).as("cnt") +: sumCols.flatMap(c => Seq(
+        val aggExprs = (sum(w).as("cnt") +: sumCols.flatMap(c => Seq(
           sum(col(c) * w).as(s"sum_$c"),
-          sum(when(col(c).isNotNull, w).otherwise(lit(0L))).as(s"cntv_$c")))
+          sum(when(col(c).isNotNull, w).otherwise(lit(0L))).as(s"cntv_$c")))) ++
+          minMaxCols.flatMap(c => Seq(
+            min(when(w > 0, col(c))).as(s"dmin_$c"),
+            max(when(w > 0, col(c))).as(s"dmax_$c"))) ++
+          (if (minMaxCols.isEmpty) Seq.empty
+           else Seq(max(when(w < 0, 1L).otherwise(0L)).as("has_neg")))
         val delta = feed.groupBy(keys.map(col): _*)
           .agg(aggExprs.head, aggExprs.tail: _*)
-        val old = Snapshots.read(spark, viewDir)
-        val addCols = "cnt" +: sumCols.flatMap(c => Seq(s"sum_$c", s"cntv_$c"))
-        val merged = old.select(old.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
-          .join(delta.select(delta.columns.map(c => col(c).as(s"r_$c")).toSeq: _*),
-            keys.map(k => col(s"l_$k") <=> col(s"r_$k")).reduce(_ && _), "full_outer")
-          .select(
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val old = Snapshots.read(spark, viewDir)
+          val addCols = "cnt" +: sumCols.flatMap(c => Seq(s"sum_$c", s"cntv_$c"))
+          require(minMaxCols.forall(c => old.columns.contains(s"min_$c")),
+            s"$viewDir was not built with extrema for ${minMaxCols.mkString(", ")}" +
+              " — run Mview.rebuild once with minMaxCols, then refresh resumes")
+          val joined = old
+            .select(old.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
+            .join(delta.select(delta.columns.map(c => col(c).as(s"r_$c")).toSeq: _*),
+              keys.map(k => col(s"l_$k") <=> col(s"r_$k")).reduce(_ && _),
+              "full_outer")
+          val baseCols =
             keys.map(k => coalesce(col(s"l_$k"), col(s"r_$k")).as(k)) ++
               addCols.map(c =>
                 (coalesce(col(s"l_$c"), lit(0)) + coalesce(col(s"r_$c"), lit(0)))
-                  .cast(old.schema(c).dataType).as(c)): _*)
-          .filter(col("cnt") > 0) // a fully-deleted group leaves the view
-        Snapshots.commit(spark, viewDir, merged, replace = true,
-          expectedVersion = Snapshots.currentVersion(spark, viewDir),
-          meta = Map(SrcKey -> head.toString))
+                  .cast(old.schema(c).dataType).as(c))
+          val merged =
+            if (minMaxCols.isEmpty) joined.select(baseCols: _*)
+              .filter(col("cnt") > 0) // a fully-deleted group leaves the view
+            else {
+              // insert-only groups fold; feed-deleted groups mark for recompute
+              val pre = joined.select(baseCols ++
+                  Seq((coalesce(col("r_has_neg"), lit(0L)) === 1L).as("need_rec")) ++
+                  minMaxCols.flatMap(c => Seq(
+                    least(col(s"l_min_$c"), col(s"r_dmin_$c")).as(s"fmin_$c"),
+                    greatest(col(s"l_max_$c"), col(s"r_dmax_$c")).as(s"fmax_$c"))): _*)
+                .filter(col("cnt") > 0)
+              val negKeys = delta.filter(col("has_neg") === 1L)
+                .select(keys.map(col): _*).distinct()
+              val outCols = keys.map(col) ++ addCols.map(col)
+              if (negKeys.isEmpty)
+                pre.select(outCols ++ minMaxCols.flatMap(c => Seq(
+                  col(s"fmin_$c").as(s"min_$c"),
+                  col(s"fmax_$c").as(s"max_$c"))): _*)
+              else {
+                val nk = negKeys.select(keys.map(k => col(k).as(s"k_$k")): _*)
+                val mmAgg = minMaxCols.flatMap(c =>
+                  Seq(min(col(c)).as(s"rmin_$c"), max(col(c)).as(s"rmax_$c")))
+                val rec = Snapshots.read(spark, srcDir, Some(head))
+                  .join(broadcast(nk),
+                    keys.map(k => col(k) <=> col(s"k_$k")).reduce(_ && _),
+                    "left_semi")
+                  .groupBy(keys.map(col): _*)
+                  .agg(mmAgg.head, mmAgg.tail: _*)
+                val recR = rec.select(keys.map(k => col(k).as(s"rk_$k")) ++
+                  minMaxCols.flatMap(c =>
+                    Seq(col(s"rmin_$c"), col(s"rmax_$c"))): _*)
+                pre.join(broadcast(recR),
+                    keys.map(k => col(k) <=> col(s"rk_$k")).reduce(_ && _), "left")
+                  .select(outCols ++ minMaxCols.flatMap(c => Seq(
+                    when(col("need_rec"), col(s"rmin_$c"))
+                      .otherwise(col(s"fmin_$c")).as(s"min_$c"),
+                    when(col("need_rec"), col(s"rmax_$c"))
+                      .otherwise(col(s"fmax_$c")).as(s"max_$c"))): _*)
+              }
+            }
+          Snapshots.commit(spark, viewDir, merged, replace = true,
+            expectedVersion = Snapshots.currentVersion(spark, viewDir),
+            meta = Map(SrcKey -> head.toString))
+        } finally { delta.unpersist(); () }
       case None =>
         Snapshots.commit(spark, viewDir,
           aggregated(Snapshots.read(spark, srcDir, Some(head)),
-            keys, sumCols, Seq.empty),
+            keys, sumCols, minMaxCols),
           meta = Map(SrcKey -> head.toString))
     }
   }
@@ -178,7 +237,9 @@ object Mview {
     */
   def serveViaFeed(spark: SparkSession, srcDir: String, viewDir: String,
       keys: Seq[String], sumCols: Seq[String],
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      minMaxCols: Seq[String] = Seq.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("snapshots")
       .option("path", srcDir)
       .option("readChangeFeed", "true")
@@ -191,7 +252,7 @@ object Mview {
         // (applied, head] from the manifests so it is idempotent under
         // engine replays AND under having already folded ahead of the
         // checkpointed offsets
-        refreshViaFeed(spark, srcDir, viewDir, keys, sumCols)
+        refreshViaFeed(spark, srcDir, viewDir, keys, sumCols, minMaxCols)
         ()
       }
       .start()

@@ -567,6 +567,47 @@ object Relational extends QueryModule {
       src -> view
     })
 
+  /** Extrema-maintained twin of [[mviewCdfDir]]: the view carries
+    * min_p/max_p through an append (pure-insert fold tier), an upsert
+    * merge and a range delete (targeted per-group recompute tier —
+    * Mview.refreshViaFeed semi-joins the source to just the feed-deleted
+    * groups). A refresh lands after EVERY phase so both tiers execute.
+    */
+  private val mviewMmDirs = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def mviewMmDir(s: SparkSession, d: String): (String, String) =
+    mviewMmDirs.computeIfAbsent(d, _ => {
+      val src = java.nio.file.Files.createTempDirectory("graft-mvmm-src").toFile.getAbsolutePath
+      val view = java.nio.file.Files.createTempDirectory("graft-mvmm-v").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select((col("o_orderkey") % 7).as("g"),
+        col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      def refresh(): Unit = {
+        Mview.refreshViaFeed(s, src, view, Seq("g"), Seq("p"), Seq("p")); ()
+      }
+      Snapshots.commit(s, src, orders.filter(col("k") % 3 === 0))
+      refresh() // initial build with extrema
+      Snapshots.commit(s, src, orders.filter(col("k") % 3 === 1))
+      refresh() // pure-insert tier: least/greatest fold
+      Snapshots.mergeInto(s, src,
+        orders.filter(col("k") % 10 === 0)
+          .select(col("g"), col("k"), (col("p") + 1000).as("p")), "k")
+      refresh() // update_pre rows: targeted recompute tier
+      Snapshots.deleteRange(s, src, "k", Some(100L), Some(499L))
+      refresh() // delete rows: targeted recompute tier
+      src -> view
+    })
+
+  /** The extrema-maintained view read back: any drift in either tier —
+    * a stale folded max after the merge bumped prices, a min that should
+    * have RISEN after the delete removed a group's smallest rows — hash-
+    * mismatches against the oracle's direct aggregation of final state.
+    */
+  private def qMviewMinmax(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, mviewMmDir(s, d)._2)
+      .select(col("g"), col("cnt"), round(col("sum_p"), 2).as("total"),
+        col("cntv_p").as("n_priced"),
+        round(col("min_p"), 2).as("min_p"), round(col("max_p"), 2).as("max_p"))
+      .orderBy("g")
+
   /** The row-level change feed folded per (version, change type) — what a
     * downstream incremental consumer (mview, reverse ETL, cache invalidator)
     * reads instead of re-scanning the table after merges and deletes. The
@@ -1453,6 +1494,7 @@ object Relational extends QueryModule {
     "q_snapshot_zorder_cols" -> qSnapshotZorderCols,
     "q_snapshot_cdf" -> qSnapshotCdf,
     "q_mview_cdf" -> qMviewCdf,
+    "q_mview_minmax" -> qMviewMinmax,
     "q_snapshot_sql" -> qSnapshotSql,
     "q_snapshot_tvf" -> qSnapshotTvf,
     "q_snapshot_merge" -> qSnapshotMerge,
@@ -1641,6 +1683,17 @@ object Relational extends QueryModule {
         |FROM orders WHERE o_custkey BETWEEN 10 AND 40
         |  AND o_orderkey BETWEEN 0 AND 999
         |ORDER BY n""".stripMargin,
+    "q_mview_minmax" ->
+      """WITH o AS (SELECT o_orderkey % 7 AS g, o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE (o_orderkey % 3 IN (0, 1) OR o_orderkey % 10 = 0)
+        |    AND o_orderkey NOT BETWEEN 100 AND 499)
+        |SELECT g, count(*) AS cnt, round(sum(p), 2) AS total,
+        |  count(p) AS n_priced,
+        |  round(min(p), 2) AS min_p, round(max(p), 2) AS max_p
+        |FROM o GROUP BY g ORDER BY g""".stripMargin,
     "q_mview_cdf" ->
       """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
         |state AS (

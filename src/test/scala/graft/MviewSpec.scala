@@ -39,6 +39,49 @@ class MviewSpec extends AnyFunSuite {
     }
   }
 
+  test("property: feed refresh with EXTREMA equals the full aggregate under random op mixes") {
+    val src = tmp("graft-mvmm-src"); val view = tmp("graft-mvmm-v")
+    def full: Map[Long, (Long, Long, Long, Long)] =
+      Snapshots.read(spark, src).groupBy("g")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"),
+          min("x").as("min_x"), max("x").as("max_x"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def mv: Map[Long, (Long, Long, Long, Long)] =
+      Snapshots.read(spark, view).select("g", "cnt", "sum_x", "min_x", "max_x")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val rng = new scala.util.Random(11)
+    var nextK = 0L
+    Snapshots.commit(spark, src, (0 until 30).map { _ =>
+      nextK += 1; (rng.nextInt(4).toLong, nextK, rng.nextInt(1000).toLong)
+    }.toDF("g", "k", "x"))
+    Mview.refreshViaFeed(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
+    assert(mv == full, "initial extrema build diverged")
+    for (round <- 1 to 10) {
+      rng.nextInt(3) match {
+        case 0 => // append: pure-insert fold tier
+          Snapshots.commit(spark, src, (0 until 1 + rng.nextInt(8)).map { _ =>
+            nextK += 1; (rng.nextInt(4).toLong, nextK, rng.nextInt(1000).toLong)
+          }.toDF("g", "k", "x"))
+        case 1 => // upsert merge: update_pre rows trigger the recompute tier
+          val live = Snapshots.read(spark, src).select("g", "k")
+            .as[(Long, Long)].collect()
+          val ups = rng.shuffle(live.toSeq).take(1 + rng.nextInt(5))
+            .map { case (g, k) => (g, k, rng.nextInt(1000).toLong) }
+          Snapshots.mergeInto(spark, src, ups.toDF("g", "k", "x"), "k")
+        case 2 => // range delete: may remove a group's minimum or maximum
+          val lo = 1L + rng.nextInt(nextK.toInt).toLong
+          Snapshots.deleteRange(spark, src, "k", Some(lo),
+            Some(lo + rng.nextInt(6)))
+      }
+      if (rng.nextBoolean() || round == 10) {
+        Mview.refreshViaFeed(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
+        assert(mv == full, s"extrema view diverged at round $round")
+      }
+    }
+  }
+
   test("feed-based refresh survives merge and delete, equals the full aggregate") {
     val src = tmp("graft-mvf-src"); val view = tmp("graft-mvf-v")
     def full: Map[Long, (Long, Long, Long)] =
