@@ -1491,6 +1491,30 @@ class StreamingSpec extends AnyFunSuite {
       "marker or replay leaked duplicate feed inserts")
   }
 
+  test("stream-static join against a snapshots dim sees dim updates per micro-batch") {
+    import graft.operators.Snapshots
+    implicit val sqlCtx = spark.sqlContext
+    val dim = java.nio.file.Files.createTempDirectory("graft-ss-dim").toString
+    Snapshots.commit(spark, dim, Seq((1L, "bronze")).toDF("k", "tier"))
+    val static = spark.read.format("snapshots").option("path", dim).load()
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("k").join(static, Seq("k"))
+      .writeStream.format("memory").queryName("ss_dim_out")
+      .outputMode("append").start()
+    mem.addData(1L); q.processAllAvailable()
+    // the dimension is UPSERTED between micro-batches: an unpinned
+    // snapshots relation re-resolves LATEST per scan, so the next batch
+    // must see the new tier and the new key
+    Snapshots.mergeInto(spark, dim,
+      Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier"), "k")
+    mem.addData(1L, 2L); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_dim_out").as[(Long, String)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map((1L, "bronze") -> 1, (1L, "gold") -> 1, (2L, "silver") -> 1),
+      s"stream-static join served a stale dimension: $got")
+  }
+
   test("startingTimestamp resolves to the newest version at or before it") {
     import graft.operators.Snapshots
     val dir = java.nio.file.Files.createTempDirectory("graft-snap-ts-src").toString
