@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 272 bench queries JIT a lot of generated code; the 240 MB default code
+  // cache overflows and the hot mapPartitions codec loops (PNG decode,
+  // box-average) fall back to the interpreter at ~2x
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -997,7 +997,9 @@ object Relational extends QueryModule {
     snapDir(s, d); snapSkipDir(s, d); snapDelDir(s, d); snapZDir(s, d)
     snapZIncDir(s, d); snapZColsDir(s, d); snapCdfDir(s, d); snapMergeDir(s, d)
     snapDvDir(s, d); snapMergeEvoDir(s, d); snapRestoreDir(s, d); snapRenameDir(s, d)
-    snapBloomDir(s, d); mviewDir(s, d); mviewCdfDir(s, d); ()
+    snapBloomDir(s, d); mviewDir(s, d); mviewCdfDir(s, d)
+    snapWapDir(s, d); snapTagDir(s, d); snapConsDir(s, d); snapRwDir(s, d)
+    mviewMmDir(s, d); ()
   }
 
   private def mviewDir(s: SparkSession, d: String): (String, String) =
