@@ -2143,13 +2143,22 @@ object Snapshots {
       maxAttempts: Int = 20): Int = {
     val (fs, _) = hfs(spark, dir)
     val (meta, evolve, staged) = stagedEntry(spark, dir, token)
+    // constraints re-check: stage validated against the constraints of ITS
+    // time; one ADDED since would otherwise slip violating rows into the
+    // table through the publish (addCheckConstraint validated existing
+    // rows only — staged data is invisible to it)
+    enforceConstraints(spark, dir, applyMapping(spark, dir, spark.read
+      .option("mergeSchema", "true").parquet(staged.map(f => s"$dir/$f"): _*)))
     var attempt = 1
     while (true) {
       val cur = currentVersion(spark, dir).getOrElse(0)
       if (cur > 0)
-        enforceSchema(spark, dir, spark.read
+        // applyMapping: staged files carry PHYSICAL names (writeData's
+        // rule); the gate compares LOGICAL schemas, so a rename landing
+        // between stage and publish still checks the right columns
+        enforceSchema(spark, dir, applyMapping(spark, dir, spark.read
           .option("mergeSchema", "true")
-          .parquet(staged.map(f => s"$dir/$f"): _*), evolve)
+          .parquet(staged.map(f => s"$dir/$f"): _*)), evolve)
       val next = cur + 1
       val carried = if (next == 1) Seq.empty else files(spark, dir, cur)
       val dvCarry = if (next == 1) None else dvRel(spark, dir, cur)

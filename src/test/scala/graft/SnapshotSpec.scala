@@ -1552,6 +1552,14 @@ class SnapshotSpec extends AnyFunSuite {
     // the schema gate runs at stage time, same as commit
     intercept[IllegalArgumentException](
       Snapshots.stageCommit(spark, dir, Seq((6L, "oops")).toDF("k", "txt")))
+    // a constraint ADDED between stage and publish re-checks at publish:
+    // the staged candidate (p = -5) was legal when staged, is not anymore
+    val late = Snapshots.stageCommit(spark, dir, Seq((7L, -5.0)).toDF("k", "p"))
+    Snapshots.addCheckConstraint(spark, dir, "p_pos_late", "p > -2")
+    intercept[IllegalArgumentException](Snapshots.publishStaged(spark, dir, late))
+    Snapshots.dropCheckConstraint(spark, dir, "p_pos_late")
+    Snapshots.publishStaged(spark, dir, late)
+    assert(Snapshots.read(spark, dir).count() == 6)
   }
 
   test("CHECK constraints gate every row-adding path, SQL-standard NULL semantics") {
