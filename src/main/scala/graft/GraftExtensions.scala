@@ -253,6 +253,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litString(args.head, "snapshot_tags path"))
           .queryExecution.logical
       }))
+    // `FROM snapshot_constraints('<dir>')` / `FROM snapshot_staged('<dir>')`
+    // — the remaining admin relations: active CHECK constraints and live
+    // WAP candidates, next to snapshot_history/snapshot_tags
+    ext.injectTableFunction((FunctionIdentifier("snapshot_constraints"),
+      info("snapshot_constraints"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "snapshot_constraints('<dir>')")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Snapshots.checkConstraintsDf(spark,
+          litString(args.head, "snapshot_constraints path"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((FunctionIdentifier("snapshot_staged"),
+      info("snapshot_staged"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "snapshot_staged('<dir>')")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Snapshots.stagedDf(spark,
+          litString(args.head, "snapshot_staged path"))
+          .queryExecution.logical
+      }))
     // `FROM bm25_search('<indexDir>'[, k])` / `FROM phrase_search('<indexDir>'
     // [, limit])` — retrieval served from a persistent text.TextIndex
     // directory. Like snapshot_scan's manifest read, the metadata-sized

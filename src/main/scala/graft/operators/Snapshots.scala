@@ -2044,6 +2044,13 @@ object Snapshots {
         s"constraint(s) ${used.keys.toSeq.sorted.mkString(", ")}; drop them first")
   }
 
+  /** Constraints as a relation (the `snapshot_constraints` TVF's body). */
+  def checkConstraintsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    checkConstraints(spark, dir).toSeq.sortBy(_._1)
+      .toDF("constraint", "check_expr")
+  }
+
   /** Refuse `df` if any row violates a table CHECK constraint. One
     * limit(1) probe per constraint; zero cost when none are defined. */
   private def enforceConstraints(spark: SparkSession, dir: String,
@@ -2118,6 +2125,18 @@ object Snapshots {
       dec(k) -> dec(v)
     }.toMap
     (meta, lines.contains("#evolve=1"), lines.filterNot(_.startsWith("#")))
+  }
+
+  /** Staged commits as a relation (the `snapshot_staged` TVF's body):
+    * token, file count, and the staged metadata — what a WAP operator
+    * lists before auditing or sweeping candidates. */
+  def stagedDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stagedTokens(spark, dir).map { t =>
+      val (meta, _, fs) = stagedEntry(spark, dir, t)
+      (t, fs.length, meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString(";"))
+    }.toDF("token", "n_files", "meta")
   }
 
   /** Audit view: the table AS IF the staged commit were published on the

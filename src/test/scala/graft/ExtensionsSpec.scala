@@ -292,6 +292,22 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect())
   }
 
+  test("SQL admin relations: snapshot_constraints and snapshot_staged TVFs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-admin").toString
+    import TestSpark.spark.implicits._
+    operators.Snapshots.commit(ext, dir, Seq((1, 5.0), (2, 7.0)).toDF("id", "p"))
+    operators.Snapshots.addCheckConstraint(ext, dir, "p_pos", "p > 0")
+    assert(ext.sql(s"SELECT * FROM snapshot_constraints('$dir')")
+      .as[(String, String)].collect().toSeq == Seq(("p_pos", "p > 0")))
+    val tok = operators.Snapshots.stageCommit(ext, dir,
+      Seq((3, 9.0)).toDF("id", "p"), meta = Map("wap" -> "x"))
+    val staged = ext.sql(s"SELECT token, n_files, meta FROM snapshot_staged('$dir')")
+      .as[(String, Int, String)].collect().toSeq
+    assert(staged.map(_._1) == Seq(tok) && staged.head._3 == "wap=x", staged)
+    operators.Snapshots.publishStaged(ext, dir, tok)
+    assert(ext.sql(s"SELECT * FROM snapshot_staged('$dir')").count() == 0)
+  }
+
   test("table functions reject non-constant arguments loudly") {
     val e = intercept[Exception](
       ext.sql("SELECT * FROM grid_scan(concat('a', rand()))").collect())
