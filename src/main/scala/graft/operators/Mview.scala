@@ -129,7 +129,7 @@ object Mview {
     */
   def refreshViaFeed(spark: SparkSession, srcDir: String, viewDir: String,
       keys: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Seq.empty): Int = {
+      minMaxCols0: Seq[String] = Seq.empty): Int = {
     val head = Snapshots.currentVersion(spark, srcDir).getOrElse(
       throw new IllegalArgumentException(s"$srcDir: no published snapshots"))
     appliedSrcVersion(spark, viewDir) match {
@@ -139,6 +139,13 @@ object Mview {
         require(applied < head,
           s"$srcDir went backwards (v$head < applied v$applied) — expired? rebuild")
         val feed = Snapshots.readChangeFeed(spark, srcDir, applied, head)
+        // a caller omitting minMaxCols on a view BUILT with extrema would
+        // silently drop the min_*/max_* columns at the replace commit
+        // (schema enforcement is off for replaces) — adopt the view's own
+        // extrema columns so a config drift can never erase maintained state
+        val viewMm = Snapshots.read(spark, viewDir).columns
+          .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+        val minMaxCols = (minMaxCols0 ++ viewMm.filterNot(minMaxCols0.contains))
         val w = when(col("_change_type").isin("insert", "update_post"), 1L)
           .otherwise(lit(-1L))
         val aggExprs = (sum(w).as("cnt") +: sumCols.flatMap(c => Seq(
@@ -215,7 +222,7 @@ object Mview {
       case None =>
         Snapshots.commit(spark, viewDir,
           aggregated(Snapshots.read(spark, srcDir, Some(head)),
-            keys, sumCols, minMaxCols),
+            keys, sumCols, minMaxCols0),
           meta = Map(SrcKey -> head.toString))
     }
   }

@@ -1109,8 +1109,11 @@ object Snapshots {
     if (!fs.exists(dataRoot)) return 0
     // staged-commit data is live-but-unpublished: referenced by a
     // `staged-*.list`, not by any version — protect it like version data
+    // a concurrent publish/discard may remove a token between the listing
+    // and the manifest read — skip, don't abort the sweep
     val referenced = (versions(spark, dir).flatMap(v => files(spark, dir, v)) ++
-      stagedTokens(spark, dir).flatMap(t => stagedEntry(spark, dir, t)._3)).toSet
+      stagedTokens(spark, dir).flatMap(t =>
+        scala.util.Try(stagedEntry(spark, dir, t)._3).getOrElse(Seq.empty))).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
     val it = fs.listFiles(dataRoot, true)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
@@ -2051,16 +2054,31 @@ object Snapshots {
       .toDF("constraint", "check_expr")
   }
 
-  /** Refuse `df` if any row violates a table CHECK constraint. One
-    * limit(1) probe per constraint; zero cost when none are defined. */
+  /** Refuse `df` if any row violates a table CHECK constraint. ONE
+    * disjunctive limit(1) probe over all constraints (not one job each),
+    * with per-constraint flags evaluated alongside the row so the error
+    * names exactly what failed; zero cost when none are defined. The probe
+    * evaluates one materialization of `df` — callers passing
+    * non-deterministic frames should materialize them first (the same
+    * caveat every write path of the format carries). */
   private def enforceConstraints(spark: SparkSession, dir: String,
       df: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{expr, lit}
-    checkConstraints(spark, dir).foreach { case (name, ex) =>
-      val bad = df.where(expr(ex) <=> lit(false)).limit(1).collect()
-      if (bad.nonEmpty) throw new IllegalArgumentException(
-        s"$dir: CHECK constraint '$name' ($ex) violated by row ${bad.head} — " +
-          "commit refused")
+    import org.apache.spark.sql.functions.{col, expr, lit, struct}
+    val cons = checkConstraints(spark, dir).toSeq.sortBy(_._1)
+    if (cons.isEmpty) return
+    val flags = cons.zipWithIndex.map { case ((_, ex), i) =>
+      (expr(ex) <=> lit(false)).as(s"viol_$i")
+    }
+    val bad = df.select(struct(df.columns.map(col).toSeq: _*).as("row") +: flags: _*)
+      .where(cons.indices.map(i => col(s"viol_$i")).reduce(_ || _))
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      val broken = cons.zipWithIndex.collect {
+        case ((name, ex), i) if r.getBoolean(1 + i) => s"'$name' ($ex)"
+      }
+      throw new IllegalArgumentException(
+        s"$dir: CHECK constraint(s) ${broken.mkString(", ")} violated by " +
+          s"row ${r.get(0)} — commit refused")
     }
   }
 
@@ -2132,10 +2150,13 @@ object Snapshots {
     * lists before auditing or sweeping candidates. */
   def stagedDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    stagedTokens(spark, dir).map { t =>
-      val (meta, _, fs) = stagedEntry(spark, dir, t)
-      (t, fs.length, meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-        .mkString(";"))
+    stagedTokens(spark, dir).flatMap { t =>
+      // a concurrent publish/discard may have removed the token — skip it
+      scala.util.Try(stagedEntry(spark, dir, t)).toOption.map {
+        case (meta, _, fs) =>
+          (t, fs.length, meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString(";"))
+      }
     }.toDF("token", "n_files", "meta")
   }
 
@@ -2158,31 +2179,48 @@ object Snapshots {
     * races like [[commitRetry]]; re-runs the schema gate against the
     * CURRENT table first, so a conflicting evolution that landed since the
     * stage refuses loudly instead of publishing a mixed table. */
+  /** Version that already published staged commit `token`, if any — the
+    * `wap.token` commit-meta entry rides every staged publish atomically,
+    * so a crash between the publish and the staged-manifest delete is
+    * detectable (the newest-first scan stops at the first hit). */
+  private def publishedStagedVersion(spark: SparkSession, dir: String,
+      token: String): Option[Int] =
+    versions(spark, dir).reverseIterator
+      .find(v => commitMeta(spark, dir, v).get("wap.token").contains(token))
+
   def publishStaged(spark: SparkSession, dir: String, token: String,
       maxAttempts: Int = 20): Int = {
     val (fs, _) = hfs(spark, dir)
     val (meta, evolve, staged) = stagedEntry(spark, dir, token)
-    // constraints re-check: stage validated against the constraints of ITS
-    // time; one ADDED since would otherwise slip violating rows into the
-    // table through the publish (addCheckConstraint validated existing
-    // rows only — staged data is invisible to it)
-    enforceConstraints(spark, dir, applyMapping(spark, dir, spark.read
-      .option("mergeSchema", "true").parquet(staged.map(f => s"$dir/$f"): _*)))
+    // one planned relation for both gates and every retry: the footer read
+    // happens once, not per attempt
+    val stagedRaw = spark.read.option("mergeSchema", "true")
+      .parquet(staged.map(f => s"$dir/$f"): _*)
     var attempt = 1
     while (true) {
+      // IDEMPOTENCE: a crash (or a racing same-token caller) between the
+      // publish and the staged-manifest delete leaves a live token whose
+      // files are already in the table — re-listing them would duplicate
+      // every staged row. The `wap.token` commit marker makes the replay
+      // detectable: finish the cleanup and return the published version.
+      publishedStagedVersion(spark, dir, token).foreach { v =>
+        fs.delete(stagedManifest(dir, token), false)
+        return v
+      }
       val cur = currentVersion(spark, dir).getOrElse(0)
+      // constraints re-check INSIDE the loop: stage validated against the
+      // constraints of ITS time; one ADDED since (even mid-retry) must not
+      // slip violating rows in. applyMapping: staged files carry PHYSICAL
+      // names (writeData's rule) — both gates compare LOGICAL schemas.
+      enforceConstraints(spark, dir, applyMapping(spark, dir, stagedRaw))
       if (cur > 0)
-        // applyMapping: staged files carry PHYSICAL names (writeData's
-        // rule); the gate compares LOGICAL schemas, so a rename landing
-        // between stage and publish still checks the right columns
-        enforceSchema(spark, dir, applyMapping(spark, dir, spark.read
-          .option("mergeSchema", "true")
-          .parquet(staged.map(f => s"$dir/$f"): _*)), evolve)
+        enforceSchema(spark, dir, applyMapping(spark, dir, stagedRaw), evolve)
       val next = cur + 1
       val carried = if (next == 1) Seq.empty else files(spark, dir, cur)
       val dvCarry = if (next == 1) None else dvRel(spark, dir, cur)
       try {
-        publish(spark, dir, next, carried, staged, meta, dv = dvCarry)
+        publish(spark, dir, next, carried, staged,
+          meta + ("wap.token" -> token), dv = dvCarry)
         fs.delete(stagedManifest(dir, token), false)
         return next
       } catch {
@@ -2195,14 +2233,22 @@ object Snapshots {
   }
 
   /** Delete a staged commit without a trace: its manifest and its data
-    * files (and their now-empty parent dirs). */
+    * files (and their now-empty parent dirs). If the token's files were
+    * already PUBLISHED (a crash between publishStaged's publish and its
+    * manifest delete leaves exactly this state), only the stale manifest
+    * is removed — the data now belongs to the table and deleting it would
+    * destroy committed versions. */
   def discardStaged(spark: SparkSession, dir: String, token: String): Unit = {
     val (fs, _) = hfs(spark, dir)
     val (_, _, staged) = stagedEntry(spark, dir, token)
-    // each stage writes into its own per-writer-unique data dir, so the
-    // parents hold nothing but this stage's files — drop them whole
-    staged.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f").getParent)
-      .distinct.foreach(p => fs.delete(p, true))
+    val published = publishedStagedVersion(spark, dir, token).nonEmpty ||
+      versions(spark, dir).exists(v =>
+        files(spark, dir, v).exists(staged.toSet))
+    if (!published)
+      // each stage writes into its own per-writer-unique data dir, so the
+      // parents hold nothing but this stage's files — drop them whole
+      staged.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f").getParent)
+        .distinct.foreach(p => fs.delete(p, true))
     fs.delete(stagedManifest(dir, token), false)
     ()
   }
@@ -2386,40 +2432,48 @@ object Snapshots {
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     enforceSchema(spark, dir, df, evolve = false)
-    enforceConstraints(spark, dir, df)
-    val inRegion = (Seq(col(column).isNotNull) ++
-      lower.map(col(column) >= lit(_)) ++ upper.map(col(column) <= lit(_)))
-      .reduce(_ && _)
-    val escapee = df.filter(!inRegion).limit(1).collect()
-    require(escapee.isEmpty,
-      s"$dir: replaceWhere row outside the replaced region on '$column': " +
-        s"${escapee.headOption.getOrElse("")} — refusing to leak writes")
-    val (affected, all) = pruneFiles(spark, dir, cur, column, lower, upper)
-    val untouched = all.filterNot(affected.toSet)
-    val next = cur + 1
-    val keep = (Seq(col(column).isNull) ++
-      lower.map(col(column) < lit(_)) ++ upper.map(col(column) > lit(_)))
-      .reduce(_ || _)
-    val (carriedKeep, dropped) =
-      if (affected.isEmpty) (spark.emptyDataFrame, None)
-      else {
-        val rows = maskedParquet(spark, dir, cur, affected.map(f => s"$dir/$f"))
-        (rows.filter(keep), Some(rows.filter(!keep)))
-      }
-    val inserts = df.withColumn("_change_type", lit("insert"))
-    val cdc = writeCdc(spark, dir, next, dropped match {
-      case Some(del) => del.withColumn("_change_type", lit("delete"))
-        .unionByName(inserts, allowMissingColumns = true)
-      case None => inserts
-    })
-    val freshKeep =
-      if (affected.isEmpty) Seq.empty
-      else writeData(spark, dir, next, carriedKeep)
-    val freshNew = writeData(spark, dir, next, df)
-    val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
-    publish(spark, dir, next, untouched, freshKeep ++ freshNew,
-      cdc = Some(cdc), dv = dvCarry)
-    next
+    // the incoming frame is consumed repeatedly (constraint probe, region
+    // probe, CDC record, data write) — persist it like the sibling
+    // merge/delete ops, so an expensive recompute runs once and every
+    // consumer sees ONE materialization
+    val up = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      enforceConstraints(spark, dir, up)
+      val inRegion = (Seq(col(column).isNotNull) ++
+        lower.map(col(column) >= lit(_)) ++ upper.map(col(column) <= lit(_)))
+        .reduce(_ && _)
+      val escapee = up.filter(!inRegion).limit(1).collect()
+      require(escapee.isEmpty,
+        s"$dir: replaceWhere row outside the replaced region on '$column': " +
+          s"${escapee.headOption.getOrElse("")} — refusing to leak writes")
+      val (affected, all) = pruneFiles(spark, dir, cur, column, lower, upper)
+      val untouched = all.filterNot(affected.toSet)
+      val next = cur + 1
+      val keep = (Seq(col(column).isNull) ++
+        lower.map(col(column) < lit(_)) ++ upper.map(col(column) > lit(_)))
+        .reduce(_ || _)
+      val rows =
+        if (affected.isEmpty) None
+        else Some(maskedParquet(spark, dir, cur, affected.map(f => s"$dir/$f"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try {
+        val inserts = up.withColumn("_change_type", lit("insert"))
+        val cdc = writeCdc(spark, dir, next, rows match {
+          case Some(r) => r.filter(!keep).withColumn("_change_type", lit("delete"))
+            .unionByName(inserts, allowMissingColumns = true)
+          case None => inserts
+        })
+        val freshKeep = rows match {
+          case Some(r) => writeData(spark, dir, next, r.filter(keep))
+          case None => Seq.empty
+        }
+        val freshNew = writeData(spark, dir, next, up)
+        val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
+        publish(spark, dir, next, untouched, freshKeep ++ freshNew,
+          cdc = Some(cdc), dv = dvCarry)
+        next
+      } finally { rows.foreach(_.unpersist()); () }
+    } finally { up.unpersist(); () }
   }
 
   def deleteRange(spark: SparkSession, dir: String, column: String,

@@ -173,9 +173,11 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
-    // startingTimestamp resolves to the newest version published at or
-    // before it (Delta's rule), so a consumer can say "tail from last
-    // Tuesday" without knowing version numbers. Mutually exclusive with
+    // startingTimestamp: the tail delivers every commit AT or AFTER the
+    // timestamp (Delta's rule), so `starting` — which is EXCLUSIVE — must
+    // resolve to the newest version STRICTLY BEFORE it (contrast
+    // timestampAsOf in createRelation, which reads the state AT the
+    // timestamp and therefore uses <=). Mutually exclusive with
     // startingVersion; a timestamp older than the first commit starts
     // from 0 (the full initial snapshot).
     val starting = parameters.get("startingTimestamp") match {
@@ -185,7 +187,7 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
         val ts = java.sql.Timestamp.valueOf(tsStr).getTime
         val spark = sqlContext.sparkSession
         Snapshots.versions(spark, dir)
-          .filter(v => Snapshots.commitTime(spark, dir, v) <= ts)
+          .filter(v => Snapshots.commitTime(spark, dir, v) < ts)
           .lastOption.getOrElse(0)
       case None => parameters.getOrElse("startingVersion", "0").toInt
     }

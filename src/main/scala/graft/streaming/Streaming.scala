@@ -568,8 +568,12 @@ object Streaming extends QueryModule {
     * metadata-only [[graft.operators.Snapshots.commitMarker]] stamps the
     * watermark anyway — otherwise every restart would replay the batch
     * forever, republishing the upsert half as duplicate content-identical
-    * versions and duplicate change-feed entries. A delete followed by a
-    * later batch's upsert re-inserts the key, per CDC semantics.
+    * versions and duplicate change-feed entries. One deliberate residual:
+    * an all-delete batch arriving BEFORE the table exists leaves no
+    * watermark (there is no table to mark) — its replay is a pure no-op
+    * by construction, so nothing is published or duplicated. A delete
+    * followed by a later batch's upsert re-inserts the key, per CDC
+    * semantics.
     */
   def applyCdcBatchOps(batch: DataFrame, dir: String, key: String,
       ord: Seq[String], opCol: String, batchId: Long): Unit = {

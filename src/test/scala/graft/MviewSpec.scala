@@ -82,6 +82,26 @@ class MviewSpec extends AnyFunSuite {
     }
   }
 
+  test("feed refresh without minMaxCols ADOPTS a view's existing extrema instead of dropping them") {
+    val src = tmp("graft-mvadopt-src"); val view = tmp("graft-mvadopt-v")
+    Snapshots.commit(spark, src,
+      Seq((1L, 1L, 10L), (1L, 2L, 30L), (2L, 3L, 5L)).toDF("g", "k", "x"))
+    Mview.refreshViaFeed(spark, src, view, Seq("g"), Seq("x"), Seq("x"))
+    assert(Snapshots.read(spark, view).columns.contains("min_x"))
+    // a config-drifted caller (serveViaFeed's default) refreshes WITHOUT
+    // minMaxCols: the extrema columns must survive AND stay correct
+    Snapshots.deleteRange(spark, src, "k", Some(2L), Some(2L)) // g=1 max goes
+    Mview.refreshViaFeed(spark, src, view, Seq("g"), Seq("x"))
+    assert(Snapshots.read(spark, view).columns.toSet
+      .intersect(Set("min_x", "max_x")).size == 2,
+      "extrema columns silently dropped by a minMaxCols-less refresh")
+    val rows = Snapshots.read(spark, view)
+      .select("g", "min_x", "max_x").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((10L, 10L)), s"g=1 extrema stale after delete: $rows")
+    assert(rows(2L) == ((5L, 5L)), rows)
+  }
+
   test("feed-based refresh survives merge and delete, equals the full aggregate") {
     val src = tmp("graft-mvf-src"); val view = tmp("graft-mvf-v")
     def full: Map[Long, (Long, Long, Long)] =

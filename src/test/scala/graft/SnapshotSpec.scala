@@ -1539,7 +1539,9 @@ class SnapshotSpec extends AnyFunSuite {
       Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (9L, 90.0)),
       "publish lost the concurrent commit or the staged rows")
     assert(Snapshots.stagedTokens(spark, dir).isEmpty)
-    assert(Snapshots.commitMeta(spark, dir, v) == Map("wap" -> "cand"))
+    // user meta plus the wap.token marker (the publish-idempotence record)
+    assert(Snapshots.commitMeta(spark, dir, v) ==
+      Map("wap" -> "cand", "wap.token" -> tok))
     intercept[IllegalArgumentException](Snapshots.readStaged(spark, dir, tok))
     // discard: a failed candidate disappears without a trace
     val bad = Snapshots.stageCommit(spark, dir, Seq((5L, -1.0)).toDF("k", "p"))
@@ -1560,6 +1562,35 @@ class SnapshotSpec extends AnyFunSuite {
     Snapshots.dropCheckConstraint(spark, dir, "p_pos_late")
     Snapshots.publishStaged(spark, dir, late)
     assert(Snapshots.read(spark, dir).count() == 6)
+  }
+
+  test("publishStaged replay after a simulated crash is idempotent; discard keeps published data") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, 1.0)).toDF("k", "p"))
+    val tok = Snapshots.stageCommit(spark, dir, Seq((2L, 2.0)).toDF("k", "p"))
+    // simulate the crash window: the publish lands but the staged manifest
+    // survives (copy it aside, publish, put it back)
+    val mf = java.nio.file.Paths.get(dir, "_manifests", s"staged-$tok.list")
+    val saved = java.nio.file.Files.readAllBytes(mf)
+    val v = Snapshots.publishStaged(spark, dir, tok)
+    java.nio.file.Files.write(mf, saved)
+    assert(Snapshots.stagedTokens(spark, dir) == Seq(tok), "setup failed")
+    // replaying the publish must return the SAME version and not re-list
+    // the files (no duplicated rows, no extra version)
+    assert(Snapshots.publishStaged(spark, dir, tok) == v)
+    assert(Snapshots.currentVersion(spark, dir).contains(v),
+      "replayed publish minted a duplicate version")
+    assert(Snapshots.read(spark, dir).count() == 2,
+      "replayed publish duplicated the staged rows")
+    assert(Snapshots.stagedTokens(spark, dir).isEmpty, "stale manifest kept")
+    // same crash state, swept by DISCARD instead: the data is published —
+    // only the stale manifest may go
+    java.nio.file.Files.write(mf, saved)
+    Snapshots.discardStaged(spark, dir, tok)
+    assert(Snapshots.stagedTokens(spark, dir).isEmpty)
+    assert(Snapshots.read(spark, dir).as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.0), (2L, 2.0)),
+      "discard of an already-published token destroyed table data")
   }
 
   test("CHECK constraints gate every row-adding path, SQL-standard NULL semantics") {
