@@ -39,6 +39,21 @@ object Mview {
           "not a Mview-maintained table")).toInt
     }
 
+  /** Extrema columns a view ALREADY maintains, adopted when the caller
+    * omits them — a config-drifted refresh must never silently erase
+    * maintained extrema state (replace commits skip schema enforcement,
+    * so the drop would be invisible). A column only counts with BOTH its
+    * min_ and max_ siblings present and when it is not itself a group
+    * key (a key literally named "min_x" must not fabricate one). */
+  private def adoptedMinMax(old: DataFrame, keys: Seq[String],
+      requested: Seq[String]): Seq[String] = {
+    val cols = old.columns.toSet
+    val own = old.columns.filter(c => c.startsWith("min_") &&
+        !keys.contains(c) && cols.contains("max_" + c.stripPrefix("min_")))
+      .map(_.stripPrefix("min_")).toSeq
+    requested ++ own.filterNot(requested.contains)
+  }
+
   private def aggregated(src: DataFrame, keys: Seq[String],
       sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame =
     src.groupBy(keys.map(col): _*)
@@ -66,10 +81,11 @@ object Mview {
       case Some(applied) =>
         require(applied < head,
           s"$srcDir went backwards (v$head < applied v$applied) — expired? rebuild")
+        val old = Snapshots.read(spark, viewDir)
+        val effMinMax = adoptedMinMax(old, keys, minMaxCols)
         val delta = aggregated(
           Snapshots.readChanges(spark, srcDir, applied, head),
-          keys, sumCols, minMaxCols)
-        val old = Snapshots.read(spark, viewDir)
+          keys, sumCols, effMinMax)
         val addCols = "cnt" +: sumCols.flatMap(c => Seq(s"sum_$c", s"cntv_$c"))
         // a view materialized before the cntv_* columns cannot be folded
         // incrementally (non-null history is not recoverable from deltas) —
@@ -92,7 +108,7 @@ object Mview {
               addCols.map(c =>
                 (coalesce(col(s"l_$c"), lit(0)) + coalesce(col(s"r_$c"), lit(0)))
                   .cast(old.schema(c).dataType).as(c)) ++
-              minMaxCols.flatMap { c =>
+              effMinMax.flatMap { c =>
                 Seq(least(col(s"l_min_$c"), col(s"r_min_$c"))
                     .as(s"min_$c"), // least/greatest skip NULLs (absent side)
                   greatest(col(s"l_max_$c"), col(s"r_max_$c")).as(s"max_$c"))
@@ -129,7 +145,7 @@ object Mview {
     */
   def refreshViaFeed(spark: SparkSession, srcDir: String, viewDir: String,
       keys: Seq[String], sumCols: Seq[String],
-      minMaxCols0: Seq[String] = Seq.empty): Int = {
+      minMaxCols: Seq[String] = Seq.empty): Int = {
     val head = Snapshots.currentVersion(spark, srcDir).getOrElse(
       throw new IllegalArgumentException(s"$srcDir: no published snapshots"))
     appliedSrcVersion(spark, viewDir) match {
@@ -139,31 +155,25 @@ object Mview {
         require(applied < head,
           s"$srcDir went backwards (v$head < applied v$applied) — expired? rebuild")
         val feed = Snapshots.readChangeFeed(spark, srcDir, applied, head)
-        // a caller omitting minMaxCols on a view BUILT with extrema would
-        // silently drop the min_*/max_* columns at the replace commit
-        // (schema enforcement is off for replaces) — adopt the view's own
-        // extrema columns so a config drift can never erase maintained state
-        val viewMm = Snapshots.read(spark, viewDir).columns
-          .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
-        val minMaxCols = (minMaxCols0 ++ viewMm.filterNot(minMaxCols0.contains))
+        val old = Snapshots.read(spark, viewDir)
+        val effMinMax = adoptedMinMax(old, keys, minMaxCols)
         val w = when(col("_change_type").isin("insert", "update_post"), 1L)
           .otherwise(lit(-1L))
         val aggExprs = (sum(w).as("cnt") +: sumCols.flatMap(c => Seq(
           sum(col(c) * w).as(s"sum_$c"),
           sum(when(col(c).isNotNull, w).otherwise(lit(0L))).as(s"cntv_$c")))) ++
-          minMaxCols.flatMap(c => Seq(
+          effMinMax.flatMap(c => Seq(
             min(when(w > 0, col(c))).as(s"dmin_$c"),
             max(when(w > 0, col(c))).as(s"dmax_$c"))) ++
-          (if (minMaxCols.isEmpty) Seq.empty
+          (if (effMinMax.isEmpty) Seq.empty
            else Seq(max(when(w < 0, 1L).otherwise(0L)).as("has_neg")))
         val delta = feed.groupBy(keys.map(col): _*)
           .agg(aggExprs.head, aggExprs.tail: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val old = Snapshots.read(spark, viewDir)
           val addCols = "cnt" +: sumCols.flatMap(c => Seq(s"sum_$c", s"cntv_$c"))
-          require(minMaxCols.forall(c => old.columns.contains(s"min_$c")),
-            s"$viewDir was not built with extrema for ${minMaxCols.mkString(", ")}" +
+          require(effMinMax.forall(c => old.columns.contains(s"min_$c")),
+            s"$viewDir was not built with extrema for ${effMinMax.mkString(", ")}" +
               " — run Mview.rebuild once with minMaxCols, then refresh resumes")
           val joined = old
             .select(old.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
@@ -176,13 +186,13 @@ object Mview {
                 (coalesce(col(s"l_$c"), lit(0)) + coalesce(col(s"r_$c"), lit(0)))
                   .cast(old.schema(c).dataType).as(c))
           val merged =
-            if (minMaxCols.isEmpty) joined.select(baseCols: _*)
+            if (effMinMax.isEmpty) joined.select(baseCols: _*)
               .filter(col("cnt") > 0) // a fully-deleted group leaves the view
             else {
               // insert-only groups fold; feed-deleted groups mark for recompute
               val pre = joined.select(baseCols ++
                   Seq((coalesce(col("r_has_neg"), lit(0L)) === 1L).as("need_rec")) ++
-                  minMaxCols.flatMap(c => Seq(
+                  effMinMax.flatMap(c => Seq(
                     least(col(s"l_min_$c"), col(s"r_dmin_$c")).as(s"fmin_$c"),
                     greatest(col(s"l_max_$c"), col(s"r_dmax_$c")).as(s"fmax_$c"))): _*)
                 .filter(col("cnt") > 0)
@@ -190,12 +200,12 @@ object Mview {
                 .select(keys.map(col): _*).distinct()
               val outCols = keys.map(col) ++ addCols.map(col)
               if (negKeys.isEmpty)
-                pre.select(outCols ++ minMaxCols.flatMap(c => Seq(
+                pre.select(outCols ++ effMinMax.flatMap(c => Seq(
                   col(s"fmin_$c").as(s"min_$c"),
                   col(s"fmax_$c").as(s"max_$c"))): _*)
               else {
                 val nk = negKeys.select(keys.map(k => col(k).as(s"k_$k")): _*)
-                val mmAgg = minMaxCols.flatMap(c =>
+                val mmAgg = effMinMax.flatMap(c =>
                   Seq(min(col(c)).as(s"rmin_$c"), max(col(c)).as(s"rmax_$c")))
                 val rec = Snapshots.read(spark, srcDir, Some(head))
                   .join(broadcast(nk),
@@ -204,11 +214,11 @@ object Mview {
                   .groupBy(keys.map(col): _*)
                   .agg(mmAgg.head, mmAgg.tail: _*)
                 val recR = rec.select(keys.map(k => col(k).as(s"rk_$k")) ++
-                  minMaxCols.flatMap(c =>
+                  effMinMax.flatMap(c =>
                     Seq(col(s"rmin_$c"), col(s"rmax_$c"))): _*)
                 pre.join(broadcast(recR),
                     keys.map(k => col(k) <=> col(s"rk_$k")).reduce(_ && _), "left")
-                  .select(outCols ++ minMaxCols.flatMap(c => Seq(
+                  .select(outCols ++ effMinMax.flatMap(c => Seq(
                     when(col("need_rec"), col(s"rmin_$c"))
                       .otherwise(col(s"fmin_$c")).as(s"min_$c"),
                     when(col("need_rec"), col(s"rmax_$c"))
@@ -222,7 +232,7 @@ object Mview {
       case None =>
         Snapshots.commit(spark, viewDir,
           aggregated(Snapshots.read(spark, srcDir, Some(head)),
-            keys, sumCols, minMaxCols0),
+            keys, sumCols, minMaxCols),
           meta = Map(SrcKey -> head.toString))
     }
   }

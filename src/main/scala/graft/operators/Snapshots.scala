@@ -1110,10 +1110,17 @@ object Snapshots {
     // staged-commit data is live-but-unpublished: referenced by a
     // `staged-*.list`, not by any version — protect it like version data
     // a concurrent publish/discard may remove a token between the listing
-    // and the manifest read — skip, don't abort the sweep
+    // and the manifest read — skip ONLY that case; any other read failure
+    // aborts the sweep (treating it as "unreferenced" would delete live
+    // staged data)
     val referenced = (versions(spark, dir).flatMap(v => files(spark, dir, v)) ++
-      stagedTokens(spark, dir).flatMap(t =>
-        scala.util.Try(stagedEntry(spark, dir, t)._3).getOrElse(Seq.empty))).toSet
+      stagedTokens(spark, dir).flatMap { t =>
+        try stagedEntry(spark, dir, t)._3
+        catch { case e: Exception =>
+          if (fs.exists(stagedManifest(dir, t))) throw e
+          Seq.empty
+        }
+      }).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
     val it = fs.listFiles(dataRoot, true)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
@@ -2069,7 +2076,9 @@ object Snapshots {
     val flags = cons.zipWithIndex.map { case ((_, ex), i) =>
       (expr(ex) <=> lit(false)).as(s"viol_$i")
     }
-    val bad = df.select(struct(df.columns.map(col).toSeq: _*).as("row") +: flags: _*)
+    // df(n) resolves by EXACT name (functions.col would parse a dotted
+    // column name as struct-field access and fail the whole commit)
+    val bad = df.select(struct(df.columns.map(df(_)).toSeq: _*).as("row") +: flags: _*)
       .where(cons.indices.map(i => col(s"viol_$i")).reduce(_ || _))
       .limit(1).collect()
     bad.headOption.foreach { r =>
@@ -2150,12 +2159,17 @@ object Snapshots {
     * lists before auditing or sweeping candidates. */
   def stagedDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (hfs0, _) = hfs(spark, dir)
     stagedTokens(spark, dir).flatMap { t =>
-      // a concurrent publish/discard may have removed the token — skip it
-      scala.util.Try(stagedEntry(spark, dir, t)).toOption.map {
-        case (meta, _, fs) =>
-          (t, fs.length, meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-            .mkString(";"))
+      // a concurrent publish/discard may have removed the token — skip
+      // only that; a still-present-but-unreadable manifest must surface
+      try {
+        val (meta, _, fls) = stagedEntry(spark, dir, t)
+        Seq((t, fls.length, meta.toSeq.sorted
+          .map { case (k, v) => s"$k=$v" }.mkString(";")))
+      } catch { case e: Exception =>
+        if (hfs0.exists(stagedManifest(dir, t))) throw e
+        Seq.empty
       }
     }.toDF("token", "n_files", "meta")
   }
@@ -2185,8 +2199,12 @@ object Snapshots {
     * detectable (the newest-first scan stops at the first hit). */
   private def publishedStagedVersion(spark: SparkSession, dir: String,
       token: String): Option[Int] =
-    versions(spark, dir).reverseIterator
-      .find(v => commitMeta(spark, dir, v).get("wap.token").contains(token))
+    versions(spark, dir).reverseIterator.find { v =>
+      // a version expiring between the listing and the meta read is not
+      // the carrier we are looking for — skip it, don't abort the publish
+      scala.util.Try(commitMeta(spark, dir, v)).toOption
+        .exists(_.get("wap.token").contains(token))
+    }
 
   def publishStaged(spark: SparkSession, dir: String, token: String,
       maxAttempts: Int = 20): Int = {
@@ -2219,10 +2237,24 @@ object Snapshots {
       val carried = if (next == 1) Seq.empty else files(spark, dir, cur)
       val dvCarry = if (next == 1) None else dvRel(spark, dir, cur)
       try {
-        publish(spark, dir, next, carried, staged,
-          meta + ("wap.token" -> token), dv = dvCarry)
+        // SAME-TOKEN race: two callers can both pass the replay check above
+        // while neither has published yet; without atomicity the slower one
+        // would re-list the staged files on top of the winner's version.
+        // Serialize the recheck+publish through the per-table publish lock
+        // (the same same-JVM guarantee the manifest CAS itself relies on;
+        // the rename inside publish() re-acquires it reentrantly).
+        val lockKey = new org.apache.hadoop.fs.Path(manifestDir(dir)).toString
+        publishLock(lockKey).synchronized {
+          if (publishedStagedVersion(spark, dir, token).isEmpty) {
+            // a foreign commit since `cur` surfaces as the usual CME below
+            publish(spark, dir, next, carried, staged,
+              meta + ("wap.token" -> token), dv = dvCarry)
+          }
+        }
+        val v = publishedStagedVersion(spark, dir, token)
+          .getOrElse(next) // ours just published at `next`
         fs.delete(stagedManifest(dir, token), false)
-        return next
+        return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= maxAttempts) throw e
