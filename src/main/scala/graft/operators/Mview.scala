@@ -86,6 +86,13 @@ object Mview {
         val delta = aggregated(
           Snapshots.readChanges(spark, srcDir, applied, head),
           keys, sumCols, effMinMax)
+        // a requested extremum the view was never built with cannot be
+        // folded (the l_min_/l_max_ side does not exist) — same actionable
+        // refusal as refreshViaFeed instead of an opaque unresolved-column
+        // AnalysisException from the merged select
+        require(effMinMax.forall(c => old.columns.contains(s"min_$c")),
+          s"$viewDir was not built with extrema for ${effMinMax.mkString(", ")}" +
+            " — run Mview.rebuild once with minMaxCols, then refresh resumes")
         val addCols = "cnt" +: sumCols.flatMap(c => Seq(s"sum_$c", s"cntv_$c"))
         // a view materialized before the cntv_* columns cannot be folded
         // incrementally (non-null history is not recoverable from deltas) —

@@ -31,8 +31,12 @@ object Snapshots {
 
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // keyed by the Path-NORMALIZED manifest dir so every caller (manifest
+  // CAS, staged publish/discard, props writes) lands on the same monitor
+  // regardless of how the table dir string was spelled
   private def publishLock(key: String): Object =
-    publishLocks.computeIfAbsent(key, _ => new Object)
+    publishLocks.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(key).toString, _ => new Object)
 
   /** Table properties (durable, version-independent — e.g. which columns
     * get bloom filters). Stored as a `table.props` k/v file in the
@@ -54,15 +58,23 @@ object Snapshots {
     }
   }
 
+  // the read-modify-write below is serialized through the same per-table
+  // publishLock as manifest CAS: tags (retention pins) and CHECK
+  // constraints (write gates) live in props, so a lost update from two
+  // concurrent mutators could silently unpin a version or drop a gate
   def setProperties(spark: SparkSession, dir: String,
       props: Map[String, String]): Unit =
-    writeProps(spark, dir, properties(spark, dir) ++ props)
+    publishLock(manifestDir(dir)).synchronized {
+      writeProps(spark, dir, properties(spark, dir) ++ props)
+    }
 
   /** Remove property keys (the inverse of [[setProperties]] — tag deletes,
     * constraint drops). Absent keys are ignored. */
   def removeProperties(spark: SparkSession, dir: String,
       keys: Seq[String]): Unit =
-    writeProps(spark, dir, properties(spark, dir) -- keys)
+    publishLock(manifestDir(dir)).synchronized {
+      writeProps(spark, dir, properties(spark, dir) -- keys)
+    }
 
   private def writeProps(spark: SparkSession, dir: String,
       merged: Map[String, String]): Unit = {
@@ -2273,16 +2285,47 @@ object Snapshots {
   def discardStaged(spark: SparkSession, dir: String, token: String): Unit = {
     val (fs, _) = hfs(spark, dir)
     val (_, _, staged) = stagedEntry(spark, dir, token)
-    val published = publishedStagedVersion(spark, dir, token).nonEmpty ||
-      versions(spark, dir).exists(v =>
-        files(spark, dir, v).exists(staged.toSet))
-    if (!published)
-      // each stage writes into its own per-writer-unique data dir, so the
-      // parents hold nothing but this stage's files — drop them whole
-      staged.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f").getParent)
-        .distinct.foreach(p => fs.delete(p, true))
-    fs.delete(stagedManifest(dir, token), false)
+    // the published-check + data delete must be one atomic unit against a
+    // same-token publishStaged racer: without the lock, publish can land
+    // between the check and the delete and this would remove data files a
+    // committed version now references
+    publishLock(manifestDir(dir)).synchronized {
+      val published = publishedStagedVersion(spark, dir, token).nonEmpty ||
+        versions(spark, dir).exists(v =>
+          files(spark, dir, v).exists(staged.toSet))
+      if (!published)
+        // each stage writes into its own per-writer-unique data dir, so the
+        // parents hold nothing but this stage's files — drop them whole
+        staged.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f").getParent)
+          .distinct.foreach(p => fs.delete(p, true))
+      fs.delete(stagedManifest(dir, token), false)
+    }
     ()
+  }
+
+  /** Sweep ABANDONED staged commits: every stage whose manifest mtime is
+    * older than `tsMillis` is discarded ([[discardStaged]] semantics — a
+    * token whose files already published keeps its data, only the stale
+    * manifest drops). This is the age-TTL remedy for a crashed audit
+    * pipeline: without it, [[vacuumOrphans]] rightly treats staged data as
+    * live forever and the orphaned storage never reclaims. Mirrors the
+    * reader-pin heartbeat rule — a LIVE audit keeps its stage fresh simply
+    * by re-staging or publishing within the TTL; pick a `tsMillis` horizon
+    * comfortably beyond the longest legitimate audit. Returns the swept
+    * tokens. A swept token's later publish fails loudly (no manifest).
+    */
+  def expireStagedOlderThan(spark: SparkSession, dir: String,
+      tsMillis: Long): Seq[String] = {
+    val (fs, _) = hfs(spark, dir)
+    val stale = stagedTokens(spark, dir).filter { t =>
+      val mf = stagedManifest(dir, t)
+      // a token published/discarded between the listing and the stat is
+      // simply no longer ours to sweep
+      try fs.getFileStatus(mf).getModificationTime < tsMillis
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    stale.foreach(discardStaged(spark, dir, _))
+    stale
   }
 
   /** RESTORE: publish a NEW version whose content is exactly snapshot
@@ -2506,6 +2549,27 @@ object Snapshots {
         next
       } finally { rows.foreach(_.unpersist()); () }
     } finally { up.unpersist(); () }
+  }
+
+  /** [[replaceWhere]] with optimistic retry on version-slot races — the
+    * idempotent partition-reload op is exactly what a scheduler retries,
+    * so it gets the same conflict-retry twin merge/delete have: the region
+    * swap is self-contained (it re-reads the CURRENT version each attempt),
+    * so replaying it after a concurrent commit is safe and loses nothing.
+    */
+  def replaceWhereRetry(spark: SparkSession, dir: String, df: DataFrame,
+      column: String, lower: Option[Any], upper: Option[Any],
+      maxAttempts: Int = 10): Int = {
+    var attempt = 1
+    while (true) {
+      try return replaceWhere(spark, dir, df, column, lower, upper)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
   }
 
   def deleteRange(spark: SparkSession, dir: String, column: String,

@@ -101,23 +101,30 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
     * data skipping automatically ([[SnapshotRelation]]), so a plain SQL
     * `WHERE` prunes files with no API call.
     */
+  /** One timezone contract for every timestamp option the format accepts
+    * (`timestampAsOf`, `startingTimestamp`): epoch millis, or
+    * `yyyy-MM-dd HH:mm:ss[.f…]` interpreted as UTC — never the JVM-local
+    * zone, so the same option string resolves to the same version on
+    * every driver.
+    */
+  private[graft] def parseTsMillis(raw: String): Long =
+    scala.util.Try(raw.toLong).getOrElse {
+      val fmt = new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern("yyyy-MM-dd HH:mm:ss")
+        .optionalStart()
+        .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+        .optionalEnd()
+        .toFormatter
+      java.time.LocalDateTime.parse(raw, fmt)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val dir = dirOf(parameters)
     val spark = sqlContext.sparkSession
     val vOpt = parameters.get("versionAsOf").map(_.toInt)
-    val tOpt = parameters.get("timestampAsOf").map { raw =>
-      scala.util.Try(raw.toLong).getOrElse {
-        val fmt = new java.time.format.DateTimeFormatterBuilder()
-          .appendPattern("yyyy-MM-dd HH:mm:ss")
-          .optionalStart()
-          .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
-          .optionalEnd()
-          .toFormatter
-        java.time.LocalDateTime.parse(raw, fmt)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      }
-    }
+    val tOpt = parameters.get("timestampAsOf").map(parseTsMillis)
     // tagAsOf resolves a named ref ([[Snapshots.setTag]]) — "read the
     // audited snapshot by NAME", no version numbers in the SQL
     val gOpt = parameters.get("tagAsOf").map { name =>
@@ -184,7 +191,7 @@ class SnapshotStreamSource extends StreamSourceProvider with RelationProvider
       case Some(tsStr) =>
         require(!parameters.contains("startingVersion"),
           "pass startingVersion OR startingTimestamp, not both")
-        val ts = java.sql.Timestamp.valueOf(tsStr).getTime
+        val ts = parseTsMillis(tsStr)
         val spark = sqlContext.sparkSession
         Snapshots.versions(spark, dir)
           .filter(v => Snapshots.commitTime(spark, dir, v) < ts)

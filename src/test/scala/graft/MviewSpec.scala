@@ -102,6 +102,28 @@ class MviewSpec extends AnyFunSuite {
     assert(rows(2L) == ((5L, 5L)), rows)
   }
 
+  test("refresh requesting extrema the view was not built with refuses actionably") {
+    val src = tmp("graft-mvnoex-src"); val view = tmp("graft-mvnoex-v")
+    Snapshots.commit(spark, src,
+      Seq((1L, 1L, 10L), (2L, 2L, 5L)).toDF("g", "k", "x"))
+    // built WITHOUT extrema — then a config-drifted caller asks for them:
+    // both refresh paths must refuse with the rebuild hint, not die in the
+    // merged select with an unresolved l_min_x
+    Mview.refresh(spark, src, view, Seq("g"), Seq("x"))
+    Snapshots.commit(spark, src, Seq((1L, 3L, 7L)).toDF("g", "k", "x"))
+    val e1 = intercept[IllegalArgumentException](
+      Mview.refresh(spark, src, view, Seq("g"), Seq("x"), Seq("x")))
+    assert(e1.getMessage.contains("rebuild"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Mview.refreshViaFeed(spark, src, view, Seq("g"), Seq("x"), Seq("x")))
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+    // the refusal left the view intact and refreshable
+    Mview.refresh(spark, src, view, Seq("g"), Seq("x"))
+    val rows = Snapshots.read(spark, view)
+      .select("g", "sum_x").as[(Long, Long)].collect().toMap
+    assert(rows == Map(1L -> 17L, 2L -> 5L), rows)
+  }
+
   test("feed-based refresh survives merge and delete, equals the full aggregate") {
     val src = tmp("graft-mvf-src"); val view = tmp("graft-mvf-v")
     def full: Map[Long, (Long, Long, Long)] =

@@ -329,4 +329,55 @@ class SnapshotChaosSpec extends AnyFunSuite {
       "racing staged publishes and appends lost or duplicated rows")
     assert(Snapshots.stagedTokens(spark, dir).isEmpty, "staged debris left")
   }
+
+  test("chaos: replaceWhereRetry racing retrying appenders — both commit, no lost rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos-rw").toFile.getAbsolutePath
+    // keyspace [0, 100) seeded; the replacer swaps [10, 29] per round while
+    // appenders land keys far outside the region — a slot race must never
+    // drop an append or leak/lose replaced rows
+    Snapshots.commit(spark, dir,
+      spark.range(100).toDF("k").withColumn("v", lit(0L)))
+    val nAppenders = 3; val perThread = 3; val rounds = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nAppenders + 1)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val barrier = new java.util.concurrent.CyclicBarrier(nAppenders + 1)
+    val replacer = Future {
+      barrier.await()
+      (1 to rounds).map { r =>
+        Snapshots.replaceWhereRetry(spark, dir,
+          spark.range(10, 30).toDF("k").withColumn("v", lit(r.toLong)),
+          "k", Some(10L), Some(29L))
+      }
+    }
+    val appenders = (1 to nAppenders).map { t =>
+      Future {
+        barrier.await()
+        (1 to perThread).map(i => Snapshots.commitRetry(spark, dir,
+          Seq(((t * 1000 + i).toLong, t.toLong)).toDF("k", "v")))
+      }
+    }
+    val landed = Await.result(
+      Future.sequence(replacer +: appenders), 300.seconds).flatten
+    pool.shutdown()
+    val total = rounds + nAppenders * perThread
+    assert(landed.toSet.size == total, s"version collision among $landed")
+    assert(Snapshots.currentVersion(spark, dir).contains(1 + total))
+    val all = readAll(dir)
+    assert(all.size == 100 + nAppenders * perThread,
+      "lost or duplicated rows under the race")
+    val got = all.toMap
+    // every appended key present exactly once with its value
+    for (t <- 1 to nAppenders; i <- 1 to perThread)
+      assert(got.get((t * 1000 + i).toLong).contains(t.toLong),
+        s"append ${t * 1000 + i} lost")
+    // the region holds exactly the LAST replace round's rows
+    assert((10L to 29L).forall(k => got(k) == rounds.toLong),
+      "region rows not from the final replace")
+    // untouched keyspace intact
+    assert((0L to 9L).forall(k => got(k) == 0L) &&
+      (30L to 99L).forall(k => got(k) == 0L), "replace leaked outside region")
+  }
 }

@@ -1593,6 +1593,43 @@ class SnapshotSpec extends AnyFunSuite {
       "discard of an already-published token destroyed table data")
   }
 
+  test("expireStagedOlderThan sweeps only stale stages; a swept token's publish fails loudly") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, 1.0)).toDF("k", "p"))
+    val stale = Snapshots.stageCommit(spark, dir, Seq((2L, 2.0)).toDF("k", "p"))
+    val fresh = Snapshots.stageCommit(spark, dir, Seq((3L, 3.0)).toDF("k", "p"))
+    // age the stale manifest past the horizon; the fresh one stays current
+    val staleMf = java.nio.file.Paths.get(dir, "_manifests", s"staged-$stale.list")
+    assert(staleMf.toFile.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    val horizon = System.currentTimeMillis() - 24L * 3600 * 1000
+    val swept = Snapshots.expireStagedOlderThan(spark, dir, horizon)
+    assert(swept == Seq(stale), s"swept $swept")
+    assert(Snapshots.stagedTokens(spark, dir) == Seq(fresh),
+      "sweep took the live stage or kept the stale one")
+    // the abandoned stage's data dirs reclaimed — no storage leak
+    assert(Snapshots.readStaged(spark, dir, fresh).count() == 2)
+    // a swept token's later publish fails loudly, never silently re-stages
+    intercept[IllegalArgumentException](Snapshots.publishStaged(spark, dir, stale))
+    // the survivor's lifecycle is untouched
+    Snapshots.publishStaged(spark, dir, fresh)
+    assert(Snapshots.read(spark, dir).as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.0), (3L, 3.0)))
+    // a published-then-crashed token (manifest outlives publish) is swept
+    // manifest-only: its data now belongs to the table
+    val tok2 = Snapshots.stageCommit(spark, dir, Seq((4L, 4.0)).toDF("k", "p"))
+    val mf2 = java.nio.file.Paths.get(dir, "_manifests", s"staged-$tok2.list")
+    val saved = java.nio.file.Files.readAllBytes(mf2)
+    Snapshots.publishStaged(spark, dir, tok2)
+    java.nio.file.Files.write(mf2, saved)
+    assert(mf2.toFile.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    assert(Snapshots.expireStagedOlderThan(spark, dir, horizon) == Seq(tok2))
+    assert(Snapshots.read(spark, dir).as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.0), (3L, 3.0), (4L, 4.0)),
+      "sweeping a published token's stale manifest destroyed table data")
+  }
+
   test("CHECK constraints gate every row-adding path, SQL-standard NULL semantics") {
     val dir = tmp()
     Snapshots.commit(spark, dir,

@@ -1534,13 +1534,19 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable(); q.stop()
       spark.table(name).select("k").as[Long].collect().toSet
     }
-    // tail from the cut: only the rows committed after v1
-    assert(tailFrom(Map("startingTimestamp" -> cut.toString)) == Set(2L, 3L))
+    // tail from the cut — epoch-millis form (timezone-free)
+    assert(tailFrom(Map("startingTimestamp" -> cut.getTime.toString)) ==
+      Set(2L, 3L))
+    // the string form shares timestampAsOf's contract: UTC, never JVM-local
+    val utc = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(cut.getTime))
+    assert(tailFrom(Map("startingTimestamp" -> utc)) == Set(2L, 3L))
     // a timestamp before the first commit = the full initial snapshot
-    assert(tailFrom(Map("startingTimestamp" ->
-      new java.sql.Timestamp(0L).toString)) == Set(1L, 2L, 3L))
+    assert(tailFrom(Map("startingTimestamp" -> "0")) == Set(1L, 2L, 3L))
     intercept[Exception](tailFrom(Map(
-      "startingTimestamp" -> cut.toString, "startingVersion" -> "1")))
+      "startingTimestamp" -> cut.getTime.toString, "startingVersion" -> "1")))
   }
 
   test("snapshot tail fails loudly when a declared column is renamed mid-stream") {
