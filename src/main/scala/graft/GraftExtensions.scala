@@ -299,6 +299,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectOptimizerRule(_ => PolygonEnvelopeRule)
+    // SQL DELETE/UPDATE/MERGE over catalog-mounted snapshot tables — the
+    // Delta-style analysis rewrite into the format's CoW commands
+    ext.injectPostHocResolutionRule(session =>
+      graft.operators.SnapshotDmlRule(session))
     // automatic materialized-view query rewrite (operators.MviewRewrite):
     // an aggregate over a registered snapshot source answers from its
     // fresh Mview instead — registration-gated, no-op otherwise

@@ -2572,6 +2572,287 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** One WHEN MATCHED clause of [[mergeApply]]: `set = None` is DELETE,
+    * `Some(assignments)` is UPDATE SET. Conditions and assignment values
+    * are Columns over the aliases `__t` (target) and `__s` (source). */
+  final case class WhenMatched(cond: Option[org.apache.spark.sql.Column],
+      set: Option[Seq[(String, org.apache.spark.sql.Column)]])
+  /** One WHEN NOT MATCHED [BY TARGET] clause: INSERT with per-column
+    * assignments over `__s`. */
+  final case class WhenNotMatched(cond: Option[org.apache.spark.sql.Column],
+      insert: Seq[(String, org.apache.spark.sql.Column)])
+  /** One WHEN NOT MATCHED BY SOURCE clause (conditions over `__t` only). */
+  final case class WhenNotMatchedBySource(
+      cond: Option[org.apache.spark.sql.Column],
+      set: Option[Seq[(String, org.apache.spark.sql.Column)]])
+
+  /** The full ANSI/Delta `MERGE INTO` shape, copy-on-write: an arbitrary ON
+    * condition, ordered multi-clause WHEN MATCHED [AND cond] THEN
+    * UPDATE/DELETE, WHEN NOT MATCHED THEN INSERT, and WHEN NOT MATCHED BY
+    * SOURCE THEN UPDATE/DELETE — first applicable clause wins, rows no
+    * clause claims carry unchanged ([[mergeInto]] is the keyed-upsert fast
+    * path; the SQL face routes here). Clause conditions and assignment
+    * values reference the two sides through the aliases `__t` / `__s`.
+    *
+    * Scale shape: `pruneKey` (a target column + the source-side expression
+    * it equi-joins to) narrows candidate files through the stats envelope;
+    * ONE masked scan pins the files holding a live ON-matching row
+    * (metadata-sized result); only those rewrite, everything else carries
+    * by reference — unless a BY SOURCE clause exists, which by definition
+    * touches every file. The standard's multi-match rule is enforced: a
+    * target row matched by more than one source row fails loudly (the
+    * rewrite would otherwise duplicate it). CHECK constraints gate the
+    * post-image; the change feed records update_pre/update_post, delete,
+    * and insert rows exactly.
+    */
+  def mergeApply(spark: SparkSession, dir: String, source: DataFrame,
+      onCond: org.apache.spark.sql.Column,
+      matched: Seq[WhenMatched],
+      notMatched: Seq[WhenNotMatched],
+      notMatchedBySource: Seq[WhenNotMatchedBySource] = Seq.empty,
+      pruneKey: Option[(String, org.apache.spark.sql.Column)] = None,
+      meta: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, struct, when}
+    import org.apache.spark.sql.Column
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val tableSchema = read(spark, dir, Some(cur)).schema
+    val tableCols = tableSchema.fieldNames.toSeq
+    matched.foreach(_.set.foreach(_.foreach { case (c, _) =>
+      require(tableCols.contains(c), s"$dir: MERGE UPDATE targets unknown column '$c'") }))
+    notMatched.foreach(_.insert.foreach { case (c, _) =>
+      require(tableCols.contains(c), s"$dir: MERGE INSERT targets unknown column '$c'") })
+    notMatchedBySource.foreach(_.set.foreach(_.foreach { case (c, _) =>
+      require(tableCols.contains(c), s"$dir: MERGE UPDATE targets unknown column '$c'") }))
+    val src = source.withColumn("__s_present", lit(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ---- candidate discovery: stats envelope, then one masked scan
+      val (candidates, all) = pruneKey match {
+        case Some((tCol, sExpr)) if notMatchedBySource.isEmpty =>
+          // sExpr is expressed over the __s alias, so aggregate through it
+          val Array(mm) = src.alias("__s").agg(min(sExpr), max(sExpr)).collect()
+          if (mm.isNullAt(0)) (Seq.empty[String], files(spark, dir, cur))
+          else pruneFiles(spark, dir, cur, tCol, Option(mm.get(0)), Option(mm.get(1)))
+        case _ => val fs = files(spark, dir, cur); (fs, fs)
+      }
+      val prevDv = dvRel(spark, dir, cur)
+      val sAliased = src.alias("__s")
+      val touched: Seq[String] =
+        if (notMatchedBySource.nonEmpty) all
+        else if (candidates.isEmpty) Seq.empty
+        else openWithPos(spark, dir, candidates.map(f => s"$dir/$f"), prevDv)
+          .alias("__t").join(sAliased, onCond, "left_semi")
+          .select("__path").distinct().collect()
+          .map(r => relPath(dir, r.getString(0))).toSeq.sorted
+      val untouched = all.filterNot(touched.toSet)
+      val next = cur + 1
+      def truthy(c: Option[Column]): Column =
+        c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+      // first-applicable-clause index per branch; -1 = no clause claims it
+      def clauseIdx(conds: Seq[Option[Column]]): Column =
+        conds.zipWithIndex.foldRight(lit(-1): Column) { case ((c, i), rest) =>
+          when(truthy(c), lit(i)).otherwise(rest)
+        }
+      val nmIdx = clauseIdx(notMatched.map(_.cond))
+      def insertsOf(unmatchedS: DataFrame): DataFrame =
+        unmatchedS.filter(nmIdx >= 0).select(tableCols.map { c =>
+          notMatched.map(_.insert).zipWithIndex.foldRight(
+            lit(null).cast(tableSchema(c).dataType): Column) {
+            case ((as, i), rest) =>
+              as.toMap.get(c) match {
+                case Some(v) => when(nmIdx === lit(i),
+                  v.cast(tableSchema(c).dataType)).otherwise(rest)
+                case None => rest
+              }
+          }.as(c)
+        }: _*)
+
+      if (touched.isEmpty) {
+        // nothing matched (or the table is all-carry): insert-only path
+        val inserts = insertsOf(sAliased)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (inserts.isEmpty) return cur
+          enforceConstraints(spark, dir, inserts)
+          val cdc = writeCdc(spark, dir, next,
+            inserts.withColumn("_change_type", lit("insert")))
+          val fresh = writeData(spark, dir, next, inserts)
+          publish(spark, dir, next, all, fresh, meta, Some(cdc),
+            carryDvFor(spark, dir, cur, next, all))
+          return next
+        } finally { inserts.unpersist(); () }
+      }
+
+      // full outer: matched pairs + target-only (carry / BY SOURCE) +
+      // source-only (insert candidates)
+      val tAliased = openWithPos(spark, dir, touched.map(f => s"$dir/$f"), prevDv)
+        .withColumn("__t_present", lit(true)).alias("__t")
+      val joined = tAliased.join(sAliased, onCond, "full_outer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val tPresent = col("__t_present") === lit(true)
+        val sPresent = col("__s_present") === lit(true)
+        // ANSI multi-match rule: a second source match would duplicate the
+        // target row in the rewrite — refuse before anything publishes
+        val dup = joined.filter(tPresent && sPresent)
+          .groupBy(col("__t.__fname"), col("__t.__pos"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"$dir: MERGE matched a target row with more than one source row")
+        val mIdx = clauseIdx(matched.map(_.cond))
+        val nmsIdx = clauseIdx(notMatchedBySource.map(_.cond))
+        def isDelete(idx: Column, sets: Seq[Option[Seq[(String, Column)]]]): Column =
+          sets.zipWithIndex.collect { case (None, i) => idx === lit(i) }
+            .reduceOption(_ || _).getOrElse(lit(false))
+        def valueOf(c: String, idx: Column,
+            sets: Seq[Option[Seq[(String, Column)]]]): Column =
+          sets.zipWithIndex.foldRight(col(s"__t.$c")) {
+            case ((Some(as), i), rest) =>
+              as.toMap.get(c) match {
+                case Some(v) => when(idx === lit(i),
+                  v.cast(tableSchema(c).dataType)).otherwise(rest)
+                case None => rest
+              }
+            case ((None, _), rest) => rest
+          }
+        val matchedSets = matched.map(_.set)
+        val nmsSets = notMatchedBySource.map(_.set)
+        val tSide = joined.filter(tPresent)
+        val dropped = when(sPresent, isDelete(mIdx, matchedSets))
+          .otherwise(isDelete(nmsIdx, nmsSets))
+        val outCols = tableCols.map { c =>
+          when(sPresent, valueOf(c, mIdx, matchedSets))
+            .otherwise(valueOf(c, nmsIdx, nmsSets)).as(c)
+        }
+        val survivorsT = tSide.filter(!dropped).select(outCols: _*)
+        val inserts = insertsOf(joined.filter(!coalesce(tPresent, lit(false))))
+        val survivors = survivorsT.unionByName(inserts)
+        // the post-image gate: exactly the rows this merge creates/changes
+        val changedT = when(sPresent, mIdx >= 0 && !isDelete(mIdx, matchedSets))
+          .otherwise(nmsIdx >= 0 && !isDelete(nmsIdx, nmsSets))
+        enforceConstraints(spark, dir,
+          tSide.filter(changedT).select(outCols: _*).unionByName(inserts))
+        // change feed: update pre/post pairs, deletes, inserts — rows no
+        // clause claimed emit nothing
+        val preRows = tSide.filter(changedT)
+          .select(tableCols.map(c => col(s"__t.$c").as(c)): _*)
+          .withColumn("_change_type", lit("update_pre"))
+        val postRows = tSide.filter(changedT).select(outCols: _*)
+          .withColumn("_change_type", lit("update_post"))
+        val delRows = tSide.filter(dropped)
+          .select(tableCols.map(c => col(s"__t.$c").as(c)): _*)
+          .withColumn("_change_type", lit("delete"))
+        val insRows = inserts.withColumn("_change_type", lit("insert"))
+        val cdc = writeCdc(spark, dir, next,
+          Seq(preRows, postRows, delRows, insRows).reduce(_.unionByName(_)))
+        val fresh = writeData(spark, dir, next, survivors)
+        val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
+        publish(spark, dir, next, untouched, fresh, meta, Some(cdc), dvCarry)
+        next
+      } finally { joined.unpersist(); () }
+    } finally { src.unpersist(); () }
+  }
+
+  /** Generic predicate DELETE, copy-on-write — the SQL face's
+    * `DELETE FROM t WHERE <any condition>` ([[deleteRange]] is the
+    * single-column-interval fast path; this one takes an arbitrary
+    * `Column`). Cost shape mirrors [[mergeInto]]: optional stats `prune`
+    * ranges (extracted from the condition's range conjuncts by the caller)
+    * narrow candidates, ONE masked scan pins the files holding a live
+    * matching row (metadata-sized result), only those rewrite — every
+    * other file carries by reference. SQL three-valued logic: a row whose
+    * condition evaluates NULL is NOT deleted. The change feed records
+    * exactly the deleted rows. No match → current version unchanged.
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column,
+      prune: Seq[(String, Option[Any], Option[Any])] = Seq.empty,
+      meta: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val (candidates, all) = pruneFilesAll(spark, dir, cur, prune)
+    val hit = coalesce(cond, lit(false))
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else openWithPos(spark, dir, candidates.map(f => s"$dir/$f"),
+          dvRel(spark, dir, cur))
+        .filter(hit).select("__path").distinct().collect()
+        .map(r => relPath(dir, r.getString(0))).toSeq.sorted
+    if (touched.isEmpty) return cur
+    val untouched = all.filterNot(touched.toSet)
+    val next = cur + 1
+    val rows = maskedParquet(spark, dir, cur, touched.map(f => s"$dir/$f"))
+    val cdc = writeCdc(spark, dir, next,
+      rows.filter(hit).withColumn("_change_type", lit("delete")))
+    val fresh = writeData(spark, dir, next, rows.filter(!hit))
+    val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
+    publish(spark, dir, next, untouched, fresh, meta, Some(cdc), dvCarry)
+    next
+  }
+
+  /** Generic predicate UPDATE, copy-on-write — the SQL face's
+    * `UPDATE t SET c = expr, … WHERE <condition>`. Same touched-file
+    * discovery as [[deleteWhere]]; each touched file rewrites with the
+    * assignments applied to matching rows (assignment expressions are cast
+    * to the column's existing type — SQL UPDATE never changes schema), all
+    * other files carry by reference. CHECK constraints gate the post-image.
+    * The change feed records update_pre/update_post pairs. SQL NULL
+    * semantics: a NULL condition leaves the row unchanged.
+    */
+  def updateWhere(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      prune: Seq[(String, Option[Any], Option[Any])] = Seq.empty,
+      meta: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val schema = read(spark, dir, Some(cur)).schema
+    require(sets.nonEmpty, s"$dir: UPDATE needs at least one assignment")
+    sets.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"$dir: UPDATE SET targets unknown column '$c' " +
+          s"(have ${schema.fieldNames.mkString(", ")})")
+    }
+    val (candidates, all) = pruneFilesAll(spark, dir, cur, prune)
+    val hit = coalesce(cond, lit(false))
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else openWithPos(spark, dir, candidates.map(f => s"$dir/$f"),
+          dvRel(spark, dir, cur))
+        .filter(hit).select("__path").distinct().collect()
+        .map(r => relPath(dir, r.getString(0))).toSeq.sorted
+    if (touched.isEmpty) return cur
+    val untouched = all.filterNot(touched.toSet)
+    val next = cur + 1
+    val rows = maskedParquet(spark, dir, cur, touched.map(f => s"$dir/$f"))
+    val setMap = sets.toMap
+    def applied(src: DataFrame, always: Boolean): DataFrame =
+      src.select(schema.fieldNames.toSeq.map { c =>
+        setMap.get(c) match {
+          case Some(e) =>
+            val cast = e.cast(schema(c).dataType)
+            (if (always) cast else when(hit, cast).otherwise(col(c))).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    val out = applied(rows, always = false)
+    // the post-image must satisfy the table's CHECK constraints — gate on
+    // exactly the rows the update produces, not the carried ones
+    enforceConstraints(spark, dir, applied(rows.filter(hit), always = true))
+    val cdc = writeCdc(spark, dir, next,
+      rows.filter(hit).withColumn("_change_type", lit("update_pre"))
+        .unionByName(applied(rows.filter(hit), always = true)
+          .withColumn("_change_type", lit("update_post"))))
+    val fresh = writeData(spark, dir, next, out)
+    val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
+    publish(spark, dir, next, untouched, fresh, meta, Some(cdc), dvCarry)
+    next
+  }
+
   def deleteRange(spark: SparkSession, dir: String, column: String,
       lower: Option[Any], upper: Option[Any]): Int = {
     import org.apache.spark.sql.functions.{col, lit}

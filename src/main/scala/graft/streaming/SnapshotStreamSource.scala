@@ -299,49 +299,7 @@ class SnapshotRelation(override val sqlContext: SQLContext, val dir: String,
     ()
   }
 
-  /** One conjunct → zero or more stat range-checks (empty = can't prune on
-    * it). `IsNotNull` is the unbounded range: it keeps every file with a
-    * non-null value but drops provably-all-null ones. `In`/prefix collapse
-    * to their envelope interval.
-    */
-  private def translate(f: Filter): Seq[(String, Option[Any], Option[Any])] = f match {
-    case EqualTo(a, v) if v != null => Seq((a, Some(v), Some(v)))
-    case EqualNullSafe(a, v) if v != null => Seq((a, Some(v), Some(v)))
-    case GreaterThan(a, v) => Seq((a, Some(v), None))
-    case GreaterThanOrEqual(a, v) => Seq((a, Some(v), None))
-    case LessThan(a, v) => Seq((a, None, Some(v)))
-    case LessThanOrEqual(a, v) => Seq((a, None, Some(v)))
-    case In(a, vs) =>
-      val nn = vs.filter(_ != null)
-      envelope(nn).map { case (mn, mx) => (a, Some(mn), Some(mx)) }.toSeq
-    // '￿' caps the prefix interval: every string starting with p
-    // precedes p + '￿' in Java string order
-    case StringStartsWith(a, p) => Seq((a, Some(p), Some(p + '￿')))
-    case IsNotNull(a) => Seq((a, None, None))
-    case And(l, r) => translate(l) ++ translate(r)
-    case _ => Seq.empty
-  }
-
-  private def isIntegral(v: Any): Boolean = v match {
-    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
-         _: java.lang.Byte => true
-    case _ => false
-  }
-
-  private def envelope(vs: Array[Any]): Option[(Any, Any)] =
-    if (vs.isEmpty) None
-    else if (vs.forall(isIntegral)) {
-      // order as longs: doubleValue collapses longs past 2^53 and an
-      // inverted/collapsed envelope would prune files that hold real keys
-      val ds = vs.map(_.asInstanceOf[Number])
-      Some((ds.minBy(_.longValue), ds.maxBy(_.longValue)))
-    } else if (vs.forall(_.isInstanceOf[Number])) {
-      val ds = vs.map(_.asInstanceOf[Number])
-      Some((ds.minBy(_.doubleValue), ds.maxBy(_.doubleValue)))
-    } else if (vs.forall(_.isInstanceOf[String])) {
-      val ss = vs.map(_.asInstanceOf[String])
-      Some((ss.min, ss.max))
-    } else None
+  private def translate(f: Filter) = SnapshotRelation.translate(f)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
@@ -406,6 +364,51 @@ object SnapshotRelation {
   /** (kept, total) of the most recent buildScan — test/diagnostic
     * instrumentation for asserting that pushed filters actually skip. */
   val lastScan = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** One conjunct → zero or more stat range-checks (empty = can't prune on
+    * it). `IsNotNull` is the unbounded range: it keeps every file with a
+    * non-null value but drops provably-all-null ones. `In`/prefix collapse
+    * to their envelope interval. Shared by the V1 relation and the DSv2
+    * catalog table ([[graft.sources.SnapshotCatalog]]).
+    */
+  private[graft] def translate(f: Filter): Seq[(String, Option[Any], Option[Any])] = f match {
+    case EqualTo(a, v) if v != null => Seq((a, Some(v), Some(v)))
+    case EqualNullSafe(a, v) if v != null => Seq((a, Some(v), Some(v)))
+    case GreaterThan(a, v) => Seq((a, Some(v), None))
+    case GreaterThanOrEqual(a, v) => Seq((a, Some(v), None))
+    case LessThan(a, v) => Seq((a, None, Some(v)))
+    case LessThanOrEqual(a, v) => Seq((a, None, Some(v)))
+    case In(a, vs) =>
+      val nn = vs.filter(_ != null)
+      envelope(nn).map { case (mn, mx) => (a, Some(mn), Some(mx)) }.toSeq
+    // '￿' caps the prefix interval: every string starting with p
+    // precedes p + '￿' in Java string order
+    case StringStartsWith(a, p) => Seq((a, Some(p), Some(p + '￿')))
+    case IsNotNull(a) => Seq((a, None, None))
+    case And(l, r) => translate(l) ++ translate(r)
+    case _ => Seq.empty
+  }
+
+  private def isIntegral(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
+  private def envelope(vs: Array[Any]): Option[(Any, Any)] =
+    if (vs.isEmpty) None
+    else if (vs.forall(isIntegral)) {
+      // order as longs: doubleValue collapses longs past 2^53 and an
+      // inverted/collapsed envelope would prune files that hold real keys
+      val ds = vs.map(_.asInstanceOf[Number])
+      Some((ds.minBy(_.longValue), ds.maxBy(_.longValue)))
+    } else if (vs.forall(_.isInstanceOf[Number])) {
+      val ds = vs.map(_.asInstanceOf[Number])
+      Some((ds.minBy(_.doubleValue), ds.maxBy(_.doubleValue)))
+    } else if (vs.forall(_.isInstanceOf[String])) {
+      val ss = vs.map(_.asInstanceOf[String])
+      Some((ss.min, ss.max))
+    } else None
 
   private[streaming] val sizeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Long]()
