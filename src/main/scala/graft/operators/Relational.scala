@@ -829,6 +829,100 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** The DSv2 CATALOG face ([[graft.sources.SnapshotCatalog]]): snapshot
+    * tables mounted as `graftcat.<ns>.<table>`, exercised through plain
+    * SQL — metadata-only `count(*)`, complete MIN/MAX/COUNT(col) pushdown,
+    * and the full DML surface (`DELETE`/`UPDATE`/`MERGE INTO`) rewriting
+    * into the format's copy-on-write commands. One warehouse per JVM, one
+    * namespace per sf dir; the DML runs once at fixture build, the
+    * declared queries read the post-DML state and the oracles restate it
+    * over the source parquet. SqlCatalogSpec locks the plan shapes (the
+    * count plan carries no data-file scan).
+    */
+  private val sqlCatWh = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sqlCatalogWh(s: SparkSession): String = {
+    val wh = sqlCatWh.computeIfAbsent("wh", _ =>
+      java.nio.file.Files.createTempDirectory("graft-sqlcat").toFile.getAbsolutePath)
+    s.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    wh
+  }
+  private val sqlCatNs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sqlCatNsOf(s: SparkSession, d: String): String =
+    sqlCatNs.computeIfAbsent(d, _ => {
+      val wh = sqlCatalogWh(s)
+      val ns = s"sf${Math.abs(d.hashCode)}"
+      val orders = T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+      // count fixture: the MoR-deleted table — the metadata count must
+      // subtract the deletion-vector mask
+      val dv = s"$wh/$ns/orders_dv"
+      Snapshots.commit(s, dv, orders)
+      Snapshots.deleteRangeMor(s, dv, "o_orderkey", Some(200L), Some(699L))
+      Snapshots.deleteRangeMor(s, dv, "o_orderkey", Some(1200L), Some(1299L))
+      // plain table for extrema pushdown + SQL DELETE / UPDATE targets
+      Snapshots.commit(s, s"$wh/$ns/orders_plain", orders)
+      Snapshots.commit(s, s"$wh/$ns/orders_del", orders)
+      s.sql(s"""DELETE FROM graftcat.$ns.orders_del
+               |WHERE o_custkey % 10 = 3 AND o_totalprice < 150000""".stripMargin)
+      Snapshots.commit(s, s"$wh/$ns/orders_upd", orders)
+      s.sql(s"""UPDATE graftcat.$ns.orders_upd
+               |SET o_totalprice = o_totalprice * 1.1
+               |WHERE o_orderkey BETWEEN 500 AND 1499""".stripMargin)
+      // merge fixture: target = keys % 3 = 0; source = keys % 6 = 0 (half
+      // the target: update-or-delete by price) plus % 3 = 1 (inserts);
+      // unmatched target rows must carry unchanged
+      Snapshots.commit(s, s"$wh/$ns/orders_mrg",
+        T.orders(s, d).select("o_orderkey", "o_totalprice")
+          .filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey")))
+      T.orders(s, d).select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") % 6 === 0 || col("o_orderkey") % 3 === 1)
+        .createOrReplaceTempView(s"src_mrg_$ns")
+      s.sql(s"""MERGE INTO graftcat.$ns.orders_mrg t
+               |USING src_mrg_$ns s ON t.o_orderkey = s.o_orderkey
+               |WHEN MATCHED AND s.o_totalprice > 100000
+               |  THEN UPDATE SET o_totalprice = s.o_totalprice + 5
+               |WHEN MATCHED THEN DELETE
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      ns
+    })
+
+  private def qSnapshotSqlCount(s: SparkSession, d: String): DataFrame = {
+    val ns = sqlCatNsOf(s, d)
+    s.sql(s"SELECT count(*) AS n FROM graftcat.$ns.orders_dv")
+  }
+
+  private def qSnapshotSqlMinmax(s: SparkSession, d: String): DataFrame = {
+    val ns = sqlCatNsOf(s, d)
+    s.sql(s"""SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+             |  count(o_custkey) AS n_cust
+             |FROM graftcat.$ns.orders_plain""".stripMargin)
+  }
+
+  private def qSnapshotSqlDelete(s: SparkSession, d: String): DataFrame = {
+    val ns = sqlCatNsOf(s, d)
+    s.sql(s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM graftcat.$ns.orders_del""".stripMargin)
+  }
+
+  private def qSnapshotSqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val ns = sqlCatNsOf(s, d)
+    s.sql(s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM graftcat.$ns.orders_upd""".stripMargin)
+  }
+
+  private def qSnapshotSqlMerge(s: SparkSession, d: String): DataFrame = {
+    val ns = sqlCatNsOf(s, d)
+    s.sql(s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM graftcat.$ns.orders_mrg""".stripMargin)
+  }
+
   /** Merge-on-read twin of [[snapDelDir]] + a second overlapping delete:
     * [[Snapshots.deleteRangeMor]] masks matching rows through a
     * DELETION-VECTOR sidecar instead of rewriting files — the new version
@@ -1505,6 +1599,11 @@ object Relational extends QueryModule {
     "q_snapshot_constraint" -> qSnapshotConstraint,
     "q_snapshot_replace_where" -> qSnapshotReplaceWhere,
     "q_snapshot_count" -> qSnapshotCount,
+    "q_snapshot_sql_count" -> qSnapshotSqlCount,
+    "q_snapshot_sql_minmax" -> qSnapshotSqlMinmax,
+    "q_snapshot_sql_delete" -> qSnapshotSqlDelete,
+    "q_snapshot_sql_update" -> qSnapshotSqlUpdate,
+    "q_snapshot_sql_merge" -> qSnapshotSqlMerge,
     "q_snapshot_dv" -> qSnapshotDv,
     "q_snapshot_history" -> qSnapshotHistory,
     "q_snapshot_restore" -> qSnapshotRestore,
@@ -1628,6 +1727,39 @@ object Relational extends QueryModule {
       """SELECT count(*) AS n FROM orders
         |WHERE o_orderkey NOT BETWEEN 200 AND 699
         |  AND o_orderkey NOT BETWEEN 1200 AND 1299""".stripMargin,
+    "q_snapshot_sql_count" ->
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_orderkey NOT BETWEEN 200 AND 699
+        |  AND o_orderkey NOT BETWEEN 1200 AND 1299""".stripMargin,
+    "q_snapshot_sql_minmax" ->
+      """SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  count(o_custkey) AS n_cust
+        |FROM orders""".stripMargin,
+    "q_snapshot_sql_delete" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE NOT (o_custkey % 10 = 3 AND o_totalprice < 150000)""".stripMargin,
+    "q_snapshot_sql_update" ->
+      """SELECT count(*) AS n,
+        |  round(sum(CASE WHEN o_orderkey BETWEEN 500 AND 1499
+        |    THEN o_totalprice * 1.1 ELSE o_totalprice END), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
+    "q_snapshot_sql_merge" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_totalprice + 5 AS p FROM orders
+        |  WHERE o_orderkey % 6 = 0 AND o_totalprice > 100000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 6 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 1)
+        |SELECT count(*) AS n, round(sum(p), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM final""".stripMargin,
     "q_snapshot_replace_where" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_totalprice FROM orders

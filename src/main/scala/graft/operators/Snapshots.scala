@@ -572,6 +572,38 @@ object Snapshots {
     val statsName = s"v$next-$token.stats"
     writeAtomic(statsName, encodeStats(statRows).getBytes("UTF-8"),
       contended = false)
+    // PHYSICAL schema sidecar (Delta/Iceberg record schema in the log):
+    // carried fields keep the prior version's order, brand-new fresh
+    // columns append — so readers plan from ONE metadata file instead of a
+    // mergeSchema footer sweep over every data file. Cost here is O(fresh)
+    // footers, already paid for stats. A type conflict (possible only on
+    // pre-gate legacy tables) skips the sidecar → readers keep the
+    // mergeSchema fallback.
+    val schemaName: Option[String] = {
+      def footerSchema(fs0: Seq[String]) = spark.read
+        .option("mergeSchema", "true").parquet(fs0.map(f => s"$dir/$f"): _*)
+        .schema
+      val carriedSchema =
+        if (carried.isEmpty) None
+        else physicalSchemaOf(spark, dir, statsFrom.getOrElse(next - 1))
+          .orElse(Some(footerSchema(carried)))
+      val freshSchema = if (fresh.isEmpty) None else Some(footerSchema(fresh))
+      val merged = (carriedSchema, freshSchema) match {
+        case (Some(c), Some(f)) =>
+          val byName = c.map(x => x.name -> x.dataType).toMap
+          if (f.exists(x => byName.get(x.name).exists(_ != x.dataType))) None
+          else Some(org.apache.spark.sql.types.StructType(
+            c.fields ++ f.fields.filterNot(x => byName.contains(x.name))))
+        case (c, f) => c.orElse(f)
+      }
+      merged.map { st =>
+        val nullable = org.apache.spark.sql.types.StructType(
+          st.fields.map(_.copy(nullable = true)))
+        val name = s"v$next-$token.schema"
+        writeAtomic(name, nullable.json.getBytes("UTF-8"), contended = false)
+        name
+      }
+    }
     val metaName =
       if (meta.isEmpty) None
       else {
@@ -582,6 +614,7 @@ object Snapshots {
         Some(name)
       }
     val headers = Seq(s"#stats=$statsName") ++ metaName.map(n => s"#meta=$n") ++
+      schemaName.map(n => s"#schema=$n") ++
       cdc.map(rel => s"#cdc=$rel") ++ dv.map(rel => s"#dv=$rel") ++
       (if (noRowChange) Seq("#norowchange=1") else Seq.empty)
     val body = (headers ++ carried ++ fresh).mkString("", "\n", "\n")
@@ -739,11 +772,47 @@ object Snapshots {
     * on (file name, file-absolute row index): the DV side is deleted-rows
     * sized, so Spark broadcast it and the scan stays one pass.
     */
-  private def openWithPos(spark: SparkSession, dir: String,
-      paths: Seq[String], dv: Option[String]): DataFrame = {
+  /** PHYSICAL schema of one version from its `.schema` sidecar, if the
+    * version recorded one — the metadata answer to "what columns do these
+    * files hold" that replaces the mergeSchema footer sweep at planning
+    * (one small manifest read vs one footer per data file; at 100 TB the
+    * difference between instant analysis and a cluster-wide metadata job).
+    */
+  private[graft] def physicalSchemaOf(spark: SparkSession, dir: String,
+      version: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, _) = hfs(spark, dir)
+    sidecarName(spark, dir, version, "schema")
+      .map(n => new org.apache.hadoop.fs.Path(manifestDir(dir), n))
+      .filter(fs.exists)
+      .map { p =>
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(text)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+  }
+
+  /** Plan a set of a version's data files: sidecar schema when recorded
+    * (no footer IO; files missing an evolved column surface typed NULLs),
+    * mergeSchema fallback for pre-sidecar versions. `mergeAll` forces the
+    * footer sweep — for reads deliberately spanning files OUTSIDE the
+    * version (the WAP audit view's staged files).
+    */
+  private def planRaw(spark: SparkSession, dir: String, version: Int,
+      paths: Seq[String], mergeAll: Boolean): DataFrame =
+    (if (mergeAll) None else physicalSchemaOf(spark, dir, version)) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
+  private def openWithPos(spark: SparkSession, dir: String, version: Int,
+      paths: Seq[String], dv: Option[String],
+      mergeAll: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
     val base = applyMapping(spark, dir,
-      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      planRaw(spark, dir, version, paths, mergeAll)
         .withColumn("__path", col("_metadata.file_path"))
         .withColumn("__fname", element_at(split(col("_metadata.file_path"), "/"), -1))
         .withColumn("__pos", col("_metadata.row_index")))
@@ -764,13 +833,14 @@ object Snapshots {
     * saved.
     */
   private[graft] def maskedParquet(spark: SparkSession, dir: String,
-      version: Int, paths: Seq[String]): DataFrame =
+      version: Int, paths: Seq[String],
+      mergeAll: Boolean = false): DataFrame =
     dvRel(spark, dir, version) match {
       case None => applyMapping(spark, dir,
-        spark.read.option("mergeSchema", "true").parquet(paths: _*))
+        planRaw(spark, dir, version, paths, mergeAll))
       case Some(rel) =>
         import org.apache.spark.sql.functions.col
-        val withPos = openWithPos(spark, dir, paths, Some(rel))
+        val withPos = openWithPos(spark, dir, version, paths, Some(rel), mergeAll)
         val dataCols = withPos.columns.filterNot(_.startsWith("__"))
         withPos.select(dataCols.toSeq.map(col): _*)
     }
@@ -938,7 +1008,8 @@ object Snapshots {
     drop.foreach { v =>
       // resolve sidecar/change-dir names BEFORE deleting the list that
       // references them
-      val sidecars = Seq("stats", "meta").flatMap(sidecarName(spark, dir, v, _))
+      val sidecars = Seq("stats", "meta", "schema")
+        .flatMap(sidecarName(spark, dir, v, _))
       val changes = cdcRel(spark, dir, v)
       val dv = dvRel(spark, dir, v).filterNot(liveDv)
       fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/v$v.list"), false)
@@ -1166,11 +1237,13 @@ object Snapshots {
     val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
     if (fs.exists(md)) {
       val liveSidecars = versions(spark, dir).flatMap(v =>
-        Seq("stats", "meta").flatMap(sidecarName(spark, dir, v, _))).toSet
+        Seq("stats", "meta", "schema")
+          .flatMap(sidecarName(spark, dir, v, _))).toSet
       fs.listStatus(md).foreach { st =>
         val n = st.getPath.getName
         if (st.isFile && st.getModificationTime < cutoff &&
-            (n.endsWith(".stats") || n.endsWith(".meta")) &&
+            (n.endsWith(".stats") || n.endsWith(".meta") ||
+              n.endsWith(".schema")) &&
             !liveSidecars.contains(n)) orphans += st.getPath
         // crashed writers' per-writer-unique publish temps (`.{name}.{uuid}
         // .tmp`) are never self-overwritten — age them out here
@@ -1734,7 +1807,7 @@ object Snapshots {
       val touched: Seq[String] =
         if (candidates.isEmpty) Seq.empty
         else {
-          openWithPos(spark, dir, candidates.map(f => s"$dir/$f"), prevDv)
+          openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"), prevDv)
             .select(col(key), col("__path"))
             .join(up.select(col(key)), Seq(key))
             .select("__path").distinct().collect()
@@ -1818,7 +1891,7 @@ object Snapshots {
       // their (file, pos) identity — these positions join the DV
       val matched =
         if (candidates.isEmpty) None
-        else Some(openWithPos(spark, dir, candidates.map(f => s"$dir/$f"), prevDv)
+        else Some(openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"), prevDv)
           .join(up.select(col(key)), Seq(key), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       try {
@@ -1885,7 +1958,7 @@ object Snapshots {
     val hit = (Seq(col(column).isNotNull) ++
       lower.map(col(column) >= lit(_)) ++ upper.map(col(column) <= lit(_)))
       .reduce(_ && _)
-    val matching = openWithPos(spark, dir, affected.map(f => s"$dir/$f"), prevDv)
+    val matching = openWithPos(spark, dir, cur, affected.map(f => s"$dir/$f"), prevDv)
       .filter(hit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -2192,8 +2265,10 @@ object Snapshots {
   def readStaged(spark: SparkSession, dir: String, token: String): DataFrame = {
     val (_, _, staged) = stagedEntry(spark, dir, token)
     currentVersion(spark, dir) match {
+      // mergeAll: the staged files are OUTSIDE cur's schema sidecar — an
+      // evolve-staged column must surface in the audit view
       case Some(cur) => maskedParquet(spark, dir, cur,
-        (files(spark, dir, cur) ++ staged).map(f => s"$dir/$f"))
+        (files(spark, dir, cur) ++ staged).map(f => s"$dir/$f"), mergeAll = true)
       case None => applyMapping(spark, dir,
         spark.read.option("mergeSchema", "true")
           .parquet(staged.map(f => s"$dir/$f"): _*))
@@ -2372,7 +2447,7 @@ object Snapshots {
         Option(h.get(1)), Option(h.get(2)))
       if (candidates.isEmpty) return cur
       val prevDv = dvRel(spark, dir, cur)
-      val matching = openWithPos(spark, dir, candidates.map(f => s"$dir/$f"), prevDv)
+      val matching = openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"), prevDv)
         .join(kp, Seq(key), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -2641,7 +2716,7 @@ object Snapshots {
       val touched: Seq[String] =
         if (notMatchedBySource.nonEmpty) all
         else if (candidates.isEmpty) Seq.empty
-        else openWithPos(spark, dir, candidates.map(f => s"$dir/$f"), prevDv)
+        else openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"), prevDv)
           .alias("__t").join(sAliased, onCond, "left_semi")
           .select("__path").distinct().collect()
           .map(r => relPath(dir, r.getString(0))).toSeq.sorted
@@ -2686,7 +2761,7 @@ object Snapshots {
 
       // full outer: matched pairs + target-only (carry / BY SOURCE) +
       // source-only (insert candidates)
-      val tAliased = openWithPos(spark, dir, touched.map(f => s"$dir/$f"), prevDv)
+      val tAliased = openWithPos(spark, dir, cur, touched.map(f => s"$dir/$f"), prevDv)
         .withColumn("__t_present", lit(true)).alias("__t")
       val joined = tAliased.join(sAliased, onCond, "full_outer")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2777,7 +2852,7 @@ object Snapshots {
     val hit = coalesce(cond, lit(false))
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else openWithPos(spark, dir, candidates.map(f => s"$dir/$f"),
+      else openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"),
           dvRel(spark, dir, cur))
         .filter(hit).select("__path").distinct().collect()
         .map(r => relPath(dir, r.getString(0))).toSeq.sorted
@@ -2821,7 +2896,7 @@ object Snapshots {
     val hit = coalesce(cond, lit(false))
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else openWithPos(spark, dir, candidates.map(f => s"$dir/$f"),
+      else openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"),
           dvRel(spark, dir, cur))
         .filter(hit).select("__path").distinct().collect()
         .map(r => relPath(dir, r.getString(0))).toSeq.sorted

@@ -44,11 +44,33 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Inline `With` common-subexpression nodes (BETWEEN and friends resolve
+    * to them): a `With` rebuilt around an UnresolvedAttribute asks its defs
+    * for dataType and dies, so the re-keyed tree must not contain any. The
+    * inlined twin is semantically identical (the sharing is a pure
+    * execution-cost optimization Catalyst re-derives after re-analysis).
+    */
+  private def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val defs = w.defs.foldLeft(
+        Map.empty[org.apache.spark.sql.catalyst.expressions.CommonExpressionId,
+          Expression]) { (acc, d) =>
+        acc + (d.id -> d.child.transformUp {
+          case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef
+              if acc.contains(r.id) => acc(r.id)
+        })
+      }
+      w.child.transformUp {
+        case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef
+            if defs.contains(r.id) => defs(r.id)
+      }
+  }
+
   /** Re-key every target/source attribute by (qualified) name so the
     * expression re-resolves against the op-built frames. */
   private def byName(e: Expression, targetAttrs: AttributeSet,
       sourceAttrs: AttributeSet, qualify: Boolean): Expression =
-    e.transform {
+    inlineWith(e).transform {
       case a: AttributeReference if targetAttrs.contains(a) =>
         if (qualify) UnresolvedAttribute(Seq("__t", a.name))
         else UnresolvedAttribute.quoted(a.name)

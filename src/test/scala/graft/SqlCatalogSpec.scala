@@ -1,0 +1,310 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshots
+import graft.streaming.SnapshotRelation
+
+/** The DSv2 catalog face ([[graft.sources.SnapshotCatalog]]): DDL, reads
+  * with filter/column/aggregate pushdown, SQL time travel, and the DML
+  * rewrite (DELETE/UPDATE/MERGE → copy-on-write commands). Every lock here
+  * is a SQL-user-visible contract: plans answer count(*) from metadata,
+  * pushdown skips files, DML keeps untouched files carried by reference,
+  * CHECK constraints gate the post-image, the change feed records exactly
+  * the DML's row effects, and the ANSI multi-match rule fails loudly.
+  */
+class SqlCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlcatspec")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.gtest",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", dir)
+    dir
+  }
+
+  private var n = 0
+  private def fresh(): (String, String) = synchronized {
+    n += 1
+    val name = s"t$n"
+    (s"gtest.db.$name", s"$wh/db/$name")
+  }
+
+  test("DDL: create (schema pinned, empty), insert, overwrite, rename, drop") {
+    val (t, dir) = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").as[Long].head() == 0L)
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("k", "v"))
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c')")
+    assert(spark.table(t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // each INSERT is one atomic commit
+    assert(Snapshots.currentVersion(spark, dir).contains(3))
+    spark.sql(s"INSERT OVERWRITE $t VALUES (9, 'z')")
+    assert(spark.table(t).as[(Long, String)].collect().toSet == Set((9L, "z")))
+    // CREATE over an existing table refuses; PARTITIONED BY refuses
+    intercept[Exception](spark.sql(s"CREATE TABLE $t (k BIGINT)"))
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE ${t}_p (k BIGINT, d STRING) PARTITIONED BY (d)"))
+    spark.sql(s"ALTER TABLE $t RENAME TO db.renamed$n")
+    assert(spark.table(s"gtest.db.renamed$n").count() == 1)
+    assert(!spark.catalog.tableExists(t))
+    spark.sql(s"DROP TABLE gtest.db.renamed$n")
+    intercept[Exception](spark.table(s"gtest.db.renamed$n").count())
+  }
+
+  test("SHOW TABLES lists snapshot tables; table properties round-trip through ALTER") {
+    val (t, dir) = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    val listed = spark.sql("SHOW TABLES IN gtest.db").select("tableName")
+      .as[String].collect().toSet
+    assert(listed.contains(t.split('.').last))
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('owner.team' = 'data')")
+    assert(Snapshots.properties(spark, dir).get("owner.team").contains("data"))
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('owner.team')")
+    assert(!Snapshots.properties(spark, dir).contains("owner.team"))
+  }
+
+  test("count(*) answers from metadata: no data-file scan survives clobbered files") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir,
+      spark.range(1000).toDF("k").withColumn("p", col("k") * 1.0)
+        .repartitionByRange(4, col("k")))
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(100L), Some(199L))
+    val q = spark.sql(s"SELECT count(*) AS n FROM $t")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"), plan)
+    assert(q.as[Long].head() == 900L, "DV mask not subtracted")
+    // the decisive proof: clobber every data file; metadata still answers
+    Snapshots.files(spark, dir, Snapshots.currentVersion(spark, dir).get)
+      .foreach { f =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, f), Array[Byte](1))
+      }
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").as[Long].head() == 900L,
+      "count(*) planned a data-file scan")
+  }
+
+  test("min/max/count(col) push down completely; a deletion vector declines extrema") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir,
+      Seq((1L, 10.0, Some("a")), (2L, 20.0, None), (3L, 30.0, Some("c")))
+        .toDF("k", "p", "s"))
+    val q = spark.sql(
+      s"SELECT min(k) AS mn, max(p) AS mx, count(s) AS ns FROM $t")
+    assert(q.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().head.toSeq == Seq(1L, 30.0, 2L))
+    // a DV makes per-column stats inexact → extrema must NOT push down,
+    // and the real scan must still answer correctly
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(3L), Some(3L))
+    val q2 = spark.sql(s"SELECT min(k) AS mn, max(p) AS mx, count(s) AS ns FROM $t")
+    assert(!q2.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "extrema pushed down over a deletion vector")
+    assert(q2.collect().head.toSeq == Seq(1L, 20.0, 1L))
+    // count(*) still answers from metadata (exact under the mask)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").as[Long].head() == 2L)
+  }
+
+  test("WHERE pushdown drives manifest file skipping; grouped aggregates stay exact") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir,
+      spark.range(1000).toDF("k").withColumn("g", col("k") % 7)
+        .withColumn("p", col("k") * 2.0).repartitionByRange(8, col("k")))
+    val got = spark.sql(
+      s"""SELECT g, count(*) AS n, sum(p) AS total FROM $t
+         |WHERE k BETWEEN 100 AND 199 GROUP BY g ORDER BY g""".stripMargin)
+      .collect()
+    val (kept, total) = SnapshotRelation.lastScan.get()
+    assert(total == 8 && kept < total,
+      s"range filter pruned nothing ($kept/$total)")
+    val want = spark.range(1000).toDF("k").withColumn("g", col("k") % 7)
+      .withColumn("p", col("k") * 2.0)
+      .filter(col("k").between(100, 199)).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("p").as("total")).orderBy("g").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("SQL time travel: VERSION AS OF number and tag, TIMESTAMP AS OF") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    Thread.sleep(20)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    Snapshots.setTag(spark, dir, "audited", 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").as[Long].head() == 2)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
+      .as[Long].head() == 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 'audited'")
+      .as[Long].head() == 1)
+    val utc = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(cut))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t TIMESTAMP AS OF '$utc'")
+      .as[Long].head() == 1)
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 99").collect())
+  }
+
+  test("SQL DELETE: arbitrary predicate, three-valued NULL logic, carried files, feed") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir,
+      Seq((1L, Some(10.0), "aa"), (2L, None, "b"), (3L, Some(30.0), "cc"),
+        (4L, Some(40.0), "d")).toDF("k", "p", "s")
+        .repartitionByRange(4, col("k")))
+    val before = Snapshots.files(spark, dir, 1)
+    // p > 15 is NULL for k=2 → NOT deleted (SQL three-valued logic);
+    // length(s) > 1 is beyond any V1 filter — the rule path must take it
+    spark.sql(s"DELETE FROM $t WHERE p > 15 AND length(s) > 1")
+    assert(spark.table(t).select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    val v = Snapshots.currentVersion(spark, dir).get
+    assert(Snapshots.files(spark, dir, v).toSet.intersect(before.toSet).nonEmpty,
+      "DELETE rewrote files it never touched")
+    val feed = Snapshots.readChangeFeed(spark, dir, v - 1, v)
+    assert(feed.select("_change_type", "k").as[(String, Long)].collect().toSet ==
+      Set(("delete", 3L)))
+    // no-match delete: version unchanged (no empty commit)
+    spark.sql(s"DELETE FROM $t WHERE k = 999")
+    assert(Snapshots.currentVersion(spark, dir).contains(v))
+    // unconditional delete empties the table
+    spark.sql(s"DELETE FROM $t")
+    assert(spark.table(t).count() == 0)
+  }
+
+  test("SQL UPDATE: assignments cast, NULL condition keeps rows, constraints gate, feed") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "p")
+        .repartitionByRange(3, col("k")))
+    Snapshots.addCheckConstraint(spark, dir, "p_pos", "p > 0")
+    // the assignment is an INT expression cast to the column's DOUBLE
+    spark.sql(s"UPDATE $t SET p = 7 WHERE k >= 3")
+    assert(spark.table(t).as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0), (3L, 7.0)))
+    val v = Snapshots.currentVersion(spark, dir).get
+    val feed = Snapshots.readChangeFeed(spark, dir, v - 1, v)
+    assert(feed.select("_change_type", "k", "p").as[(String, Long, Double)]
+      .collect().toSet ==
+      Set(("update_pre", 3L, 30.0), ("update_post", 3L, 7.0)))
+    // a violating update refuses BEFORE publishing; table intact
+    val e = intercept[Exception](spark.sql(s"UPDATE $t SET p = -1 WHERE k = 1"))
+    assert(e.getMessage.contains("p_pos"), e.getMessage)
+    assert(Snapshots.currentVersion(spark, dir).contains(v))
+    assert(spark.table(t).filter(col("k") === 1).select("p").as[Double].head() == 10.0)
+    // unknown SET column refuses actionably
+    intercept[Exception](spark.sql(s"UPDATE $t SET nope = 1"))
+  }
+
+  test("SQL MERGE: ordered clauses, BY SOURCE, star actions, carry, feed") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("k", "p")
+        .repartitionByRange(4, col("k")))
+    Seq((2L, 200.0), (3L, 5.0), (9L, 90.0), (10L, -1.0)).toDF("k", "p")
+      .createOrReplaceTempView("mrg_src")
+    // k=2 matched & p>100 → update; k=3 matched & p<=100 → delete;
+    // k=9 insert (p > 0); k=10 insert clause condition false → dropped;
+    // k=1 not matched by source & p < 15 → delete; k=4 NMBS → update p+1
+    spark.sql(s"""MERGE INTO $t t USING mrg_src s ON t.k = s.k
+      |WHEN MATCHED AND s.p > 100 THEN UPDATE SET p = s.p + 0.5
+      |WHEN MATCHED THEN DELETE
+      |WHEN NOT MATCHED AND s.p > 0 THEN INSERT *
+      |WHEN NOT MATCHED BY SOURCE AND t.p < 15 THEN DELETE
+      |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET p = t.p + 1
+      |""".stripMargin)
+    assert(spark.table(t).as[(Long, Double)].collect().toSet ==
+      Set((2L, 200.5), (4L, 41.0), (9L, 90.0)))
+    val v = Snapshots.currentVersion(spark, dir).get
+    val feed = Snapshots.readChangeFeed(spark, dir, v - 1, v)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(feed == Set(("update_pre", 2L), ("update_post", 2L),
+      ("update_pre", 4L), ("update_post", 4L),
+      ("delete", 3L), ("delete", 1L), ("insert", 9L)), feed)
+  }
+
+  test("SQL MERGE: unmatched target files carry by reference; insert-only merge appends") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir,
+      spark.range(1000).toDF("k").withColumn("p", col("k") * 1.0)
+        .repartitionByRange(8, col("k")))
+    val before = Snapshots.files(spark, dir, 1)
+    spark.range(100, 110).toDF("k").withColumn("p", col("k") * 10.0)
+      .createOrReplaceTempView("mrg_src2")
+    spark.sql(s"""MERGE INTO $t t USING mrg_src2 s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET p = s.p""".stripMargin)
+    val v2 = Snapshots.currentVersion(spark, dir).get
+    assert(Snapshots.files(spark, dir, v2).toSet.intersect(before.toSet).nonEmpty,
+      "merge rewrote files outside the matched envelope")
+    assert(spark.table(t).filter(col("k") === 105).select("p").as[Double].head() == 1050.0)
+    assert(spark.table(t).count() == 1000)
+    // source matching nothing + INSERT clause = pure append commit
+    spark.range(5000, 5003).toDF("k").withColumn("p", lit(0.0))
+      .createOrReplaceTempView("mrg_src3")
+    spark.sql(s"""MERGE INTO $t t USING mrg_src3 s ON t.k = s.k
+      |WHEN MATCHED THEN DELETE
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val v3 = Snapshots.currentVersion(spark, dir).get
+    assert(Snapshots.files(spark, dir, v3).toSet.intersect(
+      Snapshots.files(spark, dir, v2).toSet).size ==
+      Snapshots.files(spark, dir, v2).length,
+      "insert-only merge rewrote data files")
+    assert(spark.table(t).count() == 1003)
+  }
+
+  test("SQL MERGE: a target row matched twice fails loudly, nothing publishes") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir, Seq((1L, 10.0)).toDF("k", "p"))
+    Seq((1L, 1.0), (1L, 2.0)).toDF("k", "p").createOrReplaceTempView("mrg_dup")
+    val e = intercept[Exception](
+      spark.sql(s"""MERGE INTO $t t USING mrg_dup s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET p = s.p""".stripMargin))
+    assert(e.getMessage.contains("more than one source row"), e.getMessage)
+    assert(Snapshots.currentVersion(spark, dir).contains(1))
+    assert(spark.table(t).as[(Long, Double)].head() == ((1L, 10.0)))
+  }
+
+  test("library DML twins: deleteWhere respects DV masks, updateWhere prunes files") {
+    val (_, dir) = fresh()
+    Snapshots.commit(spark, dir,
+      spark.range(100).toDF("k").withColumn("p", col("k") * 1.0)
+        .repartitionByRange(4, col("k")))
+    // mask k=10 via DV, then deleteWhere k<20: the masked row must not
+    // resurrect in the rewrite or double-count in the feed
+    Snapshots.deleteRangeMor(spark, dir, "k", Some(10L), Some(10L))
+    val v = Snapshots.deleteWhere(spark, dir, col("k") < 20,
+      prune = Seq(("k", None, Some(20L))))
+    assert(Snapshots.read(spark, dir).count() == 80)
+    val feed = Snapshots.readChangeFeed(spark, dir, v - 1, v)
+    assert(feed.count() == 19, "DV-masked row leaked into the delete feed")
+    // updateWhere with a prune hint rewrites only envelope files
+    val before = Snapshots.files(spark, dir, v)
+    val v2 = Snapshots.updateWhere(spark, dir, col("k") === 50,
+      Seq("p" -> (col("p") + 1000)), prune = Seq(("k", Some(50L), Some(50L))))
+    assert(Snapshots.files(spark, dir, v2).toSet.intersect(before.toSet).nonEmpty,
+      "updateWhere rewrote unpruned files")
+    assert(Snapshots.read(spark, dir).filter(col("k") === 50)
+      .select("p").as[Double].head() == 1050.0)
+  }
+
+  test("catalog API: pinned references refuse writes; listTables/namespaces") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    val cat = spark.sessionState.catalogManager.catalog("gtest")
+      .asInstanceOf[graft.sources.SnapshotCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val ident = Identifier.of(Array("db"), t.split('.').last)
+    val pinned = cat.loadTable(ident, "1")
+      .asInstanceOf[graft.sources.SnapshotV2Table]
+    assert(pinned.pinned.contains(1))
+    intercept[IllegalArgumentException](pinned.newWriteBuilder(null))
+    assert(cat.listTables(Array("db")).map(_.name).contains(ident.name))
+    assert(cat.namespaceExists(Array("db")))
+    intercept[Exception](cat.loadTable(Identifier.of(Array("db"), "nope")))
+  }
+}
