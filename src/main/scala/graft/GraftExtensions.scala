@@ -253,6 +253,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litString(args.head, "snapshot_tags path"))
           .queryExecution.logical
       }))
+    // `FROM snapshot_branches('<dir>')` — live branches (name, fork point,
+    // commit count): the WAP-branch admin relation
+    ext.injectTableFunction((FunctionIdentifier("snapshot_branches"),
+      info("snapshot_branches"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "snapshot_branches('<dir>')")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Snapshots.branchesDf(spark,
+          litString(args.head, "snapshot_branches path"))
+          .queryExecution.logical
+      }))
     // `FROM snapshot_constraints('<dir>')` / `FROM snapshot_staged('<dir>')`
     // — the remaining admin relations: active CHECK constraints and live
     // WAP candidates, next to snapshot_history/snapshot_tags

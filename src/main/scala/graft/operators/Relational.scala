@@ -889,6 +889,34 @@ object Relational extends QueryModule {
       ns
     })
 
+  /** Named BRANCH workflow (Iceberg refs, the multi-commit WAP shape):
+    * main holds the `%3 = 0` slice; a branch forks and accumulates TWO
+    * audit-visible commits (the `%3 = 1` slice, then the `%3 = 2` slice
+    * re-staged with a +7 price fix) while main readers stay pinned to the
+    * fork; fastForward lands both as ONE atomic main commit. The declared
+    * query reads the landed head; the oracle restates the three slices.
+    */
+  private val snapBranchDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapBranchDir(s: SparkSession, d: String): String =
+    snapBranchDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snapbr").toFile.getAbsolutePath
+      val orders = T.orders(s, d).select("o_orderkey", "o_totalprice")
+      Snapshots.commit(s, dir, orders.filter(col("o_orderkey") % 3 === 0))
+      Snapshots.createBranch(s, dir, "audit")
+      Snapshots.commitToBranch(s, dir, "audit",
+        orders.filter(col("o_orderkey") % 3 === 1))
+      Snapshots.commitToBranch(s, dir, "audit",
+        orders.filter(col("o_orderkey") % 3 === 2)
+          .withColumn("o_totalprice", col("o_totalprice") + 7))
+      Snapshots.fastForward(s, dir, "audit")
+      dir
+    })
+
+  private def qSnapshotBranch(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, snapBranchDir(s, d))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   private def qSnapshotSqlCount(s: SparkSession, d: String): DataFrame = {
     val ns = sqlCatNsOf(s, d)
     s.sql(s"SELECT count(*) AS n FROM graftcat.$ns.orders_dv")
@@ -1599,6 +1627,7 @@ object Relational extends QueryModule {
     "q_snapshot_constraint" -> qSnapshotConstraint,
     "q_snapshot_replace_where" -> qSnapshotReplaceWhere,
     "q_snapshot_count" -> qSnapshotCount,
+    "q_snapshot_branch" -> qSnapshotBranch,
     "q_snapshot_sql_count" -> qSnapshotSqlCount,
     "q_snapshot_sql_minmax" -> qSnapshotSqlMinmax,
     "q_snapshot_sql_delete" -> qSnapshotSqlDelete,
@@ -1727,6 +1756,12 @@ object Relational extends QueryModule {
       """SELECT count(*) AS n FROM orders
         |WHERE o_orderkey NOT BETWEEN 200 AND 699
         |  AND o_orderkey NOT BETWEEN 1200 AND 1299""".stripMargin,
+    "q_snapshot_branch" ->
+      """SELECT count(*) AS n,
+        |  round(sum(o_totalprice
+        |    + CASE WHEN o_orderkey % 3 = 2 THEN 7 ELSE 0 END), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
     "q_snapshot_sql_count" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_orderkey NOT BETWEEN 200 AND 699

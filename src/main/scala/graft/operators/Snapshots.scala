@@ -989,10 +989,11 @@ object Snapshots {
     val (fs, _) = hfs(spark, dir)
     val all = versions(spark, dir)
     require(all.contains(keepFrom), s"$dir: keepFrom v$keepFrom does not exist")
-    // reader pins AND tags protect their versions: a tagged snapshot
-    // ("golden", "audited") survives any sweep until the tag is deleted
+    // reader pins, tags AND branch bases protect their versions: a tagged
+    // snapshot ("golden") or a live branch's fork point survives any sweep
+    // until the tag/branch is deleted
     val clamped = (readerPins(spark, dir).values.toSeq ++
-      tags(spark, dir).values :+ keepFrom).min
+      tags(spark, dir).values ++ branches(spark, dir).values :+ keepFrom).min
     val keepEff = if (clamped >= keepFrom) keepFrom
       else all.find(_ >= clamped).getOrElse(keepFrom)
     val (drop, keep) = all.partition(_ < keepEff)
@@ -1202,6 +1203,16 @@ object Snapshots {
         catch { case e: Exception =>
           if (fs.exists(stagedManifest(dir, t))) throw e
           Seq.empty
+        }
+      } ++
+      // branch heads are live-but-unlanded, same posture as staged commits:
+      // a branch deleted between the listing and the read is simply gone;
+      // any other failure aborts the sweep rather than orphaning live data
+      branches(spark, dir).keys.flatMap { b =>
+        try branchHeadFiles(spark, dir, b)._2
+        catch { case e: Exception =>
+          if (branches(spark, dir).contains(b)) throw e
+          Seq.empty[String]
         }
       }).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
@@ -2082,6 +2093,207 @@ object Snapshots {
 
   def deleteTag(spark: SparkSession, dir: String, name: String): Unit =
     removeProperties(spark, dir, Seq(s"ref.tag.$name"))
+
+  // -------------------------------------------------- named refs: BRANCHES
+  // Iceberg's branch idea, the multi-commit half of write-audit-publish:
+  // a named ref forked from a MAIN version that accumulates its own append
+  // commits (stage, audit, re-stage a fix, audit again…), invisible to
+  // every main reader, then FAST-FORWARDS into main as ONE atomic commit.
+  // Branch state: a `branch.<name> = <base>` table prop (which also clamps
+  // retention — the base version must outlive the branch) plus per-commit
+  // manifests `branch-<name>-v<K>.list` in the manifest dir. Branch
+  // commits are append-only (the WAP shape); deletes/merges happen after
+  // the branch lands on main.
+
+  private def branchKey(name: String) = s"branch.${enc(name)}"
+  private def branchManifest(dir: String, name: String, k: Int) =
+    new org.apache.hadoop.fs.Path(manifestDir(dir), s"branch-${enc(name)}-v$k.list")
+
+  /** All live branches: name → the main version they forked from. */
+  def branches(spark: SparkSession, dir: String): Map[String, Int] =
+    properties(spark, dir).collect {
+      case (k, v) if k.startsWith("branch.") =>
+        dec(k.stripPrefix("branch.")) -> v.toInt
+    }
+
+  /** Fork a branch from `at` (default: the current main version). */
+  def createBranch(spark: SparkSession, dir: String, name: String,
+      at: Option[Int] = None): Int = {
+    require(name.nonEmpty && !name.contains("/"),
+      s"$dir: invalid branch name '$name'")
+    require(!branches(spark, dir).contains(name),
+      s"$dir: branch '$name' already exists")
+    val base = at.getOrElse(currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots")))
+    require(versions(spark, dir).contains(base),
+      s"$dir: cannot branch from v$base — it does not exist (expired?)")
+    setProperties(spark, dir, Map(branchKey(name) -> base.toString))
+    base
+  }
+
+  /** Committed branch versions (1-based; empty until the first commit). */
+  def branchVersions(spark: SparkSession, dir: String, name: String): Seq[Int] = {
+    val (fs, _) = hfs(spark, dir)
+    Iterator.from(1).takeWhile(k => fs.exists(branchManifest(dir, name, k))).toSeq
+  }
+
+  private def branchEntry(spark: SparkSession, dir: String, name: String,
+      k: Int): (Map[String, String], Boolean, Seq[String]) = {
+    val (fs, _) = hfs(spark, dir)
+    val in = fs.open(branchManifest(dir, name, k))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        .filter(_.nonEmpty)
+      finally in.close()
+    val meta = lines.collect { case l if l.startsWith("#m=") =>
+      val Array(kk, v) = l.stripPrefix("#m=").split("\t", -1)
+      dec(kk) -> dec(v)
+    }.toMap
+    (meta, lines.contains("#evolve=1"), lines.filterNot(_.startsWith("#")))
+  }
+
+  /** The branch head's table-relative file list (base files + every branch
+    * commit's additions). */
+  private def branchHeadFiles(spark: SparkSession, dir: String,
+      name: String): (Int, Seq[String]) = {
+    val base = branches(spark, dir).getOrElse(name,
+      throw new IllegalArgumentException(s"$dir: no branch '$name'"))
+    val ks = branchVersions(spark, dir, name)
+    if (ks.isEmpty) (base, files(spark, dir, base))
+    else (base, branchEntry(spark, dir, name, ks.max)._3)
+  }
+
+  /** Append `df` to the branch — invisible to main readers until
+    * [[fastForward]]. Schema-gated against the branch HEAD (so staged
+    * evolution accumulates consistently); CHECK constraints gate like any
+    * commit. Concurrent same-branch committers race on the next slot and
+    * the loser fails with the usual ConcurrentModificationException.
+    */
+  def commitToBranch(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, evolve: Boolean = false,
+      meta: Map[String, String] = Map.empty): Int = {
+    val (fs, _) = hfs(spark, dir)
+    val (base, headFiles) = branchHeadFiles(spark, dir, name)
+    // schema gate vs the BRANCH head, mirroring enforceSchema's rules
+    val headSchema = applyMapping(spark, dir,
+      spark.read.option("mergeSchema", "true")
+        .parquet(headFiles.map(f => s"$dir/$f"): _*)).schema
+    val table = headSchema.map(f => f.name -> f.dataType).toMap
+    val incoming = df.schema.map(f => f.name -> f.dataType).toMap
+    val retyped = table.keySet.intersect(incoming.keySet)
+      .filter(c => table(c) != incoming(c))
+    require(retyped.isEmpty,
+      s"$dir: branch '$name' append changes column type(s) " +
+        s"${retyped.toSeq.sorted.mkString(", ")} — types are fixed")
+    val missing = table.keySet -- incoming.keySet
+    require(missing.isEmpty,
+      s"$dir: branch '$name' append drops column(s) " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+    val added = incoming.keySet -- table.keySet
+    require(added.isEmpty || evolve,
+      s"$dir: branch '$name' append adds column(s) " +
+        s"${added.toSeq.sorted.mkString(", ")} — pass evolve = true")
+    enforceConstraints(spark, dir, df)
+    val next = branchVersions(spark, dir, name).lastOption.getOrElse(0) + 1
+    val fresh = writeData(spark, dir, base + next, df)
+    val wasEvolve = next > 1 && branchEntry(spark, dir, name, next - 1)._2
+    val headers =
+      (if (evolve || wasEvolve) Seq("#evolve=1") else Seq.empty) ++
+        meta.toSeq.sortBy(_._1).map { case (k, v) => s"#m=${enc(k)}\t${enc(v)}" }
+    val body = (headers ++ headFiles ++ fresh).mkString("", "\n", "\n")
+      .getBytes("UTF-8")
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir(dir),
+      s".branch-${enc(name)}-v$next.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    val fin = branchManifest(dir, name, next)
+    publishLock(manifestDir(dir)).synchronized {
+      if (fs.exists(fin)) {
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"$dir: branch '$name' v$next was committed concurrently — retry")
+      }
+      require(fs.rename(tmp, fin), s"$dir: branch manifest publish failed")
+    }
+    next
+  }
+
+  /** Read the branch head (base DV still masked; branch files are fresh
+    * appends, so the base mask covers everything it should). */
+  def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val (base, headFiles) = branchHeadFiles(spark, dir, name)
+    maskedParquet(spark, dir, base, headFiles.map(f => s"$dir/$f"),
+      mergeAll = true)
+  }
+
+  /** Land the branch on main as ONE atomic commit (Iceberg's fast-forward):
+    * requires main's head to still be the branch base — a foreign commit
+    * since the fork surfaces as ConcurrentModificationException (rebase by
+    * re-branching; branch commits are appends, so replay is safe). CHECK
+    * constraints re-gate the branch's added rows against the constraints
+    * LIVE AT PUBLISH (one added between fork and land must hold, exactly
+    * like publishStaged). The landed commit carries the base's files plus
+    * every branch addition; the branch ref and manifests then delete —
+    * the data now belongs to main.
+    */
+  def fastForward(spark: SparkSession, dir: String, name: String): Int = {
+    val (fs, _) = hfs(spark, dir)
+    val (base, headFiles) = branchHeadFiles(spark, dir, name)
+    val ks = branchVersions(spark, dir, name)
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    if (ks.isEmpty) { deleteBranch(spark, dir, name); return cur }
+    if (cur != base)
+      throw new java.util.ConcurrentModificationException(
+        s"$dir: cannot fast-forward branch '$name' — main moved v$base -> " +
+          s"v$cur since the fork; re-branch and replay")
+    val baseFiles = files(spark, dir, base)
+    val addedFiles = headFiles.filterNot(baseFiles.toSet)
+    val addedRows = maskedParquet(spark, dir, base,
+      addedFiles.map(f => s"$dir/$f"), mergeAll = true)
+    enforceConstraints(spark, dir, addedRows)
+    val evolve = branchEntry(spark, dir, name, ks.max)._2
+    if (!evolve) {
+      // a non-evolving branch must still match the CURRENT table schema
+      enforceSchema(spark, dir, addedRows, evolve = false)
+    }
+    val meta = branchEntry(spark, dir, name, ks.max)._1 +
+      ("branch.ff" -> name)
+    val next = base + 1
+    publish(spark, dir, next, baseFiles, addedFiles, meta,
+      dv = dvRel(spark, dir, base))
+    deleteBranch(spark, dir, name, keepData = true)
+    next
+  }
+
+  /** Drop a branch: the ref, its manifests, and (unless the data now
+    * belongs to main via [[fastForward]]) its data dirs. */
+  def deleteBranch(spark: SparkSession, dir: String, name: String,
+      keepData: Boolean = false): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    val ks = branchVersions(spark, dir, name)
+    if (!keepData && ks.nonEmpty) {
+      val base = branches(spark, dir).getOrElse(name,
+        throw new IllegalArgumentException(s"$dir: no branch '$name'"))
+      val baseFiles = files(spark, dir, base).toSet
+      val mainFiles = versions(spark, dir)
+        .flatMap(v => files(spark, dir, v)).toSet
+      branchEntry(spark, dir, name, ks.max)._3
+        .filterNot(baseFiles).filterNot(mainFiles)
+        .map(f => new org.apache.hadoop.fs.Path(s"$dir/$f").getParent)
+        .distinct.foreach(p => fs.delete(p, true))
+    }
+    ks.foreach(k => fs.delete(branchManifest(dir, name, k), false))
+    removeProperties(spark, dir, Seq(branchKey(name)))
+  }
+
+  /** Branches as a relation (the `snapshot_branches` TVF's body). */
+  def branchesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    branches(spark, dir).toSeq.sortBy(_._1).map { case (n, base) =>
+      (n, base, branchVersions(spark, dir, n).size)
+    }.toDF("branch", "base_version", "n_commits")
+  }
 
   // -------------------------------------------------- CHECK constraints
   // Delta's table constraints: a named SQL predicate every row-adding

@@ -292,6 +292,21 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect())
   }
 
+  test("SQL face of branches: snapshot_branches TVF tracks fork and commits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-br").toString
+    import TestSpark.spark.implicits._
+    operators.Snapshots.commit(ext, dir, Seq((1, "a")).toDF("id", "s"))
+    operators.Snapshots.createBranch(ext, dir, "wip")
+    operators.Snapshots.commitToBranch(ext, dir, "wip", Seq((2, "b")).toDF("id", "s"))
+    val rows = ext.sql(
+      s"SELECT branch, base_version, n_commits FROM snapshot_branches('$dir')")
+      .as[(String, Int, Int)].collect().toSeq
+    assert(rows == Seq(("wip", 1, 1)))
+    operators.Snapshots.fastForward(ext, dir, "wip")
+    assert(ext.sql(s"SELECT count(*) FROM snapshot_branches('$dir')")
+      .collect()(0).getLong(0) == 0)
+  }
+
   test("SQL admin relations: snapshot_constraints and snapshot_staged TVFs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tvf-admin").toString
     import TestSpark.spark.implicits._

@@ -1593,6 +1593,78 @@ class SnapshotSpec extends AnyFunSuite {
       "discard of an already-published token destroyed table data")
   }
 
+  test("branches: invisible to main, schema-gated appends, atomic fast-forward") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"))
+    Snapshots.createBranch(spark, dir, "audit")
+    assert(Snapshots.branches(spark, dir) == Map("audit" -> 1))
+    // two branch commits: the stage + the re-staged fix (the multi-commit
+    // WAP workflow a single staged token cannot express)
+    Snapshots.commitToBranch(spark, dir, "audit", Seq((3L, 30.0)).toDF("k", "p"))
+    Snapshots.commitToBranch(spark, dir, "audit", Seq((4L, 40.0)).toDF("k", "p"))
+    // invisible to every main reader surface
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(Snapshots.read(spark, dir).count() == 2, "branch rows leaked to main")
+    assert(Snapshots.countRows(spark, dir) == 2)
+    // the audit runs on the branch head
+    assert(Snapshots.readBranch(spark, dir, "audit").as[(Long, Double)]
+      .collect().toSet == Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+    // branch appends are schema-gated against the BRANCH head
+    intercept[IllegalArgumentException](Snapshots.commitToBranch(spark, dir,
+      "audit", Seq((5L, "oops")).toDF("k", "txt")))
+    // vacuum + expire must not touch live branch data / the fork point
+    Snapshots.vacuumOrphans(spark, dir, graceMillis = 0)
+    assert(Snapshots.readBranch(spark, dir, "audit").count() == 4,
+      "vacuum swept live branch data")
+    Snapshots.commitToBranch(spark, dir, "audit", Seq((6L, 60.0)).toDF("k", "p"))
+    // fast-forward: ONE atomic main commit carrying every branch addition
+    val v = Snapshots.fastForward(spark, dir, "audit")
+    assert(v == 2 && Snapshots.versions(spark, dir) == Seq(1, 2))
+    assert(Snapshots.read(spark, dir).as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (6L, 60.0)))
+    assert(Snapshots.commitMeta(spark, dir, v).get("branch.ff").contains("audit"))
+    // the landed branch is gone; its data belongs to main
+    assert(Snapshots.branches(spark, dir).isEmpty)
+    Snapshots.vacuumOrphans(spark, dir, graceMillis = 0)
+    assert(Snapshots.read(spark, dir).count() == 5)
+    // change feed across the landed commit = exactly the branch additions
+    val feed = Snapshots.readChangeFeed(spark, dir, 1, 2)
+    assert(feed.select("k").as[Long].collect().toSet == Set(3L, 4L, 6L))
+  }
+
+  test("branches: foreign main commit blocks fast-forward; delete reclaims; expire clamps to fork") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, 1.0)).toDF("k", "p"))
+    Snapshots.commit(spark, dir, Seq((2L, 2.0)).toDF("k", "p"))
+    Snapshots.createBranch(spark, dir, "b1", at = Some(2))
+    Snapshots.commitToBranch(spark, dir, "b1", Seq((3L, 3.0)).toDF("k", "p"))
+    // the fork point (v2) survives a sweep that would drop it
+    Snapshots.commit(spark, dir, Seq((9L, 9.0)).toDF("k", "p")) // v3
+    Snapshots.expire(spark, dir, keepFrom = 3)
+    assert(Snapshots.versions(spark, dir).contains(2),
+      "expire dropped a live branch's fork point")
+    // main moved past the fork → fast-forward refuses loudly
+    intercept[java.util.ConcurrentModificationException](
+      Snapshots.fastForward(spark, dir, "b1"))
+    assert(Snapshots.read(spark, dir).count() == 3, "failed ff changed main")
+    // an abandoned branch deletes; its unlanded data dirs reclaim
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().length
+    Snapshots.deleteBranch(spark, dir, "b1")
+    assert(Snapshots.branches(spark, dir).isEmpty)
+    assert(new java.io.File(s"$dir/data").listFiles().length < dataDirs,
+      "deleteBranch left unlanded data behind")
+    // with the branch gone, the fork-point clamp lifts
+    Snapshots.expire(spark, dir, keepFrom = 3)
+    assert(Snapshots.versions(spark, dir) == Seq(3))
+    // a constraint added after the fork gates the landing
+    Snapshots.createBranch(spark, dir, "b2")
+    Snapshots.commitToBranch(spark, dir, "b2", Seq((-5L, 5.0)).toDF("k", "p"))
+    Snapshots.addCheckConstraint(spark, dir, "k_pos", "k > 0")
+    intercept[IllegalArgumentException](Snapshots.fastForward(spark, dir, "b2"))
+    Snapshots.dropCheckConstraint(spark, dir, "k_pos")
+    assert(Snapshots.fastForward(spark, dir, "b2") == 4)
+  }
+
   test("expireStagedOlderThan sweeps only stale stages; a swept token's publish fails loudly") {
     val dir = tmp()
     Snapshots.commit(spark, dir, Seq((1L, 1.0)).toDF("k", "p"))
