@@ -158,12 +158,17 @@ object EntityResolution extends QueryModule {
     */
   def admitRecords(newRecords: DataFrame, store: DataFrame): DataFrame = {
     val nb = withBlocks(newRecords)
+    // checkpoint the (batch-sized) label tables: matched feeds the
+    // anti-join, the union AND the CC edge subtree — without it the
+    // store join re-executes once per consumer
     val matched = nb.join(store.select(col("block"), col("entity_id"),
         col("canon").as("s_canon"), col("bal").as("s_bal")), "block")
       .filter(levenshtein(col("canon"), col("s_canon")) <= MaxNameLev &&
         abs(col("bal") - col("s_bal")) <= MaxBalDiff)
       .groupBy("rec_id").agg(min("entity_id").as("entity_id"))
+      .transform(Dedup.eagerCheckpoint)
     val unmatched = newRecords.join(matched, Seq("rec_id"), "left_anti")
+      .transform(Dedup.eagerCheckpoint)
     val comps = Dedup.connectedComponents(
       matchPairs(unmatched).select(col("rec1").as("doc1"), col("rec2").as("doc2")))
     val fresh = unmatched.join(comps, unmatched("rec_id") === comps("id"), "left")
@@ -235,11 +240,15 @@ object EntityResolution extends QueryModule {
       stats: DataFrame): DataFrame = {
     val nb = subKeyed(withBlocks(newRecords), stats)
       .select(col("block"), col("sub"), col("rec_id"), col("canon"), col("bal"))
+    // same checkpoint posture as [[admitRecords]]: both label tables are
+    // batch-sized and feed three consumers each
     val matched = nb.join(subKeyedStore, Seq("block", "sub"))
       .filter(levenshtein(col("canon"), col("s_canon")) <= MaxNameLev &&
         abs(col("bal") - col("s_bal")) <= MaxBalDiff)
       .groupBy("rec_id").agg(min("entity_id").as("entity_id"))
+      .transform(Dedup.eagerCheckpoint)
     val unmatched = newRecords.join(matched, Seq("rec_id"), "left_anti")
+      .transform(Dedup.eagerCheckpoint)
     val comps = Dedup.connectedComponents(
       matchPairs(unmatched).select(col("rec1").as("doc1"), col("rec2").as("doc2")))
     val fresh = unmatched.join(comps, unmatched("rec_id") === comps("id"), "left")
@@ -268,8 +277,19 @@ object EntityResolution extends QueryModule {
 
   // ---- declared queries ----
 
+  /** Total-order the (small, label-sized) result in ONE partition: a global
+    * `orderBy` plans a range-partitioned sort whose sampling pass executes
+    * the whole child subtree — joins, Levenshtein scoring, the CC loop —
+    * a second time, which doubled every ER query's bench cost. The results
+    * here are entity labels (batch/corpus-entity-sized, not corpus-row-
+    * sized), so a single-partition sort is the right plan and the oracle
+    * compare is order-insensitive anyway.
+    */
+  private def sorted1(df: DataFrame, cols: String*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   private def qErPairs(s: SparkSession, d: String): DataFrame =
-    matchPairs(dirtyRecords(s, d)).orderBy("rec1", "rec2")
+    sorted1(matchPairs(dirtyRecords(s, d)), "rec1", "rec2")
 
   /** [[linkageStore]] as warmed ingest-time state ([[graft.PersistedCache]]):
     * the resolved store is what a deployment maintains BETWEEN batches, so
@@ -282,16 +302,15 @@ object EntityResolution extends QueryModule {
       linkageStore(dirtyRecords(s, d)))
 
   private def qErAdmit(s: SparkSession, d: String): DataFrame =
-    admitRecords(batchRecords(s, d), linkageStoreCached(s, d))
-      .orderBy("rec_id")
+    sorted1(admitRecords(batchRecords(s, d), linkageStoreCached(s, d)),
+      "rec_id")
 
   private def qErAdmitHot(s: SparkSession, d: String): DataFrame =
-    admitRecordsHotGated(batchRecords(s, d), hotStoreCached(s, d),
-      blockStatsCached(s, d))
-      .orderBy("rec_id")
+    sorted1(admitRecordsHotGated(batchRecords(s, d), hotStoreCached(s, d),
+      blockStatsCached(s, d)), "rec_id")
 
   private def qErGolden(s: SparkSession, d: String): DataFrame =
-    goldenRecords(dirtyRecords(s, d)).orderBy("entity_id")
+    sorted1(goldenRecords(dirtyRecords(s, d)), "entity_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_er_pairs" -> qErPairs,
