@@ -155,6 +155,24 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
         require(rn.fieldNames.length == 1,
           s"$dir: nested rename unsupported")
         Snapshots.renameColumn(spark, dir, rn.fieldNames.head, rn.newName)
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"$dir: nested ADD COLUMN unsupported")
+        require(add.position == null,
+          s"$dir: ADD COLUMN honors append order only (no FIRST/AFTER) — " +
+            "the physical layout appends evolved columns")
+        // schema evolution the format's way: one empty evolve commit pins
+        // the new column; pre-evolution files surface typed NULLs
+        val cur = Snapshots.read(spark, dir).schema
+        val next = StructType(cur.fields :+
+          StructField(add.fieldNames.head, add.dataType, nullable = true))
+        Snapshots.commit(spark, dir,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], next),
+          evolve = true)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"$dir: nested DROP COLUMN unsupported")
+        Snapshots.dropColumn(spark, dir, del.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"$dir: unsupported ALTER TABLE change $other — schema evolves " +
           "through evolve=true writes, not DDL")

@@ -50,6 +50,11 @@ class SqlCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"CREATE TABLE $t (k BIGINT)"))
     intercept[Exception](
       spark.sql(s"CREATE TABLE ${t}_p (k BIGINT, d STRING) PARTITIONED BY (d)"))
+    // CTAS: create + first commit through the same write path
+    spark.sql(s"CREATE TABLE ${t}_ctas AS SELECT k, v FROM $t WHERE k >= 9")
+    assert(spark.table(s"${t}_ctas").as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+    spark.sql(s"DROP TABLE ${t}_ctas")
     spark.sql(s"ALTER TABLE $t RENAME TO db.renamed$n")
     assert(spark.table(s"gtest.db.renamed$n").count() == 1)
     assert(!spark.catalog.tableExists(t))
@@ -67,6 +72,25 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(Snapshots.properties(spark, dir).get("owner.team").contains("data"))
     spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('owner.team')")
     assert(!Snapshots.properties(spark, dir).contains("owner.team"))
+  }
+
+  test("DDL column evolution: ADD COLUMN (evolve commit), RENAME COLUMN, DROP COLUMN") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(spark.table(t).select("score").as[Option[Double]].head().isEmpty,
+      "pre-evolution rows must surface NULL for the added column")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 7.5)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    assert(spark.table(t).select("k", "label", "score")
+      .as[(Long, String, Option[Double])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(7.5))))
+    spark.sql(s"ALTER TABLE $t DROP COLUMN score")
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("k", "label"))
+    // FIRST/AFTER positions refuse (physical layout appends)
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD COLUMN early INT FIRST"))
   }
 
   test("count(*) answers from metadata: no data-file scan survives clobbered files") {
