@@ -240,12 +240,34 @@ final class Boxed(val e: Expression) extends Serializable {
 }
 object Boxed { def apply(e: Expression): Boxed = new Boxed(e) }
 
+private[operators] object SqlDmlRetry {
+  /** SQL DML retries version-slot races like Delta does: every op here
+    * re-reads the CURRENT version each attempt, so replay after a
+    * concurrent commit is safe — a SQL user should see their statement
+    * land, not a raw ConcurrentModificationException from a racing
+    * appender. */
+  def retryOnCme[T](maxAttempts: Int = 10)(op: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 /** `DELETE FROM <snapshot table> WHERE <any predicate>`. */
 case class SnapshotDeleteCommand(dir: String, cond: Boxed)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    Snapshots.deleteWhere(spark, dir, Shims.column(cond.e),
-      prune = SnapshotDmlRule.ranges(cond.e))
+    SqlDmlRetry.retryOnCme() {
+      Snapshots.deleteWhere(spark, dir, Shims.column(cond.e),
+        prune = SnapshotDmlRule.ranges(cond.e))
+    }
     Seq.empty
   }
 }
@@ -256,10 +278,12 @@ case class SnapshotUpdateCommand(dir: String,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.lit
-    Snapshots.updateWhere(spark, dir,
-      cond.map(b => Shims.column(b.e)).getOrElse(lit(true)),
-      sets.map { case (n, b) => n -> Shims.column(b.e) },
-      prune = cond.map(b => SnapshotDmlRule.ranges(b.e)).getOrElse(Seq.empty))
+    SqlDmlRetry.retryOnCme() {
+      Snapshots.updateWhere(spark, dir,
+        cond.map(b => Shims.column(b.e)).getOrElse(lit(true)),
+        sets.map { case (n, b) => n -> Shims.column(b.e) },
+        prune = cond.map(b => SnapshotDmlRule.ranges(b.e)).getOrElse(Seq.empty))
+    }
     Seq.empty
   }
 }
@@ -275,16 +299,18 @@ case class SnapshotMergeCommand(dir: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     def c(b: Boxed): Column = Shims.column(b.e)
-    Snapshots.mergeApply(spark, dir, Shims.ofRows(spark, source),
-      c(onCond),
-      matched.map { case (w, s) =>
-        Snapshots.WhenMatched(w.map(c), s.map(_.map { case (n, b) => n -> c(b) })) },
-      notMatched.map { case (w, s) =>
-        Snapshots.WhenNotMatched(w.map(c), s.map { case (n, b) => n -> c(b) }) },
-      bySource.map { case (w, s) =>
-        Snapshots.WhenNotMatchedBySource(w.map(c),
-          s.map(_.map { case (n, b) => n -> c(b) })) },
-      pruneKey.map { case (n, b) => (n, c(b)) })
+    SqlDmlRetry.retryOnCme() {
+      Snapshots.mergeApply(spark, dir, Shims.ofRows(spark, source),
+        c(onCond),
+        matched.map { case (w, s) =>
+          Snapshots.WhenMatched(w.map(c), s.map(_.map { case (n, b) => n -> c(b) })) },
+        notMatched.map { case (w, s) =>
+          Snapshots.WhenNotMatched(w.map(c), s.map { case (n, b) => n -> c(b) }) },
+        bySource.map { case (w, s) =>
+          Snapshots.WhenNotMatchedBySource(w.map(c),
+            s.map(_.map { case (n, b) => n -> c(b) })) },
+        pruneKey.map { case (n, b) => (n, c(b)) })
+    }
     Seq.empty
   }
 }

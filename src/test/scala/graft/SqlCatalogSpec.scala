@@ -315,6 +315,45 @@ class SqlCatalogSpec extends AnyFunSuite {
       .select("p").as[Double].head() == 1050.0)
   }
 
+  test("chaos: SQL MERGE and UPDATE race retrying appenders — all statements land") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir,
+      spark.range(100).toDF("k").withColumn("p", lit(0.0))
+        .repartitionByRange(4, col("k")))
+    spark.range(10, 20).toDF("k").withColumn("p", lit(5.0))
+      .createOrReplaceTempView("mrg_race_src")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val merger = Future {
+      barrier.await()
+      spark.sql(s"""MERGE INTO $t t USING mrg_race_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET p = s.p""".stripMargin)
+    }
+    val updater = Future {
+      barrier.await()
+      spark.sql(s"UPDATE $t SET p = -1 WHERE k BETWEEN 90 AND 99")
+    }
+    val appender = Future {
+      barrier.await()
+      (1 to 3).map(i => Snapshots.commitRetry(spark, dir,
+        Seq((1000L + i, 9.0)).toDF("k", "p")))
+    }
+    Await.result(Future.sequence(Seq(merger, updater)), 300.seconds)
+    Await.result(appender, 300.seconds)
+    pool.shutdown()
+    val got = spark.table(t).as[(Long, Double)].collect().toMap
+    assert(got.size == 103, s"lost or duplicated rows (${got.size})")
+    assert((10L to 19L).forall(k => got(k) == 5.0), "SQL MERGE lost to the race")
+    assert((90L to 99L).forall(k => got(k) == -1.0), "SQL UPDATE lost to the race")
+    assert((1 to 3).forall(i => got(1000L + i) == 9.0), "append lost to the race")
+    assert(Snapshots.currentVersion(spark, dir).contains(6),
+      "a statement retried into a duplicate version")
+  }
+
   test("catalog API: pinned references refuse writes; listTables/namespaces") {
     val (t, dir) = fresh()
     Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
