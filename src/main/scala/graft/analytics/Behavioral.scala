@@ -231,7 +231,7 @@ object Behavioral extends QueryModule {
       .select(col("ck").as("custkey"), posexplode(col("top")))
       .select(col("custkey"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("partkey"), round(col("col.sim"), 4).as("score"))
-      .orderBy("custkey", "rank")
+      .transform(graft.Sorted1(_, "custkey", "rank")) // tail sort: see Sorted1
   }
 
   /** MERGEABLE co-occurrence ingest state: per unordered part pair (a < b),
@@ -344,7 +344,7 @@ object Behavioral extends QueryModule {
         round(avg(when(col("crn") <= 10, 1.0).otherwise(0.0)), 4).as("hr10"),
         round(avg(when(col("crn") <= 10, lit(1.0) / col("crn"))
           .otherwise(0.0)), 4).as("mrr10"))
-      .orderBy("segment")
+      .transform(graft.Sorted1(_, "segment")) // tail sort: see Sorted1
   }
 
   /** Temporal-split next-event backtest: train a first-order transition
@@ -381,7 +381,7 @@ object Behavioral extends QueryModule {
         sum(when(col("dst") === col("predicted"), 1L).otherwise(0L)).as("hits"))
       .select(col("src"), col("predicted"), col("n_test"), col("hits"),
         round(col("hits").cast("double") / col("n_test"), 4).as("accuracy"))
-      .orderBy("src")
+      .transform(graft.Sorted1(_, "src")) // tail sort: see Sorted1
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

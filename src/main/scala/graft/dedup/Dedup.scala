@@ -823,7 +823,7 @@ object Dedup extends QueryModule {
         docs.filter(col("doc_id") % 10 === 0),
         corpusSigsCached(s, d))
       .select("doc_id", "source", "lang")
-      .orderBy("doc_id")
+      .transform(graft.Sorted1(_, "doc_id")) // tail sort: see Sorted1
   }
 
   /** The same 10% shard admitted by CONTAINMENT against the maintained 90%
