@@ -47,7 +47,8 @@ import graft.streaming.SnapshotRelation
   * HTTP (`main.py:1-135`); a SQL catalog generalizes its "query the
   * archive in place" surface to the lakehouse-standard DML face.
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -194,6 +195,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     require(f.rename(from, new org.apache.hadoop.fs.Path(dirOf(newIdent))),
       s"rename $oldIdent -> $newIdent failed")
   }
+
+  // ------------------------------------------------------- procedures
+  /** `CALL <catalog>.system.<proc>(tbl => 'ns.table', …)` — the SQL face
+    * of the maintenance ops ([[SnapshotProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    SnapshotProcedures.load(ident, parts => {
+      val d = dirOf(parts)
+      require(isTable(d), s"catalog $catalogName: no table ${parts.mkString(".")}")
+      d
+    })
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      SnapshotProcedures.names.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
 
   // ------------------------------------------------------- namespaces
   override def listNamespaces(): Array[Array[String]] = {

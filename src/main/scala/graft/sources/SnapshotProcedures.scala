@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Snapshots
+
+/** The `CALL` face of the snapshot format's maintenance ops (Iceberg's
+  * `CALL catalog.system.rewrite_data_files` convention, on Spark 4's
+  * stored-procedure connector API):
+  *
+  * {{{
+  *   CALL graft.system.compact(tbl => 'db.events', target_mb => 128)
+  *   CALL graft.system.expire_older_than(tbl => 'db.events', ts_millis => ...)
+  *   CALL graft.system.vacuum(tbl => 'db.events', grace_hours => 24)
+  *   CALL graft.system.zorder(tbl => 'db.events', cols => 'lat,lon')
+  *   CALL graft.system.restore(tbl => 'db.events', version => 7)
+  *   CALL graft.system.set_tag(tbl => 'db.events', name => 'golden', version => 7)
+  *   CALL graft.system.create_branch(tbl => 'db.events', name => 'audit')
+  *   CALL graft.system.fast_forward(tbl => 'db.events', name => 'audit')
+  *   CALL graft.system.expire_staged(tbl => 'db.events', older_than_millis => ...)
+  * }}}
+  *
+  * Each procedure resolves `tbl` against the owning catalog's warehouse,
+  * delegates to the library op (one code path — the SQL face can never
+  * drift from the API), and returns a one-row result.
+  */
+private[graft] object SnapshotProcedures {
+
+  /** name → (parameters, output schema, body(spark, dir, args) → row). */
+  private type Body = (SparkSession, String, InternalRow) => Seq[Any]
+  private final case class Spec(params: Seq[ProcedureParameter],
+      out: StructType, body: Body)
+
+  private def p(name: String, t: DataType) =
+    ProcedureParameter.in(name, t).build()
+  private def pd(name: String, t: DataType, default: String) =
+    ProcedureParameter.in(name, t).defaultValue(default).build()
+
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  private val specs: Map[String, Spec] = Map(
+    "compact" -> Spec(
+      Seq(p("tbl", StringType), pd("target_mb", LongType, "128")),
+      new StructType().add("version", IntegerType),
+      (s, dir, r) => Seq(Snapshots.compact(s, dir, r.getLong(1) * 1024 * 1024))),
+    "expire_older_than" -> Spec(
+      Seq(p("tbl", StringType), p("ts_millis", LongType)),
+      new StructType().add("swept_files", IntegerType),
+      (s, dir, r) => Seq(Snapshots.expireOlderThan(s, dir, r.getLong(1)))),
+    "vacuum" -> Spec(
+      Seq(p("tbl", StringType), pd("grace_hours", LongType, "24")),
+      new StructType().add("swept_orphans", IntegerType),
+      (s, dir, r) => Seq(Snapshots.vacuumOrphans(s, dir,
+        r.getLong(1) * 3600 * 1000))),
+    "zorder" -> Spec(
+      Seq(p("tbl", StringType), p("cols", StringType),
+        pd("target_files", IntegerType, "8")),
+      new StructType().add("version", IntegerType),
+      (s, dir, r) => Seq(Snapshots.clusterZOrderCols(s, dir,
+        str(r, 1).split(",").map(_.trim).toSeq, targetFiles = r.getInt(2)))),
+    "restore" -> Spec(
+      Seq(p("tbl", StringType), p("version", IntegerType)),
+      new StructType().add("version", IntegerType),
+      (s, dir, r) => Seq(Snapshots.restore(s, dir, r.getInt(1)))),
+    "set_tag" -> Spec(
+      Seq(p("tbl", StringType), p("name", StringType), p("version", IntegerType)),
+      new StructType().add("tag", StringType).add("version", IntegerType),
+      (s, dir, r) => {
+        Snapshots.setTag(s, dir, str(r, 1), r.getInt(2))
+        Seq(str(r, 1), r.getInt(2))
+      }),
+    "create_branch" -> Spec(
+      Seq(p("tbl", StringType), p("name", StringType)),
+      new StructType().add("branch", StringType).add("base_version", IntegerType),
+      (s, dir, r) => Seq(str(r, 1),
+        Snapshots.createBranch(s, dir, str(r, 1)))),
+    "fast_forward" -> Spec(
+      Seq(p("tbl", StringType), p("name", StringType)),
+      new StructType().add("version", IntegerType),
+      (s, dir, r) => Seq(Snapshots.fastForward(s, dir, str(r, 1)))),
+    "expire_staged" -> Spec(
+      Seq(p("tbl", StringType), p("older_than_millis", LongType)),
+      new StructType().add("swept_tokens", IntegerType),
+      (s, dir, r) => Seq(
+        Snapshots.expireStagedOlderThan(s, dir, r.getLong(1)).length))
+  )
+
+  def names: Seq[String] = specs.keys.toSeq.sorted
+
+  /** `dirOf` maps the `tbl` argument (dotted, catalog-relative) to the
+    * owning catalog's warehouse path. */
+  def load(ident: Identifier, dirOf: Seq[String] => String): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got $ident")
+    val spec = specs.getOrElse(ident.name,
+      throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name}' — have ${names.mkString(", ")}"))
+    new UnboundProcedure {
+      override def name(): String = ident.name
+      override def description(): String = s"snapshots maintenance: ${ident.name}"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = ident.name
+        override def description(): String = s"snapshots maintenance: ${ident.name}"
+        override def parameters(): Array[ProcedureParameter] = spec.params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = SparkSession.active
+          val dir = dirOf(str(input, 0).split("\\.").toSeq)
+          val values = spec.body(spark, dir, input).map {
+            case s: String => UTF8String.fromString(s)
+            case x => x
+          }
+          val row: InternalRow = new GenericInternalRow(values.toArray[Any])
+          val scan: Scan = new LocalScan {
+            override def readSchema(): StructType = spec.out
+            override def rows(): Array[InternalRow] = Array(row)
+          }
+          java.util.List.of(scan).iterator()
+        }
+      }
+    }
+  }
+}

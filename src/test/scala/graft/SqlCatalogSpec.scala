@@ -354,6 +354,55 @@ class SqlCatalogSpec extends AnyFunSuite {
       "a statement retried into a duplicate version")
   }
 
+  test("CALL procedures: the SQL face of the maintenance ops") {
+    val (t, dir) = fresh()
+    val tblArg = t.stripPrefix("gtest.")
+    Snapshots.commit(spark, dir,
+      spark.range(500).toDF("k").withColumn("p", col("k") * 1.0)
+        .repartition(8))
+    spark.sql(s"INSERT INTO $t VALUES (9999, 0.0)")
+    // compact folds the small files; row count and content preserved
+    val cv = spark.sql(
+      s"CALL gtest.system.compact(tbl => '$tblArg', target_mb => 512)")
+      .as[Int].head()
+    assert(cv == 3)
+    assert(spark.table(t).count() == 501)
+    assert(Snapshots.files(spark, dir, cv).length <
+      Snapshots.files(spark, dir, cv - 1).length, "compact did not fold files")
+    // tag + restore through CALL
+    spark.sql(s"CALL gtest.system.set_tag(tbl => '$tblArg', name => 'good', version => 2)")
+    assert(Snapshots.tags(spark, dir) == Map("good" -> 2))
+    spark.sql(s"DELETE FROM $t WHERE k < 400")
+    val rv = spark.sql(
+      s"CALL gtest.system.restore(tbl => '$tblArg', version => $cv)")
+      .as[Int].head()
+    assert(rv == cv + 2 && spark.table(t).count() == 501)
+    // branch lifecycle through CALL
+    spark.sql(s"CALL gtest.system.create_branch(tbl => '$tblArg', name => 'wip')")
+    Snapshots.commitToBranch(spark, dir, "wip", Seq((7777L, 1.0)).toDF("k", "p"))
+    val ffv = spark.sql(
+      s"CALL gtest.system.fast_forward(tbl => '$tblArg', name => 'wip')")
+      .as[Int].head()
+    assert(ffv == rv + 1 && spark.table(t).count() == 502)
+    // zorder through CALL: content preserved, layout re-clustered
+    val zv = spark.sql(
+      s"CALL gtest.system.zorder(tbl => '$tblArg', cols => 'k,p', target_files => 4)")
+      .as[Int].head()
+    assert(spark.table(t).count() == 502 && zv == ffv + 1)
+    // vacuum + expire + expire_staged return counts; unknown proc refuses
+    assert(spark.sql(s"CALL gtest.system.vacuum(tbl => '$tblArg', grace_hours => 0)")
+      .collect().nonEmpty)
+    assert(spark.sql(s"CALL gtest.system.expire_staged(tbl => '$tblArg', " +
+      s"older_than_millis => 0)").as[Int].head() == 0)
+    intercept[Exception](
+      spark.sql(s"CALL gtest.system.nope(tbl => '$tblArg')").collect())
+    // the tag clamp holds through the CALL face
+    spark.sql(s"CALL gtest.system.expire_older_than(tbl => '$tblArg', " +
+      s"ts_millis => ${System.currentTimeMillis() + 100000})")
+    assert(Snapshots.versions(spark, dir).contains(2),
+      "expire through CALL dropped a tagged version")
+  }
+
   test("catalog API: pinned references refuse writes; listTables/namespaces") {
     val (t, dir) = fresh()
     Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
