@@ -97,8 +97,26 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
-    new SnapshotV2Table(dir, ident.toString, None)
+    if (isTable(dir)) return new SnapshotV2Table(dir, ident.toString, None)
+    // Iceberg-style METADATA TABLES: `db.t.history` (and .tags/.branches/
+    // .constraints/.staged) — the identifier's last segment selects the
+    // admin relation of the PARENT table
+    if (ident.namespace.nonEmpty) {
+      val parent = dirOf(ident.namespace.toSeq)
+      if (isTable(parent)) {
+        val body: Option[SparkSession => org.apache.spark.sql.DataFrame] =
+          ident.name match {
+            case "history" => Some(s => Snapshots.history(s, parent))
+            case "tags" => Some(s => Snapshots.tagsDf(s, parent))
+            case "branches" => Some(s => Snapshots.branchesDf(s, parent))
+            case "constraints" => Some(s => Snapshots.checkConstraintsDf(s, parent))
+            case "staged" => Some(s => Snapshots.stagedDf(s, parent))
+            case _ => None
+          }
+        body.foreach(b => return new SnapshotMetaTable(ident.toString, b))
+      }
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** SQL `VERSION AS OF x` — a version number or a tag name. */
@@ -344,6 +362,33 @@ private[graft] object SnapshotV2Table {
       case _ => None
     }
   }
+}
+
+/** A read-only metadata table (`db.t.history` and friends): the admin
+  * relation re-derives per scan, so it always reflects the CURRENT table
+  * state — these are driver-side manifest reads, metadata-sized by
+  * construction.
+  */
+private[graft] class SnapshotMetaTable(ident: String,
+    body: SparkSession => org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+  override def name(): String = ident
+  override def schema(): StructType = body(SparkSession.active).schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType =
+            body(context.sparkSession).schema
+          override def buildScan(): RDD[Row] = body(context.sparkSession).rdd
+        }.asInstanceOf[T]
+      }
+    }
 }
 
 /** Pushdown negotiation for one scan: filters are accepted for manifest

@@ -403,6 +403,30 @@ class SqlCatalogSpec extends AnyFunSuite {
       "expire through CALL dropped a tagged version")
   }
 
+  test("metadata tables: db.t.history / .tags / .branches / .constraints / .staged") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    Snapshots.setTag(spark, dir, "golden", 1)
+    Snapshots.createBranch(spark, dir, "wip")
+    Snapshots.addCheckConstraint(spark, dir, "k_pos", "k > 0")
+    val tok = Snapshots.stageCommit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    assert(spark.sql(s"SELECT version FROM $t.history ORDER BY version")
+      .as[Int].collect().toSeq == Seq(1, 2))
+    assert(spark.sql(s"SELECT tag, version FROM $t.tags")
+      .as[(String, Int)].head() == (("golden", 1)))
+    assert(spark.sql(s"SELECT branch, base_version FROM $t.branches")
+      .as[(String, Int)].head() == (("wip", 2)))
+    assert(spark.sql(s"SELECT constraint, check_expr FROM $t.constraints")
+      .as[(String, String)].head() == (("k_pos", "k > 0")))
+    assert(spark.sql(s"SELECT token FROM $t.staged").as[String].head() == tok)
+    // metadata tables track LIVE state (no caching across commits)
+    Snapshots.publishStaged(spark, dir, tok)
+    assert(spark.sql(s"SELECT count(*) FROM $t.staged").as[Long].head() == 0)
+    assert(spark.sql(s"SELECT max(version) FROM $t.history").as[Int].head() == 3)
+    intercept[Exception](spark.table(s"$t.nope").collect())
+  }
+
   test("catalog API: pinned references refuse writes; listTables/namespaces") {
     val (t, dir) = fresh()
     Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
