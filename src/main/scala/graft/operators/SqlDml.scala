@@ -240,7 +240,7 @@ final class Boxed(val e: Expression) extends Serializable {
 }
 object Boxed { def apply(e: Expression): Boxed = new Boxed(e) }
 
-private[operators] object SqlDmlRetry {
+private[graft] object SqlDmlRetry {
   /** SQL DML retries version-slot races like Delta does: every op here
     * re-reads the CURRENT version each attempt, so replay after a
     * concurrent commit is safe — a SQL user should see their statement

@@ -329,8 +329,10 @@ private[graft] class SnapshotV2Table(val dir: String, ident: String,
     import org.apache.spark.sql.functions.lit
     val cond = filters.flatMap(SnapshotV2Table.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    Snapshots.deleteWhere(spark, dir, cond,
-      prune = filters.toSeq.flatMap(SnapshotRelation.translate))
+    graft.operators.SqlDmlRetry.retryOnCme() {
+      Snapshots.deleteWhere(spark, dir, cond,
+        prune = filters.toSeq.flatMap(SnapshotRelation.translate))
+    }
     ()
   }
 }
