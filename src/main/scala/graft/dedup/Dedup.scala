@@ -839,7 +839,74 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** EXACT-SUBSTRING dedup (the ExactSubstr method of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): remove
+    * token SPANS of length ≥ l that recur across documents — the repeats
+    * doc-level MinHash can't touch (licenses, boilerplate headers, quoted
+    * paragraphs inside otherwise-unique documents). The paper builds a
+    * corpus suffix array; the distributed relaxation is the standard
+    * fixed-window form: every length-`l` token window (an L-gram) that
+    * appears in MORE THAN ONE document flags its positions, and the UNION
+    * of flagged windows is removed. Window covering makes this exact for
+    * the repeat set: every length-l window inside a longer cross-doc
+    * repeat is itself duplicated, so the union covers each maximal repeat
+    * of length ≥ l end to end. One canonical occurrence per gram — the
+    * smallest (doc_id, start) — is KEPT (the paper's keep-one posture), so
+    * the corpus retains one copy of every phrase.
+    *
+    * Scale shape: one corpus explode into L-grams (corpus-token-sized, the
+    * containment-index build's cost), a groupBy-gram with a count-distinct
+    * (hot boilerplate grams bound the reduce task, not the corpus), the
+    * flagged-position table is duplicate-occurrence-sized, and the rebuild
+    * is one corpus shuffle by doc. Returns (doc_id, position) spans;
+    * [[exactSubstrScrub]] applies them.
+    */
+  def exactSubstrSpans(docs: DataFrame, l: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= l)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${l - 1}), " +
+          s"i -> array_join(slice(toks, i, $l), ' '))")).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("start"), col("gram"))
+    val dups = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id") * 1000000L + col("start")).as("keep_key"))
+      .filter(col("nd") > 1)
+      .select("gram", "keep_key")
+    grams.join(dups, "gram")
+      .filter(col("doc_id") * 1000000L + col("start") =!= col("keep_key"))
+      .select("doc_id", "start")
+  }
+
+  /** Apply [[exactSubstrSpans]]: drop every token position covered by a
+    * flagged window, rebuild the remaining text in order. Returns
+    * (doc_id, n_before, n_after, scrubbed). */
+  def exactSubstrScrub(docs: DataFrame, l: Int): DataFrame = {
+    val covered = exactSubstrSpans(docs, l)
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (l - 1))).as("pos"))
+      .distinct()
+    val tokens = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "token")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("token"))
+    tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_after"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"),
+          col("token")))), x => x.getField("token")), " ").as("scrubbed"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_before")), Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0)).as("n_after"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
+  private def qSubstringScrub(s: SparkSession, d: String): DataFrame =
+    graft.Sorted1(exactSubstrScrub(T.documents(s, d), l = 8), "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substring_scrub" -> qSubstringScrub,
     "q_dedup_cluster" -> qDedupCluster,
     "q_dedup_cluster_lsh" -> qDedupClusterLsh,
     "q_dedup_keep_best" -> qDedupKeepBest,
@@ -882,6 +949,38 @@ object Dedup extends QueryModule {
       |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_substring_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.i AS start,
+        |    array_to_string(toks[u.i:u.i+7], ' ') AS gram
+        |  FROM t, LATERAL unnest(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |dups AS (
+        |  SELECT gram, min(doc_id * 1000000 + start) AS keep_key
+        |  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |flagged AS (
+        |  SELECT g.doc_id, g.start FROM g JOIN dups USING (gram)
+        |  WHERE g.doc_id * 1000000 + g.start <> dups.keep_key),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, start + o.d AS pos
+        |  FROM flagged, LATERAL unnest(range(0, 8)) AS o(d)),
+        |toks AS (
+        |  SELECT doc_id, u.i AS pos, toks[u.i] AS token
+        |  FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.pos, tk.token FROM toks tk
+        |  LEFT JOIN covered c ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+        |  WHERE c.doc_id IS NULL)
+        |SELECT t.doc_id, len(t.toks) AS n_before,
+        |  coalesce(k.n_after, 0) AS n_after,
+        |  coalesce(k.scrubbed, '') AS scrubbed
+        |FROM t LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_after,
+        |    string_agg(token, ' ' ORDER BY pos) AS scrubbed
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // recursive-CTE twin: min reachable id over the same thresholded edge set
     "q_dedup_cluster" ->
       """WITH RECURSIVE g AS (

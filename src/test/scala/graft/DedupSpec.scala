@@ -379,4 +379,35 @@ class DedupSpec extends AnyFunSuite {
       assert(fast == ref, s"doc $id")
     }
   }
+
+  test("exact-substring scrub: window covering removes whole repeats, keeps one copy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a 6-token boilerplate planted inside three otherwise-unique docs
+    // (longer than l = 4, so covering must remove it END TO END), plus a
+    // doc with no repeats and a doc shorter than the window
+    val boiler = "all rights reserved by acme corp"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"one two three $boiler"),
+      (3L, s"$boiler nine ten"),
+      (4L, "totally unique text with no repeats at all"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrScrub(docs, l = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // doc 1 holds the canonical (smallest doc_id/start) occurrence → intact
+    assert(byId(1L)._4 == s"alpha beta $boiler gamma delta",
+      s"canonical copy scrubbed: ${byId(1L)}")
+    // docs 2 and 3: the WHOLE 6-token repeat vanishes (covering, not just
+    // one window), everything else survives in order
+    assert(byId(2L)._4 == "one two three", byId(2L))
+    assert(byId(3L)._4 == "nine ten", byId(3L))
+    assert(byId(2L)._2 == 9 && byId(2L)._3 == 3)
+    // untouched docs round-trip exactly
+    assert(byId(4L)._4 == "totally unique text with no repeats at all")
+    assert(byId(5L)._4 == "tiny doc" && byId(5L)._2 == 2 && byId(5L)._3 == 2)
+  }
 }
