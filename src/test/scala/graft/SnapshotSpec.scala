@@ -1593,6 +1593,48 @@ class SnapshotSpec extends AnyFunSuite {
       "discard of an already-published token destroyed table data")
   }
 
+  test("schema sidecar: analysis never opens data files; pre-sidecar tables fall back") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    Snapshots.commit(spark, dir, Seq((2L, "b", 7.5)).toDF("k", "v", "w"),
+      evolve = true)
+    // evolved schema comes from ONE metadata read: clobber every data file,
+    // planning (schema) must still answer while execution fails
+    val schema = Snapshots.read(spark, dir).schema
+    assert(schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    Snapshots.files(spark, dir, 2).foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, f), Array[Byte](0))
+    }
+    assert(Snapshots.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("k", "v", "w"), "schema derivation opened data files")
+    intercept[Exception](Snapshots.read(spark, dir).collect()) // proof of clobber
+    // a PRE-SIDECAR table (header stripped, sidecar deleted) falls back to
+    // the mergeSchema footer sweep and stays fully readable
+    val dir2 = tmp()
+    Snapshots.commit(spark, dir2, Seq((1L, "a")).toDF("k", "v"))
+    Snapshots.commit(spark, dir2, Seq((2L, "b", 1.5)).toDF("k", "v", "w"),
+      evolve = true)
+    val md = java.nio.file.Paths.get(dir2, "_manifests")
+    java.nio.file.Files.list(md).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".schema")) java.nio.file.Files.delete(p)
+      else if (name.endsWith(".list")) {
+        val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .linesIterator.filterNot(_.startsWith("#schema="))
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+        // the raw rewrite invalidates the local FS's CRC sidecar
+        java.nio.file.Files.deleteIfExists(p.resolveSibling(s".$name.crc"))
+      }
+    }
+    assert(Snapshots.read(spark, dir2).schema.fieldNames.toSeq ==
+      Seq("k", "v", "w"))
+    assert(Snapshots.read(spark, dir2).count() == 2)
+    // and the next commit re-establishes the sidecar for the new version
+    Snapshots.commit(spark, dir2, Seq((3L, "c", 2.5)).toDF("k", "v", "w"))
+    assert(Snapshots.read(spark, dir2).count() == 3)
+  }
+
   test("branches: invisible to main, schema-gated appends, atomic fast-forward") {
     val dir = tmp()
     Snapshots.commit(spark, dir, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"))
