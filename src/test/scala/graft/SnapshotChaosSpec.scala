@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.Snapshots
 
 /** Model-based chaos fuzz of the whole snapshot surface: a random op
-  * sequence (append / replace / range delete / merge upsert / z-order
-  * rewrite / retention / vacuum) runs against an in-memory multiset model,
+  * sequence (append / replace / range delete / CoW+MoR merge upsert /
+  * generic predicate DELETE/UPDATE / multi-clause MERGE — the SQL DML
+  * engines — / z-order rewrite / retention / vacuum) runs against an
+  * in-memory multiset model,
   * with torn-writer debris injected between ops (stray `.tmp` manifests,
   * orphan data dirs, foreign files in `_manifests`). Invariants after every
   * op: the head read equals the model exactly, surviving pinned versions
@@ -37,7 +39,7 @@ class SnapshotChaosSpec extends AnyFunSuite {
     val v1 = Snapshots.commit(spark, dir, rows(30).toDF("k", "v"))
     history += v1 -> readAll(dir)
 
-    for (step <- 1 to 24) {
+    for (step <- 1 to 36) {
       // torn-writer debris before each op: none of it may be visible
       rng.nextInt(3) match {
         case 0 =>
@@ -54,7 +56,7 @@ class SnapshotChaosSpec extends AnyFunSuite {
       }
 
       val cur = Snapshots.currentVersion(spark, dir).get
-      rng.nextInt(8) match {
+      rng.nextInt(11) match {
         case 0 => // append
           val r = rows(1 + rng.nextInt(20))
           val v = Snapshots.commit(spark, dir, r.toDF("k", "v"))
@@ -97,6 +99,47 @@ class SnapshotChaosSpec extends AnyFunSuite {
           val keys = upd.map(_._1).toSet
           history += v ->
             (history(cur).filterNot(r => keys(r._1)) ++ upd).sorted
+        case 8 => // generic predicate DELETE (the SQL face's engine)
+          val m = 2 + rng.nextInt(5); val r0 = rng.nextInt(m)
+          val v = Snapshots.deleteWhere(spark, dir,
+            col("k") % m === r0 && col("v") >= 100)
+          val want = history(cur).filterNot { case (k, vv) =>
+            k % m == r0 && vv >= 100 }
+          if (want == history(cur)) assert(v == cur, s"no-match delete minted v$v")
+          history += v -> want
+        case 9 => // generic predicate UPDATE (the SQL face's engine)
+          val m = 2 + rng.nextInt(5); val r0 = rng.nextInt(m)
+          val v = Snapshots.updateWhere(spark, dir,
+            col("k") % m === r0, Seq("v" -> (col("v") + 7)))
+          val want = history(cur).map { case (k, vv) =>
+            if (k % m == r0) (k, vv + 7) else (k, vv) }.sorted
+          if (want == history(cur)) assert(v == cur, s"no-match update minted v$v")
+          history += v -> want
+        case 10 => // general MERGE: conditional update / delete / insert
+          // source keys unique (the ANSI matched-side rule); duplicate-k
+          // TARGET rows all match the same source row
+          val src = rows(1 + rng.nextInt(10)).groupBy(_._1).map(_._2.head).toSeq
+          val thr = rng.nextInt(800).toLong
+          val v = Snapshots.mergeApply(spark, dir, src.toDF("k", "v"),
+            onCond = col("__t.k") === col("__s.k"),
+            matched = Seq(
+              Snapshots.WhenMatched(Some(col("__s.v") > thr),
+                Some(Seq("v" -> (col("__s.v") + 1)))),
+              Snapshots.WhenMatched(None, None)),
+            notMatched = Seq(Snapshots.WhenNotMatched(None,
+              Seq("k" -> col("__s.k"), "v" -> col("__s.v")))),
+            pruneKey = if (rng.nextBoolean()) Some(("k", col("__s.k"))) else None)
+          val srcByK = src.toMap
+          val tKeys = history(cur).map(_._1).toSet
+          val fromT = history(cur).flatMap { case (k, vv) =>
+            srcByK.get(k) match {
+              case Some(sv) if sv > thr => Some((k, sv + 1))
+              case Some(_) => None // second clause: DELETE
+              case None => Some((k, vv))
+            }
+          }
+          val ins = src.filterNot { case (k, _) => tKeys(k) }
+          history += v -> (fromT ++ ins).sorted
       }
 
       assert(readAll(dir) == head, s"step $step: head diverged from the model")
