@@ -774,7 +774,92 @@ object Multimodal extends QueryModule {
       .orderBy("a_id", "b_id")
   }
 
+  /** Silence-gated WAV fixture for SEGMENTATION: the closed-form waveform
+    * with alternating 160-sample (two-frame) silent blocks planted, so
+    * energy-gated framing yields real multi-segment structure. Same
+    * RIFF-writer → JDK-decoder cross-validation contract as every audio
+    * fixture; the oracle regenerates the gated waveform closed-form.
+    */
+  def audioSegAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id")).as[Long]
+      .repartition(math.max(2, s.sparkContext.defaultParallelism / 4))
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (400 + id % 100).toInt
+          val samples = Array.tabulate(n) { i =>
+            if ((i / 160) % 2 == 1) 0.toShort
+            else (((id * 31 + i.toLong * 7919 + id * i.toLong * 13) % 4001)
+              - 2000).toShort
+          }
+          (id, Wav.encode(8000, samples))
+        }
+      }
+      .toDF("asset_id", "payload")
+  }
+
+  /** Fixed-window frame energies (the VAD front end): decode through the
+    * independent JDK codec, one (asset, frame, energy) row per 80-sample
+    * window — per-row fan-out inside mapPartitions, no shuffle. */
+  def frameEnergies(assetsDf: DataFrame, frameLen: Int = 80): DataFrame = {
+    val s = assetsDf.sparkSession
+    import s.implicits._
+    assetsDf.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"asset $id: expected 16-bit mono PCM, got $fmt")
+          val bb = java.nio.ByteBuffer.wrap(in.readAllBytes()).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+          var i = 0
+          var energy = 0L
+          while (bb.remaining() >= 2) {
+            val v = bb.getShort().toInt
+            energy += v.toLong * v
+            i += 1
+            if (i % frameLen == 0) { out += ((id, i / frameLen - 1, energy)); energy = 0L }
+          }
+          if (i % frameLen != 0) out += ((id, i / frameLen, energy))
+          out.iterator
+        } finally in.close()
+      })
+      .toDF("asset_id", "frame", "energy")
+  }
+
+  /** Energy-gated audio SEGMENTATION (the voice-activity-detection shape —
+    * what an audio-corpus pipeline runs to cut silence and split long
+    * recordings before transcription/training): frames with nonzero energy
+    * group into maximal CONSECUTIVE runs via the classic islands trick
+    * (frame − row_number over the per-asset frame order is constant within
+    * a run), one window + one hash aggregate, both keyed per asset — at
+    * 100 TB every stage partitions by asset_id and nothing global exists.
+    * The oracle regenerates the gated waveform and re-derives the same
+    * islands in SQL.
+    */
+  private def qMmAudioSegments(s: SparkSession, d: String): DataFrame = {
+    val frames = cached(s, "wavseg", d)(frameEnergies(audioSegAssets(s, d)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame")
+    val islands = frames.filter(col("energy") > 0)
+      .withColumn("island", col("frame") - row_number().over(w))
+    graft.Sorted1(
+      islands.groupBy("asset_id", "island")
+        .agg(min(col("frame")).as("start_frame"),
+          max(col("frame")).as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          sum(col("energy")).as("energy"))
+        .select("asset_id", "start_frame", "end_frame", "n_frames", "energy"),
+      "asset_id", "start_frame")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_audio_segments" -> qMmAudioSegments,
     "q_mm_meta" -> qMmMeta,
     "q_mm_phash" -> qMmPhash,
     "q_mm_phash_pairs" -> qMmPhashPairs,
@@ -788,6 +873,28 @@ object Multimodal extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mm_audio_segments" ->
+      """WITH p AS (
+        |  SELECT doc_id AS asset_id, 400 + doc_id % 100 AS n FROM documents),
+        |sm AS (
+        |  SELECT asset_id, i,
+        |    CASE WHEN (i // 160) % 2 = 1 THEN 0
+        |      ELSE ((asset_id * 31 + i * 7919 + asset_id * i * 13) % 4001) - 2000
+        |    END AS v
+        |  FROM p, unnest(range(0, n)) AS t(i)),
+        |f AS (
+        |  SELECT asset_id, CAST(i // 80 AS INT) AS frame, sum(v * v) AS energy
+        |  FROM sm GROUP BY 1, 2),
+        |a AS (
+        |  SELECT asset_id, frame, energy,
+        |    frame - row_number() OVER (PARTITION BY asset_id ORDER BY frame)
+        |      AS island
+        |  FROM f WHERE energy > 0)
+        |SELECT asset_id, CAST(min(frame) AS INT) AS start_frame,
+        |  CAST(max(frame) AS INT) AS end_frame, count(*) AS n_frames,
+        |  CAST(sum(energy) AS BIGINT) AS energy
+        |FROM a GROUP BY asset_id, island
+        |ORDER BY asset_id, start_frame""".stripMargin,
     // the oracle never parses PNG: it evaluates the same closed-form pixel
     // function the generator used, so a hash match proves encoder+decoder
     // round-tripped every pixel of every asset
