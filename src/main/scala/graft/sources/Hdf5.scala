@@ -45,9 +45,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    id fails loudly
   *  - global heap collections for vlen data — enough for NetCDF-4's
   *    DIMENSION_LIST attributes (vlen of object references)
-  * Everything else (soft/external links, paged fixed arrays, paged
-  * extensible-array data blocks, SOHM shared header messages, filters
-  * outside the trio, extended tiny heap IDs) fails with an explicit
+  *  - soft links (symbol-table cache type 2 AND link-message type 1) and
+  *    external links (link-message class 64), resolved at open — data reads
+  *    of an external-linked dataset redirect to the target file
+  *  - tiny fractal-heap IDs in both sub-variants (normal ≤ 18-byte IDs,
+  *    extended 12-bit-length IDs past that), and filtered (deflate)
+  *    fractal heaps — root-direct-block and indirect-block layouts
+  * Everything else (paged fixed arrays, paged extensible-array data
+  * blocks, SOHM shared header messages, filters outside the trio,
+  * user-defined link classes other than external) fails with an explicit
   * message, never a misparse.
   */
 object Hdf5 {
@@ -140,7 +146,12 @@ object Hdf5 {
 
   final case class H5Dataset(
       name: String, ohAddr: Long, dims: Seq[Long], dtype: DType,
-      layout: Layout, attrs: Seq[H5Attr], filters: Seq[H5Filter] = Nil) {
+      layout: Layout, attrs: Seq[H5Attr], filters: Seq[H5Filter] = Nil,
+      /** Set when the dataset was reached through an EXTERNAL link: the
+        * resolved file its layout addresses live in. Data reads redirect
+        * there; metadata (dims/dtype/attrs) is already materialized.
+        */
+      extFile: Option[String] = None) {
     def attr(n: String): Option[H5Attr] = attrs.find(_.name == n)
     def elems: Long = if (dims.isEmpty) 1L else dims.product
   }
@@ -210,7 +221,15 @@ object Hdf5 {
     c
   }
 
-  def open(path: String): H5File = {
+  def open(path: String): H5File = openDepth(path, 0)
+
+  /** [[open]] with an external-link hop counter: each `GExt` resolution
+    * re-enters here with `depth + 1`, so a link cycle across files fails
+    * loudly instead of recursing forever.
+    */
+  private def openDepth(path: String, depth: Int): H5File = {
+    require(depth <= 8,
+      s"$path: external link chain deeper than 8 files (cycle?)")
     val raf = new RandomAccessFile(path, "r")
     try {
       val r = new Reader(raf)
@@ -268,7 +287,7 @@ object Hdf5 {
       // the authoritative group shape from the root object header instead —
       // a symbol table message (old-style) or compact link messages (latest)
       val (rootMsgs, _) = readObjectHeader(r, rootOh, path)
-      val entries: Seq[(String, Long)] =
+      val entries: Seq[GEntry] =
         rootMsgs.collectFirst { case m: SymbolTableMsg => m } match {
           case Some(st) => readGroupEntries(r, st.btreeAddr, st.heapAddr, path)
           case None =>
@@ -277,25 +296,86 @@ object Hdf5 {
             } match {
               case Some((fh, bt)) => readDenseLinks(r, fh, bt, path)
               case None =>
-                val links = rootMsgs.collect { case LinkMsg(n, a) => (n, a) }
+                val links = rootMsgs.collect {
+                  case LinkMsg(n, a) => GHard(n, a): GEntry
+                  case SoftLinkMsg(n, t) => GSoft(n, t): GEntry
+                  case ExtLinkMsg(n, f, t) => GExt(n, f, t): GEntry
+                }
                 require(links.nonEmpty,
                   s"$path: root group has neither a symbol table nor link messages")
-                links.sortBy(_._1)
+                links.sortBy(_.name)
             }
         }
-      // two passes: names first (so object references resolve), then bodies
-      val addrToName = entries.map { case (n, a) => a -> n }.toMap
-      val datasets = entries.map { case (name, addr) =>
+      val hard = entries.collect { case GHard(n, a) => (n, a) }
+      // two passes: names first (so object references resolve), then
+      // bodies — object references resolve against HARD names only (the
+      // address's canonical name), never a link alias
+      val addrToName = hard.map { case (n, a) => a -> n }.toMap
+      val hardDs = hard.map { case (name, addr) =>
         readDataset(r, name, addr, addrToName, path)
       }
+      val byName = hardDs.map(d => d.name -> d).toMap
+      val entryByName = entries.map(e => e.name -> e).toMap
+      /** A link target path inside THIS file — flat root, so exactly one
+        * component; the leading '/' of an absolute path is accepted.
+        */
+      def component(kind: String, name: String, target: String): String = {
+        val t = target.stripPrefix("/")
+        require(t.nonEmpty && !t.contains("/"),
+          s"$path: $kind link '$name' -> '$target': nested group paths unsupported")
+        t
+      }
+      def resolve(e: GEntry, seen: Set[String]): H5Dataset = e match {
+        case GHard(n, a) => byName(addrToName(a))
+        case GSoft(n, target) =>
+          val t = component("soft", n, target)
+          require(!seen(t), s"$path: soft link cycle through '$n' -> '$target'")
+          val te = entryByName.getOrElse(t, throw new IllegalArgumentException(
+            s"$path: dangling soft link '$n' -> '$target'"))
+          resolve(te, seen + t)
+        case GExt(n, file, target) =>
+          // relative target files resolve against the linking file's
+          // directory — libhdf5's first default search path
+          val base = new java.io.File(path).getAbsoluteFile.getParentFile
+          val resolvedFile =
+            if (new java.io.File(file).isAbsolute) file
+            else new java.io.File(base, file).getPath
+          require(new java.io.File(resolvedFile).isFile,
+            s"$path: external link '$n' -> '$file': file not found")
+          val t = component("external", n, target)
+          val tf = openDepth(resolvedFile, depth + 1)
+          val td = tf.dataset(t).getOrElse(throw new IllegalArgumentException(
+            s"$path: dangling external link '$n' -> '$file:/$t'"))
+          // keep the INNER redirect when the target was itself ext-linked
+          td.copy(extFile = td.extFile.orElse(Some(resolvedFile)))
+      }
+      val linkDs = entries.collect { case e @ (_: GSoft | _: GExt) =>
+        resolve(e, Set(e.name)).copy(name = e.name)
+      }
+      val datasets = (hardDs ++ linkDs).sortBy(_.name)
       // attributes on the root group = NetCDF-4 global attributes
       H5File(path, datasets, attrsOf(r, rootMsgs, addrToName, path))
     } finally raf.close()
   }
 
-  /** Walk a v1 group B-tree to its SNOD leaves; returns (name, ohAddr). */
+  /** One root-group member as stored, before link resolution: a hard entry
+    * (object header address), a soft link (in-file path), or an external
+    * link (file + path). [[open]] resolves the link kinds to datasets.
+    */
+  private sealed trait GEntry { def name: String }
+  private final case class GHard(name: String, ohAddr: Long) extends GEntry
+  private final case class GSoft(name: String, target: String) extends GEntry
+  private final case class GExt(name: String, file: String,
+      target: String) extends GEntry
+
+  /** Walk a v1 group B-tree to its SNOD leaves; returns the group members
+    * in name order. Symbol-table entries carry hard members (cache type 0
+    * or 1) and soft links (cache type 2: the scratch pad's first 4 bytes
+    * are the link value's local-heap offset — spec III.C); external links
+    * never appear here (libhdf5 stores them as link messages only).
+    */
   private def readGroupEntries(r: Reader, btreeAddr: Long, heapAddr: Long,
-      path: String): Seq[(String, Long)] = {
+      path: String): Seq[GEntry] = {
     val heap = r.at(heapAddr, 32)
     val hm = new Array[Byte](4); heap.get(hm)
     require(hm.sameElements("HEAP".getBytes), s"$path: bad local heap signature")
@@ -310,7 +390,7 @@ object Hdf5 {
       sb.toString
     }
 
-    def walk(addr: Long): Seq[(String, Long)] = {
+    def walk(addr: Long): Seq[GEntry] = {
       val head = r.at(addr, 8)
       val sig = new Array[Byte](4); head.get(sig)
       if (sig.sameElements("SNOD".getBytes)) {
@@ -320,9 +400,16 @@ object Hdf5 {
         (0 until nsyms).map { _ =>
           val nameOff = ent.getLong()
           val oh = ent.getLong()
-          ent.getInt(); ent.getInt() // cache type + reserved
-          ent.position(ent.position() + 16) // scratch
-          (heapName(nameOff), oh)
+          val cacheType = ent.getInt(); ent.getInt() // cache type + reserved
+          val scratch0 = ent.getInt() // soft links: link-value heap offset
+          ent.position(ent.position() + 12) // rest of scratch
+          val name = heapName(nameOff)
+          cacheType match {
+            case 0 | 1 => GHard(name, oh)
+            case 2 => GSoft(name, heapName(scratch0.toLong & 0xFFFFFFFFL))
+            case t => throw new IllegalArgumentException(
+              s"$path: symbol table entry '$name' cache type $t unsupported")
+          }
         }
       } else {
         require(sig.sameElements("TREE".getBytes), s"$path: bad group node signature")
@@ -341,7 +428,7 @@ object Hdf5 {
       }
     }
     // level-0 btrees point directly at SNODs; deeper trees recurse
-    walk(btreeAddr).sortBy(_._1)
+    walk(btreeAddr).sortBy(_.name)
   }
 
   // ---- dense (fractal-heap) group storage
@@ -352,7 +439,17 @@ object Hdf5 {
   private final case class FractalHeap(idLen: Int, flags: Int,
       maxManagedSize: Long, tableWidth: Int, startBlockSize: Long,
       maxDirectSize: Long, maxHeapBits: Int, rootAddr: Long, curRows: Int,
-      allocManagedSpace: Long, hugeBtAddr: Long) {
+      allocManagedSpace: Long, hugeBtAddr: Long,
+      /** I/O filter pipeline applied to every DIRECT block (deflate for
+        * compressed group metadata); empty = unfiltered heap.
+        */
+      filters: Seq[H5Filter] = Nil,
+      /** on-disk size + filter mask of the root direct block — present in
+        * the header only when the heap is filtered AND the root is a
+        * direct block (curRows == 0); indirect layouts keep per-block
+        * sizes in the FHIB entries instead
+        */
+      filteredRootSize: Long = 0L, rootFilterMask: Int = 0) {
     /** heap-offset field width in IDs/blocks: min bytes for the heap space */
     def offSize: Int = (maxHeapBits + 7) / 8
     /** object-length field width in IDs: min bytes for max managed size */
@@ -365,18 +462,18 @@ object Hdf5 {
     def directHeaderSize: Int = 4 + 1 + 8 + offSize + (if ((flags & 2) != 0) 4 else 0)
   }
 
-  /** `FRHP` fractal heap header: fixed 142-byte prefix + checksum (group
-    * link heaps carry no I/O filters, enforced below).
+  /** `FRHP` fractal heap header: fixed 142-byte prefix, then — filtered
+    * heaps only — the root-direct-block size + mask (when the root IS a
+    * direct block) and the I/O filter pipeline message, then checksum.
     */
   private def parseFrhp(r: Reader, addr: Long, path: String): FractalHeap = {
-    val raw = r.bytes(addr, 146)
-    val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val raw0 = r.bytes(addr, 146)
+    val b = ByteBuffer.wrap(raw0).order(ByteOrder.LITTLE_ENDIAN)
     val sig = new Array[Byte](4); b.get(sig)
     require(sig.sameElements("FRHP".getBytes), s"$path: bad fractal heap signature")
     require(b.get() == 0, s"$path: fractal heap version unsupported")
     val idLen = b.getShort() & 0xFFFF
     val filterLen = b.getShort() & 0xFFFF
-    require(filterLen == 0, s"$path: filtered fractal heap unsupported")
     val flags = b.get() & 0xFF
     val maxManaged = b.getInt().toLong & 0xFFFFFFFFL
     b.getLong() // next huge object id
@@ -398,12 +495,28 @@ object Hdf5 {
     b.getShort() // starting rows in root indirect block
     val rootAddr = b.getLong()
     val curRows = b.getShort() & 0xFFFF
-    val stored = b.getInt()
-    val computed = lookup3(java.util.Arrays.copyOf(raw, 142))
+    // optional filter fields between the fixed prefix and the checksum
+    val hasRootFields = filterLen > 0 && curRows == 0
+    val extra =
+      if (filterLen > 0) (if (hasRootFields) 12 else 0) + filterLen else 0
+    val raw = if (extra == 0) raw0 else r.bytes(addr, 142 + extra + 4)
+    val ob = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    ob.position(142)
+    val (filteredRootSize, rootMask) =
+      if (hasRootFields) (ob.getLong(), ob.getInt()) else (0L, 0)
+    val filters =
+      if (filterLen == 0) Nil
+      else {
+        val fb = new Array[Byte](filterLen); ob.get(fb)
+        parseFilters(ByteBuffer.wrap(fb).order(ByteOrder.LITTLE_ENDIAN), path)
+      }
+    val stored = ob.getInt()
+    val computed = lookup3(java.util.Arrays.copyOf(raw, 142 + extra))
     require(stored == computed,
       f"$path: fractal heap checksum mismatch (stored 0x$stored%08x)")
     FractalHeap(idLen, flags, maxManaged, width, startSize, maxDirect,
-      maxHeapBits, rootAddr, curRows, allocManaged, hugeBtAddr)
+      maxHeapBits, rootAddr, curRows, allocManaged, hugeBtAddr,
+      filters, filteredRootSize, rootMask)
   }
 
   /** The heap's huge-object directory: id → (file address, length), from the
@@ -414,6 +527,10 @@ object Hdf5 {
       path: String): Map[Long, (Long, Long)] =
     if (fh.hugeBtAddr == Undef) Map.empty
     else {
+      // a filtered heap's huge objects use v2-btree record type 3
+      // (address + FILTERED length + mask + memory size) — out of subset
+      require(fh.filters.isEmpty,
+        s"$path: filtered huge heap objects unsupported")
       val (hb, n) = readBtreeLeaf(r, fh.hugeBtAddr, 1, 24, "huge-object", path)
       (0 until n).map { _ =>
         val addr = hb.getLong(); val len = hb.getLong(); val id = hb.getLong()
@@ -438,11 +555,23 @@ object Hdf5 {
   /** Load + validate one direct block: FHDB signature/version, owning-heap
     * back-pointer, stored block offset, and (when the heap flags say the
     * blocks are checksummed) the lookup3 checksum computed over the whole
-    * block with its checksum field zeroed.
+    * block with its checksum field zeroed. Filtered heaps store each
+    * direct block COMPRESSED (`storedSize` on-disk bytes, from the FRHP
+    * header for a root direct block or the parent FHIB entry otherwise);
+    * the pipeline inverts to the logical `size` before any field checks,
+    * so signature/offset/checksum always validate plaintext.
     */
   private def loadDirectBlock(r: Reader, fh: FractalHeap, addr: Long,
-      start: Long, size: Long, heapAddr: Long, path: String): DirectBlock = {
-    val raw = r.bytes(addr, size.toInt)
+      start: Long, size: Long, heapAddr: Long, path: String,
+      storedSize: Long = -1L, filterMask: Int = 0): DirectBlock = {
+    val raw =
+      if (fh.filters.isEmpty) r.bytes(addr, size.toInt)
+      else {
+        require(storedSize > 0,
+          s"$path: filtered direct block at $addr with no stored size")
+        defilterChunk(r.bytes(addr, storedSize.toInt), filterMask,
+          fh.filters, size.toInt, path)
+      }
     val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val sig = new Array[Byte](4); b.get(sig)
     require(sig.sameElements("FHDB".getBytes), s"$path: bad direct block signature")
@@ -490,7 +619,13 @@ object Hdf5 {
     val logW = Integer.numberOfTrailingZeros(fh.tableWidth)
     val mdr = maxDirectRows(fh)
     val headSize = 4 + 1 + 8 + fh.offSize
-    val total = headSize + nrows * fh.tableWidth * 8 + 4
+    // a filtered heap's DIRECT-child entries widen to address + stored
+    // (compressed) size + 4-byte filter mask; indirect children stay
+    // address-only (spec III.G, libhdf5 H5HF__cache_iblock_deserialize)
+    val dEntry = if (fh.filters.isEmpty) 8 else 8 + 8 + 4
+    val ndRows = math.min(nrows, mdr)
+    val total = headSize + ndRows * fh.tableWidth * dEntry +
+      math.max(0, nrows - mdr) * fh.tableWidth * 8 + 4
     val raw = r.bytes(addr, total)
     val ib = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val sig = new Array[Byte](4); ib.get(sig)
@@ -512,10 +647,14 @@ object Hdf5 {
       val bs = rowBlockSize(fh, row)
       for (col <- 0 until fh.tableWidth) {
         val child = ib.getLong()
+        val (fSize, fMask) =
+          if (row < mdr && fh.filters.nonEmpty) (ib.getLong(), ib.getInt())
+          else (-1L, 0)
         if (child != Undef) {
           val off = baseOff + rowStart + col * bs
           if (row < mdr)
-            blocks += loadDirectBlock(r, fh, child, off, bs, heapAddr, path)
+            blocks += loadDirectBlock(r, fh, child, off, bs, heapAddr, path,
+              fSize, fMask)
           else {
             val childRows = row - logW
             require(childRows >= 1 && childRows < 64,
@@ -562,7 +701,8 @@ object Hdf5 {
       require(rootSize <= fh.maxDirectSize,
         s"$path: root direct block of $rootSize bytes exceeds the max direct " +
           s"block size ${fh.maxDirectSize} (inconsistent fractal heap header)")
-      Seq(loadDirectBlock(r, fh, fh.rootAddr, 0L, rootSize, heapAddr, path))
+      Seq(loadDirectBlock(r, fh, fh.rootAddr, 0L, rootSize, heapAddr, path,
+        fh.filteredRootSize, fh.rootFilterMask))
     }
     else loadIndirectBlock(r, fh, fh.rootAddr, 0L, fh.curRows, heapAddr, path)
   }
@@ -594,13 +734,19 @@ object Hdf5 {
           throw new IllegalArgumentException(
             s"$path: huge object id $hid missing from the huge-object index"))
         return r.bytes(addr, len.toInt)
-      case 2 => // tiny: data inline in the ID itself
-        require(fh.idLen <= 18,
-          s"$path: extended tiny heap IDs (ID length ${fh.idLen} > 18) unsupported")
-        val len = (f & 0x0F) + 1
-        require(1 + len <= id.length,
+      case 2 => // tiny: data inline in the ID itself. Normal sub-variant
+        // (idLen <= 18): length-1 in the flag byte's low 4 bits. Extended
+        // sub-variant (idLen > 18): a 12-bit length-1 split across the flag
+        // byte's low nibble (high 4 bits) and one extra byte (low 8) —
+        // libhdf5's H5HF_TINY_MASK_EXT_1/2 encoding.
+        val ext = fh.idLen > 18
+        val len =
+          if (ext) (((f & 0x0F) << 8) | (b.get() & 0xFF)) + 1
+          else (f & 0x0F) + 1
+        val hdr = if (ext) 2 else 1
+        require(hdr + len <= id.length,
           s"$path: tiny heap object ($len bytes) overruns its ${id.length}-byte ID")
-        return java.util.Arrays.copyOfRange(id, 1, 1 + len)
+        return java.util.Arrays.copyOfRange(id, hdr, hdr + len)
       case t =>
         throw new IllegalArgumentException(s"$path: heap ID type $t unsupported")
     }
@@ -741,7 +887,7 @@ object Hdf5 {
     * the fractal heap.
     */
   private def readDenseLinks(r: Reader, fhAddr: Long, btAddr: Long,
-      path: String): Seq[(String, Long)] = {
+      path: String): Seq[GEntry] = {
     require(btAddr != Undef, s"$path: dense group without a name-index v2 b-tree")
     val fh = parseFrhp(r, fhAddr, path)
     val (lb, nrec) = readBtreeLeaf(r, btAddr, 5, 4 + fh.idLen, "link-name", path)
@@ -754,10 +900,13 @@ object Hdf5 {
       dispatchMsg(0x0006, 0,
         ByteBuffer.wrap(readHeapObject(r, fh, blocks, huge, id, path))
           .order(ByteOrder.LITTLE_ENDIAN), msgs, path)
-      msgs.head match { case LinkMsg(n, a) => (n, a)
+      msgs.head match {
+        case LinkMsg(n, a) => GHard(n, a)
+        case SoftLinkMsg(n, t) => GSoft(n, t)
+        case ExtLinkMsg(n, f, t) => GExt(n, f, t)
         case m => throw new IllegalStateException(s"$path: unexpected $m") }
     }
-    links.sortBy(_._1)
+    links.sortBy(_.name)
   }
 
   /** Dense attribute storage: walk the attribute name-index v2 B-tree
@@ -814,6 +963,9 @@ object Hdf5 {
   private final case class AttrInfoMsg(fractalHeapAddr: Long,
       nameBtreeAddr: Long) extends Msg
   private final case class LinkMsg(name: String, ohAddr: Long) extends Msg
+  private final case class SoftLinkMsg(name: String, target: String) extends Msg
+  private final case class ExtLinkMsg(name: String, file: String,
+      target: String) extends Msg
   private final case class RawAttr(name: String, dtype: DType, dims: Seq[Long],
       data: Array[Byte])
 
@@ -970,21 +1122,46 @@ object Hdf5 {
     LinkInfoMsg(fheap, nameBt)
   }
 
-  /** Link (0x0006): hard links only — the shape compact latest-format
-    * groups store one message per member in.
+  /** Link (0x0006): hard (type 0), soft (type 1, a 2-byte-length-prefixed
+    * path string), and external (type 64, the registered user-defined
+    * class: a version/flags byte then NUL-terminated file name + object
+    * path — libhdf5's `H5Lexternal` encoding). Any other user-defined
+    * class stays loud-fail.
     */
-  private def parseLink(b: ByteBuffer, path: String): LinkMsg = {
+  private def parseLink(b: ByteBuffer, path: String): Msg = {
     val version = b.get()
     require(version == 1, s"$path: link message version $version unsupported")
     val flags = b.get() & 0xFF
     val linkType = if ((flags & 0x08) != 0) b.get() & 0xFF else 0
-    require(linkType == 0,
-      s"$path: link type $linkType unsupported (hard links only)")
     if ((flags & 0x04) != 0) b.getLong() // creation order
     if ((flags & 0x10) != 0) b.get() // link name character set
     val nameLen = uintVar(b, 1 << (flags & 0x03))
     val nb = new Array[Byte](nameLen.toInt); b.get(nb)
-    LinkMsg(new String(nb, "UTF-8"), b.getLong())
+    val name = new String(nb, "UTF-8")
+    linkType match {
+      case 0 => LinkMsg(name, b.getLong())
+      case 1 =>
+        val len = b.getShort() & 0xFFFF
+        val vb = new Array[Byte](len); b.get(vb)
+        SoftLinkMsg(name, new String(vb, "UTF-8"))
+      case 64 =>
+        val len = b.getShort() & 0xFFFF
+        val vb = new Array[Byte](len); b.get(vb)
+        val vf = vb(0) & 0xFF
+        require((vf >> 4) == 0 && (vf & 0x0F) == 0,
+          s"$path: external link '$name' version/flags 0x$vf%02x unsupported")
+        // two NUL-terminated strings: target file, then target object path
+        val cut = vb.indexOf(0.toByte, 1)
+        require(cut > 1 && cut < len - 1,
+          s"$path: external link '$name' value is not two NUL-terminated strings")
+        val file = new String(vb, 1, cut - 1, "UTF-8")
+        val end = vb.indexOf(0.toByte, cut + 1)
+        val target = new String(vb, cut + 1,
+          (if (end < 0) len else end) - cut - 1, "UTF-8")
+        ExtLinkMsg(name, file, target)
+      case t => throw new IllegalArgumentException(
+        s"$path: user-defined link class $t unsupported (external = 64 only)")
+    }
   }
 
   /** Attribute Info (0x0015): attributes stay in the header (compact) as
@@ -1378,7 +1555,9 @@ object Hdf5 {
 
   /** Whole-dataset read widened to double (row-major). */
   def readAll(path: String, ds: H5Dataset): Array[Double] = {
-    val raf = new RandomAccessFile(path, "r")
+    // external-linked datasets carry their layout addresses in the file
+    // the link resolved to, not the file the catalog discovered them in
+    val raf = new RandomAccessFile(ds.extFile.getOrElse(path), "r")
     try {
       val out = new Array[Double](ds.elems.toInt)
       ds.layout match {
@@ -1980,7 +2159,7 @@ object Hdf5 {
     require(ds.dims.length == 3, s"${ds.name}: section reader expects 3-D")
     private val Seq(tSize, ySize, xSize) = ds.dims.map(_.toInt): @unchecked
     private val esz = ds.dtype.size
-    private val raf = new RandomAccessFile(path, "r")
+    private val raf = new RandomAccessFile(ds.extFile.getOrElse(path), "r")
     private lazy val chunkIndex: Map[(Long, Long, Long), (Long, Long, Int)] =
       ds.layout match {
         case _: ChunkedLayout =>
@@ -2098,6 +2277,16 @@ object Hdf5 {
         */
       sparseChunks: Set[Int] = Set.empty)
 
+  /** A root-group link for the writer: soft (in-file target path) or
+    * external (target file + path). External links require `latest = true`
+    * — libhdf5 stores user-defined link classes as link messages only;
+    * old-style symbol-table entries encode just hard + soft.
+    */
+  sealed trait WLink { def name: String }
+  final case class WSoftLink(name: String, target: String) extends WLink
+  final case class WExternalLink(name: String, file: String,
+      target: String) extends WLink
+
   private final class LeBuf {
     private val bo = new java.io.ByteArrayOutputStream()
     def size: Int = bo.size()
@@ -2182,6 +2371,12 @@ object Hdf5 {
     write(path, datasets, latest, denseRoot = false)
 
   def write(path: String, datasets: Seq[WDataset], latest: Boolean,
+      links: Seq[WLink]): Unit =
+    write(path, datasets, latest, denseRoot = false, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
+      denseHeapGeom = None, links = links)
+
+  def write(path: String, datasets: Seq[WDataset], latest: Boolean,
       denseRoot: Boolean): Unit =
     write(path, datasets, latest, denseRoot, denseAttrs = false)
 
@@ -2255,14 +2450,20 @@ object Hdf5 {
   def write(path: String, datasets: Seq[WDataset], latest: Boolean,
       denseRoot: Boolean, denseAttrs: Boolean, groupInternalK: Int,
       denseNodeSize: Int, denseIdLen: Int,
-      denseHeapGeom: Option[(Long, Long)], sbV1: Boolean = false): Unit = {
+      denseHeapGeom: Option[(Long, Long)], sbV1: Boolean = false,
+      links: Seq[WLink] = Nil, denseHeapFilter: Boolean = false): Unit = {
     require(!sbV1 || !latest, "superblock v1 is a classic-format shape")
     require(!denseRoot || latest, "dense root groups require the latest format")
+    require(!denseHeapFilter || latest,
+      "filtered dense heaps require the latest format")
+    require(latest || links.forall(_.isInstanceOf[WSoftLink]),
+      "external links require the latest format (link messages)")
     require(!denseAttrs || latest, "dense attribute storage requires the latest format")
     require(groupInternalK >= 1, "groupInternalK must be >= 1")
     require(denseNodeSize >= 48, "denseNodeSize implausibly small")
-    require(denseIdLen == 0 || (denseIdLen >= 7 && denseIdLen <= 18),
-      "denseIdLen must be 0 (defaults) or in [7, 18] (normal tiny sub-variant)")
+    require(denseIdLen == 0 || (denseIdLen >= 7 && denseIdLen <= 64),
+      "denseIdLen must be 0 (defaults) or in [7, 64] (> 18 selects the " +
+        "extended tiny sub-variant)")
     require(denseHeapGeom.isEmpty || denseRoot || denseAttrs,
       "denseHeapGeom shapes dense-storage fractal heaps — enable denseRoot or denseAttrs")
     datasets.foreach { d =>
@@ -2306,6 +2507,11 @@ object Hdf5 {
     }
     val names = datasets.map(_.name)
     require(names.distinct == names, "duplicate dataset names")
+    // group members = datasets + links, one flat name order shared by the
+    // symbol-table layout, the compact link messages, and the dense store
+    val linkByName: Map[String, WLink] = links.map(l => l.name -> l).toMap
+    val memberNames: Seq[String] = (names ++ links.map(_.name)).sorted
+    require(memberNames.distinct == memberNames, "duplicate member names")
 
     // ---- global heap objects: one per refAttr LIST ELEMENT, indexed 1..K
     // gcolIndex: (dataset, attr, element) -> heap object index
@@ -2318,9 +2524,18 @@ object Hdf5 {
     val heapOffsets = scala.collection.mutable.Map[String, Long]()
     val heapData = new LeBuf
     heapData.u64(0)
-    names.sorted.foreach { n =>
+    memberNames.foreach { n =>
       heapOffsets(n) = heapData.size.toLong
       heapData.raw(n.getBytes("UTF-8")).u8(0).padTo8()
+    }
+    // classic soft links keep their VALUE in the local heap too; the
+    // symbol-table entry's scratch pad points at it (spec III.C)
+    val linkValOffsets = scala.collection.mutable.Map[String, Long]()
+    links.foreach {
+      case WSoftLink(n, target) =>
+        linkValOffsets(n) = heapData.size.toLong
+        heapData.raw(target.getBytes("UTF-8")).u8(0).padTo8()
+      case _ => ()
     }
 
     // ---- block builders, each a pure function of the resolved address map
@@ -2381,7 +2596,7 @@ object Hdf5 {
     // at most 2k = 8 entries (spec III.A.1) — libhdf5 splits there, and so
     // does this writer: past 8 names the root b-tree fans out over multiple
     // SNODs instead of overstuffing one (the many-variable-archive case).
-    val nameGroups: Seq[Seq[String]] = names.sorted.grouped(8).toSeq
+    val nameGroups: Seq[Seq[String]] = memberNames.grouped(8).toSeq
 
     // Every group TREE node caps at 2·groupInternalK children (the
     // superblock's declared internal k — libhdf5 splits there), so past
@@ -2435,9 +2650,20 @@ object Hdf5 {
       val b = new LeBuf
       b.raw("SNOD".getBytes).u8(1).u8(0).u16(nameGroups(j).length)
       nameGroups(j).foreach { n =>
-        b.u64(heapOffsets(n)).u64(res(s"oh:$n"))
-        b.u32(0).u32(0) // cache type 0 + reserved
-        b.u64(0).u64(0) // scratch
+        linkByName.get(n) match {
+          case Some(WSoftLink(_, _)) =>
+            // symlink entry: undefined object header, cache type 2, the
+            // scratch pad's first 4 bytes = link value's heap offset
+            b.u64(heapOffsets(n)).u64(-1L)
+            b.u32(2).u32(0) // cache type 2 + reserved
+            b.u32(linkValOffsets(n)).u32(0).u64(0) // scratch
+          case Some(l) => throw new IllegalStateException(
+            s"classic symbol table cannot hold $l") // guarded at entry
+          case None =>
+            b.u64(heapOffsets(n)).u64(res(s"oh:$n"))
+            b.u32(0).u32(0) // cache type 0 + reserved
+            b.u64(0).u64(0) // scratch
+        }
       }
       b.bytes
     }
@@ -2735,9 +2961,26 @@ object Hdf5 {
       val nb = n.getBytes("UTF-8")
       require(nb.length <= 255, s"link name too long: $n")
       val l = new LeBuf
-      l.u8(1).u8(0) // version, flags: hard link, 1-byte name length
-      l.u8(nb.length).raw(nb)
-      l.u64(res(s"oh:$n"))
+      linkByName.get(n) match {
+        case None => // hard link to a dataset's object header
+          l.u8(1).u8(0) // version, flags: hard link, 1-byte name length
+          l.u8(nb.length).raw(nb)
+          l.u64(res(s"oh:$n"))
+        case Some(WSoftLink(_, target)) =>
+          l.u8(1).u8(0x08) // flags: explicit link type, 1-byte name length
+          l.u8(1) // link type 1 = soft
+          l.u8(nb.length).raw(nb)
+          val tb = target.getBytes("UTF-8")
+          l.u16(tb.length).raw(tb) // 2-byte length + value, no NUL
+        case Some(WExternalLink(_, file, target)) =>
+          l.u8(1).u8(0x08)
+          l.u8(64) // registered user-defined class 64 = external
+          l.u8(nb.length).raw(nb)
+          val fb = file.getBytes("UTF-8"); val tb = target.getBytes("UTF-8")
+          l.u16(1 + fb.length + 1 + tb.length + 1)
+          l.u8(0) // external-link version 0 (high nibble), flags 0
+          l.raw(fb).u8(0).raw(tb).u8(0) // two NUL-terminated strings
+      }
       l.bytes
     }
 
@@ -2752,7 +2995,7 @@ object Hdf5 {
       groupInfo.u8(0).u8(0) // version, flags (default phase-change bounds)
       val links =
         if (denseRoot) Nil
-        else names.sorted.map(n => 0x0006 -> linkMsgBytes(n, res))
+        else memberNames.map(n => 0x0006 -> linkMsgBytes(n, res))
       objectHeaderV2(
         Seq(0x0002 -> linkInfo.bytes, 0x000A -> groupInfo.bytes) ++ links)
     }
@@ -2916,7 +3159,24 @@ object Hdf5 {
       */
     final class DenseStore(prefix: String, btType: Int, idLen: Int,
         items: Seq[(String, Resolve => Array[Byte])],
-        nodeSize: Int = 4096, geom: Option[(Long, Long)] = None) {
+        nodeSize: Int = 4096, geom: Option[(Long, Long)] = None,
+        filtered: Boolean = false) {
+      /** Filtered heaps deflate at level 0 (stored blocks): the compressed
+        * size is then a function of the LOGICAL size only, so the two-pass
+        * layout (sizes under zero addresses, bytes under real ones) stays
+        * sound — the reader inflates any valid stream either way.
+        */
+      private def filteredBytes(plain: Array[Byte]): Array[Byte] =
+        deflateBytes(plain, 0)
+      private def filteredSizeOf(logical: Long): Long =
+        deflateBytes(new Array[Byte](logical.toInt), 0).length.toLong
+      private def pipelineBytes: Array[Byte] = {
+        val f = new LeBuf
+        f.u8(1).u8(1).u16(0).u32(0) // v1 pipeline message, one filter
+        f.u16(1).u16(0).u16(0).u16(1) // deflate, no name, flags, 1 value
+        f.u32(0).u32(0) // client value: level 0, + odd-count pad
+        f.bytes
+      }
       private val maxManaged = 4096L
       private val offSize = 4; private val lenSize = 2
       private val headerSize = 4 + 1 + 8 + offSize + 4 // FHDB prefix + checksum
@@ -2938,13 +3198,17 @@ object Hdf5 {
         * direct block.
         */
       private lazy val hugeIdx: Seq[Int] = items.indices.filter(itemLens(_) > maxManaged)
-      /** Items that fit inside the heap ID itself become TINY objects
-        * (normal sub-variant: ≤ 16 bytes AND ≤ idLen−1) — libhdf5's inline
-        * path, reachable here only with a widened `idLen` since no real
-        * link/attr message fits the default 7/8 bytes.
+      /** Items that fit inside the heap ID itself become TINY objects —
+        * libhdf5's inline path, reachable here only with a widened `idLen`
+        * since no real link/attr message fits the default 7/8 bytes.
+        * idLen ≤ 18: the NORMAL sub-variant (1 header byte, ≤ 16 bytes of
+        * data). idLen > 18: the EXTENDED sub-variant (2 header bytes, a
+        * 12-bit length, up to idLen − 2 bytes of data).
         */
+      private def tinyMax: Int =
+        if (idLen > 18) math.min(idLen - 2, 4096) else math.min(idLen - 1, 16)
       private lazy val tinyIdx: Seq[Int] = items.indices.filter(ix =>
-        itemLens(ix) <= math.min(idLen - 1, 16) && itemLens(ix) >= 1)
+        itemLens(ix) <= tinyMax && itemLens(ix) >= 1)
       private lazy val managedIdx: Seq[Int] = items.indices
         .filterNot(ix => itemLens(ix) > maxManaged || tinyIdx.contains(ix))
       /** (heap offset, length) per MANAGED item, and the root block size. */
@@ -3059,12 +3323,18 @@ object Hdf5 {
         b.u32(base) // this block's heap offset (offSize = 4 bytes)
         for (r <- 0 until nrows; c <- 0 until tableW) {
           val name = s"$pfx$r.$c"
+          val isDir = r < mdr
+          val used = if (isDir) usedPaths(name)
+            else usedPaths.exists(_.startsWith(name + "/"))
           b.u64(
-            if (r < mdr) {
-              if (usedPaths(name)) res(s"$prefix:fhdb:$name") else -1L
-            } else if (usedPaths.exists(_.startsWith(name + "/")))
-              res(s"$prefix:fhib:$name")
-            else -1L)
+            if (!used) -1L
+            else if (isDir) res(s"$prefix:fhdb:$name")
+            else res(s"$prefix:fhib:$name"))
+          if (isDir && filtered) {
+            // filtered heaps widen DIRECT entries: stored size + mask
+            b.u64(if (used) filteredSizeOf(rowSizeOf(s0, r)) else 0L)
+            b.u32(0)
+          }
         }
         u32ck(b)
       }
@@ -3088,7 +3358,7 @@ object Hdf5 {
         val ck = lookup3(out)
         val cb = new LeBuf; cb.u32(ck.toLong & 0xFFFFFFFFL)
         System.arraycopy(cb.bytes, 0, out, headerSize - 4, 4)
-        out
+        if (filtered) filteredBytes(out) else out
       }
 
       private def frhpBlock(res: Resolve): Array[Byte] = {
@@ -3110,9 +3380,11 @@ object Hdf5 {
               (blockSize, math.max(blockSize, maxManaged), res(s"$prefix:fhdb"),
                 0, blockSize - used, blockSize, blockSize)
           }
+        require(!(filtered && hugeIdx.nonEmpty),
+          s"$prefix: filtered huge heap objects unsupported (btree type 3)")
         val b = new LeBuf
         b.raw("FRHP".getBytes).u8(0)
-        b.u16(idLen).u16(0) // heap ID length, I/O filter length (none)
+        b.u16(idLen).u16(if (filtered) pipelineBytes.length else 0)
         b.u8(0x02) // flags: direct blocks are checksummed
         b.u32(maxManaged)
         b.u64(hugeIdx.length + 1) // next huge object id (ids are 1-based)
@@ -3129,6 +3401,12 @@ object Hdf5 {
         b.u16(32).u16(math.max(curRows, 1)) // max heap bits, starting root rows
         b.u64(rootRef)
         b.u16(curRows) // 0 = root is a direct block, else root FHIB rows
+        if (filtered) {
+          // root-direct-block stored size + mask travel in the HEADER only
+          // when the root is a direct block; then the pipeline message
+          if (curRows == 0) { b.u64(filteredSizeOf(blockSize)); b.u32(0) }
+          b.raw(pipelineBytes)
+        }
         u32ck(b)
       }
 
@@ -3146,7 +3424,7 @@ object Hdf5 {
         val ck = lookup3(out)
         val cb = new LeBuf; cb.u32(ck.toLong & 0xFFFFFFFFL)
         System.arraycopy(cb.bytes, 0, out, headerSize - 4, 4)
-        out
+        if (filtered) filteredBytes(out) else out
       }
 
       /** Huge-object index: BTHD (type 1, depth 0) over one BTLF of
@@ -3196,9 +3474,16 @@ object Hdf5 {
           (0 until idLen - 1).foreach(k => id.u8(((v.toLong >> (8 * k)) & 0xFF).toInt))
         } else if (tinyIdx.contains(ix)) {
           val body = items(ix)._2(res)
-          id.u8(0x20 | (body.length - 1)) // version 0, type 2 = tiny, len-1
-          id.raw(body)
-          (1 + body.length until idLen).foreach(_ => id.u8(0)) // pad
+          if (idLen > 18) { // extended: 12-bit len-1 over flag nibble + byte
+            id.u8(0x20 | ((body.length - 1) >> 8))
+            id.u8((body.length - 1) & 0xFF)
+            id.raw(body)
+            (2 + body.length until idLen).foreach(_ => id.u8(0)) // pad
+          } else {
+            id.u8(0x20 | (body.length - 1)) // version 0, type 2 = tiny, len-1
+            id.raw(body)
+            (1 + body.length until idLen).foreach(_ => id.u8(0)) // pad
+          }
         } else {
           val (off, len) = mOff(ix)
           id.u8(0x00) // version 0, managed object
@@ -3318,13 +3603,13 @@ object Hdf5 {
 
     lazy val rootDense = new DenseStore("rootdx", 5,
       if (denseIdLen > 0) denseIdLen else 7,
-      names.sorted.map(n => n -> ((res: Resolve) => linkMsgBytes(n, res))),
-      denseNodeSize, denseHeapGeom)
+      memberNames.map(n => n -> ((res: Resolve) => linkMsgBytes(n, res))),
+      denseNodeSize, denseHeapGeom, denseHeapFilter)
     lazy val attrDense: Map[String, DenseStore] = datasets
       .filter(d => attrItems(d).nonEmpty)
       .map(d => d.name -> new DenseStore(s"adx:${d.name}", 8,
         if (denseIdLen > 0) denseIdLen else 8, attrItems(d),
-        denseNodeSize, denseHeapGeom))
+        denseNodeSize, denseHeapGeom, denseHeapFilter))
       .toMap
 
     // libhdf5's default page bits; fixtures stay below 2^10 chunks, so data

@@ -714,6 +714,112 @@ class Hdf5Spec extends AnyFunSuite {
     assert(Hdf5.readAll(p, h.dataset("b").get).toSeq == Seq(3.0, 4.0, 5.0))
   }
 
+  test("extended tiny heap IDs: 12-bit length over two header bytes (idLen > 18)") {
+    // idLen 24 forces the EXTENDED tiny sub-variant: length-1 is 12 bits,
+    // high nibble in the flag byte, low 8 in the second byte, data at +2
+    // (libhdf5 H5HF_TINY_MASK_EXT_1/2). A ~20-byte link message fits
+    // idLen-2 = 22 but NOT the normal variant's 16-byte cap.
+    val p = tmp("tinyext.h5")
+    Hdf5.write(p, Seq(
+      WDataset("longishname", F64, Seq(2), Array(1.0, 2.0)),
+      WDataset("n2", F64, Seq(3), Array(3.0, 4.0, 5.0))),
+      latest = true, denseRoot = true, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 24)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val leaf = (0 until bytes.length - 4).find(i =>
+      bytes(i) == 'B' && bytes(i + 1) == 'T' && bytes(i + 2) == 'L' &&
+        bytes(i + 3) == 'F').get
+    val flag = bytes(leaf + 6 + 4) & 0xFF
+    assert(((flag >> 4) & 3) == 2, f"expected a tiny heap ID, flag=0x$flag%02x")
+    // "longishname"'s message is 11 (name) + 3 (ver/flags/len) + 8 (addr)
+    // = 22 bytes: len-1 = 21 needs the second byte (21 = 0x015), proving
+    // the extended split is really exercised, not just zero-extended
+    val h = Hdf5.open(p)
+    assert(h.datasets.map(_.name) == Seq("longishname", "n2"))
+    assert(Hdf5.readAll(p, h.dataset("longishname").get).toSeq == Seq(1.0, 2.0))
+    assert(Hdf5.readAll(p, h.dataset("n2").get).toSeq == Seq(3.0, 4.0, 5.0))
+  }
+
+  test("filtered fractal heap: deflated root direct block (header size + pipeline)") {
+    // denseHeapFilter compresses every heap direct block; the root-direct
+    // case keeps the stored size + mask in the FRHP header itself
+    val p = tmp("filtheap.h5"); val pc = tmp("filtheap-plain.h5")
+    def dsets = (0 until 6).map(i =>
+      WDataset(s"v$i", F64, Seq(2), Array(i.toDouble, i + 0.5)))
+    Hdf5.write(p, dsets, latest = true, denseRoot = true, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
+      denseHeapGeom = None, links = Nil, denseHeapFilter = true)
+    Hdf5.write(pc, dsets, latest = true, denseRoot = true)
+    // the FRHP must DECLARE the pipeline: filter-info length at header+6
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val frhp = (0 until bytes.length - 4).find(i =>
+      bytes(i) == 'F' && bytes(i + 1) == 'R' && bytes(i + 2) == 'H' &&
+        bytes(i + 3) == 'P').get
+    val filterLen = ((bytes(frhp + 6) & 0xFF) | ((bytes(frhp + 7) & 0xFF) << 8))
+    assert(filterLen > 0, "FRHP must declare a filter pipeline")
+    val h = Hdf5.open(p); val c = Hdf5.open(pc)
+    assert(h.datasets.map(_.name) == c.datasets.map(_.name))
+    for (i <- 0 until 6)
+      assert(Hdf5.readAll(p, h.dataset(s"v$i").get).toSeq ==
+        Seq(i.toDouble, i + 0.5), i)
+  }
+
+  test("filtered fractal heap: indirect layout with per-block stored sizes") {
+    // multi-block doubling table + filter: FHIB direct entries widen to
+    // (address, stored size, mask) and every child block inflates back
+    val p = tmp("filtdeep.h5")
+    def dsets = (0 until 80).map(i =>
+      WDataset(f"metric_$i%04d", F64, Seq(2), Array(i.toDouble, i * 0.5)))
+    Hdf5.write(p, dsets, latest = true, denseRoot = true, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
+      denseHeapGeom = Some((64L, 128L)), links = Nil, denseHeapFilter = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    def count(sig: String) = bytes.sliding(4).count(_.sameElements(sig.getBytes))
+    assert(count("FHIB") >= 5,
+      s"expected a root + child indirect blocks, found ${count("FHIB")}")
+    val h = Hdf5.open(p)
+    for (i <- Seq(0, 23, 24, 41, 60, 79))
+      assert(Hdf5.readAll(p, h.dataset(f"metric_$i%04d").get).toSeq ==
+        Seq(i.toDouble, i * 0.5), i)
+  }
+
+  test("filtered fractal heap: corrupted compressed block fails loudly") {
+    val p = tmp("filtcorrupt.h5")
+    Hdf5.write(p, (0 until 6).map(i =>
+      WDataset(s"v$i", F64, Seq(2), Array(i.toDouble, i + 0.5))),
+      latest = true, denseRoot = true, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
+      denseHeapGeom = None, links = Nil, denseHeapFilter = true)
+    val path = java.nio.file.Paths.get(p)
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    // stored-mode deflate keeps plaintext visible: flip a byte INSIDE the
+    // compressed root block's payload (FHDB is in the stream) — the
+    // inflated block's checksum must catch it
+    val fhdb = (0 until bytes.length - 4).find(i =>
+      bytes(i) == 'F' && bytes(i + 1) == 'H' && bytes(i + 2) == 'D' &&
+        bytes(i + 3) == 'B').get
+    bytes(fhdb + 40) = (bytes(fhdb + 40) ^ 0x5A).toByte
+    java.nio.file.Files.write(path, bytes)
+    val e = intercept[Exception](Hdf5.open(p))
+    // either the zlib adler32 ("incorrect data check") or, for flips it
+    // misses, the inflated block's lookup3 checksum — loud both ways
+    assert(e.getMessage.contains("checksum") ||
+      e.getMessage.contains("data check"), s"unexpected: ${e.getMessage}")
+  }
+
+  test("filtered dense attributes round-trip") {
+    val p = tmp("filtattrs.h5")
+    val ds = Seq(WDataset("temp", F64, Seq(3), Array(1.0, 2.0, 3.0),
+      numAttrs = (0 until 20).map(i => (f"a_$i%02d", F64, Seq(i * 1.5)))))
+    Hdf5.write(p, ds, latest = true, denseRoot = false, denseAttrs = true,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
+      denseHeapGeom = None, links = Nil, denseHeapFilter = true)
+    val t = Hdf5.open(p).dataset("temp").get
+    assert(t.attrs.length == 20)
+    for (i <- 0 until 20)
+      assert(t.attr(f"a_$i%02d").map(_.value).contains(NumAttr(Seq(i * 1.5))))
+  }
+
   test("huge heap IDs use type bits 1 (libhdf5 H5HF_ID_TYPE_HUGE), not 2") {
     // interop lock: r14 encoded huge as type 2 — self-consistent, but real
     // libhdf5 files use 0x10 for huge and 0x20 for tiny (spec III.G)
@@ -1042,5 +1148,143 @@ class Hdf5Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Hdf5.readAll(p, h.dataset("temp").get))
     assert(e.getMessage.contains("page"))
+  }
+
+  // ---- soft + external links
+
+  private def oneVar(path: String, name: String, scale: Double,
+      latest: Boolean, links: Seq[WLink] = Nil): Array[Double] = {
+    val data = cube((t, y, x) => scale * (t * 100.0 + y * 10 + x))
+    Hdf5.write(path, Seq(
+      WDataset(name, F64, Seq(T, Y, X), data,
+        strAttrs = Seq("long_name" -> s"$name var"))), latest, links)
+    data
+  }
+
+  for (latest <- Seq(false, true)) {
+    val tag = if (latest) "latest (link message)" else "classic (symbol table)"
+    test(s"soft link round-trip: $tag") {
+      val p = tmp("soft.h5")
+      val data = oneVar(p, "temp", 1.0, latest,
+        links = Seq(WSoftLink("alias", "/temp")))
+      val h = Hdf5.open(p)
+      assert(h.datasets.map(_.name) == Seq("alias", "temp"))
+      val alias = h.dataset("alias").get
+      assert(alias.dims == Seq(T, Y, X) && alias.dtype == F64)
+      assert(alias.attr("long_name").map(_.value).contains(StrAttr("temp var")))
+      assert(Hdf5.readAll(p, alias).toSeq == data.toSeq)
+    }
+
+    test(s"soft link chain + relative target: $tag") {
+      val p = tmp("softchain.h5")
+      val data = oneVar(p, "temp", 2.0, latest,
+        links = Seq(WSoftLink("a1", "temp"), WSoftLink("a2", "/a1")))
+      val h = Hdf5.open(p)
+      assert(Hdf5.readAll(p, h.dataset("a2").get).toSeq == data.toSeq)
+    }
+
+    test(s"dangling soft link fails loudly: $tag") {
+      val p = tmp("dangling.h5")
+      oneVar(p, "temp", 1.0, latest, links = Seq(WSoftLink("bad", "/gone")))
+      val e = intercept[IllegalArgumentException](Hdf5.open(p))
+      assert(e.getMessage.contains("dangling soft link 'bad'"))
+    }
+
+    test(s"soft link cycle fails loudly: $tag") {
+      val p = tmp("cycle.h5")
+      oneVar(p, "temp", 1.0, latest,
+        links = Seq(WSoftLink("x", "/y"), WSoftLink("y", "/x")))
+      val e = intercept[IllegalArgumentException](Hdf5.open(p))
+      assert(e.getMessage.contains("cycle"))
+    }
+
+    test(s"soft link into a nested group path fails loudly: $tag") {
+      val p = tmp("nested.h5")
+      oneVar(p, "temp", 1.0, latest, links = Seq(WSoftLink("n", "/g/temp")))
+      val e = intercept[IllegalArgumentException](Hdf5.open(p))
+      assert(e.getMessage.contains("nested group paths unsupported"))
+    }
+  }
+
+  test("external link: data reads redirect to the target file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5ext")
+    val bp = dir.resolve("b.h5").toString
+    val ap = dir.resolve("a.h5").toString
+    val data = oneVar(bp, "temp", 3.0, latest = true)
+    oneVar(ap, "local", 1.0, latest = true,
+      links = Seq(WExternalLink("remote", "b.h5", "/temp")))
+    val h = Hdf5.open(ap)
+    assert(h.datasets.map(_.name) == Seq("local", "remote"))
+    val remote = h.dataset("remote").get
+    assert(remote.extFile.exists(_.endsWith("b.h5")))
+    assert(remote.attr("long_name").map(_.value).contains(StrAttr("temp var")))
+    // whole read AND row-section read both follow the redirect
+    assert(Hdf5.readAll(ap, remote).toSeq == data.toSeq)
+    val sr = new Hdf5.SectionReader(ap, remote)
+    try assert(sr.readRow(1, 2, 0, X - 1).toSeq ==
+      data.slice((Y * X) + 2 * X, (Y * X) + 3 * X).toSeq)
+    finally sr.close()
+  }
+
+  test("external link chain keeps the innermost redirect") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5ext2")
+    val cp = dir.resolve("c.h5").toString
+    val bp = dir.resolve("b.h5").toString
+    val ap = dir.resolve("a.h5").toString
+    val data = oneVar(cp, "temp", 4.0, latest = true)
+    oneVar(bp, "bvar", 1.0, latest = true,
+      links = Seq(WExternalLink("hop", "c.h5", "/temp")))
+    oneVar(ap, "avar", 1.0, latest = true,
+      links = Seq(WExternalLink("far", "b.h5", "/hop")))
+    val far = Hdf5.open(ap).dataset("far").get
+    assert(far.extFile.exists(_.endsWith("c.h5")),
+      s"redirect must be the file holding the bytes, got ${far.extFile}")
+    assert(Hdf5.readAll(ap, far).toSeq == data.toSeq)
+  }
+
+  test("external link to a missing file fails loudly") {
+    val p = tmp("extmiss.h5")
+    oneVar(p, "temp", 1.0, latest = true,
+      links = Seq(WExternalLink("gone", "nope.h5", "/temp")))
+    val e = intercept[IllegalArgumentException](Hdf5.open(p))
+    assert(e.getMessage.contains("file not found"))
+  }
+
+  test("external link cycle across files fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5extcyc")
+    val ap = dir.resolve("a.h5").toString
+    val bp = dir.resolve("b.h5").toString
+    oneVar(ap, "avar", 1.0, latest = true,
+      links = Seq(WExternalLink("toB", "b.h5", "/toA")))
+    oneVar(bp, "bvar", 1.0, latest = true,
+      links = Seq(WExternalLink("toA", "a.h5", "/toB")))
+    val e = intercept[IllegalArgumentException](Hdf5.open(ap))
+    assert(e.getMessage.contains("deeper than 8 files"))
+  }
+
+  test("classic write refuses external links") {
+    val p = tmp("extclassic.h5")
+    val e = intercept[IllegalArgumentException](
+      oneVar(p, "temp", 1.0, latest = false,
+        links = Seq(WExternalLink("x", "b.h5", "/temp"))))
+    assert(e.getMessage.contains("latest format"))
+  }
+
+  test("dense root group stores soft and external link messages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5dense")
+    val bp = dir.resolve("b.h5").toString
+    val ap = dir.resolve("a.h5").toString
+    val bData = oneVar(bp, "temp", 5.0, latest = true)
+    val aData = cube((t, y, x) => t * 100.0 + y * 10 + x)
+    Hdf5.write(ap, Seq(
+      WDataset("base", F64, Seq(T, Y, X), aData)),
+      latest = true, denseRoot = true, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 0,
+      denseHeapGeom = None,
+      links = Seq(WSoftLink("s", "/base"), WExternalLink("e", "b.h5", "/temp")))
+    val h = Hdf5.open(ap)
+    assert(h.datasets.map(_.name) == Seq("base", "e", "s"))
+    assert(Hdf5.readAll(ap, h.dataset("s").get).toSeq == aData.toSeq)
+    assert(Hdf5.readAll(ap, h.dataset("e").get).toSeq == bData.toSeq)
   }
 }
