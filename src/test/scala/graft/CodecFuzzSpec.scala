@@ -208,6 +208,46 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("HDF5 links + filtered extended-tiny heap: every truncation fails loudly") {
+    // the round's new shapes in one file: a FILTERED (deflate level-0)
+    // dense root heap with extended tiny IDs (idLen 24), a soft link, and
+    // an external link into a sibling file. Truncated copies land NEXT TO
+    // the target so the external resolution itself stays valid — cuts must
+    // fail in the structure, never silently misread through it.
+    val dir = java.nio.file.Files.createTempDirectory("codec-fuzz-links")
+    val bp = dir.resolve("target.h5").toString
+    Hdf5.write(bp, Seq(
+      WDataset("remote", F64, Seq(3), Array(7.0, 8.0, 9.0))), latest = true)
+    val p = dir.resolve("fuzz-links.h5").toString
+    Hdf5.write(p, (0 until 6).map(i =>
+      WDataset(s"v$i", F64, Seq(2), Array(i.toDouble, i + 0.5))),
+      latest = true, denseRoot = true, denseAttrs = false,
+      groupInternalK = 16, denseNodeSize = 4096, denseIdLen = 24,
+      denseHeapGeom = None,
+      links = Seq(Hdf5.WSoftLink("alias", "/v3"),
+        Hdf5.WExternalLink("far", "target.h5", "/remote")),
+      denseHeapFilter = true)
+    def fullRead(path: String): Vector[(String, Vector[Double])] = {
+      val h = Hdf5.open(path)
+      h.datasets.toVector.map(ds => ds.name -> Hdf5.readAll(path, ds).toVector)
+    }
+    val orig = fullRead(p)
+    assert(orig.map(_._1) ==
+      Vector("alias", "far", "v0", "v1", "v2", "v3", "v4", "v5"))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    truncations(bytes.length.toLong).foreach { cut =>
+      val dst = dir.resolve(s"cut$cut.h5")
+      java.nio.file.Files.write(dst,
+        java.util.Arrays.copyOfRange(bytes, 0, cut.toInt))
+      scala.util.Try(fullRead(dst.toString)) match {
+        case scala.util.Failure(_) => // explicit error — the contract
+        case scala.util.Success(got) =>
+          assert(got == orig, s"links+filtered: truncation to $cut of " +
+            s"${bytes.length} bytes silently returned a wrong result")
+      }
+    }
+  }
+
   test("HDF5 latest format: every superblock byte-flip is caught or harmless") {
     // the latest-format metadata is Jenkins-lookup3 checksummed; flipping
     // any single byte of the superblock (incl. its checksum field) must

@@ -294,6 +294,51 @@ class NcGridSourceSpec extends AnyFunSuite {
     assert(found == Seq("tasmax"))
   }
 
+  test("NetCDF-4 external-link aggregation: stub file's data var reads from a sibling") {
+    // the virtual-aggregation archive shape: the scan-visible .nc4 holds
+    // only the coordinate scales plus an EXTERNAL link to the data
+    // variable in a sibling payload file; the payload's name is outside
+    // the scan filter, so only the stub forms a cube — yet cell reads
+    // stream from the payload's bytes through the link redirect
+    import graft.sources.{Hdf5, NcIo}
+    import graft.sources.Hdf5.{F32, F64, I32, WDataset, WExternalLink, WSoftLink}
+    val (td, yd, xd) = (3, 4, 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc4link")
+    val data = Array.tabulate(td * yd * xd)(i => (i % 23).toDouble)
+    def coords = Seq(
+      WDataset("time", I32, Seq(td), Array.tabulate(td)(_.toDouble),
+        strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time",
+          "units" -> "days since 1990-01-01")),
+      WDataset("lat", F64, Seq(yd), Array.tabulate(yd)(44.0 + _ * 0.05),
+        strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "lat")),
+      WDataset("lon", F64, Seq(xd), Array.tabulate(xd)(-80.0 + _ * 0.05),
+        strAttrs = Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "lon")))
+    Hdf5.write(dir.resolve("payload.h5data").toString, coords :+
+      WDataset("temp", F32, Seq(td, yd, xd), data,
+        strAttrs = Seq("long_name" -> "air temperature"),
+        refAttrs = Seq("DIMENSION_LIST" ->
+          Seq(Seq("time"), Seq("lat"), Seq("lon")))), latest = true)
+    Hdf5.write(dir.resolve("agg.nc4").toString, coords, latest = true,
+      links = Seq(WExternalLink("temp", "payload.h5data", "/temp"),
+        WSoftLink("lat_alias", "/lat")))
+    val h = NcIo.open(dir.resolve("agg.nc4").toString)
+    val v = h.variable("temp").get
+    assert(v.dimNames == Seq("time", "lat", "lon"))
+    assert(h.readAll(v).toSeq == data.toSeq)
+    val rr = h.rowReader(v)
+    try assert(rr.readRow(1, 2, 0, xd - 1).toSeq ==
+      data.slice(yd * xd + 2 * xd, yd * xd + 3 * xd).toSeq)
+    finally rr.close()
+    // the DSv2 cube over the directory: one variable, every cell served
+    val df = spark.read.format(classOf[GridSource].getName)
+      .option("path", dir.toString).load()
+    assert(df.select("variable").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("temp"))
+    val got = df.orderBy("ts", "y", "x").select("value").collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got == data.toSeq)
+  }
+
   test("CF time-unit strings parse to (epoch, scale)") {
     assert(NcGrid.timeUnit("days since 1990-01-01") ==
       (631152000000000L, 86400000000L))
