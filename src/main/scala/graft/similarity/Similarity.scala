@@ -627,6 +627,75 @@ object Similarity extends QueryModule {
   private def qMmr(s: SparkSession, d: String): DataFrame =
     mmrTopK(T.embeddings(s, d), queryId = 1L)
 
+  /** Lloyd's k-means over the embedding corpus — the clustering step the
+    * SemDeDup / DataComp-style pipelines run BEFORE balancing or pruning —
+    * made deterministic so DuckDB mirrors it: init = the k lowest vec_ids,
+    * every assignment score rounded to 4 decimals before the argmax (ties
+    * to the smaller centroid id), exactly one refinement pass. The score
+    * is argmin squared distance in argmax form (e·c − c·c/2, the e·e term
+    * is rank-constant). 100 TB shape: both assignment passes are a corpus
+    * × k BROADCAST product (k centroids are metadata-sized), the mean step
+    * is one posexplode aggregate whose map-side partials collapse to k ×
+    * dims groups, and the driver holds only the k × dims centroid matrix —
+    * never rows.
+    */
+  private val KmeansK = 5
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val emb = T.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val init = emb.orderBy("vec_id").limit(KmeansK)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cid"))
+    val a1 = emb.crossJoin(broadcast(init))
+      .withColumn("score", round(
+        dot_product(col("e"), col("ce")) -
+          dot_product(col("ce"), col("ce")) / 2, 4))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "e", "cid")
+    // refined centroids: element-wise means, k×dims — driver-held metadata
+    val c1 = a1.select(col("cid"), posexplode(col("e")).as(Seq("d", "v")))
+      .groupBy("cid", "d").agg(avg("v").as("cv"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        val ce = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        (cid, ce, ce.map(x => x * x).sum)
+      }.toSeq.sortBy(_._1).toDF("cid", "ce", "cc")
+    emb.crossJoin(broadcast(c1))
+      .withColumn("score",
+        round(dot_product(col("e"), col("ce")) - col("cc") / 2, 4))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "cid")
+  }
+
+  private def qKmeans(s: SparkSession, d: String): DataFrame =
+    kmeansAssign(s, d)
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("id_sum"))
+      .orderBy("cluster")
+
+  /** Cluster-BALANCED downsample (the DataComp mixing move): every cluster
+    * keeps exactly min-cluster-size members, chosen by a deterministic
+    * integer hash rank so both engines draw the identical "sample". No
+    * global window: sizes are a k-row aggregate, the cutoff a 1-row
+    * broadcast.
+    */
+  private def qKmeansBalanced(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = kmeansAssign(s, d)
+    val mRow = asg.groupBy("cid").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("m"))
+    val wS = Window.partitionBy("cid").orderBy(col("h"), col("vec_id"))
+    asg.withColumn("h", col("vec_id") * lit(2654435761L) % 999983)
+      .withColumn("rn", row_number().over(wS))
+      .crossJoin(broadcast(mRow))
+      .filter(col("rn") <= col("m"))
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_sampled"), sum("vec_id").as("id_sum"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_topk_filtered" -> qCosineTopkFiltered,
@@ -640,6 +709,8 @@ object Similarity extends QueryModule {
     "q_cosine_ivfpq_res" -> qCosineIvfPqRes,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_semdedup" -> qSemDedup,
+    "q_kmeans" -> qKmeans,
+    "q_kmeans_balanced" -> qKmeansBalanced,
     "q_embed_dedup_cluster" -> qEmbedDedupCluster,
     "q_embed_knn" -> qEmbedKnn,
     "q_embed_knn_shuffle" -> qEmbedKnnShuffle,
@@ -908,6 +979,56 @@ object Similarity extends QueryModule {
          |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
          |WHERE round(list_dot_product(l.e, r.e)
          |        / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))), 4) >= 0.0
-         |ORDER BY cos DESC, id1, id2 LIMIT 50""".stripMargin
+         |ORDER BY cos DESC, id1, id2 LIMIT 50""".stripMargin,
+    "q_kmeans" ->
+      s"""$kmeansCte
+         |SELECT cid AS cluster, count(*) AS n_vecs,
+         |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kmeans_balanced" ->
+      s"""$kmeansCte,
+         |m AS (SELECT min(n) AS m FROM (
+         |  SELECT count(*) AS n FROM a2 GROUP BY cid)),
+         |ranked AS (
+         |  SELECT vec_id, cid, row_number() OVER (
+         |    PARTITION BY cid
+         |    ORDER BY (vec_id * 2654435761) % 999983, vec_id) AS rn
+         |  FROM a2)
+         |SELECT cid AS cluster, count(*) AS n_sampled,
+         |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM ranked, m WHERE rn <= m.m GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** The deterministic two-pass Lloyd recipe as one CTE chain ending in the
+    * final assignment `a2(vec_id, cid)` — the mirror of [[kmeansAssign]]:
+    * init = the $KmeansK lowest vec_ids, scores `e·c − c·c/2` rounded to 4
+    * decimals before every argmax, ties to the smaller centroid id,
+    * refined centroids as element-wise means over the pass-1 clusters.
+    */
+  private def kmeansCte: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |init AS (SELECT vec_id AS cid, e AS ce FROM e ORDER BY vec_id LIMIT $KmeansK),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, init.cid, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY round(list_dot_product(e.e, init.ce)
+       |        - list_dot_product(init.ce, init.ce) / 2, 4) DESC, init.cid) AS rn
+       |    FROM e, init) WHERE rn = 1),
+       |ex AS (SELECT vec_id, unnest(e) AS v, generate_subscripts(e, 1) AS d FROM e),
+       |c1 AS (
+       |  SELECT a1.cid, ex.d, avg(ex.v) AS cv
+       |  FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |cnorm AS (SELECT cid, sum(cv * cv) AS cc FROM c1 GROUP BY 1),
+       |dots AS (
+       |  SELECT ex.vec_id, c1.cid, sum(ex.v * c1.cv) AS ec
+       |  FROM ex JOIN c1 USING (d) GROUP BY 1, 2),
+       |a2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT dots.vec_id, dots.cid, row_number() OVER (
+       |      PARTITION BY dots.vec_id
+       |      ORDER BY round(dots.ec - cnorm.cc / 2, 4) DESC, dots.cid) AS rn
+       |    FROM dots JOIN cnorm USING (cid)) WHERE rn = 1)""".stripMargin
 }

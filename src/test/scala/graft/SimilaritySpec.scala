@@ -327,4 +327,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(census.map(_._3).sum > census.map(_._4).sum,
       "pruning degenerated: dropped the majority of the corpus")
   }
+
+  test("k-means census partitions the corpus; refinement does not lose clusters") {
+    val census = SparkEntry.queries("q_kmeans")(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    val corpus = Tables.embeddings(spark, TestSpark.sf).count()
+    assert(census.map(_._2).sum == corpus,
+      "every vector must land in exactly one cluster")
+    assert(census.length == 5, "a refined centroid starved to zero members")
+    assert(census.forall(_._2 > 0))
+  }
+
+  test("balanced downsample: every cluster keeps exactly min-cluster-size members") {
+    val census = SparkEntry.queries("q_kmeans")(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    val sampled = SparkEntry.queries("q_kmeans_balanced")(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    val m = census.map(_._2).min
+    assert(sampled.map(_._1).sorted.sameElements(census.map(_._1).sorted),
+      "sample must cover the same clusters")
+    assert(sampled.forall(_._2 == m),
+      s"every cluster must keep exactly $m members: ${sampled.mkString(",")}")
+    // the sample is a SUBSET census-wise: id_sum of a cluster's sample
+    // can't exceed the full cluster's id_sum
+    val full = census.map(r => r._1 -> r._3).toMap
+    assert(sampled.forall(r => r._3 <= full(r._1)))
+  }
 }
