@@ -373,6 +373,77 @@ class SnapshotChaosSpec extends AnyFunSuite {
     assert(Snapshots.stagedTokens(spark, dir).isEmpty, "staged debris left")
   }
 
+  test("chaos: branch workflows racing main appenders — fast-forward atomic, no debris") {
+    // the multi-commit WAP under contention: branch workers fork, commit
+    // twice to the branch, and fast-forward; main appenders keep the head
+    // moving underneath them. fastForward refuses when main moved past the
+    // fork (loud CME — the documented rebase contract), so workers
+    // re-branch and REPLAY until their rows land. Invariants: the head is
+    // the exact union of everything that reported success, history is
+    // linear, and no branch ref/manifest/data debris survives.
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos-br").toFile.getAbsolutePath
+    Snapshots.commit(spark, dir, Seq((0L, 0L)).toDF("k", "v"))
+    val nBranch = 2; val nAppend = 2; val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nBranch + nAppend)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val barrier = new java.util.concurrent.CyclicBarrier(nBranch + nAppend)
+    val branchWorkers = (1 to nBranch).map { t =>
+      Future {
+        barrier.await()
+        (1 to perThread).foreach { i =>
+          val name = s"wap-$t-$i"
+          var landed = false
+          var attempts = 0
+          while (!landed) {
+            attempts += 1
+            assert(attempts <= 50, s"branch $name starved after 50 rebases")
+            Snapshots.createBranch(spark, dir, name)
+            Snapshots.commitToBranch(spark, dir, name,
+              Seq(((t * 1000 + i * 10).toLong, t.toLong)).toDF("k", "v"))
+            Snapshots.commitToBranch(spark, dir, name,
+              Seq(((t * 1000 + i * 10 + 1).toLong, t.toLong)).toDF("k", "v"))
+            try { Snapshots.fastForward(spark, dir, name); landed = true }
+            catch { case _: java.util.ConcurrentModificationException =>
+              // main moved past the fork: drop the stale branch, replay
+              Snapshots.deleteBranch(spark, dir, name)
+            }
+          }
+        }
+      }
+    }
+    val appenders = (1 to nAppend).map { t =>
+      Future {
+        barrier.await()
+        (1 to perThread).foreach(i => Snapshots.commitRetry(spark, dir,
+          Seq(((t * 100000 + i).toLong, -t.toLong)).toDF("k", "v")))
+      }
+    }
+    Await.result(Future.sequence(branchWorkers ++ appenders), 600.seconds)
+    pool.shutdown()
+    val want = (Seq((0L, 0L)) ++
+      (for (t <- 1 to nBranch; i <- 1 to perThread; j <- 0 to 1)
+        yield ((t * 1000 + i * 10 + j).toLong, t.toLong)) ++
+      (for (t <- 1 to nAppend; i <- 1 to perThread)
+        yield ((t * 100000 + i).toLong, -t.toLong))).sorted
+    assert(readAll(dir) == want,
+      "racing branch fast-forwards and appends lost or duplicated rows")
+    assert(Snapshots.branches(spark, dir).isEmpty, "branch ref debris left")
+    // each fast-forward is ONE atomic commit: its version adds exactly the
+    // branch's two rows; history stays linear throughout
+    val head = Snapshots.currentVersion(spark, dir).get
+    (2 to head).foreach { v =>
+      val prev = Snapshots.files(spark, dir, v - 1).toSet
+      assert(prev.subsetOf(Snapshots.files(spark, dir, v).toSet),
+        s"v$v does not extend v${v - 1}")
+      val grew = Snapshots.read(spark, dir, Some(v)).count() -
+        Snapshots.read(spark, dir, Some(v - 1)).count()
+      assert(grew == 1 || grew == 2, s"v$v grew by $grew rows (not 1 or 2)")
+    }
+  }
+
   test("chaos: replaceWhereRetry racing retrying appenders — both commit, no lost rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-chaos-rw").toFile.getAbsolutePath
     // keyspace [0, 100) seeded; the replacer swaps [10, 29] per round while
