@@ -167,11 +167,44 @@ object Privacy extends QueryModule {
       .orderBy(col("gen_level"), col("lang"), col("source").asc_nulls_first,
         col("bucket_lo").asc_nulls_first)
 
+  /** Differentially private census release — the Laplace mechanism (Dwork
+    * et al. 2006, the workhorse of DP reporting): per-language COUNT gets
+    * Laplace(1/ε) noise (sensitivity 1), SUM clips each document's
+    * contribution to [0, C] first (bounding the sensitivity) and adds
+    * Laplace(C/ε). The uniform draw is a seeded inverse-CDF transform of a
+    * per-group integer hash — deterministic HERE so the DuckDB oracle
+    * reproduces the release bit-for-bit; a production release swaps the
+    * uniform for a CSPRNG, everything else unchanged. Scale shape: one
+    * hash aggregate to a |langs|-sized census; noise applies to the
+    * census, never per row.
+    */
+  private val DpEps = 1.0
+  private val DpClip = 500.0
+  private def qDpRelease(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def unif(idSum: Column, mult: Long): Column =
+      ((idSum % 1048576L) * mult % 1048576L + lit(0.5)) / 1048576.0
+    def lap(u: Column, b: Double): Column =
+      -lit(b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    T.documents(s, d).groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(least(col("n_chars"), lit(DpClip)).cast("double")).as("clip_sum"),
+        sum(col("doc_id")).as("id_sum"))
+      .select(col("lang"),
+        round(col("n") + lap(unif(col("id_sum"), 2654435761L), 1.0 / DpEps), 4)
+          .as("dp_count"),
+        round(col("clip_sum") +
+          lap(unif(col("id_sum"), 1779033703L), DpClip / DpEps), 4)
+          .as("dp_sum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anon" -> qKAnon,
     "q_anonymize" -> qAnonymize,
     "q_l_diversity" -> qLDiversity,
-    "q_t_closeness" -> qTCloseness
+    "q_t_closeness" -> qTCloseness,
+    "q_dp_release" -> qDpRelease
   )
 
   private val qiCte =
@@ -269,6 +302,25 @@ object Privacy extends QueryModule {
          |       THEN 1 ELSE 0 END AS breach
          |FROM x GROUP BY gen_level, lang, src_k, blo_k, ctot, gtot
          |ORDER BY gen_level, lang, source NULLS FIRST,
-         |  bucket_lo NULLS FIRST""".stripMargin
+         |  bucket_lo NULLS FIRST""".stripMargin,
+    // the same seeded inverse-CDF Laplace draw, unrolled: u from the
+    // group's id_sum via pure integer arithmetic, noise −b·sign·ln(1−2|·|)
+    "q_dp_release" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(least(n_chars, 500)) AS DOUBLE) AS clip_sum,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM documents GROUP BY lang),
+        |u AS (
+        |  SELECT lang, n, clip_sum,
+        |    ((id_sum % 1048576) * 2654435761 % 1048576 + 0.5) / 1048576.0 AS u1,
+        |    ((id_sum % 1048576) * 1779033703 % 1048576 + 0.5) / 1048576.0 AS u2
+        |  FROM g)
+        |SELECT lang,
+        |  round(n - 1.0 * sign(u1 - 0.5) * ln(1 - 2 * abs(u1 - 0.5)), 4)
+        |    AS dp_count,
+        |  round(clip_sum - 500.0 * sign(u2 - 0.5) * ln(1 - 2 * abs(u2 - 0.5)), 4)
+        |    AS dp_sum
+        |FROM u ORDER BY lang""".stripMargin
   )
 }

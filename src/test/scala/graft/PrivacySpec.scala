@@ -101,4 +101,34 @@ class PrivacySpec extends AnyFunSuite {
     assert(audit.exists(_.getAs[Int]("breach") == 1), "no breach found")
     assert(audit.exists(_.getAs[Int]("breach") == 0), "everything breached")
   }
+
+  test("DP release: noise is bounded, non-degenerate, and deterministic") {
+    import org.apache.spark.sql.functions._
+    val rel = SparkEntry.queries("q_dp_release")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0),
+        r.getAs[Double]("dp_count"), r.getAs[Double]("dp_sum")))
+    val truth = Tables.documents(spark, TestSpark.sf).groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(least(col("n_chars"), lit(500.0))).as("cs"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1).toDouble, r.getDouble(2))).toMap
+    assert(rel.nonEmpty)
+    // |Laplace(b)| from a 2^20-grained inverse CDF is at most b·ln(2^21)
+    val maxCount = math.log(2097152.0)
+    rel.foreach { case (lang, dpc, dps) =>
+      val (n, cs) = truth(lang)
+      assert(math.abs(dpc - n) <= maxCount + 1e-9,
+        s"$lang: count noise ${dpc - n} exceeds the mechanism's support")
+      assert(math.abs(dps - cs) <= 500.0 * maxCount + 1e-9,
+        s"$lang: sum noise ${dps - cs} exceeds the mechanism's support")
+    }
+    // non-degenerate: at least one group's release actually moved
+    assert(rel.exists { case (l, dpc, _) => dpc != truth(l)._1 },
+      "the release equals the raw census — no noise applied")
+    // seeded: a second evaluation reproduces the release exactly
+    val again = SparkEntry.queries("q_dp_release")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0),
+        r.getAs[Double]("dp_count"), r.getAs[Double]("dp_sum")))
+    assert(rel.sameElements(again), "release is not deterministic")
+  }
 }
