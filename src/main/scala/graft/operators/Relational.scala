@@ -491,6 +491,21 @@ object Relational extends QueryModule {
       dir
     })
 
+  /** Hilbert twin of [[snapZDir]]: the same orders table re-clustered on
+    * the seam-free curve ([[Snapshots.clusterHilbert]]); the declared box
+    * query prunes through the identical [[Snapshots.readRanges]] stats
+    * machinery, so the oracle is a plain range filter.
+    */
+  private val snapHDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapHDir(s: SparkSession, d: String): String =
+    snapHDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snaph").toFile.getAbsolutePath
+      Snapshots.commit(s, dir,
+        T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"))
+      Snapshots.clusterHilbert(s, dir, "o_custkey", "o_orderkey", 16)
+      dir
+    })
+
   /** N-COLUMN Z-order twin of [[snapZDir]], exercising NON-INT dimensions:
     * the table re-clusters on the interleaved bucket ranks of (o_custkey
     * BIGINT, o_orderdate TIMESTAMP, o_totalprice DOUBLE) —
@@ -1205,6 +1220,13 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  private def qSnapshotHilbert(s: SparkSession, d: String): DataFrame =
+    Snapshots.readRanges(s, snapHDir(s, d), Seq(
+        ("o_custkey", Some(20L), Some(60L)),
+        ("o_orderkey", Some(500L), Some(1999L))))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   private def qTimeTravel(s: SparkSession, d: String): DataFrame = {
     val dir = snapDir(s, d)
     Seq(1, 2, 3).map { v =>
@@ -1614,6 +1636,7 @@ object Relational extends QueryModule {
     "q_snapshot_skip" -> qSnapshotSkip,
     "q_snapshot_delete" -> qSnapshotDelete,
     "q_snapshot_zorder" -> qSnapshotZorder,
+    "q_snapshot_hilbert" -> qSnapshotHilbert,
     "q_snapshot_zorder_inc" -> qSnapshotZorderInc,
     "q_snapshot_zorder_cols" -> qSnapshotZorderCols,
     "q_snapshot_cdf" -> qSnapshotCdf,
@@ -1851,6 +1874,12 @@ object Relational extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_custkey BETWEEN 10 AND 40
         |  AND o_orderkey BETWEEN 0 AND 999
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_hilbert" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_custkey BETWEEN 20 AND 60
+        |  AND o_orderkey BETWEEN 500 AND 1999
         |ORDER BY n""".stripMargin,
     "q_mview_minmax" ->
       """WITH o AS (SELECT o_orderkey % 7 AS g, o_orderkey AS k,

@@ -1580,6 +1580,40 @@ object Snapshots {
     v
   }
 
+  /** OPTIMIZE via the HILBERT curve — [[clusterZOrder]]'s twin on the
+    * seam-free curve (Iceberg's `hilbert` transform): consecutive curve
+    * positions are Manhattan-ADJACENT cells, so sorted runs never take
+    * Morton's diagonal jumps and per-file [min, max] envelopes average
+    * tighter for box queries. Same replace-preserving publish and the same
+    * `zorder.clustered_through` watermark — a table has one clustering
+    * lineage whichever curve each maintenance pass picks.
+    */
+  def clusterHilbert(spark: SparkSession, dir: String, xCol: String,
+      yCol: String, targetFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val v = replacePreserving(spark, dir, read(spark, dir, Some(cur))
+      .withColumn("__z", graft.functions.HilbertFunctions.hilbert64(
+        col(xCol).cast("int"), col(yCol).cast("int")))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z"), expectedVersion = Some(cur))
+    setProperties(spark, dir, Map("zorder.clustered_through" -> v.toString))
+    v
+  }
+
+  /** [[clusterZOrderIncremental]] on the Hilbert key: only the unclustered
+    * tail rewrites; carried files stay byte-identical.
+    */
+  def clusterHilbertIncremental(spark: SparkSession, dir: String,
+      xCol: String, yCol: String, targetFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    clusterIncremental(spark, dir, targetFiles, df =>
+      graft.functions.HilbertFunctions.hilbert64(
+        col(xCol).cast("int"), col(yCol).cast("int")))
+  }
+
   /** OPTIMIZE ZORDER over ANY number of columns of ANY orderable type
     * (long/double/string/timestamp/date …) — the generalization of the
     * two-int [[clusterZOrder]]. Each column is first CANONICALIZED to a

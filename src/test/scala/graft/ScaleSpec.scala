@@ -473,6 +473,44 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
+  test("hilbert64: bijective and unit-step adjacent on every small grid") {
+    import graft.functions.Hilbert64
+    for (order <- 1 to 5) {
+      val n = 1L << order
+      var prev: (Long, Long) = null
+      (0L until n * n).foreach { d =>
+        val (x, y) = Hilbert64.inverse(d, order)
+        assert(x >= 0 && x < n && y >= 0 && y < n, s"order $order d=$d out of grid")
+        assert(Hilbert64.indexOrder(x, y, order) == d,
+          s"order $order: xy2d(d2xy($d)) != $d — not a bijection")
+        if (prev != null) {
+          val step = math.abs(x - prev._1) + math.abs(y - prev._2)
+          assert(step == 1,
+            s"order $order: d=$d jumped $step cells — not a Hilbert curve")
+        }
+        prev = (x, y)
+      }
+    }
+  }
+
+  test("hilbert64 codegen compiles (CODEGEN_ONLY) and agrees with the Scala reference") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Hilbert64, HilbertFunctions}
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = spark.range(64)
+        .select((col("id") - 32).cast("int").as("x"), // negatives included
+          (col("id") * 7 % 64 - 16).cast("int").as("y"))
+        .select(col("x"), col("y"),
+          HilbertFunctions.hilbert64(col("x"), col("y")).as("h"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getLong(2) == Hilbert64.index(r.getInt(0), r.getInt(1)))
+        assert(r.getLong(2) >= 0, "63-bit index must stay positive")
+      }
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     val q = SparkEntry.queries("q_join_range_binned")(spark, TestSpark.sf)
     val plan = q.queryExecution.executedPlan.toString

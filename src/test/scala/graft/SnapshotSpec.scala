@@ -275,6 +275,34 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir, Some(v - 1)).count() == 64L * 64L)
   }
 
+  test("clusterHilbert: both dimensions skip; incremental pass carries clustered files") {
+    val dir = tmp()
+    val grid = spark.range(64L * 64L).toDF("i")
+      .withColumn("x", (col("i") % 64).cast("long"))
+      .withColumn("y", (col("i") / 64).cast("long")).drop("i")
+    Snapshots.commit(spark, dir, grid)
+    val v = Snapshots.clusterHilbert(spark, dir, "x", "y", 16)
+    val (keptX, all) = Snapshots.pruneFiles(spark, dir, v, "x", Some(0L), Some(15L))
+    val (keptY, _) = Snapshots.pruneFiles(spark, dir, v, "y", Some(0L), Some(15L))
+    assert(all.length > 8)
+    assert(keptX.length < all.length, "x-range skipped nothing on the hilbert layout")
+    assert(keptY.length < all.length, "y-range skipped nothing on the hilbert layout")
+    val got = Snapshots.readRanges(spark, dir,
+        Seq(("x", Some(0L), Some(15L)), ("y", Some(0L), Some(15L))))
+      .count()
+    assert(got == 16L * 16L)
+    assert(Snapshots.read(spark, dir, Some(v - 1)).count() == 64L * 64L)
+    // incremental: a fresh tail clusters, the 16 clustered files carry
+    val clustered = Snapshots.files(spark, dir, v).toSet
+    Snapshots.commit(spark, dir, grid.withColumn("x", col("x") + 100))
+    val v2 = Snapshots.clusterHilbertIncremental(spark, dir, "x", "y", 4)
+    val after = Snapshots.files(spark, dir, v2).toSet
+    assert(clustered.subsetOf(after), "incremental pass rewrote clustered files")
+    assert(Snapshots.read(spark, dir, Some(v2)).count() == 2 * 64L * 64L)
+    // a further incremental pass is a no-op
+    assert(Snapshots.clusterHilbertIncremental(spark, dir, "x", "y", 4) == v2)
+  }
+
   test("mergeInto rewrites only key-touched files; updates replace, inserts append") {
     val dir = tmp()
     val v1 = Snapshots.commit(spark, dir,
