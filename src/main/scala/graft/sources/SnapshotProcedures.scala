@@ -65,6 +65,12 @@ private[graft] object SnapshotProcedures {
       new StructType().add("version", IntegerType),
       (s, dir, r) => Seq(Snapshots.clusterZOrderCols(s, dir,
         str(r, 1).split(",").map(_.trim).toSeq, targetFiles = r.getInt(2)))),
+    "hilbert" -> Spec(
+      Seq(p("tbl", StringType), p("x_col", StringType), p("y_col", StringType),
+        pd("target_files", IntegerType, "8")),
+      new StructType().add("version", IntegerType),
+      (s, dir, r) => Seq(Snapshots.clusterHilbert(s, dir,
+        str(r, 1), str(r, 2), targetFiles = r.getInt(3)))),
     "restore" -> Spec(
       Seq(p("tbl", StringType), p("version", IntegerType)),
       new StructType().add("version", IntegerType),

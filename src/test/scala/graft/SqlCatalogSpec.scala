@@ -389,6 +389,10 @@ class SqlCatalogSpec extends AnyFunSuite {
       s"CALL gtest.system.zorder(tbl => '$tblArg', cols => 'k,p', target_files => 4)")
       .as[Int].head()
     assert(spark.table(t).count() == 502 && zv == ffv + 1)
+    // hilbert through CALL: the other curve, same contract
+    val hv = spark.sql(s"CALL gtest.system.hilbert(tbl => '$tblArg', " +
+      s"x_col => 'k', y_col => 'p', target_files => 4)").as[Int].head()
+    assert(spark.table(t).count() == 502 && hv == zv + 1)
     // vacuum + expire + expire_staged return counts; unknown proc refuses
     assert(spark.sql(s"CALL gtest.system.vacuum(tbl => '$tblArg', grace_hours => 0)")
       .collect().nonEmpty)
