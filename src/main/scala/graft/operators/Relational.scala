@@ -1220,6 +1220,28 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** SHALLOW CLONE declared end-to-end: clone the versioned fixture at its
+    * pinned v2 (zero bytes copied — the clone's manifest references the
+    * source's files), then evolve the CLONE independently with one local
+    * append; the census proves the pinned state + the append, while the
+    * source's later replace stays invisible.
+    */
+  private val snapCloneDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapCloneDir(s: SparkSession, d: String): String =
+    snapCloneDirs.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val dst = java.nio.file.Files.createTempDirectory("graft-snapclone").toFile.getAbsolutePath
+      Snapshots.cloneTable(s, snapDir(s, d), dst, Some(2))
+      Snapshots.commit(s, dst,
+        Seq((-1L, 123.45)).toDF("o_orderkey", "o_totalprice"))
+      dst
+    })
+
+  private def qSnapshotClone(s: SparkSession, d: String): DataFrame =
+    Snapshots.read(s, snapCloneDir(s, d))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"))
+
   private def qSnapshotHilbert(s: SparkSession, d: String): DataFrame =
     Snapshots.readRanges(s, snapHDir(s, d), Seq(
         ("o_custkey", Some(20L), Some(60L)),
@@ -1637,6 +1659,7 @@ object Relational extends QueryModule {
     "q_snapshot_delete" -> qSnapshotDelete,
     "q_snapshot_zorder" -> qSnapshotZorder,
     "q_snapshot_hilbert" -> qSnapshotHilbert,
+    "q_snapshot_clone" -> qSnapshotClone,
     "q_snapshot_zorder_inc" -> qSnapshotZorderInc,
     "q_snapshot_zorder_cols" -> qSnapshotZorderCols,
     "q_snapshot_cdf" -> qSnapshotCdf,
@@ -1880,6 +1903,12 @@ object Relational extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_custkey BETWEEN 20 AND 60
         |  AND o_orderkey BETWEEN 500 AND 1999
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_clone" ->
+      """SELECT count(*) + 1 AS n,
+        |  round(sum(o_totalprice) + 123.45, 2) AS total,
+        |  CAST(-1 AS BIGINT) AS min_key
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |ORDER BY n""".stripMargin,
     "q_mview_minmax" ->
       """WITH o AS (SELECT o_orderkey % 7 AS g, o_orderkey AS k,

@@ -34,6 +34,19 @@ object Snapshots {
   // keyed by the Path-NORMALIZED manifest dir so every caller (manifest
   // CAS, staged publish/discard, props writes) lands on the same monitor
   // regardless of how the table dir string was spelled
+  /** A manifest file entry that lives OUTSIDE this table — a shallow
+    * clone's reference into its source. External entries are read-only
+    * from this table's perspective: no delete path may ever touch one.
+    */
+  private[graft] def isExternal(f: String): Boolean =
+    f.startsWith("/") || f.contains("://")
+
+  /** Resolve a manifest file entry to a filesystem path: table-relative
+    * normally, verbatim for external (clone-source) references.
+    */
+  private[graft] def dataPath(dir: String, f: String): String =
+    if (isExternal(f)) f else s"$dir/$f"
+
   private def publishLock(key: String): Object =
     publishLocks.computeIfAbsent(
       new org.apache.hadoop.fs.Path(key).toString, _ => new Object)
@@ -534,7 +547,7 @@ object Snapshots {
       if (carried.isEmpty) Map.empty
       else stats(spark, dir, statsFrom.getOrElse(next - 1))
     val statRows = carried.flatMap(f => prevStats.get(f).map(f -> _)) ++
-      fresh.map(f => f -> footerStats(spark, s"$dir/$f"))
+      fresh.map(f => f -> footerStats(spark, dataPath(dir, f)))
     def writeAtomic(name: String, body: Array[Byte],
         contended: Boolean): Unit = {
       // write-temp + atomic rename: a concurrent reader either sees the
@@ -581,7 +594,7 @@ object Snapshots {
     // mergeSchema fallback.
     val schemaName: Option[String] = {
       def footerSchema(fs0: Seq[String]) = spark.read
-        .option("mergeSchema", "true").parquet(fs0.map(f => s"$dir/$f"): _*)
+        .option("mergeSchema", "true").parquet(fs0.map(f => dataPath(dir, f)): _*)
         .schema
       val carriedSchema =
         if (carried.isEmpty) None
@@ -712,7 +725,7 @@ object Snapshots {
           val fresh = cur.filterNot(prev)
           if (fresh.isEmpty) emptyAt(v)
           else applyMapping(spark, dir, spark.read.option("mergeSchema", "true")
-            .parquet(fresh.map(f => s"$dir/$f"): _*))
+            .parquet(fresh.map(f => dataPath(dir, f)): _*))
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v))
       }
@@ -899,7 +912,7 @@ object Snapshots {
     // appends) surface added columns with NULLs in pre-evolution files
     // instead of whichever single footer the planner happened to sample;
     // deletion vectors of merge-on-read commits mask out deleted rows
-    maskedParquet(spark, dir, v, fs.map(f => s"$dir/$f"))
+    maskedParquet(spark, dir, v, fs.map(f => dataPath(dir, f)))
   }
 
   /** Incremental read: the rows appended between `fromVersion` (exclusive)
@@ -951,7 +964,7 @@ object Snapshots {
       // maskedParquet: the walk proved the DV is constant across the range
       // (no entry can reference range-fresh files), so the mask is a
       // harmless no-op here — this is for the column MAPPING
-      maskedParquet(spark, dir, toVersion, fresh.map(f => s"$dir/$f"))
+      maskedParquet(spark, dir, toVersion, fresh.map(f => dataPath(dir, f)))
   }
 
   /** Versions in `(fromVersion, toVersion]`, verified CONTIGUOUS from
@@ -1000,8 +1013,9 @@ object Snapshots {
     val keepFiles = keep.flatMap(v => files(spark, dir, v)).toSet
     val orphans = drop.flatMap(v => files(spark, dir, v)).distinct
       .filterNot(keepFiles)
+      .filterNot(isExternal) // a clone never deletes its source's files
     orphans.foreach { f =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$f"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(dataPath(dir, f)), false)
     }
     // a DV dir is SHARED by every append that carried it forward — only
     // sweep one no surviving manifest references
@@ -1034,7 +1048,7 @@ object Snapshots {
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     val total = files(spark, dir, cur)
-      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen)
+      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(dataPath(dir, f))).getLen)
       .sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     // expectedVersion: an append landing between the read and this commit
@@ -1065,12 +1079,12 @@ object Snapshots {
     if (hot.length <= 1) return cur // nothing to fold
     val untouched = all.filterNot(hot.toSet)
     val total = hot
-      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen)
+      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(dataPath(dir, f))).getLen)
       .sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val next = cur + 1
     val fresh = writeData(spark, dir, next,
-      maskedParquet(spark, dir, cur, hot.map(f => s"$dir/$f")).repartition(n))
+      maskedParquet(spark, dir, cur, hot.map(f => dataPath(dir, f))).repartition(n))
     val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
     publish(spark, dir, next, untouched, fresh,
       meta = Map("compaction" -> s"$column-scoped: ${hot.length} files -> $n"),
@@ -1490,7 +1504,7 @@ object Snapshots {
     val conf = spark.sessionState.newHadoopConf()
     candidates.filter { f =>
       val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$dir/$f"), conf)
+        new org.apache.hadoop.fs.Path(dataPath(dir, f)), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
       try {
         reader.getFooter.getBlocks.asScala.exists { block =>
@@ -1545,7 +1559,7 @@ object Snapshots {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     val (kept, all) = pruneFilesAll(spark, dir, v, ranges)
-    val base = if (kept.nonEmpty) maskedParquet(spark, dir, v, kept.map(f => s"$dir/$f"))
+    val base = if (kept.nonEmpty) maskedParquet(spark, dir, v, kept.map(f => dataPath(dir, f)))
       else read(spark, dir, Some(v)).filter(lit(false))
     val pred = ranges.flatMap { case (column, lower, upper) =>
       lower.map(col(column) >= lit(_)) ++ upper.map(col(column) <= lit(_))
@@ -1762,7 +1776,7 @@ object Snapshots {
     // masked tail read: pending merge-on-read deletes on tail files are
     // MATERIALIZED by this rewrite; masks on carried files survive in a
     // filtered DV so their deletes stay applied
-    val tailDf = maskedParquet(spark, dir, cur, tail.map(f => s"$dir/$f"))
+    val tailDf = maskedParquet(spark, dir, cur, tail.map(f => dataPath(dir, f)))
     val fresh = writeData(spark, dir, next,
       tailDf.withColumn("__z", keyOf(tailDf))
         .repartitionByRange(targetFiles, col("__z"))
@@ -1852,7 +1866,7 @@ object Snapshots {
       val touched: Seq[String] =
         if (candidates.isEmpty) Seq.empty
         else {
-          openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"), prevDv)
+          openWithPos(spark, dir, cur, candidates.map(f => dataPath(dir, f)), prevDv)
             .select(col(key), col("__path"))
             .join(up.select(col(key)), Seq(key))
             .select("__path").distinct().collect()
@@ -1862,7 +1876,7 @@ object Snapshots {
       val next = cur + 1
       val touchedRows =
         if (touched.isEmpty) None
-        else Some(maskedParquet(spark, dir, cur, touched.map(f => s"$dir/$f")))
+        else Some(maskedParquet(spark, dir, cur, touched.map(f => dataPath(dir, f))))
       val survivors = touchedRows match {
         case None => up.toDF()
         case Some(tr) => tr.join(up.select(col(key)), Seq(key), "left_anti")
@@ -1936,7 +1950,7 @@ object Snapshots {
       // their (file, pos) identity — these positions join the DV
       val matched =
         if (candidates.isEmpty) None
-        else Some(openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"), prevDv)
+        else Some(openWithPos(spark, dir, cur, candidates.map(f => dataPath(dir, f)), prevDv)
           .join(up.select(col(key)), Seq(key), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       try {
@@ -2003,7 +2017,7 @@ object Snapshots {
     val hit = (Seq(col(column).isNotNull) ++
       lower.map(col(column) >= lit(_)) ++ upper.map(col(column) <= lit(_)))
       .reduce(_ && _)
-    val matching = openWithPos(spark, dir, cur, affected.map(f => s"$dir/$f"), prevDv)
+    val matching = openWithPos(spark, dir, cur, affected.map(f => dataPath(dir, f)), prevDv)
       .filter(hit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -2211,7 +2225,7 @@ object Snapshots {
     // schema gate vs the BRANCH head, mirroring enforceSchema's rules
     val headSchema = applyMapping(spark, dir,
       spark.read.option("mergeSchema", "true")
-        .parquet(headFiles.map(f => s"$dir/$f"): _*)).schema
+        .parquet(headFiles.map(f => dataPath(dir, f)): _*)).schema
     val table = headSchema.map(f => f.name -> f.dataType).toMap
     val incoming = df.schema.map(f => f.name -> f.dataType).toMap
     val retyped = table.keySet.intersect(incoming.keySet)
@@ -2256,7 +2270,7 @@ object Snapshots {
     * appends, so the base mask covers everything it should). */
   def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
     val (base, headFiles) = branchHeadFiles(spark, dir, name)
-    maskedParquet(spark, dir, base, headFiles.map(f => s"$dir/$f"),
+    maskedParquet(spark, dir, base, headFiles.map(f => dataPath(dir, f)),
       mergeAll = true)
   }
 
@@ -2284,7 +2298,7 @@ object Snapshots {
     val baseFiles = files(spark, dir, base)
     val addedFiles = headFiles.filterNot(baseFiles.toSet)
     val addedRows = maskedParquet(spark, dir, base,
-      addedFiles.map(f => s"$dir/$f"), mergeAll = true)
+      addedFiles.map(f => dataPath(dir, f)), mergeAll = true)
     enforceConstraints(spark, dir, addedRows)
     val evolve = branchEntry(spark, dir, name, ks.max)._2
     if (!evolve) {
@@ -2313,8 +2327,8 @@ object Snapshots {
       val mainFiles = versions(spark, dir)
         .flatMap(v => files(spark, dir, v)).toSet
       branchEntry(spark, dir, name, ks.max)._3
-        .filterNot(baseFiles).filterNot(mainFiles)
-        .map(f => new org.apache.hadoop.fs.Path(s"$dir/$f").getParent)
+        .filterNot(baseFiles).filterNot(mainFiles).filterNot(isExternal)
+        .map(f => new org.apache.hadoop.fs.Path(dataPath(dir, f)).getParent)
         .distinct.foreach(p => fs.delete(p, true))
     }
     ks.foreach(k => fs.delete(branchManifest(dir, name, k), false))
@@ -2514,10 +2528,10 @@ object Snapshots {
       // mergeAll: the staged files are OUTSIDE cur's schema sidecar — an
       // evolve-staged column must surface in the audit view
       case Some(cur) => maskedParquet(spark, dir, cur,
-        (files(spark, dir, cur) ++ staged).map(f => s"$dir/$f"), mergeAll = true)
+        (files(spark, dir, cur) ++ staged).map(f => dataPath(dir, f)), mergeAll = true)
       case None => applyMapping(spark, dir,
         spark.read.option("mergeSchema", "true")
-          .parquet(staged.map(f => s"$dir/$f"): _*))
+          .parquet(staged.map(f => dataPath(dir, f)): _*))
     }
   }
 
@@ -2546,7 +2560,7 @@ object Snapshots {
     // one planned relation for both gates and every retry: the footer read
     // happens once, not per attempt
     val stagedRaw = spark.read.option("mergeSchema", "true")
-      .parquet(staged.map(f => s"$dir/$f"): _*)
+      .parquet(staged.map(f => dataPath(dir, f)): _*)
     var attempt = 1
     while (true) {
       // IDEMPOTENCE: a crash (or a racing same-token caller) between the
@@ -2617,7 +2631,8 @@ object Snapshots {
       if (!published)
         // each stage writes into its own per-writer-unique data dir, so the
         // parents hold nothing but this stage's files — drop them whole
-        staged.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f").getParent)
+        staged.filterNot(isExternal)
+          .map(f => new org.apache.hadoop.fs.Path(dataPath(dir, f)).getParent)
           .distinct.foreach(p => fs.delete(p, true))
       fs.delete(stagedManifest(dir, token), false)
     }
@@ -2671,6 +2686,40 @@ object Snapshots {
     next
   }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`): a new
+    * table whose first version REFERENCES the source's data files at
+    * `version` through absolute manifest entries — zero data bytes copied;
+    * the clone's stats sidecar comes from one footer pass over the
+    * referenced files (metadata-sized, the cost every commit already pays
+    * per file). The clone then evolves independently: its commits write
+    * its own local files, and no clone delete path (expire, vacuum,
+    * branch/stage discard) ever touches an external reference. Caveat —
+    * the same one Delta documents: expiring or vacuuming the SOURCE can
+    * strand a clone; tag or pin the source version first. A version with
+    * pending merge-on-read deletes refuses ([[purgeDeletes]] first): a DV
+    * is table-local state the clone cannot safely share.
+    */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Int] = None): Int = {
+    val srcAbs = new java.io.File(srcDir).getAbsolutePath
+    val dstAbs = new java.io.File(dstDir).getAbsolutePath
+    require(srcAbs != dstAbs, "clone target must differ from the source")
+    val sv = version.getOrElse(currentVersion(spark, srcDir).getOrElse(
+      throw new IllegalArgumentException(s"$srcDir: no published snapshots")))
+    require(versions(spark, srcDir).contains(sv),
+      s"$srcDir: cannot clone v$sv — it does not exist (expired?)")
+    require(dvRel(spark, srcDir, sv).isEmpty,
+      s"$srcDir: v$sv carries merge-on-read deletes — purgeDeletes before cloning")
+    require(currentVersion(spark, dstDir).isEmpty,
+      s"$dstDir: clone target already holds a table")
+    // resolve through the source's entries: a clone OF a clone keeps
+    // pointing at the original bytes, never at an intermediary
+    val refs = files(spark, srcDir, sv).map(f => dataPath(srcAbs, f))
+    publish(spark, dstDir, 1, Seq.empty, refs,
+      meta = Map("clone.src" -> srcAbs, "clone.src_version" -> sv.toString))
+    1
+  }
+
   /** Key-driven row DELETE, merge-on-read — the delete half of CDC apply
     * (a Debezium-shaped feed's `op = d` rows): every live table row whose
     * `key` appears in `keys` is masked through the deletion vector; no
@@ -2693,7 +2742,7 @@ object Snapshots {
         Option(h.get(1)), Option(h.get(2)))
       if (candidates.isEmpty) return cur
       val prevDv = dvRel(spark, dir, cur)
-      val matching = openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"), prevDv)
+      val matching = openWithPos(spark, dir, cur, candidates.map(f => dataPath(dir, f)), prevDv)
         .join(kp, Seq(key), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -2760,7 +2809,7 @@ object Snapshots {
     val untouched = all.filterNot(hot.toSet)
     val next = cur + 1
     val fresh = writeData(spark, dir, next,
-      maskedParquet(spark, dir, cur, hot.map(f => s"$dir/$f")))
+      maskedParquet(spark, dir, cur, hot.map(f => dataPath(dir, f))))
     val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
     publish(spark, dir, next, untouched, fresh,
       meta = Map("purge" -> s"${hot.length} of ${all.length} files"),
@@ -2850,7 +2899,7 @@ object Snapshots {
         .reduce(_ || _)
       val rows =
         if (affected.isEmpty) None
-        else Some(maskedParquet(spark, dir, cur, affected.map(f => s"$dir/$f"))
+        else Some(maskedParquet(spark, dir, cur, affected.map(f => dataPath(dir, f)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       try {
         val inserts = up.withColumn("_change_type", lit("insert"))
@@ -2962,7 +3011,7 @@ object Snapshots {
       val touched: Seq[String] =
         if (notMatchedBySource.nonEmpty) all
         else if (candidates.isEmpty) Seq.empty
-        else openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"), prevDv)
+        else openWithPos(spark, dir, cur, candidates.map(f => dataPath(dir, f)), prevDv)
           .alias("__t").join(sAliased, onCond, "left_semi")
           .select("__path").distinct().collect()
           .map(r => relPath(dir, r.getString(0))).toSeq.sorted
@@ -3007,7 +3056,7 @@ object Snapshots {
 
       // full outer: matched pairs + target-only (carry / BY SOURCE) +
       // source-only (insert candidates)
-      val tAliased = openWithPos(spark, dir, cur, touched.map(f => s"$dir/$f"), prevDv)
+      val tAliased = openWithPos(spark, dir, cur, touched.map(f => dataPath(dir, f)), prevDv)
         .withColumn("__t_present", lit(true)).alias("__t")
       val joined = tAliased.join(sAliased, onCond, "full_outer")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3098,14 +3147,14 @@ object Snapshots {
     val hit = coalesce(cond, lit(false))
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"),
+      else openWithPos(spark, dir, cur, candidates.map(f => dataPath(dir, f)),
           dvRel(spark, dir, cur))
         .filter(hit).select("__path").distinct().collect()
         .map(r => relPath(dir, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return cur
     val untouched = all.filterNot(touched.toSet)
     val next = cur + 1
-    val rows = maskedParquet(spark, dir, cur, touched.map(f => s"$dir/$f"))
+    val rows = maskedParquet(spark, dir, cur, touched.map(f => dataPath(dir, f)))
     val cdc = writeCdc(spark, dir, next,
       rows.filter(hit).withColumn("_change_type", lit("delete")))
     val fresh = writeData(spark, dir, next, rows.filter(!hit))
@@ -3142,14 +3191,14 @@ object Snapshots {
     val hit = coalesce(cond, lit(false))
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else openWithPos(spark, dir, cur, candidates.map(f => s"$dir/$f"),
+      else openWithPos(spark, dir, cur, candidates.map(f => dataPath(dir, f)),
           dvRel(spark, dir, cur))
         .filter(hit).select("__path").distinct().collect()
         .map(r => relPath(dir, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return cur
     val untouched = all.filterNot(touched.toSet)
     val next = cur + 1
-    val rows = maskedParquet(spark, dir, cur, touched.map(f => s"$dir/$f"))
+    val rows = maskedParquet(spark, dir, cur, touched.map(f => dataPath(dir, f)))
     val setMap = sets.toMap
     def applied(src: DataFrame, always: Boolean): DataFrame =
       src.select(schema.fieldNames.toSeq.map { c =>
@@ -3189,7 +3238,7 @@ object Snapshots {
     // masked read: a row a prior merge-on-read delete already masked must
     // neither resurrect in the rewrite nor re-surface in the change feed
     val affectedRows = maskedParquet(spark, dir, cur,
-      affected.map(f => s"$dir/$f"))
+      affected.map(f => dataPath(dir, f)))
     // change feed: exactly the rows the predicate removes
     val cdc = writeCdc(spark, dir, next,
       affectedRows.filter(!keep).withColumn("_change_type", lit("delete")))

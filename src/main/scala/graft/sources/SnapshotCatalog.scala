@@ -223,7 +223,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       val d = dirOf(parts)
       require(isTable(d), s"catalog $catalogName: no table ${parts.mkString(".")}")
       d
-    })
+    }, parts => dirOf(parts))
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))

@@ -34,9 +34,12 @@ import graft.operators.Snapshots
 private[graft] object SnapshotProcedures {
 
   /** name → (parameters, output schema, body(spark, dir, args) → row). */
-  private type Body = (SparkSession, String, InternalRow) => Seq[Any]
+  private type Body =
+    (SparkSession, String, InternalRow, Seq[String] => String) => Seq[Any]
+  /** `tblIsNew`: the `tbl` argument names a table the procedure CREATES
+    * (clone) — resolve its warehouse path without the exists check. */
   private final case class Spec(params: Seq[ProcedureParameter],
-      out: StructType, body: Body)
+      out: StructType, body: Body, tblIsNew: Boolean = false)
 
   private def p(name: String, t: DataType) =
     ProcedureParameter.in(name, t).build()
@@ -49,60 +52,75 @@ private[graft] object SnapshotProcedures {
     "compact" -> Spec(
       Seq(p("tbl", StringType), pd("target_mb", LongType, "128")),
       new StructType().add("version", IntegerType),
-      (s, dir, r) => Seq(Snapshots.compact(s, dir, r.getLong(1) * 1024 * 1024))),
+      (s, dir, r, _) => Seq(Snapshots.compact(s, dir, r.getLong(1) * 1024 * 1024))),
     "expire_older_than" -> Spec(
       Seq(p("tbl", StringType), p("ts_millis", LongType)),
       new StructType().add("swept_files", IntegerType),
-      (s, dir, r) => Seq(Snapshots.expireOlderThan(s, dir, r.getLong(1)))),
+      (s, dir, r, _) => Seq(Snapshots.expireOlderThan(s, dir, r.getLong(1)))),
     "vacuum" -> Spec(
       Seq(p("tbl", StringType), pd("grace_hours", LongType, "24")),
       new StructType().add("swept_orphans", IntegerType),
-      (s, dir, r) => Seq(Snapshots.vacuumOrphans(s, dir,
+      (s, dir, r, _) => Seq(Snapshots.vacuumOrphans(s, dir,
         r.getLong(1) * 3600 * 1000))),
     "zorder" -> Spec(
       Seq(p("tbl", StringType), p("cols", StringType),
         pd("target_files", IntegerType, "8")),
       new StructType().add("version", IntegerType),
-      (s, dir, r) => Seq(Snapshots.clusterZOrderCols(s, dir,
+      (s, dir, r, _) => Seq(Snapshots.clusterZOrderCols(s, dir,
         str(r, 1).split(",").map(_.trim).toSeq, targetFiles = r.getInt(2)))),
     "hilbert" -> Spec(
       Seq(p("tbl", StringType), p("x_col", StringType), p("y_col", StringType),
         pd("target_files", IntegerType, "8")),
       new StructType().add("version", IntegerType),
-      (s, dir, r) => Seq(Snapshots.clusterHilbert(s, dir,
+      (s, dir, r, _) => Seq(Snapshots.clusterHilbert(s, dir,
         str(r, 1), str(r, 2), targetFiles = r.getInt(3)))),
     "restore" -> Spec(
       Seq(p("tbl", StringType), p("version", IntegerType)),
       new StructType().add("version", IntegerType),
-      (s, dir, r) => Seq(Snapshots.restore(s, dir, r.getInt(1)))),
+      (s, dir, r, _) => Seq(Snapshots.restore(s, dir, r.getInt(1)))),
     "set_tag" -> Spec(
       Seq(p("tbl", StringType), p("name", StringType), p("version", IntegerType)),
       new StructType().add("tag", StringType).add("version", IntegerType),
-      (s, dir, r) => {
+      (s, dir, r, _) => {
         Snapshots.setTag(s, dir, str(r, 1), r.getInt(2))
         Seq(str(r, 1), r.getInt(2))
       }),
     "create_branch" -> Spec(
       Seq(p("tbl", StringType), p("name", StringType)),
       new StructType().add("branch", StringType).add("base_version", IntegerType),
-      (s, dir, r) => Seq(str(r, 1),
+      (s, dir, r, _) => Seq(str(r, 1),
         Snapshots.createBranch(s, dir, str(r, 1)))),
     "fast_forward" -> Spec(
       Seq(p("tbl", StringType), p("name", StringType)),
       new StructType().add("version", IntegerType),
-      (s, dir, r) => Seq(Snapshots.fastForward(s, dir, str(r, 1)))),
+      (s, dir, r, _) => Seq(Snapshots.fastForward(s, dir, str(r, 1)))),
     "expire_staged" -> Spec(
       Seq(p("tbl", StringType), p("older_than_millis", LongType)),
       new StructType().add("swept_tokens", IntegerType),
-      (s, dir, r) => Seq(
-        Snapshots.expireStagedOlderThan(s, dir, r.getLong(1)).length))
+      (s, dir, r, _) => Seq(
+        Snapshots.expireStagedOlderThan(s, dir, r.getLong(1)).length)),
+    // `tbl` is the NEW table (the clone), `src` the table being cloned;
+    // version -1 (the default) = the source's current version
+    "clone" -> Spec(
+      Seq(p("tbl", StringType), p("src", StringType),
+        pd("version", IntegerType, "-1")),
+      new StructType().add("version", IntegerType),
+      (s, dir, r, dirOf) => {
+        val srcDir = dirOf(str(r, 1).split("\\.").toSeq)
+        val v = r.getInt(2)
+        Seq(Snapshots.cloneTable(s, srcDir, dir,
+          if (v < 0) None else Some(v)))
+      }, tblIsNew = true)
   )
 
   def names: Seq[String] = specs.keys.toSeq.sorted
 
-  /** `dirOf` maps the `tbl` argument (dotted, catalog-relative) to the
-    * owning catalog's warehouse path. */
-  def load(ident: Identifier, dirOf: Seq[String] => String): UnboundProcedure = {
+  /** `dirOf` maps a dotted, catalog-relative table argument to the owning
+    * catalog's warehouse path (requiring the table to exist); `dirOfNew`
+    * resolves the path WITHOUT the exists check — for the `tbl` of a
+    * procedure that creates its table (clone). */
+  def load(ident: Identifier, dirOf: Seq[String] => String,
+      dirOfNew: Seq[String] => String): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
       s"procedures live in the 'system' namespace, got $ident")
     val spec = specs.getOrElse(ident.name,
@@ -118,8 +136,10 @@ private[graft] object SnapshotProcedures {
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val spark = SparkSession.active
-          val dir = dirOf(str(input, 0).split("\\.").toSeq)
-          val values = spec.body(spark, dir, input).map {
+          val resolve = if (spec.tblIsNew) dirOfNew else dirOf
+          val dir = resolve(str(input, 0).split("\\.").toSeq)
+          val values = spec.body(spark, dir, input,
+            segs => dirOf(segs)).map {
             case s: String => UTF8String.fromString(s)
             case x => x
           }

@@ -280,7 +280,7 @@ class SnapshotRelation(override val sqlContext: SQLContext, val dir: String,
       // (table, version) per JVM — repeat planning costs a map lookup
       val conf = spark.sessionState.newHadoopConf()
       Snapshots.files(spark, dir, v).map { f =>
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$f")
+        val p = new org.apache.hadoop.fs.Path(Snapshots.dataPath(dir, f))
         p.getFileSystem(conf).getFileStatus(p).getLen
       }.sum
     })
@@ -343,7 +343,7 @@ class SnapshotRelation(override val sqlContext: SQLContext, val dir: String,
     // (merge-on-read deletes must not surface through the SQL face)
     val base =
       if (keptB.nonEmpty)
-        Snapshots.maskedParquet(spark, dir, v, keptB.map(f => s"$dir/$f"))
+        Snapshots.maskedParquet(spark, dir, v, keptB.map(f => Snapshots.dataPath(dir, f)))
       else Snapshots.read(spark, dir, Some(v)).filter(lit(false))
     val projected = {
       // a pre-evolution pruned subset can lack an evolved column entirely:

@@ -275,6 +275,52 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir, Some(v - 1)).count() == 64L * 64L)
   }
 
+  test("shallow clone: zero bytes copied, independent evolution, source never touched") {
+    val src = tmp(); val dst = tmp()
+    val v1 = Snapshots.commit(spark, src,
+      spark.range(100).toDF("k").repartitionByRange(4, col("k")))
+    Snapshots.commit(spark, src, spark.range(100L, 200L).toDF("k"))
+    // clone pins the EARLIER version; the later append stays invisible
+    assert(Snapshots.cloneTable(spark, src, dst, Some(v1)) == 1)
+    val dstData = new java.io.File(dst, "data")
+    assert(!dstData.exists || dstData.listFiles.isEmpty,
+      "shallow clone copied data bytes")
+    assert(Snapshots.read(spark, dst).as[Long].collect().sorted.toSeq ==
+      (0L until 100L))
+    // the stats sidecar prunes through external references
+    val (kept, all) = Snapshots.pruneFiles(spark, dst, 1, "k", Some(0L), Some(10L))
+    assert(all.length == 4 && kept.length < all.length,
+      s"clone stats must skip: kept ${kept.length} of ${all.length}")
+    // independent evolution: writes land locally, the source is untouched
+    Snapshots.commit(spark, dst, spark.range(300L, 320L).toDF("k"))
+    val v3 = Snapshots.deleteRange(spark, dst, "k", Some(0L), Some(9L))
+    assert(Snapshots.read(spark, dst).as[Long].collect().sorted.toSeq ==
+      ((10L until 100L) ++ (300L until 320L)))
+    assert(Snapshots.read(spark, src).count() == 200,
+      "clone DML leaked into the source")
+    // expire the clone's history: external refs are NEVER deleted — the
+    // source still reads every version in full
+    Snapshots.expire(spark, dst, keepFrom = v3)
+    assert(Snapshots.read(spark, src, Some(v1)).count() == 100)
+    assert(Snapshots.read(spark, src).count() == 200)
+    assert(Snapshots.read(spark, dst).count() == 110)
+    // clone-of-clone resolves to the ORIGINAL bytes, not the intermediary
+    val dst2 = tmp()
+    Snapshots.cloneTable(spark, dst, dst2)
+    val refs = Snapshots.files(spark, dst2, 1)
+    assert(refs.forall(_.startsWith("/")), "clone refs must be absolute")
+    assert(refs.exists(_.startsWith(new java.io.File(src).getAbsolutePath)),
+      "carried source files must still point at the original table")
+    assert(Snapshots.read(spark, dst2).count() == 110)
+    // a version with pending merge-on-read deletes refuses to clone
+    val morSrc = tmp()
+    Snapshots.commit(spark, morSrc, spark.range(50).toDF("k"))
+    Snapshots.deleteRangeMor(spark, morSrc, "k", Some(0L), Some(9L))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.cloneTable(spark, morSrc, tmp()))
+    assert(e.getMessage.contains("purgeDeletes"))
+  }
+
   test("clusterHilbert: both dimensions skip; incremental pass carries clustered files") {
     val dir = tmp()
     val grid = spark.range(64L * 64L).toDF("i")

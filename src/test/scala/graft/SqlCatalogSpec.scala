@@ -393,6 +393,13 @@ class SqlCatalogSpec extends AnyFunSuite {
     val hv = spark.sql(s"CALL gtest.system.hilbert(tbl => '$tblArg', " +
       s"x_col => 'k', y_col => 'p', target_files => 4)").as[Int].head()
     assert(spark.table(t).count() == 502 && hv == zv + 1)
+    // shallow clone through CALL: a new catalog table, zero bytes copied
+    val cloneV = spark.sql(s"CALL gtest.system.clone(tbl => '${tblArg}_clone', " +
+      s"src => '$tblArg')").as[Int].head()
+    assert(cloneV == 1 && spark.table(s"${t}_clone").count() == 502)
+    spark.sql(s"INSERT INTO ${t}_clone VALUES (999999, 1.0)")
+    assert(spark.table(s"${t}_clone").count() == 503)
+    assert(spark.table(t).count() == 502, "clone insert leaked into the source")
     // vacuum + expire + expire_staged return counts; unknown proc refuses
     assert(spark.sql(s"CALL gtest.system.vacuum(tbl => '$tblArg', grace_hours => 0)")
       .collect().nonEmpty)
