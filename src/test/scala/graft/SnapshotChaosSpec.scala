@@ -56,7 +56,7 @@ class SnapshotChaosSpec extends AnyFunSuite {
       }
 
       val cur = Snapshots.currentVersion(spark, dir).get
-      rng.nextInt(11) match {
+      rng.nextInt(12) match {
         case 0 => // append
           val r = rows(1 + rng.nextInt(20))
           val v = Snapshots.commit(spark, dir, r.toDF("k", "v"))
@@ -140,6 +140,9 @@ class SnapshotChaosSpec extends AnyFunSuite {
           }
           val ins = src.filterNot { case (k, _) => tKeys(k) }
           history += v -> (fromT ++ ins).sorted
+        case 11 => // hilbert maintenance rewrite: content must not move
+          val v = Snapshots.clusterHilbert(spark, dir, "k", "v", 1 + rng.nextInt(6))
+          history += v -> history(cur)
       }
 
       assert(readAll(dir) == head, s"step $step: head diverged from the model")
@@ -248,7 +251,7 @@ class SnapshotChaosSpec extends AnyFunSuite {
       Snapshots.commit(spark, dir, rows(40).toDF("k", "v"))
       val v1Content = readAll(dir)
       for (_ <- 1 to 14) {
-        rng.nextInt(7) match {
+        rng.nextInt(8) match {
           case 0 => Snapshots.commit(spark, dir, rows(1 + rng.nextInt(10)).toDF("k", "v"))
           case 1 =>
             val upd = rows(1 + rng.nextInt(8)).groupBy(_._1).map(_._2.head).toSeq
@@ -264,6 +267,7 @@ class SnapshotChaosSpec extends AnyFunSuite {
             Snapshots.deleteRangeMor(spark, dir, "k", Some(a), Some(b))
           case 5 => Snapshots.compact(spark, dir, targetBytes = 1L << 20)
           case 6 => Snapshots.clusterZOrderIncremental(spark, dir, "k", "v", 4)
+          case 7 => Snapshots.clusterHilbertIncremental(spark, dir, "k", "v", 4)
         }
       }
       val head = Snapshots.currentVersion(spark, dir).get
