@@ -696,6 +696,34 @@ object Similarity extends QueryModule {
       .orderBy("cluster")
   }
 
+  /** Cluster LABELING — the step after clustering in a curation pipeline:
+    * each k-means cluster gets its top TF-IDF terms (what IS this cluster
+    * about?), joining the embedding-space assignment onto the text corpus
+    * by id. IDF is cluster-scoped (ln(1 + k / #clusters-containing-term)),
+    * so corpus-wide boilerplate ranks low. Scale shape: the tokens×assign
+    * join shuffles on the doc key; the tf rollup collapses map-side to
+    * k × vocab; the rank window runs over k groups of vocab size.
+    */
+  private def qClusterKeywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = kmeansAssign(s, d).withColumnRenamed("vec_id", "doc_id")
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = toks.join(asg, "doc_id")
+      .groupBy("cid", "token").agg(count(lit(1)).as("tf"))
+    val cdf = tf.groupBy("token")
+      .agg(countDistinct("cid").as("cdf"))
+    val w = Window.partitionBy("cid")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(cdf, "token")
+      .withColumn("score",
+        round(col("tf") * log(lit(1.0) + lit(KmeansK.toDouble) / col("cdf")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("cid").as("cluster"), col("rnk"), col("token"), col("score"))
+      .orderBy("cluster", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_topk_filtered" -> qCosineTopkFiltered,
@@ -711,6 +739,7 @@ object Similarity extends QueryModule {
     "q_semdedup" -> qSemDedup,
     "q_kmeans" -> qKmeans,
     "q_kmeans_balanced" -> qKmeansBalanced,
+    "q_cluster_keywords" -> qClusterKeywords,
     "q_embed_dedup_cluster" -> qEmbedDedupCluster,
     "q_embed_knn" -> qEmbedKnn,
     "q_embed_knn_shuffle" -> qEmbedKnnShuffle,
@@ -985,6 +1014,25 @@ object Similarity extends QueryModule {
          |SELECT cid AS cluster, count(*) AS n_vecs,
          |  CAST(sum(vec_id) AS BIGINT) AS id_sum
          |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cluster_keywords" ->
+      s"""$kmeansCte,
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT a2.cid, toks.token, count(*) AS tf
+         |  FROM toks JOIN a2 ON toks.doc_id = a2.vec_id
+         |  GROUP BY 1, 2),
+         |cdf AS (SELECT token, count(DISTINCT cid) AS cdf FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.cid, tf.token,
+         |    round(tf.tf * ln(1.0 + $KmeansK.0 / cdf.cdf), 4) AS score,
+         |    row_number() OVER (PARTITION BY tf.cid
+         |      ORDER BY round(tf.tf * ln(1.0 + $KmeansK.0 / cdf.cdf), 4) DESC,
+         |        tf.token) AS rnk
+         |  FROM tf JOIN cdf USING (token))
+         |SELECT cid AS cluster, rnk, token, score
+         |FROM scored WHERE rnk <= 3 ORDER BY cluster, rnk""".stripMargin,
     "q_kmeans_balanced" ->
       s"""$kmeansCte,
          |m AS (SELECT min(n) AS m FROM (
