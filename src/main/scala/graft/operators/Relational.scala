@@ -1237,6 +1237,21 @@ object Relational extends QueryModule {
       dst
     })
 
+  /** Version-to-version semantic diff over the CDF fixture (append →
+    * append → merge → delete): v1 → head crosses every change kind, and
+    * the content diff must agree with replaying them — updates surface as
+    * one removed (old payload) + one added (new payload) row.
+    */
+  private def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val dir = snapCdfDir(s, d)
+    Snapshots.diffVersions(s, dir, 1,
+      Snapshots.currentVersion(s, dir).get)
+      .groupBy("diff")
+      .agg(count(lit(1)).as("n"), round(sum("p"), 2).as("total"),
+        sum("k").as("key_sum"))
+      .orderBy("diff")
+  }
+
   private def qSnapshotClone(s: SparkSession, d: String): DataFrame =
     Snapshots.read(s, snapCloneDir(s, d))
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
@@ -1660,6 +1675,7 @@ object Relational extends QueryModule {
     "q_snapshot_zorder" -> qSnapshotZorder,
     "q_snapshot_hilbert" -> qSnapshotHilbert,
     "q_snapshot_clone" -> qSnapshotClone,
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_snapshot_zorder_inc" -> qSnapshotZorderInc,
     "q_snapshot_zorder_cols" -> qSnapshotZorderCols,
     "q_snapshot_cdf" -> qSnapshotCdf,
@@ -1904,6 +1920,24 @@ object Relational extends QueryModule {
         |FROM orders WHERE o_custkey BETWEEN 20 AND 60
         |  AND o_orderkey BETWEEN 500 AND 1999
         |ORDER BY n""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |head AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN p + 1000 ELSE p END AS p
+        |  FROM (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        |        WHERE o_orderkey % 3 IN (0, 1) OR o_orderkey % 10 = 0)
+        |  WHERE k NOT BETWEEN 100 AND 499),
+        |d AS (
+        |  SELECT 'added' AS diff, k, p FROM
+        |    (SELECT k, p FROM head EXCEPT ALL SELECT k, p FROM v1)
+        |  UNION ALL
+        |  SELECT 'removed' AS diff, k, p FROM
+        |    (SELECT k, p FROM v1 EXCEPT ALL SELECT k, p FROM head))
+        |SELECT diff, count(*) AS n, round(sum(p), 2) AS total,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_snapshot_clone" ->
       """SELECT count(*) + 1 AS n,
         |  round(sum(o_totalprice) + 123.45, 2) AS total,

@@ -2686,6 +2686,22 @@ object Snapshots {
     next
   }
 
+  /** Semantic DIFF between two versions — the rewrite-crossing fallback to
+    * [[readChangeFeed]]: content-based added/removed rows by multiset
+    * difference, valid across ANY commits (replaces, restores, clones)
+    * because it never consults the feed. Inherently two-table-scan +
+    * shuffle-on-all-columns work — the CDF is the O(delta) path when the
+    * range has one; this answers when it refuses.
+    */
+  def diffVersions(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = read(spark, dir, Some(fromVersion))
+    val b = read(spark, dir, Some(toVersion))
+    b.exceptAll(a).withColumn("diff", lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("diff", lit("removed")))
+  }
+
   /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`): a new
     * table whose first version REFERENCES the source's data files at
     * `version` through absolute manifest entries — zero data bytes copied;
