@@ -640,29 +640,38 @@ object Similarity extends QueryModule {
     * never rows.
     */
   private val KmeansK = 5
+  /** Refined (pass-1) centroids per (app, dataset) — k × dims doubles of
+    * driver-held metadata, memoized so the three clustering queries
+    * (census, balanced sample, keywords) pay the pass-1 aggregate once.
+    */
+  private val kmCentroids = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[(Long, Seq[Double], Double)]]()
   private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val emb = T.embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("e"))
-    val init = emb.orderBy("vec_id").limit(KmeansK)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
     val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cid"))
-    val a1 = emb.crossJoin(broadcast(init))
-      .withColumn("score", round(
-        dot_product(col("e"), col("ce")) -
-          dot_product(col("ce"), col("ce")) / 2, 4))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "e", "cid")
-    // refined centroids: element-wise means, k×dims — driver-held metadata
-    val c1 = a1.select(col("cid"), posexplode(col("e")).as(Seq("d", "v")))
-      .groupBy("cid", "d").agg(avg("v").as("cv"))
-      .collect().groupBy(_.getLong(0))
-      .map { case (cid, rows) =>
-        val ce = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        (cid, ce, ce.map(x => x * x).sum)
-      }.toSeq.sortBy(_._1).toDF("cid", "ce", "cc")
-    emb.crossJoin(broadcast(c1))
+    val cents = kmCentroids.computeIfAbsent((s.sparkContext.applicationId, d),
+      _ => {
+        val init = emb.orderBy("vec_id").limit(KmeansK)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val a1 = emb.crossJoin(broadcast(init))
+          .withColumn("score", round(
+            dot_product(col("e"), col("ce")) -
+              dot_product(col("ce"), col("ce")) / 2, 4))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("vec_id", "e", "cid")
+        // refined centroids: element-wise means, k×dims driver metadata
+        a1.select(col("cid"), posexplode(col("e")).as(Seq("d", "v")))
+          .groupBy("cid", "d").agg(avg("v").as("cv"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            val ce = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+            (cid, ce, ce.map(x => x * x).sum)
+          }.toSeq.sortBy(_._1)
+      })
+    emb.crossJoin(broadcast(cents.toDF("cid", "ce", "cc")))
       .withColumn("score",
         round(dot_product(col("e"), col("ce")) - col("cc") / 2, 4))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
