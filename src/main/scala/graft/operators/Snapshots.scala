@@ -2733,6 +2733,16 @@ object Snapshots {
     val refs = files(spark, srcDir, sv).map(f => dataPath(srcAbs, f))
     publish(spark, dstDir, 1, Seq.empty, refs,
       meta = Map("clone.src" -> srcAbs, "clone.src_version" -> sv.toString))
+    // schema-bearing table properties MUST travel (column mapping decides
+    // what the physical parquet names MEAN; constraints and bloom targets
+    // are table contracts Delta's clone carries too). Version-referencing
+    // props (tags, branches, pins, clustering watermarks, staged tokens)
+    // stay behind — they name source versions the clone does not have.
+    val carryProps = properties(spark, srcDir).filter { case (k, _) =>
+      k.startsWith("colmap.") || k.startsWith("constraint.check.") ||
+        k == "bloom.columns"
+    }
+    if (carryProps.nonEmpty) setProperties(spark, dstDir, carryProps)
     1
   }
 

@@ -1149,7 +1149,7 @@ object Hdf5 {
         val vb = new Array[Byte](len); b.get(vb)
         val vf = vb(0) & 0xFF
         require((vf >> 4) == 0 && (vf & 0x0F) == 0,
-          s"$path: external link '$name' version/flags 0x$vf%02x unsupported")
+          f"$path%s: external link '$name%s' version/flags 0x$vf%02x unsupported")
         // two NUL-terminated strings: target file, then target object path
         val cut = vb.indexOf(0.toByte, 1)
         require(cut > 1 && cut < len - 1,

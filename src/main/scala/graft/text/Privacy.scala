@@ -186,10 +186,12 @@ object Privacy extends QueryModule {
       ((idSum % 1048576L) * mult % 1048576L + lit(0.5)) / 1048576.0
     def lap(u: Column, b: Double): Column =
       -lit(b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    // seed accumulates pre-modded ids: the long sum stays exact past any
+    // real corpus size (overflow would diverge from the oracle's HUGEINT)
     T.documents(s, d).groupBy("lang").agg(
         count(lit(1)).as("n"),
         sum(least(col("n_chars"), lit(DpClip)).cast("double")).as("clip_sum"),
-        sum(col("doc_id")).as("id_sum"))
+        sum(col("doc_id") % 1048576L).as("id_sum"))
       .select(col("lang"),
         round(col("n") + lap(unif(col("id_sum"), 2654435761L), 1.0 / DpEps), 4)
           .as("dp_count"),
@@ -309,7 +311,7 @@ object Privacy extends QueryModule {
       """WITH g AS (
         |  SELECT lang, count(*) AS n,
         |    CAST(sum(least(n_chars, 500)) AS DOUBLE) AS clip_sum,
-        |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |    CAST(sum(doc_id % 1048576) AS BIGINT) AS id_sum
         |  FROM documents GROUP BY lang),
         |u AS (
         |  SELECT lang, n, clip_sum,

@@ -321,6 +321,25 @@ class SnapshotSpec extends AnyFunSuite {
     assert(e.getMessage.contains("purgeDeletes"))
   }
 
+  test("shallow clone carries schema-bearing properties, not version refs") {
+    val src = tmp(); val dst = tmp()
+    Snapshots.commit(spark, src, spark.range(10).toDF("k")
+      .withColumn("v", col("k") * 2))
+    Snapshots.renameColumn(spark, src, "v", "payload")
+    Snapshots.addCheckConstraint(spark, src, "nonneg", "k >= 0")
+    Snapshots.setTag(spark, src, "golden", 1)
+    Snapshots.cloneTable(spark, src, dst)
+    // column mapping traveled: the clone reads LOGICAL names off the
+    // source's physical parquet
+    assert(Snapshots.read(spark, dst).columns.toSeq == Seq("k", "payload"))
+    // constraints travel and GATE clone writes
+    val e = intercept[IllegalArgumentException](Snapshots.commit(spark, dst,
+      Seq((-5L, 0L)).toDF("k", "payload")))
+    assert(e.getMessage.contains("nonneg"))
+    // version-referencing props stay behind
+    assert(Snapshots.tags(spark, dst).isEmpty, "tags must not travel")
+  }
+
   test("clusterHilbert: both dimensions skip; incremental pass carries clustered files") {
     val dir = tmp()
     val grid = spark.range(64L * 64L).toDF("i")
