@@ -157,6 +157,39 @@ class SnapshotChaosSpec extends AnyFunSuite {
         .as[Row2].collect().sorted.toSeq
       assert(got == head.filter { case (k, _) => k >= lo && k <= hi },
         s"step $step: readRange [$lo,$hi] diverged")
+      // semantic diff folds any surviving version onto any other — the
+      // rewrite-crossing contract readChangeFeed can't make (sampled: the
+      // diff is a deliberate two-scan op)
+      if (rng.nextInt(5) == 0 && vs.size >= 2) {
+        val va = vs(rng.nextInt(vs.size)); val vb = vs(rng.nextInt(vs.size))
+        val d = Snapshots.diffVersions(spark, dir, va, vb)
+          .as[(Long, Long, String)].collect()
+        val folded = scala.collection.mutable.Buffer(history(va): _*)
+        d.foreach {
+          case (k, v, "added") => folded += ((k, v))
+          case (k, v, _) =>
+            val i = folded.indexOf((k, v))
+            assert(i >= 0, s"step $step: diff removed a row v$va never had")
+            folded.remove(i)
+        }
+        assert(folded.sorted == history(vb),
+          s"step $step: diff fold v$va -> v$vb diverged")
+      }
+    }
+    // a shallow clone at a random surviving version is a faithful frozen
+    // copy, and clone DML never reaches the source
+    val vs = Snapshots.versions(spark, dir).filter(history.contains)
+    val cv = vs(rng.nextInt(vs.size))
+    val cloneDir = java.nio.file.Files
+      .createTempDirectory("graft-chaos-clone").toFile.getAbsolutePath
+    val srcHead = readAll(dir)
+    if (Snapshots.dvRel(spark, dir, cv).isEmpty) {
+      Snapshots.cloneTable(spark, dir, cloneDir, Some(cv))
+      assert(readAll(cloneDir) == history(cv),
+        s"clone of v$cv is not the frozen content")
+      Snapshots.deleteRange(spark, cloneDir, "k", Some(0L), Some(100L))
+      Snapshots.commit(spark, cloneDir, Seq((9999L, 1L)).toDF("k", "v"))
+      assert(readAll(dir) == srcHead, "clone DML leaked into the source")
     }
   }
 
