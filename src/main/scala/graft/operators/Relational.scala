@@ -1246,10 +1246,10 @@ object Relational extends QueryModule {
     val dir = snapCdfDir(s, d)
     Snapshots.diffVersions(s, dir, 1,
       Snapshots.currentVersion(s, dir).get)
-      .groupBy("diff")
+      .groupBy("_change_type")
       .agg(count(lit(1)).as("n"), round(sum("p"), 2).as("total"),
         sum("k").as("key_sum"))
-      .orderBy("diff")
+      .orderBy("_change_type")
   }
 
   private def qSnapshotClone(s: SparkSession, d: String): DataFrame =
@@ -1930,12 +1930,12 @@ object Relational extends QueryModule {
         |        WHERE o_orderkey % 3 IN (0, 1) OR o_orderkey % 10 = 0)
         |  WHERE k NOT BETWEEN 100 AND 499),
         |d AS (
-        |  SELECT 'added' AS diff, k, p FROM
+        |  SELECT 'insert' AS _change_type, k, p FROM
         |    (SELECT k, p FROM head EXCEPT ALL SELECT k, p FROM v1)
         |  UNION ALL
-        |  SELECT 'removed' AS diff, k, p FROM
+        |  SELECT 'delete' AS _change_type, k, p FROM
         |    (SELECT k, p FROM v1 EXCEPT ALL SELECT k, p FROM head))
-        |SELECT diff, count(*) AS n, round(sum(p), 2) AS total,
+        |SELECT _change_type, count(*) AS n, round(sum(p), 2) AS total,
         |  CAST(sum(k) AS BIGINT) AS key_sum
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_snapshot_clone" ->

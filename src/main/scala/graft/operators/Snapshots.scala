@@ -2687,19 +2687,23 @@ object Snapshots {
   }
 
   /** Semantic DIFF between two versions — the rewrite-crossing fallback to
-    * [[readChangeFeed]]: content-based added/removed rows by multiset
+    * [[readChangeFeed]]: content-based changed rows by multiset
     * difference, valid across ANY commits (replaces, restores, clones)
-    * because it never consults the feed. Inherently two-table-scan +
-    * shuffle-on-all-columns work — the CDF is the O(delta) path when the
-    * range has one; this answers when it refuses.
+    * because it never consults the feed. The result speaks the feed's
+    * dialect — `_change_type` of `insert` (in `to`, not in `from`) or
+    * `delete` — so feed folders consume either source; the column name is
+    * collision-proof because the CDF face already reserves it on this
+    * format's tables. Inherently two-table-scan + shuffle-on-all-columns
+    * work — the CDF is the O(delta) path when the range has one; this
+    * answers when it refuses.
     */
   def diffVersions(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Int): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val a = read(spark, dir, Some(fromVersion))
     val b = read(spark, dir, Some(toVersion))
-    b.exceptAll(a).withColumn("diff", lit("added"))
-      .unionByName(a.exceptAll(b).withColumn("diff", lit("removed")))
+    b.exceptAll(a).withColumn("_change_type", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`): a new

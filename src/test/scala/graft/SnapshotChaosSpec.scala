@@ -166,7 +166,7 @@ class SnapshotChaosSpec extends AnyFunSuite {
           .as[(Long, Long, String)].collect()
         val folded = scala.collection.mutable.Buffer(history(va): _*)
         d.foreach {
-          case (k, v, "added") => folded += ((k, v))
+          case (k, v, "insert") => folded += ((k, v))
           case (k, v, _) =>
             val i = folded.indexOf((k, v))
             assert(i >= 0, s"step $step: diff removed a row v$va never had")
