@@ -326,7 +326,45 @@ object Monitoring extends QueryModule {
     driftTokens(refSlice(docs), curSlice(docs))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic — the nonparametric
+    * companion to the binned PSI: KS = max |F_ref − F_cur| over the union
+    * of observed values, with the α = 0.05 critical value
+    * 1.358·√((n+m)/(n·m)) deciding the breach flag. The cumulative window
+    * runs over the DISTINCT-VALUE grid (counts collapse map-side per
+    * value; integer features have a bounded grid, continuous ones should
+    * quantize first), never over rows — same posture as the histogram
+    * rollups. Every grid term is a ratio of exact integer counts, so both
+    * engines compute bit-identical statistics.
+    */
+  def driftKs(ref: DataFrame, cur: DataFrame, feature: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = ref.groupBy(col(feature).as("v")).agg(count(lit(1)).as("rn"))
+    val c = cur.groupBy(col(feature).as("v")).agg(count(lit(1)).as("cn"))
+    val j = r.join(c, Seq("v"), "full_outer").na.fill(0L, Seq("rn", "cn"))
+    val tot = j.agg(sum("rn").cast("double").as("nr"),
+      sum("cn").cast("double").as("nc"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j.withColumn("crf", sum("rn").over(w))
+      .withColumn("ccf", sum("cn").over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy("nr", "nc")
+      .agg(round(max(abs(col("crf") / col("nr") - col("ccf") / col("nc"))), 4)
+        .as("ks"))
+      .select(col("ks"),
+        col("nr").cast("long").as("n_ref"), col("nc").cast("long").as("n_cur"),
+        when(col("ks") >
+          round(lit(1.358) * sqrt((col("nr") + col("nc")) / (col("nr") * col("nc"))), 4),
+          1).otherwise(0).as("breach"))
+  }
+
+  private def qDriftKs(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    driftKs(refSlice(docs), curSlice(docs), "n_chars")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drift_ks" -> qDriftKs,
     "q_drift_psi" -> qDriftPsi,
     "q_drift_tokens" -> qDriftTokens,
     "q_ab_test" -> qAbTest,
@@ -340,6 +378,26 @@ object Monitoring extends QueryModule {
       |cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1 AND n_chars >= 150)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // KS over the distinct n_chars grid: every term is a ratio of exact
+    // integer counts, so the max is bit-identical across engines
+    "q_drift_ks" ->
+      s"""WITH $slicesCte,
+         |r AS (SELECT n_chars AS v, count(*) AS rn FROM ref GROUP BY 1),
+         |c AS (SELECT n_chars AS v, count(*) AS cn FROM cur GROUP BY 1),
+         |j AS (SELECT coalesce(r.v, c.v) AS v, coalesce(rn, 0) AS rn,
+         |             coalesce(cn, 0) AS cn
+         |      FROM r FULL JOIN c ON r.v = c.v),
+         |t AS (SELECT CAST(sum(rn) AS DOUBLE) AS nr,
+         |             CAST(sum(cn) AS DOUBLE) AS nc FROM j),
+         |cum AS (SELECT v, sum(rn) OVER (ORDER BY v) AS crf,
+         |               sum(cn) OVER (ORDER BY v) AS ccf FROM j),
+         |agg AS (SELECT round(max(abs(crf / nr - ccf / nc)), 4) AS ks,
+         |               nr, nc
+         |        FROM cum, t GROUP BY nr, nc)
+         |SELECT ks, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+         |  CASE WHEN ks > round(1.358 * sqrt((nr + nc) / (nr * nc)), 4)
+         |       THEN 1 ELSE 0 END AS breach
+         |FROM agg""".stripMargin,
     // the abTest z mirrored at 5 cumulative Pocock looks (bound 2.413)
     "q_ab_sequential" ->
       """WITH u AS (
