@@ -288,6 +288,24 @@ object Similarity extends QueryModule {
       .orderBy("q_id")
   }
 
+  /** CALIBRATION of the kNN classifier — the reliability table behind an
+    * expected-calibration-error readout: group predictions by the winning
+    * vote count (the confidence is votes/k, discrete, so the bins are
+    * exact integers), report per-bin population, hits, and the
+    * |accuracy − confidence| gap. Everything is integer counts until the
+    * one terminal rounded division; the aggregate is k-row-sized.
+    */
+  private def qKnnCalibration(s: SparkSession, d: String): DataFrame =
+    qKnnClassify(s, d)
+      .withColumn("correct",
+        when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+      .groupBy(col("votes").as("conf_votes"))
+      .agg(count(lit(1)).as("n"), sum("correct").as("n_correct"))
+      .withColumn("gap", round(abs(
+        col("n_correct").cast("double") / col("n") -
+          col("conf_votes").cast("double") / 10), 4))
+      .orderBy("conf_votes")
+
   private def qEmbedKnn(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
     knnJoin(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
@@ -753,6 +771,7 @@ object Similarity extends QueryModule {
     "q_embed_knn" -> qEmbedKnn,
     "q_embed_knn_shuffle" -> qEmbedKnnShuffle,
     "q_knn_classify" -> qKnnClassify,
+    "q_knn_calibration" -> qKnnCalibration,
     "q_embed_admit" -> qEmbedAdmit,
     "q_embed_centroid" -> qEmbedCentroid,
     "q_embed_quantize" -> qEmbedQuantize
@@ -824,6 +843,42 @@ object Similarity extends QueryModule {
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY votes DESC, label) AS rn FROM votes)
         |WHERE rn = 1 ORDER BY q_id""".stripMargin,
+    // the classify chain rolled into the reliability table: integer bins
+    // (votes of 10), one terminal rounded division
+    "q_knn_calibration" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS true_label, ev AS qe
+        |      FROM e WHERE vec_id % 50 = 7),
+        |c AS (SELECT vec_id, label, ev FROM e WHERE vec_id % 50 <> 7),
+        |scored AS (
+        |  SELECT q.q_id, q.true_label, c.vec_id, c.label,
+        |    round(list_dot_product(c.ev, q.qe)
+        |      / (sqrt(list_dot_product(c.ev, c.ev))
+        |         * sqrt(list_dot_product(q.qe, q.qe))), 4) AS sim
+        |  FROM c, q),
+        |top AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, vec_id) AS rk FROM scored) WHERE rk <= 10),
+        |votes AS (
+        |  SELECT q_id, true_label, label, count(*) AS votes
+        |  FROM top GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT q_id, true_label, label AS pred_label, votes FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY votes DESC, label) AS rn FROM votes)
+        |  WHERE rn = 1),
+        |bins AS (
+        |  SELECT votes AS conf_votes, count(*) AS n,
+        |    CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_correct
+        |  FROM pred GROUP BY 1)
+        |SELECT conf_votes, n, n_correct,
+        |  round(abs(CAST(n_correct AS DOUBLE) / n
+        |    - CAST(conf_votes AS DOUBLE) / 10), 4) AS gap
+        |FROM bins ORDER BY conf_votes""".stripMargin,
     // semantic admission verdicts: best corpus neighbor per new vector
     // (same rank tie-break as the kNN oracle), admitted iff best < 0.9
     "q_embed_admit" ->
