@@ -456,13 +456,17 @@ object Snapshots {
     * substring scan: a table living under a `/data/c…` parent must not
     * confuse the parse).
     */
+  /** A touched file's path back to its MANIFEST-ENTRY form: table-relative
+    * for files under the table dir, the absolute path itself for a shallow
+    * clone's external references (that absolute form IS their entry — so
+    * every key-DML verb works on clones: the rewrite lands locally, the
+    * untouched external entries carry verbatim).
+    */
   private def relPath(dir: String, absPathOrUri: String): String = {
     val dirPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
       .stripSuffix("/")
     val p = new org.apache.hadoop.fs.Path(absPathOrUri).toUri.getPath
-    require(p.startsWith(dirPath + "/"),
-      s"$p is outside the table directory $dirPath")
-    p.substring(dirPath.length + 1)
+    if (p.startsWith(dirPath + "/")) p.substring(dirPath.length + 1) else p
   }
 
   /** The `meta` map committed with `version` (empty if none was passed). */
@@ -2688,10 +2692,14 @@ object Snapshots {
 
   /** Semantic DIFF between two versions — the rewrite-crossing fallback to
     * [[readChangeFeed]]: content-based changed rows by multiset
-    * difference, valid across ANY commits (replaces, restores, clones)
-    * because it never consults the feed. The result speaks the feed's
-    * dialect — `_change_type` of `insert` (in `to`, not in `from`) or
-    * `delete` — so feed folders consume either source; the column name is
+    * difference, valid across ANY commits (replaces, restores, clones,
+    * schema evolution) because it never consults the feed. Rows compare in
+    * the TO version's schema — the question is "what changed to become
+    * `toVersion`" — so an evolve-added column reads as NULL from the older
+    * version (exactly what its rows surface there) and a dropped column
+    * simply leaves the comparison. The result speaks the feed's dialect —
+    * `_change_type` of `insert` (in `to`, not in `from`) or `delete` — so
+    * feed folders consume either source; the column name is
     * collision-proof because the CDF face already reserves it on this
     * format's tables. Inherently two-table-scan + shuffle-on-all-columns
     * work — the CDF is the O(delta) path when the range has one; this
@@ -2699,9 +2707,13 @@ object Snapshots {
     */
   def diffVersions(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val a = read(spark, dir, Some(fromVersion))
+    import org.apache.spark.sql.functions.{col, lit}
+    val a0 = read(spark, dir, Some(fromVersion))
     val b = read(spark, dir, Some(toVersion))
+    val a = b.columns.foldLeft(a0) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(b.schema(c).dataType))
+    }.select(b.columns.map(col(_)).toSeq: _*)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }

@@ -221,13 +221,17 @@ object Hdf5 {
     c
   }
 
-  def open(path: String): H5File = openDepth(path, 0)
+  def open(path: String): H5File =
+    openDepth(path, 0, scala.collection.mutable.Map.empty)
 
-  /** [[open]] with an external-link hop counter: each `GExt` resolution
+  /** [[open]] with an external-link hop counter — each `GExt` resolution
     * re-enters here with `depth + 1`, so a link cycle across files fails
-    * loudly instead of recursing forever.
+    * loudly instead of recursing forever — and a per-open parse cache: a
+    * stub file carrying K external links into one payload parses that
+    * payload once, not K times (the virtual-aggregation shape).
     */
-  private def openDepth(path: String, depth: Int): H5File = {
+  private def openDepth(path: String, depth: Int,
+      opened: scala.collection.mutable.Map[String, H5File]): H5File = {
     require(depth <= 8,
       s"$path: external link chain deeper than 8 files (cycle?)")
     val raf = new RandomAccessFile(path, "r")
@@ -343,7 +347,11 @@ object Hdf5 {
           require(new java.io.File(resolvedFile).isFile,
             s"$path: external link '$n' -> '$file': file not found")
           val t = component("external", n, target)
-          val tf = openDepth(resolvedFile, depth + 1)
+          // cycles stay caught: a file still being parsed is not yet in
+          // the cache, so re-entry recurses into the depth guard
+          val tf = opened.getOrElseUpdate(
+            new java.io.File(resolvedFile).getCanonicalPath,
+            openDepth(resolvedFile, depth + 1, opened))
           val td = tf.dataset(t).getOrElse(throw new IllegalArgumentException(
             s"$path: dangling external link '$n' -> '$file:/$t'"))
           // keep the INNER redirect when the target was itself ext-linked

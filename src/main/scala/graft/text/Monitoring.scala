@@ -334,12 +334,16 @@ object Monitoring extends QueryModule {
     * value; integer features have a bounded grid, continuous ones should
     * quantize first), never over rows — same posture as the histogram
     * rollups. Every grid term is a ratio of exact integer counts, so both
-    * engines compute bit-identical statistics.
+    * engines compute bit-identical statistics. NULL feature values are
+    * EXCLUDED on both sides — a null has no place on an ordered CDF, and
+    * including it would make the grid's sort order engine-specific.
     */
   def driftKs(ref: DataFrame, cur: DataFrame, feature: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val r = ref.groupBy(col(feature).as("v")).agg(count(lit(1)).as("rn"))
-    val c = cur.groupBy(col(feature).as("v")).agg(count(lit(1)).as("cn"))
+    val r = ref.filter(col(feature).isNotNull)
+      .groupBy(col(feature).as("v")).agg(count(lit(1)).as("rn"))
+    val c = cur.filter(col(feature).isNotNull)
+      .groupBy(col(feature).as("v")).agg(count(lit(1)).as("cn"))
     val j = r.join(c, Seq("v"), "full_outer").na.fill(0L, Seq("rn", "cn"))
     val tot = j.agg(sum("rn").cast("double").as("nr"),
       sum("cn").cast("double").as("nc"))

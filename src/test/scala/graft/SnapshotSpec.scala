@@ -321,6 +321,45 @@ class SnapshotSpec extends AnyFunSuite {
     assert(e.getMessage.contains("purgeDeletes"))
   }
 
+  test("every key-DML verb works on a shallow clone; the source never moves") {
+    val src = tmp(); val dst = tmp()
+    Snapshots.commit(spark, src, spark.range(100).toDF("k")
+      .withColumn("v", col("k") * 10).repartitionByRange(4, col("k")))
+    Snapshots.cloneTable(spark, src, dst)
+    // MERGE on still-external files: the touched external rewrites into a
+    // LOCAL file, the untouched external entries carry verbatim
+    Snapshots.mergeInto(spark, dst,
+      Seq((5L, -1L), (500L, 1L)).toDF("k", "v"), "k")
+    val got = Snapshots.read(spark, dst).as[(Long, Long)].collect().toMap
+    assert(got(5L) == -1L && got(500L) == 1L && got.size == 101)
+    // the generic SQL-face verbs too
+    Snapshots.updateWhere(spark, dst, col("k") === 7, Seq("v" -> lit(-7L)))
+    Snapshots.deleteWhere(spark, dst, col("k") === 9)
+    Snapshots.deleteRangeMor(spark, dst, "k", Some(20L), Some(24L))
+    Snapshots.mergeApply(spark, dst, Seq((30L, -30L)).toDF("k", "v"),
+      onCond = col("__t.k") === col("__s.k"),
+      matched = Seq(Snapshots.WhenMatched(None, Some(Seq("v" -> col("__s.v"))))),
+      notMatched = Seq.empty)
+    val after = Snapshots.read(spark, dst).as[(Long, Long)].collect().toMap
+    assert(after(7L) == -7L && !after.contains(9L) && !after.contains(22L) &&
+      after(30L) == -30L && after.size == 95) // 101 - {9} - [20,24]
+    // the source observed none of it
+    assert(Snapshots.read(spark, src).count() == 100)
+    assert(Snapshots.read(spark, src).filter(col("v") < 0).count() == 0)
+  }
+
+  test("diffVersions crosses schema evolution in the TO version's frame") {
+    val dir = tmp()
+    Snapshots.commit(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    Snapshots.commit(spark, dir,
+      Seq((3L, 30L, "x")).toDF("k", "v", "tag"), evolve = true)
+    val d = Snapshots.diffVersions(spark, dir, 1, 2)
+      .as[(Long, Long, String, String)].collect().sortBy(_._1)
+    // old rows surface tag = NULL in v2 — identical to their aligned v1
+    // image, so ONLY the new row diffs
+    assert(d.toSeq == Seq((3L, 30L, "x", "insert")))
+  }
+
   test("shallow clone carries schema-bearing properties, not version refs") {
     val src = tmp(); val dst = tmp()
     Snapshots.commit(spark, src, spark.range(10).toDF("k")
