@@ -242,6 +242,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litString(args.head, "snapshot_history path"))
           .queryExecution.logical
       }))
+    // `FROM snapshot_diff('<dir>', v1, v2)` — the rewrite-crossing semantic
+    // diff as a relation: content rows + `_change_type` (insert/delete)
+    ext.injectTableFunction((FunctionIdentifier("snapshot_diff"),
+      info("snapshot_diff"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "snapshot_diff('<dir>', fromV, toV)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Snapshots.diffVersions(spark,
+          litString(args.head, "snapshot_diff path"),
+          litInt(args(1), "fromVersion"), litInt(args(2), "toVersion"))
+          .queryExecution.logical
+      }))
     // `FROM snapshot_tags('<dir>')` — named refs as a relation: the tag
     // table a steward joins against snapshot_history before retention ops
     ext.injectTableFunction((FunctionIdentifier("snapshot_tags"),

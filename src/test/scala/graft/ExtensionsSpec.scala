@@ -272,6 +272,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(phys.contains("PushedFilters: [In(token"), phys)
   }
 
+  test("SQL face of the semantic diff: snapshot_diff TVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-diff").toString
+    import TestSpark.spark.implicits._
+    operators.Snapshots.commit(ext, dir, Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    operators.Snapshots.commit(ext, dir, Seq((3, "c")).toDF("id", "s"))
+    operators.Snapshots.deleteRange(ext, dir, "id", Some(1), Some(1))
+    val d = ext.sql(
+      s"SELECT id, s, _change_type FROM snapshot_diff('$dir', 1, 3) ORDER BY id")
+      .as[(Int, String, String)].collect().toSeq
+    assert(d == Seq((1, "a", "delete"), (3, "c", "insert")))
+    intercept[Exception](
+      ext.sql(s"SELECT * FROM snapshot_diff('$dir', 1)").collect())
+  }
+
   test("SQL face of named tags: snapshot_tags TVF + tagAsOf relation option") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tvf-tag").toString
     import TestSpark.spark.implicits._
