@@ -92,6 +92,27 @@ object Sorted1 {
     df.coalesce(1).sortWithinPartitions(cols: _*)
 }
 
+/** Tail-sort a DATA-SIZED (corpus-row-scale) query result. A naive tail
+  * sort has two scale pathologies and this helper dodges both: a plain
+  * trailing `orderBy` range-samples by executing the whole child subtree a
+  * SECOND time (doubling a multi-stage pipeline's cost), while the
+  * [[Sorted1]] cure — right for label/aggregate-sized results — collapses
+  * everything after the last exchange into ONE task, which for a
+  * corpus-row-sized result is the stage that doesn't finish at 100 TB.
+  * Here the child is eagerly `localCheckpoint`ed (ONE execution, blocks
+  * cached MEMORY_AND_DISK on the executors, lineage cut) and then sorted
+  * with a plain distributed `orderBy`: the range sampler reads the cached
+  * blocks instead of re-executing the child, and the sort itself stays
+  * range-partitioned and parallel at any scale. Checkpoint blocks are
+  * reclaimed by the ContextCleaner once the plan is unreachable.
+  */
+object SortedDist {
+  def apply(df: DataFrame, cols: String*): DataFrame =
+    df.localCheckpoint(eager = true).orderBy(cols.head, cols.tail: _*)
+  def desc(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.localCheckpoint(eager = true).orderBy(cols: _*)
+}
+
 object PersistedCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (String, Any), (org.apache.spark.SparkContext, DataFrame)]()

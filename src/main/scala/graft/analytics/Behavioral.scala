@@ -231,7 +231,7 @@ object Behavioral extends QueryModule {
       .select(col("ck").as("custkey"), posexplode(col("top")))
       .select(col("custkey"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("partkey"), round(col("col.sim"), 4).as("score"))
-      .transform(graft.Sorted1(_, "custkey", "rank")) // tail sort: see Sorted1
+      .transform(graft.SortedDist(_, "custkey", "rank")) // data-sized tail: see SortedDist
   }
 
   /** MERGEABLE co-occurrence ingest state: per unordered part pair (a < b),

@@ -823,7 +823,7 @@ object Dedup extends QueryModule {
         docs.filter(col("doc_id") % 10 === 0),
         corpusSigsCached(s, d))
       .select("doc_id", "source", "lang")
-      .transform(graft.Sorted1(_, "doc_id")) // tail sort: see Sorted1
+      .transform(graft.SortedDist(_, "doc_id")) // data-sized tail: see SortedDist
   }
 
   /** The same 10% shard admitted by CONTAINMENT against the maintained 90%
@@ -855,11 +855,19 @@ object Dedup extends QueryModule {
     * the corpus retains one copy of every phrase.
     *
     * Scale shape: one corpus explode into L-grams (corpus-token-sized, the
-    * containment-index build's cost), a groupBy-gram with a count-distinct
-    * (hot boilerplate grams bound the reduce task, not the corpus), the
-    * flagged-position table is duplicate-occurrence-sized, and the rebuild
-    * is one corpus shuffle by doc. Returns (doc_id, position) spans;
-    * [[exactSubstrScrub]] applies them.
+    * containment-index build's cost) — each gram reduced AT THE MAP SIDE
+    * to a 128-bit fingerprint (two independent xxhash64 lanes), so the
+    * shuffle carries 16 bytes per window instead of the joined L-token
+    * text (~10× smaller for l=8; a cross-lane collision needs ~2^64 grams,
+    * astronomically above any corpus) — a groupBy-fingerprint with a
+    * count-distinct (hot boilerplate grams bound the reduce task, not the
+    * corpus), the flagged-position table is duplicate-occurrence-sized,
+    * and the rebuild is one corpus shuffle by doc. The canonical kept
+    * occurrence is `min(struct(doc_id, start))` — a true lexicographic
+    * (doc, start) minimum, NOT an arithmetic doc*K+start packing, which
+    * would alias pairs once a document exceeds K tokens (books and
+    * concatenated dumps exceed 1M at 100 TB). Returns (doc_id, position)
+    * spans; [[exactSubstrScrub]] applies them.
     */
   def exactSubstrSpans(docs: DataFrame, l: Int): DataFrame = {
     val grams = docs
@@ -868,42 +876,75 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(toks) - ${l - 1}), " +
           s"i -> array_join(slice(toks, i, $l), ' '))")).as(Seq("p0", "gram")))
-      .select(col("doc_id"), (col("p0") + 1).as("start"), col("gram"))
-    val dups = grams.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("nd"),
-        min(col("doc_id") * 1000000L + col("start")).as("keep_key"))
+      .select(col("doc_id"), (col("p0") + 1).as("start"),
+        struct(xxhash64(col("gram")).as("h1"),
+          xxhash64(lit(0x9e3779b9L), col("gram")).as("h2")).as("gk"))
+    // Two-level aggregate instead of groupBy(gk).agg(countDistinct, ...):
+    // the (gk, doc_id) pre-aggregate is map-side combinable (no Expand for
+    // the distinct), and the keep-one key stays in FIXED-WIDTH agg buffers
+    // (min / min_by over longs → HashAggregate) — a min(struct(...)) buffer
+    // would force SortAggregate over the corpus-token-sized gram table.
+    // doc_id is unique per gk group after level 1, so min(doc_id) +
+    // min_by(first_start, doc_id) IS the lexicographic (doc, start) min.
+    val occ = grams.groupBy("gk", "doc_id").agg(min(col("start")).as("ms"))
+    val dups = occ.groupBy("gk")
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("kdoc"),
+        min_by(col("ms"), col("doc_id")).as("kstart"))
       .filter(col("nd") > 1)
-      .select("gram", "keep_key")
-    grams.join(dups, "gram")
-      .filter(col("doc_id") * 1000000L + col("start") =!= col("keep_key"))
+      .select("gk", "kdoc", "kstart")
+    grams.join(dups, "gk")
+      .filter(col("doc_id") =!= col("kdoc") || col("start") =!= col("kstart"))
       .select("doc_id", "start")
   }
 
   /** Apply [[exactSubstrSpans]]: drop every token position covered by a
     * flagged window, rebuild the remaining text in order. Returns
-    * (doc_id, n_before, n_after, scrubbed). */
+    * (doc_id, n_before, n_after, scrubbed).
+    *
+    * Only documents that actually HOLD a flagged position take the
+    * token-explode → anti-join → collect-and-rejoin rebuild; the rest of
+    * the corpus (the overwhelming majority at scale) passes through with
+    * its original text, so the expensive string reassembly is
+    * duplicate-doc-sized, not corpus-sized. The passthrough is exact:
+    * the rebuild path emits `array_join(split(text, ' '), ' ')`, which is
+    * byte-identical to `text` for any input (split/join with the same
+    * single-space separator round-trips, empty tokens included).
+    */
   def exactSubstrScrub(docs: DataFrame, l: Int): DataFrame = {
+    // localCheckpoint: `covered` feeds FOUR branches below (touched semi,
+    // untouched anti, the position anti-join, and n_before's right side via
+    // `touched`) — without it each branch re-executes the whole gram
+    // explode + aggregate subtree. The table is duplicate-occurrence-sized
+    // (tiny next to the corpus), cached MEMORY_AND_DISK across executors.
     val covered = exactSubstrSpans(docs, l)
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (l - 1))).as("pos"))
       .distinct()
-    val tokens = docs
+      .localCheckpoint(true)
+    val touchedIds = covered.select("doc_id").distinct()
+    val touched = docs.join(touchedIds, Seq("doc_id"), "left_semi")
+    val tokens = touched
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "token")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("token"))
-    tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_after"),
         array_join(transform(array_sort(collect_list(struct(col("pos"),
           col("token")))), x => x.getField("token")), " ").as("scrubbed"))
-      .join(docs.select(col("doc_id"),
+      .join(touched.select(col("doc_id"),
         size(split(col("text"), " ")).as("n_before")), Seq("doc_id"), "right")
       .select(col("doc_id"), col("n_before"),
         coalesce(col("n_after"), lit(0)).as("n_after"),
         coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+    val untouched = docs.join(touchedIds, Seq("doc_id"), "left_anti")
+      .withColumn("n_before", size(split(col("text"), " ")))
+      .select(col("doc_id"), col("n_before"),
+        col("n_before").cast("long").as("n_after"), col("text").as("scrubbed"))
+    rebuilt.unionByName(untouched)
   }
 
   private def qSubstringScrub(s: SparkSession, d: String): DataFrame =
-    graft.Sorted1(exactSubstrScrub(T.documents(s, d), l = 8), "doc_id")
+    graft.SortedDist(exactSubstrScrub(T.documents(s, d), l = 8), "doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_scrub" -> qSubstringScrub,

@@ -277,16 +277,18 @@ object EntityResolution extends QueryModule {
 
   // ---- declared queries ----
 
-  /** Total-order the (small, label-sized) result in ONE partition: a global
-    * `orderBy` plans a range-partitioned sort whose sampling pass executes
-    * the whole child subtree — joins, Levenshtein scoring, the CC loop —
-    * a second time, which doubled every ER query's bench cost. The results
-    * here are entity labels (batch/corpus-entity-sized, not corpus-row-
-    * sized), so a single-partition sort is the right plan and the oracle
-    * compare is order-insensitive anyway.
+  /** Total-order a RECORD-SIZED result without re-executing the child: a
+    * bare trailing `orderBy` plans a range-partitioned sort whose sampling
+    * pass executes the whole child subtree — joins, Levenshtein scoring,
+    * the CC loop — a second time, which doubled every ER query's bench
+    * cost. These results are record-sized (one row per input record /
+    * match pair), not label-sized, so the `coalesce(1)` cure would put a
+    * one-task stage at the end of every ER query; [[graft.SortedDist]]
+    * (eager localCheckpoint, then a distributed sort over the cached
+    * blocks) keeps both the single-execution win and the parallel sort.
     */
   private def sorted1(df: DataFrame, cols: String*): DataFrame =
-    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+    graft.SortedDist(df, cols: _*)
 
   private def qErPairs(s: SparkSession, d: String): DataFrame =
     sorted1(matchPairs(dirtyRecords(s, d)), "rec1", "rec2")

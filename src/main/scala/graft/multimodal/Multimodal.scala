@@ -848,7 +848,7 @@ object Multimodal extends QueryModule {
       .partitionBy("asset_id").orderBy("frame")
     val islands = frames.filter(col("energy") > 0)
       .withColumn("island", col("frame") - row_number().over(w))
-    graft.Sorted1(
+    graft.SortedDist(
       islands.groupBy("asset_id", "island")
         .agg(min(col("frame")).as("start_frame"),
           max(col("frame")).as("end_frame"),

@@ -259,7 +259,7 @@ object TextAnalysis extends QueryModule {
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("token").as("keyword"), col("tfidf"))
-      .transform(graft.Sorted1(_, "doc_id")) // tail sort: see Sorted1
+      .transform(graft.SortedDist(_, "doc_id")) // data-sized tail: see SortedDist
   }
 
   /** Consecutive-token (w1, w2) bigram rows of a tokenized corpus (a `t`
@@ -579,7 +579,7 @@ object TextAnalysis extends QueryModule {
       .withColumn("seq_fill",
         round((col("cum") - col("seq_id") * budget) / lit(budget.toDouble), 4))
       .select("doc_id", "source", "n_tokens", "seq_id", "seq_fill")
-      .transform(graft.Sorted1(_, "doc_id")) // tail sort: see Sorted1
+      .transform(graft.SortedDist(_, "doc_id")) // data-sized tail: see SortedDist
   }
 
   /** The SALTED twin of [[qPackContexts]] — same output contract, scalable
@@ -734,7 +734,7 @@ object TextAnalysis extends QueryModule {
       .withColumn("seq_fill",
         round((col("cum") - col("seq_id") * budget) / lit(budget.toDouble), 4))
       .select("doc_id", "source", "n_tokens", "seq_id", "seq_fill")
-      .transform(graft.Sorted1(_, "doc_id")) // tail sort: see Sorted1
+      .transform(graft.SortedDist(_, "doc_id")) // data-sized tail: see SortedDist
   }
 
   /** The corpus-prep pipeline with the PRODUCTION near-dedup stage: the same

@@ -410,4 +410,22 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(4L)._4 == "totally unique text with no repeats at all")
     assert(byId(5L)._4 == "tiny doc" && byId(5L)._2 == 2 && byId(5L)._3 == 2)
   }
+
+  test("exact-substring canonical key survives million-token documents") {
+    import spark.implicits._
+    // Regression lock for the keep-one key: the old arithmetic packing
+    // (doc_id * 1e6 + start) aliased (doc 1, start 1,000,001) with
+    // (doc 2, start 1) — both occurrences matched the aliased keep_key and
+    // BOTH copies were kept. The struct-min key must scrub exactly one.
+    val n = 1000000
+    val filler = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler dup0 dup1"), // shared bigram at start = n + 1
+      (2L, "dup0 dup1 tail0 tail1") // shared bigram at start = 1
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, l = 2)
+      .as[(Long, Long)].collect().toSet
+    // canonical = lexicographic min (doc 1, n+1) kept; (doc 2, 1) scrubbed
+    assert(spans == Set((2L, 1L)), s"spans=$spans")
+  }
 }
