@@ -901,6 +901,16 @@ object Relational extends QueryModule {
                |  THEN UPDATE SET o_totalprice = s.o_totalprice + 5
                |WHEN MATCHED THEN DELETE
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // HIDDEN-PARTITIONED fixture (Iceberg's days transform): the INSERT
+      // routes rows into one file per day, so a day-range filter plans
+      // only that day's files (SqlCatalogSpec locks the kept-file count;
+      // the declared query's oracle locks the rows)
+      s.sql(s"CREATE TABLE graftcat.$ns.events_part " +
+        "(event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+      T.events(s, d).select("event_id", "user_id", "event_type", "ts")
+        .createOrReplaceTempView(s"src_evt_$ns")
+      s.sql(s"INSERT INTO graftcat.$ns.events_part SELECT * FROM src_evt_$ns")
       ns
     })
 
@@ -957,6 +967,21 @@ object Relational extends QueryModule {
     s.sql(s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
              |FROM graftcat.$ns.orders_upd""".stripMargin)
+  }
+
+  /** Day-filtered read of the hidden-partitioned catalog table: the
+    * days(ts) routing makes every file single-day, so the ts range plans
+    * exactly the three probed days' files — Iceberg partition pruning
+    * with zero user-visible partition columns.
+    */
+  private def qSnapshotPartitioned(s: SparkSession, d: String): DataFrame = {
+    val ns = sqlCatNsOf(s, d)
+    s.sql(s"""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM graftcat.$ns.events_part
+             |WHERE ts >= timestamp'2024-01-10 00:00:00'
+             |  AND ts < timestamp'2024-01-13 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
   private def qSnapshotSqlMerge(s: SparkSession, d: String): DataFrame = {
@@ -1695,6 +1720,7 @@ object Relational extends QueryModule {
     "q_snapshot_sql_delete" -> qSnapshotSqlDelete,
     "q_snapshot_sql_update" -> qSnapshotSqlUpdate,
     "q_snapshot_sql_merge" -> qSnapshotSqlMerge,
+    "q_snapshot_partitioned" -> qSnapshotPartitioned,
     "q_snapshot_dv" -> qSnapshotDv,
     "q_snapshot_history" -> qSnapshotHistory,
     "q_snapshot_restore" -> qSnapshotRestore,
@@ -1838,6 +1864,13 @@ object Relational extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders
         |WHERE NOT (o_custkey % 10 = 3 AND o_totalprice < 150000)""".stripMargin,
+    "q_snapshot_partitioned" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE ts >= timestamp'2024-01-10 00:00:00'
+        |  AND ts < timestamp'2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_snapshot_sql_update" ->
       """SELECT count(*) AS n,
         |  round(sum(CASE WHEN o_orderkey BETWEEN 500 AND 1499

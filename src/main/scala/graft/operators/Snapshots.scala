@@ -223,6 +223,90 @@ object Snapshots {
     properties(spark, dir).get("bloom.columns")
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
 
+  // ------------------------------------------------------ partitioning
+  /** HIDDEN partition transform of a table (Iceberg's partition-spec
+    * idea, single-transform form), recorded in the `graft.partition`
+    * table property. Writes ROUTE rows into per-partition-value files
+    * (hive-style `__part=<value>` leaf dirs under each commit's unique
+    * data dir), so the per-file partition value rides in the MANIFEST
+    * ENTRY itself. Pruning is then metadata-only: identity/days filters
+    * skip through the per-file stats envelopes the routing makes
+    * value-tight (a file never mixes partition values), and bucket
+    * equality probes skip on the path-recorded bucket number without
+    * opening a footer ([[pruneFilesAll]]). "Hidden" as in Iceberg: the
+    * source column stays a normal data column — queries filter on IT,
+    * never on a derived partition column, and the layout is free to
+    * change (files written before the spec simply carry no value and are
+    * always kept).
+    */
+  sealed trait PartitionSpec { def column: String; def encoded: String }
+  case class IdentityPart(column: String) extends PartitionSpec {
+    def encoded = s"identity($column)"
+  }
+  case class DaysPart(column: String) extends PartitionSpec {
+    def encoded = s"days($column)"
+  }
+  case class BucketPart(n: Int, column: String) extends PartitionSpec {
+    require(n > 0, s"bucket count must be positive, got $n")
+    def encoded = s"bucket($n,$column)"
+  }
+
+  private val PartProp = "graft.partition"
+  private[graft] val PartDirCol = "__part"
+  private val HiveDefaultPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Declare the table's partition transform (usually at CREATE time via
+    * the SQL catalog's `PARTITIONED BY`). Declaring on a table that
+    * already holds data only affects FUTURE writes — existing files carry
+    * no partition value and are never pruned by it.
+    */
+  def setPartitionSpec(spark: SparkSession, dir: String,
+      spec: PartitionSpec): Unit =
+    setProperties(spark, dir, Map(PartProp -> spec.encoded))
+
+  def partitionSpec(spark: SparkSession, dir: String): Option[PartitionSpec] =
+    properties(spark, dir).get(PartProp).map(parsePartitionSpec)
+
+  private[graft] def parsePartitionSpec(s: String): PartitionSpec = {
+    val Ident = """identity\((.+)\)""".r
+    val Days = """days\((.+)\)""".r
+    val Bucket = """bucket\((\d+),(.+)\)""".r
+    s match {
+      case Bucket(n, c) => BucketPart(n.toInt, c)
+      case Days(c) => DaysPart(c)
+      case Ident(c) => IdentityPart(c)
+      case other => throw new IllegalArgumentException(
+        s"malformed partition spec '$other' — " +
+          "expected identity(col) | days(col) | bucket(n,col)")
+    }
+  }
+
+  /** The partition value a manifest entry carries (the hive-style
+    * `__part=` path segment the routed write put there), unescaped.
+    * None for entries written without a spec, or for a null partition
+    * value — both always survive pruning.
+    */
+  private[graft] def partValueOf(entry: String): Option[String] =
+    entry.split('/').find(_.startsWith(PartDirCol + "="))
+      .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(s.substring(PartDirCol.length + 1)))
+      .filter(_ != HiveDefaultPart)
+
+  /** The bucket number `bucket(n, col)` routes `v` to — must replicate
+    * the WRITE side's `pmod(hash(col), n)` exactly (Spark's Murmur3, seed
+    * 42, over the column's own type). None when the value can't be
+    * represented in the column's type (exotic caller) — the caller keeps
+    * the file, pruning stays sound.
+    */
+  private def bucketOf(v: Any, dt: org.apache.spark.sql.types.DataType,
+      n: Int): Option[Int] =
+    try {
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(lit), 42)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]
+      Some(((h % n) + n) % n)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def bloomWriteOptions(spark: SparkSession, dir: String): Map[String, String] =
     bloomColumns(spark, dir)
       // declared names may be logical (post-rename); the writer sees the
@@ -442,13 +526,45 @@ object Snapshots {
     // the single write choke point: logical frames land under their
     // PHYSICAL column names, so renamed columns stay one column on disk
     val physical = toPhysicalFrame(spark, dir, df)
-    withStatFriendlyWrites(spark) {
-      physical.write.options(bloomWriteOptions(spark, dir))
-        .mode("overwrite").parquet(s"$dir/$dataRel")
+    partitionSpec(spark, dir) match {
+      case None =>
+        withStatFriendlyWrites(spark) {
+          physical.write.options(bloomWriteOptions(spark, dir))
+            .mode("overwrite").parquet(s"$dir/$dataRel")
+        }
+      case Some(ps) =>
+        import org.apache.spark.sql.functions.{col, hash, lit, pmod, to_date}
+        val pc = toPhysical(spark, dir, ps.column)
+        require(physical.columns.contains(pc),
+          s"$dir: partition column '${ps.column}' missing from the write")
+        val pv = ps match {
+          case IdentityPart(_) => col(pc)
+          case DaysPart(_) => to_date(col(pc))
+          case BucketPart(n, _) => pmod(hash(col(pc)), lit(n))
+        }
+        // clustered write distribution (Delta/Iceberg's default): shuffle
+        // by partition value so a file never mixes values — that is what
+        // makes the per-file stats envelope value-tight and the manifest
+        // entry's `__part=` segment a single exact value. The shadow
+        // column exists only for partitionBy routing; parquet files keep
+        // every user column (incl. the transform's source) and never
+        // store __part.
+        val routed = physical.withColumn(PartDirCol, pv.cast("string"))
+          .repartition(col(PartDirCol))
+        withStatFriendlyWrites(spark) {
+          routed.write.options(bloomWriteOptions(spark, dir))
+            .mode("overwrite").partitionBy(PartDirCol).parquet(s"$dir/$dataRel")
+        }
     }
-    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"))
-      .toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"$dataRel/${st.getPath.getName}").sorted
+    // recursive: a routed commit nests its files one `__part=` level down
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/$dataRel"), true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        out += relPath(dir, st.getPath.toUri.getPath)
+    }
+    out.sorted.toSeq
   }
 
   /** Table-relative path of an absolute data-file path/URI — the inverse of
@@ -1361,6 +1477,22 @@ object Snapshots {
       new org.apache.hadoop.fs.Path(path), spark.sessionState.newHadoopConf())
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
     try {
+      // a ZERO-ROW file (the schema-pinning empty first commit) has no row
+      // groups, hence no chunk stats — synthesize rows=0 entries from the
+      // schema so every range check prunes it instead of scanning it forever
+      if (reader.getFooter.getBlocks.isEmpty) {
+        return reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .collect {
+            case f if f.isPrimitive =>
+              val t = f.asPrimitiveType().getPrimitiveTypeName match {
+                case INT32 | INT64 => Some("long")
+                case FLOAT | DOUBLE => Some("double")
+                case BINARY => Some("string")
+                case _ => None
+              }
+              t.map(f.getName -> ColStat(_, 0L, 0L, None))
+          }.flatten.toMap
+      }
       val chunks = reader.getFooter.getBlocks.asScala.toSeq
         .flatMap(_.getColumns.asScala)
         .filter(_.getPath.size == 1) // top-level primitives only
@@ -1487,7 +1619,33 @@ object Snapshots {
         }
       }
     }
-    (kept, all)
+    // partition-transform skipping on the manifest entry's own `__part=`
+    // value. identity/days need nothing here — the routed write makes the
+    // source column's stats envelope value-tight, so the range check above
+    // already prunes them exactly. A bucket number, though, is invisible
+    // to min/max stats: an equality probe on the bucket source column
+    // hashes the probe value and drops every file routed to a different
+    // bucket — zero footer reads, the Iceberg bucket-pruning move.
+    val keptP = partitionSpec(spark, dir) match {
+      case Some(BucketPart(n, c)) =>
+        val dt = read(spark, dir, Some(version)).schema.fields
+          .find(_.name == c).map(_.dataType)
+        val eqBuckets = ranges.collect {
+          case (`c`, Some(lo), Some(hi)) if lo == hi && dt.nonEmpty =>
+            bucketOf(lo, dt.get, n).map(_.toString)
+        }
+        if (eqBuckets.isEmpty) kept
+        else kept.filter { f =>
+          partValueOf(f) match {
+            // conjunctive: the file's bucket must satisfy EVERY equality
+            // probe; an uncomputable probe (None) keeps the file
+            case Some(p) => eqBuckets.forall(_.forall(_ == p))
+            case None => true // pre-spec or null-partition file
+          }
+        }
+      case _ => kept
+    }
+    (keptP, all)
   }
 
   /** Bloom-filter file skipping for `column IN (values)`: keeps only the

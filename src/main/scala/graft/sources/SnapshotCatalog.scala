@@ -143,17 +143,64 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotV2Table(dir, ident.toString, Some(vs.max))
   }
 
+  /** `PARTITIONED BY (<transform>)` → the format's hidden partition spec
+    * (one transform: identity, `days(ts)`, or `bucket(n, col)` — Iceberg's
+    * three workhorses). Multi-column layouts cluster better through the
+    * format's Z-order/Hilbert maintenance, so multiple transforms refuse
+    * with that pointer instead of pretending to nest directories.
+    */
+  private def toPartitionSpec(t: Transform,
+      schema: StructType): Snapshots.PartitionSpec = {
+    // match on the PUBLIC Transform face (name/references/arguments): the
+    // IdentityTransform/DaysTransform/BucketTransform case classes are
+    // private[sql]
+    def oneCol(what: String): String = {
+      val refs = t.references.toSeq
+      require(refs.length == 1 && refs.head.fieldNames.length == 1,
+        s"catalog $catalogName: $what supports exactly one top-level column")
+      val c = refs.head.fieldNames.head
+      require(schema.fieldNames.contains(c),
+        s"catalog $catalogName: partition column '$c' is not in the schema")
+      c
+    }
+    t.name match {
+      case "identity" =>
+        Snapshots.IdentityPart(oneCol("identity partitioning"))
+      case "days" =>
+        val c = oneCol("days()")
+        val dt = schema(c).dataType
+        require(dt == org.apache.spark.sql.types.TimestampType ||
+            dt == org.apache.spark.sql.types.DateType,
+          s"catalog $catalogName: days($c) needs a timestamp/date column, got $dt")
+        Snapshots.DaysPart(c)
+      case "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new IllegalArgumentException(
+          s"catalog $catalogName: bucket() without a bucket count"))
+        Snapshots.BucketPart(n, oneCol("bucket()"))
+      case _ => throw new UnsupportedOperationException(
+        s"catalog $catalogName: partition transform ${t.describe} is " +
+          "unsupported — use identity(col), days(col) or bucket(n, col); " +
+          "for multi-dimensional layouts cluster via the Z-order/Hilbert " +
+          "maintenance procedures instead")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      s"catalog $catalogName: the snapshots format clusters via Z-order " +
-        "maintenance, not static partitioning — create without PARTITIONED BY")
+    require(partitions.length <= 1,
+      s"catalog $catalogName: at most ONE partition transform — " +
+        "multi-dimensional layouts cluster via Z-order/Hilbert maintenance")
+    val spec = partitions.headOption.map(toPartitionSpec(_, schema))
     val dir = dirOf(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     // an empty first commit pins the schema (read() derives it from the
     // committed footers, so an empty table still DESCRIBEs correctly)
     Snapshots.commit(spark, dir,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+    spec.foreach(Snapshots.setPartitionSpec(spark, dir, _))
     val user = properties.asScala.filterNot(_._1.startsWith("option."))
       .filterNot(kv => Seq(TableCatalog.PROP_COMMENT, TableCatalog.PROP_PROVIDER,
         TableCatalog.PROP_OWNER, TableCatalog.PROP_LOCATION,
@@ -306,6 +353,16 @@ private[graft] class SnapshotV2Table(val dir: String, ident: String,
 
   override def properties(): util.Map[String, String] =
     Snapshots.properties(spark, dir).asJava
+
+  /** Surface the hidden partition spec through DESCRIBE/SHOW. */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    Snapshots.partitionSpec(spark, dir).map {
+      case Snapshots.IdentityPart(c) => Expressions.identity(c)
+      case Snapshots.DaysPart(c) => Expressions.days(c)
+      case Snapshots.BucketPart(n, c) => Expressions.bucket(n, c)
+    }.toArray
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

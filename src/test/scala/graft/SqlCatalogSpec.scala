@@ -46,10 +46,16 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(Snapshots.currentVersion(spark, dir).contains(3))
     spark.sql(s"INSERT OVERWRITE $t VALUES (9, 'z')")
     assert(spark.table(t).as[(Long, String)].collect().toSet == Set((9L, "z")))
-    // CREATE over an existing table refuses; PARTITIONED BY refuses
+    // CREATE over an existing table refuses; unsupported/multi transforms
+    // refuse (identity/days/bucket are accepted — see the partitioning test)
     intercept[Exception](spark.sql(s"CREATE TABLE $t (k BIGINT)"))
-    intercept[Exception](
-      spark.sql(s"CREATE TABLE ${t}_p (k BIGINT, d STRING) PARTITIONED BY (d)"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE ${t}_p (k BIGINT, ts TIMESTAMP) PARTITIONED BY (hours(ts))"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE ${t}_p (k BIGINT, ts TIMESTAMP, d STRING) " +
+        "PARTITIONED BY (days(ts), d)"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE ${t}_p (k BIGINT, d STRING) PARTITIONED BY (days(d))"))
     // CTAS: create + first commit through the same write path
     spark.sql(s"CREATE TABLE ${t}_ctas AS SELECT k, v FROM $t WHERE k >= 9")
     assert(spark.table(s"${t}_ctas").as[(Long, String)].collect().toSet ==
@@ -150,6 +156,80 @@ class SqlCatalogSpec extends AnyFunSuite {
       .filter(col("k").between(100, 199)).groupBy("g")
       .agg(count(lit(1)).as("n"), sum("p").as("total")).orderBy("g").collect()
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("PARTITIONED BY days(ts): inserts route per day, a day filter plans only that day") {
+    val (t, dir) = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    assert(Snapshots.partitionSpec(spark, dir).contains(Snapshots.DaysPart("ts")))
+    // DESCRIBE surfaces the transform
+    assert(spark.table(t).queryExecution.analyzed.toString.nonEmpty)
+    spark.sql(s"INSERT INTO $t SELECT id AS k, " +
+      "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,CAST(id % 4 AS INT),0,0,id) AS ts, " +
+      "id * 1.5 AS v FROM range(400)")
+    // the commit routed rows into one file per day, value recorded in the entry
+    val files = Snapshots.files(spark, dir, Snapshots.currentVersion(spark, dir).get)
+    val parts = files.flatMap(Snapshots.partValueOf)
+    assert(parts.toSet == Set("2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"),
+      s"per-file day values: $parts")
+    // the CREATE's schema-pinning 0-row commit predates the spec: its one
+    // flat file carries no value (and its rows=0 stats always prune it)
+    assert(parts.length == files.length - 1, "a routed file lost its partition value")
+    // a day-range filter plans ONLY that day's files
+    SnapshotRelation.lastScan.set((-1, -1))
+    val got = spark.sql(s"SELECT count(*) AS n, sum(v) AS sv FROM $t " +
+      "WHERE ts >= timestamp'2024-03-02 00:00:00' AND ts < timestamp'2024-03-03 00:00:00'")
+      .collect().head
+    val (kept, total) = SnapshotRelation.lastScan.get()
+    assert(total == 5 && kept == 1, s"day filter planned $kept/$total files")
+    assert(got.getLong(0) == 100L)
+    assert(math.abs(got.getDouble(1) - (1 to 397 by 4).map(_ * 1.5).sum) < 1e-6)
+  }
+
+  test("PARTITIONED BY bucket(n, k): equality probes prune to one bucket's files") {
+    val (t, dir) = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) PARTITIONED BY (bucket(8, k))")
+    assert(Snapshots.partitionSpec(spark, dir).contains(Snapshots.BucketPart(8, "k")))
+    spark.sql(s"INSERT INTO $t SELECT id AS k, concat('v', id) AS v FROM range(1000)")
+    val files = Snapshots.files(spark, dir, Snapshots.currentVersion(spark, dir).get)
+    val parts = files.flatMap(Snapshots.partValueOf)
+    assert(parts.length == files.length - 1 && parts.toSet.subsetOf(
+      (0 until 8).map(_.toString).toSet), s"bucket values: $parts")
+    // an equality probe keeps exactly the probed key's bucket file(s) —
+    // min/max stats CANNOT do this (every bucket spans ~the full k range)
+    SnapshotRelation.lastScan.set((-1, -1))
+    val got = spark.sql(s"SELECT v FROM $t WHERE k = 123").as[String].collect()
+    val (kept, total) = SnapshotRelation.lastScan.get()
+    assert(got.toSeq == Seq("v123"))
+    assert(total == files.length && kept == 1,
+      s"bucket equality planned $kept/$total files")
+    // a range filter can't use buckets: everything is (correctly) kept
+    SnapshotRelation.lastScan.set((-1, -1))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE k >= 990 AND k < 1000")
+      .as[Long].head() == 10L)
+  }
+
+  test("PARTITIONED BY identity: routing makes stats envelopes value-tight; DML re-routes") {
+    val (t, dir) = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING) PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $t SELECT id AS k, " +
+      "CASE WHEN id % 3 = 0 THEN 'emea' WHEN id % 3 = 1 THEN 'apac' ELSE 'amer' END " +
+      "AS region FROM range(300)")
+    // identity pruning flows through the (now value-tight) string stats
+    SnapshotRelation.lastScan.set((-1, -1))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE region = 'apac'")
+      .as[Long].head() == 100L)
+    val (kept, total) = SnapshotRelation.lastScan.get()
+    assert(total == 4 && kept == 1, s"identity filter planned $kept/$total files")
+    // a rewriting DML keeps the spec: rewritten files carry values again
+    spark.sql(s"UPDATE $t SET k = k + 1000 WHERE region = 'emea'")
+    val files = Snapshots.files(spark, dir, Snapshots.currentVersion(spark, dir).get)
+    // every file except the schema-pin one carries a value post-rewrite
+    assert(files.flatMap(Snapshots.partValueOf).length >= files.length - 1,
+      "a DML-rewritten file lost its partition value")
+    assert(spark.sql(s"SELECT min(k) AS mn FROM $t WHERE region = 'emea'")
+      .as[Long].head() == 1000L)
   }
 
   test("SQL time travel: VERSION AS OF number and tag, TIMESTAMP AS OF") {
