@@ -901,6 +901,24 @@ object Relational extends QueryModule {
                |  THEN UPDATE SET o_totalprice = s.o_totalprice + 5
                |WHEN MATCHED THEN DELETE
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // schema-EVOLVING SQL merge fixture: WITH SCHEMA EVOLUTION lands the
+      // source-only o_disc column mid-statement (analyzer alterTable →
+      // empty evolve commit), matched rows take values, untouched rows NULL
+      Snapshots.commit(s, s"$wh/$ns/orders_mrgevo",
+        T.orders(s, d).select("o_orderkey", "o_totalprice")
+          .filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey")))
+      // o_disc = price/2: exact in binary floating point, so the oracle's
+      // per-row values match bit-for-bit (a round(x*0.1, 2) differs between
+      // engines on representation-boundary cents)
+      T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_totalprice") / 2).as("o_disc"))
+        .filter(col("o_orderkey") % 6 === 0 || col("o_orderkey") % 3 === 1)
+        .createOrReplaceTempView(s"src_evo_$ns")
+      s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graftcat.$ns.orders_mrgevo t
+               |USING src_evo_$ns s ON t.o_orderkey = s.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       // HIDDEN-PARTITIONED fixture (Iceberg's days transform): the INSERT
       // routes rows into one file per day, so a day-range filter plans
       // only that day's files (SqlCatalogSpec locks the kept-file count;
@@ -967,6 +985,13 @@ object Relational extends QueryModule {
     s.sql(s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
              |FROM graftcat.$ns.orders_upd""".stripMargin)
+  }
+
+  private def qSnapshotSqlMergeEvolve(s: SparkSession, d: String): DataFrame = {
+    val ns = sqlCatNsOf(s, d)
+    s.sql(s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             |  count(o_disc) AS n_disc, round(sum(o_disc), 2) AS sum_disc
+             |FROM graftcat.$ns.orders_mrgevo""".stripMargin)
   }
 
   /** Day-filtered read of the hidden-partitioned catalog table: the
@@ -1720,6 +1745,7 @@ object Relational extends QueryModule {
     "q_snapshot_sql_delete" -> qSnapshotSqlDelete,
     "q_snapshot_sql_update" -> qSnapshotSqlUpdate,
     "q_snapshot_sql_merge" -> qSnapshotSqlMerge,
+    "q_snapshot_sql_merge_evolve" -> qSnapshotSqlMergeEvolve,
     "q_snapshot_partitioned" -> qSnapshotPartitioned,
     "q_snapshot_dv" -> qSnapshotDv,
     "q_snapshot_history" -> qSnapshotHistory,
@@ -1864,6 +1890,22 @@ object Relational extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders
         |WHERE NOT (o_custkey % 10 = 3 AND o_totalprice < 150000)""".stripMargin,
+    "q_snapshot_sql_merge_evolve" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    o_totalprice / 2 AS o_disc
+        |  FROM orders WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_disc
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 6 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice,
+        |    o_totalprice / 2 AS o_disc
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |)
+        |SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  count(o_disc) AS n_disc, round(sum(o_disc), 2) AS sum_disc
+        |FROM final""".stripMargin,
     "q_snapshot_partitioned" ->
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users

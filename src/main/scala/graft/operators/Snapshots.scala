@@ -3188,12 +3188,15 @@ object Snapshots {
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     val tableSchema = read(spark, dir, Some(cur)).schema
     val tableCols = tableSchema.fieldNames.toSeq
+    // UPDATE sets may target nested struct fields (dot paths); INSERTs
+    // assign whole columns only (a nested insert target is meaningless —
+    // the row doesn't exist yet)
     matched.foreach(_.set.foreach(_.foreach { case (c, _) =>
-      require(tableCols.contains(c), s"$dir: MERGE UPDATE targets unknown column '$c'") }))
+      fieldTypeAt(dir, tableSchema, c) }))
     notMatched.foreach(_.insert.foreach { case (c, _) =>
       require(tableCols.contains(c), s"$dir: MERGE INSERT targets unknown column '$c'") })
     notMatchedBySource.foreach(_.set.foreach(_.foreach { case (c, _) =>
-      require(tableCols.contains(c), s"$dir: MERGE UPDATE targets unknown column '$c'") }))
+      fieldTypeAt(dir, tableSchema, c) }))
     val src = source.withColumn("__s_present", lit(true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -3280,11 +3283,13 @@ object Snapshots {
             sets: Seq[Option[Seq[(String, Column)]]]): Column =
           sets.zipWithIndex.foldRight(col(s"__t.$c")) {
             case ((Some(as), i), rest) =>
-              as.toMap.get(c) match {
-                case Some(v) => when(idx === lit(i),
-                  v.cast(tableSchema(c).dataType)).otherwise(rest)
-                case None => rest
-              }
+              // this clause's assignments landing on column c (wholesale
+              // or nested-field surgery — see assignedValue)
+              val mine = as.filter(_._1.split('.').head == c)
+              if (mine.isEmpty) rest
+              else when(idx === lit(i),
+                assignedValue(dir, tableSchema, c, col(s"__t.$c"), mine))
+                .otherwise(rest)
             case ((None, _), rest) => rest
           }
         val matchedSets = matched.map(_.set)
@@ -3372,6 +3377,54 @@ object Snapshots {
     * The change feed records update_pre/update_post pairs. SQL NULL
     * semantics: a NULL condition leaves the row unchanged.
     */
+  /** Resolve a (possibly dot-nested) assignment path against `schema` and
+    * return the leaf field's type — loud on unknown segments and on
+    * descending through a non-struct. `a.b.c` names field c of struct b
+    * of top-level column a.
+    */
+  private def fieldTypeAt(dir: String, schema: org.apache.spark.sql.types.StructType,
+      path: String): org.apache.spark.sql.types.DataType = {
+    val segs = path.split('.')
+    segs.foldLeft((schema: org.apache.spark.sql.types.DataType, "")) {
+      case ((dt, at), seg) =>
+        dt match {
+          case st: org.apache.spark.sql.types.StructType =>
+            val f = st.fields.find(_.name == seg).getOrElse(
+              throw new IllegalArgumentException(
+                s"$dir: assignment path '$path' names unknown field '$seg'" +
+                  (if (at.isEmpty) "" else s" under '$at'") +
+                  s" (have ${st.fieldNames.mkString(", ")})"))
+            (f.dataType, if (at.isEmpty) seg else s"$at.$seg")
+          case other => throw new IllegalArgumentException(
+            s"$dir: assignment path '$path' descends through non-struct " +
+              s"'$at' ($other)")
+        }
+    }._1
+  }
+
+  /** The post-assignment value of ONE top-level column: a whole-column
+    * assignment wins wholesale; dot-nested assignments rebuild the struct
+    * in place via `withField` surgery (Delta's `UPDATE SET s.f = …`),
+    * leaving sibling fields byte-identical. Mixing both forms on one
+    * column refuses — the order would be ambiguous. A NULL struct stays
+    * NULL (Spark's UpdateFields semantics, matching Delta).
+    */
+  private def assignedValue(dir: String,
+      schema: org.apache.spark.sql.types.StructType, top: String,
+      base: org.apache.spark.sql.Column,
+      asgs: Seq[(String, org.apache.spark.sql.Column)]): org.apache.spark.sql.Column = {
+    val (whole, nested) = asgs.partition(_._1 == top)
+    require(whole.isEmpty || nested.isEmpty,
+      s"$dir: column '$top' is assigned both wholesale and by nested field")
+    require(asgs.map(_._1).distinct.length == asgs.length,
+      s"$dir: duplicate assignment to ${asgs.map(_._1).diff(asgs.map(_._1).distinct).head}")
+    if (whole.nonEmpty) whole.head._2.cast(schema(top).dataType)
+    else nested.foldLeft(base) { case (acc, (path, e)) =>
+      acc.withField(path.split('.').tail.mkString("."),
+        e.cast(fieldTypeAt(dir, schema, path)))
+    }
+  }
+
   def updateWhere(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column,
       sets: Seq[(String, org.apache.spark.sql.Column)],
@@ -3382,11 +3435,7 @@ object Snapshots {
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     val schema = read(spark, dir, Some(cur)).schema
     require(sets.nonEmpty, s"$dir: UPDATE needs at least one assignment")
-    sets.foreach { case (c, _) =>
-      require(schema.fieldNames.contains(c),
-        s"$dir: UPDATE SET targets unknown column '$c' " +
-          s"(have ${schema.fieldNames.mkString(", ")})")
-    }
+    sets.foreach { case (c, _) => fieldTypeAt(dir, schema, c) } // loud validate
     val (candidates, all) = pruneFilesAll(spark, dir, cur, prune)
     val hit = coalesce(cond, lit(false))
     val touched: Seq[String] =
@@ -3399,13 +3448,13 @@ object Snapshots {
     val untouched = all.filterNot(touched.toSet)
     val next = cur + 1
     val rows = maskedParquet(spark, dir, cur, touched.map(f => dataPath(dir, f)))
-    val setMap = sets.toMap
+    val byTop = sets.groupBy(_._1.split('.').head)
     def applied(src: DataFrame, always: Boolean): DataFrame =
       src.select(schema.fieldNames.toSeq.map { c =>
-        setMap.get(c) match {
-          case Some(e) =>
-            val cast = e.cast(schema(c).dataType)
-            (if (always) cast else when(hit, cast).otherwise(col(c))).as(c)
+        byTop.get(c) match {
+          case Some(asgs) =>
+            val v = assignedValue(dir, schema, c, col(c), asgs)
+            (if (always) v else when(hit, v).otherwise(col(c))).as(c)
           case None => col(c)
         }
       }: _*)

@@ -96,13 +96,8 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           require(tbl.pinned.isEmpty,
             s"${tbl.dir}: cannot UPDATE through a pinned reference — history is immutable")
           val tAttrs = AttributeSet(t.output)
-          def name(k: Expression): String = k match {
-            case a: Attribute => a.name
-            case other => throw new UnsupportedOperationException(
-              s"${tbl.dir}: UPDATE of nested field $other is not supported")
-          }
           SnapshotUpdateCommand(tbl.dir,
-            assignments.map(a => name(a.key) ->
+            assignments.map(a => SnapshotDmlRule.pathOf(a.key, tbl.dir) ->
               Boxed(byName(a.value, tAttrs, AttributeSet.empty, qualify = false))),
             cond.map(c => Boxed(byName(c, tAttrs, AttributeSet.empty, qualify = false))))
         case None => plan
@@ -113,20 +108,21 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(tbl) =>
           require(tbl.pinned.isEmpty,
             s"${tbl.dir}: cannot MERGE through a pinned reference — history is immutable")
-          require(!m.schemaEvolutionEnabled,
-            s"${tbl.dir}: MERGE WITH SCHEMA EVOLUTION is not supported through " +
-              "SQL — use the library API's evolve = true")
+          // MERGE ... WITH SCHEMA EVOLUTION needs no handling here: the
+          // analyzer's ResolveMergeIntoSchemaEvolution has ALREADY run by
+          // the time this MergeIntoTable is resolved — it pushed the new
+          // source columns into the target through the catalog's
+          // alterTable(AddColumn) path (one empty evolve commit, old rows
+          // NULL-backfill), so m.targetTable.output below includes them
+          // and the rewrite proceeds like any other merge.
           val tAttrs = AttributeSet(m.targetTable.output)
           val sAttrs = AttributeSet(m.sourceTable.output)
           val tCols = m.targetTable.output.map(_.name)
           val sCols = m.sourceTable.output.map(_.name).toSet
           def rekey(e: Expression): Boxed =
             Boxed(byName(e, tAttrs, sAttrs, qualify = true))
-          def keyName(k: Expression): String = k match {
-            case a: Attribute => a.name
-            case other => throw new UnsupportedOperationException(
-              s"${tbl.dir}: MERGE assignment to nested field $other is not supported")
-          }
+          def keyName(k: Expression): String =
+            SnapshotDmlRule.pathOf(k, tbl.dir)
           def starSets: Seq[(String, Boxed)] = {
             val missing = tCols.filterNot(sCols)
             require(missing.isEmpty,
@@ -177,6 +173,19 @@ object SnapshotDmlRule {
   private[operators] def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
+  }
+
+  /** Assignment key → dot path: a bare column, or a GetStructField chain
+    * (`UPDATE t SET s.f = …`) flattened to `s.f`. The ops rebuild the
+    * struct with withField surgery ([[Snapshots.updateWhere]]/mergeApply).
+    */
+  private[operators] def pathOf(k: Expression, dir: String): String = k match {
+    case a: Attribute => a.name
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      s"${pathOf(g.child, dir)}.${g.extractFieldName}"
+    case other => throw new UnsupportedOperationException(
+      s"$dir: unsupported assignment target $other — assign a column or a " +
+        "nested struct field (a.b.c)")
   }
 
   /** Range/equality conjuncts over plain (name-rekeyed) attributes →

@@ -365,8 +365,15 @@ private[graft] class SnapshotV2Table(val dir: String, ident: String,
   }
 
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION arms `MERGE ... WITH SCHEMA EVOLUTION`:
+    // the analyzer's ResolveMergeIntoSchemaEvolution then lands the new
+    // source columns through alterTable(AddColumn) — one empty evolve
+    // commit, old rows NULL-backfill — before the DML rewrite runs.
+    // Evolution stays opt-in per statement (the WITH clause), Delta's
+    // posture; a plain MERGE still refuses unknown columns.
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(dir, pinned, schema())

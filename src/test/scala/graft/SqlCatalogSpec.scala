@@ -372,6 +372,61 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.table(t).as[(Long, Double)].head() == ((1L, 10.0)))
   }
 
+  test("SQL MERGE WITH SCHEMA EVOLUTION: source column lands, old rows NULL-backfill") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Seq((2L, "b2", 7.5), (3L, "c", 9.0)).toDF("k", "v", "score")
+      .createOrReplaceTempView(s"mrg_evo_$n")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $t t
+      |USING mrg_evo_$n s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(spark.table(t).as[(Long, String, Option[Double])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b2", Some(7.5)), (3L, "c", Some(9.0))),
+      "evolved merge rows")
+    // without the clause, the same merge refuses on the unknown column —
+    // evolution stays opt-in (Delta's posture)
+    val (t2, _) = fresh()
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t2 VALUES (1, 'a')")
+    intercept[Exception](
+      spark.sql(s"""MERGE INTO $t2 t USING mrg_evo_$n s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+  }
+
+  test("nested-field assignments: UPDATE SET s.f rebuilds the struct in place") {
+    val (t, dir) = fresh()
+    Snapshots.commit(spark, dir, Seq(
+      (1L, ("alice", 10.0, "x")), (2L, ("bob", 20.0, "y")),
+      (3L, ("carol", 30.0, "z")))
+      .toDF("k", "s").selectExpr("k",
+        "named_struct('name', s._1, 'score', s._2, 'tag', s._3) AS s"))
+    // one nested field updates; SIBLING fields and other rows are untouched
+    spark.sql(s"UPDATE $t SET s.score = s.score * 2 WHERE k >= 2")
+    val got = spark.table(t).selectExpr("k", "s.name", "s.score", "s.tag")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got == Set((1L, "alice", 10.0, "x"), (2L, "bob", 40.0, "y"),
+      (3L, "carol", 60.0, "z")), got)
+    // two nested fields in one statement; the value may read the old struct
+    spark.sql(s"UPDATE $t SET s.tag = concat(s.name, '!'), s.score = 0 WHERE k = 1")
+    assert(spark.table(t).filter(col("k") === 1)
+      .selectExpr("s.name", "s.score", "s.tag")
+      .as[(String, Double, String)].head() == (("alice", 0.0, "alice!")))
+    // unknown nested field refuses loudly, nothing publishes
+    val v = Snapshots.currentVersion(spark, dir)
+    val e = intercept[Exception](spark.sql(s"UPDATE $t SET s.nope = 1"))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    assert(Snapshots.currentVersion(spark, dir) == v)
+    // MERGE: WHEN MATCHED THEN UPDATE SET s.f = source expr
+    Seq((2L, 99.0)).toDF("k", "newscore").createOrReplaceTempView(s"nst_src_$n")
+    spark.sql(s"""MERGE INTO $t t USING nst_src_$n s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET t.s.score = s.newscore""".stripMargin)
+    assert(spark.table(t).filter(col("k") === 2)
+      .selectExpr("s.name", "s.score", "s.tag")
+      .as[(String, Double, String)].head() == (("bob", 99.0, "y")))
+  }
+
   test("library DML twins: deleteWhere respects DV masks, updateWhere prunes files") {
     val (_, dir) = fresh()
     Snapshots.commit(spark, dir,
