@@ -525,6 +525,32 @@ object Relational extends QueryModule {
       dir
     })
 
+  /** N-column HILBERT twin of [[snapZColsDir]]: the same 3 mixed-type
+    * dimensions re-clustered on the d-dimensional Hilbert key
+    * ([[Snapshots.clusterHilbertCols]], the seam-free curve) — per-file
+    * stats come out tight on every dimension, same pruning machinery,
+    * tighter average envelopes. The oracle is the plain 3-way BETWEEN.
+    */
+  private val snapHColsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapHColsDir(s: SparkSession, d: String): String =
+    snapHColsDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-snaphc").toFile.getAbsolutePath
+      Snapshots.commit(s, dir, T.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"))
+      Snapshots.clusterHilbertCols(s, dir,
+        Seq("o_custkey", "o_orderdate", "o_totalprice"), 16)
+      dir
+    })
+
+  private def qSnapshotHilbertCols(s: SparkSession, d: String): DataFrame =
+    Snapshots.readRanges(s, snapHColsDir(s, d), Seq(
+        ("o_custkey", Some(50L), Some(120L)),
+        ("o_orderdate", Some(utcTs("1993-01-01T00:00:00")),
+          Some(utcTs("1995-06-30T23:59:59"))),
+        ("o_totalprice", Some(50000.0), Some(250000.0))))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   private def utcTs(iso: String): java.time.Instant =
     java.time.LocalDateTime.parse(iso).toInstant(java.time.ZoneOffset.UTC)
 
@@ -1728,6 +1754,7 @@ object Relational extends QueryModule {
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_snapshot_zorder_inc" -> qSnapshotZorderInc,
     "q_snapshot_zorder_cols" -> qSnapshotZorderCols,
+    "q_snapshot_hilbert_cols" -> qSnapshotHilbertCols,
     "q_snapshot_cdf" -> qSnapshotCdf,
     "q_mview_cdf" -> qMviewCdf,
     "q_mview_minmax" -> qMviewMinmax,
@@ -2081,6 +2108,14 @@ object Relational extends QueryModule {
         |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
         |    AND TIMESTAMP '1996-12-31 23:59:59'
         |  AND o_totalprice BETWEEN 0.0 AND 150000.0
+        |ORDER BY n""".stripMargin,
+    "q_snapshot_hilbert_cols" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_custkey BETWEEN 50 AND 120
+        |  AND o_orderdate BETWEEN TIMESTAMP '1993-01-01 00:00:00'
+        |    AND TIMESTAMP '1995-06-30 23:59:59'
+        |  AND o_totalprice BETWEEN 50000.0 AND 250000.0
         |ORDER BY n""".stripMargin,
     "q_snapshot_changes" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,

@@ -1790,6 +1790,45 @@ object Snapshots {
         col(xCol).cast("int"), col(yCol).cast("int")))
   }
 
+  /** OPTIMIZE via the HILBERT curve over ANY number of columns of ANY
+    * orderable type — [[clusterZOrderCols]]'s twin on the seam-free curve
+    * (and the 3-D answer for a (time, x, y) raster archive): the same
+    * sampled-boundary bucket ranks, combined through the d-dimensional
+    * Skilling transform instead of a Morton interleave. Same
+    * replace-preserving publish, same `zorder.clustered_through`
+    * watermark, same [[readRanges]] pruning — only the space-filling curve
+    * (and thus the average envelope tightness) differs.
+    */
+  def clusterHilbertCols(spark: SparkSession, dir: String, cols: Seq[String],
+      targetFiles: Int, buckets: Int = 64): Int = {
+    import org.apache.spark.sql.functions.col
+    require(cols.size >= 2, "clusterHilbertCols wants >= 2 columns")
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val df = read(spark, dir, Some(cur))
+    val v = replacePreserving(spark, dir,
+      df.withColumn("__z", hilbertKeyExpr(df, cols, buckets))
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z"),
+      expectedVersion = Some(cur),
+      meta = Map("hilbert" -> cols.mkString(",")))
+    setProperties(spark, dir, Map("zorder.clustered_through" -> v.toString,
+      "zorder.cols" -> cols.mkString(",")))
+    v
+  }
+
+  /** [[clusterZOrderColsIncremental]] on the N-column Hilbert key: only
+    * the unclustered tail rewrites, ranked against boundaries sampled
+    * from the tail itself.
+    */
+  def clusterHilbertColsIncremental(spark: SparkSession, dir: String,
+      cols: Seq[String], targetFiles: Int, buckets: Int = 64): Int = {
+    require(cols.size >= 2, "clusterHilbertColsIncremental wants >= 2 columns")
+    clusterIncremental(spark, dir, targetFiles,
+      df => hilbertKeyExpr(df, cols, buckets))
+  }
+
   /** OPTIMIZE ZORDER over ANY number of columns of ANY orderable type
     * (long/double/string/timestamp/date …) — the generalization of the
     * two-int [[clusterZOrder]]. Each column is first CANONICALIZED to a
@@ -1834,6 +1873,35 @@ object Snapshots {
   private def zorderKeyExpr(df: DataFrame, cols: Seq[String],
       buckets: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
+    val (ranks, bits) = bucketRankExprs(df, cols, buckets)
+    (for (i <- 0 until bits; j <- cols.indices)
+      yield shiftleft(shiftright(ranks(j), i).bitwiseAND(lit(1L)),
+        i * cols.size + j))
+      .reduce(_ + _) // disjoint bit positions: + is |
+  }
+
+  /** The N-column HILBERT key — [[zorderKeyExpr]]'s twin on the seam-free
+    * curve: the same per-column bucket ranks feed [[graft.functions
+    * .HilbertN]] (Skilling transform, codegen'd) instead of a bit
+    * interleave. Same canonicalization, same pruning story, tighter
+    * average envelopes (no Morton diagonal jumps).
+    */
+  private def hilbertKeyExpr(df: DataFrame, cols: Seq[String],
+      buckets: Int): org.apache.spark.sql.Column = {
+    val (ranks, bits) = bucketRankExprs(df, cols, buckets)
+    require(cols.size * bits <= 63,
+      s"hilbert key: ${cols.size} cols x $bits bits exceeds a signed long — lower buckets")
+    graft.functions.HilbertNFunctions.hilbertN(bits, ranks: _*)
+  }
+
+  /** Per-column bucket ranks (0 until `buckets`) against boundaries
+    * sampled from the data — the RangePartitioner recipe, so strings and
+    * timestamps rank exactly like ints. Returns (rank columns, bits per
+    * rank). Shared by the Morton and Hilbert N-column keys.
+    */
+  private def bucketRankExprs(df: DataFrame, cols: Seq[String],
+      buckets: Int): (Seq[org.apache.spark.sql.Column], Int) = {
+    import org.apache.spark.sql.functions._
     val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(buckets - 1))
     val sampleTarget = buckets * 40
     // bounded deterministic sample: one count + one sampled collect — both
@@ -1857,10 +1925,7 @@ object Snapshots {
         when(col(c).isNull, lit(0L)).otherwise(rank.cast("long"))
       }
     }
-    (for (i <- 0 until bits; j <- cols.indices)
-      yield shiftleft(shiftright(ranks(j), i).bitwiseAND(lit(1L)),
-        i * cols.size + j))
-      .reduce(_ + _) // disjoint bit positions: + is |
+    (ranks, bits)
   }
 
   /** Driver-side ordering for sampled boundary values — the same total

@@ -493,6 +493,48 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbertN: bijective and unit-step adjacent at d = 3 and d = 4") {
+    import graft.functions.HilbertN
+    for ((dims, bits) <- Seq((3, 1), (3, 2), (3, 3), (4, 2))) {
+      val n = 1L << bits
+      val cells = math.pow(n.toDouble, dims.toDouble).toLong
+      var prev: Array[Long] = null
+      (0L until cells).foreach { d =>
+        val x = HilbertN.inverse(d, bits, dims)
+        assert(x.forall(v => v >= 0 && v < n), s"d=$d out of grid")
+        assert(HilbertN.index(x, bits) == d,
+          s"dims=$dims bits=$bits: index(inverse($d)) != $d — not a bijection")
+        if (prev != null) {
+          val step = x.zip(prev).map { case (a, b) => math.abs(a - b) }.sum
+          assert(step == 1,
+            s"dims=$dims bits=$bits: d=$d jumped $step cells — not a Hilbert curve")
+        }
+        prev = x
+      }
+    }
+  }
+
+  test("hilbertN codegen compiles (CODEGEN_ONLY) and agrees with the Scala reference") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{HilbertN, HilbertNFunctions}
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = spark.range(512)
+        .select((col("id") % 8).as("a"),
+          (col("id") / 8).cast("long").mod(8).as("b"),
+          (col("id") / 64).cast("long").mod(8).as("c"))
+        .select(col("a"), col("b"), col("c"),
+          HilbertNFunctions.hilbertN(3, col("a"), col("b"), col("c")).as("h"))
+        .collect()
+      assert(got.map(_.getLong(3)).toSet.size == 512, "3-D key must be injective")
+      got.foreach { r =>
+        assert(r.getLong(3) ==
+          HilbertN.index(Array(r.getLong(0), r.getLong(1), r.getLong(2)), 3))
+        assert(r.getLong(3) >= 0 && r.getLong(3) < 512)
+      }
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("hilbert64 codegen compiles (CODEGEN_ONLY) and agrees with the Scala reference") {
     import org.apache.spark.sql.functions._
     import graft.functions.{Hilbert64, HilbertFunctions}

@@ -1556,6 +1556,48 @@ class SnapshotSpec extends AnyFunSuite {
       .count() == df.filter(col("c") <= 99).count())
   }
 
+  test("clusterHilbertCols: 3-D mixed-type layout skips per dimension; incremental idles") {
+    val dir = tmp()
+    val base = java.time.LocalDateTime.parse("2020-01-01T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC)
+    val df = spark.range(4000).toDF("k")
+      .withColumn("c", (col("k") * 2654435761L) % 1000)
+      .withColumn("ts", timestamp_seconds(lit(base.getEpochSecond) +
+        ((col("k") * 40503L) % 86400L) * 365))
+      .withColumn("p", ((col("k") * 69069L) % 100000L).cast("double"))
+    Snapshots.commit(spark, dir, df.repartition(8))
+    val v = Snapshots.clusterHilbertCols(spark, dir, Seq("c", "ts", "p"), 16)
+    def skipped(ranges: Seq[(String, Option[Any], Option[Any])]): (Int, Int) = {
+      val (kept, all) = Snapshots.pruneFilesAll(spark, dir, v, ranges)
+      (kept.length, all.length)
+    }
+    val (kC, n1) = skipped(Seq(("c", Some(0L), Some(99L))))
+    val (kT, n2) = skipped(Seq(("ts",
+      Some(java.sql.Timestamp.from(base)),
+      Some(java.sql.Timestamp.from(base.plusSeconds(86400L * 365 / 10))))))
+    val (kP, n3) = skipped(Seq(("p", Some(0.0), Some(9999.0))))
+    assert(n1 == 16 && n2 == 16 && n3 == 16)
+    assert(kC <= n1 / 2, s"c-range kept $kC/$n1 — long dim not clustered")
+    assert(kT <= n2 / 2, s"ts-range kept $kT/$n2 — timestamp dim not clustered")
+    assert(kP <= n3 / 2, s"p-range kept $kP/$n3 — double dim not clustered")
+    // results stay exact through the rewrite
+    assert(Snapshots.read(spark, dir).count() == 4000)
+    assert(Snapshots.readRanges(spark, dir, Seq(("c", Some(0L), Some(99L))))
+      .count() == df.filter(col("c") <= 99).count())
+    // a fully-clustered table idles the incremental pass (no new version)
+    assert(Snapshots.clusterHilbertColsIncremental(spark, dir,
+      Seq("c", "ts", "p"), 16) == v)
+    // an appended tail rewrites ONLY itself; clustered files carry
+    val before = Snapshots.files(spark, dir, v).toSet
+    Snapshots.commit(spark, dir, df.withColumn("k", col("k") + 10000))
+    val vInc = Snapshots.clusterHilbertColsIncremental(spark, dir,
+      Seq("c", "ts", "p"), 16)
+    assert(vInc > v)
+    val after = Snapshots.files(spark, dir, vInc).toSet
+    assert(before.subsetOf(after), "clustered files must carry byte-identical")
+    assert(Snapshots.read(spark, dir).count() == 8000)
+  }
+
   test("clusterZOrderColsIncremental: only the tail rewrites, chunks both skip, no-op idles") {
     val dir = tmp()
     def mk(lo: Long, hi: Long) = spark.range(lo, hi).toDF("k")
