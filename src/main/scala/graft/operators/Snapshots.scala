@@ -585,6 +585,25 @@ object Snapshots {
     if (p.startsWith(dirPath + "/")) p.substring(dirPath.length + 1) else p
   }
 
+  /** [[relPath]] for the DML verbs' touched-file resolution, GUARDED: a
+    * scanned path that does not resolve to a manifest entry of the version
+    * being rewritten fails loudly. The verbatim-absolute fallback is legal
+    * ONLY for a shallow clone's external references (their absolute form
+    * IS the manifest entry); any other mismatch — a relative or
+    * differently-spelled table dir versus the scan's qualified URI —
+    * would otherwise leave the original file in `untouched` while its
+    * rows are also rewritten fresh: silent row duplication.
+    */
+  private def relPathIn(dir: String, entries: Set[String],
+      absPathOrUri: String): String = {
+    val rel = relPath(dir, absPathOrUri)
+    require(entries.contains(rel),
+      s"$dir: scanned file '$absPathOrUri' resolves to '$rel', which is not " +
+        "a manifest entry of the version being rewritten — was the table " +
+        "dir spelled differently (relative vs qualified) than at commit?")
+    rel
+  }
+
   /** The `meta` map committed with `version` (empty if none was passed). */
   def commitMeta(spark: SparkSession, dir: String,
       version: Int): Map[String, String] = {
@@ -2097,7 +2116,7 @@ object Snapshots {
             .select(col(key), col("__path"))
             .join(up.select(col(key)), Seq(key))
             .select("__path").distinct().collect()
-            .map(r => relPath(dir, r.getString(0))).toSeq.sorted
+            .map(r => relPathIn(dir, all.toSet, r.getString(0))).toSeq.sorted
         }
       val untouched = all.filterNot(touched.toSet)
       val next = cur + 1
@@ -2933,10 +2952,14 @@ object Snapshots {
     import org.apache.spark.sql.functions.{col, lit}
     val a0 = read(spark, dir, Some(fromVersion))
     val b = read(spark, dir, Some(toVersion))
+    // alignment is in the TO version's frame: columns the from-version
+    // lacks surface as typed NULLs, and SHARED columns CAST to the
+    // to-version's type — a column retyped between versions would
+    // otherwise throw in exceptAll/unionByName instead of diffing
     val a = b.columns.foldLeft(a0) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(b.schema(c).dataType))
-    }.select(b.columns.map(col(_)).toSeq: _*)
+    }.select(b.columns.map(c => col(c).cast(b.schema(c).dataType).as(c)).toSeq: _*)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
@@ -2956,8 +2979,22 @@ object Snapshots {
     */
   def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
       version: Option[Int] = None): Int = {
-    val srcAbs = new java.io.File(srcDir).getAbsolutePath
-    val dstAbs = new java.io.File(dstDir).getAbsolutePath
+    // qualify through the Hadoop FS (matching publishLock/relPath
+    // normalization), NOT java.io.File: a scheme-qualified dir
+    // (file:/…, s3a://…) must not be mangled into a nonexistent local
+    // path that the clone's absolute refs would then point at
+    def qualify(d: String): String = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val q = p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
+      // local dirs keep the bare absolute path (the form every other
+      // manifest entry uses); remote schemes keep the full URI — stripping
+      // `s3a://bucket` would alias into the local filesystem
+      if (q.toUri.getScheme == null || q.toUri.getScheme == "file")
+        q.toUri.getPath
+      else q.toString
+    }
+    val srcAbs = qualify(srcDir)
+    val dstAbs = qualify(dstDir)
     require(srcAbs != dstAbs, "clone target must differ from the source")
     val sv = version.getOrElse(currentVersion(spark, srcDir).getOrElse(
       throw new IllegalArgumentException(s"$srcDir: no published snapshots")))
@@ -3282,7 +3319,7 @@ object Snapshots {
         else openWithPos(spark, dir, cur, candidates.map(f => dataPath(dir, f)), prevDv)
           .alias("__t").join(sAliased, onCond, "left_semi")
           .select("__path").distinct().collect()
-          .map(r => relPath(dir, r.getString(0))).toSeq.sorted
+          .map(r => relPathIn(dir, all.toSet, r.getString(0))).toSeq.sorted
       val untouched = all.filterNot(touched.toSet)
       val next = cur + 1
       def truthy(c: Option[Column]): Column =
@@ -3420,7 +3457,7 @@ object Snapshots {
       else openWithPos(spark, dir, cur, candidates.map(f => dataPath(dir, f)),
           dvRel(spark, dir, cur))
         .filter(hit).select("__path").distinct().collect()
-        .map(r => relPath(dir, r.getString(0))).toSeq.sorted
+        .map(r => relPathIn(dir, all.toSet, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return cur
     val untouched = all.filterNot(touched.toSet)
     val next = cur + 1
@@ -3508,7 +3545,7 @@ object Snapshots {
       else openWithPos(spark, dir, cur, candidates.map(f => dataPath(dir, f)),
           dvRel(spark, dir, cur))
         .filter(hit).select("__path").distinct().collect()
-        .map(r => relPath(dir, r.getString(0))).toSeq.sorted
+        .map(r => relPathIn(dir, all.toSet, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return cur
     val untouched = all.filterNot(touched.toSet)
     val next = cur + 1

