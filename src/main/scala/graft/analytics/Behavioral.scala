@@ -215,7 +215,11 @@ object Behavioral extends QueryModule {
     scoresCached(s, d); ()
   }
 
-  private def qRecsItemcf(s: SparkSession, d: String): DataFrame = {
+  /** The serving computation WITHOUT the presentational tail sort —
+    * exposed so plan locks can inspect the join/aggregate shape (the
+    * SortedDist tail's eager localCheckpoint truncates the visible plan
+    * to Scan ExistingRDD + Sort). */
+  private[graft] def recsItemcfBody(s: SparkSession, d: String): DataFrame = {
     val owned = ownedCached(s, d)
     val cand = scoresCached(s, d).join(owned.withColumnRenamed("pk", "item"),
       Seq("ck", "item"), "left_anti")
@@ -231,8 +235,10 @@ object Behavioral extends QueryModule {
       .select(col("ck").as("custkey"), posexplode(col("top")))
       .select(col("custkey"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("partkey"), round(col("col.sim"), 4).as("score"))
-      .transform(graft.SortedDist(_, "custkey", "rank")) // data-sized tail: see SortedDist
   }
+
+  private def qRecsItemcf(s: SparkSession, d: String): DataFrame =
+    graft.SortedDist(recsItemcfBody(s, d), "custkey", "rank")
 
   /** MERGEABLE co-occurrence ingest state: per unordered part pair (a < b),
     * the number of baskets holding both. Baskets are whole per shard (a

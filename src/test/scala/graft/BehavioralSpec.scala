@@ -71,10 +71,17 @@ class BehavioralSpec extends AnyFunSuite {
   }
 
   test("q_recs_itemcf plan: no cartesian product, neighbor join broadcasts") {
-    val plan = SparkEntry.queries("q_recs_itemcf")(spark, TestSpark.sf)
+    // lock the serving computation's plan, not the SortedDist tail (the
+    // tail's eager localCheckpoint truncates the visible plan to a cached
+    // scan + distributed sort — itself asserted below)
+    val body = graft.analytics.Behavioral.recsItemcfBody(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!body.contains("CartesianProduct"), body)
+    assert(body.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$body")
+    val tail = SparkEntry.queries("q_recs_itemcf")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(tail.contains("rangepartitioning") && !tail.contains("Coalesce"),
+      s"tail must be a distributed range sort:\n$tail")
   }
 
   test("item-CF ingest state: shard-folded counts equal the full rebuild exactly") {
