@@ -246,9 +246,25 @@ object Snapshots {
   case class DaysPart(column: String) extends PartitionSpec {
     def encoded = s"days($column)"
   }
+  case class HoursPart(column: String) extends PartitionSpec {
+    def encoded = s"hours($column)"
+  }
+  case class MonthsPart(column: String) extends PartitionSpec {
+    def encoded = s"months($column)"
+  }
+  case class YearsPart(column: String) extends PartitionSpec {
+    def encoded = s"years($column)"
+  }
   case class BucketPart(n: Int, column: String) extends PartitionSpec {
     require(n > 0, s"bucket count must be positive, got $n")
     def encoded = s"bucket($n,$column)"
+  }
+  /** Iceberg's truncate transform: ints route by `v - (v mod w)`, strings
+    * by their first `w` characters — both value-monotone, so the source
+    * column's stats envelopes stay the pruning surface. */
+  case class TruncatePart(width: Int, column: String) extends PartitionSpec {
+    require(width > 0, s"truncate width must be positive, got $width")
+    def encoded = s"truncate($width,$column)"
   }
 
   private val PartProp = "graft.partition"
@@ -270,14 +286,23 @@ object Snapshots {
   private[graft] def parsePartitionSpec(s: String): PartitionSpec = {
     val Ident = """identity\((.+)\)""".r
     val Days = """days\((.+)\)""".r
+    val Hours = """hours\((.+)\)""".r
+    val Months = """months\((.+)\)""".r
+    val Years = """years\((.+)\)""".r
     val Bucket = """bucket\((\d+),(.+)\)""".r
+    val Trunc = """truncate\((\d+),(.+)\)""".r
     s match {
       case Bucket(n, c) => BucketPart(n.toInt, c)
+      case Trunc(w, c) => TruncatePart(w.toInt, c)
       case Days(c) => DaysPart(c)
+      case Hours(c) => HoursPart(c)
+      case Months(c) => MonthsPart(c)
+      case Years(c) => YearsPart(c)
       case Ident(c) => IdentityPart(c)
       case other => throw new IllegalArgumentException(
-        s"malformed partition spec '$other' — " +
-          "expected identity(col) | days(col) | bucket(n,col)")
+        s"malformed partition spec '$other' — expected identity(col) | " +
+          "days(col) | hours(col) | months(col) | years(col) | " +
+          "bucket(n,col) | truncate(w,col)")
     }
   }
 
@@ -533,14 +558,30 @@ object Snapshots {
             .mode("overwrite").parquet(s"$dir/$dataRel")
         }
       case Some(ps) =>
-        import org.apache.spark.sql.functions.{col, hash, lit, pmod, to_date}
+        import org.apache.spark.sql.functions.{col, date_format, date_trunc, hash, lit, pmod, substring, to_date}
         val pc = toPhysical(spark, dir, ps.column)
         require(physical.columns.contains(pc),
           s"$dir: partition column '${ps.column}' missing from the write")
         val pv = ps match {
           case IdentityPart(_) => col(pc)
           case DaysPart(_) => to_date(col(pc))
+          case HoursPart(_) => date_format(col(pc), "yyyy-MM-dd-HH")
+          case MonthsPart(_) => date_format(col(pc), "yyyy-MM")
+          case YearsPart(_) => date_format(col(pc), "yyyy")
           case BucketPart(n, _) => pmod(hash(col(pc)), lit(n))
+          case TruncatePart(w, _) =>
+            physical.schema(pc).dataType match {
+              case org.apache.spark.sql.types.StringType =>
+                substring(col(pc), 1, w)
+              case org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType =>
+                col(pc) - pmod(col(pc), lit(w.toLong))
+              case other => throw new IllegalArgumentException(
+                s"$dir: truncate($w, ${ps.column}) needs a string or " +
+                  s"integral column, got $other")
+            }
         }
         // clustered write distribution (Delta/Iceberg's default): shuffle
         // by partition value so a file never mixes values — that is what

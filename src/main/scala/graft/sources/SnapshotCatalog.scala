@@ -163,28 +163,43 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         s"catalog $catalogName: partition column '$c' is not in the schema")
       c
     }
+    def temporalCol(what: String, dateOk: Boolean): String = {
+      val c = oneCol(what)
+      val dt = schema(c).dataType
+      require(dt == org.apache.spark.sql.types.TimestampType ||
+          (dateOk && dt == org.apache.spark.sql.types.DateType),
+        s"catalog $catalogName: $what($c) needs a timestamp" +
+          (if (dateOk) "/date" else "") + s" column, got $dt")
+      c
+    }
+    def intArg(what: String): Int = t.arguments.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value.asInstanceOf[Number].intValue
+    }.getOrElse(throw new IllegalArgumentException(
+      s"catalog $catalogName: $what without its integer argument"))
     t.name match {
       case "identity" =>
         Snapshots.IdentityPart(oneCol("identity partitioning"))
-      case "days" =>
-        val c = oneCol("days()")
-        val dt = schema(c).dataType
-        require(dt == org.apache.spark.sql.types.TimestampType ||
-            dt == org.apache.spark.sql.types.DateType,
-          s"catalog $catalogName: days($c) needs a timestamp/date column, got $dt")
-        Snapshots.DaysPart(c)
+      case "days" => Snapshots.DaysPart(temporalCol("days", dateOk = true))
+      case "hours" => Snapshots.HoursPart(temporalCol("hours", dateOk = false))
+      case "months" => Snapshots.MonthsPart(temporalCol("months", dateOk = true))
+      case "years" => Snapshots.YearsPart(temporalCol("years", dateOk = true))
       case "bucket" =>
-        val n = t.arguments.collectFirst {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            l.value.asInstanceOf[Number].intValue
-        }.getOrElse(throw new IllegalArgumentException(
-          s"catalog $catalogName: bucket() without a bucket count"))
-        Snapshots.BucketPart(n, oneCol("bucket()"))
+        Snapshots.BucketPart(intArg("bucket()"), oneCol("bucket()"))
+      case "truncate" =>
+        val c = oneCol("truncate()")
+        val dt = schema(c).dataType
+        require(dt == org.apache.spark.sql.types.StringType ||
+            Seq[org.apache.spark.sql.types.DataType](ByteType, ShortType,
+              IntegerType, LongType).contains(dt),
+          s"catalog $catalogName: truncate($c) needs a string or integral " +
+            s"column, got $dt")
+        Snapshots.TruncatePart(intArg("truncate()"), c)
       case _ => throw new UnsupportedOperationException(
         s"catalog $catalogName: partition transform ${t.describe} is " +
-          "unsupported — use identity(col), days(col) or bucket(n, col); " +
-          "for multi-dimensional layouts cluster via the Z-order/Hilbert " +
-          "maintenance procedures instead")
+          "unsupported — use identity(col), days/hours/months/years(col), " +
+          "bucket(n, col) or truncate(w, col); for multi-dimensional " +
+          "layouts cluster via the Z-order/Hilbert maintenance procedures")
     }
   }
 
@@ -360,7 +375,12 @@ private[graft] class SnapshotV2Table(val dir: String, ident: String,
     Snapshots.partitionSpec(spark, dir).map {
       case Snapshots.IdentityPart(c) => Expressions.identity(c)
       case Snapshots.DaysPart(c) => Expressions.days(c)
+      case Snapshots.HoursPart(c) => Expressions.hours(c)
+      case Snapshots.MonthsPart(c) => Expressions.months(c)
+      case Snapshots.YearsPart(c) => Expressions.years(c)
       case Snapshots.BucketPart(n, c) => Expressions.bucket(n, c)
+      case Snapshots.TruncatePart(w, c) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
     }.toArray
   }
 

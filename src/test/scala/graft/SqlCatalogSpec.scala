@@ -46,16 +46,19 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(Snapshots.currentVersion(spark, dir).contains(3))
     spark.sql(s"INSERT OVERWRITE $t VALUES (9, 'z')")
     assert(spark.table(t).as[(Long, String)].collect().toSet == Set((9L, "z")))
-    // CREATE over an existing table refuses; unsupported/multi transforms
-    // refuse (identity/days/bucket are accepted — see the partitioning test)
+    // CREATE over an existing table refuses; unknown/multi/mistyped
+    // transforms refuse (identity/days/hours/months/years/bucket/truncate
+    // are accepted — see the partitioning tests)
     intercept[Exception](spark.sql(s"CREATE TABLE $t (k BIGINT)"))
     intercept[Exception](spark.sql(
-      s"CREATE TABLE ${t}_p (k BIGINT, ts TIMESTAMP) PARTITIONED BY (hours(ts))"))
+      s"CREATE TABLE ${t}_p (k BIGINT, ts TIMESTAMP) PARTITIONED BY (zoom(ts))"))
     intercept[Exception](spark.sql(
       s"CREATE TABLE ${t}_p (k BIGINT, ts TIMESTAMP, d STRING) " +
         "PARTITIONED BY (days(ts), d)"))
     intercept[Exception](spark.sql(
       s"CREATE TABLE ${t}_p (k BIGINT, d STRING) PARTITIONED BY (days(d))"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE ${t}_p (k BIGINT, p DOUBLE) PARTITIONED BY (truncate(4, p))"))
     // CTAS: create + first commit through the same write path
     spark.sql(s"CREATE TABLE ${t}_ctas AS SELECT k, v FROM $t WHERE k >= 9")
     assert(spark.table(s"${t}_ctas").as[(Long, String)].collect().toSet ==
@@ -208,6 +211,49 @@ class SqlCatalogSpec extends AnyFunSuite {
     SnapshotRelation.lastScan.set((-1, -1))
     assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE k >= 990 AND k < 1000")
       .as[Long].head() == 10L)
+  }
+
+  test("PARTITIONED BY months/truncate: time-granule and prefix routing both prune") {
+    // months(ts): one file per month, a month-range filter plans one file
+    val (t, dir) = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, ts TIMESTAMP) PARTITIONED BY (months(ts))")
+    spark.sql(s"INSERT INTO $t SELECT id AS k, " +
+      "timestamp'2024-01-15 12:00:00' + make_interval(0, CAST(id % 6 AS INT), 0,0,0,0, id) " +
+      "AS ts FROM range(600)")
+    val files = Snapshots.files(spark, dir, Snapshots.currentVersion(spark, dir).get)
+    assert(files.flatMap(Snapshots.partValueOf).toSet ==
+      (1 to 6).map(m => f"2024-$m%02d").toSet)
+    SnapshotRelation.lastScan.set((-1, -1))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t " +
+      "WHERE ts >= timestamp'2024-03-01 00:00:00' AND ts < timestamp'2024-04-01 00:00:00'")
+      .as[Long].head() == 100L)
+    val (kept, total) = SnapshotRelation.lastScan.get()
+    assert(total == 7 && kept == 1, s"month filter planned $kept/$total files")
+    // truncate(2, code): string-prefix routing; a prefix filter prunes
+    val (t2, dir2) = fresh()
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, code STRING) PARTITIONED BY (truncate(2, code))")
+    spark.sql(s"INSERT INTO $t2 SELECT id AS k, " +
+      "concat(CASE WHEN id % 3 = 0 THEN 'DE' WHEN id % 3 = 1 THEN 'FR' ELSE 'US' END, " +
+      "'-', id) AS code FROM range(300)")
+    val f2 = Snapshots.files(spark, dir2, Snapshots.currentVersion(spark, dir2).get)
+    assert(f2.flatMap(Snapshots.partValueOf).toSet == Set("DE", "FR", "US"))
+    SnapshotRelation.lastScan.set((-1, -1))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t2 WHERE code LIKE 'FR%'")
+      .as[Long].head() == 100L)
+    val (k2, n2) = SnapshotRelation.lastScan.get()
+    assert(n2 == 4 && k2 == 1, s"prefix filter planned $k2/$n2 files")
+    // truncate(100, k) on a BIGINT: arithmetic binning, range filter prunes
+    val (t3, dir3) = fresh()
+    spark.sql(s"CREATE TABLE $t3 (k BIGINT, v DOUBLE) PARTITIONED BY (truncate(100, k))")
+    spark.sql(s"INSERT INTO $t3 SELECT id AS k, id * 0.5 AS v FROM range(1000)")
+    val f3 = Snapshots.files(spark, dir3, Snapshots.currentVersion(spark, dir3).get)
+    assert(f3.flatMap(Snapshots.partValueOf).toSet ==
+      (0 until 10).map(b => (b * 100).toString).toSet)
+    SnapshotRelation.lastScan.set((-1, -1))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t3 WHERE k BETWEEN 250 AND 349")
+      .as[Long].head() == 100L)
+    val (k3, n3) = SnapshotRelation.lastScan.get()
+    assert(n3 == 11 && k3 == 2, s"range filter planned $k3/$n3 files")
   }
 
   test("PARTITIONED BY identity: routing makes stats envelopes value-tight; DML re-routes") {
