@@ -312,10 +312,46 @@ object Snapshots {
     * value — both always survive pruning.
     */
   private[graft] def partValueOf(entry: String): Option[String] =
+    partValueRawOf(entry).filter(_ != HiveDefaultPart)
+
+  /** [[partValueOf]] WITHOUT the null-partition filter: the hive default
+    * marker comes back verbatim — dynamic partition overwrite needs to
+    * target the null partition like any other. */
+  private[graft] def partValueRawOf(entry: String): Option[String] =
     entry.split('/').find(_.startsWith(PartDirCol + "="))
       .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(s.substring(PartDirCol.length + 1)))
-      .filter(_ != HiveDefaultPart)
+
+  /** The transform value of partition spec `ps` over column `colName` of
+    * type `dt` — the single definition both the routed write and dynamic
+    * overwrite's touched-partition probe evaluate, so they can never
+    * disagree on which partition a row belongs to.
+    */
+  private def partValueExpr(dir: String, ps: PartitionSpec, colName: String,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, date_format, hash, lit, pmod, substring, to_date}
+    ps match {
+      case IdentityPart(_) => col(colName)
+      case DaysPart(_) => to_date(col(colName))
+      case HoursPart(_) => date_format(col(colName), "yyyy-MM-dd-HH")
+      case MonthsPart(_) => date_format(col(colName), "yyyy-MM")
+      case YearsPart(_) => date_format(col(colName), "yyyy")
+      case BucketPart(n, _) => pmod(hash(col(colName)), lit(n))
+      case TruncatePart(w, _) =>
+        dt match {
+          case org.apache.spark.sql.types.StringType =>
+            substring(col(colName), 1, w)
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType =>
+            col(colName) - pmod(col(colName), lit(w.toLong))
+          case other => throw new IllegalArgumentException(
+            s"$dir: truncate($w, ${ps.column}) needs a string or " +
+              s"integral column, got $other")
+        }
+    }
+  }
 
   /** The bucket number `bucket(n, col)` routes `v` to — must replicate
     * the WRITE side's `pmod(hash(col), n)` exactly (Spark's Murmur3, seed
@@ -558,31 +594,11 @@ object Snapshots {
             .mode("overwrite").parquet(s"$dir/$dataRel")
         }
       case Some(ps) =>
-        import org.apache.spark.sql.functions.{col, date_format, date_trunc, hash, lit, pmod, substring, to_date}
+        import org.apache.spark.sql.functions.col
         val pc = toPhysical(spark, dir, ps.column)
         require(physical.columns.contains(pc),
           s"$dir: partition column '${ps.column}' missing from the write")
-        val pv = ps match {
-          case IdentityPart(_) => col(pc)
-          case DaysPart(_) => to_date(col(pc))
-          case HoursPart(_) => date_format(col(pc), "yyyy-MM-dd-HH")
-          case MonthsPart(_) => date_format(col(pc), "yyyy-MM")
-          case YearsPart(_) => date_format(col(pc), "yyyy")
-          case BucketPart(n, _) => pmod(hash(col(pc)), lit(n))
-          case TruncatePart(w, _) =>
-            physical.schema(pc).dataType match {
-              case org.apache.spark.sql.types.StringType =>
-                substring(col(pc), 1, w)
-              case org.apache.spark.sql.types.ByteType |
-                   org.apache.spark.sql.types.ShortType |
-                   org.apache.spark.sql.types.IntegerType |
-                   org.apache.spark.sql.types.LongType =>
-                col(pc) - pmod(col(pc), lit(w.toLong))
-              case other => throw new IllegalArgumentException(
-                s"$dir: truncate($w, ${ps.column}) needs a string or " +
-                  s"integral column, got $other")
-            }
-        }
+        val pv = partValueExpr(dir, ps, pc, physical.schema(pc).dataType)
         // clustered write distribution (Delta/Iceberg's default): shuffle
         // by partition value so a file never mixes values — that is what
         // makes the per-file stats envelope value-tight and the manifest
@@ -3261,6 +3277,73 @@ object Snapshots {
           cdc = Some(cdc), dv = dvCarry)
         next
       } finally { rows.foreach(_.unpersist()); () }
+    } finally { up.unpersist(); () }
+  }
+
+  /** INSERT OVERWRITE with DYNAMIC partition semantics on a
+    * hidden-partitioned table (Spark/Delta's
+    * `partitionOverwriteMode=dynamic`): only the partitions the incoming
+    * frame TOUCHES are replaced — their files drop from the manifest —
+    * and every other partition's files carry byte-identical. Targeting is
+    * pure manifest metadata and EXACT: the routed write made every data
+    * file single-partition-value, so the touched set is an entry-path
+    * match — no stats consulted, no row-level keep filter (a touched
+    * partition replaces WHOLE, the defined semantics). A data file
+    * predating the spec (no `__part` value) is ambiguous — any of its
+    * rows could belong to a touched partition — so a non-empty one
+    * refuses loudly (rewrite the table under the spec first); the
+    * schema-pinning 0-row file just drops with the replaced set. The
+    * change feed records the replaced partitions' live rows as deletes
+    * and the incoming frame as inserts.
+    */
+  def insertOverwritePartitions(spark: SparkSession, dir: String,
+      df: DataFrame, meta: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.lit
+    val ps = partitionSpec(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir: dynamic INSERT OVERWRITE needs a partitioned table — " +
+          "an unpartitioned table takes the full replace (static mode)"))
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    enforceSchema(spark, dir, df, evolve = false)
+    val up = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      enforceConstraints(spark, dir, up)
+      require(up.columns.contains(ps.column),
+        s"$dir: partition column '${ps.column}' missing from the write")
+      val pv = partValueExpr(dir, ps, ps.column, up.schema(ps.column).dataType)
+      val touched: Set[String] = up.select(pv.cast("string").as("p"))
+        .distinct().collect()
+        .map(r => Option(r.getString(0)).getOrElse(HiveDefaultPart)).toSet
+      val all = files(spark, dir, cur)
+      val statsIdx = stats(spark, dir, cur)
+      val (replaced, carried) = all.partition { f =>
+        partValueRawOf(f) match {
+          case Some(v) => touched.contains(v)
+          case None =>
+            val rows = statsIdx.get(f).flatMap(_.values.headOption).map(_.rows)
+            require(rows.contains(0L),
+              s"$dir: data file '$f' predates the partition spec (no " +
+                "__part value) — dynamic overwrite cannot scope it; " +
+                "rewrite the table under the spec first")
+            true // the 0-row schema-pin file: drop with the replaced set
+        }
+      }
+      val next = cur + 1
+      val replacedRows =
+        if (replaced.isEmpty) None
+        else Some(maskedParquet(spark, dir, cur,
+          replaced.map(f => dataPath(dir, f))))
+      val inserts = up.withColumn("_change_type", lit("insert"))
+      val cdc = writeCdc(spark, dir, next, replacedRows match {
+        case Some(r) => r.withColumn("_change_type", lit("delete"))
+          .unionByName(inserts, allowMissingColumns = true)
+        case None => inserts
+      })
+      val fresh = writeData(spark, dir, next, up)
+      val dvCarry = carryDvFor(spark, dir, cur, next, carried)
+      publish(spark, dir, next, carried, fresh, meta, Some(cdc), dvCarry)
+      next
     } finally { up.unpersist(); () }
   }
 

@@ -103,6 +103,21 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => plan
       }
 
+    // `INSERT OVERWRITE` in dynamic partition-overwrite mode: Spark plans
+    // OverwritePartitionsDynamic for a partitioned DSv2 table, but ships
+    // no V1 fallback exec for it — rewrite to the format's dynamic
+    // overwrite (only the touched partitions' files replace, everything
+    // else carries by reference)
+    case o: org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic
+        if o.resolved =>
+      target(o.table) match {
+        case Some(tbl) =>
+          require(tbl.pinned.isEmpty,
+            s"${tbl.dir}: cannot INSERT through a pinned reference — history is immutable")
+          SnapshotDynamicOverwriteCommand(tbl.dir, o.query)
+        case None => plan
+      }
+
     case m: MergeIntoTable if m.resolved =>
       target(m.targetTable) match {
         case Some(tbl) =>
@@ -270,6 +285,18 @@ private[graft] object SqlDmlRetry {
 }
 
 /** `DELETE FROM <snapshot table> WHERE <any predicate>`. */
+/** Dynamic `INSERT OVERWRITE` on a partitioned snapshot table. */
+case class SnapshotDynamicOverwriteCommand(dir: String, query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    SqlDmlRetry.retryOnCme() {
+      Snapshots.insertOverwritePartitions(spark, dir, Shims.ofRows(spark, query))
+    }
+    Seq.empty
+  }
+}
+
 case class SnapshotDeleteCommand(dir: String, cond: Boxed)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {

@@ -229,6 +229,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     changes.foreach {
       case set: TableChange.SetProperty =>
+        // a partition spec set through TBLPROPERTIES must parse NOW —
+        // deferring the failure to the next write would strand the table
+        if (set.property == "graft.partition")
+          Snapshots.parsePartitionSpec(set.value)
         Snapshots.setProperties(spark, dir, Map(set.property -> set.value))
       case rm: TableChange.RemoveProperty =>
         Snapshots.removeProperties(spark, dir, Seq(rm.property))
@@ -391,6 +395,10 @@ private[graft] class SnapshotV2Table(val dir: String, ident: String,
     // commit, old rows NULL-backfill — before the DML rewrite runs.
     // Evolution stays opt-in per statement (the WITH clause), Delta's
     // posture; a plain MERGE still refuses unknown columns.
+    // no OVERWRITE_DYNAMIC: Spark has no V1 fallback exec for it, so the
+    // dynamic path is an analysis-time rewrite instead (SnapshotDmlRule →
+    // insertOverwritePartitions); without the graft extensions the check
+    // rule then refuses loudly rather than crashing in toBatch
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava

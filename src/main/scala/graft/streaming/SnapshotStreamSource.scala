@@ -295,7 +295,14 @@ class SnapshotRelation(override val sqlContext: SQLContext, val dir: String,
   override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
     require(pinned.isEmpty,
       s"$dir: cannot INSERT into a version-pinned view — history is immutable")
-    Snapshots.commit(spark, dir, data, replace = overwrite)
+    // same partition-overwrite contract as the catalog write face: dynamic
+    // mode on a partitioned table replaces only the touched partitions
+    val dynamic = overwrite &&
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .equalsIgnoreCase("dynamic") &&
+      Snapshots.partitionSpec(spark, dir).nonEmpty
+    if (dynamic) Snapshots.insertOverwritePartitions(spark, dir, data)
+    else Snapshots.commit(spark, dir, data, replace = overwrite)
     ()
   }
 

@@ -256,6 +256,56 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(n3 == 11 && k3 == 2, s"range filter planned $k3/$n3 files")
   }
 
+  test("dynamic INSERT OVERWRITE replaces only the touched partitions") {
+    val (t, dir) = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, day STRING, v DOUBLE) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $t SELECT id AS k, " +
+      "concat('d', id % 4) AS day, id * 1.0 AS v FROM range(400)")
+    val v1 = Snapshots.currentVersion(spark, dir).get
+    val before = Snapshots.files(spark, dir, v1)
+      .filter(f => Snapshots.partValueOf(f).exists(p => p != "d1")).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // replace ONLY day d1 with 5 fresh rows
+      spark.sql(s"INSERT OVERWRITE $t SELECT id + 9000 AS k, 'd1' AS day, " +
+        "-1.0 AS v FROM range(5)")
+      val v2 = Snapshots.currentVersion(spark, dir).get
+      val after = Snapshots.files(spark, dir, v2)
+      // untouched partitions carry BYTE-IDENTICAL (same manifest entries)
+      assert(before.subsetOf(after.toSet),
+        s"untouched partitions rewritten: ${before.diff(after.toSet)}")
+      val got = spark.table(t).groupBy("day").count().as[(String, Long)]
+        .collect().toMap
+      assert(got == Map("d0" -> 100L, "d1" -> 5L, "d2" -> 100L, "d3" -> 100L), got)
+      // feed: the replaced partition's old rows as deletes, new as inserts
+      val feed = Snapshots.readChangeFeed(spark, dir, v1, v2)
+        .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+      assert(feed == Map("delete" -> 100L, "insert" -> 5L), feed)
+      // static mode still replaces the WHOLE table
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.sql(s"INSERT OVERWRITE $t SELECT 1L AS k, 'd9' AS day, 0.0 AS v")
+      assert(spark.table(t).count() == 1L)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // a populated PRE-SPEC file refuses dynamic overwrite loudly
+    val (t2, dir2) = fresh()
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, day STRING)")
+    spark.sql(s"INSERT INTO $t2 SELECT id AS k, concat('d', id % 2) AS day FROM range(10)")
+    spark.sql(s"ALTER TABLE $t2 SET TBLPROPERTIES ('graft.partition' = 'identity(day)')")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception](
+        spark.sql(s"INSERT OVERWRITE $t2 SELECT 1L AS k, 'd0' AS day"))
+      assert(e.getMessage.contains("predates the partition spec"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // malformed spec strings refuse at ALTER time, not at the next write
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $t2 SET TBLPROPERTIES ('graft.partition' = 'zoom(day)')"))
+  }
+
   test("PARTITIONED BY identity: routing makes stats envelopes value-tight; DML re-routes") {
     val (t, dir) = fresh()
     spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING) PARTITIONED BY (region)")

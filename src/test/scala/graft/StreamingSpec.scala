@@ -1570,4 +1570,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("no longer exist")), messages(e).mkString(" | "))
     q.stop()
   }
+  test("snapshots sink routes micro-batches through the table's partition spec") {
+    import graft.operators.Snapshots
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapsink-part")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snapsink-ck")
+      .toFile.getAbsolutePath
+    // the spec is table metadata, independent of any version — a sink
+    // table declares it BEFORE the first micro-batch lands
+    Snapshots.setPartitionSpec(spark, dir, Snapshots.IdentityPart("day"))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "day").writeStream.format("snapshots")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "d0"), (2L, "d1"), (3L, "d0"))
+      q.processAllAvailable()
+      mem.addData((4L, "d1"), (5L, "d2"))
+      q.processAllAvailable()
+      val v = Snapshots.currentVersion(spark, dir).get
+      val files = Snapshots.files(spark, dir, v)
+      val vals = files.flatMap(Snapshots.partValueOf)
+      assert(vals.length == files.length,
+        s"a sink-written file lost its partition value: $files")
+      assert(vals.toSet == Set("d0", "d1", "d2"), vals)
+      // per-batch routing: batch 1 wrote {d0, d1}, batch 2 {d1, d2}
+      assert(vals.sorted == Seq("d0", "d1", "d1", "d2"), vals)
+      // and the identity values prune through the (value-tight) stats
+      val (kept, all) = Snapshots.pruneFilesAll(spark, dir, v,
+        Seq(("day", Some("d2"), Some("d2"))))
+      assert(all.length == 4 && kept.length == 1, s"$kept of $all")
+    } finally q.stop()
+  }
 }
