@@ -945,6 +945,29 @@ object Relational extends QueryModule {
                |USING src_evo_$ns s ON t.o_orderkey = s.o_orderkey
                |WHEN MATCHED THEN UPDATE SET *
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // partition-overwrite fixture: an identity(bucket)-partitioned table
+      // reloaded twice — one STATIC `PARTITION (bucket='b1')` region swap
+      // and one DYNAMIC overwrite touching b2 only — so the declared query
+      // reads the composition of append + static swap + dynamic swap
+      s.sql(s"CREATE TABLE graftcat.$ns.orders_part " +
+        "(o_orderkey BIGINT, bucket STRING, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (bucket)")
+      T.orders(s, d).select(col("o_orderkey"),
+          concat(lit("b"), col("o_orderkey") % 3).as("bucket"), col("o_totalprice"))
+        .createOrReplaceTempView(s"src_part_$ns")
+      s.sql(s"INSERT INTO graftcat.$ns.orders_part SELECT * FROM src_part_$ns")
+      s.sql(s"INSERT OVERWRITE graftcat.$ns.orders_part PARTITION (bucket = 'b1') " +
+        s"SELECT o_orderkey, o_totalprice + 100 AS o_totalprice FROM src_part_$ns " +
+        "WHERE bucket = 'b1' AND o_orderkey <= 1000")
+      val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE graftcat.$ns.orders_part " +
+        s"SELECT o_orderkey, bucket, o_totalprice / 2 AS o_totalprice " +
+        s"FROM src_part_$ns WHERE bucket = 'b2' AND o_orderkey > 500")
+      finally prevMode match {
+        case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
       // HIDDEN-PARTITIONED fixture (Iceberg's days transform): the INSERT
       // routes rows into one file per day, so a day-range filter plans
       // only that day's files (SqlCatalogSpec locks the kept-file count;
@@ -1018,6 +1041,14 @@ object Relational extends QueryModule {
     s.sql(s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
              |  count(o_disc) AS n_disc, round(sum(o_disc), 2) AS sum_disc
              |FROM graftcat.$ns.orders_mrgevo""".stripMargin)
+  }
+
+  private def qSnapshotOverwritePart(s: SparkSession, d: String): DataFrame = {
+    val ns = sqlCatNsOf(s, d)
+    s.sql(s"""SELECT bucket, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM graftcat.$ns.orders_part
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
   /** Day-filtered read of the hidden-partitioned catalog table: the
@@ -1774,6 +1805,7 @@ object Relational extends QueryModule {
     "q_snapshot_sql_merge" -> qSnapshotSqlMerge,
     "q_snapshot_sql_merge_evolve" -> qSnapshotSqlMergeEvolve,
     "q_snapshot_partitioned" -> qSnapshotPartitioned,
+    "q_snapshot_overwrite_part" -> qSnapshotOverwritePart,
     "q_snapshot_dv" -> qSnapshotDv,
     "q_snapshot_history" -> qSnapshotHistory,
     "q_snapshot_restore" -> qSnapshotRestore,
@@ -1933,6 +1965,23 @@ object Relational extends QueryModule {
         |SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  count(o_disc) AS n_disc, round(sum(o_disc), 2) AS sum_disc
         |FROM final""".stripMargin,
+    "q_snapshot_overwrite_part" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, concat('b', o_orderkey % 3) AS bucket,
+        |    o_totalprice
+        |  FROM orders),
+        |final AS (
+        |  SELECT o_orderkey, bucket, o_totalprice FROM src WHERE bucket = 'b0'
+        |  UNION ALL
+        |  SELECT o_orderkey, bucket, o_totalprice + 100 FROM src
+        |  WHERE bucket = 'b1' AND o_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT o_orderkey, bucket, o_totalprice / 2 FROM src
+        |  WHERE bucket = 'b2' AND o_orderkey > 500
+        |)
+        |SELECT bucket, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_snapshot_partitioned" ->
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users

@@ -719,17 +719,51 @@ private[graft] class SnapshotMetaAggScan(dir: String, pinned: Option[Int],
   * commit — both atomic, both through the format's single write choke
   * point (constraints, schema gate, stats, change feed).
   */
+/** The V1 write bridge: plain INSERT appends, `INSERT OVERWRITE` replaces
+  * the whole table (truncate = overwrite-by-AlwaysTrue), and a STATIC
+  * partition overwrite — `INSERT OVERWRITE t PARTITION (day = 'x')`, which
+  * Spark plans as OverwriteByExpression with the partition equality — maps
+  * to the format's [[Snapshots.replaceWhere]]: one atomic region swap,
+  * untouched files carried by reference. Only a single-column equality (or
+  * AlwaysTrue) is claimed; anything else refuses at analysis instead of
+  * over- or under-deleting a region.
+  */
 private[graft] class SnapshotWriteBuilder(dir: String) extends WriteBuilder
-    with SupportsTruncate {
-  private var replace = false
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+  private var filters: Option[Array[Filter]] = None // None = append
 
-  override def truncate(): WriteBuilder = { replace = true; this }
+  override def canOverwrite(fs: Array[Filter]): Boolean =
+    fs.forall(_.isInstanceOf[AlwaysTrue]) ||
+      (fs.length == 1 && (fs.head match {
+        // Spark spells the static PARTITION (col = v) region as a
+        // null-safe equality; for a non-null literal the two coincide
+        case EqualTo(_, v) => v != null
+        case EqualNullSafe(_, v) => v != null
+        case _ => false
+      }))
+
+  override def overwrite(fs: Array[Filter]): WriteBuilder = {
+    require(canOverwrite(fs),
+      s"$dir: unsupported overwrite region ${fs.mkString(", ")} — " +
+        "AlwaysTrue or one column equality")
+    filters = Some(fs)
+    this
+  }
 
   override def build(): V1Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-        Snapshots.commit(SparkSession.active, dir, data,
-          replace = replace || overwrite)
+        val spark = SparkSession.active
+        filters match {
+          case Some(fs) if !fs.forall(_.isInstanceOf[AlwaysTrue]) =>
+            val (c, v) = (fs.head: @unchecked) match {
+              case EqualTo(c0, v0) => (c0, v0)
+              case EqualNullSafe(c0, v0) => (c0, v0)
+            }
+            Snapshots.replaceWhereRetry(spark, dir, data, c, Some(v), Some(v))
+          case Some(_) => Snapshots.commit(spark, dir, data, replace = true)
+          case None => Snapshots.commit(spark, dir, data, replace = overwrite)
+        }
         ()
       }
   }

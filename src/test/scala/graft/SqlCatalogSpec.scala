@@ -306,6 +306,26 @@ class SqlCatalogSpec extends AnyFunSuite {
       s"ALTER TABLE $t2 SET TBLPROPERTIES ('graft.partition' = 'zoom(day)')"))
   }
 
+  test("static INSERT OVERWRITE PARTITION (col=v) swaps exactly that region") {
+    val (t, dir) = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, day STRING, v DOUBLE) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $t SELECT id AS k, concat('d', id % 3) AS day, " +
+      "id * 1.0 AS v FROM range(300)")
+    val v1 = Snapshots.currentVersion(spark, dir).get
+    val others = Snapshots.files(spark, dir, v1)
+      .filter(f => Snapshots.partValueOf(f).exists(_ != "d2")).toSet
+    spark.sql(s"INSERT OVERWRITE $t PARTITION (day = 'd2') " +
+      "SELECT id + 7000 AS k, -2.0 AS v FROM range(7)")
+    val v2 = Snapshots.currentVersion(spark, dir).get
+    assert(others.subsetOf(Snapshots.files(spark, dir, v2).toSet),
+      "untouched partitions must carry by reference")
+    val got = spark.table(t).groupBy("day").count().as[(String, Long)]
+      .collect().toMap
+    assert(got == Map("d0" -> 100L, "d1" -> 100L, "d2" -> 7L), got)
+    assert(spark.table(t).filter(col("day") === "d2").select(min("k"))
+      .as[Long].head() == 7000L)
+  }
+
   test("PARTITIONED BY identity: routing makes stats envelopes value-tight; DML re-routes") {
     val (t, dir) = fresh()
     spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING) PARTITIONED BY (region)")
