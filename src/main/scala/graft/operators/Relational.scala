@@ -1243,7 +1243,8 @@ object Relational extends QueryModule {
     snapDvDir(s, d); snapMergeEvoDir(s, d); snapRestoreDir(s, d); snapRenameDir(s, d)
     snapBloomDir(s, d); mviewDir(s, d); mviewCdfDir(s, d)
     snapWapDir(s, d); snapTagDir(s, d); snapConsDir(s, d); snapRwDir(s, d)
-    mviewMmDir(s, d); snapBranchDir(s, d); sqlCatNsOf(s, d); ()
+    mviewMmDir(s, d); snapBranchDir(s, d); sqlCatNsOf(s, d)
+    snapHColsDir(s, d); ()
   }
 
   private def mviewDir(s: SparkSession, d: String): (String, String) =
