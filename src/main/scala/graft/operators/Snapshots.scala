@@ -278,10 +278,30 @@ object Snapshots {
     */
   def setPartitionSpec(spark: SparkSession, dir: String,
       spec: PartitionSpec): Unit =
-    setProperties(spark, dir, Map(PartProp -> spec.encoded))
+    setPartitionSpecs(spark, dir, Seq(spec))
+
+  /** Multi-transform spec — `PARTITIONED BY (days(ts), identity(region))`,
+    * the common lakehouse two-level layout. Each write nests one hive-style
+    * level per transform (`__part=…/__part1=…`); the first level keeps the
+    * single-transform naming, so single-spec tables and their data stay
+    * valid unchanged.
+    */
+  def setPartitionSpecs(spark: SparkSession, dir: String,
+      specs: Seq[PartitionSpec]): Unit = {
+    require(specs.nonEmpty && specs.size <= 4,
+      s"$dir: 1 to 4 partition transforms (got ${specs.size}) — deeper " +
+        "layouts cluster better via Z-order/Hilbert maintenance")
+    require(specs.map(_.column).distinct.size == specs.size,
+      s"$dir: each partition transform needs a distinct column")
+    setProperties(spark, dir, Map(PartProp -> specs.map(_.encoded).mkString(";")))
+  }
 
   def partitionSpec(spark: SparkSession, dir: String): Option[PartitionSpec] =
-    properties(spark, dir).get(PartProp).map(parsePartitionSpec)
+    partitionSpecs(spark, dir).headOption
+
+  def partitionSpecs(spark: SparkSession, dir: String): Seq[PartitionSpec] =
+    properties(spark, dir).get(PartProp).toSeq
+      .flatMap(_.split(';').toSeq.filter(_.nonEmpty).map(parsePartitionSpec))
 
   private[graft] def parsePartitionSpec(s: String): PartitionSpec = {
     val Ident = """identity\((.+)\)""".r
@@ -306,21 +326,32 @@ object Snapshots {
     }
   }
 
-  /** The partition value a manifest entry carries (the hive-style
-    * `__part=` path segment the routed write put there), unescaped.
-    * None for entries written without a spec, or for a null partition
-    * value — both always survive pruning.
+  /** The FIRST transform's partition value a manifest entry carries (the
+    * hive-style `__part=` path segment the routed write put there),
+    * unescaped. None for entries written without a spec, or for a null
+    * partition value — both always survive pruning.
     */
   private[graft] def partValueOf(entry: String): Option[String] =
-    partValueRawOf(entry).filter(_ != HiveDefaultPart)
+    partValueRawAt(entry, 0).filter(_ != HiveDefaultPart)
 
-  /** [[partValueOf]] WITHOUT the null-partition filter: the hive default
-    * marker comes back verbatim — dynamic partition overwrite needs to
-    * target the null partition like any other. */
+  /** Transform `i`'s path value WITHOUT the null-partition filter: the
+    * hive default marker comes back verbatim — dynamic partition overwrite
+    * targets the null partition like any other. Level 0 is spelled
+    * `__part=`, deeper levels `__part1=`, `__part2=`, … (so
+    * single-transform tables written before multi-spec support stay
+    * valid byte-for-byte). */
   private[graft] def partValueRawOf(entry: String): Option[String] =
-    entry.split('/').find(_.startsWith(PartDirCol + "="))
+    partValueRawAt(entry, 0)
+
+  private[graft] def partDirColAt(i: Int): String =
+    if (i == 0) PartDirCol else s"$PartDirCol$i"
+
+  private[graft] def partValueRawAt(entry: String, i: Int): Option[String] = {
+    val prefix = partDirColAt(i) + "="
+    entry.split('/').find(_.startsWith(prefix))
       .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(s.substring(PartDirCol.length + 1)))
+        .unescapePathName(s.substring(prefix.length)))
+  }
 
   /** The transform value of partition spec `ps` over column `colName` of
     * type `dt` — the single definition both the routed write and dynamic
@@ -587,30 +618,35 @@ object Snapshots {
     // the single write choke point: logical frames land under their
     // PHYSICAL column names, so renamed columns stay one column on disk
     val physical = toPhysicalFrame(spark, dir, df)
-    partitionSpec(spark, dir) match {
-      case None =>
+    partitionSpecs(spark, dir) match {
+      case Seq() =>
         withStatFriendlyWrites(spark) {
           physical.write.options(bloomWriteOptions(spark, dir))
             .mode("overwrite").parquet(s"$dir/$dataRel")
         }
-      case Some(ps) =>
+      case specs =>
         import org.apache.spark.sql.functions.col
-        val pc = toPhysical(spark, dir, ps.column)
-        require(physical.columns.contains(pc),
-          s"$dir: partition column '${ps.column}' missing from the write")
-        val pv = partValueExpr(dir, ps, pc, physical.schema(pc).dataType)
         // clustered write distribution (Delta/Iceberg's default): shuffle
-        // by partition value so a file never mixes values — that is what
-        // makes the per-file stats envelope value-tight and the manifest
-        // entry's `__part=` segment a single exact value. The shadow
-        // column exists only for partitionBy routing; parquet files keep
-        // every user column (incl. the transform's source) and never
-        // store __part.
-        val routed = physical.withColumn(PartDirCol, pv.cast("string"))
-          .repartition(col(PartDirCol))
+        // by the partition-value TUPLE so a file never mixes values — that
+        // is what makes every per-file stats envelope value-tight and each
+        // manifest entry's `__part…=` segments single exact values. The
+        // shadow columns exist only for partitionBy routing; parquet files
+        // keep every user column (incl. the transforms' sources) and never
+        // store them.
+        val shadowCols = specs.zipWithIndex.map { case (ps, i) =>
+          val pc = toPhysical(spark, dir, ps.column)
+          require(physical.columns.contains(pc),
+            s"$dir: partition column '${ps.column}' missing from the write")
+          partDirColAt(i) ->
+            partValueExpr(dir, ps, pc, physical.schema(pc).dataType)
+        }
+        val routed = shadowCols.foldLeft(physical) { case (df, (n, e)) =>
+          df.withColumn(n, e.cast("string"))
+        }.repartition(shadowCols.map(c => col(c._1)): _*)
         withStatFriendlyWrites(spark) {
           routed.write.options(bloomWriteOptions(spark, dir))
-            .mode("overwrite").partitionBy(PartDirCol).parquet(s"$dir/$dataRel")
+            .mode("overwrite").partitionBy(shadowCols.map(_._1): _*)
+            .parquet(s"$dir/$dataRel")
         }
     }
     // recursive: a routed commit nests its files one `__part=` level down
@@ -1702,24 +1738,25 @@ object Snapshots {
     // to min/max stats: an equality probe on the bucket source column
     // hashes the probe value and drops every file routed to a different
     // bucket — zero footer reads, the Iceberg bucket-pruning move.
-    val keptP = partitionSpec(spark, dir) match {
-      case Some(BucketPart(n, c)) =>
-        val dt = read(spark, dir, Some(version)).schema.fields
-          .find(_.name == c).map(_.dataType)
-        val eqBuckets = ranges.collect {
-          case (`c`, Some(lo), Some(hi)) if lo == hi && dt.nonEmpty =>
-            bucketOf(lo, dt.get, n).map(_.toString)
+    val bucketSpecs = partitionSpecs(spark, dir).zipWithIndex.collect {
+      case (b: BucketPart, i) => (b, i)
+    }
+    val keptP = bucketSpecs.foldLeft(kept) { case (ks, (BucketPart(n, c), i)) =>
+      val dt = read(spark, dir, Some(version)).schema.fields
+        .find(_.name == c).map(_.dataType)
+      val eqBuckets = ranges.collect {
+        case (`c`, Some(lo), Some(hi)) if lo == hi && dt.nonEmpty =>
+          bucketOf(lo, dt.get, n).map(_.toString)
+      }
+      if (eqBuckets.isEmpty) ks
+      else ks.filter { f =>
+        partValueRawAt(f, i).filter(_ != HiveDefaultPart) match {
+          // conjunctive: the file's bucket must satisfy EVERY equality
+          // probe; an uncomputable probe (None) keeps the file
+          case Some(p) => eqBuckets.forall(_.forall(_ == p))
+          case None => true // pre-spec or null-partition file
         }
-        if (eqBuckets.isEmpty) kept
-        else kept.filter { f =>
-          partValueOf(f) match {
-            // conjunctive: the file's bucket must satisfy EVERY equality
-            // probe; an uncomputable probe (None) keeps the file
-            case Some(p) => eqBuckets.forall(_.forall(_ == p))
-            case None => true // pre-spec or null-partition file
-          }
-        }
-      case _ => kept
+      }
     }
     (keptP, all)
   }
@@ -3299,34 +3336,39 @@ object Snapshots {
   def insertOverwritePartitions(spark: SparkSession, dir: String,
       df: DataFrame, meta: Map[String, String] = Map.empty): Int = {
     import org.apache.spark.sql.functions.lit
-    val ps = partitionSpec(spark, dir).getOrElse(
-      throw new IllegalArgumentException(
-        s"$dir: dynamic INSERT OVERWRITE needs a partitioned table — " +
-          "an unpartitioned table takes the full replace (static mode)"))
+    val specs = partitionSpecs(spark, dir)
+    require(specs.nonEmpty,
+      s"$dir: dynamic INSERT OVERWRITE needs a partitioned table — " +
+        "an unpartitioned table takes the full replace (static mode)")
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir: no published snapshots"))
     enforceSchema(spark, dir, df, evolve = false)
     val up = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       enforceConstraints(spark, dir, up)
-      require(up.columns.contains(ps.column),
-        s"$dir: partition column '${ps.column}' missing from the write")
-      val pv = partValueExpr(dir, ps, ps.column, up.schema(ps.column).dataType)
-      val touched: Set[String] = up.select(pv.cast("string").as("p"))
-        .distinct().collect()
-        .map(r => Option(r.getString(0)).getOrElse(HiveDefaultPart)).toSet
+      // the touched set is the distinct TUPLE of transform values —
+      // partition-count-sized, never row-sized
+      val pvs = specs.map { ps =>
+        require(up.columns.contains(ps.column),
+          s"$dir: partition column '${ps.column}' missing from the write")
+        partValueExpr(dir, ps, ps.column, up.schema(ps.column).dataType)
+          .cast("string")
+      }
+      val touched: Set[Seq[String]] = up.select(pvs: _*).distinct().collect()
+        .map(r => specs.indices.map(i =>
+          Option(r.getString(i)).getOrElse(HiveDefaultPart))).toSet
       val all = files(spark, dir, cur)
       val statsIdx = stats(spark, dir, cur)
       val (replaced, carried) = all.partition { f =>
-        partValueRawOf(f) match {
-          case Some(v) => touched.contains(v)
-          case None =>
-            val rows = statsIdx.get(f).flatMap(_.values.headOption).map(_.rows)
-            require(rows.contains(0L),
-              s"$dir: data file '$f' predates the partition spec (no " +
-                "__part value) — dynamic overwrite cannot scope it; " +
-                "rewrite the table under the spec first")
-            true // the 0-row schema-pin file: drop with the replaced set
+        val tuple = specs.indices.map(i => partValueRawAt(f, i))
+        if (tuple.forall(_.nonEmpty)) touched.contains(tuple.map(_.get))
+        else {
+          val rows = statsIdx.get(f).flatMap(_.values.headOption).map(_.rows)
+          require(rows.contains(0L),
+            s"$dir: data file '$f' predates the partition spec (no " +
+              "__part value) — dynamic overwrite cannot scope it; " +
+              "rewrite the table under the spec first")
+          true // the 0-row schema-pin file: drop with the replaced set
         }
       }
       val next = cur + 1

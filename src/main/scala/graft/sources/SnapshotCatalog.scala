@@ -205,17 +205,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.length <= 1,
-      s"catalog $catalogName: at most ONE partition transform — " +
-        "multi-dimensional layouts cluster via Z-order/Hilbert maintenance")
-    val spec = partitions.headOption.map(toPartitionSpec(_, schema))
+    require(partitions.length <= 4,
+      s"catalog $catalogName: at most FOUR partition transforms — " +
+        "deeper layouts cluster better via Z-order/Hilbert maintenance")
+    val specs = partitions.toSeq.map(toPartitionSpec(_, schema))
     val dir = dirOf(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     // an empty first commit pins the schema (read() derives it from the
     // committed footers, so an empty table still DESCRIBEs correctly)
     Snapshots.commit(spark, dir,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
-    spec.foreach(Snapshots.setPartitionSpec(spark, dir, _))
+    if (specs.nonEmpty) Snapshots.setPartitionSpecs(spark, dir, specs)
     val user = properties.asScala.filterNot(_._1.startsWith("option."))
       .filterNot(kv => Seq(TableCatalog.PROP_COMMENT, TableCatalog.PROP_PROVIDER,
         TableCatalog.PROP_OWNER, TableCatalog.PROP_LOCATION,
@@ -232,7 +232,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         // a partition spec set through TBLPROPERTIES must parse NOW —
         // deferring the failure to the next write would strand the table
         if (set.property == "graft.partition")
-          Snapshots.parsePartitionSpec(set.value)
+          set.value.split(';').filter(_.nonEmpty)
+            .foreach(Snapshots.parsePartitionSpec)
         Snapshots.setProperties(spark, dir, Map(set.property -> set.value))
       case rm: TableChange.RemoveProperty =>
         Snapshots.removeProperties(spark, dir, Seq(rm.property))
@@ -376,7 +377,7 @@ private[graft] class SnapshotV2Table(val dir: String, ident: String,
   /** Surface the hidden partition spec through DESCRIBE/SHOW. */
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    Snapshots.partitionSpec(spark, dir).map {
+    Snapshots.partitionSpecs(spark, dir).map {
       case Snapshots.IdentityPart(c) => Expressions.identity(c)
       case Snapshots.DaysPart(c) => Expressions.days(c)
       case Snapshots.HoursPart(c) => Expressions.hours(c)

@@ -53,8 +53,8 @@ class SqlCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       s"CREATE TABLE ${t}_p (k BIGINT, ts TIMESTAMP) PARTITIONED BY (zoom(ts))"))
     intercept[Exception](spark.sql(
-      s"CREATE TABLE ${t}_p (k BIGINT, ts TIMESTAMP, d STRING) " +
-        "PARTITIONED BY (days(ts), d)"))
+      s"CREATE TABLE ${t}_p (a INT, b INT, c INT, d INT, e INT) " +
+        "PARTITIONED BY (a, b, c, d, e)")) // > 4 transforms
     intercept[Exception](spark.sql(
       s"CREATE TABLE ${t}_p (k BIGINT, d STRING) PARTITIONED BY (days(d))"))
     intercept[Exception](spark.sql(
@@ -324,6 +324,49 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(got == Map("d0" -> 100L, "d1" -> 100L, "d2" -> 7L), got)
     assert(spark.table(t).filter(col("day") === "d2").select(min("k"))
       .as[Long].head() == 7000L)
+  }
+
+  test("PARTITIONED BY (days(ts), region): two-level routing, tuple-scoped dynamic overwrite") {
+    val (t, dir) = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, ts TIMESTAMP, region STRING) " +
+      "PARTITIONED BY (days(ts), region)")
+    spark.sql(s"INSERT INTO $t SELECT id AS k, " +
+      "timestamp'2024-05-01 06:00:00' + make_interval(0,0,0, CAST(id % 2 AS INT), 0,0,0) AS ts, " +
+      "CASE WHEN id % 3 = 0 THEN 'eu' ELSE 'us' END AS region FROM range(600)")
+    val v1 = Snapshots.currentVersion(spark, dir).get
+    val files = Snapshots.files(spark, dir, v1)
+    // 2 days x 2 regions = 4 routed leaves, each entry carrying BOTH values
+    val tuples = files.flatMap { f =>
+      for (a <- Snapshots.partValueRawAt(f, 0); b <- Snapshots.partValueRawAt(f, 1))
+        yield (a, b)
+    }
+    assert(tuples.toSet == Set(("2024-05-01", "eu"), ("2024-05-01", "us"),
+      ("2024-05-02", "eu"), ("2024-05-02", "us")), tuples)
+    // both dimensions prune: a (day, region) conjunction plans ONE file
+    SnapshotRelation.lastScan.set((-1, -1))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE region = 'eu' AND " +
+      "ts >= timestamp'2024-05-02 00:00:00'").as[Long].head() == 100L)
+    val (kept, total) = SnapshotRelation.lastScan.get()
+    assert(total == 5 && kept == 1, s"2-D filter planned $kept/$total files")
+    // dynamic overwrite scopes by the TUPLE: only (2024-05-01, eu) swaps
+    // routed files of every OTHER (day, region) cell — the valueless 0-row
+    // schema-pin file legitimately drops with the replaced set
+    val others = files.filter { f =>
+      Snapshots.partValueRawAt(f, 0).nonEmpty &&
+        !(Snapshots.partValueRawAt(f, 0).contains("2024-05-01") &&
+          Snapshots.partValueRawAt(f, 1).contains("eu"))
+    }.toSet
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql(s"INSERT OVERWRITE $t SELECT id + 9000 AS k, " +
+        "timestamp'2024-05-01 12:00:00' AS ts, 'eu' AS region FROM range(3)")
+      val v2 = Snapshots.currentVersion(spark, dir).get
+      assert(others.subsetOf(Snapshots.files(spark, dir, v2).toSet),
+        "untouched (day, region) cells rewritten")
+      val got = spark.table(t).groupBy("region").count()
+        .as[(String, Long)].collect().toMap
+      assert(got == Map("eu" -> (100L + 3L), "us" -> 400L), got)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
   test("PARTITIONED BY identity: routing makes stats envelopes value-tight; DML re-routes") {
