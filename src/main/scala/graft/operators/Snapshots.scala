@@ -3389,6 +3389,25 @@ object Snapshots {
     } finally { up.unpersist(); () }
   }
 
+  /** Rewrite the whole table under its CURRENT partition spec — the
+    * remedy for a spec declared on an already-populated table (whose
+    * pre-spec files carry no partition value, so partition-scoped ops
+    * refuse them) and for spec CHANGES: one row-preserving replace commit
+    * whose write routes every row, after which every manifest entry
+    * carries the value tuple and dynamic overwrite / bucket pruning apply
+    * to the full table. Prior versions keep reading their own files.
+    */
+  def rewritePartitioned(spark: SparkSession, dir: String): Int = {
+    require(partitionSpecs(spark, dir).nonEmpty,
+      s"$dir: no partition spec declared — set one before rewriting")
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    replacePreserving(spark, dir, read(spark, dir, Some(cur)),
+      expectedVersion = Some(cur),
+      meta = Map("repartitioned" ->
+        partitionSpecs(spark, dir).map(_.encoded).mkString(";")))
+  }
+
   /** [[replaceWhere]] with optimistic retry on version-slot races — the
     * idempotent partition-reload op is exactly what a scheduler retries,
     * so it gets the same conflict-retry twin merge/delete have: the region

@@ -74,6 +74,10 @@ private[graft] object SnapshotProcedures {
       new StructType().add("version", IntegerType),
       (s, dir, r, _) => Seq(Snapshots.clusterHilbert(s, dir,
         str(r, 1), str(r, 2), targetFiles = r.getInt(3)))),
+    "repartition" -> Spec(
+      Seq(p("tbl", StringType)),
+      new StructType().add("version", IntegerType),
+      (s, dir, r, _) => Seq(Snapshots.rewritePartitioned(s, dir))),
     "restore" -> Spec(
       Seq(p("tbl", StringType), p("version", IntegerType)),
       new StructType().add("version", IntegerType),

@@ -304,6 +304,19 @@ class SqlCatalogSpec extends AnyFunSuite {
     // malformed spec strings refuse at ALTER time, not at the next write
     intercept[Exception](spark.sql(
       s"ALTER TABLE $t2 SET TBLPROPERTIES ('graft.partition' = 'zoom(day)')"))
+    // CALL system.repartition rewrites the pre-spec files under the spec —
+    // after it, every entry carries a value and dynamic overwrite works
+    val v = spark.sql(s"CALL gtest.system.repartition(tbl => 'db.t${n}')")
+      .as[Int].head()
+    val fs2 = Snapshots.files(spark, dir2, v)
+    assert(fs2.flatMap(Snapshots.partValueOf).length == fs2.length,
+      s"repartition left valueless entries: $fs2")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql(s"INSERT OVERWRITE $t2 SELECT 100L AS k, 'd0' AS day")
+      assert(spark.table(t2).groupBy("day").count().as[(String, Long)]
+        .collect().toMap == Map("d0" -> 1L, "d1" -> 5L))
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
   test("static INSERT OVERWRITE PARTITION (col=v) swaps exactly that region") {
