@@ -2676,6 +2676,52 @@ object Snapshots {
   }
 
   /** Branches as a relation (the `snapshot_branches` TVF's body). */
+  /** The `.partitions` metadata table (Iceberg's answer to SHOW
+    * PARTITIONS on hidden partitioning): one row per live partition value
+    * tuple of the CURRENT version with its file and row counts — a pure
+    * driver-side fold over the manifest entries and the stats sidecar,
+    * zero data files opened. Transform value columns are named
+    * `<col>` for identity and `<col>_<transform>` otherwise; files
+    * written before the spec surface as one NULL-valued row (their rows
+    * still counted), so the drift is visible rather than hidden.
+    */
+  def partitionsDf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val specs = partitionSpecs(spark, dir)
+    require(specs.nonEmpty, s"$dir: table declares no partition spec")
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir: no published snapshots"))
+    val idx = stats(spark, dir, v)
+    def rowsOf(f: String): Long =
+      idx.get(f).flatMap(_.values.headOption).map(_.rows).getOrElse(-1L)
+    val names = specs.map {
+      case IdentityPart(c) => c
+      case DaysPart(c) => s"${c}_day"
+      case HoursPart(c) => s"${c}_hour"
+      case MonthsPart(c) => s"${c}_month"
+      case YearsPart(c) => s"${c}_year"
+      case BucketPart(_, c) => s"${c}_bucket"
+      case TruncatePart(_, c) => s"${c}_trunc"
+    }
+    val grouped = files(spark, dir, v)
+      .groupBy(f => specs.indices.map(i =>
+        partValueRawAt(f, i).filter(_ != HiveDefaultPart)))
+      .toSeq
+      .map { case (tuple, fs) =>
+        val known = fs.map(rowsOf)
+        (tuple, fs.length.toLong,
+          if (known.contains(-1L)) -1L else known.sum)
+      }
+      .sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+    val base = grouped.map { case (tuple, nf, nr) =>
+      (tuple.map(_.orNull), nf, nr)
+    }.toDF("p", "n_files", "n_rows")
+    names.zipWithIndex.foldLeft(base) { case (df, (n, i)) =>
+      df.withColumn(n, col("p").getItem(i))
+    }.select((names.map(col) ++ Seq(col("n_files"), col("n_rows"))): _*)
+  }
+
   def branchesDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     branches(spark, dir).toSeq.sortBy(_._1).map { case (n, base) =>

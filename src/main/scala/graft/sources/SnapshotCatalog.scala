@@ -111,6 +111,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             case "branches" => Some(s => Snapshots.branchesDf(s, parent))
             case "constraints" => Some(s => Snapshots.checkConstraintsDf(s, parent))
             case "staged" => Some(s => Snapshots.stagedDf(s, parent))
+            case "partitions" => Some(s => Snapshots.partitionsDf(s, parent))
             case _ => None
           }
         body.foreach(b => return new SnapshotMetaTable(ident.toString, b))

@@ -382,6 +382,30 @@ class SqlCatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
+  test(".partitions metadata table: per-tuple file and row counts from the manifest") {
+    val (t, dir) = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, ts TIMESTAMP, region STRING) " +
+      "PARTITIONED BY (days(ts), region)")
+    spark.sql(s"INSERT INTO $t SELECT id AS k, " +
+      "timestamp'2024-07-01 08:00:00' + make_interval(0,0,0, CAST(id % 2 AS INT), 0,0,0) AS ts, " +
+      "CASE WHEN id % 4 = 0 THEN 'eu' ELSE 'us' END AS region FROM range(200)")
+    val rows = spark.sql(s"SELECT * FROM $t.partitions ORDER BY ts_day, region")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // the schema-pin 0-row file groups under the NULL tuple with 0 rows;
+    // id%4==0 implies id even, so 'eu' exists only on day 1
+    assert(rows.map(r => (r._1, r._2, r._4)).toSet == Set(
+      (null, null, 0L), ("2024-07-01", "eu", 50L),
+      ("2024-07-01", "us", 50L), ("2024-07-02", "us", 100L)), rows)
+    assert(rows.filter(_._1 != null).forall(_._3 == 1L),
+      "one routed file per (day, region) cell on one commit")
+    // an unpartitioned table's .partitions refuses with a clear message
+    val (t2, _) = fresh()
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT)")
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $t2.partitions").collect())
+    assert(e.getMessage.contains("no partition spec") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
+  }
+
   test("PARTITIONED BY identity: routing makes stats envelopes value-tight; DML re-routes") {
     val (t, dir) = fresh()
     spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING) PARTITIONED BY (region)")
