@@ -1066,6 +1066,18 @@ object Relational extends QueryModule {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** The `.partitions` metadata table, oracle-checked on its exact
+    * per-day ROW counts (folded from the stats sidecar, zero data files
+    * opened): the day grid of the days(ts)-routed fixture must equal the
+    * source's own GROUP BY day. n_files is physical (layout-dependent)
+    * and stays out of the oracle row.
+    */
+  private def qSnapshotPartitionsMeta(s: SparkSession, d: String): DataFrame = {
+    val ns = sqlCatNsOf(s, d)
+    s.sql(s"""SELECT ts_day, n_rows FROM graftcat.$ns.events_part.partitions
+             |WHERE ts_day IS NOT NULL ORDER BY ts_day""".stripMargin)
+  }
+
   private def qSnapshotSqlMerge(s: SparkSession, d: String): DataFrame = {
     val ns = sqlCatNsOf(s, d)
     s.sql(s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
@@ -1807,6 +1819,7 @@ object Relational extends QueryModule {
     "q_snapshot_sql_merge_evolve" -> qSnapshotSqlMergeEvolve,
     "q_snapshot_partitioned" -> qSnapshotPartitioned,
     "q_snapshot_overwrite_part" -> qSnapshotOverwritePart,
+    "q_snapshot_partitions_meta" -> qSnapshotPartitionsMeta,
     "q_snapshot_dv" -> qSnapshotDv,
     "q_snapshot_history" -> qSnapshotHistory,
     "q_snapshot_restore" -> qSnapshotRestore,
@@ -1983,6 +1996,11 @@ object Relational extends QueryModule {
         |SELECT bucket, count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_snapshot_partitions_meta" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS ts_day,
+        |  count(*) AS n_rows
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1 ORDER BY ts_day""".stripMargin,
     "q_snapshot_partitioned" ->
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users
