@@ -633,6 +633,19 @@ object Snapshots {
         // shadow columns exist only for partitionBy routing; parquet files
         // keep every user column (incl. the transforms' sources) and never
         // store them.
+        //
+        // REBALANCE, not a plain hash repartition: with `repartition(tuple)`
+        // EVERY row of one partition value lands in ONE task writing ONE
+        // file — under days(ts) partitioning, a daily 100 TB ingest is one
+        // straggler task per day. The rebalance hint keeps the tuple
+        // clustering but lets AQE split a hot tuple's shuffle partition
+        // into advisory-sized pieces (several tasks → several files, each
+        // still single-valued because partitionBy routes by value) and
+        // coalesce many tiny tuples into one task (still one file per
+        // value). Sizing comes from the incoming frame at runtime via
+        // spark.sql.adaptive.advisoryPartitionSizeInBytes — scale-adaptive,
+        // no constant tuned for either local mode or the cluster. Without
+        // AQE the hint degrades to exactly the old hash distribution.
         val shadowCols = specs.zipWithIndex.map { case (ps, i) =>
           val pc = toPhysical(spark, dir, ps.column)
           require(physical.columns.contains(pc),
@@ -642,7 +655,7 @@ object Snapshots {
         }
         val routed = shadowCols.foldLeft(physical) { case (df, (n, e)) =>
           df.withColumn(n, e.cast("string"))
-        }.repartition(shadowCols.map(c => col(c._1)): _*)
+        }.hint("rebalance", shadowCols.map(c => col(c._1)): _*)
         withStatFriendlyWrites(spark) {
           routed.write.options(bloomWriteOptions(spark, dir))
             .mode("overwrite").partitionBy(shadowCols.map(_._1): _*)
@@ -1287,9 +1300,52 @@ object Snapshots {
     // must surface as a conflict, not silently vanish from the new head.
     // read() masks deletion vectors, so compaction MATERIALIZES pending
     // merge-on-read deletes (the rewritten files carry no DV).
-    replacePreserving(spark, dir, read(spark, dir, Some(cur)).repartition(n),
-      expectedVersion = Some(cur),
-      meta = Map("compaction" -> s"$total bytes -> $n files"))
+    //
+    // Partitioned tables skip the global repartition(n): the routed commit
+    // write re-shuffles by partition tuple anyway, so the sizing shuffle
+    // was pure waste AND the tuple shuffle silently overrode targetBytes
+    // (one file per tuple regardless of the knob). Instead the rebalance
+    // in writeData bin-packs WITHIN partitions, with targetBytes mapped
+    // onto AQE's advisory partition size for the duration of the write.
+    if (partitionSpecs(spark, dir).nonEmpty)
+      withAdvisorySize(spark, targetBytes) {
+        replacePreserving(spark, dir, read(spark, dir, Some(cur)),
+          expectedVersion = Some(cur),
+          meta = Map("compaction" -> s"$total bytes, partition-binned"))
+      }
+    else
+      replacePreserving(spark, dir, read(spark, dir, Some(cur)).repartition(n),
+        expectedVersion = Some(cur),
+        meta = Map("compaction" -> s"$total bytes -> $n files"))
+  }
+
+  /** Pin AQE's advisory partition size (the rebalance bin-packing target)
+    * for the duration of `body`, restoring the caller's value after —
+    * reference-counted per session like [[withStatFriendlyWrites]] so
+    * overlapping snapshot writers can't leave the conf tainted. Used by
+    * the partition-aware compactions to map their `targetBytes` knob onto
+    * the routed write's rebalance sizing.
+    */
+  private class AdvisoryState { var depth = 0; var prev: Option[String] = None }
+  private val advisoryStates =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, AdvisoryState]()
+  private def withAdvisorySize[T](spark: SparkSession, bytes: Long)(body: => T): T = {
+    val k = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val st = advisoryStates.computeIfAbsent(spark, _ => new AdvisoryState)
+    st.synchronized {
+      if (st.depth == 0) {
+        st.prev = spark.conf.getOption(k)
+        spark.conf.set(k, bytes.toString)
+      }
+      st.depth += 1
+    }
+    try body finally st.synchronized {
+      st.depth -= 1
+      if (st.depth == 0) st.prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
   }
 
   /** Predicate-SCOPED compaction: bin-pack only the files whose stats
@@ -1315,8 +1371,15 @@ object Snapshots {
       .sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val next = cur + 1
-    val fresh = writeData(spark, dir, next,
-      maskedParquet(spark, dir, cur, hot.map(f => dataPath(dir, f))).repartition(n))
+    // partitioned tables: same treatment as compact() — no pre-repartition
+    // (the routed write's rebalance bins within partitions at targetBytes)
+    val hotDf = maskedParquet(spark, dir, cur, hot.map(f => dataPath(dir, f)))
+    val fresh =
+      if (partitionSpecs(spark, dir).nonEmpty)
+        withAdvisorySize(spark, targetBytes) {
+          writeData(spark, dir, next, hotDf)
+        }
+      else writeData(spark, dir, next, hotDf.repartition(n))
     val dvCarry = carryDvFor(spark, dir, cur, next, untouched)
     publish(spark, dir, next, untouched, fresh,
       meta = Map("compaction" -> s"$column-scoped: ${hot.length} files -> $n"),
@@ -2713,7 +2776,7 @@ object Snapshots {
         (tuple, fs.length.toLong,
           if (known.contains(-1L)) -1L else known.sum)
       }
-      .sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+      .sortBy(_._1.map(_.getOrElse("")).mkString("\u0000"))
     val base = grouped.map { case (tuple, nf, nr) =>
       (tuple.map(_.orNull), nf, nr)
     }.toDF("p", "n_files", "n_rows")

@@ -42,13 +42,17 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val b0 = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = sys.env.get("SPARK_GRAFT_CONF")
+      .map(_.split(';').filter(_.contains('='))
+        .foldLeft(b0) { (bb, kv) =>
+          val Array(k, v) = kv.split("=", 2); bb.config(k, v)
+        }).getOrElse(b0).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$sfDir/region.parquet").count() // warm
     args.foreach { n =>
