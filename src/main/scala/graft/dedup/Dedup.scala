@@ -205,9 +205,15 @@ object Dedup extends QueryModule {
     */
   def minhashPairsOf(sigs: DataFrame, minJ: Double = 0.5,
       numPerms: Int = NumPerms, bandRows: Int = BandRows): DataFrame = {
+    // hash-repartition the bucket table ONCE by the band key: both sides of
+    // the candidate self-join are projections of this exchange, so the
+    // signature scan + band explode runs a single time (ReusedExchange) and
+    // the join itself plans with no further bucket-sized shuffle — r20's
+    // plan re-exploded the signatures per side and exchanged both.
     val buckets = sigs.select(col("doc_id"),
         explode(bandHashes(col("sig"), bandRows, numPerms)).as("b"))
       .select(col("b.band").as("band"), col("b.bh").as("bh"), col("doc_id"))
+      .repartition(col("band"), col("bh"))
     val l = buckets.select(col("band"), col("bh"), col("doc_id").as("doc1"))
     val r = buckets.select(col("band"), col("bh"), col("doc_id").as("doc2"))
     val cand = l.join(r, Seq("band", "bh")).filter(col("doc1") < col("doc2"))
@@ -327,8 +333,11 @@ object Dedup extends QueryModule {
     // method limit inside the candidate join, dropping the stage to
     // interpreted eval
     val keys = graft.functions.SimHashFunctions.simhash_block_keys(col("fp"), maxDist)
+    // one exchange for both self-join sides (see minhashPairsOf): the
+    // 20-key fan runs once and the join plans over the reused shuffle
     val keyed = fpTable.select(col("doc_id"), col("fp"), explode(keys).as("gk"))
       .select(col("gk.g").as("g"), col("gk.k").as("k"), col("doc_id"), col("fp"))
+      .repartition(col("g"), col("k"))
     val l = keyed.select(col("g"), col("k"), col("doc_id").as("doc1"), col("fp").as("fp1"))
     val r = keyed.select(col("g"), col("k"), col("doc_id").as("doc2"), col("fp").as("fp2"))
     l.join(r, Seq("g", "k")).filter(col("doc1") < col("doc2"))
@@ -870,6 +879,15 @@ object Dedup extends QueryModule {
     * spans; [[exactSubstrScrub]] applies them.
     */
   def exactSubstrSpans(docs: DataFrame, l: Int): DataFrame = {
+    // ONE corpus explode, shared through ONE exchange: the gram table is
+    // hash-repartitioned by fingerprint up front, so the duplicate-gram
+    // aggregate below AND the join-back both read the same shuffle output
+    // (ReusedExchange) instead of each re-running the tokenize + explode
+    // (the r20 plan paid the corpus-token-sized explode twice). Hash
+    // clustering by gk satisfies every downstream requirement: the
+    // (gk, doc_id) aggregate needs co-location by a superset key, the gk
+    // aggregate and the join need gk itself — so no further gram-sized
+    // exchange is ever planned.
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= l)
@@ -879,9 +897,10 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), (col("p0") + 1).as("start"),
         struct(xxhash64(col("gram")).as("h1"),
           xxhash64(lit(0x9e3779b9L), col("gram")).as("h2")).as("gk"))
+      .repartition(col("gk"))
     // Two-level aggregate instead of groupBy(gk).agg(countDistinct, ...):
-    // the (gk, doc_id) pre-aggregate is map-side combinable (no Expand for
-    // the distinct), and the keep-one key stays in FIXED-WIDTH agg buffers
+    // the (gk, doc_id) pre-aggregate avoids an Expand for the distinct,
+    // and the keep-one key stays in FIXED-WIDTH agg buffers
     // (min / min_by over longs → HashAggregate) — a min(struct(...)) buffer
     // would force SortAggregate over the corpus-token-sized gram table.
     // doc_id is unique per gk group after level 1, so min(doc_id) +

@@ -385,23 +385,33 @@ object TextAnalysis extends QueryModule {
     */
   private def qDsir(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
-    val (t12, tv) = lmCounts(
-      docs.filter(col("lang") === "en" && col("source") === "src18"))
-    val (r12, rv) = lmCounts(docs.filter(col("lang") === "en"))
-    // BOTH arms score in ONE corpus explode: the pool bigrams join the two
-    // vocab-sized count tables side by side instead of paying the explode
-    // + doc-keyed aggregate twice (halves the corpus-sized work)
-    val tvc = tv.agg(count(lit(1)).as("tv"))
-    val rvc = rv.agg(count(lit(1)).as("rv"))
-    val tc1 = t12.groupBy("w1").agg(sum("c12").as("tc1"))
-    val rc1 = r12.groupBy("w1").agg(sum("c12").as("rc1"))
+    // The target slice (src18) is a SUBSET of the raw en pool, so both
+    // arms' count tables fall out of ONE flagged explode + aggregate
+    // (tc12 counts target rows only, rc12 all rows) instead of two full
+    // lmCounts passes over overlapping slices — and the score pass joins
+    // ONE combined table per key level ((w1, w2) and w1) instead of two,
+    // halving the train-side corpus work and two of the four score joins.
+    // Absent-key semantics are unchanged: a bigram the target never saw
+    // carries tc12 = 0 here where the two-table form produced a missed
+    // join -> NULL -> coalesce 0.
+    val enT = docs.filter(col("lang") === "en")
+      .select((col("source") === "src18").as("tgt"), tokens(col("text")).as("t"))
+    val c12 = bigramRows(enT, col("tgt"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("rc12"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tc12"))
+    val c1 = c12.groupBy("w1")
+      .agg(sum("rc12").as("rc1"), sum("tc12").as("tc1"))
+    val vc = enT.select(col("tgt"), explode(col("t")).as("w"))
+      .groupBy("w")
+      .agg((sum(when(col("tgt"), 1L).otherwise(0L)) > 0).as("tgt"))
+      .agg(count(lit(1)).as("rv"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tv"))
     bigramRows(docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("t")),
         col("doc_id"), col("lang"))
-      .join(t12.withColumnRenamed("c12", "tc12"), Seq("w1", "w2"), "left")
-      .join(tc1, Seq("w1"), "left")
-      .join(r12.withColumnRenamed("c12", "rc12"), Seq("w1", "w2"), "left")
-      .join(rc1, Seq("w1"), "left")
-      .crossJoin(tvc).crossJoin(rvc)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(vc)
       .select(col("doc_id"), col("lang"),
         (-log((coalesce(col("tc12"), lit(0L)) + 1).cast("double") /
           (coalesce(col("tc1"), lit(0L)) + col("tv")))).as("nt"),
