@@ -114,36 +114,41 @@ object Behavioral extends QueryModule {
     val lab = purchaseIntervals(s, d).join(exposed, "user_id")
     val cell = lab.groupBy("g", "t")
       .agg(sum("ev").as("d"), count(lit(1)).as("c"))
-    // full (t × group) grid so each group's risk set is defined at every
-    // combined time, then reverse-cumulative risk per group
-    val times = cell.select("t").distinct()
-    val groups = cell.select("g").distinct()
-    val grid = times.crossJoin(groups)
-      .join(cell, Seq("g", "t"), "left")
-      .select(col("g"), col("t"),
-        coalesce(col("d"), lit(0L)).as("d"),
-        coalesce(col("c"), lit(0L)).as("c"))
-    val wg = Window.partitionBy("g").orderBy(col("t").desc)
-    val risk = grid.withColumn("n", sum("c").over(wg))
-    val byT = risk.groupBy("t").agg(
-      sum("d").as("dt"), sum("n").as("nt"),
+    // Risk sets WITHOUT the (t × group) grid: n_g(t) = Σ_{t'≥t} c_g(t')
+    // equals (group total) − (strictly-before-t cumulative), and absent
+    // (g, t) cells contribute 0 to a cumulative sum — so the two distincts,
+    // the grid cross-join + left join, and the per-group reverse window of
+    // the r20 plan all fold into ONE t-keyed aggregate plus one window pass
+    // over the observation-span-sized bucket table (the kmCurve posture).
+    // The cohort totals fall out of the SAME window (whole-range frames on
+    // the same ordering — no second sort, no separate sizes subtree, so
+    // the interval scan runs once, not three times). Arithmetic is
+    // exact-integer-identical to the grid form.
+    val wb = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byT = cell.groupBy("t").agg(
+      sum("d").as("dt"), sum("c").as("ct"),
       sum(when(col("g") === "high", col("d")).otherwise(lit(0L))).as("da"),
-      sum(when(col("g") === "high", col("n")).otherwise(lit(0L))).as("na"))
+      sum(when(col("g") === "high", col("c")).otherwise(lit(0L))).as("ca"))
+      .withColumn("n_high", sum("ca").over(wAll))
+      .withColumn("n_low", sum(col("ct") - col("ca")).over(wAll))
+      .withColumn("na", col("n_high") - coalesce(sum("ca").over(wb), lit(0L)))
+      .withColumn("nt",
+        col("n_high") + col("n_low") - coalesce(sum("ct").over(wb), lit(0L)))
       .filter(col("dt") > 0 && col("nt") > 1)
     val terms = byT.select(
       col("da").cast("double").as("oa"),
       (col("dt") * col("na").cast("double") / col("nt")).as("ea"),
       (col("dt") * (col("na").cast("double") / col("nt")) *
         (lit(1.0) - col("na").cast("double") / col("nt")) *
-        (col("nt") - col("dt")).cast("double") / (col("nt") - 1)).as("v"))
-    val sizes = lab.groupBy()
-      .agg(sum(when(col("g") === "high", 1L).otherwise(0L)).as("n_high"),
-        sum(when(col("g") === "low", 1L).otherwise(0L)).as("n_low"))
+        (col("nt") - col("dt")).cast("double") / (col("nt") - 1)).as("v"),
+      col("n_high"), col("n_low"))
     terms.agg(sum("oa").cast("long").as("obs_high"),
         round(sum("ea"), 4).as("exp_high"),
         when(sum("v") > 0,
-          round(pow(sum("oa") - sum("ea"), 2) / sum("v"), 4)).as("chi2"))
-      .crossJoin(sizes)
+          round(pow(sum("oa") - sum("ea"), 2) / sum("v"), 4)).as("chi2"),
+        max("n_high").as("n_high"), max("n_low").as("n_low"))
       .select("obs_high", "exp_high", "chi2", "n_high", "n_low")
   }
 

@@ -96,7 +96,10 @@ object EntityResolution extends QueryModule {
     * (rec1, rec2, sys1, sys2, name_lev, bal_diff), rec1 < rec2.
     */
   def matchPairs(records: DataFrame): DataFrame = {
-    val r = withBlocks(records)
+    // one keyed repartition so BOTH self-join sides read the same shuffle
+    // output (ReusedExchange): the union + canon-regex + block derivation
+    // runs once instead of once per side (see Dedup.minhashPairsOf)
+    val r = withBlocks(records).repartition(col("block"))
     val l = r.select(col("block"), col("rec_id").as("rec1"), col("sys").as("sys1"),
       col("canon").as("canon1"), col("bal").as("bal1"))
     val rr = r.select(col("block"), col("rec_id").as("rec2"), col("sys").as("sys2"),

@@ -287,13 +287,24 @@ object Aggregates extends QueryModule {
     * profiling question for corpus audits.
     */
   private def qChi2(s: SparkSession, d: String): DataFrame = {
+    // marginals (row/column totals, grand total, alphabet sizes) as window
+    // sums over the vocabulary-sized contingency table — the corpus-sized
+    // groupBy runs ONCE (the r20 plan recomputed it for rt, ct and tot and
+    // joined them back). nl/ns count groups exactly via first-row-per-group
+    // markers; all-integer until the single n cast, as before.
+    import org.apache.spark.sql.expressions.{Window => W}
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     val obs = T.documents(s, d).groupBy("lang", "source")
       .agg(count(lit(1)).as("o"))
-    val rt = obs.groupBy("lang").agg(sum("o").as("rt"))
-    val ct = obs.groupBy("source").agg(sum("o").as("ct"))
-    val tot = obs.agg(sum("o").cast("double").as("n"),
-      countDistinct(col("lang")).as("nl"), countDistinct(col("source")).as("ns"))
-    obs.join(rt, "lang").join(ct, "source").crossJoin(tot)
+      .withColumn("rt", sum("o").over(W.partitionBy("lang")))
+      .withColumn("ct", sum("o").over(W.partitionBy("source")))
+      .withColumn("rl", row_number().over(W.partitionBy("lang").orderBy("source")))
+      .withColumn("rs", row_number().over(W.partitionBy("source").orderBy("lang")))
+      .withColumn("n", sum("o").over(wAll).cast("double"))
+      .withColumn("nl", sum(when(col("rl") === 1, 1L).otherwise(0L)).over(wAll))
+      .withColumn("ns", sum(when(col("rs") === 1, 1L).otherwise(0L)).over(wAll))
+    obs
       .select(
         (((col("o") - col("rt") * col("ct") / col("n"))
           * (col("o") - col("rt") * col("ct") / col("n")))

@@ -129,18 +129,26 @@ object Privacy extends QueryModule {
       .select(col("gen_level"), col("lang"),
         coalesce(col("source"), lit("~")).as("src_k"),
         coalesce(col("bucket_lo"), lit(-1L)).as("blo_k"), col("sens"))
-    val gtot = j.agg(count(lit(1)).as("gtot"))
-    val g = j.groupBy("sens").agg(count(lit(1)).as("gn"))
-    val cs = j.groupBy("gen_level", "lang", "src_k", "blo_k", "sens")
+    // ONE (class × sens) aggregate; every marginal it needs — per-sens
+    // global counts gn, per-class totals ctot, the global total gtot —
+    // is a window sum over that metadata-sized cell table, so the
+    // corpus-sized `j` subtree executes once (the r20 plan recomputed it
+    // for gtot, g and cs separately and then cross-joined the sens
+    // alphabet back against every class). Absent (class, sens) cells,
+    // which the old alphabet cross-join materialized as cn = 0 rows,
+    // fold in algebraically: their term is |0·gtot − gn·ctot| = gn·ctot,
+    // and Σ_absent gn = gtot − Σ_present gn — exact integer identity.
+    import org.apache.spark.sql.expressions.{Window => W}
+    val classKey = Seq("gen_level", "lang", "src_k", "blo_k")
+    val cs = j.groupBy((classKey :+ "sens").map(col): _*)
       .agg(count(lit(1)).as("cn"))
-    val ct = cs.groupBy("gen_level", "lang", "src_k", "blo_k")
-      .agg(sum("cn").as("ctot"))
-    ct.crossJoin(broadcast(g)).crossJoin(broadcast(gtot))
-      .join(cs, Seq("gen_level", "lang", "src_k", "blo_k", "sens"), "left")
-      .withColumn("term",
-        abs(coalesce(col("cn"), lit(0L)) * col("gtot") - col("gn") * col("ctot")))
-      .groupBy("gen_level", "lang", "src_k", "blo_k", "ctot", "gtot")
-      .agg(sum("term").as("num"))
+      .withColumn("gn", sum("cn").over(W.partitionBy("sens")))
+      .withColumn("ctot", sum("cn").over(W.partitionBy(classKey.map(col): _*)))
+      .withColumn("gtot", sum("cn").over(
+        W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    cs.groupBy((classKey ++ Seq("ctot", "gtot")).map(col): _*)
+      .agg((sum(abs(col("cn") * col("gtot") - col("gn") * col("ctot"))) +
+        col("ctot") * (col("gtot") - sum("gn"))).as("num"))
       .select(col("gen_level"), col("lang"),
         nullif(col("src_k"), lit("~")).as("source"),
         nullif(col("blo_k"), lit(-1L)).as("bucket_lo"),
