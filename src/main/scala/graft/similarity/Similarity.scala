@@ -738,11 +738,12 @@ object Similarity extends QueryModule {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = toks.join(asg, "doc_id")
       .groupBy("cid", "token").agg(count(lit(1)).as("tf"))
-    val cdf = tf.groupBy("token")
-      .agg(countDistinct("cid").as("cdf"))
     val w = Window.partitionBy("cid")
       .orderBy(col("score").desc, col("token"))
-    tf.join(cdf, "token")
+    // tf rows are unique per (cid, token), so clusters-containing-term is a
+    // plain count window over token — no separate countDistinct aggregate
+    // joined back (which re-ran the tokens x assignment join a second time)
+    tf.withColumn("cdf", count(lit(1)).over(Window.partitionBy("token")))
       .withColumn("score",
         round(col("tf") * log(lit(1.0) + lit(KmeansK.toDouble) / col("cdf")), 4))
       .withColumn("rnk", row_number().over(w))

@@ -444,10 +444,17 @@ object TextAnalysis extends QueryModule {
       T.documents(s, d).select(tokens(col("text")).as("t")))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val n = c12all.agg(sum("c12").as("n"))
-    val c12 = c12all.filter(col("c12") >= 5)
-    val c1 = c12all.groupBy("w1").agg(sum("c12").as("c1"))
-    val c2 = c12all.groupBy("w2").agg(sum("c12").as("c2"))
-    c12.join(c1, "w1").join(c2, "w2").crossJoin(n)
+    // c1/c2 as window sums over the vocab-sized bigram table instead of two
+    // marginal aggregates joined back: two exchanges fewer and no join-side
+    // re-aggregation (the corpus explode itself was already shared through
+    // the (w1, w2) exchange; `n` still reads that same reused exchange).
+    // The min-support filter applies AFTER the marginals, as before.
+    import org.apache.spark.sql.expressions.{Window => W}
+    c12all
+      .withColumn("c1", sum("c12").over(W.partitionBy("w1")))
+      .withColumn("c2", sum("c12").over(W.partitionBy("w2")))
+      .filter(col("c12") >= 5)
+      .crossJoin(broadcast(n))
       .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c12"),
         round(log(col("c12").cast("double") * col("n") /
           (col("c1").cast("double") * col("c2"))), 4).as("pmi"))
