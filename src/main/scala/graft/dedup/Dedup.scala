@@ -205,15 +205,17 @@ object Dedup extends QueryModule {
     */
   def minhashPairsOf(sigs: DataFrame, minJ: Double = 0.5,
       numPerms: Int = NumPerms, bandRows: Int = BandRows): DataFrame = {
-    // hash-repartition the bucket table ONCE by the band key: both sides of
-    // the candidate self-join are projections of this exchange, so the
-    // signature scan + band explode runs a single time (ReusedExchange) and
-    // the join itself plans with no further bucket-sized shuffle — r20's
-    // plan re-exploded the signatures per side and exchanged both.
+    // NOTE (r21): re-deriving the bucket explode per join side is CHEAPER
+    // here than sharing it through one keyed repartition — `sigs` is (or
+    // slices) the persisted signature cache, so each side is a cache scan
+    // plus one native band fan, while the shared-exchange form adds a
+    // blocking AQE stage (measured: q_dedup_simhash 0.68 -> 1.54 s with the
+    // same trick; minhash family ~15% worse). Contrast exactSubstrSpans /
+    // ER matchPairs, where the per-side recompute is an expensive explode
+    // or regex pass and the shared exchange wins.
     val buckets = sigs.select(col("doc_id"),
         explode(bandHashes(col("sig"), bandRows, numPerms)).as("b"))
       .select(col("b.band").as("band"), col("b.bh").as("bh"), col("doc_id"))
-      .repartition(col("band"), col("bh"))
     val l = buckets.select(col("band"), col("bh"), col("doc_id").as("doc1"))
     val r = buckets.select(col("band"), col("bh"), col("doc_id").as("doc2"))
     val cand = l.join(r, Seq("band", "bh")).filter(col("doc1") < col("doc2"))
@@ -333,11 +335,8 @@ object Dedup extends QueryModule {
     // method limit inside the candidate join, dropping the stage to
     // interpreted eval
     val keys = graft.functions.SimHashFunctions.simhash_block_keys(col("fp"), maxDist)
-    // one exchange for both self-join sides (see minhashPairsOf): the
-    // 20-key fan runs once and the join plans over the reused shuffle
     val keyed = fpTable.select(col("doc_id"), col("fp"), explode(keys).as("gk"))
       .select(col("gk.g").as("g"), col("gk.k").as("k"), col("doc_id"), col("fp"))
-      .repartition(col("g"), col("k"))
     val l = keyed.select(col("g"), col("k"), col("doc_id").as("doc1"), col("fp").as("fp1"))
     val r = keyed.select(col("g"), col("k"), col("doc_id").as("doc2"), col("fp").as("fp2"))
     l.join(r, Seq("g", "k")).filter(col("doc1") < col("doc2"))
