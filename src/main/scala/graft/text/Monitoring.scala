@@ -361,13 +361,16 @@ object Monitoring extends QueryModule {
         "the cumulative CDF grid would serialize through one task at this " +
         "cardinality; quantize the feature first (round / width_bucket to " +
         s"<= $maxGrid bins) or raise maxGrid deliberately")
-    val tot = j.agg(sum("rn").cast("double").as("nr"),
-      sum("cn").cast("double").as("nc"))
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals from a whole-range frame on the SAME window sort — no separate
+    // aggregate + cross-join pass over the checkpointed grid
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     j.withColumn("crf", sum("rn").over(w))
       .withColumn("ccf", sum("cn").over(w))
-      .crossJoin(broadcast(tot))
+      .withColumn("nr", sum("rn").over(wAll).cast("double"))
+      .withColumn("nc", sum("cn").over(wAll).cast("double"))
       .groupBy("nr", "nc")
       .agg(round(max(abs(col("crf") / col("nr") - col("ccf") / col("nc"))), 4)
         .as("ks"))

@@ -231,12 +231,17 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
-  test("q_pmi: top-50 is TakeOrderedAndProject, count tables broadcast") {
+  test("q_pmi: top-50 is TakeOrderedAndProject, marginals fold as windows") {
     val plan = planOf("q_pmi")
     // the limit must ride the sort (never a global Sort + CollectLimit)
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    // marginal joins against the vocab-sized tables broadcast at fixture scale
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // r21: the c1/c2 marginals are window sums over the vocab-sized
+    // (w1, w2) table — no marginal aggregates joined back (the old plan
+    // carried two BroadcastHashJoins re-aggregating the pair table), and
+    // the grand total stays a 1-row cross join
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert("windowspecdefinition".r.findAllIn(plan).size >= 2, plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan)
   }
 
   test("q_ngram_lm: score-side explode joins the count tables by broadcast") {
