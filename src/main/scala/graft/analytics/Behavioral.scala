@@ -181,10 +181,16 @@ object Behavioral extends QueryModule {
     * shared (warmed) between [[qRecsItemcf]]'s scoring and exclusion scans.
     */
   private def ownedCached(s: SparkSession, d: String): DataFrame =
+    // hash-partitioned by the SERVING key before caching (the
+    // containmentStateCached posture): the exclusion anti-join and the
+    // per-customer ranking both cluster on ck, so the cached layout
+    // satisfies their distributions and the serve never re-shuffles this
+    // table — the on-disk analogue at 100 TB is ownership bucketed by ck
     graft.PersistedCache(s, ("itemcf-owned", d))(
       T.orders(s, d)
         .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
-        .join(baskets(s, d), "ok").select("ck", "pk").distinct())
+        .join(baskets(s, d), "ok").select("ck", "pk").distinct()
+        .repartition(s.sessionState.conf.numShufflePartitions, col("ck")))
 
   /** The trained item-item model — each part's top-5 cosine neighbors from
     * co-purchase counts — as warmed ingest-time state
@@ -207,10 +213,18 @@ object Behavioral extends QueryModule {
     * aggregation are paid per ingest batch, not per request.
     */
   private def scoresCached(s: SparkSession, d: String): DataFrame =
+    // ck-clustered like ownedCached — this is what lets the serving
+    // TopKByScore aggregate run with COLLAPSING partials (all of a
+    // customer's candidates sit in one partition, so the partial phase
+    // emits one small top-k buffer per customer instead of one buffer
+    // per candidate row; the r20 layout shipped ~one buffer per row
+    // through the exchange and the merge phase's buffer ser/de dominated
+    // the whole query — 26 s of its 28 s task time)
     graft.PersistedCache(s, ("itemcf-scores", d))(
       ownedCached(s, d).join(broadcast(itemNeighborsCached(s, d)),
           col("pk") === col("a"))
-        .groupBy(col("ck"), col("b").as("item")).agg(sum("c").as("score")))
+        .groupBy(col("ck"), col("b").as("item")).agg(sum("c").as("score"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("ck")))
 
   /** Warm every serving-side table the recommender queries share — called
     * from the bench warm-up so the timed queries measure serving, not
